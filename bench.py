@@ -1,0 +1,60 @@
+"""Benchmark harness: runs the suite's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully executed (collected to the driver, like the driver's
+harness does) — not just planned.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as e
+    from wrf_to_geodataframe_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = e.queries()
+
+    # warm the JVM + parquet footers once so we measure query time,
+    # not session startup
+    try:
+        if qs:
+            next(iter(qs.values()))(spark, sf_dir).count()
+    except Exception as ex:
+        print(f"bench warm-up error: {ex}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # a failing query must not hide the rest
+            timings[name] = -1.0
+            print(f"bench error in {name}: {ex}", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "suite_total_runtime",
+        "value": round(sum(t for t in timings.values() if t >= 0), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,218 @@
+"""Core suite: the reference's flagship pipeline + aggregation kernels.
+
+Every query returns columns that are bit-exact reproducible against the
+DuckDB oracle: multi-row sums run on integer-quantized values (see
+suite/__init__.py docstring), scalar double math is expression-identical
+on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wrf_to_geodataframe_spark.functions.grid import cell_box
+from wrf_to_geodataframe_spark.session import load_table
+
+GRID_W = 32  # synthetic grid width: user_id -> (x_idx, y_idx) = (uid % W, uid // W)
+Q = 1_000_000  # value quantization scale (6 decimal digits)
+
+
+def q6(col):
+    """Quantize a double to an exact BIGINT (floor(x * 1e6))."""
+    return F.floor(col * F.lit(float(Q))).cast("long")
+
+
+def grid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic rectilinear grid over the events table's user population.
+
+    Stands in for the reference's WRF grid: one cell per user_id, laid out
+    on a GRID_W-wide lattice with unit spacing, analytic Voronoi cell =
+    unit box (SURVEY.md §2 G2, delphine/regrid.py:182-203).  Explicit
+    integer keys (x_idx, y_idx) replace the reference's positional
+    alignment (SURVEY.md §1.3 / J5).
+    """
+    events = load_table(spark, sf_dir, "events")
+    cells = (
+        events.select("user_id")
+        .distinct()
+        .withColumn("x_idx", F.col("user_id") % GRID_W)
+        .withColumn("y_idx", F.floor(F.col("user_id") / GRID_W))
+        .withColumn("x", (F.col("user_id") % GRID_W).cast("double"))
+        .withColumn("y", F.floor(F.col("user_id") / GRID_W).cast("double"))
+    )
+    return cell_box(cells, "x", "y", 0.5, 0.5)
+
+
+_CELLS_CTE = f"""
+cells AS (
+    SELECT DISTINCT user_id,
+           user_id % {GRID_W} AS x_idx,
+           user_id // {GRID_W} AS y_idx,
+           CAST(user_id % {GRID_W} AS DOUBLE) AS x,
+           CAST(user_id // {GRID_W} AS DOUBLE) AS y
+    FROM events
+)"""
+
+
+def flagship_daily_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship analysis (wrf_voronoi.py:151-190):
+    hourly values -> daily min/max/mean per cell (A2) -> period mean of
+    each daily stat (A3) -> left-join onto the cell-polygon table on the
+    composite grid key (J1), cells as analytic boxes (G2).
+
+    Plan shape: two partial-aggregated shuffles + one join where the agg
+    side is small relative to cells -> AQE converts to broadcast-hash.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.to_date("ts").alias("day"), F.col("user_id")
+    ).agg(
+        F.min(q6(F.col("value"))).alias("vmin_q"),
+        F.max(q6(F.col("value"))).alias("vmax_q"),
+        # daily mean, re-quantized: exact-int sum / count is deterministic,
+        # then floor(mean * 1e6) is one deterministic double op chain
+        F.floor(
+            F.sum(q6(F.col("value"))).cast("double")
+            / F.count(F.lit(1))
+        ).cast("long").alias("dmean_q"),
+    )
+    per_cell = daily.groupBy("user_id").agg(
+        (F.sum("vmin_q").cast("double") / F.count(F.lit(1)) / F.lit(float(Q))).alias("t_min"),
+        (F.sum("vmax_q").cast("double") / F.count(F.lit(1)) / F.lit(float(Q))).alias("t_max"),
+        (F.sum("dmean_q").cast("double") / F.count(F.lit(1)) / F.lit(float(Q))).alias("t_mean"),
+    )
+    cells = grid_cells(spark, sf_dir)
+    return cells.join(per_cell, "user_id", "left").select(
+        "user_id", "x_idx", "y_idx", "x1", "y1", "x2", "y2",
+        "t_min", "t_max", "t_mean",
+    )
+
+
+_FLAGSHIP_SQL = f"""
+WITH {_CELLS_CTE},
+daily AS (
+    SELECT CAST(ts AS DATE) AS day, user_id,
+           min(CAST(floor(value * {Q}.0) AS BIGINT)) AS vmin_q,
+           max(CAST(floor(value * {Q}.0) AS BIGINT)) AS vmax_q,
+           CAST(floor(CAST(sum(CAST(floor(value * {Q}.0) AS BIGINT)) AS DOUBLE)
+                      / count(*)) AS BIGINT) AS dmean_q
+    FROM events GROUP BY 1, 2
+),
+per_cell AS (
+    SELECT user_id,
+           CAST(sum(vmin_q) AS DOUBLE) / count(*) / {Q}.0 AS t_min,
+           CAST(sum(vmax_q) AS DOUBLE) / count(*) / {Q}.0 AS t_max,
+           CAST(sum(dmean_q) AS DOUBLE) / count(*) / {Q}.0 AS t_mean
+    FROM daily GROUP BY 1
+)
+SELECT c.user_id, c.x_idx, c.y_idx,
+       c.x - 0.5 AS x1, c.y - 0.5 AS y1, c.x + 0.5 AS x2, c.y + 0.5 AS y2,
+       p.t_min, p.t_max, p.t_mean
+FROM cells c LEFT JOIN per_cell p USING (user_id)
+"""
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem — the gap-table agg
+    workout (count / multi-expression sums / HAVING-free group report).
+    Product expressions are quantized AFTER the identical double
+    expression tree, so sums are order-insensitive exact integers.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    qty_q = F.floor(F.col("l_quantity") * F.lit(100.0)).cast("long")
+    price_q = F.floor(F.col("l_extendedprice") * F.lit(100.0)).cast("long")
+    disc_q = F.floor(disc_price * F.lit(100.0)).cast("long")
+    charge_q = F.floor(charge * F.lit(100.0)).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty_q).cast("double") / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(price_q).cast("double") / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(disc_q).cast("double") / F.lit(100.0)).alias("sum_disc_price"),
+            (F.sum(charge_q).cast("double") / F.lit(100.0)).alias("sum_charge"),
+            (F.sum(qty_q).cast("double") / F.count(F.lit(1)) / F.lit(100.0)).alias("avg_qty"),
+            (F.sum(price_q).cast("double") / F.count(F.lit(1)) / F.lit(100.0)).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc_price,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_charge,
+       CAST(sum(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS DOUBLE) / count(*) / 100.0 AS avg_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE) / count(*) / 100.0 AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def a1_bbox_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global coordinate extent (SURVEY.md §2 A1, wrf_voronoi.py:146):
+    scalar min/max aggregate over the grid — 1-row DataFrame that callers
+    broadcast back (crossJoin) for bbox filters (P4)."""
+    cells = grid_cells(spark, sf_dir)
+    return cells.agg(
+        F.min("x").alias("xmin"),
+        F.min("y").alias("ymin"),
+        F.max("x").alias("xmax"),
+        F.max("y").alias("ymax"),
+    )
+
+
+_A1_SQL = f"""
+WITH {_CELLS_CTE}
+SELECT min(x) AS xmin, min(y) AS ymin, max(x) AS xmax, max(y) AS ymax FROM cells
+"""
+
+
+def a6_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-weighted mean (SURVEY.md §2 A6, delphine/regrid.py:333-334
+    ``(pop * tas).sum() / pop.sum()``) re-targeted: quantity-weighted mean
+    extended price per return flag.  Pure expression agg, no UDAF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wq = F.floor(F.col("l_quantity") * F.col("l_extendedprice") * F.lit(100.0)).cast("long")
+    qq = F.floor(F.col("l_quantity") * F.lit(100.0)).cast("long")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (F.sum(wq).cast("double") / F.sum(qq).cast("double")).alias("weighted_avg_price")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_A6_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CAST(floor(l_quantity * l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE)
+       / CAST(sum(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS DOUBLE) AS weighted_avg_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+QUERIES = {
+    "flagship_daily_cell_stats": flagship_daily_cell_stats,
+    "q1_pricing_summary": q1_pricing_summary,
+    "a1_bbox_extent": a1_bbox_extent,
+    "a6_weighted_average": a6_weighted_average,
+}
+
+ORACLE = {
+    "flagship_daily_cell_stats": _FLAGSHIP_SQL,
+    "q1_pricing_summary": _Q1_SQL,
+    "a1_bbox_extent": _A1_SQL,
+    "a6_weighted_average": _A6_SQL,
+}
