@@ -27,8 +27,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = e.queries()
 
-    # warm the JVM + parquet footers once so we measure query time,
-    # not session startup
+    # warm the JVM + the parquet footer of EVERY table (not just the
+    # first query's inputs) so per-query timings exclude first-touch
+    # scan-setup costs
+    from wrf_to_geodataframe_spark.session import load_table, sf_path
+
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        try:
+            if os.path.exists(sf_path(sf_dir, t)):
+                load_table(spark, sf_dir, t).count()
+        except Exception as ex:
+            print(f"bench warm-up error ({t}): {ex}", file=sys.stderr)
     try:
         if qs:
             next(iter(qs.values()))(spark, sf_dir).count()

@@ -59,23 +59,38 @@ def sf_path(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+_NS_COLS_CACHE: dict[str, list[str]] = {}
+
+
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Column names stored as parquet TIMESTAMP(NANOS) — Spark has no
-    nanosecond timestamp type, so these need special handling."""
+    nanosecond timestamp type, so these need special handling.
+
+    Scans the union of all part-file footers (mixed-schema datasets are
+    caught, not silently missed) and memoizes per path so repeated
+    load_table calls don't re-read footers driver-side.
+    """
+    if path in _NS_COLS_CACHE:
+        return _NS_COLS_CACHE[path]
+
     import pyarrow.parquet as pq
     import pyarrow.types as pt
 
+    parts = [path]
     if os.path.isdir(path):
-        parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
-        if not parts:
-            return []
-        path = os.path.join(path, parts[0])
-    schema = pq.read_schema(path)
-    return [
-        f.name
-        for f in schema
-        if pt.is_timestamp(f.type) and f.type.unit == "ns"
-    ]
+        parts = sorted(
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    ns_cols: list[str] = []
+    for p in parts:
+        for f in pq.read_schema(p):
+            if pt.is_timestamp(f.type) and f.type.unit == "ns" and f.name not in ns_cols:
+                ns_cols.append(f.name)
+    _NS_COLS_CACHE[path] = ns_cols
+    return ns_cols
 
 
 def load_table(spark: SparkSession, sf_dir: str, table: str):
@@ -96,8 +111,18 @@ def load_table(spark: SparkSession, sf_dir: str, table: str):
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
         return spark.read.parquet(path)
+    # nanosAsLong is session-global and must still be set when the lazy
+    # scan actually executes, so it cannot be scoped to this call.  That
+    # is safe *within this engine* because every read goes through
+    # load_table, which always rewrites ns columns to real timestamps —
+    # no later read ever observes a raw ns-long column.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # negative-safe ns→µs floor division: pmod keeps the remainder in
+        # [0, 1000) so pre-1970 nanos round DOWN, matching DuckDB's
+        # truncation; the subtraction and div stay in exact int64.
+        df = df.withColumn(
+            c, F.timestamp_micros(F.expr(f"(`{c}` - pmod(`{c}`, 1000)) div 1000"))
+        )
     return df

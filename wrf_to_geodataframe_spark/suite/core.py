@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wrf_to_geodataframe_spark.functions.grid import cell_box
+from wrf_to_geodataframe_spark.operators.resample import daily_stats_period_mean
 from wrf_to_geodataframe_spark.session import load_table
 
 GRID_W = 32  # synthetic grid width: user_id -> (x_idx, y_idx) = (uid % W, uid // W)
@@ -23,34 +24,51 @@ def q6(col):
     return F.floor(col * F.lit(float(Q))).cast("long")
 
 
+def with_grid_columns(df: DataFrame, key: str = "user_id") -> DataFrame:
+    """Derive the synthetic grid-cell columns from the integer key.
+
+    ``(x_idx, y_idx, x, y)`` are *pure functions* of ``user_id``
+    (``uid % W``, ``floor(uid / W)``), so any DataFrame keyed by user_id
+    can grow them arithmetically — no scan, no shuffle, no join.  Explicit
+    integer keys replace the reference's positional alignment
+    (SURVEY.md §1.3 / J5).
+    """
+    return (
+        df.withColumn("x_idx", F.col(key) % GRID_W)
+        .withColumn("y_idx", F.floor(F.col(key) / GRID_W))
+        .withColumn("x", (F.col(key) % GRID_W).cast("double"))
+        .withColumn("y", F.floor(F.col(key) / GRID_W).cast("double"))
+    )
+
+
 def grid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic rectilinear grid over the events table's user population.
 
     Stands in for the reference's WRF grid: one cell per user_id, laid out
     on a GRID_W-wide lattice with unit spacing, analytic Voronoi cell =
-    unit box (SURVEY.md §2 G2, delphine/regrid.py:182-203).  Explicit
-    integer keys (x_idx, y_idx) replace the reference's positional
-    alignment (SURVEY.md §1.3 / J5).
+    unit box (SURVEY.md §2 G2, delphine/regrid.py:182-203).
+
+    Only for queries whose *subject* is the cell table itself; pipelines
+    that aggregate events per user_id should derive the grid columns with
+    :func:`with_grid_columns` instead of joining against this (the
+    distinct here is a full shuffle of events).
     """
     events = load_table(spark, sf_dir, "events")
-    cells = (
-        events.select("user_id")
-        .distinct()
-        .withColumn("x_idx", F.col("user_id") % GRID_W)
-        .withColumn("y_idx", F.floor(F.col("user_id") / GRID_W))
-        .withColumn("x", (F.col("user_id") % GRID_W).cast("double"))
-        .withColumn("y", F.floor(F.col("user_id") / GRID_W).cast("double"))
-    )
+    cells = with_grid_columns(events.select("user_id").distinct())
     return cell_box(cells, "x", "y", 0.5, 0.5)
 
+
+# floor-division spelled as floor(x / W): DuckDB's integer `//` truncates
+# toward zero (-5 // 32 = 0) while Spark's floor(-5 / 32) = -1.
+_GRID_COLS_SQL = f"""user_id % {GRID_W} AS x_idx,
+           CAST(floor(user_id / {GRID_W}.0) AS BIGINT) AS y_idx,
+           CAST(user_id % {GRID_W} AS DOUBLE) AS x,
+           floor(user_id / {GRID_W}.0) AS y"""
 
 _CELLS_CTE = f"""
 cells AS (
     SELECT DISTINCT user_id,
-           user_id % {GRID_W} AS x_idx,
-           user_id // {GRID_W} AS y_idx,
-           CAST(user_id % {GRID_W} AS DOUBLE) AS x,
-           CAST(user_id // {GRID_W} AS DOUBLE) AS y
+           {_GRID_COLS_SQL}
     FROM events
 )"""
 
@@ -61,37 +79,24 @@ def flagship_daily_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     each daily stat (A3) -> left-join onto the cell-polygon table on the
     composite grid key (J1), cells as analytic boxes (G2).
 
-    Plan shape: two partial-aggregated shuffles + one join where the agg
-    side is small relative to cells -> AQE converts to broadcast-hash.
+    Plan shape: ONE scan of events -> two partial-aggregated shuffles,
+    then the cell/box columns are derived arithmetically (they are pure
+    functions of user_id, and per_cell's key set == distinct user_ids of
+    events) — no second scan, no distinct shuffle, no join.
     """
     events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        F.to_date("ts").alias("day"), F.col("user_id")
-    ).agg(
-        F.min(q6(F.col("value"))).alias("vmin_q"),
-        F.max(q6(F.col("value"))).alias("vmax_q"),
-        # daily mean, re-quantized: exact-int sum / count is deterministic,
-        # then floor(mean * 1e6) is one deterministic double op chain
-        F.floor(
-            F.sum(q6(F.col("value"))).cast("double")
-            / F.count(F.lit(1))
-        ).cast("long").alias("dmean_q"),
+    per_cell = daily_stats_period_mean(
+        events, "ts", "value", ["user_id"], quantize=Q
     )
-    per_cell = daily.groupBy("user_id").agg(
-        (F.sum("vmin_q").cast("double") / F.count(F.lit(1)) / F.lit(float(Q))).alias("t_min"),
-        (F.sum("vmax_q").cast("double") / F.count(F.lit(1)) / F.lit(float(Q))).alias("t_max"),
-        (F.sum("dmean_q").cast("double") / F.count(F.lit(1)) / F.lit(float(Q))).alias("t_mean"),
-    )
-    cells = grid_cells(spark, sf_dir)
-    return cells.join(per_cell, "user_id", "left").select(
+    cells = cell_box(with_grid_columns(per_cell), "x", "y", 0.5, 0.5)
+    return cells.select(
         "user_id", "x_idx", "y_idx", "x1", "y1", "x2", "y2",
         "t_min", "t_max", "t_mean",
     )
 
 
 _FLAGSHIP_SQL = f"""
-WITH {_CELLS_CTE},
-daily AS (
+WITH daily AS (
     SELECT CAST(ts AS DATE) AS day, user_id,
            min(CAST(floor(value * {Q}.0) AS BIGINT)) AS vmin_q,
            max(CAST(floor(value * {Q}.0) AS BIGINT)) AS vmax_q,
@@ -106,10 +111,15 @@ per_cell AS (
            CAST(sum(dmean_q) AS DOUBLE) / count(*) / {Q}.0 AS t_mean
     FROM daily GROUP BY 1
 )
-SELECT c.user_id, c.x_idx, c.y_idx,
-       c.x - 0.5 AS x1, c.y - 0.5 AS y1, c.x + 0.5 AS x2, c.y + 0.5 AS y2,
-       p.t_min, p.t_max, p.t_mean
-FROM cells c LEFT JOIN per_cell p USING (user_id)
+SELECT user_id,
+       user_id % {GRID_W} AS x_idx,
+       CAST(floor(user_id / {GRID_W}.0) AS BIGINT) AS y_idx,
+       CAST(user_id % {GRID_W} AS DOUBLE) - 0.5 AS x1,
+       floor(user_id / {GRID_W}.0) - 0.5 AS y1,
+       CAST(user_id % {GRID_W} AS DOUBLE) + 0.5 AS x2,
+       floor(user_id / {GRID_W}.0) + 0.5 AS y2,
+       t_min, t_max, t_mean
+FROM per_cell
 """
 
 
@@ -161,19 +171,29 @@ ORDER BY l_returnflag, l_linestatus
 def a1_bbox_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global coordinate extent (SURVEY.md §2 A1, wrf_voronoi.py:146):
     scalar min/max aggregate over the grid — 1-row DataFrame that callers
-    broadcast back (crossJoin) for bbox filters (P4)."""
-    cells = grid_cells(spark, sf_dir)
-    return cells.agg(
-        F.min("x").alias("xmin"),
-        F.min("y").alias("ymin"),
-        F.max("x").alias("xmax"),
-        F.max("y").alias("ymax"),
+    broadcast back (crossJoin) for bbox filters (P4).
+
+    min/max are duplicate-insensitive, so this aggregates the coordinate
+    expressions directly over events — partial (map-side) aggregation
+    only, no distinct shuffle of the key set.
+    """
+    events = load_table(spark, sf_dir, "events")
+    x = (F.col("user_id") % GRID_W).cast("double")
+    y = F.floor(F.col("user_id") / GRID_W).cast("double")
+    return events.agg(
+        F.min(x).alias("xmin"),
+        F.min(y).alias("ymin"),
+        F.max(x).alias("xmax"),
+        F.max(y).alias("ymax"),
     )
 
 
 _A1_SQL = f"""
-WITH {_CELLS_CTE}
-SELECT min(x) AS xmin, min(y) AS ymin, max(x) AS xmax, max(y) AS ymax FROM cells
+SELECT min(CAST(user_id % {GRID_W} AS DOUBLE)) AS xmin,
+       min(floor(user_id / {GRID_W}.0)) AS ymin,
+       max(CAST(user_id % {GRID_W} AS DOUBLE)) AS xmax,
+       max(floor(user_id / {GRID_W}.0)) AS ymax
+FROM events
 """
 
 
