@@ -1,6 +1,586 @@
-"""Relational core (SURVEY.md §2.3/§2.4/§2.7/§2.8) — filled in phase 1."""
+"""Relational suite: projections, filters, joins, windows, set ops,
+distinct, string/JSON — SURVEY.md §2.3/2.4/2.7 plus the §2.8 gap table.
+
+Every query here is fully DuckDB-expressible; oracle SQL follows each
+function.  Numeric discipline as in suite/__init__: quantize before any
+multi-row float sum; min/max/count/pass-through floats stay raw.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wrf_to_geodataframe_spark.session import load_table
+from wrf_to_geodataframe_spark.suite.core import GRID_W, Q, grid_cells, q6
+
+# ---------------------------------------------------------------------------
+# P1/P2 — projections
+
+
+def p1_drop_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column drop (SURVEY.md §2 P1, wrf_voronoi.py:117-118
+    ``ds_t.drop(["x","y"])``): remove unwanted columns, keep every row."""
+    return load_table(spark, sf_dir, "events").drop("props", "event_type")
+
+
+_P1_SQL = "SELECT event_id, ts, user_id, value FROM events"
+
+
+def p2_select_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column select (SURVEY.md §2 P2, wrf_voronoi.py:160 ``[["Tmin"]]``):
+    keep named columns only — Catalyst prunes the parquet scan to them."""
+    return load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+
+_P2_SQL = "SELECT event_id, user_id, value FROM events"
+
+
+# ---------------------------------------------------------------------------
+# P3 — positional time slice
+
+
+def p3_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional time slice (SURVEY.md §2 P3, haduk_voronoi.py:74 /
+    delphine/regrid.py:208 ``isel(time=1)``): select the SECOND timestep.
+
+    Spark has no positional indexing, so the ordinal is manufactured:
+    dense_rank over the *distinct* time axis (bounded by #timesteps, not
+    #rows — the global window runs on a table of days, never on events),
+    broadcast-joined back onto the fact rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(F.to_date("ts").alias("day")).distinct()
+    idx = days.withColumn(
+        "t_idx", F.dense_rank().over(Window.orderBy("day")) - 1
+    )
+    target = F.broadcast(idx.filter(F.col("t_idx") == 1).select("day"))
+    return (
+        events.withColumn("day", F.to_date("ts"))
+        .join(target, "day")
+        # DateType reaches pandas as object; timestamp compares cleanly
+        .select("event_id", "user_id", F.col("day").cast("timestamp"), "value")
+    )
+
+
+_P3_SQL = """
+WITH idx AS (
+    SELECT day, dense_rank() OVER (ORDER BY day) - 1 AS t_idx
+    FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+)
+SELECT e.event_id, e.user_id, CAST(CAST(e.ts AS DATE) AS TIMESTAMP) AS day, e.value
+FROM events e JOIN idx ON CAST(e.ts AS DATE) = idx.day
+WHERE idx.t_idx = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# P6/P7 — value mask + null fill
+
+
+def p6_value_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value mask (SURVEY.md §2 P6, delphine/regrid.py:316 ``.where(x > 1)``):
+    NULL-out values <= 1, keep the row (xarray ``where`` semantics)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.when(F.col("value") > 1.0, F.col("value")).alias("value_masked"),
+    )
+
+
+_P6_SQL = """
+SELECT event_id, CASE WHEN value > 1.0 THEN value END AS value_masked
+FROM events
+"""
+
+
+def p7_null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null fill (SURVEY.md §2 P7, delphine/regrid.py:260 ``fillna(0)``)
+    composed over the P6 mask — mask then fill, exactly the reference's
+    prep step before the weighted transfer."""
+    events = load_table(spark, sf_dir, "events")
+    masked = F.when(F.col("value") > 1.0, F.col("value"))
+    return events.select(
+        "event_id", F.coalesce(masked, F.lit(0.0)).alias("value_filled")
+    )
+
+
+_P7_SQL = """
+SELECT event_id,
+       coalesce(CASE WHEN value > 1.0 THEN value END, 0.0) AS value_filled
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# P8 — conditional sentinel expression
+
+
+def p8_conditional_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional sentinel (SURVEY.md §2 P8, wrf_voronoi.py:130-137
+    ``Polygon(...) if -1 not in region else Point(0, 0)``): per-row CASE
+    mapping degenerate cells to the sentinel point.  Here "degenerate" =
+    cells on the grid boundary (the cells whose Voronoi regions are
+    unbounded before clipping)."""
+    cells = grid_cells(spark, sf_dir)
+    degenerate = (F.col("x_idx") == 0) | (F.col("y_idx") == 0)
+    return cells.select(
+        "user_id",
+        F.when(degenerate, F.lit(0.0)).otherwise(F.col("x")).alias("px"),
+        F.when(degenerate, F.lit(0.0)).otherwise(F.col("y")).alias("py"),
+        degenerate.alias("is_sentinel"),
+    )
+
+
+_P8_SQL = f"""
+WITH cells AS (
+    SELECT DISTINCT user_id,
+           user_id % {GRID_W} AS x_idx,
+           CAST(floor(user_id / {GRID_W}.0) AS BIGINT) AS y_idx,
+           CAST(user_id % {GRID_W} AS DOUBLE) AS x,
+           floor(user_id / {GRID_W}.0) AS y
+    FROM events
+)
+SELECT user_id,
+       CASE WHEN x_idx = 0 OR y_idx = 0 THEN 0.0 ELSE x END AS px,
+       CASE WHEN x_idx = 0 OR y_idx = 0 THEN 0.0 ELSE y END AS py,
+       x_idx = 0 OR y_idx = 0 AS is_sentinel
+FROM cells
+"""
+
+
+# ---------------------------------------------------------------------------
+# C4 — cast
+
+
+def c4_cast_float32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """float64 → float32 downcast (SURVEY.md §2 C4,
+    delphine/regrid.py:311 ``.astype("float32")``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("float").alias("price_f32"),
+    )
+
+
+_C4_SQL = """
+SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS REAL) AS price_f32
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# O1 — sort by composite key (observable via row_number position)
+
+
+def o1_sort_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort by composite key (SURVEY.md §2 O1, delphine/regrid.py:139
+    ``sortby([x, y])``).  The hash compare is order-insensitive, so the
+    sort is made observable as a materialized position column —
+    row_number over the same (y_idx, x_idx) order (unique per cell)."""
+    cells = grid_cells(spark, sf_dir)
+    w = Window.orderBy("y_idx", "x_idx")
+    return cells.select(
+        "user_id", "y_idx", "x_idx",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+_O1_SQL = f"""
+WITH cells AS (
+    SELECT DISTINCT user_id,
+           user_id % {GRID_W} AS x_idx,
+           CAST(floor(user_id / {GRID_W}.0) AS BIGINT) AS y_idx
+    FROM events
+)
+SELECT user_id, y_idx, x_idx,
+       CAST(row_number() OVER (ORDER BY y_idx, x_idx) AS BIGINT) AS pos
+FROM cells
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1 — composite-key triple join (the reference's chained .join x3)
+
+
+def j1_composite_triple_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key equi join ×3 (SURVEY.md §2 J1, wrf_voronoi.py:175-180:
+    polygons .join(df_min).join(df_max).join(df_mean) on the 2-column grid
+    key).  Each aggregate side is small → AQE broadcasts all three."""
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.select(
+        (F.col("user_id") % GRID_W).alias("x_idx"),
+        F.floor(F.col("user_id") / GRID_W).alias("y_idx"),
+        "value",
+    )
+    mins = keyed.groupBy("x_idx", "y_idx").agg(F.min("value").alias("v_min"))
+    maxs = keyed.groupBy("x_idx", "y_idx").agg(F.max("value").alias("v_max"))
+    counts = keyed.groupBy("x_idx", "y_idx").agg(F.count(F.lit(1)).alias("n"))
+    cells = grid_cells(spark, sf_dir).select("user_id", "x_idx", "y_idx")
+    key = ["x_idx", "y_idx"]
+    return (
+        cells.join(mins, key, "left")
+        .join(maxs, key, "left")
+        .join(counts, key, "left")
+        .select("user_id", "x_idx", "y_idx", "v_min", "v_max", "n")
+    )
+
+
+_J1_SQL = f"""
+WITH keyed AS (
+    SELECT user_id % {GRID_W} AS x_idx,
+           CAST(floor(user_id / {GRID_W}.0) AS BIGINT) AS y_idx,
+           value
+    FROM events
+),
+cells AS (SELECT DISTINCT user_id, x_idx, y_idx FROM (
+    SELECT user_id, user_id % {GRID_W} AS x_idx,
+           CAST(floor(user_id / {GRID_W}.0) AS BIGINT) AS y_idx
+    FROM events)),
+mins AS (SELECT x_idx, y_idx, min(value) AS v_min FROM keyed GROUP BY 1, 2),
+maxs AS (SELECT x_idx, y_idx, max(value) AS v_max FROM keyed GROUP BY 1, 2),
+counts AS (SELECT x_idx, y_idx, count(*) AS n FROM keyed GROUP BY 1, 2)
+SELECT c.user_id, c.x_idx, c.y_idx, mn.v_min, mx.v_max, ct.n
+FROM cells c
+LEFT JOIN mins mn USING (x_idx, y_idx)
+LEFT JOIN maxs mx USING (x_idx, y_idx)
+LEFT JOIN counts ct USING (x_idx, y_idx)
+"""
+
+
+# ---------------------------------------------------------------------------
+# J2 — attribute equi join (star-schema dimension chain)
+
+
+def j2_attribute_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute equi join (SURVEY.md §2 J2, delphine/regrid.py:251-253):
+    attach dimension attributes by integer key — the float-key hazard of
+    the reference resolved by joining on surrogate integers.  Dimension
+    tables are tiny → explicit broadcast."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(q6(F.col("c_acctbal"))).cast("double") / F.lit(float(Q))).alias(
+                "total_acctbal"
+            ),
+        )
+    )
+
+
+_J2_SQL = f"""
+SELECT r_name,
+       count(*) AS n_customers,
+       CAST(sum(CAST(floor(c_acctbal * {Q}.0) AS BIGINT)) AS DOUBLE) / {Q}.0
+           AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# J6 — index-realign join (agg result re-attached to base rows)
+
+
+def j6_realign_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-realign join (SURVEY.md §2 J6, delphine/regrid.py:285-289):
+    attach a grouped-aggregate result back onto the base table by key —
+    the reference does it by pandas index assignment; here an explicit
+    equi join (agg side small → broadcast)."""
+    events = load_table(spark, sf_dir, "events")
+    totals = events.groupBy("user_id").agg(
+        (F.sum(q6(F.col("value"))).cast("double") / F.lit(float(Q))).alias("user_total")
+    )
+    return events.join(totals, "user_id").select(
+        "event_id", "user_id", "value", "user_total"
+    )
+
+
+_J6_SQL = f"""
+WITH totals AS (
+    SELECT user_id,
+           CAST(sum(CAST(floor(value * {Q}.0) AS BIGINT)) AS DOUBLE) / {Q}.0
+               AS user_total
+    FROM events GROUP BY 1
+)
+SELECT e.event_id, e.user_id, e.value, t.user_total
+FROM events e JOIN totals t USING (user_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# W — window functions (§2.8 gap table)
+
+
+def w1_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window (§2.8): latest event per user via row_number over a
+    per-user time order (event_id as the unique tiebreak — deterministic
+    under any partitioning)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "value")
+    )
+
+
+_W1_SQL = """
+SELECT user_id, event_id, value
+FROM (
+    SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+WHERE rn = 1
+"""
+
+
+def w2_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window (§2.8): per-user inter-event gap via lag — exact
+    integer microsecond arithmetic, no float drift possible."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return events.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+
+
+_W2_SQL = """
+SELECT event_id, user_id,
+       epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+FROM events
+"""
+
+
+def w3_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame window (§2.8): 3-row rolling mean per user.  Sums run over
+    quantized BIGINTs; with ≤3 addends under 2^45 every addition order is
+    exact, so Spark's sliding-sum and DuckDB's segment tree agree."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(q6(F.col("value"))).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+            / F.lit(float(Q))
+        ).alias("rolling_mean"),
+    )
+
+
+_W3_SQL = f"""
+SELECT event_id, user_id,
+       CAST(sum(CAST(floor(value * {Q}.0) AS BIGINT))
+                OVER w AS DOUBLE)
+       / count(*) OVER w / {Q}.0 AS rolling_mean
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# SET — set operations (§2.8 gap table)
+
+
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key sets (§2.8)."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "click").select("user_id")
+    b = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.union(b).distinct()
+
+
+_SET_UNION_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click'
+UNION
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of two key sets (§2.8)."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "click").select("user_id")
+    b = events.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
+_SET_INTERSECT_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) of two composite-key sets (§2.8):
+    (user, event_type) incidence pairs minus the error pairs —
+    ``subtract`` is Spark's EXCEPT DISTINCT."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.select("user_id", "event_type")
+    b = events.filter(F.col("event_type") == "error").select("user_id", "event_type")
+    return a.subtract(b)
+
+
+_SET_EXCEPT_SQL = """
+SELECT user_id, event_type FROM events
+EXCEPT
+SELECT user_id, event_type FROM events WHERE event_type = 'error'
+"""
+
+
+def dist_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct over a column subset (§2.8): the (user, event_type)
+    incidence set."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select("user_id", "event_type").dropDuplicates()
+
+
+_DIST_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+# ---------------------------------------------------------------------------
+# STR/JSON — string + JSON functions (§2.8 gap table)
+
+
+def str_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (§2.8) over ``events.props``: pull the integer
+    property and aggregate it per event_type — exact BIGINT sums."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"),
+        F.count(k).alias("k_count"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )
+
+
+_STR_JSON_SQL = """
+SELECT event_type,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       count(k) AS k_count, min(k) AS k_min, max(k) AS k_max
+FROM (
+    SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+)
+GROUP BY event_type
+"""
+
+
+def str_text_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions (§2.8) over ``documents``: case mapping, length,
+    substring, trailing-trim, and an arithmetic word count (identical
+    replace-based formula on both engines — no split() edge-case drift)."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_spaces = F.length(text) - F.length(F.regexp_replace(text, " ", ""))
+    return docs.select(
+        "doc_id",
+        F.upper("lang").alias("lang_uc"),
+        F.length(text).cast("long").alias("text_len"),
+        F.substring(text, 1, 16).alias("prefix16"),
+        (n_spaces + F.lit(1)).cast("long").alias("n_words"),
+    )
+
+
+_STR_TEXT_SQL = """
+SELECT doc_id,
+       upper(lang) AS lang_uc,
+       length(text) AS text_len,
+       substring(text, 1, 16) AS prefix16,
+       length(text) - length(replace(text, ' ', '')) + 1 AS n_words
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# R — rollup (grouping sets, §2.8 "not present in reference" extension)
+
+
+def r1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP (§2.5 extension): event counts by
+    (event_type, day) with subtotals and a grand total."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.rollup("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", F.col("day").cast("timestamp"), "n")
+    )
+
+
+_R1_SQL = """
+SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, count(*) AS n
+FROM events
+GROUP BY ROLLUP (event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP))
+"""
+
+
+QUERIES = {
+    "p1_drop_columns": p1_drop_columns,
+    "p2_select_columns": p2_select_columns,
+    "p3_time_slice": p3_time_slice,
+    "p6_value_mask": p6_value_mask,
+    "p7_null_fill": p7_null_fill,
+    "p8_conditional_sentinel": p8_conditional_sentinel,
+    "c4_cast_float32": c4_cast_float32,
+    "o1_sort_composite": o1_sort_composite,
+    "j1_composite_triple_join": j1_composite_triple_join,
+    "j2_attribute_join": j2_attribute_join,
+    "j6_realign_join": j6_realign_join,
+    "w1_window_rank": w1_window_rank,
+    "w2_window_lag": w2_window_lag,
+    "w3_rolling_mean": w3_rolling_mean,
+    "set_union": set_union,
+    "set_intersect": set_intersect,
+    "set_except": set_except,
+    "dist_dropduplicates": dist_dropduplicates,
+    "str_json_extract": str_json_extract,
+    "str_text_funcs": str_text_funcs,
+    "r1_rollup": r1_rollup,
+}
+
+ORACLE = {
+    "p1_drop_columns": _P1_SQL,
+    "p2_select_columns": _P2_SQL,
+    "p3_time_slice": _P3_SQL,
+    "p6_value_mask": _P6_SQL,
+    "p7_null_fill": _P7_SQL,
+    "p8_conditional_sentinel": _P8_SQL,
+    "c4_cast_float32": _C4_SQL,
+    "o1_sort_composite": _O1_SQL,
+    "j1_composite_triple_join": _J1_SQL,
+    "j2_attribute_join": _J2_SQL,
+    "j6_realign_join": _J6_SQL,
+    "w1_window_rank": _W1_SQL,
+    "w2_window_lag": _W2_SQL,
+    "w3_rolling_mean": _W3_SQL,
+    "set_union": _SET_UNION_SQL,
+    "set_intersect": _SET_INTERSECT_SQL,
+    "set_except": _SET_EXCEPT_SQL,
+    "dist_dropduplicates": _DIST_SQL,
+    "str_json_extract": _STR_JSON_SQL,
+    "str_text_funcs": _STR_TEXT_SQL,
+    "r1_rollup": _R1_SQL,
+}
