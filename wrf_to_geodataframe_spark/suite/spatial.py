@@ -1,6 +1,458 @@
-"""Spatial suite (SURVEY.md §2.6, regrid pipeline) — filled in phase 2-3."""
+"""Spatial suite: bbox filters, bucketed spatial join, and the
+conservative-regrid pipeline (SURVEY.md §2 P4/P5, J3/J4, A4/A5, G6/G7;
+§3.3 delphine/regrid.py:206-337).
+
+Everything here is rectilinear-analytic: geometry is four envelope
+columns (functions/grid.py), so every query is pure column arithmetic —
+pushdown/codegen-friendly on Spark AND fully DuckDB-expressible.  The
+general curvilinear path (real polygons) lives in the geometry/ package.
+
+Scale notes baked into each plan:
+
+- P4/P5: the small side (1-row bbox, 25-row boundary) is broadcast —
+  never a shuffle of the big side.
+- J3/J4: the non-equi spatial predicate becomes an *equi* join on an
+  integer bucket key (explode the big side's envelope to covered
+  buckets), so Catalyst gets a hash join + AQE instead of a
+  BroadcastNestedLoop/cartesian; the exact predicate re-filters after.
+  The DuckDB oracle states the same join as a plain theta join — same
+  result set, which is exactly what the bucket decomposition must prove.
+- A4 sums quantized per-pair contributions (exact BIGINTs), so the
+  shuffle order of a 1000-executor cluster cannot change a single bit.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wrf_to_geodataframe_spark.functions.grid import (
+    box_area,
+    box_intersection_area,
+    box_intersects_box,
+    box_within_bbox,
+    cell_box,
+)
+from wrf_to_geodataframe_spark.session import load_table
+from wrf_to_geodataframe_spark.suite.core import GRID_W, Q, grid_cells
+
+# Destination grid for the conservative regrid: spacing 2x2, offset so
+# cell boundaries never coincide with the unit source grid's.
+OX, OY = 0.7, 0.3
+DW, DH = 2.0, 2.0
+
+_CELLS_SQL = f"""
+    SELECT DISTINCT user_id,
+           user_id % {GRID_W} AS x_idx,
+           CAST(floor(user_id / {GRID_W}.0) AS BIGINT) AS y_idx,
+           CAST(user_id % {GRID_W} AS DOUBLE) - 0.5 AS x1,
+           floor(user_id / {GRID_W}.0) - 0.5 AS y1,
+           CAST(user_id % {GRID_W} AS DOUBLE) + 0.5 AS x2,
+           floor(user_id / {GRID_W}.0) + 0.5 AS y2
+    FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# P4 — bbox `within` filter via the A1 one-row aggregate
+
+
+def p4_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bbox spatial filter (SURVEY.md §2 P4, wrf_voronoi.py:143-148
+    ``gdf.within(box(*extent))``): keep cells whose envelope lies fully
+    inside the data's point extent.  Boundary cells extend 0.5 beyond the
+    extent, so they drop — the same artifact-removal the reference gets.
+
+    The extent is A1's 1-row aggregate crossJoined back (Spark broadcasts
+    a 1-row side automatically; the filter then runs map-side)."""
+    events = load_table(spark, sf_dir, "events")
+    x = (F.col("user_id") % GRID_W).cast("double")
+    y = F.floor(F.col("user_id") / GRID_W).cast("double")
+    bbox = events.agg(
+        F.min(x).alias("xmin"),
+        F.min(y).alias("ymin"),
+        F.max(x).alias("xmax"),
+        F.max(y).alias("ymax"),
+    )
+    cells = grid_cells(spark, sf_dir)
+    return (
+        cells.crossJoin(F.broadcast(bbox))
+        .filter(
+            box_within_bbox(
+                F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"),
+                F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+            )
+        )
+        .select("user_id", "x_idx", "y_idx", "x1", "y1", "x2", "y2")
+    )
+
+
+_P4_SQL = f"""
+WITH cells AS ({_CELLS_SQL}),
+bbox AS (
+    SELECT min(CAST(user_id % {GRID_W} AS DOUBLE)) AS xmin,
+           min(floor(user_id / {GRID_W}.0)) AS ymin,
+           max(CAST(user_id % {GRID_W} AS DOUBLE)) AS xmax,
+           max(floor(user_id / {GRID_W}.0)) AS ymax
+    FROM events
+)
+SELECT user_id, x_idx, y_idx, x1, y1, x2, y2
+FROM cells, bbox
+WHERE x1 >= xmin AND y1 >= ymin AND x2 <= xmax AND y2 <= ymax
+"""
+
+
+# ---------------------------------------------------------------------------
+# P5 — intersects-dissolved-boundary filter
+
+
+def p5_intersects_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-intersection filter (SURVEY.md §2 P5, wrf_voronoi.py:188
+    ``gdf.intersects(gdf_london.unary_union)``): keep cells intersecting
+    a multi-part boundary table.
+
+    Spark-first re-expression: ``intersects(dissolve(B))`` ≡
+    ``EXISTS b ∈ B: intersects(cell, b)`` — the geometric union (G9)
+    never needs materializing; it becomes a broadcast LEFT SEMI join
+    (boundary tables are small, like the reference's borough file)."""
+    nation = load_table(spark, sf_dir, "nation")
+    boundary = nation.select(
+        ((F.col("n_nationkey") % 8) * F.lit(4.0) - F.lit(0.25)).alias("bx1"),
+        ((F.col("n_nationkey") % 3) * F.lit(1.5) - F.lit(0.25)).alias("by1"),
+        ((F.col("n_nationkey") % 8) * F.lit(4.0) + F.lit(2.25)).alias("bx2"),
+        ((F.col("n_nationkey") % 3) * F.lit(1.5) + F.lit(0.95)).alias("by2"),
+    )
+    cells = grid_cells(spark, sf_dir)
+    hit = box_intersects_box(
+        F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"),
+        F.col("bx1"), F.col("by1"), F.col("bx2"), F.col("by2"),
+    )
+    return (
+        cells.join(F.broadcast(boundary), hit, "left_semi")
+        .select("user_id", "x_idx", "y_idx", "x1", "y1", "x2", "y2")
+    )
+
+
+_P5_SQL = f"""
+WITH cells AS ({_CELLS_SQL}),
+boundary AS (
+    SELECT (n_nationkey % 8) * 4.0 - 0.25 AS bx1,
+           (n_nationkey % 3) * 1.5 - 0.25 AS by1,
+           (n_nationkey % 8) * 4.0 + 2.25 AS bx2,
+           (n_nationkey % 3) * 1.5 + 0.95 AS by2
+    FROM nation
+)
+SELECT user_id, x_idx, y_idx, x1, y1, x2, y2
+FROM cells c
+WHERE EXISTS (
+    SELECT 1 FROM boundary b
+    WHERE c.x1 <= b.bx2 AND b.bx1 <= c.x2 AND c.y1 <= b.by2 AND b.by1 <= c.y2
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# G6/G7 — clip to bbox + area
+
+
+def g7_clipped_cell_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip + area (SURVEY.md §2 G6/G7, delphine/regrid.py:155-160
+    ``b.intersection(box)`` then ``.area``): each cell clipped to a
+    shrunk bbox, emitting the clipped envelope and its area.  NULL
+    envelope (sentinel semantics, P8) when the intersection is empty."""
+    events = load_table(spark, sf_dir, "events")
+    x = (F.col("user_id") % GRID_W).cast("double")
+    y = F.floor(F.col("user_id") / GRID_W).cast("double")
+    bbox = events.agg(
+        (F.min(x) + F.lit(1.25)).alias("xmin"),
+        (F.min(y) + F.lit(0.25)).alias("ymin"),
+        (F.max(x) - F.lit(1.25)).alias("xmax"),
+        (F.max(y) - F.lit(0.25)).alias("ymax"),
+    )
+    cells = grid_cells(spark, sf_dir).crossJoin(F.broadcast(bbox))
+    cx1 = F.greatest(F.col("x1"), F.col("xmin"))
+    cy1 = F.greatest(F.col("y1"), F.col("ymin"))
+    cx2 = F.least(F.col("x2"), F.col("xmax"))
+    cy2 = F.least(F.col("y2"), F.col("ymax"))
+    nonempty = (cx1 < cx2) & (cy1 < cy2)
+    return cells.select(
+        "user_id",
+        F.when(nonempty, cx1).alias("cx1"),
+        F.when(nonempty, cy1).alias("cy1"),
+        F.when(nonempty, cx2).alias("cx2"),
+        F.when(nonempty, cy2).alias("cy2"),
+        F.when(nonempty, (cx2 - cx1) * (cy2 - cy1)).otherwise(F.lit(0.0)).alias("clip_area"),
+    )
+
+
+_G7_SQL = f"""
+WITH cells AS ({_CELLS_SQL}),
+bbox AS (
+    SELECT min(CAST(user_id % {GRID_W} AS DOUBLE)) + 1.25 AS xmin,
+           min(floor(user_id / {GRID_W}.0)) + 0.25 AS ymin,
+           max(CAST(user_id % {GRID_W} AS DOUBLE)) - 1.25 AS xmax,
+           max(floor(user_id / {GRID_W}.0)) - 0.25 AS ymax
+    FROM events
+),
+clipped AS (
+    SELECT user_id,
+           greatest(x1, xmin) AS cx1, greatest(y1, ymin) AS cy1,
+           least(x2, xmax) AS cx2, least(y2, ymax) AS cy2
+    FROM cells, bbox
+)
+SELECT user_id,
+       CASE WHEN cx1 < cx2 AND cy1 < cy2 THEN cx1 END AS cx1,
+       CASE WHEN cx1 < cx2 AND cy1 < cy2 THEN cy1 END AS cy1,
+       CASE WHEN cx1 < cx2 AND cy1 < cy2 THEN cx2 END AS cx2,
+       CASE WHEN cx1 < cx2 AND cy1 < cy2 THEN cy2 END AS cy2,
+       CASE WHEN cx1 < cx2 AND cy1 < cy2
+            THEN (cx2 - cx1) * (cy2 - cy1) ELSE 0.0 END AS clip_area
+FROM clipped
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3 — bucketed spatial join (point-in-cell)
+
+
+def j3_bucketed_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial join (SURVEY.md §2 J3, delphine/regrid.py:177 ``sjoin``):
+    locate each point inside its containing cell.
+
+    The reference leans on an R-tree; the distributed strategy is the
+    SURVEY §4.1 bucket decomposition: both sides get an integer bucket
+    key (points: the bucket containing them; cells: EVERY bucket their
+    envelope touches, via explode(sequence)), then a plain equi join on
+    the bucket key + the exact containment re-filter.  Half-open
+    containment [x1, x2) makes each point match exactly one cell, so no
+    pair-dedup pass is needed."""
+    events = load_table(spark, sf_dir, "events")
+    points = events.select(
+        "event_id",
+        ((F.col("event_id") % (GRID_W * 10)).cast("double") / F.lit(10.0)).alias("px"),
+        ((F.col("event_id") % 50).cast("double") / F.lit(10.0)).alias("py"),
+    )
+    bw = F.lit(2.0)
+    points_b = points.withColumn("bx", F.floor(F.col("px") / bw)).withColumn(
+        "by", F.floor(F.col("py") / bw)
+    )
+    cells = grid_cells(spark, sf_dir)
+    cells_b = (
+        cells.withColumn(
+            "bx", F.explode(F.sequence(F.floor(F.col("x1") / bw), F.floor(F.col("x2") / bw)))
+        )
+        .withColumn(
+            "by", F.explode(F.sequence(F.floor(F.col("y1") / bw), F.floor(F.col("y2") / bw)))
+        )
+    )
+    joined = points_b.join(cells_b, ["bx", "by"]).filter(
+        (F.col("px") >= F.col("x1"))
+        & (F.col("px") < F.col("x2"))
+        & (F.col("py") >= F.col("y1"))
+        & (F.col("py") < F.col("y2"))
+    )
+    return joined.select(
+        "event_id", "px", "py",
+        F.col("user_id").alias("cell_id"), "x_idx", "y_idx",
+    )
+
+
+_J3_SQL = f"""
+WITH cells AS ({_CELLS_SQL}),
+points AS (
+    SELECT event_id,
+           CAST(event_id % {GRID_W * 10} AS DOUBLE) / 10.0 AS px,
+           CAST(event_id % 50 AS DOUBLE) / 10.0 AS py
+    FROM events
+)
+SELECT p.event_id, p.px, p.py, c.user_id AS cell_id, c.x_idx, c.y_idx
+FROM points p JOIN cells c
+  ON p.px >= c.x1 AND p.px < c.x2 AND p.py >= c.y1 AND p.py < c.y2
+"""
+
+
+# ---------------------------------------------------------------------------
+# J4 + P7 + A4 + J6 — the conservative regrid pipeline
+
+
+def _source_cells_with_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source grid with a conserved quantity: events per cell
+    ('population', the WorldPop analog of delphine/regrid.py:249-260).
+    One scan + one shuffle; cell geometry derived arithmetically."""
+    events = load_table(spark, sf_dir, "events")
+    pop = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("pop"))
+    src = pop.withColumn(
+        "x", (F.col("user_id") % GRID_W).cast("double")
+    ).withColumn("y", F.floor(F.col("user_id") / GRID_W).cast("double"))
+    return cell_box(src, "x", "y", 0.5, 0.5)
+
+
+def regrid_conservative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conservative (integral-preserving) regrid
+    (SURVEY.md §3.3, delphine/regrid.py:206-330): transfer per-cell
+    population from the unit source grid onto a coarser offset grid.
+
+    Stages — all one DataFrame DAG, two shuffles total:
+      overlay J4: each source cell explodes to the destination cells its
+        envelope touches (sequence over integer dest indices — the
+        bucket-join form of ``gpd.overlay(..., "intersection")``), with
+        the analytic intersection area (G6/G7);
+      A4 kernel: per dest cell, Σ pop·(area_inter/area_src), quantized
+        per-pair so the distributed sum is bit-exact;
+      J6 + P7: left-join onto the full destination grid (generated from
+        A1's extent) and fill uncovered cells with 0 (``fillna(0)``).
+
+    Conservation (A5, delphine/regrid.py:323-327) is asserted as a
+    property test in tests/test_spatial_suite.py."""
+    src = _source_cells_with_pop(spark, sf_dir)
+
+    # overlay: explode to candidate dest indices, compute intersection
+    cand = (
+        src.withColumn(
+            "i",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("x1") - F.lit(OX)) / F.lit(DW)),
+                    F.floor((F.col("x2") - F.lit(OX)) / F.lit(DW)),
+                )
+            ),
+        )
+        .withColumn(
+            "j",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("y1") - F.lit(OY)) / F.lit(DH)),
+                    F.floor((F.col("y2") - F.lit(OY)) / F.lit(DH)),
+                )
+            ),
+        )
+        .withColumn("dx1", F.lit(OX) + F.lit(DW) * F.col("i"))
+        .withColumn("dy1", F.lit(OY) + F.lit(DH) * F.col("j"))
+        .withColumn("dx2", F.lit(OX) + F.lit(DW) * (F.col("i") + 1))
+        .withColumn("dy2", F.lit(OY) + F.lit(DH) * (F.col("j") + 1))
+    )
+    area_inter = box_intersection_area(
+        F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"),
+        F.col("dx1"), F.col("dy1"), F.col("dx2"), F.col("dy2"),
+    )
+    area_src = box_area(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"))
+    contrib_q = F.floor(
+        F.col("pop") / area_src * area_inter * F.lit(float(Q))
+    ).cast("long")
+    pairs = cand.withColumn("area_inter", area_inter).filter(
+        F.col("area_inter") > 0.0
+    )
+    # A4: the conservative kernel — one partial-aggregated shuffle
+    transferred = pairs.groupBy("i", "j").agg(
+        (F.sum(contrib_q).cast("double") / F.lit(float(Q))).alias("pop_t")
+    )
+
+    # destination grid from the A1 extent (J6 re-attach target)
+    events = load_table(spark, sf_dir, "events")
+    x = (F.col("user_id") % GRID_W).cast("double")
+    y = F.floor(F.col("user_id") / GRID_W).cast("double")
+    bbox = events.agg(
+        F.min(x).alias("xmin"), F.min(y).alias("ymin"),
+        F.max(x).alias("xmax"), F.max(y).alias("ymax"),
+    )
+    dest = (
+        bbox.select(
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("xmin") - F.lit(0.5) - F.lit(OX)) / F.lit(DW)),
+                    F.floor((F.col("xmax") + F.lit(0.5) - F.lit(OX)) / F.lit(DW)),
+                )
+            ).alias("i"),
+            "ymin", "ymax",
+        )
+        .select(
+            "i",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("ymin") - F.lit(0.5) - F.lit(OY)) / F.lit(DH)),
+                    F.floor((F.col("ymax") + F.lit(0.5) - F.lit(OY)) / F.lit(DH)),
+                )
+            ).alias("j"),
+        )
+    )
+    # J6 re-attach + P7 fillna(0)
+    return (
+        dest.join(transferred, ["i", "j"], "left")
+        .select(
+            "i", "j",
+            (F.lit(OX) + F.lit(DW) * F.col("i")).alias("dx1"),
+            (F.lit(OY) + F.lit(DH) * F.col("j")).alias("dy1"),
+            (F.lit(OX) + F.lit(DW) * (F.col("i") + 1)).alias("dx2"),
+            (F.lit(OY) + F.lit(DH) * (F.col("j") + 1)).alias("dy2"),
+            F.coalesce(F.col("pop_t"), F.lit(0.0)).alias("population"),
+        )
+    )
+
+
+_REGRID_SQL = f"""
+WITH src AS (
+    SELECT user_id, count(*) AS pop,
+           CAST(user_id % {GRID_W} AS DOUBLE) - 0.5 AS x1,
+           floor(user_id / {GRID_W}.0) - 0.5 AS y1,
+           CAST(user_id % {GRID_W} AS DOUBLE) + 0.5 AS x2,
+           floor(user_id / {GRID_W}.0) + 0.5 AS y2
+    FROM events GROUP BY user_id
+),
+bbox AS (
+    SELECT min(CAST(user_id % {GRID_W} AS DOUBLE)) AS xmin,
+           min(floor(user_id / {GRID_W}.0)) AS ymin,
+           max(CAST(user_id % {GRID_W} AS DOUBLE)) AS xmax,
+           max(floor(user_id / {GRID_W}.0)) AS ymax
+    FROM events
+),
+dest AS (
+    -- DuckDB's generate_series cannot take lateral column parameters, so
+    -- generate a static index range and filter by the bbox-derived bounds
+    SELECT gi.i, gj.j,
+           {OX} + {DW} * gi.i AS dx1, {OY} + {DH} * gj.j AS dy1,
+           {OX} + {DW} * (gi.i + 1) AS dx2, {OY} + {DH} * (gj.j + 1) AS dy2
+    FROM bbox,
+         generate_series(-4, 4096) AS gi(i),
+         generate_series(-4, 4096) AS gj(j)
+    WHERE gi.i BETWEEN CAST(floor((xmin - 0.5 - {OX}) / {DW}) AS BIGINT)
+                   AND CAST(floor((xmax + 0.5 - {OX}) / {DW}) AS BIGINT)
+      AND gj.j BETWEEN CAST(floor((ymin - 0.5 - {OY}) / {DH}) AS BIGINT)
+                   AND CAST(floor((ymax + 0.5 - {OY}) / {DH}) AS BIGINT)
+),
+pairs AS (
+    SELECT d.i, d.j,
+           CAST(floor(
+               s.pop / ((s.x2 - s.x1) * (s.y2 - s.y1))
+               * (greatest(least(s.x2, d.dx2) - greatest(s.x1, d.dx1), 0.0)
+                  * greatest(least(s.y2, d.dy2) - greatest(s.y1, d.dy1), 0.0))
+               * {Q}.0) AS BIGINT) AS contrib_q
+    FROM src s JOIN dest d
+      ON s.x1 < d.dx2 AND d.dx1 < s.x2 AND s.y1 < d.dy2 AND d.dy1 < s.y2
+     AND (greatest(least(s.x2, d.dx2) - greatest(s.x1, d.dx1), 0.0)
+          * greatest(least(s.y2, d.dy2) - greatest(s.y1, d.dy1), 0.0)) > 0.0
+),
+transferred AS (
+    SELECT i, j, CAST(sum(contrib_q) AS DOUBLE) / {Q}.0 AS pop_t
+    FROM pairs GROUP BY i, j
+)
+SELECT d.i, d.j, d.dx1, d.dy1, d.dx2, d.dy2,
+       coalesce(t.pop_t, 0.0) AS population
+FROM dest d LEFT JOIN transferred t USING (i, j)
+"""
+
+
+QUERIES = {
+    "p4_bbox_filter": p4_bbox_filter,
+    "p5_intersects_boundary": p5_intersects_boundary,
+    "g7_clipped_cell_areas": g7_clipped_cell_areas,
+    "j3_bucketed_spatial_join": j3_bucketed_spatial_join,
+    "regrid_conservative": regrid_conservative,
+}
+
+ORACLE = {
+    "p4_bbox_filter": _P4_SQL,
+    "p5_intersects_boundary": _P5_SQL,
+    "g7_clipped_cell_areas": _G7_SQL,
+    "j3_bucketed_spatial_join": _J3_SQL,
+    "regrid_conservative": _REGRID_SQL,
+}
