@@ -1,6 +1,817 @@
-"""Training-data pipeline suite (dedup, similarity, text) — phase 5."""
+"""LLM-data-pipeline suite: deduplication, text analysis, similarity
+search, multimodal plumbing over the ``documents`` and ``embeddings``
+tables (the brief's north-star extensions; no reference counterpart).
+
+Scale design notes (the 100 TB story, per query):
+
+- Near-dup candidates always come from an EQUI join on a derived key
+  (shingle, MinHash band, SimHash chunk, LSH bucket) — never an
+  all-pairs cross join.  At cluster scale the candidate join shuffles
+  on the band key and AQE's skew-join splits hot buckets.
+- All similarity arithmetic is quantized to exact BIGINTs before any
+  multi-row sum (suite/__init__ discipline), so results are identical
+  under any partitioning/order — and hash-checkable against DuckDB.
+- Hash parity across engines via md5 (functions/text.py hash60).
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wrf_to_geodataframe_spark.functions.text import (
+    STOPWORDS,
+    exploded_shingles,
+    hash60,
+    tokens,
+)
+from wrf_to_geodataframe_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# Exact deduplication
+
+_SHINGLE_SQL = """
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, len(string_split(text, ' ')) - 2),
+        i -> string_split(text, ' ')[i] || ' ' ||
+             string_split(text, ' ')[i+1] || ' ' ||
+             string_split(text, ' ')[i+2]))) AS s
+    FROM documents
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication: hash-groupBy on content, keep the smallest
+    doc_id per group (one shuffle on the content hash; at scale the
+    groupBy key is md5, never the full text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_md5"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_md5,
+       min(doc_id) AS keeper_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection: exact n-gram Jaccard via inverted index
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard >= 0.8.
+
+    Candidate pairs come from the shingle INVERTED INDEX (self-equi-join
+    on the shingle), so only documents sharing at least one shingle are
+    ever compared — the standard scale-out layout.  Hot shingles skew the
+    join; AQE skew-join handles moderate skew, and a document-frequency
+    cap on shingles is the escape hatch at extreme scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("shared")
+    )
+    return (
+        shared.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        .select("da", "db", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT da, db,
+       CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+FROM shared
+JOIN sizes sa ON da = sa.doc_id
+JOIN sizes sb ON db = sb.doc_id
+WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection: MinHash + LSH banding
+
+_MH_K = 16  # minhash functions
+_MH_BANDS = 4  # bands of 4 rows each: P(candidate) = 1-(1-j^4)^4
+
+
+def _minhash_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, i, mh): the i-th minhash of each document's shingle set,
+    i in [0, 16).  One explode + one groupBy; every hash is md5-derived
+    so the oracle computes the identical signature."""
+    sh = exploded_shingles(docs)
+    hashed = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_MH_K - 1))).alias("i"),
+        "s",
+    ).select(
+        "doc_id",
+        "i",
+        hash60(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("s"))).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: 16 md5-derived minhashes per doc,
+    banded 4x4; documents sharing any band key become candidates
+    (equi join on the band digest — the only shuffle that touches
+    pairs); candidates are verified with the exact Jaccard estimate
+    from the full signature (matches/16 >= 0.5).
+
+    At 100 TB: signatures are 16 BIGINTs per doc (tiny), the band join
+    is uniform under md5, and verification cost is |candidates|, not
+    |docs|^2."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = _minhash_sigs(docs)
+    banded = (
+        sigs.withColumn("band", F.floor(F.col("i") / (_MH_K // _MH_BANDS)))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda x: x["mh"].cast("string"),
+                ),
+            ).alias("band_key")
+        )
+    )
+    qa = banded.alias("qa")
+    qb = banded.alias("qb")
+    cand = (
+        qa.join(
+            qb,
+            (F.col("qa.band") == F.col("qb.band"))
+            & (F.col("qa.band_key") == F.col("qb.band_key"))
+            & (F.col("qa.doc_id") < F.col("qb.doc_id")),
+        )
+        .select(F.col("qa.doc_id").alias("da"), F.col("qb.doc_id").alias("db"))
+        .distinct()
+    )
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    est = (
+        cand.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, (F.col("db") == F.col("sb.doc_id")) & (F.col("sa.i") == F.col("sb.i")))
+        .groupBy("da", "db")
+        .agg(
+            (
+                F.sum((F.col("sa.mh") == F.col("sb.mh")).cast("long")).cast("double")
+                / F.lit(float(_MH_K))
+            ).alias("jaccard_est")
+        )
+    )
+    return est.filter(F.col("jaccard_est") >= 0.5)
+
+
+_MINHASH_SQL = f"""
+WITH sh AS ({_SHINGLE_SQL}),
+hashed AS (
+    SELECT doc_id, i.i AS i,
+           CAST(('0x' || substr(md5(i.i || ':' || s), 1, 15)) AS BIGINT) AS h
+    FROM sh, generate_series(0, {_MH_K - 1}) AS i(i)
+),
+sigs AS (SELECT doc_id, i, min(h) AS mh FROM hashed GROUP BY doc_id, i),
+banded AS (
+    SELECT doc_id, CAST(floor(i / {_MH_K // _MH_BANDS}.0) AS BIGINT) AS band,
+           string_agg(mh, ',' ORDER BY i) AS band_key
+    FROM sigs GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT qa.doc_id AS da, qb.doc_id AS db
+    FROM banded qa JOIN banded qb
+      ON qa.band = qb.band AND qa.band_key = qb.band_key
+     AND qa.doc_id < qb.doc_id
+)
+SELECT da, db,
+       CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE)
+           / {_MH_K}.0 AS jaccard_est
+FROM cand
+JOIN sigs sa ON da = sa.doc_id
+JOIN sigs sb ON db = sb.doc_id AND sa.i = sb.i
+GROUP BY da, db
+HAVING CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE)
+           / {_MH_K}.0 >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection: SimHash
+
+
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 60-bit frequency-weighted simhash per doc;
+    candidates share one of 4 15-bit chunks (pigeonhole: hamming <= 3
+    guarantees an identical chunk), verified by exact hamming distance.
+
+    The per-doc signature is ONE aggregation using higher-order
+    functions over the (token-hash, weight) list — no 60-way explode,
+    no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    tw = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("w")).select(
+        "doc_id", hash60(F.col("t")).alias("h"), "w"
+    )
+    hw = tw.groupBy("doc_id").agg(
+        F.collect_list(F.struct("h", "w")).alias("hw")
+    )
+    sims = hw.select(
+        "doc_id",
+        F.expr(
+            """
+            aggregate(
+              transform(sequence(0, 59), b ->
+                CASE WHEN 2 * aggregate(hw, 0L,
+                         (acc, x) -> acc + x.w * ((shiftright(x.h, b)) & 1L)) >
+                         aggregate(hw, 0L, (acc, x) -> acc + x.w)
+                     THEN shiftleft(1L, b) ELSE 0L END),
+              0L, (acc, v) -> acc + v)
+            """
+        ).alias("sh"),
+    )
+    chunks = sims.select(
+        "doc_id",
+        "sh",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c"),
+    ).withColumn(
+        "chunk_val",
+        F.expr("shiftright(sh, 15 * c) & 32767L"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.sh").alias("sha"),
+            F.col("b.sh").alias("shb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).cast("long")
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("da", "db", "hamming")
+    )
+
+
+_SIMHASH_SQL = """
+WITH tw AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h,
+           count(*) AS w
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+    GROUP BY 1, 2
+),
+-- oracle states the same signature via an explicit bit explode (simpler
+-- SQL, identical integer arithmetic)
+terms AS (
+    SELECT doc_id, b.b AS b,
+           CAST(sum(w * ((h >> b.b) & 1)) AS BIGINT) AS cnt,
+           CAST(sum(w) AS BIGINT) AS tot
+    FROM tw, generate_series(0, 59) AS b(b)
+    GROUP BY 1, 2
+),
+sims AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN 2 * cnt > tot
+                         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
+    FROM terms GROUP BY 1
+)
+SELECT a.doc_id AS da, b.doc_id AS db,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: quality scoring, language ID, token stats, fingerprint
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: word count, mean word length,
+    punctuation ratio, stopword ratio, and a composite keep-score — the
+    standard pre-training corpus filters, all as JVM-side expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    toks = tokens(text)
+    n_words = F.size(toks).cast("long")
+    n_chars = F.length(text).cast("long")
+    n_punct = (
+        F.length(text) - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
+    ).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("long")
+    avg_word_len = (n_chars - (n_words - 1)).cast("double") / n_words
+    punct_ratio = n_punct.cast("double") / n_chars
+    stop_ratio = n_stop.cast("double") / n_words
+    keep = (n_words >= 50) & (avg_word_len >= 2.0) & (avg_word_len <= 12.0)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        avg_word_len.alias("avg_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        keep.alias("keep"),
+    )
+
+
+_TEXT_QUALITY_SQL = f"""
+WITH base AS (
+    SELECT doc_id, text,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                AS BIGINT) AS n_punct,
+           CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ({", ".join("'" + s + "'" for s in STOPWORDS)})))
+                AS BIGINT) AS n_stop
+    FROM documents
+)
+SELECT doc_id, n_words,
+       CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words AS avg_word_len,
+       CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+       CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+       n_words >= 50 AND
+       CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words >= 2.0 AND
+       CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words <= 12.0 AS keep
+FROM base
+"""
+
+# language marker profiles (tiny, deterministic; broadcast at scale)
+_LANG_MARKERS = {
+    "en": ["the", "and", "is", "a"],
+    "es": ["el", "la", "que", "de"],
+    "de": ["der", "die", "und", "ist"],
+    "fr": ["le", "la", "et", "est"],
+}
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: count marker-token hits per language
+    profile, argmax with a deterministic tie-break order ('und' when no
+    profile scores).  Pure column arithmetic — at scale the profiles are
+    a broadcast map, the scan stays one pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+
+    def marker_score(markers: list[str]):
+        arr = F.array(*[F.lit(x) for x in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+    scores = {lang: marker_score(m) for lang, m in _LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in ["en", "es", "de", "fr"]:  # deterministic priority
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in _LANG_MARKERS],
+        pred.alias("lang_pred"),
+    )
+
+
+def _lang_score_sql(markers: list[str]) -> str:
+    inlist = ", ".join("'" + m + "'" for m in markers)
+    return (
+        "CAST(len(list_filter(string_split(lower(text), ' '), "
+        f"t -> t IN ({inlist}))) AS BIGINT)"
+    )
+
+
+_LANG_ID_SQL = f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           {_lang_score_sql(_LANG_MARKERS["en"])} AS score_en,
+           {_lang_score_sql(_LANG_MARKERS["es"])} AS score_es,
+           {_lang_score_sql(_LANG_MARKERS["de"])} AS score_de,
+           {_lang_score_sql(_LANG_MARKERS["fr"])} AS score_fr
+    FROM documents
+)
+SELECT doc_id, lang, score_en, score_es, score_de, score_fr,
+       CASE WHEN greatest(score_en, score_es, score_de, score_fr) = 0 THEN 'und'
+            WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+            WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+            WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+            ELSE 'fr' END AS lang_pred
+FROM scored
+"""
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish regex token count
+    (letter runs / single digits / single punctuation) — the standard
+    cheap proxy for tokenizer cost."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_ws = F.size(tokens(text)).cast("long")
+    n_bpe = F.size(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0)
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (F.length(text).cast("double") / n_bpe).alias("chars_per_token"),
+    )
+
+
+_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+            AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS DOUBLE)
+           / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+           AS chars_per_token
+FROM documents
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the normalized text (lowercased,
+    whitespace-collapsed) + fingerprint-dup groups — the cheap exact-dup
+    detector that survives formatting noise."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    fp = F.md5(norm)
+    w = Window.partitionBy(fp)
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.count(F.lit(1)).over(w).alias("fp_group_size"),
+    )
+
+
+_DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+       count(*) OVER (PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           AS fp_group_size
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+
+_N_QUERIES = 8  # vec_id < 8 are the query vectors
+_TOP_K = 3
+_LSH_PLANES = 16  # random hyperplanes -> 16-bit signature
+_LSH_BANDS = 4  # bands of 4 bits
+_PLANE_SCALE = float(1 << 30)
+
+_DOT_SQL = (
+    "CAST(list_sum(list_transform(generate_series(1, len({a})), i -> "
+    "CAST(floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+    f"* {float(1 << 40)!r}) AS BIGINT))) AS BIGINT)"
+)
+
+
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the exact ANN baseline.  Query set
+    (vec_id < 8) is broadcast against all candidates; per-pair cosine is
+    exact-integer quantized (functions/vectors.py) so ranking ties and
+    hashes are bit-stable.
+
+    Scale shape: O(|Q|·N) with the tiny side broadcast — correct for a
+    small query batch; the LSH variant below is the recall/cost
+    trade-off at large |Q|."""
+    from wrf_to_geodataframe_spark.functions.vectors import (
+        as_double_vec,
+        cosine_from_q,
+        dot_q,
+        norm_q,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("e")
+    )
+    emb = emb.withColumn("nq", norm_q(F.col("e")))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nq").alias("qnq"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.col("nq").alias("cnq"),
+    )
+    pairs = F.broadcast(q).crossJoin(c).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine_from_q(
+            dot_q(F.col("qe"), F.col("ce")), F.col("qnq"), F.col("cnq")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _TOP_K)
+    )
+
+
+_SIM_BRUTE_SQL = f"""
+WITH norms AS (
+    SELECT vec_id, {_DOT_SQL.format(a="embedding", b="embedding")} AS nq
+    FROM embeddings
+),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_DOT_SQL.format(a="q.embedding", b="c.embedding")} AS dq
+    FROM embeddings q JOIN embeddings c
+      ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           CAST(dq AS DOUBLE)
+               / sqrt(CAST(nq.nq AS DOUBLE) * CAST(nc.nq AS DOUBLE)) AS cosine
+    FROM pairs
+    JOIN norms nq ON query_id = nq.vec_id
+    JOIN norms nc ON neighbor_id = nc.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+               AS rank
+    FROM scored
+)
+WHERE rank <= {_TOP_K}
+"""
+
+
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via random-hyperplane LSH: 16
+    md5-derived deterministic hyperplanes → 16-bit sign signature per
+    vector, banded 4×4; candidates share a band key (EQUI join — never a
+    cross join), then exact cosine re-ranks the candidates and keeps
+    top-k per query.
+
+    Scale shape: signatures are one shuffle over (vec, plane) terms;
+    the candidate join shuffles on (band, key) which md5 keeps uniform;
+    re-rank cost is |candidates|, not N."""
+    from wrf_to_geodataframe_spark.functions.vectors import (
+        as_double_vec,
+        cosine_from_q,
+        dot_q,
+        norm_q,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("e")
+    )
+    # deterministic hyperplanes: w(h, d) = (hash60(h||'_'||d) % 2001 - 1000)/1000
+    planes = (
+        spark.range(_LSH_PLANES)
+        .select(F.col("id").alias("h"))
+        .crossJoin(spark.range(1, 65).select(F.col("id").alias("d")))
+        .select(
+            "h",
+            "d",
+            (
+                (
+                    hash60(F.concat(F.col("h").cast("string"), F.lit("_"), F.col("d").cast("string")))
+                    % 2001
+                    - 1000
+                ).cast("double")
+                / 1000.0
+            ).alias("w"),
+        )
+    )
+    comps = emb.select(
+        "vec_id", F.posexplode("e").alias("pos", "v")
+    ).select("vec_id", (F.col("pos") + 1).alias("d"), "v")
+    terms = comps.join(F.broadcast(planes), "d").select(
+        "vec_id",
+        "h",
+        F.floor(F.col("w") * F.col("v") * F.lit(_PLANE_SCALE)).cast("long").alias("tq"),
+    )
+    bits = terms.groupBy("vec_id", "h").agg(
+        (F.sum("tq") > 0).cast("long").alias("bit")
+    )
+    bands = bits.groupBy(
+        "vec_id", F.floor(F.col("h") / (_LSH_PLANES // _LSH_BANDS)).alias("band")
+    ).agg(
+        F.sum(F.expr(f"shiftleft(bit, CAST(h % {_LSH_PLANES // _LSH_BANDS} AS INT))"))
+        .alias("band_key")
+    )
+    qb = bands.filter(F.col("vec_id") < _N_QUERIES).alias("qb")
+    cb = bands.alias("cb")
+    cand = (
+        qb.join(
+            cb,
+            (F.col("qb.band") == F.col("cb.band"))
+            & (F.col("qb.band_key") == F.col("cb.band_key"))
+            & (F.col("qb.vec_id") != F.col("cb.vec_id")),
+        )
+        .select(
+            F.col("qb.vec_id").alias("query_id"),
+            F.col("cb.vec_id").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    embn = emb.withColumn("nq", norm_q(F.col("e")))
+    qe = embn.select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nq").alias("qnq")
+    )
+    ce = embn.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), F.col("nq").alias("cnq")
+    )
+    scored = (
+        cand.join(qe, "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_from_q(
+                dot_q(F.col("qe"), F.col("ce")), F.col("qnq"), F.col("cnq")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _TOP_K)
+    )
+
+
+_SIM_LSH_SQL = f"""
+WITH planes AS (
+    SELECT h.h AS h, d.d AS d,
+           (CAST(('0x' || substr(md5(h.h || '_' || d.d), 1, 15)) AS BIGINT)
+                % 2001 - 1000) / 1000.0 AS w
+    FROM generate_series(0, {_LSH_PLANES - 1}) AS h(h),
+         generate_series(1, 64) AS d(d)
+),
+comps AS (
+    SELECT vec_id, d.d AS d, CAST(embedding[d.d] AS DOUBLE) AS v
+    FROM embeddings, generate_series(1, 64) AS d(d)
+),
+terms AS (
+    SELECT vec_id, h,
+           CAST(floor(w * v * {_PLANE_SCALE!r}) AS BIGINT) AS tq
+    FROM comps JOIN planes USING (d)
+),
+bits AS (
+    SELECT vec_id, h,
+           CASE WHEN CAST(sum(tq) AS BIGINT) > 0 THEN 1 ELSE 0 END AS bit
+    FROM terms GROUP BY vec_id, h
+),
+bands AS (
+    SELECT vec_id,
+           CAST(floor(h / {_LSH_PLANES // _LSH_BANDS}.0) AS BIGINT) AS band,
+           CAST(sum(bit << (h % {_LSH_PLANES // _LSH_BANDS})) AS BIGINT) AS band_key
+    FROM bits GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+    FROM bands qb JOIN bands cb
+      ON qb.band = cb.band AND qb.band_key = cb.band_key
+     AND qb.vec_id < {_N_QUERIES} AND cb.vec_id <> qb.vec_id
+),
+norms AS (
+    SELECT vec_id, {_DOT_SQL.format(a="embedding", b="embedding")} AS nq
+    FROM embeddings
+),
+scored AS (
+    SELECT c.query_id, c.neighbor_id,
+           CAST({_DOT_SQL.format(a="q.embedding", b="n.embedding")} AS DOUBLE)
+               / sqrt(CAST(nq.nq AS DOUBLE) * CAST(nc.nq AS DOUBLE)) AS cosine
+    FROM cand c
+    JOIN embeddings q ON c.query_id = q.vec_id
+    JOIN embeddings n ON c.neighbor_id = n.vec_id
+    JOIN norms nq ON c.query_id = nq.vec_id
+    JOIN norms nc ON c.neighbor_id = nc.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+               AS rank
+    FROM scored
+)
+WHERE rank <= {_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata path (oracle-checked half of the
+    multimodal plumbing): payload byte length + typed metadata, all
+    JVM-side over the binary column."""
+    from wrf_to_geodataframe_spark.operators.multimodal import attach_fake_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    wp = attach_fake_payload(docs)
+    return wp.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        "fmt",
+        "width",
+        "height",
+    )
+
+
+_MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       CAST(octet_length(unhex(md5(text))) AS BIGINT) AS n_bytes,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS fmt,
+       CAST(16 + doc_id % 5 AS BIGINT) AS width,
+       CAST(16 + doc_id % 7 AS BIGINT) AS height
+FROM documents
+"""
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over the binary payload (rows-only
+    check: the Arrow-batch kernel is not SQL-expressible; byte-level
+    results are pinned by tests/test_pipeline_suite.py against
+    hashlib-computed goldens)."""
+    from wrf_to_geodataframe_spark.operators.multimodal import (
+        attach_fake_payload,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_fake_payload(docs))
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "simhash_neardup": simhash_neardup,
+    "text_quality": text_quality,
+    "lang_id": lang_id,
+    "token_stats": token_stats,
+    "doc_fingerprint": doc_fingerprint,
+    "sim_bruteforce_topk": sim_bruteforce_topk,
+    "sim_lsh_ann": sim_lsh_ann,
+    "multimodal_meta": multimodal_meta,
+    "multimodal_features": multimodal_features,
+}
+
+ORACLE = {
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh": _MINHASH_SQL,
+    "simhash_neardup": _SIMHASH_SQL,
+    "text_quality": _TEXT_QUALITY_SQL,
+    "lang_id": _LANG_ID_SQL,
+    "token_stats": _TOKEN_STATS_SQL,
+    "doc_fingerprint": _DOC_FINGERPRINT_SQL,
+    "sim_bruteforce_topk": _SIM_BRUTE_SQL,
+    "sim_lsh_ann": _SIM_LSH_SQL,
+    "multimodal_meta": _MULTIMODAL_META_SQL,
+    # multimodal_features: rows-only (mapInPandas kernel, pytest-pinned)
+}
