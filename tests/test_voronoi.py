@@ -1,0 +1,174 @@
+"""Tessellation kernel tests (SURVEY.md §5): analytic cross-checks,
+partition/containment/orientation properties, driver-vs-distributed
+equality, and a golden-WKT pin — the roles the reference's Brasil
+shapefiles and visual checks play."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from wrf_to_geodataframe_spark.geometry.polygons import (
+    bbox_polygon,
+    is_ccw,
+    point_in_convex_polygon,
+    polygon_wkt,
+    shoelace_area,
+)
+from wrf_to_geodataframe_spark.geometry.voronoi import voronoi_cells
+
+
+def _grid_points(nx, ny, shear=0.0, rot=0.0):
+    """Curvilinear-ish test grid: integer lattice, optionally sheared and
+    rotated (the WRF-grid stand-in)."""
+    xs, ys = np.meshgrid(np.arange(nx, dtype=float), np.arange(ny, dtype=float))
+    pts = np.stack([xs.ravel() + shear * ys.ravel(), ys.ravel()], axis=1)
+    if rot:
+        c, s = np.cos(rot), np.sin(rot)
+        pts = pts @ np.array([[c, s], [-s, c]])
+    return pts
+
+
+def test_rectilinear_voronoi_equals_analytic_boxes():
+    """G1 kernel vs G2 fast path: on a rectilinear grid the Voronoi cell
+    of every interior point is exactly the unit box."""
+    pts = _grid_points(6, 5)
+    bbox = (-0.5, -0.5, 5.5, 4.5)
+    cells = voronoi_cells(pts, bbox)
+    assert len(cells) == 30
+    for p, cell in zip(pts, cells):
+        assert len(cell) == 4
+        assert np.isclose(shoelace_area(cell), 1.0, atol=1e-12)
+        x1, y1 = cell[:, 0].min(), cell[:, 1].min()
+        x2, y2 = cell[:, 0].max(), cell[:, 1].max()
+        assert np.allclose([x1, y1, x2, y2], [p[0] - 0.5, p[1] - 0.5, p[0] + 0.5, p[1] + 0.5], atol=1e-12)
+
+
+def _assert_partition(pts, bbox, cells):
+    xmin, ymin, xmax, ymax = bbox
+    total = sum(shoelace_area(c) for c in cells)
+    bbox_area = (xmax - xmin) * (ymax - ymin)
+    assert abs(total - bbox_area) < 1e-8 * max(bbox_area, 1.0)
+    for p, c in zip(pts, cells):
+        if len(c) >= 3:
+            assert is_ccw(c)
+            assert point_in_convex_polygon(p[0], p[1], c)
+
+
+def test_sheared_grid_partition_and_containment():
+    pts = _grid_points(7, 6, shear=0.35)
+    bbox = (
+        pts[:, 0].min() - 0.3, pts[:, 1].min() - 0.3,
+        pts[:, 0].max() + 0.3, pts[:, 1].max() + 0.3,
+    )
+    cells = voronoi_cells(pts, bbox)
+    assert all(len(c) >= 3 for c in cells)  # all sites inside bbox
+    _assert_partition(pts, bbox, cells)
+
+
+def test_rotated_grid_partition_and_containment():
+    pts = _grid_points(6, 6, rot=0.5)
+    bbox = (
+        pts[:, 0].min() - 0.4, pts[:, 1].min() - 0.4,
+        pts[:, 0].max() + 0.4, pts[:, 1].max() + 0.4,
+    )
+    cells = voronoi_cells(pts, bbox)
+    _assert_partition(pts, bbox, cells)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(0, 10, allow_nan=False, allow_infinity=False),
+            st.floats(0, 10, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_random_points_partition_bbox(coords):
+    pts = np.array(coords, dtype=float)
+    bbox = (-1.0, -1.0, 11.0, 11.0)
+    cells = voronoi_cells(pts, bbox)
+    _assert_partition(pts, bbox, cells)
+    # every non-site location belongs to exactly the nearest site's cell
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        q = rng.uniform(-1, 11, 2)
+        d = np.sum((pts - q) ** 2, axis=1)
+        owners = [
+            i for i, c in enumerate(cells) if point_in_convex_polygon(q[0], q[1], c)
+        ]
+        assert owners, "partition must cover the bbox"
+        assert np.isclose(d[owners].min(), d.min(), rtol=1e-9)
+
+
+def test_duplicate_points_get_sentinel():
+    pts = np.array([[1.0, 1.0], [1.0, 1.0], [3.0, 1.0]])
+    cells = voronoi_cells(pts, (0, 0, 4, 2))
+    assert len(cells[0]) >= 3  # first copy wins
+    assert len(cells[1]) == 0  # duplicate -> sentinel
+    assert polygon_wkt(cells[1]) == "POINT (0 0)"
+
+
+def test_golden_wkt_3x3():
+    """Golden pin for a 3x3 lattice, the analog of the reference's
+    committed Brasil shapefiles."""
+    pts = _grid_points(3, 3)
+    cells = voronoi_cells(pts, (-0.5, -0.5, 2.5, 2.5))
+    assert polygon_wkt(cells[4]) == "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))"
+    assert polygon_wkt(cells[0]) == "POLYGON ((-0.5 -0.5, 0.5 -0.5, 0.5 0.5, -0.5 0.5, -0.5 -0.5))"
+
+
+def test_driver_tessellate_on_spark(spark):
+    from wrf_to_geodataframe_spark.geometry.tessellate import tessellate
+
+    pts = _grid_points(5, 4, shear=0.2)
+    rows = [(i, float(p[0]), float(p[1])) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, "site_id long, x double, y double")
+    bbox = (
+        float(pts[:, 0].min() - 0.5), float(pts[:, 1].min() - 0.5),
+        float(pts[:, 0].max() + 0.5), float(pts[:, 1].max() + 0.5),
+    )
+    out = tessellate(df, "x", "y", ["site_id"], bbox=bbox).collect()
+    assert len(out) == 20
+    assert all(not r.is_sentinel for r in out)
+    total = sum(r.area for r in out)
+    bbox_area = (bbox[2] - bbox[0]) * (bbox[3] - bbox[1])
+    assert abs(total - bbox_area) < 1e-8 * bbox_area
+
+
+def test_distributed_equals_driver(spark):
+    """Tile+halo kernel must produce the identical cells (and certify
+    every one exact) given an adequate halo."""
+    from wrf_to_geodataframe_spark.geometry.tessellate import (
+        tessellate,
+        tessellate_distributed,
+    )
+
+    pts = _grid_points(8, 7, shear=0.3)
+    rows = [(i, float(p[0]), float(p[1])) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, "site_id long, x double, y double")
+    bbox = (
+        float(pts[:, 0].min() - 0.5), float(pts[:, 1].min() - 0.5),
+        float(pts[:, 0].max() + 0.5), float(pts[:, 1].max() + 0.5),
+    )
+    drv = {r.site_id: r for r in tessellate(df, "x", "y", ["site_id"], bbox=bbox).collect()}
+    dst = {
+        r.site_id: r
+        # halo must exceed the max cell diameter (boundary cells of a
+        # sheared lattice clipped by a rectangular bbox reach 2R ~ 4.7)
+        for r in tessellate_distributed(
+            df, "x", "y", ["site_id"], bbox=bbox, tile_size=3.0, halo=5.0
+        ).collect()
+    }
+    assert set(drv) == set(dst)
+    assert all(r.exact for r in dst.values())
+    for sid, d in drv.items():
+        t = dst[sid]
+        assert d.wkt == t.wkt
+        assert d.area == t.area

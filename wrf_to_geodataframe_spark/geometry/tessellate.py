@@ -1,0 +1,208 @@
+"""Tessellation operators: grid points -> Voronoi cell polygons.
+
+Two physical strategies for the same logical op (SURVEY.md §7 phase 4):
+
+- ``tessellate``: driver-side for <= ~2M points (the reference's whole
+  working range, collected via Arrow), then ``createDataFrame`` back —
+  explicit ``(key, …)`` columns, never positional alignment (J5).
+- ``tessellate_distributed``: tile + halo.  Points are assigned a home
+  tile and replicated into every tile whose halo region they touch
+  (explode over covered tiles — same bucket decomposition as the
+  spatial joins).  Each tile group runs the identical numpy kernel via
+  ``applyInPandas`` and emits only its home points, each cell carrying
+  an ``exact`` certificate (2R <= d(site, tile edge) + halo).  With a
+  halo of a few grid spacings every cell certifies exact; the flag makes
+  seam errors DETECTABLE instead of silent.
+
+Output schema (both): key columns + x, y, wkt, area, n_vertices,
+x1/y1/x2/y2 envelope, is_sentinel (degenerate cells, the reference's
+``Point(0, 0)`` convention).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from wrf_to_geodataframe_spark.geometry.polygons import polygon_wkt, shoelace_area
+from wrf_to_geodataframe_spark.geometry.voronoi import (
+    DEFAULT_MAX_DRIVER_POINTS,
+    cells_exactness_radius,
+    voronoi_cells,
+)
+
+
+def _result_schema(key_cols: Sequence[str]) -> StructType:
+    fields = [StructField(k, LongType()) for k in key_cols]
+    fields += [
+        StructField("x", DoubleType()),
+        StructField("y", DoubleType()),
+        StructField("wkt", StringType()),
+        StructField("area", DoubleType()),
+        StructField("n_vertices", LongType()),
+        StructField("x1", DoubleType()),
+        StructField("y1", DoubleType()),
+        StructField("x2", DoubleType()),
+        StructField("y2", DoubleType()),
+        StructField("is_sentinel", BooleanType()),
+        StructField("exact", BooleanType()),
+    ]
+    return StructType(fields)
+
+
+def _cells_frame(
+    pdf: pd.DataFrame,
+    key_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    bbox: tuple[float, float, float, float],
+    spacing_hint: float | None,
+    exact_slack: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Run the kernel over one in-memory point set -> result rows.
+    ``exact_slack[i]`` is the certified-absent-point distance for site i
+    (inf for the driver-side global run)."""
+    pts = pdf[[x_col, y_col]].to_numpy(dtype=np.float64)
+    cells = voronoi_cells(pts, bbox, spacing_hint)
+    two_r = cells_exactness_radius(pts, cells)
+    if exact_slack is None:
+        exact = np.ones(len(pts), dtype=bool)
+    else:
+        exact = two_r <= exact_slack
+    rows = {k: pdf[k].to_numpy() for k in key_cols}
+    rows["x"] = pts[:, 0]
+    rows["y"] = pts[:, 1]
+    rows["wkt"] = [polygon_wkt(c) for c in cells]
+    rows["area"] = [shoelace_area(c) for c in cells]
+    rows["n_vertices"] = [len(c) for c in cells]
+    env = np.full((len(pts), 4), np.nan)
+    for i, c in enumerate(cells):
+        if len(c) >= 3:
+            env[i] = [c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max()]
+    rows["x1"], rows["y1"], rows["x2"], rows["y2"] = env.T
+    rows["is_sentinel"] = [len(c) < 3 for c in cells]
+    rows["exact"] = exact
+    return pd.DataFrame(rows)
+
+
+def tessellate(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_cols: Sequence[str],
+    bbox: tuple[float, float, float, float] | None = None,
+    spacing_hint: float | None = None,
+    max_points: int = DEFAULT_MAX_DRIVER_POINTS,
+) -> DataFrame:
+    """Driver-side tessellation (reference parity path,
+    ``wrf_voronoi.py:126-137``): collect points, run the kernel once,
+    parallelize the cells back with explicit keys."""
+    spark = df.sparkSession
+    pdf = df.select(*key_cols, x_col, y_col).toPandas()
+    if len(pdf) > max_points:
+        raise ValueError(
+            f"{len(pdf)} points exceed driver tessellation limit "
+            f"{max_points}; use tessellate_distributed"
+        )
+    if bbox is None:
+        xs, ys = pdf[x_col], pdf[y_col]
+        bbox = (xs.min(), ys.min(), xs.max(), ys.max())
+    out = _cells_frame(pdf, key_cols, x_col, y_col, bbox, spacing_hint)
+    return spark.createDataFrame(out, schema=_result_schema(key_cols))
+
+
+def tessellate_distributed(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_cols: Sequence[str],
+    bbox: tuple[float, float, float, float],
+    tile_size: float,
+    halo: float,
+    spacing_hint: float | None = None,
+) -> DataFrame:
+    """Distributed tessellation: one shuffle (points -> tiles, with halo
+    replication), then embarrassingly-parallel per-tile kernels.
+
+    Scale: memory per task is O(points per tile + halo ring), never the
+    global point count — the axis on which the reference OOMs."""
+    xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+    ts, hw = float(tile_size), float(halo)
+
+    pts = df.select(*key_cols, x_col, y_col)
+    x, y = F.col(x_col), F.col(y_col)
+    home_i = F.floor(x / F.lit(ts))
+    home_j = F.floor(y / F.lit(ts))
+    # replicate into every tile whose halo-expanded region contains the
+    # point: tiles covered by [x-halo, x+halo] x [y-halo, y+halo]
+    tiled = (
+        pts.withColumn("home_i", home_i)
+        .withColumn("home_j", home_j)
+        .withColumn(
+            "tile_i",
+            F.explode(
+                F.sequence(
+                    F.floor((x - F.lit(hw)) / F.lit(ts)),
+                    F.floor((x + F.lit(hw)) / F.lit(ts)),
+                )
+            ),
+        )
+        .withColumn(
+            "tile_j",
+            F.explode(
+                F.sequence(
+                    F.floor((y - F.lit(hw)) / F.lit(ts)),
+                    F.floor((y + F.lit(hw)) / F.lit(ts)),
+                )
+            ),
+        )
+    )
+
+    keys = list(key_cols)
+    schema = _result_schema(keys)
+
+    _np_dtype = {
+        LongType(): np.int64,
+        DoubleType(): np.float64,
+        StringType(): object,
+        BooleanType(): bool,
+    }
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {f.name: np.array([], dtype=_np_dtype[f.dataType]) for f in schema}
+        )
+
+    def run_tile(tile_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ti, tj = (int(v) for v in tile_key)
+        is_home = (pdf["home_i"] == ti) & (pdf["home_j"] == tj)
+        if not is_home.any():
+            return _empty()
+        local = pdf.reset_index(drop=True)
+        px = local[x_col].to_numpy(np.float64)
+        py = local[y_col].to_numpy(np.float64)
+        # certificate slack: absent points are farther than
+        # d(site, tile edge) + halo
+        tx1, ty1 = ti * ts, tj * ts
+        tx2, ty2 = tx1 + ts, ty1 + ts
+        d_edge = np.minimum.reduce([px - tx1, tx2 - px, py - ty1, ty2 - py])
+        slack = d_edge + hw
+        out = _cells_frame(
+            local, keys, x_col, y_col, (xmin, ymin, xmax, ymax),
+            spacing_hint, exact_slack=slack,
+        )
+        return out[is_home.reset_index(drop=True).to_numpy()]
+
+    return tiled.groupBy("tile_i", "tile_j").applyInPandas(run_tile, schema)

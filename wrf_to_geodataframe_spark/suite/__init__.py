@@ -18,9 +18,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from wrf_to_geodataframe_spark.suite import core, pipeline, relational, spatial
+from wrf_to_geodataframe_spark.suite import (
+    core,
+    pipeline,
+    relational,
+    spatial,
+    tessellation,
+)
 
-_GROUPS = [core, relational, spatial, pipeline]
+_GROUPS = [core, relational, spatial, tessellation, pipeline]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,134 @@
+"""Tessellation suite: the G1 Voronoi kernel exercised through the
+driver contract.
+
+These oracles do NOT mirror the Spark expressions (they cannot — the
+kernel is numpy inside applyInPandas).  They state the independently
+known ANALYTIC answer: the Voronoi diagram of a complete rectilinear
+grid clipped to its half-spacing margin is exactly the unit boxes
+(delphine/regrid.py:182-203's fast path), and its cell areas sum to the
+bbox area (the tessellation conservation invariant).  A hash match here
+is real semantic validation of the tessellation, not expression echo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wrf_to_geodataframe_spark.session import load_table
+from wrf_to_geodataframe_spark.suite.core import GRID_W
+
+
+def _complete_grid_points(spark: SparkSession, sf_dir: str):
+    """The complete-rows sub-grid of the events user lattice (the ragged
+    last row would make boundary cells non-analytic), plus its bbox."""
+    events = load_table(spark, sf_dir, "events")
+    n_users = events.agg(F.max("user_id")).collect()[0][0] + 1
+    full_rows = n_users // GRID_W
+    threshold = full_rows * GRID_W
+    pts = (
+        events.select("user_id")
+        .filter(F.col("user_id") < threshold)
+        .distinct()
+        .select(
+            "user_id",
+            (F.col("user_id") % GRID_W).alias("x_idx"),
+            F.floor(F.col("user_id") / GRID_W).alias("y_idx"),
+            (F.col("user_id") % GRID_W).cast("double").alias("x"),
+            F.floor(F.col("user_id") / GRID_W).cast("double").alias("y"),
+        )
+    )
+    bbox = (-0.5, -0.5, GRID_W - 0.5, full_rows - 0.5)
+    return pts, bbox, threshold
+
+
+def g1_voronoi_rect_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Voronoi tessellation (G1, tile+halo applyInPandas) of
+    the rectilinear user grid.  The oracle is the ANALYTIC diagram (G2
+    unit boxes) — the kernel must reproduce it bit-for-bit (integer-
+    lattice bisectors are dyadic, so every vertex is FP-exact)."""
+    from wrf_to_geodataframe_spark.geometry.tessellate import tessellate_distributed
+
+    pts, bbox, _ = _complete_grid_points(spark, sf_dir)
+    cells = tessellate_distributed(
+        pts, "x", "y", ["user_id", "x_idx", "y_idx"],
+        bbox=bbox, tile_size=8.0, halo=4.0, spacing_hint=1.0,
+    )
+    return cells.select(
+        "user_id", "x_idx", "y_idx",
+        F.round("x1", 6).alias("x1"), F.round("y1", 6).alias("y1"),
+        F.round("x2", 6).alias("x2"), F.round("y2", 6).alias("y2"),
+        F.round("area", 6).alias("area"),
+        "n_vertices",
+        "is_sentinel",
+        "exact",
+    )
+
+
+_G1_RECT_SQL = f"""
+WITH bounds AS (
+    SELECT (CAST(max(user_id) + 1 AS BIGINT) // {GRID_W}) * {GRID_W} AS threshold
+    FROM events
+)
+SELECT DISTINCT user_id,
+       user_id % {GRID_W} AS x_idx,
+       CAST(floor(user_id / {GRID_W}.0) AS BIGINT) AS y_idx,
+       CAST(user_id % {GRID_W} AS DOUBLE) - 0.5 AS x1,
+       floor(user_id / {GRID_W}.0) - 0.5 AS y1,
+       CAST(user_id % {GRID_W} AS DOUBLE) + 0.5 AS x2,
+       floor(user_id / {GRID_W}.0) + 0.5 AS y2,
+       1.0 AS area,
+       CAST(4 AS BIGINT) AS n_vertices,
+       FALSE AS is_sentinel,
+       TRUE AS exact
+FROM events, bounds
+WHERE user_id < threshold
+"""
+
+
+def g1_tessellation_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tessellation conservation (the G1 analog of A5): cell areas of the
+    clipped Voronoi diagram must sum to the bbox area.  The oracle states
+    the invariant from the extent alone — Spark has to earn it by
+    actually tessellating."""
+    from wrf_to_geodataframe_spark.geometry.tessellate import tessellate_distributed
+
+    pts, bbox, _ = _complete_grid_points(spark, sf_dir)
+    cells = tessellate_distributed(
+        pts, "x", "y", ["user_id"],
+        bbox=bbox, tile_size=8.0, halo=4.0, spacing_hint=1.0,
+    )
+    area_q = F.floor(F.col("area") * F.lit(1e6)).cast("long")
+    return cells.agg(
+        (F.sum(area_q).cast("double") / F.lit(1e6)).alias("total_area"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.col("exact").cast("long")).alias("n_exact"),
+        F.sum(F.col("is_sentinel").cast("long")).alias("n_sentinel"),
+    )
+
+
+_G1_CONSERVATION_SQL = f"""
+WITH bounds AS (
+    SELECT (CAST(max(user_id) + 1 AS BIGINT) // {GRID_W}) * {GRID_W} AS threshold
+    FROM events
+),
+grid AS (
+    SELECT DISTINCT user_id FROM events, bounds WHERE user_id < threshold
+)
+SELECT CAST(count(*) AS DOUBLE) AS total_area,
+       count(*) AS n_cells,
+       count(*) AS n_exact,
+       CAST(0 AS BIGINT) AS n_sentinel
+FROM grid
+"""
+
+
+QUERIES = {
+    "g1_voronoi_rect_cells": g1_voronoi_rect_cells,
+    "g1_tessellation_conservation": g1_tessellation_conservation,
+}
+
+ORACLE = {
+    "g1_voronoi_rect_cells": _G1_RECT_SQL,
+    "g1_tessellation_conservation": _G1_CONSERVATION_SQL,
+}
