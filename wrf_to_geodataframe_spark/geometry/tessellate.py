@@ -70,24 +70,29 @@ def _cells_frame(
     bbox: tuple[float, float, float, float],
     spacing_hint: float | None,
     exact_slack: np.ndarray | None = None,
+    site_mask: np.ndarray | None = None,
 ) -> pd.DataFrame:
-    """Run the kernel over one in-memory point set -> result rows.
-    ``exact_slack[i]`` is the certified-absent-point distance for site i
-    (inf for the driver-side global run)."""
+    """Run the kernel over one in-memory point set -> result rows (only
+    for masked sites when ``site_mask`` is given; unmasked points act as
+    neighbors only).  ``exact_slack[i]`` is the certified-absent-point
+    distance for site i (None => driver-side global run, always exact)."""
     pts = pdf[[x_col, y_col]].to_numpy(dtype=np.float64)
-    cells = voronoi_cells(pts, bbox, spacing_hint)
-    two_r = cells_exactness_radius(pts, cells)
+    cells = voronoi_cells(pts, bbox, spacing_hint, site_mask=site_mask)
+    sel = np.arange(len(pts)) if site_mask is None else np.nonzero(site_mask)[0]
+    cells = [cells[i] for i in sel]
+    spts = pts[sel]
+    two_r = cells_exactness_radius(spts, cells)
     if exact_slack is None:
-        exact = np.ones(len(pts), dtype=bool)
+        exact = np.ones(len(spts), dtype=bool)
     else:
-        exact = two_r <= exact_slack
-    rows = {k: pdf[k].to_numpy() for k in key_cols}
-    rows["x"] = pts[:, 0]
-    rows["y"] = pts[:, 1]
+        exact = two_r <= exact_slack[sel]
+    rows = {k: pdf[k].to_numpy()[sel] for k in key_cols}
+    rows["x"] = spts[:, 0]
+    rows["y"] = spts[:, 1]
     rows["wkt"] = [polygon_wkt(c) for c in cells]
     rows["area"] = [shoelace_area(c) for c in cells]
     rows["n_vertices"] = [len(c) for c in cells]
-    env = np.full((len(pts), 4), np.nan)
+    env = np.full((len(spts), 4), np.nan)
     for i, c in enumerate(cells):
         if len(c) >= 3:
             env[i] = [c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max()]
@@ -199,10 +204,10 @@ def tessellate_distributed(
         tx2, ty2 = tx1 + ts, ty1 + ts
         d_edge = np.minimum.reduce([px - tx1, tx2 - px, py - ty1, ty2 - py])
         slack = d_edge + hw
-        out = _cells_frame(
+        return _cells_frame(
             local, keys, x_col, y_col, (xmin, ymin, xmax, ymax),
             spacing_hint, exact_slack=slack,
+            site_mask=is_home.reset_index(drop=True).to_numpy(),
         )
-        return out[is_home.reset_index(drop=True).to_numpy()]
 
     return tiled.groupBy("tile_i", "tile_j").applyInPandas(run_tile, schema)

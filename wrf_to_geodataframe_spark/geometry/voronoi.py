@@ -60,26 +60,36 @@ def _bucket_index(pts: np.ndarray, cell: float):
     return buckets
 
 
-def _candidates(
+def _ring_shell(
     buckets: dict[tuple[int, int], np.ndarray],
     bx: int,
     by: int,
     ring: int,
-) -> np.ndarray:
-    """Point ids in the (2*ring+1)^2 bucket neighborhood."""
-    ids = [
-        buckets[(i, j)]
-        for i in range(bx - ring, bx + ring + 1)
-        for j in range(by - ring, by + ring + 1)
-        if (i, j) in buckets
-    ]
-    return np.concatenate(ids) if ids else np.empty(0, dtype=np.int64)
+) -> list[np.ndarray]:
+    """Point ids in the perimeter buckets at Chebyshev distance ``ring``
+    (the incremental shell — never re-gathers inner rings)."""
+    if ring == 0:
+        got = buckets.get((bx, by))
+        return [got] if got is not None else []
+    ids = []
+    for i in range(bx - ring, bx + ring + 1):
+        for j in (by - ring, by + ring):
+            got = buckets.get((i, j))
+            if got is not None:
+                ids.append(got)
+    for j in range(by - ring + 1, by + ring):
+        for i in (bx - ring, bx + ring):
+            got = buckets.get((i, j))
+            if got is not None:
+                ids.append(got)
+    return ids
 
 
 def voronoi_cells(
     points: np.ndarray,
     bbox: tuple[float, float, float, float],
     spacing_hint: float | None = None,
+    site_mask: np.ndarray | None = None,
 ) -> list[np.ndarray]:
     """Clipped Voronoi cell (ccw vertex array) per input site.
 
@@ -87,7 +97,12 @@ def voronoi_cells(
     clipping stops at the security radius.  The bucket grid makes the
     expected per-site cost O(#near neighbors), so the whole kernel is
     ~O(n) for grid-like data (vs the reference's global qhull).
-    Degenerate sites (duplicates) get an empty array (sentinel)."""
+    Degenerate sites (duplicates) get an empty array (sentinel).
+
+    ``site_mask`` restricts which sites get cells BUILT (all points
+    still act as neighbors) — the tile+halo path only builds home-tile
+    cells, skipping halo sites whose (discarded, artificially huge)
+    cells would dominate the cost."""
     pts = np.asarray(points, dtype=np.float64)
     n = len(pts)
     if n == 0:
@@ -100,6 +115,9 @@ def voronoi_cells(
     cell_size = max(spacing_hint, 1e-12)
     buckets = _bucket_index(pts, cell_size)
     diag2 = (xmax - xmin) ** 2 + (ymax - ymin) ** 2
+    bkeys = np.array(list(buckets.keys()), dtype=np.int64)
+    bminx, bminy = bkeys.min(axis=0)
+    bmaxx, bmaxy = bkeys.max(axis=0)
 
     # sentinel for all-but-first duplicate coordinates
     _, first_idx = np.unique(pts, axis=0, return_index=True)
@@ -107,28 +125,40 @@ def voronoi_cells(
     keep[first_idx] = True
 
     base = bbox_polygon(xmin, ymin, xmax, ymax)
-    out: list[np.ndarray] = []
     empty = np.empty((0, 2), dtype=np.float64)
-    for i in range(n):
+    out: list[np.ndarray] = [empty] * n
+    build = range(n) if site_mask is None else np.nonzero(site_mask)[0]
+    for i in build:
         p = pts[i]
         if not keep[i] or not (xmin <= p[0] <= xmax and ymin <= p[1] <= ymax):
-            out.append(empty)
             continue
         bx = int(np.floor(p[0] / cell_size))
         by = int(np.floor(p[1] / cell_size))
         poly = base
-        ring = 2
         done = False
         seen_upto = 0.0  # squared distance horizon covered so far
+        pool: list[np.ndarray] = []  # accumulated candidate shells
+        ring = 0
         while not done:
-            cand = _candidates(buckets, bx, by, ring)
+            pool.extend(_ring_shell(buckets, bx, by, ring))
+            # once the ring square covers every occupied bucket, the
+            # candidate pool is the complete point set — no horizon left
+            covers_all = (
+                bx - ring <= bminx
+                and bx + ring >= bmaxx
+                and by - ring <= bminy
+                and by + ring >= bmaxy
+            )
+            ring_r = ring * cell_size
+            complete2 = diag2 + 1.0 if covers_all else ring_r * ring_r
+            cand = (
+                np.concatenate(pool) if pool else np.empty(0, dtype=np.int64)
+            )
             cand = cand[cand != i]
             d2 = np.sum((pts[cand] - p) ** 2, axis=1)
-            # only neighbors inside the ring's guaranteed-complete radius
-            # can be processed in order; farther candidates wait for the
-            # next ring so distance order is never violated
-            ring_r = ring * cell_size
-            complete2 = ring_r * ring_r
+            # only neighbors inside the guaranteed-complete radius are
+            # processed now; farther candidates wait for the next shell
+            # so increasing-distance order is never violated
             sel = (d2 >= seen_upto) & (d2 <= complete2)
             order = np.argsort(d2[sel], kind="stable")
             for j, d2j in zip(cand[sel][order], d2[sel][order]):
@@ -154,14 +184,15 @@ def voronoi_cells(
                 poly = clip_halfplane(poly, a, b, a * mid[0] + b * mid[1])
             if done:
                 break
-            # ring exhausted without certifying: widen the horizon
-            if len(poly) > 0:
+            if covers_all:
+                done = True  # complete pool processed: cell is final
+            elif len(poly) > 0:
                 r2 = np.sum((poly - p) ** 2, axis=1).max()
-                if complete2 > 4.0 * r2 or complete2 >= diag2:
+                if complete2 > 4.0 * r2:
                     done = True  # every point that could cut was seen
             seen_upto = complete2
             ring += 1
-        out.append(poly if len(poly) >= 3 else empty)
+        out[i] = poly if len(poly) >= 3 else empty
     return out
 
 
