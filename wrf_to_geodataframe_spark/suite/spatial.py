@@ -441,12 +441,113 @@ FROM dest d LEFT JOIN transferred t USING (i, j)
 """
 
 
+# ---------------------------------------------------------------------------
+# J4 general path: the same regrid through the geometric overlay kernel
+
+
+def _box_poly(x1, y1, x2, y2):
+    """ccw vertex-array polygon for a box (the engine's geometry wire
+    format, array<array<double>>)."""
+    return F.array(
+        F.array(x1, y1), F.array(x2, y1), F.array(x2, y2), F.array(x1, y2)
+    )
+
+
+def regrid_conservative_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conservative regrid AGAIN — but through the general convex
+    overlay kernel (geometry/overlay.py: envelope buckets → equi join →
+    reference-point dedup → Sutherland–Hodgman clip in Arrow batches)
+    instead of rectilinear arithmetic.
+
+    The oracle is the ANALYTIC regrid: on rectilinear inputs the
+    geometric path must reproduce it exactly (per-pair contributions are
+    rounded at 1e-6, far above the kernel's ~1e-15 clip error and never
+    near a rounding boundary on this lattice) — a semantic validation of
+    the overlay kernel, not an expression echo."""
+    from wrf_to_geodataframe_spark.geometry.overlay import overlay_intersection
+
+    src = _source_cells_with_pop(spark, sf_dir).select(
+        "user_id",
+        "pop",
+        (
+            (F.col("x2") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+        ).alias("area_src"),
+        _box_poly(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")).alias("a_poly"),
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    x = (F.col("user_id") % GRID_W).cast("double")
+    y = F.floor(F.col("user_id") / GRID_W).cast("double")
+    bbox = events.agg(
+        F.min(x).alias("xmin"), F.min(y).alias("ymin"),
+        F.max(x).alias("xmax"), F.max(y).alias("ymax"),
+    )
+    dest = (
+        bbox.select(
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("xmin") - F.lit(0.5) - F.lit(OX)) / F.lit(DW)),
+                    F.floor((F.col("xmax") + F.lit(0.5) - F.lit(OX)) / F.lit(DW)),
+                )
+            ).alias("i"),
+            "ymin", "ymax",
+        )
+        .select(
+            "i",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("ymin") - F.lit(0.5) - F.lit(OY)) / F.lit(DH)),
+                    F.floor((F.col("ymax") + F.lit(0.5) - F.lit(OY)) / F.lit(DH)),
+                )
+            ).alias("j"),
+        )
+        .withColumn("dx1", F.lit(OX) + F.lit(DW) * F.col("i"))
+        .withColumn("dy1", F.lit(OY) + F.lit(DH) * F.col("j"))
+        .withColumn("dx2", F.lit(OX) + F.lit(DW) * (F.col("i") + 1))
+        .withColumn("dy2", F.lit(OY) + F.lit(DH) * (F.col("j") + 1))
+    )
+    dest_polys = dest.select(
+        "i", "j",
+        _box_poly(F.col("dx1"), F.col("dy1"), F.col("dx2"), F.col("dy2")).alias("b_poly"),
+    )
+
+    pairs = overlay_intersection(src, dest_polys, bucket=2.0)
+    contrib_q = F.round(
+        F.col("pop") / F.col("area_src") * F.col("area_inter") * F.lit(float(Q))
+    ).cast("long")
+    transferred = pairs.groupBy("i", "j").agg(
+        (F.sum(contrib_q).cast("double") / F.lit(float(Q))).alias("pop_t")
+    )
+    return (
+        dest.join(transferred, ["i", "j"], "left")
+        .select(
+            "i", "j", "dx1", "dy1", "dx2", "dy2",
+            F.coalesce(F.col("pop_t"), F.lit(0.0)).alias("population"),
+        )
+    )
+
+
+_REGRID_GENERAL_SQL = _REGRID_SQL.replace(
+    f"""CAST(floor(
+               s.pop / ((s.x2 - s.x1) * (s.y2 - s.y1))
+               * (greatest(least(s.x2, d.dx2) - greatest(s.x1, d.dx1), 0.0)
+                  * greatest(least(s.y2, d.dy2) - greatest(s.y1, d.dy1), 0.0))
+               * {Q}.0) AS BIGINT) AS contrib_q""",
+    f"""CAST(round(
+               s.pop / ((s.x2 - s.x1) * (s.y2 - s.y1))
+               * (greatest(least(s.x2, d.dx2) - greatest(s.x1, d.dx1), 0.0)
+                  * greatest(least(s.y2, d.dy2) - greatest(s.y1, d.dy1), 0.0))
+               * {Q}.0) AS BIGINT) AS contrib_q""",
+)
+
+
 QUERIES = {
     "p4_bbox_filter": p4_bbox_filter,
     "p5_intersects_boundary": p5_intersects_boundary,
     "g7_clipped_cell_areas": g7_clipped_cell_areas,
     "j3_bucketed_spatial_join": j3_bucketed_spatial_join,
     "regrid_conservative": regrid_conservative,
+    "regrid_conservative_general": regrid_conservative_general,
 }
 
 ORACLE = {
@@ -455,4 +556,5 @@ ORACLE = {
     "g7_clipped_cell_areas": _G7_SQL,
     "j3_bucketed_spatial_join": _J3_SQL,
     "regrid_conservative": _REGRID_SQL,
+    "regrid_conservative_general": _REGRID_GENERAL_SQL,
 }
