@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from wrf_to_geodataframe_spark.suite import (
+    conversions,
     core,
     pipeline,
     relational,
@@ -26,7 +27,7 @@ from wrf_to_geodataframe_spark.suite import (
     tessellation,
 )
 
-_GROUPS = [core, relational, spatial, tessellation, pipeline]
+_GROUPS = [core, relational, conversions, spatial, tessellation, pipeline]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,96 @@
+"""Conversion suite (SURVEY.md §2.2): the array <-> table reshapes at
+the reference's ingest/egress edges, as queries.
+
+C1 grid->table: the reference ravels 2-D coordinate arrays + meshgrids
+the dim axes (wrf_voronoi.py:121-123) relying on positional alignment;
+the Spark form is a crossJoin of the two (tiny) axis tables producing
+explicit (y_idx, x_idx) keys — alignment by key, not by ravel order
+(SURVEY.md §1.3 / J5).
+
+C3 table->grid: ``to_xarray()`` (delphine/regrid.py:311) re-densifies a
+keyed table; the Spark form is groupBy+pivot into one column per x
+index — only ever used at the (small) sink edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wrf_to_geodataframe_spark.session import load_table
+from wrf_to_geodataframe_spark.suite.core import GRID_W
+
+_C1_NY = 4  # synthetic grid height for the unnest demo
+
+
+def c1_grid_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: meshgrid of two axis tables -> one row per cell with analytic
+    curvilinear coords (a sheared lattice, the WRF-grid shape).  The
+    crossJoin multiplies two tiny dimension tables — broadcast, no
+    shuffle of anything large."""
+    xs = spark.range(GRID_W).select(F.col("id").alias("x_idx"))
+    ys = spark.range(_C1_NY).select(F.col("id").alias("y_idx"))
+    return (
+        ys.crossJoin(xs)
+        .select(
+            "y_idx",
+            "x_idx",
+            (F.col("x_idx").cast("double") + 0.25 * F.col("y_idx").cast("double")).alias("lon"),
+            (F.col("y_idx").cast("double") * 1.5).alias("lat"),
+        )
+    )
+
+
+_C1_SQL = f"""
+SELECT y.y AS y_idx, x.x AS x_idx,
+       CAST(x.x AS DOUBLE) + 0.25 * CAST(y.y AS DOUBLE) AS lon,
+       CAST(y.y AS DOUBLE) * 1.5 AS lat
+FROM generate_series(0, {_C1_NY - 1}) AS y(y),
+     generate_series(0, {GRID_W - 1}) AS x(x)
+"""
+
+
+_C3_XCOLS = 8  # pivot width: x_idx 0..7
+
+
+def c3_table_to_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: keyed long table -> dense grid via groupBy + pivot (explicit
+    value list keeps the schema static); one row per y_idx, one column
+    per x index holding the cell's event count."""
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.select(
+        (F.col("user_id") % GRID_W).alias("x_idx"),
+        F.floor(F.col("user_id") / GRID_W).alias("y_idx"),
+    ).filter(F.col("x_idx") < _C3_XCOLS)
+    return (
+        keyed.groupBy("y_idx")
+        .pivot("x_idx", list(range(_C3_XCOLS)))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [str(k) for k in range(_C3_XCOLS)])
+        .orderBy("y_idx")
+    )
+
+
+_C3_PIVOT_COLS = ", ".join(
+    f'CAST(coalesce(sum(CASE WHEN user_id % {GRID_W} = {k} THEN 1 END), 0) '
+    f'AS BIGINT) AS "{k}"'
+    for k in range(_C3_XCOLS)
+)
+
+_C3_SQL = f"""
+SELECT CAST(floor(user_id / {GRID_W}.0) AS BIGINT) AS y_idx,
+       {_C3_PIVOT_COLS}
+FROM events
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "c1_grid_unnest": c1_grid_unnest,
+    "c3_table_to_grid": c3_table_to_grid,
+}
+
+ORACLE = {
+    "c1_grid_unnest": _C1_SQL,
+    "c3_table_to_grid": _C3_SQL,
+}

@@ -541,6 +541,70 @@ _REGRID_GENERAL_SQL = _REGRID_SQL.replace(
 )
 
 
+# ---------------------------------------------------------------------------
+# G8 — CRS transform, A7 — domain center/radius
+
+
+def g8_crs_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRS transform (SURVEY.md §2 G8, wrf_voronoi.py:188
+    ``to_crs("EPSG:27700")``): grid centers as pseudo lon/lat projected
+    to spherical Web Mercator with built-in expressions (JVM-side; the
+    pandas_udf variant is parity-tested in tests/test_crs.py).  Outputs
+    rounded to cm: ln/tan differ from DuckDB's libm in the last bit."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        lonlat_to_webmercator_x,
+        lonlat_to_webmercator_y,
+    )
+
+    cells = grid_cells(spark, sf_dir)
+    lon = F.col("x") * 2.0 - 30.0  # map grid to ~[-30, 30] degrees
+    lat = F.col("y") * 1.5 - 20.0
+    return cells.select(
+        "user_id",
+        F.round(lonlat_to_webmercator_x(lon), 2).alias("mx"),
+        F.round(lonlat_to_webmercator_y(lat), 2).alias("my"),
+    )
+
+
+_G8_SQL = f"""
+WITH cells AS ({_CELLS_SQL})
+SELECT user_id,
+       round(6378137.0 * radians((x1 + 0.5) * 2.0 - 30.0), 2) AS mx,
+       round(6378137.0 * ln(tan(pi() / 4 + radians((y1 + 0.5) * 1.5 - 20.0) / 2)), 2) AS my
+FROM cells
+"""
+
+
+def a7_domain_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain center + radius (SURVEY.md §2 A7, wrf_voronoi.py:51-53
+    ``vor.points.mean(axis=0)`` and ``ptp().max()``): the scalar
+    aggregates the tessellation kernel seeds its clipping radius with.
+    Coordinates are integral doubles, so the sums are exact under any
+    partitioning."""
+    events = load_table(spark, sf_dir, "events")
+    x = (F.col("user_id") % GRID_W).cast("double")
+    y = F.floor(F.col("user_id") / GRID_W).cast("double")
+    return events.select(x.alias("x"), y.alias("y")).distinct().agg(
+        F.avg("x").alias("cx"),
+        F.avg("y").alias("cy"),
+        F.greatest(
+            F.max("x") - F.min("x"), F.max("y") - F.min("y")
+        ).alias("radius"),
+    )
+
+
+_A7_SQL = f"""
+WITH pts AS (
+    SELECT DISTINCT CAST(user_id % {GRID_W} AS DOUBLE) AS x,
+           floor(user_id / {GRID_W}.0) AS y
+    FROM events
+)
+SELECT avg(x) AS cx, avg(y) AS cy,
+       greatest(max(x) - min(x), max(y) - min(y)) AS radius
+FROM pts
+"""
+
+
 QUERIES = {
     "p4_bbox_filter": p4_bbox_filter,
     "p5_intersects_boundary": p5_intersects_boundary,
@@ -548,6 +612,8 @@ QUERIES = {
     "j3_bucketed_spatial_join": j3_bucketed_spatial_join,
     "regrid_conservative": regrid_conservative,
     "regrid_conservative_general": regrid_conservative_general,
+    "g8_crs_webmercator": g8_crs_webmercator,
+    "a7_domain_center": a7_domain_center,
 }
 
 ORACLE = {
@@ -557,4 +623,6 @@ ORACLE = {
     "j3_bucketed_spatial_join": _J3_SQL,
     "regrid_conservative": _REGRID_SQL,
     "regrid_conservative_general": _REGRID_GENERAL_SQL,
+    "g8_crs_webmercator": _G8_SQL,
+    "a7_domain_center": _A7_SQL,
 }
