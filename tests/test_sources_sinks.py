@@ -1,0 +1,217 @@
+"""S1-S4 sources/sinks: format round-trips plus the reference's full
+workflow (NetCDF grid -> tessellate -> daily stats -> join -> GPKG) end
+to end on this engine."""
+
+from __future__ import annotations
+
+import sqlite3
+import struct
+
+import numpy as np
+import pytest
+
+from wrf_to_geodataframe_spark.sources.geopackage import (
+    parse_polygon_wkb,
+    polygon_wkb,
+    write_geopackage,
+)
+from wrf_to_geodataframe_spark.sources.netcdf import (
+    read_netcdf,
+    read_netcdf_grid,
+    write_netcdf,
+)
+from wrf_to_geodataframe_spark.sources.shapefile import read_dbf, read_shp
+
+
+def test_netcdf_roundtrip(tmp_path):
+    path = str(tmp_path / "grid.nc")
+    lat = np.linspace(50.0, 52.0, 5)
+    lon = np.linspace(-1.0, 2.0, 7)
+    t2 = np.arange(35, dtype="float32").reshape(5, 7) + 270.0
+    write_netcdf(
+        path,
+        {"y": 5, "x": 7},
+        {
+            "lat": {"dims": ["y"], "data": lat},
+            "lon": {"dims": ["x"], "data": lon},
+            "T2": {"dims": ["y", "x"], "data": t2},
+        },
+    )
+    ds = read_netcdf(path)
+    assert ds["dims"] == {"y": 5, "x": 7}
+    np.testing.assert_array_equal(ds["variables"]["lat"]["data"], lat)
+    np.testing.assert_array_equal(ds["variables"]["lon"]["data"], lon)
+    np.testing.assert_array_equal(ds["variables"]["T2"]["data"], t2)
+    assert ds["variables"]["T2"]["dims"] == ["y", "x"]
+
+
+def test_netcdf_grid_ingest(spark, tmp_path):
+    path = str(tmp_path / "grid2.nc")
+    t2 = np.arange(12, dtype="float64").reshape(3, 4)
+    write_netcdf(
+        path,
+        {"y": 3, "x": 4},
+        {
+            "lat": {"dims": ["y"], "data": np.array([10.0, 11.0, 12.0])},
+            "lon": {"dims": ["x"], "data": np.array([0.0, 1.0, 2.0, 3.0])},
+            "T2": {"dims": ["y", "x"], "data": t2},
+        },
+    )
+    df = read_netcdf_grid(spark, path, "T2", "lat", "lon")
+    rows = {(r.y_idx, r.x_idx): r for r in df.collect()}
+    assert len(rows) == 12
+    assert rows[(1, 2)].value == t2[1, 2]
+    assert rows[(1, 2)].lat == 11.0 and rows[(1, 2)].lon == 2.0
+
+
+def _write_minimal_shapefile(shp_path, dbf_path, polys, names):
+    """Hand-rolled minimal .shp/.dbf writer (test fixture only)."""
+    records = b""
+    for i, ring in enumerate(polys):
+        ring = np.asarray(ring, dtype="<f8")
+        closed = np.vstack([ring, ring[:1]])
+        content = struct.pack("<i", 5)
+        content += struct.pack(
+            "<dddd",
+            closed[:, 0].min(), closed[:, 1].min(),
+            closed[:, 0].max(), closed[:, 1].max(),
+        )
+        content += struct.pack("<ii", 1, len(closed)) + struct.pack("<i", 0)
+        content += closed.tobytes()
+        records += struct.pack(">ii", i + 1, len(content) // 2) + content
+    allp = np.vstack([np.asarray(p) for p in polys])
+    header = struct.pack(">i", 9994) + b"\x00" * 20
+    header += struct.pack(">i", (100 + len(records)) // 2)
+    header += struct.pack("<ii", 1000, 5)
+    header += struct.pack(
+        "<dddd", allp[:, 0].min(), allp[:, 1].min(), allp[:, 0].max(), allp[:, 1].max()
+    )
+    header += struct.pack("<dddd", 0, 0, 0, 0)
+    with open(shp_path, "wb") as f:
+        f.write(header + records)
+    # dbf with one C(10) field 'name'
+    nrec, rsize = len(names), 1 + 10
+    dbf = struct.pack("<B3BiHH", 3, 24, 1, 1, nrec, 32 + 32 + 1, rsize) + b"\x00" * 20
+    fld = b"name" + b"\x00" * 7 + b"C" + b"\x00" * 4 + bytes([10, 0]) + b"\x00" * 14
+    dbf += fld + b"\x0D"
+    for n in names:
+        dbf += b" " + n.encode("ascii").ljust(10)[:10]
+    with open(dbf_path, "wb") as f:
+        f.write(dbf)
+
+
+def test_shapefile_reader(spark, tmp_path):
+    shp, dbf = str(tmp_path / "b.shp"), str(tmp_path / "b.dbf")
+    # .shp spec: outer rings clockwise
+    tri = [[0.0, 0.0], [0.0, 2.0], [2.0, 0.0]]
+    box = [[5.0, 5.0], [5.0, 6.0], [6.0, 6.0], [6.0, 5.0]]
+    _write_minimal_shapefile(shp, dbf, [tri, box], ["tri", "box"])
+    assert [r["fid"] for r in read_shp(shp)] == [1, 2]
+    assert [r["name"] for r in read_dbf(dbf)] == ["tri", "box"]
+
+    from wrf_to_geodataframe_spark.sources.shapefile import read_shapefile
+
+    df = read_shapefile(spark, shp)
+    rows = {r.name: r for r in df.collect()}
+    assert set(rows) == {"tri", "box"}
+    from wrf_to_geodataframe_spark.geometry.polygons import is_ccw, shoelace_area
+
+    ring = np.array([list(v) for v in rows["tri"].geom])
+    assert is_ccw(ring)  # reversed from shapefile's cw on ingest
+    assert np.isclose(shoelace_area(ring), 2.0)
+
+
+def test_wkb_roundtrip():
+    ring = np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 1.0], [0.0, 1.0]])
+    back = parse_polygon_wkb(polygon_wkb(ring))
+    np.testing.assert_array_equal(back, ring)
+
+
+def test_geopackage_write_and_readback(tmp_path):
+    path = str(tmp_path / "out.gpkg")
+    rows = [
+        {"geom": np.array([[0, 0], [1, 0], [1, 1], [0, 1]], float), "cell": 1, "t": 0.5},
+        {"geom": np.array([[1, 0], [2, 0], [2, 1], [1, 1]], float), "cell": 2, "t": 1.5},
+    ]
+    write_geopackage(path, "cells", rows)
+    con = sqlite3.connect(path)
+    tables = {r[0] for r in con.execute(
+        "SELECT name FROM sqlite_master WHERE type='table'"
+    )}
+    assert {"gpkg_contents", "gpkg_geometry_columns", "cells"} <= tables
+    got = con.execute('SELECT geom, cell, t FROM "cells" ORDER BY cell').fetchall()
+    assert [r[1] for r in got] == [1, 2]
+    blob = got[0][0]
+    assert blob[:2] == b"GP"
+    (srs,) = struct.unpack_from("<i", blob, 4)
+    assert srs == 4326
+    wkb = blob[2 + 2 + 4 + 32:]  # magic+ver/flags+srs+envelope
+    ring = parse_polygon_wkb(wkb)
+    np.testing.assert_array_equal(ring, rows[0]["geom"])
+    con.close()
+
+
+def test_reference_workflow_end_to_end(spark, tmp_path):
+    """The reference's whole pipeline (wrf_voronoi.py __main__) on this
+    engine: NetCDF scan (S1) -> tessellate (G1) -> hourly values ->
+    daily stats + period mean (A2/A3) -> composite-key join (J1) ->
+    GeoPackage sink (S3)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.geometry.tessellate import tessellate
+    from wrf_to_geodataframe_spark.operators.resample import daily_stats_period_mean
+    from wrf_to_geodataframe_spark.sources.geopackage import write_cells_geopackage
+    from wrf_to_geodataframe_spark.sources.netcdf import read_netcdf_grid, write_netcdf
+
+    # a small curvilinear grid in a NetCDF file
+    ny, nx = 4, 6
+    yy, xx = np.meshgrid(np.arange(ny, dtype=float), np.arange(nx, dtype=float),
+                         indexing="ij")
+    lat2d = yy + 0.1 * xx
+    lon2d = xx + 0.2 * yy
+    nc = str(tmp_path / "wrf.nc")
+    write_netcdf(
+        nc,
+        {"y": ny, "x": nx},
+        {
+            "XLAT": {"dims": ["y", "x"], "data": lat2d},
+            "XLONG": {"dims": ["y", "x"], "data": lon2d},
+            "T2": {"dims": ["y", "x"], "data": 270.0 + yy + xx},
+        },
+    )
+    grid = read_netcdf_grid(spark, nc, "T2", "XLAT", "XLONG")
+
+    # tessellate the curvilinear coords (driver path, like the reference)
+    cells = tessellate(
+        grid, "lon", "lat", ["y_idx", "x_idx"],
+        bbox=(
+            float(lon2d.min()) - 0.5, float(lat2d.min()) - 0.5,
+            float(lon2d.max()) + 0.5, float(lat2d.max()) + 0.5,
+        ),
+    )
+    assert cells.count() == ny * nx
+
+    # synthetic hourly series per cell -> daily stats -> period mean
+    hours = spark.range(48).select(
+        F.col("id").alias("h"),
+        F.timestamp_seconds(1704067200 + F.col("id") * 3600).alias("ts"),
+    )
+    series = grid.crossJoin(hours).select(
+        "y_idx", "x_idx", "ts",
+        (F.col("value") + F.sin(F.col("h").cast("double"))).alias("t2"),
+    )
+    stats = daily_stats_period_mean(series, "ts", "t2", ["y_idx", "x_idx"])
+    joined = cells.join(stats, ["y_idx", "x_idx"], "left")
+    assert joined.filter("t_min IS NULL").count() == 0
+
+    out = str(tmp_path / "cells.gpkg")
+    write_cells_geopackage(
+        joined.select("y_idx", "x_idx", "x1", "y1", "x2", "y2",
+                      "t_min", "t_max", "t_mean"),
+        out,
+    )
+    con = sqlite3.connect(out)
+    n = con.execute('SELECT count(*) FROM "cells"').fetchone()[0]
+    assert n == ny * nx
+    con.close()

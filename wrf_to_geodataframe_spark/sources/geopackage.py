@@ -1,0 +1,152 @@
+"""GeoPackage sink (SURVEY.md §2 S3, ``to_file(..., driver="GPKG")`` at
+wrf_voronoi.py:149): write a polygon layer into a .gpkg using the
+stdlib sqlite3 module + hand-built GPKG geometry blobs (header per the
+OGC GeoPackage spec, then standard WKB).
+
+The reference's outputs are small (<= ~10^5 cells), so the sink is a
+deliberate driver-side collect (SURVEY.md §7 hard-thing #6); large
+results should use GeoParquet (``df.write.parquet`` with the WKB
+column) instead — that path is just a column cast away.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+import struct
+
+import numpy as np
+
+
+def polygon_wkb(ring: np.ndarray) -> bytes:
+    """Little-endian WKB POLYGON with one (closed, ccw) ring."""
+    ring = np.asarray(ring, dtype="<f8")
+    if len(ring) and not np.array_equal(ring[0], ring[-1]):
+        ring = np.vstack([ring, ring[:1]])
+    head = struct.pack("<BII", 1, 3, 1)  # LE, wkbPolygon, 1 ring
+    return head + struct.pack("<I", len(ring)) + ring.tobytes()
+
+
+def parse_polygon_wkb(wkb: bytes) -> np.ndarray:
+    """Inverse of :func:`polygon_wkb` (round-trip verification)."""
+    endian, geom_type, nrings = struct.unpack_from("<BII", wkb, 0)
+    assert endian == 1 and geom_type == 3 and nrings >= 1
+    (npts,) = struct.unpack_from("<I", wkb, 9)
+    pts = np.frombuffer(wkb, dtype="<f8", count=npts * 2, offset=13).reshape(-1, 2)
+    return pts[:-1].copy() if npts and np.array_equal(pts[0], pts[-1]) else pts.copy()
+
+
+def _gpkg_geom_blob(ring: np.ndarray, srs_id: int) -> bytes:
+    """GPKG geometry blob: magic 'GP', version 0, flags (LE byte order,
+    envelope type 1), srs_id, [minx maxx miny maxy], WKB."""
+    ring = np.asarray(ring, dtype="<f8")
+    flags = 0b00000011  # envelope=1 (xy), little-endian
+    env = struct.pack(
+        "<dddd",
+        float(ring[:, 0].min()), float(ring[:, 0].max()),
+        float(ring[:, 1].min()), float(ring[:, 1].max()),
+    )
+    return b"GP" + struct.pack("<BBi", 0, flags, srs_id) + env + polygon_wkb(ring)
+
+
+def write_geopackage(
+    path: str,
+    layer: str,
+    rows: list[dict],
+    geom_key: str = "geom",
+    srs_id: int = 4326,
+) -> None:
+    """Write one polygon layer.  ``rows``: dicts with ``geom_key`` -> an
+    (n, 2) vertex array plus scalar attribute keys (str/int/float)."""
+    con = sqlite3.connect(path)
+    cur = con.cursor()
+    cur.execute("PRAGMA application_id = 0x47504B47")  # 'GPKG'
+    cur.execute("PRAGMA user_version = 10300")
+    cur.executescript(
+        """
+        CREATE TABLE IF NOT EXISTS gpkg_spatial_ref_sys (
+          srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY,
+          organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL,
+          definition TEXT NOT NULL, description TEXT);
+        CREATE TABLE IF NOT EXISTS gpkg_contents (
+          table_name TEXT PRIMARY KEY, data_type TEXT NOT NULL,
+          identifier TEXT UNIQUE, description TEXT DEFAULT '',
+          last_change DATETIME DEFAULT (strftime('%Y-%m-%dT%H:%M:%fZ','now')),
+          min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE,
+          srs_id INTEGER);
+        CREATE TABLE IF NOT EXISTS gpkg_geometry_columns (
+          table_name TEXT NOT NULL, column_name TEXT NOT NULL,
+          geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL,
+          z TINYINT NOT NULL, m TINYINT NOT NULL,
+          CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name));
+        """
+    )
+    cur.execute(
+        "INSERT OR IGNORE INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,?)",
+        ("WGS 84", 4326, "EPSG", 4326, "GEOGCS[\"WGS 84\"]", None),
+    )
+
+    attr_keys = [k for k in rows[0] if k != geom_key] if rows else []
+
+    def sql_type(v) -> str:
+        if isinstance(v, bool):
+            return "BOOLEAN"
+        if isinstance(v, (int, np.integer)):
+            return "INTEGER"
+        if isinstance(v, (float, np.floating)):
+            return "DOUBLE"
+        return "TEXT"
+
+    cols = ", ".join(
+        f'"{k}" {sql_type(rows[0][k])}' for k in attr_keys
+    )
+    cur.execute(
+        f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY AUTOINCREMENT, '
+        f'geom BLOB{", " + cols if cols else ""})'
+    )
+    allx, ally = [], []
+    for r in rows:
+        ring = np.asarray(r[geom_key], dtype=float)
+        allx += [ring[:, 0].min(), ring[:, 0].max()]
+        ally += [ring[:, 1].min(), ring[:, 1].max()]
+        cur.execute(
+            f'INSERT INTO "{layer}" (geom{"".join("," + chr(34) + k + chr(34) for k in attr_keys)}) '
+            f'VALUES (?{", ?" * len(attr_keys)})',
+            [_gpkg_geom_blob(ring, srs_id)] + [
+                r[k].item() if isinstance(r[k], np.generic) else r[k]
+                for k in attr_keys
+            ],
+        )
+    cur.execute(
+        "INSERT INTO gpkg_contents (table_name, data_type, identifier, "
+        "min_x, min_y, max_x, max_y, srs_id) VALUES (?,?,?,?,?,?,?,?)",
+        (layer, "features", layer,
+         min(allx), min(ally), max(allx), max(ally), srs_id),
+    )
+    cur.execute(
+        "INSERT INTO gpkg_geometry_columns VALUES (?,?,?,?,0,0)",
+        (layer, "geom", "POLYGON", srs_id),
+    )
+    con.commit()
+    con.close()
+
+
+def write_cells_geopackage(df, path: str, layer: str = "cells") -> None:
+    """S3 sink for a tessellation result DataFrame (geometry/tessellate
+    schema: wkt unused here, envelope-based ring from x1..y2 when no
+    vertex array is present)."""
+    pdf = df.toPandas()
+    rows = []
+    for _, r in pdf.iterrows():
+        if "geom" in pdf.columns:
+            ring = np.asarray([list(v) for v in r["geom"]], dtype=float)
+        else:
+            ring = np.array(
+                [[r.x1, r.y1], [r.x2, r.y1], [r.x2, r.y2], [r.x1, r.y2]]
+            )
+        attrs = {
+            k: r[k]
+            for k in pdf.columns
+            if k not in ("geom", "wkt") and np.isscalar(r[k])
+        }
+        rows.append({"geom": ring, **attrs})
+    write_geopackage(path, layer, rows)

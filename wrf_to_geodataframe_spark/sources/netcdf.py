@@ -1,0 +1,256 @@
+"""NetCDF-3 classic scan + sink (SURVEY.md §2 S1/S4;
+``xr.open_dataset`` at wrf_voronoi.py:115, ``to_netcdf`` at
+delphine/regrid.py:330).
+
+Pure-numpy implementation of the NetCDF classic format (CDF-1/CDF-2,
+big-endian; the format every WRF/HadUK file in the reference's workflow
+can be converted to).  The reader returns plain numpy arrays; the
+ingest helper unnests a 2-D grid variable into the engine's long-table
+shape with explicit (y_idx, x_idx) keys (C1) — ravel-order alignment
+never leaves this module (SURVEY.md §1.3).
+
+Scale path: one driver-side read is fine for a single model file; a
+directory of files distributes as ``spark.read.format("binaryFile")`` +
+``mapInPandas(parse)`` — same parser, one file per task.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_NC_BYTE, _NC_CHAR, _NC_SHORT, _NC_INT, _NC_FLOAT, _NC_DOUBLE = 1, 2, 3, 4, 5, 6
+_DTYPES = {
+    _NC_BYTE: np.dtype(">i1"),
+    _NC_CHAR: np.dtype("S1"),
+    _NC_SHORT: np.dtype(">i2"),
+    _NC_INT: np.dtype(">i4"),
+    _NC_FLOAT: np.dtype(">f4"),
+    _NC_DOUBLE: np.dtype(">f8"),
+}
+_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 4, 6: 8}
+_ABSENT = 0
+_NC_DIMENSION, _NC_VARIABLE, _NC_ATTRIBUTE = 0x0A, 0x0B, 0x0C
+
+
+def _pad4(n: int) -> int:
+    return (n + 3) & ~3
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def i4(self) -> int:
+        (v,) = struct.unpack_from(">i", self.buf, self.pos)
+        self.pos += 4
+        return v
+
+    def i8(self) -> int:
+        (v,) = struct.unpack_from(">q", self.buf, self.pos)
+        self.pos += 8
+        return v
+
+    def name(self) -> str:
+        n = self.i4()
+        s = self.buf[self.pos:self.pos + n].decode("utf-8")
+        self.pos += _pad4(n)
+        return s
+
+    def values(self, nc_type: int, n: int):
+        nbytes = _SIZES[nc_type] * n
+        raw = self.buf[self.pos:self.pos + nbytes]
+        self.pos += _pad4(nbytes)
+        if nc_type == _NC_CHAR:
+            return raw.decode("utf-8", errors="replace")
+        return np.frombuffer(raw, dtype=_DTYPES[nc_type], count=n)
+
+
+def read_netcdf(path: str) -> dict:
+    """Parse a NetCDF-3 classic file -> {dims, attrs, variables} where
+    variables maps name -> {dims, attrs, data (numpy, native order)}."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:3] != b"CDF" or buf[3] not in (1, 2):
+        raise ValueError(f"{path}: not a NetCDF classic (CDF-1/CDF-2) file")
+    cdf2 = buf[3] == 2
+    r = _Reader(buf)
+    r.pos = 4
+    numrecs = r.i4()
+
+    def read_dims():
+        tag, n = r.i4(), r.i4()
+        out = []
+        if tag == _ABSENT:
+            return out
+        assert tag == _NC_DIMENSION
+        for _ in range(n):
+            out.append((r.name(), r.i4()))
+        return out
+
+    def read_attrs():
+        tag, n = r.i4(), r.i4()
+        out = {}
+        if tag == _ABSENT:
+            return out
+        assert tag == _NC_ATTRIBUTE
+        for _ in range(n):
+            nm = r.name()
+            t = r.i4()
+            cnt = r.i4()
+            out[nm] = r.values(t, cnt)
+        return out
+
+    dims = read_dims()
+    gatts = read_attrs()
+    tag, nvars = r.i4(), r.i4()
+    variables: dict[str, dict] = {}
+    order: list[tuple] = []
+    if tag != _ABSENT:
+        assert tag == _NC_VARIABLE
+        for _ in range(nvars):
+            nm = r.name()
+            ndims = r.i4()
+            dimids = [r.i4() for _ in range(ndims)]
+            vatts = read_attrs()
+            t = r.i4()
+            _vsize = r.i4()
+            begin = r.i8() if cdf2 else r.i4()
+            order.append((nm, dimids, vatts, t, begin))
+
+    rec_dim = next((i for i, (_, sz) in enumerate(dims) if sz == 0), None)
+    # record-variable slab size per record (padded per spec when >1 var)
+    recvars = [v for v in order if rec_dim is not None and v[1][:1] == [rec_dim]]
+    recsize = sum(
+        _pad4(
+            _SIZES[t]
+            * int(np.prod([dims[d][1] for d in dimids[1:]], initial=1))
+        )
+        for (_, dimids, _, t, _) in recvars
+    )
+    for nm, dimids, vatts, t, begin in order:
+        shape = [dims[d][1] for d in dimids]
+        is_rec = rec_dim is not None and dimids and dimids[0] == rec_dim
+        if is_rec:
+            shape[0] = numrecs
+            per_rec = int(np.prod(shape[1:], initial=1))
+            step = recsize if len(recvars) > 1 else _SIZES[t] * per_rec
+            parts = [
+                np.frombuffer(buf, dtype=_DTYPES[t], count=per_rec,
+                              offset=begin + rec * step)
+                for rec in range(numrecs)
+            ]
+            data = (
+                np.stack(parts).reshape(shape)
+                if parts
+                else np.empty(shape, _DTYPES[t])
+            )
+        else:
+            count = int(np.prod(shape, initial=1))
+            data = np.frombuffer(buf, dtype=_DTYPES[t], count=count, offset=begin)
+            data = data.reshape(shape)
+        variables[nm] = {
+            "dims": [dims[d][0] for d in dimids],
+            "attrs": vatts,
+            "data": data.astype(data.dtype.newbyteorder("=")),
+        }
+    return {"dims": dict(dims), "attrs": gatts, "variables": variables}
+
+
+def write_netcdf(path: str, dims: dict[str, int], variables: dict[str, dict]) -> None:
+    """Write a NetCDF-3 classic (CDF-1) file with fixed-size variables.
+
+    ``variables``: name -> {dims: [names], data: numpy array}.  The S4
+    sink: collect the (small, re-densified C3) result grid and persist.
+    """
+    dim_names = list(dims)
+    dim_ids = {n: i for i, n in enumerate(dim_names)}
+
+    def enc_name(s: str) -> bytes:
+        b = s.encode("utf-8")
+        return struct.pack(">i", len(b)) + b + b"\x00" * (_pad4(len(b)) - len(b))
+
+    np_to_nc = {
+        np.dtype("int8"): _NC_BYTE,
+        np.dtype("int16"): _NC_SHORT,
+        np.dtype("int32"): _NC_INT,
+        np.dtype("float32"): _NC_FLOAT,
+        np.dtype("float64"): _NC_DOUBLE,
+    }
+
+    header = b"CDF\x01" + struct.pack(">i", 0)
+    header += struct.pack(">ii", _NC_DIMENSION, len(dim_names))
+    for n in dim_names:
+        header += enc_name(n) + struct.pack(">i", dims[n])
+    header += struct.pack(">ii", _ABSENT, 0)  # no global attrs
+
+    entries = []
+    for nm, spec in variables.items():
+        arr = np.ascontiguousarray(spec["data"])
+        nc_t = np_to_nc[arr.dtype.newbyteorder("=")]
+        vsize = _pad4(arr.nbytes)
+        entries.append((nm, spec["dims"], nc_t, arr, vsize))
+
+    # var header size must be known to compute begins: build twice
+    def var_header(begin_map):
+        out = struct.pack(">ii", _NC_VARIABLE, len(entries))
+        for nm, vdims, nc_t, _arr, vsize in entries:
+            out += enc_name(nm)
+            out += struct.pack(">i", len(vdims))
+            for d in vdims:
+                out += struct.pack(">i", dim_ids[d])
+            out += struct.pack(">ii", _ABSENT, 0)  # no var attrs
+            out += struct.pack(">iii", nc_t, vsize, begin_map[nm])
+        return out
+
+    zero = {nm: 0 for nm, *_ in entries}
+    base = len(header) + len(var_header(zero))
+    begins = {}
+    off = base
+    for nm, _vdims, _t, _arr, vsize in entries:
+        begins[nm] = off
+        off += vsize
+    blob = header + var_header(begins)
+    for nm, _vdims, nc_t, arr, vsize in entries:
+        raw = arr.astype(_DTYPES[nc_t]).tobytes()
+        blob += raw + b"\x00" * (vsize - len(raw))
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def read_netcdf_grid(
+    spark,
+    path: str,
+    var: str,
+    lat_var: str,
+    lon_var: str,
+    time_index: int | None = None,
+):
+    """S1 ingest: NetCDF grid variable -> long DataFrame with explicit
+    (y_idx, x_idx) integer keys + coord + value columns (the engine's
+    data model, SURVEY.md §1.1; parameterized names per the
+    haduk_voronoi.py:22-29 contract)."""
+    ds = read_netcdf(path)
+    v = ds["variables"][var]["data"]
+    if time_index is not None and v.ndim == 3:
+        v = v[time_index]  # P3 positional slice at the ingest edge
+    lat = ds["variables"][lat_var]["data"]
+    lon = ds["variables"][lon_var]["data"]
+    if lat.ndim == 1 and lon.ndim == 1:  # rectilinear: broadcast to 2-D
+        lon, lat = np.meshgrid(lon, lat)
+    ny, nx = v.shape
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "y_idx": yy.ravel().astype("int64"),
+            "x_idx": xx.ravel().astype("int64"),
+            "lat": lat.ravel().astype("float64"),
+            "lon": lon.ravel().astype("float64"),
+            "value": v.ravel().astype("float64"),
+        }
+    )
+    return spark.createDataFrame(pdf)
