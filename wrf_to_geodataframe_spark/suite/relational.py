@@ -537,6 +537,69 @@ GROUP BY ROLLUP (event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP))
 """
 
 
+# ---------------------------------------------------------------------------
+# Semi/anti joins + distinct aggregates (§2.4 "not present in reference")
+
+
+def j_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customers that placed at least one order —
+    existence check without duplicating the left side."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+_J_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def j_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers that never placed an urgent order (the
+    filter rides on the build side, so the anti join stays one hash
+    lookup per probe row)."""
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_J_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+"""
+
+
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group (§2.5 extension): distinct users and
+    distinct days per event type."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_AGG_CD_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT CAST(ts AS DATE)) AS n_days,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "p1_drop_columns": p1_drop_columns,
     "p2_select_columns": p2_select_columns,
@@ -559,6 +622,9 @@ QUERIES = {
     "str_json_extract": str_json_extract,
     "str_text_funcs": str_text_funcs,
     "r1_rollup": r1_rollup,
+    "j_semi_join": j_semi_join,
+    "j_anti_join": j_anti_join,
+    "agg_count_distinct": agg_count_distinct,
 }
 
 ORACLE = {
@@ -583,4 +649,7 @@ ORACLE = {
     "str_json_extract": _STR_JSON_SQL,
     "str_text_funcs": _STR_TEXT_SQL,
     "r1_rollup": _R1_SQL,
+    "j_semi_join": _J_SEMI_SQL,
+    "j_anti_join": _J_ANTI_SQL,
+    "agg_count_distinct": _AGG_CD_SQL,
 }

@@ -21,11 +21,16 @@ from wrf_to_geodataframe_spark.suite.core import GRID_W
 
 def _complete_grid_points(spark: SparkSession, sf_dir: str):
     """The complete-rows sub-grid of the events user lattice (the ragged
-    last row would make boundary cells non-analytic), plus its bbox."""
+    last row would make boundary cells non-analytic), plus its bbox.
+    Below one full row (tiny sf) the grid degrades to a 1-row strip so
+    the query stays well-defined at every scale factor."""
     events = load_table(spark, sf_dir, "events")
     n_users = events.agg(F.max("user_id")).collect()[0][0] + 1
-    full_rows = n_users // GRID_W
-    threshold = full_rows * GRID_W
+    if n_users >= GRID_W:
+        width, full_rows = GRID_W, n_users // GRID_W
+    else:
+        width, full_rows = n_users, 1
+    threshold = full_rows * GRID_W if n_users >= GRID_W else width
     pts = (
         events.select("user_id")
         .filter(F.col("user_id") < threshold)
@@ -38,7 +43,7 @@ def _complete_grid_points(spark: SparkSession, sf_dir: str):
             F.floor(F.col("user_id") / GRID_W).cast("double").alias("y"),
         )
     )
-    bbox = (-0.5, -0.5, GRID_W - 0.5, full_rows - 0.5)
+    bbox = (-0.5, -0.5, width - 0.5, full_rows - 0.5)
     return pts, bbox, threshold
 
 
@@ -67,7 +72,9 @@ def g1_voronoi_rect_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _G1_RECT_SQL = f"""
 WITH bounds AS (
-    SELECT (CAST(max(user_id) + 1 AS BIGINT) // {GRID_W}) * {GRID_W} AS threshold
+    SELECT CASE WHEN max(user_id) + 1 >= {GRID_W}
+                THEN (CAST(max(user_id) + 1 AS BIGINT) // {GRID_W}) * {GRID_W}
+                ELSE CAST(max(user_id) + 1 AS BIGINT) END AS threshold
     FROM events
 )
 SELECT DISTINCT user_id,
@@ -109,7 +116,9 @@ def g1_tessellation_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _G1_CONSERVATION_SQL = f"""
 WITH bounds AS (
-    SELECT (CAST(max(user_id) + 1 AS BIGINT) // {GRID_W}) * {GRID_W} AS threshold
+    SELECT CASE WHEN max(user_id) + 1 >= {GRID_W}
+                THEN (CAST(max(user_id) + 1 AS BIGINT) // {GRID_W}) * {GRID_W}
+                ELSE CAST(max(user_id) + 1 AS BIGINT) END AS threshold
     FROM events
 ),
 grid AS (
