@@ -49,6 +49,67 @@ def test_stream_resample_matches_batch(spark, sf_dir, tmp_path):
         assert abs(gmean - mean) < 1e-9
 
 
+def test_stateful_running_stats_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: state must carry across micro-batches —
+    final per-user stats equal the batch aggregation no matter how the
+    input is split into files."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.session import load_table
+    from wrf_to_geodataframe_spark.streaming.stateful import stream_running_stats
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 12)
+        .select("user_id", "value")
+    )
+    src = str(tmp_path / "stateful_src")
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    half1 = events.filter(F.col("user_id") % 2 == 0)
+    half2 = events.filter(F.col("user_id") % 2 == 1)
+    half1.union(half2).repartition(2).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_running_stats(stream)
+        .writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    # update mode emits one row per key per touching batch: keep the last
+    got_df = spark.table("running_stats").toPandas()
+    got = {}
+    for _, r in got_df.iterrows():  # later rows overwrite earlier
+        got[r.user_id] = (r.n_events, r.sum_q, r.v_min, r.v_max)
+    want = {
+        r.user_id: (r.n, r.s, r.mn, r.mx)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert got[k][1] == want[k][1], k  # exact quantized sums
+        assert got[k][2] == want[k][2] and got[k][3] == want[k][3], k
+
+
 def test_watermark_is_declared(spark, sf_dir, tmp_path):
     """The plan must carry the event-time watermark (the state bound —
     without it the 100 TB streaming story is a memory leak)."""

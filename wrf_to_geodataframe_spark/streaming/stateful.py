@@ -1,0 +1,74 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(§2.8 / brief north-star: "custom stateful operators").
+
+``stream_running_stats`` keeps per-key running (count, quantized sum,
+min, max) across micro-batches — the streaming form of the engine's
+quantized aggregation discipline: state holds exact BIGINTs, so the
+running sum is identical no matter how rows split across batches.
+
+Scale notes: state is 4 numbers per key in the state store; a real
+deployment bounds key cardinality with a GroupStateTimeout (set here to
+processing-time) so abandoned keys age out.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_Q = 1_000_000
+
+OUTPUT_SCHEMA = (
+    "user_id long, n_events long, sum_q long, v_min double, v_max double"
+)
+STATE_SCHEMA = "n long, s long, mn double, mx double"
+
+
+def _update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, s, mn, mx = state.get if state.exists else (0, 0, None, None)
+    import numpy as np
+
+    for pdf in pdfs:
+        v = pdf["value"]
+        n += len(v)
+        # exact-integer quantized running sum (order/batch insensitive),
+        # same floor(value * 1e6) the batch suite uses
+        s += int(np.floor(v.to_numpy(np.float64) * _Q).astype(np.int64).sum())
+        bmn, bmx = float(v.min()), float(v.max())
+        mn = bmn if mn is None else min(mn, bmn)
+        mx = bmx if mx is None else max(mx, bmx)
+    state.update((n, s, mn, mx))
+    state.setTimeoutDuration(3_600_000)  # age out idle keys after 1 h
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_q": [s],
+            "v_min": [mn],
+            "v_max": [mx],
+        }
+    )
+
+
+def stream_running_stats(stream: DataFrame) -> DataFrame:
+    """Per-user running stats over an unbounded event stream; emits the
+    refreshed state row for every key touched in each micro-batch
+    (update output mode)."""
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

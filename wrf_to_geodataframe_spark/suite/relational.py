@@ -537,6 +537,52 @@ GROUP BY ROLLUP (event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP))
 """
 
 
+def w4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (§2.8 streaming row, batch form): per-user event
+    sessions split at 12-hour inactivity gaps via the built-in
+    ``session_window`` — the same operator Structured Streaming uses
+    with a watermark.  The oracle states the gaps-and-islands form
+    (lag + running sum), proving the window semantics rather than
+    echoing them."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window(F.col("ts"), "12 hours").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_W4_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts) >= 43200000000
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 12 HOUR AS session_end,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
 # ---------------------------------------------------------------------------
 # Semi/anti joins + distinct aggregates (§2.4 "not present in reference")
 
@@ -625,6 +671,7 @@ QUERIES = {
     "j_semi_join": j_semi_join,
     "j_anti_join": j_anti_join,
     "agg_count_distinct": agg_count_distinct,
+    "w4_session_window": w4_session_window,
 }
 
 ORACLE = {
@@ -652,4 +699,5 @@ ORACLE = {
     "j_semi_join": _J_SEMI_SQL,
     "j_anti_join": _J_ANTI_SQL,
     "agg_count_distinct": _AGG_CD_SQL,
+    "w4_session_window": _W4_SQL,
 }
