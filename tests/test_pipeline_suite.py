@@ -70,6 +70,24 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     assert recall >= 0.25, f"LSH recall collapsed: {recall}"
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        sim_bruteforce_topk,
+        sim_ivf_topk,
+    )
+
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_bruteforce_topk(spark, SF01).filter("rank = 1").collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in sim_ivf_topk(spark, SF01).collect()
+    }
+    assert truth
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.25, f"IVF recall collapsed: {recall}"
+
+
 def test_bruteforce_topk_is_sorted_and_bounded(spark):
     from wrf_to_geodataframe_spark.suite.pipeline import sim_bruteforce_topk
 

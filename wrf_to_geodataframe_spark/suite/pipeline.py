@@ -741,6 +741,134 @@ WHERE rank <= {_TOP_K}
 """
 
 
+_IVF_STRIDE = 37  # deterministic coarse centroids: vec_id % 37 == 0
+_IVF_NPROBE = 3
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (every 37th
+    vector is a centroid, ~sqrt(N) lists), each vector assigned to its
+    nearest centroid by exact-integer cosine; queries probe the 3
+    nearest centroids and exact-rerank only those lists.
+
+    Scale shape: assignment is one broadcast pass over N (centroids are
+    tiny), the probe join shuffles on centroid id (list sizes ~N/C), and
+    rerank cost is nprobe/C of brute force — the classic IVF recall/cost
+    dial, with everything deterministic so the oracle can replay it."""
+    from wrf_to_geodataframe_spark.functions.vectors import (
+        as_double_vec,
+        cosine_from_q,
+        dot_q,
+        norm_q,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("e")
+    ).withColumn("nq", norm_q(F.col("e")))
+    cents = emb.filter(F.col("vec_id") % _IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("e").alias("ce"),
+        F.col("nq").alias("cnq"),
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        cosine_from_q(dot_q(F.col("e"), F.col("ce")), F.col("nq"), F.col("cnq")).alias(
+            "ccos"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    ranked = scored.withColumn("crank", F.row_number().over(w))
+    assign = ranked.filter(F.col("crank") == 1).select("vec_id", "cent_id")
+    probes = (
+        ranked.filter((F.col("crank") <= _IVF_NPROBE) & (F.col("vec_id") < _N_QUERIES))
+        .select(F.col("vec_id").alias("query_id"), "cent_id")
+    )
+    cand = (
+        probes.join(assign, "cent_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .distinct()
+    )
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nq").alias("qnq")
+    )
+    ce = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"), F.col("nq").alias("nnq")
+    )
+    rer = (
+        cand.join(qe, "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_from_q(
+                dot_q(F.col("qe"), F.col("ne")), F.col("qnq"), F.col("nnq")
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= _TOP_K)
+    )
+
+
+_SIM_IVF_SQL = f"""
+WITH norms AS (
+    SELECT vec_id, {_DOT_SQL.format(a="embedding", b="embedding")} AS nq
+    FROM embeddings
+),
+cents AS (
+    SELECT vec_id AS cent_id, embedding AS ce, nq AS cnq
+    FROM embeddings JOIN norms USING (vec_id)
+    WHERE vec_id % {_IVF_STRIDE} = 0
+),
+scored AS (
+    SELECT e.vec_id, c.cent_id,
+           CAST({_DOT_SQL.format(a="e.embedding", b="c.ce")} AS DOUBLE)
+               / sqrt(CAST(n.nq AS DOUBLE) * CAST(c.cnq AS DOUBLE)) AS ccos
+    FROM embeddings e
+    JOIN norms n USING (vec_id)
+    CROSS JOIN cents c
+),
+ranked AS (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id)
+               AS crank
+    FROM scored
+),
+assign AS (SELECT vec_id, cent_id FROM ranked WHERE crank = 1),
+probes AS (
+    SELECT vec_id AS query_id, cent_id FROM ranked
+    WHERE crank <= {_IVF_NPROBE} AND vec_id < {_N_QUERIES}
+),
+cand AS (
+    SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p JOIN assign a USING (cent_id)
+    WHERE a.vec_id <> p.query_id
+),
+rer AS (
+    SELECT c.query_id, c.neighbor_id,
+           CAST({_DOT_SQL.format(a="q.embedding", b="n.embedding")} AS DOUBLE)
+               / sqrt(CAST(nq.nq AS DOUBLE) * CAST(nn.nq AS DOUBLE)) AS cosine
+    FROM cand c
+    JOIN embeddings q ON c.query_id = q.vec_id
+    JOIN embeddings n ON c.neighbor_id = n.vec_id
+    JOIN norms nq ON c.query_id = nq.vec_id
+    JOIN norms nn ON c.neighbor_id = nn.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+               AS rank
+    FROM rer
+)
+WHERE rank <= {_TOP_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns
 
@@ -797,6 +925,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_lsh_ann": sim_lsh_ann,
+    "sim_ivf_topk": sim_ivf_topk,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
 }
@@ -812,6 +941,7 @@ ORACLE = {
     "doc_fingerprint": _DOC_FINGERPRINT_SQL,
     "sim_bruteforce_topk": _SIM_BRUTE_SQL,
     "sim_lsh_ann": _SIM_LSH_SQL,
+    "sim_ivf_topk": _SIM_IVF_SQL,
     "multimodal_meta": _MULTIMODAL_META_SQL,
     # multimodal_features: rows-only (mapInPandas kernel, pytest-pinned)
 }
