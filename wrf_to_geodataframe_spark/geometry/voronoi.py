@@ -85,6 +85,153 @@ def _ring_shell(
     return ids
 
 
+def _clip_batch(P, cnt, a, b, c):
+    """Vectorized Sutherland–Hodgman step: clip every padded ccw polygon
+    ``P[s, :cnt[s]]`` by its own half-plane a[s]*x + b[s]*y <= c[s].
+    Returns (P', cnt') with width grown by at most one column."""
+    S, V, _ = P.shape
+    idx = np.arange(V)
+    vmask = idx[None, :] < cnt[:, None]
+    side = a[:, None] * P[..., 0] + b[:, None] * P[..., 1] - c[:, None]
+    side = np.where(vmask, side, 1.0)
+    jidx = np.where(idx[None, :] + 1 < cnt[:, None], idx[None, :] + 1, 0)
+    Pn = np.take_along_axis(P, jidx[..., None], axis=1)
+    sn = np.take_along_axis(side, jidx, axis=1)
+    inside_i = side <= 0.0
+    inside_n = sn <= 0.0
+    denom = side - sn
+    denom = np.where(denom == 0.0, 1.0, denom)
+    t = side / denom
+    X = P + t[..., None] * (Pn - P)
+    emitV = inside_i & vmask
+    emitX = (inside_i ^ inside_n) & vmask
+    out = np.empty((S, 2 * V, 2), dtype=np.float64)
+    out[:, 0::2] = P
+    out[:, 1::2] = X
+    mask = np.empty((S, 2 * V), dtype=bool)
+    mask[:, 0::2] = emitV
+    mask[:, 1::2] = emitX
+    order = np.argsort(~mask, axis=1, kind="stable")
+    out = np.take_along_axis(out, order[..., None], axis=1)
+    newcnt = mask.sum(axis=1)
+    width = max(int(newcnt.max()), 3) if len(newcnt) else 3
+    return out[:, :width], newcnt
+
+
+def _batch_cells(
+    pts: np.ndarray,
+    sites: np.ndarray,
+    bbox: tuple[float, float, float, float],
+    cell_size: float,
+    max_rounds: int = 24,
+):
+    """Vectorized fast path: build every site's cell simultaneously from
+    its 5x5-bucket candidate neighborhood — M clip rounds of whole-array
+    numpy ops instead of a Python loop per site.  Returns
+    (ok, cells, sentinel): ``ok[k]`` certifies site ``sites[k]`` exact
+    (others must go through the exact per-site loop)."""
+    xmin, ymin, xmax, ymax = bbox
+    n = len(pts)
+    bx = np.floor(pts[:, 0] / cell_size).astype(np.int64)
+    by = np.floor(pts[:, 1] / cell_size).astype(np.int64)
+    bminx, bminy = bx.min(), by.min()
+    W = int(bx.max() - bminx) + 1
+    H = int(by.max() - bminy) + 1
+    if W * H > 8 * n + 64:
+        return None  # bucket space too sparse for the dense-grid layout
+    key = (bx - bminx) * H + (by - bminy)
+    occ = np.bincount(key, minlength=W * H)
+    L = int(occ.max())
+    if L > 16:
+        return None  # pathological duplicate pile-ups: loop handles them
+    slots = np.full((W * H + 1, L), -1, dtype=np.int64)
+    order = np.argsort(key, kind="stable")
+    starts = np.zeros(W * H, dtype=np.int64)
+    starts[1:] = np.cumsum(occ)[:-1]
+    slot_pos = np.arange(n) - starts[key[order]]
+    slots[key[order], slot_pos] = order
+
+    # candidate matrix from the 5x5 neighborhood (complete within 2*cell)
+    offs = [(dx, dy) for dx in range(-2, 3) for dy in range(-2, 3)]
+    S = len(sites)
+    sbx, sby = bx[sites] - bminx, by[sites] - bminy
+    nkeys = np.empty((S, len(offs)), dtype=np.int64)
+    for k, (dx, dy) in enumerate(offs):
+        cx, cy = sbx + dx, sby + dy
+        ok = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
+        nkeys[:, k] = np.where(ok, cx * H + cy, W * H)
+    cand = slots[nkeys].reshape(S, -1)  # (S, 25*L)
+    ps = pts[sites]
+    valid = (cand >= 0) & (cand != sites[:, None])
+    d2 = np.sum((pts[np.where(cand >= 0, cand, 0)] - ps[:, None, :]) ** 2, axis=2)
+    d2 = np.where(valid, d2, np.inf)
+    dup = valid & (d2 <= 0.0)
+    sentinel = (dup & (cand < sites[:, None])).any(axis=1)
+    inside = (
+        (ps[:, 0] >= xmin) & (ps[:, 0] <= xmax)
+        & (ps[:, 1] >= ymin) & (ps[:, 1] <= ymax)
+    )
+    sentinel |= ~inside
+    d2 = np.where(dup, np.inf, d2)
+
+    C = d2.shape[1]
+    M = min(max_rounds, C)
+    part = np.argpartition(d2, M - 1, axis=1)[:, :M] if M < C else np.argsort(d2, axis=1)
+    dM = np.take_along_axis(d2, part, axis=1)
+    rord = np.argsort(dM, axis=1, kind="stable")
+    slots_sorted = np.take_along_axis(part, rord, axis=1)
+    # slot indices -> point ids (cand holds the point id per slot)
+    nbr = np.take_along_axis(
+        np.where(cand >= 0, cand, 0), slots_sorted, axis=1
+    )
+    nd2 = np.take_along_axis(dM, rord, axis=1)  # (S, M) ascending
+    d_next2 = (
+        np.partition(d2, M, axis=1)[:, M] if M < C else np.full(S, np.inf)
+    )
+    horizon2 = (2.0 * cell_size) ** 2
+    cover2 = np.minimum(d_next2, horizon2)
+
+    base = bbox_polygon(xmin, ymin, xmax, ymax)
+    P = np.broadcast_to(base, (S, 4, 2)).copy()
+    cnt = np.full(S, 4, dtype=np.int64)
+    finished = sentinel.copy()
+    for j in range(M):
+        act = ~finished & np.isfinite(nd2[:, j])
+        if not act.any():
+            break
+        vm = np.arange(P.shape[1])[None, :] < cnt[:, None]
+        vd2 = np.where(vm, np.sum((P - ps[:, None, :]) ** 2, axis=2), 0.0)
+        r2 = vd2.max(axis=1)
+        # security stop must also account for points ABSENT from the 5x5
+        # candidate neighborhood: they are only guaranteed farther than
+        # the horizon, so the nearest unprocessed distance is the min
+        newly_done = act & (np.minimum(nd2[:, j], horizon2) > 4.0 * r2)
+        finished |= newly_done
+        act &= ~newly_done
+        if not act.any():
+            continue
+        q = pts[nbr[:, j]]
+        a = np.where(act, q[:, 0] - ps[:, 0], 0.0)
+        b = np.where(act, q[:, 1] - ps[:, 1], 0.0)
+        mid = 0.5 * (ps + q)
+        c = np.where(act, a * mid[:, 0] + b * mid[:, 1], 1.0)
+        P, cnt = _clip_batch(P, cnt, a, b, c)
+
+    vm = np.arange(P.shape[1])[None, :] < cnt[:, None]
+    vd2 = np.where(vm, np.sum((P - ps[:, None, :]) ** 2, axis=2), 0.0)
+    r2 = vd2.max(axis=1)
+    ok = finished | (4.0 * r2 <= cover2)
+    ok[sentinel] = True  # sentinels are trivially final
+    cells: list[np.ndarray] = []
+    empty = np.empty((0, 2), dtype=np.float64)
+    for k in range(S):
+        if sentinel[k] or cnt[k] < 3:
+            cells.append(empty)
+        else:
+            cells.append(P[k, : cnt[k]].copy())
+    return ok, cells, sentinel
+
+
 def voronoi_cells(
     points: np.ndarray,
     bbox: tuple[float, float, float, float],
@@ -93,16 +240,21 @@ def voronoi_cells(
 ) -> list[np.ndarray]:
     """Clipped Voronoi cell (ccw vertex array) per input site.
 
-    Exact for every site: neighbors stream in increasing distance and
-    clipping stops at the security radius.  The bucket grid makes the
-    expected per-site cost O(#near neighbors), so the whole kernel is
-    ~O(n) for grid-like data (vs the reference's global qhull).
-    Degenerate sites (duplicates) get an empty array (sentinel).
+    Two physical strategies for one exact semantics:
+    - a VECTORIZED batch pass builds all cells simultaneously (M
+      sorted-neighbor clip rounds over padded arrays — whole-array numpy
+      ops, no per-site Python loop) and certifies each cell with the
+      security-radius criterion;
+    - sites the batch pass cannot certify (sparse regions, elongated
+      boundary cells, duplicate pile-ups) fall back to the per-site
+      streaming loop, which is exact for every site: neighbors stream in
+      increasing distance and clipping stops at the security radius.
 
-    ``site_mask`` restricts which sites get cells BUILT (all points
-    still act as neighbors) — the tile+halo path only builds home-tile
-    cells, skipping halo sites whose (discarded, artificially huge)
-    cells would dominate the cost."""
+    Degenerate sites (duplicates, outside-bbox) get an empty array
+    (sentinel).  ``site_mask`` restricts which sites get cells BUILT
+    (all points still act as neighbors) — the tile+halo path only
+    builds home-tile cells, skipping halo sites whose (discarded,
+    artificially huge) cells would dominate the cost."""
     pts = np.asarray(points, dtype=np.float64)
     n = len(pts)
     if n == 0:
@@ -127,7 +279,24 @@ def voronoi_cells(
     base = bbox_polygon(xmin, ymin, xmax, ymax)
     empty = np.empty((0, 2), dtype=np.float64)
     out: list[np.ndarray] = [empty] * n
-    build = range(n) if site_mask is None else np.nonzero(site_mask)[0]
+    build = (
+        np.arange(n) if site_mask is None else np.nonzero(site_mask)[0]
+    )
+
+    # escalating batch passes: tight buckets certify lattice-like sites
+    # cheaply; a wider second pass (horizon 4 x spacing) catches most of
+    # the rest; anything still uncertified goes through the exact loop
+    for mult in (1.0, 2.0):
+        if len(build) < 64:
+            break
+        got = _batch_cells(pts, build, bbox, cell_size * mult)
+        if got is None:
+            break
+        ok, cells, _sent = got
+        for k in np.nonzero(ok)[0]:
+            out[build[k]] = cells[k]
+        build = build[~ok]  # uncertified sites continue down
+
     for i in build:
         p = pts[i]
         if not keep[i] or not (xmin <= p[0] <= xmax and ymin <= p[1] <= ymax):
@@ -192,6 +361,43 @@ def voronoi_cells(
                     done = True  # every point that could cut was seen
             seen_upto = complete2
             ring += 1
+            if ring > 8 and not done:
+                # site borders a large empty region (cell far bigger than
+                # the bucket spacing): ring-walking would crawl across
+                # thousands of empty buckets.  Switch to one vectorized
+                # distance sort over ALL points, then screen candidates
+                # in chunks — a candidate can only change the cell if
+                # some CURRENT vertex lies on its far side, and the cell
+                # only shrinks, so screened-out candidates stay out.
+                d2all = np.sum((pts - p) ** 2, axis=1)
+                order_all = np.argsort(d2all, kind="stable")
+                order_all = order_all[d2all[order_all] >= seen_upto]
+                order_all = order_all[order_all != i]
+                dups = order_all[d2all[order_all] <= 0.0]
+                if (dups < i).any():
+                    poly = empty
+                order_all = order_all[d2all[order_all] > 0.0]
+                k = 0
+                while k < len(order_all) and len(poly) > 0:
+                    r2 = np.sum((poly - p) ** 2, axis=1).max()
+                    if d2all[order_all[k]] > 4.0 * r2:
+                        break  # security radius: sorted order ⇒ final
+                    chunk = order_all[k:k + 512]
+                    q = pts[chunk]
+                    ab = q - p  # (C, 2)
+                    cc = np.einsum("cd,cd->c", ab, 0.5 * (p + q))
+                    side = ab @ poly.T - cc[:, None]  # (C, V)
+                    for j in chunk[(side > 0.0).any(axis=1)]:
+                        qj = pts[j]
+                        mid = 0.5 * (p + qj)
+                        a, b = qj - p
+                        poly = clip_halfplane(
+                            poly, a, b, a * mid[0] + b * mid[1]
+                        )
+                        if len(poly) == 0:
+                            break
+                    k += 512
+                done = True
         out[i] = poly if len(poly) >= 3 else empty
     return out
 
