@@ -8,6 +8,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 from hypothesis import given, settings
+from pyspark.sql import functions as F
 from hypothesis import strategies as st
 
 from wrf_to_geodataframe_spark.geometry.polygons import (
@@ -140,6 +141,36 @@ def test_driver_tessellate_on_spark(spark):
     total = sum(r.area for r in out)
     bbox_area = (bbox[2] - bbox[0]) * (bbox[3] - bbox[1])
     assert abs(total - bbox_area) < 1e-8 * bbox_area
+
+
+def test_distributed_scale_20k_all_exact(spark):
+    """Scale smoke for the tile+halo path: 20k-site curvilinear grid,
+    every cell certified exact, areas partition the bbox."""
+    from wrf_to_geodataframe_spark.geometry.tessellate import tessellate_distributed
+
+    # shear 0.05 -> the empty bbox corners are ~6 units wide, so the
+    # worst boundary cell has 2R ~ 13; halo must exceed that for the
+    # exactness certificate to hold everywhere
+    pts = _grid_points(160, 125, shear=0.05)
+    rows = [(i, float(p[0]), float(p[1])) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, "site_id long, x double, y double")
+    bbox = (
+        float(pts[:, 0].min() - 0.5), float(pts[:, 1].min() - 0.5),
+        float(pts[:, 0].max() + 0.5), float(pts[:, 1].max() + 0.5),
+    )
+    out = tessellate_distributed(
+        df, "x", "y", ["site_id"], bbox=bbox,
+        tile_size=25.0, halo=15.0, spacing_hint=1.0,
+    )
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("exact").cast("long")).alias("n_exact"),
+        F.sum("area").alias("total"),
+    ).collect()[0]
+    assert agg.n == 20_000
+    assert agg.n_exact == 20_000
+    bbox_area = (bbox[2] - bbox[0]) * (bbox[3] - bbox[1])
+    assert abs(agg.total - bbox_area) < 1e-6 * bbox_area
 
 
 def test_distributed_equals_driver(spark):

@@ -190,7 +190,7 @@ def tessellate_distributed(
             {f.name: np.array([], dtype=_np_dtype[f.dataType]) for f in schema}
         )
 
-    def run_tile(tile_key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def run_tile(tile_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ti, tj = (int(v) for v in tile_key)
         is_home = (pdf["home_i"] == ti) & (pdf["home_j"] == tj)
         if not is_home.any():
