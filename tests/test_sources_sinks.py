@@ -127,6 +127,26 @@ def test_wkb_roundtrip():
     np.testing.assert_array_equal(back, ring)
 
 
+def test_wkb_column_geoparquet_roundtrip(spark, tmp_path):
+    """The scale sink: vertex arrays -> WKB binary column -> parquet ->
+    read back -> parse -> identical rings."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.sources.geopackage import with_wkb_column
+
+    rows = [
+        (1, [[0.0, 0.0], [2.0, 0.0], [2.0, 1.0], [0.0, 1.0]]),
+        (2, [[5.0, 5.0], [6.0, 5.0], [6.0, 6.0]]),
+    ]
+    df = spark.createDataFrame(rows, "cell_id long, poly array<array<double>>")
+    out = str(tmp_path / "cells_geoparquet")
+    with_wkb_column(df, "poly").select("cell_id", "wkb").write.parquet(out)
+    back = {r.cell_id: r.wkb for r in spark.read.parquet(out).collect()}
+    for cid, ring in rows:
+        got = parse_polygon_wkb(bytes(back[cid]))
+        np.testing.assert_array_equal(got, np.asarray(ring))
+
+
 def test_geopackage_write_and_readback(tmp_path):
     path = str(tmp_path / "out.gpkg")
     rows = [

@@ -15,6 +15,7 @@ import sqlite3
 import struct
 
 import numpy as np
+import pandas as pd
 
 
 def polygon_wkb(ring: np.ndarray) -> bytes:
@@ -128,6 +129,25 @@ def write_geopackage(
     )
     con.commit()
     con.close()
+
+
+def with_wkb_column(df, poly_col: str, out_col: str = "wkb"):
+    """Attach a WKB BinaryType column encoding the vertex-array polygon —
+    the GeoParquet-compatible scale sink: ``df.write.parquet`` of the
+    result is the distributed alternative to the driver-side GPKG
+    collect (SURVEY.md §2 S3 scale note).  Arrow-vectorized pandas_udf;
+    inverse is :func:`parse_polygon_wkb`."""
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("binary")
+    def _encode(polys: pd.Series) -> pd.Series:
+        return polys.map(
+            lambda p: polygon_wkb(np.asarray([list(v) for v in p], dtype=float))
+            if p is not None and len(p) >= 3
+            else None
+        )
+
+    return df.withColumn(out_col, _encode(col(poly_col)))
 
 
 def write_cells_geopackage(df, path: str, layer: str = "cells") -> None:
