@@ -141,6 +141,77 @@ def test_multimodal_decode_is_stubbed(spark):
     )
 
 
+def test_lang_id_semantics_on_known_texts(spark):
+    """Marker scoring must actually separate languages (the oracle only
+    mirrors the expression; this pins intent on hand-written inputs)."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.functions.text import tokens
+
+    from wrf_to_geodataframe_spark.suite.pipeline import _LANG_MARKERS
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is a friend"),
+            (2, "el perro y la casa que de madrid"),
+            (3, "der hund und die katze ist hier"),
+            (4, "le chat et la maison est grand"),
+            (5, "xyzzy qwerty plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    toks = tokens(F.lower(F.col("text")))
+
+    def score(markers):
+        arr = F.array(*[F.lit(x) for x in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+    scores = {lang: score(m) for lang, m in _LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in ["en", "es", "de", "fr"]:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    got = {r.doc_id: r.p for r in df.select("doc_id", pred.alias("p")).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "und"}
+
+
+def test_token_and_quality_semantics_on_known_text(spark):
+    from pyspark.sql import functions as F
+
+    text = "Hello world, 42 cats!"
+    df = spark.createDataFrame([(text,)], "text string")
+    n_bpe = df.select(
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0
+            )
+        ).alias("n")
+    ).collect()[0].n
+    # Hello | world | , | 4 | 2 | cats | !
+    assert n_bpe == 7
+    n_words = df.select(F.size(F.split("text", " ")).alias("n")).collect()[0].n
+    assert n_words == 4
+    n_punct = df.select(
+        (
+            F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+        ).alias("n")
+    ).collect()[0].n
+    assert n_punct == 2  # comma + bang
+
+
+def test_fingerprint_normalizes_case_and_whitespace(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different text")],
+        "doc_id long, text string",
+    )
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    fps = {r.doc_id: r.fp for r in df.select("doc_id", F.md5(norm).alias("fp")).collect()}
+    assert fps[1] == fps[2]  # case/whitespace noise collapses
+    assert fps[1] != fps[3]
+
+
 def test_dedup_exact_partitions_the_corpus(spark):
     from wrf_to_geodataframe_spark.session import load_table
     from wrf_to_geodataframe_spark.suite.pipeline import dedup_exact
