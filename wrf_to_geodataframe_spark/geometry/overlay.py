@@ -132,22 +132,67 @@ def overlay_intersection(
     pass_cols = [f.name for f in out_fields]
 
     def clip_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from wrf_to_geodataframe_spark.geometry.voronoi import _clip_batch
+
         for pdf in it:
-            areas = np.empty(len(pdf), dtype=np.float64)
-            wkts: list[str] = []
-            pa, pb = pdf[a_poly], pdf[b_poly]
-            for r in range(len(pdf)):
-                inter = convex_clip_polygon(
-                    np.asarray([list(v) for v in pa.iloc[r]], dtype=np.float64),
-                    np.asarray([list(v) for v in pb.iloc[r]], dtype=np.float64),
-                )
-                areas[r] = shoelace_area(inter)
+            n = len(pdf)
+            if n == 0:
+                out = pdf[pass_cols].copy()
+                out["area_inter"] = np.empty(0, dtype=np.float64)
                 if keep_wkt:
-                    wkts.append(polygon_wkt(inter))
+                    out["wkt_inter"] = []
+                yield out
+                continue
+            pa = [
+                np.asarray([list(v) for v in p], dtype=np.float64)
+                for p in pdf[a_poly]
+            ]
+            pb = [
+                np.asarray([list(v) for v in p], dtype=np.float64)
+                for p in pdf[b_poly]
+            ]
+            # vectorized across rows: pad the a-polygons, then clip every
+            # row by ITS b-polygon's k-th edge per round (rows whose b has
+            # fewer edges get a neutral half-plane)
+            va = max(len(p) for p in pa)
+            vb = max(len(p) for p in pb)
+            P = np.zeros((n, va, 2), dtype=np.float64)
+            cnt = np.fromiter((len(p) for p in pa), dtype=np.int64, count=n)
+            for r, p in enumerate(pa):
+                P[r, : len(p)] = p
+            B = np.zeros((n, vb, 2), dtype=np.float64)
+            bcnt = np.fromiter((len(p) for p in pb), dtype=np.int64, count=n)
+            for r, p in enumerate(pb):
+                B[r, : len(p)] = p
+            for k in range(vb):
+                has = bcnt > k
+                v1 = B[:, k]
+                nxt = np.where(k + 1 < bcnt, k + 1, 0)
+                v2 = B[np.arange(n), nxt]
+                ex, ey = v2[:, 0] - v1[:, 0], v2[:, 1] - v1[:, 1]
+                a = np.where(has, ey, 0.0)
+                bcol = np.where(has, -ex, 0.0)
+                c = np.where(has, ey * v1[:, 0] - ex * v1[:, 1], 1.0)
+                P, cnt = _clip_batch(P, cnt, a, bcol, c)
+            vm = np.arange(P.shape[1])[None, :] < cnt[:, None]
+            x = np.where(vm, P[..., 0], 0.0)
+            y = np.where(vm, P[..., 1], 0.0)
+            # shoelace over padded rings: roll within the valid prefix
+            idx = np.arange(P.shape[1])[None, :]
+            nxt = np.where(idx + 1 < cnt[:, None], idx + 1, 0)
+            xr = np.take_along_axis(x, nxt, axis=1)
+            yr = np.take_along_axis(y, nxt, axis=1)
+            areas = 0.5 * np.abs(
+                np.where(vm, x * yr - xr * y, 0.0).sum(axis=1)
+            )
+            areas = np.where(cnt >= 3, areas, 0.0)
             out = pdf[pass_cols].copy()
             out["area_inter"] = areas
             if keep_wkt:
-                out["wkt_inter"] = wkts
+                out["wkt_inter"] = [
+                    polygon_wkt(P[r, : cnt[r]]) if cnt[r] >= 3 else "POINT (0 0)"
+                    for r in range(n)
+                ]
             yield out
 
     return joined.mapInPandas(clip_batches, out_schema).filter(
