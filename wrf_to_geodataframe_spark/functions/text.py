@@ -29,10 +29,12 @@ def tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-gram word shingles as an array column — the unit of
-    near-duplicate detection (MinHash/Jaccard both consume these)."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-gram word shingles from a MATERIALIZED token-array
+    column — the unit of near-duplicate detection (MinHash/Jaccard both
+    consume these).  Taking the array column (not the raw text) matters:
+    a split() inlined into the transform lambda would re-tokenize the
+    document once per shingle element (O(words^2) per doc)."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
@@ -47,6 +49,7 @@ def exploded_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, shingle) inverted-index rows — the scale-out layout: a
     self-equi-join on ``s`` is the candidate generator for near-dup
     detection (no all-pairs comparison ever materializes)."""
-    return docs.select(
-        "doc_id", F.explode(shingles(F.col("text"), k)).alias("s")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    return toked.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("toks"), k)).alias("s")
     )

@@ -242,6 +242,10 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hw = tw.groupBy("doc_id").agg(
         F.collect_list(F.struct("h", "w")).alias("hw")
+    ).withColumn(
+        # total weight hoisted out of the per-bit transform (otherwise it
+        # re-aggregates the token list once per bit)
+        "tot", F.expr("aggregate(hw, 0L, (acc, x) -> acc + x.w)")
     )
     sims = hw.select(
         "doc_id",
@@ -251,7 +255,7 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
               transform(sequence(0, 59), b ->
                 CASE WHEN 2 * aggregate(hw, 0L,
                          (acc, x) -> acc + x.w * ((shiftright(x.h, b)) & 1L)) >
-                         aggregate(hw, 0L, (acc, x) -> acc + x.w)
+                         tot
                      THEN shiftleft(1L, b) ELSE 0L END),
               0L, (acc, v) -> acc + v)
             """
