@@ -222,14 +222,36 @@ def _batch_cells(
     r2 = vd2.max(axis=1)
     ok = finished | (4.0 * r2 <= cover2)
     ok[sentinel] = True  # sentinels are trivially final
+    eps = 1e-9 * (1.0 + np.sqrt((xmax - xmin) ** 2 + (ymax - ymin) ** 2))
     cells: list[np.ndarray] = []
     empty = np.empty((0, 2), dtype=np.float64)
     for k in range(S):
         if sentinel[k] or cnt[k] < 3:
             cells.append(empty)
         else:
-            cells.append(P[k, : cnt[k]].copy())
+            cells.append(_dedup_ring(P[k, : cnt[k]].copy(), eps))
     return ok, cells, sentinel
+
+
+def _dedup_ring(poly: np.ndarray, eps: float) -> np.ndarray:
+    """Drop near-duplicate consecutive vertices (cyclic).  Clip
+    intersections computed on long edges carry ~1e-15 relative error, so
+    a later bisector tangent to a vertex can emit the vertex AND an
+    epsilon-away crossing point; which pair appears depends on the
+    neighbor tie-order, making tile-distributed output differ from the
+    driver run by phantom vertices unless normalized here."""
+    n = len(poly)
+    if n < 3:
+        return poly
+    keep = np.ones(n, dtype=bool)
+    for i in range(n):
+        j = (i + 1) % n
+        if keep[i] and abs(poly[j, 0] - poly[i, 0]) <= eps and abs(
+            poly[j, 1] - poly[i, 1]
+        ) <= eps:
+            keep[j] = False
+    out = poly[keep]
+    return out if len(out) >= 3 else np.empty((0, 2), dtype=np.float64)
 
 
 def voronoi_cells(
@@ -279,6 +301,7 @@ def voronoi_cells(
     base = bbox_polygon(xmin, ymin, xmax, ymax)
     empty = np.empty((0, 2), dtype=np.float64)
     out: list[np.ndarray] = [empty] * n
+    _ring_eps = 1e-9 * (1.0 + np.sqrt(diag2))
     build = (
         np.arange(n) if site_mask is None else np.nonzero(site_mask)[0]
     )
@@ -398,7 +421,7 @@ def voronoi_cells(
                             break
                     k += 512
                 done = True
-        out[i] = poly if len(poly) >= 3 else empty
+        out[i] = _dedup_ring(poly, _ring_eps) if len(poly) >= 3 else empty
     return out
 
 

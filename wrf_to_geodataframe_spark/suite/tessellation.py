@@ -105,7 +105,9 @@ def g1_tessellation_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, "x", "y", ["user_id"],
         bbox=bbox, tile_size=8.0, halo=4.0, spacing_hint=1.0,
     )
-    area_q = F.floor(F.col("area") * F.lit(1e6)).cast("long")
+    # round (not floor): kernel areas can sit at 1.0 +/- 1e-15, and floor
+    # would drop a full quantum on the -epsilon side
+    area_q = F.round(F.col("area") * F.lit(1e6)).cast("long")
     return cells.agg(
         (F.sum(area_q).cast("double") / F.lit(1e6)).alias("total_area"),
         F.count(F.lit(1)).alias("n_cells"),
