@@ -220,3 +220,30 @@ def test_dedup_exact_partitions_the_corpus(spark):
     groups = dedup_exact(spark, SF01).collect()
     assert sum(r.n_copies for r in groups) == n_docs
     assert all(r.n_copies >= 1 for r in groups)
+
+
+def test_short_docs_emit_zero_shingles(spark):
+    """ADVICE r2 (medium): documents with fewer than k whitespace tokens
+    must produce NO shingles — the oracle's generate_series(1, len-k+1)
+    is empty for them, so a padded pseudo-shingle silently diverges."""
+    from wrf_to_geodataframe_spark.functions.text import (
+        shingles_from_tokens,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "three word doc"),
+         (4, "a four word doc")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id",
+            shingles_from_tokens(tokens(F.col("text"))).alias("sh"),
+        ).collect()
+    }
+    assert got[1] == []
+    assert got[2] == []
+    assert got[3] == ["three word doc"]
+    assert got[4] == ["a four word", "four word doc"]

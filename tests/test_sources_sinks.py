@@ -235,3 +235,32 @@ def test_reference_workflow_end_to_end(spark, tmp_path):
     n = con.execute('SELECT count(*) FROM "cells"').fetchone()[0]
     assert n == ny * nx
     con.close()
+
+
+def test_geopackage_empty_layer_and_null_first_value(tmp_path):
+    """ADVICE r2: empty rows must write a NULL-extent layer (not crash),
+    and a None first value must not mistype the column as TEXT."""
+    path = str(tmp_path / "empty.gpkg")
+    write_geopackage(path, "empty_layer", [])
+    con = sqlite3.connect(path)
+    ext = con.execute(
+        "SELECT min_x, min_y, max_x, max_y FROM gpkg_contents "
+        "WHERE table_name='empty_layer'"
+    ).fetchone()
+    assert ext == (None, None, None, None)
+    con.close()
+
+    path2 = str(tmp_path / "nulls.gpkg")
+    sq = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], float)
+    write_geopackage(
+        path2, "cells",
+        [{"geom": sq, "v": None}, {"geom": sq, "v": 2.5}],
+    )
+    con = sqlite3.connect(path2)
+    (decl,) = [
+        r[2] for r in con.execute('PRAGMA table_info("cells")') if r[1] == "v"
+    ]
+    assert decl == "DOUBLE"
+    got = [r[0] for r in con.execute('SELECT v FROM "cells" ORDER BY fid')]
+    assert got == [None, 2.5]
+    con.close()

@@ -203,3 +203,55 @@ def test_distributed_equals_driver(spark):
         t = dst[sid]
         assert d.wkt == t.wkt
         assert d.area == t.area
+
+
+def test_thin_cell_dedup_keeps_site_inside():
+    """Regression (hypothesis, round 3): the phantom-vertex ring dedup
+    must never merge away a real vertex of a legitimately-thin cell and
+    evict the site from its own polygon."""
+    pts = np.array(
+        [[0.0, 7.0], [0.0, 1.175494351e-38],
+         [5.960464477539063e-08, 2.220446049250313e-16],
+         [1.175494351e-38, 1.175494351e-38]]
+    )
+    bbox = (-1.0, -1.0, 11.0, 11.0)
+    cells = voronoi_cells(pts, bbox)
+    _assert_partition(pts, bbox, cells)
+
+
+def test_driver_guard_raises_before_full_collect(spark):
+    from wrf_to_geodataframe_spark.geometry.tessellate import tessellate
+
+    pts = _grid_points(10, 10)
+    rows = [(i, float(p[0]), float(p[1])) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, "site_id long, x double, y double")
+    with pytest.raises(ValueError, match="tessellation\nlimit|limit"):
+        tessellate(df, "x", "y", ["site_id"], max_points=50)
+
+
+def test_coincident_sites_tiebreak_stable_across_paths(spark):
+    """ADVICE r2: which duplicate key receives the cell (vs the
+    sentinel) must be the LOWEST KEY on both tessellation paths, not
+    shuffle/collection order."""
+    from wrf_to_geodataframe_spark.geometry.tessellate import (
+        tessellate,
+        tessellate_distributed,
+    )
+
+    pts = _grid_points(6, 5)
+    rows = [(i, float(p[0]), float(p[1])) for i, p in enumerate(pts)]
+    # two extra sites exactly coincident with site 7, keys ABOVE and
+    # BELOW would change the winner if order mattered; use high keys so
+    # the original site 7 must win on both paths
+    dup_x, dup_y = rows[7][1], rows[7][2]
+    rows += [(100, dup_x, dup_y), (101, dup_x, dup_y)]
+    bbox = (-0.5, -0.5, 5.5, 4.5)
+    df = spark.createDataFrame(rows, "site_id long, x double, y double").repartition(8)
+    drv = {r.site_id: r.is_sentinel for r in
+           tessellate(df, "x", "y", ["site_id"], bbox=bbox).collect()}
+    dst = {r.site_id: r.is_sentinel for r in
+           tessellate_distributed(
+               df, "x", "y", ["site_id"], bbox=bbox, tile_size=2.0, halo=3.0
+           ).collect()}
+    assert drv == dst
+    assert drv[7] is False and drv[100] is True and drv[101] is True

@@ -35,12 +35,19 @@ def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     consume these).  Taking the array column (not the raw text) matters:
     a split() inlined into the transform lambda would re-tokenize the
     document once per shingle element (O(words^2) per doc)."""
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+        ),
+    )
+    # documents with fewer than k tokens have NO k-shingles (matching the
+    # oracle's generate_series(1, len-k+1), which is empty for len < k) —
+    # without the guard a padded pseudo-shingle of the whole short doc
+    # would silently diverge from the oracle on sub-k documents
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-            ),
+        F.when(F.size(toks) >= k, ngrams).otherwise(
+            F.array().cast("array<string>")
         )
     )
 

@@ -115,12 +115,17 @@ def tessellate(
     ``wrf_voronoi.py:126-137``): collect points, run the kernel once,
     parallelize the cells back with explicit keys."""
     spark = df.sparkSession
-    pdf = df.select(*key_cols, x_col, y_col).toPandas()
+    # limit() caps the collect BEFORE it reaches the driver: the guard
+    # must prevent the oversized materialization, not fire after it
+    pdf = df.select(*key_cols, x_col, y_col).limit(max_points + 1).toPandas()
     if len(pdf) > max_points:
         raise ValueError(
-            f"{len(pdf)} points exceed driver tessellation limit "
-            f"{max_points}; use tessellate_distributed"
+            f"more than {max_points} points exceed the driver tessellation "
+            f"limit; use tessellate_distributed"
         )
+    # deterministic coincident-site tie-break: lowest key wins, matching
+    # the distributed path's per-tile sort (not collection order)
+    pdf = pdf.sort_values(list(key_cols), kind="stable", ignore_index=True)
     if bbox is None:
         xs, ys = pdf[x_col], pdf[y_col]
         bbox = (xs.min(), ys.min(), xs.max(), ys.max())
@@ -192,10 +197,12 @@ def tessellate_distributed(
 
     def run_tile(tile_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ti, tj = (int(v) for v in tile_key)
-        is_home = (pdf["home_i"] == ti) & (pdf["home_j"] == tj)
+        # sort by key so the kernel's "lowest index wins" duplicate
+        # tie-break is a function of the stable key, not shuffle order
+        local = pdf.sort_values(keys, kind="stable", ignore_index=True)
+        is_home = (local["home_i"] == ti) & (local["home_j"] == tj)
         if not is_home.any():
             return _empty()
-        local = pdf.reset_index(drop=True)
         px = local[x_col].to_numpy(np.float64)
         py = local[y_col].to_numpy(np.float64)
         # certificate slack: absent points are farther than

@@ -40,6 +40,7 @@ import numpy as np
 from wrf_to_geodataframe_spark.geometry.polygons import (
     bbox_polygon,
     clip_halfplane,
+    point_in_convex_polygon,
 )
 
 DEFAULT_MAX_DRIVER_POINTS = 2_000_000
@@ -229,17 +230,26 @@ def _batch_cells(
         if sentinel[k] or cnt[k] < 3:
             cells.append(empty)
         else:
-            cells.append(_dedup_ring(P[k, : cnt[k]].copy(), eps))
+            cells.append(_dedup_ring(P[k, : cnt[k]].copy(), eps, ps[k]))
     return ok, cells, sentinel
 
 
-def _dedup_ring(poly: np.ndarray, eps: float) -> np.ndarray:
+def _dedup_ring(
+    poly: np.ndarray, eps: float, site: np.ndarray | None = None
+) -> np.ndarray:
     """Drop near-duplicate consecutive vertices (cyclic).  Clip
     intersections computed on long edges carry ~1e-15 relative error, so
     a later bisector tangent to a vertex can emit the vertex AND an
     epsilon-away crossing point; which pair appears depends on the
     neighbor tie-order, making tile-distributed output differ from the
-    driver run by phantom vertices unless normalized here."""
+    driver run by phantom vertices unless normalized here.
+
+    ``site`` guards legitimately-thin cells: merging vertices moves the
+    boundary by up to ``eps``, which can evict a site that sits closer
+    than ``eps`` to its cell wall (near-coincident neighbors).  If the
+    merged ring no longer contains the site, the original ring is kept —
+    a deterministic function of the input, so both tessellation paths
+    agree."""
     n = len(poly)
     if n < 3:
         return poly
@@ -251,7 +261,15 @@ def _dedup_ring(poly: np.ndarray, eps: float) -> np.ndarray:
         ) <= eps:
             keep[j] = False
     out = poly[keep]
-    return out if len(out) >= 3 else np.empty((0, 2), dtype=np.float64)
+    if len(out) < 3:
+        return np.empty((0, 2), dtype=np.float64)
+    if (
+        site is not None
+        and len(out) < n
+        and not point_in_convex_polygon(site[0], site[1], out)
+    ):
+        return poly
+    return out
 
 
 def voronoi_cells(
@@ -421,7 +439,7 @@ def voronoi_cells(
                             break
                     k += 512
                 done = True
-        out[i] = _dedup_ring(poly, _ring_eps) if len(poly) >= 3 else empty
+        out[i] = _dedup_ring(poly, _ring_eps, p) if len(poly) >= 3 else empty
     return out
 
 

@@ -97,9 +97,15 @@ def write_geopackage(
             return "DOUBLE"
         return "TEXT"
 
-    cols = ", ".join(
-        f'"{k}" {sql_type(rows[0][k])}' for k in attr_keys
-    )
+    def col_type(k: str) -> str:
+        # derive from the first NON-None value so a leading NULL doesn't
+        # mistype the whole column as TEXT
+        for r in rows:
+            if r.get(k) is not None:
+                return sql_type(r[k])
+        return "TEXT"
+
+    cols = ", ".join(f'"{k}" {col_type(k)}' for k in attr_keys)
     cur.execute(
         f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY AUTOINCREMENT, '
         f'geom BLOB{", " + cols if cols else ""})'
@@ -117,11 +123,17 @@ def write_geopackage(
                 for k in attr_keys
             ],
         )
+    # empty layer => NULL extent in gpkg_contents (per the GPKG spec an
+    # unknown/empty extent is represented as NULLs, not a crash)
+    extent = (
+        (min(allx), min(ally), max(allx), max(ally))
+        if allx
+        else (None, None, None, None)
+    )
     cur.execute(
         "INSERT INTO gpkg_contents (table_name, data_type, identifier, "
         "min_x, min_y, max_x, max_y, srs_id) VALUES (?,?,?,?,?,?,?,?)",
-        (layer, "features", layer,
-         min(allx), min(ally), max(allx), max(ally), srs_id),
+        (layer, "features", layer, *extent, srs_id),
     )
     cur.execute(
         "INSERT INTO gpkg_geometry_columns VALUES (?,?,?,?,0,0)",

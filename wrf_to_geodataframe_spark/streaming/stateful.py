@@ -32,6 +32,12 @@ def _update(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # idle-key eviction: drop the state and emit nothing — without
+        # this branch every timeout would re-emit a stale row and re-arm,
+        # so state would never actually age out
+        state.remove()
+        return
     n, s, mn, mx = state.get if state.exists else (0, 0, None, None)
     import numpy as np
 
