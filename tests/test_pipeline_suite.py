@@ -247,3 +247,26 @@ def test_short_docs_emit_zero_shingles(spark):
     assert got[2] == []
     assert got[3] == ["three word doc"]
     assert got[4] == ["a four word", "four word doc"]
+
+
+def test_embedding_cosine_pairs_are_true_neardups(spark):
+    """The embedding-cosine near-dup detector (sign-hashed doc vectors +
+    SRP-LSH) must substantially agree with the exact n-gram Jaccard
+    ground truth on the planted duplicates."""
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        dedup_embedding_cosine,
+        dedup_ngram_jaccard,
+    )
+
+    emb_pairs = {
+        (r.da, r.db): r.cosine
+        for r in dedup_embedding_cosine(spark, SF01).collect()
+    }
+    true_pairs = {(r.da, r.db) for r in dedup_ngram_jaccard(spark, SF01).collect()}
+    assert emb_pairs, "planted near-dups should surface"
+    assert all(c >= 0.95 for c in emb_pairs.values())
+    overlap = set(emb_pairs) & true_pairs
+    # precision: almost everything with sketch-cosine >= 0.95 is a true
+    # near-dup; recall: LSH banding catches most of the planted pairs
+    assert len(overlap) >= 0.8 * len(emb_pairs)
+    assert len(overlap) >= 0.7 * len(true_pairs)

@@ -377,6 +377,194 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 3
 
 
 # ---------------------------------------------------------------------------
+# Near-duplicate detection: embedding cosine (sign-hashed doc vectors)
+
+_EC_D = 64  # feature-hash dimensions
+_EC_PLANES = 36  # SRP-LSH hyperplanes
+_EC_ROWS = 12  # bits per band -> 3 bands of 4096 keys: the band key
+# space must grow with the corpus or buckets go quadratic — 4 bits (16
+# keys) measured ~2.3M candidate pairs on a 5k corpus; 12 bits keeps
+# expected random collisions per bucket ~1
+_EC_THRESH = 0.95
+
+
+def _ec_weights() -> list[list[int]]:
+    """Deterministic integer hyperplane weights in [-1000, 1000],
+    derived from md5 at module level (plain constants embedded in both
+    the Spark plan and the oracle SQL — no runtime hashing)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{h}_{j}".encode()).hexdigest()[:15], 16) % 2001
+            - 1000
+            for j in range(_EC_D)
+        ]
+        for h in range(_EC_PLANES)
+    ]
+
+
+_EC_W = _ec_weights()
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: each document is embedded as a
+    64-dim SIGN-HASHED token-count vector (feature hashing with a sign
+    hash, Weinberger et al. ICML'09 — the sign cancels the common-token
+    bias that makes plain bag-of-words histograms all look alike), then
+    random-hyperplane LSH (Charikar STOC'02) blocks candidates: 12
+    deterministic integer hyperplanes -> 12 sign bits -> 3 bands of 4;
+    documents sharing a band key are verified by exact integer cosine.
+
+    Everything is exact BIGINT arithmetic until the final
+    dot/sqrt(na*nb) scalar, so the oracle replays it bit-for-bit; the
+    candidate generator is an equi join on (band, key) — never an
+    all-pairs cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    hashed = tok.select("doc_id", hash60(F.col("t")).alias("h"))
+    hv = hashed.select(
+        "doc_id",
+        (F.col("h") % _EC_D).alias("j"),
+        F.when(F.shiftright(F.col("h"), 6).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    # SPARSE long layout (doc_id, j, v), same as the oracle: a dense
+    # 64-wide conditional aggregate was measured to blow the 64KB
+    # whole-stage-codegen method limit and fall back to interpretation —
+    # the narrow plan stays fully codegen'd.  persist: feeds norms,
+    # plane projection, and both sides of the verification join.
+    vec = (
+        hv.groupBy("doc_id", "j")
+        .agg(F.sum("sgn").cast("long").alias("v"))
+        .persist()
+    )
+    nv = vec.groupBy("doc_id").agg(
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("nq")
+    )
+    # hyperplane weights as a broadcast 768-row dim table (h, j, wt)
+    w = spark.createDataFrame(
+        [(h, j, _EC_W[h][j]) for h in range(_EC_PLANES) for j in range(_EC_D)],
+        "h long, j long, wt long",
+    )
+    bits = (
+        vec.join(F.broadcast(w), "j")
+        .groupBy("doc_id", "h")
+        .agg(
+            F.when(F.sum(F.col("wt") * F.col("v")) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("bit")
+        )
+    )
+    banded = (
+        bits.groupBy(
+            "doc_id", F.floor(F.col("h") / _EC_ROWS).alias("band")
+        )
+        .agg(
+            F.sum(
+                F.expr(f"shiftleft(bit, CAST(h % {_EC_ROWS} AS INT))")
+            ).alias("key")
+        )
+        .persist()
+    )
+    qa, qb = banded.alias("qa"), banded.alias("qb")
+    cand = (
+        qa.join(
+            qb,
+            (F.col("qa.band") == F.col("qb.band"))
+            & (F.col("qa.key") == F.col("qb.key"))
+            & (F.col("qa.doc_id") < F.col("qb.doc_id")),
+        )
+        .select(F.col("qa.doc_id").alias("da"), F.col("qb.doc_id").alias("db"))
+        .distinct()
+    )
+    va = vec.alias("va")
+    vb = vec.alias("vb")
+    dots = (
+        cand.join(va, F.col("da") == F.col("va.doc_id"))
+        .join(
+            vb,
+            (F.col("db") == F.col("vb.doc_id"))
+            & (F.col("va.j") == F.col("vb.j")),
+        )
+        .groupBy("da", "db")
+        .agg(F.sum(F.col("va.v") * F.col("vb.v")).cast("long").alias("dot"))
+    )
+    na = nv.alias("na")
+    nb = nv.alias("nb")
+    cosine = F.col("dot").cast("double") / F.sqrt(
+        F.col("na.nq").cast("double") * F.col("nb.nq").cast("double")
+    )
+    return (
+        dots.join(na, F.col("da") == F.col("na.doc_id"))
+        .join(nb, F.col("db") == F.col("nb.doc_id"))
+        .filter((F.col("na.nq") > 0) & (F.col("nb.nq") > 0))
+        .select("da", "db", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _EC_THRESH)
+    )
+
+
+def _ec_weight_values() -> str:
+    return ", ".join(
+        f"({h}, {j}, {_EC_W[h][j]})"
+        for h in range(_EC_PLANES)
+        for j in range(_EC_D)
+    )
+
+
+_EMBED_COSINE_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+hv AS (
+    SELECT doc_id, h % {_EC_D} AS j,
+           CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+    FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+          FROM tok)
+),
+vec AS (
+    SELECT doc_id, j, CAST(sum(sgn) AS BIGINT) AS v FROM hv GROUP BY 1, 2
+),
+nv AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS nq FROM vec GROUP BY 1),
+w(h, j, wt) AS (VALUES {_ec_weight_values()}),
+bits AS (
+    SELECT vec.doc_id, w.h,
+           CASE WHEN CAST(sum(w.wt * vec.v) AS BIGINT) > 0 THEN 1 ELSE 0 END
+               AS bit
+    FROM vec JOIN w ON vec.j = w.j
+    GROUP BY 1, 2
+),
+bands AS (
+    SELECT doc_id, CAST(floor(h / {_EC_ROWS}.0) AS BIGINT) AS band,
+           CAST(sum(bit << (h % {_EC_ROWS})) AS BIGINT) AS key
+    FROM bits GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT qa.doc_id AS da, qb.doc_id AS db
+    FROM bands qa JOIN bands qb
+      ON qa.band = qb.band AND qa.key = qb.key AND qa.doc_id < qb.doc_id
+),
+ver AS (
+    SELECT c.da, c.db, CAST(sum(va.v * vb.v) AS BIGINT) AS dot
+    FROM cand c
+    JOIN vec va ON va.doc_id = c.da
+    JOIN vec vb ON vb.doc_id = c.db AND va.j = vb.j
+    GROUP BY 1, 2
+)
+SELECT da, db,
+       CAST(dot AS DOUBLE) / sqrt(CAST(qa.nq AS DOUBLE) * qb.nq) AS cosine
+FROM ver
+JOIN nv qa ON da = qa.doc_id
+JOIN nv qb ON db = qb.doc_id
+WHERE qa.nq > 0 AND qb.nq > 0
+  AND CAST(dot AS DOUBLE) / sqrt(CAST(qa.nq AS DOUBLE) * qb.nq)
+      >= {_EC_THRESH}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Text analysis: quality scoring, language ID, token stats, fingerprint
 
 
@@ -974,6 +1162,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "simhash_neardup": simhash_neardup,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
     "text_quality": text_quality,
     "lang_id": lang_id,
     "token_stats": token_stats,
@@ -990,6 +1179,7 @@ ORACLE = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "simhash_neardup": _SIMHASH_SQL,
+    "dedup_embedding_cosine": _EMBED_COSINE_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
     "lang_id": _LANG_ID_SQL,
     "token_stats": _TOKEN_STATS_SQL,
