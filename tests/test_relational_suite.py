@@ -84,3 +84,124 @@ def test_except_distinct_drops_all_error_pairs(spark, sf_dir):
     out = set_except(spark, sf_dir).collect()
     assert len(out) > 0
     assert all(r.event_type != "error" for r in out)
+
+
+def _asof_union_window(spark, ev_rows, probe_rows):
+    """Run the engine's asof composition on in-memory frames (same code
+    shape as suite.relational.j_asof_join, parameterized for fixtures)."""
+    ev = spark.createDataFrame(
+        ev_rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    probes = spark.createDataFrame(probe_rows, "user_id long, t timestamp")
+    tagged_p = probes.select(
+        "user_id", "t", F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    tagged_e = ev.select(
+        "user_id", F.col("ts").alias("t"), F.lit(1).alias("tag"),
+        "event_id", "value",
+    )
+    u = tagged_p.unionByName(tagged_e)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    le = F.last(
+        F.when(F.col("tag") == 1, F.struct("t", "event_id", "value")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        u.withColumn("le", le)
+        .filter((F.col("tag") == 0) & F.col("le").isNotNull())
+        .select("user_id", "t", F.col("le.event_id").alias("asof_id"))
+        .collect()
+    )
+
+
+def test_asof_join_strictly_before_and_latest(spark):
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m, tzinfo=UTC)
+    ev = [
+        (1, t(9), 100, 1.0),
+        (1, t(11, 30), 101, 2.0),
+        (1, t(12), 102, 3.0),   # exactly at the noon probe -> excluded (strict <)
+        (1, t(13), 103, 4.0),   # after the probe -> excluded
+        (2, t(14), 200, 5.0),   # first event after probe -> user 2 has no match
+    ]
+    probes = [(1, t(12)), (2, t(12))]
+    got = {
+        (r.user_id, r.t.replace(tzinfo=UTC)): r.asof_id
+        for r in _asof_union_window(spark, ev, probes)
+    }
+    # user 1: latest strictly before noon is 11:30 (not the 12:00 tie)
+    assert got == {(1, t(12)): 101}
+
+
+def test_range_join_pairs_within_window_across_bucket_boundary(spark):
+    from wrf_to_geodataframe_spark.suite.relational import j_range_join
+
+    # fixture via the real query on sf0.001, validated against a naive
+    # O(n^2) pandas computation
+    out = j_range_join(spark, "/root/testdata/sf0.001")
+    got = {(r.da, r.db): r.delta_us for r in out.collect()}
+    import pandas as pd
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    exp = {}
+    for _, grp in ev.groupby("user_id"):
+        g = grp.sort_values("ts")
+        ts = g["ts"].astype("int64") // 1000  # ns -> us
+        ids = g["event_id"].to_numpy()
+        tv = ts.to_numpy()
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                d = int(tv[j] - tv[i])
+                if 0 < d < 3_600_000_000:
+                    exp[(int(ids[i]), int(ids[j]))] = d
+    assert got == exp
+
+
+def test_sample_hash_is_partition_invariant(spark):
+    from wrf_to_geodataframe_spark.suite.relational import sample_hash
+
+    base = {
+        (r.l_returnflag, r.n_sampled, r.price_cents)
+        for r in sample_hash(spark, "/root/testdata/sf0.001").collect()
+    }
+    # same query over a repartitioned copy must select the same rows
+    from wrf_to_geodataframe_spark.functions.text import hash60
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").repartition(17)
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit("_"),
+        F.col("l_linenumber").cast("string"),
+    )
+    again = {
+        (r.l_returnflag, r.n_sampled, r.price_cents)
+        for r in li.filter(hash60(key) % 20 == 0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("price_cents"),
+        )
+        .collect()
+    }
+    assert base == again
+
+
+def test_unpivot_roundtrips_wide_stats(spark):
+    from wrf_to_geodataframe_spark.suite.relational import unpivot_long
+
+    out = unpivot_long(spark, "/root/testdata/sf0.001").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, {})[r.metric] = r.metric_value
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exp = {
+        r.user_id: {"n_events": float(r.n), "v_min": r.mn, "v_max": r.mx}
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert by_user == exp

@@ -646,6 +646,264 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# As-of join (point-in-time lookup; absent from the reference, standard
+# in time-series engines — composed from union + window, no inequality
+# join, one shuffle)
+
+
+def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN: for every (user, day) probe point at local noon, the
+    user's latest event STRICTLY before that instant.
+
+    Spark has no asof primitive; the scale-safe composition is the
+    union-and-window form: tag probes and events, sort each user's
+    timeline once (ONE shuffle on user_id), and carry the last event
+    struct forward with last(..., ignorenulls) over an
+    unboundedPreceding..-1 frame.  Probes sort BEFORE events at equal
+    timestamps (tag asc), so the frame excludes ties — strict '<'.  The
+    oracle is DuckDB's native ASOF JOIN: independent semantics, not an
+    expression echo."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    probes = ev.select(
+        "user_id",
+        (F.date_trunc("day", F.col("ts")) + F.expr("INTERVAL 12 HOURS")).alias(
+            "t"
+        ),
+    ).distinct()
+    tagged_p = probes.select(
+        "user_id", "t", F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    tagged_e = ev.select(
+        "user_id", F.col("ts").alias("t"), F.lit(1).alias("tag"),
+        "event_id", "value",
+    )
+    u = tagged_p.unionByName(tagged_e)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    le = F.last(
+        F.when(F.col("tag") == 1, F.struct("t", "event_id", "value")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        u.withColumn("le", le)
+        .filter((F.col("tag") == 0) & F.col("le").isNotNull())
+        .select(
+            "user_id",
+            F.col("t").alias("probe_ts"),
+            F.col("le.event_id").alias("asof_event_id"),
+            F.col("le.t").alias("asof_ts"),
+            F.col("le.value").alias("asof_value"),
+        )
+    )
+
+
+_J_ASOF_SQL = """
+WITH probes AS (
+    SELECT DISTINCT user_id,
+           date_trunc('day', ts) + INTERVAL 12 HOUR AS probe_ts
+    FROM events
+)
+SELECT p.user_id, p.probe_ts,
+       e.event_id AS asof_event_id, e.ts AS asof_ts, e.value AS asof_value
+FROM probes p ASOF JOIN events e
+  ON p.user_id = e.user_id AND p.probe_ts > e.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join — banded bucket decomposition
+
+
+def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN: all ordered pairs of a user's events strictly within
+    one hour of each other (0 < t_b - t_a < 1h).
+
+    Spark turns an inequality join into a cartesian unless banded: both
+    sides get an hour-bucket key, the b-side replicates into its bucket
+    and the one below (any qualifying pair spans at most one boundary),
+    and the join becomes an EQUI join on (user, bucket) + exact
+    post-filter.  Each qualifying pair is emitted exactly once — the
+    join fixes bucket = a's bucket, and exactly one of b's two exploded
+    rows matches it.  The oracle is the plain inequality join."""
+    w_us = 3_600_000_000  # one hour in microseconds
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t")
+    )
+    a = ev.select(
+        "user_id",
+        F.col("event_id").alias("da"),
+        F.col("t").alias("ta"),
+        F.floor(F.col("t") / w_us).alias("bkt"),
+    )
+    b = ev.select(
+        "user_id",
+        F.col("event_id").alias("db"),
+        F.col("t").alias("tb"),
+        F.explode(
+            F.array(
+                F.floor(F.col("t") / w_us), F.floor(F.col("t") / w_us) - 1
+            )
+        ).alias("bkt"),
+    )
+    return (
+        a.join(b, ["user_id", "bkt"])
+        .filter(
+            (F.col("tb") > F.col("ta")) & (F.col("tb") < F.col("ta") + w_us)
+        )
+        .select("da", "db", (F.col("tb") - F.col("ta")).alias("delta_us"))
+    )
+
+
+_J_RANGE_SQL = """
+SELECT a.event_id AS da, b.event_id AS db,
+       epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND epoch_us(b.ts) - epoch_us(a.ts) < 3600000000
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (absent from reference; §2.5 gap)
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per event type
+    (Spark ``percentile`` == DuckDB ``quantile_cont``, both the
+    (n-1)*p linear-interpolation definition; outputs rounded at 1e-6 to
+    absorb the engines' differing interpolation op order)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9D)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99D)"), 6).alias("p99"),
+    )
+
+
+_AGG_PCT_SQL = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling (pipeline primitive: reproducible sample
+# independent of partitioning/row order — TABLESAMPLE is neither)
+
+
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% deterministic sample of lineitem by md5 of the composite key,
+    then per-flag totals with the quantization discipline.  The sample
+    membership is a pure function of the key — stable under any
+    partitioning, shuffle, or engine, unlike TABLESAMPLE/rand()."""
+    from wrf_to_geodataframe_spark.functions.text import hash60
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("_"),
+        F.col("l_linenumber").cast("string"),
+    )
+    sampled = li.filter(hash60(key) % 20 == 0)
+    return sampled.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "price_cents"
+        ),
+    )
+
+
+_SAMPLE_SQL = """
+SELECT l_returnflag, count(*) AS n_sampled,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_cents
+FROM lineitem
+WHERE CAST(('0x' || substr(md5(l_orderkey || '_' || l_linenumber), 1, 15))
+           AS BIGINT) % 20 = 0
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct (HLL) — self-validating against the exact count
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count.
+    Sketches differ across engines, so the HASH-CHECKED outputs are the
+    exact count and a boolean asserting Spark's estimate landed within
+    10% — the oracle emits the exact count and TRUE, so an out-of-bounds
+    sketch fails the gate.  At 100 TB the approx path is the one that
+    avoids the count-distinct shuffle entirely (partial-merge sketches)."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_exact"),
+        F.approx_count_distinct("o_custkey").alias("n_approx"),
+    )
+    ok = (
+        F.abs(F.col("n_approx") - F.col("n_exact"))
+        <= 0.1 * F.col("n_exact")
+    )
+    return g.select("o_orderpriority", "n_exact", ok.alias("approx_within_10pct"))
+
+
+_AGG_APPROX_SQL = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_exact,
+       TRUE AS approx_within_10pct
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (wide -> long; inverse of C3's pivot)
+
+
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT: per-user event stats computed wide (n/min/max) and
+    melted to (user_id, metric, metric_value) long form — the inverse of
+    the C3 pivot, Spark's ``DataFrame.unpivot`` (codegen'd Expand, one
+    pass, no join).  Oracle states it as the portable UNION ALL."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+    return wide.unpivot(
+        ["user_id"], ["n_events", "v_min", "v_max"], "metric", "metric_value"
+    )
+
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+    SELECT user_id, CAST(count(*) AS DOUBLE) AS n_events,
+           min(value) AS v_min, max(value) AS v_max
+    FROM events GROUP BY user_id
+)
+SELECT user_id, 'n_events' AS metric, n_events AS metric_value FROM wide
+UNION ALL
+SELECT user_id, 'v_min', v_min FROM wide
+UNION ALL
+SELECT user_id, 'v_max', v_max FROM wide
+"""
+
+
 QUERIES = {
     "p1_drop_columns": p1_drop_columns,
     "p2_select_columns": p2_select_columns,
@@ -672,6 +930,12 @@ QUERIES = {
     "j_anti_join": j_anti_join,
     "agg_count_distinct": agg_count_distinct,
     "w4_session_window": w4_session_window,
+    "j_asof_join": j_asof_join,
+    "j_range_join": j_range_join,
+    "agg_percentiles": agg_percentiles,
+    "sample_hash": sample_hash,
+    "agg_approx_distinct": agg_approx_distinct,
+    "unpivot_long": unpivot_long,
 }
 
 ORACLE = {
@@ -700,4 +964,10 @@ ORACLE = {
     "j_anti_join": _J_ANTI_SQL,
     "agg_count_distinct": _AGG_CD_SQL,
     "w4_session_window": _W4_SQL,
+    "j_asof_join": _J_ASOF_SQL,
+    "j_range_join": _J_RANGE_SQL,
+    "agg_percentiles": _AGG_PCT_SQL,
+    "sample_hash": _SAMPLE_SQL,
+    "agg_approx_distinct": _AGG_APPROX_SQL,
+    "unpivot_long": _UNPIVOT_SQL,
 }
