@@ -270,3 +270,57 @@ def test_embedding_cosine_pairs_are_true_neardups(spark):
     # near-dup; recall: LSH banding catches most of the planted pairs
     assert len(overlap) >= 0.8 * len(emb_pairs)
     assert len(overlap) >= 0.7 * len(true_pairs)
+
+
+def _ref_image(text: str, doc_id: int):
+    """hashlib/numpy reference for attach_fake_image."""
+    import numpy as np
+
+    w, h = 16 + doc_id % 5, 16 + doc_id % 7
+    raw = b"".join(
+        hashlib.md5(f"{text}:{b}".encode()).digest() for b in range(28)
+    )[: w * h]
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+
+
+def test_resize_matches_numpy_reference(spark):
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.operators.multimodal import (
+        attach_fake_image,
+        resize_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(3, "alpha beta gamma"), (7, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in resize_images(attach_fake_image(docs), 8, 8).collect()}
+    for doc_id, text in [(3, "alpha beta gamma"), (7, "delta epsilon")]:
+        img = _ref_image(text, doc_id)
+        h, w = img.shape
+        yi = (np.arange(8) * h) // 8
+        xi = (np.arange(8) * w) // 8
+        exp = img[yi][:, xi].tobytes()
+        assert bytes(out[doc_id].pixels) == exp
+        assert (out[doc_id].out_w, out[doc_id].out_h) == (8, 8)
+
+
+def test_frame_sampling_strides_rows(spark):
+    from wrf_to_geodataframe_spark.operators.multimodal import (
+        attach_fake_image,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(3, "alpha beta gamma")], "doc_id long, text string"
+    )
+    out = sorted(
+        sample_frames(attach_fake_image(docs), stride=2).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    img = _ref_image("alpha beta gamma", 3)
+    h, w = img.shape
+    assert [r.frame_idx for r in out] == list(range(0, h, 2))
+    for r in out:
+        assert bytes(r.frame) == img[r.frame_idx].tobytes()

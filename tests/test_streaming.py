@@ -126,3 +126,50 @@ def test_watermark_is_declared(spark, sf_dir, tmp_path):
         read_events_stream(spark, src, events.schema), "ts", "value", ["user_id"]
     )
     assert "EventTimeWatermark" in agg._jdf.queryExecution().logical().toString()
+
+
+def test_stream_dedup_matches_batch_distinct(spark, sf_dir, tmp_path):
+    """Streaming dedup (both the unbounded-state and the
+    watermark-bounded forms) must keep exactly the batch-distinct key
+    set once a bounded source drains."""
+    from wrf_to_geodataframe_spark.session import load_table
+    from wrf_to_geodataframe_spark.streaming.dedup import (
+        content_keyed,
+        stream_dedup_exact,
+        stream_dedup_within_watermark,
+    )
+    from wrf_to_geodataframe_spark.streaming.resample import read_events_stream
+
+    events = load_table(spark, sf_dir, "events").select("ts", "user_id", "props")
+    src = str(tmp_path / "dedup_stream")
+    # several files -> several micro-batches, so duplicates span batches
+    events.repartition(4).write.parquet(src)
+
+    batch_keys = {
+        r.content_md5
+        for r in content_keyed(events).select("content_md5").distinct().collect()
+    }
+
+    stream = read_events_stream(spark, src, events.schema)
+    for name, dedup in [
+        ("dedup_exact_stream", lambda s: stream_dedup_exact(s, ["content_md5"])),
+        (
+            "dedup_wm_stream",
+            lambda s: stream_dedup_within_watermark(s, "ts", ["content_md5"]),
+        ),
+    ]:
+        out = dedup(content_keyed(stream))
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        got = [r.content_md5 for r in spark.table(name).select("content_md5").collect()]
+        assert set(got) == batch_keys
+        assert len(got) == len(batch_keys), f"{name} emitted duplicates"

@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     StructField,
     StructType,
@@ -51,6 +52,118 @@ def attach_fake_payload(docs: DataFrame) -> DataFrame:
         (F.lit(16) + F.col("doc_id") % 5).cast("long").alias("width"),
         (F.lit(16) + F.col("doc_id") % 7).cast("long").alias("height"),
     )
+
+
+def attach_fake_image(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic width*height single-channel byte grid per
+    document (md5-chained blocks of the text, truncated to w*h bytes) —
+    the raw-image stand-in that the resize / frame-sample kernels
+    operate on.  Real deployments replace this column with decoded
+    pixels; everything downstream is unchanged."""
+    w = (F.lit(16) + F.col("doc_id") % 5).cast("long")
+    h = (F.lit(16) + F.col("doc_id") % 7).cast("long")
+    # 28 blocks x 16 bytes covers the max 20x22 grid
+    blocks = F.concat(
+        *[
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit(f":{b}"))))
+            for b in range(28)
+        ]
+    )
+    return docs.select(
+        "doc_id", w.alias("width"), h.alias("height"), blocks.alias("_blocks")
+    ).select(
+        "doc_id",
+        "width",
+        "height",
+        F.expr("substring(_blocks, 1, CAST(width * height AS INT))").alias(
+            "pixels"
+        ),
+    )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_w", LongType()),
+        StructField("out_h", LongType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    with_image: DataFrame, out_w: int = 8, out_h: int = 8
+) -> DataFrame:
+    """Nearest-neighbor resize of the raw byte grid to (out_w, out_h),
+    vectorized with numpy inside Arrow batches (the slot a real
+    pillow/cv2 resize drops into; the index arithmetic IS the real
+    nearest-neighbor kernel)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out_rows = []
+            for doc_id, w, h, px in zip(
+                pdf["doc_id"], pdf["width"], pdf["height"], pdf["pixels"]
+            ):
+                img = np.frombuffer(px, dtype=np.uint8)[: w * h].reshape(
+                    int(h), int(w)
+                )
+                yi = (np.arange(out_h) * int(h)) // out_h
+                xi = (np.arange(out_w) * int(w)) // out_w
+                out_rows.append(img[yi][:, xi].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "pixels": out_rows,
+                }
+            )
+
+    return with_image.mapInPandas(_batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(with_image: DataFrame, stride: int = 2) -> DataFrame:
+    """Frame sampling for "video" payloads: each byte-grid row is one
+    frame of ``width`` bytes; emit every ``stride``-th frame as its own
+    output row (a mapInPandas generator can fan out rows, which is
+    exactly the explode-shaped plumbing a real frame sampler needs)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, w, h, px in zip(
+                pdf["doc_id"], pdf["width"], pdf["height"], pdf["pixels"]
+            ):
+                img = np.frombuffer(px, dtype=np.uint8)[: w * h].reshape(
+                    int(h), int(w)
+                )
+                for fi in range(0, int(h), stride):
+                    ids.append(int(doc_id))
+                    idxs.append(fi)
+                    frames.append(img[fi].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame": frames,
+                }
+            )
+
+    return with_image.mapInPandas(_batches, FRAME_SCHEMA)
 
 
 def extract_features(with_payload: DataFrame, decode: bool = False) -> DataFrame:

@@ -1143,6 +1143,32 @@ FROM documents
 """
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor image resize over the deterministic fake byte
+    grids (rows-only check: the mapInPandas kernel is not
+    SQL-expressible; byte-exact results pinned by numpy goldens in
+    tests/test_pipeline_suite.py)."""
+    from wrf_to_geodataframe_spark.operators.multimodal import (
+        attach_fake_image,
+        resize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_images(attach_fake_image(docs), 8, 8)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd-frame sampling over the fake "video" grids (rows-only;
+    fan-out mapInPandas kernel, pinned by numpy goldens in pytest)."""
+    from wrf_to_geodataframe_spark.operators.multimodal import (
+        attach_fake_image,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_fake_image(docs), stride=2)
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over the binary payload (rows-only
     check: the Arrow-batch kernel is not SQL-expressible; byte-level
@@ -1172,6 +1198,8 @@ QUERIES = {
     "sim_ivf_topk": sim_ivf_topk,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
+    "multimodal_resize": multimodal_resize,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLE = {
