@@ -443,18 +443,40 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     nv = vec.groupBy("doc_id").agg(
         F.sum(F.col("v") * F.col("v")).cast("long").alias("nq")
     )
-    # hyperplane weights as a broadcast 768-row dim table (h, j, wt)
+    # hyperplane weights as a broadcast (planes x dims) dim table
     w = spark.createDataFrame(
         [(h, j, _EC_W[h][j]) for h in range(_EC_PLANES) for j in range(_EC_D)],
         "h long, j long, wt long",
     )
+    # MEAN-CENTERED projections: corpus-common tokens give every doc
+    # vector a shared component, so raw sign bits correlate across
+    # documents and band buckets go quadratic (measured 550k candidate
+    # pairs on a 5k corpus).  Centering the hyperplane test on the
+    # corpus mean — bit := N * (w·v) > w·S with S the exact per-dim
+    # corpus sum — de-correlates background bits while near-identical
+    # vectors still land on the same side.  All BIGINT, so the oracle
+    # replays it exactly.
+    csum = vec.groupBy("j").agg(F.sum("v").cast("long").alias("s"))
+    n_docs = vec.select("doc_id").distinct().count()
+    th = (
+        F.broadcast(w)
+        .join(F.broadcast(csum), "j")
+        .groupBy("h")
+        .agg(F.sum(F.col("wt") * F.col("s")).cast("long").alias("th"))
+    )
     bits = (
         vec.join(F.broadcast(w), "j")
         .groupBy("doc_id", "h")
-        .agg(
-            F.when(F.sum(F.col("wt") * F.col("v")) > 0, F.lit(1))
+        .agg(F.sum(F.col("wt") * F.col("v")).cast("long").alias("proj"))
+        .join(F.broadcast(th), "h")
+        .select(
+            "doc_id",
+            "h",
+            F.when(
+                F.col("proj") * F.lit(int(n_docs)) > F.col("th"), F.lit(1)
+            )
             .otherwise(F.lit(0))
-            .alias("bit")
+            .alias("bit"),
         )
     )
     banded = (
@@ -529,12 +551,22 @@ vec AS (
 ),
 nv AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS nq FROM vec GROUP BY 1),
 w(h, j, wt) AS (VALUES {_ec_weight_values()}),
-bits AS (
-    SELECT vec.doc_id, w.h,
-           CASE WHEN CAST(sum(w.wt * vec.v) AS BIGINT) > 0 THEN 1 ELSE 0 END
-               AS bit
+ndocs AS (SELECT count(DISTINCT doc_id) AS n FROM vec),
+csum AS (SELECT j, CAST(sum(v) AS BIGINT) AS s FROM vec GROUP BY j),
+th AS (
+    SELECT w.h, CAST(sum(w.wt * csum.s) AS BIGINT) AS th
+    FROM w JOIN csum ON w.j = csum.j GROUP BY w.h
+),
+proj AS (
+    SELECT vec.doc_id, w.h, CAST(sum(w.wt * vec.v) AS BIGINT) AS proj
     FROM vec JOIN w ON vec.j = w.j
     GROUP BY 1, 2
+),
+bits AS (
+    SELECT p.doc_id, p.h,
+           CASE WHEN p.proj * (SELECT n FROM ndocs) > t.th
+                THEN 1 ELSE 0 END AS bit
+    FROM proj p JOIN th t ON p.h = t.h
 ),
 bands AS (
     SELECT doc_id, CAST(floor(h / {_EC_ROWS}.0) AS BIGINT) AS band,
