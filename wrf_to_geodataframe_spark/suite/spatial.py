@@ -347,13 +347,15 @@ def regrid_conservative(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(contrib_q).cast("double") / F.lit(float(Q))).alias("pop_t")
     )
 
-    # destination grid from the A1 extent (J6 re-attach target)
-    events = load_table(spark, sf_dir, "events")
-    x = (F.col("user_id") % GRID_W).cast("double")
-    y = F.floor(F.col("user_id") / GRID_W).cast("double")
-    bbox = events.agg(
-        F.min(x).alias("xmin"), F.min(y).alias("ymin"),
-        F.max(x).alias("xmax"), F.max(y).alias("ymax"),
+    # destination grid from the A1 extent (J6 re-attach target).
+    # min/max are duplicate-insensitive, so the extent of the aggregated
+    # cell table equals the extent over raw events — reusing `src` keeps
+    # this branch's scan+groupBy subtree identical to the overlay
+    # branch's, which lets Spark reuse the exchange instead of scanning
+    # events a second time
+    bbox = src.agg(
+        F.min("x").alias("xmin"), F.min("y").alias("ymin"),
+        F.max("x").alias("xmax"), F.max("y").alias("ymax"),
     )
     dest = (
         bbox.select(
@@ -466,7 +468,8 @@ def regrid_conservative_general(spark: SparkSession, sf_dir: str) -> DataFrame:
     the overlay kernel, not an expression echo."""
     from wrf_to_geodataframe_spark.geometry.overlay import overlay_intersection
 
-    src = _source_cells_with_pop(spark, sf_dir).select(
+    src_cells = _source_cells_with_pop(spark, sf_dir)
+    src = src_cells.select(
         "user_id",
         "pop",
         (
@@ -475,12 +478,11 @@ def regrid_conservative_general(spark: SparkSession, sf_dir: str) -> DataFrame:
         _box_poly(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")).alias("a_poly"),
     )
 
-    events = load_table(spark, sf_dir, "events")
-    x = (F.col("user_id") % GRID_W).cast("double")
-    y = F.floor(F.col("user_id") / GRID_W).cast("double")
-    bbox = events.agg(
-        F.min(x).alias("xmin"), F.min(y).alias("ymin"),
-        F.max(x).alias("xmax"), F.max(y).alias("ymax"),
+    # extent from the aggregated cell table (duplicate-insensitive
+    # min/max), sharing the src subtree instead of rescanning events
+    bbox = src_cells.agg(
+        F.min("x").alias("xmin"), F.min("y").alias("ymin"),
+        F.max("x").alias("xmax"), F.max("y").alias("ymax"),
     )
     dest = (
         bbox.select(
