@@ -255,3 +255,69 @@ def test_coincident_sites_tiebreak_stable_across_paths(spark):
            ).collect()}
     assert drv == dst
     assert drv[7] is False and drv[100] is True and drv[101] is True
+
+
+def test_infer_rectilinear(spark):
+    from wrf_to_geodataframe_spark.geometry.tessellate import infer_rectilinear
+
+    rect = _grid_points(5, 4)
+    df_r = spark.createDataFrame(
+        [(i, float(p[0]), float(p[1])) for i, p in enumerate(rect)],
+        "site_id long, x double, y double",
+    )
+    assert infer_rectilinear(df_r, "x", "y")
+    sheared = _grid_points(5, 4, shear=0.3)
+    df_s = spark.createDataFrame(
+        [(i, float(p[0]), float(p[1])) for i, p in enumerate(sheared)],
+        "site_id long, x double, y double",
+    )
+    assert not infer_rectilinear(df_s, "x", "y")
+
+
+def test_tessellate_auto_rectilinear_equals_kernel(spark):
+    """The analytic fast path (SURVEY §4.1 dispatch) must match the
+    exact kernel cell-for-cell on a NON-UNIFORM rectilinear grid,
+    including byte-identical WKT."""
+    from wrf_to_geodataframe_spark.geometry.tessellate import (
+        tessellate,
+        tessellate_auto,
+    )
+
+    xs = [0.0, 1.0, 2.5, 3.0]
+    ys = [0.0, 0.7, 2.0]
+    pts = [(i, x, y) for i, (y, x) in enumerate((y, x) for y in ys for x in xs)]
+    df = spark.createDataFrame(pts, "site_id long, x double, y double")
+    bbox = (-0.5, -0.5, 3.5, 2.5)
+    auto = {r.site_id: r for r in tessellate_auto(df, "x", "y", ["site_id"], bbox).collect()}
+    drv = {r.site_id: r for r in tessellate(df, "x", "y", ["site_id"], bbox=bbox).collect()}
+    assert set(auto) == set(drv)
+    for sid, a in auto.items():
+        d = drv[sid]
+        assert a.wkt == d.wkt
+        assert abs(a.area - d.area) < 1e-12
+        # kernel midpoints come from clip interpolation, analytic ones
+        # from (lo+hi)/2 — equal to 1 ulp, not bit-equal
+        assert np.allclose(
+            [a.x1, a.y1, a.x2, a.y2], [d.x1, d.y1, d.x2, d.y2], atol=1e-12
+        )
+        assert a.exact and not a.is_sentinel
+
+
+def test_tessellate_auto_falls_back_to_kernel(spark):
+    from wrf_to_geodataframe_spark.geometry.tessellate import (
+        tessellate,
+        tessellate_auto,
+    )
+
+    pts = _grid_points(6, 5, shear=0.25)
+    df = spark.createDataFrame(
+        [(i, float(p[0]), float(p[1])) for i, p in enumerate(pts)],
+        "site_id long, x double, y double",
+    )
+    bbox = (
+        float(pts[:, 0].min() - 0.5), float(pts[:, 1].min() - 0.5),
+        float(pts[:, 0].max() + 0.5), float(pts[:, 1].max() + 0.5),
+    )
+    auto = {r.site_id: r.wkt for r in tessellate_auto(df, "x", "y", ["site_id"], bbox).collect()}
+    drv = {r.site_id: r.wkt for r in tessellate(df, "x", "y", ["site_id"], bbox=bbox).collect()}
+    assert auto == drv

@@ -133,6 +133,132 @@ def tessellate(
     return spark.createDataFrame(out, schema=_result_schema(key_cols))
 
 
+def infer_rectilinear(df: DataFrame, x_col: str, y_col: str) -> bool:
+    """Detect a rectilinear grid structurally: the point set is exactly
+    the cross product of its distinct x and y axis values (each
+    combination present once).  One aggregate pass; the axes themselves
+    may be non-uniformly spaced (HadUK-style projected grids are)."""
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(x_col).alias("nx"),
+        F.countDistinct(y_col).alias("ny"),
+        F.countDistinct(x_col, y_col).alias("nxy"),
+    ).collect()[0]
+    return r.n == r.nxy and r.nx * r.ny == r.n
+
+
+def _axis_bounds(
+    df: DataFrame, col: str, lo: float, hi: float
+) -> DataFrame:
+    """Midpoint cell bounds along one axis (reference's per-point
+    half-spacing construction, ``delphine/regrid.py:182-203``), clamped
+    to the bbox at the ends.  The axis table is tiny — broadcast."""
+    from pyspark.sql import Window
+
+    axis = df.select(F.col(col).alias("v")).distinct()
+    w = Window.orderBy("v")
+    return axis.select(
+        "v",
+        F.coalesce(
+            (F.lag("v").over(w) + F.col("v")) / 2.0, F.lit(float(lo))
+        ).alias("lo"),
+        F.coalesce(
+            (F.lead("v").over(w) + F.col("v")) / 2.0, F.lit(float(hi))
+        ).alias("hi"),
+    )
+
+
+def tessellate_auto(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_cols: Sequence[str],
+    bbox: tuple[float, float, float, float],
+    spacing_hint: float | None = None,
+    max_driver_points: int = DEFAULT_MAX_DRIVER_POINTS,
+    tile_size: float | None = None,
+    halo: float | None = None,
+) -> DataFrame:
+    """Algorithmic dispatch (SURVEY.md §4.1, the reference's manual
+    "rectilinear ⇒ skip qhull" optimization made automatic):
+
+    - rectilinear grid (inferred structurally): the Voronoi diagram is
+      known analytically — midpoint boxes from the two axis tables,
+      pure column arithmetic, NO kernel and no point collection;
+    - otherwise: the exact half-plane kernel, driver-side when the
+      point count fits, tile+halo distributed when it doesn't.
+
+    Same output schema on every path."""
+    xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+    if infer_rectilinear(df, x_col, y_col):
+        xb = _axis_bounds(df, x_col, xmin, xmax)
+        yb = _axis_bounds(df, y_col, ymin, ymax)
+        pts = df.select(*key_cols, x_col, y_col)
+        boxed = (
+            pts.join(
+                F.broadcast(xb), pts[x_col] == xb["v"]
+            )
+            .select(
+                *key_cols, x_col, y_col,
+                F.col("lo").alias("x1"), F.col("hi").alias("x2"),
+            )
+            .join(F.broadcast(yb), F.col(y_col) == yb["v"])
+            .select(
+                *key_cols, x_col, y_col, "x1", "x2",
+                F.col("lo").alias("y1"), F.col("hi").alias("y2"),
+            )
+        )
+        # WKT via the shared formatter so all three paths emit
+        # byte-identical text for the same cell
+        from pyspark.sql.functions import pandas_udf
+
+        from wrf_to_geodataframe_spark.geometry.polygons import (
+            bbox_polygon as _bp,
+        )
+
+        @pandas_udf("string")
+        def _box_wkt(
+            x1: pd.Series, y1: pd.Series, x2: pd.Series, y2: pd.Series
+        ) -> pd.Series:
+            return pd.Series(
+                [
+                    polygon_wkt(_bp(a, b, c, d))
+                    for a, b, c, d in zip(x1, y1, x2, y2)
+                ]
+            )
+
+        wkt = _box_wkt(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"))
+        return boxed.select(
+            *key_cols,
+            F.col(x_col).cast("double").alias("x"),
+            F.col(y_col).cast("double").alias("y"),
+            wkt.alias("wkt"),
+            ((F.col("x2") - F.col("x1")) * (F.col("y2") - F.col("y1"))).alias(
+                "area"
+            ),
+            F.lit(4).cast("long").alias("n_vertices"),
+            "x1", "y1", "x2", "y2",
+            F.lit(False).alias("is_sentinel"),
+            F.lit(True).alias("exact"),
+        )
+    n = df.count()
+    if n <= max_driver_points:
+        return tessellate(
+            df, x_col, y_col, key_cols, bbox=bbox,
+            spacing_hint=spacing_hint, max_points=max_driver_points,
+        )
+    if tile_size is None or halo is None:
+        raise ValueError(
+            f"{n} non-rectilinear points exceed the driver limit "
+            f"{max_driver_points}: pass tile_size and halo for the "
+            f"distributed path"
+        )
+    return tessellate_distributed(
+        df, x_col, y_col, key_cols, bbox=bbox,
+        tile_size=tile_size, halo=halo, spacing_hint=spacing_hint,
+    )
+
+
 def tessellate_distributed(
     df: DataFrame,
     x_col: str,
