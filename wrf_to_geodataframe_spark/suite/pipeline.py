@@ -909,12 +909,15 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = terms.groupBy("vec_id", "h").agg(
         (F.sum("tq") > 0).cast("long").alias("bit")
     )
+    # the band table feeds both sides of the candidate self-join, and
+    # HOF-bearing subtrees never hit exchange reuse — persist the tiny
+    # (vec, band) signature table instead of re-deriving it twice
     bands = bits.groupBy(
         "vec_id", F.floor(F.col("h") / (_LSH_PLANES // _LSH_BANDS)).alias("band")
     ).agg(
         F.sum(F.expr(f"shiftleft(bit, CAST(h % {_LSH_PLANES // _LSH_BANDS} AS INT))"))
         .alias("band_key")
-    )
+    ).persist()
     qb = bands.filter(F.col("vec_id") < _N_QUERIES).alias("qb")
     cb = bands.alias("cb")
     cand = (
@@ -1037,9 +1040,12 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_q,
     )
 
+    # (vec, norm) feeds centroid scoring, probes, and BOTH rerank sides;
+    # norm_q is an interpreted HOF, so uncached branches would each
+    # recompute it over the full table
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec(F.col("embedding")).alias("e")
-    ).withColumn("nq", norm_q(F.col("e")))
+    ).withColumn("nq", norm_q(F.col("e"))).persist()
     cents = emb.filter(F.col("vec_id") % _IVF_STRIDE == 0).select(
         F.col("vec_id").alias("cent_id"),
         F.col("e").alias("ce"),
