@@ -457,7 +457,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vectors still land on the same side.  All BIGINT, so the oracle
     # replays it exactly.
     csum = vec.groupBy("j").agg(F.sum("v").cast("long").alias("s"))
-    n_docs = vec.select("doc_id").distinct().count()
+    # doc count as a broadcast 1-row aggregate, NOT an eager .count():
+    # the query builder must stay a pure lazy plan (no driver actions)
+    ndocs = vec.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
     th = (
         F.broadcast(w)
         .join(F.broadcast(csum), "j")
@@ -469,12 +473,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "h")
         .agg(F.sum(F.col("wt") * F.col("v")).cast("long").alias("proj"))
         .join(F.broadcast(th), "h")
+        .crossJoin(F.broadcast(ndocs))
         .select(
             "doc_id",
             "h",
-            F.when(
-                F.col("proj") * F.lit(int(n_docs)) > F.col("th"), F.lit(1)
-            )
+            F.when(F.col("proj") * F.col("n_docs") > F.col("th"), F.lit(1))
             .otherwise(F.lit(0))
             .alias("bit"),
         )
