@@ -169,22 +169,13 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("i").cast("long").alias("i"), "mh")
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs: 16 md5-derived minhashes per doc,
-    banded 4x4; documents sharing any band key become candidates
-    (equi join on the band digest — the only shuffle that touches
-    pairs); candidates are verified with the exact Jaccard estimate
-    from the full signature (matches/16 >= 0.5).
-
-    At 100 TB: signatures are 16 BIGINTs per doc (tiny), the band join
-    is uniform under md5, and verification cost is |candidates|, not
-    |docs|^2."""
-    docs = load_table(spark, sf_dir, "documents")
-    # signatures are 16 longs per doc — tiny at any corpus scale — but
-    # feed FOUR plan branches (band self-join x2, verification join x2);
-    # without persist each branch re-runs the 16x md5 explode over the
-    # whole shingle table (self-joined HOF subtrees don't canonicalize
-    # equal, so exchange reuse never fires)
+def _minhash_band_candidates(docs: DataFrame):
+    """(sigs, cand): the shared MinHash-LSH candidate generator — band
+    the 16-long signature 4x4 and self-equi-join on the band digest.
+    Both the Jaccard-estimate verifier (dedup_minhash_lsh) and the
+    edit-distance verifier (dedup_edit_distance) consume these
+    candidates.  sigs/banded persist: they feed multiple plan branches
+    and self-joined HOF subtrees never hit exchange reuse."""
     sigs = _minhash_sigs(docs).persist()
     banded = (
         sigs.withColumn("band", F.floor(F.col("i") / (_MH_K // _MH_BANDS)))
@@ -211,6 +202,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("qa.doc_id").alias("da"), F.col("qb.doc_id").alias("db"))
         .distinct()
     )
+    return sigs, cand
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: 16 md5-derived minhashes per doc,
+    banded 4x4; documents sharing any band key become candidates
+    (equi join on the band digest — the only shuffle that touches
+    pairs); candidates are verified with the exact Jaccard estimate
+    from the full signature (matches/16 >= 0.5).
+
+    At 100 TB: signatures are 16 BIGINTs per doc (tiny), the band join
+    is uniform under md5, and verification cost is |candidates|, not
+    |docs|^2."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs, cand = _minhash_band_candidates(docs)
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
     est = (
@@ -227,7 +233,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.filter(F.col("jaccard_est") >= 0.5)
 
 
-_MINHASH_SQL = f"""
+# shared CTE prefix: shingles -> OPH signatures -> bands -> candidates
+_MH_CAND_CTES = f"""
 WITH sh AS ({_SHINGLE_SQL}),
 hashed AS (
     SELECT doc_id,
@@ -254,7 +261,9 @@ cand AS (
     FROM banded qa JOIN banded qb
       ON qa.band = qb.band AND qa.band_key = qb.band_key
      AND qa.doc_id < qb.doc_id
-)
+)"""
+
+_MINHASH_SQL = f"""{_MH_CAND_CTES}
 SELECT da, db,
        CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE)
            / {_MH_K}.0 AS jaccard_est
@@ -264,6 +273,52 @@ JOIN sigs sb ON db = sb.doc_id AND sa.i = sb.i
 GROUP BY da, db
 HAVING CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE)
            / {_MH_K}.0 >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection: blocked edit distance
+
+
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs: MinHash-LSH blocking (the shared
+    candidate generator), then exact character-level Levenshtein on the
+    candidate texts, kept when the distance is <= 10% of the longer
+    document.
+
+    The blocking is what makes this scale: Levenshtein is O(len_a *
+    len_b) per pair, affordable only because candidates are
+    |bands-collisions|, never |docs|^2.  Spark and DuckDB agree on the
+    classic Levenshtein definition, so the verify step is
+    oracle-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    _sigs, cand = _minhash_band_candidates(docs)
+    ta = docs.select(
+        F.col("doc_id").alias("da"), F.col("text").alias("text_a")
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("db"), F.col("text").alias("text_b")
+    )
+    dist = F.levenshtein("text_a", "text_b").cast("long")
+    return (
+        cand.join(ta, "da")
+        .join(tb, "db")
+        .select("da", "db", dist.alias("edit_dist"),
+                F.greatest(F.length("text_a"), F.length("text_b"))
+                .cast("long").alias("max_len"))
+        .filter(F.col("edit_dist") * 10 <= F.col("max_len"))
+        .select("da", "db", "edit_dist")
+    )
+
+
+_EDIT_DIST_SQL = f"""{_MH_CAND_CTES}
+SELECT da, db,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+FROM cand
+JOIN documents a ON da = a.doc_id
+JOIN documents b ON db = b.doc_id
+WHERE CAST(levenshtein(a.text, b.text) AS BIGINT) * 10
+      <= greatest(length(a.text), length(b.text))
 """
 
 
@@ -1230,6 +1285,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "simhash_neardup": simhash_neardup,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_edit_distance": dedup_edit_distance,
     "text_quality": text_quality,
     "lang_id": lang_id,
     "token_stats": token_stats,
@@ -1249,6 +1305,7 @@ ORACLE = {
     "dedup_minhash_lsh": _MINHASH_SQL,
     "simhash_neardup": _SIMHASH_SQL,
     "dedup_embedding_cosine": _EMBED_COSINE_SQL,
+    "dedup_edit_distance": _EDIT_DIST_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
     "lang_id": _LANG_ID_SQL,
     "token_stats": _TOKEN_STATS_SQL,

@@ -647,6 +647,32 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# Grouping sets: CUBE (r1_rollup's bigger sibling, §2.5 gap)
+
+
+def r2_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping combinations
+    in one Expand + one shuffle — the hypertable-rollup shape for
+    pre-computing every marginal at once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias(
+            "qty_cents"
+        ),
+    )
+
+
+_R2_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS qty_cents
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
 # As-of join (point-in-time lookup; absent from the reference, standard
 # in time-series engines — composed from union + window, no inequality
 # join, one shuffle)
@@ -930,6 +956,7 @@ QUERIES = {
     "j_anti_join": j_anti_join,
     "agg_count_distinct": agg_count_distinct,
     "w4_session_window": w4_session_window,
+    "r2_cube": r2_cube,
     "j_asof_join": j_asof_join,
     "j_range_join": j_range_join,
     "agg_percentiles": agg_percentiles,
@@ -964,6 +991,7 @@ ORACLE = {
     "j_anti_join": _J_ANTI_SQL,
     "agg_count_distinct": _AGG_CD_SQL,
     "w4_session_window": _W4_SQL,
+    "r2_cube": _R2_SQL,
     "j_asof_join": _J_ASOF_SQL,
     "j_range_join": _J_RANGE_SQL,
     "agg_percentiles": _AGG_PCT_SQL,
