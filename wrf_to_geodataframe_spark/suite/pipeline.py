@@ -84,12 +84,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set size THROUGH the explode instead was measured 4x slower: the
     # second reference to the shingle array defeats projection collapse
     # and re-runs the shingle transform per row.)
-    sh = exploded_shingles(docs).persist()
+    # the inverted index carries the 60-bit shingle HASH, not the string:
+    # 8-byte join keys shuffle less and compare faster, and the oracle
+    # joins on the identical md5-derived value
+    sh = exploded_shingles(docs).select(
+        "doc_id", hash60(F.col("s")).alias("hs")
+    ).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.hs") == F.col("b.hs")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -107,11 +112,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NGRAM_JACCARD_SQL = f"""
-WITH sh AS ({_SHINGLE_SQL}),
+WITH sh AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS hs
+    FROM ({_SHINGLE_SQL})
+),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 shared AS (
     SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
-    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    FROM sh a JOIN sh b ON a.hs = b.hs AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
 SELECT da, db,
