@@ -321,3 +321,19 @@ def test_tessellate_auto_falls_back_to_kernel(spark):
     auto = {r.site_id: r.wkt for r in tessellate_auto(df, "x", "y", ["site_id"], bbox).collect()}
     drv = {r.site_id: r.wkt for r in tessellate(df, "x", "y", ["site_id"], bbox=bbox).collect()}
     assert auto == drv
+
+
+def test_denormal_sliver_cell_stays_ccw():
+    """Regression (hypothesis, round 3): near-coincident sites at
+    denormal coordinate scales produce an essentially-zero-area sliver
+    whose clip output flipped clockwise; orientation is now enforced at
+    ring finalization."""
+    pts = np.array(
+        [[0.0, 0.0], [0.0, 1.401298464324817e-45],
+         [0.0, 4.450147717014404e-308], [0.0, 2.2250738585072014e-308],
+         [0.0, 2.225073858507e-311], [8.881784197001252e-16, 0.0],
+         [1.6786886483774518e-103, 0.0], [2.2250738585072014e-308, 0.0]]
+    )
+    bbox = (-1.0, -1.0, 11.0, 11.0)
+    cells = voronoi_cells(pts, bbox)
+    _assert_partition(pts, bbox, cells)

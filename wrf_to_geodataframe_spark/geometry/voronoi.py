@@ -268,7 +268,14 @@ def _dedup_ring(
         and len(out) < n
         and not point_in_convex_polygon(site[0], site[1], out)
     ):
-        return poly
+        out = poly
+    # enforce the ccw invariant (O2) explicitly: clipping preserves
+    # orientation for any non-degenerate cell, but an (essentially)
+    # zero-area sliver from near-coincident sites can come out with a
+    # negative FP signed area — found by hypothesis at denormal scales
+    x, y = out[:, 0], out[:, 1]
+    if float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) < 0.0:
+        out = out[::-1].copy()
     return out
 
 
