@@ -337,3 +337,31 @@ def test_denormal_sliver_cell_stays_ccw():
     bbox = (-1.0, -1.0, 11.0, 11.0)
     cells = voronoi_cells(pts, bbox)
     _assert_partition(pts, bbox, cells)
+
+
+def test_marginal_halo_certificate_is_conservative_not_wrong(spark):
+    """With a halo too small to certify every boundary cell, the
+    certificate must go False on SOME cells — but no cell, certified or
+    not, may actually differ from the driver's (on this grid the halo
+    shortfall is conservative, not a real seam error)."""
+    from wrf_to_geodataframe_spark.geometry.tessellate import (
+        tessellate,
+        tessellate_distributed,
+    )
+
+    pts = _grid_points(9, 4, shear=0.12, rot=0.48)
+    rows = [(i, float(p[0]), float(p[1])) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, "site_id long, x double, y double")
+    bbox = (
+        float(pts[:, 0].min() - 0.5), float(pts[:, 1].min() - 0.5),
+        float(pts[:, 0].max() + 0.5), float(pts[:, 1].max() + 0.5),
+    )
+    drv = {r.site_id: r.wkt for r in tessellate(df, "x", "y", ["site_id"], bbox=bbox).collect()}
+    dst = {r.site_id: r for r in tessellate_distributed(
+        df, "x", "y", ["site_id"], bbox=bbox, tile_size=3.54, halo=5.74
+    ).collect()}
+    assert set(drv) == set(dst)
+    n_inexact = sum(1 for r in dst.values() if not r.exact)
+    assert n_inexact > 0  # the marginal halo cannot certify everything
+    for sid, wkt in drv.items():
+        assert dst[sid].wkt == wkt  # ...but every cell is still right
