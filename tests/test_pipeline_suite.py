@@ -324,3 +324,32 @@ def test_frame_sampling_strides_rows(spark):
     assert [r.frame_idx for r in out] == list(range(0, h, 2))
     for r in out:
         assert bytes(r.frame) == img[r.frame_idx].tobytes()
+
+
+def test_winnowing_shared_substring_yields_shared_fingerprint(spark, tmp_path):
+    """The winnowing guarantee (Schleimer et al.): any shared substring
+    of length >= k + w - 1 (= 11 here) produces at least one shared
+    fingerprint; disjoint texts share none."""
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        winnowing_fingerprints,
+    )
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, f"AAAA {common} BBBB"),
+        (2, f"XXXX {common} YYYY"),
+        (3, "zq wv jk pl mn bt cd ef gh ij kl mn op qr st uv"),
+    ]
+    import pandas as pd
+
+    src = str(tmp_path / "documents.parquet")
+    pd.DataFrame(
+        {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows],
+         "lang": "en", "source": "t", "n_chars": [len(r[1]) for r in rows]}
+    ).to_parquet(src)
+    fps = winnowing_fingerprints(spark, str(tmp_path))
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared substring must share fingerprints"
+    assert not (by_doc[1] & by_doc[3])

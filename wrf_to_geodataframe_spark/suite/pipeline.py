@@ -832,6 +832,101 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Document fingerprinting: winnowing (rolling k-gram hashes)
+
+_WIN_K = 8  # character k-gram length
+_WIN_W = 4  # winnowing window (hashes per window)
+_WIN_PREFIX = 200  # fingerprint the normalized prefix (bounds cost)
+
+
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS algorithm): hash every character k-gram of the normalized
+    text prefix, slide a w-hash window, keep each window's minimum; the
+    distinct minima are the document's fingerprint set.  Guarantees any
+    shared substring of length >= k + w - 1 yields a shared
+    fingerprint — the partial-overlap detector exact dedup can't be.
+
+    Shape: explode positions -> rolling min as a bounded window frame ->
+    distinct.  One shuffle for the window, one for the distinct; at
+    corpus scale the prefix cap bounds per-doc cost."""
+    fps = winnowing_fingerprints(spark, sf_dir)
+    # compact per-doc digest: xor is order-insensitive and cannot
+    # overflow, so the whole fingerprint SET is pinned in one row per
+    # document (the raw (doc_id, fp) rows are winnowing_fingerprints())
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.expr("bit_xor(fp)").alias("fp_digest"),
+    )
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw (doc_id, fp) winnowing rows — the joinable fingerprint index
+    (doc_winnowing gates its per-doc digest; this is the working
+    layout).  The normalized prefix is materialized behind a projection
+    boundary so the per-gram lambda doesn't re-run the regex per
+    position."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm_df = docs.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower(F.col("text")), r"\s+", " "),
+            1,
+            _WIN_PREFIX,
+        ).alias("t"),
+    )
+    grams = norm_df.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(t) - {_WIN_K} + 1, 1)), "
+                f"i -> substring(t, i, {_WIN_K}))"
+            )
+        ).alias("pos", "gram"),
+    ).filter(F.length("gram") == _WIN_K)
+    hashed = grams.select("doc_id", "pos", hash60(F.col("gram")).alias("h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, _WIN_W - 1)
+    )
+    return hashed.select(
+        "doc_id", F.min("h").over(w).alias("fp")
+    ).distinct()
+
+
+_DOC_WINNOW_SQL = rf"""
+WITH norm AS (
+    SELECT doc_id,
+           substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1,
+                  {_WIN_PREFIX}) AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, i.i AS pos, substr(t, i.i, {_WIN_K}) AS gram
+    FROM norm, generate_series(1, {_WIN_PREFIX}) AS i(i)
+    WHERE i.i <= greatest(length(t) - {_WIN_K} + 1, 1)
+      AND length(substr(t, i.i, {_WIN_K})) = {_WIN_K}
+),
+hashed AS (
+    SELECT doc_id, pos,
+           CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h
+    FROM grams
+),
+fps AS (
+    SELECT DISTINCT doc_id,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+               AS fp
+    FROM hashed
+)
+SELECT doc_id, count(*) AS n_fps,
+       CAST(bit_xor(fp) AS BIGINT) AS fp_digest
+FROM fps GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Similarity search over embeddings
 
 _N_QUERIES = 8  # vec_id < 8 are the query vectors
@@ -1298,6 +1393,7 @@ QUERIES = {
     "lang_id": lang_id,
     "token_stats": token_stats,
     "doc_fingerprint": doc_fingerprint,
+    "doc_winnowing": doc_winnowing,
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_lsh_ann": sim_lsh_ann,
     "sim_ivf_topk": sim_ivf_topk,
@@ -1318,6 +1414,7 @@ ORACLE = {
     "lang_id": _LANG_ID_SQL,
     "token_stats": _TOKEN_STATS_SQL,
     "doc_fingerprint": _DOC_FINGERPRINT_SQL,
+    "doc_winnowing": _DOC_WINNOW_SQL,
     "sim_bruteforce_topk": _SIM_BRUTE_SQL,
     "sim_lsh_ann": _SIM_LSH_SQL,
     "sim_ivf_topk": _SIM_IVF_SQL,
