@@ -134,12 +134,38 @@ FROM grid
 """
 
 
+def g1_auto_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tessellate_auto (SURVEY §4.1 dispatch) on the user lattice: the
+    structural rectilinearity check must route to the ANALYTIC midpoint
+    path, whose cells the analytic oracle states independently.  Gates
+    the dispatcher itself: routing to the wrong path would still be
+    numerically right, but an inference bug that errors or degrades
+    would show here."""
+    from wrf_to_geodataframe_spark.geometry.tessellate import tessellate_auto
+
+    pts, bbox, _ = _complete_grid_points(spark, sf_dir)
+    cells = tessellate_auto(
+        pts, "x", "y", ["user_id", "x_idx", "y_idx"], bbox=bbox
+    )
+    return cells.select(
+        "user_id", "x_idx", "y_idx",
+        F.round("x1", 6).alias("x1"), F.round("y1", 6).alias("y1"),
+        F.round("x2", 6).alias("x2"), F.round("y2", 6).alias("y2"),
+        F.round("area", 6).alias("area"),
+        "n_vertices",
+        "is_sentinel",
+        "exact",
+    )
+
+
 QUERIES = {
     "g1_voronoi_rect_cells": g1_voronoi_rect_cells,
     "g1_tessellation_conservation": g1_tessellation_conservation,
+    "g1_auto_dispatch": g1_auto_dispatch,
 }
 
 ORACLE = {
     "g1_voronoi_rect_cells": _G1_RECT_SQL,
     "g1_tessellation_conservation": _G1_CONSERVATION_SQL,
+    "g1_auto_dispatch": _G1_RECT_SQL,
 }
