@@ -173,3 +173,55 @@ def test_stream_dedup_matches_batch_distinct(spark, sf_dir, tmp_path):
         got = [r.content_md5 for r in spark.table(name).select("content_md5").collect()]
         assert set(got) == batch_keys
         assert len(got) == len(batch_keys), f"{name} emitted duplicates"
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for handler-level tests."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.updated = None
+        self.armed_ms = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self.updated = v
+
+    def remove(self):
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.armed_ms = ms
+
+
+def test_stateful_timeout_branch_evicts_and_emits_nothing():
+    """ADVICE r2: on hasTimedOut the handler must remove the state and
+    emit nothing — NOT re-emit a stale row and re-arm the timer."""
+    import pandas as pd
+
+    from wrf_to_geodataframe_spark.streaming.stateful import _make_update
+
+    update = _make_update(timeout_ms=1000)
+    state = _FakeState(value=(3, 12_000_000, 1.0, 9.0), timed_out=True)
+    out = list(update((42,), iter([]), state))
+    assert out == []
+    assert state.removed
+    assert state.armed_ms is None  # timer must NOT be re-armed
+
+    # normal path: state updated from batch data, timer armed
+    state2 = _FakeState()
+    pdf = pd.DataFrame({"value": [2.0, 3.0]})
+    out2 = list(update((7,), iter([pdf]), state2))
+    assert len(out2) == 1 and out2[0]["n_events"].iloc[0] == 2
+    assert state2.updated == (2, 5_000_000, 2.0, 3.0)
+    assert state2.armed_ms == 1000
+    assert not state2.removed

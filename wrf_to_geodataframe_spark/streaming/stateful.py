@@ -27,51 +27,59 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "n long, s long, mn double, mx double"
 
 
-def _update(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    if state.hasTimedOut:
-        # idle-key eviction: drop the state and emit nothing — without
-        # this branch every timeout would re-emit a stale row and re-arm,
-        # so state would never actually age out
-        state.remove()
-        return
-    n, s, mn, mx = state.get if state.exists else (0, 0, None, None)
-    import numpy as np
+def _make_update(timeout_ms: int):
+    def _update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle-key eviction: drop the state and emit nothing —
+            # without this branch every timeout would re-emit a stale
+            # row and re-arm, so state would never actually age out
+            state.remove()
+            return
+        n, s, mn, mx = state.get if state.exists else (0, 0, None, None)
+        import numpy as np
 
-    for pdf in pdfs:
-        v = pdf["value"]
-        n += len(v)
-        # exact-integer quantized running sum (order/batch insensitive),
-        # same floor(value * 1e6) the batch suite uses
-        s += int(np.floor(v.to_numpy(np.float64) * _Q).astype(np.int64).sum())
-        bmn, bmx = float(v.min()), float(v.max())
-        mn = bmn if mn is None else min(mn, bmn)
-        mx = bmx if mx is None else max(mx, bmx)
-    state.update((n, s, mn, mx))
-    state.setTimeoutDuration(3_600_000)  # age out idle keys after 1 h
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_events": [n],
-            "sum_q": [s],
-            "v_min": [mn],
-            "v_max": [mx],
-        }
-    )
+        for pdf in pdfs:
+            v = pdf["value"]
+            n += len(v)
+            # exact-integer quantized running sum (order/batch
+            # insensitive), same floor(value * 1e6) the batch suite uses
+            s += int(
+                np.floor(v.to_numpy(np.float64) * _Q).astype(np.int64).sum()
+            )
+            bmn, bmx = float(v.min()), float(v.max())
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
+        state.update((n, s, mn, mx))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_q": [s],
+                "v_min": [mn],
+                "v_max": [mx],
+            }
+        )
+
+    return _update
 
 
-def stream_running_stats(stream: DataFrame) -> DataFrame:
+def stream_running_stats(
+    stream: DataFrame, timeout_ms: int = 3_600_000
+) -> DataFrame:
     """Per-user running stats over an unbounded event stream; emits the
     refreshed state row for every key touched in each micro-batch
-    (update output mode)."""
+    (update output mode).  Keys idle for ``timeout_ms`` of processing
+    time are evicted (state removed, nothing emitted)."""
     return (
         stream.select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _update,
+            _make_update(timeout_ms),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
