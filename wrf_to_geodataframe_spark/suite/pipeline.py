@@ -927,6 +927,108 @@ FROM fps GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Heavy hitters via count-min sketch
+
+_CMS_D = 4  # hash rows
+_CMS_W = 1024  # counters per row
+_CMS_TOPK = 10
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k corpus tokens with a COUNT-MIN SKETCH estimate next to the
+    exact count (Cormode/Muthukrishnan '05): the sketch is d=4 rows of
+    w=1024 counters built in one aggregation pass (4*N hash updates,
+    4096-counter state — constant memory no matter the token
+    cardinality); a key's estimate is the min over its d counters.
+
+    Hash-checked output: token, exact count, sketch estimate, and the
+    CM guarantee booleans (never under-estimates; over-estimate bounded
+    by the colliding mass).  The sketch is md5-derived so DuckDB builds
+    the identical one; at 100 TB the sketch path replaces the exact
+    groupBy when the key space no longer fits a shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+    total = tok.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    exact = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n_exact"))
+    topk = (
+        exact.orderBy(F.col("n_exact").desc(), F.col("t"))
+        .limit(_CMS_TOPK)
+    )
+    # sketch build: one pass, one shuffle of (r, bucket) partial counts
+    rows = tok.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("r"), "t"
+    ).select(
+        "r",
+        (
+            hash60(F.concat(F.col("r").cast("string"), F.lit("#"), F.col("t")))
+            % _CMS_W
+        ).alias("b"),
+    )
+    cms = rows.groupBy("r", "b").agg(F.count(F.lit(1)).alias("c"))
+    # probe: each top-k token joins its d counters, estimate = min(c)
+    probes = topk.select(
+        "t",
+        "n_exact",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("r"),
+    ).withColumn(
+        "b",
+        hash60(F.concat(F.col("r").cast("string"), F.lit("#"), F.col("t")))
+        % _CMS_W,
+    )
+    est = (
+        probes.join(cms, ["r", "b"])
+        .groupBy("t", "n_exact")
+        .agg(F.min("c").alias("n_est"))
+    )
+    return est.crossJoin(F.broadcast(total)).select(
+        "t",
+        "n_exact",
+        "n_est",
+        (F.col("n_est") >= F.col("n_exact")).alias("never_under"),
+        (
+            (F.col("n_est") - F.col("n_exact")).cast("double")
+            <= 2.0 * F.col("n_total").cast("double") / F.lit(float(_CMS_W))
+        ).alias("overest_bounded"),
+    )
+
+
+_CMS_HASH = (
+    "CAST(('0x' || substr(md5(r.r || '#' || t), 1, 15)) AS BIGINT) "
+    f"% {_CMS_W}"
+)
+
+_HEAVY_HITTERS_SQL = f"""
+WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS t FROM documents
+),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok),
+exact AS (SELECT t, count(*) AS n_exact FROM tok GROUP BY t),
+topk AS (
+    SELECT t, n_exact FROM exact ORDER BY n_exact DESC, t LIMIT {_CMS_TOPK}
+),
+cms AS (
+    SELECT r.r AS r, {_CMS_HASH} AS b, count(*) AS c
+    FROM tok, generate_series(0, {_CMS_D - 1}) AS r(r)
+    GROUP BY 1, 2
+),
+probes AS (
+    SELECT t, n_exact, r.r AS r, {_CMS_HASH} AS b
+    FROM topk, generate_series(0, {_CMS_D - 1}) AS r(r)
+),
+est AS (
+    SELECT t, n_exact, min(c) AS n_est
+    FROM probes JOIN cms USING (r, b)
+    GROUP BY 1, 2
+)
+SELECT t, n_exact, n_est,
+       n_est >= n_exact AS never_under,
+       CAST(n_est - n_exact AS DOUBLE)
+           <= 2.0 * CAST(n_total AS DOUBLE) / {_CMS_W}.0 AS overest_bounded
+FROM est, total
+"""
+
+
+# ---------------------------------------------------------------------------
 # Similarity search over embeddings
 
 _N_QUERIES = 8  # vec_id < 8 are the query vectors
@@ -1394,6 +1496,7 @@ QUERIES = {
     "token_stats": token_stats,
     "doc_fingerprint": doc_fingerprint,
     "doc_winnowing": doc_winnowing,
+    "heavy_hitters_cms": heavy_hitters_cms,
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_lsh_ann": sim_lsh_ann,
     "sim_ivf_topk": sim_ivf_topk,
@@ -1415,6 +1518,7 @@ ORACLE = {
     "token_stats": _TOKEN_STATS_SQL,
     "doc_fingerprint": _DOC_FINGERPRINT_SQL,
     "doc_winnowing": _DOC_WINNOW_SQL,
+    "heavy_hitters_cms": _HEAVY_HITTERS_SQL,
     "sim_bruteforce_topk": _SIM_BRUTE_SQL,
     "sim_lsh_ann": _SIM_LSH_SQL,
     "sim_ivf_topk": _SIM_IVF_SQL,
