@@ -56,6 +56,10 @@ def main() -> None:
         except Exception as ex:  # a failing query must not hide the rest
             timings[name] = -1.0
             print(f"bench error in {name}: {ex}", file=sys.stderr)
+        # several queries persist intra-query intermediates (signatures,
+        # inverted indexes); drop them between queries so timings are
+        # independent and late queries don't pay earlier queries' GC
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {

@@ -88,6 +88,7 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        spark.catalog.clearCache()  # drop prior queries' persisted intermediates
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
