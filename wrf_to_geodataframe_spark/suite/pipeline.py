@@ -485,13 +485,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs cross join."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
-    hashed = tok.select("doc_id", hash60(F.col("t")).alias("h"))
+    # count occurrences BEFORE hashing: each distinct (doc, token) is
+    # md5'd once and weighted by its count, not hashed per occurrence
+    tc = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    hashed = tc.select("doc_id", hash60(F.col("t")).alias("h"), "c")
     hv = hashed.select(
         "doc_id",
         (F.col("h") % _EC_D).alias("j"),
-        F.when(F.shiftright(F.col("h"), 6).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-        .otherwise(F.lit(-1))
-        .alias("sgn"),
+        (
+            F.when(
+                F.shiftright(F.col("h"), 6).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+            * F.col("c")
+        ).alias("sgn"),
     )
     # SPARSE long layout (doc_id, j, v), same as the oracle: a dense
     # 64-wide conditional aggregate was measured to blow the 64KB
