@@ -74,9 +74,24 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as e
-    from wrf_to_geodataframe_spark.session import get_spark
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # hostile-session mode: the driver harness builds its OWN session
+        # with none of get_spark's defaults — replicate that (non-UTC
+        # timezone, default shuffle partitions, no Arrow tuning) so the
+        # gate proves load_table pins everything semantics-critical
+        from pyspark.sql import SparkSession
 
-    spark = get_spark("check")
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check-vanilla")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from wrf_to_geodataframe_spark.session import get_spark
+
+        spark = get_spark("check")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
