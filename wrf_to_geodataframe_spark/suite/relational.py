@@ -647,6 +647,38 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# Statistical moments (§2.5 gap: second-order aggregates)
+
+
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev / covariance / correlation per return flag.  Both
+    engines use numerically-stable one-pass updates whose last bits
+    differ; outputs are rounded (4dp for the scale-carrying moments, 6dp
+    for the unit-free correlation) — verified stable at every SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "cov_qty_price"
+        ),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+    )
+
+
+_AGG_MOMENTS_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # Grouping sets: CUBE (r1_rollup's bigger sibling, §2.5 gap)
 
 
@@ -956,6 +988,7 @@ QUERIES = {
     "j_anti_join": j_anti_join,
     "agg_count_distinct": agg_count_distinct,
     "w4_session_window": w4_session_window,
+    "agg_stats_moments": agg_stats_moments,
     "r2_cube": r2_cube,
     "j_asof_join": j_asof_join,
     "j_range_join": j_range_join,
@@ -991,6 +1024,7 @@ ORACLE = {
     "j_anti_join": _J_ANTI_SQL,
     "agg_count_distinct": _AGG_CD_SQL,
     "w4_session_window": _W4_SQL,
+    "agg_stats_moments": _AGG_MOMENTS_SQL,
     "r2_cube": _R2_SQL,
     "j_asof_join": _J_ASOF_SQL,
     "j_range_join": _J_RANGE_SQL,
