@@ -205,3 +205,38 @@ def test_unpivot_roundtrips_wide_stats(spark):
         .collect()
     }
     assert by_user == exp
+
+
+def test_asof_join_matches_naive_reference_randomized(spark):
+    """Randomized cross-check of the union+window asof composition
+    against a naive per-probe scan (fixed seed, includes equal-ts
+    probe/event collisions)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n_ev, n_probe = 300, 60
+    ev_rows = []
+    base = dt.datetime(2024, 3, 1, tzinfo=UTC)
+    for i in range(n_ev):
+        u = int(rng.integers(0, 5))
+        # coarse second resolution ensures some exact ts collisions
+        ts = base + dt.timedelta(seconds=int(rng.integers(0, 500)))
+        ev_rows.append((u, ts, i, float(rng.uniform(0, 100))))
+    probe_rows = []
+    for _ in range(n_probe):
+        u = int(rng.integers(0, 5))
+        ts = base + dt.timedelta(seconds=int(rng.integers(0, 500)))
+        probe_rows.append((u, ts))
+    probe_rows = sorted(set(probe_rows))
+    got = {
+        (r.user_id, r.t.replace(tzinfo=UTC)): r.asof_id
+        for r in _asof_union_window(spark, ev_rows, probe_rows)
+    }
+    exp = {}
+    for u, pts in probe_rows:
+        cands = [
+            (ts, eid) for (eu, ts, eid, _v) in ev_rows if eu == u and ts < pts
+        ]
+        if cands:
+            exp[(u, pts)] = max(cands)[1]  # latest ts, then highest id
+    assert got == exp
