@@ -225,3 +225,41 @@ def test_stateful_timeout_branch_evicts_and_emits_nothing():
     assert state2.updated == (2, 5_000_000, 2.0, 3.0)
     assert state2.armed_ms == 1000
     assert not state2.removed
+
+
+def test_stream_range_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join over a drained bounded source must
+    produce exactly the batch range join's pairs."""
+    from wrf_to_geodataframe_spark.session import load_table
+    from wrf_to_geodataframe_spark.streaming.join import stream_range_join
+    from wrf_to_geodataframe_spark.streaming.resample import read_events_stream
+    from wrf_to_geodataframe_spark.suite.relational import j_range_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    src = str(tmp_path / "rj_stream")
+    events.repartition(3).write.parquet(src)
+
+    want = {
+        (r.da, r.db): r.delta_us for r in j_range_join(spark, sf_dir).collect()
+    }
+
+    stream = read_events_stream(spark, src, events.schema)
+    out = stream_range_join(stream, stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("range_join_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = {
+        (r.da, r.db): r.delta_us
+        for r in spark.table("range_join_stream").collect()
+    }
+    assert got == want
