@@ -353,3 +353,17 @@ def test_winnowing_shared_substring_yields_shared_fingerprint(spark, tmp_path):
         by_doc.setdefault(r.doc_id, set()).add(r.fp)
     assert by_doc[1] & by_doc[2], "shared substring must share fingerprints"
     assert not (by_doc[1] & by_doc[3])
+
+
+def test_pq_rerank_recall_vs_bruteforce(spark):
+    """PQ/ADC candidates + exact rerank must recover a substantial
+    fraction of the true top-k (random embeddings have no cluster
+    structure, so this is the hard case for a 32x-compressed code)."""
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        sim_bruteforce_topk,
+        sim_pq_topk,
+    )
+
+    pq = {(r.query_id, r.neighbor_id) for r in sim_pq_topk(spark, SF01).collect()}
+    bf = {(r.query_id, r.neighbor_id) for r in sim_bruteforce_topk(spark, SF01).collect()}
+    assert len(pq & bf) >= 0.5 * len(bf)

@@ -1421,6 +1421,220 @@ WHERE rank <= {_TOP_K}
 
 
 # ---------------------------------------------------------------------------
+# Similarity search: product quantization (PQ / ADC)
+
+_PQ_M = 8  # subspaces
+_PQ_SUB = 8  # dims per subspace (M * SUB = 64)
+_PQ_K = 16  # codewords per subspace (first 16 vectors' subvectors)
+_PQ_Q = 1 << 20  # component quantizer
+_PQ_RERANK = 64  # ADC candidates per query fed to the exact rerank
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou/Douze/Schmid, TPAMI 2011): each
+    vector is encoded as 8 sub-codes (nearest of 16 deterministic
+    codewords per 8-dim subspace); queries rank candidates by
+    ASYMMETRIC DISTANCE — the sum of per-subspace query-to-codeword
+    distances looked up from a tiny precomputed table, never touching
+    the raw database vectors.
+
+    Determinism discipline: components quantize to BIGINT first, so
+    every distance is an exact integer; argmin ties break on the lowest
+    code via the combined key min(d2 * K + c).  Scale shape: codes are
+    8 small ints per vector (a 64-dim float vector compresses ~32x),
+    encode is one broadcast pass, and query cost is |DB| lookups of a
+    1024-entry table — the memory/recall dial IVF doesn't give you."""
+    # L2-NORMALIZE before quantizing: ADC ranks by L2 distance, and on
+    # the unit sphere L2 order == cosine order, matching the exact
+    # rankers; quantization after the division keeps everything BIGINT
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "greatest(sqrt(aggregate(transform(embedding, x -> "
+            "CAST(x AS DOUBLE) * x), CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + x)), 1e-12d)"
+        ).alias("nd"),
+        "embedding",
+    ).select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+            f"/ nd * {_PQ_Q}) AS BIGINT))"
+        ).alias("qv"),
+    ).persist()
+    cb = emb.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("c"), F.col("qv").alias("cv")
+    )
+    ms = spark.range(_PQ_M).select(F.col("id").alias("m"))
+    sub_d2 = F.expr(
+        f"aggregate(zip_with(slice(qv, CAST(m * {_PQ_SUB} + 1 AS INT), "
+        f"{_PQ_SUB}), slice(cv, CAST(m * {_PQ_SUB} + 1 AS INT), {_PQ_SUB}), "
+        f"(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+    )
+    # encode: argmin codeword per (vector, subspace) via the combined
+    # integer key — deterministic tie-break on the lowest code
+    enc = (
+        emb.crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id", "m", (sub_d2 * _PQ_K + F.col("c")).alias("key")
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min("key").alias("k"))
+        .select("vec_id", "m", (F.col("k") % _PQ_K).alias("code"))
+    )
+    # query-side lookup table: distance from each query subvector to
+    # every codeword (|Q| x M x K rows — tiny, broadcast)
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+    )
+    lut = (
+        q.crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            "m",
+            F.col("c").alias("code"),
+            F.expr(
+                f"aggregate(zip_with(slice(qqv, CAST(m * {_PQ_SUB} + 1 AS "
+                f"INT), {_PQ_SUB}), slice(cv, CAST(m * {_PQ_SUB} + 1 AS "
+                f"INT), {_PQ_SUB}), (a, b) -> (a - b) * (a - b)), 0L, "
+                f"(acc, x) -> acc + x)"
+            ).alias("d2"),
+        )
+    )
+    adc = (
+        enc.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").alias("d2_approx"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("d2_approx").asc(), F.col("neighbor_id")
+    )
+    cand = adc.withColumn("crank", F.row_number().over(wc)).filter(
+        F.col("crank") <= _PQ_RERANK
+    ).select("query_id", "neighbor_id")
+    # exact-cosine rerank of the compressed-domain candidates (same
+    # recall/cost structure as the IVF query: approximate candidates,
+    # exact final ranking)
+    from wrf_to_geodataframe_spark.functions.vectors import (
+        as_double_vec,
+        cosine_from_q,
+        dot_q,
+        norm_q,
+    )
+
+    full = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("e")
+    ).withColumn("nq", norm_q(F.col("e")))
+    qe = full.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nq").alias("qnq"),
+    )
+    ce = full.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ne"),
+        F.col("nq").alias("nnq"),
+    )
+    rer = (
+        cand.join(qe, "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_from_q(
+                dot_q(F.col("qe"), F.col("ne")), F.col("qnq"), F.col("nnq")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _TOP_K)
+    )
+
+
+_PQ_SUBD2 = (
+    "CAST(list_sum(list_transform(generate_series(1, {sub}), i -> "
+    "({a}[m.m * {sub} + i] - {b}[m.m * {sub} + i]) "
+    "* ({a}[m.m * {sub} + i] - {b}[m.m * {sub} + i]))) AS BIGINT)"
+)
+
+_SIM_PQ_SQL = f"""
+WITH nrm AS (
+    SELECT vec_id, embedding,
+           greatest(sqrt(list_sum(list_transform(embedding, x ->
+               CAST(x AS DOUBLE) * x))), 1e-12) AS nd
+    FROM embeddings
+),
+qemb AS (
+    SELECT vec_id,
+           list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) / nd * {_PQ_Q}) AS BIGINT)) AS qv
+    FROM nrm
+),
+cb AS (SELECT vec_id AS c, qv AS cv FROM qemb WHERE vec_id < {_PQ_K}),
+enc AS (
+    SELECT vec_id, m, CAST(k % {_PQ_K} AS BIGINT) AS code FROM (
+        SELECT e.vec_id, m.m AS m,
+               min({_PQ_SUBD2.format(sub=_PQ_SUB, a="e.qv", b="cb.cv")}
+                   * {_PQ_K} + cb.c) AS k
+        FROM qemb e, generate_series(0, {_PQ_M - 1}) AS m(m), cb
+        GROUP BY 1, 2
+    )
+),
+lut AS (
+    SELECT q.vec_id AS query_id, m.m AS m, cb.c AS code,
+           {_PQ_SUBD2.format(sub=_PQ_SUB, a="q.qv", b="cb.cv")} AS d2
+    FROM qemb q, generate_series(0, {_PQ_M - 1}) AS m(m), cb
+    WHERE q.vec_id < {_N_QUERIES}
+),
+adc AS (
+    SELECT l.query_id, e.vec_id AS neighbor_id,
+           CAST(sum(l.d2) AS BIGINT) AS d2_approx
+    FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+    WHERE e.vec_id <> l.query_id
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2_approx ASC, neighbor_id)
+                   AS crank
+        FROM adc
+    ) WHERE crank <= {_PQ_RERANK}
+),
+norms AS (
+    SELECT vec_id, {_DOT_SQL.format(a="embedding", b="embedding")} AS nq
+    FROM embeddings
+),
+rer AS (
+    SELECT c.query_id, c.neighbor_id,
+           CAST({_DOT_SQL.format(a="q.embedding", b="n.embedding")} AS DOUBLE)
+               / sqrt(CAST(nq.nq AS DOUBLE) * CAST(nn.nq AS DOUBLE)) AS cosine
+    FROM cand c
+    JOIN embeddings q ON c.query_id = q.vec_id
+    JOIN embeddings n ON c.neighbor_id = n.vec_id
+    JOIN norms nq ON c.query_id = nq.vec_id
+    JOIN norms nn ON c.neighbor_id = nn.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id)
+                AS BIGINT) AS rank
+    FROM rer
+)
+WHERE rank <= {_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multimodal columns
 
 
@@ -1507,6 +1721,7 @@ QUERIES = {
     "sim_bruteforce_topk": sim_bruteforce_topk,
     "sim_lsh_ann": sim_lsh_ann,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_pq_topk": sim_pq_topk,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_resize": multimodal_resize,
@@ -1529,6 +1744,7 @@ ORACLE = {
     "sim_bruteforce_topk": _SIM_BRUTE_SQL,
     "sim_lsh_ann": _SIM_LSH_SQL,
     "sim_ivf_topk": _SIM_IVF_SQL,
+    "sim_pq_topk": _SIM_PQ_SQL,
     "multimodal_meta": _MULTIMODAL_META_SQL,
     # multimodal_features: rows-only (mapInPandas kernel, pytest-pinned)
 }
