@@ -240,3 +240,41 @@ def test_asof_join_matches_naive_reference_randomized(spark):
         if cands:
             exp[(u, pts)] = max(cands)[1]  # latest ts, then highest id
     assert got == exp
+
+
+def test_funnel_requires_strict_order(spark, tmp_path):
+    """Funnel semantics: a click BEFORE the first view must not count,
+    and a purchase only counts after a qualifying click."""
+    import pandas as pd
+
+    rows = [
+        # user 1: click(1h) < view(2h) -> click doesn't qualify; the
+        # 3h click does; purchase at 4h qualifies
+        (1, "2024-01-01 01:00:00", "click"),
+        (1, "2024-01-01 02:00:00", "view"),
+        (1, "2024-01-01 03:00:00", "click"),
+        (1, "2024-01-01 04:00:00", "purchase"),
+        # user 2: purchase before any click -> stops at view
+        (2, "2024-01-01 01:00:00", "view"),
+        (2, "2024-01-01 02:00:00", "purchase"),
+        # user 3: no view at all -> absent from the funnel
+        (3, "2024-01-01 01:00:00", "click"),
+    ]
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[2] for r in rows],
+            "value": 1.0,
+            "props": "{}",
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"))
+    from wrf_to_geodataframe_spark.suite.relational import (
+        funnel_view_click_purchase,
+    )
+
+    out = {r.user_id: r for r in funnel_view_click_purchase(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].t_click.hour == 3 and out[1].t_purchase.hour == 4
+    assert out[2].t_click is None and out[2].t_purchase is None

@@ -647,6 +647,72 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# Funnel analysis (sequential-pattern aggregation over the event stream)
+
+
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel timestamps per user: first view, first click
+    AFTER that view, first purchase AFTER that click — the standard
+    product-analytics sequential pattern, expressed as three
+    filtered-min aggregations chained on user_id.
+
+    Scale shape: each stage is a narrow shuffle on the same key (the
+    event_type filters push into the scan), and stages after the first
+    join against one-row-per-user frames that only shrink."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase")
+    )
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+    SELECT user_id, min(ts) AS t_view FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS t_click
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t_view
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS t_purchase
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    GROUP BY e.user_id
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Statistical moments (§2.5 gap: second-order aggregates)
 
 
@@ -989,6 +1055,7 @@ QUERIES = {
     "agg_count_distinct": agg_count_distinct,
     "w4_session_window": w4_session_window,
     "agg_stats_moments": agg_stats_moments,
+    "funnel_view_click_purchase": funnel_view_click_purchase,
     "r2_cube": r2_cube,
     "j_asof_join": j_asof_join,
     "j_range_join": j_range_join,
@@ -1025,6 +1092,7 @@ ORACLE = {
     "agg_count_distinct": _AGG_CD_SQL,
     "w4_session_window": _W4_SQL,
     "agg_stats_moments": _AGG_MOMENTS_SQL,
+    "funnel_view_click_purchase": _FUNNEL_SQL,
     "r2_cube": _R2_SQL,
     "j_asof_join": _J_ASOF_SQL,
     "j_range_join": _J_RANGE_SQL,
