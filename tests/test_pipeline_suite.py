@@ -367,3 +367,54 @@ def test_pq_rerank_recall_vs_bruteforce(spark):
     pq = {(r.query_id, r.neighbor_id) for r in sim_pq_topk(spark, SF01).collect()}
     bf = {(r.query_id, r.neighbor_id) for r in sim_bruteforce_topk(spark, SF01).collect()}
     assert len(pq & bf) >= 0.5 * len(bf)
+
+
+def test_df_cap_bounds_hot_shingle_candidates(spark):
+    """VERDICT r3 #2: a boilerplate shingle shared by all M documents
+    must NOT produce M^2 candidate pairs.  With the df cap the hot
+    shingle leaves the inverted index entirely, so the self-join emits
+    only the pairs justified by rare shingles — O(docs), not O(docs^2)."""
+    from wrf_to_geodataframe_spark.suite.pipeline import capped_shingle_index
+
+    n_docs, cap = 60, 8
+    # every doc carries the same boilerplate 3-gram plus 5 unique words
+    rows = [
+        (i, f"common header line u{i}a u{i}b u{i}c u{i}d u{i}e")
+        for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    idx = capped_shingle_index(docs, df_cap=cap)
+    # hot shingle ("common header line", df = 60 > 8) is gone; unique
+    # shingles (df = 1) survive
+    per_shingle = idx.groupBy("hs").count().collect()
+    assert per_shingle, "rare shingles must survive the cap"
+    assert max(r["count"] for r in per_shingle) <= cap
+
+    # candidate pairs from the capped index: zero here (no two docs share
+    # a rare shingle) — the uncapped index would have emitted C(60,2)=1770
+    a, b = idx.alias("a"), idx.alias("b")
+    n_cand = (
+        a.join(
+            b,
+            (F.col("a.hs") == F.col("b.hs"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .count()
+    )
+    assert n_cand == 0
+
+    # uncapped control: the very join shape the cap exists to prevent
+    from wrf_to_geodataframe_spark.functions.text import exploded_shingles, hash60
+
+    raw = exploded_shingles(docs).select("doc_id", hash60(F.col("s")).alias("hs"))
+    ra, rb = raw.alias("a"), raw.alias("b")
+    n_uncapped = (
+        ra.join(
+            rb,
+            (F.col("a.hs") == F.col("b.hs"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .count()
+    )
+    assert n_uncapped == n_docs * (n_docs - 1) // 2

@@ -67,29 +67,64 @@ GROUP BY md5(text)
 # Near-duplicate detection: exact n-gram Jaccard via inverted index
 
 
+_NGRAM_DF_CAP = 128  # shingles in more documents than this leave the universe
+
+
+def capped_shingle_index(docs: DataFrame, df_cap: int = _NGRAM_DF_CAP) -> DataFrame:
+    """(doc_id, hs) inverted-index rows with a DOCUMENT-FREQUENCY CAP:
+    any shingle present in more than ``df_cap`` documents (boilerplate —
+    headers, licence text, templates) is dropped from the index.  Without
+    the cap one shingle shared by M documents emits M^2 candidate rows in
+    the self-join; with it the worst case per shingle is df_cap^2, so
+    total candidates stay O(distinct_shingles * df_cap^2) = O(corpus) —
+    the standard skew guard for n-gram dedup at 100 TB.
+
+    The hot-shingle set is identified by one partial-aggregated groupBy
+    over the index; the anti-join is left to AQE (the hot set is tiny in
+    real corpora, so it broadcasts at runtime, but nothing breaks if an
+    adversarial corpus makes it large)."""
+    sh = exploded_shingles(docs).select("doc_id", hash60(F.col("s")).alias("hs"))
+    return _cap_index(sh, df_cap)
+
+
+def _cap_index(raw: DataFrame, df_cap: int) -> DataFrame:
+    """Drop (doc_id, hs) rows whose hs has document frequency > df_cap."""
+    hot = (
+        raw.groupBy("hs")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("hs")
+    )
+    return raw.join(hot, "hs", "left_anti")
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram Jaccard >= 0.8.
+    """Near-dup pairs by exact 3-gram Jaccard >= 0.8 over the
+    df-capped shingle universe (idf-filtered Jaccard).
 
     Candidate pairs come from the shingle INVERTED INDEX (self-equi-join
     on the shingle), so only documents sharing at least one shingle are
-    ever compared — the standard scale-out layout.  Hot shingles skew the
-    join; AQE skew-join handles moderate skew, and a document-frequency
-    cap on shingles is the escape hatch at extreme scale."""
+    ever compared — the standard scale-out layout.  Shingles in more
+    than _NGRAM_DF_CAP documents are boilerplate: they carry no near-dup
+    signal at the 0.8 threshold, and each would emit df^2 candidate rows
+    in the self-join, so ``capped_shingle_index`` drops them from BOTH
+    the index and the set sizes — the oracle applies the identical cap,
+    so the gate replays the filtered universe bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
     # self-joined subtrees don't canonicalize equal (HOF lambda ids), so
     # Spark would re-tokenize the corpus for each of the three branches
-    # (sizes, join-a, join-b); persist the inverted index once instead —
-    # at cluster scale a deliberate materialization of the index, the
-    # same thing a production dedup pipeline checkpoints.  (Carrying the
-    # set size THROUGH the explode instead was measured 4x slower: the
-    # second reference to the shingle array defeats projection collapse
-    # and re-runs the shingle transform per row.)
+    # (sizes, join-a, join-b); persist the raw index once (feeds the
+    # df-stats agg AND the anti-join probe side with zero re-tokenize)
+    # and the capped index once (feeds all three consumers) — at cluster
+    # scale these are the two materializations a production dedup
+    # pipeline checkpoints anyway (shingle stats + filtered index).
     # the inverted index carries the 60-bit shingle HASH, not the string:
     # 8-byte join keys shuffle less and compare faster, and the oracle
     # joins on the identical md5-derived value
-    sh = exploded_shingles(docs).select(
+    raw = exploded_shingles(docs).select(
         "doc_id", hash60(F.col("s")).alias("hs")
     ).persist()
+    sh = _cap_index(raw, _NGRAM_DF_CAP).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -112,9 +147,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NGRAM_JACCARD_SQL = f"""
-WITH sh AS (
+WITH raw AS (
     SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS hs
     FROM ({_SHINGLE_SQL})
+),
+hot AS (
+    SELECT hs FROM raw GROUP BY hs HAVING count(*) > {_NGRAM_DF_CAP}
+),
+sh AS (
+    SELECT doc_id, hs FROM raw
+    WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.hs = raw.hs)
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 shared AS (
@@ -1289,20 +1331,23 @@ WHERE rank <= {_TOP_K}
 """
 
 
-_IVF_STRIDE = 37  # deterministic coarse centroids: vec_id % 37 == 0
 _IVF_NPROBE = 3
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: a deterministic coarse quantizer (every 37th
-    vector is a centroid, ~sqrt(N) lists), each vector assigned to its
-    nearest centroid by exact-integer cosine; queries probe the 3
-    nearest centroids and exact-rerank only those lists.
+    """IVF-style ANN: a deterministic coarse quantizer — stride =
+    floor(sqrt(N)) derived from a 1-row count agg inside the plan, so
+    every stride-th vec_id is a centroid and the centroid count is
+    ~sqrt(N) for ANY corpus size — each vector assigned to its nearest
+    centroid by exact-integer cosine; queries probe the 3 nearest
+    centroids and exact-rerank only those lists.
 
-    Scale shape: assignment is one broadcast pass over N (centroids are
-    tiny), the probe join shuffles on centroid id (list sizes ~N/C), and
-    rerank cost is nprobe/C of brute force — the classic IVF recall/cost
-    dial, with everything deterministic so the oracle can replay it."""
+    Scale shape: the broadcast side is the ~sqrt(N) centroid table (a
+    few MB even at 10^10 vectors), assignment scores N x sqrt(N) pairs
+    (the standard IVF train/assign cost), the probe join shuffles on
+    centroid id (list sizes ~sqrt(N)), and rerank cost is nprobe/C of
+    brute force — the classic IVF recall/cost dial, with everything
+    deterministic so the oracle can replay it."""
     from wrf_to_geodataframe_spark.functions.vectors import (
         as_double_vec,
         cosine_from_q,
@@ -1316,10 +1361,21 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec(F.col("embedding")).alias("e")
     ).withColumn("nq", norm_q(F.col("e"))).persist()
-    cents = emb.filter(F.col("vec_id") % _IVF_STRIDE == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("e").alias("ce"),
-        F.col("nq").alias("cnq"),
+    # stride = floor(sqrt(N)) as a 1-row agg crossJoined in (plan stays
+    # lazy, no driver collect); greatest(...,1) guards the empty table.
+    stride = emb.agg(
+        F.greatest(F.floor(F.sqrt(F.count("*"))).cast("long"), F.lit(1)).alias(
+            "ivf_stride"
+        )
+    )
+    cents = (
+        emb.crossJoin(F.broadcast(stride))
+        .filter(F.col("vec_id") % F.col("ivf_stride") == 0)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("e").alias("ce"),
+            F.col("nq").alias("cnq"),
+        )
     )
     scored = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",
@@ -1370,10 +1426,14 @@ WITH norms AS (
     SELECT vec_id, {_DOT_SQL.format(a="embedding", b="embedding")} AS nq
     FROM embeddings
 ),
+stride AS (
+    SELECT GREATEST(CAST(floor(sqrt(count(*))) AS BIGINT), 1) AS ivf_stride
+    FROM embeddings
+),
 cents AS (
     SELECT vec_id AS cent_id, embedding AS ce, nq AS cnq
-    FROM embeddings JOIN norms USING (vec_id)
-    WHERE vec_id % {_IVF_STRIDE} = 0
+    FROM embeddings JOIN norms USING (vec_id) CROSS JOIN stride
+    WHERE vec_id % ivf_stride = 0
 ),
 scored AS (
     SELECT e.vec_id, c.cent_id,
