@@ -100,3 +100,20 @@ def test_asof_is_one_window_no_inequality_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Window") == 1
+
+
+def test_query_construction_is_lazy(spark):
+    """VERDICT r3 #8: building any queries() entry must not trigger a
+    Spark job — thresholds/extents are 1-row aggs crossJoined into the
+    plan, not driver collects.  Exception: g1_auto_dispatch, whose
+    adaptive path choice is driver-side by design (like AQE stats)."""
+    from wrf_to_geodataframe_spark.suite import all_queries
+
+    store = spark.sparkContext._jsc.sc().statusStore()
+    before = store.jobsList(None).size()
+    for name, fn in all_queries().items():
+        if name == "g1_auto_dispatch":
+            continue
+        fn(spark, SF)
+    after = store.jobsList(None).size()
+    assert after == before, f"{after - before} Spark job(s) ran during query construction"

@@ -120,8 +120,8 @@ def tessellate(
     pdf = df.select(*key_cols, x_col, y_col).limit(max_points + 1).toPandas()
     if len(pdf) > max_points:
         raise ValueError(
-            f"more than {max_points} points exceed the driver tessellation "
-            f"limit; use tessellate_distributed"
+            f"point count exceeds driver tessellation limit {max_points}; "
+            f"use tessellate_distributed"
         )
     # deterministic coincident-site tie-break: lowest key wins, matching
     # the distributed path's per-tile sort (not collection order)
@@ -264,20 +264,35 @@ def tessellate_distributed(
     x_col: str,
     y_col: str,
     key_cols: Sequence[str],
-    bbox: tuple[float, float, float, float],
-    tile_size: float,
-    halo: float,
+    bbox: tuple[float, float, float, float] | None = None,
+    tile_size: float = 0.0,
+    halo: float = 0.0,
     spacing_hint: float | None = None,
+    bbox_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Distributed tessellation: one shuffle (points -> tiles, with halo
     replication), then embarrassingly-parallel per-tile kernels.
 
+    The clip bbox comes either from ``bbox`` (driver-side floats) or
+    ``bbox_cols`` (four column names (x1, y1, x2, y2) on ``df``, constant
+    across rows — e.g. a crossJoined 1-row agg).  With ``bbox_cols`` the
+    whole query stays LAZY: no Spark job runs until the result is acted
+    on, because tile assignment needs only the coordinates, never the
+    extent.
+
     Scale: memory per task is O(points per tile + halo ring), never the
     global point count — the axis on which the reference OOMs."""
-    xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+    if (bbox is None) == (bbox_cols is None):
+        raise ValueError("pass exactly one of bbox / bbox_cols")
+    if tile_size <= 0 or halo <= 0:
+        raise ValueError("tile_size and halo must be positive")
     ts, hw = float(tile_size), float(halo)
 
-    pts = df.select(*key_cols, x_col, y_col)
+    bcols = list(bbox_cols) if bbox_cols is not None else []
+    lit_bbox = (
+        tuple(float(v) for v in bbox) if bbox is not None else None
+    )
+    pts = df.select(*key_cols, x_col, y_col, *bcols)
     x, y = F.col(x_col), F.col(y_col)
     home_i = F.floor(x / F.lit(ts))
     home_j = F.floor(y / F.lit(ts))
@@ -329,6 +344,11 @@ def tessellate_distributed(
         is_home = (local["home_i"] == ti) & (local["home_j"] == tj)
         if not is_home.any():
             return _empty()
+        tile_bbox = (
+            lit_bbox
+            if lit_bbox is not None
+            else tuple(float(local[c].iloc[0]) for c in bcols)
+        )
         px = local[x_col].to_numpy(np.float64)
         py = local[y_col].to_numpy(np.float64)
         # certificate slack: absent points are farther than
@@ -338,7 +358,7 @@ def tessellate_distributed(
         d_edge = np.minimum.reduce([px - tx1, tx2 - px, py - ty1, ty2 - py])
         slack = d_edge + hw
         return _cells_frame(
-            local, keys, x_col, y_col, (xmin, ymin, xmax, ymax),
+            local, keys, x_col, y_col, tile_bbox,
             spacing_hint, exact_slack=slack,
             site_mask=is_home.reset_index(drop=True).to_numpy(),
         )

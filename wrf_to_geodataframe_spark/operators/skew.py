@@ -44,7 +44,19 @@ def salted_join(
 
     Cost model: dim is replicated n_salts times (use for small-to-medium
     dims; a broadcastable dim doesn't need salting at all), fact is
-    scanned once.  Result equals the plain join exactly."""
+    scanned once.  Result equals the plain join exactly for the
+    fact-preserving join types (inner/left/left_semi/left_anti).  For
+    right/full/right_semi the replicated dim rows that match NO fact row
+    would each surface n_salts times, so those types are rejected."""
+    safe = {"inner", "left", "leftouter", "left_outer",
+            "left_semi", "leftsemi", "semi",
+            "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join supports only fact-preserving join types "
+            f"{sorted(safe)}; how={how!r} would duplicate unmatched dim "
+            f"rows n_salts times"
+        )
     salted_fact = fact.withColumn(
         "_salt", deterministic_salt([F.col(c) for c in salt_cols], n_salts)
     )

@@ -59,22 +59,42 @@ def sf_path(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
-_NS_COLS_CACHE: dict[str, list[str]] = {}
+_META_CACHE: dict[str, tuple[list[str], "object"]] = {}
 
 
-def _nanos_timestamp_cols(path: str) -> list[str]:
-    """Column names stored as parquet TIMESTAMP(NANOS) — Spark has no
-    nanosecond timestamp type, so these need special handling.
+def _table_meta(path: str):
+    """(nanos-timestamp column names, explicit Spark read schema) for one
+    parquet dataset, derived from the footers DRIVER-SIDE and memoized.
 
-    Scans the union of all part-file footers (mixed-schema datasets are
-    caught, not silently missed) and memoizes per path so repeated
-    load_table calls don't re-read footers driver-side.
+    Passing the schema explicitly to ``spark.read.schema(...)`` matters
+    twice over: it skips the distributed schema-inference job Spark
+    otherwise runs per ``read.parquet`` call (so building a query plan
+    triggers NO Spark job — the laziness contract the suite tests pin),
+    and at 100 TB it is simply how production reads work (schemas come
+    from a catalog, not from re-reading footers on every query).
+
+    The schema replicates Spark's own parquet inference rules exactly:
+    TIMESTAMP(NANOS) columns read as raw LongType (``nanosAsLong``,
+    rewritten to µs timestamps by ``load_table``); non-UTC-adjusted
+    timestamps (arrow tz=None) map to TIMESTAMP_NTZ, matching
+    ``spark.sql.parquet.inferTimestampNTZ.enabled=true``; everything
+    else via arrow→Spark conversion.  NS columns are unioned over ALL
+    part footers (mixed-schema datasets are caught, not silently
+    missed); the base schema comes from the first part.
     """
-    if path in _NS_COLS_CACHE:
-        return _NS_COLS_CACHE[path]
+    if path in _META_CACHE:
+        return _META_CACHE[path]
 
     import pyarrow.parquet as pq
     import pyarrow.types as pt
+    from pyspark.sql.pandas.types import from_arrow_schema
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
 
     parts = [path]
     if os.path.isdir(path):
@@ -85,12 +105,26 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
             if f.endswith(".parquet")
         )
     ns_cols: list[str] = []
+    base = None
     for p in parts:
-        for f in pq.read_schema(p):
+        sch = pq.read_schema(p)
+        if base is None:
+            base = sch
+        for f in sch:
             if pt.is_timestamp(f.type) and f.type.unit == "ns" and f.name not in ns_cols:
                 ns_cols.append(f.name)
-    _NS_COLS_CACHE[path] = ns_cols
-    return ns_cols
+
+    fields = []
+    for af, sf in zip(base, from_arrow_schema(base)):
+        dt = sf.dataType
+        if af.name in ns_cols:
+            dt = LongType()
+        elif pt.is_timestamp(af.type):
+            dt = TimestampType() if af.type.tz else TimestampNTZType()
+        fields.append(StructField(af.name, dt, nullable=True))
+    meta = (ns_cols, StructType(fields))
+    _META_CACHE[path] = meta
+    return meta
 
 
 def load_table(spark: SparkSession, sf_dir: str, table: str):
@@ -108,16 +142,16 @@ def load_table(spark: SparkSession, sf_dir: str, table: str):
     # who built the session — the driver harness uses its own SparkSession.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = sf_path(sf_dir, table)
-    ns_cols = _nanos_timestamp_cols(path)
+    ns_cols, schema = _table_meta(path)
     if not ns_cols:
-        return spark.read.parquet(path)
+        return spark.read.schema(schema).parquet(path)
     # nanosAsLong is session-global and must still be set when the lazy
     # scan actually executes, so it cannot be scoped to this call.  That
     # is safe *within this engine* because every read goes through
     # load_table, which always rewrites ns columns to real timestamps —
     # no later read ever observes a raw ns-long column.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    df = spark.read.schema(schema).parquet(path)
     for c in ns_cols:
         # negative-safe ns→µs floor division: pmod keeps the remainder in
         # [0, 1000) so pre-1970 nanos round DOWN, matching DuckDB's

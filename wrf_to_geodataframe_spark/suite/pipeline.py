@@ -517,8 +517,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-dim SIGN-HASHED token-count vector (feature hashing with a sign
     hash, Weinberger et al. ICML'09 — the sign cancels the common-token
     bias that makes plain bag-of-words histograms all look alike), then
-    random-hyperplane LSH (Charikar STOC'02) blocks candidates: 12
-    deterministic integer hyperplanes -> 12 sign bits -> 3 bands of 4;
+    random-hyperplane LSH (Charikar STOC'02) blocks candidates: 36
+    deterministic integer hyperplanes -> 36 sign bits -> 3 bands of 12
+    bits (4096-key band space — see the _EC_ROWS sizing note above);
     documents sharing a band key are verified by exact integer cosine.
 
     Everything is exact BIGINT arithmetic until the final

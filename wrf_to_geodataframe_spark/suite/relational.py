@@ -787,9 +787,21 @@ def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     unboundedPreceding..-1 frame.  Probes sort BEFORE events at equal
     timestamps (tag asc), so the frame excludes ties — strict '<'.  The
     oracle is DuckDB's native ASOF JOIN: independent semantics, not an
-    expression echo."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "value"
+    expression echo.
+
+    Tie-proofing: DuckDB's ASOF JOIN does not specify which of several
+    events at the SAME (user_id, ts) it returns, so both sides first
+    collapse events to one row per (user_id, ts) — highest event_id
+    wins, carrying its value via max_by/arg_max.  The comparison is
+    then deterministic on any dataset, duplicates or not."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.max_by("value", "event_id").alias("value"),
+        )
+        .select("user_id", "ts", "event_id", "value")
     )
     probes = ev.select(
         "user_id",
@@ -830,14 +842,19 @@ def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _J_ASOF_SQL = """
-WITH probes AS (
+WITH ev AS (
+    SELECT user_id, ts, max(event_id) AS event_id,
+           arg_max(value, event_id) AS value
+    FROM events GROUP BY user_id, ts
+),
+probes AS (
     SELECT DISTINCT user_id,
            date_trunc('day', ts) + INTERVAL 12 HOUR AS probe_ts
-    FROM events
+    FROM ev
 )
 SELECT p.user_id, p.probe_ts,
        e.event_id AS asof_event_id, e.ts AS asof_ts, e.value AS asof_value
-FROM probes p ASOF JOIN events e
+FROM probes p ASOF JOIN ev e
   ON p.user_id = e.user_id AND p.probe_ts > e.ts
 """
 
