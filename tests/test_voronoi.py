@@ -365,3 +365,46 @@ def test_marginal_halo_certificate_is_conservative_not_wrong(spark):
     assert n_inexact > 0  # the marginal halo cannot certify everything
     for sid, wkt in drv.items():
         assert dst[sid].wkt == wkt  # ...but every cell is still right
+
+
+def test_curvilinear_gate_query_invariants(spark, sf_dir):
+    """g1_curvilinear_conservation's stronger local form: the warped set
+    is genuinely non-rectilinear, the kernel certifies every cell exact,
+    no sentinels, and the quantized area sum matches the bbox area far
+    tighter than the gate's 2e-3 (the gate tolerance only absorbs
+    quantization accumulation at sf0.1)."""
+    from wrf_to_geodataframe_spark.geometry.tessellate import (
+        infer_rectilinear,
+        tessellate_distributed,
+    )
+    from wrf_to_geodataframe_spark.suite.tessellation import (
+        _BBOX_COLS,
+        _curvilinear_points,
+        g1_curvilinear_conservation,
+    )
+
+    pts = _curvilinear_points(spark, sf_dir)
+    n_pts = pts.count()
+    if n_pts >= 3:  # a 1-row strip with <3 points is degenerately rectilinear
+        assert not infer_rectilinear(pts, "x", "y")
+    cells = tessellate_distributed(
+        pts, "x", "y", ["user_id"],
+        bbox_cols=_BBOX_COLS, tile_size=8.0, halo=4.0, spacing_hint=1.0,
+    ).cache()
+    try:
+        stats = cells.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("exact").cast("long")).alias("n_exact"),
+            F.sum(F.col("is_sentinel").cast("long")).alias("n_sent"),
+            F.sum("area").alias("total"),
+        ).collect()[0]
+        assert stats.n == n_pts
+        assert stats.n_exact == stats.n
+        assert stats.n_sent == 0
+        bbox = pts.limit(1).select(*_BBOX_COLS).collect()[0]
+        bbox_area = (bbox.bx2 - bbox.bx1) * (bbox.by2 - bbox.by1)
+        assert abs(stats.total - bbox_area) < 1e-6 * max(1.0, stats.n)
+    finally:
+        cells.unpersist()
+    row = g1_curvilinear_conservation(spark, sf_dir).collect()[0]
+    assert row.conserved and row.n_exact == row.n_cells == n_pts

@@ -35,6 +35,7 @@ _GROUPS = [core, relational, conversions, spatial, tessellation, pipeline]
 # run produces official green rows — locally they are verified by
 # tools/check.py and pytest goldens already (VERDICT r3 item #3).
 _NEVER_DRIVER_CHECKED = [
+    "g1_curvilinear_conservation",
     "g1_auto_dispatch",
     "dedup_embedding_cosine",
     "dedup_edit_distance",
