@@ -63,3 +63,52 @@ def test_known_value(spark):
     assert abs(rows[0].y) < 1e-8  # tan(pi/4) != 1.0 exactly in FP
     assert abs(rows[1].x - 6378137.0 * math.pi) < 1e-6
     assert abs(rows[1].y - 6378137.0 * math.log(math.tan(3 * math.pi / 8))) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# EPSG:27700 (OSGB36 / British National Grid)
+
+from wrf_to_geodataframe_spark.functions.crs import (  # noqa: E402
+    lonlat_to_osgb,
+    osgb36_geodetic_to_grid_numpy,
+    osgb_pandas_udf,
+)
+
+
+def test_osgb_tm_matches_os_worked_example():
+    """OS guide Annex C worked example: 52deg39'27.2531\"N 1deg43'4.5177\"E
+    (OSGB36 geodetic) -> 651409.903 E, 313177.270 N."""
+    phi = math.radians(52 + 39 / 60 + 27.2531 / 3600)
+    lam = math.radians(1 + 43 / 60 + 4.5177 / 3600)
+    E, N = osgb36_geodetic_to_grid_numpy(phi, lam)
+    assert abs(E - 651409.903) < 2e-3
+    assert abs(N - 313177.270) < 2e-3
+
+
+def test_osgb_full_chain_within_helmert_envelope(spark):
+    """The same station's ETRS89 coordinates through the full WGS84 chain
+    (cartesian -> Helmert -> TM) must land within the documented accuracy
+    of the small Helmert transform (~3.5 m vs the OSTN grid truth)."""
+    lat = 52 + 39 / 60 + 28.8282 / 3600
+    lon = 1 + 42 / 60 + 57.8663 / 3600
+    df = spark.createDataFrame([(lon, lat)], "lon double, lat double")
+    r = lonlat_to_osgb(df, F.col("lon"), F.col("lat")).collect()[0]
+    assert abs(r.easting - 651409.903) < 5.0
+    assert abs(r.northing - 313177.270) < 5.0
+
+
+def test_osgb_expression_and_pandas_udf_agree(spark):
+    df = spark.range(200).select(
+        (F.col("id") % 20 * 0.4 - 7.0).alias("lon"),
+        (F.floor(F.col("id") / 20) * 1.1 + 50.0).alias("lat"),
+    )
+    udf = osgb_pandas_udf()
+    rows = (
+        lonlat_to_osgb(df, F.col("lon"), F.col("lat"))
+        .withColumn("u", udf(F.col("lon"), F.col("lat")))
+        .collect()
+    )
+    for r in rows:
+        # same formulas, JVM vs numpy libm: agree far below mm
+        assert abs(r.easting - r.u.easting) < 1e-6
+        assert abs(r.northing - r.u.northing) < 1e-6

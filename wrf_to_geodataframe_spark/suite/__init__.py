@@ -36,6 +36,7 @@ _GROUPS = [core, relational, conversions, spatial, tessellation, pipeline]
 # tools/check.py and pytest goldens already (VERDICT r3 item #3).
 _NEVER_DRIVER_CHECKED = [
     "g1_curvilinear_conservation",
+    "g8_crs_osgb",
     "g1_auto_dispatch",
     "dedup_embedding_cosine",
     "dedup_edit_distance",

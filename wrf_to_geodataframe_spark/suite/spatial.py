@@ -577,6 +577,120 @@ FROM cells
 """
 
 
+def g8_crs_osgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:27700 transform (SURVEY.md §2 G8 — the reference's ACTUAL
+    target CRS, wrf_voronoi.py:188 ``.to_crs("EPSG:27700")``): grid
+    centers as pseudo WGS84 lon/lat over Great Britain, through the
+    full published chain (geodetic -> cartesian -> Helmert datum shift
+    -> Airy 1830 geodetic -> National Grid transverse Mercator; see
+    functions/crs.py, validated against the OS worked example).  Outputs
+    rounded to cm — the 40-odd transcendental steps keep cross-engine
+    libm drift below 1e-7 m, five orders under the rounding quantum."""
+    from wrf_to_geodataframe_spark.functions.crs import lonlat_to_osgb
+
+    cells = grid_cells(spark, sf_dir)
+    d = cells.select(
+        "user_id",
+        (F.col("x") * 0.25 - 6.0).alias("lon"),  # ~[-6, 1.75] degrees
+        (F.col("y") * 0.1 + 50.0).alias("lat"),  # ~[50, 55] degrees
+    )
+    out = lonlat_to_osgb(d, F.col("lon"), F.col("lat"))
+    return out.select(
+        "user_id",
+        F.round("easting", 2).alias("easting"),
+        F.round("northing", 2).alias("northing"),
+    )
+
+
+def _osgb_sql() -> str:
+    """The oracle's mirror of the full EPSG:27700 chain as chained CTEs,
+    embedding the IDENTICAL precomputed constant literals."""
+    from wrf_to_geodataframe_spark.functions import crs as C
+
+    af0, bf0 = C.AIRY_A * C.OSGB_F0, C.AIRY_B * C.OSGB_F0
+    it = """
+it{k} AS (
+    SELECT user_id, p, lam2, ZP,
+           atan2(ZP + {e2a} * ({aa} / sqrt(1.0 - {e2a} * sin(phi2) * sin(phi2))) * sin(phi2), p) AS phi2
+    FROM it{j}
+),"""
+    iters = "".join(
+        it.format(k=k, j=k - 1, e2a=repr(C.E2_AIRY), aa=repr(C.AIRY_A))
+        for k in range(1, 8)
+    )
+    return f"""
+WITH cells AS ({_CELLS_SQL}),
+ll AS (
+    SELECT user_id,
+           radians((y1 + 0.5) * 0.1 + 50.0) AS phi,
+           radians((x1 + 0.5) * 0.25 - 6.0) AS lam
+    FROM cells
+),
+cart AS (
+    SELECT user_id,
+           ({C.WGS_A!r} / sqrt(1.0 - {C.E2_WGS!r} * sin(phi) * sin(phi))) * cos(phi) * cos(lam) AS X,
+           ({C.WGS_A!r} / sqrt(1.0 - {C.E2_WGS!r} * sin(phi) * sin(phi))) * cos(phi) * sin(lam) AS Y,
+           (1.0 - {C.E2_WGS!r}) * ({C.WGS_A!r} / sqrt(1.0 - {C.E2_WGS!r} * sin(phi) * sin(phi))) * sin(phi) AS Z
+    FROM ll
+),
+helm AS (
+    SELECT user_id,
+           {C.H_TX!r} + {C.H_S1!r} * X - {C.H_RZ!r} * Y + {C.H_RY!r} * Z AS XP,
+           {C.H_TY!r} + {C.H_RZ!r} * X + {C.H_S1!r} * Y - {C.H_RX!r} * Z AS YP,
+           {C.H_TZ!r} - {C.H_RY!r} * X + {C.H_RX!r} * Y + {C.H_S1!r} * Z AS ZP
+    FROM cart
+),
+it0 AS (
+    SELECT user_id,
+           sqrt(XP * XP + YP * YP) AS p,
+           atan2(YP, XP) AS lam2,
+           ZP,
+           atan2(ZP, sqrt(XP * XP + YP * YP) * (1.0 - {C.E2_AIRY!r})) AS phi2
+    FROM helm
+),{iters}
+geo AS (
+    SELECT user_id,
+           sin(phi2) AS s2, cos(phi2) AS c2, tan(phi2) AS t2,
+           lam2 - {C.OSGB_LAM0!r} AS dl,
+           phi2 - {C.OSGB_PHI0!r} AS dphi,
+           phi2 + {C.OSGB_PHI0!r} AS sphi0
+    FROM it7
+),
+tm1 AS (
+    SELECT user_id, s2, c2, t2, dl,
+           {af0!r} / sqrt(1.0 - {C.E2_AIRY!r} * s2 * s2) AS nu,
+           {af0!r} * (1.0 - {C.E2_AIRY!r})
+               / ((1.0 - {C.E2_AIRY!r} * s2 * s2) * sqrt(1.0 - {C.E2_AIRY!r} * s2 * s2)) AS rho,
+           {bf0!r} * ({C.MA_C!r} * dphi
+               - {C.MB_C!r} * sin(dphi) * cos(sphi0)
+               + {C.MC_C!r} * sin(2.0 * dphi) * cos(2.0 * sphi0)
+               - {C.MD_C!r} * sin(3.0 * dphi) * cos(3.0 * sphi0)) AS M
+    FROM geo
+),
+tm2 AS (
+    SELECT user_id, s2, c2, dl, nu, rho, M,
+           nu / rho - 1.0 AS eta2,
+           t2 * t2 AS t22, t2 * t2 * t2 * t2 AS t24,
+           c2 * c2 * c2 AS c23, c2 * c2 * c2 * c2 * c2 AS c25,
+           dl * dl AS dl2
+    FROM tm1
+)
+SELECT user_id,
+       round({C.OSGB_E0!r}
+           + nu * c2 * dl
+           + nu / 6.0 * c23 * (nu / rho - t22) * dl2 * dl
+           + nu / 120.0 * c25 * (5.0 - 18.0 * t22 + t24 + 14.0 * eta2 - 58.0 * t22 * eta2) * dl2 * dl2 * dl, 2) AS easting,
+       round(M + {C.OSGB_N0!r}
+           + nu / 2.0 * s2 * c2 * dl2
+           + nu / 24.0 * s2 * c23 * (5.0 - t22 + 9.0 * eta2) * dl2 * dl2
+           + nu / 720.0 * s2 * c25 * (61.0 - 58.0 * t22 + t24) * dl2 * dl2 * dl2, 2) AS northing
+FROM tm2
+"""
+
+
+_G8_OSGB_SQL = _osgb_sql()
+
+
 def a7_domain_center(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain center + radius (SURVEY.md §2 A7, wrf_voronoi.py:51-53
     ``vor.points.mean(axis=0)`` and ``ptp().max()``): the scalar
@@ -615,6 +729,7 @@ QUERIES = {
     "regrid_conservative": regrid_conservative,
     "regrid_conservative_general": regrid_conservative_general,
     "g8_crs_webmercator": g8_crs_webmercator,
+    "g8_crs_osgb": g8_crs_osgb,
     "a7_domain_center": a7_domain_center,
 }
 
@@ -626,5 +741,6 @@ ORACLE = {
     "regrid_conservative": _REGRID_SQL,
     "regrid_conservative_general": _REGRID_GENERAL_SQL,
     "g8_crs_webmercator": _G8_SQL,
+    "g8_crs_osgb": _G8_OSGB_SQL,
     "a7_domain_center": _A7_SQL,
 }
