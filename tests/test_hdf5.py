@@ -1,0 +1,124 @@
+"""S1 NetCDF-4/HDF5 scan: spec-subset reader vs byte-level fixtures
+(superblock v0, v1 headers, symbol-table group, contiguous + chunked/
+shuffle/deflate layouts, v1 string attributes)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.hdf5_fixture import FixtureWriter
+from wrf_to_geodataframe_spark.sources.hdf5 import (
+    Hdf5Error,
+    read_hdf5,
+    read_netcdf_any,
+)
+
+
+def _rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture()
+def nc4_file(tmp_path):
+    w = FixtureWriter()
+    rng = _rng()
+    t2 = rng.normal(280.0, 5.0, (13, 17)).astype(np.float32)
+    xlat = np.linspace(-30.0, -10.0, 13 * 17).reshape(13, 17)
+    xlong = np.linspace(-60.0, -40.0, 13 * 17).reshape(13, 17)
+    counts = rng.integers(-1000, 1000, (13, 17)).astype(np.int16)
+    x_axis = np.arange(17, dtype=np.float64) * 1000.0
+    w.add_chunked("T2", t2, chunk=(5, 7))
+    w.add_contiguous("XLAT", xlat)
+    w.add_contiguous("XLONG", xlong)
+    w.add_contiguous("counts", counts)
+    w.add_contiguous(
+        "x", x_axis,
+        attrs=[("CLASS", "DIMENSION_SCALE"), ("units", "m")],
+    )
+    path = str(tmp_path / "wrf.nc")
+    w.finish(path)
+    return path, t2, xlat, xlong, counts, x_axis
+
+
+def test_read_contiguous_and_chunked(nc4_file):
+    path, t2, xlat, xlong, counts, x_axis = nc4_file
+    ds = read_hdf5(path)
+    assert set(ds["variables"]) == {"T2", "XLAT", "XLONG", "counts", "x"}
+    np.testing.assert_array_equal(ds["variables"]["T2"]["data"], t2)
+    np.testing.assert_array_equal(ds["variables"]["XLAT"]["data"], xlat)
+    np.testing.assert_array_equal(ds["variables"]["XLONG"]["data"], xlong)
+    np.testing.assert_array_equal(ds["variables"]["counts"]["data"], counts)
+    np.testing.assert_array_equal(ds["variables"]["x"]["data"], x_axis)
+    assert ds["variables"]["T2"]["data"].dtype == np.float32
+    assert ds["variables"]["counts"]["data"].dtype == np.int16
+
+
+def test_dimension_scale_and_attrs(nc4_file):
+    path = nc4_file[0]
+    ds = read_hdf5(path)
+    assert ds["dims"] == {"x": 17}
+    assert ds["variables"]["x"]["attrs"]["units"] == "m"
+    assert ds["variables"]["x"]["attrs"]["CLASS"] == "DIMENSION_SCALE"
+
+
+def test_edge_chunks_truncated(tmp_path):
+    # 13x17 with 5x7 chunks: right/bottom edge chunks overhang and must
+    # be trimmed, not wrapped
+    w = FixtureWriter()
+    arr = np.arange(13 * 17, dtype=np.float64).reshape(13, 17)
+    w.add_chunked("v", arr, chunk=(5, 7))
+    path = str(tmp_path / "edge.nc")
+    w.finish(path)
+    np.testing.assert_array_equal(read_hdf5(path)["variables"]["v"]["data"], arr)
+
+
+def test_dispatch_by_magic(nc4_file, tmp_path):
+    from wrf_to_geodataframe_spark.sources.netcdf import write_netcdf
+
+    path = nc4_file[0]
+    assert "T2" in read_netcdf_any(path)["variables"]
+    nc3 = str(tmp_path / "classic.nc")
+    write_netcdf(
+        nc3,
+        dims={"y": 2, "x": 3},
+        variables={
+            "v": {
+                "dims": ("y", "x"),
+                "data": np.arange(6, dtype=np.float32).reshape(2, 3),
+            }
+        },
+    )
+    np.testing.assert_array_equal(
+        read_netcdf_any(nc3)["variables"]["v"]["data"],
+        np.arange(6, dtype=np.float32).reshape(2, 3),
+    )
+    bad = tmp_path / "bad.bin"
+    bad.write_bytes(b"not a netcdf file")
+    with pytest.raises(ValueError, match="neither"):
+        read_netcdf_any(str(bad))
+
+
+def test_not_hdf5_raises(tmp_path):
+    p = tmp_path / "x.h5"
+    p.write_bytes(b"\x00" * 64)
+    with pytest.raises(Hdf5Error, match="signature"):
+        read_hdf5(str(p))
+
+
+def test_grid_ingest_from_hdf5(spark, nc4_file):
+    """The S1 ingest contract over an HDF5-backed file: long table with
+    explicit (y_idx, x_idx) keys — same shape the NetCDF-3 path emits."""
+    from wrf_to_geodataframe_spark.sources.netcdf import read_netcdf_grid
+
+    path, t2, xlat, xlong, _counts, _x = nc4_file
+    df = read_netcdf_grid(spark, path, "T2", "XLAT", "XLONG")
+    rows = df.orderBy("y_idx", "x_idx").collect()
+    assert len(rows) == 13 * 17
+    r0 = rows[0]
+    assert r0.y_idx == 0 and r0.x_idx == 0
+    assert abs(r0.value - float(t2[0, 0])) < 1e-6
+    assert abs(r0.lat - xlat[0, 0]) < 1e-12
+    last = rows[-1]
+    assert last.y_idx == 12 and last.x_idx == 16
+    assert abs(last.value - float(t2[12, 16])) < 1e-6

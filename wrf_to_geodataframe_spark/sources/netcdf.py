@@ -231,8 +231,11 @@ def read_netcdf_grid(
     """S1 ingest: NetCDF grid variable -> long DataFrame with explicit
     (y_idx, x_idx) integer keys + coord + value columns (the engine's
     data model, SURVEY.md §1.1; parameterized names per the
-    haduk_voronoi.py:22-29 contract)."""
-    ds = read_netcdf(path)
+    haduk_voronoi.py:22-29 contract).  Accepts classic (CDF-1/2) AND
+    NetCDF-4/HDF5 files — dispatch on magic bytes (sources/hdf5.py)."""
+    from wrf_to_geodataframe_spark.sources.hdf5 import read_netcdf_any
+
+    ds = read_netcdf_any(path)
     v = ds["variables"][var]["data"]
     if time_index is not None and v.ndim == 3:
         v = v[time_index]  # P3 positional slice at the ingest edge
