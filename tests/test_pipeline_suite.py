@@ -418,3 +418,54 @@ def test_df_cap_bounds_hot_shingle_candidates(spark):
         .count()
     )
     assert n_uncapped == n_docs * (n_docs - 1) // 2
+
+
+def test_ivf_trained_kmeans_recall(spark):
+    """VERDICT r3 #9: trained (fixed-iteration, deterministic) k-means
+    coarse quantizer vs the stride-sampled one, recall measured against
+    brute force.  Training is Spark-side (broadcast assign + posexplode
+    partial-agg update); only the k x d codebook returns to the driver
+    between iterations."""
+    from wrf_to_geodataframe_spark.functions.vectors import as_double_vec, norm_q
+    from wrf_to_geodataframe_spark.operators.kmeans import (
+        ivf_topk_trained,
+        kmeans_fit,
+    )
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        _N_QUERIES,
+        sim_bruteforce_topk,
+        sim_ivf_topk,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF01}/embeddings.parquet")
+        .select("vec_id", as_double_vec(F.col("embedding")).alias("e"))
+        .withColumn("nq", norm_q(F.col("e")))
+    )
+    k = 22  # ~sqrt(500)
+    codebook = kmeans_fit(emb, "vec_id", "e", k=k, iters=3)
+    assert len(codebook) == k and len(codebook[0]) == 64
+    # determinism: same data, same codebook
+    codebook2 = kmeans_fit(emb, "vec_id", "e", k=k, iters=3)
+    assert codebook == codebook2
+
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in sim_bruteforce_topk(spark, SF01).filter("rank = 1").collect()
+    }
+    trained = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk_trained(
+            spark, emb, codebook, n_queries=_N_QUERIES
+        ).collect()
+    }
+    stride = {
+        (r.query_id, r.neighbor_id) for r in sim_ivf_topk(spark, SF01).collect()
+    }
+    r_trained = len(truth & trained) / len(truth)
+    r_stride = len(truth & stride) / len(truth)
+    print(f"recall@1: trained={r_trained:.3f} stride={r_stride:.3f}")
+    # deterministic data + algorithm => fixed values: measured 1.000
+    # trained vs 0.250 stride on sf0.001 (3 Lloyd steps, k=22, nprobe=3)
+    assert r_trained >= 0.9
+    assert r_trained >= r_stride
