@@ -151,7 +151,8 @@ def test_range_join_pairs_within_window_across_bucket_boundary(spark):
     exp = {}
     for _, grp in ev.groupby("user_id"):
         g = grp.sort_values("ts")
-        ts = g["ts"].astype("int64") // 1000  # ns -> us
+        # unit-robust epoch micros (testdata has shipped both ns and us)
+        ts = g["ts"].astype("datetime64[us]").astype("int64")
         ids = g["event_id"].to_numpy()
         tv = ts.to_numpy()
         for i in range(len(g)):

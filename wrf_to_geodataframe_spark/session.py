@@ -92,7 +92,6 @@ def _table_meta(path: str):
         LongType,
         StructField,
         StructType,
-        TimestampNTZType,
         TimestampType,
     )
 
@@ -120,7 +119,12 @@ def _table_meta(path: str):
         if af.name in ns_cols:
             dt = LongType()
         elif pt.is_timestamp(af.type):
-            dt = TimestampType() if af.type.tz else TimestampNTZType()
+            # Naive (no-tz) parquet timestamps are read as plain TIMESTAMP,
+            # not TIMESTAMP_NTZ: the session timezone is pinned to UTC below,
+            # so the stored micros are value-identical to DuckDB's naive
+            # reading, while NTZ would break unix_micros()/epoch arithmetic
+            # downstream (unsupported input type in Spark 4).
+            dt = TimestampType()
         fields.append(StructField(af.name, dt, nullable=True))
     meta = (ns_cols, StructType(fields))
     _META_CACHE[path] = meta
