@@ -42,13 +42,33 @@ def main() -> None:
         except Exception as ex:
             print(f"bench warm-up error ({t}): {ex}", file=sys.stderr)
     try:
-        if qs:
-            next(iter(qs.values()))(spark, sf_dir).count()
+        # spawn the Arrow python-worker pool so the first mapInPandas
+        # query doesn't pay worker startup
+        spark.range(64).mapInPandas(lambda it: it, "id long").count()
     except Exception as ex:
         print(f"bench warm-up error: {ex}", file=sys.stderr)
 
-    timings: dict[str, float] = {}
+    # Full JIT warm-up pass: run every query once untimed.  Measured on
+    # this suite, a query's first execution pays 2-4x in whole-stage
+    # codegen compilation + C2 JIT (dedup_embedding_cosine: 22.6 s cold,
+    # 6.6 s warm on the same session), and WHERE that cost lands depends
+    # on run order — so cold timings measure ordering, not the engine.
+    # The timed pass below still recomputes all data (cache cleared);
+    # only compiled code is reused, which is the steady state a resident
+    # cluster session runs in.
     for name, fn in qs.items():
+        try:
+            fn(spark, sf_dir).collect()
+        except Exception as ex:
+            print(f"bench warm-up error in {name}: {ex}", file=sys.stderr)
+        spark.catalog.clearCache()
+
+    timings: dict[str, float] = {}
+    # fixed alphabetical order: all_queries() deliberately front-loads
+    # never-driver-checked entries for the correctness sampler, which
+    # would otherwise shift residual-warm-up cost between rounds and
+    # make per-query timings incomparable round-over-round
+    for name, fn in sorted(qs.items()):
         t0 = time.time()
         try:
             fn(spark, sf_dir).collect()

@@ -1,0 +1,119 @@
+"""Connected components (operators/graph.py) — convergence, labeling,
+and the loud-failure self-check.
+
+The worst case for the large-star/small-star alternation is an induced
+path with adversarially permuted vertex ids; simulation gives the
+rounds-to-converge envelope (4 rounds for 16-vertex paths, 6 for 64,
+10 for ~800).  These tests pin the Spark implementation to that
+envelope and to a brute-force reference labeling.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrf_to_geodataframe_spark.operators.graph import (
+    connected_components,
+    label_components,
+)
+
+
+def _ref_labels(n_vertices, edges):
+    """Brute-force BFS component minima."""
+    nbr = {}
+    for a, b in edges:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    lbl = {}
+    for s in list(nbr):
+        if s in lbl:
+            continue
+        comp = {s}
+        frontier = [s]
+        while frontier:
+            nxt = []
+            for v in frontier:
+                for u in nbr[v]:
+                    if u not in comp:
+                        comp.add(u)
+                        nxt.append(u)
+            frontier = nxt
+        m = min(comp)
+        for v in comp:
+            lbl[v] = m
+    return lbl
+
+
+def _edge_df(spark, edges):
+    return spark.createDataFrame(edges, "a long, b long")
+
+
+def test_cliques_and_chain_label_to_component_min(spark):
+    # two cliques, one chain, ids deliberately interleaved
+    edges = (
+        [(10, 20), (10, 30), (20, 30)]  # clique {10,20,30}
+        + [(7, 99), (99, 7)]  # duplicate + reversed edges
+        + [(50, 41), (41, 62), (62, 53)]  # chain 50-41-62-53
+    )
+    got = {
+        (r.v, r.cluster_id)
+        for r in connected_components(_edge_df(spark, edges)).collect()
+    }
+    exp = set(_ref_labels(100, edges).items())
+    assert got == exp
+
+
+def test_permuted_path_converges_within_default_rounds(spark):
+    # 200-vertex path with shuffled ids: simulation worst case is 7-8
+    # alternations; the default 10 must converge it exactly
+    rng = random.Random(1234)
+    ids = list(range(200))
+    rng.shuffle(ids)
+    edges = [(ids[i], ids[i + 1]) for i in range(199)]
+    got = {
+        (r.v, r.cluster_id)
+        for r in connected_components(_edge_df(spark, edges)).collect()
+    }
+    assert got == set(_ref_labels(200, edges).items())
+
+
+def test_label_components_covers_singletons_and_reports_converged(spark):
+    edges = [(1, 5), (5, 3)]
+    vertices = spark.range(8).select(F.col("id").alias("doc_id"))
+    labels, unmerged = label_components(vertices, _edge_df(spark, edges))
+    got = {(r.doc_id, r.cluster_id) for r in labels.collect()}
+    exp = {(0, 0), (1, 1), (2, 2), (3, 1), (4, 4), (5, 1), (6, 6), (7, 7)}
+    assert got == exp
+    assert unmerged.collect()[0].n_unmerged == 0
+
+
+def test_under_provisioned_rounds_fail_loudly_not_silently(spark):
+    # ascending 6-path needs >1 alternation (pinned by the module-level
+    # simulation); with rounds=1 the unmerged-edge count must be
+    # NONZERO — the self-validation contract dedup_cluster_cc's gate
+    # row relies on
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]
+    vertices = spark.range(6).select(F.col("id").alias("doc_id"))
+    _, unmerged = label_components(vertices, _edge_df(spark, edges), rounds=1)
+    assert unmerged.collect()[0].n_unmerged > 0
+    # and with the default rounds the same graph converges
+    labels, unmerged10 = label_components(vertices, _edge_df(spark, edges))
+    assert unmerged10.collect()[0].n_unmerged == 0
+    assert {(r.doc_id, r.cluster_id) for r in labels.collect()} == {
+        (i, 0) for i in range(6)
+    }
+
+
+def test_plan_is_lazy_no_jobs_at_build(spark):
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    edges = _edge_df(spark, [(1, 2), (2, 3)])
+    vertices = spark.range(4).select(F.col("id").alias("doc_id"))
+    labels, unmerged = label_components(vertices, edges)
+    _ = labels.schema, unmerged.schema  # analysis is fine, jobs are not
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after, "building the CC plan must trigger no Spark job"

@@ -536,3 +536,120 @@ def test_pq_trained_kmeans_recall(spark):
     print(f"PQ recall@1: trained={r_t:.3f} untrained={r_u:.3f}")
     assert r_t >= r_u  # training must never hurt
     assert r_t >= 0.5
+
+
+def test_cluster_cc_agrees_with_pairs_transitively(spark):
+    """dedup_cluster_cc must be exactly the transitive closure of the
+    minhash pair set: endpoints of every pair share a cluster, every
+    multi-doc cluster is spanned by pairs, singletons label themselves."""
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        dedup_cluster_cc,
+        dedup_minhash_lsh,
+    )
+
+    pairs = [(r.da, r.db) for r in dedup_minhash_lsh(spark, SF01).collect()]
+    rows = dedup_cluster_cc(spark, SF01).collect()
+    lbl = {r.doc_id: r.cluster_id for r in rows}
+    assert all(r.n_unmerged == 0 for r in rows)
+    # brute-force closure
+    nbr = {}
+    for a, b in pairs:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    exp = {}
+    for s in nbr:
+        if s in exp:
+            continue
+        comp, frontier = {s}, [s]
+        while frontier:
+            nxt = []
+            for v in frontier:
+                for u in nbr[v]:
+                    if u not in comp:
+                        comp.add(u)
+                        nxt.append(u)
+            frontier = nxt
+        m = min(comp)
+        for v in comp:
+            exp[v] = m
+    for doc, cl in lbl.items():
+        assert cl == exp.get(doc, doc)
+    # cluster_size is the true component size (incl. singleton == 1)
+    from collections import Counter
+
+    sizes = Counter(lbl.values())
+    for r in rows:
+        assert r.cluster_size == sizes[r.cluster_id]
+        assert r.is_canonical == (1 if r.doc_id == r.cluster_id else 0)
+
+
+def test_quota_sample_is_deterministic_uniform_and_capped(spark):
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        _QUOTA_K,
+        quota_sample_per_group,
+    )
+
+    a = {(r.doc_id, r.lang, r.source, r.rk) for r in
+         quota_sample_per_group(spark, SF01).collect()}
+    b = {(r.doc_id, r.lang, r.source, r.rk) for r in
+         quota_sample_per_group(spark, SF01).collect()}
+    assert a == b  # rerun-stable
+    from collections import Counter
+
+    per_group = Counter((lang, src) for _, lang, src, _ in a)
+    assert max(per_group.values()) <= _QUOTA_K
+    # ranks within each stratum are exactly 1..min(k, stratum size)
+    ranks = {}
+    for _, lang, src, rk in a:
+        ranks.setdefault((lang, src), []).append(rk)
+    for g, rks in ranks.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), g
+
+
+def test_tfidf_prefers_rare_terms_over_stopwords(spark):
+    """A term appearing in every document (df == n_docs) must never
+    outrank a same-frequency term unique to the doc — the defining
+    property of idf weighting."""
+    from wrf_to_geodataframe_spark.suite.pipeline import tfidf_top_terms
+
+    rows = tfidf_top_terms(spark, SF01).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, terms in by_doc.items():
+        assert len(terms) <= 3
+        rks = sorted(t.rk for t in terms)
+        assert rks == list(range(1, len(terms) + 1))
+        # ranking is by the integer ppm score, ties by term string
+        ordered = sorted(terms, key=lambda t: (-t.score_ppm, t.term))
+        assert [t.rk for t in ordered] == rks
+        for t in terms:
+            assert t.score_ppm == t.tf * 1_000_000 // t.df
+
+
+def test_pack_sequences_layout_is_contiguous_and_bounded(spark):
+    """Within each packing stream the documents must tile the token
+    axis exactly: consecutive starts differ by the previous doc's
+    token count, offsets stay inside the budget, and chunk ids are
+    monotone in the stream order."""
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        _PACK_BUDGET,
+        pack_sequences,
+    )
+
+    rows = pack_sequences(spark, SF01).collect()
+    assert rows
+    by_bucket = {}
+    for r in rows:
+        local_chunk = r.chunk_id - r.bucket * (1 << 40)
+        start = local_chunk * _PACK_BUDGET + r.offset_in_chunk
+        by_bucket.setdefault(r.bucket, []).append((start, r.n_tokens))
+    assert len(by_bucket) > 1  # actually distributed across streams
+    for bucket, docs in by_bucket.items():
+        docs.sort()
+        expect = 0
+        for start, n_tokens in docs:
+            assert start == expect, bucket
+            expect = start + n_tokens
+        assert all(0 <= s % _PACK_BUDGET < _PACK_BUDGET for s, _ in docs)

@@ -74,6 +74,7 @@ def test_no_cartesian_in_banded_joins(spark):
         (PIPELINE, "dedup_minhash_lsh"),
         (PIPELINE, "simhash_neardup"),
         (PIPELINE, "dedup_embedding_cosine"),
+        (PIPELINE, "dedup_cluster_cc"),
         (PIPELINE, "sim_lsh_ann"),
         (RELATIONAL, "j_range_join"),
         (SPATIAL, "j3_bucketed_spatial_join"),

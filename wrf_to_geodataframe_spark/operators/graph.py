@@ -1,0 +1,169 @@
+"""Distributed connected components (large-star / small-star).
+
+The missing last step of every dedup pipeline: near-dup detectors emit
+PAIRS, but acting on duplicates (keep one representative per group)
+needs the transitive closure of those pairs — connected components over
+the doc graph.  The reference has no graph operator at all; this is a
+§2.8-gap extension sized for the 100 TB design point.
+
+Algorithm: alternating large-star / small-star edge transformations
+(Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected
+Components in MapReduce and Beyond", SoCC 2014).  The alternation
+provably converges to one star per component (centered on the
+component's minimum vertex id) in O(log^2 n) rounds, O(log n) observed:
+a random-permuted 800-vertex path (adversarial id layout — naive
+min-label propagation with pointer jumping needs ~n rounds on it)
+converges in <= 9 alternations, and near-dup components are
+near-cliques that converge in 1-2.
+
+Plan-shape discipline (this is what makes the operator usable from a
+``queries()`` builder):
+
+- The round count is a FIXED unroll, not a driver-side convergence
+  loop, so building the plan triggers no Spark job.  Convergence is
+  still checked, not assumed: ``label_components`` exposes an exact
+  unmerged-edge count callers surface as a self-validating output
+  column (0 iff every edge's endpoints agree).
+- Each star transform references its input edge set ONCE.  The naive
+  formulation (symmetrize = union of two projections, per-vertex
+  minima joined back) references it 4x per round, so the logical plan
+  TREE grows 4^rounds and Catalyst analysis never finishes — and
+  breaking that with localCheckpoint makes query construction eager
+  under AQE (stage materialization at build).  Instead symmetrization
+  is an explode (one scan) and the per-vertex minimum is an
+  unbounded-frame window aggregate (one shuffle on the vertex id, no
+  self-join), so the plan grows LINEARLY in the round count and the
+  whole computation stays one lazy DAG.
+
+Per-round cost: two shuffles per star (window min on the vertex id +
+emitted-edge distinct) over a shrinking edge set; nothing touches the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Fixed alternation depth: covers near-clique dup clusters (1-2 rounds)
+# with margin over the adversarial worst case observed on
+# random-permuted paths of 800 vertices (9 rounds).  Raise for graphs
+# with genuinely longer induced paths.
+DEFAULT_CC_ROUNDS = 10
+
+
+def _sym_with_min(edges: DataFrame) -> DataFrame:
+    """(a, b, m): both directions of every edge, with
+    m = min(N(a) ∪ {a}) attached — one explode + one window shuffle,
+    referencing ``edges`` exactly once (see module docstring)."""
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a"), F.col("b")),
+                F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    return sym.withColumn(
+        "m", F.least(F.min("b").over(Window.partitionBy("a")), F.col("a"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each vertex u: connect every STRICTLY LARGER neighbor to
+    m = min(N(u) ∪ {u}).  Hangs heavy vertices below local minima."""
+    s = _sym_with_min(edges)
+    return (
+        s.filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each vertex u: connect every neighbor <= u, and u itself, to
+    m = min(N(u) ∪ {u}).  Flattens local chains into stars."""
+    s = _sym_with_min(edges)
+    emitted = s.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    F.when(
+                        F.col("b") <= F.col("a"),
+                        F.struct(F.col("b").alias("a"), F.col("m").alias("b")),
+                    ),
+                    F.struct(F.col("a"), F.col("m").alias("b")),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    return emitted.filter(F.col("a") != F.col("b")).distinct()
+
+
+def connected_components(
+    edges: DataFrame, rounds: int = DEFAULT_CC_ROUNDS
+) -> DataFrame:
+    """(v, cluster_id) for every vertex incident to an edge, where
+    cluster_id is the minimum vertex id of v's component.
+
+    ``edges`` must have two LONG columns ``a`` and ``b``; direction and
+    duplicates don't matter, self-loops are ignored.
+    """
+    e = (
+        edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    for _ in range(rounds):
+        e = _small_star(_large_star(e))
+    # converged edge set is a star per component: every edge joins a
+    # member to its component min, so each vertex's label is its min
+    # adjacent endpoint (centers label themselves)
+    return (
+        _sym_with_min(e)
+        .select(F.col("a").alias("v"), F.col("m").alias("cluster_id"))
+        .distinct()
+    )
+
+
+def label_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    rounds: int = DEFAULT_CC_ROUNDS,
+) -> tuple[DataFrame, DataFrame]:
+    """(labels, unmerged): every vertex labeled with its component min
+    (singletons label themselves), plus a 1-row exact convergence
+    check — the count of edges whose endpoints got different labels
+    (0 iff the fixed round count sufficed).  Surfacing ``unmerged`` as
+    an output column makes the operator self-validating: an
+    insufficient round count fails a value comparison loudly instead of
+    silently under-merging.
+
+    ``comp`` is persisted: it feeds the vertex labeling and both sides
+    of the convergence check, and the three subtrees are identical by
+    construction (cache hit, not recompute).
+    """
+    comp = connected_components(edges, rounds).persist()
+    labels = (
+        vertices.select(F.col(id_col))
+        .join(comp, F.col(id_col) == F.col("v"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    la, lb = comp.alias("la"), comp.alias("lb")
+    unmerged = (
+        edges.join(la, F.col("a") == F.col("la.v"))
+        .join(lb, F.col("b") == F.col("lb.v"))
+        .select(
+            (F.col("la.cluster_id") != F.col("lb.cluster_id"))
+            .cast("long")
+            .alias("bad")
+        )
+        .agg(F.coalesce(F.sum("bad"), F.lit(0)).cast("long").alias("n_unmerged"))
+    )
+    return labels, unmerged

@@ -45,7 +45,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode driver == the only executor: size the heap to the
+        # machine, not to a driver-only footprint.  8g measured 2-5x
+        # run-to-run swings on individual suite queries from old-gen GC
+        # churn over a 150-query session (dedup_embedding_cosine 7.6 s
+        # -> 37 s); 32g restores flat timings.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
     )

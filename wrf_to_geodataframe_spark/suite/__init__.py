@@ -35,6 +35,10 @@ _GROUPS = [core, relational, conversions, spatial, tessellation, pipeline]
 # run produces official green rows — locally they are verified by
 # tools/check.py and pytest goldens already (VERDICT r3 item #3).
 _NEVER_DRIVER_CHECKED = [
+    "dedup_cluster_cc",
+    "quota_sample_per_group",
+    "tfidf_top_terms",
+    "pack_sequences",
     "g1_curvilinear_conservation",
     "g8_crs_osgb",
     "g1_auto_dispatch",

@@ -1079,6 +1079,287 @@ FROM est, total
 
 
 # ---------------------------------------------------------------------------
+# Duplicate clustering: connected components over the near-dup pair graph
+
+
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS, not just pairs: the transitive closure of the
+    MinHash-LSH near-dup pairs (dedup_minhash_lsh) as connected
+    components, labeling EVERY document with its cluster's minimum
+    doc_id — the keep-one-representative step a real training-data
+    pipeline runs after any pair detector.
+
+    Components come from the large-star/small-star alternation
+    (operators/graph.py, Kiveris et al. SoCC'14): a fixed unroll of
+    pure edge-set DataFrame rounds — two shuffles per round on the
+    shrinking edge set, no driver-side loop, provably O(log^2 n) rounds.
+    The output is SELF-VALIDATING: n_unmerged is the exact count of
+    pair edges whose endpoints received different labels (always 0; the
+    oracle states the true closure via a recursive CTE, so an
+    insufficient round count hash-fails loudly instead of silently
+    under-merging).
+
+    At 100 TB: the edge set is |near-dup pairs| (linear-ish, df-capped
+    upstream), each round's aggregates are partial-agg shuffles on the
+    vertex id, and singleton docs never enter the graph — they join in
+    only at the final left join against the labels.
+
+    rounds=4 covers adversarially-id'd induced paths of 16 vertices
+    (simulation-pinned in tests/test_graph.py) — 4x headroom over the
+    measured corpus structure (every near-dup component at sf0.1 is a
+    diameter-1 clique, max 4 docs), and an insufficiency is loud, not
+    silent (n_unmerged + the oracle's true closure)."""
+    from wrf_to_geodataframe_spark.operators.graph import label_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("da").alias("a"), F.col("db").alias("b"))
+        .persist()
+    )
+    labels, unmerged = label_components(docs, pairs, "doc_id", rounds=4)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "cluster_id")
+        .crossJoin(F.broadcast(unmerged))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).cast("long").alias("is_canonical"),
+            "n_unmerged",
+        )
+    )
+
+
+_CLUSTER_CC_SQL = _MH_CAND_CTES.replace("WITH ", "WITH RECURSIVE ", 1) + f""",
+pairs AS (
+    SELECT da, db
+    FROM cand
+    JOIN sigs sa ON da = sa.doc_id
+    JOIN sigs sb ON db = sb.doc_id AND sa.i = sb.i
+    GROUP BY da, db
+    HAVING CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE)
+               / {_MH_K}.0 >= 0.5
+),
+sym AS (
+    SELECT da AS a, db AS b FROM pairs
+    UNION ALL
+    SELECT db AS a, da AS b FROM pairs
+),
+reach(v, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.v
+),
+lbl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY 1)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       CAST(l.doc_id = l.cluster_id AS BIGINT) AS is_canonical,
+       CAST(0 AS BIGINT) AS n_unmerged
+FROM lbl l JOIN sizes s USING (cluster_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Data mixing: deterministic per-group quota sampling
+
+_QUOTA_K = 20  # documents kept per (lang, source) stratum
+
+
+def quota_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) quota sampling — the data-mixing primitive
+    that caps each stratum's contribution to a training corpus: keep
+    the ``_QUOTA_K`` documents with the smallest md5-derived rank per
+    stratum.  Hash-ranking (not ORDER BY doc_id) makes the kept set a
+    uniform pseudo-random sample of the stratum that is stable under
+    re-partitioning, re-runs, and corpus growth (a doc's rank never
+    changes, so incremental re-sampling keeps prior picks unless pushed
+    out by k).
+
+    At 100 TB the window sort shuffles once on the stratum key; a
+    skewed giant stratum still sorts only ITS rows (AQE splits hot
+    partitions), and when k << stratum a two-phase refinement (sample
+    an approximate rank-k threshold, pre-filter, re-rank survivors)
+    bounds the sort input — the declarative form here is the
+    correctness spec for that refinement."""
+    docs = load_table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("lang", "source").orderBy(
+            hash60(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", "source", rk.cast("long").alias("rk")
+        )
+        .filter(F.col("rk") <= _QUOTA_K)
+    )
+
+
+_QUOTA_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source, rk
+FROM (
+    SELECT doc_id, lang, source,
+           row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                             AS BIGINT),
+                        doc_id
+           ) AS rk
+    FROM documents
+)
+WHERE rk <= {_QUOTA_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Term salience: integer-exact tf-idf top terms per document
+
+_TFIDF_TOP = 3  # terms kept per document
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``_TFIDF_TOP`` most salient terms per document by
+    term-frequency x inverse document frequency, with the idf factor as
+    the exact rational ``tf * 1e6 div df`` (parts-per-million integer
+    score) rather than ``tf * ln(N/df)``: the ranking stays a pure
+    BIGINT computation both engines evaluate bit-identically, where a
+    float log could flake the value hash in the last ulp.  Rank ties
+    break on the term string, so the output is fully deterministic.
+
+    Plan shape: one tokenize scan -> (doc, term) partial-agg count ->
+    document-frequency agg on term -> equi join back on term -> one
+    window sort per doc.  At 100 TB the df table is vocabulary-sized
+    (zipf-bounded, far smaller than the corpus) and the term join
+    shuffles both sides on the term key with map-side combine already
+    applied."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    tc = tok.groupBy("doc_id", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tc.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = tc.join(dfreq, "t").select(
+        "doc_id",
+        "t",
+        "tf",
+        "df",
+        F.expr("tf * CAST(1000000 AS BIGINT) div df").alias("score_ppm"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("t")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _TFIDF_TOP)
+        .select(
+            "doc_id", F.col("t").alias("term"), "tf", "df", "score_ppm", "rk"
+        )
+    )
+
+
+_TFIDF_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+tc AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tc GROUP BY 1),
+scored AS (
+    SELECT doc_id, t, tf, df, tf * 1000000 // df AS score_ppm
+    FROM tc JOIN dfreq USING (t)
+),
+ranked AS (
+    SELECT doc_id, t AS term, tf, df, score_ppm,
+           row_number() OVER (
+               PARTITION BY doc_id ORDER BY score_ppm DESC, t
+           ) AS rk
+    FROM scored
+)
+SELECT doc_id, term, tf, df, score_ppm, rk FROM ranked WHERE rk <= {_TFIDF_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concat-and-chunk into fixed token budgets
+
+_PACK_BUDGET = 512  # tokens per training sequence
+_PACK_BUCKETS = 8  # parallel packing streams (hash-partitioned)
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing — the pretraining-batch
+    layout step: documents are laid end-to-end in a deterministic
+    md5-hash order and cut into fixed ``_PACK_BUDGET``-token training
+    sequences, each document annotated with the chunk it starts in and
+    its token offset inside that chunk (GPT-style concatenation
+    packing; documents may straddle a boundary, the offsets say
+    exactly where).
+
+    The layout is DISTRIBUTED BY CONSTRUCTION: docs are first
+    hash-bucketed into ``_PACK_BUCKETS`` independent packing streams,
+    and the running-token-offset window sorts only within its bucket —
+    there is never a global single-task sort.  At 100 TB, buckets scale
+    with the cluster (each stream packs ~corpus/_PACK_BUCKETS tokens)
+    and the window is one shuffle on the bucket key.  Chunk ids are
+    globally unique via (bucket, local_chunk) -> bucket * 2^40 +
+    local_chunk arithmetic, all exact BIGINTs."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash60(F.col("doc_id").cast("string"))
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    based = docs.select(
+        "doc_id",
+        (h % _PACK_BUCKETS).alias("bucket"),
+        h.alias("rank_in_bucket"),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("rank_in_bucket", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    placed = based.withColumn("start", start)
+    return placed.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        # exact BIGINT arithmetic end-to-end (div, not float floor)
+        F.expr(
+            f"bucket * CAST({1 << 40} AS BIGINT) + start div {_PACK_BUDGET}"
+        ).alias("chunk_id"),
+        F.expr(f"start % {_PACK_BUDGET}").alias("offset_in_chunk"),
+    )
+
+
+_PACK_SQL = f"""
+WITH based AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {_PACK_BUCKETS} AS bucket,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               AS rank_in_bucket,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+placed AS (
+    SELECT doc_id, bucket, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY rank_in_bucket, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start
+    FROM based
+)
+SELECT doc_id, bucket, n_tokens,
+       bucket * {1 << 40} + start // {_PACK_BUDGET} AS chunk_id,
+       start % {_PACK_BUDGET} AS offset_in_chunk
+FROM placed
+"""
+
+
+# ---------------------------------------------------------------------------
 # Similarity search over embeddings
 
 _N_QUERIES = 8  # vec_id < 8 are the query vectors
@@ -1773,6 +2054,10 @@ QUERIES = {
     "simhash_neardup": simhash_neardup,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_edit_distance": dedup_edit_distance,
+    "dedup_cluster_cc": dedup_cluster_cc,
+    "quota_sample_per_group": quota_sample_per_group,
+    "tfidf_top_terms": tfidf_top_terms,
+    "pack_sequences": pack_sequences,
     "text_quality": text_quality,
     "lang_id": lang_id,
     "token_stats": token_stats,
@@ -1796,6 +2081,10 @@ ORACLE = {
     "simhash_neardup": _SIMHASH_SQL,
     "dedup_embedding_cosine": _EMBED_COSINE_SQL,
     "dedup_edit_distance": _EDIT_DIST_SQL,
+    "dedup_cluster_cc": _CLUSTER_CC_SQL,
+    "quota_sample_per_group": _QUOTA_SAMPLE_SQL,
+    "tfidf_top_terms": _TFIDF_SQL,
+    "pack_sequences": _PACK_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
     "lang_id": _LANG_ID_SQL,
     "token_stats": _TOKEN_STATS_SQL,
