@@ -2009,35 +2009,45 @@ FROM documents
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-neighbor image resize over the deterministic fake byte
-    grids (rows-only check: the mapInPandas kernel is not
-    SQL-expressible; byte-exact results pinned by numpy goldens in
-    tests/test_pipeline_suite.py)."""
+    grids.  The Arrow mapInPandas kernel produces real binary pixels
+    (numpy-golden-pinned in tests/test_pipeline_suite.py); the gate row
+    hex-encodes them JVM-side so the value compare is engine-robust
+    (bytes surface as bytearray vs bytes in pandas depending on the
+    engine), and the oracle restates the whole pipeline — md5-chain
+    image synthesis + the exact (y*h div 8, x*w div 8) nearest-neighbor
+    index arithmetic — in SQL, so the hash match validates the kernel's
+    OUTPUT, not its mechanism."""
     from wrf_to_geodataframe_spark.operators.multimodal import (
         attach_fake_image,
         resize_images,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return resize_images(attach_fake_image(docs), 8, 8)
+    out = resize_images(attach_fake_image(docs), 8, 8)
+    return out.select(
+        "doc_id", "out_w", "out_h", F.hex("pixels").alias("pixels_hex")
+    )
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every-2nd-frame sampling over the fake "video" grids (rows-only;
-    fan-out mapInPandas kernel, pinned by numpy goldens in pytest)."""
+    """Every-2nd-frame sampling over the fake "video" grids (fan-out
+    mapInPandas kernel, numpy-golden-pinned).  Hex-encoded frames +
+    full-pipeline SQL oracle — see multimodal_resize."""
     from wrf_to_geodataframe_spark.operators.multimodal import (
         attach_fake_image,
         sample_frames,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return sample_frames(attach_fake_image(docs), stride=2)
+    out = sample_frames(attach_fake_image(docs), stride=2)
+    return out.select("doc_id", "frame_idx", F.hex("frame").alias("frame_hex"))
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction over the binary payload (rows-only
-    check: the Arrow-batch kernel is not SQL-expressible; byte-level
-    results are pinned by tests/test_pipeline_suite.py against
-    hashlib-computed goldens)."""
+    """mapInPandas feature extraction over the binary payload.  The
+    Arrow-batch kernel computes byte-level features with numpy; the
+    oracle independently derives the same numbers from the md5 hex
+    digits, so the gate row hash-checks the kernel's output."""
     from wrf_to_geodataframe_spark.operators.multimodal import (
         attach_fake_payload,
         extract_features,
@@ -2045,6 +2055,54 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(attach_fake_payload(docs))
+
+
+_MM_BLOCKS_HEX = " || ".join(f"md5(text || ':{b}')" for b in range(28))
+
+_MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS n_bytes,
+       CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) AS first_byte,
+       CAST(list_sum(list_transform(generate_series(1, 16),
+            i -> CAST(('0x' || substr(md5(text), 2 * i - 1, 2)) AS BIGINT)))
+            AS BIGINT) AS byte_sum
+FROM documents
+"""
+
+_MULTIMODAL_RESIZE_SQL = f"""
+WITH img AS (
+    SELECT doc_id,
+           CAST(16 + doc_id % 5 AS BIGINT) AS w,
+           CAST(16 + doc_id % 7 AS BIGINT) AS h,
+           {_MM_BLOCKS_HEX} AS bh
+    FROM documents
+),
+pix AS (
+    SELECT doc_id, y.y AS y, x.x AS x,
+           substr(bh,
+                  CAST(2 * ((y.y * h // 8) * w + (x.x * w // 8)) AS BIGINT) + 1,
+                  2) AS p
+    FROM img, generate_series(0, 7) AS y(y), generate_series(0, 7) AS x(x)
+)
+SELECT doc_id, CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+       upper(string_agg(p, '' ORDER BY y, x)) AS pixels_hex
+FROM pix GROUP BY doc_id
+"""
+
+_MULTIMODAL_FRAME_SQL = f"""
+WITH img AS (
+    SELECT doc_id,
+           CAST(16 + doc_id % 5 AS BIGINT) AS w,
+           CAST(16 + doc_id % 7 AS BIGINT) AS h,
+           {_MM_BLOCKS_HEX} AS bh
+    FROM documents
+)
+SELECT doc_id, CAST(f.f AS BIGINT) AS frame_idx,
+       upper(substr(bh, CAST(2 * f.f * w AS BIGINT) + 1,
+                    CAST(2 * w AS BIGINT))) AS frame_hex
+FROM img, generate_series(0, 21, 2) AS f(f)  -- h <= 16 + 6 = 22
+WHERE f.f < h
+"""
 
 
 QUERIES = {
@@ -2096,5 +2154,9 @@ ORACLE = {
     "sim_ivf_topk": _SIM_IVF_SQL,
     "sim_pq_topk": _SIM_PQ_SQL,
     "multimodal_meta": _MULTIMODAL_META_SQL,
-    # multimodal_features: rows-only (mapInPandas kernel, pytest-pinned)
+    # the mapInPandas kernels are hash-checked too: the oracles restate
+    # the full md5-synthesized pipeline + index arithmetic in SQL
+    "multimodal_features": _MULTIMODAL_FEATURES_SQL,
+    "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
+    "multimodal_frame_sample": _MULTIMODAL_FRAME_SQL,
 }
