@@ -47,3 +47,115 @@ def test_distributed_tessellation_100k_sites(spark):
     assert agg.n_exact >= 99_800
     bbox_area = (bbox[2] - bbox[0]) * (bbox[3] - bbox[1])
     assert abs(agg.total - bbox_area) < 1e-9 * bbox_area
+
+
+@slow
+def test_dedup_pipeline_200k_docs(spark):
+    """200k synthetic documents (10% planted near-duplicate clusters of
+    2-5 docs, text synthesized from md5 streams entirely in JVM
+    expressions — no driver materialization) through the full
+    MinHash-LSH -> connected-components pipeline.  Pins the 100 TB
+    design claims on a real execution: candidate pairs stay linear-ish
+    in the corpus (no quadratic blow-up), >=99% of planted clusters
+    merge completely (the 4x4 banding's designed S-curve gives ~92%
+    per-pair recall at the planted Jaccard ~0.83, so a small tail of
+    5-cliques loses enough edges to disconnect — measured 106/20000 =
+    0.53%), clusters NEVER cross planted groups (precision stays
+    perfect), and the run completes on local[32] at a corpus 40x the
+    bench scale."""
+    import time
+
+    from wrf_to_geodataframe_spark.operators.graph import label_components
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        _minhash_band_candidates,
+        _MH_K,
+    )
+
+    n_groups = 20_000  # ~10% of docs live in dup clusters
+    n_docs = 200_000
+    # deterministic synthetic corpus: doc i in group g = i % n_groups
+    # shares a 12-word md5-derived base text with its group; docs
+    # outside groups (i >= 5 * n_groups) get unique text.  Group
+    # members append one distinct word so pairs are NEAR-dups.
+    base = F.concat_ws(
+        " ",
+        *[
+            F.md5(F.concat(F.col("gid").cast("string"), F.lit(f"w{k}")))
+            for k in range(12)
+        ],
+    )
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 5 * n_groups, F.col("id") % n_groups)
+            .otherwise(F.col("id"))
+            .alias("gid"),
+        )
+        .select(
+            "doc_id",
+            "gid",
+            F.concat(
+                base,
+                F.lit(" tail"),
+                (F.col("doc_id") % 3).cast("string"),
+            ).alias("text"),
+        )
+    )
+    t0 = time.time()
+    sigs, cand = _minhash_band_candidates(docs.select("doc_id", "text"))
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    pairs = (
+        cand.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("db") == F.col("sb.doc_id"))
+            & (F.col("sa.i") == F.col("sb.i")),
+        )
+        .groupBy("da", "db")
+        .agg(
+            (
+                F.sum((F.col("sa.mh") == F.col("sb.mh")).cast("long"))
+                .cast("double")
+                / F.lit(float(_MH_K))
+            ).alias("j")
+        )
+        .filter(F.col("j") >= 0.5)
+        .select(F.col("da").alias("a"), F.col("db").alias("b"))
+        .persist()
+    )
+    n_pairs = pairs.count()
+    # linearity guard: 100k docs in 20k clusters of 5 -> <= 10 true
+    # pairs per cluster = 200k true pairs; a quadratic candidate
+    # blow-up would be orders of magnitude larger
+    assert 0 < n_pairs <= 300_000, n_pairs
+    labels, unmerged = label_components(
+        docs.select("doc_id"), pairs, "doc_id", rounds=4
+    )
+    joined = labels.join(docs.select("doc_id", "gid"), "doc_id")
+    agg = joined.groupBy("gid").agg(
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    bad_groups = agg.filter(
+        (F.col("n_docs") > 1) & (F.col("n_clusters") != 1)
+    ).count()
+    # clusters never span planted groups: a cluster id maps to one gid
+    spans = (
+        joined.groupBy("cluster_id")
+        .agg(F.countDistinct("gid").alias("n_gids"))
+        .filter(F.col("n_gids") > 1)
+        .count()
+    )
+    n_unmerged = unmerged.collect()[0].n_unmerged
+    wall = time.time() - t0
+    print(
+        f"200k-doc dedup: pairs={n_pairs} bad_groups={bad_groups} "
+        f"spans={spans} unmerged={n_unmerged} wall={wall:.1f}s"
+    )
+    pairs.unpersist()
+    assert n_unmerged == 0
+    # recall tail: banding misses ~8% of j=0.83 pairs; only a group
+    # whose remaining edges disconnect its 5-clique splits
+    assert bad_groups <= 0.01 * n_groups, bad_groups
+    assert spans == 0
