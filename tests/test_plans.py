@@ -118,3 +118,46 @@ def test_query_construction_is_lazy(spark):
         fn(spark, SF)
     after = store.jobsList(None).size()
     assert after == before, f"{after - before} Spark job(s) ran during query construction"
+
+
+def test_quota_sample_caps_groups_before_the_shuffle(spark):
+    """quota_sample_per_group's 100 TB claim: the k-cap runs as a
+    partial WindowGroupLimit BELOW the single stratum-key exchange, so
+    mappers forward at most k rows per stratum."""
+    from wrf_to_geodataframe_spark.suite.pipeline import QUERIES
+
+    plan = _plan(QUERIES["quota_sample_per_group"](spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    partial = plan.find("WindowGroupLimit")
+    exchange = plan.find("Exchange hashpartitioning")
+    assert partial != -1 and exchange != -1
+    # plan text prints top-down: the Partial limit must appear BELOW
+    # (after) the exchange line, and a Final limit above it
+    assert "Partial" in plan[exchange:], plan
+    assert "Final" in plan[:exchange], plan
+
+
+def test_pack_sequences_is_single_scan_single_shuffle(spark):
+    from wrf_to_geodataframe_spark.suite.pipeline import QUERIES
+
+    plan = _plan(QUERIES["pack_sequences"](spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_tokenizes_the_corpus_once(spark):
+    """The (doc, term) aggregate feeds both the df branch and the
+    scoring join through ONE persisted subtree — without it Catalyst
+    plans two scan+explode+agg pipelines over the corpus."""
+    from wrf_to_geodataframe_spark.suite.pipeline import QUERIES
+
+    df = QUERIES["tfidf_top_terms"](spark, SF)
+    plan = _plan(df)
+    # both the df branch and the scoring join must read the persisted
+    # (doc, term) aggregate — two InMemoryTableScans.  (A plain
+    # "Scan parquet" count is meaningless here: InMemoryRelation prints
+    # its cached child plan, which embeds the original FileScan text.)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    df.sparkSession.catalog.clearCache()

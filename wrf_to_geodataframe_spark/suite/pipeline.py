@@ -1179,12 +1179,12 @@ def quota_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes, so incremental re-sampling keeps prior picks unless pushed
     out by k).
 
-    At 100 TB the window sort shuffles once on the stratum key; a
-    skewed giant stratum still sorts only ITS rows (AQE splits hot
-    partitions), and when k << stratum a two-phase refinement (sample
-    an approximate rank-k threshold, pre-filter, re-rank survivors)
-    bounds the sort input — the declarative form here is the
-    correctness spec for that refinement."""
+    At 100 TB the plan is one scan + ONE shuffle on the stratum key,
+    and Spark 4 plans the k-cap as a partial ``WindowGroupLimit`` BELOW
+    the exchange: each mapper forwards at most k rows per stratum, so
+    the shuffle and sort see O(k * mappers) rows per stratum, not the
+    stratum — the two-phase top-k refinement, applied by Catalyst
+    automatically (asserted in tests/test_plans.py)."""
     docs = load_table(spark, sf_dir, "documents")
     rk = F.row_number().over(
         Window.partitionBy("lang", "source").orderBy(
@@ -1230,17 +1230,20 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     float log could flake the value hash in the last ulp.  Rank ties
     break on the term string, so the output is fully deterministic.
 
-    Plan shape: one tokenize scan -> (doc, term) partial-agg count ->
-    document-frequency agg on term -> equi join back on term -> one
-    window sort per doc.  At 100 TB the df table is vocabulary-sized
-    (zipf-bounded, far smaller than the corpus) and the term join
-    shuffles both sides on the term key with map-side combine already
-    applied."""
+    Plan shape: ONE tokenize scan -> (doc, term) partial-agg count
+    (persisted: it feeds both the document-frequency aggregate and the
+    scoring join, and without the persist Catalyst plans two full
+    scan+explode+agg subtrees — the df branch's agg gets rewritten to a
+    distinct so exchange reuse can't dedupe them) -> df agg on term ->
+    broadcast join back on term -> one per-doc window.  At 100 TB the
+    df table is vocabulary-sized (zipf-bounded, far smaller than the
+    corpus) and the per-doc top-k runs as a partial WindowGroupLimit
+    before the shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     tc = tok.groupBy("doc_id", "t").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
-    )
+    ).persist()
     dfreq = tc.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
     scored = tc.join(dfreq, "t").select(
         "doc_id",
