@@ -21,7 +21,7 @@ from wrf_to_geodataframe_spark.operators.graph import (
 )
 
 
-def _ref_labels(n_vertices, edges):
+def _ref_labels(edges):
     """Brute-force BFS component minima."""
     nbr = {}
     for a, b in edges:
@@ -62,7 +62,7 @@ def test_cliques_and_chain_label_to_component_min(spark):
         (r.v, r.cluster_id)
         for r in connected_components(_edge_df(spark, edges)).collect()
     }
-    exp = set(_ref_labels(100, edges).items())
+    exp = set(_ref_labels(edges).items())
     assert got == exp
 
 
@@ -77,7 +77,7 @@ def test_permuted_path_converges_within_default_rounds(spark):
         (r.v, r.cluster_id)
         for r in connected_components(_edge_df(spark, edges)).collect()
     }
-    assert got == set(_ref_labels(200, edges).items())
+    assert got == set(_ref_labels(edges).items())
 
 
 def test_label_components_covers_singletons_and_reports_converged(spark):

@@ -642,6 +642,9 @@ def test_pack_sequences_layout_is_contiguous_and_bounded(spark):
     assert rows
     by_bucket = {}
     for r in rows:
+        # the OUTPUT offset column must itself be inside the budget (a
+        # compensating chunk_id/offset error pair would still tile)
+        assert 0 <= r.offset_in_chunk < _PACK_BUDGET
         local_chunk = r.chunk_id - r.bucket * (1 << 40)
         start = local_chunk * _PACK_BUDGET + r.offset_in_chunk
         by_bucket.setdefault(r.bucket, []).append((start, r.n_tokens))
@@ -652,4 +655,3 @@ def test_pack_sequences_layout_is_contiguous_and_bounded(spark):
         for start, n_tokens in docs:
             assert start == expect, bucket
             expect = start + n_tokens
-        assert all(0 <= s % _PACK_BUDGET < _PACK_BUDGET for s, _ in docs)

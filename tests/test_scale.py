@@ -51,9 +51,9 @@ def test_distributed_tessellation_100k_sites(spark):
 
 @slow
 def test_dedup_pipeline_200k_docs(spark):
-    """200k synthetic documents (10% planted near-duplicate clusters of
-    2-5 docs, text synthesized from md5 streams entirely in JVM
-    expressions — no driver materialization) through the full
+    """200k synthetic documents (half the corpus planted as 20k
+    near-duplicate 5-cliques, text synthesized from md5 streams
+    entirely in JVM expressions — no driver materialization) through the full
     MinHash-LSH -> connected-components pipeline.  Pins the 100 TB
     design claims on a real execution: candidate pairs stay linear-ish
     in the corpus (no quadratic blow-up), >=99% of planted clusters
@@ -67,11 +67,10 @@ def test_dedup_pipeline_200k_docs(spark):
 
     from wrf_to_geodataframe_spark.operators.graph import label_components
     from wrf_to_geodataframe_spark.suite.pipeline import (
-        _minhash_band_candidates,
-        _MH_K,
+        minhash_verified_pairs,
     )
 
-    n_groups = 20_000  # ~10% of docs live in dup clusters
+    n_groups = 20_000  # 5 members each -> half the corpus is planted dups
     n_docs = 200_000
     # deterministic synthetic corpus: doc i in group g = i % n_groups
     # shares a 12-word md5-derived base text with its group; docs
@@ -103,24 +102,10 @@ def test_dedup_pipeline_200k_docs(spark):
         )
     )
     t0 = time.time()
-    sigs, cand = _minhash_band_candidates(docs.select("doc_id", "text"))
-    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    # the suite's own verified-pair pipeline (shared helper, so the
+    # verification semantics here can never drift from the gate query)
     pairs = (
-        cand.join(sa, F.col("da") == F.col("sa.doc_id"))
-        .join(
-            sb,
-            (F.col("db") == F.col("sb.doc_id"))
-            & (F.col("sa.i") == F.col("sb.i")),
-        )
-        .groupBy("da", "db")
-        .agg(
-            (
-                F.sum((F.col("sa.mh") == F.col("sb.mh")).cast("long"))
-                .cast("double")
-                / F.lit(float(_MH_K))
-            ).alias("j")
-        )
-        .filter(F.col("j") >= 0.5)
+        minhash_verified_pairs(docs.select("doc_id", "text"))
         .select(F.col("da").alias("a"), F.col("db").alias("b"))
         .persist()
     )
@@ -153,7 +138,10 @@ def test_dedup_pipeline_200k_docs(spark):
         f"200k-doc dedup: pairs={n_pairs} bad_groups={bad_groups} "
         f"spans={spans} unmerged={n_unmerged} wall={wall:.1f}s"
     )
-    pairs.unpersist()
+    # drop BOTH the test's own persist and the sigs/banded frames
+    # minhash_verified_pairs persists internally — 3.2M signature rows
+    # must not stay cached for the rest of the pytest session
+    spark.catalog.clearCache()
     assert n_unmerged == 0
     # recall tail: banding misses ~8% of j=0.83 pairs; only a group
     # whose remaining edges disconnect its 5-clique splits

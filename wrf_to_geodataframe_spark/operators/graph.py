@@ -110,6 +110,13 @@ def connected_components(
 
     ``edges`` must have two LONG columns ``a`` and ``b``; direction and
     duplicates don't matter, self-loops are ignored.
+
+    If the fixed round count is insufficient for the graph's structure,
+    the result UNDER-merges (one true component surfaces as several)
+    with no error from this function — callers that need the guarantee
+    should use :func:`label_components`, whose ``unmerged`` output is
+    an exact and complete convergence check (over-merge is structurally
+    impossible; see its docstring).
     """
     e = (
         edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
@@ -141,6 +148,13 @@ def label_components(
     an output column makes the operator self-validating: an
     insufficient round count fails a value comparison loudly instead of
     silently under-merging.
+
+    UNDER-merge is the only possible failure mode, so the check is
+    complete: both star transforms emit only edges (v, m) with m drawn
+    from min(N(u) ∪ {u}) of some current neighbor u, so every created
+    edge stays inside its vertex's original component — OVER-merge
+    (two true components sharing a label) is structurally impossible,
+    and a label is always a member of its own component.
 
     ``comp`` is persisted: it feeds the vertex labeling and both sides
     of the convergence check, and the three subtrees are identical by

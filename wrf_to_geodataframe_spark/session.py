@@ -12,6 +12,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """min(32g, ~40% of physical RAM), floor 2g — see the config comment
+    in get_spark."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(32, int(total_gb * 0.4)))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(
     app_name: str = "wrf_to_geodataframe_spark",
     master: str | None = None,
@@ -49,8 +63,13 @@ def get_spark(
         # machine, not to a driver-only footprint.  8g measured 2-5x
         # run-to-run swings on individual suite queries from old-gen GC
         # churn over a 150-query session (dedup_embedding_cosine 7.6 s
-        # -> 37 s); 32g restores flat timings.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # -> 37 s); 32g restores flat timings.  Capped at ~40% of
+        # physical RAM so small hosts don't hand the JVM a heap the OS
+        # can't back (OOM-killer beats GC churn for worst failure mode).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
     )

@@ -255,17 +255,12 @@ def _minhash_band_candidates(docs: DataFrame):
     return sigs, cand
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs: 16 md5-derived minhashes per doc,
-    banded 4x4; documents sharing any band key become candidates
-    (equi join on the band digest — the only shuffle that touches
-    pairs); candidates are verified with the exact Jaccard estimate
-    from the full signature (matches/16 >= 0.5).
-
-    At 100 TB: signatures are 16 BIGINTs per doc (tiny), the band join
-    is uniform under md5, and verification cost is |candidates|, not
-    |docs|^2."""
-    docs = load_table(spark, sf_dir, "documents")
+def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
+    """(da, db, jaccard_est): the full MinHash-LSH pipeline over an
+    arbitrary (doc_id, text) frame — band candidates re-scored by
+    full-signature agreement, kept at matches/K >= 0.5.  Shared by the
+    corpus query below and the 200k-doc scale test so the verification
+    semantics cannot drift between them."""
     sigs, cand = _minhash_band_candidates(docs)
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
@@ -281,6 +276,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return est.filter(F.col("jaccard_est") >= 0.5)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: 16 md5-derived minhashes per doc,
+    banded 4x4; documents sharing any band key become candidates
+    (equi join on the band digest — the only shuffle that touches
+    pairs); candidates are verified with the exact Jaccard estimate
+    from the full signature (matches/16 >= 0.5).
+
+    At 100 TB: signatures are 16 BIGINTs per doc (tiny), the band join
+    is uniform under md5, and verification cost is |candidates|, not
+    |docs|^2."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_verified_pairs(docs)
 
 
 # shared CTE prefix: shingles -> OPH signatures -> bands -> candidates
@@ -1133,6 +1142,10 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+# the rewrite below attaches RECURSIVE to the OUTER WITH; guard the
+# anchor so a reformat of the shared prefix can't silently retarget it
+assert _MH_CAND_CTES.lstrip().startswith("WITH "), _MH_CAND_CTES[:40]
 
 _CLUSTER_CC_SQL = _MH_CAND_CTES.replace("WITH ", "WITH RECURSIVE ", 1) + f""",
 pairs AS (
