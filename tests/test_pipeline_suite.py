@@ -655,3 +655,37 @@ def test_pack_sequences_layout_is_contiguous_and_bounded(spark):
         for start, n_tokens in docs:
             assert start == expect, bucket
             expect = start + n_tokens
+
+
+def test_pipeline_curate_composes_filter_dedup_quota(spark):
+    """Each curation stage's invariant must hold on the composed
+    output: every survivor passes the quality gate, no two survivors
+    share content, strata are capped with contiguous ranks."""
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        _CURATE_QUOTA,
+        pipeline_curate,
+    )
+
+    rows = pipeline_curate(spark, SF01).collect()
+    assert rows
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF01}/documents.parquet").set_index("doc_id")
+    ranks = {}
+    seen_text = {}
+    for r in rows:
+        text = docs.loc[r.doc_id, "text"]
+        words = text.split(" ")
+        awl = (len(text) - (len(words) - 1)) / len(words)
+        assert len(words) >= 50 and 2.0 <= awl <= 12.0  # quality gate
+        assert r.n_tokens == len(words)
+        # exact-dedup canonical: survivor must be the min doc_id of its
+        # content group, and no content appears twice
+        dup_ids = docs.index[docs["text"] == text]
+        assert r.doc_id == int(dup_ids.min())
+        assert text not in seen_text, (r.doc_id, seen_text.get(text))
+        seen_text[text] = r.doc_id
+        ranks.setdefault((r.lang, r.source), []).append(r.rk)
+    for g, rks in ranks.items():
+        assert len(rks) <= _CURATE_QUOTA
+        assert sorted(rks) == list(range(1, len(rks) + 1)), g

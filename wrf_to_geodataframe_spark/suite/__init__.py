@@ -39,6 +39,7 @@ _NEVER_DRIVER_CHECKED = [
     "quota_sample_per_group",
     "tfidf_top_terms",
     "pack_sequences",
+    "pipeline_curate",
     "g1_curvilinear_conservation",
     "g8_crs_osgb",
     "g1_auto_dispatch",

@@ -1299,6 +1299,88 @@ SELECT doc_id, term, tf, df, score_ppm, rk FROM ranked WHERE rk <= {_TFIDF_TOP}
 
 
 # ---------------------------------------------------------------------------
+# End-to-end corpus curation: quality filter -> dedup -> quota
+
+_CURATE_QUOTA = 50  # per-stratum cap after filtering
+
+
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pass a pre-training corpus actually runs,
+    as ONE plan: (1) quality gate — the text_quality keep-score
+    (word-count + word-length band); (2) exact dedup — keep only each
+    content-md5 group's minimum doc_id; (3) stratum quota — at most
+    ``_CURATE_QUOTA`` survivors per (lang, source) by the deterministic
+    md5 rank.  Output is the curated manifest (doc, stratum, tokens,
+    rank) a downstream tokenizer run would consume.
+
+    The point of the gate row is COMPOSITION: each stage is an
+    operator the suite already verifies in isolation; this proves they
+    chain inside one Catalyst plan (filter pushes below the dedup
+    shuffle; the quota window runs over the dedup survivors only) and
+    that the composed semantics replay bit-for-bit in the oracle's CTE
+    chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    toks = tokens(text)
+    n_words = F.size(toks).cast("long")
+    n_chars = F.length(text).cast("long")
+    avg_word_len = (n_chars - (n_words - 1)).cast("double") / n_words
+    quality = docs.select(
+        "doc_id", "lang", "source", "text", n_words.alias("n_tokens")
+    ).filter(
+        (n_words >= 50) & (avg_word_len >= 2.0) & (avg_word_len <= 12.0)
+    )
+    keepers = quality.groupBy(F.md5("text").alias("content_md5")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    survivors = quality.join(keepers, "doc_id").select(
+        "doc_id", "lang", "source", "n_tokens"
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lang", "source").orderBy(
+            hash60(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        survivors.select(
+            "doc_id", "lang", "source", "n_tokens", rk.cast("long").alias("rk")
+        )
+        .filter(F.col("rk") <= _CURATE_QUOTA)
+    )
+
+
+_CURATE_SQL = f"""
+WITH quality AS (
+    SELECT doc_id, lang, source, text,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 50
+      AND CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+              / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0
+),
+keepers AS (
+    SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+),
+survivors AS (
+    SELECT q.doc_id, q.lang, q.source, q.n_tokens
+    FROM quality q JOIN keepers USING (doc_id)
+)
+SELECT doc_id, lang, source, n_tokens, rk
+FROM (
+    SELECT doc_id, lang, source, n_tokens,
+           row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                             AS BIGINT),
+                        doc_id
+           ) AS rk
+    FROM survivors
+)
+WHERE rk <= {_CURATE_QUOTA}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing: concat-and-chunk into fixed token budgets
 
 _PACK_BUDGET = 512  # tokens per training sequence
@@ -2132,6 +2214,7 @@ QUERIES = {
     "quota_sample_per_group": quota_sample_per_group,
     "tfidf_top_terms": tfidf_top_terms,
     "pack_sequences": pack_sequences,
+    "pipeline_curate": pipeline_curate,
     "text_quality": text_quality,
     "lang_id": lang_id,
     "token_stats": token_stats,
@@ -2159,6 +2242,7 @@ ORACLE = {
     "quota_sample_per_group": _QUOTA_SAMPLE_SQL,
     "tfidf_top_terms": _TFIDF_SQL,
     "pack_sequences": _PACK_SQL,
+    "pipeline_curate": _CURATE_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
     "lang_id": _LANG_ID_SQL,
     "token_stats": _TOKEN_STATS_SQL,
