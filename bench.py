@@ -55,10 +55,18 @@ def main() -> None:
     # on run order — so cold timings measure ordering, not the engine.
     # The timed pass below still recomputes all data (cache cleared);
     # only compiled code is reused, which is the steady state a resident
-    # cluster session runs in.
+    # cluster session runs in.  Warm-up runs at the SMALLEST available
+    # scale factor: JIT compiles code paths, not data, so this buys the
+    # same steady state at a fraction of the wall-clock.
+    warm_dir = sf_dir
+    for cand in ("sf0.01", "sf0.001"):
+        d = os.path.join(os.path.dirname(sf_dir.rstrip("/")), cand)
+        if os.path.isdir(d) and d != sf_dir.rstrip("/"):
+            warm_dir = d
+            break
     for name, fn in qs.items():
         try:
-            fn(spark, sf_dir).collect()
+            fn(spark, warm_dir).collect()
         except Exception as ex:
             print(f"bench warm-up error in {name}: {ex}", file=sys.stderr)
         spark.catalog.clearCache()
