@@ -138,12 +138,18 @@ def test_quota_sample_caps_groups_before_the_shuffle(spark):
     assert "Final" in plan[:exchange], plan
 
 
-def test_pack_sequences_is_single_scan_single_shuffle(spark):
+def test_pack_sequences_is_single_data_scan_single_shuffle(spark):
+    """Two parquet scans are expected: the zero-column count agg that
+    derives the bucket count (broadcast as one row) and the data scan.
+    The data shuffle is still exactly one hash exchange on the bucket
+    key, and the bucket-count join is a 1-row broadcast, never a
+    cartesian."""
     from wrf_to_geodataframe_spark.suite.pipeline import QUERIES
 
     plan = _plan(QUERIES["pack_sequences"](spark, SF))
-    assert plan.count("Scan parquet") == 1
+    assert plan.count("Scan parquet") == 2, plan
     assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan
 
 

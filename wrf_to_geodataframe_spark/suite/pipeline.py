@@ -1384,7 +1384,8 @@ WHERE rk <= {_CURATE_QUOTA}
 # Sequence packing: concat-and-chunk into fixed token budgets
 
 _PACK_BUDGET = 512  # tokens per training sequence
-_PACK_BUCKETS = 8  # parallel packing streams (hash-partitioned)
+_PACK_MIN_BUCKETS = 8  # parallelism floor so tiny corpora still fan out
+_PACK_DOCS_PER_BUCKET = 4096  # target stream size; buckets = n / this
 
 
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1397,19 +1398,30 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly where).
 
     The layout is DISTRIBUTED BY CONSTRUCTION: docs are first
-    hash-bucketed into ``_PACK_BUCKETS`` independent packing streams,
-    and the running-token-offset window sorts only within its bucket —
-    there is never a global single-task sort.  At 100 TB, buckets scale
-    with the cluster (each stream packs ~corpus/_PACK_BUCKETS tokens)
-    and the window is one shuffle on the bucket key.  Chunk ids are
+    hash-bucketed into independent packing streams, and the
+    running-token-offset window sorts only within its bucket — there
+    is never a global single-task sort.  The bucket count is derived
+    FROM THE CORPUS inside the plan (1-row count agg, the sim_ivf_topk
+    stride pattern): ``greatest(n_docs div _PACK_DOCS_PER_BUCKET,
+    _PACK_MIN_BUCKETS)``, so each stream packs a bounded ~4k docs no
+    matter the corpus size — at 100 TB that is millions of parallel
+    sort streams, not a fixed handful of multi-TB ones.  Chunk ids are
     globally unique via (bucket, local_chunk) -> bucket * 2^40 +
-    local_chunk arithmetic, all exact BIGINTs."""
+    local_chunk arithmetic, all exact BIGINTs (local chunks per bucket
+    stay far below 2^40 because bucket size is capped)."""
     docs = load_table(spark, sf_dir, "documents")
+    # bucket count as a lazy 1-row agg crossJoined in — no driver collect
+    nb = docs.agg(
+        F.greatest(
+            F.floor(F.count("*") / F.lit(_PACK_DOCS_PER_BUCKET)).cast("long"),
+            F.lit(_PACK_MIN_BUCKETS).cast("long"),
+        ).alias("n_buckets")
+    )
     h = hash60(F.col("doc_id").cast("string"))
     n_tok = F.size(tokens(F.col("text"))).cast("long")
-    based = docs.select(
+    based = docs.crossJoin(F.broadcast(nb)).select(
         "doc_id",
-        (h % _PACK_BUCKETS).alias("bucket"),
+        (h % F.col("n_buckets")).alias("bucket"),
         h.alias("rank_in_bucket"),
         n_tok.alias("n_tokens"),
     )
@@ -1433,14 +1445,19 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PACK_SQL = f"""
-WITH based AS (
+WITH nb AS (
+    SELECT GREATEST(count(*) // {_PACK_DOCS_PER_BUCKET},
+                    {_PACK_MIN_BUCKETS}) AS n_buckets
+    FROM documents
+),
+based AS (
     SELECT doc_id,
            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-               % {_PACK_BUCKETS} AS bucket,
+               % n_buckets AS bucket,
            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                AS rank_in_bucket,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-    FROM documents
+    FROM documents CROSS JOIN nb
 ),
 placed AS (
     SELECT doc_id, bucket, n_tokens,
