@@ -126,7 +126,9 @@ def test_multimodal_features_match_hashlib_goldens(spark):
         assert r.byte_sum == sum(digest)
 
 
-def test_multimodal_decode_is_stubbed(spark):
+def test_multimodal_decode_rejects_non_png_payloads(spark):
+    """decode=True runs the real PNG codec; a payload that is not a PNG
+    (the md5 fake payload) must fail loudly, not mis-decode."""
     from wrf_to_geodataframe_spark.operators.multimodal import (
         attach_fake_payload,
         extract_features,
@@ -136,9 +138,62 @@ def test_multimodal_decode_is_stubbed(spark):
     docs = load_table(spark, SF01, "documents").limit(2)
     with pytest.raises(Exception) as exc_info:
         extract_features(attach_fake_payload(docs), decode=True).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
+    assert "not a PNG" in str(exc_info.value)
+
+
+def test_multimodal_decode_true_features_equal_raw_pixel_features(spark):
+    """encode->features(decode=True) must equal features computed on the
+    raw pixel grid: the codec is lossless, so the decoded-buffer stats
+    are the raw-buffer stats."""
+    from wrf_to_geodataframe_spark.operators.multimodal import (
+        attach_fake_image,
+        encode_images,
+        extract_features,
     )
+    from wrf_to_geodataframe_spark.session import load_table
+
+    docs = load_table(spark, SF01, "documents").limit(20)
+    img = attach_fake_image(docs)
+    raw = {
+        r.doc_id: (len(r.pixels), r.pixels[0], sum(r.pixels))
+        for r in img.collect()
+    }
+    png = encode_images(img).select(
+        "doc_id", F.col("png").alias("payload")
+    )
+    got = {
+        r.doc_id: (r.n_bytes, r.first_byte, r.byte_sum)
+        for r in extract_features(png, decode=True).collect()
+    }
+    assert got == raw
+
+
+def test_multimodal_decode_gate_row_round_trips(spark):
+    """The suite gate row: encode (cycling all 5 filters) -> decode must
+    reproduce the exact md5-chain pixels with IHDR-read dimensions."""
+    import hashlib as hl
+
+    from wrf_to_geodataframe_spark.session import load_table
+    from wrf_to_geodataframe_spark.suite.pipeline import multimodal_decode
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF01, "documents").limit(10).collect()
+    }
+    got = {
+        r.doc_id: r
+        for r in multimodal_decode(spark, SF01).collect()
+        if r.doc_id in texts
+    }
+    assert len(got) == len(texts)
+    for doc_id, text in texts.items():
+        w, h = 16 + doc_id % 5, 16 + doc_id % 7
+        blocks = b"".join(
+            hl.md5(f"{text}:{b}".encode()).digest() for b in range(28)
+        )
+        r = got[doc_id]
+        assert (r.width, r.height, r.channels) == (w, h, 1)
+        assert r.pixels_hex == blocks[: w * h].hex().upper()
 
 
 def test_lang_id_semantics_on_known_texts(spark):

@@ -1,0 +1,138 @@
+"""Unit goldens for the pure-stdlib PNG codec (sources/png.py): byte-
+exact round-trips across every filter type and supported color type,
+spec-subset rejections, and corruption detection — the decode kernel the
+multimodal suite rows run inside Arrow batches."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import pytest
+
+from wrf_to_geodataframe_spark.sources.png import decode_png, encode_png
+
+
+def _pixels(n: int, seed: str = "px") -> bytes:
+    out = b""
+    i = 0
+    while len(out) < n:
+        out += hashlib.md5(f"{seed}:{i}".encode()).digest()
+        i += 1
+    return out[:n]
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_round_trip_each_filter_type(ftype):
+    w, h = 19, 23  # odd sizes so no stride is a block multiple
+    px = _pixels(w * h, f"f{ftype}")
+    data = encode_png(px, w, h, 1, ftype)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert decode_png(data) == (w, h, 1, px)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_round_trip_each_color_type(channels):
+    w, h = 17, 11
+    px = _pixels(w * h * channels, f"c{channels}")
+    data = encode_png(px, w, h, channels, lambda y: y % 5)
+    assert decode_png(data) == (w, h, channels, px)
+
+
+def test_cycling_filters_round_trip_1xN_and_Nx1():
+    # bpp-edge geometry: single-column images make a[i-bpp] out of range
+    # for every pixel; single-row images make prev all zeros throughout
+    for w, h in [(1, 40), (40, 1), (1, 1), (2, 2)]:
+        px = _pixels(w * h * 3, f"{w}x{h}")
+        assert decode_png(encode_png(px, w, h, 3, lambda y: y % 5)) == (
+            w,
+            h,
+            3,
+            px,
+        )
+
+
+def test_constant_and_gradient_images_compress_and_round_trip():
+    w, h = 32, 32
+    flat = bytes([200]) * (w * h)
+    grad = bytes([(x + y) % 256 for y in range(h) for x in range(w)])
+    for px in (flat, grad):
+        data = encode_png(px, w, h, 1, lambda y: y % 5)
+        assert len(data) < len(px)  # filters + deflate actually compress
+        assert decode_png(data)[3] == px
+
+
+def test_multiple_idat_chunks_concatenate():
+    w, h = 8, 8
+    px = _pixels(w * h)
+    data = bytearray(encode_png(px, w, h, 1, 0))
+    # split the single IDAT into two by re-chunking its payload
+    pos = 8
+
+    def _read_chunk(buf, p):
+        (length,) = struct.unpack(">I", buf[p : p + 4])
+        return buf[p + 4 : p + 8], bytes(buf[p + 8 : p + 8 + length]), p + 12 + length
+
+    out = bytes(data[:8])
+    p = 8
+    while p < len(data):
+        tag, payload, nxt = _read_chunk(data, p)
+        if tag == b"IDAT":
+            half = len(payload) // 2
+            for part in (payload[:half], payload[half:]):
+                out += (
+                    struct.pack(">I", len(part))
+                    + b"IDAT"
+                    + part
+                    + struct.pack(">I", zlib.crc32(b"IDAT" + part) & 0xFFFFFFFF)
+                )
+        else:
+            out += bytes(data[p:nxt])
+        p = nxt
+    assert decode_png(out) == (w, h, 1, px)
+
+
+def test_crc_corruption_detected():
+    data = bytearray(encode_png(_pixels(64), 8, 8, 1, 0))
+    data[40] ^= 0xFF  # flip a byte inside IDAT payload
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+
+
+def test_bad_signature_and_truncation_rejected():
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x00" * 16)
+    ok = encode_png(_pixels(64), 8, 8, 1, 0)
+    with pytest.raises(ValueError):
+        decode_png(ok[:20])
+
+
+def test_unsupported_spec_corners_named():
+    # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(blob)
+    # Adam7 interlace
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(blob)
+
+
+def test_encoder_validates_buffer_size():
+    with pytest.raises(ValueError, match="bytes"):
+        encode_png(b"\x00" * 10, 4, 4, 1)

@@ -2204,6 +2204,41 @@ SELECT doc_id, CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
 FROM pix GROUP BY doc_id
 """
 
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG round-trip over the deterministic byte grids: each grid
+    is encoded as a valid grayscale PNG (scanline filter cycling y % 5,
+    so None/Sub/Up/Average/Paeth all appear in every image) and decoded
+    back by the pure-stdlib codec in ``sources/png.py`` — both steps
+    Arrow ``mapInPandas`` kernels.  The oracle states the ANALYTIC
+    answer (encode∘decode = identity on the md5-chain pixels), so the
+    hash match validates every unfilter branch, the zlib framing and
+    the CRC path of the decoder, not a re-statement of its mechanism.
+    Dimensions come from the decoded IHDR, not the input columns."""
+    from wrf_to_geodataframe_spark.operators.multimodal import (
+        attach_fake_image,
+        decode_images,
+        encode_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = decode_images(encode_images(attach_fake_image(docs)))
+    return out.select(
+        "doc_id", "width", "height", "channels", F.hex("pixels").alias("pixels_hex")
+    )
+
+
+_MULTIMODAL_DECODE_SQL = f"""
+SELECT doc_id,
+       CAST(16 + doc_id % 5 AS BIGINT) AS width,
+       CAST(16 + doc_id % 7 AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels,
+       upper(substr({_MM_BLOCKS_HEX}, 1,
+                    CAST(2 * (16 + doc_id % 5) * (16 + doc_id % 7) AS BIGINT)))
+           AS pixels_hex
+FROM documents
+"""
+
+
 _MULTIMODAL_FRAME_SQL = f"""
 WITH img AS (
     SELECT doc_id,
@@ -2245,6 +2280,7 @@ QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_resize": multimodal_resize,
+    "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": multimodal_frame_sample,
 }
 
@@ -2275,5 +2311,6 @@ ORACLE = {
     # the full md5-synthesized pipeline + index arithmetic in SQL
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
     "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
+    "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "multimodal_frame_sample": _MULTIMODAL_FRAME_SQL,
 }
