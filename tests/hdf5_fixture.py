@@ -59,6 +59,19 @@ def _attr_str(name: str, value: str) -> bytes:
     return body + _pad8(nm) + _pad8(dt) + _pad8(ds) + val
 
 
+def _attr_dimension_list(gcol_addr: int, n: int) -> bytes:
+    """netCDF-4 DIMENSION_LIST: rank-1 array of vlen-of-object-reference
+    (hvl_t = u32 count + u64 GCOL address + u32 heap object index, one
+    heap object per dimension holding its scale's header address)."""
+    nm = b"DIMENSION_LIST\x00"
+    ref = struct.pack("<BBBBI", 0x17, 0, 0, 0, 8)  # class 7 object ref
+    dt = struct.pack("<BBBBI", 0x19, 0, 0, 0, 16) + ref  # class 9 vlen
+    ds = _dataspace((n,))
+    val = b"".join(struct.pack("<IQI", 1, gcol_addr, i + 1) for i in range(n))
+    body = struct.pack("<BxHHH", 1, len(nm), len(dt), len(ds))
+    return body + _pad8(nm) + _pad8(dt) + _pad8(ds) + val
+
+
 def _objheader(messages: list[bytes]) -> bytes:
     blob = b"".join(messages)
     return struct.pack("<BxHII4x", 1, len(messages), 1, len(blob)) + blob
@@ -74,7 +87,22 @@ class FixtureWriter:
         self.buf += b
         return addr
 
-    def add_contiguous(self, name: str, arr: np.ndarray, attrs=()):
+    def _dim_list_msg(self, dim_names: list[str]) -> bytes:
+        """Allocate a global heap collection holding the referenced
+        dimension scales' header addresses; return the DIMENSION_LIST
+        attribute message.  The scales must already be added."""
+        addr_by_name = dict(self.vars)
+        addrs = [addr_by_name[d] for d in dim_names]
+        objs = b""
+        for i, a in enumerate(addrs, 1):
+            objs += struct.pack("<HHIQ", i, 1, 0, 8) + struct.pack("<Q", a)
+        objs += b"\x00" * 16  # index-0 terminator
+        gcol = self.alloc(
+            b"GCOL" + struct.pack("<B3xQ", 1, 16 + len(objs)) + objs
+        )
+        return _msg(0x000C, _attr_dimension_list(gcol, len(addrs)))
+
+    def add_contiguous(self, name: str, arr: np.ndarray, attrs=(), dim_refs=None):
         arr = np.ascontiguousarray(arr)
         addr = self.alloc(arr.tobytes())
         dt = {"f": _dt_float, "i": _dt_int}[arr.dtype.kind](arr.dtype.itemsize)
@@ -87,9 +115,13 @@ class FixtureWriter:
             ),
         ]
         msgs += [_msg(0x000C, _attr_str(k, v)) for k, v in attrs]
+        if dim_refs:
+            msgs.append(self._dim_list_msg(dim_refs))
         self.vars.append((name, self.alloc(_objheader(msgs))))
 
-    def add_chunked(self, name: str, arr: np.ndarray, chunk: tuple[int, ...]):
+    def add_chunked(
+        self, name: str, arr: np.ndarray, chunk: tuple[int, ...], dim_refs=None
+    ):
         """Chunked + shuffle + deflate, v1 B-tree chunk index."""
         arr = np.ascontiguousarray(arr)
         elem = arr.dtype.itemsize
@@ -138,6 +170,8 @@ class FixtureWriter:
             _msg(0x000B, filters),
             _msg(0x0008, layout),
         ]
+        if dim_refs:
+            msgs.append(self._dim_list_msg(dim_refs))
         self.vars.append((name, self.alloc(_objheader(msgs))))
 
     def finish(self, path: str):

@@ -16,13 +16,16 @@ library writes with default settings (no h5py in this container):
 - datatypes: fixed-point ints, IEEE f4/f8 floats, fixed strings
 - attributes: message v1/v2/v3 with scalar/array values of the above
 
+- ``DIMENSION_LIST`` vlen object-reference attributes (global-heap
+  hvl_t elements), so variables surface dimension NAMES exactly like
+  the NetCDF-3 reader; netcdf-c's placeholder pure-dimension datasets
+  are folded into ``dims`` and hidden from ``variables``
+
 NOT supported (documented, raises cleanly): dense v2 link storage
-(fractal heap), variable-length datatypes (so ``DIMENSION_LIST``
-region-reference attributes are skipped — per-variable dims surface as
-sizes, which is all the grid ingest contract needs), compound types,
-szip.  The returned dict matches ``read_netcdf``'s shape so the two
-scans are drop-in interchangeable; ``read_netcdf_any`` dispatches on
-the magic bytes.
+(fractal heap), general variable-length datatypes (vlen strings),
+compound types, szip.  The returned dict matches ``read_netcdf``'s
+shape so the two scans are drop-in interchangeable;
+``read_netcdf_any`` dispatches on the magic bytes.
 
 Scale path mirrors the NetCDF-3 scan: one driver-side read per model
 file; a directory distributes via ``binaryFile`` + ``mapInPandas``
@@ -99,6 +102,32 @@ def _parse_dataspace(buf: bytes, pos: int):
     )
 
 
+class ObjectRefs(list):
+    """Resolved vlen-of-object-reference attribute value (one list of
+    object-header addresses per dataspace element) — the on-disk shape
+    of netCDF-4's ``DIMENSION_LIST``."""
+
+
+def _read_gheap_object(buf: bytes, addr: int, idx: int) -> bytes:
+    """Fetch one object from a global heap collection (GCOL) — where
+    vlen attribute payloads live."""
+    if buf[addr:addr + 4] != b"GCOL":
+        raise Hdf5Error(f"bad global heap signature at {addr:#x}")
+    if buf[addr + 4] != 1:
+        raise Hdf5Error(f"global heap version {buf[addr + 4]}")
+    size = int.from_bytes(buf[addr + 8:addr + 16], "little")
+    p = addr + 16
+    while p + 16 <= addr + size:
+        oidx = int.from_bytes(buf[p:p + 2], "little")
+        osize = int.from_bytes(buf[p + 8:p + 16], "little")
+        if oidx == 0:
+            break
+        if oidx == idx:
+            return buf[p + 16:p + 16 + osize]
+        p += 16 + ((osize + 7) & ~7)
+    raise Hdf5Error(f"global heap object {idx} not found at {addr:#x}")
+
+
 def _parse_attribute(buf: bytes, pos: int):
     ver = buf[pos]
     if ver not in (1, 2, 3):
@@ -112,10 +141,33 @@ def _parse_attribute(buf: bytes, pos: int):
     pad = (lambda n: (n + 7) & ~7) if ver == 1 else (lambda n: n)
     name = buf[p:p + name_size].split(b"\x00")[0].decode("utf-8", "replace")
     p += pad(name_size)
+    if buf[p] & 0x0F == 9 and buf[p + 8] & 0x0F == 7:
+        # vlen of object references (netCDF-4's DIMENSION_LIST): each
+        # element is an hvl_t — u32 count + global heap id (u64 GCOL
+        # address, u32 object index); the heap object holds count
+        # 8-byte object-header addresses
+        p += pad(dt_size)
+        shape = _parse_dataspace(buf, p)
+        p += pad(ds_size)
+        n = int(np.prod(shape)) if shape else 1
+        refs = ObjectRefs()
+        for i in range(n):
+            e = p + 16 * i
+            cnt = int.from_bytes(buf[e:e + 4], "little")
+            gaddr = int.from_bytes(buf[e + 4:e + 12], "little")
+            gidx = int.from_bytes(buf[e + 12:e + 16], "little")
+            data = _read_gheap_object(buf, gaddr, gidx)
+            refs.append(
+                [
+                    int.from_bytes(data[8 * j:8 * j + 8], "little")
+                    for j in range(cnt)
+                ]
+            )
+        return name, refs
     try:
         dtype = _parse_datatype(buf, p)
     except Hdf5Error:
-        return name, None  # vlen/reference attr (e.g. DIMENSION_LIST): skip value
+        return name, None  # other vlen/compound attr: skip value
     p += pad(dt_size)
     shape = _parse_dataspace(buf, p)
     p += pad(ds_size)
@@ -415,13 +467,20 @@ class _Hdf5File:
             p += key_size + 8
 
 
+_NC4_PHONY_DIM = "This is a netCDF dimension but not a netCDF variable."
+
+
 def read_hdf5(path: str) -> dict:
     """Parse a NetCDF-4/HDF5 file -> the same dict shape as
     ``read_netcdf``: {dims, attrs, variables: {name: {dims, attrs,
-    data}}}.  ``dims`` maps names to sizes where dimension-scale
-    variables exist (the netCDF-4 convention: a variable whose CLASS
-    attribute is ``DIMENSION_SCALE``); per-variable ``dims`` carry
-    sizes (the vlen DIMENSION_LIST references are out of subset)."""
+    data}}}.  ``dims`` maps dimension names to sizes via the netCDF-4
+    dimension-scale convention (CLASS == ``DIMENSION_SCALE``); pure
+    dimensions (netcdf-c's placeholder NAME attribute) appear in
+    ``dims`` but not in ``variables``, matching the classic reader.
+    Per-variable ``dims`` are dimension NAMES resolved from the vlen
+    ``DIMENSION_LIST`` object references (global-heap hvl_t elements);
+    a 1-D dimension scale is its own dimension; variables with no
+    resolvable DIMENSION_LIST fall back to the shape tuple (sizes)."""
     with open(path, "rb") as fh:
         buf = fh.read()
     f = _Hdf5File(buf)
@@ -434,6 +493,7 @@ def read_hdf5(path: str) -> dict:
             except Hdf5Error:
                 pass
     links = f.group_links(f.root_header)
+    addr_to_name = {addr: name for name, addr in links.items()}
     variables: dict[str, dict] = {}
     dims: dict[str, int] = {}
     for name, addr in sorted(links.items()):
@@ -445,9 +505,21 @@ def read_hdf5(path: str) -> dict:
             continue  # subgroup (netCDF-4 groups out of classic model)
         if data.dtype.byteorder == ">":
             data = data.astype(data.dtype.newbyteorder("="))
-        variables[name] = {"dims": data.shape, "attrs": attrs, "data": data}
-        if attrs.get("CLASS") == "DIMENSION_SCALE" and data.ndim == 1:
+        is_scale = attrs.get("CLASS") == "DIMENSION_SCALE" and data.ndim == 1
+        if is_scale:
             dims[name] = data.shape[0]
+        nm_attr = attrs.get("NAME")
+        if isinstance(nm_attr, str) and nm_attr.startswith(_NC4_PHONY_DIM):
+            continue  # dimension without a coordinate variable
+        dl = attrs.pop("DIMENSION_LIST", None)
+        if isinstance(dl, ObjectRefs) and dl:
+            names = [addr_to_name.get(r[0]) if r else None for r in dl]
+            var_dims = names if all(names) else data.shape
+        elif is_scale:
+            var_dims = [name]  # a coordinate variable spans itself
+        else:
+            var_dims = data.shape
+        variables[name] = {"dims": var_dims, "attrs": attrs, "data": data}
     return {"dims": dims, "attrs": root_attrs, "variables": variables}
 
 
