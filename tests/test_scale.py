@@ -147,3 +147,68 @@ def test_dedup_pipeline_200k_docs(spark):
     # whose remaining edges disconnect its 5-clique splits
     assert bad_groups <= 0.01 * n_groups, bad_groups
     assert spans == 0
+
+
+@slow
+def test_ngram_df_cap_survives_universal_boilerplate(spark):
+    """Adversarial skew for the n-gram dedup df cap (VERDICT r4 item
+    #6): 200k docs ALL sharing one boilerplate sentence.  Uncapped,
+    each interior boilerplate shingle has df=200k and the inverted-
+    index self-join would emit ~8 * (200k choose 2) ≈ 1.6e11 candidate
+    rows — unrunnable.  With the cap, boilerplate shingles leave the
+    universe, candidates collapse to exactly the planted identical
+    pairs, and the whole run stays inside a tight wall-clock budget."""
+    import time
+
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        _NGRAM_DF_CAP,
+        capped_shingle_index,
+    )
+
+    n_docs = 200_000
+    half = n_docs // 2
+    n_planted = 200  # docs i and i+half share unique text for i < 200
+    boiler = (
+        "terms of service all rights reserved copyright notice applies"
+    )  # 9 words -> 7 interior shingles, each df = n_docs >> cap
+    key = (
+        F.when(F.col("doc_id") % half < n_planted, F.col("doc_id") % half)
+        .otherwise(F.col("doc_id"))
+        .cast("string")
+    )
+    uniq = F.concat_ws(
+        " ", *[F.md5(F.concat(key, F.lit(f":u{k}"))) for k in range(6)]
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(boiler + " "), uniq).alias("text"),
+    )
+    t0 = time.time()
+    sh = capped_shingle_index(docs).persist()
+    index_rows = sh.count()
+    # every doc has 13 shingles, 7 pure-boilerplate ones dropped
+    assert index_rows <= 7 * n_docs, index_rows
+    a, b = sh.alias("a"), sh.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.hs") == F.col("b.hs"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .persist()
+    )
+    n_cand = cand.count()
+    wall = time.time() - t0
+    # O(docs) linearity: only the planted twins share any surviving
+    # shingle (plus boundary shingles are keyed by the unique words)
+    assert n_cand == n_planted, n_cand
+    planted_ok = cand.filter(F.col("db") == F.col("da") + half).count()
+    assert planted_ok == n_planted
+    spark.catalog.clearCache()
+    print(
+        f"boilerplate-skew: cap={_NGRAM_DF_CAP} index_rows={index_rows} "
+        f"candidates={n_cand} wall={wall:.1f}s"
+    )
+    assert wall < 180, wall
