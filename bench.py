@@ -55,13 +55,22 @@ def main() -> None:
     # on run order — so cold timings measure ordering, not the engine.
     # The timed pass below still recomputes all data (cache cleared);
     # only compiled code is reused, which is the steady state a resident
-    # cluster session runs in.  Warm-up runs at the SMALLEST available
-    # scale factor: JIT compiles code paths, not data, so this buys the
-    # same steady state at a fraction of the wall-clock.
+    # cluster session runs in.  Warm-up runs at a SMALLER available
+    # scale factor than the target (never larger — warming at 10x the
+    # timed scale would dominate invocation wall-clock): JIT compiles
+    # code paths, not data, so this buys the same steady state at a
+    # fraction of the wall-clock.
+    def _sf_of(d: str) -> float:
+        name = os.path.basename(d.rstrip("/"))
+        try:
+            return float(name.removeprefix("sf"))
+        except ValueError:
+            return float("inf")
+
     warm_dir = sf_dir
     for cand in ("sf0.01", "sf0.001"):
         d = os.path.join(os.path.dirname(sf_dir.rstrip("/")), cand)
-        if os.path.isdir(d) and d != sf_dir.rstrip("/"):
+        if os.path.isdir(d) and _sf_of(d) < _sf_of(sf_dir):
             warm_dir = d
             break
     for name, fn in qs.items():

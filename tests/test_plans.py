@@ -160,10 +160,14 @@ def test_tfidf_tokenizes_the_corpus_once(spark):
     from wrf_to_geodataframe_spark.suite.pipeline import QUERIES
 
     df = QUERIES["tfidf_top_terms"](spark, SF)
-    plan = _plan(df)
-    # both the df branch and the scoring join must read the persisted
-    # (doc, term) aggregate — two InMemoryTableScans.  (A plain
-    # "Scan parquet" count is meaningless here: InMemoryRelation prints
-    # its cached child plan, which embeds the original FileScan text.)
-    assert plan.count("InMemoryTableScan") >= 2, plan
-    df.sparkSession.catalog.clearCache()
+    try:
+        plan = _plan(df)
+        # both the df branch and the scoring join must read the persisted
+        # (doc, term) aggregate — two InMemoryTableScans.  (A plain
+        # "Scan parquet" count is meaningless here: InMemoryRelation prints
+        # its cached child plan, which embeds the original FileScan text.)
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    finally:
+        # even on assertion failure the persisted aggregate must not
+        # leak into later tests in the session
+        df.sparkSession.catalog.clearCache()

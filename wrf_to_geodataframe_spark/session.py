@@ -13,17 +13,37 @@ from pyspark.sql import SparkSession
 
 
 def _default_driver_memory() -> str:
-    """min(32g, ~40% of physical RAM), floor 2g — see the config comment
-    in get_spark."""
+    """min(32g, ~40% of available RAM), floor 2g — see the config
+    comment in get_spark.  "Available" is the MINIMUM of host MemTotal
+    and the cgroup memory limit (v2 ``memory.max`` / v1
+    ``memory.limit_in_bytes``): in a memory-capped container on a big
+    host, sizing from MemTotal alone would pick a heap the cgroup then
+    OOM-kills.  ``SPARK_DRIVER_MEMORY`` stays the escape hatch."""
+    total = None
     try:
         with open("/proc/meminfo") as f:
             for line in f:
                 if line.startswith("MemTotal:"):
-                    total_gb = int(line.split()[1]) // (1024 * 1024)
-                    return f"{max(2, min(32, int(total_gb * 0.4)))}g"
+                    total = int(line.split()[1]) * 1024
+                    break
     except OSError:
         pass
-    return "8g"
+    if total is None:
+        return "8g"
+    for limit_path in (
+        "/sys/fs/cgroup/memory.max",
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",
+    ):
+        try:
+            with open(limit_path) as f:
+                raw = f.read().strip()
+            if raw != "max":
+                total = min(total, int(raw))
+            break
+        except (OSError, ValueError):
+            continue
+    total_gb = total // (1024 ** 3)
+    return f"{max(2, min(32, int(total_gb * 0.4)))}g"
 
 
 def get_spark(

@@ -1145,7 +1145,11 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the rewrite below attaches RECURSIVE to the OUTER WITH; guard the
 # anchor so a reformat of the shared prefix can't silently retarget it
-assert _MH_CAND_CTES.lstrip().startswith("WITH "), _MH_CAND_CTES[:40]
+# (explicit raise, not assert: asserts vanish under `python -O`)
+if not _MH_CAND_CTES.lstrip().startswith("WITH "):
+    raise ValueError(
+        f"_MH_CAND_CTES must open with the outer WITH: {_MH_CAND_CTES[:40]!r}"
+    )
 
 _CLUSTER_CC_SQL = _MH_CAND_CTES.replace("WITH ", "WITH RECURSIVE ", 1) + f""",
 pairs AS (
@@ -1248,10 +1252,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring join, and without the persist Catalyst plans two full
     scan+explode+agg subtrees — the df branch's agg gets rewritten to a
     distinct so exchange reuse can't dedupe them) -> df agg on term ->
-    broadcast join back on term -> one per-doc window.  At 100 TB the
-    df table is vocabulary-sized (zipf-bounded, far smaller than the
-    corpus) and the per-doc top-k runs as a partial WindowGroupLimit
-    before the shuffle."""
+    join back on term -> one per-doc window.  The join strategy is left
+    to AQE: the df table is vocabulary-sized (zipf-bounded, far smaller
+    than the corpus), so under the broadcast threshold it converts to a
+    broadcast join at runtime; past it (100 TB vocabularies can exceed
+    the threshold) the sort-merge fallback is equally correct — both
+    sides are already partitioned by term.  The per-doc top-k runs as a
+    partial WindowGroupLimit before the shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     tc = tok.groupBy("doc_id", "t").agg(
