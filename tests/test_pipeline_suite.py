@@ -712,6 +712,39 @@ def test_pack_sequences_layout_is_contiguous_and_bounded(spark):
             expect = start + n_tokens
 
 
+def test_decontam_flags_planted_contamination_only(spark, tmp_path):
+    """A training doc embedding a benchmark passage (>= 8 shared words
+    in a row) must be flagged with the right evidence; clean docs and
+    eval docs themselves must not appear."""
+    import pandas as pd
+
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        _DECON_EVAL_MOD,
+        decontam_ngram,
+    )
+
+    passage = "the quick brown fox jumps over the lazy dog tonight"  # 10 words
+    rows = []
+    for i in range(40):
+        if i % _DECON_EVAL_MOD == 0:
+            text = f"evalhdr{i} {passage} evaltail{i}"
+        elif i == 8:
+            text = f"trainhdr{i} {passage} trainmid{i} filler words here"
+        elif i == 9:
+            # shares only a 7-gram prefix: BELOW the k=8 bar, not flagged
+            text = f"trainhdr{i} " + " ".join(passage.split()[:7]) + " unrelated"
+        else:
+            text = " ".join(f"w{i}x{j}" for j in range(12))
+        rows.append({"doc_id": i, "text": text})
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = {r.doc_id: r for r in decontam_ngram(spark, str(tmp_path)).collect()}
+    assert set(got) == {8}
+    # the 10-word passage yields 3 shared 8-grams, hit in every eval doc
+    assert got[8].n_shared_ngrams == 3
+    assert got[8].n_eval_docs == len([i for i in range(40) if i % _DECON_EVAL_MOD == 0])
+    assert got[8].first_eval_id == 0
+
+
 def test_pack_sequences_bucket_count_grows_with_corpus(spark, tmp_path):
     """The 100 TB claim: bucket count is derived from corpus size
     inside the plan, so a corpus bigger than _PACK_DOCS_PER_BUCKET *

@@ -255,6 +255,81 @@ def _minhash_band_candidates(docs: DataFrame):
     return sigs, cand
 
 
+_DECON_K = 8  # contamination n-gram length (long enough to be evidence)
+_DECON_EVAL_MOD = 7  # doc_id % mod == 0 -> held-out benchmark split
+
+
+def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the pre-training hygiene pass that
+    flags training documents sharing any long n-gram with a held-out
+    evaluation set (here the deterministic ``doc_id % _DECON_EVAL_MOD
+    == 0`` split stands in for the benchmark corpus).  Output per
+    contaminated training doc: how many distinct ``_DECON_K``-grams it
+    shares, how many distinct eval docs those hit, and the smallest
+    offending eval doc id — the evidence row a removal/audit step
+    consumes.
+
+    Scale shape: one tokenize scan builds the 8-gram inverted index
+    (60-bit hashes, not strings), the same ``_NGRAM_DF_CAP`` boilerplate
+    guard as n-gram dedup drops shingles present in >cap docs (a
+    ubiquitous 8-gram is template text, not contamination — and each
+    would otherwise emit df^2 join rows), and contamination is an EQUI
+    JOIN train-side x eval-side on the shingle hash — never an all-pairs
+    scan.  At 100 TB the eval index is benchmark-sized (tiny), so AQE
+    broadcasts it; candidates are O(shared shingles), not O(docs^2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = exploded_shingles(docs, _DECON_K).select(
+        "doc_id", hash60(F.col("s")).alias("hs")
+    )
+    idx = _cap_index(raw, _NGRAM_DF_CAP).persist()
+    ev = idx.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0).select(
+        "hs", F.col("doc_id").alias("eval_id")
+    )
+    tr = idx.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+    return (
+        tr.join(ev, "hs")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("hs").alias("n_shared_ngrams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+            F.min("eval_id").alias("first_eval_id"),
+        )
+    )
+
+
+_DECON_GRAM = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(_DECON_K))
+
+_DECONTAM_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+raw AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS hs
+    FROM (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, len(w) - {_DECON_K - 1}),
+            i -> {_DECON_GRAM}))) AS s
+        FROM toks
+    )
+),
+hot AS (SELECT hs FROM raw GROUP BY hs HAVING count(*) > {_NGRAM_DF_CAP}),
+idx AS (
+    SELECT doc_id, hs FROM raw
+    WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.hs = raw.hs)
+),
+ev AS (
+    SELECT hs, doc_id AS eval_id FROM idx WHERE doc_id % {_DECON_EVAL_MOD} = 0
+),
+tr AS (
+    SELECT doc_id, hs FROM idx WHERE doc_id % {_DECON_EVAL_MOD} <> 0
+)
+SELECT tr.doc_id AS doc_id,
+       count(DISTINCT tr.hs) AS n_shared_ngrams,
+       count(DISTINCT eval_id) AS n_eval_docs,
+       min(eval_id) AS first_eval_id
+FROM tr JOIN ev USING (hs)
+GROUP BY tr.doc_id
+"""
+
+
 def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
     """(da, db, jaccard_est): the full MinHash-LSH pipeline over an
     arbitrary (doc_id, text) frame — band candidates re-scored by
@@ -2265,6 +2340,7 @@ WHERE f.f < h
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "decontam_ngram": decontam_ngram,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "simhash_neardup": simhash_neardup,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -2294,6 +2370,7 @@ QUERIES = {
 ORACLE = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "decontam_ngram": _DECONTAM_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "simhash_neardup": _SIMHASH_SQL,
     "dedup_embedding_cosine": _EMBED_COSINE_SQL,
