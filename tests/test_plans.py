@@ -153,6 +153,22 @@ def test_pack_sequences_is_single_data_scan_single_shuffle(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_decontam_reuses_one_shingle_index_no_cartesian(spark):
+    """decontam_ngram's 100 TB shape: BOTH split branches (eval, train)
+    read the single persisted capped shingle index (no second
+    tokenize), and contamination is an equi join — never a cartesian."""
+    from wrf_to_geodataframe_spark.suite.pipeline import QUERIES
+
+    df = QUERIES["decontam_ngram"](spark, SF)
+    try:
+        plan = _plan(df)
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        df.sparkSession.catalog.clearCache()
+
+
 def test_tfidf_tokenizes_the_corpus_once(spark):
     """The (doc, term) aggregate feeds both the df branch and the
     scoring join through ONE persisted subtree — without it Catalyst

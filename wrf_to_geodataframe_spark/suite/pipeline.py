@@ -278,9 +278,12 @@ def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan.  At 100 TB the eval index is benchmark-sized (tiny), so AQE
     broadcasts it; candidates are O(shared shingles), not O(docs^2)."""
     docs = load_table(spark, sf_dir, "documents")
+    # raw feeds the hot-shingle agg AND the anti-join probe; capped idx
+    # feeds both split branches — persist each once (same two
+    # checkpoints dedup_ngram_jaccard materializes, same reason)
     raw = exploded_shingles(docs, _DECON_K).select(
         "doc_id", hash60(F.col("s")).alias("hs")
-    )
+    ).persist()
     idx = _cap_index(raw, _NGRAM_DF_CAP).persist()
     ev = idx.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0).select(
         "hs", F.col("doc_id").alias("eval_id")
