@@ -712,6 +712,30 @@ def test_pack_sequences_layout_is_contiguous_and_bounded(spark):
             expect = start + n_tokens
 
 
+def test_text_repetition_separates_looped_from_normal_text(spark, tmp_path):
+    """The repetition signals must actually rank looped text above
+    varied text, with exact ppm arithmetic on hand-computable inputs."""
+    import pandas as pd
+
+    from wrf_to_geodataframe_spark.suite.pipeline import text_repetition
+
+    rows = [
+        # 12x the same word: 10 total 3-grams, 1 distinct -> 900000 ppm;
+        # top word 12/12 -> 1000000 ppm
+        {"doc_id": 0, "text": " ".join(["spam"] * 12)},
+        # all-distinct words: 0 duplicate 3-grams, top word 1/12
+        {"doc_id": 1, "text": " ".join(f"w{i}" for i in range(12))},
+        # sub-3-token doc: no 3-grams, must not divide by zero
+        {"doc_id": 2, "text": "tiny doc"},
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = {r.doc_id: r for r in text_repetition(spark, str(tmp_path)).collect()}
+    assert got[0].dup_3gram_ppm == 900_000 and got[0].top_word_ppm == 1_000_000
+    assert got[1].dup_3gram_ppm == 0
+    assert got[1].top_word_ppm == 1_000_000 // 12
+    assert got[2].dup_3gram_ppm == 0 and got[2].n_words == 2
+
+
 def test_decontam_flags_planted_contamination_only(spark, tmp_path):
     """A training doc embedding a benchmark passage (>= 8 shared words
     in a row) must be flagged with the right evidence; clean docs and

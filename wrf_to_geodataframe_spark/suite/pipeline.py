@@ -23,6 +23,7 @@ from wrf_to_geodataframe_spark.functions.text import (
     STOPWORDS,
     exploded_shingles,
     hash60,
+    shingles_from_tokens,
     tokens,
 )
 from wrf_to_geodataframe_spark.session import load_table
@@ -253,6 +254,82 @@ def _minhash_band_candidates(docs: DataFrame):
         .distinct()
     )
     return sigs, cand
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals for looped/spammy text (the Gopher-style
+    repetition filters a curation pass thresholds): per document, the
+    duplicate-3-gram fraction (1 - distinct/total 3-grams) and the
+    top-word fraction (occurrences of the most frequent token over all
+    tokens), both as exact parts-per-million BIGINTs so the oracle
+    hash-matches bit-for-bit (a float division could flake the last
+    ulp).
+
+    Plan shape: TWO thin branches joined on doc_id, deliberately NOT
+    one explode that carries the per-doc scalars along.  The scalar
+    branch computes (n_words, total/distinct 3-grams) per doc over a
+    MATERIALIZED token array (inlining split() into the shingle lambda
+    re-tokenizes per element — O(words^2) per doc, measured 287 s at
+    sf0.1); the word branch is a bare token explode into the (doc,
+    word) count and per-doc max.  Colocating the shingle HOF inside
+    the Generate+aggregate codegen stage compiles a pathological
+    Janino unit (~13-17 s one-time per stage shape, measured) — split
+    branches keep each generated function small.  At 100 TB both join
+    sides are doc-count-sized aggregate outputs partitioned on doc_id;
+    the corpus is scanned twice but only (doc_id, text) columns, and
+    nothing wide ever shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    stats = toked.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        F.greatest(F.size("toks") - 2, F.lit(0)).cast("long").alias("t3"),
+        F.size(shingles_from_tokens(F.col("toks"), 3)).cast("long").alias("d3"),
+    )
+    topw = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    return stats.join(topw, "doc_id").select(
+        "doc_id",
+        "n_words",
+        F.expr(
+            "(t3 - d3) * CAST(1000000 AS BIGINT)"
+            " div greatest(t3, CAST(1 AS BIGINT))"
+        ).alias("dup_3gram_ppm"),
+        F.expr(
+            "top_c * CAST(1000000 AS BIGINT)"
+            " div greatest(n_words, CAST(1 AS BIGINT))"
+        ).alias("top_word_ppm"),
+    )
+
+
+_TEXT_REPETITION_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+base AS (
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CAST(greatest(len(w) - 2, 0) AS BIGINT) AS t3,
+           CAST(len(list_distinct(list_transform(
+               generate_series(1, len(w) - 2),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS BIGINT) AS d3,
+           unnest(w) AS word
+    FROM toks
+),
+wc AS (
+    SELECT doc_id, word, count(*) AS c,
+           min(n_words) AS n_words, min(t3) AS t3, min(d3) AS d3
+    FROM base GROUP BY doc_id, word
+)
+SELECT doc_id,
+       min(n_words) AS n_words,
+       (min(t3) - min(d3)) * 1000000 // greatest(min(t3), 1) AS dup_3gram_ppm,
+       max(c) * 1000000 // greatest(min(n_words), 1) AS top_word_ppm
+FROM wc GROUP BY doc_id
+"""
 
 
 _DECON_K = 8  # contamination n-gram length (long enough to be evidence)
@@ -2344,6 +2421,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "decontam_ngram": decontam_ngram,
+    "text_repetition": text_repetition,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "simhash_neardup": simhash_neardup,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -2374,6 +2452,7 @@ ORACLE = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "decontam_ngram": _DECONTAM_SQL,
+    "text_repetition": _TEXT_REPETITION_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "simhash_neardup": _SIMHASH_SQL,
     "dedup_embedding_cosine": _EMBED_COSINE_SQL,
