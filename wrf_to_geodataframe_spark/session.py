@@ -92,6 +92,15 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # 81 suite queries x warm-up+timed passes generate more compiled
+        # code than the JVM's default 240m code cache; once it fills,
+        # HotSpot flushes/deoptimizes mid-run and individual query
+        # timings swing randomly run-to-run.  512m keeps every compiled
+        # stage resident for the whole session.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
