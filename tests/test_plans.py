@@ -169,6 +169,21 @@ def test_decontam_reuses_one_shingle_index_no_cartesian(spark):
         df.sparkSession.catalog.clearCache()
 
 
+def test_text_repetition_two_thin_branches(spark):
+    """text_repetition must stay two narrow corpus scans (scalar stats
+    + word explode) joined on doc_id — the shape that avoids both the
+    O(words^2) re-tokenize and the Generate+HOF codegen cliff the
+    docstring documents — reading only (doc_id, text)."""
+    from wrf_to_geodataframe_spark.suite.pipeline import QUERIES
+
+    plan = _plan(QUERIES["text_repetition"](spark, SF))
+    assert plan.count("Scan parquet") == 2, plan
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols == {"doc_id", "text"}, cols
+
+
 def test_tfidf_tokenizes_the_corpus_once(spark):
     """The (doc, term) aggregate feeds both the df branch and the
     scoring join through ONE persisted subtree — without it Catalyst
