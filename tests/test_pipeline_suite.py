@@ -712,6 +712,32 @@ def test_pack_sequences_layout_is_contiguous_and_bounded(spark):
             expect = start + n_tokens
 
 
+def test_text_scrub_redacts_planted_pii(spark, tmp_path):
+    """The scrub must count and redact real PII shapes: the scrubbed
+    md5 equals the hand-redacted text's md5, and clean docs pass
+    through byte-identical (planting skipped via non-multiple ids)."""
+    import hashlib as hl
+
+    import pandas as pd
+
+    from wrf_to_geodataframe_spark.suite.pipeline import text_scrub_pii
+
+    rows = [
+        # ids chosen to dodge the query's own %5/%7 planting
+        {"doc_id": 1, "text": "mail me at alice.smith+x@corp.example.org now"},
+        {"doc_id": 2, "text": "see https://a.example.com/p?q=1 and http://b.io/x"},
+        {"doc_id": 3, "text": "no personal data in this document at all"},
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = {r.doc_id: r for r in text_scrub_pii(spark, str(tmp_path)).collect()}
+    assert (got[1].n_emails, got[1].n_urls) == (1, 0)
+    assert got[1].scrubbed_md5 == hl.md5(b"mail me at [EMAIL] now").hexdigest()
+    assert (got[2].n_emails, got[2].n_urls) == (0, 2)
+    assert got[2].scrubbed_md5 == hl.md5(b"see [URL] and [URL]").hexdigest()
+    assert (got[3].n_emails, got[3].n_urls) == (0, 0)
+    assert got[3].scrubbed_md5 == hl.md5(rows[2]["text"].encode()).hexdigest()
+
+
 def test_text_repetition_separates_looped_from_normal_text(spark, tmp_path):
     """The repetition signals must actually rank looped text above
     varied text, with exact ppm arithmetic on hand-computable inputs."""

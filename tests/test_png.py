@@ -136,3 +136,29 @@ def test_unsupported_spec_corners_named():
 def test_encoder_validates_buffer_size():
     with pytest.raises(ValueError, match="bytes"):
         encode_png(b"\x00" * 10, 4, 4, 1)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        channels=st.sampled_from([1, 2, 3, 4]),
+        ftype=st.integers(0, 4),
+        seed=st.integers(0, 2**31),
+    )
+    def test_round_trip_property(w, h, channels, ftype, seed):
+        """Any geometry x channels x filter round-trips byte-exactly."""
+        px = _pixels(w * h * channels, f"{seed}")
+        assert decode_png(encode_png(px, w, h, channels, ftype)) == (
+            w,
+            h,
+            channels,
+            px,
+        )
+
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass

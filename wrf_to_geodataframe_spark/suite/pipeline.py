@@ -332,6 +332,75 @@ FROM wc GROUP BY doc_id
 """
 
 
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass run before any corpus ships:
+    count and redact email addresses and URLs per document, emitting
+    the redacted text's md5 so a downstream exact-dedup/audit step can
+    key on the scrubbed content.  The corpus documents are synthetic,
+    so PII is PLANTED deterministically inside the query (every 5th doc
+    gets an email, every 7th a URL appended) — the oracle replays the
+    same injection, so the hash match validates the actual regex
+    matching/replacement machinery on text that genuinely contains
+    PII, not a vacuous all-zeros row.
+
+    Patterns are written in the common subset of Java regex (Spark) and
+    RE2 (DuckDB) — char classes, quantifiers, alternation only, no
+    lookaround — so both engines compile them identically.  Scale
+    shape: one scan, pure JVM regexp expressions inside whole-stage
+    codegen, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url_re = r"https?://[^ ]+"
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" contact-"), F.col("doc_id"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" https://ex.com/doc/"), F.col("doc_id")),
+        ).otherwise(F.lit("")),
+    )
+    base = docs.select("doc_id", text.alias("t"))
+    n_emails = (
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(email_re), 0)).cast("long")
+    )
+    n_urls = F.size(F.regexp_extract_all(F.col("t"), F.lit(url_re), 0)).cast("long")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("t"), email_re, "[EMAIL]"), url_re, "[URL]"
+    )
+    return base.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_urls.alias("n_urls"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+_SCRUB_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_SCRUB_URL_RE = "https?://[^ ]+"
+
+_TEXT_SCRUB_SQL = f"""
+WITH aug AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' contact-' || doc_id || '@example.com' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' https://ex.com/doc/' || doc_id ELSE '' END AS t
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_SCRUB_EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_SCRUB_URL_RE}')) AS BIGINT) AS n_urls,
+       md5(regexp_replace(regexp_replace(t, '{_SCRUB_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_SCRUB_URL_RE}', '[URL]', 'g')) AS scrubbed_md5
+FROM aug
+"""
+
+
 _DECON_K = 8  # contamination n-gram length (long enough to be evidence)
 _DECON_EVAL_MOD = 7  # doc_id % mod == 0 -> held-out benchmark split
 
@@ -2422,6 +2491,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "decontam_ngram": decontam_ngram,
     "text_repetition": text_repetition,
+    "text_scrub_pii": text_scrub_pii,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "simhash_neardup": simhash_neardup,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -2453,6 +2523,7 @@ ORACLE = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "decontam_ngram": _DECONTAM_SQL,
     "text_repetition": _TEXT_REPETITION_SQL,
+    "text_scrub_pii": _TEXT_SCRUB_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "simhash_neardup": _SIMHASH_SQL,
     "dedup_embedding_cosine": _EMBED_COSINE_SQL,
