@@ -49,6 +49,51 @@ def test_stream_resample_matches_batch(spark, sf_dir, tmp_path):
         assert abs(gmean - mean) < 1e-9
 
 
+def test_stream_decontam_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static join shape: documents streamed through the static
+    eval shingle index must produce exactly the batch decontam rows
+    once drained (countDistinct == size(collect_set) equivalence
+    included)."""
+    from wrf_to_geodataframe_spark.session import load_table
+    from wrf_to_geodataframe_spark.streaming.decontam import (
+        read_docs_stream,
+        static_eval_index,
+        stream_decontam,
+    )
+    from wrf_to_geodataframe_spark.suite.pipeline import decontam_ngram
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_stream")
+    docs.write.parquet(src)
+
+    eval_idx = static_eval_index(docs)
+    stream = read_docs_stream(spark, src, docs.schema)
+    assert stream.isStreaming
+    out = stream_decontam(stream, eval_idx)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("decontam_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    got = {
+        r.doc_id: (r.n_shared_ngrams, r.n_eval_docs, r.first_eval_id)
+        for r in spark.table("decontam_stream").collect()
+    }
+    want = {
+        r.doc_id: (r.n_shared_ngrams, r.n_eval_docs, r.first_eval_id)
+        for r in decontam_ngram(spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()  # decontam_ngram persists its index
+    assert got == want and got  # non-empty at the fixture scale
+
+
 def test_stateful_running_stats_across_batches(spark, sf_dir, tmp_path):
     """applyInPandasWithState: state must carry across micro-batches —
     final per-user stats equal the batch aggregation no matter how the
