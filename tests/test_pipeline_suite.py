@@ -712,6 +712,46 @@ def test_pack_sequences_layout_is_contiguous_and_bounded(spark):
             expect = start + n_tokens
 
 
+def test_mixture_sampling_applies_temperature_to_skewed_sources(spark, tmp_path):
+    """A 900/90/10 source skew at T=0.5 must yield quotas proportional
+    to sqrt(n): the head is down-weighted (quota far below its doc
+    share) and the tail is over-represented — with the exact integer
+    quotas the formula predicts, never more rows than the quota."""
+    import math
+
+    import pandas as pd
+
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        _MIX_TARGET,
+        _MIX_W_SCALE,
+        mixture_sample_temperature,
+    )
+
+    sizes = {"head": 900, "mid": 90, "tail": 10}
+    rows = []
+    i = 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append({"doc_id": i, "source": src, "text": f"doc {i}"})
+            i += 1
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = mixture_sample_temperature(spark, str(tmp_path)).collect()
+    w = {s: math.floor(math.sqrt(n) * _MIX_W_SCALE) for s, n in sizes.items()}
+    tot = sum(w.values())
+    expect_quota = {s: _MIX_TARGET * w[s] // tot for s in sizes}
+    per_src = {}
+    for r in got:
+        per_src[r.source] = per_src.get(r.source, 0) + 1
+        assert r.rk <= r.quota == expect_quota[r.source]
+    assert per_src == {s: min(q, sizes[s]) for s, q in expect_quota.items()}
+    # temperature semantics: head's sample share << its doc share,
+    # tail's sample share >> its doc share
+    n_tot = sum(sizes.values())
+    got_tot = sum(per_src.values())
+    assert per_src["head"] / got_tot < sizes["head"] / n_tot
+    assert per_src["tail"] / got_tot > sizes["tail"] / n_tot
+
+
 def test_text_scrub_redacts_planted_pii(spark, tmp_path):
     """The scrub must count and redact real PII shapes: the scrubbed
     md5 equals the hand-redacted text's md5, and clean docs pass

@@ -169,6 +169,21 @@ def test_decontam_reuses_one_shingle_index_no_cartesian(spark):
         df.sparkSession.catalog.clearCache()
 
 
+def test_mixture_sample_caps_sources_before_the_shuffle(spark):
+    """The static rk <= TARGET pre-filter must plan as a partial
+    WindowGroupLimit below the rank exchange (the dynamic per-source
+    quota is then a cheap post-filter), and the quota table joins as a
+    broadcast — no cartesian."""
+    from wrf_to_geodataframe_spark.suite.pipeline import QUERIES
+
+    plan = _plan(QUERIES["mixture_sample_temperature"](spark, SF))
+    partial = plan.find("WindowGroupLimit")
+    exchange = plan.find("Exchange hashpartitioning")
+    assert partial != -1 and exchange != -1
+    assert "Partial" in plan[exchange:], plan
+    assert "CartesianProduct" not in plan
+
+
 def test_text_repetition_two_thin_branches(spark):
     """text_repetition must stay two narrow corpus scans (scalar stats
     + word explode) joined on doc_id — the shape that avoids both the

@@ -332,6 +332,77 @@ FROM wc GROUP BY doc_id
 """
 
 
+_MIX_TARGET = 200  # total docs the mixture draws
+_MIX_W_SCALE = 1_000_000  # sqrt weights quantized to exact BIGINTs
+
+
+def mixture_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling — the data-mixing step that
+    draws a training corpus from heterogeneous sources with
+    down-weighted heads (T = 0.5: source quota ∝ sqrt(source size),
+    the standard temperature trick that keeps small sources
+    represented).  Quotas are DERIVED FROM THE CORPUS inside the plan:
+    per-source counts -> w_s = floor(sqrt(n_s) * 1e6) (sqrt is
+    correctly-rounded IEEE, so both engines produce the identical
+    BIGINT) -> k_s = TARGET * w_s div sum(w) — exact integer arithmetic
+    end-to-end, so the drawn set is deterministic and hash-checkable.
+    Docs are ranked per source by md5 hash (stable under repartition
+    and corpus growth, same rationale as quota_sample_per_group).
+
+    Scale shape: one scan; the per-source count agg is
+    vocabulary-of-sources-sized and broadcasts back; the rank window
+    shuffles once on source, and the static ``rk <= _MIX_TARGET``
+    pre-filter lets Catalyst plan a partial WindowGroupLimit below the
+    exchange (the dynamic per-source quota k_s <= TARGET is applied on
+    top), so mappers forward at most TARGET rows per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.floor(F.sqrt(F.count("*").cast("double")) * _MIX_W_SCALE).cast("long")
+    weights = docs.groupBy("source").agg(w.alias("w_s"))
+    tot = weights.agg(F.sum("w_s").alias("w_tot"))
+    quotas = weights.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(f"{_MIX_TARGET} * w_s div w_tot").alias("quota"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            hash60(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    ranked = docs.select("doc_id", "source", rk.cast("long").alias("rk")).filter(
+        F.col("rk") <= _MIX_TARGET
+    )
+    return ranked.join(F.broadcast(quotas), "source").filter(
+        F.col("rk") <= F.col("quota")
+    ).select("doc_id", "source", "rk", "quota")
+
+
+_MIXTURE_SQL = f"""
+WITH weights AS (
+    SELECT source,
+           CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * {_MIX_W_SCALE})
+                AS BIGINT) AS w_s
+    FROM documents GROUP BY source
+),
+tot AS (SELECT sum(w_s) AS w_tot FROM weights),
+quotas AS (
+    SELECT source, CAST({_MIX_TARGET} * w_s // w_tot AS BIGINT) AS quota
+    FROM weights CROSS JOIN tot
+),
+ranked AS (
+    SELECT doc_id, source,
+           CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT), doc_id
+           ) AS BIGINT) AS rk
+    FROM documents
+)
+SELECT doc_id, ranked.source AS source, rk, quota
+FROM ranked JOIN quotas ON ranked.source = quotas.source
+WHERE rk <= quota
+"""
+
+
 def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing — the redaction pass run before any corpus ships:
     count and redact email addresses and URLs per document, emitting
@@ -2492,6 +2563,7 @@ QUERIES = {
     "decontam_ngram": decontam_ngram,
     "text_repetition": text_repetition,
     "text_scrub_pii": text_scrub_pii,
+    "mixture_sample_temperature": mixture_sample_temperature,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "simhash_neardup": simhash_neardup,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -2524,6 +2596,7 @@ ORACLE = {
     "decontam_ngram": _DECONTAM_SQL,
     "text_repetition": _TEXT_REPETITION_SQL,
     "text_scrub_pii": _TEXT_SCRUB_SQL,
+    "mixture_sample_temperature": _MIXTURE_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "simhash_neardup": _SIMHASH_SQL,
     "dedup_embedding_cosine": _EMBED_COSINE_SQL,
