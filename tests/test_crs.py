@@ -112,3 +112,60 @@ def test_osgb_expression_and_pandas_udf_agree(spark):
         # same formulas, JVM vs numpy libm: agree far below mm
         assert abs(r.easting - r.u.easting) < 1e-6
         assert abs(r.northing - r.u.northing) < 1e-6
+
+
+def test_osgb_inverse_round_trips_forward(spark):
+    """WGS84 -> grid -> WGS84 must close to a few mm over a GB-wide
+    lattice.  The bound is 5e-8 deg (~5 mm): the inverse TM iterates to
+    sub-nanometre and the Helmert inverse is an exact fixed-point
+    solve, but any 2-D datum chain drops the intermediate ellipsoidal
+    height (the Helmert-shifted point is ~50 m off the Airy ellipsoid),
+    and reconstructing at h=0 costs ~1.5 mm — the same closure a
+    pyproj 2-D 7-parameter pipeline has, and 3 orders below the 3.5 m
+    Helmert-vs-OSTN15 model error."""
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        osgb_inverse_pandas_udf,
+        osgb_pandas_udf,
+    )
+
+    lons = np.linspace(-6.0, 1.5, 6)
+    lats = np.linspace(50.0, 58.5, 6)
+    rows = [
+        (float(lo), float(la)) for lo in lons for la in lats
+    ]
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    fwd = osgb_pandas_udf()
+    inv = osgb_inverse_pandas_udf()
+    out = (
+        df.withColumn("en", fwd("lon", "lat"))
+        .withColumn("ll", inv("en.easting", "en.northing"))
+        .select("lon", "lat", "ll.lon", "ll.lat")
+        .collect()
+    )
+    assert len(out) == 36
+    for lon, lat, lon2, lat2 in out:
+        # 5e-8 deg ~ 5 mm (see docstring for the height-drop floor)
+        assert abs(lon2 - lon) < 5e-8, (lon, lon2)
+        assert abs(lat2 - lat) < 5e-8, (lat, lat2)
+
+
+def test_osgb_inverse_tm_matches_worked_example():
+    """Inverse TM alone reproduces the OS guide worked-example OSGB36
+    geodetic coordinates from its published E/N to ~1e-10 rad."""
+    import math
+
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        osgb_grid_to_geodetic_numpy,
+    )
+
+    phi_want = math.radians(52 + 39 / 60 + 27.2531 / 3600)
+    lam_want = math.radians(1 + 43 / 60 + 4.5177 / 3600)
+    phi, lam = osgb_grid_to_geodetic_numpy(
+        np.array([651409.903]), np.array([313177.270])
+    )
+    assert abs(phi[0] - phi_want) < 1e-9
+    assert abs(lam[0] - lam_want) < 1e-9

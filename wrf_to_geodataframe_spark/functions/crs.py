@@ -303,3 +303,106 @@ def webmercator_pandas_udf():
         )
 
     return _transform
+
+
+# ---------------------------------------------------------------------------
+# Inverse chain: EPSG:27700 grid E/N -> WGS84 lon/lat.  The reference only
+# projects forward (to_crs at wrf_voronoi.py:188), but a round-trip API is
+# what any consumer doing I/O in both CRSs needs, and the round-trip
+# property test pins both directions against each other.
+#
+# Inverse TM per the OS guide Annex C (C.3): iterate phi' until the
+# meridian arc M(phi') matches N - N0 (contraction ~e^2, 8 iterations =>
+# sub-nanometre), then the VII..XIIA series.  Datum shift back is the
+# EXACT Helmert inverse (fixed-point solve of the forward transform,
+# contraction ~2e-5 per iteration), so forward∘inverse closes to
+# ~1e-10 deg — model error vs OSTN15 remains the forward's ~3.5 m.
+
+
+def osgb_grid_to_geodetic_numpy(E, N):
+    """Inverse TM core alone (grid E/N -> OSGB36 geodetic radians)."""
+    af0, bf0 = AIRY_A * OSGB_F0, AIRY_B * OSGB_F0
+    phi = (N - OSGB_N0) / af0 + OSGB_PHI0
+    for _ in range(8):
+        dphi, sphi = phi - OSGB_PHI0, phi + OSGB_PHI0
+        M = bf0 * (
+            MA_C * dphi
+            - MB_C * np.sin(dphi) * np.cos(sphi)
+            + MC_C * np.sin(2 * dphi) * np.cos(2 * sphi)
+            - MD_C * np.sin(3 * dphi) * np.cos(3 * sphi)
+        )
+        phi = phi + (N - OSGB_N0 - M) / af0
+    s2, c2, t2 = np.sin(phi), np.cos(phi), np.tan(phi)
+    nu = af0 / np.sqrt(1 - E2_AIRY * s2 * s2)
+    rho = af0 * (1 - E2_AIRY) * (1 - E2_AIRY * s2 * s2) ** -1.5
+    eta2 = nu / rho - 1
+    t22 = t2 * t2
+    t24 = t22 * t22
+    VII = t2 / (2 * rho * nu)
+    VIII = t2 / (24 * rho * nu**3) * (5 + 3 * t22 + eta2 - 9 * t22 * eta2)
+    IX = t2 / (720 * rho * nu**5) * (61 + 90 * t22 + 45 * t24)
+    sec = 1.0 / c2
+    X = sec / nu
+    XI = sec / (6 * nu**3) * (nu / rho + 2 * t22)
+    XII = sec / (120 * nu**5) * (5 + 28 * t22 + 24 * t24)
+    XIIA = sec / (5040 * nu**7) * (61 + 662 * t22 + 1320 * t24 + 720 * t22 * t24)
+    dE = E - OSGB_E0
+    dE2 = dE * dE
+    phi_out = phi - VII * dE2 + VIII * dE2 * dE2 - IX * dE2 * dE2 * dE2
+    lam_out = (
+        OSGB_LAM0
+        + X * dE
+        - XI * dE2 * dE
+        + XII * dE2 * dE2 * dE
+        - XIIA * dE2 * dE2 * dE2 * dE
+    )
+    return phi_out, lam_out
+
+
+def osgb_to_lonlat_numpy(E, N):
+    """Full inverse chain: grid E/N -> OSGB36 geodetic -> Airy cartesian
+    -> inverse Helmert -> WGS84 geodetic (degrees lon/lat)."""
+    phi, lam = osgb_grid_to_geodetic_numpy(np.asarray(E, float), np.asarray(N, float))
+    sp, cp = np.sin(phi), np.cos(phi)
+    nu1 = AIRY_A / np.sqrt(1 - E2_AIRY * sp * sp)
+    X = nu1 * cp * np.cos(lam)
+    Y = nu1 * cp * np.sin(lam)
+    Z = (1 - E2_AIRY) * nu1 * sp
+    # exact Helmert inverse by fixed-point: the forward is X' = T + M X
+    # with M = I + (S + R); solve X = (X' - T) - (M - I) X, contraction
+    # ||M - I|| ~ 2e-5, 3 iterations => relative error ~1e-14 (the
+    # naive negated-parameter inverse leaves ~5 mm of second-order
+    # residual, which the round-trip test would see)
+    bX, bY, bZ = X - H_TX, Y - H_TY, Z - H_TZ
+    Xp, Yp, Zp = bX, bY, bZ
+    ds = H_S1 - 1.0
+    for _ in range(3):
+        Xp, Yp, Zp = (
+            bX - (ds * Xp - H_RZ * Yp + H_RY * Zp),
+            bY - (H_RZ * Xp + ds * Yp - H_RX * Zp),
+            bZ - (-H_RY * Xp + H_RX * Yp + ds * Zp),
+        )
+    p = np.sqrt(Xp * Xp + Yp * Yp)
+    phi2 = np.arctan2(Zp, p * (1 - E2_WGS))
+    for _ in range(7):
+        s = np.sin(phi2)
+        phi2 = np.arctan2(
+            Zp + E2_WGS * (WGS_A / np.sqrt(1 - E2_WGS * s * s)) * s, p
+        )
+    lam2 = np.arctan2(Yp, Xp)
+    return np.degrees(lam2), np.degrees(phi2)
+
+
+def osgb_inverse_pandas_udf():
+    """Arrow-vectorized inverse transform (grid E/N -> WGS84 lon/lat) for
+    executor-side use, mirroring :func:`osgb_pandas_udf`."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<lon: double, lat: double>")
+    def _transform(easting: pd.Series, northing: pd.Series) -> pd.DataFrame:
+        lon, lat = osgb_to_lonlat_numpy(
+            easting.to_numpy(np.float64), northing.to_numpy(np.float64)
+        )
+        return pd.DataFrame({"lon": lon, "lat": lat})
+
+    return _transform
