@@ -102,7 +102,29 @@ class FixtureWriter:
         )
         return _msg(0x000C, _attr_dimension_list(gcol, len(addrs)))
 
-    def add_contiguous(self, name: str, arr: np.ndarray, attrs=(), dim_refs=None):
+    def _vlen_str_attr_msg(self, name: str, value: str) -> bytes:
+        """Scalar vlen-string attribute (netcdf-c NC_STRING layout):
+        class-9 vlen (type=string) over a 1-byte class-3 base, value an
+        hvl_t into a dedicated global heap collection."""
+        data = value.encode()
+        objs = struct.pack("<HHIQ", 1, 1, 0, len(data)) + _pad8(data)
+        gcol = self.alloc(
+            b"GCOL"
+            + struct.pack("<B3xQ", 1, 16 + len(objs) + 16)
+            + objs
+            + b"\x00" * 16
+        )
+        nm = name.encode() + b"\x00"
+        base = struct.pack("<BBBBI", 0x13, 0, 0, 0, 1)
+        dt = struct.pack("<BBBBI", 0x19, 1, 0, 0, 16) + base
+        ds = struct.pack("<BBB5x", 1, 0, 0)  # scalar
+        val = struct.pack("<IQI", len(data), gcol, 1)
+        body = struct.pack("<BxHHH", 1, len(nm), len(dt), len(ds))
+        return _msg(0x000C, body + _pad8(nm) + _pad8(dt) + _pad8(ds) + val)
+
+    def add_contiguous(
+        self, name: str, arr: np.ndarray, attrs=(), dim_refs=None, vlen_attrs=()
+    ):
         arr = np.ascontiguousarray(arr)
         addr = self.alloc(arr.tobytes())
         dt = {"f": _dt_float, "i": _dt_int}[arr.dtype.kind](arr.dtype.itemsize)
@@ -115,6 +137,7 @@ class FixtureWriter:
             ),
         ]
         msgs += [_msg(0x000C, _attr_str(k, v)) for k, v in attrs]
+        msgs += [self._vlen_str_attr_msg(k, v) for k, v in vlen_attrs]
         if dim_refs:
             msgs.append(self._dim_list_msg(dim_refs))
         self.vars.append((name, self.alloc(_objheader(msgs))))

@@ -151,6 +151,24 @@ def test_dimension_list_names_match_netcdf3(tmp_path):
     assert list(d4["variables"]["v"]["dims"]) == ["y", "x"]
 
 
+def test_vlen_string_attribute_read_through_global_heap(tmp_path):
+    """netcdf-c NC_STRING attributes (title/history) are vlen strings —
+    hvl_t into a global heap; the reader must surface the text, not
+    skip the attribute."""
+    w = FixtureWriter()
+    w.add_contiguous(
+        "v",
+        np.arange(4, dtype=np.float64),
+        attrs=[("units", "K")],
+        vlen_attrs=[("title", "WRF surface temperature, test slice")],
+    )
+    path = str(tmp_path / "vl.nc")
+    w.finish(path)
+    attrs = read_hdf5(path)["variables"]["v"]["attrs"]
+    assert attrs["units"] == "K"
+    assert attrs["title"] == "WRF surface temperature, test slice"
+
+
 def test_dimension_list_on_contiguous_dataset(tmp_path):
     w = FixtureWriter()
     w.add_contiguous(

@@ -20,9 +20,11 @@ library writes with default settings (no h5py in this container):
   hvl_t elements), so variables surface dimension NAMES exactly like
   the NetCDF-3 reader; netcdf-c's placeholder pure-dimension datasets
   are folded into ``dims`` and hidden from ``variables``
+- vlen STRING attributes (netcdf-c ``NC_STRING`` — title/history
+  style), resolved through the same global-heap path
 
 NOT supported (documented, raises cleanly): dense v2 link storage
-(fractal heap), general variable-length datatypes (vlen strings),
+(fractal heap), vlen-typed DATASETS (vlen attributes are handled),
 compound types, szip.  The returned dict matches ``read_netcdf``'s
 shape so the two scans are drop-in interchangeable;
 ``read_netcdf_any`` dispatches on the magic bytes.
@@ -164,6 +166,22 @@ def _parse_attribute(buf: bytes, pos: int):
                 ]
             )
         return name, refs
+    if buf[p] & 0x0F == 9 and buf[p + 8] & 0x0F == 3:
+        # vlen STRING attribute (netcdf-c NC_STRING, e.g. title/history):
+        # same hvl_t layout, heap object holds the character bytes
+        p += pad(dt_size)
+        shape = _parse_dataspace(buf, p)
+        p += pad(ds_size)
+        n = int(np.prod(shape)) if shape else 1
+        vals = []
+        for i in range(n):
+            e = p + 16 * i
+            cnt = int.from_bytes(buf[e:e + 4], "little")
+            gaddr = int.from_bytes(buf[e + 4:e + 12], "little")
+            gidx = int.from_bytes(buf[e + 12:e + 16], "little")
+            data = _read_gheap_object(buf, gaddr, gidx)
+            vals.append(data[:cnt].decode("utf-8", "replace"))
+        return name, vals[0] if len(vals) == 1 else vals
     try:
         dtype = _parse_datatype(buf, p)
     except Hdf5Error:
