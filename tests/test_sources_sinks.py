@@ -4,6 +4,7 @@ to end on this engine."""
 
 from __future__ import annotations
 
+import json
 import sqlite3
 import struct
 
@@ -169,23 +170,67 @@ def test_write_geoparquet_roundtrip_with_crs_metadata(spark, tmp_path):
     out = str(tmp_path / "cells.geoparquet")
     write_geoparquet(df.repartition(2), out, crs="EPSG:27700")
     back, meta = read_geoparquet(spark, out)
-    assert meta == {
-        "version": "1.1.0",
-        "encoding": "WKB",
-        "geometry_types": ["Polygon"],
-        "crs": "EPSG:27700",
-    }
+    assert meta["version"] == "1.1.0"
+    assert meta["primary_column"] == "geometry"
+    gcol = meta["columns"]["geometry"]
+    assert gcol["encoding"] == "WKB"
+    assert gcol["crs"]["id"] == {"authority": "EPSG", "code": 27700}
+    assert gcol["covering"]["bbox"]["xmin"] == ["bbox", "xmin"]
     got = {r.cell_id: r for r in back.collect()}
     for cid, tag, ring in rows:
         assert got[cid].tag == tag
         np.testing.assert_array_equal(
             parse_polygon_wkb(bytes(got[cid].geometry)), np.asarray(ring)
         )
-    # metadata-blind interop: DuckDB reads the same part files
+        arr = np.asarray(ring)
+        bb = got[cid].bbox
+        assert (bb.xmin, bb.ymin, bb.xmax, bb.ymax) == (
+            arr[:, 0].min(), arr[:, 1].min(), arr[:, 0].max(), arr[:, 1].max()
+        )
+    # the standard 'geo' footer key is stamped on every part file, so
+    # metadata-aware engines (geopandas/GDAL/DuckDB-spatial) recognize
+    # the dataset as GeoParquet — not just this engine's field metadata
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    for part in sorted(glob.glob(out + "/*.parquet")):
+        kv = pq.read_schema(part).metadata
+        assert b"geo" in kv
+        assert json.loads(kv[b"geo"]) == meta
+    # metadata-blind interop: DuckDB reads the same (stamped) part files
     n, nb = duckdb.sql(
         f"SELECT count(*), min(octet_length(geometry)) FROM '{out}/*.parquet'"
     ).fetchone()
     assert n == 2 and nb > 9
+
+
+def test_read_geoparquet_meta_from_geo_footer_only(spark, tmp_path):
+    """A third-party GeoParquet file carries only the 'geo' footer key,
+    no Spark field metadata — read_geoparquet must still recover it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wrf_to_geodataframe_spark.sources.geopackage import (
+        _geo_footer_meta,
+        polygon_wkb,
+        read_geoparquet,
+    )
+
+    ring = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]])
+    geo = _geo_footer_meta("geometry", "OGC:CRS84", bbox=False)
+    table = pa.table(
+        {"cell_id": [1], "geometry": [polygon_wkb(ring)]}
+    ).replace_schema_metadata({b"geo": json.dumps(geo).encode()})
+    out = tmp_path / "third_party"
+    out.mkdir()
+    pq.write_table(table, str(out / "part-0.parquet"))
+    back, meta = read_geoparquet(spark, str(out))
+    assert meta == geo
+    np.testing.assert_array_equal(
+        parse_polygon_wkb(bytes(back.first().geometry)), ring
+    )
 
 
 def test_geopackage_write_and_readback(tmp_path):

@@ -135,19 +135,48 @@ def connected_components(
     )
 
 
+def _convergence_check(edges: DataFrame, comp: DataFrame) -> DataFrame:
+    """1-row exact unmerged-edge count: edges whose endpoints received
+    different labels (0 iff the round count sufficed)."""
+    la, lb = comp.alias("la"), comp.alias("lb")
+    return (
+        edges.join(la, F.col("a") == F.col("la.v"))
+        .join(lb, F.col("b") == F.col("lb.v"))
+        .select(
+            (F.col("la.cluster_id") != F.col("lb.cluster_id"))
+            .cast("long")
+            .alias("bad")
+        )
+        .agg(F.coalesce(F.sum("bad"), F.lit(0)).cast("long").alias("n_unmerged"))
+    )
+
+
 def label_components(
     vertices: DataFrame,
     edges: DataFrame,
     id_col: str = "doc_id",
     rounds: int = DEFAULT_CC_ROUNDS,
+    auto_escalate: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """(labels, unmerged): every vertex labeled with its component min
     (singletons label themselves), plus a 1-row exact convergence
     check — the count of edges whose endpoints got different labels
-    (0 iff the fixed round count sufficed).  Surfacing ``unmerged`` as
-    an output column makes the operator self-validating: an
-    insufficient round count fails a value comparison loudly instead of
-    silently under-merging.
+    (0 iff the round count sufficed).  Surfacing ``unmerged`` as an
+    output column makes the operator self-validating: an insufficient
+    round count fails a value comparison loudly instead of silently
+    under-merging.
+
+    With ``auto_escalate=k > 0`` the operator is SELF-HEALING instead
+    of merely loud: it executes the exact check after building the
+    component map and, while edges remain unmerged and retries remain,
+    doubles the round count and rebuilds (the under-converged map is
+    unpersisted).  Worst-case total work over all attempts is
+    ``rounds * (2^(k+1) - 1)`` star rounds — a constant factor (< 2x
+    the final attempt alone) on a shrinking edge set, so the judgment
+    call "how many rounds does this graph need" disappears with the
+    same asymptotic cost.  The escalation is necessarily a driver-side
+    loop (convergence is a property of the data, not the plan); callers
+    that must stay lazy at build time keep ``auto_escalate=0``.
 
     UNDER-merge is the only possible failure mode, so the check is
     complete: both star transforms emit only edges (v, m) with m drawn
@@ -157,10 +186,21 @@ def label_components(
     and a label is always a member of its own component.
 
     ``comp`` is persisted: it feeds the vertex labeling and both sides
-    of the convergence check, and the three subtrees are identical by
-    construction (cache hit, not recompute).
+    of the convergence check, and the subtrees are identical by
+    construction (cache hit, not recompute) — the escalation path's
+    executed check therefore also pre-materializes the cache the final
+    collect reuses.
     """
-    comp = connected_components(edges, rounds).persist()
+    r = rounds
+    for attempt in range(auto_escalate + 1):
+        comp = connected_components(edges, r).persist()
+        unmerged = _convergence_check(edges, comp)
+        if attempt == auto_escalate:
+            break  # out of retries (or lazy mode): return the loud check
+        if unmerged.first()["n_unmerged"] == 0:
+            break
+        comp.unpersist()
+        r *= 2
     labels = (
         vertices.select(F.col(id_col))
         .join(comp, F.col(id_col) == F.col("v"), "left")
@@ -168,16 +208,5 @@ def label_components(
             id_col,
             F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
         )
-    )
-    la, lb = comp.alias("la"), comp.alias("lb")
-    unmerged = (
-        edges.join(la, F.col("a") == F.col("la.v"))
-        .join(lb, F.col("b") == F.col("lb.v"))
-        .select(
-            (F.col("la.cluster_id") != F.col("lb.cluster_id"))
-            .cast("long")
-            .alias("bad")
-        )
-        .agg(F.coalesce(F.sum("bad"), F.lit(0)).cast("long").alias("n_unmerged"))
     )
     return labels, unmerged

@@ -163,6 +163,91 @@ def with_wkb_column(df, poly_col: str, out_col: str = "wkb"):
     return df.withColumn(out_col, _encode(col(poly_col)))
 
 
+def _crs_projjson(crs: str):
+    """Map the engine's CRS identifiers to the GeoParquet ``crs`` field:
+    ``None`` for the spec default (OGC:CRS84 / plain lon-lat WGS84),
+    else a minimal PROJJSON-style reference carrying the authority
+    code (enough for readers that resolve by EPSG id)."""
+    if crs in (None, "OGC:CRS84", "EPSG:4326"):
+        return None
+    auth, _, code = crs.partition(":")
+    return {
+        "type": "ProjectedCRS",
+        "name": crs,
+        "id": {"authority": auth, "code": int(code) if code.isdigit() else code},
+    }
+
+
+def _geo_footer_meta(geom_col: str, crs: str, bbox: bool) -> dict:
+    """GeoParquet 1.1 ``geo`` file-metadata payload (spec: the ``geo``
+    key in the parquet footer key/value metadata), including the bbox
+    covering declaration when the bbox struct column is written."""
+    col_meta = {
+        "encoding": "WKB",
+        "geometry_types": ["Polygon"],
+        "crs": _crs_projjson(crs),
+    }
+    if bbox:
+        col_meta["covering"] = {
+            "bbox": {
+                "xmin": ["bbox", "xmin"],
+                "ymin": ["bbox", "ymin"],
+                "xmax": ["bbox", "xmax"],
+                "ymax": ["bbox", "ymax"],
+            }
+        }
+    return {
+        "version": "1.1.0",
+        "primary_column": geom_col,
+        "columns": {geom_col: col_meta},
+    }
+
+
+def stamp_geo_footer(path: str, geo_meta: dict) -> int:
+    """Driver-side pyarrow post-pass: add the standard GeoParquet
+    ``geo`` key to each part file's parquet footer WITHOUT rewriting
+    data pages.  A parquet reader locates the footer from the file
+    tail (``footer | footer_len | "PAR1"``), so appending a fresh
+    footer that carries the extra key/value pair supersedes the old
+    one in place; row-group byte offsets are unchanged because no data
+    moved.  Cost is O(footer bytes) per part file — safe at any data
+    scale.  Returns the number of files stamped."""
+    import glob
+    import json
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    geo_bytes = json.dumps(geo_meta).encode()
+    parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    for part in parts:
+        md = pq.read_metadata(part)
+        schema = pq.read_schema(part)
+        kv = dict(schema.metadata or {})
+        kv[b"geo"] = geo_bytes
+        fd, tmp = tempfile.mkstemp(suffix=".footer")
+        os.close(fd)
+        try:
+            pq.write_metadata(
+                schema.with_metadata(kv), tmp, metadata_collector=[md]
+            )
+            with open(tmp, "rb") as f:
+                footer = f.read()
+            if footer[:4] != b"PAR1" or footer[-4:] != b"PAR1":
+                raise ValueError("unexpected footer framing from pyarrow")
+            with open(part, "ab") as f:
+                f.write(footer[4:])  # drop the leading magic; keep tail framing
+            # Hadoop's local FS keeps a ".name.crc" checksum sidecar that
+            # the append invalidates — drop it (object stores have none)
+            crc = os.path.join(os.path.dirname(part), "." + os.path.basename(part) + ".crc")
+            if os.path.exists(crc):
+                os.unlink(crc)
+        finally:
+            os.unlink(tmp)
+    return len(parts)
+
+
 def write_geoparquet(
     df,
     path: str,
@@ -170,50 +255,83 @@ def write_geoparquet(
     geom_col: str = "geometry",
     crs: str = "OGC:CRS84",
     mode: str = "error",
+    bbox: bool = True,
+    stamp_footer: bool = True,
+    options: dict | None = None,
 ) -> None:
-    """Distributed GeoParquet-style sink — the at-scale alternative to
-    the driver-side GPKG collect: every executor writes its own part
-    files via ``df.write.parquet``, nothing funnels through the driver.
+    """Distributed GeoParquet sink — the at-scale alternative to the
+    driver-side GPKG collect: every executor writes its own part files
+    via ``df.write.parquet``, nothing funnels through the driver.
 
     The vertex-array polygon column is encoded as standard WKB (the
-    GeoParquet geometry encoding; Arrow-vectorized pandas_udf) and the
-    geometry field carries ``{version, encoding, geometry_types, crs}``
-    metadata, persisted in the parquet footer's Spark schema and
-    restored by :func:`read_geoparquet`.  Any engine that reads parquet
-    sees a plain WKB binary column (DuckDB: ``ST_GeomFromWKB``,
-    geopandas: ``shapely.wkb.loads``); stamping the OGC ``geo`` footer
-    key for metadata-aware readers is a driver-side pyarrow post-pass
-    if ever needed."""
+    GeoParquet geometry encoding; Arrow-vectorized pandas_udf).  With
+    ``bbox=True`` (default) a GeoParquet 1.1 *bbox covering* column —
+    ``bbox struct<xmin,ymin,xmax,ymax double>`` computed entirely
+    JVM-side from the vertex arrays — is written alongside, so parquet
+    row-group min/max statistics let a spatial-filter read PRUNE row
+    groups instead of full-scanning (the engine's own P4 design rule,
+    SURVEY.md §4.1, applied to the sink; ``tests/test_plans.py`` pins
+    the pruning).  With ``stamp_footer=True`` a driver-side pyarrow
+    post-pass (:func:`stamp_geo_footer`) adds the spec's ``geo`` key to
+    each part file's footer so geopandas/GDAL/DuckDB-spatial recognize
+    the output as GeoParquet; the same payload also rides the Spark
+    field metadata for :func:`read_geoparquet`.  Metadata-blind engines
+    still see a plain WKB binary column (DuckDB: ``ST_GeomFromWKB``)."""
     import json
 
+    from pyspark.sql import functions as F
     from pyspark.sql.functions import col
 
-    meta = {
-        "geoparquet": json.dumps(
-            {
-                "version": "1.1.0",
-                "encoding": "WKB",
-                "geometry_types": ["Polygon"],
-                "crs": crs,
-            }
+    geo_meta = _geo_footer_meta(geom_col, crs, bbox)
+    meta = {"geoparquet": json.dumps(geo_meta)}
+    out = with_wkb_column(df, poly_col, "__wkb__")
+    if bbox:
+        xs = F.transform(col(poly_col), lambda v: v.getItem(0))
+        ys = F.transform(col(poly_col), lambda v: v.getItem(1))
+        out = out.withColumn(
+            "bbox",
+            F.struct(
+                F.array_min(xs).alias("xmin"),
+                F.array_min(ys).alias("ymin"),
+                F.array_max(xs).alias("xmax"),
+                F.array_max(ys).alias("ymax"),
+            ),
         )
-    }
-    out = with_wkb_column(df, poly_col, "__wkb__").drop(poly_col)
+    out = out.drop(poly_col)
     out = out.withColumn(geom_col, col("__wkb__").alias(geom_col, metadata=meta))
-    out.drop("__wkb__").write.mode(mode).parquet(path)
+    writer = out.drop("__wkb__").write.mode(mode)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)  # e.g. parquet.block.size for small row groups
+    writer.parquet(path)
+    if stamp_footer:
+        stamp_geo_footer(path, geo_meta)
 
 
 def read_geoparquet(spark, path: str, geom_col: str = "geometry"):
     """Read a :func:`write_geoparquet` dataset -> (DataFrame, geo meta
     dict or None).  Geometry stays WKB; :func:`parse_polygon_wkb`
-    recovers vertex arrays."""
+    recovers vertex arrays.  Metadata is taken from the Spark field
+    metadata, falling back to the standard ``geo`` parquet footer key
+    (so third-party GeoParquet files read too).  Filter on
+    ``bbox.xmin``/... before anything else: the predicate reaches the
+    parquet scan and prunes row groups on min/max statistics."""
+    import glob
     import json
+    import os
 
     df = spark.read.parquet(path)
     meta = None
     for f in df.schema.fields:
         if f.name == geom_col and f.metadata and "geoparquet" in f.metadata:
             meta = json.loads(f.metadata["geoparquet"])
+    if meta is None:
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if parts:
+            import pyarrow.parquet as pq
+
+            kv = pq.read_schema(parts[0]).metadata or {}
+            if b"geo" in kv:
+                meta = json.loads(kv[b"geo"])
     return df, meta
 
 

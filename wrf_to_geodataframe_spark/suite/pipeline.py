@@ -1408,11 +1408,18 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertex id, and singleton docs never enter the graph — they join in
     only at the final left join against the labels.
 
-    rounds=4 covers adversarially-id'd induced paths of 16 vertices
-    (simulation-pinned in tests/test_graph.py) — 4x headroom over the
-    measured corpus structure (every near-dup component at sf0.1 is a
-    diameter-1 clique, max 4 docs), and an insufficiency is loud, not
-    silent (n_unmerged + the oracle's true closure)."""
+    The round count is SELF-HEALING, not a judgment call: the build
+    starts at rounds=2 (near-dup components are near-cliques) and
+    label_components executes its exact convergence check, doubling the
+    rounds (<= 3 escalations, 2->4->8->16) while any edge's endpoints
+    disagree — so a corpus with adversarially long duplicate chains
+    converges automatically instead of relying on a hand-justified
+    constant, and a graph beyond even 16 rounds still fails loudly
+    (n_unmerged + the oracle's true closure).  The check executes the
+    PERSISTED component map, which the final collect then reuses (cache
+    hit), so construction is deliberately eager here — the one other
+    exception besides g1_auto_dispatch to the lazy-build rule
+    (tests/test_plans.py::test_query_construction_is_lazy)."""
     from wrf_to_geodataframe_spark.operators.graph import label_components
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1421,7 +1428,9 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("da").alias("a"), F.col("db").alias("b"))
         .persist()
     )
-    labels, unmerged = label_components(docs, pairs, "doc_id", rounds=4)
+    labels, unmerged = label_components(
+        docs, pairs, "doc_id", rounds=2, auto_escalate=3
+    )
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
