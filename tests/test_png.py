@@ -109,8 +109,8 @@ def test_bad_signature_and_truncation_rejected():
 
 
 def test_unsupported_spec_corners_named():
-    # 16-bit depth
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    # spec-invalid depth/type combination: 16-bit palette
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 3, 0, 0, 0)
     blob = (
         b"\x89PNG\r\n\x1a\n"
         + struct.pack(">I", len(ihdr))
@@ -131,6 +131,86 @@ def test_unsupported_spec_corners_named():
     )
     with pytest.raises(ValueError, match="interlace"):
         decode_png(blob)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_palette_round_trip_expands_to_rgb(depth):
+    """Color type 3 at every allowed depth: indices (filter-cycled,
+    bit-packed below depth 8) expand through PLTE to RGB."""
+    w, h = 13, 9
+    n_colors = min(1 << depth, 7)
+    palette = [
+        tuple(hashlib.md5(f"pal{k}".encode()).digest()[:3])
+        for k in range(n_colors)
+    ]
+    idx = bytes(b % n_colors for b in _pixels(w * h, f"pi{depth}"))
+    data = encode_png(
+        idx, w, h, 1, lambda y: y % 5, bit_depth=depth, palette=palette
+    )
+    gw, gh, gc, px = decode_png(data)
+    assert (gw, gh, gc) == (w, h, 3)
+    exp = b"".join(bytes(palette[k]) for k in idx)
+    assert px == exp
+
+
+def test_palette_trns_adds_alpha():
+    w, h = 8, 5
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    trns = bytes([10, 200])  # entry 2 defaults to opaque
+    idx = bytes(b % 3 for b in _pixels(w * h, "pa"))
+    gw, gh, gc, px = decode_png(
+        encode_png(idx, w, h, 1, 1, palette=palette, trns=trns)
+    )
+    assert (gw, gh, gc) == (w, h, 4)
+    exp = b"".join(
+        bytes(palette[k]) + bytes([trns[k] if k < 2 else 255]) for k in idx
+    )
+    assert px == exp
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_16bit_round_trip_takes_high_byte(channels):
+    w, h = 11, 7
+    px16 = _pixels(w * h * channels * 2, f"s16c{channels}")
+    gw, gh, gc, px = decode_png(
+        encode_png(px16, w, h, channels, lambda y: y % 5, bit_depth=16)
+    )
+    assert (gw, gh, gc) == (w, h, channels)
+    assert px == px16[0::2]  # spec 16->8 scaling == high byte
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_sub_byte_gray_round_trip_scales(depth):
+    w, h = 21, 6  # width not a multiple of pixels-per-byte
+    mx = (1 << depth) - 1
+    vals = bytes(b % (mx + 1) for b in _pixels(w * h, f"g{depth}"))
+    gw, gh, gc, px = decode_png(
+        encode_png(vals, w, h, 1, lambda y: y % 5, bit_depth=depth)
+    )
+    assert (gw, gh, gc) == (w, h, 1)
+    assert px == bytes(v * 255 // mx for v in vals)
+
+
+def test_gray_trns_transparent_color_adds_alpha():
+    w, h = 6, 4
+    px = bytes([0, 50, 100, 50] * 6)
+    data = bytearray(encode_png(px, w, h, 1, 0))
+    # splice a tRNS chunk (gray key = 50) before IDAT
+    trns = struct.pack(">H", 50)
+    chunk = (
+        struct.pack(">I", 2)
+        + b"tRNS"
+        + trns
+        + struct.pack(">I", zlib.crc32(b"tRNS" + trns) & 0xFFFFFFFF)
+    )
+    ihdr_end = 8 + 12 + 13
+    blob = bytes(data[:ihdr_end]) + chunk + bytes(data[ihdr_end:])
+    gw, gh, gc, out = decode_png(blob)
+    assert (gw, gh, gc) == (w, h, 2)
+    assert out[0::2] == px
+    assert all(
+        a == (0 if v == 50 else 255) for v, a in zip(px, out[1::2])
+    )
 
 
 def test_encoder_validates_buffer_size():

@@ -6,12 +6,23 @@ Scope — the subset a training-data pipeline actually meets for raster
 payloads (reference has no multimodal surface at all; this is a brief
 north-star component):
 
-- 8-bit samples; color types 0 (gray), 2 (RGB), 4 (gray+alpha) and
-  6 (RGBA) → 1/3/2/4 channels.  Palette (3), 1/2/4/16-bit depths and
-  Adam7 interlace raise ``ValueError`` with the reason.
+- All five standard color types: 0 (gray), 2 (RGB), 3 (palette),
+  4 (gray+alpha), 6 (RGBA).
+- Bit depths 1/2/4/8/16 in the combinations the spec allows
+  (gray: all five; palette: 1/2/4/8; RGB/GA/RGBA: 8/16).
+- The decoder NORMALIZES to 8-bit interleaved samples — the contract
+  ``operators/multimodal.py`` builds on: palette indices expand through
+  PLTE to RGB (RGBA when a tRNS chunk supplies per-entry alpha),
+  16-bit samples take the high byte (the spec's 16→8 scaling), and
+  sub-byte gray scales ``v * 255 / (2^depth - 1)``.  A tRNS
+  transparent-color on gray/RGB images adds an alpha channel.
 - All five scanline filters (None/Sub/Up/Average/Paeth) on both the
   encode and decode side — the encoder can cycle filters per scanline
-  so a round-trip exercises every unfilter branch.
+  so a round-trip exercises every unfilter branch, at every depth
+  (filters operate on packed scanline BYTES with the spec's
+  ``bpp = max(1, channels*depth//8)``).
+- Adam7 interlace raises ``ValueError`` (progressive rendering has no
+  value in a batch pipeline; the rejection names the feature).
 - Chunk CRCs are verified on read; multiple IDAT chunks concatenate
   per the spec; trailing chunks after IEND are ignored.
 
@@ -27,9 +38,18 @@ import zlib
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
-# color type -> channels (8-bit samples only)
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# color type -> raw channel count (palette counts its index as 1)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# channels -> color type for the non-palette encode path
 _COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}
+# spec-allowed (color type -> bit depths)
+_ALLOWED_DEPTHS = {
+    0: {1, 2, 4, 8, 16},
+    2: {8, 16},
+    3: {1, 2, 4, 8},
+    4: {8, 16},
+    6: {8, 16},
+}
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -43,7 +63,7 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def _filter_line(ftype: int, line: bytes, prev: bytes, bpp: int) -> bytes:
-    """Forward filter one scanline (encode side)."""
+    """Forward filter one packed scanline (encode side)."""
     if ftype == 0:
         return line
     out = bytearray(len(line))
@@ -65,7 +85,7 @@ def _filter_line(ftype: int, line: bytes, prev: bytes, bpp: int) -> bytes:
 
 
 def _unfilter_line(ftype: int, line: bytearray, prev: bytes, bpp: int) -> None:
-    """Reconstruct one scanline in place (decode side)."""
+    """Reconstruct one packed scanline in place (decode side)."""
     if ftype == 0:
         return
     if ftype not in (1, 2, 3, 4):
@@ -84,6 +104,27 @@ def _unfilter_line(ftype: int, line: bytearray, prev: bytes, bpp: int) -> None:
             line[i] = (line[i] + _paeth(a, b, c)) & 0xFF
 
 
+def _pack_bits(samples, width: int, depth: int) -> bytes:
+    """Pack one scanline of sub-byte samples MSB-first per the spec."""
+    per_byte = 8 // depth
+    out = bytearray((width * depth + 7) // 8)
+    for i in range(width):
+        shift = 8 - depth * (i % per_byte + 1)
+        out[i // per_byte] |= (samples[i] & ((1 << depth) - 1)) << shift
+    return bytes(out)
+
+
+def _unpack_bits(line, width: int, depth: int) -> bytearray:
+    """Inverse of :func:`_pack_bits` (trailing pad bits dropped)."""
+    per_byte = 8 // depth
+    mask = (1 << depth) - 1
+    out = bytearray(width)
+    for i in range(width):
+        shift = 8 - depth * (i % per_byte + 1)
+        out[i] = (line[i // per_byte] >> shift) & mask
+    return out
+
+
 def _chunk(tag: bytes, payload: bytes) -> bytes:
     return (
         struct.pack(">I", len(payload))
@@ -99,47 +140,139 @@ def encode_png(
     height: int,
     channels: int = 1,
     filter_type=0,
+    bit_depth: int = 8,
+    palette: list[tuple[int, int, int]] | None = None,
+    trns: bytes | None = None,
 ) -> bytes:
-    """Encode an 8-bit interleaved pixel buffer as a valid PNG.
+    """Encode a pixel buffer as a valid PNG.
+
+    - ``bit_depth=8`` (default): ``pixels`` is interleaved 8-bit
+      samples, ``channels`` in 1/2/3/4 → color type 0/4/2/6.
+    - ``bit_depth=16``: ``pixels`` is interleaved BIG-ENDIAN 16-bit
+      samples (2 bytes each), same channel→type mapping.
+    - ``palette=[...]`` (list of RGB triples): color type 3.
+      ``pixels`` is one INDEX per pixel (one byte each, value <
+      ``len(palette)``), ``channels`` must be 1, ``bit_depth`` in
+      1/2/4/8 packs the indices; ``trns`` adds per-entry alpha.
+    - ``bit_depth`` 1/2/4 without a palette: grayscale, ``pixels`` is
+      one byte per pixel holding a value in ``[0, 2^depth)``.
 
     ``filter_type`` is an int applied to every scanline, or a callable
     ``row_index -> int`` (e.g. ``lambda y: y % 5`` to cycle all five
-    filters — the round-trip gate row does exactly that so the decoder's
-    every unfilter branch is hash-checked)."""
-    if channels not in _COLOR_TYPE:
-        raise ValueError(f"channels must be 1/2/3/4, got {channels}")
-    stride = width * channels
-    if len(pixels) != stride * height:
+    filters — the round-trip gate row does exactly that so the
+    decoder's every unfilter branch is hash-checked)."""
+    if palette is not None:
+        if channels != 1:
+            raise ValueError("palette PNGs take one index channel")
+        if not 1 <= len(palette) <= 256 or any(len(c) != 3 for c in palette):
+            raise ValueError("palette must be 1-256 RGB triples")
+        ctype = 3
+    else:
+        if channels not in _COLOR_TYPE:
+            raise ValueError(f"channels must be 1/2/3/4, got {channels}")
+        ctype = _COLOR_TYPE[channels]
+    if bit_depth not in _ALLOWED_DEPTHS[ctype]:
         raise ValueError(
-            f"pixel buffer is {len(pixels)} bytes, want {stride * height}"
+            f"bit depth {bit_depth} not allowed for color type {ctype}"
         )
-    ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, _COLOR_TYPE[channels], 0, 0, 0
-    )
+
+    # samples per pixel in the INPUT buffer (one byte per sample for
+    # depth <= 8, two for 16)
+    in_bytes_per_px = channels * (2 if bit_depth == 16 else 1)
+    if len(pixels) != width * height * in_bytes_per_px:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, want "
+            f"{width * height * in_bytes_per_px}"
+        )
+    if bit_depth < 8:
+        mx = (1 << bit_depth) - 1
+        if any(p > mx for p in pixels):
+            raise ValueError(f"sample exceeds {bit_depth}-bit range")
+
+    stride_in = width * in_bytes_per_px
+    bpp = max(1, channels * bit_depth // 8)
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, ctype, 0, 0, 0)
     raw = bytearray()
-    prev = bytes(stride)
+    packed_stride = (width * channels * bit_depth + 7) // 8
+    prev = bytes(packed_stride)
     for y in range(height):
-        line = pixels[y * stride : (y + 1) * stride]
+        line = pixels[y * stride_in : (y + 1) * stride_in]
+        if bit_depth < 8:
+            line = _pack_bits(line, width, bit_depth)
         ft = filter_type(y) if callable(filter_type) else filter_type
         raw.append(ft)
-        raw += _filter_line(ft, line, prev, channels)
+        raw += _filter_line(ft, line, prev, bpp)
         prev = line
-    return (
-        _SIGNATURE
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(raw), 9))
-        + _chunk(b"IEND", b"")
-    )
+    out = _SIGNATURE + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", b"".join(bytes(c) for c in palette))
+        if trns is not None:
+            out += _chunk(b"tRNS", bytes(trns))
+    return out + _chunk(b"IDAT", zlib.compress(bytes(raw), 9)) + _chunk(b"IEND", b"")
+
+
+def _expand_scanline(
+    line: bytearray,
+    width: int,
+    depth: int,
+    ctype: int,
+    palette: bytes | None,
+    trns: bytes | None,
+    out_channels: int,
+) -> bytearray:
+    """Packed scanline bytes -> normalized 8-bit interleaved samples."""
+    channels = _CHANNELS[ctype]
+    if ctype == 3:  # palette: indices -> RGB(A)
+        idx = _unpack_bits(line, width, depth) if depth < 8 else line
+        out = bytearray(width * out_channels)
+        for i, k in enumerate(idx):
+            if 3 * k + 3 > len(palette):
+                raise ValueError(f"corrupt PNG: palette index {k} out of range")
+            o = i * out_channels
+            out[o : o + 3] = palette[3 * k : 3 * k + 3]
+            if out_channels == 4:
+                out[o + 3] = trns[k] if trns and k < len(trns) else 255
+        return out
+    if depth == 16:
+        vals = line[0::2]  # high byte == the spec's 16->8 scaling
+        raw16 = [
+            (line[2 * i] << 8) | line[2 * i + 1]
+            for i in range(width * channels)
+        ]
+    elif depth < 8:  # sub-byte gray: scale to full 8-bit range
+        mask = (1 << depth) - 1
+        idx = _unpack_bits(line, width, depth)
+        vals = bytearray(v * 255 // mask for v in idx)
+        raw16 = list(idx)
+    else:
+        vals = line
+        raw16 = list(line)
+    if trns is None or ctype not in (0, 2):
+        return bytearray(vals)
+    # tRNS on gray/RGB: one transparent color (given at source depth)
+    key = struct.unpack(f">{len(trns) // 2}H", trns)
+    out = bytearray(width * out_channels)
+    for i in range(width):
+        o, s = i * out_channels, i * channels
+        out[o : o + channels] = vals[s : s + channels]
+        out[o + channels] = (
+            0 if tuple(raw16[s : s + channels]) == key else 255
+        )
+    return out
 
 
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a PNG to ``(width, height, channels, pixels)`` — 8-bit
-    interleaved samples, scanlines top-to-bottom.  CRCs are verified;
-    unsupported spec corners raise ``ValueError`` naming the feature."""
+    """Decode a PNG to ``(width, height, channels, pixels)`` —
+    NORMALIZED 8-bit interleaved samples, scanlines top-to-bottom (see
+    module docstring for the palette/16-bit/sub-byte normalization).
+    CRCs are verified; unsupported spec corners raise ``ValueError``
+    naming the feature."""
     if data[:8] != _SIGNATURE:
         raise ValueError("not a PNG: bad signature")
     pos = 8
-    width = height = channels = -1
+    width = height = depth = ctype = -1
+    palette: bytes | None = None
+    trns: bytes | None = None
     idat = bytearray()
     seen_end = False
     while pos < len(data) and not seen_end:
@@ -157,37 +290,62 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if depth != 8:
-                raise ValueError(f"unsupported PNG: bit depth {depth}")
             if ctype not in _CHANNELS:
                 raise ValueError(f"unsupported PNG: color type {ctype}")
+            if depth not in _ALLOWED_DEPTHS[ctype]:
+                raise ValueError(
+                    f"unsupported PNG: bit depth {depth} for color type {ctype}"
+                )
             if comp != 0 or filt != 0:
                 raise ValueError("unsupported PNG: nonzero compression/filter method")
             if interlace != 0:
                 raise ValueError("unsupported PNG: Adam7 interlace")
-            channels = _CHANNELS[ctype]
+        elif tag == b"PLTE":
+            if length % 3 or length > 768:
+                raise ValueError("corrupt PNG: bad PLTE length")
+            palette = bytes(payload)
+        elif tag == b"tRNS":
+            trns = bytes(payload)
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             seen_end = True
-        # ancillary chunks (tEXt, pHYs, ...) are skipped
+        # other ancillary chunks (tEXt, pHYs, ...) are skipped
         pos += 12 + length
-    if channels < 0:
+    if ctype < 0:
         raise ValueError("corrupt PNG: missing IHDR")
     if not seen_end:
         raise ValueError("corrupt PNG: missing IEND")
+    if ctype == 3 and palette is None:
+        raise ValueError("corrupt PNG: color type 3 without PLTE")
+
+    channels = _CHANNELS[ctype]
+    if ctype == 3:
+        out_channels = 4 if trns else 3
+    elif trns is not None and ctype in (0, 2):
+        out_channels = channels + 1
+    else:
+        out_channels = channels
+
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    packed_stride = (width * channels * depth + 7) // 8
+    if len(raw) != (packed_stride + 1) * height:
         raise ValueError(
-            f"corrupt PNG: inflated to {len(raw)} bytes, want {(stride + 1) * height}"
+            f"corrupt PNG: inflated to {len(raw)} bytes, "
+            f"want {(packed_stride + 1) * height}"
         )
-    out = bytearray(stride * height)
-    prev = bytes(stride)
+    bpp = max(1, channels * depth // 8)
+    out = bytearray(width * out_channels * height)
+    out_stride = width * out_channels
+    prev = bytes(packed_stride)
     for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        _unfilter_line(ftype, line, prev, channels)
-        out[y * stride : (y + 1) * stride] = line
+        ftype = raw[y * (packed_stride + 1)]
+        line = bytearray(
+            raw[y * (packed_stride + 1) + 1 : (y + 1) * (packed_stride + 1)]
+        )
+        _unfilter_line(ftype, line, prev, bpp)
         prev = bytes(line)
-    return width, height, channels, bytes(out)
+        out[y * out_stride : (y + 1) * out_stride] = _expand_scanline(
+            line, width, depth, ctype, palette, trns, out_channels
+        )
+    return width, height, out_channels, bytes(out)
