@@ -59,6 +59,52 @@ def _attr_str(name: str, value: str) -> bytes:
     return body + _pad8(nm) + _pad8(dt) + _pad8(ds) + val
 
 
+def _dt_compound(dtype: np.dtype, ver: int = 3) -> bytes:
+    """Class-6 compound datatype message for a numpy structured dtype,
+    in the v1 (padded names + array fields) or v3 (packed names +
+    minimal offsets) member encoding."""
+    def member_dt(fmt: np.dtype) -> bytes:
+        if fmt.kind == "f":
+            return _dt_float(fmt.itemsize)
+        if fmt.kind in "iu":
+            return _dt_int(fmt.itemsize, fmt.kind == "i")
+        if fmt.kind == "S":
+            return _dt_str(fmt.itemsize)
+        raise ValueError(f"unsupported member kind {fmt.kind}")
+
+    size = dtype.itemsize
+    out = b""
+    for nm in dtype.names:
+        fmt, off = dtype.fields[nm][0], dtype.fields[nm][1]
+        if ver == 3:
+            out += nm.encode() + b"\x00"
+            nb = ((max(size, 1).bit_length() - 1) // 8) + 1
+            out += off.to_bytes(nb, "little")
+        else:  # v1: padded name, offset, dimensionality block
+            out += _pad8(nm.encode() + b"\x00")
+            out += struct.pack("<I", off) + bytes(28)
+        out += member_dt(fmt)
+    n = len(dtype.names)
+    return struct.pack("<BBBBI", 0x06 | (ver << 4), n & 0xFF, n >> 8, 0, size) + out
+
+
+def _attr_compound(name: str, dtype: np.dtype, values, ver: int = 3) -> bytes:
+    """v1 attribute message holding a scalar (dict) or rank-1 array
+    (list of dicts) of the given compound type."""
+    nm = name.encode() + b"\x00"
+    dt = _dt_compound(dtype, ver)
+    if isinstance(values, dict):
+        ds = struct.pack("<BBB5x", 1, 0, 0)  # scalar
+        arr = np.array(tuple(values[k] for k in dtype.names), dtype=dtype)
+    else:
+        ds = _dataspace((len(values),))
+        arr = np.array(
+            [tuple(v[k] for k in dtype.names) for v in values], dtype=dtype
+        )
+    body = struct.pack("<BxHHH", 1, len(nm), len(dt), len(ds))
+    return body + _pad8(nm) + _pad8(dt) + _pad8(ds) + arr.tobytes()
+
+
 def _attr_dimension_list(gcol_addr: int, n: int) -> bytes:
     """netCDF-4 DIMENSION_LIST: rank-1 array of vlen-of-object-reference
     (hvl_t = u32 count + u64 GCOL address + u32 heap object index, one
@@ -123,11 +169,17 @@ class FixtureWriter:
         return _msg(0x000C, body + _pad8(nm) + _pad8(dt) + _pad8(ds) + val)
 
     def add_contiguous(
-        self, name: str, arr: np.ndarray, attrs=(), dim_refs=None, vlen_attrs=()
+        self, name: str, arr: np.ndarray, attrs=(), dim_refs=None,
+        vlen_attrs=(), compound_attrs=()
     ):
         arr = np.ascontiguousarray(arr)
         addr = self.alloc(arr.tobytes())
-        dt = {"f": _dt_float, "i": _dt_int}[arr.dtype.kind](arr.dtype.itemsize)
+        if arr.dtype.names:  # compound dataset
+            dt = _dt_compound(arr.dtype)
+        else:
+            dt = {"f": _dt_float, "i": _dt_int}[arr.dtype.kind](
+                arr.dtype.itemsize
+            )
         msgs = [
             _msg(0x0001, _dataspace(arr.shape)),
             _msg(0x0003, dt),
@@ -138,6 +190,10 @@ class FixtureWriter:
         ]
         msgs += [_msg(0x000C, _attr_str(k, v)) for k, v in attrs]
         msgs += [self._vlen_str_attr_msg(k, v) for k, v in vlen_attrs]
+        msgs += [
+            _msg(0x000C, _attr_compound(k, dt_, v, ver))
+            for k, dt_, v, ver in compound_attrs
+        ]
         if dim_refs:
             msgs.append(self._dim_list_msg(dim_refs))
         self.vars.append((name, self.alloc(_objheader(msgs))))

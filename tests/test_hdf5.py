@@ -183,6 +183,117 @@ def test_dimension_list_on_contiguous_dataset(tmp_path):
     assert ds["dims"] == {"t": 4}
 
 
+@pytest.mark.parametrize("ver", [1, 3])
+def test_compound_attribute_reads_as_struct_dict(tmp_path, ver):
+    """Class-6 compound attributes (netcdf-c compound types) surface as
+    struct-like dicts whose values match the NetCDF-3 flattened form —
+    i.e. exactly what separate scalar attributes scale/offset/label
+    would carry in a classic file.  Both the v1 (padded) and v3
+    (packed) member encodings are exercised."""
+    cal = np.dtype([("scale", "<f8"), ("offset", "<i4"), ("label", "S6")])
+    w = FixtureWriter()
+    w.add_contiguous(
+        "T",
+        np.arange(6.0).reshape(2, 3),
+        compound_attrs=[
+            ("calibration", cal, {"scale": 2.5, "offset": 7, "label": b"kelvin"}, ver)
+        ],
+    )
+    path = str(tmp_path / f"compound_v{ver}.nc")
+    w.finish(path)
+    ds = read_hdf5(path)
+    # NetCDF-3 flattened parity: same values a classic file's plain
+    # scale/offset/label attributes would hold
+    assert ds["variables"]["T"]["attrs"]["calibration"] == {
+        "scale": 2.5,
+        "offset": 7,
+        "label": "kelvin",
+    }
+
+
+def test_compound_attribute_array_and_reference_list(tmp_path):
+    """Rank-1 compound attribute -> list of dicts; the REFERENCE_LIST
+    shape netcdf-c writes on every dimension scale (object reference +
+    u32 index) parses as plain ints instead of being skipped."""
+    reflist = np.dtype([("dataset", "<u8"), ("index", "<u4")])
+    w = FixtureWriter()
+    w.add_contiguous(
+        "x",
+        np.arange(4.0),
+        attrs=[("CLASS", "DIMENSION_SCALE")],
+        compound_attrs=[
+            (
+                "REFERENCE_LIST",
+                reflist,
+                [
+                    {"dataset": 0x1234, "index": 0},
+                    {"dataset": 0x5678, "index": 2},
+                ],
+                3,
+            )
+        ],
+    )
+    path = str(tmp_path / "reflist.nc")
+    w.finish(path)
+    ds = read_hdf5(path)
+    assert ds["variables"]["x"]["attrs"]["REFERENCE_LIST"] == [
+        {"dataset": 0x1234, "index": 0},
+        {"dataset": 0x5678, "index": 2},
+    ]
+
+
+def test_compound_dataset_reads_as_structured_array(tmp_path):
+    arr = np.array(
+        [(1.5, 10), (2.5, 20), (3.5, 30)],
+        dtype=np.dtype([("val", "<f8"), ("n", "<i4")]),
+    )
+    w = FixtureWriter()
+    w.add_contiguous("obs", arr)
+    path = str(tmp_path / "cdata.nc")
+    w.finish(path)
+    got = read_hdf5(path)["variables"]["obs"]["data"]
+    np.testing.assert_array_equal(got["val"], arr["val"])
+    np.testing.assert_array_equal(got["n"], arr["n"])
+
+
+def test_malformed_vlen_attribute_degrades_to_none(tmp_path):
+    """ADVICE r5: a DIMENSION_LIST/NC_STRING attribute pointing at a
+    corrupt global heap must skip THAT attribute (value None is fine),
+    not abort the whole read."""
+    w = FixtureWriter()
+    w.add_contiguous("good", np.arange(3.0))
+    # hand-build a vlen-string attribute whose hvl_t points at an
+    # address that is not a GCOL
+    import struct as _s
+
+    from tests.hdf5_fixture import _msg, _pad8
+
+    nm = b"broken\x00"
+    base = _s.pack("<BBBBI", 0x13, 0, 0, 0, 1)
+    dt = _s.pack("<BBBBI", 0x19, 1, 0, 0, 16) + base
+    dsp = _s.pack("<BBB5x", 1, 0, 0)
+    val = _s.pack("<IQI", 4, 48, 1)  # address 48 = superblock, not GCOL
+    body = _s.pack("<BxHHH", 1, len(nm), len(dt), len(dsp))
+    attr = _msg(0x000C, body + _pad8(nm) + _pad8(dt) + _pad8(dsp) + val)
+    from tests.hdf5_fixture import _dataspace, _dt_float, _objheader
+
+    arr = np.arange(2.0)
+    addr = w.alloc(arr.tobytes())
+    msgs = [
+        _msg(0x0001, _dataspace(arr.shape)),
+        _msg(0x0003, _dt_float(8)),
+        _msg(0x0008, _s.pack("<BBQQ", 3, 1, addr, arr.nbytes)),
+        attr,
+    ]
+    w.vars.append(("v", w.alloc(_objheader(msgs))))
+    path = str(tmp_path / "badvlen.nc")
+    w.finish(path)
+    ds = read_hdf5(path)
+    assert set(ds["variables"]) == {"good", "v"}
+    np.testing.assert_array_equal(ds["variables"]["v"]["data"], arr)
+    assert ds["variables"]["v"]["attrs"].get("broken") is None
+
+
 def test_not_hdf5_raises(tmp_path):
     p = tmp_path / "x.h5"
     p.write_bytes(b"\x00" * 64)

@@ -13,7 +13,11 @@ library writes with default settings (no h5py in this container):
   and via v2 hard-link messages
 - datasets: compact, contiguous, and chunked (v1 B-tree chunk index)
   layouts; deflate (zlib) and shuffle filters
-- datatypes: fixed-point ints, IEEE f4/f8 floats, fixed strings
+- datatypes: fixed-point ints, IEEE f4/f8 floats, fixed strings,
+  object references, and COMPOUND types (v1/v2/v3 member encodings,
+  fixed-size members) -> numpy structured dtypes; compound attribute
+  values surface as struct-like dicts (netcdf-c compound attributes,
+  ``REFERENCE_LIST``)
 - attributes: message v1/v2/v3 with scalar/array values of the above
 
 - ``DIMENSION_LIST`` vlen object-reference attributes (global-heap
@@ -25,7 +29,7 @@ library writes with default settings (no h5py in this container):
 
 NOT supported (documented, raises cleanly): dense v2 link storage
 (fractal heap), vlen-typed DATASETS (vlen attributes are handled),
-compound types, szip.  The returned dict matches ``read_netcdf``'s
+array-valued compound members, szip.  The returned dict matches ``read_netcdf``'s
 shape so the two scans are drop-in interchangeable;
 ``read_netcdf_any`` dispatches on the magic bytes.
 
@@ -68,25 +72,94 @@ def _unshuffle(raw: bytes, elem: int) -> bytes:
     )
 
 
-def _parse_datatype(buf: bytes, pos: int):
-    """-> (numpy dtype, datatype message size consumed is not tracked —
-    callers slice by the declared size)."""
+def _parse_datatype_ex(buf: bytes, pos: int):
+    """-> (numpy dtype, bytes consumed).  Consumed size matters only
+    for COMPOUND members, which embed full datatype descriptions
+    back-to-back; top-level callers slice by the declared message
+    size."""
     b0 = buf[pos]
     cls = b0 & 0x0F
+    ver = (b0 >> 4) & 0x0F
     bits0 = buf[pos + 1]
     be = bits0 & 0x01
     size = int.from_bytes(buf[pos + 4:pos + 8], "little")
     order = ">" if be else "<"
-    if cls == 0:  # fixed-point
+    if cls == 0:  # fixed-point (4 property bytes: bit offset + precision)
         signed = "i" if bits0 & 0x08 else "u"
-        return np.dtype(f"{order}{signed}{size}")
-    if cls == 1:  # float
+        return np.dtype(f"{order}{signed}{size}"), 12
+    if cls == 1:  # float (12 property bytes)
         if size not in (4, 8):
             raise Hdf5Error(f"unsupported float size {size}")
-        return np.dtype(f"{order}f{size}")
-    if cls == 3:  # fixed string
-        return np.dtype(f"S{size}")
+        return np.dtype(f"{order}f{size}"), 20
+    if cls == 3:  # fixed string (no properties)
+        return np.dtype(f"S{size}"), 8
+    if cls == 7:  # reference: an object-header address (no properties)
+        if size not in (1, 2, 4, 8):
+            raise Hdf5Error(f"unsupported reference size {size}")
+        return np.dtype(f"<u{size}"), 8
+    if cls == 6:  # compound -> numpy structured dtype
+        nmembers = int.from_bytes(buf[pos + 1:pos + 3], "little")
+        p = pos + 8
+        names: list[str] = []
+        formats: list = []
+        offsets: list[int] = []
+        for _ in range(nmembers):
+            end = buf.index(b"\x00", p)
+            mname = buf[p:end].decode("utf-8", "replace")
+            if ver >= 3:
+                p = end + 1  # v3: no padding
+                # offset field width = bytes needed to encode the
+                # compound's total size (H5VM_limit_enc_size)
+                nb = ((max(size, 1).bit_length() - 1) // 8) + 1
+                off = int.from_bytes(buf[p:p + nb], "little")
+                p += nb
+            else:
+                p += ((end - p) + 1 + 7) & ~7  # null + pad to 8
+                off = int.from_bytes(buf[p:p + 4], "little")
+                p += 4
+                if ver == 1:
+                    if buf[p] != 0:
+                        raise Hdf5Error(
+                            "array-valued compound members not supported"
+                        )
+                    p += 28  # dimensionality+reserved+perm+reserved+4 dims
+            mdt, consumed = _parse_datatype_ex(buf, p)
+            p += consumed
+            names.append(mname)
+            formats.append(mdt)
+            offsets.append(off)
+        dtype = np.dtype(
+            {
+                "names": names,
+                "formats": formats,
+                "offsets": offsets,
+                "itemsize": size,
+            }
+        )
+        return dtype, p - pos
     raise Hdf5Error(f"unsupported datatype class {cls}")
+
+
+def _parse_datatype(buf: bytes, pos: int):
+    return _parse_datatype_ex(buf, pos)[0]
+
+
+def _struct_to_dicts(vals: np.ndarray, dtype: np.dtype):
+    """Structured-dtype attribute values -> struct-like plain dicts
+    (fixed strings decoded, scalars unboxed) — the reader's compound
+    surface (netcdf-c compound attributes, REFERENCE_LIST, ...)."""
+    def conv(rec):
+        out = {}
+        for nm in dtype.names:
+            v = rec[nm]
+            if isinstance(v, bytes):
+                out[nm] = v.split(b"\x00")[0].decode("utf-8", "replace")
+            else:
+                out[nm] = v.item()
+        return out
+
+    recs = [conv(v) for v in vals]
+    return recs[0] if len(recs) == 1 else recs
 
 
 def _parse_dataspace(buf: bytes, pos: int):
@@ -143,54 +216,67 @@ def _parse_attribute(buf: bytes, pos: int):
     pad = (lambda n: (n + 7) & ~7) if ver == 1 else (lambda n: n)
     name = buf[p:p + name_size].split(b"\x00")[0].decode("utf-8", "replace")
     p += pad(name_size)
+    # The vlen branches degrade to (name, None) on any Hdf5Error — a
+    # malformed heap layout (or a shared-datatype message whose first
+    # byte coincidentally has low nibble 9) must skip the one attribute,
+    # not abort the whole read (robustness parity with the generic path
+    # below, which has always degraded this way).
     if buf[p] & 0x0F == 9 and buf[p + 8] & 0x0F == 7:
         # vlen of object references (netCDF-4's DIMENSION_LIST): each
         # element is an hvl_t — u32 count + global heap id (u64 GCOL
         # address, u32 object index); the heap object holds count
         # 8-byte object-header addresses
-        p += pad(dt_size)
-        shape = _parse_dataspace(buf, p)
-        p += pad(ds_size)
-        n = int(np.prod(shape)) if shape else 1
-        refs = ObjectRefs()
-        for i in range(n):
-            e = p + 16 * i
-            cnt = int.from_bytes(buf[e:e + 4], "little")
-            gaddr = int.from_bytes(buf[e + 4:e + 12], "little")
-            gidx = int.from_bytes(buf[e + 12:e + 16], "little")
-            data = _read_gheap_object(buf, gaddr, gidx)
-            refs.append(
-                [
-                    int.from_bytes(data[8 * j:8 * j + 8], "little")
-                    for j in range(cnt)
-                ]
-            )
-        return name, refs
+        try:
+            q = p + pad(dt_size)
+            shape = _parse_dataspace(buf, q)
+            q += pad(ds_size)
+            n = int(np.prod(shape)) if shape else 1
+            refs = ObjectRefs()
+            for i in range(n):
+                e = q + 16 * i
+                cnt = int.from_bytes(buf[e:e + 4], "little")
+                gaddr = int.from_bytes(buf[e + 4:e + 12], "little")
+                gidx = int.from_bytes(buf[e + 12:e + 16], "little")
+                data = _read_gheap_object(buf, gaddr, gidx)
+                refs.append(
+                    [
+                        int.from_bytes(data[8 * j:8 * j + 8], "little")
+                        for j in range(cnt)
+                    ]
+                )
+            return name, refs
+        except Hdf5Error:
+            return name, None
     if buf[p] & 0x0F == 9 and buf[p + 8] & 0x0F == 3:
         # vlen STRING attribute (netcdf-c NC_STRING, e.g. title/history):
         # same hvl_t layout, heap object holds the character bytes
-        p += pad(dt_size)
-        shape = _parse_dataspace(buf, p)
-        p += pad(ds_size)
-        n = int(np.prod(shape)) if shape else 1
-        vals = []
-        for i in range(n):
-            e = p + 16 * i
-            cnt = int.from_bytes(buf[e:e + 4], "little")
-            gaddr = int.from_bytes(buf[e + 4:e + 12], "little")
-            gidx = int.from_bytes(buf[e + 12:e + 16], "little")
-            data = _read_gheap_object(buf, gaddr, gidx)
-            vals.append(data[:cnt].decode("utf-8", "replace"))
-        return name, vals[0] if len(vals) == 1 else vals
+        try:
+            q = p + pad(dt_size)
+            shape = _parse_dataspace(buf, q)
+            q += pad(ds_size)
+            n = int(np.prod(shape)) if shape else 1
+            vals = []
+            for i in range(n):
+                e = q + 16 * i
+                cnt = int.from_bytes(buf[e:e + 4], "little")
+                gaddr = int.from_bytes(buf[e + 4:e + 12], "little")
+                gidx = int.from_bytes(buf[e + 12:e + 16], "little")
+                data = _read_gheap_object(buf, gaddr, gidx)
+                vals.append(data[:cnt].decode("utf-8", "replace"))
+            return name, vals[0] if len(vals) == 1 else vals
+        except Hdf5Error:
+            return name, None
     try:
         dtype = _parse_datatype(buf, p)
     except Hdf5Error:
-        return name, None  # other vlen/compound attr: skip value
+        return name, None  # other vlen/unsupported attr: skip value
     p += pad(dt_size)
     shape = _parse_dataspace(buf, p)
     p += pad(ds_size)
     n = int(np.prod(shape)) if shape else 1
     vals = np.frombuffer(buf[p:p + n * dtype.itemsize], dtype=dtype, count=n)
+    if dtype.names:  # compound -> struct-like dict(s)
+        return name, _struct_to_dicts(vals, dtype)
     if dtype.kind == "S":
         out = [v.split(b"\x00")[0].decode("utf-8", "replace") for v in vals]
         return name, out[0] if len(out) == 1 else out
