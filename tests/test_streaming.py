@@ -94,6 +94,87 @@ def test_stream_decontam_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and got  # non-empty at the fixture scale
 
 
+def test_stream_decontam_windowed_merges_late_data(spark, tmp_path):
+    """VERDICT r5 #7: the watermark/append decontam variant must merge
+    a doc arriving in a LATER micro-batch with event time inside a
+    still-open window (late but within the lateness allowance), emit
+    the window once it closes, and match the hand-computed batch
+    answer.  Two parquet files with distinct mtimes + maxFilesPerTrigger=1
+    force the late row across a micro-batch boundary."""
+    import time
+    from datetime import datetime, timezone
+
+    import pandas as pd
+
+    from wrf_to_geodataframe_spark.streaming.decontam import (
+        static_eval_index,
+        stream_decontam_windowed,
+    )
+
+    def ts(h, m):
+        return datetime(2024, 3, 1, h, m, tzinfo=timezone.utc)
+
+    gram = "a b c d e f g h"  # the shared 8-gram
+    # eval doc (7 % 7 == 0) holds the benchmark 8-gram
+    eval_docs = spark.createDataFrame(
+        [(7, gram)], "doc_id long, text string"
+    )
+    eval_idx = static_eval_index(eval_docs)
+
+    src = tmp_path / "late_docs"
+    src.mkdir()
+    batch1 = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "ts": [ts(10, 0), ts(10, 5)],
+            "text": [f"{gram} x1", f"{gram} x2"],
+        }
+    )
+    # late doc 3: event time 10:04 (inside window [10:00, 10:10), which
+    # is still open — watermark after batch 1 is 10:00); flush doc 4 is
+    # clean (no shared 8-gram) and only advances the watermark past the
+    # window end so append mode finalizes it
+    batch2 = pd.DataFrame(
+        {
+            "doc_id": [3, 4],
+            "ts": [ts(10, 4), ts(11, 30)],
+            "text": [f"{gram} x3", "p q r s t u v w"],
+        }
+    )
+    batch1.to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    batch2.to_parquet(src / "b2.parquet", coerce_timestamps="us")
+
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = stream_decontam_windowed(stream, eval_idx)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("decontam_windowed")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        progress = [
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+    finally:
+        q.stop()
+    assert len(progress) >= 2, "late row must cross a micro-batch boundary"
+    got = {
+        r.doc_id: (r.n_shared_ngrams, r.n_eval_docs, r.first_eval_id)
+        for r in spark.table("decontam_windowed").collect()
+    }
+    # docs 1, 2 (on time) AND 3 (late, merged) in the closed window;
+    # the flush doc is clean and its window never closes
+    assert got == {1: (1, 1, 7), 2: (1, 1, 7), 3: (1, 1, 7)}
+
+
 def test_stateful_running_stats_across_batches(spark, sf_dir, tmp_path):
     """applyInPandasWithState: state must carry across micro-batches —
     final per-user stats equal the batch aggregation no matter how the

@@ -12,13 +12,50 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _cgroup_limit_paths() -> list[str]:
+    """Candidate cgroup memory-limit files for THIS process: the paths
+    named by ``/proc/self/cgroup`` (and, for cgroup v2, every ancestor
+    directory — a nested slice can be limited at any level), then the
+    mount-root fallbacks.  Handles the bare-host case where the process
+    sits in e.g. a systemd slice with MemoryMax but no cgroup
+    namespace, so the root ``/sys/fs/cgroup/memory.max`` reads 'max'
+    while the real limit lives deeper."""
+    paths: list[str] = []
+    try:
+        with open("/proc/self/cgroup") as f:
+            for line in f:
+                hid, _, rest = line.strip().partition(":")
+                ctrl, _, cpath = rest.partition(":")
+                cpath = cpath.strip("/")
+                if hid == "0":  # cgroup v2 unified hierarchy
+                    parts = cpath.split("/") if cpath else []
+                    while parts:
+                        paths.append(
+                            "/sys/fs/cgroup/" + "/".join(parts) + "/memory.max"
+                        )
+                        parts.pop()
+                elif "memory" in ctrl.split(","):
+                    base = "/sys/fs/cgroup/memory"
+                    if cpath:
+                        paths.append(f"{base}/{cpath}/memory.limit_in_bytes")
+    except OSError:
+        pass
+    paths += [
+        "/sys/fs/cgroup/memory.max",
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",
+    ]
+    return paths
+
+
 def _default_driver_memory() -> str:
     """min(32g, ~40% of available RAM), floor 2g — see the config
     comment in get_spark.  "Available" is the MINIMUM of host MemTotal
-    and the cgroup memory limit (v2 ``memory.max`` / v1
-    ``memory.limit_in_bytes``): in a memory-capped container on a big
-    host, sizing from MemTotal alone would pick a heap the cgroup then
-    OOM-kills.  ``SPARK_DRIVER_MEMORY`` stays the escape hatch."""
+    and every applicable cgroup memory limit (v2 ``memory.max`` at the
+    process's own cgroup and its ancestors, v1
+    ``memory.limit_in_bytes``): in a memory-capped container or slice
+    on a big host, sizing from MemTotal alone would pick a heap the
+    cgroup then OOM-kills.  ``SPARK_DRIVER_MEMORY`` stays the escape
+    hatch."""
     total = None
     try:
         with open("/proc/meminfo") as f:
@@ -30,16 +67,12 @@ def _default_driver_memory() -> str:
         pass
     if total is None:
         return "8g"
-    for limit_path in (
-        "/sys/fs/cgroup/memory.max",
-        "/sys/fs/cgroup/memory/memory.limit_in_bytes",
-    ):
+    for limit_path in _cgroup_limit_paths():
         try:
             with open(limit_path) as f:
                 raw = f.read().strip()
             if raw != "max":
                 total = min(total, int(raw))
-            break
         except (OSError, ValueError):
             continue
     total_gb = total // (1024 ** 3)

@@ -65,10 +65,59 @@ def stream_decontam(
 ) -> DataFrame:
     """Per streamed training doc, the contamination evidence row —
     stream-static inner equi join on the shingle hash, then a stateful
-    per-doc aggregate (complete/update output)."""
+    per-doc aggregate (complete/update output).
+
+    CONTRACT: drain-style triggers only (``availableNow`` / bounded
+    backfills).  The per-doc aggregate carries no watermark, so while
+    per-group state is bounded by the df cap, the NUMBER of groups
+    grows with every contaminated doc ever seen — a continuous
+    100 TB/day stream would accrete state without bound.  For
+    continuous operation use :func:`stream_decontam_windowed`, which
+    keys the aggregate on an event-time window + watermark so state is
+    evicted once the watermark passes."""
     sh = doc_shingles(doc_stream, k).filter(F.col("doc_id") % eval_mod != 0)
     joined = sh.join(eval_index, "hs")
     return joined.groupBy("doc_id").agg(
+        F.size(F.collect_set("hs")).cast("long").alias("n_shared_ngrams"),
+        F.size(F.collect_set("eval_id")).cast("long").alias("n_eval_docs"),
+        F.min("eval_id").alias("first_eval_id"),
+    )
+
+
+def stream_decontam_windowed(
+    doc_stream: DataFrame,
+    eval_index: DataFrame,
+    ts_col: str = "ts",
+    k: int = 8,
+    eval_mod: int = 7,
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "5 minutes",
+) -> DataFrame:
+    """The CONTINUOUS-operation form of :func:`stream_decontam`: the
+    per-doc aggregate is keyed on an event-time window with a
+    watermark, so closed windows EMIT (append output mode) and their
+    state is evicted once the watermark passes — total state is
+    bounded by (docs arriving inside one watermark horizon), not by
+    stream lifetime.  Docs straddling a micro-batch boundary but
+    inside the lateness allowance still merge into their window;
+    docs later than the watermark are dropped by contract (standard
+    Structured Streaming late-data semantics).  Output adds the
+    window struct to the evidence row."""
+    sh = (
+        doc_stream.withWatermark(ts_col, watermark_delay)
+        .select("doc_id", ts_col, tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            ts_col,
+            F.explode(shingles_from_tokens(F.col("toks"), k)).alias("s"),
+        )
+        .select("doc_id", ts_col, hash60(F.col("s")).alias("hs"))
+        .filter(F.col("doc_id") % eval_mod != 0)
+    )
+    joined = sh.join(eval_index, "hs")
+    return joined.groupBy(
+        F.window(F.col(ts_col), window_duration), "doc_id"
+    ).agg(
         F.size(F.collect_set("hs")).cast("long").alias("n_shared_ngrams"),
         F.size(F.collect_set("eval_id")).cast("long").alias("n_eval_docs"),
         F.min("eval_id").alias("first_eval_id"),

@@ -497,10 +497,16 @@ def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # raw feeds the hot-shingle agg AND the anti-join probe; capped idx
     # feeds both split branches — persist each once (same two
-    # checkpoints dedup_ngram_jaccard materializes, same reason)
+    # checkpoints dedup_ngram_jaccard materializes, same reason).  raw
+    # is the corpus-sized table and is only ever scanned sequentially
+    # (no point-lookups), so it persists DISK_ONLY: at 100 TB the
+    # executors' memory belongs to the equi join and the capped index,
+    # not to a shingle table read exactly twice.
+    from pyspark import StorageLevel
+
     raw = exploded_shingles(docs, _DECON_K).select(
         "doc_id", hash60(F.col("s")).alias("hs")
-    ).persist()
+    ).persist(StorageLevel.DISK_ONLY)
     idx = _cap_index(raw, _NGRAM_DF_CAP).persist()
     ev = idx.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0).select(
         "hs", F.col("doc_id").alias("eval_id")
@@ -1697,6 +1703,10 @@ WHERE rk <= {_CURATE_QUOTA}
 _PACK_BUDGET = 512  # tokens per training sequence
 _PACK_MIN_BUCKETS = 8  # parallelism floor so tiny corpora still fan out
 _PACK_DOCS_PER_BUCKET = 4096  # target stream size; buckets = n / this
+# chunk_id = bucket * 2^40 + local_chunk must stay inside int64: cap the
+# bucket count at 2^22 (bucket * 2^40 <= 2^62; ~17B docs before the cap
+# binds, past which streams grow proportionally instead of multiplying)
+_PACK_MAX_BUCKETS = 1 << 22
 
 
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1713,19 +1723,24 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     running-token-offset window sorts only within its bucket — there
     is never a global single-task sort.  The bucket count is derived
     FROM THE CORPUS inside the plan (1-row count agg, the sim_ivf_topk
-    stride pattern): ``greatest(n_docs div _PACK_DOCS_PER_BUCKET,
-    _PACK_MIN_BUCKETS)``, so each stream packs a bounded ~4k docs no
-    matter the corpus size — at 100 TB that is millions of parallel
-    sort streams, not a fixed handful of multi-TB ones.  Chunk ids are
-    globally unique via (bucket, local_chunk) -> bucket * 2^40 +
-    local_chunk arithmetic, all exact BIGINTs (local chunks per bucket
-    stay far below 2^40 because bucket size is capped)."""
+    stride pattern): ``least(greatest(n_docs div _PACK_DOCS_PER_BUCKET,
+    _PACK_MIN_BUCKETS), _PACK_MAX_BUCKETS)``, so each stream packs a
+    bounded ~4k docs no matter the corpus size — at 100 TB that is
+    millions of parallel sort streams, not a fixed handful of multi-TB
+    ones.  Chunk ids are globally unique via (bucket, local_chunk) ->
+    bucket * 2^40 + local_chunk arithmetic, all exact BIGINTs: buckets
+    are capped at 2^22 so the product never exceeds 2^62 (the cap
+    binds only past ~17B docs, where streams grow instead of
+    multiplying), and local chunks per bucket stay far below 2^40."""
     docs = load_table(spark, sf_dir, "documents")
     # bucket count as a lazy 1-row agg crossJoined in — no driver collect
     nb = docs.agg(
-        F.greatest(
-            F.floor(F.count("*") / F.lit(_PACK_DOCS_PER_BUCKET)).cast("long"),
-            F.lit(_PACK_MIN_BUCKETS).cast("long"),
+        F.least(
+            F.greatest(
+                F.floor(F.count("*") / F.lit(_PACK_DOCS_PER_BUCKET)).cast("long"),
+                F.lit(_PACK_MIN_BUCKETS).cast("long"),
+            ),
+            F.lit(_PACK_MAX_BUCKETS).cast("long"),
         ).alias("n_buckets")
     )
     h = hash60(F.col("doc_id").cast("string"))
@@ -1757,8 +1772,9 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PACK_SQL = f"""
 WITH nb AS (
-    SELECT GREATEST(count(*) // {_PACK_DOCS_PER_BUCKET},
-                    {_PACK_MIN_BUCKETS}) AS n_buckets
+    SELECT LEAST(GREATEST(count(*) // {_PACK_DOCS_PER_BUCKET},
+                          {_PACK_MIN_BUCKETS}),
+                 {_PACK_MAX_BUCKETS}) AS n_buckets
     FROM documents
 ),
 based AS (
