@@ -893,3 +893,62 @@ def test_pipeline_curate_composes_filter_dedup_quota(spark):
     for g, rks in ranks.items():
         assert len(rks) <= _CURATE_QUOTA
         assert sorted(rks) == list(range(1, len(rks) + 1)), g
+
+
+def test_pipeline_curate_v2_stage_invariants(spark):
+    """Curation manifest v2: each of the six composed stages' invariants
+    must hold on the output — quality gate, repetition thresholds,
+    PII counts match a reference regex pass over the planted text,
+    benchmark split and contaminated docs excluded, scrubbed-content
+    uniqueness, per-source quota respected with contiguous ranks."""
+    import re
+
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        _CURATE2_MAX_DUP3_PPM,
+        _CURATE2_MAX_TOPW_PPM,
+        _CURATE2_TARGET,
+        _DECON_EVAL_MOD,
+        decontam_ngram,
+        pipeline_curate_v2,
+    )
+
+    rows = pipeline_curate_v2(spark, SF01).collect()
+    contaminated = {
+        r.doc_id for r in decontam_ngram(spark, SF01).collect()
+    }
+    spark.catalog.clearCache()
+    assert rows
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF01}/documents.parquet").set_index("doc_id")
+    email_re = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    url_re = re.compile(r"https?://[^ ]+")
+    seen_md5 = {}
+    ranks = {}
+    for r in rows:
+        assert r.doc_id % _DECON_EVAL_MOD != 0  # benchmark split excluded
+        assert r.doc_id not in contaminated
+        text = docs.loc[r.doc_id, "text"]
+        words = text.split(" ")
+        awl = (len(text) - (len(words) - 1)) / len(words)
+        assert len(words) >= 50 and 2.0 <= awl <= 12.0  # quality gate
+        # repetition thresholds
+        t3 = max(len(words) - 2, 0)
+        d3 = len({" ".join(words[i : i + 3]) for i in range(t3)})
+        top_c = max(words.count(w) for w in set(words))
+        assert (t3 - d3) * 1_000_000 // max(t3, 1) <= _CURATE2_MAX_DUP3_PPM
+        assert top_c * 1_000_000 // max(len(words), 1) <= _CURATE2_MAX_TOPW_PPM
+        # PII counts replay the planted injection
+        aug = text
+        if r.doc_id % 5 == 0:
+            aug += f" contact-{r.doc_id}@example.com"
+        if r.doc_id % 7 == 0:
+            aug += f" https://ex.com/doc/{r.doc_id}"
+        assert r.n_emails == len(email_re.findall(aug))
+        assert r.n_urls == len(url_re.findall(aug))
+        assert r.scrubbed_md5 not in seen_md5  # dedup on scrubbed content
+        seen_md5[r.scrubbed_md5] = r.doc_id
+        assert r.rk <= r.quota <= _CURATE2_TARGET
+        ranks.setdefault(r.source, []).append(r.rk)
+    for src, rks in ranks.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), src

@@ -277,6 +277,28 @@ def test_geoparquet_bbox_filter_prunes_row_groups(spark, tmp_path):
     assert emitted < n / 5, f"scan emitted {emitted} of {n} rows — no pruning"
 
 
+def test_curate_v2_composition_shape(spark):
+    """pipeline_curate_v2's 100 TB claims: the whole six-stage pass is
+    one plan with (a) the persisted decontam index + survivor set
+    reused via cache scans rather than recomputed, (b) the static
+    rk-cap planned as a partial WindowGroupLimit below the rank
+    exchange, and (c) no cartesian anywhere (the 1-row quota total
+    joins as a broadcast)."""
+    from wrf_to_geodataframe_spark.suite.pipeline import QUERIES
+
+    df = QUERIES["pipeline_curate_v2"](spark, SF)
+    try:
+        plan = _plan(df)
+        assert plan.count("InMemoryTableScan") >= 3, plan
+        assert "CartesianProduct" not in plan
+        partial = plan.find("WindowGroupLimit")
+        exchange = plan.find("Exchange hashpartitioning")
+        assert partial != -1 and exchange != -1
+        assert "Partial" in plan[plan.find("WindowGroupLimit"):], plan
+    finally:
+        df.sparkSession.catalog.clearCache()
+
+
 def test_tfidf_tokenizes_the_corpus_once(spark):
     """The (doc, term) aggregate feeds both the df branch and the
     scoring join through ONE persisted subtree — without it Catalyst

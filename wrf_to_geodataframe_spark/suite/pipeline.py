@@ -495,13 +495,23 @@ def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan.  At 100 TB the eval index is benchmark-sized (tiny), so AQE
     broadcasts it; candidates are O(shared shingles), not O(docs^2)."""
     docs = load_table(spark, sf_dir, "documents")
-    # raw feeds the hot-shingle agg AND the anti-join probe; capped idx
-    # feeds both split branches — persist each once (same two
-    # checkpoints dedup_ngram_jaccard materializes, same reason).  raw
-    # is the corpus-sized table and is only ever scanned sequentially
-    # (no point-lookups), so it persists DISK_ONLY: at 100 TB the
-    # executors' memory belongs to the equi join and the capped index,
-    # not to a shingle table read exactly twice.
+    return _decontam_evidence(docs)
+
+
+def _decontam_evidence(docs: DataFrame) -> DataFrame:
+    """Per contaminated training doc, the (doc_id, n_shared_ngrams,
+    n_eval_docs, first_eval_id) evidence row — the core of
+    ``decontam_ngram``, shared with ``pipeline_curate_v2`` so the
+    contamination semantics cannot drift between the standalone gate
+    and the composed curation pass.
+
+    raw feeds the hot-shingle agg AND the anti-join probe; capped idx
+    feeds both split branches — persist each once (same two
+    checkpoints dedup_ngram_jaccard materializes, same reason).  raw
+    is the corpus-sized table and is only ever scanned sequentially
+    (no point-lookups), so it persists DISK_ONLY: at 100 TB the
+    executors' memory belongs to the equi join and the capped index,
+    not to a shingle table read exactly twice."""
     from pyspark import StorageLevel
 
     raw = exploded_shingles(docs, _DECON_K).select(
@@ -525,8 +535,11 @@ def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECON_GRAM = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(_DECON_K))
 
-_DECONTAM_SQL = f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+# The decontamination index CTEs (tokenize -> hashed 8-gram shingles ->
+# df-cap -> capped index), shared verbatim by _DECONTAM_SQL and
+# _CURATE2_SQL so the oracle semantics cannot drift either.
+_DECON_CTES = f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 raw AS (
     SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS hs
     FROM (
@@ -540,7 +553,10 @@ hot AS (SELECT hs FROM raw GROUP BY hs HAVING count(*) > {_NGRAM_DF_CAP}),
 idx AS (
     SELECT doc_id, hs FROM raw
     WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.hs = raw.hs)
-),
+)"""
+
+_DECONTAM_SQL = f"""
+WITH {_DECON_CTES},
 ev AS (
     SELECT hs, doc_id AS eval_id FROM idx WHERE doc_id % {_DECON_EVAL_MOD} = 0
 ),
@@ -1697,6 +1713,265 @@ WHERE rk <= {_CURATE_QUOTA}
 """
 
 
+# Curation manifest v2 thresholds: Gopher-style repetition gates tuned
+# to the corpus distribution (dup-3-gram p95 ~ 11k ppm, top-word p95
+# ~ 165k ppm) so each gate prunes a real tail without emptying the set.
+_CURATE2_MAX_DUP3_PPM = 5_000
+_CURATE2_MAX_TOPW_PPM = 150_000
+_CURATE2_TARGET = 120  # total docs the final temperature mixture draws
+
+
+def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation manifest v2 — the FULL production pretraining-curation
+    pass composed as ONE Catalyst plan: quality gate -> Gopher-style
+    repetition thresholds -> PII scrub (planted PII; later stages key
+    on the SCRUBBED content) -> benchmark decontamination (the eval
+    split is excluded as benchmark data, contaminated training docs
+    are dropped) -> exact dedup on the scrubbed md5 -> temperature
+    mixture (T = 0.5 quotas derived IN-PLAN from the *survivor* source
+    counts, not the raw corpus).  Output: the manifest row a tokenizer
+    run consumes — doc, lang, source, token count, PII counts, scrubbed
+    content key, per-source rank and quota.
+
+    Every stage is an operator the suite verifies in isolation
+    (pipeline_curate proved the v1 three-stage chain; this composes all
+    six round-5 operators); the oracle replays the identical chain as
+    CTEs, so a hash match proves the COMPOSITION semantics, not just
+    the parts.  Plan shape at 100 TB: the corpus scans feeding quality/
+    repetition/scrub touch only (doc_id, lang, source, text); the
+    decontam index is the shared persisted pair from
+    ``_decontam_evidence``; ``survivors`` is persisted because both the
+    quota-weight agg and the rank window consume it (the weight table
+    is sources-sized and broadcasts back); the final rank applies the
+    static ``rk <= _CURATE2_TARGET`` pre-filter so the window plans a
+    partial WindowGroupLimit below its exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    toks = tokens(text)
+    n_words = F.size(toks).cast("long")
+    n_chars = F.length(text).cast("long")
+    avg_word_len = (n_chars - (n_words - 1)).cast("double") / n_words
+    quality = docs.select(
+        "doc_id", "lang", "source", "text", n_words.alias("n_tokens")
+    ).filter(
+        (n_words >= 50) & (avg_word_len >= 2.0) & (avg_word_len <= 12.0)
+    )
+
+    # repetition thresholds (text_repetition's two-thin-branch shape,
+    # over the quality survivors)
+    toked = quality.select("doc_id", tokens(F.col("text")).alias("toks"))
+    stats = toked.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        F.greatest(F.size("toks") - 2, F.lit(0)).cast("long").alias("t3"),
+        F.size(shingles_from_tokens(F.col("toks"), 3)).cast("long").alias("d3"),
+    )
+    topw = (
+        quality.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    rep_ok = (
+        stats.join(topw, "doc_id")
+        .filter(
+            (
+                F.expr(
+                    "(t3 - d3) * CAST(1000000 AS BIGINT)"
+                    " div greatest(t3, CAST(1 AS BIGINT))"
+                )
+                <= _CURATE2_MAX_DUP3_PPM
+            )
+            & (
+                F.expr(
+                    "top_c * CAST(1000000 AS BIGINT)"
+                    " div greatest(n_words, CAST(1 AS BIGINT))"
+                )
+                <= _CURATE2_MAX_TOPW_PPM
+            )
+        )
+        .select("doc_id")
+    )
+    calm = quality.join(rep_ok, "doc_id")
+
+    # PII scrub (text_scrub_pii's planted-PII injection + redaction)
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" contact-"), F.col("doc_id"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" https://ex.com/doc/"), F.col("doc_id")),
+        ).otherwise(F.lit("")),
+    )
+    t = F.col("t")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, _SCRUB_EMAIL_RE, "[EMAIL]"), _SCRUB_URL_RE, "[URL]"
+    )
+    scrub = calm.select(
+        "doc_id", "lang", "source", "n_tokens", aug.alias("t")
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        F.size(F.regexp_extract_all(t, F.lit(_SCRUB_EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_SCRUB_URL_RE), 0))
+        .cast("long")
+        .alias("n_urls"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+    # decontamination: benchmark split out, contaminated train docs out
+    contaminated = _decontam_evidence(docs).select("doc_id")
+    clean = scrub.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+
+    # exact dedup keyed on the SCRUBBED content
+    keepers = clean.groupBy("scrubbed_md5").agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    survivors = clean.join(keepers, "doc_id").persist()
+
+    # temperature mixture over the survivors (quotas in-plan)
+    w = F.floor(F.sqrt(F.count("*").cast("double")) * _MIX_W_SCALE).cast("long")
+    weights = survivors.groupBy("source").agg(w.alias("w_s"))
+    tot = weights.agg(F.sum("w_s").alias("w_tot"))
+    quotas = weights.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(f"{_CURATE2_TARGET} * w_s div w_tot").alias("quota"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            hash60(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    ranked = survivors.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        "n_emails",
+        "n_urls",
+        "scrubbed_md5",
+        rk.cast("long").alias("rk"),
+    ).filter(F.col("rk") <= _CURATE2_TARGET)
+    return ranked.join(F.broadcast(quotas), "source").filter(
+        F.col("rk") <= F.col("quota")
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        "n_emails",
+        "n_urls",
+        "scrubbed_md5",
+        "rk",
+        "quota",
+    )
+
+
+_CURATE2_SQL = f"""
+WITH {_DECON_CTES},
+contaminated AS (
+    SELECT DISTINCT tr.doc_id
+    FROM (SELECT doc_id, hs FROM idx WHERE doc_id % {_DECON_EVAL_MOD} <> 0) tr
+    JOIN (SELECT hs FROM idx WHERE doc_id % {_DECON_EVAL_MOD} = 0) ev
+      USING (hs)
+),
+quality AS (
+    SELECT doc_id, lang, source, text,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 50
+      AND CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+              / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0
+),
+rbase AS (
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CAST(greatest(len(w) - 2, 0) AS BIGINT) AS t3,
+           CAST(len(list_distinct(list_transform(
+               generate_series(1, len(w) - 2),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS BIGINT) AS d3,
+           unnest(w) AS word
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM quality)
+),
+rwc AS (
+    SELECT doc_id, word, count(*) AS c,
+           min(n_words) AS n_words, min(t3) AS t3, min(d3) AS d3
+    FROM rbase GROUP BY doc_id, word
+),
+rep_ok AS (
+    SELECT doc_id FROM rwc GROUP BY doc_id
+    HAVING (min(t3) - min(d3)) * 1000000 // greatest(min(t3), 1)
+               <= {_CURATE2_MAX_DUP3_PPM}
+       AND max(c) * 1000000 // greatest(min(n_words), 1)
+               <= {_CURATE2_MAX_TOPW_PPM}
+),
+scrub AS (
+    SELECT doc_id, lang, source, n_tokens,
+           CAST(len(regexp_extract_all(t, '{_SCRUB_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_SCRUB_URL_RE}')) AS BIGINT)
+               AS n_urls,
+           md5(regexp_replace(
+               regexp_replace(t, '{_SCRUB_EMAIL_RE}', '[EMAIL]', 'g'),
+               '{_SCRUB_URL_RE}', '[URL]', 'g')) AS scrubbed_md5
+    FROM (
+        SELECT q.doc_id, lang, source, n_tokens,
+               text
+               || CASE WHEN q.doc_id % 5 = 0
+                       THEN ' contact-' || q.doc_id || '@example.com'
+                       ELSE '' END
+               || CASE WHEN q.doc_id % 7 = 0
+                       THEN ' https://ex.com/doc/' || q.doc_id
+                       ELSE '' END AS t
+        FROM quality q JOIN rep_ok USING (doc_id)
+    )
+),
+clean AS (
+    SELECT * FROM scrub
+    WHERE doc_id % {_DECON_EVAL_MOD} <> 0
+      AND NOT EXISTS (
+          SELECT 1 FROM contaminated c WHERE c.doc_id = scrub.doc_id
+      )
+),
+keepers AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY scrubbed_md5),
+survivors AS (SELECT c.* FROM clean c JOIN keepers USING (doc_id)),
+weights AS (
+    SELECT source,
+           CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * {_MIX_W_SCALE})
+                AS BIGINT) AS w_s
+    FROM survivors GROUP BY source
+),
+tot AS (SELECT sum(w_s) AS w_tot FROM weights),
+quotas AS (
+    SELECT source, CAST({_CURATE2_TARGET} * w_s // w_tot AS BIGINT) AS quota
+    FROM weights CROSS JOIN tot
+),
+ranked AS (
+    SELECT s.*,
+           CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT), doc_id
+           ) AS BIGINT) AS rk
+    FROM survivors s
+)
+SELECT doc_id, lang, ranked.source AS source, n_tokens, n_emails, n_urls,
+       scrubbed_md5, rk, quota
+FROM ranked JOIN quotas ON ranked.source = quotas.source
+WHERE rk <= quota
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing: concat-and-chunk into fixed token budgets
 
@@ -2598,6 +2873,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "pack_sequences": pack_sequences,
     "pipeline_curate": pipeline_curate,
+    "pipeline_curate_v2": pipeline_curate_v2,
     "text_quality": text_quality,
     "lang_id": lang_id,
     "token_stats": token_stats,
@@ -2631,6 +2907,7 @@ ORACLE = {
     "tfidf_top_terms": _TFIDF_SQL,
     "pack_sequences": _PACK_SQL,
     "pipeline_curate": _CURATE_SQL,
+    "pipeline_curate_v2": _CURATE2_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
     "lang_id": _LANG_ID_SQL,
     "token_stats": _TOKEN_STATS_SQL,
