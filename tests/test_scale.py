@@ -212,3 +212,123 @@ def test_ngram_df_cap_survives_universal_boilerplate(spark):
         f"candidates={n_cand} wall={wall:.1f}s"
     )
     assert wall < 180, wall
+
+
+@slow
+def test_decontam_1m_docs_planted_shard(spark):
+    """1M synthetic docs with a planted benchmark passage: 8 eval docs
+    and ~57 training docs carry one shared 8-gram (total carriers stay
+    under the df cap — the cap is for UBIQUITOUS text, and this pins
+    that real contamination below it survives).  The evidence rows must
+    be exactly the planted training carriers, candidates stay
+    O(carriers), and the whole run fits a tight wall-clock budget."""
+    import time
+
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        _DECON_EVAL_MOD,
+        _decontam_evidence,
+    )
+
+    n_docs = 1_000_000
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 words
+    # carriers: eval docs divisible by 140000 (= lcm(7, 20000): 8 docs)
+    # + train docs with doc_id % 15013 == 11 that are not eval (~57)
+    carrier = (F.col("doc_id") % 140_000 == 0) | (
+        (F.col("doc_id") % 15_013 == 11)
+        & (F.col("doc_id") % _DECON_EVAL_MOD != 0)
+    )
+    uniq = F.concat_ws(
+        " ",
+        *[
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":d{k}")))
+            for k in range(12)
+        ],
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(carrier, F.concat(uniq, F.lit(" " + passage)))
+        .otherwise(uniq)
+        .alias("text"),
+    )
+    expected = {
+        i
+        for i in range(11, n_docs, 15_013)
+        if i % _DECON_EVAL_MOD != 0
+    }
+    t0 = time.time()
+    evidence = _decontam_evidence(docs).persist()
+    rows = evidence.collect()
+    wall = time.time() - t0
+    spark.catalog.clearCache()
+    got = {r.doc_id for r in rows}
+    assert got == expected, (len(got), len(expected))
+    n_eval_carriers = len(range(0, n_docs, 140_000))
+    for r in rows:
+        # exactly the one planted passage 8-gram is shared (boundary
+        # shingles mix in per-doc unique words), seen in every eval
+        # carrier, the smallest of which is doc 0
+        assert r.n_shared_ngrams == 1, r
+        assert r.n_eval_docs == n_eval_carriers, r
+        assert r.first_eval_id == 0, r
+    print(
+        f"1M-doc decontam: contaminated={len(got)} "
+        f"eval_carriers={n_eval_carriers} wall={wall:.1f}s"
+    )
+    assert wall < 300, wall
+
+
+@slow
+def test_mixture_1m_docs_1000x_source_skew(spark):
+    """Temperature mixing over a 1000:1 skewed source distribution
+    (one 500k-doc head, 50 tail sources of 500 docs): T = 0.5 quotas
+    must flatten the head to ~sqrt(1000) ~ 32x the tail (vs 1000x for
+    proportional sampling), every tail source stays represented, the
+    draw matches the exact integer quota formula, and the rank window
+    over the 500k-row head group completes inside the budget (the
+    static rk pre-filter caps what mappers forward)."""
+    import math
+    import time
+
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        _MIX_W_SCALE,
+        temperature_mixture,
+    )
+
+    n_head, n_tail_sources, n_tail = 500_000, 50, 500
+    target = 10_000
+    docs = spark.range(n_head + n_tail_sources * n_tail).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < n_head, F.lit("head"))
+        .otherwise(
+            F.concat(F.lit("tail"), ((F.col("id") - n_head) / n_tail).cast("long"))
+        )
+        .alias("source"),
+    )
+    t0 = time.time()
+    out = temperature_mixture(docs, target).persist()
+    counts = {
+        r.source: (r.n, r.quota)
+        for r in out.groupBy("source", "quota")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    wall = time.time() - t0
+    spark.catalog.clearCache()
+    # exact integer quota replay
+    w_head = math.floor(math.sqrt(n_head) * _MIX_W_SCALE)
+    w_tail = math.floor(math.sqrt(n_tail) * _MIX_W_SCALE)
+    w_tot = w_head + n_tail_sources * w_tail
+    q_head = target * w_head // w_tot
+    q_tail = target * w_tail // w_tot
+    assert counts["head"] == (min(q_head, n_head), q_head)
+    for s in range(n_tail_sources):
+        assert counts[f"tail{s}"] == (min(q_tail, n_tail), q_tail), s
+    # temperature flattening: head draw ~ sqrt(1000)x tail, not 1000x
+    ratio = counts["head"][0] / counts["tail0"][0]
+    assert 20 < ratio < 45, ratio
+    assert all(counts[f"tail{s}"][0] > 0 for s in range(n_tail_sources))
+    print(
+        f"1M-doc mixture: head={counts['head']} tail0={counts['tail0']} "
+        f"ratio={ratio:.1f} wall={wall:.1f}s"
+    )
+    assert wall < 180, wall

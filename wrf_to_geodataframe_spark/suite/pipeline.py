@@ -356,12 +356,20 @@ def mixture_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange (the dynamic per-source quota k_s <= TARGET is applied on
     top), so mappers forward at most TARGET rows per source."""
     docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture(docs, _MIX_TARGET)
+
+
+def temperature_mixture(docs: DataFrame, target: int) -> DataFrame:
+    """The T=0.5 mixture draw over an arbitrary (doc_id, source) frame —
+    shared by the gate query above and the 1M-doc skew scale test so
+    the quota/rank semantics cannot drift between them (the
+    minhash_verified_pairs pattern)."""
     w = F.floor(F.sqrt(F.count("*").cast("double")) * _MIX_W_SCALE).cast("long")
     weights = docs.groupBy("source").agg(w.alias("w_s"))
     tot = weights.agg(F.sum("w_s").alias("w_tot"))
     quotas = weights.crossJoin(F.broadcast(tot)).select(
         "source",
-        F.expr(f"{_MIX_TARGET} * w_s div w_tot").alias("quota"),
+        F.expr(f"{target} * w_s div w_tot").alias("quota"),
     )
     rk = F.row_number().over(
         Window.partitionBy("source").orderBy(
@@ -369,7 +377,7 @@ def mixture_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ranked = docs.select("doc_id", "source", rk.cast("long").alias("rk")).filter(
-        F.col("rk") <= _MIX_TARGET
+        F.col("rk") <= target
     )
     return ranked.join(F.broadcast(quotas), "source").filter(
         F.col("rk") <= F.col("quota")
