@@ -252,6 +252,66 @@ def encode_images(with_image: DataFrame, cycle_filters: bool = True) -> DataFram
     return with_image.mapInPandas(_batches, PNG_SCHEMA)
 
 
+# deterministic 16-color palette shared with the oracle SQL literal in
+# suite/pipeline.py (color k = first 3 md5 bytes of "pal:k")
+def _mm_palette() -> list[bytes]:
+    import hashlib
+
+    return [hashlib.md5(f"pal:{k}".encode()).digest()[:3] for k in range(16)]
+
+
+MM_PALETTE = _mm_palette()
+
+
+def encode_images_formats(with_image: DataFrame) -> DataFrame:
+    """Encode each raw byte grid as a PNG in a per-doc FORMAT (the
+    format mix a real crawl corpus contains), filters cycling y % 5 in
+    every format so each unfilter branch runs at each depth:
+
+    - fmt 0 -> palette (color type 3), 16 md5-derived colors,
+      indices = byte % 16
+    - fmt 1 -> 16-bit grayscale, the raw bytes as big-endian sample
+      pairs (input must carry 2*w*h bytes)
+    - fmt 2 -> 4-bit grayscale, values = byte % 16 (bit-packed)
+
+    Input columns: doc_id, width, height, fmt, raw (binary)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from wrf_to_geodataframe_spark.sources.png import encode_png
+
+        palette = [tuple(c) for c in MM_PALETTE]
+
+        def ft(y):
+            return y % 5
+
+        for pdf in it:
+            outs = []
+            for fmt, w, h, raw in zip(
+                pdf["fmt"], pdf["width"], pdf["height"], pdf["raw"]
+            ):
+                w, h, raw = int(w), int(h), bytes(raw)
+                if fmt == 0:
+                    idx = bytes(b % 16 for b in raw[: w * h])
+                    outs.append(encode_png(idx, w, h, 1, ft, palette=palette))
+                elif fmt == 1:
+                    outs.append(
+                        encode_png(raw[: 2 * w * h], w, h, 1, ft, bit_depth=16)
+                    )
+                else:
+                    vals = bytes(b % 16 for b in raw[: w * h])
+                    outs.append(encode_png(vals, w, h, 1, ft, bit_depth=4))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pdf["width"].astype("int64"),
+                    "height": pdf["height"].astype("int64"),
+                    "png": outs,
+                }
+            )
+
+    return with_image.mapInPandas(_batches, PNG_SCHEMA)
+
+
 def decode_images(with_png: DataFrame) -> DataFrame:
     """Decode a PNG binary column back to pixel buffers + dimensions
     read from the IHDR (NOT trusted from the input columns) inside

@@ -36,6 +36,8 @@ from __future__ import annotations
 import struct
 import zlib
 
+import numpy as np
+
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 # color type -> raw channel count (palette counts its index as 1)
@@ -63,66 +65,92 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def _filter_line(ftype: int, line: bytes, prev: bytes, bpp: int) -> bytes:
-    """Forward filter one packed scanline (encode side)."""
+    """Forward filter one packed scanline (encode side) — fully
+    numpy-vectorized: every filter reads only ORIGINAL bytes (never its
+    own output), so the whole line computes at once.  Exact uint8
+    wraparound via int16 arithmetic + mask."""
     if ftype == 0:
-        return line
-    out = bytearray(len(line))
-    for i, x in enumerate(line):
-        a = line[i - bpp] if i >= bpp else 0
-        b = prev[i]
-        c = prev[i - bpp] if i >= bpp else 0
-        if ftype == 1:
-            out[i] = (x - a) & 0xFF
-        elif ftype == 2:
-            out[i] = (x - b) & 0xFF
-        elif ftype == 3:
-            out[i] = (x - (a + b) // 2) & 0xFF
-        elif ftype == 4:
-            out[i] = (x - _paeth(a, b, c)) & 0xFF
-        else:
-            raise ValueError(f"unknown filter type {ftype}")
-    return bytes(out)
+        return bytes(line)
+    if ftype not in (1, 2, 3, 4):
+        raise ValueError(f"unknown filter type {ftype}")
+    x = np.frombuffer(bytes(line), np.uint8).astype(np.int16)
+    b = np.frombuffer(bytes(prev), np.uint8).astype(np.int16)
+    a = np.zeros_like(x)
+    a[bpp:] = x[:-bpp]
+    if ftype == 1:
+        out = x - a
+    elif ftype == 2:
+        out = x - b
+    elif ftype == 3:
+        out = x - (a + b) // 2
+    else:  # Paeth: |pred-a|=|b-c|, |pred-b|=|a-c|, |pred-c|=|a+b-2c|
+        c = np.zeros_like(b)
+        c[bpp:] = b[:-bpp]
+        pa = np.abs(b - c)
+        pb = np.abs(a - c)
+        pc = np.abs(a + b - 2 * c)
+        pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+        out = x - pred
+    return (out & 0xFF).astype(np.uint8).tobytes()
 
 
 def _unfilter_line(ftype: int, line: bytearray, prev: bytes, bpp: int) -> None:
-    """Reconstruct one packed scanline in place (decode side)."""
+    """Reconstruct one packed scanline in place (decode side).
+    None/Up/Sub are vectorized (Up has no intra-line dependency; Sub's
+    recurrence recon[i] = x[i] + recon[i-bpp] is an exact per-residue
+    cumulative sum mod 256); Average/Paeth stay byte-sequential — their
+    predictor mixes the current line's already-reconstructed left
+    neighbor with the previous row, which no prefix trick linearizes."""
     if ftype == 0:
         return
-    if ftype not in (1, 2, 3, 4):
+    if ftype == 2:  # Up
+        x = np.frombuffer(bytes(line), np.uint8).astype(np.int16)
+        b = np.frombuffer(bytes(prev), np.uint8).astype(np.int16)
+        line[:] = ((x + b) & 0xFF).astype(np.uint8).tobytes()
+        return
+    if ftype == 1:  # Sub: prefix sums per byte-residue class
+        x = np.frombuffer(bytes(line), np.uint8).astype(np.int64)
+        for r in range(min(bpp, len(x))):
+            x[r::bpp] = np.cumsum(x[r::bpp])
+        line[:] = (x & 0xFF).astype(np.uint8).tobytes()
+        return
+    if ftype not in (3, 4):
         raise ValueError(f"corrupt PNG: filter type {ftype}")
     for i in range(len(line)):
         a = line[i - bpp] if i >= bpp else 0
         b = prev[i]
         c = prev[i - bpp] if i >= bpp else 0
-        if ftype == 1:
-            line[i] = (line[i] + a) & 0xFF
-        elif ftype == 2:
-            line[i] = (line[i] + b) & 0xFF
-        elif ftype == 3:
+        if ftype == 3:
             line[i] = (line[i] + (a + b) // 2) & 0xFF
         else:
             line[i] = (line[i] + _paeth(a, b, c)) & 0xFF
 
 
 def _pack_bits(samples, width: int, depth: int) -> bytes:
-    """Pack one scanline of sub-byte samples MSB-first per the spec."""
+    """Pack one scanline of sub-byte samples MSB-first per the spec
+    (vectorized: pad to a whole number of bytes, shift-and-sum)."""
     per_byte = 8 // depth
-    out = bytearray((width * depth + 7) // 8)
-    for i in range(width):
-        shift = 8 - depth * (i % per_byte + 1)
-        out[i // per_byte] |= (samples[i] & ((1 << depth) - 1)) << shift
-    return bytes(out)
+    mask = (1 << depth) - 1
+    n_bytes = (width * depth + 7) // 8
+    arr = np.zeros(n_bytes * per_byte, np.uint16)
+    arr[:width] = np.frombuffer(bytes(samples[:width]), np.uint8) & mask
+    shifts = np.array(
+        [8 - depth * (k + 1) for k in range(per_byte)], np.uint16
+    )
+    packed = (arr.reshape(n_bytes, per_byte) << shifts).sum(axis=1)
+    return packed.astype(np.uint8).tobytes()
 
 
-def _unpack_bits(line, width: int, depth: int) -> bytearray:
+def _unpack_bits(line, width: int, depth: int):
     """Inverse of :func:`_pack_bits` (trailing pad bits dropped)."""
     per_byte = 8 // depth
     mask = (1 << depth) - 1
-    out = bytearray(width)
-    for i in range(width):
-        shift = 8 - depth * (i % per_byte + 1)
-        out[i] = (line[i // per_byte] >> shift) & mask
-    return out
+    shifts = np.array(
+        [8 - depth * (k + 1) for k in range(per_byte)], np.uint8
+    )
+    arr = np.frombuffer(bytes(line), np.uint8)
+    vals = ((arr[:, None] >> shifts) & mask).reshape(-1)
+    return vals[:width].astype(np.uint8)
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -186,7 +214,7 @@ def encode_png(
         )
     if bit_depth < 8:
         mx = (1 << bit_depth) - 1
-        if any(p > mx for p in pixels):
+        if len(pixels) and int(np.frombuffer(bytes(pixels), np.uint8).max()) > mx:
             raise ValueError(f"sample exceeds {bit_depth}-bit range")
 
     stride_in = width * in_bytes_per_px
@@ -219,46 +247,52 @@ def _expand_scanline(
     palette: bytes | None,
     trns: bytes | None,
     out_channels: int,
-) -> bytearray:
-    """Packed scanline bytes -> normalized 8-bit interleaved samples."""
+) -> bytes:
+    """Packed scanline bytes -> normalized 8-bit interleaved samples
+    (numpy-vectorized: palette expansion is a fancy-index gather,
+    scaling and tRNS matching are array ops)."""
     channels = _CHANNELS[ctype]
     if ctype == 3:  # palette: indices -> RGB(A)
-        idx = _unpack_bits(line, width, depth) if depth < 8 else line
-        out = bytearray(width * out_channels)
-        for i, k in enumerate(idx):
-            if 3 * k + 3 > len(palette):
-                raise ValueError(f"corrupt PNG: palette index {k} out of range")
-            o = i * out_channels
-            out[o : o + 3] = palette[3 * k : 3 * k + 3]
-            if out_channels == 4:
-                out[o + 3] = trns[k] if trns and k < len(trns) else 255
-        return out
+        idx = (
+            _unpack_bits(line, width, depth)
+            if depth < 8
+            else np.frombuffer(bytes(line), np.uint8)[:width]
+        )
+        pal = np.frombuffer(palette, np.uint8).reshape(-1, 3)
+        if idx.size and int(idx.max()) >= len(pal):
+            raise ValueError(
+                f"corrupt PNG: palette index {int(idx.max())} out of range"
+            )
+        rgb = pal[idx]
+        if out_channels == 3:
+            return rgb.tobytes()
+        amap = np.full(256, 255, np.uint8)
+        if trns:
+            amap[: len(trns)] = np.frombuffer(trns, np.uint8)
+        return np.concatenate([rgb, amap[idx][:, None]], axis=1).tobytes()
     if depth == 16:
-        vals = line[0::2]  # high byte == the spec's 16->8 scaling
-        raw16 = [
-            (line[2 * i] << 8) | line[2 * i + 1]
-            for i in range(width * channels)
-        ]
+        arr = np.frombuffer(bytes(line), np.uint8)
+        vals = arr[0::2]  # high byte == the spec's 16->8 scaling
+        raw = arr[0::2].astype(np.int32) * 256 + arr[1::2]
     elif depth < 8:  # sub-byte gray: scale to full 8-bit range
         mask = (1 << depth) - 1
         idx = _unpack_bits(line, width, depth)
-        vals = bytearray(v * 255 // mask for v in idx)
-        raw16 = list(idx)
+        vals = (idx.astype(np.int32) * 255 // mask).astype(np.uint8)
+        raw = idx.astype(np.int32)
     else:
-        vals = line
-        raw16 = list(line)
+        vals = np.frombuffer(bytes(line), np.uint8)
+        raw = vals.astype(np.int32)
     if trns is None or ctype not in (0, 2):
-        return bytearray(vals)
+        return vals.tobytes()
     # tRNS on gray/RGB: one transparent color (given at source depth)
-    key = struct.unpack(f">{len(trns) // 2}H", trns)
-    out = bytearray(width * out_channels)
-    for i in range(width):
-        o, s = i * out_channels, i * channels
-        out[o : o + channels] = vals[s : s + channels]
-        out[o + channels] = (
-            0 if tuple(raw16[s : s + channels]) == key else 255
-        )
-    return out
+    key = np.array(
+        struct.unpack(f">{len(trns) // 2}H", trns), np.int32
+    )
+    match = np.all(raw.reshape(width, channels) == key, axis=1)
+    out = np.empty((width, out_channels), np.uint8)
+    out[:, :channels] = vals.reshape(width, channels)
+    out[:, channels] = np.where(match, 0, 255)
+    return out.tobytes()
 
 
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:

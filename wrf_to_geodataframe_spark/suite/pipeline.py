@@ -2849,6 +2849,96 @@ FROM documents
 """
 
 
+def multimodal_decode_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG round-trip across the FORMAT MIX a crawl corpus contains —
+    the round-6 codec surface on the hash path: each doc's md5-chain
+    byte grid is encoded per ``doc_id % 3`` as a palette PNG (16
+    md5-derived colors), a 16-bit grayscale PNG (big-endian sample
+    pairs), or a 4-bit bit-packed grayscale PNG — scanline filters
+    cycling y % 5 in all three — then decoded by ``sources/png.py``.
+    The oracle states the ANALYTIC normalization for each format
+    (palette expansion through the shared color table, 16->8 high-byte
+    scaling, 4-bit v*17 scaling), so the hash match validates the
+    PLTE/tRNS, 16-bit and bit-unpacking decode paths plus every
+    filter x depth combination — not a restatement of the codec."""
+    from wrf_to_geodataframe_spark.operators.multimodal import (
+        decode_images,
+        encode_images_formats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.lit(16) + F.col("doc_id") % 5).cast("long")
+    h = (F.lit(16) + F.col("doc_id") % 7).cast("long")
+    # 55 blocks x 16 bytes = 880 = 2 * (20 * 22): covers 16-bit's
+    # two-bytes-per-sample need at the max grid
+    blocks = F.concat(
+        *[
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit(f":{b}"))))
+            for b in range(55)
+        ]
+    )
+    base = docs.select(
+        "doc_id",
+        w.alias("width"),
+        h.alias("height"),
+        (F.col("doc_id") % 3).cast("long").alias("fmt"),
+        blocks.alias("_blocks"),
+    ).select(
+        "doc_id",
+        "width",
+        "height",
+        "fmt",
+        F.expr("substring(_blocks, 1, CAST(2 * width * height AS INT))").alias(
+            "raw"
+        ),
+    )
+    out = decode_images(encode_images_formats(base))
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.hex("pixels").alias("pixels_hex"),
+    )
+
+
+def _mm_palette_sql() -> str:
+    from wrf_to_geodataframe_spark.operators.multimodal import MM_PALETTE
+
+    return "[" + ", ".join(f"'{c.hex().upper()}'" for c in MM_PALETTE) + "]"
+
+
+_MM_BLOCKS55_HEX = " || ".join(f"md5(text || ':{b}')" for b in range(55))
+
+_MULTIMODAL_FORMATS_SQL = f"""
+WITH g AS (
+    SELECT doc_id,
+           CAST(16 + doc_id % 5 AS BIGINT) AS width,
+           CAST(16 + doc_id % 7 AS BIGINT) AS height,
+           doc_id % 3 AS fmt,
+           {_MM_BLOCKS55_HEX} AS bh
+    FROM documents
+)
+SELECT doc_id, width, height,
+       CAST(CASE WHEN fmt = 0 THEN 3 ELSE 1 END AS BIGINT) AS channels,
+       CASE fmt
+         WHEN 0 THEN array_to_string(list_transform(
+             generate_series(1, CAST(width * height AS INT)),
+             i -> {_mm_palette_sql()}[
+                 (CAST(('0x' || substr(bh, 2*i - 1, 2)) AS INT) % 16) + 1]), '')
+         WHEN 1 THEN upper(array_to_string(list_transform(
+             generate_series(1, CAST(width * height AS INT)),
+             i -> substr(bh, 4*i - 3, 2)), ''))
+         ELSE array_to_string(list_transform(
+             generate_series(1, CAST(width * height AS INT)),
+             i -> upper(lpad(hex(
+                 (CAST(('0x' || substr(bh, 2*i - 1, 2)) AS INT) % 16) * 17),
+                 2, '0'))), '')
+       END AS pixels_hex
+FROM g
+"""
+
+
 _MULTIMODAL_FRAME_SQL = f"""
 WITH img AS (
     SELECT doc_id,
@@ -2896,6 +2986,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_resize": multimodal_resize,
     "multimodal_decode": multimodal_decode,
+    "multimodal_decode_formats": multimodal_decode_formats,
     "multimodal_frame_sample": multimodal_frame_sample,
 }
 
@@ -2932,5 +3023,6 @@ ORACLE = {
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
     "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
+    "multimodal_decode_formats": _MULTIMODAL_FORMATS_SQL,
     "multimodal_frame_sample": _MULTIMODAL_FRAME_SQL,
 }
