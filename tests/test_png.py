@@ -120,8 +120,8 @@ def test_unsupported_spec_corners_named():
     )
     with pytest.raises(ValueError, match="bit depth"):
         decode_png(blob)
-    # Adam7 interlace
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    # unknown interlace method (2)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 2)
     blob = (
         b"\x89PNG\r\n\x1a\n"
         + struct.pack(">I", len(ihdr))
@@ -242,3 +242,56 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is in the container
     pass
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_adam7_interlace_round_trip(channels):
+    """Adam7: 7 independently-filtered passes must reassemble to the
+    exact source pixels, with filters cycling across pass rows."""
+    for w, h in [(19, 23), (8, 8), (7, 5), (1, 9), (9, 1), (2, 2), (1, 1)]:
+        px = _pixels(w * h * channels, f"a7-{w}x{h}x{channels}")
+        data = encode_png(px, w, h, channels, lambda y: y % 5, interlace=True)
+        assert decode_png(data) == (w, h, channels, px)
+        # and the interlaced bytes differ from the sequential encoding
+        # for multi-pixel images (sanity: interlace actually happened)
+        if w * h > 1:
+            assert data != encode_png(px, w, h, channels, lambda y: y % 5)
+
+
+def test_adam7_interlace_palette_and_16bit():
+    w, h = 13, 11
+    palette = [
+        tuple(hashlib.md5(f"ap{k}".encode()).digest()[:3]) for k in range(5)
+    ]
+    idx = bytes(b % 5 for b in _pixels(w * h, "a7p"))
+    gw, gh, gc, px = decode_png(
+        encode_png(idx, w, h, 1, 2, palette=palette, interlace=True)
+    )
+    assert (gw, gh, gc) == (w, h, 3)
+    assert px == b"".join(bytes(palette[k]) for k in idx)
+    px16 = _pixels(w * h * 2, "a716")
+    assert decode_png(
+        encode_png(px16, w, h, 1, lambda y: y % 5, bit_depth=16, interlace=True)
+    ) == (w, h, 1, px16[0::2])
+
+
+def test_adam7_truncated_pass_rejected():
+    px = _pixels(16 * 16)
+    data = bytearray(encode_png(px, 16, 16, 1, 0, interlace=True))
+    # re-deflate a truncated raw stream under the original chunk framing
+    pos = 8
+    while bytes(data[pos + 4 : pos + 8]) != b"IDAT":
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        pos += 12 + ln
+    (ln,) = struct.unpack(">I", data[pos : pos + 4])
+    raw = zlib.decompress(bytes(data[pos + 8 : pos + 8 + ln]))
+    bad = zlib.compress(raw[:-3], 9)
+    chunk = (
+        struct.pack(">I", len(bad))
+        + b"IDAT"
+        + bad
+        + struct.pack(">I", zlib.crc32(b"IDAT" + bad) & 0xFFFFFFFF)
+    )
+    blob = bytes(data[:pos]) + chunk + bytes(data[pos + 12 + ln :])
+    with pytest.raises(ValueError, match="interlace|truncated"):
+        decode_png(blob)

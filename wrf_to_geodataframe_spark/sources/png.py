@@ -21,8 +21,10 @@ north-star component):
   so a round-trip exercises every unfilter branch, at every depth
   (filters operate on packed scanline BYTES with the spec's
   ``bpp = max(1, channels*depth//8)``).
-- Adam7 interlace raises ``ValueError`` (progressive rendering has no
-  value in a batch pipeline; the rejection names the feature).
+- Adam7 interlace on BOTH sides: the decoder de-interlaces the 7
+  independently-filtered sub-images (crawl corpora contain interlaced
+  files), the encoder can emit them (``interlace=True``) so round-trip
+  goldens cover every pass geometry.
 - Chunk CRCs are verified on read; multiple IDAT chunks concatenate
   per the spec; trailing chunks after IEND are ignored.
 
@@ -44,6 +46,17 @@ _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 # channels -> color type for the non-palette encode path
 _COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
 # spec-allowed (color type -> bit depths)
 _ALLOWED_DEPTHS = {
     0: {1, 2, 4, 8, 16},
@@ -171,6 +184,7 @@ def encode_png(
     bit_depth: int = 8,
     palette: list[tuple[int, int, int]] | None = None,
     trns: bytes | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """Encode a pixel buffer as a valid PNG.
 
@@ -217,20 +231,34 @@ def encode_png(
         if len(pixels) and int(np.frombuffer(bytes(pixels), np.uint8).max()) > mx:
             raise ValueError(f"sample exceeds {bit_depth}-bit range")
 
-    stride_in = width * in_bytes_per_px
     bpp = max(1, channels * bit_depth // 8)
-    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, ctype, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, ctype, 0, 0, 1 if interlace else 0
+    )
+    arr = np.frombuffer(bytes(pixels), np.uint8).reshape(
+        height, width, in_bytes_per_px
+    )
     raw = bytearray()
-    packed_stride = (width * channels * bit_depth + 7) // 8
-    prev = bytes(packed_stride)
-    for y in range(height):
-        line = pixels[y * stride_in : (y + 1) * stride_in]
-        if bit_depth < 8:
-            line = _pack_bits(line, width, bit_depth)
-        ft = filter_type(y) if callable(filter_type) else filter_type
-        raw.append(ft)
-        raw += _filter_line(ft, line, prev, bpp)
-        prev = line
+    row_no = 0  # global row counter so a cycling filter_type still cycles
+    passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
+    for x0, y0, dx, dy in passes:
+        sub = arr[y0::dy, x0::dx]
+        h_p, w_p = sub.shape[0], sub.shape[1]
+        if h_p == 0 or w_p == 0:
+            continue
+        prev = bytes((w_p * channels * bit_depth + 7) // 8)
+        for i in range(h_p):
+            samples = sub[i].reshape(-1).tobytes()
+            line = (
+                _pack_bits(samples, w_p, bit_depth)
+                if bit_depth < 8
+                else samples
+            )
+            ft = filter_type(row_no) if callable(filter_type) else filter_type
+            row_no += 1
+            raw.append(ft)
+            raw += _filter_line(ft, line, prev, bpp)
+            prev = line
     out = _SIGNATURE + _chunk(b"IHDR", ihdr)
     if palette is not None:
         out += _chunk(b"PLTE", b"".join(bytes(c) for c in palette))
@@ -305,6 +333,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("not a PNG: bad signature")
     pos = 8
     width = height = depth = ctype = -1
+    interlace = 0
     palette: bytes | None = None
     trns: bytes | None = None
     idat = bytearray()
@@ -332,8 +361,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                 )
             if comp != 0 or filt != 0:
                 raise ValueError("unsupported PNG: nonzero compression/filter method")
-            if interlace != 0:
-                raise ValueError("unsupported PNG: Adam7 interlace")
+            if interlace not in (0, 1):
+                raise ValueError(f"unsupported PNG: interlace method {interlace}")
         elif tag == b"PLTE":
             if length % 3 or length > 768:
                 raise ValueError("corrupt PNG: bad PLTE length")
@@ -362,13 +391,43 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         out_channels = channels
 
     raw = zlib.decompress(bytes(idat))
+    bpp = max(1, channels * depth // 8)
+
+    if interlace == 1:  # Adam7: 7 independently-filtered sub-images
+        out = np.zeros((height, width, out_channels), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            w_p = max(0, (width - x0 + dx - 1) // dx)
+            h_p = max(0, (height - y0 + dy - 1) // dy)
+            if w_p == 0 or h_p == 0:
+                continue
+            stride_p = (w_p * channels * depth + 7) // 8
+            prev = bytes(stride_p)
+            for i in range(h_p):
+                if pos + 1 + stride_p > len(raw):
+                    raise ValueError("corrupt PNG: truncated interlace pass")
+                ftype = raw[pos]
+                line = bytearray(raw[pos + 1 : pos + 1 + stride_p])
+                pos += 1 + stride_p
+                _unfilter_line(ftype, line, prev, bpp)
+                prev = bytes(line)
+                exp = np.frombuffer(
+                    _expand_scanline(
+                        line, w_p, depth, ctype, palette, trns, out_channels
+                    ),
+                    np.uint8,
+                ).reshape(w_p, out_channels)
+                out[y0 + i * dy, x0::dx, :] = exp
+        if pos != len(raw):
+            raise ValueError("corrupt PNG: interlace data length mismatch")
+        return width, height, out_channels, out.tobytes()
+
     packed_stride = (width * channels * depth + 7) // 8
     if len(raw) != (packed_stride + 1) * height:
         raise ValueError(
             f"corrupt PNG: inflated to {len(raw)} bytes, "
             f"want {(packed_stride + 1) * height}"
         )
-    bpp = max(1, channels * depth // 8)
     out = bytearray(width * out_channels * height)
     out_stride = width * out_channels
     prev = bytes(packed_stride)
