@@ -253,6 +253,122 @@ class FixtureWriter:
             msgs.append(self._dim_list_msg(dim_refs))
         self.vars.append((name, self.alloc(_objheader(msgs))))
 
+    def finish_dense(self, path: str, indirect_root: bool = False):
+        """Write the file with the root group in DENSE link storage:
+        one link message per variable stored as a fractal-heap managed
+        object, indexed by a depth-0 v2 B-tree — the layout
+        latest-format HDF5 uses past ~8 links.  ``indirect_root``
+        forces a root INDIRECT block whose row-0 children are direct
+        blocks (one link message per block) to exercise the
+        doubling-table path."""
+        off_size, len_size = 4, 2
+        heap_id_len = 1 + off_size + len_size
+        start_size, max_direct, table_width = 512, 4096, 4
+        msgs = []
+        for name, addr in self.vars:
+            nm = name.encode()
+            msgs.append(
+                struct.pack("<BBB", 1, 0, len(nm)) + nm + struct.pack("<Q", addr)
+            )
+
+        dblock_hdr = b"FHDB" + struct.pack("<B", 0) + struct.pack("<Q", 0)
+        ids = []  # (virtual offset, length)
+        if not indirect_root:
+            data = bytearray()
+            for m in msgs:
+                ids.append((len(dblock_hdr) + off_size + len(data), len(m)))
+                data += m
+            block = dblock_hdr + (0).to_bytes(off_size, "little") + bytes(data)
+            block += b"\x00" * (start_size - len(block))
+            root_addr = self.alloc(block)
+            cur_rows = 0
+        else:
+            # one message per direct block, honoring the doubling table:
+            # rows 0/1 at start_size, row k >= 2 at start_size << (k-1)
+            kids = []
+            n_rows = (len(msgs) + table_width - 1) // table_width
+            row_base, row_size = 0, start_size
+            for i, m in enumerate(msgs):
+                row, col = i // table_width, i % table_width
+                if col == 0 and row > 0:
+                    row_base += table_width * row_size
+                    row_size = start_size if row < 2 else start_size << (row - 1)
+                voff = row_base + col * row_size
+                ids.append((voff + len(dblock_hdr) + off_size, len(m)))
+                blk = dblock_hdr + voff.to_bytes(off_size, "little") + m
+                blk += b"\x00" * (row_size - len(blk))
+                kids.append(self.alloc(blk))
+            entries = b""
+            for k in range(n_rows * table_width):
+                entries += struct.pack(
+                    "<Q", kids[k] if k < len(kids) else UNDEF
+                )
+            root_addr = self.alloc(
+                b"FHIB"
+                + struct.pack("<B", 0)
+                + struct.pack("<Q", 0)
+                + (0).to_bytes(off_size, "little")
+                + entries
+                + struct.pack("<I", 0)  # checksum (unverified)
+            )
+            cur_rows = n_rows
+
+        # FRHP header (142 bytes + checksum)
+        frhp = bytearray()
+        frhp += b"FRHP"
+        frhp += struct.pack("<BHHB", 0, heap_id_len, 0, 0)  # ver,idlen,filt,flags
+        frhp += struct.pack("<I", 2048)  # max managed object size
+        frhp += struct.pack("<Q", 0)  # next huge id
+        frhp += struct.pack("<Q", UNDEF)  # huge bt2
+        frhp += struct.pack("<QQ", 0, UNDEF)  # free space, fs mgr
+        frhp += struct.pack("<QQQQ", 4096, 4096, 0, len(msgs))  # managed
+        frhp += struct.pack("<QQQQ", 0, 0, 0, 0)  # huge/tiny sizes+counts
+        frhp += struct.pack("<H", table_width)
+        frhp += struct.pack("<QQ", start_size, max_direct)
+        frhp += struct.pack("<H", off_size * 8)  # max heap size (bits)
+        frhp += struct.pack("<H", 1)  # starting rows in root indirect
+        frhp += struct.pack("<Q", root_addr)
+        frhp += struct.pack("<H", cur_rows)
+        frhp += struct.pack("<I", 0)  # checksum (unverified)
+        fheap_addr = self.alloc(bytes(frhp))
+
+        # depth-0 v2 B-tree: header + one leaf with all records
+        rec_size = 4 + heap_id_len
+        leaf = bytearray(b"BTLF" + struct.pack("<BB", 0, 5))
+        for (voff, ln), (name, _a) in zip(ids, self.vars):
+            leaf += struct.pack("<I", 0)  # name hash (unused by reader)
+            leaf += bytes([0])  # managed object id, version 0
+            leaf += voff.to_bytes(off_size, "little")
+            leaf += ln.to_bytes(len_size, "little")
+        leaf += struct.pack("<I", 0)  # checksum
+        leaf_addr = self.alloc(bytes(leaf))
+        bthd = (
+            b"BTHD"
+            + struct.pack("<BB", 0, 5)
+            + struct.pack("<I", 512)  # node size
+            + struct.pack("<HH", rec_size, 0)  # record size, depth
+            + struct.pack("<BB", 100, 40)  # split/merge percents
+            + struct.pack("<Q", leaf_addr)
+            + struct.pack("<H", len(ids))
+            + struct.pack("<Q", len(ids))
+            + struct.pack("<I", 0)  # checksum
+        )
+        bt2_addr = self.alloc(bthd)
+
+        link_info = struct.pack("<BB", 0, 0) + struct.pack(
+            "<QQ", fheap_addr, bt2_addr
+        )
+        root = self.alloc(_objheader([_msg(0x0002, link_info)]))
+        sb = bytearray()
+        sb += b"\x89HDF\r\n\x1a\n"
+        sb += struct.pack("<BBBxBBBxHHI", 0, 0, 0, 0, 8, 8, 4, 16, 0)
+        sb += struct.pack("<QQQQ", 0, UNDEF, len(self.buf), UNDEF)
+        sb += struct.pack("<QQI4x", 0, root, 0)  # root STE, no cached scratch
+        sb += struct.pack("<QQ", 0, 0)
+        self.buf[: len(sb)] = sb
+        with open(path, "wb") as f:
+            f.write(bytes(self.buf))
+
     def finish(self, path: str):
         # local heap: names from offset 8
         names = sorted(n for n, _ in self.vars)

@@ -317,3 +317,33 @@ def test_grid_ingest_from_hdf5(spark, nc4_file):
     last = rows[-1]
     assert last.y_idx == 12 and last.x_idx == 16
     assert abs(last.value - float(t2[12, 16])) < 1e-6
+
+
+@pytest.mark.parametrize("indirect", [False, True])
+def test_dense_link_storage_reads_like_symbol_table(tmp_path, indirect):
+    """DENSE group storage (fractal heap + depth-0 v2 B-tree name
+    index — what latest-format HDF5 writes past ~8 links): a 10-var
+    root group must read identically to the symbol-table layout, for
+    both a direct root block and a root indirect block whose rows are
+    direct blocks."""
+    rng = np.random.default_rng(7)
+    arrays = {
+        f"var{i:02d}": rng.normal(0.0, 1.0, (3, 4)) for i in range(10)
+    }
+    dense = FixtureWriter()
+    classic = FixtureWriter()
+    for name, arr in arrays.items():
+        dense.add_contiguous(name, arr, attrs=[("units", "K")])
+        classic.add_contiguous(name, arr, attrs=[("units", "K")])
+    pd_path = str(tmp_path / ("dense_i.nc" if indirect else "dense.nc"))
+    pc_path = str(tmp_path / "classic.nc")
+    dense.finish_dense(pd_path, indirect_root=indirect)
+    classic.finish(pc_path)
+    got = read_hdf5(pd_path)
+    want = read_hdf5(pc_path)
+    assert set(got["variables"]) == set(want["variables"]) == set(arrays)
+    for name in arrays:
+        np.testing.assert_array_equal(
+            got["variables"][name]["data"], want["variables"][name]["data"]
+        )
+        assert got["variables"][name]["attrs"] == {"units": "K"}

@@ -10,7 +10,10 @@ library writes with default settings (no h5py in this container):
 - v1 object headers (+ continuation blocks) and v2 ``OHDR`` headers
   with in-header link messages
 - group traversal via v1 B-trees + SNOD symbol nodes + local heaps,
-  and via v2 hard-link messages
+  via v2 hard-link messages, and via DENSE link storage (links as
+  fractal-heap objects — FRHP with a direct root or one level of
+  indirect block — indexed by a depth-0 v2 B-tree), the layout
+  latest-format HDF5 switches to past ~8 links per group
 - datasets: compact, contiguous, and chunked (v1 B-tree chunk index)
   layouts; deflate (zlib) and shuffle filters
 - datatypes: fixed-point ints, IEEE f4/f8 floats, fixed strings,
@@ -27,8 +30,9 @@ library writes with default settings (no h5py in this container):
 - vlen STRING attributes (netcdf-c ``NC_STRING`` — title/history
   style), resolved through the same global-heap path
 
-NOT supported (documented, raises cleanly): dense v2 link storage
-(fractal heap), vlen-typed DATASETS (vlen attributes are handled),
+NOT supported (documented, raises cleanly): nested indirect fractal-
+heap blocks and v2 B-trees deeper than one node (groups past ~370
+links), vlen-typed DATASETS (vlen attributes are handled),
 array-valued compound members, szip.  The returned dict matches ``read_netcdf``'s
 shape so the two scans are drop-in interchangeable;
 ``read_netcdf_any`` dispatches on the magic bytes.
@@ -372,7 +376,11 @@ class _Hdf5File:
     # -- groups --------------------------------------------------------
 
     def group_links(self, addr: int) -> dict[str, int]:
-        """name -> object header address for the group at ``addr``."""
+        """name -> object header address for the group at ``addr``.
+        Covers all three on-disk group flavors: old-style symbol-table
+        B-trees, compact in-header link messages, and DENSE storage
+        (links as fractal-heap objects indexed by a v2 B-tree — what
+        latest-format HDF5 writes once a group passes ~8 links)."""
         out: dict[str, int] = {}
         btree = heap = None
         for mtype, body, _size in self.messages(addr):
@@ -383,15 +391,116 @@ class _Hdf5File:
                 name, target = self._parse_link(body)
                 if target is not None:
                     out[name] = target
-            elif mtype == 0x0002:  # link info: dense storage unsupported
-                fheap = self.f.u(body + 2, 8)
+            elif mtype == 0x0002:  # link info -> dense storage
+                flags = self.buf[body + 1]
+                p = body + 2 + (8 if flags & 0x01 else 0)
+                fheap = self.f.u(p, 8)
+                name_bt2 = self.f.u(p + 8, 8)
                 if fheap != _UNDEF:
-                    raise Hdf5Error(
-                        "dense (fractal-heap) group storage not supported"
-                    )
+                    self._walk_dense_links(fheap, name_bt2, out)
         if btree is not None and btree != _UNDEF:
             self._walk_group_btree(btree, heap, out)
         return out
+
+    # -- dense link storage (fractal heap + v2 B-tree name index) ------
+
+    def _fractal_heap(self, addr: int):
+        """Parse a FRHP header -> (read_obj, heap_id_len, off_size,
+        len_size) where ``read_obj(virtual_offset)`` maps a managed
+        object's heap offset to its file position.  Supports a direct
+        root block and a root indirect block whose rows are all direct
+        blocks (covers heaps far beyond any real group's link count);
+        deeper nesting raises."""
+        buf, f = self.buf, self.f
+        if buf[addr:addr + 4] != b"FRHP":
+            raise Hdf5Error(f"expected FRHP at {addr:#x}")
+        heap_id_len = f.u(addr + 5, 2)
+        max_managed = f.u(addr + 10, 4)
+        table_width = f.u(addr + 110, 2)
+        start_size = f.u(addr + 112, 8)
+        max_direct = f.u(addr + 120, 8)
+        max_heap_bits = f.u(addr + 128, 2)
+        root_addr = f.u(addr + 132, 8)
+        cur_rows = f.u(addr + 140, 2)
+        off_size = (max_heap_bits + 7) // 8
+        len_size = (min(max_managed, max_direct).bit_length() + 7) // 8
+
+        if cur_rows == 0:  # root IS a single direct block at offset 0
+            if buf[root_addr:root_addr + 4] != b"FHDB":
+                raise Hdf5Error(f"expected FHDB at {root_addr:#x}")
+
+            def read_obj(voff: int) -> int:
+                return root_addr + voff
+
+            return read_obj, heap_id_len, off_size, len_size
+
+        # root indirect block: rows x width child entries
+        if buf[root_addr:root_addr + 4] != b"FHIB":
+            raise Hdf5Error(f"expected FHIB at {root_addr:#x}")
+        max_direct_rows = (
+            max_direct.bit_length() - start_size.bit_length() + 2
+        )
+        if cur_rows > max_direct_rows:
+            raise Hdf5Error("nested indirect fractal-heap blocks not supported")
+        entries_at = root_addr + 4 + 1 + 8 + off_size
+        rows = []  # (virtual_base, block_size, [child addrs])
+        vbase = 0
+        for k in range(cur_rows):
+            bsize = start_size if k < 2 else start_size << (k - 1)
+            kids = [
+                f.u(entries_at + (k * table_width + j) * 8, 8)
+                for j in range(table_width)
+            ]
+            rows.append((vbase, bsize, kids))
+            vbase += table_width * bsize
+
+        def read_obj(voff: int) -> int:
+            for base, bsize, kids in rows:
+                if voff < base + len(kids) * bsize:
+                    j = (voff - base) // bsize
+                    child = kids[j]
+                    if child == _UNDEF:
+                        raise Hdf5Error("object in unallocated heap block")
+                    if self.buf[child:child + 4] != b"FHDB":
+                        raise Hdf5Error(f"expected FHDB at {child:#x}")
+                    return child + (voff - base - j * bsize)
+            raise Hdf5Error(f"heap offset {voff} beyond root indirect block")
+
+        return read_obj, heap_id_len, off_size, len_size
+
+    def _bt2_leaf_records(self, addr: int):
+        """Yield raw records from a v2 B-tree (BTHD) of depth 0 — the
+        name-index shape for any group below ~370 links; deeper trees
+        raise (they would need the variable-width internal-node
+        pointers)."""
+        buf, f = self.buf, self.f
+        if buf[addr:addr + 4] != b"BTHD":
+            raise Hdf5Error(f"expected BTHD at {addr:#x}")
+        rec_size = f.u(addr + 10, 2)
+        depth = f.u(addr + 12, 2)
+        root = f.u(addr + 16, 8)
+        nrec = f.u(addr + 24, 2)
+        if depth != 0:
+            raise Hdf5Error("v2 B-tree depth > 0 not supported")
+        if buf[root:root + 4] != b"BTLF":
+            raise Hdf5Error(f"expected BTLF at {root:#x}")
+        p = root + 6
+        for _ in range(nrec):
+            yield buf[p:p + rec_size]
+            p += rec_size
+
+    def _walk_dense_links(self, fheap_addr: int, bt2_addr: int, out: dict):
+        read_obj, heap_id_len, off_size, _len_size = self._fractal_heap(
+            fheap_addr
+        )
+        for rec in self._bt2_leaf_records(bt2_addr):
+            hid = rec[4:4 + heap_id_len]  # after the 4-byte name hash
+            if (hid[0] >> 4) & 0x3 != 0:
+                raise Hdf5Error("huge/tiny fractal-heap objects not supported")
+            voff = int.from_bytes(hid[1:1 + off_size], "little")
+            name, target = self._parse_link(read_obj(voff))
+            if target is not None:
+                out[name] = target
 
     def _parse_link(self, body: int):
         buf = self.buf
