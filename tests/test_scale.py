@@ -114,8 +114,11 @@ def test_dedup_pipeline_200k_docs(spark):
     # pairs per cluster = 200k true pairs; a quadratic candidate
     # blow-up would be orders of magnitude larger
     assert 0 < n_pairs <= 300_000, n_pairs
+    # the self-healing path at scale: start under-provisioned (rounds=1
+    # cannot converge even a 3-chain) and let the exact convergence
+    # check escalate — same contract the gate row uses
     labels, unmerged = label_components(
-        docs.select("doc_id"), pairs, "doc_id", rounds=4
+        docs.select("doc_id"), pairs, "doc_id", rounds=1, auto_escalate=3
     )
     joined = labels.join(docs.select("doc_id", "gid"), "doc_id")
     agg = joined.groupBy("gid").agg(

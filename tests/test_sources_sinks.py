@@ -206,6 +206,26 @@ def test_write_geoparquet_roundtrip_with_crs_metadata(spark, tmp_path):
     assert n == 2 and nb > 9
 
 
+def test_read_geoparquet_bbox_filter(spark, tmp_path):
+    """The bbox convenience on read: intersection semantics against the
+    covering columns (touching counts), applied before anything else."""
+    from wrf_to_geodataframe_spark.sources.geopackage import (
+        read_geoparquet,
+        write_geoparquet,
+    )
+
+    rows = [
+        (i, [[float(i), 0.0], [i + 1.0, 0.0], [i + 1.0, 1.0], [float(i), 1.0]])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "cell_id long, geom array<array<double>>")
+    out = str(tmp_path / "bb.geoparquet")
+    write_geoparquet(df, out)
+    back, _ = read_geoparquet(spark, out, bbox=(5.5, 0.0, 8.0, 0.5))
+    # cells [5,6], [6,7], [7,8], [8,9] intersect x-range [5.5, 8.0]
+    assert {r.cell_id for r in back.collect()} == {5, 6, 7, 8}
+
+
 def test_read_geoparquet_meta_from_geo_footer_only(spark, tmp_path):
     """A third-party GeoParquet file carries only the 'geo' footer key,
     no Spark field metadata — read_geoparquet must still recover it."""

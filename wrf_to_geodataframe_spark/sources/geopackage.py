@@ -307,19 +307,33 @@ def write_geoparquet(
         stamp_geo_footer(path, geo_meta)
 
 
-def read_geoparquet(spark, path: str, geom_col: str = "geometry"):
+def read_geoparquet(spark, path: str, geom_col: str = "geometry", bbox=None):
     """Read a :func:`write_geoparquet` dataset -> (DataFrame, geo meta
     dict or None).  Geometry stays WKB; :func:`parse_polygon_wkb`
     recovers vertex arrays.  Metadata is taken from the Spark field
     metadata, falling back to the standard ``geo`` parquet footer key
-    (so third-party GeoParquet files read too).  Filter on
-    ``bbox.xmin``/... before anything else: the predicate reaches the
-    parquet scan and prunes row groups on min/max statistics."""
+    (so third-party GeoParquet files read too).
+
+    ``bbox=(xmin, ymin, xmax, ymax)`` applies the covering-column
+    intersection filter FIRST, so the nested predicates reach the
+    parquet scan and prune row groups on min/max statistics (pinned by
+    ``tests/test_plans.py``) — the one-liner form of the engine's P4
+    design rule for spatial reads at scale."""
     import glob
     import json
     import os
 
+    from pyspark.sql import functions as F
+
     df = spark.read.parquet(path)
+    if bbox is not None:
+        xmin, ymin, xmax, ymax = bbox
+        df = df.filter(
+            (F.col("bbox.xmax") >= xmin)
+            & (F.col("bbox.xmin") <= xmax)
+            & (F.col("bbox.ymax") >= ymin)
+            & (F.col("bbox.ymin") <= ymax)
+        )
     meta = None
     for f in df.schema.fields:
         if f.name == geom_col and f.metadata and "geoparquet" in f.metadata:
