@@ -1835,11 +1835,15 @@ def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
 
-    # decontamination: benchmark split out, contaminated train docs out
+    # decontamination: benchmark split out, contaminated train docs out.
+    # clean is persisted: it feeds BOTH the dedup-keepers aggregate and
+    # the join against them — without the cache the whole upstream
+    # (quality -> repetition -> scrub -> decontam anti-join) computes
+    # twice.  Doc-count rows, narrow manifest columns.
     contaminated = _decontam_evidence(docs).select("doc_id")
     clean = scrub.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0).join(
         contaminated, "doc_id", "left_anti"
-    )
+    ).persist()
 
     # exact dedup keyed on the SCRUBBED content
     keepers = clean.groupBy("scrubbed_md5").agg(
