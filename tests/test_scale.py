@@ -335,3 +335,131 @@ def test_mixture_1m_docs_1000x_source_skew(spark):
         f"ratio={ratio:.1f} wall={wall:.1f}s"
     )
     assert wall < 180, wall
+
+
+@slow
+def test_curate_v2_200k_docs_planted_classes(spark, tmp_path):
+    """The COMPOSED curation pipeline at 200k docs with planted bad
+    classes — short (quality), looped (repetition), benchmark-
+    contaminated (decontam), and exact-duplicate pairs (dedup) — whose
+    output must match an EXACT driver-side reference replay of all six
+    stages (every class mask, the keeper rule, and the integer quota
+    formula recomputed independently in numpy/hashlib).  Pins that the
+    composition, not just each stage, is correct at 40x the gate
+    corpus, with a skewed source distribution."""
+    import hashlib
+    import math
+    import time
+
+    from wrf_to_geodataframe_spark.suite.pipeline import curate_v2
+
+    n_docs = 200_000
+    target = 5_000
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel"
+    eval_mod = 7
+
+    doc_id = F.col("id")
+    r = doc_id % 100
+    # dup pairs: ids ≡6 and ≡8 (mod 100) share a century-keyed base
+    # text (namespaced so it cannot collide with any doc's OWN key)
+    base_key = F.when(
+        (r == 6) | (r == 8),
+        F.concat(F.lit("dup:"), (doc_id / 100).cast("long").cast("string")),
+    ).otherwise(doc_id.cast("string"))
+    words = [
+        F.substring(F.md5(F.concat(base_key, F.lit(f":w{j}"))), 1, 8)
+        for j in range(50)
+    ]
+    base50 = F.concat_ws(" ", *words)
+    contam = (
+        (doc_id % 4999 == 17) & (doc_id % eval_mod != 0) & (r != 1) & (r != 2)
+    )
+    eval_carrier = doc_id % 35_000 == 0  # all ≡ 0 (mod 7): 6 docs
+    text = (
+        F.when(r == 1, F.lit("tiny doc here"))
+        .when(r == 2, F.concat_ws(" ", *([F.lit("lo"), F.lit("op")] * 30)))
+        .when(contam | eval_carrier, F.concat(base50, F.lit(" " + passage)))
+        .otherwise(base50)
+    )
+    source = (
+        F.when(doc_id < 120_000, F.lit("big"))
+        .otherwise(F.concat(F.lit("s"), ((doc_id - 120_000) / 10_000).cast("long")))
+    )
+    synth = spark.range(n_docs).select(
+        doc_id.alias("doc_id"),
+        F.lit("en").alias("lang"),
+        source.alias("source"),
+        text.alias("text"),
+    )
+    # materialize the corpus: the pipeline's contract is a SCANNED
+    # table (leaving the 50-md5 synthesis expression in-plan would
+    # re-inline it into every downstream token/shingle/regex
+    # expression — a known Catalyst collapse-projection blowup, and
+    # not the shape any real corpus has)
+    src_dir = str(tmp_path / "curate_corpus")
+    synth.repartition(32).write.parquet(src_dir)
+    docs = spark.read.parquet(src_dir)
+
+    t0 = time.time()
+    rows = curate_v2(docs, target).collect()
+    wall = time.time() - t0
+    spark.catalog.clearCache()
+
+    # ---- exact reference replay (numpy + hashlib, no Spark) ----
+    ids = np.arange(n_docs)
+    rr = ids % 100
+    is_short = rr == 1
+    is_loopy = rr == 2
+    is_eval = ids % eval_mod == 0
+    is_contam = (ids % 4999 == 17) & ~is_eval & ~is_short & ~is_loopy
+    # a dup-pair member whose twin fell into the EVAL split shares all
+    # its base shingles with a benchmark doc — decontam rightly flags
+    # it (contamination through duplication, a real failure mode)
+    cross_contam = (
+        ((rr == 6) & ~is_eval & ((ids + 2) % eval_mod == 0))
+        | ((rr == 8) & ~is_eval & ((ids - 2) % eval_mod == 0))
+    )
+    is_contam = is_contam | cross_contam
+    # clean = quality ∧ repetition ∧ train-split ∧ not contaminated
+    clean = ~is_short & ~is_loopy & ~is_eval & ~is_contam
+    # exact dedup on scrubbed content: ids ≡8 share their century
+    # partner's text when BOTH are clean and NEITHER carries planted
+    # PII differences (no %5 email for ≡6/≡8; %7 url only on eval)
+    partner = ids - 2
+    dup_loser = (rr == 8) & clean & np.isin(partner, ids[clean & (rr == 6)])
+    survivor = clean & ~dup_loser
+
+    src = np.where(
+        ids < 120_000, "big",
+        np.char.add("s", ((ids - 120_000) // 10_000).astype(str)),
+    )
+    sources = sorted(set(src))
+    n_s = {s: int((survivor & (src == s)).sum()) for s in sources}
+    w_s = {s: math.floor(math.sqrt(n_s[s]) * 1_000_000) for s in sources}
+    w_tot = sum(w_s.values())
+    quota = {s: target * w_s[s] // w_tot for s in sources}
+
+    def h60(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    expected = {}
+    for s in sources:
+        sids = sorted((h60(int(i)), int(i)) for i in ids[survivor & (src == s)])
+        for rk, (_h, i) in enumerate(sids[: quota[s]], start=1):
+            expected[i] = (s, rk, quota[s])
+
+    got = {r_.doc_id: (r_.source, r_.rk, r_.quota) for r_ in rows}
+    n_exp_tokens = {r_.doc_id: r_.n_tokens for r_ in rows}
+    assert got == expected, (
+        len(got), len(expected),
+        sorted(set(got) ^ set(expected))[:10],
+    )
+    # every drawn doc is a plain 50-word base text (all planted classes
+    # were filtered upstream)
+    for i in list(expected)[:50]:
+        assert n_exp_tokens[i] == 50
+    print(
+        f"200k curate_v2: drawn={len(got)} sources={ {s: quota[s] for s in sources} } "
+        f"wall={wall:.1f}s"
+    )
+    assert wall < 360, wall

@@ -1754,6 +1754,14 @@ def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     static ``rk <= _CURATE2_TARGET`` pre-filter so the window plans a
     partial WindowGroupLimit below its exchange."""
     docs = load_table(spark, sf_dir, "documents")
+    return curate_v2(docs, _CURATE2_TARGET)
+
+
+def curate_v2(docs: DataFrame, target: int) -> DataFrame:
+    """The six-stage curation pass over an arbitrary (doc_id, lang,
+    source, text) frame — shared by the gate query above and the
+    200k-doc planted-classes scale test so the composed semantics
+    cannot drift between them (the minhash_verified_pairs pattern)."""
     text = F.col("text")
     toks = tokens(text)
     n_words = F.size(toks).cast("long")
@@ -1857,7 +1865,7 @@ def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = weights.agg(F.sum("w_s").alias("w_tot"))
     quotas = weights.crossJoin(F.broadcast(tot)).select(
         "source",
-        F.expr(f"{_CURATE2_TARGET} * w_s div w_tot").alias("quota"),
+        F.expr(f"{target} * w_s div w_tot").alias("quota"),
     )
     rk = F.row_number().over(
         Window.partitionBy("source").orderBy(
@@ -1873,7 +1881,7 @@ def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_urls",
         "scrubbed_md5",
         rk.cast("long").alias("rk"),
-    ).filter(F.col("rk") <= _CURATE2_TARGET)
+    ).filter(F.col("rk") <= target)
     return ranked.join(F.broadcast(quotas), "source").filter(
         F.col("rk") <= F.col("quota")
     ).select(
