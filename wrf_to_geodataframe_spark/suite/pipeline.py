@@ -2843,6 +2843,13 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # the codec is CPU-bound Python inside Arrow batches: spread it over
+    # every worker even when the input is one small parquet split (at
+    # 100 TB the scan yields thousands of splits and this hash exchange
+    # is noise next to the per-image work)
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     out = decode_images(encode_images(attach_fake_image(docs)))
     return out.select(
         "doc_id", "width", "height", "channels", F.hex("pixels").alias("pixels_hex")
@@ -2879,6 +2886,11 @@ def multimodal_decode_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # spread the CPU-bound Python codec over every worker (see
+    # multimodal_decode's repartition note)
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     w = (F.lit(16) + F.col("doc_id") % 5).cast("long")
     h = (F.lit(16) + F.col("doc_id") % 7).cast("long")
     # 55 blocks x 16 bytes = 880 = 2 * (20 * 22): covers 16-bit's
