@@ -1,0 +1,114 @@
+"""Baseline JPEG codec goldens (sources/jpeg.py): the bit-exact
+constant-even-tile corner the gate row builds on, PSNR envelopes for
+the lossy general path, determinism, restart markers, subsampling, and
+spec-corner rejections."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+
+from wrf_to_geodataframe_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 10 * np.log10(255**2 / mse) if mse else float("inf")
+
+
+def _gradient(h: int, w: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((yy * 2 + xx) % 256).astype(np.uint8)
+
+
+def test_constant_even_tiles_round_trip_bit_exact():
+    """The analytic corner: constant 8x8 blocks with EVEN values decode
+    byte-identically in grayscale (DC quantization at step 16 is exact,
+    every AC quantizes to zero) — the property the oracle-checked gate
+    row states in closed form."""
+    w, h = 24, 32
+    img = np.zeros((h, w), np.uint8)
+    for bi in range((w // 8) * (h // 8)):
+        by, bx = divmod(bi, w // 8)
+        v = hashlib.md5(f"tile{bi}".encode()).digest()[0] & 0xFE
+        img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = v
+    data = encode_jpeg(img.tobytes(), w, h, 1)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert decode_jpeg(data) == (w, h, 1, img.tobytes())
+
+
+@pytest.mark.parametrize("quality,floor", [(50, 40), (75, 45), (90, 50)])
+def test_grayscale_psnr_envelope(quality, floor):
+    img = _gradient(64, 48)
+    _, _, _, out = decode_jpeg(
+        encode_jpeg(img.tobytes(), 48, 64, 1, quality=quality)
+    )
+    assert _psnr(img, np.frombuffer(out, np.uint8).reshape(64, 48)) >= floor
+
+
+@pytest.mark.parametrize("subsample,floor", [(False, 35), (True, 30)])
+def test_color_round_trip_psnr(subsample, floor):
+    g = _gradient(64, 48)
+    rgb = np.stack([g, 255 - g, np.roll(g, 7)], axis=-1)
+    gw, gh, gc, out = decode_jpeg(
+        encode_jpeg(rgb.tobytes(), 48, 64, 3, quality=75, subsample=subsample)
+    )
+    assert (gw, gh, gc) == (48, 64, 3)
+    assert _psnr(rgb, np.frombuffer(out, np.uint8).reshape(64, 48, 3)) >= floor
+
+
+def test_encode_decode_deterministic():
+    img = _gradient(40, 24)
+    d1 = encode_jpeg(img.tobytes(), 24, 40, 1)
+    d2 = encode_jpeg(img.tobytes(), 24, 40, 1)
+    assert d1 == d2
+    assert decode_jpeg(d1) == decode_jpeg(d2)
+
+
+def test_restart_markers_round_trip():
+    img = _gradient(64, 48)
+    plain = decode_jpeg(encode_jpeg(img.tobytes(), 48, 64, 1))
+    with_rst = decode_jpeg(
+        encode_jpeg(img.tobytes(), 48, 64, 1, restart_interval=3)
+    )
+    assert plain == with_rst
+
+
+def test_non_multiple_of_8_dimensions():
+    img = _gradient(61, 45)
+    gw, gh, gc, out = decode_jpeg(
+        encode_jpeg(img.tobytes(), 45, 61, 1, quality=90)
+    )
+    assert (gw, gh, gc) == (45, 61, 1)
+    assert _psnr(img, np.frombuffer(out, np.uint8).reshape(61, 45)) >= 45
+
+
+def test_rejections_name_the_feature():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00" * 16)
+    # progressive (SOF2) rejection: splice a minimal SOF2 after SOI
+    sof2 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    blob = (
+        b"\xff\xd8"
+        + b"\xff\xc2"
+        + struct.pack(">H", len(sof2) + 2)
+        + sof2
+    )
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(blob)
+    with pytest.raises(ValueError, match="channels"):
+        encode_jpeg(b"\x00" * 32, 4, 4, 2)
+    with pytest.raises(ValueError, match="bytes"):
+        encode_jpeg(b"\x00" * 10, 4, 4, 1)
+
+
+def test_all_gray_levels_stay_close():
+    # a ramp touching every level: quality 90 keeps max error tiny and
+    # the decoder clamps instead of wrapping at the range edges
+    img = np.tile(np.arange(256, dtype=np.uint8), (8, 1))
+    _, _, _, out = decode_jpeg(encode_jpeg(img.tobytes(), 256, 8, 1, quality=90))
+    got = np.frombuffer(out, np.uint8).reshape(8, 256)
+    assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 6

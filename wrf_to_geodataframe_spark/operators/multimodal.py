@@ -252,6 +252,43 @@ def encode_images(with_image: DataFrame, cycle_filters: bool = True) -> DataFram
     return with_image.mapInPandas(_batches, PNG_SCHEMA)
 
 
+def encode_images_jpeg_tiles(base: DataFrame) -> DataFrame:
+    """Encode per-doc constant-tile grayscale JPEGs inside Arrow
+    batches: the input carries (doc_id, width, height, raw) with width/
+    height multiples of 8 and one byte per 8x8 block in ``raw``; each
+    block is filled with its byte value FORCED EVEN (``& 0xFE``) — the
+    codec's bit-exact corner (see ``sources/jpeg.py``), so the decoded
+    pixels have a closed-form the oracle can state."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from wrf_to_geodataframe_spark.sources.jpeg import encode_jpeg
+
+        for pdf in it:
+            outs = []
+            for w, h, raw in zip(pdf["width"], pdf["height"], pdf["raw"]):
+                w, h, raw = int(w), int(h), bytes(raw)
+                bw = w // 8
+                img = np.zeros((h, w), np.uint8)
+                for bi in range(bw * (h // 8)):
+                    by, bx = divmod(bi, bw)
+                    img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = (
+                        raw[bi] & 0xFE
+                    )
+                outs.append(encode_jpeg(img.tobytes(), w, h, 1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pdf["width"].astype("int64"),
+                    "height": pdf["height"].astype("int64"),
+                    "png": outs,
+                }
+            )
+
+    return base.mapInPandas(_batches, PNG_SCHEMA)
+
+
 # deterministic 16-color palette shared with the oracle SQL literal in
 # suite/pipeline.py (color k = first 3 md5 bytes of "pal:k")
 def _mm_palette() -> list[bytes]:
@@ -313,17 +350,27 @@ def encode_images_formats(with_image: DataFrame) -> DataFrame:
 
 
 def decode_images(with_png: DataFrame) -> DataFrame:
-    """Decode a PNG binary column back to pixel buffers + dimensions
-    read from the IHDR (NOT trusted from the input columns) inside
-    Arrow batches."""
+    """Decode an image binary column back to pixel buffers + dimensions
+    read from the container header (NOT trusted from the input columns)
+    inside Arrow batches.  Dispatches on magic bytes — PNG signature ->
+    ``sources/png.py``, JPEG SOI -> ``sources/jpeg.py`` — the mixed-
+    format shape of a real crawl corpus."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from wrf_to_geodataframe_spark.sources.jpeg import decode_jpeg
         from wrf_to_geodataframe_spark.sources.png import decode_png
+
+        def _decode(b: bytes):
+            if b[:8] == b"\x89PNG\r\n\x1a\n":
+                return decode_png(b)
+            if b[:2] == b"\xff\xd8":
+                return decode_jpeg(b)
+            raise ValueError("unknown image container (not PNG/JPEG)")
 
         for pdf in it:
             ws, hs, cs, pxs = [], [], [], []
             for blob in pdf["png"]:
-                w, h, c, px = decode_png(bytes(blob))
+                w, h, c, px = _decode(bytes(blob))
                 ws.append(w)
                 hs.append(h)
                 cs.append(c)

@@ -1,0 +1,597 @@
+"""Pure-Python/numpy baseline JPEG codec (stdlib + numpy only — the
+container has no pillow/cv2/libjpeg; companion to ``sources/png.py``).
+
+Scope — baseline sequential DCT JPEG (JFIF), the encoding that
+dominates real web-crawl corpora:
+
+- Decoder: SOI/APP*/COM/DQT/SOF0/DHT/DRI/SOS/EOI marker stream,
+  grayscale and 3-component YCbCr with sampling factors up to 2x2
+  (4:4:4, 4:2:2, 4:2:0), byte stuffing, restart markers, canonical
+  Huffman tables rebuilt from their (bits, values) wire form.
+  Progressive (SOF2), arithmetic coding, and 12-bit depth raise
+  ``ValueError`` naming the feature.
+- Encoder: grayscale or YCbCr 4:4:4 / 4:2:0, the JPEG spec's Annex-K
+  example quantization + Huffman tables (scaled by a quality factor),
+  optional restart intervals.  Output is a valid JFIF stream the
+  decoder round-trips.
+- All quantization uses DETERMINISTIC round-half-away-from-zero, so
+  encode -> decode is bit-reproducible across machines.
+
+Exactness corner the gate row builds on: a constant 8x8 block with an
+EVEN sample value survives the whole pipeline bit-exactly in grayscale
+(DC = 8*(v-128) is float-exact, (v-128)/2 is an exact integer so
+quantization at the luminance table's DC step 16 has no .5 boundary,
+and the flat inverse DCT reproduces v) — so structured test images
+have a closed-form decode the DuckDB oracle can state analytically,
+while the general lossy path is pinned by PSNR and determinism goldens
+in pytest.
+
+Runs INSIDE Arrow ``mapInPandas`` batches like the PNG codec — one
+Python worker per core transcodes a whole batch of payloads.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Spec tables (JPEG Annex K examples — public standard)
+
+# zigzag scan: ZIGZAG[i] = raster position of the i-th scanned coefficient
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]).reshape(8, 8)
+
+Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]).reshape(8, 8)
+
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# orthonormal 8-point DCT-II basis: dct2(b) = C @ b @ C.T
+_C = np.array(
+    [
+        [
+            math.sqrt((1.0 if k == 0 else 2.0) / 8.0)
+            * math.cos((2 * n + 1) * k * math.pi / 16.0)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+
+def _quant(D: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """Deterministic round-half-away-from-zero quantization."""
+    return (np.sign(D) * np.floor(np.abs(D) / Q + 0.5)).astype(np.int32)
+
+
+def _build_codes(bits, vals) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: symbol -> (code, length)."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode(bits, vals) -> dict[tuple[int, int], int]:
+    """Canonical Huffman: (length, code) -> symbol."""
+    out = {}
+    for sym, (code, length) in _build_codes(bits, vals).items():
+        out[(length, code)] = sym
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+class _BitReader:
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:  # stuffed byte
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # restart marker reached mid-fill
+                raise _RestartPending()
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                )
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Skip to just after the next RSTn marker, resetting bit state."""
+        self.acc = 0
+        self.n = 0
+        while True:
+            if (
+                self.buf[self.pos] == 0xFF
+                and 0xD0 <= self.buf[self.pos + 1] <= 0xD7
+            ):
+                self.pos += 2
+                return
+            self.pos += 1
+
+
+class _RestartPending(Exception):
+    pass
+
+
+def _decode_huff(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("corrupt JPEG: invalid Huffman code")
+
+
+def _amplitude(v: int) -> tuple[int, int]:
+    """-> (size category, amplitude bits) per the spec's signed coding."""
+    s = int(abs(v)).bit_length()
+    bits = v if v >= 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _extend(bits: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+# --------------------------------------------------------------------------
+# Encoder
+
+
+def _scaled_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG-style quality scaling of the Annex-K tables (50 = as-is)."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((Q_LUMA * scale + 50) // 100, 1, 255)
+    qc = np.clip((Q_CHROMA * scale + 50) // 100, 1, 255)
+    return ql.astype(np.int32), qc.astype(np.int32)
+
+
+def _encode_block(
+    w: _BitWriter,
+    block: np.ndarray,
+    Q: np.ndarray,
+    dc_codes,
+    ac_codes,
+    pred: int,
+) -> int:
+    D = _C @ (block.astype(np.float64) - 128.0) @ _C.T
+    q = _quant(D, Q).reshape(-1)[ZIGZAG]
+    # DC difference
+    diff = int(q[0]) - pred
+    s, bits = _amplitude(diff)
+    code, ln = dc_codes[s]
+    w.write(code, ln)
+    w.write(bits, s)
+    # AC run-length coding
+    run = 0
+    for i in range(1, 64):
+        v = int(q[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        s, bits = _amplitude(v)
+        code, ln = ac_codes[(run << 4) | s]
+        w.write(code, ln)
+        w.write(bits, s)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]  # EOB
+        w.write(code, ln)
+    return int(q[0])
+
+
+def _dht_segment(tc: int, th: int, bits, vals) -> bytes:
+    payload = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _dqt_segment(tq: int, Q: np.ndarray) -> bytes:
+    payload = bytes([tq]) + bytes(int(Q.reshape(-1)[ZIGZAG][i]) for i in range(64))
+    return b"\xff\xdb" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def encode_jpeg(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    quality: int = 50,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode interleaved 8-bit pixels as baseline JFIF.
+
+    ``channels`` 1 (grayscale) or 3 (RGB -> YCbCr).  ``subsample=True``
+    uses 4:2:0 chroma (2x2 mean); otherwise 4:4:4.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs."""
+    if channels not in (1, 3):
+        raise ValueError(f"channels must be 1 or 3, got {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, want {width * height * channels}"
+        )
+    ql, qc = _scaled_tables(quality)
+    img = np.frombuffer(bytes(pixels), np.uint8).reshape(
+        height, width, channels
+    ).astype(np.float64)
+    if channels == 3:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    else:
+        planes = [img[..., 0]]
+        subsample = False
+
+    hmax = 2 if subsample else 1
+    # sampling factors per component
+    samp = [(hmax, hmax)] + [(1, 1)] * (len(planes) - 1)
+    mcu_w, mcu_h = 8 * hmax, 8 * hmax
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
+
+    def plane_for(ci: int) -> np.ndarray:
+        p = planes[ci]
+        if ci > 0 and subsample:
+            # pad to even dims, then 2x2 mean
+            ph = (p.shape[0] + 1) & ~1
+            pw = (p.shape[1] + 1) & ~1
+            pad = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), "edge")
+            p = (pad[0::2, 0::2] + pad[0::2, 1::2] + pad[1::2, 0::2] + pad[1::2, 1::2]) / 4.0
+        hs, vs = samp[ci]
+        need_h = mcus_y * 8 * vs
+        need_w = mcus_x * 8 * hs
+        return np.pad(
+            p,
+            ((0, need_h - p.shape[0]), (0, need_w - p.shape[1])),
+            "edge",
+        )
+
+    padded = [plane_for(ci) for ci in range(len(planes))]
+
+    dc_l = _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+    w = _BitWriter()
+    preds = [0] * len(planes)
+    entropy = bytearray()
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                w.flush()
+                entropy += w.out
+                entropy += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                w = _BitWriter()
+                preds = [0] * len(planes)
+            for ci, p in enumerate(padded):
+                hs, vs = samp[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        block = p[y0 : y0 + 8, x0 : x0 + 8]
+                        Q = ql if ci == 0 else qc
+                        dc = dc_l if ci == 0 else dc_c
+                        ac = ac_l if ci == 0 else ac_c
+                        preds[ci] = _encode_block(w, block, Q, dc, ac, preds[ci])
+            mcu_count += 1
+    w.flush()
+    entropy += w.out
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+        + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    )
+    out += _dqt_segment(0, ql)
+    if len(planes) > 1:
+        out += _dqt_segment(1, qc)
+    # SOF0
+    ncomp = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([ncomp])
+    for ci in range(ncomp):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += _dht_segment(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    if ncomp > 1:
+        out += _dht_segment(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += _dht_segment(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Decoder
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode baseline JFIF -> (width, height, channels, pixels) with
+    8-bit interleaved output (grayscale stays 1 channel, color decodes
+    to RGB)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    width = height = -1
+    comps: list[dict] = []
+    restart_interval = 0
+    while True:
+        if data[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG: expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before scan
+            raise ValueError("corrupt JPEG: EOI before SOS")
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("unsupported JPEG: 16-bit quant table")
+                tbl = np.zeros(64, np.int32)
+                tbl[ZIGZAG] = np.frombuffer(seg[p + 1 : p + 65], np.uint8)
+                qt[tq] = tbl.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                huff[(tc, th)] = _build_decode(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if seg[0] != 8:
+                raise ValueError(f"unsupported JPEG: {seg[0]}-bit samples")
+            height, width = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for i in range(ncomp):
+                cid, sf, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": sf >> 4, "v": sf & 0x0F, "tq": tq}
+                )
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                f"unsupported JPEG: SOF{marker - 0xC0} (progressive/extended)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS: scan setup then entropy data
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(c for c in comps if c["id"] == cs)
+                scan.append((comp, tt >> 4, tt & 0x0F))
+            pos += seglen
+            break
+        # APPn/COM/unknown: skip
+        pos += seglen
+
+    if not comps or width < 0:
+        raise ValueError("corrupt JPEG: missing SOF before SOS")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise ValueError("unsupported JPEG: sampling factors beyond 2x2")
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
+
+    planes = [
+        np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), np.float64)
+        for c in comps
+    ]
+    preds = [0] * len(comps)
+    r = _BitReader(data, pos)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                r.align_restart()
+                preds = [0] * len(comps)
+            for ci, (comp, td, ta) in enumerate(scan):
+                Q = qt[comp["tq"]]
+                dct = huff[(0, td)]
+                act = huff[(1, ta)]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        zz = np.zeros(64, np.int32)
+                        try:
+                            s = _decode_huff(r, dct)
+                            diff = _extend(r.read_bits(s), s)
+                            preds[ci] += diff
+                            zz[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _decode_huff(r, act)
+                                rrun, size = rs >> 4, rs & 0x0F
+                                if rs == 0x00:  # EOB
+                                    break
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                k += rrun
+                                if k > 63:
+                                    raise ValueError(
+                                        "corrupt JPEG: AC index overflow"
+                                    )
+                                zz[k] = _extend(r.read_bits(size), size)
+                                k += 1
+                        except _RestartPending as exc:  # pragma: no cover
+                            raise ValueError(
+                                "corrupt JPEG: restart inside MCU"
+                            ) from exc
+                        blk = np.zeros(64, np.float64)
+                        blk[ZIGZAG] = zz * Q.reshape(-1)[ZIGZAG]
+                        px = _C.T @ blk.reshape(8, 8) @ _C + 128.0
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_count += 1
+
+    # upsample to full resolution and crop
+    full = []
+    for c, p in zip(comps, planes):
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:height, :width])
+    if len(full) == 1:
+        out = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return width, height, 1, out.tobytes()
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rr = y + 1.402 * cr
+    gg = y - 0.344136 * cb - 0.714136 * cr
+    bb = y + 1.772 * cb
+    rgb = np.stack([rr, gg, bb], axis=-1)
+    out = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return width, height, 3, out.tobytes()

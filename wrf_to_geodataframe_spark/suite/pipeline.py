@@ -2926,6 +2926,66 @@ def multimodal_decode_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG round-trip on the hash path: per doc, a grayscale
+    image of constant 8x8 tiles (one md5-derived EVEN byte per block,
+    w/h multiples of 8) is encoded as a real JFIF stream and decoded
+    back by ``sources/jpeg.py`` through the mixed-format
+    ``decode_images`` dispatch.  Constant even-valued blocks are the
+    codec's bit-exact corner (DC quantization at step 16 has no .5
+    boundary, every AC quantizes to zero), so the oracle states the
+    decoded pixels in CLOSED FORM — per pixel, the block's chain byte
+    forced even — validating the Huffman DC chain, byte stuffing, EOB
+    path, dequantization and flat inverse DCT, not a codec
+    restatement.  The general lossy path is pinned by PSNR +
+    determinism goldens in pytest (no SQL engine can replay a float
+    DCT bit-for-bit)."""
+    from wrf_to_geodataframe_spark.operators.multimodal import (
+        decode_images,
+        encode_images_jpeg_tiles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    w = (F.lit(16) + (F.col("doc_id") % 2) * 8).cast("long")
+    h = (F.lit(16) + (F.col("doc_id") % 3) * 8).cast("long")
+    # one md5 block = 16 bytes >= the max (24/8)*(32/8) = 12 tiles
+    raw = F.unhex(F.md5(F.concat(F.col("text"), F.lit(":jb"))))
+    base = docs.select(
+        "doc_id", w.alias("width"), h.alias("height"), raw.alias("raw")
+    )
+    out = decode_images(encode_images_jpeg_tiles(base))
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.hex("pixels").alias("pixels_hex"),
+    )
+
+
+_MULTIMODAL_JPEG_SQL = """
+WITH g AS (
+    SELECT doc_id,
+           CAST(16 + (doc_id % 2) * 8 AS BIGINT) AS width,
+           CAST(16 + (doc_id % 3) * 8 AS BIGINT) AS height,
+           md5(text || ':jb') AS bh
+    FROM documents
+)
+SELECT doc_id, width, height, CAST(1 AS BIGINT) AS channels,
+       array_to_string(list_transform(
+           generate_series(0, CAST(width * height - 1 AS INT)),
+           i -> upper(lpad(hex(
+               (CAST(('0x' || substr(bh,
+                    2 * (((i // width) // 8) * (width // 8)
+                         + ((i % width) // 8)) + 1, 2)) AS INT) // 2) * 2),
+               2, '0'))), '') AS pixels_hex
+FROM g
+"""
+
+
 def _mm_palette_sql() -> str:
     from wrf_to_geodataframe_spark.operators.multimodal import MM_PALETTE
 
@@ -3011,6 +3071,7 @@ QUERIES = {
     "multimodal_resize": multimodal_resize,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_formats": multimodal_decode_formats,
+    "multimodal_decode_jpeg": multimodal_decode_jpeg,
     "multimodal_frame_sample": multimodal_frame_sample,
 }
 
@@ -3048,5 +3109,6 @@ ORACLE = {
     "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "multimodal_decode_formats": _MULTIMODAL_FORMATS_SQL,
+    "multimodal_decode_jpeg": _MULTIMODAL_JPEG_SQL,
     "multimodal_frame_sample": _MULTIMODAL_FRAME_SQL,
 }
