@@ -253,14 +253,16 @@ class FixtureWriter:
             msgs.append(self._dim_list_msg(dim_refs))
         self.vars.append((name, self.alloc(_objheader(msgs))))
 
-    def finish_dense(self, path: str, indirect_root: bool = False):
+    def finish_dense(
+        self, path: str, indirect_root: bool = False, bt_depth1: bool = False
+    ):
         """Write the file with the root group in DENSE link storage:
         one link message per variable stored as a fractal-heap managed
-        object, indexed by a depth-0 v2 B-tree — the layout
-        latest-format HDF5 uses past ~8 links.  ``indirect_root``
-        forces a root INDIRECT block whose row-0 children are direct
-        blocks (one link message per block) to exercise the
-        doubling-table path."""
+        object, indexed by a v2 B-tree — the layout latest-format HDF5
+        uses past ~8 links.  ``indirect_root`` forces a root INDIRECT
+        heap block whose rows are direct blocks (doubling-table path);
+        ``bt_depth1`` shrinks the B-tree node size so the name index
+        needs an internal root over multiple leaves (depth 1)."""
         off_size, len_size = 4, 2
         heap_id_len = 1 + off_size + len_size
         start_size, max_direct, table_width = 512, 4096, 4
@@ -332,24 +334,61 @@ class FixtureWriter:
         frhp += struct.pack("<I", 0)  # checksum (unverified)
         fheap_addr = self.alloc(bytes(frhp))
 
-        # depth-0 v2 B-tree: header + one leaf with all records
+        # v2 B-tree name index
         rec_size = 4 + heap_id_len
-        leaf = bytearray(b"BTLF" + struct.pack("<BB", 0, 5))
+        recs = []
         for (voff, ln), (name, _a) in zip(ids, self.vars):
-            leaf += struct.pack("<I", 0)  # name hash (unused by reader)
-            leaf += bytes([0])  # managed object id, version 0
-            leaf += voff.to_bytes(off_size, "little")
-            leaf += ln.to_bytes(len_size, "little")
-        leaf += struct.pack("<I", 0)  # checksum
-        leaf_addr = self.alloc(bytes(leaf))
+            recs.append(
+                struct.pack("<I", 0)  # name hash (unused by reader)
+                + bytes([0])  # managed object id, version 0
+                + voff.to_bytes(off_size, "little")
+                + ln.to_bytes(len_size, "little")
+            )
+        if not bt_depth1:
+            node_size, depth = 512, 0
+            leaf = (
+                b"BTLF"
+                + struct.pack("<BB", 0, 5)
+                + b"".join(recs)
+                + struct.pack("<I", 0)
+            )
+            root_bt, root_nrec = self.alloc(leaf), len(recs)
+        else:
+            node_size, depth = 64, 1
+            max_leaf = (node_size - 10) // rec_size
+            leaves, seps = [], []
+            rest = list(recs)
+            while rest:
+                leaves.append(rest[:max_leaf])
+                rest = rest[max_leaf:]
+                if rest:
+                    seps.append(rest[0])
+                    rest = rest[1:]
+            if len(leaves) == len(seps):  # separator consumed the tail
+                leaves.append([])
+            leaf_addrs = [
+                self.alloc(
+                    b"BTLF"
+                    + struct.pack("<BB", 0, 5)
+                    + b"".join(lr)
+                    + struct.pack("<I", 0)
+                )
+                for lr in leaves
+            ]
+            btin = bytearray(b"BTIN" + struct.pack("<BB", 0, 5))
+            btin += b"".join(seps)
+            for a, lr in zip(leaf_addrs, leaves):
+                btin += struct.pack("<Q", a) + bytes([len(lr)])
+            btin += struct.pack("<I", 0)  # checksum
+            root_bt, root_nrec = self.alloc(bytes(btin)), len(seps)
         bthd = (
             b"BTHD"
             + struct.pack("<BB", 0, 5)
-            + struct.pack("<I", 512)  # node size
-            + struct.pack("<HH", rec_size, 0)  # record size, depth
+            + struct.pack("<I", node_size)
+            + struct.pack("<HH", rec_size, depth)
             + struct.pack("<BB", 100, 40)  # split/merge percents
-            + struct.pack("<Q", leaf_addr)
-            + struct.pack("<H", len(ids))
+            + struct.pack("<Q", root_bt)
+            + struct.pack("<H", root_nrec)
             + struct.pack("<Q", len(ids))
             + struct.pack("<I", 0)  # checksum
         )

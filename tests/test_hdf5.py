@@ -319,13 +319,16 @@ def test_grid_ingest_from_hdf5(spark, nc4_file):
     assert abs(last.value - float(t2[12, 16])) < 1e-6
 
 
-@pytest.mark.parametrize("indirect", [False, True])
-def test_dense_link_storage_reads_like_symbol_table(tmp_path, indirect):
+@pytest.mark.parametrize(
+    "indirect,depth1", [(False, False), (True, False), (False, True)]
+)
+def test_dense_link_storage_reads_like_symbol_table(tmp_path, indirect, depth1):
     """DENSE group storage (fractal heap + depth-0 v2 B-tree name
     index — what latest-format HDF5 writes past ~8 links): a 10-var
-    root group must read identically to the symbol-table layout, for
-    both a direct root block and a root indirect block whose rows are
-    direct blocks."""
+    root group must read identically to the symbol-table layout —
+    for a direct root heap block, a root indirect block whose rows
+    are direct blocks, and a depth-1 B-tree (internal root over
+    multiple leaves)."""
     rng = np.random.default_rng(7)
     arrays = {
         f"var{i:02d}": rng.normal(0.0, 1.0, (3, 4)) for i in range(10)
@@ -335,9 +338,9 @@ def test_dense_link_storage_reads_like_symbol_table(tmp_path, indirect):
     for name, arr in arrays.items():
         dense.add_contiguous(name, arr, attrs=[("units", "K")])
         classic.add_contiguous(name, arr, attrs=[("units", "K")])
-    pd_path = str(tmp_path / ("dense_i.nc" if indirect else "dense.nc"))
+    pd_path = str(tmp_path / f"dense_{indirect}_{depth1}.nc")
     pc_path = str(tmp_path / "classic.nc")
-    dense.finish_dense(pd_path, indirect_root=indirect)
+    dense.finish_dense(pd_path, indirect_root=indirect, bt_depth1=depth1)
     classic.finish(pc_path)
     got = read_hdf5(pd_path)
     want = read_hdf5(pc_path)

@@ -172,20 +172,26 @@ def extract_features(with_payload: DataFrame, decode: bool = False) -> DataFrame
 
     ``decode=False`` computes byte-level features (length, first byte,
     byte sum) with numpy over the raw Arrow batch.  ``decode=True``
-    runs the real PNG decoder (``sources/png.py``) on each payload and
-    computes the same features over the DECODED pixel buffer — non-PNG
-    payloads raise ``ValueError`` from the codec (jpeg/webp would need
-    a codec this container doesn't ship)."""
+    runs the real codecs (PNG or baseline JPEG, dispatched on magic
+    bytes like :func:`decode_images`) on each payload and computes the
+    same features over the DECODED pixel buffer — other containers
+    (webp/avif) raise ``ValueError`` naming the gap."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from wrf_to_geodataframe_spark.sources.jpeg import decode_jpeg
         from wrf_to_geodataframe_spark.sources.png import decode_png
 
         def _buf(b: bytes) -> bytes:
             if not decode:
                 return bytes(b)
-            return decode_png(bytes(b))[3]
+            b = bytes(b)
+            if b[:8] == b"\x89PNG\r\n\x1a\n":
+                return decode_png(b)[3]
+            if b[:2] == b"\xff\xd8":
+                return decode_jpeg(b)[3]
+            raise ValueError("unknown image container (not PNG/JPEG)")
 
         for pdf in it:
             payloads = pdf["payload"].map(_buf)

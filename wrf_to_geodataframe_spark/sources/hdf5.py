@@ -31,9 +31,9 @@ library writes with default settings (no h5py in this container):
   style), resolved through the same global-heap path
 
 NOT supported (documented, raises cleanly): nested indirect fractal-
-heap blocks and v2 B-trees deeper than one node (groups past ~370
-links), vlen-typed DATASETS (vlen attributes are handled),
-array-valued compound members, szip.  The returned dict matches ``read_netcdf``'s
+heap blocks and v2 B-trees deeper than two levels (tens of thousands
+of links per group), vlen-typed DATASETS (vlen attributes are
+handled), array-valued compound members, szip.  The returned dict matches ``read_netcdf``'s
 shape so the two scans are drop-in interchangeable;
 ``read_netcdf_any`` dispatches on the magic bytes.
 
@@ -469,25 +469,47 @@ class _Hdf5File:
         return read_obj, heap_id_len, off_size, len_size
 
     def _bt2_leaf_records(self, addr: int):
-        """Yield raw records from a v2 B-tree (BTHD) of depth 0 — the
-        name-index shape for any group below ~370 links; deeper trees
-        raise (they would need the variable-width internal-node
-        pointers)."""
+        """Yield raw records in order from a v2 B-tree (BTHD) of depth
+        0 (one leaf — any group below ~370 links at the default node
+        size) or depth 1 (internal root over leaves — tens of
+        thousands of links).  Depth >= 2 raises."""
         buf, f = self.buf, self.f
         if buf[addr:addr + 4] != b"BTHD":
             raise Hdf5Error(f"expected BTHD at {addr:#x}")
+        node_size = f.u(addr + 6, 4)
         rec_size = f.u(addr + 10, 2)
         depth = f.u(addr + 12, 2)
         root = f.u(addr + 16, 8)
         nrec = f.u(addr + 24, 2)
-        if depth != 0:
-            raise Hdf5Error("v2 B-tree depth > 0 not supported")
-        if buf[root:root + 4] != b"BTLF":
-            raise Hdf5Error(f"expected BTLF at {root:#x}")
-        p = root + 6
-        for _ in range(nrec):
-            yield buf[p:p + rec_size]
-            p += rec_size
+
+        def leaf(a: int, n: int):
+            if buf[a:a + 4] != b"BTLF":
+                raise Hdf5Error(f"expected BTLF at {a:#x}")
+            p = a + 6
+            for _ in range(n):
+                yield buf[p:p + rec_size]
+                p += rec_size
+
+        if depth == 0:
+            yield from leaf(root, nrec)
+            return
+        if depth != 1:
+            raise Hdf5Error("v2 B-tree depth > 1 not supported")
+        if buf[root:root + 4] != b"BTIN":
+            raise Hdf5Error(f"expected BTIN at {root:#x}")
+        # child-pointer record-count width: bytes needed to encode the
+        # max records a LEAF can hold (leaf overhead = 10 bytes)
+        max_leaf = (node_size - 10) // rec_size
+        n_width = ((max(max_leaf, 1).bit_length() - 1) // 8) + 1
+        p_rec = root + 6
+        p_child = p_rec + nrec * rec_size
+        ptr_size = 8 + n_width
+        for i in range(nrec + 1):
+            child = f.u(p_child + i * ptr_size, 8)
+            child_n = f.u(p_child + i * ptr_size + 8, n_width)
+            yield from leaf(child, child_n)
+            if i < nrec:
+                yield buf[p_rec + i * rec_size:p_rec + (i + 1) * rec_size]
 
     def _walk_dense_links(self, fheap_addr: int, bt2_addr: int, out: dict):
         read_obj, heap_id_len, off_size, _len_size = self._fractal_heap(
