@@ -112,3 +112,15 @@ def test_all_gray_levels_stay_close():
     _, _, _, out = decode_jpeg(encode_jpeg(img.tobytes(), 256, 8, 1, quality=90))
     got = np.frombuffer(out, np.uint8).reshape(8, 256)
     assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 6
+
+
+def test_truncation_raises_cleanly_everywhere():
+    """Any prefix of a valid stream must raise ValueError (never an
+    IndexError leaking from the bit reader or marker parser)."""
+    img = _gradient(24, 16)
+    data = encode_jpeg(img.tobytes(), 16, 24, 1)
+    for cut in range(2, len(data) - 1, max(1, len(data) // 60)):
+        try:
+            decode_jpeg(data[:cut])
+        except ValueError:
+            pass  # the only acceptable failure type

@@ -187,6 +187,8 @@ class _BitReader:
         self.n = 0
 
     def _fill(self) -> None:
+        if self.pos + 1 >= len(self.buf):
+            raise ValueError("corrupt JPEG: truncated entropy data")
         b = self.buf[self.pos]
         if b == 0xFF:
             nxt = self.buf[self.pos + 1]
@@ -219,7 +221,7 @@ class _BitReader:
         """Skip to just after the next RSTn marker, resetting bit state."""
         self.acc = 0
         self.n = 0
-        while True:
+        while self.pos + 1 < len(self.buf):
             if (
                 self.buf[self.pos] == 0xFF
                 and 0xD0 <= self.buf[self.pos + 1] <= 0xD7
@@ -227,6 +229,7 @@ class _BitReader:
                 self.pos += 2
                 return
             self.pos += 1
+        raise ValueError("corrupt JPEG: missing restart marker")
 
 
 class _RestartPending(Exception):
@@ -461,6 +464,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     comps: list[dict] = []
     restart_interval = 0
     while True:
+        if pos + 4 > len(data):
+            raise ValueError("corrupt JPEG: truncated marker stream")
         if data[pos] != 0xFF:
             raise ValueError(f"corrupt JPEG: expected marker at {pos}")
         marker = data[pos + 1]
@@ -469,6 +474,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("corrupt JPEG: EOI before SOS")
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         seg = data[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("corrupt JPEG: truncated segment")
         if marker == 0xDB:  # DQT
             p = 0
             while p < len(seg):
