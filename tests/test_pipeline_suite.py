@@ -127,8 +127,8 @@ def test_multimodal_features_match_hashlib_goldens(spark):
 
 
 def test_multimodal_decode_rejects_non_png_payloads(spark):
-    """decode=True runs the real PNG codec; a payload that is not a PNG
-    (the md5 fake payload) must fail loudly, not mis-decode."""
+    """decode=True runs the real codecs; a payload that is neither PNG
+    nor JPEG (the md5 fake payload) must fail loudly, not mis-decode."""
     from wrf_to_geodataframe_spark.operators.multimodal import (
         attach_fake_payload,
         extract_features,
@@ -138,7 +138,7 @@ def test_multimodal_decode_rejects_non_png_payloads(spark):
     docs = load_table(spark, SF01, "documents").limit(2)
     with pytest.raises(Exception) as exc_info:
         extract_features(attach_fake_payload(docs), decode=True).collect()
-    assert "not a PNG" in str(exc_info.value)
+    assert "unknown image container" in str(exc_info.value)
 
 
 def test_multimodal_decode_true_features_equal_raw_pixel_features(spark):

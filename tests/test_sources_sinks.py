@@ -277,6 +277,29 @@ def test_geopackage_write_and_readback(tmp_path):
     con.close()
 
 
+def test_geopackage_reader_round_trips_writer(tmp_path):
+    """read_geopackage is the writer's exact inverse: geometry vertex
+    arrays and typed attributes come back, layer auto-discovered from
+    gpkg_contents."""
+    from wrf_to_geodataframe_spark.sources.geopackage import read_geopackage
+
+    path = str(tmp_path / "rt.gpkg")
+    rows = [
+        {"geom": np.array([[0, 0], [2, 0], [2, 1], [0, 1]], float),
+         "cell": 1, "t": 0.5, "name": "a"},
+        {"geom": np.array([[5, 5], [6, 5], [6, 6]], float),
+         "cell": 2, "t": 1.5, "name": "b"},
+    ]
+    write_geopackage(path, "cells", rows)
+    back = read_geopackage(path)  # layer auto-discovered
+    assert len(back) == 2
+    for want, got in zip(rows, back):
+        np.testing.assert_array_equal(got["geom"], want["geom"])
+        assert got["cell"] == want["cell"]
+        assert got["t"] == want["t"]
+        assert got["name"] == want["name"]
+
+
 def test_reference_workflow_end_to_end(spark, tmp_path):
     """The reference's whole pipeline (wrf_voronoi.py __main__) on this
     engine: NetCDF scan (S1) -> tessellate (G1) -> hourly values ->

@@ -144,6 +144,49 @@ def write_geopackage(
     con.close()
 
 
+def read_geopackage(
+    path: str, layer: str | None = None, geom_key: str = "geom"
+) -> list[dict]:
+    """Inverse of :func:`write_geopackage`: read one polygon layer back
+    into row dicts with ``geom_key`` -> (n, 2) vertex array plus the
+    attribute columns.  Driver-side by design, like the writer — the
+    GPKG format is a single sqlite file (<= ~1e5 rows in this engine's
+    usage); the at-scale path is :func:`read_geoparquet`."""
+    con = sqlite3.connect(path)
+    try:
+        cur = con.cursor()
+        if layer is None:
+            row = cur.execute(
+                "SELECT table_name FROM gpkg_contents WHERE data_type='features'"
+            ).fetchone()
+            if row is None:
+                raise ValueError(f"{path}: no feature layer in gpkg_contents")
+            layer = row[0]
+        cols = [
+            r[1]
+            for r in cur.execute(f'PRAGMA table_info("{layer}")')
+            if r[1] not in ("fid", "geom")
+        ]
+        sel = ", ".join(['"geom"'] + [f'"{c}"' for c in cols])
+        out = []
+        for rec in cur.execute(f'SELECT {sel} FROM "{layer}" ORDER BY fid'):
+            blob = rec[0]
+            if blob[:2] != b"GP":
+                raise ValueError(f"{path}: bad GPKG geometry magic")
+            flags = blob[3]
+            env_type = (flags >> 1) & 0x07
+            env_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}.get(env_type)
+            if env_len is None:
+                raise ValueError(f"{path}: invalid envelope indicator {env_type}")
+            wkb = bytes(blob[8 + env_len:])
+            row = {geom_key: parse_polygon_wkb(wkb)}
+            row.update(dict(zip(cols, rec[1:])))
+            out.append(row)
+        return out
+    finally:
+        con.close()
+
+
 def with_wkb_column(df, poly_col: str, out_col: str = "wkb"):
     """Attach a WKB BinaryType column encoding the vertex-array polygon —
     the GeoParquet-compatible scale sink: ``df.write.parquet`` of the
