@@ -89,15 +89,15 @@ def test_non_multiple_of_8_dimensions():
 def test_rejections_name_the_feature():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00" * 16)
-    # progressive (SOF2) rejection: splice a minimal SOF2 after SOI
-    sof2 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    # arithmetic-coded (SOF9) rejection: splice a minimal SOF9 after SOI
+    sof9 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
     blob = (
         b"\xff\xd8"
-        + b"\xff\xc2"
-        + struct.pack(">H", len(sof2) + 2)
-        + sof2
+        + b"\xff\xc9"
+        + struct.pack(">H", len(sof9) + 2)
+        + sof9
     )
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="arithmetic"):
         decode_jpeg(blob)
     with pytest.raises(ValueError, match="channels"):
         encode_jpeg(b"\x00" * 32, 4, 4, 2)
@@ -120,6 +120,57 @@ def test_truncation_raises_cleanly_everywhere():
     img = _gradient(24, 16)
     data = encode_jpeg(img.tobytes(), 16, 24, 1)
     for cut in range(2, len(data) - 1, max(1, len(data) // 60)):
+        try:
+            decode_jpeg(data[:cut])
+        except ValueError:
+            pass  # the only acceptable failure type
+
+
+@pytest.mark.parametrize("channels,al", [(1, 1), (3, 1), (3, 2), (1, 0)])
+def test_progressive_decodes_identically_to_baseline(channels, al):
+    """Progressive (SOF2: spectral selection + successive approximation
+    at precision ``al``) reconstructs the SAME quantized coefficients
+    as the baseline encoding, so both streams decode to identical
+    pixels — the scan-accumulation machinery (DC first/refine, AC
+    first with EOB runs, the G.1.2.3 correction-bit walk) is pinned
+    end-to-end."""
+    from wrf_to_geodataframe_spark.sources.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    g = _gradient(40, 24)
+    img = g if channels == 1 else np.stack(
+        [g, 255 - g, np.roll(g, 5)], axis=-1
+    )
+    base = decode_jpeg(encode_jpeg(img.tobytes(), 24, 40, channels))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img.tobytes(), 24, 40, channels, al=al)
+    )
+    assert base == prog
+
+
+def test_progressive_noisy_odd_dims_identical():
+    from wrf_to_geodataframe_spark.sources.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (37, 29, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img.tobytes(), 29, 37, 3, quality=85))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img.tobytes(), 29, 37, 3, quality=85)
+    )
+    assert base == prog
+
+
+def test_progressive_truncation_raises_cleanly():
+    from wrf_to_geodataframe_spark.sources.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    img = _gradient(24, 16)
+    data = encode_jpeg_progressive(img.tobytes(), 16, 24, 1)
+    for cut in range(2, len(data) - 1):
         try:
             decode_jpeg(data[:cut])
         except ValueError:

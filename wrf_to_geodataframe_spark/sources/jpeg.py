@@ -1,19 +1,26 @@
 """Pure-Python/numpy baseline JPEG codec (stdlib + numpy only — the
 container has no pillow/cv2/libjpeg; companion to ``sources/png.py``).
 
-Scope — baseline sequential DCT JPEG (JFIF), the encoding that
-dominates real web-crawl corpora:
+Scope — DCT JPEG (JFIF), the encodings that dominate real web-crawl
+corpora:
 
-- Decoder: SOI/APP*/COM/DQT/SOF0/DHT/DRI/SOS/EOI marker stream,
-  grayscale and 3-component YCbCr with sampling factors up to 2x2
-  (4:4:4, 4:2:2, 4:2:0), byte stuffing, restart markers, canonical
-  Huffman tables rebuilt from their (bits, values) wire form.
-  Progressive (SOF2), arithmetic coding, and 12-bit depth raise
-  ``ValueError`` naming the feature.
-- Encoder: grayscale or YCbCr 4:4:4 / 4:2:0, the JPEG spec's Annex-K
-  example quantization + Huffman tables (scaled by a quality factor),
-  optional restart intervals.  Output is a valid JFIF stream the
-  decoder round-trips.
+- Decoder: BASELINE (SOF0/1) and PROGRESSIVE (SOF2 — spectral
+  selection AND successive approximation, any spec-legal scan script)
+  via a two-phase design: every scan entropy-decodes into per-
+  component coefficient arrays (DC first/refine, AC first with EOB
+  runs, the G.1.2.3 correction-bit walk), and the image reconstructs
+  once at EOI.  Grayscale and 3-component YCbCr with sampling factors
+  up to 2x2 (4:4:4, 4:2:2, 4:2:0), byte stuffing, restart markers,
+  canonical Huffman tables rebuilt from their (bits, values) wire
+  form.  Arithmetic coding, lossless/hierarchical SOFs, and 12-bit
+  depth raise ``ValueError`` naming the feature.
+- Encoders: baseline (grayscale or YCbCr 4:4:4 / 4:2:0, optional
+  restart intervals) and progressive (DC + per-component AC band
+  scans at successive precisions) — both emit the spec's Annex-K
+  example quantization + Huffman tables (scaled by a quality factor)
+  and reconstruct identical quantized coefficients, so baseline and
+  progressive streams of the same image decode byte-identically (the
+  equivalence the tests pin).
 - All quantization uses DETERMINISTIC round-half-away-from-zero, so
   encode -> decode is bit-reproducible across machines.
 
@@ -447,14 +454,132 @@ def encode_jpeg(
     return bytes(out)
 
 
+
 # --------------------------------------------------------------------------
-# Decoder
+# Decoder (two-phase: entropy-decode every scan into per-component
+# coefficient arrays, then dequantize + IDCT once at EOI — the structure
+# that makes BASELINE and PROGRESSIVE the same machinery: a baseline
+# stream is simply one interleaved scan covering band 0..63 at full
+# precision)
+
+
+def _scan_decode_block(
+    r: _BitReader,
+    coef: np.ndarray,
+    dct,
+    act,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    pred: list,
+    ci: int,
+    eobrun: list,
+) -> None:
+    """Decode one block's contribution for the current scan into
+    ``coef`` (a flat 64 int32 view in RASTER order; zigzag applied
+    here).  Implements all four progressive scan kinds; a baseline
+    scan is ss=0, se=63, ah=al=0."""
+    if ss == 0:  # DC
+        if ah == 0:  # first
+            s = _decode_huff(r, dct)
+            pred[ci] += _extend(r.read_bits(s), s)
+            coef[0] = pred[ci] << al
+        else:  # refinement: one raw bit
+            coef[0] |= r.read_bit() << al
+        if se == 0:
+            return
+    k = max(ss, 1)
+    if ah == 0:  # AC first (and the baseline AC path: EOB0 == eobrun 0)
+        if eobrun[0] > 0:
+            eobrun[0] -= 1
+            return
+        while k <= se:
+            rs = _decode_huff(r, act)
+            rrun, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if rrun == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun[0] = (1 << rrun) - 1 + r.read_bits(rrun)
+                return
+            k += rrun
+            if k > se:
+                raise ValueError("corrupt JPEG: AC index overflow")
+            coef[ZIGZAG[k]] = _extend(r.read_bits(s), s) << al
+            k += 1
+        return
+    # AC refinement (ah > 0): the spec G.1.2.3 correction-bit walk
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(pos: int) -> None:
+        if r.read_bit() and (coef[pos] & p1) == 0:
+            coef[pos] += p1 if coef[pos] >= 0 else m1
+
+    def correct_rest(k: int) -> None:
+        # an EOB (or a block covered by an EOB run) still refines the
+        # band's already-significant coefficients — their correction
+        # bits follow in positional order
+        while k <= se:
+            pos = int(ZIGZAG[k])
+            if coef[pos] != 0:
+                correct(pos)
+            k += 1
+
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        correct_rest(k)
+        return
+    while k <= se:
+        rs = _decode_huff(r, act)
+        rrun, s = rs >> 4, rs & 0x0F
+        newval = 0
+        if s == 0:
+            if rrun < 15:
+                eobrun[0] = (1 << rrun) - 1 + r.read_bits(rrun)
+                correct_rest(k)
+                return
+            # ZRL: pass 16 zero-history coefficients
+        else:
+            if s != 1:
+                raise ValueError(
+                    "corrupt JPEG: refinement magnitude must be 1"
+                )
+            newval = p1 if r.read_bit() else m1
+        while k <= se:
+            pos = int(ZIGZAG[k])
+            if coef[pos] != 0:
+                correct(pos)
+            else:
+                if rrun == 0:
+                    if newval:
+                        coef[pos] = newval
+                    k += 1
+                    break
+                rrun -= 1
+            k += 1
+
+
+def _entropy_end(data: bytes, pos: int) -> int:
+    """Advance past pad bits to the next real marker (skipping stuffed
+    bytes and restart markers)."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            if 0xD0 <= data[pos + 1] <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    raise ValueError("corrupt JPEG: no marker after scan")
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode baseline JFIF -> (width, height, channels, pixels) with
-    8-bit interleaved output (grayscale stays 1 channel, color decodes
-    to RGB)."""
+    """Decode baseline OR progressive JFIF -> (width, height, channels,
+    pixels) with 8-bit interleaved output (grayscale stays 1 channel,
+    color decodes to RGB).  Progressive streams may use spectral
+    selection and successive approximation in any spec-legal scan
+    script; every scan accumulates into per-component coefficient
+    arrays and the image reconstructs once at EOI."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
@@ -463,15 +588,22 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     width = height = -1
     comps: list[dict] = []
     restart_interval = 0
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
+    saw_scan = False
     while True:
-        if pos + 4 > len(data):
+        if pos + 2 > len(data):
             raise ValueError("corrupt JPEG: truncated marker stream")
         if data[pos] != 0xFF:
             raise ValueError(f"corrupt JPEG: expected marker at {pos}")
         marker = data[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI before scan
-            raise ValueError("corrupt JPEG: EOI before SOS")
+        if marker == 0xD9:  # EOI
+            if not saw_scan:
+                raise ValueError("corrupt JPEG: EOI before SOS")
+            break
+        if pos + 2 > len(data):
+            raise ValueError("corrupt JPEG: truncated marker stream")
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         seg = data[pos + 2 : pos + seglen]
         if len(seg) != seglen - 2:
@@ -495,7 +627,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 vals = list(seg[p + 17 : p + 17 + n])
                 huff[(tc, th)] = _build_decode(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if seg[0] != 8:
                 raise ValueError(f"unsupported JPEG: {seg[0]}-bit samples")
             height, width = struct.unpack(">HH", seg[1:5])
@@ -506,92 +638,114 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 comps.append(
                     {"id": cid, "h": sf >> 4, "v": sf & 0x0F, "tq": tq}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if hmax > 2 or vmax > 2:
+                raise ValueError(
+                    "unsupported JPEG: sampling factors beyond 2x2"
+                )
+            mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                # padded interleaved block grid; non-interleaved scans
+                # use the smaller comp-true grid inside it
+                c["bx"] = mcus_x * c["h"]
+                c["by"] = mcus_y * c["v"]
+                c["tbx"] = (-(-(width * c["h"]) // hmax) + 7) // 8
+                c["tby"] = (-(-(height * c["v"]) // vmax) + 7) // 8
+                c["coef"] = np.zeros((c["by"], c["bx"], 64), np.int32)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
-                f"unsupported JPEG: SOF{marker - 0xC0} (progressive/extended)"
+                f"unsupported JPEG: SOF{marker - 0xC0} "
+                "(lossless/arithmetic/hierarchical)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS: scan setup then entropy data
+        elif marker == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("corrupt JPEG: SOS before SOF")
             ns = seg[0]
             scan = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 comp = next(c for c in comps if c["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
             pos += seglen
-            break
+            r = _BitReader(data, pos)
+            preds = [0] * len(scan)
+            eobrun = [0]
+            try:
+                if ns > 1:  # interleaved: MCU order
+                    unit_count = 0
+                    for my in range(mcus_y):
+                        for mx in range(mcus_x):
+                            if (
+                                restart_interval
+                                and unit_count
+                                and unit_count % restart_interval == 0
+                            ):
+                                r.align_restart()
+                                preds = [0] * len(scan)
+                                eobrun = [0]
+                            for ci, (comp, td, ta) in enumerate(scan):
+                                dct = huff.get((0, td))
+                                act = huff.get((1, ta))
+                                for by in range(comp["v"]):
+                                    for bx in range(comp["h"]):
+                                        blk = comp["coef"][
+                                            my * comp["v"] + by,
+                                            mx * comp["h"] + bx,
+                                        ]
+                                        _scan_decode_block(
+                                            r, blk, dct, act, ss, se,
+                                            ah, al, preds, ci, eobrun,
+                                        )
+                            unit_count += 1
+                else:  # non-interleaved: the component's true block grid
+                    comp, td, ta = scan[0]
+                    dct = huff.get((0, td))
+                    act = huff.get((1, ta))
+                    unit_count = 0
+                    for by in range(comp["tby"]):
+                        for bx in range(comp["tbx"]):
+                            if (
+                                restart_interval
+                                and unit_count
+                                and unit_count % restart_interval == 0
+                            ):
+                                r.align_restart()
+                                preds = [0] * len(scan)
+                                eobrun = [0]
+                            _scan_decode_block(
+                                r, comp["coef"][by, bx], dct, act,
+                                ss, se, ah, al, preds, 0, eobrun,
+                            )
+                            unit_count += 1
+            except _RestartPending as exc:
+                raise ValueError("corrupt JPEG: restart inside unit") from exc
+            saw_scan = True
+            pos = _entropy_end(data, r.pos)
+            continue
         # APPn/COM/unknown: skip
         pos += seglen
 
-    if not comps or width < 0:
-        raise ValueError("corrupt JPEG: missing SOF before SOS")
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if hmax > 2 or vmax > 2:
-        raise ValueError("unsupported JPEG: sampling factors beyond 2x2")
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (width + mcu_w - 1) // mcu_w
-    mcus_y = (height + mcu_h - 1) // mcu_h
-
-    planes = [
-        np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), np.float64)
-        for c in comps
-    ]
-    preds = [0] * len(comps)
-    r = _BitReader(data, pos)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                r.align_restart()
-                preds = [0] * len(comps)
-            for ci, (comp, td, ta) in enumerate(scan):
-                Q = qt[comp["tq"]]
-                dct = huff[(0, td)]
-                act = huff[(1, ta)]
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        zz = np.zeros(64, np.int32)
-                        try:
-                            s = _decode_huff(r, dct)
-                            diff = _extend(r.read_bits(s), s)
-                            preds[ci] += diff
-                            zz[0] = preds[ci]
-                            k = 1
-                            while k < 64:
-                                rs = _decode_huff(r, act)
-                                rrun, size = rs >> 4, rs & 0x0F
-                                if rs == 0x00:  # EOB
-                                    break
-                                if rs == 0xF0:  # ZRL
-                                    k += 16
-                                    continue
-                                k += rrun
-                                if k > 63:
-                                    raise ValueError(
-                                        "corrupt JPEG: AC index overflow"
-                                    )
-                                zz[k] = _extend(r.read_bits(size), size)
-                                k += 1
-                        except _RestartPending as exc:  # pragma: no cover
-                            raise ValueError(
-                                "corrupt JPEG: restart inside MCU"
-                            ) from exc
-                        blk = np.zeros(64, np.float64)
-                        blk[ZIGZAG] = zz * Q.reshape(-1)[ZIGZAG]
-                        px = _C.T @ blk.reshape(8, 8) @ _C + 128.0
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-            mcu_count += 1
-
-    # upsample to full resolution and crop
+    # reconstruct: dequantize + IDCT every block, then upsample/crop
     full = []
-    for c, p in zip(comps, planes):
-        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-        full.append(p[:height, :width])
+    for c in comps:
+        Q = qt[c["tq"]].reshape(-1)
+        plane = np.zeros((c["by"] * 8, c["bx"] * 8), np.float64)
+        for by in range(c["by"]):
+            for bx in range(c["bx"]):
+                blk = (c["coef"][by, bx].astype(np.float64) * Q).reshape(8, 8)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _C.T @ blk @ _C + 128.0
+                )
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        full.append(plane[:height, :width])
     if len(full) == 1:
         out = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
         return width, height, 1, out.tobytes()
@@ -602,3 +756,199 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     rgb = np.stack([rr, gg, bb], axis=-1)
     out = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
     return width, height, 3, out.tobytes()
+
+
+# --------------------------------------------------------------------------
+# Progressive encoder (spectral selection + successive approximation)
+
+
+def _block_coefs(plane: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """(by, bx, 64) quantized DCT coefficients (raster order) for a
+    plane padded to 8-multiples with edge values."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), "edge")
+    out = np.zeros((ph // 8, pw // 8, 64), np.int32)
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            D = _C @ (blk - 128.0) @ _C.T
+            out[by, bx] = _quant(D, Q).reshape(-1)
+    return out
+
+
+def _emit_ac_first(w, coefs, al, ac_codes) -> None:
+    """One block's AC 1..63 first scan at precision ``al`` (per-block
+    EOB; magnitudes truncated toward zero)."""
+    run = 0
+    for k in range(1, 64):
+        v = int(coefs[ZIGZAG[k]])
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            w.write(code, ln)
+            run -= 16
+        tv = t if v > 0 else -t
+        s, bits = _amplitude(tv)
+        code, ln = ac_codes[(run << 4) | s]
+        w.write(code, ln)
+        w.write(bits, s)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]  # EOB (run of exactly this block)
+        w.write(code, ln)
+
+
+def _emit_ac_refine(w, coefs, a, ac_codes) -> None:
+    """One block's AC refinement scan Ah=a+1 -> Al=a (per-block EOB;
+    correction bits ride after each emitted symbol, spec G.1.2.3)."""
+    run = 0
+    pending: list[int] = []
+
+    def flush() -> None:
+        for b in pending:
+            w.write(b, 1)
+        pending.clear()
+
+    for k in range(1, 64):
+        v = int(coefs[ZIGZAG[k]])
+        t = abs(v) >> a
+        if t == 0:
+            run += 1
+        elif t == 1:  # newly significant at this precision
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                w.write(code, ln)
+                flush()
+                run -= 16
+            code, ln = ac_codes[(run << 4) | 1]
+            w.write(code, ln)
+            w.write(1 if v > 0 else 0, 1)
+            flush()
+            run = 0
+        else:  # already significant: correction bit
+            pending.append(t & 1)
+    if run or pending:
+        code, ln = ac_codes[0x00]
+        w.write(code, ln)
+        flush()
+
+
+def encode_jpeg_progressive(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    quality: int = 50,
+    al: int = 1,
+) -> bytes:
+    """Encode as PROGRESSIVE JFIF (SOF2): a spec-legal scan script with
+    both progressive mechanisms — spectral selection (DC scan, then the
+    full AC band per component) and successive approximation (first
+    scans at precision ``al``, then refinement scans down to full
+    precision).  Grayscale or RGB 4:4:4 (the progressive structure is
+    the point; chroma subsampling is covered by the baseline path).
+    Reconstructs the SAME quantized coefficients as ``encode_jpeg`` at
+    equal quality, so both decode to identical pixels — the round-trip
+    equivalence the tests pin."""
+    if channels not in (1, 3):
+        raise ValueError(f"channels must be 1 or 3, got {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, want {width * height * channels}"
+        )
+    ql, qc = _scaled_tables(quality)
+    img = np.frombuffer(bytes(pixels), np.uint8).reshape(
+        height, width, channels
+    ).astype(np.float64)
+    if channels == 3:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [img[..., 0]]
+    coefs = [
+        _block_coefs(p, ql if ci == 0 else qc)
+        for ci, p in enumerate(planes)
+    ]
+    nby, nbx = coefs[0].shape[0], coefs[0].shape[1]
+
+    dc_codes = [_build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)] + [
+        _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ] * (channels - 1)
+    ac_codes = [_build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)] + [
+        _build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    ] * (channels - 1)
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+        + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    )
+    out += _dqt_segment(0, ql)
+    if channels > 1:
+        out += _dqt_segment(1, qc)
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([channels])
+    for ci in range(channels):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += _dht_segment(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    if channels > 1:
+        out += _dht_segment(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += _dht_segment(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+    def sos(comp_ids, ss, se, ah, al_):
+        hdr = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            td = 0 if cid == 1 else 1
+            hdr += bytes([cid, (td << 4) | td])
+        hdr += bytes([ss, se, (ah << 4) | al_])
+        return b"\xff\xda" + struct.pack(">H", len(hdr) + 2) + hdr
+
+    # scan 1: DC first, interleaved, precision al
+    w = _BitWriter()
+    preds = [0] * channels
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(channels):
+                dc = int(coefs[ci][by, bx, 0]) >> al  # arithmetic shift
+                s, bits = _amplitude(dc - preds[ci])
+                code, ln = dc_codes[ci][s]
+                w.write(code, ln)
+                w.write(bits, s)
+                preds[ci] = dc
+    w.flush()
+    out += sos(list(range(1, channels + 1)), 0, 0, 0, al) + w.out
+    # DC refinement scans down to full precision (raw bits)
+    for a in range(al - 1, -1, -1):
+        w = _BitWriter()
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(channels):
+                    w.write((int(coefs[ci][by, bx, 0]) >> a) & 1, 1)
+        w.flush()
+        out += sos(list(range(1, channels + 1)), 0, 0, a + 1, a) + w.out
+    # per component: AC first at precision al, then refinements
+    for ci in range(channels):
+        w = _BitWriter()
+        for by in range(nby):
+            for bx in range(nbx):
+                _emit_ac_first(w, coefs[ci][by, bx], al, ac_codes[ci])
+        w.flush()
+        out += sos([ci + 1], 1, 63, 0, al) + w.out
+        for a in range(al - 1, -1, -1):
+            w = _BitWriter()
+            for by in range(nby):
+                for bx in range(nbx):
+                    _emit_ac_refine(w, coefs[ci][by, bx], a, ac_codes[ci])
+            w.flush()
+            out += sos([ci + 1], 1, 63, a + 1, a) + w.out
+    out += b"\xff\xd9"
+    return bytes(out)
