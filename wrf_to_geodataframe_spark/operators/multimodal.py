@@ -269,11 +269,16 @@ def encode_images_jpeg_tiles(base: DataFrame) -> DataFrame:
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from wrf_to_geodataframe_spark.sources.jpeg import encode_jpeg
+        from wrf_to_geodataframe_spark.sources.jpeg import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
 
         for pdf in it:
             outs = []
-            for w, h, raw in zip(pdf["width"], pdf["height"], pdf["raw"]):
+            for d, w, h, raw in zip(
+                pdf["doc_id"], pdf["width"], pdf["height"], pdf["raw"]
+            ):
                 w, h, raw = int(w), int(h), bytes(raw)
                 bw = w // 8
                 img = np.zeros((h, w), np.uint8)
@@ -282,7 +287,10 @@ def encode_images_jpeg_tiles(base: DataFrame) -> DataFrame:
                     img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = (
                         raw[bi] & 0xFE
                     )
-                outs.append(encode_jpeg(img.tobytes(), w, h, 1))
+                # alternate encodings so BOTH decode pipelines sit on
+                # the hash path (same closed-form decoded pixels)
+                enc = encode_jpeg_progressive if int(d) % 2 else encode_jpeg
+                outs.append(enc(img.tobytes(), w, h, 1))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),

@@ -2927,19 +2927,21 @@ def multimodal_decode_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Baseline-JPEG round-trip on the hash path: per doc, a grayscale
-    image of constant 8x8 tiles (one md5-derived EVEN byte per block,
-    w/h multiples of 8) is encoded as a real JFIF stream and decoded
-    back by ``sources/jpeg.py`` through the mixed-format
-    ``decode_images`` dispatch.  Constant even-valued blocks are the
-    codec's bit-exact corner (DC quantization at step 16 has no .5
-    boundary, every AC quantizes to zero), so the oracle states the
-    decoded pixels in CLOSED FORM — per pixel, the block's chain byte
-    forced even — validating the Huffman DC chain, byte stuffing, EOB
-    path, dequantization and flat inverse DCT, not a codec
-    restatement.  The general lossy path is pinned by PSNR +
-    determinism goldens in pytest (no SQL engine can replay a float
-    DCT bit-for-bit)."""
+    """JPEG round-trip on the hash path: per doc, a grayscale image of
+    constant 8x8 tiles (one md5-derived EVEN byte per block, w/h
+    multiples of 8) is encoded as a real JFIF stream — BASELINE for
+    even docs, PROGRESSIVE (SOF2 with successive approximation) for
+    odd docs — and decoded back by ``sources/jpeg.py`` through the
+    mixed-format ``decode_images`` dispatch.  Constant even-valued
+    blocks are the codec's bit-exact corner (DC quantization at step
+    16 has no .5 boundary, every AC quantizes to zero), so ONE oracle
+    states the decoded pixels in CLOSED FORM for both encodings — per
+    pixel, the block's chain byte forced even — validating the
+    Huffman DC chain, the progressive DC first/refine scans and EOB
+    machinery, byte stuffing, dequantization and flat inverse DCT,
+    not a codec restatement.  The general lossy path is pinned by
+    PSNR + determinism + baseline==progressive goldens in pytest (no
+    SQL engine can replay a float DCT bit-for-bit)."""
     from wrf_to_geodataframe_spark.operators.multimodal import (
         decode_images,
         encode_images_jpeg_tiles,
