@@ -175,3 +175,15 @@ def test_progressive_truncation_raises_cleanly():
             decode_jpeg(data[:cut])
         except ValueError:
             pass  # the only acceptable failure type
+
+
+def test_422_subsampling_round_trip():
+    """4:2:2 chroma (sampling (2,1)) exercises the decoder's
+    asymmetric-sampling path."""
+    g = _gradient(64, 48)
+    rgb = np.stack([g, 255 - g, np.roll(g, 7)], axis=-1)
+    gw, gh, gc, out = decode_jpeg(
+        encode_jpeg(rgb.tobytes(), 48, 64, 3, quality=75, subsample="422")
+    )
+    assert (gw, gh, gc) == (48, 64, 3)
+    assert _psnr(rgb, np.frombuffer(out, np.uint8).reshape(64, 48, 3)) >= 31

@@ -295,3 +295,15 @@ def test_adam7_truncated_pass_rejected():
     blob = bytes(data[:pos]) + chunk + bytes(data[pos + 12 + ln :])
     with pytest.raises(ValueError, match="interlace|truncated"):
         decode_png(blob)
+
+
+def test_adam7_interlace_sub_byte_depth():
+    """Interlaced 4-bit grayscale: per-pass bit packing at odd pass
+    widths must round-trip with full 8-bit scaling."""
+    w, h = 21, 13
+    vals = bytes(b % 16 for b in _pixels(w * h, "a74"))
+    gw, gh, gc, px = decode_png(
+        encode_png(vals, w, h, 1, lambda y: y % 5, bit_depth=4, interlace=True)
+    )
+    assert (gw, gh, gc) == (w, h, 1)
+    assert px == bytes(v * 255 // 15 for v in vals)

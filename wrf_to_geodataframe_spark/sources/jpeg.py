@@ -338,10 +338,10 @@ def encode_jpeg(
 ) -> bytes:
     """Encode interleaved 8-bit pixels as baseline JFIF.
 
-    ``channels`` 1 (grayscale) or 3 (RGB -> YCbCr).  ``subsample=True``
-    uses 4:2:0 chroma (2x2 mean); otherwise 4:4:4.
-    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs."""
+    ``channels`` 1 (grayscale) or 3 (RGB -> YCbCr).  ``subsample``:
+    False -> 4:4:4, True or "420" -> 4:2:0 (2x2 mean), "422" -> 4:2:2
+    (horizontal mean).  ``restart_interval`` > 0 emits DRI + RSTn
+    markers every that many MCUs."""
     if channels not in (1, 3):
         raise ValueError(f"channels must be 1 or 3, got {channels}")
     if len(pixels) != width * height * channels:
@@ -362,21 +362,29 @@ def encode_jpeg(
         planes = [img[..., 0]]
         subsample = False
 
-    hmax = 2 if subsample else 1
+    # subsample: False/None -> 4:4:4, True/"420" -> 4:2:0, "422" -> 4:2:2
+    if subsample in (False, None):
+        hmax, vmax_ = 1, 1
+    elif subsample in (True, "420"):
+        hmax, vmax_ = 2, 2
+    elif subsample == "422":
+        hmax, vmax_ = 2, 1
+    else:
+        raise ValueError(f"subsample must be False/True/'420'/'422', got {subsample!r}")
     # sampling factors per component
-    samp = [(hmax, hmax)] + [(1, 1)] * (len(planes) - 1)
-    mcu_w, mcu_h = 8 * hmax, 8 * hmax
+    samp = [(hmax, vmax_)] + [(1, 1)] * (len(planes) - 1)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax_
     mcus_x = (width + mcu_w - 1) // mcu_w
     mcus_y = (height + mcu_h - 1) // mcu_h
 
     def plane_for(ci: int) -> np.ndarray:
         p = planes[ci]
-        if ci > 0 and subsample:
-            # pad to even dims, then 2x2 mean
-            ph = (p.shape[0] + 1) & ~1
-            pw = (p.shape[1] + 1) & ~1
+        if ci > 0 and hmax > 1:
+            # pad to step multiples, then hmax x vmax_ mean
+            ph = -(-p.shape[0] // vmax_) * vmax_
+            pw = -(-p.shape[1] // hmax) * hmax
             pad = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), "edge")
-            p = (pad[0::2, 0::2] + pad[0::2, 1::2] + pad[1::2, 0::2] + pad[1::2, 1::2]) / 4.0
+            p = pad.reshape(ph // vmax_, vmax_, pw // hmax, hmax).mean(axis=(1, 3))
         hs, vs = samp[ci]
         need_h = mcus_y * 8 * vs
         need_w = mcus_x * 8 * hs
