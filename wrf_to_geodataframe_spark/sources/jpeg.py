@@ -739,17 +739,18 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         # APPn/COM/unknown: skip
         pos += seglen
 
-    # reconstruct: dequantize + IDCT every block, then upsample/crop
+    # reconstruct: dequantize + IDCT every block at once (batched
+    # einsum — the per-block Python loop would dominate decode time on
+    # real photo sizes), then assemble/upsample/crop
     full = []
     for c in comps:
-        Q = qt[c["tq"]].reshape(-1)
-        plane = np.zeros((c["by"] * 8, c["bx"] * 8), np.float64)
-        for by in range(c["by"]):
-            for bx in range(c["bx"]):
-                blk = (c["coef"][by, bx].astype(np.float64) * Q).reshape(8, 8)
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _C.T @ blk @ _C + 128.0
-                )
+        Q = qt[c["tq"]].reshape(-1).astype(np.float64)
+        blks = (c["coef"].astype(np.float64) * Q).reshape(
+            c["by"], c["bx"], 8, 8
+        )
+        px = np.einsum("ij,yxjk,kl->yxil", _C.T, blks, _C) + 128.0
+        # (by, bx, 8, 8) -> (by*8, bx*8)
+        plane = px.transpose(0, 2, 1, 3).reshape(c["by"] * 8, c["bx"] * 8)
         plane = np.repeat(
             np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
         )
@@ -772,17 +773,18 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
 
 def _block_coefs(plane: np.ndarray, Q: np.ndarray) -> np.ndarray:
     """(by, bx, 64) quantized DCT coefficients (raster order) for a
-    plane padded to 8-multiples with edge values."""
+    plane padded to 8-multiples with edge values — every block's DCT
+    in one batched einsum."""
     h, w = plane.shape
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     p = np.pad(plane, ((0, ph - h), (0, pw - w)), "edge")
-    out = np.zeros((ph // 8, pw // 8, 64), np.int32)
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            D = _C @ (blk - 128.0) @ _C.T
-            out[by, bx] = _quant(D, Q).reshape(-1)
-    return out
+    blks = (
+        p.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3) - 128.0
+    )
+    D = np.einsum("ij,yxjk,kl->yxil", _C, blks, _C.T)
+    qf = Q.reshape(8, 8).astype(np.float64)
+    q = np.sign(D) * np.floor(np.abs(D) / qf + 0.5)
+    return q.astype(np.int32).reshape(ph // 8, pw // 8, 64)
 
 
 def _emit_ac_first(w, coefs, al, ac_codes) -> None:
