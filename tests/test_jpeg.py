@@ -187,3 +187,25 @@ def test_422_subsampling_round_trip():
     )
     assert (gw, gh, gc) == (48, 64, 3)
     assert _psnr(rgb, np.frombuffer(out, np.uint8).reshape(64, 48, 3)) >= 31
+
+
+def test_byte_corruption_never_escapes_valueerror():
+    """Flipping any single byte must either still decode (corruption in
+    image data can be survivable) or raise ValueError — never an
+    IndexError/KeyError/infinite loop."""
+    from wrf_to_geodataframe_spark.sources.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    img = _gradient(24, 16)
+    for data in (
+        encode_jpeg(img.tobytes(), 16, 24, 1),
+        encode_jpeg_progressive(img.tobytes(), 16, 24, 1),
+    ):
+        for i in range(2, len(data), 7):
+            blob = bytearray(data)
+            blob[i] ^= 0x5A
+            try:
+                decode_jpeg(bytes(blob))
+            except ValueError:
+                pass

@@ -144,8 +144,12 @@ def _build_codes(bits, vals) -> dict[int, tuple[int, int]]:
     codes = {}
     code = 0
     k = 0
+    if len(vals) < sum(bits):
+        raise ValueError("corrupt JPEG: truncated Huffman table")
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("corrupt JPEG: overfull Huffman table")
             codes[vals[k]] = (code, length)
             code += 1
             k += 1
@@ -244,6 +248,8 @@ class _RestartPending(Exception):
 
 
 def _decode_huff(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    if table is None:
+        raise ValueError("corrupt JPEG: scan references a missing Huffman table")
     code = 0
     for length in range(1, 17):
         code = (code << 1) | r.read_bit()
@@ -491,6 +497,8 @@ def _scan_decode_block(
     if ss == 0:  # DC
         if ah == 0:  # first
             s = _decode_huff(r, dct)
+            if s > 15:
+                raise ValueError("corrupt JPEG: DC size category > 15")
             pred[ci] += _extend(r.read_bits(s), s)
             coef[0] = pred[ci] << al
         else:  # refinement: one raw bit
@@ -640,6 +648,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(f"unsupported JPEG: {seg[0]}-bit samples")
             height, width = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("corrupt JPEG: truncated SOF")
             comps = []
             for i in range(ncomp):
                 cid, sf, tq = seg[6 + 3 * i : 9 + 3 * i]
@@ -673,13 +683,21 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             if not comps:
                 raise ValueError("corrupt JPEG: SOS before SOF")
             ns = seg[0]
+            if len(seg) < 4 + 2 * ns:
+                raise ValueError("corrupt JPEG: truncated SOS")
             scan = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                comp = next(c for c in comps if c["id"] == cs)
+                comp = next((c for c in comps if c["id"] == cs), None)
+                if comp is None:
+                    raise ValueError(f"corrupt JPEG: unknown component {cs}")
                 scan.append((comp, tt >> 4, tt & 0x0F))
             ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
+            if not (0 <= ss <= se <= 63):
+                raise ValueError(
+                    f"corrupt JPEG: spectral band {ss}..{se} out of range"
+                )
             pos += seglen
             r = _BitReader(data, pos)
             preds = [0] * len(scan)
@@ -744,6 +762,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     # real photo sizes), then assemble/upsample/crop
     full = []
     for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError(
+                f"corrupt JPEG: missing quantization table {c['tq']}"
+            )
         Q = qt[c["tq"]].reshape(-1).astype(np.float64)
         blks = (c["coef"].astype(np.float64) * Q).reshape(
             c["by"], c["bx"], 8, 8
