@@ -209,3 +209,40 @@ def test_byte_corruption_never_escapes_valueerror():
                 decode_jpeg(bytes(blob))
             except ValueError:
                 pass
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        bw=st.integers(1, 4),
+        bh=st.integers(1, 5),
+        seed=st.integers(0, 2**31),
+        progressive=st.booleans(),
+    )
+    def test_constant_even_tiles_exact_property(bw, bh, seed, progressive):
+        """Property form of the gate-row corner: ANY grid of constant
+        even-valued 8x8 tiles round-trips bit-exactly through either
+        encoding."""
+        from wrf_to_geodataframe_spark.sources.jpeg import (
+            encode_jpeg_progressive,
+        )
+
+        w, h = bw * 8, bh * 8
+        img = np.zeros((h, w), np.uint8)
+        for bi in range(bw * bh):
+            v = hashlib.md5(f"{seed}:{bi}".encode()).digest()[0] & 0xFE
+            by, bx = divmod(bi, bw)
+            img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = v
+        enc = encode_jpeg_progressive if progressive else encode_jpeg
+        assert decode_jpeg(enc(img.tobytes(), w, h, 1)) == (
+            w,
+            h,
+            1,
+            img.tobytes(),
+        )
+
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass
