@@ -246,3 +246,44 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is in the container
     pass
+
+
+def test_jpeg_info_header_only_triage():
+    from wrf_to_geodataframe_spark.sources.jpeg import (
+        encode_jpeg_progressive,
+        jpeg_info,
+    )
+
+    img = _gradient(24, 16)
+    rgb = np.stack([img, 255 - img, np.roll(img, 3)], axis=-1)
+    i1 = jpeg_info(encode_jpeg(img.tobytes(), 16, 24, 1))
+    assert i1 == {
+        "width": 16, "height": 24, "channels": 1,
+        "progressive": False, "subsampling": (1, 1), "orientation": None,
+    }
+    i2 = jpeg_info(encode_jpeg(rgb.tobytes(), 16, 24, 3, subsample=True))
+    assert (i2["channels"], i2["subsampling"], i2["progressive"]) == (3, (2, 2), False)
+    i3 = jpeg_info(encode_jpeg_progressive(rgb.tobytes(), 16, 24, 3))
+    assert (i3["progressive"], i3["subsampling"]) == (True, (1, 1))
+
+
+def test_jpeg_info_reads_exif_orientation():
+    import struct as _s
+
+    from wrf_to_geodataframe_spark.sources.jpeg import jpeg_info
+
+    img = _gradient(16, 16)
+    data = bytearray(encode_jpeg(img.tobytes(), 16, 16, 1))
+    # splice an APP1/EXIF segment (little-endian TIFF, orientation=6)
+    tiff = (
+        b"II" + _s.pack("<HI", 42, 8)
+        + _s.pack("<H", 1)  # one IFD entry
+        + _s.pack("<HHIHH", 0x0112, 3, 1, 6, 0)
+        + _s.pack("<I", 0)
+    )
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + _s.pack(">H", len(payload) + 2) + payload
+    blob = bytes(data[:2]) + app1 + bytes(data[2:])
+    info = jpeg_info(blob)
+    assert info["orientation"] == 6
+    assert (info["width"], info["height"]) == (16, 16)

@@ -984,3 +984,85 @@ def encode_jpeg_progressive(
             out += sos([ci + 1], 1, 63, a + 1, a) + w.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Header-only metadata (corpus triage without entropy decode)
+
+
+def _exif_orientation(app1: bytes) -> int | None:
+    """EXIF orientation (tag 0x0112) from an APP1 payload, or None.
+    Parses the TIFF IFD0 directly; both byte orders."""
+    if app1[:6] != b"Exif\x00\x00":
+        return None
+    t = app1[6:]
+    if len(t) < 8:
+        return None
+    if t[:2] == b"II":
+        order = "little"
+    elif t[:2] == b"MM":
+        order = "big"
+    else:
+        return None
+
+    def u(pos: int, size: int) -> int:
+        return int.from_bytes(t[pos : pos + size], order)
+
+    if u(2, 2) != 42:
+        return None
+    ifd = u(4, 4)
+    if ifd + 2 > len(t):
+        return None
+    n = u(ifd, 2)
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        if e + 12 > len(t):
+            return None
+        if u(e, 2) == 0x0112 and u(e + 2, 2) == 3:  # SHORT
+            return u(e + 8, 2)
+    return None
+
+
+def jpeg_info(data: bytes) -> dict:
+    """Parse ONLY the marker stream (no entropy decode) ->
+    ``{width, height, channels, progressive, subsampling, orientation}``
+    — the cheap per-payload triage a crawl pipeline runs before
+    deciding what to decode.  ``subsampling`` is the luma sampling pair
+    (1, 1)/(2, 1)/(2, 2); ``orientation`` is the EXIF tag (1..8) or
+    None."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    out: dict = {
+        "width": None,
+        "height": None,
+        "channels": None,
+        "progressive": None,
+        "subsampling": None,
+        "orientation": None,
+    }
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG: expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD9, 0xDA):  # EOI or start of entropy data: done
+            break
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("corrupt JPEG: truncated segment")
+        if marker == 0xE1 and out["orientation"] is None:  # APP1/EXIF
+            out["orientation"] = _exif_orientation(seg)
+        elif marker in (0xC0, 0xC1, 0xC2):
+            if len(seg) < 6 + 3 * seg[5]:
+                raise ValueError("corrupt JPEG: truncated SOF")
+            out["height"], out["width"] = struct.unpack(">HH", seg[1:5])
+            out["channels"] = seg[5]
+            out["progressive"] = marker == 0xC2
+            sf = seg[7]
+            out["subsampling"] = (sf >> 4, sf & 0x0F)
+        pos += seglen
+    if out["width"] is None:
+        raise ValueError("corrupt JPEG: no frame header")
+    return out
