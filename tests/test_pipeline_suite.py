@@ -952,3 +952,52 @@ def test_pipeline_curate_v2_stage_invariants(spark):
         ranks.setdefault(r.source, []).append(r.rk)
     for src, rks in ranks.items():
         assert sorted(rks) == list(range(1, len(rks) + 1)), src
+
+
+def test_dedup_paragraph_removes_cross_doc_duplicates(spark, tmp_path):
+    """Paragraph dedup keeps the FIRST occurrence of every paragraph by
+    (doc_id, para_idx) and reassembles each doc from its retained
+    20-word windows; exact duplicate docs lose everything but the first
+    copy's paragraphs."""
+    import hashlib as hl
+
+    import pandas as pd
+
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        _PARA_BOILER,
+        _PARA_WORDS,
+        dedup_paragraph,
+    )
+
+    base = " ".join(f"w{i}" for i in range(2 * _PARA_WORDS))  # 2 paragraphs
+    other = " ".join(f"x{i}" for i in range(_PARA_WORDS + 3))  # 2 (1 partial)
+    rows = [
+        # ids dodge the %7 boilerplate plant
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},  # exact dup of doc 1
+        {"doc_id": 3, "text": other},
+        # shares paragraph 0 with doc 3, unique tail
+        {"doc_id": 4, "text": " ".join(f"x{i}" for i in range(_PARA_WORDS)) + " tail only here"},
+        # planted: %7 == 0 -> boilerplate prefix paragraph
+        {"doc_id": 7, "text": "unique seven doc words"},
+        {"doc_id": 14, "text": "different fourteen doc words"},
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = {r.doc_id: r for r in dedup_paragraph(spark, str(tmp_path)).collect()}
+
+    assert (got[1].n_paras, got[1].n_kept) == (2, 2)
+    assert got[1].clean_md5 == hl.md5(base.encode()).hexdigest()
+    # exact dup doc: every paragraph already seen -> empty reassembly
+    assert (got[2].n_paras, got[2].n_kept) == (2, 0)
+    assert got[2].clean_md5 == hl.md5(b"").hexdigest()
+    assert (got[3].n_paras, got[3].n_kept) == (2, 2)
+    # doc 4 keeps only its unique partial tail
+    assert (got[4].n_paras, got[4].n_kept) == (2, 1)
+    assert got[4].clean_md5 == hl.md5(b"tail only here").hexdigest()
+    # first planted doc keeps the boilerplate; the later one loses it
+    assert (got[7].n_paras, got[7].n_kept) == (2, 2)
+    assert got[7].clean_md5 == hl.md5(
+        (_PARA_BOILER + " unique seven doc words").encode()
+    ).hexdigest()
+    assert (got[14].n_paras, got[14].n_kept) == (2, 1)
+    assert got[14].clean_md5 == hl.md5(b"different fourteen doc words").hexdigest()

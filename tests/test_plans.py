@@ -71,6 +71,7 @@ def test_no_cartesian_in_banded_joins(spark):
 
     checks = [
         (PIPELINE, "dedup_ngram_jaccard"),
+        (PIPELINE, "dedup_paragraph"),
         (PIPELINE, "dedup_minhash_lsh"),
         (PIPELINE, "simhash_neardup"),
         (PIPELINE, "dedup_embedding_cosine"),
@@ -317,3 +318,16 @@ def test_tfidf_tokenizes_the_corpus_once(spark):
         # even on assertion failure the persisted aggregate must not
         # leak into later tests in the session
         df.sparkSession.catalog.clearCache()
+
+
+def test_dedup_paragraph_no_window_partial_agg_keeper(spark):
+    """Paragraph dedup must pick keepers via a partial-aggregable
+    groupBy(min) + equi semi join, NOT a window over the paragraph
+    hash — a boilerplate paragraph shared by billions of docs would
+    funnel a window partition into one task."""
+    from wrf_to_geodataframe_spark.suite.pipeline import QUERIES
+
+    plan = _plan(QUERIES["dedup_paragraph"](spark, SF))
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan
+    assert "LeftSemi" in plan, plan

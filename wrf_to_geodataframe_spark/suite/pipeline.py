@@ -65,6 +65,150 @@ GROUP BY md5(text)
 
 
 # ---------------------------------------------------------------------------
+# Paragraph-level deduplication (C4 / RefinedWeb-style)
+
+
+_PARA_WORDS = 20  # fixed-window segmentation (the synthetic corpus has
+#                   no newline structure; a real pipeline swaps in a
+#                   split-on-'\n\n' segmenter — everything downstream of
+#                   the paragraphs relation is segmenter-agnostic)
+_PARA_BOILER = " ".join(f"boiler{i}" for i in range(_PARA_WORDS))
+
+
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level deduplication: remove every paragraph that
+    appears anywhere else in the corpus, keeping only its first
+    occurrence by (doc_id, para_idx), then reassemble each document
+    from its retained paragraphs (the C4/RefinedWeb curation step that
+    strips repeated boilerplate without dropping whole documents).
+
+    A boilerplate paragraph (exactly ``_PARA_WORDS`` words) is planted
+    in-plan as a PREFIX on every 7th document, so the dedup provably
+    fires and the value hash exercises real cross-document matches;
+    prefixing keeps the remaining windows aligned with the unplanted
+    segmentation.
+
+    100 TB shape: the keeper table is a partial-aggregable ``groupBy``
+    on md5(paragraph) — a billion-fold boilerplate paragraph map-side
+    combines to one row per partition, so no skew.  Retention is an
+    equi semi join on the PAIR (para_md5, composite position key): the
+    hot paragraph's left rows carry distinct composites and therefore
+    hash-spread across reducers (a window over para_md5 would instead
+    funnel them into one task — deliberately avoided).  Reassembly is
+    one ``groupBy(doc_id)`` with an order-insensitive
+    ``array_sort(collect_list(struct))``.  Two shuffles on O(paragraph)
+    rows plus one on O(doc) rows; no cross join, no window over a
+    skewable key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(_PARA_BOILER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    w = F.split(F.col("t"), " ")
+    n_paras = F.floor((F.size(w) + _PARA_WORDS - 1) / _PARA_WORDS).cast("int")
+    base = planted.select("doc_id", w.alias("w"), n_paras.alias("n_paras"))
+    paras = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_paras")),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.slice(F.col("w"), (i - 1) * _PARA_WORDS + 1, _PARA_WORDS),
+                ),
+            )
+        ).alias("para_idx", "para"),
+    ).select(
+        "doc_id",
+        "para_idx",
+        "para",
+        F.md5("para").alias("ph"),
+        (F.col("doc_id") * 1000000 + F.col("para_idx")).alias("pos_key"),
+    )
+    keep = (
+        paras.groupBy("ph")
+        .agg(F.min("pos_key").alias("keeper"))
+        .withColumnRenamed("ph", "k_ph")
+    )
+    kept = paras.join(
+        keep,
+        (paras.ph == keep.k_ph) & (paras.pos_key == keep.keeper),
+        "left_semi",
+    )
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                    lambda s: s["para"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"  # md5("")
+    return (
+        base.select("doc_id", "n_paras")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_paras").cast("long").alias("n_paras"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("clean_md5"), F.lit(empty_md5)).alias("clean_md5"),
+        )
+    )
+
+
+_DEDUP_PARAGRAPH_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           string_split(
+               CASE WHEN doc_id % 7 = 0
+                    THEN '{_PARA_BOILER} ' || text ELSE text END, ' ') AS w
+    FROM documents
+), sized AS (
+    SELECT doc_id, w,
+           CAST(floor((len(w) + {_PARA_WORDS} - 1) / {_PARA_WORDS}) AS INT)
+               AS n_paras
+    FROM base
+), paras AS (
+    SELECT doc_id, n_paras,
+           unnest(generate_series(1, n_paras)) - 1 AS para_idx,
+           unnest(list_transform(generate_series(1, n_paras),
+               i -> array_to_string(
+                   w[(i-1)*{_PARA_WORDS}+1 : (i-1)*{_PARA_WORDS}+{_PARA_WORDS}],
+                   ' '))) AS para
+    FROM sized
+), keyed AS (
+    SELECT doc_id, para_idx, para, md5(para) AS ph,
+           doc_id * 1000000 + para_idx AS pos_key
+    FROM paras
+), keep AS (
+    SELECT ph, min(pos_key) AS keeper FROM keyed GROUP BY ph
+), kept AS (
+    SELECT k.doc_id, k.para_idx, k.para
+    FROM keyed k JOIN keep ON k.ph = keep.ph AND k.pos_key = keep.keeper
+), per_doc AS (
+    SELECT doc_id, count(*) AS n_kept,
+           md5(string_agg(para, ' ' ORDER BY para_idx)) AS clean_md5
+    FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n_paras AS BIGINT) AS n_paras,
+       CAST(coalesce(p.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(p.clean_md5, md5('')) AS clean_md5
+FROM sized s LEFT JOIN per_doc p ON s.doc_id = p.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Near-duplicate detection: exact n-gram Jaccard via inverted index
 
 
@@ -3048,6 +3192,7 @@ QUERIES = {
     "text_repetition": text_repetition,
     "text_scrub_pii": text_scrub_pii,
     "mixture_sample_temperature": mixture_sample_temperature,
+    "dedup_paragraph": dedup_paragraph,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "simhash_neardup": simhash_neardup,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -3084,6 +3229,7 @@ ORACLE = {
     "text_repetition": _TEXT_REPETITION_SQL,
     "text_scrub_pii": _TEXT_SCRUB_SQL,
     "mixture_sample_temperature": _MIXTURE_SQL,
+    "dedup_paragraph": _DEDUP_PARAGRAPH_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "simhash_neardup": _SIMHASH_SQL,
     "dedup_embedding_cosine": _EMBED_COSINE_SQL,
