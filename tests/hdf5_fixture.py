@@ -198,6 +198,52 @@ class FixtureWriter:
             msgs.append(self._dim_list_msg(dim_refs))
         self.vars.append((name, self.alloc(_objheader(msgs))))
 
+    def add_vlen_contiguous(self, name: str, values, dim_refs=None):
+        """Contiguous dataset of a class-9 vlen datatype: ``values`` is
+        a list of python strings (vlen string, netcdf-c NC_STRING
+        variables) or of 1-D numpy arrays (vlen numeric sequence).
+        Each element's payload goes into one global heap collection;
+        the dataset's raw bytes are the hvl_t records."""
+        is_str = isinstance(values[0], str)
+        objs = b""
+        payloads = [
+            (v.encode() if is_str else np.ascontiguousarray(v).tobytes())
+            for v in values
+        ]
+        for i, pl in enumerate(payloads, 1):
+            objs += struct.pack("<HHIQ", i, 1, 0, len(pl)) + _pad8(pl)
+        gcol = self.alloc(
+            b"GCOL"
+            + struct.pack("<B3xQ", 1, 16 + len(objs) + 16)
+            + objs
+            + b"\x00" * 16
+        )
+        hvl = b"".join(
+            struct.pack(
+                "<IQI",
+                (len(v) if is_str else len(v)),
+                gcol,
+                i + 1,
+            )
+            for i, v in enumerate(values)
+        )
+        addr = self.alloc(hvl)
+        if is_str:
+            base = _dt_str(1)
+            dt = struct.pack("<BBBBI", 0x19, 1, 0, 0, 16) + base
+        else:
+            b = np.asarray(values[0]).dtype
+            base = {"f": _dt_float, "i": _dt_int}[b.kind](b.itemsize)
+            dt = struct.pack("<BBBBI", 0x19, 0, 0, 0, 16) + base
+        msgs = [
+            _msg(0x0001, _dataspace((len(values),))),
+            _msg(0x0003, dt),
+            _msg(0x0008, struct.pack("<BBQQ", 3, 1, addr, len(hvl))),
+        ]
+        if dim_refs:
+            msgs.append(self._dim_list_msg(dim_refs))
+        self.vars.append((name, self.alloc(_objheader(msgs))))
+
     def add_chunked(
         self, name: str, arr: np.ndarray, chunk: tuple[int, ...], dim_refs=None
     ):
@@ -254,18 +300,27 @@ class FixtureWriter:
         self.vars.append((name, self.alloc(_objheader(msgs))))
 
     def finish_dense(
-        self, path: str, indirect_root: bool = False, bt_depth1: bool = False
+        self,
+        path: str,
+        indirect_root: bool = False,
+        bt_depth1: bool = False,
+        nested_indirect: bool = False,
+        max_direct: int = 4096,
     ):
         """Write the file with the root group in DENSE link storage:
         one link message per variable stored as a fractal-heap managed
         object, indexed by a v2 B-tree — the layout latest-format HDF5
         uses past ~8 links.  ``indirect_root`` forces a root INDIRECT
-        heap block whose rows are direct blocks (doubling-table path);
-        ``bt_depth1`` shrinks the B-tree node size so the name index
-        needs an internal root over multiple leaves (depth 1)."""
+        heap block (doubling-table path, one message per direct block);
+        ``nested_indirect`` additionally packs enough blocks that rows
+        past max_direct hold CHILD indirect blocks (implies
+        indirect_root).  ``bt_depth1`` shrinks the B-tree node size to
+        64 so the name index needs internal nodes; with enough links
+        the generic builder below emits depth 2+."""
         off_size, len_size = 4, 2
         heap_id_len = 1 + off_size + len_size
-        start_size, max_direct, table_width = 512, 4096, 4
+        start_size, table_width = 512, 4
+        indirect_root = indirect_root or nested_indirect
         msgs = []
         for name, addr in self.vars:
             nm = name.encode()
@@ -274,7 +329,11 @@ class FixtureWriter:
             )
 
         dblock_hdr = b"FHDB" + struct.pack("<B", 0) + struct.pack("<Q", 0)
-        ids = []  # (virtual offset, length)
+        ids = []  # (virtual offset, length) in self.vars order
+
+        def row_size(k: int) -> int:
+            return start_size if k < 2 else start_size << (k - 1)
+
         if not indirect_root:
             data = bytearray()
             for m in msgs:
@@ -285,35 +344,65 @@ class FixtureWriter:
             root_addr = self.alloc(block)
             cur_rows = 0
         else:
-            # one message per direct block, honoring the doubling table:
-            # rows 0/1 at start_size, row k >= 2 at start_size << (k-1)
-            kids = []
-            n_rows = (len(msgs) + table_width - 1) // table_width
-            row_base, row_size = 0, start_size
-            for i, m in enumerate(msgs):
-                row, col = i // table_width, i % table_width
-                if col == 0 and row > 0:
-                    row_base += table_width * row_size
-                    row_size = start_size if row < 2 else start_size << (row - 1)
-                voff = row_base + col * row_size
-                ids.append((voff + len(dblock_hdr) + off_size, len(m)))
-                blk = dblock_hdr + voff.to_bytes(off_size, "little") + m
-                blk += b"\x00" * (row_size - len(blk))
-                kids.append(self.alloc(blk))
-            entries = b""
-            for k in range(n_rows * table_width):
-                entries += struct.pack(
-                    "<Q", kids[k] if k < len(kids) else UNDEF
+            # recursive doubling-table placement: one message per direct
+            # block; rows whose block size exceeds max_direct hold child
+            # indirect blocks (log2(S/(width*start))+1 rows each)
+            queue = list(msgs)
+
+            def blocks_under(bsize: int) -> int:
+                if bsize <= max_direct:
+                    return 1
+                nrows = (bsize // (table_width * start_size)).bit_length()
+                return sum(
+                    table_width * blocks_under(row_size(k))
+                    for k in range(nrows)
                 )
-            root_addr = self.alloc(
-                b"FHIB"
-                + struct.pack("<B", 0)
-                + struct.pack("<Q", 0)
-                + (0).to_bytes(off_size, "little")
-                + entries
-                + struct.pack("<I", 0)  # checksum (unverified)
-            )
-            cur_rows = n_rows
+
+            def build_iblock(vbase: int, nrows: int) -> int:
+                entries = b""
+                base = vbase
+                for k in range(nrows):
+                    bsize = row_size(k)
+                    for j in range(table_width):
+                        voff = base + j * bsize
+                        if not queue:
+                            entries += struct.pack("<Q", UNDEF)
+                        elif bsize <= max_direct:
+                            m = queue.pop(0)
+                            ids.append(
+                                (voff + len(dblock_hdr) + off_size, len(m))
+                            )
+                            blk = (
+                                dblock_hdr
+                                + voff.to_bytes(off_size, "little")
+                                + m
+                            )
+                            blk += b"\x00" * (bsize - len(blk))
+                            entries += struct.pack("<Q", self.alloc(blk))
+                        else:
+                            crows = (
+                                bsize // (table_width * start_size)
+                            ).bit_length()
+                            entries += struct.pack(
+                                "<Q", build_iblock(voff, crows)
+                            )
+                    base += table_width * bsize
+                return self.alloc(
+                    b"FHIB"
+                    + struct.pack("<B", 0)
+                    + struct.pack("<Q", 0)
+                    + vbase.to_bytes(off_size, "little")
+                    + entries
+                    + struct.pack("<I", 0)  # checksum (unverified)
+                )
+
+            need, cur_rows = len(msgs), 0
+            cap = 0
+            while cap < need:
+                cap += table_width * blocks_under(row_size(cur_rows))
+                cur_rows += 1
+            root_addr = build_iblock(0, cur_rows)
+            assert not queue, "fixture: messages left unplaced"
 
         # FRHP header (142 bytes + checksum)
         frhp = bytearray()
@@ -334,7 +423,8 @@ class FixtureWriter:
         frhp += struct.pack("<I", 0)  # checksum (unverified)
         fheap_addr = self.alloc(bytes(frhp))
 
-        # v2 B-tree name index
+        # v2 B-tree name index: generic builder, depth chosen by the
+        # spec's per-depth capacities (mirrors the reader's sizing)
         rec_size = 4 + heap_id_len
         recs = []
         for (voff, ln), (name, _a) in zip(ids, self.vars):
@@ -344,43 +434,56 @@ class FixtureWriter:
                 + voff.to_bytes(off_size, "little")
                 + ln.to_bytes(len_size, "little")
             )
-        if not bt_depth1:
-            node_size, depth = 512, 0
-            leaf = (
-                b"BTLF"
-                + struct.pack("<BB", 0, 5)
-                + b"".join(recs)
-                + struct.pack("<I", 0)
-            )
-            root_bt, root_nrec = self.alloc(leaf), len(recs)
-        else:
-            node_size, depth = 64, 1
-            max_leaf = (node_size - 10) // rec_size
-            leaves, seps = [], []
-            rest = list(recs)
+        node_size = 64 if bt_depth1 else 512
+
+        def enc(v: int) -> int:
+            return ((max(v, 1).bit_length() - 1) // 8) + 1
+
+        cap_d = [(node_size - 10) // rec_size]
+        tot_d = [cap_d[0]]
+        ptr_d = [0]
+        while tot_d[-1] < len(recs):
+            d = len(cap_d)
+            p = 8 + enc(cap_d[d - 1]) + (enc(tot_d[d - 1]) if d >= 2 else 0)
+            c = (node_size - 10 - p) // (rec_size + p)
+            cap_d.append(c)
+            ptr_d.append(p)
+            tot_d.append(c + (c + 1) * tot_d[d - 1])
+        depth = len(cap_d) - 1
+
+        def build_bt(rs: list[bytes], d: int):
+            """-> (addr, nrec in this node, total in subtree)"""
+            if d == 0:
+                blob = (
+                    b"BTLF"
+                    + struct.pack("<BB", 0, 5)
+                    + b"".join(rs)
+                    + struct.pack("<I", 0)
+                )
+                return self.alloc(blob), len(rs), len(rs)
+            subtrees, seps = [], []
+            rest = list(rs)
             while rest:
-                leaves.append(rest[:max_leaf])
-                rest = rest[max_leaf:]
+                subtrees.append(rest[: tot_d[d - 1]])
+                rest = rest[tot_d[d - 1]:]
                 if rest:
                     seps.append(rest[0])
                     rest = rest[1:]
-            if len(leaves) == len(seps):  # separator consumed the tail
-                leaves.append([])
-            leaf_addrs = [
-                self.alloc(
-                    b"BTLF"
-                    + struct.pack("<BB", 0, 5)
-                    + b"".join(lr)
-                    + struct.pack("<I", 0)
-                )
-                for lr in leaves
-            ]
-            btin = bytearray(b"BTIN" + struct.pack("<BB", 0, 5))
-            btin += b"".join(seps)
-            for a, lr in zip(leaf_addrs, leaves):
-                btin += struct.pack("<Q", a) + bytes([len(lr)])
-            btin += struct.pack("<I", 0)  # checksum
-            root_bt, root_nrec = self.alloc(bytes(btin)), len(seps)
+            if len(subtrees) == len(seps):  # separator consumed the tail
+                subtrees.append([])
+            assert len(seps) <= cap_d[d], "fixture: internal node overflow"
+            kids = [build_bt(s, d - 1) for s in subtrees]
+            body = b"BTIN" + struct.pack("<BB", 0, 5) + b"".join(seps)
+            n1 = enc(cap_d[d - 1])
+            for a, n, t in kids:
+                body += struct.pack("<Q", a) + n.to_bytes(n1, "little")
+                if d >= 2:
+                    body += t.to_bytes(enc(tot_d[d - 1]), "little")
+            body += struct.pack("<I", 0)  # checksum
+            assert len(body) <= node_size, "fixture: node overflow"
+            return self.alloc(body), len(seps), len(rs)
+
+        root_bt, root_nrec, _tot = build_bt(recs, depth)
         bthd = (
             b"BTHD"
             + struct.pack("<BB", 0, 5)

@@ -350,3 +350,79 @@ def test_dense_link_storage_reads_like_symbol_table(tmp_path, indirect, depth1):
             got["variables"][name]["data"], want["variables"][name]["data"]
         )
         assert got["variables"][name]["attrs"] == {"units": "K"}
+
+
+def test_vlen_string_dataset_reads_as_python_strings(tmp_path):
+    """netcdf-c NC_STRING variables are class-9 vlen-string DATASETS:
+    each element is an hvl_t resolved through the global heap.  The
+    dataset surfaces as an object ndarray of python str, with
+    DIMENSION_LIST names resolved like any other variable."""
+    w = FixtureWriter()
+    names = ["station one", "st2", "", "a much longer station name here"]
+    w.add_contiguous(
+        "t", np.arange(4, dtype=np.float64),
+        attrs=[("CLASS", "DIMENSION_SCALE")],
+    )
+    w.add_vlen_contiguous("station", names, dim_refs=["t"])
+    path = str(tmp_path / "vlen.nc")
+    w.finish(path)
+    ds = read_hdf5(path)
+    got = ds["variables"]["station"]
+    assert got["dims"] == ["t"]
+    assert got["data"].dtype == object
+    assert list(got["data"]) == names
+
+
+def test_vlen_numeric_sequence_dataset(tmp_path):
+    """Class-9 vlen over a numeric base (ragged sequences): each
+    element resolves to its own numpy array."""
+    w = FixtureWriter()
+    seqs = [
+        np.array([1.5, 2.5], np.float64),
+        np.array([], np.float64),
+        np.array([7.0, 8.0, 9.0, 10.0], np.float64),
+    ]
+    w.add_vlen_contiguous("ragged", seqs)
+    path = str(tmp_path / "ragged.nc")
+    w.finish(path)
+    ds = read_hdf5(path)
+    got = ds["variables"]["ragged"]["data"]
+    assert got.dtype == object
+    assert len(got) == 3
+    for g, s in zip(got, seqs):
+        np.testing.assert_array_equal(g, s)
+
+
+def test_dense_nested_indirect_heap_and_deep_btree(tmp_path):
+    """Past the direct rows of the doubling table, fractal-heap rows
+    hold CHILD indirect blocks; with a 64-byte B-tree node and 40
+    links the name index needs depth >= 2 (internal-over-internal,
+    whose child pointers carry the extra total-record field).  Both
+    paths must read identically to the symbol-table layout."""
+    rng = np.random.default_rng(11)
+    arrays = {
+        f"nst{i:03d}": rng.normal(0.0, 1.0, (2, 3)) for i in range(40)
+    }
+    dense = FixtureWriter()
+    classic = FixtureWriter()
+    for name, arr in arrays.items():
+        dense.add_contiguous(name, arr)
+        classic.add_contiguous(name, arr)
+    pd_path = str(tmp_path / "nested.nc")
+    pc_path = str(tmp_path / "classic.nc")
+    # max_direct == start_size<<4 puts row 5+ into nested indirect
+    # blocks; 40 one-message blocks spill well past row 5
+    dense.finish_dense(pd_path, nested_indirect=True, bt_depth1=True)
+    classic.finish(pc_path)
+    raw = open(pd_path, "rb").read()
+    i = raw.index(b"BTHD")
+    depth = int.from_bytes(raw[i + 12:i + 14], "little")
+    assert depth >= 2, depth  # the fixture must genuinely go deep
+    assert raw.count(b"FHIB") >= 2  # root + nested child indirect
+    got = read_hdf5(pd_path)
+    want = read_hdf5(pc_path)
+    assert set(got["variables"]) == set(want["variables"]) == set(arrays)
+    for name in arrays:
+        np.testing.assert_array_equal(
+            got["variables"][name]["data"], want["variables"][name]["data"]
+        )

@@ -30,10 +30,15 @@ library writes with default settings (no h5py in this container):
 - vlen STRING attributes (netcdf-c ``NC_STRING`` — title/history
   style), resolved through the same global-heap path
 
+- vlen-typed DATASETS and attributes (class 9 over string or numeric
+  bases — netcdf-c ``NC_STRING`` variables and vlen sequences), every
+  element resolved through the global heap; strings surface as python
+  str in an object ndarray, sequences as per-element numpy arrays
+
 NOT supported (documented, raises cleanly): nested indirect fractal-
 heap blocks and v2 B-trees deeper than two levels (tens of thousands
-of links per group), vlen-typed DATASETS (vlen attributes are
-handled), array-valued compound members, szip.  The returned dict matches ``read_netcdf``'s
+of links per group), nested vlen / vlen-of-compound, array-valued
+compound members, szip.  The returned dict matches ``read_netcdf``'s
 shape so the two scans are drop-in interchangeable;
 ``read_netcdf_any`` dispatches on the magic bytes.
 
@@ -76,11 +81,23 @@ def _unshuffle(raw: bytes, elem: int) -> bytes:
     )
 
 
+class VlenType:
+    """Parsed class-9 variable-length datatype: ``base`` is ``"str"``
+    for vlen strings or the element numpy dtype for vlen sequences.
+    On disk every element is an hvl_t — u32 count + global heap id
+    (u64 GCOL address, u32 object index) — hence itemsize 16."""
+
+    itemsize = 16
+
+    def __init__(self, base):
+        self.base = base
+
+
 def _parse_datatype_ex(buf: bytes, pos: int):
-    """-> (numpy dtype, bytes consumed).  Consumed size matters only
-    for COMPOUND members, which embed full datatype descriptions
-    back-to-back; top-level callers slice by the declared message
-    size."""
+    """-> (numpy dtype or VlenType, bytes consumed).  Consumed size
+    matters only for COMPOUND members, which embed full datatype
+    descriptions back-to-back; top-level callers slice by the declared
+    message size."""
     b0 = buf[pos]
     cls = b0 & 0x0F
     ver = (b0 >> 4) & 0x0F
@@ -88,6 +105,14 @@ def _parse_datatype_ex(buf: bytes, pos: int):
     be = bits0 & 0x01
     size = int.from_bytes(buf[pos + 4:pos + 8], "little")
     order = ">" if be else "<"
+    if cls == 9:  # variable-length: base datatype follows the header
+        vtype = bits0 & 0x0F  # 0 = sequence, 1 = string
+        base, consumed = _parse_datatype_ex(buf, pos + 8)
+        if vtype == 1:
+            return VlenType("str"), 8 + consumed
+        if isinstance(base, VlenType) or getattr(base, "names", None):
+            raise Hdf5Error("nested vlen / vlen-of-compound not supported")
+        return VlenType(base), 8 + consumed
     if cls == 0:  # fixed-point (4 property bytes: bit offset + precision)
         signed = "i" if bits0 & 0x08 else "u"
         return np.dtype(f"{order}{signed}{size}"), 12
@@ -207,6 +232,28 @@ def _read_gheap_object(buf: bytes, addr: int, idx: int) -> bytes:
     raise Hdf5Error(f"global heap object {idx} not found at {addr:#x}")
 
 
+def _resolve_vlen(buf: bytes, raw: bytes, vt: VlenType, n: int) -> np.ndarray:
+    """Resolve ``n`` hvl_t records through the global heap -> object
+    ndarray of python strings (vlen string) or numpy arrays (vlen
+    sequence).  A zero heap address is a never-written element (fill):
+    empty string / empty array."""
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        e = 16 * i
+        cnt = int.from_bytes(raw[e:e + 4], "little")
+        gaddr = int.from_bytes(raw[e + 4:e + 12], "little")
+        gidx = int.from_bytes(raw[e + 12:e + 16], "little")
+        if gaddr in (0, _UNDEF) or gidx == 0:
+            out[i] = "" if vt.base == "str" else np.empty(0, vt.base)
+            continue
+        data = _read_gheap_object(buf, gaddr, gidx)
+        if vt.base == "str":
+            out[i] = data[:cnt].decode("utf-8", "replace")
+        else:
+            out[i] = np.frombuffer(data, vt.base, count=cnt)
+    return out
+
+
 def _parse_attribute(buf: bytes, pos: int):
     ver = buf[pos]
     if ver not in (1, 2, 3):
@@ -273,11 +320,20 @@ def _parse_attribute(buf: bytes, pos: int):
     try:
         dtype = _parse_datatype(buf, p)
     except Hdf5Error:
-        return name, None  # other vlen/unsupported attr: skip value
+        return name, None  # unsupported attr datatype: skip value
     p += pad(dt_size)
     shape = _parse_dataspace(buf, p)
     p += pad(ds_size)
     n = int(np.prod(shape)) if shape else 1
+    if isinstance(dtype, VlenType):
+        # vlen numeric sequence attribute (vlen string / object-ref
+        # shapes are caught by the dedicated branches above)
+        try:
+            vals = _resolve_vlen(buf, buf[p:p + 16 * n], dtype, n)
+        except Hdf5Error:
+            return name, None
+        out = [v for v in vals]
+        return name, out[0] if len(out) == 1 else out
     vals = np.frombuffer(buf[p:p + n * dtype.itemsize], dtype=dtype, count=n)
     if dtype.names:  # compound -> struct-like dict(s)
         return name, _struct_to_dicts(vals, dtype)
@@ -434,45 +490,57 @@ class _Hdf5File:
 
             return read_obj, heap_id_len, off_size, len_size
 
-        # root indirect block: rows x width child entries
+        # indirect root: rows of direct blocks up to max_direct, then
+        # rows of NESTED indirect blocks (the doubling table recurses —
+        # a child indirect covering S bytes has log2(S/(width*start))+1
+        # rows of its own, per the spec's dtable sizing)
         if buf[root_addr:root_addr + 4] != b"FHIB":
             raise Hdf5Error(f"expected FHIB at {root_addr:#x}")
-        max_direct_rows = (
-            max_direct.bit_length() - start_size.bit_length() + 2
-        )
-        if cur_rows > max_direct_rows:
-            raise Hdf5Error("nested indirect fractal-heap blocks not supported")
-        entries_at = root_addr + 4 + 1 + 8 + off_size
-        rows = []  # (virtual_base, block_size, [child addrs])
-        vbase = 0
-        for k in range(cur_rows):
-            bsize = start_size if k < 2 else start_size << (k - 1)
-            kids = [
-                f.u(entries_at + (k * table_width + j) * 8, 8)
-                for j in range(table_width)
-            ]
-            rows.append((vbase, bsize, kids))
-            vbase += table_width * bsize
 
-        def read_obj(voff: int) -> int:
-            for base, bsize, kids in rows:
-                if voff < base + len(kids) * bsize:
+        def row_size(k: int) -> int:
+            return start_size if k < 2 else start_size << (k - 1)
+
+        def resolve(iaddr: int, vbase: int, nrows: int, voff: int) -> int:
+            if buf[iaddr:iaddr + 4] != b"FHIB":
+                raise Hdf5Error(f"expected FHIB at {iaddr:#x}")
+            entries_at = iaddr + 4 + 1 + 8 + off_size
+            base = vbase
+            for k in range(nrows):
+                bsize = row_size(k)
+                span = table_width * bsize
+                if voff < base + span:
                     j = (voff - base) // bsize
-                    child = kids[j]
+                    child = f.u(entries_at + (k * table_width + j) * 8, 8)
                     if child == _UNDEF:
                         raise Hdf5Error("object in unallocated heap block")
-                    if self.buf[child:child + 4] != b"FHDB":
-                        raise Hdf5Error(f"expected FHDB at {child:#x}")
-                    return child + (voff - base - j * bsize)
-            raise Hdf5Error(f"heap offset {voff} beyond root indirect block")
+                    if bsize <= max_direct:
+                        if buf[child:child + 4] != b"FHDB":
+                            raise Hdf5Error(f"expected FHDB at {child:#x}")
+                        return child + (voff - base - j * bsize)
+                    ratio = bsize // (table_width * start_size)
+                    if ratio < 1:
+                        raise Hdf5Error(
+                            "indirect block smaller than one table row"
+                        )
+                    return resolve(
+                        child, base + j * bsize, ratio.bit_length(), voff
+                    )
+                base += span
+            raise Hdf5Error(f"heap offset {voff} beyond indirect block")
+
+        def read_obj(voff: int) -> int:
+            return resolve(root_addr, 0, cur_rows, voff)
 
         return read_obj, heap_id_len, off_size, len_size
 
     def _bt2_leaf_records(self, addr: int):
-        """Yield raw records in order from a v2 B-tree (BTHD) of depth
-        0 (one leaf — any group below ~370 links at the default node
-        size) or depth 1 (internal root over leaves — tens of
-        thousands of links).  Depth >= 2 raises."""
+        """Yield raw records in key order from a v2 B-tree (BTHD) of
+        ANY depth.  Per-depth node capacities follow the spec's sizing
+        (node overhead = 10 bytes: sig+ver+type+checksum): a leaf holds
+        (node_size-10)//rec_size records; an internal node at depth d
+        spends ptr(d) = 8 + enc(max_nrec[d-1]) bytes per child pointer
+        — plus enc(max_total[d-1]) when the child is itself internal —
+        so it holds (node_size-10-ptr(d))//(rec_size+ptr(d)) records."""
         buf, f = self.buf, self.f
         if buf[addr:addr + 4] != b"BTHD":
             raise Hdf5Error(f"expected BTHD at {addr:#x}")
@@ -482,34 +550,40 @@ class _Hdf5File:
         root = f.u(addr + 16, 8)
         nrec = f.u(addr + 24, 2)
 
-        def leaf(a: int, n: int):
-            if buf[a:a + 4] != b"BTLF":
-                raise Hdf5Error(f"expected BTLF at {a:#x}")
-            p = a + 6
-            for _ in range(n):
-                yield buf[p:p + rec_size]
-                p += rec_size
+        def enc(v: int) -> int:
+            return ((max(v, 1).bit_length() - 1) // 8) + 1
 
-        if depth == 0:
-            yield from leaf(root, nrec)
-            return
-        if depth != 1:
-            raise Hdf5Error("v2 B-tree depth > 1 not supported")
-        if buf[root:root + 4] != b"BTIN":
-            raise Hdf5Error(f"expected BTIN at {root:#x}")
-        # child-pointer record-count width: bytes needed to encode the
-        # max records a LEAF can hold (leaf overhead = 10 bytes)
-        max_leaf = (node_size - 10) // rec_size
-        n_width = ((max(max_leaf, 1).bit_length() - 1) // 8) + 1
-        p_rec = root + 6
-        p_child = p_rec + nrec * rec_size
-        ptr_size = 8 + n_width
-        for i in range(nrec + 1):
-            child = f.u(p_child + i * ptr_size, 8)
-            child_n = f.u(p_child + i * ptr_size + 8, n_width)
-            yield from leaf(child, child_n)
-            if i < nrec:
-                yield buf[p_rec + i * rec_size:p_rec + (i + 1) * rec_size]
+        cap = [(node_size - 10) // rec_size]  # max records by depth
+        tot = [cap[0]]  # max records in a whole subtree by depth
+        ptr = [0]  # child-pointer size used AT each internal depth
+        for d in range(1, depth + 1):
+            p = 8 + enc(cap[d - 1]) + (enc(tot[d - 1]) if d >= 2 else 0)
+            c = (node_size - 10 - p) // (rec_size + p)
+            cap.append(c)
+            ptr.append(p)
+            tot.append(c + (c + 1) * tot[d - 1])
+
+        def walk(a: int, n: int, d: int):
+            if d == 0:
+                if buf[a:a + 4] != b"BTLF":
+                    raise Hdf5Error(f"expected BTLF at {a:#x}")
+                p0 = a + 6
+                for i in range(n):
+                    yield buf[p0 + i * rec_size:p0 + (i + 1) * rec_size]
+                return
+            if buf[a:a + 4] != b"BTIN":
+                raise Hdf5Error(f"expected BTIN at {a:#x}")
+            p_rec = a + 6
+            p_child = p_rec + n * rec_size
+            psz, n1 = ptr[d], enc(cap[d - 1])
+            for i in range(n + 1):
+                caddr = f.u(p_child + i * psz, 8)
+                child_n = f.u(p_child + i * psz + 8, n1)
+                yield from walk(caddr, child_n, d - 1)
+                if i < n:
+                    yield buf[p_rec + i * rec_size:p_rec + (i + 1) * rec_size]
+
+        yield from walk(root, nrec, depth)
 
     def _walk_dense_links(self, fheap_addr: int, bt2_addr: int, out: dict):
         read_obj, heap_id_len, off_size, _len_size = self._fractal_heap(
@@ -640,23 +714,35 @@ class _Hdf5File:
             raise Hdf5Error(f"data layout version {ver}")
         lclass = buf[body + 1]
         n = int(np.prod(shape)) if shape else 1
+        vlen = isinstance(dtype, VlenType)
+
+        def from_raw(raw: bytes) -> np.ndarray:
+            if vlen:
+                return _resolve_vlen(buf, raw, dtype, n).reshape(shape)
+            return np.frombuffer(raw, dtype, count=n).reshape(shape)
+
+        def fill() -> np.ndarray:
+            if vlen:
+                out = np.empty(shape, dtype=object)
+                out[...] = "" if dtype.base == "str" else None
+                return out
+            return np.zeros(shape, dtype)
+
         if lclass == 0:  # compact
             dsize = self.f.u(body + 2, 2)
-            raw = buf[body + 4:body + 4 + dsize]
-            return np.frombuffer(raw, dtype, count=n).reshape(shape)
+            return from_raw(buf[body + 4:body + 4 + dsize])
         if lclass == 1:  # contiguous
             addr = self.f.u(body + 2, 8)
-            if addr == _UNDEF:  # never written: all fill (zeros)
-                return np.zeros(shape, dtype)
-            raw = buf[addr:addr + n * dtype.itemsize]
-            return np.frombuffer(raw, dtype, count=n).reshape(shape)
+            if addr == _UNDEF:  # never written: all fill
+                return fill()
+            return from_raw(buf[addr:addr + n * dtype.itemsize])
         if lclass == 2:  # chunked, v1 B-tree index
             ndims = buf[body + 2]  # rank + 1
             btree = self.f.u(body + 3, 8)
             chunk = tuple(
                 self.f.u(body + 11 + 4 * i, 4) for i in range(ndims - 1)
             )
-            out = np.zeros(shape, dtype)
+            out = fill()
             if btree != _UNDEF:
                 self._read_chunk_btree(
                     btree, out, chunk, dtype, filters, ndims
@@ -689,7 +775,11 @@ class _Hdf5File:
                 raw = self._decode(
                     buf[child:child + nbytes], filters, dtype.itemsize
                 )
-                block = np.frombuffer(raw, dtype, count=int(np.prod(chunk)))
+                nchunk = int(np.prod(chunk))
+                if isinstance(dtype, VlenType):
+                    block = _resolve_vlen(buf, raw, dtype, nchunk)
+                else:
+                    block = np.frombuffer(raw, dtype, count=nchunk)
                 block = block.reshape(chunk)
                 sel = tuple(
                     slice(o, min(o + c, s))
