@@ -172,16 +172,18 @@ def extract_features(with_payload: DataFrame, decode: bool = False) -> DataFrame
 
     ``decode=False`` computes byte-level features (length, first byte,
     byte sum) with numpy over the raw Arrow batch.  ``decode=True``
-    runs the real codecs (PNG or baseline JPEG, dispatched on magic
-    bytes like :func:`decode_images`) on each payload and computes the
-    same features over the DECODED pixel buffer — other containers
-    (webp/avif) raise ``ValueError`` naming the gap."""
+    runs the real codecs (PNG, baseline JPEG, or lossless WebP,
+    dispatched on magic bytes like :func:`decode_images`) on each
+    payload and computes the same features over the DECODED pixel
+    buffer — other containers (lossy webp/avif) raise ``ValueError``
+    naming the gap."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         from wrf_to_geodataframe_spark.sources.jpeg import decode_jpeg
         from wrf_to_geodataframe_spark.sources.png import decode_png
+        from wrf_to_geodataframe_spark.sources.webp import decode_webp
 
         def _buf(b: bytes) -> bytes:
             if not decode:
@@ -191,7 +193,9 @@ def extract_features(with_payload: DataFrame, decode: bool = False) -> DataFrame
                 return decode_png(b)[3]
             if b[:2] == b"\xff\xd8":
                 return decode_jpeg(b)[3]
-            raise ValueError("unknown image container (not PNG/JPEG)")
+            if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                return decode_webp(b)[3]
+            raise ValueError("unknown image container (not PNG/JPEG/WebP)")
 
         for pdf in it:
             payloads = pdf["payload"].map(_buf)
@@ -303,6 +307,41 @@ def encode_images_jpeg_tiles(base: DataFrame) -> DataFrame:
     return base.mapInPandas(_batches, PNG_SCHEMA)
 
 
+def encode_images_webp(base: DataFrame) -> DataFrame:
+    """Encode per-doc RGBA grids as lossless WebP (VP8L) inside Arrow
+    batches: input carries (doc_id, width, height, raw) with raw =
+    width*height*4 RGBA bytes; odd docs use the subtract-green
+    transform so both entropy paths sit on the hash path.  Lossless,
+    so decode(encode(x)) == x and the oracle can state the pixels in
+    closed form."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from wrf_to_geodataframe_spark.sources.webp import encode_webp
+
+        for pdf in it:
+            outs = []
+            for d, w, h, raw in zip(
+                pdf["doc_id"], pdf["width"], pdf["height"], pdf["raw"]
+            ):
+                w, h = int(w), int(h)
+                outs.append(
+                    encode_webp(
+                        bytes(raw)[: 4 * w * h], w, h,
+                        subtract_green=bool(int(d) % 2),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pdf["width"].astype("int64"),
+                    "height": pdf["height"].astype("int64"),
+                    "png": outs,
+                }
+            )
+
+    return base.mapInPandas(_batches, PNG_SCHEMA)
+
+
 # deterministic 16-color palette shared with the oracle SQL literal in
 # suite/pipeline.py (color k = first 3 md5 bytes of "pal:k")
 def _mm_palette() -> list[bytes]:
@@ -367,19 +406,23 @@ def decode_images(with_png: DataFrame) -> DataFrame:
     """Decode an image binary column back to pixel buffers + dimensions
     read from the container header (NOT trusted from the input columns)
     inside Arrow batches.  Dispatches on magic bytes — PNG signature ->
-    ``sources/png.py``, JPEG SOI -> ``sources/jpeg.py`` — the mixed-
-    format shape of a real crawl corpus."""
+    ``sources/png.py``, JPEG SOI -> ``sources/jpeg.py``, RIFF/WEBP ->
+    ``sources/webp.py`` (VP8L) — the mixed-format shape of a real
+    crawl corpus."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from wrf_to_geodataframe_spark.sources.jpeg import decode_jpeg
         from wrf_to_geodataframe_spark.sources.png import decode_png
+        from wrf_to_geodataframe_spark.sources.webp import decode_webp
 
         def _decode(b: bytes):
             if b[:8] == b"\x89PNG\r\n\x1a\n":
                 return decode_png(b)
             if b[:2] == b"\xff\xd8":
                 return decode_jpeg(b)
-            raise ValueError("unknown image container (not PNG/JPEG)")
+            if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                return decode_webp(b)
+            raise ValueError("unknown image container (not PNG/JPEG/WebP)")
 
         for pdf in it:
             ws, hs, cs, pxs = [], [], [], []

@@ -3132,6 +3132,68 @@ FROM g
 """
 
 
+def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless WebP (VP8L) round-trip on the hash path: per doc an
+    RGBA grid of md5-chain bytes is encoded as a real RIFF/VP8L stream
+    (odd docs add the subtract-green transform, so both the plain and
+    transformed entropy paths are hash-checked) and decoded back by
+    ``sources/webp.py`` through the mixed-format ``decode_images``
+    dispatch.  VP8L is lossless, so the oracle states the decoded
+    pixels in CLOSED FORM — identity on the chain bytes — validating
+    canonical prefix codes (simple + code-length-coded headers), the
+    LSB-first bit layout, and the transform inverse, not a codec
+    restatement.  LZ77/cache/palette/predictor paths are pinned by the
+    spec-level golden streams in ``tests/test_webp.py``.
+
+    100 TB shape: CPU-bound Python codec inside Arrow batches — the
+    repartition spreads one small parquet split over every core; at
+    cluster scale the scan's own splits dominate and the exchange is
+    noise (same pattern as ``multimodal_decode``)."""
+    from wrf_to_geodataframe_spark.operators.multimodal import (
+        decode_images,
+        encode_images_webp,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    w = (F.lit(8) + F.col("doc_id") % 3).cast("long")
+    h = (F.lit(6) + F.col("doc_id") % 2).cast("long")
+    # 18 md5 blocks = 288 bytes >= max 10*7*4 = 280 RGBA bytes
+    raw = F.concat(
+        *[
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit(f":wp{b}"))))
+            for b in range(18)
+        ]
+    )
+    base = docs.select(
+        "doc_id", w.alias("width"), h.alias("height"), raw.alias("raw")
+    )
+    out = decode_images(encode_images_webp(base))
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.hex("pixels").alias("pixels_hex"),
+    )
+
+
+_MM_WEBP_HEX = " || ".join(f"md5(text || ':wp{b}')" for b in range(18))
+
+_MULTIMODAL_WEBP_SQL = f"""
+SELECT doc_id,
+       CAST(8 + doc_id % 3 AS BIGINT) AS width,
+       CAST(6 + doc_id % 2 AS BIGINT) AS height,
+       CAST(4 AS BIGINT) AS channels,
+       upper(substr({_MM_WEBP_HEX}, 1,
+                    CAST(8 * (8 + doc_id % 3) * (6 + doc_id % 2) AS BIGINT)))
+           AS pixels_hex
+FROM documents
+"""
+
+
 def _mm_palette_sql() -> str:
     from wrf_to_geodataframe_spark.operators.multimodal import MM_PALETTE
 
@@ -3219,6 +3281,7 @@ QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_formats": multimodal_decode_formats,
     "multimodal_decode_jpeg": multimodal_decode_jpeg,
+    "multimodal_decode_webp": multimodal_decode_webp,
     "multimodal_frame_sample": multimodal_frame_sample,
 }
 
@@ -3258,5 +3321,6 @@ ORACLE = {
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
     "multimodal_decode_formats": _MULTIMODAL_FORMATS_SQL,
     "multimodal_decode_jpeg": _MULTIMODAL_JPEG_SQL,
+    "multimodal_decode_webp": _MULTIMODAL_WEBP_SQL,
     "multimodal_frame_sample": _MULTIMODAL_FRAME_SQL,
 }
