@@ -417,3 +417,92 @@ def test_jsonl_corpus_reader_quarantines_corrupt_lines(spark, tmp_path):
     bad = [r.raw_line for r in quarantine.collect()]
     assert len(bad) == 2
     assert any("not json" in b for b in bad)
+
+
+def test_wkb_holes_and_multipolygon_round_trip():
+    """General WKB model: polygon-with-hole and multipolygon encode /
+    parse / area (holes subtracted), both byte orders, Z rejected."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from wrf_to_geodataframe_spark.sources.geopackage import (
+        multipolygon_wkb,
+        parse_polygon_wkb,
+        parse_wkb,
+        polygon_wkb_rings,
+        wkb_area,
+    )
+
+    outer = [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]]
+    hole = [[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0]]
+    donut = polygon_wkb_rings([outer, hole])
+    kind, polys = parse_wkb(donut)
+    assert kind == "Polygon" and len(polys) == 1 and len(polys[0]) == 2
+    np.testing.assert_array_equal(polys[0][0], outer)
+    np.testing.assert_array_equal(polys[0][1], hole)
+    assert wkb_area(donut) == 96.0
+    with pytest.raises(ValueError, match="single-ring"):
+        parse_polygon_wkb(donut)
+
+    far = [[100.0, 0.0], [101.0, 0.0], [101.0, 1.0], [100.0, 1.0]]
+    mp = multipolygon_wkb([[outer, hole], [far]])
+    kind, polys = parse_wkb(mp)
+    assert kind == "MultiPolygon" and len(polys) == 2
+    assert wkb_area(mp) == 97.0
+
+    # big-endian single-ring polygon parses identically
+    ring = np.asarray(outer + [outer[0]], dtype=">f8")
+    be = (
+        struct.pack(">BII", 0, 3, 1)
+        + struct.pack(">I", len(ring))
+        + ring.tobytes()
+    )
+    np.testing.assert_array_equal(parse_polygon_wkb(be), outer)
+
+    # ISO Z polygon (type 1003) rejected cleanly
+    zwkb = struct.pack("<BII", 1, 1003, 0)
+    with pytest.raises(ValueError, match="Z/M"):
+        parse_wkb(zwkb)
+
+
+def test_geometry_stats_and_ring_explode_distributed(spark):
+    """Spark surface for beyond-single-ring GeoParquet: stats triage
+    and the native-model ring explode, Arrow-batched."""
+    from wrf_to_geodataframe_spark.sources.geopackage import (
+        explode_wkb_rings,
+        multipolygon_wkb,
+        polygon_wkb_rings,
+        with_geometry_stats,
+    )
+
+    outer = [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]]
+    hole = [[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0]]
+    far = [[100.0, 0.0], [101.0, 0.0], [101.0, 1.0], [100.0, 1.0]]
+    rows = [
+        (1, polygon_wkb_rings([outer])),
+        (2, polygon_wkb_rings([outer, hole])),
+        (3, multipolygon_wkb([[outer, hole], [far]])),
+    ]
+    df = spark.createDataFrame(rows, "id long, geometry binary")
+    got = {
+        r.id: r for r in with_geometry_stats(df, "geometry").collect()
+    }
+    assert (got[1].n_parts, got[1].n_holes, got[1].area) == (1, 0, 100.0)
+    assert (got[2].n_parts, got[2].n_holes, got[2].area) == (1, 1, 96.0)
+    assert (got[3].n_parts, got[3].n_holes, got[3].area) == (2, 1, 97.0)
+
+    rings = explode_wkb_rings(df, "geometry").collect()
+    by_id = {}
+    for r in rings:
+        by_id.setdefault(r.id, []).append(r)
+    assert len(by_id[1]) == 1 and not by_id[1][0].is_hole
+    assert len(by_id[2]) == 2
+    assert sorted(r.is_hole for r in by_id[2]) == [False, True]
+    assert len(by_id[3]) == 3
+    parts = sorted((r.part_idx, r.ring_idx, r.is_hole) for r in by_id[3])
+    assert parts == [(0, 0, False), (0, 1, True), (1, 0, False)]
+    # vertex arrays come back as the engine's native open rings
+    g = [r for r in by_id[2] if not r.is_hole][0].geom
+    assert [list(v) for v in g] == outer

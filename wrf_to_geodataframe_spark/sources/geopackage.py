@@ -8,6 +8,14 @@ is a deliberate driver-side collect (SURVEY.md §7 hard-thing #6);
 large results use :func:`write_geoparquet` — a fully distributed
 ``df.write.parquet`` of the WKB-encoded geometry with CRS metadata on
 the field, round-tripped by :func:`read_geoparquet`.
+
+Beyond the engine's native single-ring model, the WKB layer reads the
+full GeoParquet polygon surface: :func:`parse_wkb` handles polygons
+with holes and multipolygons in either byte order (Z/M rejected
+cleanly), :func:`wkb_area` subtracts holes, and the Spark-side
+:func:`with_geometry_stats` / :func:`explode_wkb_rings` triage and
+re-express third-party geometries as single-ring rows every existing
+operator consumes.
 """
 
 from __future__ import annotations
@@ -29,12 +37,108 @@ def polygon_wkb(ring: np.ndarray) -> bytes:
 
 
 def parse_polygon_wkb(wkb: bytes) -> np.ndarray:
-    """Inverse of :func:`polygon_wkb` (round-trip verification)."""
-    endian, geom_type, nrings = struct.unpack_from("<BII", wkb, 0)
-    assert endian == 1 and geom_type == 3 and nrings >= 1
-    (npts,) = struct.unpack_from("<I", wkb, 9)
-    pts = np.frombuffer(wkb, dtype="<f8", count=npts * 2, offset=13).reshape(-1, 2)
-    return pts[:-1].copy() if npts and np.array_equal(pts[0], pts[-1]) else pts.copy()
+    """Inverse of :func:`polygon_wkb`: strict single-ring polygon ->
+    open (n, 2) vertex array.  Multi-ring / multipolygon input raises —
+    use :func:`parse_wkb` for the general geometry model."""
+    gtype, polys = parse_wkb(wkb)
+    if gtype != "Polygon" or len(polys) != 1 or len(polys[0]) != 1:
+        raise ValueError(
+            "not a single-ring Polygon — use parse_wkb for holes/multiparts"
+        )
+    return polys[0][0]
+
+
+def polygon_wkb_rings(rings) -> bytes:
+    """Little-endian WKB POLYGON with holes: ``rings[0]`` is the outer
+    boundary, the rest are interior rings (holes); each is closed on
+    write if open."""
+    out = struct.pack("<BII", 1, 3, len(rings))
+    for r in rings:
+        r = np.asarray(r, dtype="<f8")
+        if len(r) and not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        out += struct.pack("<I", len(r)) + r.tobytes()
+    return out
+
+
+def multipolygon_wkb(polys) -> bytes:
+    """Little-endian WKB MULTIPOLYGON: ``polys`` is a list of ring
+    lists (each per :func:`polygon_wkb_rings`)."""
+    out = struct.pack("<BII", 1, 6, len(polys))
+    for rings in polys:
+        out += polygon_wkb_rings(rings)
+    return out
+
+
+def _parse_rings(wkb: bytes, pos: int, fmt: str, nrings: int):
+    rings = []
+    for _ in range(nrings):
+        (npts,) = struct.unpack_from(fmt + "I", wkb, pos)
+        pos += 4
+        pts = np.frombuffer(
+            wkb, dtype=fmt + "f8", count=npts * 2, offset=pos
+        ).reshape(-1, 2)
+        pos += npts * 16
+        if npts and np.array_equal(pts[0], pts[-1]):
+            pts = pts[:-1]
+        rings.append(pts.astype("<f8", copy=True))
+    return rings, pos
+
+
+def _parse_wkb_geom(wkb: bytes, pos: int):
+    fmt = "<" if wkb[pos] == 1 else ">"
+    (gtype,) = struct.unpack_from(fmt + "I", wkb, pos + 1)
+    pos += 5
+    if gtype & 0xE0000000 or gtype >= 1000:
+        # EWKB Z/M/SRID flags or ISO Z/M variants (1003, 2003, ...)
+        raise ValueError("Z/M WKB geometries not supported")
+    base = gtype
+    if base == 3:  # Polygon
+        (nrings,) = struct.unpack_from(fmt + "I", wkb, pos)
+        rings, pos = _parse_rings(wkb, pos + 4, fmt, nrings)
+        return ("Polygon", [rings]), pos
+    if base == 6:  # MultiPolygon
+        (nparts,) = struct.unpack_from(fmt + "I", wkb, pos)
+        pos += 4
+        polys = []
+        for _ in range(nparts):
+            (kind, sub), pos = _parse_wkb_geom(wkb, pos)
+            if kind != "Polygon":
+                raise ValueError("MultiPolygon member is not a Polygon")
+            polys.append(sub[0])
+        return ("MultiPolygon", polys), pos
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def parse_wkb(wkb: bytes):
+    """General WKB parse (both byte orders) -> (kind, polys) where
+    ``kind`` is ``"Polygon"`` or ``"MultiPolygon"`` and ``polys`` is a
+    list of parts, each part a list of open (n, 2) float64 rings —
+    ``part[0]`` the outer boundary, the rest holes.  This is the read
+    surface for third-party GeoParquet, whose geometry model goes
+    beyond the engine's native single-ring polygons."""
+    (kind, polys), _pos = _parse_wkb_geom(bytes(wkb), 0)
+    return kind, polys
+
+
+def _ring_area(r: np.ndarray) -> float:
+    """|shoelace| of an open ring."""
+    if len(r) < 3:
+        return 0.0
+    x, y = r[:, 0], r[:, 1]
+    return abs(
+        0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    )
+
+
+def wkb_area(wkb: bytes) -> float:
+    """Planar area of a WKB Polygon/MultiPolygon with holes subtracted
+    (shoelace per ring; orientation-insensitive)."""
+    _kind, polys = parse_wkb(wkb)
+    total = 0.0
+    for rings in polys:
+        total += _ring_area(rings[0]) - sum(_ring_area(h) for h in rings[1:])
+    return total
 
 
 def _gpkg_geom_blob(ring: np.ndarray, srs_id: int) -> bytes:
@@ -204,6 +308,86 @@ def with_wkb_column(df, poly_col: str, out_col: str = "wkb"):
         )
 
     return df.withColumn(out_col, _encode(col(poly_col)))
+
+
+def with_geometry_stats(df, wkb_col: str = "geometry"):
+    """Attach ``n_parts``, ``n_holes``, ``area`` (holes subtracted)
+    parsed from a general WKB column — the cheap per-row triage for
+    third-party GeoParquet whose geometries exceed the engine's native
+    single-ring model.  Arrow-vectorized pandas_udf, fully
+    distributed."""
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("struct<n_parts: int, n_holes: int, area: double>")
+    def _stats(wkbs: pd.Series) -> pd.DataFrame:
+        parts, holes, areas = [], [], []
+        for b in wkbs:
+            _k, polys = parse_wkb(bytes(b))
+            parts.append(len(polys))
+            holes.append(sum(len(p) - 1 for p in polys))
+            areas.append(
+                sum(
+                    _ring_area(p[0]) - sum(_ring_area(h) for h in p[1:])
+                    for p in polys
+                )
+            )
+        return pd.DataFrame(
+            {"n_parts": parts, "n_holes": holes, "area": areas}
+        )
+
+    return df.withColumn("geom_stats", _stats(col(wkb_col))).select(
+        "*", "geom_stats.*"
+    ).drop("geom_stats")
+
+
+def explode_wkb_rings(df, wkb_col: str = "geometry", keep_cols=None):
+    """Explode a general WKB column into the engine's NATIVE geometry
+    model: one row per ring with ``part_idx``, ``ring_idx``,
+    ``is_hole`` and the open vertex array ``geom`` — so multipolygon /
+    holed GeoParquet feeds every existing single-ring operator (area,
+    clip, overlay, spatial join) with holes handled as negative-area
+    rows.  ``mapInPandas`` (Arrow), one input row -> n_ring rows,
+    fully distributed."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    keep_cols = list(keep_cols or [c for c in df.columns if c != wkb_col])
+    kept_fields = [f for f in df.schema.fields if f.name in keep_cols]
+    schema = StructType(
+        kept_fields
+        + [
+            StructField("part_idx", IntegerType()),
+            StructField("ring_idx", IntegerType()),
+            StructField("is_hole", BooleanType()),
+            StructField("geom", ArrayType(ArrayType(DoubleType()))),
+        ]
+    )
+
+    def _batches(it):
+        for pdf in it:
+            rows = []
+            for _, rec in pdf.iterrows():
+                _k, polys = parse_wkb(bytes(rec[wkb_col]))
+                for pi, rings in enumerate(polys):
+                    for ri, ring in enumerate(rings):
+                        rows.append(
+                            {
+                                **{c: rec[c] for c in keep_cols},
+                                "part_idx": pi,
+                                "ring_idx": ri,
+                                "is_hole": ri > 0,
+                                "geom": [list(v) for v in ring],
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(_batches, schema)
 
 
 def _crs_projjson(crs: str):
