@@ -1001,3 +1001,36 @@ def test_dedup_paragraph_removes_cross_doc_duplicates(spark, tmp_path):
     ).hexdigest()
     assert (got[14].n_paras, got[14].n_kept) == (2, 1)
     assert got[14].clean_md5 == hl.md5(b"different fourteen doc words").hexdigest()
+
+
+def test_quality_lm_score_exact_rationals(spark, tmp_path):
+    """The bigram LM score must be the exact integer rational
+    cb*1e9 div cu averaged per doc — hand-computed on a tiny corpus,
+    including the no-bigram edge."""
+    import pandas as pd
+
+    from wrf_to_geodataframe_spark.suite.pipeline import quality_lm_score
+
+    rows = [
+        {"doc_id": 1, "text": "x a x a"},
+        {"doc_id": 2, "text": "x b"},
+        {"doc_id": 3, "text": "q q q"},
+        {"doc_id": 4, "text": "solo"},
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = {r.doc_id: r for r in quality_lm_score(spark, str(tmp_path)).collect()}
+    # model: cb (x,a)=2 (a,x)=1 (x,b)=1 (q,q)=2; cu x=3 a=1 q=2
+    assert (got[1].n_tokens, got[1].n_bigrams) == (4, 3)
+    assert got[1].lm_mean_scaled == (666666666 + 1000000000 + 666666666) // 3
+    assert got[1].lm_min_scaled == 666666666
+    assert (got[2].lm_mean_scaled, got[2].lm_min_scaled) == (
+        333333333, 333333333,
+    )
+    assert (got[3].lm_mean_scaled, got[3].lm_min_scaled) == (
+        1000000000, 1000000000,
+    )
+    assert (got[4].n_tokens, got[4].n_bigrams, got[4].lm_mean_scaled) == (
+        1, 0, 0,
+    )
+    # the quality ordering a perplexity filter thresholds on
+    assert got[2].lm_mean_scaled < got[1].lm_mean_scaled < got[3].lm_mean_scaled

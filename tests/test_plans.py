@@ -331,3 +331,20 @@ def test_dedup_paragraph_no_window_partial_agg_keeper(spark):
     assert "Window" not in plan, plan
     assert "partial_min" in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_quality_lm_score_reuses_one_bigram_scan(spark):
+    """quality_lm_score's 100 TB shape: the persisted bigram relation
+    feeds the bigram-count agg, the prefix-count agg AND the scoring
+    join (>= 3 InMemoryTableScans, one underlying tokenize); joins stay
+    equi — no cartesian."""
+    from wrf_to_geodataframe_spark.suite.pipeline import QUERIES
+
+    df = QUERIES["quality_lm_score"](spark, SF)
+    try:
+        plan = _plan(df)
+        assert plan.count("InMemoryTableScan") >= 3, plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        df.sparkSession.catalog.clearCache()

@@ -209,6 +209,118 @@ FROM sized s LEFT JOIN per_doc p ON s.doc_id = p.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Language-model quality score (CCNet / perplexity-filtering shape)
+
+
+def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language-model quality score — the CCNet /
+    perplexity-filtering shape: train a bigram model over the corpus
+    IN-PLAN, then score each document by the mean (and min) conditional
+    probability of its bigrams.  Low scores mark gibberish / template
+    noise; real pipelines threshold on them before pretraining.
+
+    Instead of ``mean log P`` (a float log that no two engines evaluate
+    bit-identically), the score is the exact rational
+    ``c(w1,w2) * 1e9 div c(w1·)`` per bigram, averaged with integer
+    division — a monotone transform of the same ranking, hash-exact
+    on both engines (the suite's tfidf trick).  Real deployments train
+    the model on a held-out reference corpus; the plan shape is
+    identical (the model input swaps).
+
+    100 TB shape: ONE tokenize scan -> bigram rows (persisted — they
+    feed the bigram-count agg, the prefix-count agg, and the scoring
+    join; all three aggs partial/map-side).  Scoring is two equi joins
+    on the bigram/prefix keys; stop-word-grade hot keys skew the probe
+    side and are AQE skew-join territory (model side is 1 row per key,
+    so no cartesian blow-up is possible).  Per-doc reduce is one
+    partial-agg groupBy.  No window, no cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    bg = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                # guarded: Spark's sequence(1, 0) is DESCENDING, so a
+                # single-token doc must short-circuit to an empty array
+                F.expr(
+                    "CASE WHEN size(split(text, ' ')) < 2 THEN "
+                    "array() ELSE "
+                    "transform(sequence(1, size(split(text, ' ')) - 1), "
+                    "i -> struct(split(text, ' ')[i-1] AS w1, "
+                    "split(text, ' ')[i] AS w2)) END"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .persist()
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    scored = (
+        bg.join(cb, ["w1", "w2"])
+        .join(cu, ["w1"])
+        .select(
+            "doc_id",
+            F.expr("cb * CAST(1000000000 AS BIGINT) div cu").alias("p"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.expr("sum(p) div count(1)").alias("lm_mean_scaled"),
+        F.min("p").alias("lm_min_scaled"),
+    )
+    return (
+        docs.select("doc_id", F.size(w).cast("long").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            F.coalesce(F.col("lm_mean_scaled"), F.lit(0)).cast("long").alias(
+                "lm_mean_scaled"
+            ),
+            F.coalesce(F.col("lm_min_scaled"), F.lit(0)).cast("long").alias(
+                "lm_min_scaled"
+            ),
+        )
+    )
+
+
+_LM_SCORE_SQL = """
+WITH words AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), bg AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(2, len(w)), i -> w[i-1]))
+               AS w1,
+           unnest(list_transform(generate_series(2, len(w)), i -> w[i]))
+               AS w2
+    FROM words
+), cb AS (
+    SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2
+), cu AS (
+    SELECT w1, count(*) AS cu FROM bg GROUP BY 1
+), scored AS (
+    SELECT doc_id, cb.cb * 1000000000 // cu.cu AS p
+    FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1)
+), per_doc AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           sum(p) // count(*) AS lm_mean_scaled,
+           min(p) AS lm_min_scaled
+    FROM scored GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.w) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(p.lm_mean_scaled, 0) AS BIGINT) AS lm_mean_scaled,
+       CAST(coalesce(p.lm_min_scaled, 0) AS BIGINT) AS lm_min_scaled
+FROM words w LEFT JOIN per_doc p ON w.doc_id = p.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Near-duplicate detection: exact n-gram Jaccard via inverted index
 
 
@@ -3255,6 +3367,7 @@ QUERIES = {
     "text_scrub_pii": text_scrub_pii,
     "mixture_sample_temperature": mixture_sample_temperature,
     "dedup_paragraph": dedup_paragraph,
+    "quality_lm_score": quality_lm_score,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "simhash_neardup": simhash_neardup,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -3293,6 +3406,7 @@ ORACLE = {
     "text_scrub_pii": _TEXT_SCRUB_SQL,
     "mixture_sample_temperature": _MIXTURE_SQL,
     "dedup_paragraph": _DEDUP_PARAGRAPH_SQL,
+    "quality_lm_score": _LM_SCORE_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "simhash_neardup": _SIMHASH_SQL,
     "dedup_embedding_cosine": _EMBED_COSINE_SQL,
