@@ -260,6 +260,7 @@ def test_jpeg_info_header_only_triage():
     assert i1 == {
         "width": 16, "height": 24, "channels": 1,
         "progressive": False, "subsampling": (1, 1), "orientation": None,
+        "lossless": False, "precision": 8,
     }
     i2 = jpeg_info(encode_jpeg(rgb.tobytes(), 16, 24, 3, subsample=True))
     assert (i2["channels"], i2["subsampling"], i2["progressive"]) == (3, (2, 2), False)
@@ -287,3 +288,87 @@ def test_jpeg_info_reads_exif_orientation():
     info = jpeg_info(blob)
     assert info["orientation"] == 6
     assert (info["width"], info["height"]) == (16, 16)
+
+
+def test_lossless_sof3_round_trip_all_predictors():
+    """SOF3 lossless must be bit-exact for every Annex-H predictor at
+    8-, 12- and 16-bit precision, grayscale and 3-component."""
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.sources.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (13, 17), dtype=np.uint8)
+    for p in range(1, 8):
+        blob = encode_jpeg_lossless(img.tobytes(), 17, 13, 1, 8, p)
+        w, h, c, px = decode_jpeg(blob)
+        assert (w, h, c) == (17, 13, 1)
+        assert px == img.tobytes(), f"predictor {p}"
+    for prec, hi in [(12, 4096), (16, 65536)]:
+        im16 = rng.integers(0, hi, (9, 11), dtype=np.uint16)
+        blob = encode_jpeg_lossless(
+            im16.astype("<u2").tobytes(), 11, 9, 1, prec, 4
+        )
+        _w, _h, _c, px = decode_jpeg(blob)
+        assert np.array_equal(
+            np.frombuffer(px, "<u2").reshape(9, 11), im16
+        ), prec
+    rgb = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    blob = encode_jpeg_lossless(rgb.tobytes(), 5, 7, 3, 8, 7)
+    _w, _h, c, px = decode_jpeg(blob)
+    assert c == 3 and px == rgb.tobytes()
+
+
+def test_lossless_point_transform_and_info():
+    """Point transform shifts out the Pt low bits (decoder returns
+    Rx << Pt); jpeg_info triages SOF3 streams."""
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.sources.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+        jpeg_info,
+    )
+
+    img = ((np.arange(64).reshape(8, 8) * 4) % 256).astype(np.uint8)
+    blob = encode_jpeg_lossless(
+        img.tobytes(), 8, 8, 1, 8, 1, point_transform=2
+    )
+    _w, _h, _c, px = decode_jpeg(blob)
+    got = np.frombuffer(px, np.uint8).reshape(8, 8)
+    assert np.array_equal(got, (img >> 2) << 2)
+    info = jpeg_info(blob)
+    assert info["lossless"] is True
+    assert info["precision"] == 8
+    assert (info["width"], info["height"]) == (8, 8)
+
+
+def test_ext12_constant_even_tiles_exact_and_psnr():
+    """12-bit extended sequential (SOF1): the constant even-valued
+    block corner decodes bit-exactly (uint16-LE output), and a smooth
+    gradient survives at high PSNR."""
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.sources.jpeg import (
+        decode_jpeg,
+        encode_jpeg_ext12,
+        jpeg_info,
+    )
+
+    tile = np.full((16, 16), 2050, np.uint16)
+    blob = encode_jpeg_ext12(tile.astype("<u2").tobytes(), 16, 16)
+    w, h, c, px = decode_jpeg(blob)
+    assert (w, h, c) == (16, 16, 1)
+    assert np.array_equal(np.frombuffer(px, "<u2").reshape(16, 16), tile)
+    assert jpeg_info(blob)["precision"] == 12
+
+    g = np.linspace(1000, 3000, 24 * 16).reshape(24, 16).astype(np.uint16)
+    blob = encode_jpeg_ext12(g.astype("<u2").tobytes(), 16, 24)
+    _w, _h, _c, px = decode_jpeg(blob)
+    got = np.frombuffer(px, "<u2").reshape(24, 16).astype(float)
+    mse = ((got - g.astype(float)) ** 2).mean()
+    psnr = 10 * np.log10(4095.0**2 / max(mse, 1e-9))
+    assert psnr > 50, psnr

@@ -12,15 +12,20 @@ corpora:
   once at EOI.  Grayscale and 3-component YCbCr with sampling factors
   up to 2x2 (4:4:4, 4:2:2, 4:2:0), byte stuffing, restart markers,
   canonical Huffman tables rebuilt from their (bits, values) wire
-  form.  Arithmetic coding, lossless/hierarchical SOFs, and 12-bit
-  depth raise ``ValueError`` naming the feature.
+  form.  12-bit sample precision decodes on the SOF1/SOF2 paths
+  (16-bit DQT entries, uint16-LE output), and LOSSLESS JPEG (SOF3,
+  Annex H — all 7 predictors, point transform, 2..16-bit precision,
+  1x1 sampling) decodes bit-exactly.  Arithmetic coding and
+  hierarchical SOFs raise ``ValueError`` naming the feature.
 - Encoders: baseline (grayscale or YCbCr 4:4:4 / 4:2:0, optional
   restart intervals) and progressive (DC + per-component AC band
   scans at successive precisions) — both emit the spec's Annex-K
   example quantization + Huffman tables (scaled by a quality factor)
   and reconstruct identical quantized coefficients, so baseline and
   progressive streams of the same image decode byte-identically (the
-  equivalence the tests pin).
+  equivalence the tests pin).  ``encode_jpeg_lossless`` (SOF3,
+  bit-exact by construction) and ``encode_jpeg_ext12`` (12-bit
+  SOF1 grayscale) round out the family.
 - All quantization uses DETERMINISTIC round-half-away-from-zero, so
   encode -> decode is bit-reproducible across machines.
 
@@ -607,6 +612,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     hmax = vmax = 1
     mcus_x = mcus_y = 0
     saw_scan = False
+    precision = 8
+    lossless = False
+    comps_pt = 0
     while True:
         if pos + 2 > len(data):
             raise ValueError("corrupt JPEG: truncated marker stream")
@@ -628,12 +636,18 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0x0F
-                if pq != 0:
-                    raise ValueError("unsupported JPEG: 16-bit quant table")
                 tbl = np.zeros(64, np.int32)
-                tbl[ZIGZAG] = np.frombuffer(seg[p + 1 : p + 65], np.uint8)
+                if pq == 0:
+                    tbl[ZIGZAG] = np.frombuffer(seg[p + 1 : p + 65], np.uint8)
+                    p += 65
+                elif pq == 1:  # 16-bit entries (12-bit sample streams)
+                    tbl[ZIGZAG] = np.frombuffer(
+                        seg[p + 1 : p + 129], ">u2"
+                    ).astype(np.int32)
+                    p += 129
+                else:
+                    raise ValueError(f"corrupt JPEG: DQT precision {pq}")
                 qt[tq] = tbl.reshape(8, 8)
-                p += 65
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -644,8 +658,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 huff[(tc, th)] = _build_decode(bits, vals)
                 p += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
-            if seg[0] != 8:
-                raise ValueError(f"unsupported JPEG: {seg[0]}-bit samples")
+            precision = seg[0]
+            if marker == 0xC0 and precision != 8:
+                raise ValueError(
+                    f"corrupt JPEG: baseline SOF0 must be 8-bit, got {precision}"
+                )
+            if precision not in (8, 12):
+                raise ValueError(f"unsupported JPEG: {precision}-bit samples")
             height, width = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             if len(seg) < 6 + 3 * ncomp:
@@ -672,13 +691,94 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 c["tbx"] = (-(-(width * c["h"]) // hmax) + 7) // 8
                 c["tby"] = (-(-(height * c["v"]) // vmax) + 7) // 8
                 c["coef"] = np.zeros((c["by"], c["bx"], 64), np.int32)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xC3:  # SOF3: lossless (Huffman, Annex H)
+            precision = seg[0]
+            if not 2 <= precision <= 16:
+                raise ValueError(
+                    f"corrupt JPEG: lossless precision {precision}"
+                )
+            height, width = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("corrupt JPEG: truncated SOF")
+            comps = []
+            for i in range(ncomp):
+                cid, sf, _tq = seg[6 + 3 * i : 9 + 3 * i]
+                if sf != 0x11:
+                    raise ValueError(
+                        "unsupported JPEG: lossless with sampling != 1x1"
+                    )
+                comps.append(
+                    {
+                        "id": cid,
+                        "samples": np.zeros((height, width), np.int32),
+                    }
+                )
+            lossless = True
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
                 f"unsupported JPEG: SOF{marker - 0xC0} "
-                "(lossless/arithmetic/hierarchical)"
+                "(arithmetic/hierarchical)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA and lossless:  # lossless scan (Annex H)
+            if restart_interval:
+                raise ValueError(
+                    "unsupported JPEG: restart markers in lossless scans"
+                )
+            ns = seg[0]
+            if len(seg) < 4 + 2 * ns:
+                raise ValueError("corrupt JPEG: truncated SOS")
+            scan = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next((c for c in comps if c["id"] == cs), None)
+                if comp is None:
+                    raise ValueError(f"corrupt JPEG: unknown component {cs}")
+                scan.append((comp, tt >> 4))
+            sel, _se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            pt = ahal & 0x0F
+            if not 1 <= sel <= 7:
+                raise ValueError(f"corrupt JPEG: lossless predictor {sel}")
+            pos += seglen
+            r = _BitReader(data, pos)
+            default = 1 << (precision - pt - 1)
+            for comp, _td in scan:
+                comp["out"] = comp["samples"]
+            for row in range(height):
+                for col in range(width):
+                    for comp, td in scan:
+                        S = comp["out"]
+                        if row == 0 and col == 0:
+                            pred = default
+                        elif row == 0:
+                            pred = int(S[0, col - 1])
+                        elif col == 0:
+                            pred = int(S[row - 1, 0])
+                        else:
+                            ra = int(S[row, col - 1])
+                            rb = int(S[row - 1, col])
+                            rc = int(S[row - 1, col - 1])
+                            pred = {
+                                1: ra,
+                                2: rb,
+                                3: rc,
+                                4: ra + rb - rc,
+                                5: ra + ((rb - rc) >> 1),
+                                6: rb + ((ra - rc) >> 1),
+                                7: (ra + rb) >> 1,
+                            }[sel]
+                        s = _decode_huff(r, huff.get((0, td)))
+                        if s == 16:  # category 16: diff = 32768, no bits
+                            diff = 32768
+                        else:
+                            diff = _extend(r.read_bits(s), s)
+                        S[row, col] = (pred + diff) & 0xFFFF
+            saw_scan = True
+            comps_pt = pt
+            pos = _entropy_end(data, r.pos)
+            continue
         elif marker == 0xDA:  # SOS
             if not comps:
                 raise ValueError("corrupt JPEG: SOS before SOF")
@@ -757,9 +857,25 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         # APPn/COM/unknown: skip
         pos += seglen
 
+    if lossless:
+        # Annex H output: Rx << Pt per sample; > 8-bit precisions
+        # return little-endian uint16 buffers
+        dtype = np.uint8 if precision <= 8 else "<u2"
+        planes = [
+            (c["samples"] << comps_pt).astype(dtype) for c in comps
+        ]
+        out = (
+            planes[0]
+            if len(planes) == 1
+            else np.stack(planes, axis=-1)
+        )
+        return width, height, len(planes), np.ascontiguousarray(out).tobytes()
+
     # reconstruct: dequantize + IDCT every block at once (batched
     # einsum — the per-block Python loop would dominate decode time on
     # real photo sizes), then assemble/upsample/crop
+    shift = float(1 << (precision - 1))
+    vmaxval = float((1 << precision) - 1)
     full = []
     for c in comps:
         if c["tq"] not in qt:
@@ -770,23 +886,24 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         blks = (c["coef"].astype(np.float64) * Q).reshape(
             c["by"], c["bx"], 8, 8
         )
-        px = np.einsum("ij,yxjk,kl->yxil", _C.T, blks, _C) + 128.0
+        px = np.einsum("ij,yxjk,kl->yxil", _C.T, blks, _C) + shift
         # (by, bx, 8, 8) -> (by*8, bx*8)
         plane = px.transpose(0, 2, 1, 3).reshape(c["by"] * 8, c["bx"] * 8)
         plane = np.repeat(
             np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
         )
         full.append(plane[:height, :width])
+    odt = np.uint8 if precision <= 8 else "<u2"
     if len(full) == 1:
-        out = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
-        return width, height, 1, out.tobytes()
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        out = np.clip(np.rint(full[0]), 0, vmaxval).astype(odt)
+        return width, height, 1, np.ascontiguousarray(out).tobytes()
+    y, cb, cr = full[0], full[1] - shift, full[2] - shift
     rr = y + 1.402 * cr
     gg = y - 0.344136 * cb - 0.714136 * cr
     bb = y + 1.772 * cb
     rgb = np.stack([rr, gg, bb], axis=-1)
-    out = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
-    return width, height, 3, out.tobytes()
+    out = np.clip(np.rint(rgb), 0, vmaxval).astype(odt)
+    return width, height, 3, np.ascontiguousarray(out).tobytes()
 
 
 # --------------------------------------------------------------------------
@@ -987,6 +1104,176 @@ def encode_jpeg_progressive(
 
 
 # --------------------------------------------------------------------------
+# Lossless JPEG (SOF3, Annex H) and 12-bit extended sequential (SOF1)
+
+
+# one flat Huffman table covering every lossless diff category 0..16:
+# 17 symbols at length 5 (canonical, the all-ones length-5 code unused)
+_LL_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_LL_VALS = list(range(17))
+
+
+def encode_jpeg_lossless(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    precision: int = 8,
+    predictor: int = 1,
+    point_transform: int = 0,
+) -> bytes:
+    """Encode as lossless JPEG (SOF3, Huffman, Annex H): bit-exact by
+    construction.  ``pixels`` is interleaved uint8 (precision <= 8) or
+    little-endian uint16 (9..16); ``channels`` components all at 1x1
+    sampling (interleaved sample-wise); ``predictor`` 1..7 selects the
+    Annex-H prediction; restart markers are not emitted.  The diff
+    alphabet uses one flat 5-bit/17-symbol table (spec-legal canonical
+    code) shared by every component."""
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor must be 1..7, got {predictor}")
+    if not 2 <= precision <= 16:
+        raise ValueError(f"precision must be 2..16, got {precision}")
+    dtype = np.uint8 if precision <= 8 else "<u2"
+    img = np.frombuffer(bytes(pixels), dtype=dtype).reshape(
+        height, width, channels
+    ).astype(np.int64)
+    pt = point_transform
+    img >>= pt
+    codes = _build_codes(_LL_BITS, _LL_VALS)
+    out = bytearray(b"\xff\xd8")
+    out += _dht_segment(0, 0, _LL_BITS, _LL_VALS)
+    sof = bytes([precision]) + struct.pack(">HH", height, width)
+    sof += bytes([channels])
+    for ci in range(channels):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", len(sof) + 2) + sof
+    sos = bytes([channels])
+    for ci in range(channels):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    w = _BitWriter()
+    default = 1 << (precision - pt - 1)
+    for row in range(height):
+        for col in range(width):
+            for ci in range(channels):
+                S = img[:, :, ci]
+                if row == 0 and col == 0:
+                    pred = default
+                elif row == 0:
+                    pred = int(S[0, col - 1])
+                elif col == 0:
+                    pred = int(S[row - 1, 0])
+                else:
+                    ra = int(S[row, col - 1])
+                    rb = int(S[row - 1, col])
+                    rc = int(S[row - 1, col - 1])
+                    pred = {
+                        1: ra,
+                        2: rb,
+                        3: rc,
+                        4: ra + rb - rc,
+                        5: ra + ((rb - rc) >> 1),
+                        6: rb + ((ra - rc) >> 1),
+                        7: (ra + rb) >> 1,
+                    }[predictor]
+                diff = (int(S[row, col]) - pred) & 0xFFFF
+                if diff >= 32768:
+                    diff -= 65536  # modulo-2^16 signed representative
+                if diff == -32768:
+                    code, ln = codes[16]  # category 16: no extra bits
+                    w.write(code, ln)
+                    continue
+                s, bits = _amplitude(diff)
+                code, ln = codes[s]
+                w.write(code, ln)
+                w.write(bits, s)
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_ext12(
+    pixels: bytes, width: int, height: int, quality: int = 50
+) -> bytes:
+    """Encode a little-endian uint16 grayscale buffer (12-bit samples,
+    0..4095) as EXTENDED SEQUENTIAL JFIF (SOF1, Huffman, precision 12)
+    with the Annex-K example tables.  Those tables top out at DC
+    category 11 / AC size 10, which covers moderate-contrast 12-bit
+    content (and the gate corner's constant even tiles exactly);
+    steeper blocks raise rather than emit an undecodable symbol."""
+    ql, _qc = _scaled_tables(quality)
+    img = np.frombuffer(bytes(pixels), "<u2").reshape(height, width)
+    if img.max() > 4095:
+        raise ValueError("12-bit samples must be 0..4095")
+    dc_codes = _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_codes = _build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_segment(0, ql)
+    out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += _dht_segment(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    sof = bytes([12]) + struct.pack(">HH", height, width) + bytes(
+        [1, 1, 0x11, 0]
+    )
+    out += b"\xff\xc1" + struct.pack(">H", len(sof) + 2) + sof
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    ph = (height + 7) // 8 * 8
+    pw = (width + 7) // 8 * 8
+    plane = np.pad(
+        img.astype(np.float64),
+        ((0, ph - height), (0, pw - width)),
+        "edge",
+    )
+    w = _BitWriter()
+    pred = 0
+    Q = ql.astype(np.float64)
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            D = _C @ (block - 2048.0) @ _C.T
+            q = _quant(D, Q).reshape(-1)[ZIGZAG]
+            diff = int(q[0]) - pred
+            s, bits = _amplitude(diff)
+            if s > 11:
+                raise ValueError(
+                    "12-bit DC difference beyond the Annex-K table "
+                    "(category > 11) — supply a flatter image or custom "
+                    "tables"
+                )
+            code, ln = dc_codes[s]
+            w.write(code, ln)
+            w.write(bits, s)
+            run = 0
+            for i in range(1, 64):
+                v = int(q[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    w.write(code, ln)
+                    run -= 16
+                s, bits = _amplitude(v)
+                if s > 10:
+                    raise ValueError(
+                        "12-bit AC size beyond the Annex-K table"
+                    )
+                code, ln = ac_codes[(run << 4) | s]
+                w.write(code, ln)
+                w.write(bits, s)
+                run = 0
+            if run:
+                code, ln = ac_codes[0x00]
+                w.write(code, ln)
+            pred = int(q[0])
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
 # Header-only metadata (corpus triage without entropy decode)
 
 
@@ -1040,6 +1327,8 @@ def jpeg_info(data: bytes) -> dict:
         "progressive": None,
         "subsampling": None,
         "orientation": None,
+        "lossless": None,
+        "precision": None,
     }
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -1054,12 +1343,14 @@ def jpeg_info(data: bytes) -> dict:
             raise ValueError("corrupt JPEG: truncated segment")
         if marker == 0xE1 and out["orientation"] is None:  # APP1/EXIF
             out["orientation"] = _exif_orientation(seg)
-        elif marker in (0xC0, 0xC1, 0xC2):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
             if len(seg) < 6 + 3 * seg[5]:
                 raise ValueError("corrupt JPEG: truncated SOF")
             out["height"], out["width"] = struct.unpack(">HH", seg[1:5])
             out["channels"] = seg[5]
             out["progressive"] = marker == 0xC2
+            out["lossless"] = marker == 0xC3
+            out["precision"] = seg[0]
             sf = seg[7]
             out["subsampling"] = (sf >> 4, sf & 0x0F)
         pos += seglen
