@@ -1034,3 +1034,53 @@ def test_quality_lm_score_exact_rationals(spark, tmp_path):
     )
     # the quality ordering a perplexity filter thresholds on
     assert got[2].lm_mean_scaled < got[1].lm_mean_scaled < got[3].lm_mean_scaled
+
+
+def test_url_dedup_canonicalization_rules(spark, tmp_path):
+    """Every normalization rule must fire: case-folding of scheme/host,
+    default-port stripping, fragment removal, tracking-param removal,
+    and param sorting — asserted on hand-computable doc_ids, plus the
+    collapse itself (ids congruent mod (3,50) share one canonical URL
+    regardless of which scramble branch each id took)."""
+    import pandas as pd
+
+    from wrf_to_geodataframe_spark.suite.pipeline import url_dedup
+
+    # 0: even/％4/%3/%5/%7 -> uppercase raw, :443, utm+ref first, fragment
+    # 300: same (％3,%50) residues as 0 but different scramble path
+    # 7: odd, %7 -> lowercase raw, fragment, id-first param order
+    rows = [{"doc_id": i, "text": "x"} for i in (0, 300, 7)]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = {r.canon_url: r for r in url_dedup(spark, str(tmp_path)).collect()}
+    assert set(got) == {
+        "https://www.site0.com/Docs/Page-0?id=0",
+        "https://www.site1.com/Docs/Page-7?id=7",
+    }
+    merged = got["https://www.site0.com/Docs/Page-0?id=0"]
+    assert (merged.n_docs, merged.keeper_doc, merged.last_doc) == (2, 0, 300)
+    solo = got["https://www.site1.com/Docs/Page-7?id=7"]
+    assert (solo.n_docs, solo.keeper_doc) == (1, 7)
+
+
+def test_dedup_semantic_finds_exactly_planted_pairs(spark):
+    """The cluster-blocked pipeline must surface exactly the planted
+    near-dup pairs: each (keeper, keeper + 2^20) with keeper % 10 == 0,
+    cosine in [0.99, 1], one pair per planted copy, and no organic pair
+    (measured organic max cosine is ~0.5, far below the threshold)."""
+    import pandas as pd
+
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        _SEM_COPY_OFF,
+        dedup_semantic,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = dedup_semantic(spark, sf).collect()
+    n_planted = (
+        pd.read_parquet(sf + "/embeddings.parquet").vec_id % 10 == 0
+    ).sum()
+    assert len(rows) == n_planted
+    for r in rows:
+        assert r.keeper_vec % 10 == 0
+        assert r.removed_vec == r.keeper_vec + _SEM_COPY_OFF
+        assert 0.99 <= r.cosine <= 1.0 + 1e-12

@@ -76,6 +76,8 @@ def test_no_cartesian_in_banded_joins(spark):
         (PIPELINE, "simhash_neardup"),
         (PIPELINE, "dedup_embedding_cosine"),
         (PIPELINE, "dedup_cluster_cc"),
+        (PIPELINE, "dedup_semantic"),
+        (PIPELINE, "url_dedup"),
         (PIPELINE, "sim_lsh_ann"),
         (RELATIONAL, "j_range_join"),
         (SPATIAL, "j3_bucketed_spatial_join"),
@@ -348,3 +350,17 @@ def test_quality_lm_score_reuses_one_bigram_scan(spark):
         assert "BroadcastNestedLoopJoin" not in plan
     finally:
         df.sparkSession.catalog.clearCache()
+
+
+def test_url_dedup_reads_only_doc_id_and_partial_aggs(spark):
+    """url_dedup plants URLs from doc_id alone: the scan must prune
+    every other column (no 100 TB text read for a URL-level dedup) and
+    the canonical-key groupBy must partial-aggregate map-side so the
+    shuffle carries ~unique-URL rows."""
+    from wrf_to_geodataframe_spark.suite.pipeline import QUERIES
+
+    plan = _plan(QUERIES["url_dedup"](spark, SF))
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "doc_id" in m.group(1) and "text" not in m.group(1)
+    # partial + final hash aggregate around one exchange on the key
+    assert plan.count("HashAggregate") >= 2

@@ -3359,6 +3359,330 @@ WHERE f.f < h
 """
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (cluster-blocked embedding near-dup)
+
+_SEM_COPY_OFF = 1 << 20  # planted near-dup ids live above every real vec_id
+_SEM_THRESH = 0.99
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-shape (Abbas et al. 2023, arXiv
+    2303.09540): cluster the embedding space with a cheap coarse
+    quantizer, then search for near-duplicate pairs ONLY within each
+    cluster — the cluster blocking is what makes semantic dedup
+    tractable at corpus scale (within-cluster pairwise is ~N*sqrt(N)
+    with sqrt(N) clusters, never all-pairs N^2).
+
+    The synthetic embeddings have no organic near-dups (measured max
+    pairwise cosine 0.52 at sf0.1), so near-duplicates are PLANTED
+    in-plan: every 10th vector gets a copy (vec_id + 2^20) with its
+    second component scaled by 1.01 — cosine ~0.9998 to its source.
+    The pipeline must then (a) assign the copy to its source's cluster
+    and (b) surface exactly the planted pairs at the 0.99 threshold;
+    the oracle replays the planting, so the hash match validates the
+    full cluster-block-verify machinery on genuine near-dups.
+
+    Coarse quantizer: stride = floor(sqrt(N_base)) derived in-plan
+    (broadcast 1-row agg, same pattern as ``sim_ivf_topk``); centroids
+    come from the BASE corpus only (dup copies must not become
+    centroids).  All similarity arithmetic is the suite's exact
+    quantized-BIGINT cosine.  Scale shape: broadcast sqrt(N) centroid
+    table, assignment N x sqrt(N), within-cluster self-join shuffles on
+    cent_id with ~sqrt(N) list sizes — the classic SemDeDup cost."""
+    from wrf_to_geodataframe_spark.functions.vectors import (
+        as_double_vec,
+        cosine_from_q,
+        dot_q,
+        norm_q,
+    )
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("e")
+    )
+    copies = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(_SEM_COPY_OFF)).alias("vec_id"),
+        F.transform(
+            F.col("e"), lambda x, i: F.when(i == 1, x * F.lit(1.01)).otherwise(x)
+        ).alias("e"),
+    )
+    aug = base.unionByName(copies).withColumn("nq", norm_q(F.col("e"))).persist()
+    stride = base.agg(
+        F.greatest(F.floor(F.sqrt(F.count("*"))).cast("long"), F.lit(1)).alias("s")
+    )
+    cents = (
+        aug.filter(F.col("vec_id") < _SEM_COPY_OFF)
+        .crossJoin(F.broadcast(stride))
+        .filter(F.col("vec_id") % F.col("s") == 0)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("e").alias("ce"),
+            F.col("nq").alias("cnq"),
+        )
+    )
+    scored = aug.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        cosine_from_q(
+            dot_q(F.col("e"), F.col("ce")), F.col("nq"), F.col("cnq")
+        ).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    assign = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "cent_id")
+    )
+    pa, pb = assign.alias("pa"), assign.alias("pb")
+    pairs = pa.join(
+        pb,
+        (F.col("pa.cent_id") == F.col("pb.cent_id"))
+        & (F.col("pa.vec_id") < F.col("pb.vec_id")),
+    ).select(
+        F.col("pa.cent_id").alias("cent_id"),
+        F.col("pa.vec_id").alias("va"),
+        F.col("pb.vec_id").alias("vb"),
+    )
+    xa = aug.select(
+        F.col("vec_id").alias("va"), F.col("e").alias("ea"), F.col("nq").alias("na")
+    )
+    xb = aug.select(
+        F.col("vec_id").alias("vb"), F.col("e").alias("eb"), F.col("nq").alias("nb")
+    )
+    return (
+        pairs.join(xa, "va")
+        .join(xb, "vb")
+        .select(
+            "cent_id",
+            F.col("va").alias("keeper_vec"),
+            F.col("vb").alias("removed_vec"),
+            cosine_from_q(
+                dot_q(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _SEM_THRESH)
+    )
+
+
+_SEM_AUG_SQL = f"""
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    UNION ALL
+    SELECT vec_id + {_SEM_COPY_OFF} AS vec_id,
+           list_transform(generate_series(1, len(embedding)),
+               i -> CASE WHEN i = 2 THEN CAST(embedding[i] AS DOUBLE) * 1.01
+                         ELSE CAST(embedding[i] AS DOUBLE) END) AS e
+    FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+_SEMANTIC_SQL = f"""
+WITH aug AS ({_SEM_AUG_SQL}),
+norms AS (
+    SELECT vec_id, {{dot_ee}} AS nq FROM aug
+),
+stride AS (
+    SELECT GREATEST(CAST(floor(sqrt(count(*))) AS BIGINT), 1) AS s
+    FROM embeddings
+),
+cents AS (
+    SELECT vec_id AS cent_id, e AS ce, nq AS cnq
+    FROM aug JOIN norms USING (vec_id) CROSS JOIN stride
+    WHERE vec_id < {_SEM_COPY_OFF} AND vec_id % s = 0
+),
+scored AS (
+    SELECT a.vec_id, c.cent_id,
+           CAST({{dot_ec}} AS DOUBLE)
+               / sqrt(CAST(n.nq AS DOUBLE) * CAST(c.cnq AS DOUBLE)) AS ccos
+    FROM aug a JOIN norms n USING (vec_id) CROSS JOIN cents c
+),
+assign AS (
+    SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cent_id) AS r
+        FROM scored
+    ) WHERE r = 1
+),
+pairs AS (
+    SELECT a.cent_id, a.vec_id AS va, b.vec_id AS vb
+    FROM assign a JOIN assign b
+      ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+)
+SELECT p.cent_id,
+       p.va AS keeper_vec,
+       p.vb AS removed_vec,
+       CAST({{dot_ab}} AS DOUBLE)
+           / sqrt(CAST(nx.nq AS DOUBLE) * CAST(ny.nq AS DOUBLE)) AS cosine
+FROM pairs p
+JOIN aug x ON p.va = x.vec_id
+JOIN aug y ON p.vb = y.vec_id
+JOIN norms nx ON p.va = nx.vec_id
+JOIN norms ny ON p.vb = ny.vec_id
+WHERE CAST({{dot_ab}} AS DOUBLE)
+          / sqrt(CAST(nx.nq AS DOUBLE) * CAST(ny.nq AS DOUBLE)) >= {_SEM_THRESH}
+"""
+
+
+def _semantic_sql() -> str:
+    return _SEMANTIC_SQL.format(
+        dot_ee=_DOT_SQL.format(a="e", b="e"),
+        dot_ec=_DOT_SQL.format(a="a.e", b="c.ce"),
+        dot_ab=_DOT_SQL.format(a="x.e", b="y.e"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup (web-crawl curation stage)
+
+
+def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the first stage of every
+    web-crawl curation pipeline: normalize each document's source URL
+    (lowercase scheme/host, strip default ports, drop fragments, drop
+    tracking query params, sort the surviving params) and deduplicate
+    documents whose URLs collapse to the same canonical form.
+
+    The synthetic corpus has no URL column, so URLs are PLANTED
+    deterministically in-plan (same discipline as ``text_scrub_pii``):
+    each doc_id derives a URL whose case, default port, param order,
+    tracking params, and fragment all vary with doc_id in ways that
+    canonicalization must erase — the surviving identity is
+    (host = doc_id%3, path = doc_id%50, id param = doc_id%25), so
+    genuine collisions exist and the hash match exercises every
+    normalization rule, not a vacuous identity map.
+
+    Scale shape: pure JVM string/array expressions inside whole-stage
+    codegen (regexp_extract / split / filter / array_sort — no Python),
+    one scan, and a single groupBy shuffle on the canonical-URL key.
+    At 100 TB the canonical key is high-cardinality (near one group per
+    page), so the partial aggregate collapses dupes map-side and the
+    shuffle carries ~unique-URL rows only."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.expr(
+            """
+            CASE WHEN doc_id % 2 = 0
+                 THEN 'HTTPS://WWW.SITE' || CAST(doc_id % 3 AS STRING) || '.COM'
+                 ELSE 'https://www.site' || CAST(doc_id % 3 AS STRING) || '.com'
+            END
+            || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+            || '/Docs/Page-' || CAST(doc_id % 50 AS STRING)
+            || '?' ||
+            CASE WHEN doc_id % 3 = 0
+                 THEN CASE WHEN doc_id % 2 = 0 THEN 'utm_source=feed&' ELSE '' END
+                      || CASE WHEN doc_id % 5 = 0 THEN 'ref=rss&' ELSE '' END
+                      || 'id=' || CAST(doc_id % 25 AS STRING)
+                 ELSE 'id=' || CAST(doc_id % 25 AS STRING)
+                      || CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed' ELSE '' END
+                      || CASE WHEN doc_id % 5 = 0 THEN '&ref=rss' ELSE '' END
+            END
+            || CASE WHEN doc_id % 7 = 0
+                    THEN '#Section-' || CAST(doc_id AS STRING) ELSE '' END
+            """
+        ).alias("url"),
+    )
+    nofrag = F.regexp_replace(F.col("url"), "#.*$", "")
+    canon = raw.select(
+        "doc_id",
+        nofrag.alias("u"),
+    ).select(
+        "doc_id",
+        F.lower(F.regexp_extract(F.col("u"), "^([A-Za-z]+)://", 1)).alias("scheme"),
+        F.lower(F.regexp_extract(F.col("u"), "^[A-Za-z]+://([^/?#]+)", 1)).alias("h"),
+        F.regexp_extract(F.col("u"), "^[A-Za-z]+://[^/?#]+(/[^?#]*)", 1).alias("p"),
+        F.regexp_extract(F.col("u"), "\\?([^#]*)", 1).alias("q"),
+    ).select(
+        "doc_id",
+        F.concat(
+            F.col("scheme"),
+            F.lit("://"),
+            F.when(
+                F.col("scheme") == "https",
+                F.regexp_replace(F.col("h"), ":443$", ""),
+            ).otherwise(F.regexp_replace(F.col("h"), ":80$", "")),
+            F.when(F.col("p") == "", F.lit("/")).otherwise(F.col("p")),
+            F.expr(
+                """
+                CASE WHEN array_join(array_sort(filter(split(q, '&'),
+                          x -> substr(x, 1, 4) <> 'utm_'
+                           AND substr(x, 1, 4) <> 'ref='
+                           AND x <> '')), '&') = ''
+                     THEN ''
+                     ELSE '?' || array_join(array_sort(filter(split(q, '&'),
+                          x -> substr(x, 1, 4) <> 'utm_'
+                           AND substr(x, 1, 4) <> 'ref='
+                           AND x <> '')), '&')
+                END
+                """
+            ),
+        ).alias("canon_url"),
+    )
+    return canon.groupBy("canon_url").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("keeper_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_URL_PLANT_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'HTTPS://WWW.SITE' || CAST(doc_id % 3 AS VARCHAR) || '.COM'
+                ELSE 'https://www.site' || CAST(doc_id % 3 AS VARCHAR) || '.com'
+           END
+           || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+           || '/Docs/Page-' || CAST(doc_id % 50 AS VARCHAR)
+           || '?' ||
+           CASE WHEN doc_id % 3 = 0
+                THEN CASE WHEN doc_id % 2 = 0 THEN 'utm_source=feed&' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN 'ref=rss&' ELSE '' END
+                     || 'id=' || CAST(doc_id % 25 AS VARCHAR)
+                ELSE 'id=' || CAST(doc_id % 25 AS VARCHAR)
+                     || CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN '&ref=rss' ELSE '' END
+           END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN '#Section-' || CAST(doc_id AS VARCHAR) ELSE '' END AS url
+    FROM documents
+"""
+
+_URL_QS_SQL = """array_to_string(list_sort(list_filter(string_split(q, '&'),
+    x -> substr(x, 1, 4) <> 'utm_' AND substr(x, 1, 4) <> 'ref='
+         AND x <> '')), '&')"""
+
+_URL_DEDUP_SQL = f"""
+WITH raw AS ({_URL_PLANT_SQL}),
+nofrag AS (
+    SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw
+),
+parts AS (
+    SELECT doc_id,
+           lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+           lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)) AS h,
+           regexp_extract(u, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1) AS p,
+           regexp_extract(u, '\\?([^#]*)', 1) AS q
+    FROM nofrag
+),
+canon AS (
+    SELECT doc_id,
+           scheme || '://'
+           || CASE WHEN scheme = 'https'
+                   THEN regexp_replace(h, ':443$', '')
+                   ELSE regexp_replace(h, ':80$', '') END
+           || CASE WHEN p = '' THEN '/' ELSE p END
+           || CASE WHEN {_URL_QS_SQL} = '' THEN ''
+                   ELSE '?' || {_URL_QS_SQL} END AS canon_url
+    FROM parts
+)
+SELECT canon_url,
+       count(*) AS n_docs,
+       min(doc_id) AS keeper_doc,
+       max(doc_id) AS last_doc
+FROM canon
+GROUP BY canon_url
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -3396,9 +3720,13 @@ QUERIES = {
     "multimodal_decode_jpeg": multimodal_decode_jpeg,
     "multimodal_decode_webp": multimodal_decode_webp,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "url_dedup": url_dedup,
+    "dedup_semantic": dedup_semantic,
 }
 
 ORACLE = {
+    "url_dedup": _URL_DEDUP_SQL,
+    "dedup_semantic": _semantic_sql(),
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "decontam_ngram": _DECONTAM_SQL,
