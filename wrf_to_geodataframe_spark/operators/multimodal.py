@@ -181,6 +181,7 @@ def extract_features(with_payload: DataFrame, decode: bool = False) -> DataFrame
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from wrf_to_geodataframe_spark.sources.gif import decode_gif
         from wrf_to_geodataframe_spark.sources.jpeg import decode_jpeg
         from wrf_to_geodataframe_spark.sources.png import decode_png
         from wrf_to_geodataframe_spark.sources.webp import decode_webp
@@ -195,7 +196,9 @@ def extract_features(with_payload: DataFrame, decode: bool = False) -> DataFrame
                 return decode_jpeg(b)[3]
             if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
                 return decode_webp(b)[3]
-            raise ValueError("unknown image container (not PNG/JPEG/WebP)")
+            if b[:4] == b"GIF8":
+                return decode_gif(b)[3]
+            raise ValueError("unknown image container (not PNG/JPEG/WebP/GIF)")
 
         for pdf in it:
             payloads = pdf["payload"].map(_buf)
@@ -342,6 +345,41 @@ def encode_images_webp(base: DataFrame) -> DataFrame:
     return base.mapInPandas(_batches, PNG_SCHEMA)
 
 
+def encode_images_gif(base: DataFrame) -> DataFrame:
+    """Encode per-doc palette-index grids as real single-frame GIF89a
+    streams inside Arrow batches (``sources/gif.py``): input carries
+    (doc_id, width, height, hexidx) with hexidx a hex string whose i-th
+    character is pixel i's index into the 16-color ``MM_PALETTE``; odd
+    docs are written interlaced, so both row orders sit on the hash
+    path.  GIF is lossless over palette indices, so decode(encode(x))
+    maps each nibble through the palette — a closed-form oracle."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from wrf_to_geodataframe_spark.sources.gif import encode_gif
+
+        pal = b"".join(MM_PALETTE)
+        for pdf in it:
+            outs = []
+            for d, w, h, hx in zip(
+                pdf["doc_id"], pdf["width"], pdf["height"], pdf["hexidx"]
+            ):
+                w, h = int(w), int(h)
+                idx = bytes(int(c, 16) for c in hx[: w * h])
+                outs.append(
+                    encode_gif(idx, w, h, pal, interlace=bool(int(d) % 2))
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pdf["width"].astype("int64"),
+                    "height": pdf["height"].astype("int64"),
+                    "png": outs,
+                }
+            )
+
+    return base.mapInPandas(_batches, PNG_SCHEMA)
+
+
 # deterministic 16-color palette shared with the oracle SQL literal in
 # suite/pipeline.py (color k = first 3 md5 bytes of "pal:k")
 def _mm_palette() -> list[bytes]:
@@ -411,6 +449,7 @@ def decode_images(with_png: DataFrame) -> DataFrame:
     crawl corpus."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from wrf_to_geodataframe_spark.sources.gif import decode_gif
         from wrf_to_geodataframe_spark.sources.jpeg import decode_jpeg
         from wrf_to_geodataframe_spark.sources.png import decode_png
         from wrf_to_geodataframe_spark.sources.webp import decode_webp
@@ -422,7 +461,9 @@ def decode_images(with_png: DataFrame) -> DataFrame:
                 return decode_jpeg(b)
             if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
                 return decode_webp(b)
-            raise ValueError("unknown image container (not PNG/JPEG/WebP)")
+            if b[:4] == b"GIF8":
+                return decode_gif(b)
+            raise ValueError("unknown image container (not PNG/JPEG/WebP/GIF)")
 
         for pdf in it:
             ws, hs, cs, pxs = [], [], [], []

@@ -3306,6 +3306,72 @@ FROM documents
 """
 
 
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF (LZW) round-trip on the hash path: per doc a palette-index
+    grid (md5-chain nibbles into the 16-color MM_PALETTE) is encoded
+    as a real single-frame GIF89a by ``sources/gif.py`` — odd docs
+    interlaced, so both row orders are exercised — and decoded back
+    through the mixed-format ``decode_images`` dispatch.  GIF is
+    lossless over palette indices, so the oracle states the decoded
+    RGB pixels in CLOSED FORM (nibble -> palette color), validating
+    the variable-width LSB-first LZW, the sub-block framing, and the
+    4-pass interlace inverse — not a codec restatement.  Table-reset
+    and transparency corners are pinned by unit goldens in
+    ``tests/test_gif.py``.
+
+    100 TB shape: CPU-bound Python codec inside Arrow batches; the
+    repartition spreads the single small parquet split across every
+    core (same pattern as the other codec gate rows)."""
+    from wrf_to_geodataframe_spark.operators.multimodal import (
+        decode_images,
+        encode_images_gif,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    w = (F.lit(8) + F.col("doc_id") % 3).cast("long")
+    h = (F.lit(6) + F.col("doc_id") % 2).cast("long")
+    # 3 md5 blocks = 96 hex chars >= max 10*7 = 70 pixels
+    hexidx = F.concat(
+        *[F.md5(F.concat(F.col("text"), F.lit(f":gf{b}"))) for b in range(3)]
+    )
+    base = docs.select(
+        "doc_id", w.alias("width"), h.alias("height"), hexidx.alias("hexidx")
+    )
+    out = decode_images(encode_images_gif(base))
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.hex("pixels").alias("pixels_hex"),
+    )
+
+
+_MM_GIF_HEX = " || ".join(f"md5(text || ':gf{b}')" for b in range(3))
+
+
+def _multimodal_gif_sql() -> str:
+    return f"""
+WITH g AS (
+    SELECT doc_id,
+           CAST(8 + doc_id % 3 AS BIGINT) AS width,
+           CAST(6 + doc_id % 2 AS BIGINT) AS height,
+           {_MM_GIF_HEX} AS hx
+    FROM documents
+)
+SELECT doc_id, width, height, CAST(3 AS BIGINT) AS channels,
+       array_to_string(list_transform(
+           generate_series(1, CAST(width * height AS INT)),
+           i -> {_mm_palette_sql()}[
+               CAST(('0x' || substr(hx, i, 1)) AS INT) + 1]), '')
+           AS pixels_hex
+FROM g
+"""
+
+
 def _mm_palette_sql() -> str:
     from wrf_to_geodataframe_spark.operators.multimodal import MM_PALETTE
 
@@ -3719,6 +3785,7 @@ QUERIES = {
     "multimodal_decode_formats": multimodal_decode_formats,
     "multimodal_decode_jpeg": multimodal_decode_jpeg,
     "multimodal_decode_webp": multimodal_decode_webp,
+    "multimodal_decode_gif": multimodal_decode_gif,
     "multimodal_frame_sample": multimodal_frame_sample,
     "url_dedup": url_dedup,
     "dedup_semantic": dedup_semantic,
@@ -3764,5 +3831,6 @@ ORACLE = {
     "multimodal_decode_formats": _MULTIMODAL_FORMATS_SQL,
     "multimodal_decode_jpeg": _MULTIMODAL_JPEG_SQL,
     "multimodal_decode_webp": _MULTIMODAL_WEBP_SQL,
+    "multimodal_decode_gif": _multimodal_gif_sql(),
     "multimodal_frame_sample": _MULTIMODAL_FRAME_SQL,
 }
