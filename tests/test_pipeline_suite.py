@@ -1084,3 +1084,29 @@ def test_dedup_semantic_finds_exactly_planted_pairs(spark):
         assert r.keeper_vec % 10 == 0
         assert r.removed_vec == r.keeper_vec + _SEM_COPY_OFF
         assert 0.99 <= r.cosine <= 1.0 + 1e-12
+
+
+def test_dedup_incremental_flags_only_cross_snapshot_pairs(spark, tmp_path):
+    """Incremental dedup must flag a new doc that near-duplicates an
+    OLD doc, and must NOT flag new-vs-new duplicates (they are the next
+    snapshot's self-dedup problem) or old-vs-old ones."""
+    import pandas as pd
+
+    from wrf_to_geodataframe_spark.suite.pipeline import dedup_incremental
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        # old corpus (doc_id % 3 != 0)
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": "totally different content about spark plans"},
+        # new snapshot (doc_id % 3 == 0): 3 copies old doc 1; 6 and 9
+        # duplicate EACH OTHER but nothing old; 12 is unique
+        {"doc_id": 3, "text": base + " lambda"},
+        {"doc_id": 6, "text": "new only duplicate pair content words here"},
+        {"doc_id": 9, "text": "new only duplicate pair content words here"},
+        {"doc_id": 12, "text": "singleton novel document nothing shared"},
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = {r.new_doc: r for r in dedup_incremental(spark, str(tmp_path)).collect()}
+    assert 3 in got and got[3].old_doc == 1 and got[3].jaccard_est >= 0.5
+    assert 6 not in got and 9 not in got and 12 not in got

@@ -73,6 +73,7 @@ def test_no_cartesian_in_banded_joins(spark):
         (PIPELINE, "dedup_ngram_jaccard"),
         (PIPELINE, "dedup_paragraph"),
         (PIPELINE, "dedup_minhash_lsh"),
+        (PIPELINE, "dedup_incremental"),
         (PIPELINE, "simhash_neardup"),
         (PIPELINE, "dedup_embedding_cosine"),
         (PIPELINE, "dedup_cluster_cc"),

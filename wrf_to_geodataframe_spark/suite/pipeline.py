@@ -917,6 +917,119 @@ HAVING CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE)
 
 
 # ---------------------------------------------------------------------------
+# Incremental (cross-snapshot) dedup: new corpus vs already-trained corpus
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the snapshot-over-snapshot shape every
+    production pretraining pipeline needs: a NEW crawl must be deduped
+    against the corpus a model was ALREADY trained on, without
+    re-deduping the old corpus against itself.  Splits are derived
+    deterministically here (doc_id % 3 == 0 is the incoming snapshot,
+    the rest is the trained corpus); in production the old side's band
+    index is a precomputed artifact and this query's old-side subtree
+    is simply a parquet read of it.
+
+    Mechanics: ONE shingle+OPH-signature pass over the union corpus
+    (one scan — in production the old side is precomputed), 4x4 band
+    keys, then an old x new EQUI join on the band digest (never
+    all-pairs, and never old x old — the join's split predicates keep
+    the candidate space to cross-snapshot pairs only).  Candidates are
+    verified by the exact signature-agreement Jaccard estimate
+    (matches/16 >= 0.5) and each new doc reports its best old match
+    (highest estimate, lowest old id) — the keep/drop decision for the
+    incoming snapshot.
+
+    At 100 TB: the old index is read, not rebuilt; the band join
+    shuffles ~|new| + |old-index| rows on uniform md5 keys; the
+    verification and the per-new-doc top-1 window both run on
+    candidate pairs only."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = _minhash_sigs(docs).persist()
+    banded = (
+        sigs.withColumn("band", F.floor(F.col("i") / (_MH_K // _MH_BANDS)))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda x: x["mh"].cast("string"),
+                ),
+            ).alias("band_key")
+        )
+    ).persist()
+    old = banded.filter(F.col("doc_id") % 3 != 0).alias("old")
+    new = banded.filter(F.col("doc_id") % 3 == 0).alias("new")
+    cand = (
+        new.join(
+            old,
+            (F.col("new.band") == F.col("old.band"))
+            & (F.col("new.band_key") == F.col("old.band_key")),
+        )
+        .select(
+            F.col("new.doc_id").alias("new_doc"),
+            F.col("old.doc_id").alias("old_doc"),
+        )
+        .distinct()
+    )
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    est = (
+        cand.join(sa, F.col("new_doc") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("old_doc") == F.col("sb.doc_id"))
+            & (F.col("sa.i") == F.col("sb.i")),
+        )
+        .groupBy("new_doc", "old_doc")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("sa.mh") == F.col("sb.mh"), 1).otherwise(0)
+                ).cast("double")
+                / _MH_K
+            ).alias("jaccard_est")
+        )
+        .filter(F.col("jaccard_est") >= 0.5)
+    )
+    w = Window.partitionBy("new_doc").orderBy(
+        F.col("jaccard_est").desc(), F.col("old_doc")
+    )
+    return (
+        est.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("new_doc", "old_doc", "jaccard_est")
+    )
+
+
+_INCREMENTAL_SQL = f"""{_MH_CAND_CTES.replace("cand AS (", "cand_unused AS (")},
+xcand AS (
+    SELECT DISTINCT qb.doc_id AS new_doc, qa.doc_id AS old_doc
+    FROM banded qa JOIN banded qb
+      ON qa.band = qb.band AND qa.band_key = qb.band_key
+     AND qa.doc_id % 3 <> 0 AND qb.doc_id % 3 = 0
+),
+est AS (
+    SELECT new_doc, old_doc,
+           CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE)
+               / {_MH_K}.0 AS jaccard_est
+    FROM xcand
+    JOIN sigs sa ON new_doc = sa.doc_id
+    JOIN sigs sb ON old_doc = sb.doc_id AND sa.i = sb.i
+    GROUP BY new_doc, old_doc
+    HAVING CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE)
+               / {_MH_K}.0 >= 0.5
+)
+SELECT new_doc, old_doc, jaccard_est FROM (
+    SELECT new_doc, old_doc, jaccard_est,
+           row_number() OVER (PARTITION BY new_doc
+                              ORDER BY jaccard_est DESC, old_doc) AS rk
+    FROM est
+) WHERE rk = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Near-duplicate detection: blocked edit distance
 
 
@@ -3759,6 +3872,7 @@ QUERIES = {
     "dedup_paragraph": dedup_paragraph,
     "quality_lm_score": quality_lm_score,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_incremental": dedup_incremental,
     "simhash_neardup": simhash_neardup,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_edit_distance": dedup_edit_distance,
@@ -3803,6 +3917,7 @@ ORACLE = {
     "dedup_paragraph": _DEDUP_PARAGRAPH_SQL,
     "quality_lm_score": _LM_SCORE_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
+    "dedup_incremental": _INCREMENTAL_SQL,
     "simhash_neardup": _SIMHASH_SQL,
     "dedup_embedding_cosine": _EMBED_COSINE_SQL,
     "dedup_edit_distance": _EDIT_DIST_SQL,
