@@ -89,15 +89,16 @@ def test_non_multiple_of_8_dimensions():
 def test_rejections_name_the_feature():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00" * 16)
-    # arithmetic-coded (SOF9) rejection: splice a minimal SOF9 after SOI
-    sof9 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    # SOF9 (sequential arithmetic) is now SUPPORTED; the remaining
+    # rejection is SOF10 (progressive arithmetic), named in the error
+    sof10 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
     blob = (
         b"\xff\xd8"
-        + b"\xff\xc9"
-        + struct.pack(">H", len(sof9) + 2)
-        + sof9
+        + b"\xff\xca"
+        + struct.pack(">H", len(sof10) + 2)
+        + sof10
     )
-    with pytest.raises(ValueError, match="arithmetic"):
+    with pytest.raises(ValueError, match="SOF10"):
         decode_jpeg(blob)
     with pytest.raises(ValueError, match="channels"):
         encode_jpeg(b"\x00" * 32, 4, 4, 2)

@@ -278,6 +278,7 @@ def encode_images_jpeg_tiles(base: DataFrame) -> DataFrame:
 
         from wrf_to_geodataframe_spark.sources.jpeg import (
             encode_jpeg,
+            encode_jpeg_arith,
             encode_jpeg_progressive,
         )
 
@@ -294,9 +295,12 @@ def encode_images_jpeg_tiles(base: DataFrame) -> DataFrame:
                     img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = (
                         raw[bi] & 0xFE
                     )
-                # alternate encodings so BOTH decode pipelines sit on
-                # the hash path (same closed-form decoded pixels)
-                enc = encode_jpeg_progressive if int(d) % 2 else encode_jpeg
+                # cycle encodings so ALL THREE entropy decode
+                # pipelines (baseline Huffman, progressive Huffman,
+                # ARITHMETIC QM-coded) sit on the hash path — the
+                # closed-form decoded pixels are entropy-layer-agnostic
+                enc = [encode_jpeg, encode_jpeg_progressive,
+                       encode_jpeg_arith][int(d) % 3]
                 outs.append(enc(img.tobytes(), w, h, 1))
             yield pd.DataFrame(
                 {

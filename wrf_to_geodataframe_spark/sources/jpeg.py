@@ -594,13 +594,11 @@ def _entropy_end(data: bytes, pos: int) -> int:
     raise ValueError("corrupt JPEG: no marker after scan")
 
 
-def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode baseline OR progressive JFIF -> (width, height, channels,
-    pixels) with 8-bit interleaved output (grayscale stays 1 channel,
-    color decodes to RGB).  Progressive streams may use spectral
-    selection and successive approximation in any spec-legal scan
-    script; every scan accumulates into per-component coefficient
-    arrays and the image reconstructs once at EOI."""
+def _parse_jpeg(data: bytes) -> dict:
+    """Marker-walk + entropy-decode every scan (Huffman baseline /
+    progressive / lossless, or ARITHMETIC sequential via
+    ``jpeg_arith``) into per-component coefficient (or sample) arrays;
+    reconstruction happens in :func:`decode_jpeg`."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
@@ -614,6 +612,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     saw_scan = False
     precision = 8
     lossless = False
+    arith = False
+    dac: dict = {}
     comps_pt = 0
     while True:
         if pos + 2 > len(data):
@@ -657,8 +657,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 vals = list(seg[p + 17 : p + 17 + n])
                 huff[(tc, th)] = _build_decode(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/1/2 + SOF9 (arith)
             precision = seg[0]
+            arith = marker == 0xC9
             if marker == 0xC0 and precision != 8:
                 raise ValueError(
                     f"corrupt JPEG: baseline SOF0 must be 8-bit, got {precision}"
@@ -715,13 +716,18 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     }
                 )
             lossless = True
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
             raise ValueError(
                 f"unsupported JPEG: SOF{marker - 0xC0} "
-                "(arithmetic/hierarchical)"
+                "(progressive-arithmetic/hierarchical)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            p = 0
+            while p + 1 < len(seg):
+                dac[(seg[p] >> 4, seg[p] & 0x0F)] = seg[p + 1]
+                p += 2
         elif marker == 0xDA and lossless:  # lossless scan (Annex H)
             if restart_interval:
                 raise ValueError(
@@ -778,6 +784,33 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             saw_scan = True
             comps_pt = pt
             pos = _entropy_end(data, r.pos)
+            continue
+        elif marker == 0xDA and arith:  # SOS, arithmetic sequential
+            from wrf_to_geodataframe_spark.sources import jpeg_arith as _ja
+
+            if not comps:
+                raise ValueError("corrupt JPEG: SOS before SOF")
+            ns = seg[0]
+            if len(seg) < 4 + 2 * ns:
+                raise ValueError("corrupt JPEG: truncated SOS")
+            scan = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next((c for c in comps if c["id"] == cs), None)
+                if comp is None:
+                    raise ValueError(f"corrupt JPEG: unknown component {cs}")
+                scan.append((comp, tt >> 4, tt & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            if (ss, se, ahal) != (0, 63, 0):
+                raise ValueError(
+                    "unsupported JPEG: arithmetic progressive scan"
+                )
+            pos += seglen
+            pos = _arith_scan(
+                _ja, data, pos, scan, comps, mcus_x, mcus_y,
+                restart_interval, dac,
+            )
+            saw_scan = True
             continue
         elif marker == 0xDA:  # SOS
             if not comps:
@@ -857,6 +890,48 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         # APPn/COM/unknown: skip
         pos += seglen
 
+    return {
+        "width": width, "height": height, "precision": precision,
+        "comps": comps, "qt": qt, "lossless": lossless,
+        "comps_pt": comps_pt, "hmax": hmax, "vmax": vmax,
+    }
+
+
+def decode_jpeg_coefficients(data: bytes) -> dict:
+    """Entropy-decode to QUANTIZED DCT coefficients without any IDCT:
+    returns {"width", "height", "comps": [{"coef": (tby, tbx, 64)
+    natural-order int32 array, "tq": table id}, ...], "qt": tables} —
+    the representation the libjpeg cross-validation tests compare at
+    (exact integers, no transform fuzz)."""
+    st = _parse_jpeg(data)
+    if st["lossless"]:
+        raise ValueError("lossless JPEG has no DCT coefficients")
+    comps = [
+        {
+            "tq": c["tq"],
+            "coef": c["coef"][: c["tby"], : c["tbx"]],
+        }
+        for c in st["comps"]
+    ]
+    return {
+        "width": st["width"], "height": st["height"],
+        "comps": comps, "qt": st["qt"],
+    }
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode baseline, progressive, lossless, or ARITHMETIC sequential
+    JFIF -> (width, height, channels, pixels) with 8-bit interleaved
+    output (grayscale stays 1 channel, color decodes to RGB).
+    Progressive streams may use spectral selection and successive
+    approximation in any spec-legal scan script; every scan accumulates
+    into per-component coefficient arrays and the image reconstructs
+    once at EOI."""
+    st = _parse_jpeg(data)
+    width, height, precision = st["width"], st["height"], st["precision"]
+    comps, qt, lossless = st["comps"], st["qt"], st["lossless"]
+    comps_pt, hmax, vmax = st["comps_pt"], st["hmax"], st["vmax"]
+
     if lossless:
         # Annex H output: Rx << Pt per sample; > 8-bit precisions
         # return little-endian uint16 buffers
@@ -904,6 +979,198 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     rgb = np.stack([rr, gg, bb], axis=-1)
     out = np.clip(np.rint(rgb), 0, vmaxval).astype(odt)
     return width, height, 3, np.ascontiguousarray(out).tobytes()
+
+
+
+
+def _next_marker(data, pos):
+    """First real marker at/after pos (does NOT skip restart markers —
+    the arithmetic scan driver consumes RSTn itself)."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            return pos
+        pos += 1
+    raise ValueError("corrupt JPEG: no marker after scan")
+
+
+def _arith_scan(_ja, data, pos, scan, comps, mcus_x, mcus_y,
+                restart_interval, dac):
+    """Drive one ARITHMETIC sequential scan (T.81 F.2.4 via
+    ``jpeg_arith``): statistics areas are per conditioning-table id
+    (shared across components citing the same table), DC context and
+    predictor are per component; restart markers re-init the coder,
+    every statistics area, and the DC state.  Returns the position of
+    the marker terminating the scan's entropy data."""
+    dec = _ja._ArithDecoder(data, pos)
+    dc_stats: dict = {}
+    ac_stats: dict = {}
+    fixed = _ja._FixedStats()
+    preds = [0] * len(scan)
+    dcctx = [0] * len(scan)
+
+    def block(ci, comp, td, ta, blk):
+        lohi = dac.get((0, td), 0x10)
+        lo, hi = lohi & 0x0F, lohi >> 4
+        kx = dac.get((1, ta), 5)
+        dcst = dc_stats.setdefault(td, _ja.make_dc_stats())
+        acst = ac_stats.setdefault(ta, _ja.make_ac_stats())
+        diff, dcctx[ci] = _ja.decode_dc_diff(dec, dcst, dcctx[ci], lo, hi)
+        preds[ci] += diff
+        blk[0] = preds[ci]
+        _ja.decode_ac_coefs(dec, acst, fixed, kx, blk, ZIGZAG)
+
+    def restart():
+        nonlocal dec, preds, dcctx
+        mpos = (
+            dec.marker_pos if dec.marker_pos >= 0
+            else _next_marker(data, dec.pos)
+        )
+        if mpos + 1 >= len(data) or not 0xD0 <= data[mpos + 1] <= 0xD7:
+            raise ValueError("corrupt JPEG: expected restart marker")
+        dec = _ja._ArithDecoder(data, mpos + 2)
+        for st in dc_stats.values():
+            st.reset()
+        for st in ac_stats.values():
+            st.reset()
+        preds = [0] * len(scan)
+        dcctx = [0] * len(scan)
+
+    unit = 0
+    if len(scan) > 1:  # interleaved MCU order
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    restart()
+                for ci, (comp, td, ta) in enumerate(scan):
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            block(ci, comp, td, ta, comp["coef"][
+                                my * comp["v"] + by, mx * comp["h"] + bx,
+                            ])
+                unit += 1
+    else:
+        comp, td, ta = scan[0]
+        for by in range(comp["tby"]):
+            for bx in range(comp["tbx"]):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    restart()
+                block(0, comp, td, ta, comp["coef"][by, bx])
+                unit += 1
+    return (
+        dec.marker_pos if dec.marker_pos >= 0
+        else _next_marker(data, dec.pos)
+    )
+
+
+def encode_jpeg_arith(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    quality: int = 50,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode interleaved 8-bit pixels as ARITHMETIC-coded extended
+    sequential JFIF (SOF9, T.81 Annexes D+F) — same DCT/quantization
+    pipeline as :func:`encode_jpeg`, QM-coded entropy layer instead of
+    Huffman (4:4:4; subsampling is orthogonal to the entropy layer).
+    Interop is libjpeg-validated in ``tests/test_jpeg_arith.py``."""
+    from wrf_to_geodataframe_spark.sources import jpeg_arith as _ja
+
+    if channels not in (1, 3):
+        raise ValueError(f"channels must be 1 or 3, got {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, want "
+            f"{width * height * channels}"
+        )
+    ql, qc = _scaled_tables(quality)
+    img = np.frombuffer(bytes(pixels), np.uint8).reshape(
+        height, width, channels
+    ).astype(np.float64)
+    if channels == 3:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [img[..., 0]]
+    mcus_x = (width + 7) // 8
+    mcus_y = (height + 7) // 8
+    coefs = []
+    for ci, pl in enumerate(planes):
+        Q = ql if ci == 0 else qc
+        coefs.append(_block_coefs(pl, Q))
+
+    enc = _ja._ArithEncoder()
+    dc_stats = {0: _ja.make_dc_stats()}
+    ac_stats = {0: _ja.make_ac_stats()}
+    if channels == 3:
+        dc_stats[1] = _ja.make_dc_stats()
+        ac_stats[1] = _ja.make_ac_stats()
+    fixed = _ja._FixedStats()
+    preds = [0] * channels
+    dcctx = [0] * channels
+    entropy = bytearray()
+    unit = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and unit and unit % restart_interval == 0:
+                entropy += enc.flush()
+                entropy += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                enc = _ja._ArithEncoder()
+                for st in dc_stats.values():
+                    st.reset()
+                for st in ac_stats.values():
+                    st.reset()
+                fixed.reset()
+                preds = [0] * channels
+                dcctx = [0] * channels
+            for ci in range(channels):
+                tbl = 0 if ci == 0 else 1
+                blk = coefs[ci][my, mx]
+                dc = int(blk[0])
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                dcctx[ci] = _ja.encode_dc_diff(
+                    enc, dc_stats[tbl], dcctx[ci], diff, 0, 1
+                )
+                zz = blk[ZIGZAG]
+                _ja.encode_ac_coefs(enc, ac_stats[tbl], fixed, 5, zz)
+            unit += 1
+    entropy += enc.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+        + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    )
+    out += _dqt_segment(0, ql)
+    if channels > 1:
+        out += _dqt_segment(1, qc)
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([channels])
+    for ci in range(channels):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xc9" + struct.pack(">H", len(sof) + 2) + sof
+    # DAC: defaults made explicit (DC L=0 U=1; AC Kx=5) per table
+    dacseg = bytearray()
+    for tbl in range(2 if channels > 1 else 1):
+        dacseg += bytes([0x00 | tbl, 0x10, 0x10 | tbl, 5])
+    out += b"\xff\xcc" + struct.pack(">H", len(dacseg) + 2) + dacseg
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([channels])
+    for ci in range(channels):
+        sos += bytes([ci + 1, 0 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # --------------------------------------------------------------------------
