@@ -89,16 +89,16 @@ def test_non_multiple_of_8_dimensions():
 def test_rejections_name_the_feature():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00" * 16)
-    # SOF9 (sequential arithmetic) is now SUPPORTED; the remaining
-    # rejection is SOF10 (progressive arithmetic), named in the error
-    sof10 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    # SOF9/SOF10 (arithmetic) are now SUPPORTED; the remaining
+    # rejections are the hierarchical modes, named in the error
+    sofh = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
     blob = (
         b"\xff\xd8"
-        + b"\xff\xca"
-        + struct.pack(">H", len(sof10) + 2)
-        + sof10
+        + b"\xff\xc7"
+        + struct.pack(">H", len(sofh) + 2)
+        + sofh
     )
-    with pytest.raises(ValueError, match="SOF10"):
+    with pytest.raises(ValueError, match="SOF7"):
         decode_jpeg(blob)
     with pytest.raises(ValueError, match="channels"):
         encode_jpeg(b"\x00" * 32, 4, 4, 2)

@@ -154,13 +154,13 @@ def test_arith_color_restart_self_roundtrip():
     assert a == b
 
 
-def test_progressive_arithmetic_rejected_cleanly():
+def test_hierarchical_arithmetic_rejected_cleanly():
     rng = np.random.default_rng(1)
     raw = rng.integers(0, 256, (8, 8), dtype=np.uint8).tobytes()
     jpg = bytearray(encode_jpeg_arith(raw, 8, 8, 1))
     i = jpg.index(b"\xff\xc9")
-    jpg[i + 1] = 0xCA  # flip SOF9 -> SOF10
-    with pytest.raises(ValueError, match="SOF10"):
+    jpg[i + 1] = 0xCB  # flip SOF9 -> SOF11 (lossless arithmetic)
+    with pytest.raises(ValueError, match="SOF11"):
         decode_jpeg(bytes(jpg))
 
 
@@ -197,3 +197,49 @@ def test_flush_keeps_trailing_stuffed_ff():
     for bi, t in enumerate(tiles):
         by, bx = divmod(bi, 2)
         assert got[by * 8, bx * 8] == (t & 0xFE)
+
+
+@needs_shim
+@pytest.mark.parametrize(
+    "w,h,nc", [(16, 16, 1), (40, 32, 1), (32, 32, 3), (24, 17, 3)]
+)
+def test_decode_libjpeg_progressive_arithmetic_exactly(w, h, nc):
+    """libjpeg's SOF10 streams (jpeg_simple_progression script: DC
+    first/refine + AC first/refine over several Al levels) entropy-
+    decode to identical coefficients."""
+    rng = np.random.default_rng(w + 2 * h + nc)
+    raw = rng.integers(0, 256, (h, w, nc), dtype=np.uint8).tobytes()
+    jpg = lib_encode(raw, w, h, nc, arith=True, progressive=True)
+    assert lib_coefs(jpg) == my_coefs(jpg)
+
+
+@needs_shim
+@pytest.mark.parametrize("nc,al", [(1, 1), (1, 2), (3, 1), (3, 2)])
+def test_libjpeg_decodes_our_progressive_arithmetic_exactly(nc, al):
+    """Our SOF10 encoder's scan script (DC first at Al + refinements,
+    AC band at Al + refinements) is read by libjpeg to the identical
+    coefficients — and matches the baseline encoder's coefficient
+    set."""
+    from wrf_to_geodataframe_spark.sources.jpeg import (
+        encode_jpeg_arith_progressive,
+    )
+
+    rng = np.random.default_rng(41 + nc + al)
+    w, h = 40, 24
+    raw = rng.integers(0, 256, (h, w, nc), dtype=np.uint8).tobytes()
+    jpg = encode_jpeg_arith_progressive(raw, w, h, nc, quality=75, al=al)
+    assert lib_coefs(jpg) == my_coefs(jpg)
+    assert my_coefs(jpg) == my_coefs(encode_jpeg(raw, w, h, nc, quality=75))
+
+
+def test_progressive_arithmetic_self_roundtrip_without_shim():
+    from wrf_to_geodataframe_spark.sources.jpeg import (
+        encode_jpeg_arith_progressive,
+    )
+
+    rng = np.random.default_rng(77)
+    w, h = 24, 16
+    raw = rng.integers(0, 256, (h, w), dtype=np.uint8).tobytes()
+    a = my_coefs(encode_jpeg_arith_progressive(raw, w, h, 1, quality=60))
+    b = my_coefs(encode_jpeg(raw, w, h, 1, quality=60))
+    assert a == b

@@ -279,6 +279,7 @@ def encode_images_jpeg_tiles(base: DataFrame) -> DataFrame:
         from wrf_to_geodataframe_spark.sources.jpeg import (
             encode_jpeg,
             encode_jpeg_arith,
+            encode_jpeg_arith_progressive,
             encode_jpeg_progressive,
         )
 
@@ -295,12 +296,14 @@ def encode_images_jpeg_tiles(base: DataFrame) -> DataFrame:
                     img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = (
                         raw[bi] & 0xFE
                     )
-                # cycle encodings so ALL THREE entropy decode
-                # pipelines (baseline Huffman, progressive Huffman,
-                # ARITHMETIC QM-coded) sit on the hash path — the
-                # closed-form decoded pixels are entropy-layer-agnostic
+                # cycle encodings so ALL FOUR entropy decode
+                # pipelines (baseline/progressive Huffman, sequential/
+                # progressive ARITHMETIC QM-coded) sit on the hash
+                # path — the closed-form decoded pixels are entropy-
+                # layer-agnostic
                 enc = [encode_jpeg, encode_jpeg_progressive,
-                       encode_jpeg_arith][int(d) % 3]
+                       encode_jpeg_arith,
+                       encode_jpeg_arith_progressive][int(d) % 4]
                 outs.append(enc(img.tobytes(), w, h, 1))
             yield pd.DataFrame(
                 {

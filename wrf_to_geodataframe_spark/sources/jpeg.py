@@ -657,9 +657,9 @@ def _parse_jpeg(data: bytes) -> dict:
                 vals = list(seg[p + 17 : p + 17 + n])
                 huff[(tc, th)] = _build_decode(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/1/2 + SOF9 (arith)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):  # +SOF9/10 arith
             precision = seg[0]
-            arith = marker == 0xC9
+            arith = marker in (0xC9, 0xCA)
             if marker == 0xC0 and precision != 8:
                 raise ValueError(
                     f"corrupt JPEG: baseline SOF0 must be 8-bit, got {precision}"
@@ -716,10 +716,9 @@ def _parse_jpeg(data: bytes) -> dict:
                     }
                 )
             lossless = True
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB):
             raise ValueError(
-                f"unsupported JPEG: SOF{marker - 0xC0} "
-                "(progressive-arithmetic/hierarchical)"
+                f"unsupported JPEG: SOF{marker - 0xC0} (hierarchical)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -801,14 +800,19 @@ def _parse_jpeg(data: bytes) -> dict:
                     raise ValueError(f"corrupt JPEG: unknown component {cs}")
                 scan.append((comp, tt >> 4, tt & 0x0F))
             ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
-            if (ss, se, ahal) != (0, 63, 0):
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not (0 <= ss <= se <= 63):
                 raise ValueError(
-                    "unsupported JPEG: arithmetic progressive scan"
+                    f"corrupt JPEG: spectral band {ss}..{se} out of range"
+                )
+            if ss > 0 and ns > 1:
+                raise ValueError(
+                    "corrupt JPEG: interleaved AC progressive scan"
                 )
             pos += seglen
             pos = _arith_scan(
                 _ja, data, pos, scan, comps, mcus_x, mcus_y,
-                restart_interval, dac,
+                restart_interval, dac, ss, se, ah, al,
             )
             saw_scan = True
             continue
@@ -994,13 +998,14 @@ def _next_marker(data, pos):
 
 
 def _arith_scan(_ja, data, pos, scan, comps, mcus_x, mcus_y,
-                restart_interval, dac):
-    """Drive one ARITHMETIC sequential scan (T.81 F.2.4 via
-    ``jpeg_arith``): statistics areas are per conditioning-table id
-    (shared across components citing the same table), DC context and
-    predictor are per component; restart markers re-init the coder,
-    every statistics area, and the DC state.  Returns the position of
-    the marker terminating the scan's entropy data."""
+                restart_interval, dac, ss=0, se=63, ah=0, al=0):
+    """Drive one ARITHMETIC scan (T.81 F.2.4 sequential, or the four
+    progressive scan types of Annex G.2 via ``jpeg_arith``):
+    statistics areas are per conditioning-table id (shared across
+    components citing the same table), DC context and predictor are
+    per component; restart markers re-init the coder, every statistics
+    area, and the DC state.  Returns the position of the marker
+    terminating the scan's entropy data."""
     dec = _ja._ArithDecoder(data, pos)
     dc_stats: dict = {}
     ac_stats: dict = {}
@@ -1012,12 +1017,27 @@ def _arith_scan(_ja, data, pos, scan, comps, mcus_x, mcus_y,
         lohi = dac.get((0, td), 0x10)
         lo, hi = lohi & 0x0F, lohi >> 4
         kx = dac.get((1, ta), 5)
-        dcst = dc_stats.setdefault(td, _ja.make_dc_stats())
-        acst = ac_stats.setdefault(ta, _ja.make_ac_stats())
-        diff, dcctx[ci] = _ja.decode_dc_diff(dec, dcst, dcctx[ci], lo, hi)
-        preds[ci] += diff
-        blk[0] = preds[ci]
-        _ja.decode_ac_coefs(dec, acst, fixed, kx, blk, ZIGZAG)
+        if ss == 0:
+            if ah == 0:  # DC first (or the sequential combined scan)
+                dcst = dc_stats.setdefault(td, _ja.make_dc_stats())
+                diff, dcctx[ci] = _ja.decode_dc_diff(
+                    dec, dcst, dcctx[ci], lo, hi
+                )
+                preds[ci] += diff
+                blk[0] = preds[ci] << al
+            else:  # DC refinement: one fixed-bin bit per block
+                if dec.decode(fixed, 0):
+                    blk[0] |= 1 << al
+        if se >= 1 and ah == 0:  # sequential AC / AC first
+            acst = ac_stats.setdefault(ta, _ja.make_ac_stats())
+            _ja.decode_ac_coefs(
+                dec, acst, fixed, kx, blk, ZIGZAG, max(ss, 1), se, al
+            )
+        elif se >= 1:  # AC refinement
+            acst = ac_stats.setdefault(ta, _ja.make_ac_stats())
+            _ja.decode_ac_refine(
+                dec, acst, fixed, blk, ZIGZAG, max(ss, 1), se, al
+            )
 
     def restart():
         nonlocal dec, preds, dcctx
@@ -1169,6 +1189,124 @@ def encode_jpeg_arith(
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
     out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_arith_progressive(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    quality: int = 50,
+    al: int = 1,
+) -> bytes:
+    """Encode as PROGRESSIVE ARITHMETIC JFIF (SOF10, Annex G.2 models
+    over the Annex D QM-coder): the same spec-legal scan script as
+    :func:`encode_jpeg_progressive` — interleaved DC first at
+    precision ``al`` + DC refinements, then per component the full AC
+    band at ``al`` + AC refinements — with each scan's statistics
+    freshly initialized.  Reconstructs the same quantized coefficients
+    as every other encoder in this module; libjpeg-validated in
+    ``tests/test_jpeg_arith.py``."""
+    from wrf_to_geodataframe_spark.sources import jpeg_arith as _ja
+
+    if channels not in (1, 3):
+        raise ValueError(f"channels must be 1 or 3, got {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, want "
+            f"{width * height * channels}"
+        )
+    ql, qc = _scaled_tables(quality)
+    img = np.frombuffer(bytes(pixels), np.uint8).reshape(
+        height, width, channels
+    ).astype(np.float64)
+    if channels == 3:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [img[..., 0]]
+    coefs = [
+        _block_coefs(p, ql if ci == 0 else qc)
+        for ci, p in enumerate(planes)
+    ]
+    nby, nbx = coefs[0].shape[0], coefs[0].shape[1]
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+        + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    )
+    out += _dqt_segment(0, ql)
+    if channels > 1:
+        out += _dqt_segment(1, qc)
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([channels])
+    for ci in range(channels):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xca" + struct.pack(">H", len(sof) + 2) + sof
+    dacseg = bytearray()
+    for tbl in range(2 if channels > 1 else 1):
+        dacseg += bytes([0x00 | tbl, 0x10, 0x10 | tbl, 5])
+    out += b"\xff\xcc" + struct.pack(">H", len(dacseg) + 2) + dacseg
+
+    def sos(comp_ids, ss, se, ah, al_):
+        hdr = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            td = 0 if cid == 1 else 1
+            hdr += bytes([cid, (td << 4) | td])
+        hdr += bytes([ss, se, (ah << 4) | al_])
+        return b"\xff\xda" + struct.pack(">H", len(hdr) + 2) + hdr
+
+    # scan 1: DC first, interleaved, precision al
+    enc = _ja._ArithEncoder()
+    dc_stats = [_ja.make_dc_stats() for _ in range(channels)]
+    preds = [0] * channels
+    dcctx = [0] * channels
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(channels):
+                tbl = min(ci, 1)
+                dc = int(coefs[ci][by, bx, 0]) >> al
+                dcctx[ci] = _ja.encode_dc_diff(
+                    enc, dc_stats[tbl], dcctx[ci], dc - preds[ci], 0, 1
+                )
+                preds[ci] = dc
+    out += sos(list(range(1, channels + 1)), 0, 0, 0, al) + enc.flush()
+    # DC refinements: one fixed-bin bit per block per component
+    for a in range(al - 1, -1, -1):
+        enc = _ja._ArithEncoder()
+        fixed = _ja._FixedStats()
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(channels):
+                    enc.encode(
+                        fixed, 0, (int(coefs[ci][by, bx, 0]) >> a) & 1
+                    )
+        out += sos(list(range(1, channels + 1)), 0, 0, a + 1, a) + enc.flush()
+    # per component: AC first at precision al, then refinements
+    for ci in range(channels):
+        enc = _ja._ArithEncoder()
+        acst = _ja.make_ac_stats()
+        fixed = _ja._FixedStats()
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = coefs[ci][by, bx][ZIGZAG]
+                _ja.encode_ac_coefs(enc, acst, fixed, 5, zz, 1, 63, al)
+        out += sos([ci + 1], 1, 63, 0, al) + enc.flush()
+        for a in range(al - 1, -1, -1):
+            enc = _ja._ArithEncoder()
+            acst = _ja.make_ac_stats()
+            fixed = _ja._FixedStats()
+            for by in range(nby):
+                for bx in range(nbx):
+                    zz = coefs[ci][by, bx][ZIGZAG]
+                    _ja.encode_ac_refine(enc, acst, fixed, zz, 1, 63, a)
+            out += sos([ci + 1], 1, 63, a + 1, a) + enc.flush()
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -352,18 +352,22 @@ def encode_dc_diff(enc: _ArithEncoder, st: _Stats, ctx: int, diff: int,
 
 
 def decode_ac_coefs(dec: _ArithDecoder, st: _Stats, fixed: _Stats, kx: int,
-                    blk, zig) -> None:
-    """Decode AC coefficients 1..63 into blk via the natural-order map
-    ``zig`` (F.2.4.3)."""
-    k = 1
-    while k <= 63:
+                    blk, zig, ss: int = 1, se_band: int = 63,
+                    al: int = 0) -> None:
+    """Decode AC coefficients of the band ``ss..se_band`` into blk via
+    the natural-order map ``zig`` (F.2.4.3).  ``al`` is the successive-
+    approximation low bit (progressive AC-first scans store values
+    shifted up by ``al``); the sequential scan is the (1, 63, 0)
+    case."""
+    k = ss
+    while k <= se_band:
         se = 3 * (k - 1)
         if dec.decode(st, se):
             return  # EOB
         while not dec.decode(st, se + 1):
             k += 1
             se += 3
-            if k > 63:
+            if k > se_band:
                 raise ValueError("corrupt JPEG: arithmetic AC run-off")
         sign = dec.decode(fixed, 0)
         m = dec.decode(st, se + 2)
@@ -383,21 +387,23 @@ def decode_ac_coefs(dec: _ArithDecoder, st: _Stats, fixed: _Stats, kx: int,
             if dec.decode(st, p):
                 v |= m
         v += 1
-        blk[zig[k]] = -v if sign else v
+        blk[zig[k]] = (-v if sign else v) << al
         k += 1
 
 
 def encode_ac_coefs(enc: _ArithEncoder, st: _Stats, fixed: _Stats, kx: int,
-                    coefs) -> None:
-    """Encode AC coefficients (coefs[1..63] in ZIGZAG order)."""
-    ke = 63
-    while ke >= 1 and coefs[ke] == 0:
+                    coefs, ss: int = 1, se_band: int = 63,
+                    al: int = 0) -> None:
+    """Encode AC coefficients (``coefs`` in ZIGZAG order) of the band
+    ``ss..se_band`` at successive-approximation precision ``al``."""
+    ke = se_band
+    while ke >= ss and (abs(int(coefs[ke])) >> al) == 0:
         ke -= 1
-    k = 1
+    k = ss
     while k <= ke:
         se = 3 * (k - 1)
         enc.encode(st, se, 0)  # not EOB
-        while coefs[k] == 0:
+        while (abs(int(coefs[k])) >> al) == 0:
             enc.encode(st, se + 1, 0)
             k += 1
             se += 3
@@ -405,7 +411,7 @@ def encode_ac_coefs(enc: _ArithEncoder, st: _Stats, fixed: _Stats, kx: int,
         v = int(coefs[k])
         sign = 1 if v < 0 else 0
         enc.encode(fixed, 0, sign)
-        sz = (-v if sign else v) - 1
+        sz = ((-v if sign else v) >> al) - 1
         p = se + 2
         if sz:
             enc.encode(st, p, 1)
@@ -430,8 +436,75 @@ def encode_ac_coefs(enc: _ArithEncoder, st: _Stats, fixed: _Stats, kx: int,
             enc.encode(st, p, 1 if sz & b else 0)
             b >>= 1
         k += 1
-    if k <= 63:
+    if k <= se_band:
         enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def decode_ac_refine(dec: _ArithDecoder, st: _Stats, fixed: _Stats,
+                     blk, zig, ss: int, se_band: int, al: int) -> None:
+    """AC successive-approximation refinement scan (G.2 / F.2.4.3.3):
+    per k — EOB decision only beyond the previous scans' EOB index,
+    correction bit for already-nonzero coefficients (same 3-per-K
+    context area), newly-nonzero significance with a fixed-bin
+    sign."""
+    p1 = 1 << al
+    kex = se_band
+    while kex >= ss and blk[zig[kex]] == 0:
+        kex -= 1
+    k = ss
+    while k <= se_band:
+        se = 3 * (k - 1)
+        if k > kex and dec.decode(st, se):
+            return  # EOB
+        while True:
+            c = int(blk[zig[k]])
+            if c:
+                if dec.decode(st, se + 2):
+                    blk[zig[k]] = c + (p1 if c > 0 else -p1)
+                break
+            if dec.decode(st, se + 1):
+                blk[zig[k]] = -p1 if dec.decode(fixed, 0) else p1
+                break
+            se += 3
+            k += 1
+            if k > se_band:
+                raise ValueError("corrupt JPEG: arithmetic AC run-off")
+        k += 1
+
+
+def encode_ac_refine(enc: _ArithEncoder, st: _Stats, fixed: _Stats,
+                     coefs, ss: int, se_band: int, al: int) -> None:
+    """Inverse of :func:`decode_ac_refine` (``coefs`` zigzag order,
+    full-precision values; bits above ``al`` were coded by earlier
+    scans)."""
+    kex = se_band
+    while kex >= ss and (abs(int(coefs[kex])) >> (al + 1)) == 0:
+        kex -= 1
+    kend = se_band
+    while kend >= ss and (abs(int(coefs[kend])) >> al) == 0:
+        kend -= 1
+    k = ss
+    while k <= se_band:
+        se = 3 * (k - 1)
+        if k > kex:
+            if k > kend:
+                enc.encode(st, se, 1)  # EOB: no bits left in this scan
+                return
+            enc.encode(st, se, 0)
+        while True:
+            v = int(coefs[k])
+            av = abs(v) >> al
+            if abs(v) >> (al + 1):  # previously nonzero: correction bit
+                enc.encode(st, se + 2, av & 1)
+                break
+            if av:  # newly significant at this precision
+                enc.encode(st, se + 1, 1)
+                enc.encode(fixed, 0, 1 if v < 0 else 0)
+                break
+            enc.encode(st, se + 1, 0)
+            se += 3
+            k += 1
+        k += 1
 
 
 class _FixedStats(_Stats):
