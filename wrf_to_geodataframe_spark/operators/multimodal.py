@@ -184,6 +184,7 @@ def extract_features(with_payload: DataFrame, decode: bool = False) -> DataFrame
         from wrf_to_geodataframe_spark.sources.gif import decode_gif
         from wrf_to_geodataframe_spark.sources.jpeg import decode_jpeg
         from wrf_to_geodataframe_spark.sources.png import decode_png
+        from wrf_to_geodataframe_spark.sources.tiff import decode_tiff
         from wrf_to_geodataframe_spark.sources.webp import decode_webp
 
         def _buf(b: bytes) -> bytes:
@@ -198,7 +199,11 @@ def extract_features(with_payload: DataFrame, decode: bool = False) -> DataFrame
                 return decode_webp(b)[3]
             if b[:4] == b"GIF8":
                 return decode_gif(b)[3]
-            raise ValueError("unknown image container (not PNG/JPEG/WebP/GIF)")
+            if b[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+                return decode_tiff(b)[3]
+            raise ValueError(
+                "unknown image container (not PNG/JPEG/WebP/GIF/TIFF)"
+            )
 
         for pdf in it:
             payloads = pdf["payload"].map(_buf)
@@ -387,6 +392,46 @@ def encode_images_gif(base: DataFrame) -> DataFrame:
     return base.mapInPandas(_batches, PNG_SCHEMA)
 
 
+def encode_images_tiff(base: DataFrame) -> DataFrame:
+    """Encode per-doc RGB grids as real TIFFs inside Arrow batches
+    (``sources/tiff.py``): input carries (doc_id, width, height, raw)
+    with raw = width*height*3 RGB bytes; the compression cycles
+    none/LZW/Deflate/PackBits by doc_id % 4 (odd docs add the
+    horizontal predictor, doc_id % 5 == 0 flips to big-endian), so
+    every strip codec sits on the hash path.  Lossless, so
+    decode(encode(x)) == x and the oracle states pixels in closed
+    form."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from wrf_to_geodataframe_spark.sources.tiff import encode_tiff
+
+        for pdf in it:
+            outs = []
+            for d, w, h, raw in zip(
+                pdf["doc_id"], pdf["width"], pdf["height"], pdf["raw"]
+            ):
+                d, w, h = int(d), int(w), int(h)
+                comp = [1, 5, 8, 32773][d % 4]
+                pred = 2 if (d % 2 and comp in (5, 8)) else 1
+                outs.append(
+                    encode_tiff(
+                        bytes(raw)[: 3 * w * h], w, h, 3,
+                        compression=comp, predictor=pred,
+                        rows_per_strip=4, big_endian=d % 5 == 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pdf["width"].astype("int64"),
+                    "height": pdf["height"].astype("int64"),
+                    "png": outs,
+                }
+            )
+
+    return base.mapInPandas(_batches, PNG_SCHEMA)
+
+
 # deterministic 16-color palette shared with the oracle SQL literal in
 # suite/pipeline.py (color k = first 3 md5 bytes of "pal:k")
 def _mm_palette() -> list[bytes]:
@@ -459,6 +504,7 @@ def decode_images(with_png: DataFrame) -> DataFrame:
         from wrf_to_geodataframe_spark.sources.gif import decode_gif
         from wrf_to_geodataframe_spark.sources.jpeg import decode_jpeg
         from wrf_to_geodataframe_spark.sources.png import decode_png
+        from wrf_to_geodataframe_spark.sources.tiff import decode_tiff
         from wrf_to_geodataframe_spark.sources.webp import decode_webp
 
         def _decode(b: bytes):
@@ -470,7 +516,11 @@ def decode_images(with_png: DataFrame) -> DataFrame:
                 return decode_webp(b)
             if b[:4] == b"GIF8":
                 return decode_gif(b)
-            raise ValueError("unknown image container (not PNG/JPEG/WebP/GIF)")
+            if b[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+                return decode_tiff(b)
+            raise ValueError(
+                "unknown image container (not PNG/JPEG/WebP/GIF/TIFF)"
+            )
 
         for pdf in it:
             ws, hs, cs, pxs = [], [], [], []

@@ -3463,6 +3463,67 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF round-trip on the hash path: per doc an RGB grid of
+    md5-chain bytes is encoded as a real TIFF by ``sources/tiff.py``
+    with the compression cycling none/LZW/Deflate/PackBits per doc
+    (odd docs add the horizontal predictor, every 5th is big-endian,
+    4-row strips) and decoded back through the mixed-format
+    ``decode_images`` dispatch.  All four strip codecs are lossless,
+    so the oracle states the decoded pixels in CLOSED FORM — identity
+    on the chain bytes — validating the IFD writer/parser, the
+    early-change TIFF-LZW, PackBits, the predictor inverse, and both
+    byte orders.  Interop with libtiff is pinned separately in
+    ``tests/test_tiff_interop.py``.
+
+    100 TB shape: CPU-bound Python codec inside Arrow batches; the
+    repartition spreads the single parquet split across every core
+    (same pattern as the other codec gate rows)."""
+    from wrf_to_geodataframe_spark.operators.multimodal import (
+        decode_images,
+        encode_images_tiff,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    w = (F.lit(8) + F.col("doc_id") % 3).cast("long")
+    h = (F.lit(6) + F.col("doc_id") % 2).cast("long")
+    # 14 md5 blocks = 224 bytes >= max 10*7*3 = 210 RGB bytes
+    raw = F.concat(
+        *[
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit(f":tf{b}"))))
+            for b in range(14)
+        ]
+    )
+    base = docs.select(
+        "doc_id", w.alias("width"), h.alias("height"), raw.alias("raw")
+    )
+    out = decode_images(encode_images_tiff(base))
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.hex("pixels").alias("pixels_hex"),
+    )
+
+
+_MM_TIFF_HEX = " || ".join(f"md5(text || ':tf{b}')" for b in range(14))
+
+_MULTIMODAL_TIFF_SQL = f"""
+SELECT doc_id,
+       CAST(8 + doc_id % 3 AS BIGINT) AS width,
+       CAST(6 + doc_id % 2 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       upper(substr({_MM_TIFF_HEX}, 1,
+                    CAST(6 * (8 + doc_id % 3) * (6 + doc_id % 2) AS BIGINT)))
+           AS pixels_hex
+FROM documents
+"""
+
+
 _MM_GIF_HEX = " || ".join(f"md5(text || ':gf{b}')" for b in range(3))
 
 
@@ -3900,6 +3961,7 @@ QUERIES = {
     "multimodal_decode_jpeg": multimodal_decode_jpeg,
     "multimodal_decode_webp": multimodal_decode_webp,
     "multimodal_decode_gif": multimodal_decode_gif,
+    "multimodal_decode_tiff": multimodal_decode_tiff,
     "multimodal_frame_sample": multimodal_frame_sample,
     "url_dedup": url_dedup,
     "dedup_semantic": dedup_semantic,
@@ -3947,5 +4009,6 @@ ORACLE = {
     "multimodal_decode_jpeg": _MULTIMODAL_JPEG_SQL,
     "multimodal_decode_webp": _MULTIMODAL_WEBP_SQL,
     "multimodal_decode_gif": _multimodal_gif_sql(),
+    "multimodal_decode_tiff": _MULTIMODAL_TIFF_SQL,
     "multimodal_frame_sample": _MULTIMODAL_FRAME_SQL,
 }
