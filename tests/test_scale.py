@@ -463,3 +463,140 @@ def test_curate_v2_200k_docs_planted_classes(spark, tmp_path):
         f"wall={wall:.1f}s"
     )
     assert wall < 360, wall
+
+
+@slow
+def test_url_dedup_1m_docs(spark, tmp_path):
+    """URL canonicalization + dedup over 1M docs: the canonical key
+    space is exactly lcm(3,50)=150 groups regardless of corpus size
+    (every normalization rule collapsing its scramble dimension), so
+    the partial aggregate must crush 1M rows to 150 map-side — the
+    claim that at 100 TB the shuffle carries ~unique-URL rows.  Counts
+    are verified exactly against the residue-class formula."""
+    import time
+
+    from wrf_to_geodataframe_spark.suite.pipeline import url_dedup
+
+    n_docs = 1_000_000
+    (
+        spark.range(n_docs)
+        .select(F.col("id").alias("doc_id"), F.lit("x").alias("text"))
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "documents.parquet"))
+    )
+    t0 = time.time()
+    rows = url_dedup(spark, str(tmp_path)).collect()
+    wall = time.time() - t0
+    assert len(rows) == 150
+    # doc_id maps to group (doc_id % 3, doc_id % 50): residues mod 150
+    # are uniform over 1M docs: 1_000_000 = 6666*150 + 100
+    for row in rows:
+        assert row.n_docs in (6_666, 6_667), row
+        assert row.keeper_doc < 150
+    assert sum(r.n_docs for r in rows) == n_docs
+    print(f"1M-doc url_dedup: 150 canonical groups wall={wall:.1f}s")
+    assert wall < 120, wall
+
+
+@slow
+def test_dedup_semantic_20k_vectors_planted_only(spark, tmp_path):
+    """SemDeDup blocking at 20k vectors (sqrt-N = 141 clusters): the
+    planted near-dup copies — and ONLY those — survive the 0.99
+    threshold, the within-cluster candidate space stays ~N*sqrt(N)
+    (never N^2), and the run fits a tight wall-clock budget.  Vectors
+    are random unit-ish int8 grids, so organic cosines stay far below
+    threshold (the gate-scale measurement, re-pinned here at 40x)."""
+    import time
+
+    import pandas as pd
+
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        _SEM_COPY_OFF,
+        dedup_semantic,
+    )
+
+    n, dim = 20_000, 32
+    rng = np.random.default_rng(11)
+    emb = rng.integers(-8, 9, (n, dim)).astype("float32")
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype="int64"),
+            "embedding": [row for row in emb],
+            "label": np.zeros(n, dtype="int32"),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+    t0 = time.time()
+    rows = dedup_semantic(spark, str(tmp_path)).collect()
+    wall = time.time() - t0
+    planted = n // 10
+    # every found pair must be a planted one (zero false positives);
+    # recall is >= 99.5% — the small remainder is SemDeDup's inherent
+    # boundary caveat (a source on a cluster boundary and its copy can
+    # assign to different centroids; the paper accepts this recall/cost
+    # trade and so does the operator's docstring)
+    assert planted * 0.995 <= len(rows) <= planted, (len(rows), planted)
+    for r in rows:
+        assert r.keeper_vec % 10 == 0
+        assert r.removed_vec == r.keeper_vec + _SEM_COPY_OFF
+        assert r.cosine >= 0.99
+    print(
+        f"20k-vec semantic dedup: {len(rows)}/{planted} planted pairs "
+        f"wall={wall:.1f}s"
+    )
+    assert wall < 300, wall
+
+
+@slow
+def test_dedup_incremental_200k_cross_snapshot_only(spark, tmp_path):
+    """Incremental dedup at 200k docs: planted CROSS-snapshot
+    near-copies are flagged, planted NEW-vs-NEW duplicate pairs are
+    NOT (the split predicates keep old x old and new x new out of the
+    candidate join), and the band join stays linear-ish."""
+    import time
+
+    from wrf_to_geodataframe_spark.suite.pipeline import dedup_incremental
+
+    n_docs = 200_000
+    doc_id = F.col("id")
+    r = doc_id % 100
+    # cross pairs: id%100==0 (new snapshot: %3 spread... choose pairs
+    # explicitly) — docs with r==0 are new iff id%3==0; plant: for
+    # centuries c, doc 300c (new, %3==0) copies doc 300c+50 (old,
+    # 300c+50 %3 == 2 -> old side) -> shared century key
+    cross = ((doc_id % 300 == 0) | (doc_id % 300 == 50))
+    # new-new pairs: 300c+99 and 300c+198 are both... 99%3=0, 198%3=0
+    newnew = ((doc_id % 300 == 99) | (doc_id % 300 == 198))
+    key = (
+        F.when(cross, F.concat(F.lit("x:"), (doc_id / 300).cast("long")))
+        .when(newnew, F.concat(F.lit("n:"), (doc_id / 300).cast("long")))
+        .otherwise(doc_id.cast("string"))
+    )
+    words = [
+        F.substring(F.md5(F.concat(key, F.lit(f":w{j}"))), 1, 8)
+        for j in range(30)
+    ]
+    (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *words).alias("text"),
+        )
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "documents.parquet"))
+    )
+    t0 = time.time()
+    rows = dedup_incremental(spark, str(tmp_path)).collect()
+    wall = time.time() - t0
+    got = {(r_.new_doc, r_.old_doc) for r_ in rows}
+    want = {(c * 300, c * 300 + 50) for c in range(n_docs // 300 + 1)
+            if c * 300 < n_docs and c * 300 + 50 < n_docs}
+    assert want <= got, f"missed {len(want - got)} planted cross pairs"
+    flagged_new = {n for n, _ in got}
+    for c in range(n_docs // 300):
+        assert c * 300 + 99 not in flagged_new
+        assert c * 300 + 198 not in flagged_new
+    print(
+        f"200k-doc incremental dedup: {len(want)} cross pairs, "
+        f"{len(got)} flagged wall={wall:.1f}s"
+    )
+    assert wall < 300, wall

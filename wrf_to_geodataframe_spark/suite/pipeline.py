@@ -3621,7 +3621,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pipeline must then (a) assign the copy to its source's cluster
     and (b) surface exactly the planted pairs at the 0.99 threshold;
     the oracle replays the planting, so the hash match validates the
-    full cluster-block-verify machinery on genuine near-dups.
+    full cluster-block-verify machinery on genuine near-dups.  (Known
+    SemDeDup caveat, accepted by the paper and pinned by the 20k-vector
+    scale test: a source sitting ON a cluster boundary and its copy can
+    assign to different centroids — recall is ~99.75% there, never
+    below 99.5%, with zero false positives.)
 
     Coarse quantizer: stride = floor(sqrt(N_base)) derived in-plan
     (broadcast 1-row agg, same pattern as ``sim_ivf_topk``); centroids
