@@ -1110,3 +1110,61 @@ def test_dedup_incremental_flags_only_cross_snapshot_pairs(spark, tmp_path):
     got = {r.new_doc: r for r in dedup_incremental(spark, str(tmp_path)).collect()}
     assert 3 in got and got[3].old_doc == 1 and got[3].jaccard_est >= 0.5
     assert 6 not in got and 9 not in got and 12 not in got
+
+
+def test_bpe_train_matches_pure_python_reference(spark, tmp_path):
+    """The distributed trainer must reproduce a from-scratch Python
+    BPE (Sennrich-style, word-frequency dict, leftmost-greedy merges,
+    count-then-lexicographic tie-break) merge for merge — including
+    the back-to-back overlap case ('banana' repeating 'an a n')."""
+    import collections
+
+    import pandas as pd
+
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        _BPE_MERGES,
+        bpe_train,
+    )
+
+    rows = [
+        {"doc_id": 0, "text": "banana bandana banana cabana"},
+        {"doc_id": 1, "text": "an analyst ran a scan and planned bans"},
+        {"doc_id": 2, "text": "low lower lowest slow slowly"},
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    # reference implementation
+    freq = collections.Counter()
+    for r in rows:
+        for w in r["text"].lower().split(" "):
+            if len(w) >= 2:
+                freq[w] += 1
+    vocab = {w: list(w) for w in freq}
+    want = []
+    for _ in range(_BPE_MERGES):
+        pc = collections.Counter()
+        for w, toks in vocab.items():
+            for i in range(len(toks) - 1):
+                pc[(toks[i], toks[i + 1])] += freq[w]
+        if not pc:
+            break
+        # tie-break: max count, then lexicographically SMALLEST pair
+        top = max(pc.values())
+        best = min(p for p, c in pc.items() if c == top)
+        want.append(("/".join(best), "".join(best), top))
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if (i + 1 < len(toks)
+                        and (toks[i], toks[i + 1]) == best):
+                    out.append(toks[i] + toks[i + 1])
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+    got = [
+        (r.pair, r.new_token, r.pair_count)
+        for r in bpe_train(spark, str(tmp_path)).orderBy("step").collect()
+    ]
+    assert got == want

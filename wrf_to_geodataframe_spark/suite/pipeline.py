@@ -3600,6 +3600,212 @@ WHERE f.f < h
 
 
 # ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training (byte-pair encoding, Sennrich 2016)
+
+_BPE_MERGES = 8  # merge rounds in the gate row (plan depth doubles/round)
+
+
+def _bpe_words(docs: DataFrame) -> DataFrame:
+    """(word, cnt, sp): the corpus word-frequency table with each word
+    in delimited-spaced form ``/c/h/a/r/`` — the classic BPE training
+    input (Sennrich/Haddow/Birch ACL'16 train on the word-count dict,
+    not the raw corpus, which is what makes the per-round cost
+    O(vocabulary), not O(corpus))."""
+    w = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+        )
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return w.withColumn(
+        "sp",
+        F.concat(
+            F.lit("/"), F.array_join(F.split(F.col("word"), ""), "/"),
+            F.lit("/"),
+        ),
+    )
+
+
+def _bpe_pair_counts(state: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over the spaced vocabulary, weighted by
+    word frequency: ONE explode + one partial-agg groupBy per round."""
+    a = F.filter(F.split(F.col("sp"), "/"), lambda x: x != "")
+    pairs = F.explode(
+        F.expr(
+            "transform(slice(filter(split(sp, '/'), x -> x <> ''), 1, "
+            "greatest(size(filter(split(sp, '/'), x -> x <> '')) - 1, 0)), "
+            "(x, i) -> concat(x, '/', element_at("
+            "filter(split(sp, '/'), x2 -> x2 <> ''), i + 2)))"
+        )
+    )
+    del a
+    return (
+        state.select(F.col("cnt"), pairs.alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED BPE tokenizer training — the real algorithm every
+    LLM tokenizer pipeline runs (Sennrich 2016; GPT-2/LLaMA-style
+    byte-level variants differ only in the alphabet): iteratively find
+    the most frequent adjacent symbol pair in the word-frequency
+    vocabulary and merge it, 8 rounds, emitting the merge table
+    (step, pair, new_token, pair_count).
+
+    Spark-first shape: the vocabulary (word, cnt, spaced) is the only
+    distributed state; each round is one explode + partial-agg
+    groupBy (pair counts), a 1-ROW argmax collect (tie-broken count
+    DESC then pair ASC so both engines agree), and a literal string
+    replace applying the merge.  At 100 TB the word-count table is
+    ~vocabulary-sized (tens of millions of rows, not corpus-sized),
+    which is exactly why classic BPE trains on the frequency dict.
+
+    The per-round argmax is a BOUNDED driver collect — one row per
+    round, the same accepted pattern as the k-means codebook trainer
+    (``operators/kmeans.py``): iterative algorithms checkpoint their
+    O(1) control state on the driver while all data-sized work stays
+    distributed.  (A fully lazy formulation exists but its plan tree
+    doubles per round — measured 7 s of plan build + 15 s of repeated
+    subtree execution at sf0.1 vs ~3 s for this form.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    state = _bpe_words(docs).persist()
+    rows = []
+    for r in range(_BPE_MERGES):
+        best = (
+            _bpe_pair_counts(state)
+            .orderBy(F.col("c").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        rows.append(
+            (r, best.pair, best.pair.replace("/", ""), int(best.c))
+        )
+        patt = F.lit("/" + best.pair + "/")
+        repl = F.lit("/" + best.pair.replace("/", "") + "/")
+        state = state.select(
+            "word",
+            "cnt",
+            F.replace(F.replace(F.col("sp"), patt, repl), patt, repl)
+            .alias("sp"),
+        ).persist()
+    return spark.createDataFrame(
+        rows, "step long, pair string, new_token string, pair_count long"
+    )
+
+
+def _bpe_sql(k: int) -> str:
+    ctes = ["""w0 AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+           '/' || array_to_string(list_transform(
+               generate_series(1, len(word)), i -> word[i]), '/') || '/'
+               AS sp
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+          FROM documents)
+    WHERE len(word) >= 2 GROUP BY word)"""]
+    for r in range(k):
+        ctes.append(f"""p{r} AS (
+    SELECT pair, sum(cnt) AS c FROM (
+        SELECT cnt, unnest(list_transform(generate_series(1, len(a) - 1),
+                     i -> a[i] || '/' || a[i+1])) AS pair
+        FROM (SELECT cnt,
+                     list_filter(string_split(sp, '/'), x -> x <> '') AS a
+              FROM w{r})
+    ) GROUP BY pair)""")
+        ctes.append(
+            f"b{r} AS (SELECT pair, c FROM p{r} "
+            f"ORDER BY c DESC, pair ASC LIMIT 1)"
+        )
+        ctes.append(f"""w{r + 1} AS (
+    SELECT word, cnt,
+           replace(replace(sp,
+               '/' || b.pair || '/', '/' || replace(b.pair, '/', '') || '/'),
+               '/' || b.pair || '/', '/' || replace(b.pair, '/', '') || '/')
+               AS sp
+    FROM w{r}, b{r} b)""")
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS step, pair, "
+        f"replace(pair, '/', '') AS new_token, "
+        f"CAST(c AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(k)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merges to the corpus — the tokenizer's
+    ENCODE side: every document's words are char-spaced, the 8 learned
+    merges replay in training order (same two-pass leftmost-greedy
+    replace), and the row reports the doc's post-merge token count and
+    the md5 of its encoded token stream (tokens space-joined, words
+    '|'-joined).  The oracle re-derives the merge table itself and
+    replays the same chain, so the hash checks BOTH training and
+    application.
+
+    Scale shape: training cost is vocabulary-sized (see
+    ``bpe_train``); encoding is one scan over the corpus with a chain
+    of 16 literal string replaces inside whole-stage codegen — exactly
+    how a production pipeline tokenizes 100 TB with a frozen merge
+    table."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (row[1], row[2])
+        for row in bpe_train(spark, sf_dir).orderBy("step").collect()
+    ]
+    spaced = (
+        "concat('/', array_join(split(x, ''), '/'), '/')"
+    )
+    expr = spaced
+    for pair, tok in merges:
+        patt = f"'/{pair}/'"
+        repl = f"'/{tok}/'"
+        expr = f"replace(replace({expr}, {patt}, {repl}), {patt}, {repl})"
+    enc_word = (
+        f"array_join(filter(split({expr}, '/'), t -> t <> ''), ' ')"
+    )
+    enc_doc = (
+        "array_join(transform(split(lower(text), ' '), "
+        f"x -> {enc_word}), '|')"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"CAST(size(split({enc_doc}, '[ |]')) AS BIGINT)"
+        ).alias("n_tokens"),
+        F.expr(f"md5({enc_doc})").alias("encoded_md5"),
+    )
+
+
+def _bpe_encode_sql(k: int) -> str:
+    # reuse the training SQL's CTE prefix (everything before the final
+    # union of merge rows), then append the per-doc apply
+    train = _bpe_sql(k)
+    prefix = train.split("\nSELECT CAST(0")[0]
+    expr = ("'/' || array_to_string(list_transform("
+            "generate_series(1, len(x)), i -> x[i]), '/') || '/'")
+    for r in range(k):
+        patt = f"'/' || b{r}.pair || '/'"
+        repl = f"'/' || replace(b{r}.pair, '/', '') || '/'"
+        expr = (f"replace(replace({expr}, {patt}, {repl}), {patt}, {repl})")
+    enc_word = (f"array_to_string(list_filter(string_split({expr}, '/'), "
+                "t -> t <> ''), ' ')")
+    enc_doc = ("array_to_string(list_transform("
+               "string_split(lower(text), ' '), "
+               f"x -> {enc_word}), '|')")
+    froms = ", ".join(f"b{r}" for r in range(k))
+    return f"""{prefix}
+SELECT doc_id,
+       CAST(len(string_split_regex({enc_doc}, '[ |]')) AS BIGINT)
+           AS n_tokens,
+       md5({enc_doc}) AS encoded_md5
+FROM documents, {froms}
+"""
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup-style semantic dedup (cluster-blocked embedding near-dup)
 
 _SEM_COPY_OFF = 1 << 20  # planted near-dup ids live above every real vec_id
@@ -3938,6 +4144,8 @@ QUERIES = {
     "quality_lm_score": quality_lm_score,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_incremental": dedup_incremental,
+    "bpe_train": bpe_train,
+    "bpe_encode": bpe_encode,
     "simhash_neardup": simhash_neardup,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_edit_distance": dedup_edit_distance,
@@ -3984,6 +4192,8 @@ ORACLE = {
     "quality_lm_score": _LM_SCORE_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_incremental": _INCREMENTAL_SQL,
+    "bpe_train": _bpe_sql(_BPE_MERGES),
+    "bpe_encode": _bpe_encode_sql(_BPE_MERGES),
     "simhash_neardup": _SIMHASH_SQL,
     "dedup_embedding_cosine": _EMBED_COSINE_SQL,
     "dedup_edit_distance": _EDIT_DIST_SQL,
