@@ -365,3 +365,49 @@ def test_url_dedup_reads_only_doc_id_and_partial_aggs(spark):
     assert m and "doc_id" in m.group(1) and "text" not in m.group(1)
     # partial + final hash aggregate around one exchange on the key
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Pre-bucketing both sides on the join key must remove BOTH
+    shuffle exchanges from the join plan (the layout is the hash
+    partitioning), and with sorted buckets the sort-merge join needs
+    no extra sort either; results equal the plain join's."""
+    from wrf_to_geodataframe_spark.operators.bucketing import (
+        bucketed_join,
+        join_is_shuffle_free,
+        write_bucketed,
+    )
+    from wrf_to_geodataframe_spark.session import load_table
+
+    # warehouse dir is a static conf — managed tables land in the
+    # session default; DROP TABLE below removes their files
+    orders = load_table(spark, SF, "orders")
+    lineitem = load_table(spark, SF, "lineitem")
+    try:
+        write_bucketed(orders, "b_orders", ["o_orderkey"], 4)
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "b_lineitem", ["o_orderkey"], 4,
+        )
+        # force sort-merge on both variants: at this sf Spark would
+        # broadcast instead, which hides the property being tested
+        joined = (
+            spark.table("b_orders").hint("merge")
+            .join(spark.table("b_lineitem"), ["o_orderkey"])
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert join_is_shuffle_free(joined), plan
+        # plain (unbucketed) SMJ DOES shuffle — the property is real
+        plain = orders.hint("merge").join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            ["o_orderkey"],
+        )
+        assert not join_is_shuffle_free(plain)
+        assert joined.count() == plain.count()
+        # bucket-key aggregation is shuffle-free too
+        agg = spark.table("b_lineitem").groupBy("o_orderkey").count()
+        assert join_is_shuffle_free(agg)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
