@@ -392,6 +392,90 @@ def encode_images_gif(base: DataFrame) -> DataFrame:
     return base.mapInPandas(_batches, PNG_SCHEMA)
 
 
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("peak_abs", LongType()),
+        StructField("sum_abs", LongType()),
+        StructField("zero_crossings", LongType()),
+        StructField("rms_milli", LongType()),
+    ]
+)
+
+
+def encode_audio_wav(base: DataFrame) -> DataFrame:
+    """Wrap per-doc raw int16-LE PCM bytes as real mono 16 kHz WAV
+    containers inside Arrow batches (``sources/wav.py``): input
+    carries (doc_id, pcm); output replaces it with the container
+    bytes in ``payload``."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from wrf_to_geodataframe_spark.sources.wav import encode_wav
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [
+                        encode_wav(bytes(p), 1, 16_000, 16)
+                        for p in pdf["pcm"]
+                    ],
+                }
+            )
+
+    return base.mapInPandas(
+        _batches,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+def audio_features(with_wav: DataFrame) -> DataFrame:
+    """Decode WAV payloads and extract the classic audio-curation
+    features, all as EXACT integers (so a SQL oracle can replay them
+    bit-for-bit): frame count, peak absolute amplitude, absolute-sum,
+    zero-crossing count (sign transitions with 0 counted as
+    non-negative), and integer-milli RMS = floor(1000 * sqrt(sum(x^2)
+    / n)).  numpy-vectorized inside Arrow batches — the shape a real
+    loudness/silence filter over 100 TB of audio uses."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from wrf_to_geodataframe_spark.sources.wav import decode_wav
+
+        for pdf in it:
+            rows = {k: [] for k in (
+                "doc_id", "n_frames", "peak_abs", "sum_abs",
+                "zero_crossings", "rms_milli",
+            )}
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                ch, _rate, n, pcm = decode_wav(bytes(payload))
+                x = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                nonneg = x >= 0
+                rows["doc_id"].append(int(d))
+                rows["n_frames"].append(n)
+                rows["peak_abs"].append(int(np.abs(x).max()) if n else 0)
+                rows["sum_abs"].append(int(np.abs(x).sum()))
+                rows["zero_crossings"].append(
+                    int((nonneg[1:] != nonneg[:-1]).sum()) if n > 1 else 0
+                )
+                rows["rms_milli"].append(
+                    int(1000.0 * float(np.sqrt((x * x).sum() / n)))
+                    if n else 0
+                )
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
+            )
+
+    return with_wav.mapInPandas(_batches, AUDIO_SCHEMA)
+
+
 def encode_images_tiff(base: DataFrame) -> DataFrame:
     """Encode per-doc RGB grids as real TIFFs inside Arrow batches
     (``sources/tiff.py``): input carries (doc_id, width, height, raw)

@@ -3463,6 +3463,71 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-curation features through a REAL WAV round-trip: per doc
+    64 int16-LE PCM samples (md5-chain bytes) are wrapped as a real
+    mono 16 kHz WAV container (``sources/wav.py``), decoded back, and
+    reduced to the classic loudness/silence-filter signals — frame
+    count, peak amplitude, absolute sum, zero crossings, integer-milli
+    RMS — ALL exact integers (the one float, RMS, is floor-quantized
+    through an identical double expression in both engines).  The
+    oracle recomputes every feature from the same md5 hex directly, so
+    the hash match validates the container walk, the int16-LE
+    interpretation, and the feature arithmetic.
+
+    100 TB shape: numpy-vectorized mapInPandas over Arrow batches,
+    one scan, no shuffle — the audio twin of the image codec rows."""
+    from wrf_to_geodataframe_spark.operators.multimodal import (
+        audio_features as _features,
+        encode_audio_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    pcm = F.concat(
+        *[
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit(f":au{b}"))))
+            for b in range(8)
+        ]
+    )
+    base = docs.select("doc_id", pcm.alias("pcm"))
+    return _features(encode_audio_wav(base))
+
+
+_AU_HEX = " || ".join(f"md5(text || ':au{b}')" for b in range(8))
+
+_AUDIO_FEATURES_SQL = f"""
+WITH g AS (
+    SELECT doc_id, {_AU_HEX} AS hx FROM documents
+),
+sm AS (
+    SELECT doc_id,
+           list_transform(generate_series(0, 63), i ->
+               CASE WHEN CAST(('0x' || substr(hx, 4*i + 3, 2)
+                              || substr(hx, 4*i + 1, 2)) AS INT) >= 32768
+                    THEN CAST(('0x' || substr(hx, 4*i + 3, 2)
+                              || substr(hx, 4*i + 1, 2)) AS INT) - 65536
+                    ELSE CAST(('0x' || substr(hx, 4*i + 3, 2)
+                              || substr(hx, 4*i + 1, 2)) AS INT)
+               END) AS s
+    FROM g
+)
+SELECT doc_id,
+       CAST(64 AS BIGINT) AS n_frames,
+       CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak_abs,
+       CAST(list_sum(list_transform(s, x -> abs(x))) AS BIGINT) AS sum_abs,
+       CAST(list_sum(list_transform(generate_series(1, 63), i ->
+           CASE WHEN (s[i] >= 0) <> (s[i+1] >= 0) THEN 1 ELSE 0 END))
+           AS BIGINT) AS zero_crossings,
+       CAST(floor(1000.0 * sqrt(
+           CAST(list_sum(list_transform(s, x -> x * x)) AS DOUBLE) / 64.0))
+           AS BIGINT) AS rms_milli
+FROM sm
+"""
+
+
 def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIFF round-trip on the hash path: per doc an RGB grid of
     md5-chain bytes is encoded as a real TIFF by ``sources/tiff.py``
@@ -4174,6 +4239,7 @@ QUERIES = {
     "multimodal_decode_webp": multimodal_decode_webp,
     "multimodal_decode_gif": multimodal_decode_gif,
     "multimodal_decode_tiff": multimodal_decode_tiff,
+    "audio_features": audio_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "url_dedup": url_dedup,
     "dedup_semantic": dedup_semantic,
@@ -4224,5 +4290,6 @@ ORACLE = {
     "multimodal_decode_webp": _MULTIMODAL_WEBP_SQL,
     "multimodal_decode_gif": _multimodal_gif_sql(),
     "multimodal_decode_tiff": _MULTIMODAL_TIFF_SQL,
+    "audio_features": _AUDIO_FEATURES_SQL,
     "multimodal_frame_sample": _MULTIMODAL_FRAME_SQL,
 }
