@@ -181,6 +181,10 @@ def extract_features(with_payload: DataFrame, decode: bool = False) -> DataFrame
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from wrf_to_geodataframe_spark.sources.bmp import (
+            decode_bmp,
+            decode_pnm,
+        )
         from wrf_to_geodataframe_spark.sources.gif import decode_gif
         from wrf_to_geodataframe_spark.sources.jpeg import decode_jpeg
         from wrf_to_geodataframe_spark.sources.png import decode_png
@@ -201,8 +205,13 @@ def extract_features(with_payload: DataFrame, decode: bool = False) -> DataFrame
                 return decode_gif(b)[3]
             if b[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
                 return decode_tiff(b)[3]
+            if b[:2] == b"BM":
+                return decode_bmp(b)[3]
+            if b[:2] in (b"P5", b"P6"):
+                return decode_pnm(b)[3]
             raise ValueError(
-                "unknown image container (not PNG/JPEG/WebP/GIF/TIFF)"
+                "unknown image container "
+                "(not PNG/JPEG/WebP/GIF/TIFF/BMP/PNM)"
             )
 
         for pdf in it:
@@ -585,6 +594,10 @@ def decode_images(with_png: DataFrame) -> DataFrame:
     crawl corpus."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from wrf_to_geodataframe_spark.sources.bmp import (
+            decode_bmp,
+            decode_pnm,
+        )
         from wrf_to_geodataframe_spark.sources.gif import decode_gif
         from wrf_to_geodataframe_spark.sources.jpeg import decode_jpeg
         from wrf_to_geodataframe_spark.sources.png import decode_png
@@ -602,8 +615,13 @@ def decode_images(with_png: DataFrame) -> DataFrame:
                 return decode_gif(b)
             if b[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
                 return decode_tiff(b)
+            if b[:2] == b"BM":
+                return decode_bmp(b)
+            if b[:2] in (b"P5", b"P6"):
+                return decode_pnm(b)
             raise ValueError(
-                "unknown image container (not PNG/JPEG/WebP/GIF/TIFF)"
+                "unknown image container "
+                "(not PNG/JPEG/WebP/GIF/TIFF/BMP/PNM)"
             )
 
         for pdf in it:
