@@ -3,6 +3,8 @@ exactly the batch resample's rows once the bounded source is drained."""
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import functions as F
 
 
@@ -389,3 +391,63 @@ def test_stream_range_join_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.table("range_join_stream").collect()
     }
     assert got == want
+
+
+def test_stream_url_dedup_matches_batch(spark, tmp_path):
+    """Streaming canonical-URL dedup (both forms) keeps exactly one
+    row per canonical URL once the bounded source drains — equal to
+    the batch groupBy on the SHARED canonical_url expression, with
+    scrambled spellings (utm params, fragments, case, default ports)
+    collapsing across micro-batches."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.functions.urls import canonical_url
+    from wrf_to_geodataframe_spark.streaming.urls import (
+        stream_url_dedup,
+        stream_url_dedup_within_watermark,
+    )
+
+    rows = []
+    base = datetime.datetime(2026, 8, 14, 12, 0, 0)
+    spellings = [
+        "HTTPS://WWW.Site{k}.COM:443/Page?utm_source=x&id={k}",
+        "https://www.site{k}.com/Page?id={k}#frag",
+        "https://www.site{k}.com/Page?id={k}&ref=rss",
+    ]
+    i = 0
+    for k in range(10):
+        for s in spellings:
+            rows.append((i, base + datetime.timedelta(seconds=i),
+                         s.format(k=k)))
+            i += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, url string")
+    src = str(tmp_path / "url_stream")
+    df.repartition(4).write.parquet(src)
+
+    batch = {
+        r.canon_url
+        for r in df.select(canonical_url(F.col("url")).alias("canon_url"))
+        .distinct().collect()
+    }
+    assert len(batch) == 10  # the 3 spellings collapse per site
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, url string")
+        .parquet(src)
+    )
+    for name, dd in [
+        ("url_dedup_stream", lambda s: stream_url_dedup(s, "url")),
+        ("url_dedup_wm_stream",
+         lambda s: stream_url_dedup_within_watermark(s, "url", "ts")),
+    ]:
+        q = (
+            dd(stream).writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        got = [r.canon_url for r in spark.table(name).collect()]
+        assert set(got) == batch
+        assert len(got) == len(batch), f"{name} emitted duplicates"

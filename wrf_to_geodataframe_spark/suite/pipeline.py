@@ -4065,6 +4065,10 @@ def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuine collisions exist and the hash match exercises every
     normalization rule, not a vacuous identity map.
 
+    Canonicalization lives in ``functions/urls.canonical_url`` and is
+    SHARED with the streaming form (``streaming/urls.py``) so batch
+    and stream semantics cannot drift.
+
     Scale shape: pure JVM string/array expressions inside whole-stage
     codegen (regexp_extract / split / filter / array_sort — no Python),
     one scan, and a single groupBy shuffle on the canonical-URL key.
@@ -4096,41 +4100,10 @@ def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("url"),
     )
-    nofrag = F.regexp_replace(F.col("url"), "#.*$", "")
+    from wrf_to_geodataframe_spark.functions.urls import canonical_url
+
     canon = raw.select(
-        "doc_id",
-        nofrag.alias("u"),
-    ).select(
-        "doc_id",
-        F.lower(F.regexp_extract(F.col("u"), "^([A-Za-z]+)://", 1)).alias("scheme"),
-        F.lower(F.regexp_extract(F.col("u"), "^[A-Za-z]+://([^/?#]+)", 1)).alias("h"),
-        F.regexp_extract(F.col("u"), "^[A-Za-z]+://[^/?#]+(/[^?#]*)", 1).alias("p"),
-        F.regexp_extract(F.col("u"), "\\?([^#]*)", 1).alias("q"),
-    ).select(
-        "doc_id",
-        F.concat(
-            F.col("scheme"),
-            F.lit("://"),
-            F.when(
-                F.col("scheme") == "https",
-                F.regexp_replace(F.col("h"), ":443$", ""),
-            ).otherwise(F.regexp_replace(F.col("h"), ":80$", "")),
-            F.when(F.col("p") == "", F.lit("/")).otherwise(F.col("p")),
-            F.expr(
-                """
-                CASE WHEN array_join(array_sort(filter(split(q, '&'),
-                          x -> substr(x, 1, 4) <> 'utm_'
-                           AND substr(x, 1, 4) <> 'ref='
-                           AND x <> '')), '&') = ''
-                     THEN ''
-                     ELSE '?' || array_join(array_sort(filter(split(q, '&'),
-                          x -> substr(x, 1, 4) <> 'utm_'
-                           AND substr(x, 1, 4) <> 'ref='
-                           AND x <> '')), '&')
-                END
-                """
-            ),
-        ).alias("canon_url"),
+        "doc_id", canonical_url(F.col("url")).alias("canon_url")
     )
     return canon.groupBy("canon_url").agg(
         F.count("*").alias("n_docs"),
