@@ -155,3 +155,22 @@ def test_gif87a_header_accepted():
     b[3:6] = b"87a"
     assert gif_info(bytes(b))["version"] == "87a"
     assert decode_gif(bytes(b))[3] == _expand(pal, bytes([0, 1]))
+
+
+def test_hypothesis_round_trip_fuzz():
+    """Property: any index grid under any palette size round-trips,
+    interlaced or not."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 24), st.integers(1, 18), st.integers(2, 256),
+        st.booleans(), st.randoms(use_true_random=False),
+    )
+    def prop(w, h, ncol, interlace, rnd):
+        pal = bytes(rnd.randrange(256) for _ in range(3 * ncol))
+        idx = bytes(rnd.randrange(ncol) for _ in range(w * h))
+        b = encode_gif(idx, w, h, pal, interlace=interlace)
+        assert decode_gif(b) == (w, h, 3, _expand(pal, idx))
+
+    prop()

@@ -124,3 +124,25 @@ def test_big_endian_round_trip():
                     big_endian=True)
     assert b[:2] == b"MM"
     assert decode_tiff(b) == (6, 4, 3, px)
+
+
+def test_hypothesis_round_trip_fuzz():
+    """Property: any 8-bit buffer round-trips under any supported
+    compression/predictor/strip/byte-order combination."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 20), st.integers(1, 12),
+        st.sampled_from([1, 3, 4]),
+        st.sampled_from([1, 5, 8, 32773]),
+        st.booleans(), st.integers(0, 5), st.booleans(),
+        st.randoms(use_true_random=False),
+    )
+    def prop(w, h, ch, comp, pred2, rps, be, rnd):
+        pred = 2 if (pred2 and comp in (5, 8)) else 1
+        px = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+        b = encode_tiff(px, w, h, ch, comp, pred, rps, be)
+        assert decode_tiff(b) == (w, h, ch, px)
+
+    prop()
