@@ -123,7 +123,7 @@ def test_query_construction_is_lazy(spark):
     before = store.jobsList(None).size()
     for name, fn in all_queries().items():
         if name in ("g1_auto_dispatch", "dedup_cluster_cc",
-                    "bpe_train", "bpe_encode"):
+                    "bpe_train", "bpe_encode", "pipeline_curate_v3"):
             continue
         fn(spark, SF)
     after = store.jobsList(None).size()

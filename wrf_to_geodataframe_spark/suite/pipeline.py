@@ -3737,6 +3737,16 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles per round — measured 7 s of plan build + 15 s of repeated
     subtree execution at sf0.1 vs ~3 s for this form.)"""
     docs = load_table(spark, sf_dir, "documents")
+    rows = _bpe_train_merges(docs)
+    return spark.createDataFrame(
+        rows, "step long, pair string, new_token string, pair_count long"
+    )
+
+
+def _bpe_train_merges(docs: DataFrame) -> list:
+    """The training loop over ANY corpus DF (shared by ``bpe_train``,
+    ``bpe_encode`` and the curation-v3 composition): returns
+    [(step, pair, new_token, pair_count)]."""
     state = _bpe_words(docs).persist()
     rows = []
     for r in range(_BPE_MERGES):
@@ -3757,22 +3767,25 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.replace(F.replace(F.col("sp"), patt, repl), patt, repl)
             .alias("sp"),
         ).persist()
-    return spark.createDataFrame(
-        rows, "step long, pair string, new_token string, pair_count long"
-    )
+    return rows
 
 
-def _bpe_sql(k: int) -> str:
-    ctes = ["""w0 AS (
+def _bpe_sql(k: int, corpus: str = "documents") -> str:
+    # Every w/p/b CTE is multi-referenced (each round reads the prior
+    # round; the final union reads every b) — MATERIALIZED stops
+    # DuckDB from inlining the chain, which re-evaluates the corpus
+    # subtree exponentially when that corpus is itself a heavy CTE
+    # (the curate-v3 composition hung for minutes without this)
+    ctes = [f"""w0 AS MATERIALIZED (
     SELECT word, CAST(count(*) AS BIGINT) AS cnt,
            '/' || array_to_string(list_transform(
                generate_series(1, len(word)), i -> word[i]), '/') || '/'
                AS sp
     FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
-          FROM documents)
+          FROM {corpus})
     WHERE len(word) >= 2 GROUP BY word)"""]
     for r in range(k):
-        ctes.append(f"""p{r} AS (
+        ctes.append(f"""p{r} AS MATERIALIZED (
     SELECT pair, sum(cnt) AS c FROM (
         SELECT cnt, unnest(list_transform(generate_series(1, len(a) - 1),
                      i -> a[i] || '/' || a[i+1])) AS pair
@@ -3781,10 +3794,10 @@ def _bpe_sql(k: int) -> str:
               FROM w{r})
     ) GROUP BY pair)""")
         ctes.append(
-            f"b{r} AS (SELECT pair, c FROM p{r} "
+            f"b{r} AS MATERIALIZED (SELECT pair, c FROM p{r} "
             f"ORDER BY c DESC, pair ASC LIMIT 1)"
         )
-        ctes.append(f"""w{r + 1} AS (
+        ctes.append(f"""w{r + 1} AS MATERIALIZED (
     SELECT word, cnt,
            replace(replace(sp,
                '/' || b.pair || '/', '/' || replace(b.pair, '/', '') || '/'),
@@ -3816,25 +3829,8 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     how a production pipeline tokenizes 100 TB with a frozen merge
     table."""
     docs = load_table(spark, sf_dir, "documents")
-    merges = [
-        (row[1], row[2])
-        for row in bpe_train(spark, sf_dir).orderBy("step").collect()
-    ]
-    spaced = (
-        "concat('/', array_join(split(x, ''), '/'), '/')"
-    )
-    expr = spaced
-    for pair, tok in merges:
-        patt = f"'/{pair}/'"
-        repl = f"'/{tok}/'"
-        expr = f"replace(replace({expr}, {patt}, {repl}), {patt}, {repl})"
-    enc_word = (
-        f"array_join(filter(split({expr}, '/'), t -> t <> ''), ' ')"
-    )
-    enc_doc = (
-        "array_join(transform(split(lower(text), ' '), "
-        f"x -> {enc_word}), '|')"
-    )
+    merges = [(m[1], m[2]) for m in _bpe_train_merges(docs)]
+    enc_doc = _bpe_apply_doc_expr_spark(merges)
     return docs.select(
         "doc_id",
         F.expr(
@@ -3844,11 +3840,22 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_encode_sql(k: int) -> str:
-    # reuse the training SQL's CTE prefix (everything before the final
-    # union of merge rows), then append the per-doc apply
-    train = _bpe_sql(k)
-    prefix = train.split("\nSELECT CAST(0")[0]
+def _bpe_apply_doc_expr_spark(merges: list) -> str:
+    """Spark-SQL expression encoding a doc's ``text`` with literal
+    learned merges (the frozen-tokenizer form)."""
+    expr = "concat('/', array_join(split(x, ''), '/'), '/')"
+    for pair, tok in merges:
+        patt = f"'/{pair}/'"
+        repl = f"'/{tok}/'"
+        expr = f"replace(replace({expr}, {patt}, {repl}), {patt}, {repl})"
+    enc_word = f"array_join(filter(split({expr}, '/'), t -> t <> ''), ' ')"
+    return ("array_join(transform(split(lower(text), ' '), "
+            f"x -> {enc_word}), '|')")
+
+
+def _bpe_apply_doc_expr(k: int) -> str:
+    """DuckDB expression encoding a doc's ``text`` with the b0..b{k-1}
+    merge CTEs in scope (words '|'-joined, tokens space-joined)."""
     expr = ("'/' || array_to_string(list_transform("
             "generate_series(1, len(x)), i -> x[i]), '/') || '/'")
     for r in range(k):
@@ -3857,9 +3864,17 @@ def _bpe_encode_sql(k: int) -> str:
         expr = (f"replace(replace({expr}, {patt}, {repl}), {patt}, {repl})")
     enc_word = (f"array_to_string(list_filter(string_split({expr}, '/'), "
                 "t -> t <> ''), ' ')")
-    enc_doc = ("array_to_string(list_transform("
-               "string_split(lower(text), ' '), "
-               f"x -> {enc_word}), '|')")
+    return ("array_to_string(list_transform("
+            "string_split(lower(text), ' '), "
+            f"x -> {enc_word}), '|')")
+
+
+def _bpe_encode_sql(k: int) -> str:
+    # reuse the training SQL's CTE prefix (everything before the final
+    # union of merge rows), then append the per-doc apply
+    train = _bpe_sql(k)
+    prefix = train.split("\nSELECT CAST(0")[0]
+    enc_doc = _bpe_apply_doc_expr(k)
     froms = ", ".join(f"b{r}" for r in range(k))
     return f"""{prefix}
 SELECT doc_id,
@@ -3867,6 +3882,76 @@ SELECT doc_id,
            AS n_tokens,
        md5({enc_doc}) AS encoded_md5
 FROM documents, {froms}
+"""
+
+
+def pipeline_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation manifest v3 — the COMPLETE pretraining data story in
+    one gate row: run the six-stage curation pass (quality ->
+    repetition -> PII scrub -> decontam -> exact dedup -> temperature
+    mixture, ``curate_v2``), then train the BPE tokenizer ON THE
+    CURATED SURVIVORS (training the tokenizer on cleaned data is
+    standard practice — boilerplate and contamination would otherwise
+    dominate the merges), encode the survivors with it, and report the
+    number a pretraining run actually asks for: TOKENS PER SOURCE in
+    the final mixture.
+
+    The oracle replays the entire chain — all curation CTEs, the 8
+    BPE training rounds re-derived over the curated corpus, and the
+    encode — so the hash checks the full composition end to end.
+
+    Scale shape: curation is the audited curate_v2 plan; BPE training
+    is vocabulary-sized with bounded 1-row argmax collects; the final
+    accounting is one scan over survivors with 16 literal replaces in
+    codegen and a partial-agg groupBy on source."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = curate_v2(docs, _CURATE2_TARGET).select("doc_id", "source")
+    # localCheckpoint TRUNCATES the curate lineage: without it the
+    # six-stage expression tree re-inlines into every BPE word/pair
+    # lambda (the collapse-projection blowup documented in the verify
+    # skill) and the driver OOMs building plan strings.  The
+    # checkpointed corpus is mixture-target-sized (~120 rows), and this
+    # builder is already an eager one (bounded argmax collects).
+    corpus = kept.join(docs.select("doc_id", "text"), "doc_id").localCheckpoint()
+    merges = [(m[1], m[2]) for m in _bpe_train_merges(corpus)]
+    enc_doc = _bpe_apply_doc_expr_spark(merges)
+    return (
+        corpus.select(
+            "source",
+            F.expr(
+                f"CAST(size(split({enc_doc}, '[ |]')) AS BIGINT)"
+            ).alias("nt"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+        )
+    )
+
+
+def _curate_v3_sql() -> str:
+    # curation CTE prefix: everything before curate_v2's final SELECT
+    head, _, final_sel = _CURATE2_SQL.rpartition("\nSELECT doc_id, lang")
+    final_sel = "SELECT doc_id, lang" + final_sel
+    # BPE CTEs over the curated corpus (strip the leading "WITH ")
+    bpe = _bpe_sql(_BPE_MERGES, "corpus")
+    bpe_ctes = bpe.split("\nSELECT CAST(0")[0][len("WITH "):]
+    enc_doc = _bpe_apply_doc_expr(_BPE_MERGES)
+    froms = ", ".join(f"b{r}" for r in range(_BPE_MERGES))
+    return f"""{head},
+final AS MATERIALIZED ({final_sel}),
+corpus AS MATERIALIZED (
+    SELECT f.source, d.doc_id, d.text
+    FROM final f JOIN documents d USING (doc_id)
+),
+{bpe_ctes}
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split_regex({enc_doc}, '[ |]'))) AS BIGINT)
+           AS total_tokens
+FROM corpus, {froms}
+GROUP BY source
 """
 
 
@@ -4184,6 +4269,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "bpe_train": bpe_train,
     "bpe_encode": bpe_encode,
+    "pipeline_curate_v3": pipeline_curate_v3,
     "simhash_neardup": simhash_neardup,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_edit_distance": dedup_edit_distance,
@@ -4233,6 +4319,7 @@ ORACLE = {
     "dedup_incremental": _INCREMENTAL_SQL,
     "bpe_train": _bpe_sql(_BPE_MERGES),
     "bpe_encode": _bpe_encode_sql(_BPE_MERGES),
+    "pipeline_curate_v3": _curate_v3_sql(),
     "simhash_neardup": _SIMHASH_SQL,
     "dedup_embedding_cosine": _EMBED_COSINE_SQL,
     "dedup_edit_distance": _EDIT_DIST_SQL,
