@@ -106,6 +106,16 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # the driver's tail-capture of stdout head-truncates long lines
+    # (BENCH_r06.json lost the alphabetically-early queries), so the
+    # full timings dict is ALSO written to a standalone artifact that
+    # round-over-round regression checks can diff
+    try:
+        with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as ex:
+        print(f"bench artifact write failed: {ex}", file=sys.stderr)
     print(json.dumps(out))
 
 

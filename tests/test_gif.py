@@ -136,6 +136,10 @@ def test_rejections():
     # no frame at all: header + trailer
     with pytest.raises(ValueError, match="no image frame"):
         decode_gif(good[: 13 + 6] + b"\x3b")
+    # stream cut exactly after the GCE block-size byte must raise the
+    # module's ValueError, not IndexError (ADVICE r6)
+    with pytest.raises(ValueError, match="truncated"):
+        gif_info(good[: 13 + 6] + b"\x21\xf9\x04")
 
 
 def test_sub_block_framing_over_255_bytes():

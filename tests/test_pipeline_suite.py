@@ -1062,6 +1062,32 @@ def test_url_dedup_canonicalization_rules(spark, tmp_path):
     assert (solo.n_docs, solo.keeper_doc) == (1, 7)
 
 
+def test_canonical_url_non_http_schemes_and_schemeless(spark):
+    """ADVICE r6: the ':80' strip must be gated on scheme == 'http'
+    (an ftp URL keeps its port), and inputs with no scheme pass
+    through unmodified instead of collapsing to a '://...' key."""
+    import pyspark.sql.functions as F
+
+    from wrf_to_geodataframe_spark.functions.urls import canonical_url
+
+    cases = [
+        ("FTP://Host.Example:80/File", "ftp://host.example:80/File"),
+        ("ftp://h:21/x", "ftp://h:21/x"),
+        ("HTTP://H:80/x", "http://h/x"),
+        ("http://h:8080/x", "http://h:8080/x"),
+        ("HTTPS://H:443", "https://h/"),
+        ("no-scheme/path#frag", "no-scheme/path#frag"),  # passthrough
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r.c
+        for r in df.select(canonical_url(F.col("url")).alias("c"))
+        .collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
 def test_dedup_semantic_finds_exactly_planted_pairs(spark):
     """The cluster-blocked pipeline must surface exactly the planted
     near-dup pairs: each (keeper, keeper + 2^20) with keeper % 10 == 0,
@@ -1168,3 +1194,23 @@ def test_bpe_train_matches_pure_python_reference(spark, tmp_path):
         for r in bpe_train(spark, str(tmp_path)).orderBy("step").collect()
     ]
     assert got == want
+
+
+def test_bpe_train_unpersists_round_state(spark, tmp_path):
+    """The trainer must not leak per-round persisted vocab DFs: after
+    training, no more cached RDDs than before (VERDICT r6 finding —
+    8 stale vocab-sized cache entries per call in long sessions)."""
+    import pandas as pd
+
+    from wrf_to_geodataframe_spark.suite.pipeline import bpe_train
+
+    rows = [
+        {"doc_id": 0, "text": "banana bandana banana cabana"},
+        {"doc_id": 1, "text": "an analyst ran a scan and planned bans"},
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    bpe_train(spark, str(tmp_path)).collect()
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before, f"leaked {after - before} persisted RDDs"

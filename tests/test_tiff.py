@@ -73,6 +73,44 @@ def test_palette_tiff_expands_through_colormap():
     assert px[9:12] == bytes([0xAB, 0x80, 0xFF])
 
 
+def test_sub_byte_palette_expands_raw_indices():
+    """4-bit palette TIFF: indices must expand through the colormap
+    (ADVICE r6 — the depth!=8 branch used to return scaled grayscale
+    and never reach the photometric==3 expansion)."""
+    w, h = 4, 2
+    # 4-bit indices 0,1,2,3 / 3,2,1,0 packed two per byte, MSB first
+    strip = bytes([0x01, 0x23, 0x32, 0x10])
+    cmap_r = [0x0000, 0x1100, 0xFF00, 0xABCD]
+    cmap_g = [0x2200, 0x3300, 0x0000, 0x8000]
+    cmap_b = [0x4400, 0x5500, 0x1234, 0xFFFF]
+    n = 16  # 2^4 entries per plane
+    cm = (cmap_r + [0] * (n - 4) + cmap_g + [0] * (n - 4)
+          + cmap_b + [0] * (n - 4))
+    tags = []
+
+    def tag(t, typ, cnt, val_or_off):
+        tags.append(struct.pack("<HHII", t, typ, cnt, val_or_off))
+
+    data_off = 8 + 2 + 12 * 9 + 4
+    cmap_off = data_off
+    strip_off = cmap_off + 2 * len(cm)
+    tag(256, 4, 1, w); tag(257, 4, 1, h); tag(258, 3, 1, 4)
+    tag(259, 3, 1, 1); tag(262, 3, 1, 3)  # palette photometric
+    tag(273, 4, 1, strip_off); tag(277, 3, 1, 1)
+    tag(279, 4, 1, len(strip)); tag(320, 3, len(cm), cmap_off)
+    b = (b"II\x2a\x00" + struct.pack("<I", 8) + struct.pack("<H", 9)
+         + b"".join(tags) + struct.pack("<I", 0)
+         + b"".join(struct.pack("<H", v) for v in cm) + strip)
+    dw, dh, dc, px = decode_tiff(b)
+    assert (dw, dh, dc) == (w, h, 3)
+    assert px[0:3] == bytes([0x00, 0x22, 0x44])    # index 0
+    assert px[3:6] == bytes([0x11, 0x33, 0x55])    # index 1
+    assert px[6:9] == bytes([0xFF, 0x00, 0x12])    # index 2
+    assert px[9:12] == bytes([0xAB, 0x80, 0xFF])   # index 3
+    assert px[12:15] == px[9:12]                   # row 2 reversed
+    assert px[21:24] == px[0:3]
+
+
 def test_min_is_white_inverts():
     w, h = 3, 1
     b = bytearray(encode_tiff(bytes([0, 128, 255]), w, h, 1))

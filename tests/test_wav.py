@@ -69,5 +69,7 @@ def test_rejections():
         decode_wav(bytes(bad))
     with pytest.raises(ValueError, match="whole number"):
         encode_wav(b"\x00", 1, 8_000, 16)
+    with pytest.raises(ValueError, match="channels"):
+        encode_wav(b"\x00\x00", 0, 8_000, 16)  # ADVICE r6: not ZeroDivision
     with pytest.raises(ValueError, match="truncated"):
         decode_wav(good[:-1])

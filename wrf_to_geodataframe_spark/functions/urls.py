@@ -4,9 +4,12 @@ form (``streaming/urls.py``) so the two can never drift.
 
 Rules (the standard crawl-frontier normalization set): drop the
 fragment, lowercase scheme and host, strip default ports (443 for
-https, 80 for http), default an empty path to "/", remove tracking
-query params (utm_*, ref=) and sort the survivors.  Everything is
-JVM string/array expressions inside whole-stage codegen — no Python.
+https, 80 for http — each gated on ITS scheme; other schemes keep
+their port), default an empty path to "/", remove tracking query
+params (utm_*, ref=) and sort the survivors.  Inputs with no
+``scheme://`` prefix are passed through unmodified rather than
+collapsing to an empty-scheme ``://...`` key.  Everything is JVM
+string/array expressions inside whole-stage codegen — no Python.
 """
 
 from __future__ import annotations
@@ -32,12 +35,13 @@ def canonical_url(url: Column) -> Column:
         ),
         "&",
     )
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
-        F.when(
-            scheme == "https", F.regexp_replace(host, ":443$", "")
-        ).otherwise(F.regexp_replace(host, ":80$", "")),
+        F.when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .otherwise(host),
         F.when(path == "", F.lit("/")).otherwise(path),
         F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
     )
+    return F.when(scheme == "", url).otherwise(canon)

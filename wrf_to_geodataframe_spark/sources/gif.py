@@ -237,6 +237,8 @@ def gif_info(b: bytes) -> dict:
                 raise ValueError("truncated GIF: short extension")
             label = b[off + 1]
             if label == 0xF9 and b[off + 2] >= 4:
+                if off + 3 >= len(b):
+                    raise ValueError("truncated GIF: short GCE block")
                 transparent = transparent or bool(b[off + 3] & 0x01)
             off = _skip_sub_blocks(b, off + 2)
         elif t == 0x2C:  # image descriptor

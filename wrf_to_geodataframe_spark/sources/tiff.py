@@ -348,7 +348,6 @@ def decode_tiff(b: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("truncated TIFF: missing rows")
     # normalize to 8-bit samples
     if depth != 8:
-        scale = 255 // ((1 << depth) - 1)
         unpacked = []
         for row in rows[:h]:
             vals = []
@@ -357,8 +356,26 @@ def decode_tiff(b: bytes) -> tuple[int, int, int, bytes]:
                     vals.append(
                         (byte >> (8 - depth * (k + 1))) & ((1 << depth) - 1)
                     )
-            unpacked.append(bytes(v * scale for v in vals[:w]))
-        rows = unpacked
+            unpacked.append(vals[:w])
+        if photo == 3:
+            # sub-byte palette: expand RAW indices through the colormap,
+            # never the grayscale-scaled values (they would index past
+            # the table or hit the wrong entry entirely)
+            cmap = t.get(_TAG_COLORMAP)
+            if not cmap or len(cmap) < 3 * (1 << depth):
+                raise ValueError("corrupt TIFF: missing color map")
+            n = 1 << depth
+            out = bytearray(w * h * 3)
+            i = 0
+            for vals in unpacked:
+                for v in vals:
+                    out[3 * i] = cmap[v] >> 8
+                    out[3 * i + 1] = cmap[n + v] >> 8
+                    out[3 * i + 2] = cmap[2 * n + v] >> 8
+                    i += 1
+            return w, h, 3, bytes(out)
+        scale = 255 // ((1 << depth) - 1)
+        rows = [bytes(v * scale for v in vals) for vals in unpacked]
         if photo == 0:
             rows = [bytes(255 - v for v in row) for row in rows]
         return w, h, 1, b"".join(rows)

@@ -85,6 +85,8 @@ def encode_wav(
 ) -> bytes:
     if bits not in (8, 16):
         raise ValueError(f"bits must be 8 or 16, got {bits}")
+    if channels < 1:
+        raise ValueError(f"channels must be >= 1, got {channels}")
     frame = channels * bits // 8
     if len(pcm) % frame:
         raise ValueError("pcm length is not a whole number of frames")

@@ -3748,6 +3748,7 @@ def _bpe_train_merges(docs: DataFrame) -> list:
     ``bpe_encode`` and the curation-v3 composition): returns
     [(step, pair, new_token, pair_count)]."""
     state = _bpe_words(docs).persist()
+    prev = None
     rows = []
     for r in range(_BPE_MERGES):
         best = (
@@ -3756,17 +3757,26 @@ def _bpe_train_merges(docs: DataFrame) -> list:
             .limit(1)
             .collect()[0]
         )
+        # the argmax just materialized ``state`` from ``prev``'s cache,
+        # so the superseded round can drop now — live persisted state
+        # stays bounded at <=2 vocab-sized DFs regardless of merge count
+        if prev is not None:
+            prev.unpersist()
         rows.append(
             (r, best.pair, best.pair.replace("/", ""), int(best.c))
         )
         patt = F.lit("/" + best.pair + "/")
         repl = F.lit("/" + best.pair.replace("/", "") + "/")
+        prev = state
         state = state.select(
             "word",
             "cnt",
             F.replace(F.replace(F.col("sp"), patt, repl), patt, repl)
             .alias("sp"),
         ).persist()
+    if prev is not None:
+        prev.unpersist()
+    state.unpersist()
     return rows
 
 
@@ -4229,22 +4239,25 @@ nofrag AS (
     SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw
 ),
 parts AS (
-    SELECT doc_id,
+    SELECT doc_id, url,
            lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
            lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)) AS h,
            regexp_extract(u, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1) AS p,
            regexp_extract(u, '\\?([^#]*)', 1) AS q
-    FROM nofrag
+    FROM nofrag JOIN raw USING (doc_id)
 ),
 canon AS (
     SELECT doc_id,
+           CASE WHEN scheme = '' THEN url ELSE
            scheme || '://'
            || CASE WHEN scheme = 'https'
                    THEN regexp_replace(h, ':443$', '')
-                   ELSE regexp_replace(h, ':80$', '') END
+                   WHEN scheme = 'http'
+                   THEN regexp_replace(h, ':80$', '')
+                   ELSE h END
            || CASE WHEN p = '' THEN '/' ELSE p END
            || CASE WHEN {_URL_QS_SQL} = '' THEN ''
-                   ELSE '?' || {_URL_QS_SQL} END AS canon_url
+                   ELSE '?' || {_URL_QS_SQL} END END AS canon_url
     FROM parts
 )
 SELECT canon_url,
