@@ -108,3 +108,190 @@ def test_overlay_reference_point_dedup_no_duplicates(spark):
     rows = overlay_intersection(a, b, bucket=2.0).collect()
     assert len(rows) == 1
     assert np.isclose(rows[0].area_inter, 64.0)
+
+
+# ---------------------------------------------------------------------------
+# Concave path: ear clipping, even-odd PIP, and the general overlay
+
+
+def _L_poly(ox=0.0, oy=0.0):
+    """Concave L: union of [ox,ox+2.5]x[oy,oy+1.3] and
+    [ox,ox+1.3]x[oy+1.3,oy+2.6] (reflex corner at (ox+1.3, oy+1.3))."""
+    return np.array(
+        [
+            [ox, oy], [ox + 2.5, oy], [ox + 2.5, oy + 1.3],
+            [ox + 1.3, oy + 1.3], [ox + 1.3, oy + 2.6], [ox, oy + 2.6],
+        ]
+    )
+
+
+def _U_poly():
+    """Concave U: [0,3]x[0,1] base with two [.,.]x[1,3] prongs of width 1."""
+    return np.array(
+        [
+            [0.0, 0.0], [3.0, 0.0], [3.0, 3.0], [2.0, 3.0],
+            [2.0, 1.0], [1.0, 1.0], [1.0, 3.0], [0.0, 3.0],
+        ]
+    )
+
+
+def test_ear_clip_partitions_area_and_count():
+    from wrf_to_geodataframe_spark.geometry.polygons import ear_clip
+
+    for poly, want_area in ((_L_poly(), 2.5 * 1.3 + 1.3 * 1.3),
+                            (_U_poly(), 3.0 + 2.0 * 2.0)):
+        tris = ear_clip(poly)
+        assert tris.shape == (len(poly) - 2, 3, 2)
+        total = sum(shoelace_area(t) for t in tris)
+        assert np.isclose(total, want_area, atol=1e-12)
+        # every triangle ccw and non-degenerate
+        for t in tris:
+            x, y = t[:, 0], t[:, 1]
+            signed = 0.5 * (np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+            assert signed > 1e-12
+
+
+def test_ear_clip_accepts_cw_input_and_rejects_degenerate():
+    import pytest
+
+    from wrf_to_geodataframe_spark.geometry.polygons import ear_clip
+
+    tris = ear_clip(_L_poly()[::-1])  # cw input re-oriented internally
+    assert np.isclose(
+        sum(shoelace_area(t) for t in tris), 2.5 * 1.3 + 1.3 * 1.3
+    )
+    # fully collinear ring: no ear exists -> named error, no infinite loop
+    flat = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [3.0, 0.0]])
+    with pytest.raises(ValueError, match="ear clipping failed"):
+        ear_clip(flat)
+
+
+def test_point_in_polygon_evenodd_concave():
+    from wrf_to_geodataframe_spark.geometry.polygons import point_in_polygon
+
+    L = _L_poly()
+    assert point_in_polygon(0.5, 0.5, L)          # bottom arm
+    assert point_in_polygon(0.5, 2.0, L)          # left arm
+    assert not point_in_polygon(2.0, 2.0, L)      # the notch
+    assert not point_in_polygon(-0.5, 0.5, L)     # outside left
+    assert not point_in_polygon(3.0, 0.5, L)      # outside right
+    assert point_in_polygon(1.3, 1.3, L)          # ON the reflex corner
+    assert point_in_polygon(0.0, 1.0, L)          # ON the left edge
+    U = _U_poly()
+    assert point_in_polygon(1.5, 0.5, U)          # base
+    assert not point_in_polygon(1.5, 2.0, U)      # between the prongs
+    assert point_in_polygon(0.5, 2.5, U) and point_in_polygon(2.5, 2.5, U)
+
+
+def test_point_in_polygon_col_matches_numpy_kernel(spark):
+    """The JVM HOF expression and the Arrow kernel must agree on every
+    off-boundary probe of the concave shapes."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.functions.polygons import (
+        point_in_polygon_col,
+    )
+    from wrf_to_geodataframe_spark.geometry.polygons import point_in_polygon
+
+    probes = [
+        (x / 10.0 + 0.01, y / 10.0 + 0.01)
+        for x in range(-5, 35, 3)
+        for y in range(-5, 35, 4)
+    ]
+    for poly in (_L_poly(0.05, 0.05), _U_poly()):
+        want = [point_in_polygon(px, py, poly) for px, py in probes]
+        df = spark.createDataFrame(probes, "px double, py double")
+        lit_poly = F.array(
+            *[F.array(F.lit(float(x)), F.lit(float(y))) for x, y in poly]
+        )
+        got = [
+            r.hit
+            for r in df.select(
+                point_in_polygon_col(
+                    F.col("px"), F.col("py"), lit_poly
+                ).alias("hit")
+            ).collect()
+        ]
+        assert got == want
+
+
+def test_overlay_general_concave_areas(spark):
+    """Cell grid x concave L: areas must match the analytic two-
+    rectangle decomposition, and a cell inside the notch must vanish."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.geometry.overlay import (
+        overlay_intersection_general,
+    )
+
+    def boxpoly(x1, y1, x2, y2):
+        return F.array(
+            F.array(x1, y1), F.array(x2, y1), F.array(x2, y2), F.array(x1, y2)
+        )
+
+    cells = [
+        (0, 0.0, 0.0, 1.0, 1.0),      # bottom arm: full unit overlap
+        (1, 1.5, 1.5, 2.4, 2.5),      # entirely in the notch: no overlap
+        (2, 0.0, 0.0, 3.0, 3.0),      # covers the whole L
+        (3, 1.0, 1.0, 2.0, 2.0),      # straddles the reflex corner
+    ]
+    a = spark.createDataFrame(
+        cells, "aid long, x1 double, y1 double, x2 double, y2 double"
+    ).select(
+        "aid",
+        boxpoly(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")).alias("a_poly"),
+    )
+    Lv = _L_poly()
+    b = spark.range(1).select(
+        F.lit(7).alias("bid"),
+        F.array(
+            *[F.array(F.lit(float(x)), F.lit(float(y))) for x, y in Lv]
+        ).alias("b_poly"),
+    )
+    got = {
+        r.aid: r.area_inter
+        for r in overlay_intersection_general(a, b, bucket=1.0).collect()
+    }
+    L_area = 2.5 * 1.3 + 1.3 * 1.3
+    # cell 3 [1,2]^2 vs L: R1 part [1,2]x[1,1.3] = 0.3; R2 part [1,1.3]x[1.3,2] = 0.21
+    assert set(got) == {0, 2, 3}
+    assert np.isclose(got[0], 1.0, atol=1e-9)
+    assert np.isclose(got[2], L_area, atol=1e-9)
+    assert np.isclose(got[3], 0.3 + 0.3 * 0.7, atol=1e-9)
+
+
+def test_overlay_general_conservation_partition(spark):
+    """Conservation (A5) on a concave overlay: a unit-cell partition of
+    the plane covering the L must receive exactly the L's area."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.geometry.overlay import (
+        overlay_intersection_general,
+    )
+
+    def boxpoly(x1, y1, x2, y2):
+        return F.array(
+            F.array(x1, y1), F.array(x2, y1), F.array(x2, y2), F.array(x1, y2)
+        )
+
+    cells = [
+        (i * 10 + j, i - 1.0, j - 1.0, i + 0.0, j + 0.0)
+        for i in range(6)
+        for j in range(6)
+    ]
+    a = spark.createDataFrame(
+        cells, "aid long, x1 double, y1 double, x2 double, y2 double"
+    ).select(
+        "aid",
+        boxpoly(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")).alias("a_poly"),
+    )
+    for poly, want in ((_L_poly(0.3, 0.2), 2.5 * 1.3 + 1.3 * 1.3),
+                       (_U_poly(), 3.0 + 4.0)):
+        b = spark.range(1).select(
+            F.lit(1).alias("bid"),
+            F.array(
+                *[F.array(F.lit(float(x)), F.lit(float(y))) for x, y in poly]
+            ).alias("b_poly"),
+        )
+        rows = overlay_intersection_general(a, b, bucket=2.0).collect()
+        assert np.isclose(sum(r.area_inter for r in rows), want, atol=1e-9)

@@ -414,3 +414,27 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_concave_pip_broadcasts_boundary_no_shuffle(spark):
+    """j3_concave_pip: the 25-row boundary must broadcast (the point
+    side never shuffles) and the even-odd test must stay a JVM
+    expression — no Python worker in the plan."""
+    from wrf_to_geodataframe_spark.suite.spatial import QUERIES
+
+    plan = _plan(QUERIES["j3_concave_pip"](spark, SF))
+    assert "Broadcast" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+
+
+def test_concave_overlay_buckets_are_equi_join(spark):
+    """j4_concave_overlay: candidates must come from the integer-bucket
+    EQUI join (hash/sort-merge on bx/by) — never a cartesian/nested-
+    loop over cells x boundary."""
+    from wrf_to_geodataframe_spark.suite.spatial import QUERIES
+
+    plan = _plan(QUERIES["j4_concave_overlay"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

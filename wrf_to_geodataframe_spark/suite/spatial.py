@@ -272,6 +272,210 @@ FROM points p JOIN cells c
 
 
 # ---------------------------------------------------------------------------
+# Concave-boundary family: J4/P5/J3 against arbitrary (non-convex)
+# polygons — the reference's own flagship inputs (concave London
+# boroughs, wrf_voronoi.py:185-188; arbitrary outlines,
+# delphine/regrid.py:267-269).  VERDICT r6 gap #1.
+
+
+def _concave_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25-row L-shaped (concave, reflex corner) boundary table planted
+    from nation: per nationkey n, the L with origin
+    (ox, oy) = ((n % 8) * 2.0 + 0.05, (n % 3) * 1.3 - 1.35) is the
+    union of two edge-sharing rectangles
+    R1 = [ox, ox+2.5] x [oy, oy+1.3] (wide bottom arm) and
+    R2 = [ox, ox+1.3] x [oy+1.3, oy+2.6] (tall left arm).
+
+    The ORACLE computes against that rectangle decomposition
+    (area(X ∩ L) = area(X ∩ R1) + area(X ∩ R2), interiors disjoint);
+    the Spark side runs the general ear-clip overlay / even-odd PIP on
+    the 6-vertex concave ring — so a green hash validates the concave
+    kernels against an independent analytic form, not an expression
+    echo.  Every L edge coordinate is ≡ 0.05 (mod 0.1) while cell
+    edges are multiples of 0.5 and point coordinates multiples of 0.1,
+    so no test geometry ever touches a boundary degenerately at any
+    sf."""
+    nation = load_table(spark, sf_dir, "nation")
+    ox = (F.col("n_nationkey") % 8).cast("double") * F.lit(2.0) + F.lit(0.05)
+    oy = (F.col("n_nationkey") % 3).cast("double") * F.lit(1.3) - F.lit(1.35)
+
+    def v(x, y):
+        return F.array(x, y)
+
+    return nation.select(
+        "n_nationkey",
+        F.array(
+            v(ox, oy),
+            v(ox + F.lit(2.5), oy),
+            v(ox + F.lit(2.5), oy + F.lit(1.3)),
+            v(ox + F.lit(1.3), oy + F.lit(1.3)),  # reflex corner
+            v(ox + F.lit(1.3), oy + F.lit(2.6)),
+            v(ox, oy + F.lit(2.6)),
+        ).alias("b_poly"),
+    )
+
+
+_CONCAVE_RECTS_SQL = """
+boundary AS (
+    SELECT n_nationkey,
+           (n_nationkey % 8) * 2.0 + 0.05 AS ox,
+           (n_nationkey % 3) * 1.3 - 1.35 AS oy
+    FROM nation
+),
+rects AS (
+    SELECT n_nationkey, ox AS rx1, oy AS ry1,
+           ox + 2.5 AS rx2, oy + 1.3 AS ry2
+    FROM boundary
+    UNION ALL
+    SELECT n_nationkey, ox, oy + 1.3, ox + 1.3, oy + 2.6
+    FROM boundary
+)"""
+
+
+def j4_concave_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concave overlay intersection (SURVEY.md §2 J4 general form —
+    ``gpd.overlay`` with arbitrary polygons, delphine/regrid.py:267-269):
+    the intersection AREA of every grid cell with each L-shaped concave
+    boundary, through ear-clip triangulation → envelope-bucket equi
+    join → Sutherland–Hodgman convex kernel → per-pair re-sum
+    (geometry/overlay.py ``overlay_intersection_general``).
+
+    Areas are quantized at 1e-6: true areas are multiples of 2.5e-3 by
+    construction, nine orders above the kernel's ~1e-12 clip error, so
+    Spark's clipped-triangle sums and the oracle's analytic
+    rectangle-decomposition areas round identically."""
+    from wrf_to_geodataframe_spark.geometry.overlay import (
+        overlay_intersection_general,
+    )
+
+    cells = grid_cells(spark, sf_dir).select(
+        "user_id",
+        _box_poly(
+            F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")
+        ).alias("a_poly"),
+    )
+    boundary = _concave_boundary(spark, sf_dir)
+    pairs = overlay_intersection_general(cells, boundary, bucket=2.0)
+    return pairs.select(
+        "user_id",
+        "n_nationkey",
+        F.round(F.col("area_inter") * F.lit(float(Q)))
+        .cast("long")
+        .alias("area_q"),
+    )
+
+
+_J4_CONCAVE_SQL = f"""
+WITH cells AS ({_CELLS_SQL}),
+{_CONCAVE_RECTS_SQL},
+pieces AS (
+    SELECT c.user_id, r.n_nationkey,
+           (least(c.x2, r.rx2) - greatest(c.x1, r.rx1))
+           * (least(c.y2, r.ry2) - greatest(c.y1, r.ry1)) AS a
+    FROM cells c JOIN rects r
+      ON c.x1 < r.rx2 AND r.rx1 < c.x2 AND c.y1 < r.ry2 AND r.ry1 < c.y2
+)
+SELECT user_id, n_nationkey,
+       CAST(round(sum(a) * {Q}.0) AS BIGINT) AS area_q
+FROM pieces GROUP BY user_id, n_nationkey
+"""
+
+
+def p5_concave_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intersects-filter against a CONCAVE dissolved boundary (P5
+    general form — wrf_voronoi.py:185-188 intersects the union of
+    concave London boroughs): keep cells whose interior intersects any
+    L.  Same EXISTS-over-parts re-expression as the rectilinear P5,
+    but evaluated through the ear-clip overlay kernel; the distinct on
+    the cell key is the EXISTS."""
+    from wrf_to_geodataframe_spark.geometry.overlay import (
+        overlay_intersection_general,
+    )
+
+    cells = grid_cells(spark, sf_dir)
+    cpoly = cells.select(
+        "user_id", "x_idx", "y_idx", "x1", "y1", "x2", "y2",
+        _box_poly(
+            F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")
+        ).alias("a_poly"),
+    )
+    boundary = _concave_boundary(spark, sf_dir)
+    pairs = overlay_intersection_general(cpoly, boundary, bucket=2.0)
+    return pairs.select(
+        "user_id", "x_idx", "y_idx", "x1", "y1", "x2", "y2"
+    ).distinct()
+
+
+_P5_CONCAVE_SQL = f"""
+WITH cells AS ({_CELLS_SQL}),
+{_CONCAVE_RECTS_SQL}
+SELECT user_id, x_idx, y_idx, x1, y1, x2, y2
+FROM cells c
+WHERE EXISTS (
+    SELECT 1 FROM rects r
+    WHERE c.x1 < r.rx2 AND r.rx1 < c.x2 AND c.y1 < r.ry2 AND r.ry1 < c.y2
+)
+"""
+
+
+def j3_concave_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-CONCAVE-polygon spatial join (J3 general form —
+    delphine/regrid.py:177 ``sjoin`` against arbitrary region
+    polygons): locate every event point inside each containing
+    L-boundary.
+
+    Spark-first shape: the even-odd crossing test is a pure JVM
+    higher-order-function expression over the vertex array
+    (functions/polygons.py — whole-stage codegen, no Python), applied
+    after an envelope bbox pre-filter, as the join predicate against
+    the BROADCAST 25-row boundary table.  The big point side never
+    shuffles."""
+    from wrf_to_geodataframe_spark.functions.polygons import (
+        point_in_polygon_col,
+        polygon_envelope_cols,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    points = events.select(
+        "event_id",
+        ((F.col("event_id") % (GRID_W * 10)).cast("double") / F.lit(10.0)).alias("px"),
+        ((F.col("event_id") % 50).cast("double") / F.lit(10.0)).alias("py"),
+    )
+    boundary = _concave_boundary(spark, sf_dir)
+    bxmin, bymin, bxmax, bymax = polygon_envelope_cols(F.col("b_poly"))
+    bounded = boundary.select(
+        "n_nationkey", "b_poly",
+        bxmin.alias("bxmin"), bymin.alias("bymin"),
+        bxmax.alias("bxmax"), bymax.alias("bymax"),
+    )
+    pred = (
+        (F.col("px") >= F.col("bxmin"))
+        & (F.col("px") <= F.col("bxmax"))
+        & (F.col("py") >= F.col("bymin"))
+        & (F.col("py") <= F.col("bymax"))
+        & point_in_polygon_col(F.col("px"), F.col("py"), F.col("b_poly"))
+    )
+    return (
+        points.join(F.broadcast(bounded), pred, "inner")
+        .select("event_id", "px", "py", "n_nationkey")
+    )
+
+
+_J3_CONCAVE_SQL = f"""
+WITH points AS (
+    SELECT event_id,
+           CAST(event_id % {GRID_W * 10} AS DOUBLE) / 10.0 AS px,
+           CAST(event_id % 50 AS DOUBLE) / 10.0 AS py
+    FROM events
+),
+{_CONCAVE_RECTS_SQL}
+SELECT p.event_id, p.px, p.py, r.n_nationkey
+FROM points p JOIN rects r
+  ON p.px > r.rx1 AND p.px < r.rx2 AND p.py > r.ry1 AND p.py < r.ry2
+"""
+
+
+# ---------------------------------------------------------------------------
 # J4 + P7 + A4 + J6 — the conservative regrid pipeline
 
 
@@ -724,6 +928,9 @@ FROM pts
 QUERIES = {
     "p4_bbox_filter": p4_bbox_filter,
     "p5_intersects_boundary": p5_intersects_boundary,
+    "j4_concave_overlay": j4_concave_overlay,
+    "p5_concave_boundary": p5_concave_boundary,
+    "j3_concave_pip": j3_concave_pip,
     "g7_clipped_cell_areas": g7_clipped_cell_areas,
     "j3_bucketed_spatial_join": j3_bucketed_spatial_join,
     "regrid_conservative": regrid_conservative,
@@ -736,6 +943,9 @@ QUERIES = {
 ORACLE = {
     "p4_bbox_filter": _P4_SQL,
     "p5_intersects_boundary": _P5_SQL,
+    "j4_concave_overlay": _J4_CONCAVE_SQL,
+    "p5_concave_boundary": _P5_CONCAVE_SQL,
+    "j3_concave_pip": _J3_CONCAVE_SQL,
     "g7_clipped_cell_areas": _G7_SQL,
     "j3_bucketed_spatial_join": _J3_SQL,
     "regrid_conservative": _REGRID_SQL,
