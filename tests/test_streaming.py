@@ -451,3 +451,134 @@ def test_stream_url_dedup_matches_batch(spark, tmp_path):
         got = [r.canon_url for r in spark.table(name).collect()]
         assert set(got) == batch
         assert len(got) == len(batch), f"{name} emitted duplicates"
+
+
+def test_stream_curate_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming curation (VERDICT r6 #4): the stateless stage-1-4
+    chain must match the batch ``curate_clean`` ROW FOR ROW, and the
+    dropDuplicates stage must keep exactly one doc per surviving
+    scrubbed-content key (the batch keeper is min-doc_id, the stream
+    keeper is first-seen — key sets and counts must agree)."""
+    from wrf_to_geodataframe_spark.session import load_table
+    from wrf_to_geodataframe_spark.streaming.curate import (
+        static_eval_shingle_set,
+        stream_curate,
+    )
+    from wrf_to_geodataframe_spark.suite.pipeline import curate_clean
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    src = str(tmp_path / "docs_stream")
+    docs.write.parquet(src)
+
+    ev_set = static_eval_shingle_set(docs)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    assert stream.isStreaming
+    out = stream_curate(stream, ev_set)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curate_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    got = spark.table("curate_stream").collect()
+    cols = ("doc_id", "lang", "source", "n_tokens", "n_emails", "n_urls",
+            "scrubbed_md5")
+    batch_clean = {
+        tuple(getattr(r, c) for c in cols)
+        for r in curate_clean(docs).collect()
+    }
+    spark.catalog.clearCache()
+    assert batch_clean, "fixture must not be vacuous"
+    # stage 1-4 row-level equality: every streamed survivor is a row the
+    # batch operator also produces
+    for r in got:
+        assert tuple(getattr(r, c) for c in cols) in batch_clean
+    # dedup equality: same surviving key set, one row per key
+    want_keys = {t[-1] for t in batch_clean}
+    got_keys = [r.scrubbed_md5 for r in got]
+    assert set(got_keys) == want_keys
+    assert len(got_keys) == len(set(got_keys))
+
+
+def test_stream_curate_watermark_drops_late_duplicate(spark, tmp_path):
+    """The watermark-bounded form must drop a DUPLICATE arriving in a
+    later micro-batch while its key is inside the dedup horizon, and
+    keep non-duplicates — the late-data fixture for the curation
+    chain."""
+    import time
+    from datetime import datetime, timezone
+
+    import pandas as pd
+
+    from wrf_to_geodataframe_spark.streaming.curate import (
+        static_eval_shingle_set,
+        stream_curate_within_watermark,
+    )
+
+    def ts(h, m):
+        return datetime(2024, 3, 1, h, m, tzinfo=timezone.utc)
+
+    base = " ".join(f"w{i}" for i in range(60))  # passes quality gates
+    other = " ".join(f"z{i}" for i in range(60))
+    eval_docs = spark.createDataFrame(
+        [(0, "held out benchmark only")], "doc_id long, text string"
+    )
+    ev_set = static_eval_shingle_set(eval_docs)
+
+    src = tmp_path / "late_curate"
+    src.mkdir()
+    # doc 1 at 10:00; duplicate content doc 3 arrives in batch 2 with
+    # event time 10:04 (inside the 1h horizon) -> must drop; doc 9 is
+    # novel content -> must survive
+    b1 = pd.DataFrame(
+        {
+            "doc_id": [1], "lang": ["en"], "source": ["web"],
+            "text": [base], "ts": [ts(10, 0)],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "doc_id": [3, 9], "lang": ["en", "en"],
+            "source": ["web", "web"], "text": [base, other],
+            "ts": [ts(10, 4), ts(10, 30)],
+        }
+    )
+    b1.to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    time.sleep(1.1)
+    b2.to_parquet(src / "b2.parquet", coerce_timestamps="us")
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, lang string, source string, text string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = stream_curate_within_watermark(stream, ev_set, "ts", "1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curate_watermark")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+    assert len(progress) >= 2, "late row must cross a micro-batch boundary"
+    rows = spark.table("curate_watermark").collect()
+    kept = sorted(r.doc_id for r in rows)
+    # doc 1 kept; its in-horizon duplicate 3 dropped; novel 9 kept.
+    # (doc_id 3's planted-PII aug differs from doc 1's only when a mod-5/7
+    # branch fires; 1 and 3 hit neither, so their scrubbed content ties.)
+    assert kept == [1, 9], rows

@@ -2131,6 +2131,58 @@ def curate_v2(docs: DataFrame, target: int) -> DataFrame:
     source, text) frame — shared by the gate query above and the
     200k-doc planted-classes scale test so the composed semantics
     cannot drift between them (the minhash_verified_pairs pattern)."""
+    survivors = curate_clean(docs)
+
+    # exact dedup keyed on the SCRUBBED content
+    keepers = survivors.groupBy("scrubbed_md5").agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    survivors = survivors.join(keepers, "doc_id").persist()
+
+    # temperature mixture over the survivors (quotas in-plan)
+    w = F.floor(F.sqrt(F.count("*").cast("double")) * _MIX_W_SCALE).cast("long")
+    weights = survivors.groupBy("source").agg(w.alias("w_s"))
+    tot = weights.agg(F.sum("w_s").alias("w_tot"))
+    quotas = weights.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(f"{target} * w_s div w_tot").alias("quota"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            hash60(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    ranked = survivors.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        "n_emails",
+        "n_urls",
+        "scrubbed_md5",
+        rk.cast("long").alias("rk"),
+    ).filter(F.col("rk") <= target)
+    return ranked.join(F.broadcast(quotas), "source").filter(
+        F.col("rk") <= F.col("quota")
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        "n_emails",
+        "n_urls",
+        "scrubbed_md5",
+        "rk",
+        "quota",
+    )
+
+
+def curate_clean(docs: DataFrame) -> DataFrame:
+    """Stages 1-4 of the curation chain (quality -> repetition -> PII
+    scrub -> decontamination), PRE-dedup — factored out so the
+    streaming mirror's stream==batch equivalence test
+    (``tests/test_streaming.py``) can compare row-for-row against the
+    real batch operator, not a re-derivation."""
     text = F.col("text")
     toks = tokens(text)
     n_words = F.size(toks).cast("long")
@@ -2221,49 +2273,7 @@ def curate_v2(docs: DataFrame, target: int) -> DataFrame:
     clean = scrub.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0).join(
         contaminated, "doc_id", "left_anti"
     ).persist()
-
-    # exact dedup keyed on the SCRUBBED content
-    keepers = clean.groupBy("scrubbed_md5").agg(
-        F.min("doc_id").alias("doc_id")
-    ).select("doc_id")
-    survivors = clean.join(keepers, "doc_id").persist()
-
-    # temperature mixture over the survivors (quotas in-plan)
-    w = F.floor(F.sqrt(F.count("*").cast("double")) * _MIX_W_SCALE).cast("long")
-    weights = survivors.groupBy("source").agg(w.alias("w_s"))
-    tot = weights.agg(F.sum("w_s").alias("w_tot"))
-    quotas = weights.crossJoin(F.broadcast(tot)).select(
-        "source",
-        F.expr(f"{target} * w_s div w_tot").alias("quota"),
-    )
-    rk = F.row_number().over(
-        Window.partitionBy("source").orderBy(
-            hash60(F.col("doc_id").cast("string")), F.col("doc_id")
-        )
-    )
-    ranked = survivors.select(
-        "doc_id",
-        "lang",
-        "source",
-        "n_tokens",
-        "n_emails",
-        "n_urls",
-        "scrubbed_md5",
-        rk.cast("long").alias("rk"),
-    ).filter(F.col("rk") <= target)
-    return ranked.join(F.broadcast(quotas), "source").filter(
-        F.col("rk") <= F.col("quota")
-    ).select(
-        "doc_id",
-        "lang",
-        "source",
-        "n_tokens",
-        "n_emails",
-        "n_urls",
-        "scrubbed_md5",
-        "rk",
-        "quota",
-    )
+    return clean
 
 
 _CURATE2_SQL = f"""
