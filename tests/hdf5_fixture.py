@@ -299,6 +299,69 @@ class FixtureWriter:
             msgs.append(self._dim_list_msg(dim_refs))
         self.vars.append((name, self.alloc(_objheader(msgs))))
 
+    def add_chunked_szip(
+        self,
+        name: str,
+        arr: np.ndarray,
+        chunk: tuple[int, ...],
+        options_mask: int,
+        pixels_per_block: int = 8,
+        pixels_per_scanline: int = 16,
+        dim_refs=None,
+    ):
+        """Chunked + szip (filter id 4), v1 B-tree chunk index —
+        compressed with sources/szip.szip_encode."""
+        from wrf_to_geodataframe_spark.sources.szip import szip_encode
+
+        arr = np.ascontiguousarray(arr)
+        elem = arr.dtype.itemsize
+        rank = arr.ndim
+        entries = []
+        for idx in np.ndindex(
+            *[(s + c - 1) // c for s, c in zip(arr.shape, chunk)]
+        ):
+            off = tuple(i * c for i, c in zip(idx, chunk))
+            block = np.zeros(chunk, arr.dtype)
+            sel = tuple(
+                slice(o, min(o + c, s))
+                for o, c, s in zip(off, chunk, arr.shape)
+            )
+            trim = tuple(slice(0, s.stop - s.start) for s in sel)
+            block[trim] = arr[sel]
+            comp = szip_encode(
+                block.tobytes(), options_mask, elem * 8,
+                pixels_per_block, pixels_per_scanline,
+            )
+            entries.append((len(comp), off, self.alloc(comp)))
+        ndims = rank + 1
+        key_size = 8 + 8 * ndims
+        node = bytearray()
+        node += b"TREE" + struct.pack("<BBHQQ", 1, 0, len(entries), UNDEF, UNDEF)
+        for nbytes, off, addr in entries:
+            node += struct.pack("<II", nbytes, 0)
+            node += b"".join(struct.pack("<Q", o) for o in off)
+            node += struct.pack("<QQ", 0, addr)
+        node += struct.pack("<II", 0, 0)
+        btree = self.alloc(bytes(node))
+        filters = struct.pack("<BB2x4x", 1, 1)
+        filters += struct.pack("<HHHH", 4, 0, 0, 4) + struct.pack(
+            "<IIII",
+            options_mask, elem * 8, pixels_per_block, pixels_per_scanline,
+        )
+        layout = struct.pack("<BBB", 3, 2, ndims) + struct.pack("<Q", btree)
+        layout += b"".join(struct.pack("<I", c) for c in chunk)
+        layout += struct.pack("<I", elem)
+        dt = {"f": _dt_float, "i": _dt_int}[arr.dtype.kind](elem)
+        msgs = [
+            _msg(0x0001, _dataspace(arr.shape)),
+            _msg(0x0003, dt),
+            _msg(0x000B, filters),
+            _msg(0x0008, layout),
+        ]
+        if dim_refs:
+            msgs.append(self._dim_list_msg(dim_refs))
+        self.vars.append((name, self.alloc(_objheader(msgs))))
+
     def finish_dense(
         self,
         path: str,

@@ -1,0 +1,159 @@
+"""Szip (CCSDS 121.0-B extended-Rice) codec tests.
+
+No szip library exists in this container, so the primary evidence is
+GOLDEN BITSTREAMS hand-assembled codeword-by-codeword from the public
+spec (ID fields, FS codes, split bits, zero-run and second-extension
+encodings) — these catch a mirrored encoder/decoder bug that
+self-round-trips cannot.  Round-trips and the HDF5 deflate-twin
+fixture cover breadth on top.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from wrf_to_geodataframe_spark.sources.szip import (
+    SZ_LSB_OPTION_MASK,
+    SZ_NN_OPTION_MASK,
+    SzipError,
+    szip_decode,
+    szip_encode,
+)
+
+
+def _bits(s: str) -> bytes:
+    s = s.replace(" ", "")
+    s += "0" * (-len(s) % 8)
+    return bytes(
+        int(s[i : i + 8], 2) for i in range(0, len(s), 8)
+    )
+
+
+def test_golden_fs_split_and_zero_block():
+    """EC mode, 8-bit, J=4, scanline=8: block one k=0 (pure FS) with
+    samples 3,0,1,2; block two a zero-block run of 1.
+    Codewords: ID=001; FS(3)=0001 FS(0)=1 FS(1)=01 FS(2)=001;
+    ID=000 ext=0 FS(0)=1."""
+    stream = _bits("001 0001 1 01 001 000 0 1")
+    got = szip_decode(stream, 8, 0, 8, 4, 8)
+    assert got == bytes([3, 0, 1, 2, 0, 0, 0, 0])
+
+
+def test_golden_nn_reference_and_unmapping():
+    """NN mode, 8-bit, J=4, scanline=4: raw reference 10, then mapped
+    residuals 4,1,0 (-> samples 12, 11, 11) FS-coded under ID=001."""
+    stream = _bits("00001010 001 00001 01 1")
+    got = szip_decode(stream, 4, SZ_NN_OPTION_MASK, 8, 4, 4)
+    assert got == bytes([10, 12, 11, 11])
+
+
+def test_golden_second_extension_pairs():
+    """EC mode, 8-bit, J=4: second extension (ID=000 ext=1) with
+    gammas 1, 2 -> pairs (1,0), (0,1)."""
+    stream = _bits("000 1 01 001")
+    got = szip_decode(stream, 4, 0, 8, 4, 4)
+    assert got == bytes([1, 0, 0, 1])
+
+
+def test_golden_uncompressed_block():
+    """EC mode, 8-bit, J=2: ID=111 (all ones) -> raw 8-bit samples."""
+    stream = _bits("111 11111111 00000111")
+    got = szip_decode(stream, 2, 0, 8, 2, 2)
+    assert got == bytes([255, 7])
+
+
+def test_golden_zero_run_rest_of_segment():
+    """EC mode, 8-bit, J=4, scanline=32 of zeros: one ROS codeword
+    (FS value 4) must cover all 8 blocks."""
+    stream = _bits("000 0 00001")
+    got = szip_decode(stream, 32, 0, 8, 4, 32)
+    assert got == bytes(32)
+
+
+def test_golden_k_split_remainders():
+    """EC mode, 8-bit, J=2, k=2 (ID=011): samples 5=(fs1,rem01),
+    6=(fs1,rem10) -> FS codes 01 01 then remainders 01 10."""
+    stream = _bits("011 01 01 01 10")
+    got = szip_decode(stream, 2, 0, 8, 2, 2)
+    assert got == bytes([5, 6])
+
+
+def test_golden_16bit_msb_and_lsb_packing():
+    """16-bit sample 0x0103 under ID k=0 (4-bit IDs for 16-bit data):
+    FS(0x0103) is impractical, use uncompressed ID=1111."""
+    stream = _bits("1111 0000000100000011")
+    assert szip_decode(stream, 1, 0, 16, 1, 1) == b"\x01\x03"  # MSB
+    assert (
+        szip_decode(stream, 1, SZ_LSB_OPTION_MASK, 16, 1, 1) == b"\x03\x01"
+    )
+
+
+@pytest.mark.parametrize("nn", [0, SZ_NN_OPTION_MASK])
+@pytest.mark.parametrize("bits", [8, 16, 32])
+def test_round_trip_random(nn, bits):
+    rng = np.random.default_rng(bits * 7 + (1 if nn else 0))
+    dt = {8: np.uint8, 16: np.uint16, 32: np.uint32}[bits]
+    # smooth-ish data (what NN targets) + spikes + zero runs
+    base = rng.integers(0, 50, 300).astype(np.int64).cumsum() % (
+        (1 << bits) - 1
+    )
+    base[40:80] = 0
+    base[100] = (1 << bits) - 1
+    raw = base.astype(dt).tobytes()
+    mask = nn | SZ_LSB_OPTION_MASK
+    comp = szip_encode(raw, mask, bits, 16, 64)
+    got = szip_decode(comp, len(base), mask, bits, 16, 64)
+    assert got == raw
+
+
+def test_round_trip_partial_scanline_and_block():
+    """97 samples with scanline 32, block 8: trailing partial scanline
+    and block must pad on encode and truncate on decode."""
+    rng = np.random.default_rng(5)
+    raw = rng.integers(0, 255, 97).astype(np.uint8).tobytes()
+    for mask in (0, SZ_NN_OPTION_MASK):
+        comp = szip_encode(raw, mask, 8, 8, 32)
+        assert szip_decode(comp, 97, mask, 8, 8, 32) == raw
+
+
+def test_rejections():
+    with pytest.raises(SzipError, match="bits_per_pixel"):
+        szip_encode(b"\x00" * 8, 0, 12, 8, 16)
+    with pytest.raises(SzipError, match="truncated"):
+        szip_decode(b"", 8, 0, 8, 4, 8)
+
+
+def test_hdf5_szip_dataset_matches_deflate_twin(tmp_path):
+    """VERDICT r6 #5 done-criterion: an szip-filtered HDF5 dataset
+    reads identically to its deflate twin."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from hdf5_fixture import FixtureWriter
+
+    from wrf_to_geodataframe_spark.sources.hdf5 import read_hdf5
+
+    rng = np.random.default_rng(11)
+    arr = (
+        rng.integers(-300, 300, (13, 17)).astype(np.int16)
+    )
+    w = FixtureWriter()
+    w.add_chunked("deflate_twin", arr, chunk=(5, 7))
+    w.add_chunked_szip(
+        "szip_nn", arr, chunk=(5, 7),
+        options_mask=SZ_NN_OPTION_MASK | SZ_LSB_OPTION_MASK,
+        pixels_per_block=8, pixels_per_scanline=16,
+    )
+    w.add_chunked_szip(
+        "szip_ec", arr, chunk=(5, 7),
+        options_mask=SZ_LSB_OPTION_MASK,
+        pixels_per_block=8, pixels_per_scanline=16,
+    )
+    path = str(tmp_path / "szip.nc")
+    w.finish(path)
+    ds = read_hdf5(path)
+    np.testing.assert_array_equal(ds["variables"]["deflate_twin"]["data"], arr)
+    np.testing.assert_array_equal(ds["variables"]["szip_nn"]["data"], arr)
+    np.testing.assert_array_equal(ds["variables"]["szip_ec"]["data"], arr)
+    assert ds["variables"]["szip_nn"]["data"].dtype == np.int16

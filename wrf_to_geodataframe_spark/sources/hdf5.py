@@ -35,10 +35,14 @@ library writes with default settings (no h5py in this container):
   element resolved through the global heap; strings surface as python
   str in an object ndarray, sequences as per-element numpy arrays
 
+- szip-filtered chunks (filter id 4), decoded by the pure-python
+  CCSDS extended-Rice codec in ``sources/szip.py`` (EC + NN modes,
+  8/16/32-bit samples)
+
 NOT supported (documented, raises cleanly): nested indirect fractal-
 heap blocks and v2 B-trees deeper than two levels (tens of thousands
 of links per group), nested vlen / vlen-of-compound, array-valued
-compound members, szip.  The returned dict matches ``read_netcdf``'s
+compound members.  The returned dict matches ``read_netcdf``'s
 shape so the two scans are drop-in interchangeable;
 ``read_netcdf_any`` dispatches on the magic bytes.
 
@@ -694,14 +698,24 @@ class _Hdf5File:
             out.append((fid, cvals))
         return out
 
-    def _decode(self, raw: bytes, filters, elem: int) -> bytes:
-        for fid, _cv in reversed(filters):
+    def _decode(
+        self, raw: bytes, filters, elem: int, n_elems: int | None = None
+    ) -> bytes:
+        for fid, cv in reversed(filters):
             if fid == 1:
                 raw = zlib.decompress(raw)
             elif fid == 2:
                 raw = _unshuffle(raw, elem)
             elif fid == 3:
                 raw = raw[:-4]  # fletcher32 trailer (not verified)
+            elif fid == 4:  # szip (CCSDS extended-Rice), sources/szip.py
+                from wrf_to_geodataframe_spark.sources.szip import (
+                    szip_decode,
+                )
+
+                if len(cv) < 4 or n_elems is None:
+                    raise Hdf5Error("malformed szip filter params")
+                raw = szip_decode(raw, n_elems, cv[0], cv[1], cv[2], cv[3])
             else:
                 raise Hdf5Error(f"unsupported filter id {fid}")
         return raw
@@ -772,10 +786,11 @@ class _Hdf5File:
                     child, out, chunk, dtype, filters, ndims
                 )
             else:
-                raw = self._decode(
-                    buf[child:child + nbytes], filters, dtype.itemsize
-                )
                 nchunk = int(np.prod(chunk))
+                raw = self._decode(
+                    buf[child:child + nbytes], filters, dtype.itemsize,
+                    nchunk,
+                )
                 if isinstance(dtype, VlenType):
                     block = _resolve_vlen(buf, raw, dtype, nchunk)
                 else:
