@@ -506,3 +506,83 @@ def test_geometry_stats_and_ring_explode_distributed(spark):
     # vertex arrays come back as the engine's native open rings
     g = [r for r in by_id[2] if not r.is_hole][0].geom
     assert [list(v) for v in g] == outer
+
+
+def test_geoparquet_covering_prunes_for_external_readers(spark, tmp_path):
+    """VERDICT r6 #6: the bbox covering struct's value claim is
+    cross-engine — an EXTERNAL reader (pyarrow dataset API, no Spark)
+    must be able to prune row groups from the covering column's
+    statistics, and a metadata-blind DuckDB must answer a bbox query
+    from the covering columns alone."""
+    import glob
+
+    import duckdb
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.sources.geopackage import write_geoparquet
+
+    n = 20_000
+    df = (
+        spark.range(n)
+        .withColumnRenamed("id", "cell_id")
+        .withColumn("x", F.col("cell_id").cast("double"))
+        .withColumn(
+            "geom",
+            F.array(
+                F.array("x", F.lit(0.0)),
+                F.array(F.col("x") + 1, F.lit(0.0)),
+                F.array(F.col("x") + 1, F.lit(1.0)),
+                F.array("x", F.lit(1.0)),
+            ),
+        )
+        .drop("x")
+        .orderBy("cell_id")
+        .coalesce(1)
+    )
+    out = str(tmp_path / "ext_pruned.geoparquet")
+    write_geoparquet(df, out, options={"parquet.block.size": 64 * 1024})
+
+    parts = sorted(glob.glob(out + "/*.parquet"))
+    total_groups = sum(pq.read_metadata(p).num_row_groups for p in parts)
+    assert total_groups > 10, "fixture must span many row groups"
+
+    # every row group carries min/max statistics for the covering cols
+    for p in parts:
+        md = pq.read_metadata(p)
+        names = {
+            md.row_group(0).column(i).path_in_schema
+            for i in range(md.row_group(0).num_columns)
+        }
+        assert {"bbox.xmin", "bbox.ymin", "bbox.xmax", "bbox.ymax"} <= names
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i in range(rg.num_columns):
+                col = rg.column(i)
+                if col.path_in_schema.startswith("bbox."):
+                    assert col.statistics is not None
+                    assert col.statistics.has_min_max
+
+    # external reader prunes: pyarrow splits fragments by row group
+    # under the bbox predicate using ONLY parquet statistics
+    dataset = pads.dataset(parts, format="parquet")
+    pred = pads.field("bbox", "xmax") <= 100.0
+    kept = sum(
+        len(frag.split_by_row_group(pred, dataset.schema))
+        for frag in dataset.get_fragments()
+    )
+    assert kept < total_groups / 5, (
+        f"external reader kept {kept} of {total_groups} row groups"
+    )
+    # and the pruned read is value-correct
+    tbl = dataset.to_table(filter=pred, columns=["cell_id"])
+    assert sorted(tbl["cell_id"].to_pylist()) == list(range(100))
+
+    # metadata-blind DuckDB answers the bbox query from the covering
+    # columns alone (zone maps apply transparently)
+    got = duckdb.sql(
+        f"""SELECT count(*) FROM '{out}/*.parquet'
+            WHERE bbox.xmax <= 100.0 AND bbox.xmin >= 50.0"""
+    ).fetchone()[0]
+    assert got == 50
