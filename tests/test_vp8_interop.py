@@ -1,0 +1,200 @@
+"""Lossy VP8 decoder interop: libwebp encodes (WebPEncodeRGB at
+several sizes/qualities), the pure-Python decoder decodes, and the
+Y/U/V planes must match libwebp's own WebPDecodeYUV BIT-EXACTLY (VP8
+reconstruction incl. the loop filter is exact by spec).  Skips cleanly
+when libwebp is absent."""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+
+import numpy as np
+import pytest
+
+
+def _libwebp():
+    for name in ("libwebp.so.7", "libwebp.so", ctypes.util.find_library("webp")):
+        if not name:
+            continue
+        try:
+            lib = ctypes.CDLL(name)
+        except OSError:
+            continue
+        lib.WebPEncodeRGB.restype = ctypes.c_size_t
+        lib.WebPEncodeRGB.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ]
+        lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.WebPDecodeYUV.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        return lib
+    return None
+
+
+_LIB = _libwebp()
+needs_libwebp = pytest.mark.skipif(_LIB is None, reason="libwebp absent")
+
+
+def _lib_encode_lossy(rgb: bytes, w: int, h: int, q: float) -> bytes:
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = _LIB.WebPEncodeRGB(rgb, w, h, w * 3, q, ctypes.byref(out))
+    assert n > 0, "libwebp lossy encode failed"
+    return ctypes.string_at(out, n)
+
+
+def _lib_decode_yuv(data: bytes):
+    w, h = ctypes.c_int(), ctypes.c_int()
+    up = ctypes.POINTER(ctypes.c_uint8)()
+    vp = ctypes.POINTER(ctypes.c_uint8)()
+    stride, uv_stride = ctypes.c_int(), ctypes.c_int()
+    yp = _LIB.WebPDecodeYUV(
+        data, len(data), ctypes.byref(w), ctypes.byref(h),
+        ctypes.byref(up), ctypes.byref(vp),
+        ctypes.byref(stride), ctypes.byref(uv_stride),
+    )
+    assert yp, "libwebp YUV decode failed"
+    W, H = w.value, h.value
+    cw, ch = (W + 1) >> 1, (H + 1) >> 1
+    y = np.ctypeslib.as_array(yp, (H, stride.value))[:, :W].copy()
+    u = np.ctypeslib.as_array(up, (ch, uv_stride.value))[:, :cw].copy()
+    v = np.ctypeslib.as_array(vp, (ch, uv_stride.value))[:, :cw].copy()
+    return W, H, y, u, v
+
+
+def _vp8_payload(webp: bytes) -> bytes:
+    assert webp[:4] == b"RIFF" and webp[8:12] == b"WEBP"
+    pos = 12
+    while pos + 8 <= len(webp):
+        tag = webp[pos : pos + 4]
+        size = int.from_bytes(webp[pos + 4 : pos + 8], "little")
+        if tag == b"VP8 ":
+            return webp[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    raise AssertionError("no VP8 chunk")
+
+
+def _test_image(w: int, h: int, seed: int) -> bytes:
+    """Mixed content: smooth gradients (DC/TM territory), hard edges
+    (directional modes), and noise patches (B_PRED + dense tokens)."""
+    rng = np.random.default_rng(seed)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    r = ((xx * 255) // max(w - 1, 1)).astype(np.uint8)
+    g = ((yy * 255) // max(h - 1, 1)).astype(np.uint8)
+    b = ((xx + yy) % 256).astype(np.uint8)
+    img = np.stack([r, g, b], -1)
+    img[h // 3 : 2 * h // 3, w // 4 : w // 2] = (255, 0, 0)
+    n = rng.integers(0, 256, (max(h // 4, 1), max(w // 4, 1), 3))
+    img[: n.shape[0], : n.shape[1]] = n
+    return img.astype(np.uint8).tobytes()
+
+
+@needs_libwebp
+@pytest.mark.parametrize("quality", [10.0, 50.0, 75.0, 95.0])
+@pytest.mark.parametrize(
+    "size", [(16, 16), (32, 32), (80, 48), (61, 37), (144, 96), (33, 17)]
+)
+def test_vp8_planes_match_libwebp(quality, size):
+    from wrf_to_geodataframe_spark.sources.vp8 import decode_vp8_frame
+
+    w, h = size
+    rgb = _test_image(w, h, seed=w * h + int(quality))
+    webp = _lib_encode_lossy(rgb, w, h, quality)
+    lw, lh, ly, lu, lv = _lib_decode_yuv(webp)
+    assert (lw, lh) == (w, h)
+    gw, gh, gy, gu, gv = decode_vp8_frame(_vp8_payload(webp))
+    assert (gw, gh) == (w, h)
+    np.testing.assert_array_equal(gy, ly)
+    np.testing.assert_array_equal(gu, lu)
+    np.testing.assert_array_equal(gv, lv)
+
+
+@needs_libwebp
+def test_vp8_solid_color_16x16():
+    from wrf_to_geodataframe_spark.sources.vp8 import decode_vp8_frame
+
+    rgb = bytes([80, 160, 240]) * (16 * 16)
+    webp = _lib_encode_lossy(rgb, 16, 16, 90.0)
+    lw, lh, ly, lu, lv = _lib_decode_yuv(webp)
+    gw, gh, gy, gu, gv = decode_vp8_frame(_vp8_payload(webp))
+    np.testing.assert_array_equal(gy, ly)
+    np.testing.assert_array_equal(gu, lu)
+    np.testing.assert_array_equal(gv, lv)
+
+
+def _transcode_case(mutate, w=80, h=48, q=60.0):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from vp8_transcode import transcode, wrap_webp
+
+    from wrf_to_geodataframe_spark.sources.vp8 import decode_vp8_frame
+
+    rgb = _test_image(w, h, seed=7)
+    webp = _lib_encode_lossy(rgb, w, h, q)
+    new_payload = transcode(_vp8_payload(webp), mutate)
+    new_webp = wrap_webp(new_payload)
+    lw, lh, ly, lu, lv = _lib_decode_yuv(new_webp)  # libwebp validates it
+    assert (lw, lh) == (w, h)
+    gw, gh, gy, gu, gv = decode_vp8_frame(new_payload)
+    np.testing.assert_array_equal(gy, ly)
+    np.testing.assert_array_equal(gu, lu)
+    np.testing.assert_array_equal(gv, lv)
+
+
+@needs_libwebp
+def test_vp8_transcode_identity():
+    _transcode_case(lambda h, mbs: None)
+
+
+@needs_libwebp
+def test_vp8_simple_filter():
+    """libwebp's encoder never emits filter_type=1; synthesize it."""
+
+    def mut(h, mbs):
+        h.filter_type = 1
+        h.filter_level = 40
+
+    _transcode_case(mut)
+
+
+@needs_libwebp
+def test_vp8_sharpness_and_level():
+    def mut(h, mbs):
+        h.sharpness = 5
+        h.filter_level = 33
+
+    _transcode_case(mut)
+
+
+@needs_libwebp
+def test_vp8_loop_filter_deltas():
+    """mode/ref lf deltas (keyframe: intra ref delta + B_PRED mode
+    delta) alter per-MB filter strength."""
+
+    def mut(h, mbs):
+        h.lf_delta = 1
+        h.ref_lf_deltas = [12, 0, 0, 0]
+        h.mode_lf_deltas = [-8, 0, 0, 0]
+
+    _transcode_case(mut)
+
+
+@needs_libwebp
+def test_vp8_skip_flags_enabled():
+    """mb_no_coeff_skip with all-unskipped MBs: the per-MB flag is
+    parsed but tokens still follow."""
+
+    def mut(h, mbs):
+        h.mb_no_skip = 1
+        h.prob_skip = 37
+        for rec in mbs:
+            rec["skip"] = 0
+
+    _transcode_case(mut)

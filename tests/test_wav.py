@@ -73,3 +73,25 @@ def test_rejections():
         encode_wav(b"\x00\x00", 0, 8_000, 16)  # ADVICE r6: not ZeroDivision
     with pytest.raises(ValueError, match="truncated"):
         decode_wav(good[:-1])
+
+
+def test_hypothesis_round_trip_fuzz():
+    """Property: any PCM buffer round-trips at 8/16-bit, any channel
+    count and rate (VERDICT r6 #8)."""
+    from hypothesis import given, settings, strategies as st
+
+    from wrf_to_geodataframe_spark.sources.wav import decode_wav, encode_wav
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 6), st.sampled_from([8, 16]),
+        st.integers(0, 300), st.sampled_from([8_000, 44_100, 48_000]),
+        st.randoms(use_true_random=False),
+    )
+    def prop(channels, bits, frames, rate, rnd):
+        frame = channels * bits // 8
+        pcm = bytes(rnd.randrange(256) for _ in range(frames * frame))
+        b = encode_wav(pcm, channels, rate, bits)
+        assert decode_wav(b) == (channels, rate, frames, pcm)
+
+    prop()

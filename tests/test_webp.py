@@ -357,13 +357,17 @@ def test_webp_info_three_flavors():
     assert info["alpha"] and info["animation"]
 
 
-def test_decode_webp_rejects_lossy_cleanly():
+def test_decode_webp_rejects_interframe_cleanly():
+    """Lossy key frames now decode (sources/vp8.py, validated
+    bit-exactly in tests/test_vp8_interop.py); a non-key VP8 frame —
+    impossible inside a still WebP — must raise a named error."""
     import struct as st
 
-    vp8 = bytes(3) + b"\x9d\x01\x2a" + st.pack("<HH", 8, 8)
+    tag = 1 | (10 << 5)  # bit0=1 -> interframe
+    vp8 = bytes([tag & 0xFF, 0, 0]) + b"\x9d\x01\x2a" + st.pack("<HH", 8, 8)
     riff = b"WEBP" + b"VP8 " + st.pack("<I", len(vp8)) + vp8 + b"\x00"
     lossy = b"RIFF" + st.pack("<I", len(riff)) + riff
-    with pytest.raises(ValueError, match="lossy VP8"):
+    with pytest.raises(ValueError, match="interframe"):
         decode_webp(lossy)
 
 
@@ -386,3 +390,24 @@ def test_avif_info_box_walk():
     assert info == {"width": 1280, "height": 720, "brand": "avif"}
     with pytest.raises(ValueError, match="ftyp"):
         avif_info(b"\x00" * 20)
+
+
+def test_decode_lossy_vp8_committed_fixture():
+    """A committed libwebp-encoded lossy WebP (32x24, q40) must decode
+    offline (no libwebp needed) to the pinned RGB bytes — the
+    cross-library proof lives in tests/test_vp8_interop.py; this pins
+    the result so the decode path stays covered when libwebp is
+    absent."""
+    import hashlib
+
+    blob = bytes.fromhex(
+        "52494646a600000057454250565038209a000000b005009d012a200018003eed"
+        "6eae5229a62423a80801301d896c009d32847037ba70866ea8e800356b82ccff"
+        "f4193469d6c70c92111000fb991876e866262473fc7b32c8b55d03890fa5982d"
+        "9ac684db7431ca652edc49075e7447ec3672f226f7ce508b6223871c8093ce1c"
+        "1235683fe467b14a2ba94e503172819ab89aa61b465e481dc9efff24a6339df3"
+        "6be7bac68deb568f31bd80c62000"
+    )
+    w, h, ch, px = decode_webp(blob)
+    assert (w, h, ch) == (32, 24, 3)
+    assert hashlib.md5(px).hexdigest() == "d3671e04e0322624557a08dfc5221bd9"

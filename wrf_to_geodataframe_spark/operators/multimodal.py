@@ -172,11 +172,11 @@ def extract_features(with_payload: DataFrame, decode: bool = False) -> DataFrame
 
     ``decode=False`` computes byte-level features (length, first byte,
     byte sum) with numpy over the raw Arrow batch.  ``decode=True``
-    runs the real codecs (PNG, baseline JPEG, or lossless WebP,
-    dispatched on magic bytes like :func:`decode_images`) on each
-    payload and computes the same features over the DECODED pixel
-    buffer — other containers (lossy webp/avif) raise ``ValueError``
-    naming the gap."""
+    runs the real codecs (PNG, baseline JPEG, or lossless AND lossy
+    WebP, dispatched on magic bytes like :func:`decode_images`) on
+    each payload and computes the same features over the DECODED pixel
+    buffer — remaining gaps (avif, VP8X animation) raise
+    ``ValueError`` naming the gap."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

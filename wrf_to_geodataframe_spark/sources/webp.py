@@ -26,8 +26,10 @@ Implemented from the public "WebP Lossless Bitstream Specification"
   round-trip any RGBA buffer bit-exactly and to drive the decoder's
   transform paths from tests.
 
-Lossy VP8 payload decode is NOT implemented (documented, raises
-cleanly) — ``webp_info`` still triages its dimensions.
+Lossy "VP8 " key frames decode through the RFC 6386 decoder in
+``sources/vp8.py`` (boolean coder, intra prediction, token partitions,
+loop filter — cross-validated bit-exactly against libwebp); only VP8X
+animation/alpha payloads remain triage-only.
 
 Scale path mirrors ``sources/png.py``/``jpeg.py``: the codec runs
 inside Arrow ``mapInPandas`` batches, one image per call, spread
@@ -627,15 +629,24 @@ def decode_vp8l(payload: bytes) -> tuple[int, int, int, bytes]:
 
 
 def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a WebP container holding a VP8L (lossless) payload.
-    Lossy "VP8 " and extended "VP8X" payload decode raise cleanly
-    (use ``webp_info`` to triage them)."""
+    """Decode a WebP container: VP8L (lossless) payloads decode to
+    RGBA; lossy "VP8 " key frames decode through the RFC 6386 decoder
+    (``sources/vp8.py``, libwebp-bit-exact YUV planes) and convert to
+    RGB via BT.601 + nearest-neighbor chroma upsampling.  Extended
+    "VP8X" animation/alpha payload decode raises cleanly (use
+    ``webp_info`` to triage)."""
     info = _riff_chunks(data)
     for tag, payload in info:
         if tag == b"VP8L":
             return decode_vp8l(payload)
         if tag == b"VP8 ":
-            raise ValueError("lossy VP8 decode not supported (triage only)")
+            from wrf_to_geodataframe_spark.sources.vp8 import (
+                decode_vp8_frame,
+                yuv420_to_rgb,
+            )
+
+            w, h, y, u, v = decode_vp8_frame(payload)
+            return w, h, 3, yuv420_to_rgb(y, u, v).tobytes()
     raise ValueError("no decodable payload chunk in WebP container")
 
 
