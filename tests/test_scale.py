@@ -600,3 +600,65 @@ def test_dedup_incremental_200k_cross_snapshot_only(spark, tmp_path):
         f"{len(got)} flagged wall={wall:.1f}s"
     )
     assert wall < 300, wall
+
+
+@slow
+def test_concave_overlay_1m_cells(spark):
+    """1M unit cells overlaid against a 100-ring CONCAVE boundary
+    table through the ear-clip triangulate-to-rows kernel: the bucket
+    equi join keeps candidates local (no cartesian), and conservation
+    holds analytically — each L-boundary placed fully inside the grid
+    must receive exactly its own area (2.5*1.3 + 1.3*1.3), because the
+    cells partition the plane it sits on."""
+    from wrf_to_geodataframe_spark.geometry.overlay import (
+        overlay_intersection_general,
+    )
+
+    W = 1000  # 1000x1000 = 1M cells
+    cells = (
+        spark.range(W * W)
+        .withColumn("cx", (F.col("id") % W).cast("double"))
+        .withColumn("cy", F.floor(F.col("id") / W).cast("double"))
+        .select(
+            F.col("id").alias("cell_id"),
+            F.array(
+                F.array(F.col("cx"), F.col("cy")),
+                F.array(F.col("cx") + 1, F.col("cy")),
+                F.array(F.col("cx") + 1, F.col("cy") + 1),
+                F.array(F.col("cx"), F.col("cy") + 1),
+            ).alias("a_poly"),
+        )
+    )
+    # 100 L-shaped boundaries scattered well inside the grid
+    n_b = 100
+    b = (
+        spark.range(n_b)
+        .withColumn("ox", (F.col("id") % 10).cast("double") * 90.0 + 10.05)
+        .withColumn(
+            "oy", F.floor(F.col("id") / 10).cast("double") * 90.0 + 10.05
+        )
+        .select(
+            F.col("id").alias("boundary_id"),
+            F.array(
+                F.array(F.col("ox"), F.col("oy")),
+                F.array(F.col("ox") + 2.5, F.col("oy")),
+                F.array(F.col("ox") + 2.5, F.col("oy") + 1.3),
+                F.array(F.col("ox") + 1.3, F.col("oy") + 1.3),
+                F.array(F.col("ox") + 1.3, F.col("oy") + 2.6),
+                F.array(F.col("ox"), F.col("oy") + 2.6),
+            ).alias("b_poly"),
+        )
+    )
+    pairs = overlay_intersection_general(cells, b, bucket=4.0)
+    got = (
+        pairs.groupBy("boundary_id")
+        .agg(F.sum("area_inter").alias("a"))
+        .collect()
+    )
+    want = 2.5 * 1.3 + 1.3 * 1.3
+    assert len(got) == n_b
+    for r in got:
+        assert abs(r.a - want) < 1e-6, (r.boundary_id, r.a)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
