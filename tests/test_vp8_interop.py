@@ -198,3 +198,51 @@ def test_vp8_skip_flags_enabled():
             rec["skip"] = 0
 
     _transcode_case(mut)
+
+
+@needs_libwebp
+def test_vp8x_alpha_still_decodes_rgba():
+    """VP8X + ALPH + VP8 (lossy with transparency): the alpha plane is
+    coded losslessly, so it must match libwebp's EXACTLY; the RGB
+    channels come from bit-exact YUV but a different (nearest vs
+    fancy) chroma upsampler, so they match within a small envelope."""
+    _LIB.WebPEncodeRGBA.restype = ctypes.c_size_t
+    _LIB.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    _LIB.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    _LIB.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    from wrf_to_geodataframe_spark.sources.webp import decode_webp, webp_info
+
+    w, h = 48, 32
+    rgb = np.frombuffer(_test_image(w, h, seed=9), np.uint8).reshape(h, w, 3)
+    # alpha: gradient + a transparent hole (exercises the filters)
+    a = ((np.arange(w)[None, :] * 5 + np.arange(h)[:, None] * 3) % 256
+         ).astype(np.uint8)
+    a[8:16, 8:24] = 0
+    rgba = np.dstack([rgb, a]).tobytes()
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = _LIB.WebPEncodeRGBA(rgba, w, h, w * 4, 70.0, ctypes.byref(out))
+    assert n > 0
+    webp = ctypes.string_at(out, n)
+    info = webp_info(webp)
+    assert info["alpha"], "encoder should have produced a VP8X+ALPH file"
+
+    dw, dh, ch, px = decode_webp(webp)
+    assert (dw, dh, ch) == (w, h, 4)
+    mine = np.frombuffer(px, np.uint8).reshape(h, w, 4)
+
+    lw, lh = ctypes.c_int(), ctypes.c_int()
+    p = _LIB.WebPDecodeRGBA(webp, len(webp), ctypes.byref(lw), ctypes.byref(lh))
+    theirs = np.frombuffer(
+        ctypes.string_at(p, lw.value * lh.value * 4), np.uint8
+    ).reshape(h, w, 4)
+
+    np.testing.assert_array_equal(mine[:, :, 3], theirs[:, :, 3])  # exact
+    # RGB: same YUV, different upsampler — bounded divergence
+    diff = np.abs(mine[:, :, :3].astype(int) - theirs[:, :, :3].astype(int))
+    assert diff.mean() < 6.0, diff.mean()

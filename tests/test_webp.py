@@ -411,3 +411,44 @@ def test_decode_lossy_vp8_committed_fixture():
     w, h, ch, px = decode_webp(blob)
     assert (w, h, ch) == (32, 24, 3)
     assert hashlib.md5(px).hexdigest() == "d3671e04e0322624557a08dfc5221bd9"
+
+
+def test_alpha_unfilter_all_methods():
+    """_decode_alpha must invert each container-spec prediction filter
+    (none/horizontal/vertical/gradient) on a raw plane."""
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.sources.webp import _decode_alpha
+
+    rng = np.random.default_rng(4)
+    w, h = 9, 7
+    plane = rng.integers(0, 256, (h, w)).astype(np.uint8)
+
+    def forward(a, method):
+        d = np.zeros_like(a, dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = 0
+                elif method == 1:
+                    pred = int(a[y, x - 1]) if x > 0 else int(a[y - 1, 0])
+                elif method == 2:
+                    pred = int(a[y - 1, x]) if y > 0 else int(a[0, x - 1])
+                else:
+                    if x == 0:
+                        pred = int(a[y - 1, 0])
+                    elif y == 0:
+                        pred = int(a[0, x - 1])
+                    else:
+                        g = (int(a[y, x - 1]) + int(a[y - 1, x])
+                             - int(a[y - 1, x - 1]))
+                        pred = min(255, max(0, g))
+                d[y, x] = (int(a[y, x]) - pred) & 0xFF
+        return d
+
+    # method 0 (raw, no filter)
+    blob = bytes([0]) + plane.tobytes()
+    np.testing.assert_array_equal(_decode_alpha(blob, w, h), plane)
+    for method in (1, 2, 3):
+        blob = bytes([method << 2]) + forward(plane, method).tobytes()
+        np.testing.assert_array_equal(_decode_alpha(blob, w, h), plane)

@@ -628,14 +628,71 @@ def decode_vp8l(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, 4, rgba.tobytes()
 
 
+def _decode_alpha(payload: bytes, width: int, height: int) -> np.ndarray:
+    """ALPH chunk -> (height, width) uint8 alpha plane: raw or
+    VP8L-lossless-coded (green channel), then the container spec's
+    per-pixel un-filtering (none/horizontal/vertical/gradient)."""
+    if not payload:
+        raise ValueError("empty ALPH chunk")
+    head = payload[0]
+    compression = head & 3
+    filtering = (head >> 2) & 3
+    body = payload[1:]
+    if compression == 0:
+        if len(body) < width * height:
+            raise ValueError("truncated raw ALPH data")
+        a = np.frombuffer(body[: width * height], np.uint8).reshape(
+            height, width
+        )
+    elif compression == 1:
+        # headerless VP8L stream, alpha in the green channel
+        r = _BitReader(body)
+        img = _decode_image_stream(r, width, height, True)
+        a = img[:, :, 2]
+    else:
+        raise ValueError(f"unsupported ALPH compression {compression}")
+    if filtering == 0:
+        return a.copy()
+    out = np.zeros_like(a, dtype=np.uint8)
+    ai = a.astype(np.int32)
+    for y in range(height):
+        for x in range(width):
+            if x == 0 and y == 0:
+                pred = 0
+            elif filtering == 1:  # horizontal
+                pred = int(out[y, x - 1]) if x > 0 else int(out[y - 1, 0])
+            elif filtering == 2:  # vertical
+                pred = int(out[y - 1, x]) if y > 0 else int(out[0, x - 1])
+            else:  # gradient
+                if x == 0:
+                    pred = int(out[y - 1, 0])
+                elif y == 0:
+                    pred = int(out[0, x - 1])
+                else:
+                    g = (
+                        int(out[y, x - 1])
+                        + int(out[y - 1, x])
+                        - int(out[y - 1, x - 1])
+                    )
+                    pred = min(255, max(0, g))
+            out[y, x] = (ai[y, x] + pred) & 0xFF
+    return out
+
+
 def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a WebP container: VP8L (lossless) payloads decode to
     RGBA; lossy "VP8 " key frames decode through the RFC 6386 decoder
     (``sources/vp8.py``, libwebp-bit-exact YUV planes) and convert to
-    RGB via BT.601 + nearest-neighbor chroma upsampling.  Extended
-    "VP8X" animation/alpha payload decode raises cleanly (use
-    ``webp_info`` to triage)."""
+    RGB via BT.601 + nearest-neighbor chroma upsampling; VP8X STILL
+    images compose an ALPH alpha plane (raw or lossless-coded, all
+    four prediction filters) over the lossy payload into RGBA.
+    Animations (ANMF frames) raise cleanly (use ``webp_info`` to
+    triage)."""
     info = _riff_chunks(data)
+    tags = {t for t, _ in info}
+    if b"ANMF" in tags or b"ANIM" in tags:
+        raise ValueError("animated WebP decode not supported (triage only)")
+    alph = next((p for t, p in info if t == b"ALPH"), None)
     for tag, payload in info:
         if tag == b"VP8L":
             return decode_vp8l(payload)
@@ -646,7 +703,12 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
             )
 
             w, h, y, u, v = decode_vp8_frame(payload)
-            return w, h, 3, yuv420_to_rgb(y, u, v).tobytes()
+            rgb = yuv420_to_rgb(y, u, v)
+            if alph is None:
+                return w, h, 3, rgb.tobytes()
+            a = _decode_alpha(alph, w, h)
+            rgba = np.dstack([rgb, a])
+            return w, h, 4, rgba.tobytes()
     raise ValueError("no decodable payload chunk in WebP container")
 
 
