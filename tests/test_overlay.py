@@ -160,10 +160,14 @@ def test_ear_clip_accepts_cw_input_and_rejects_degenerate():
     assert np.isclose(
         sum(shoelace_area(t) for t in tris), 2.5 * 1.3 + 1.3 * 1.3
     )
-    # fully collinear ring: no ear exists -> named error, no infinite loop
+    # fully collinear ring cleans to nothing -> named error, no loop
     flat = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [3.0, 0.0]])
-    with pytest.raises(ValueError, match="ear clipping failed"):
+    with pytest.raises(ValueError, match="degenerates to zero area"):
         ear_clip(flat)
+    # (self-intersecting input is a caller contract violation: the
+    # kernel terminates — either a named error or an unspecified
+    # triangulation — but never loops; simplicity is not detectable
+    # in O(n^2) ear clipping)
 
 
 def test_point_in_polygon_evenodd_concave():
@@ -295,3 +299,56 @@ def test_overlay_general_conservation_partition(spark):
         )
         rows = overlay_intersection_general(a, b, bucket=2.0).collect()
         assert np.isclose(sum(r.area_inter for r in rows), want, atol=1e-9)
+
+
+def test_ear_clip_hypothesis_rectilinear_fuzz():
+    """Property fuzz: random rectilinear staircase rings (always
+    simple, frequently concave) — triangulation must partition the
+    area exactly and the even-odd PIP must agree with the triangle
+    union on random probes."""
+    from hypothesis import given, settings, strategies as st
+
+    from wrf_to_geodataframe_spark.geometry.polygons import (
+        ear_clip,
+        point_in_polygon,
+        shoelace_area,
+    )
+
+    def staircase(rnd, n_steps):
+        """Simple rectilinear ring: monotone staircase from (0,0) to
+        (n,~h) along the top, closed by the baseline."""
+        xs = sorted(rnd.sample(range(1, 40), n_steps))
+        pts = [[0.0, 0.0]]
+        y = 1.0 + rnd.randrange(5)
+        prev_x = 0.0
+        for x in xs:
+            pts.append([prev_x, y])
+            pts.append([float(x), y])
+            prev_x = float(x)
+            y = 1.0 + rnd.randrange(5)
+        pts.append([prev_x, y])
+        pts.append([float(xs[-1] + 1), y])
+        pts.append([float(xs[-1] + 1), 0.0])
+        # orient ccw: the constructed ring is cw (top path then down)
+        return np.array(pts[::-1])
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(2, 8), st.randoms(use_true_random=False))
+    def prop(n_steps, rnd):
+        poly = staircase(rnd, n_steps)
+        tris = ear_clip(poly)  # collinear chain vertices are cleaned
+        assert len(tris) <= len(poly) - 2
+        total = sum(shoelace_area(t) for t in tris)
+        assert np.isclose(total, shoelace_area(poly), atol=1e-9)
+        # PIP vs triangle-union on off-grid probes (never on edges)
+        from wrf_to_geodataframe_spark.geometry.polygons import (
+            point_in_convex_polygon,
+        )
+
+        for _ in range(20):
+            px = rnd.randrange(-2, 42) + 0.31
+            py = rnd.randrange(-2, 8) + 0.47
+            want = any(point_in_convex_polygon(px, py, t) for t in tris)
+            assert point_in_polygon(px, py, poly) == want
+
+    prop()

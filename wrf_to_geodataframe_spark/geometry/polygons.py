@@ -145,11 +145,17 @@ def ear_clip(poly: np.ndarray) -> np.ndarray:
     explodes triangles to rows so even a 10k-vertex coastline becomes
     10k independent bucket-joinable rows, not one giant task."""
     poly = np.asarray(poly, dtype=np.float64)
-    n = len(poly)
-    if n < 3:
+    if len(poly) < 3:
         raise ValueError("ear_clip needs >= 3 vertices")
     if not is_ccw(poly):
         poly = poly[::-1].copy()
+    # real boundary data routinely carries duplicate and collinear
+    # vertices (digitized staircases, densified arcs); they change no
+    # geometry but starve the ear search (a zero-cross corner is never
+    # an ear), so drop them first
+    poly = _clean_ring(poly)
+    if len(poly) < 3:
+        raise ValueError("ear_clip: ring degenerates to zero area")
     idx = list(range(len(poly)))
     tris: list[np.ndarray] = []
     while len(idx) > 3:
@@ -181,6 +187,29 @@ def ear_clip(poly: np.ndarray) -> np.ndarray:
             )
     tris.append(np.stack([poly[idx[0]], poly[idx[1]], poly[idx[2]]]))
     return np.stack(tris)
+
+
+def _clean_ring(poly: np.ndarray) -> np.ndarray:
+    """Drop consecutive-duplicate and collinear-middle vertices (a
+    no-op on the geometry) until the ring is strictly turning."""
+    pts = [p for i, p in enumerate(poly)
+           if not np.array_equal(p, poly[(i + 1) % len(poly)])]
+    changed = True
+    while changed and len(pts) >= 3:
+        changed = False
+        out = []
+        n = len(pts)
+        for i in range(n):
+            a, b, c = pts[i - 1], pts[i], pts[(i + 1) % n]
+            cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (
+                c[0] - a[0]
+            )
+            if abs(cross) <= 1e-12:
+                changed = True
+                continue
+            out.append(b)
+        pts = out
+    return np.asarray(pts, dtype=np.float64).reshape(-1, 2)
 
 
 def is_convex(poly: np.ndarray) -> bool:
