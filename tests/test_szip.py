@@ -157,3 +157,46 @@ def test_hdf5_szip_dataset_matches_deflate_twin(tmp_path):
     np.testing.assert_array_equal(ds["variables"]["szip_nn"]["data"], arr)
     np.testing.assert_array_equal(ds["variables"]["szip_ec"]["data"], arr)
     assert ds["variables"]["szip_nn"]["data"].dtype == np.int16
+
+
+def test_hypothesis_param_sweep_round_trip():
+    """Property: random data round-trips across block sizes, scanline
+    lengths (incl. non-multiples of the block), modes, and widths."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.sampled_from([8, 16, 32]),           # bits
+        st.sampled_from([8, 16, 32]),           # pixels per block
+        st.integers(1, 6),                      # blocks per scanline-ish
+        st.integers(1, 400),                    # n pixels
+        st.booleans(),                          # NN mode
+        st.booleans(),                          # LSB packing
+        st.randoms(use_true_random=False),
+    )
+    def prop(bits, ppb, bps, n, nn, lsb, rnd):
+        pps = ppb * bps + (rnd.randrange(ppb) if rnd.random() < 0.3 else 0)
+        mask = (SZ_NN_OPTION_MASK if nn else 0) | (
+            SZ_LSB_OPTION_MASK if lsb else 0
+        )
+        smax = (1 << bits) - 1
+        kind = rnd.randrange(3)
+        if kind == 0:      # noise
+            vals = [rnd.randrange(smax + 1) for _ in range(n)]
+        elif kind == 1:    # smooth with zero runs
+            vals, v = [], rnd.randrange(smax + 1)
+            for _ in range(n):
+                v = max(0, min(smax, v + rnd.randrange(-3, 4)))
+                vals.append(v)
+            for i in range(0, n, 37):
+                vals[i : i + 9] = [0] * len(vals[i : i + 9])
+        else:              # extremes
+            vals = [rnd.choice([0, 1, smax, smax - 1]) for _ in range(n)]
+        bp = bits // 8
+        raw = b"".join(
+            v.to_bytes(bp, "little" if lsb else "big") for v in vals
+        )
+        comp = szip_encode(raw, mask, bits, ppb, pps)
+        assert szip_decode(comp, n, mask, bits, ppb, pps) == raw
+
+    prop()

@@ -300,10 +300,14 @@ def szip_encode(
     if any(v > smax for v in samples):
         raise SzipError("sample exceeds bits_per_pixel range")
     w = _BitWriter()
+    # every scanline encodes ceil(pps / J) FULL blocks (the decoder
+    # truncates back to the pixel count), so pad both a short trailing
+    # scanline AND a scanline length that is not a block multiple
+    line_slots = ((pixels_per_scanline + J - 1) // J) * J
     for s0 in range(0, len(samples), pixels_per_scanline):
         line = samples[s0 : s0 + pixels_per_scanline]
-        if len(line) < pixels_per_scanline:
-            line = line + [line[-1]] * (pixels_per_scanline - len(line))
+        if len(line) < line_slots:
+            line = line + [line[-1]] * (line_slots - len(line))
         if nn:
             w.put(line[0], bits)
             prev = line[0]
