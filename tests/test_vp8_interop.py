@@ -246,3 +246,42 @@ def test_vp8x_alpha_still_decodes_rgba():
     # RGB: same YUV, different upsampler — bounded divergence
     diff = np.abs(mine[:, :, :3].astype(int) - theirs[:, :, :3].astype(int))
     assert diff.mean() < 6.0, diff.mean()
+
+
+@needs_libwebp
+def test_vp8_random_image_sweep():
+    """Breadth sweep: 30 random content/size/quality combos must all
+    stay plane-for-plane bit-exact (mode coverage beyond the fixed
+    parametrized matrix — noise drives dense tokens and B_PRED, flats
+    drive skip-ish MBs, gradients drive TM/V/H)."""
+    import random
+
+    from wrf_to_geodataframe_spark.sources.vp8 import decode_vp8_frame
+
+    rnd = random.Random(1234)
+    for trial in range(30):
+        w = rnd.randrange(8, 180)
+        h = rnd.randrange(8, 140)
+        q = rnd.choice([5.0, 25.0, 45.0, 65.0, 85.0, 99.0])
+        kind = trial % 3
+        rng = np.random.default_rng(trial)
+        if kind == 0:
+            img = rng.integers(0, 256, (h, w, 3))
+        elif kind == 1:
+            img = np.zeros((h, w, 3), np.int64)
+            img[..., 0] = (np.arange(w)[None, :] * 255) // max(w - 1, 1)
+            img[..., 1] = (np.arange(h)[:, None] * 255) // max(h - 1, 1)
+            img[..., 2] = 128
+        else:
+            img = np.full((h, w, 3), 77, np.int64)
+            img[h // 4 : h // 2, w // 4 : w // 2] = rng.integers(
+                0, 256, (h // 2 - h // 4, w // 2 - w // 4, 3)
+            )
+        rgb = img.astype(np.uint8).tobytes()
+        webp = _lib_encode_lossy(rgb, w, h, q)
+        lw, lh, ly, lu, lv = _lib_decode_yuv(webp)
+        gw, gh, gy, gu, gv = decode_vp8_frame(_vp8_payload(webp))
+        assert (gw, gh) == (lw, lh) == (w, h), (trial, w, h, q)
+        np.testing.assert_array_equal(gy, ly, err_msg=f"trial {trial} Y")
+        np.testing.assert_array_equal(gu, lu, err_msg=f"trial {trial} U")
+        np.testing.assert_array_equal(gv, lv, err_msg=f"trial {trial} V")
