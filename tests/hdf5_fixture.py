@@ -308,15 +308,22 @@ class FixtureWriter:
         pixels_per_block: int = 8,
         pixels_per_scanline: int = 16,
         dim_refs=None,
+        skip_first_chunk: bool = False,
     ):
         """Chunked + szip (filter id 4), v1 B-tree chunk index —
-        compressed with sources/szip.szip_encode."""
+        compressed with sources/szip.szip_encode behind the HDF5
+        filter's 4-byte little-endian uncompressed-size prefix
+        (H5Z_FILTER_SZIP convention).  ``skip_first_chunk`` stores the
+        first chunk UNFILTERED with its B-tree filter-mask bit set —
+        the optional-filter path real szip files hit on
+        incompressible chunks."""
         from wrf_to_geodataframe_spark.sources.szip import szip_encode
 
         arr = np.ascontiguousarray(arr)
         elem = arr.dtype.itemsize
         rank = arr.ndim
         entries = []
+        first = True
         for idx in np.ndindex(
             *[(s + c - 1) // c for s, c in zip(arr.shape, chunk)]
         ):
@@ -328,17 +335,22 @@ class FixtureWriter:
             )
             trim = tuple(slice(0, s.stop - s.start) for s in sel)
             block[trim] = arr[sel]
-            comp = szip_encode(
-                block.tobytes(), options_mask, elem * 8,
-                pixels_per_block, pixels_per_scanline,
-            )
-            entries.append((len(comp), off, self.alloc(comp)))
+            raw = block.tobytes()
+            if skip_first_chunk and first:
+                entries.append((len(raw), 1, off, self.alloc(raw)))
+            else:
+                comp = struct.pack("<I", len(raw)) + szip_encode(
+                    raw, options_mask, elem * 8,
+                    pixels_per_block, pixels_per_scanline,
+                )
+                entries.append((len(comp), 0, off, self.alloc(comp)))
+            first = False
         ndims = rank + 1
         key_size = 8 + 8 * ndims
         node = bytearray()
         node += b"TREE" + struct.pack("<BBHQQ", 1, 0, len(entries), UNDEF, UNDEF)
-        for nbytes, off, addr in entries:
-            node += struct.pack("<II", nbytes, 0)
+        for nbytes, fmask, off, addr in entries:
+            node += struct.pack("<II", nbytes, fmask)
             node += b"".join(struct.pack("<Q", o) for o in off)
             node += struct.pack("<QQ", 0, addr)
         node += struct.pack("<II", 0, 0)

@@ -352,3 +352,24 @@ def test_ear_clip_hypothesis_rectilinear_fuzz():
             assert point_in_polygon(px, py, poly) == want
 
     prop()
+
+
+def test_triangulate_rows_quarantines_invalid_rings(spark):
+    """invalid='skip' drops a zero-area ring instead of aborting the
+    job; invalid='raise' names the offending row."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.geometry.overlay import triangulate_rows
+
+    rows = [
+        (1, [[0.0, 0.0], [3.0, 0.0], [3.0, 3.0], [2.0, 3.0],
+             [2.0, 1.0], [1.0, 1.0], [1.0, 3.0], [0.0, 3.0]]),  # valid U
+        (2, [[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]]),              # zero area
+    ]
+    df = spark.createDataFrame(rows, "bid long, b_poly array<array<double>>")
+    ok = triangulate_rows(df, "b_poly", invalid="skip").collect()
+    assert {r.bid for r in ok} == {1}
+    assert len(ok) == 6  # 8-vertex U -> 6 triangles
+    with pytest.raises(Exception, match="invalid boundary ring"):
+        triangulate_rows(df, "b_poly").collect()

@@ -150,12 +150,20 @@ def test_hdf5_szip_dataset_matches_deflate_twin(tmp_path):
         options_mask=SZ_LSB_OPTION_MASK,
         pixels_per_block=8, pixels_per_scanline=16,
     )
+    # optional-filter path: first chunk stored raw, filter-mask bit set
+    w.add_chunked_szip(
+        "szip_masked", arr, chunk=(5, 7),
+        options_mask=SZ_NN_OPTION_MASK | SZ_LSB_OPTION_MASK,
+        pixels_per_block=8, pixels_per_scanline=16,
+        skip_first_chunk=True,
+    )
     path = str(tmp_path / "szip.nc")
     w.finish(path)
     ds = read_hdf5(path)
     np.testing.assert_array_equal(ds["variables"]["deflate_twin"]["data"], arr)
     np.testing.assert_array_equal(ds["variables"]["szip_nn"]["data"], arr)
     np.testing.assert_array_equal(ds["variables"]["szip_ec"]["data"], arr)
+    np.testing.assert_array_equal(ds["variables"]["szip_masked"]["data"], arr)
     assert ds["variables"]["szip_nn"]["data"].dtype == np.int16
 
 

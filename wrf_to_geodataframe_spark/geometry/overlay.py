@@ -211,7 +211,10 @@ def overlay_intersection(
 
 
 def triangulate_rows(
-    df: DataFrame, poly_col: str, tri_idx_col: str = "tri_idx"
+    df: DataFrame,
+    poly_col: str,
+    tri_idx_col: str = "tri_idx",
+    invalid: str = "raise",
 ) -> DataFrame:
     """Explode each (possibly concave) polygon row into ear-clip
     triangles, ONE ROW PER TRIANGLE (Arrow ``mapInPandas``, single
@@ -223,7 +226,16 @@ def triangulate_rows(
     10k-vertex coastline ring becomes ~10k independent triangle rows
     that bucket-join and clip in parallel, instead of one giant
     per-pair GEOS task (the reference's single-process
-    ``gpd.overlay``)."""
+    ``gpd.overlay``).
+
+    Real boundary data occasionally contains invalid rings (bowties,
+    zero-area slivers).  ``invalid='raise'`` (default) fails loudly
+    with the offending row's key values in the message;
+    ``invalid='skip'`` quarantines the ring (drops its rows) so one
+    bad polygon cannot abort a 1M-row overlay — the jsonl-source
+    quarantine discipline."""
+    if invalid not in ("raise", "skip"):
+        raise ValueError(f"invalid= must be 'raise' or 'skip', got {invalid}")
     from wrf_to_geodataframe_spark.geometry.polygons import (
         ear_clip,
         is_ccw,
@@ -251,16 +263,31 @@ def triangulate_rows(
                 )
                 if not is_ccw(poly):
                     poly = poly[::-1].copy()
-                if is_convex(poly):
-                    tris = [poly]
-                else:
-                    tris = list(ear_clip(poly))
+                try:
+                    if len(poly) < 3 or shoelace_area(poly) <= 1e-12:
+                        raise ValueError("ring has no area")
+                    if is_convex(poly):
+                        tris = [poly]
+                    else:
+                        tris = list(ear_clip(poly))
+                except ValueError as ex:
+                    if invalid == "skip":
+                        continue
+                    key = {c: row[c] for c in pass_cols[:3]}
+                    raise ValueError(
+                        f"invalid boundary ring at {key}: {ex}"
+                    ) from ex
                 for t_i, tri in enumerate(tris):
                     for c in pass_cols:
                         cols[c].append(row[c])
                     cols[tri_idx_col].append(t_i)
                     cols[poly_col].append([list(p) for p in tri])
-            out = pd.DataFrame(cols)
+            # object dtype throughout: an all-skipped batch would
+            # otherwise produce empty float64 columns that Arrow cannot
+            # cast to list/struct field types
+            out = pd.DataFrame(
+                {c: pd.Series(v, dtype=object) for c, v in cols.items()}
+            )
             out[tri_idx_col] = out[tri_idx_col].astype("int32")
             yield out
 
@@ -275,6 +302,7 @@ def overlay_intersection_general(
     bucket: float = 2.0,
     a_convex: bool = True,
     b_convex: bool = False,
+    invalid: str = "raise",
 ) -> DataFrame:
     """Overlay intersection for ARBITRARY simple polygons (VERDICT r6
     gap #1 — the reference's ``gpd.overlay`` / borough-boundary use
@@ -291,8 +319,8 @@ def overlay_intersection_general(
     same envelope-bucket equi join (now on triangle envelopes, which
     are TIGHTER than the ring envelope — fewer false candidates for
     snaky boundaries), and one partial-agg shuffle on the pair keys."""
-    a = a_df if a_convex else triangulate_rows(a_df, a_poly, "_tri_a")
-    b = b_df if b_convex else triangulate_rows(b_df, b_poly, "_tri_b")
+    a = a_df if a_convex else triangulate_rows(a_df, a_poly, "_tri_a", invalid)
+    b = b_df if b_convex else triangulate_rows(b_df, b_poly, "_tri_b", invalid)
     pieces = overlay_intersection(a, b, a_poly, b_poly, bucket=bucket)
     group_cols = [
         c for c in pieces.columns if c not in ("_tri_a", "_tri_b", "area_inter")

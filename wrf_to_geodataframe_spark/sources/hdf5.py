@@ -699,9 +699,21 @@ class _Hdf5File:
         return out
 
     def _decode(
-        self, raw: bytes, filters, elem: int, n_elems: int | None = None
+        self,
+        raw: bytes,
+        filters,
+        elem: int,
+        n_elems: int | None = None,
+        filter_mask: int = 0,
     ) -> bytes:
-        for fid, cv in reversed(filters):
+        """Run the chunk through the filter pipeline in reverse;
+        ``filter_mask`` bit i set means pipeline filter i was SKIPPED
+        for this chunk (HDF5 optional-filter semantics — e.g. szip
+        leaves incompressible chunks unfiltered)."""
+        for i in range(len(filters) - 1, -1, -1):
+            if filter_mask & (1 << i):
+                continue
+            fid, cv = filters[i]
             if fid == 1:
                 raw = zlib.decompress(raw)
             elif fid == 2:
@@ -715,7 +727,15 @@ class _Hdf5File:
 
                 if len(cv) < 4 or n_elems is None:
                     raise Hdf5Error("malformed szip filter params")
-                raw = szip_decode(raw, n_elems, cv[0], cv[1], cv[2], cv[3])
+                # H5Z_FILTER_SZIP prefixes the szlib bitstream with the
+                # uncompressed byte count (4 bytes little-endian)
+                if len(raw) < 4:
+                    raise Hdf5Error("truncated szip chunk")
+                stored = int.from_bytes(raw[:4], "little")
+                n_px = stored // ((cv[1] + 7) // 8)
+                if n_px > n_elems:
+                    raise Hdf5Error("szip stored size exceeds chunk")
+                raw = szip_decode(raw[4:], n_px, cv[0], cv[1], cv[2], cv[3])
             else:
                 raise Hdf5Error(f"unsupported filter id {fid}")
         return raw
@@ -777,6 +797,7 @@ class _Hdf5File:
         p = addr + 24
         for _ in range(n):
             nbytes = self.f.u(p, 4)
+            filter_mask = self.f.u(p + 4, 4)
             offsets = tuple(
                 self.f.u(p + 8 + 8 * i, 8) for i in range(ndims - 1)
             )
@@ -789,7 +810,7 @@ class _Hdf5File:
                 nchunk = int(np.prod(chunk))
                 raw = self._decode(
                     buf[child:child + nbytes], filters, dtype.itemsize,
-                    nchunk,
+                    nchunk, filter_mask,
                 )
                 if isinstance(dtype, VlenType):
                     block = _resolve_vlen(buf, raw, dtype, nchunk)

@@ -391,18 +391,6 @@ def _avg3(a, b, c):
     return (int(a) + 2 * int(b) + int(c) + 2) >> 2
 
 
-def _pred16_dc(buf, y0, x0, have_a, have_l):
-    s, cnt = 0, 0
-    if have_a:
-        s += int(buf[y0 - 1, x0 : x0 + 16].sum())
-        cnt += 16
-    if have_l:
-        s += int(buf[y0 : y0 + 16, x0 - 1].sum())
-        cnt += 16
-    v = 128 if cnt == 0 else (s + (cnt >> 1)) // cnt
-    buf[y0 : y0 + 16, x0 : x0 + 16] = v
-
-
 def _pred_dc(buf, y0, x0, size, have_a, have_l):
     s, cnt = 0, 0
     if have_a:

@@ -4246,7 +4246,7 @@ _URL_QS_SQL = """array_to_string(list_sort(list_filter(string_split(q, '&'),
 _URL_DEDUP_SQL = f"""
 WITH raw AS ({_URL_PLANT_SQL}),
 nofrag AS (
-    SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw
+    SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM raw
 ),
 parts AS (
     SELECT doc_id, url,
@@ -4254,7 +4254,7 @@ parts AS (
            lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)) AS h,
            regexp_extract(u, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1) AS p,
            regexp_extract(u, '\\?([^#]*)', 1) AS q
-    FROM nofrag JOIN raw USING (doc_id)
+    FROM nofrag
 ),
 canon AS (
     SELECT doc_id,
