@@ -598,6 +598,10 @@ def decode_images(with_png: DataFrame) -> DataFrame:
             decode_bmp,
             decode_pnm,
         )
+        from wrf_to_geodataframe_spark.sources.avif import (
+            decode_avif,
+            is_avif,
+        )
         from wrf_to_geodataframe_spark.sources.gif import decode_gif
         from wrf_to_geodataframe_spark.sources.jpeg import decode_jpeg
         from wrf_to_geodataframe_spark.sources.png import decode_png
@@ -619,9 +623,11 @@ def decode_images(with_png: DataFrame) -> DataFrame:
                 return decode_bmp(b)
             if b[:2] in (b"P5", b"P6"):
                 return decode_pnm(b)
+            if is_avif(b):
+                return decode_avif(b)  # gated on system libavif
             raise ValueError(
                 "unknown image container "
-                "(not PNG/JPEG/WebP/GIF/TIFF/BMP/PNM)"
+                "(not PNG/JPEG/WebP/GIF/TIFF/BMP/PNM/AVIF)"
             )
 
         for pdf in it:

@@ -13,7 +13,8 @@ netCDF4/pillow in this container):
   four entropy paths), ``webp`` (VP8L both directions) + ``vp8`` /
   ``vp8_tables`` (lossy VP8 keyframe decode, libwebp-bit-exact),
   ``gif`` (giflib), ``tiff`` (libtiff), ``bmp`` (BMP + netpbm,
-  self-goldened).
+  self-goldened), ``avif`` (GATED: decodes through the system libavif
+  when present, named error + triage otherwise).
 - audio/video: ``wav`` (RIFF/PCM both directions), ``audio_triage``
   (MP3/Ogg/FLAC headers), ``video`` (MP4/Matroska triage).
 """
