@@ -88,3 +88,44 @@ def test_avif_absent_is_a_named_error(monkeypatch):
     monkeypatch.setattr(A, "_LIB", None)
     with pytest.raises(ValueError, match="requires the system libavif"):
         A.decode_avif(b"\x00\x00\x00 ftypavif" + bytes(32))
+
+
+@needs_libavif
+def test_avif_420_subsampling():
+    """4:2:0 (subsampled) AVIF decodes through the gated codec.  (An
+    encoded-alpha fixture is not constructible here: this container's
+    libaom rejects the monochrome alpha encode with
+    AVIF_RESULT_ENCODE_ALPHA_FAILED, an encoder-build limitation —
+    alpha DECODE goes through the same avifImageYUVToRGB call.)"""
+    lib = ctypes.CDLL("libavif.so.15")
+    lib.avifImageCreate.restype = ctypes.c_void_p
+    lib.avifEncoderCreate.restype = ctypes.c_void_p
+    h, w = 20, 28
+    img4 = np.zeros((h, w, 4), np.uint8)
+    img4[..., 0] = 200
+    img4[..., 1] = ((np.arange(w)[None, :] * 9) % 256).astype(np.uint8)
+    img4[..., 3] = 255
+    avimg = lib.avifImageCreate(w, h, 8, 3)  # YUV420
+    rgb = _RGBImage()
+    lib.avifRGBImageSetDefaults(ctypes.byref(rgb), ctypes.c_void_p(avimg))
+    rgb.format = 1
+    buf = np.ascontiguousarray(img4)
+    rgb.pixels = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    rgb.rowBytes = w * 4
+    assert lib.avifImageRGBToYUV(ctypes.c_void_p(avimg), ctypes.byref(rgb)) == 0
+    enc = lib.avifEncoderCreate()
+    ctypes.cast(enc + 32, ctypes.POINTER(ctypes.c_int))[0] = 10
+    out = _RWData()
+    assert lib.avifEncoderWrite(
+        ctypes.c_void_p(enc), ctypes.c_void_p(avimg), ctypes.byref(out)
+    ) == 0
+    blob = ctypes.string_at(out.data, out.size)
+    lib.avifRWDataFree(ctypes.byref(out))
+    lib.avifEncoderDestroy(ctypes.c_void_p(enc))
+    lib.avifImageDestroy(ctypes.c_void_p(avimg))
+
+    dw, dh, ch, px = decode_avif(blob)
+    assert (dw, dh, ch) == (w, h, 4)
+    got = np.frombuffer(px, np.uint8).reshape(h, w, 4).astype(int)
+    assert np.abs(got[..., :3] - img4[..., :3].astype(int)).mean() < 8.0
+    np.testing.assert_array_equal(got[..., 3], 255)

@@ -517,6 +517,7 @@ def test_animated_webp_frames_and_compositing():
     )
     info = webp_info(anim)
     assert info["animation"] and (info["width"], info["height"]) == (10, 8)
+    assert info["n_frames"] == 2
 
     frames = webp_frames(anim)
     assert [f["duration_ms"] for f in frames] == [40, 70]

@@ -937,8 +937,11 @@ def webp_info(data: bytes) -> dict:
         "lossless": None,
         "alpha": False,
         "animation": False,
+        "n_frames": 0,
     }
     for tag, payload in chunks:
+        if tag == b"ANMF":
+            out["n_frames"] += 1
         if tag == b"VP8X":
             flags = payload[0]
             out["alpha"] = bool(flags & 0x10)
