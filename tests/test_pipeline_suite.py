@@ -1214,3 +1214,46 @@ def test_bpe_train_unpersists_round_state(spark, tmp_path):
     bpe_train(spark, str(tmp_path)).collect()
     after = jsc.getPersistentRDDs().size()
     assert after <= before, f"leaked {after - before} persisted RDDs"
+
+
+def test_dedup_substring_spans_semantics(spark, tmp_path):
+    """Planted duplicated runs: overlapping windows union into one
+    span, two disjoint shared runs give two islands, unique docs get
+    zero, and a within-doc repeat counts too."""
+    import pandas as pd
+
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        _SUBSTR_K,
+        dedup_substring_spans,
+    )
+
+    assert _SUBSTR_K == 8
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"        # 10-token run
+    other = "t1 t2 t3 t4 t5 t6 t7 t8"                # 8-token run
+    rows = [
+        # doc 0 and 1 share `shared` (10 tokens -> 3 windows -> one
+        # island of length 10 in each)
+        {"doc_id": 0, "text": shared + " a b c d e f g h i j"},
+        {"doc_id": 1, "text": "x1 x2 x3 x4 " + shared},
+        # doc 2: two DISJOINT duplicated runs (shared + other) with a
+        # long unique gap between -> islands 10 + 8
+        {"doc_id": 2,
+         "text": shared + " u1 u2 u3 u4 u5 u6 u7 u8 u9 " + other},
+        # doc 3 shares `other` only
+        {"doc_id": 3, "text": other + " z1 z2 z3 z4 z5 z6 z7 z8 z9"},
+        # doc 4: internal repetition only (same 8-gram twice in ONE doc)
+        {"doc_id": 4, "text": other + " m1 m2 m3 " + other},
+        # doc 5: fully unique
+        {"doc_id": 5, "text": "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"},
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_tokens)
+        for r in dedup_substring_spans(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (20, 10)
+    assert got[1] == (14, 10)
+    assert got[2] == (27, 18)   # 10 + 8, disjoint islands
+    assert got[3] == (17, 8)
+    assert got[4] == (19, 16)   # two 8-token islands, 3-token gap unique
+    assert got[5] == (12, 0)

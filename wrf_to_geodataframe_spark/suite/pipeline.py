@@ -4279,8 +4279,158 @@ GROUP BY canon_url
 """
 
 
+_SUBSTR_K = 8  # duplicated-substring window length (tokens)
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup accounting (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" shape,
+    the 13th dedup method): find every ``_SUBSTR_K``-token window that
+    occurs MORE THAN ONCE anywhere in the corpus, union the duplicated
+    windows into per-document SPANS, and report per doc how many
+    tokens sit inside duplicated spans — the removal manifest an
+    exact-substring scrubber consumes.
+
+    Spark-first shape, fully declarative (no UDFs):
+      1. one tokenize scan explodes every positioned window with its
+         60-bit hash (rows ~ total corpus tokens — the shingle-index
+         cost class);
+      2. corpus-wide occurrence counts are one partial-agg groupBy on
+         the hash (map-side combine crushes repeats), and windows keep
+         only hashes with count >= 2 via an equi join (one row per
+         hash on the build side after the agg — no fan-out, so no df
+         cap is needed, unlike candidate-PAIR generators);
+      3. the interval union is the classic gaps-and-islands plan: a
+         running max-end window per doc marks island starts, a running
+         sum numbers islands, and one aggregate sums island lengths.
+    All counts are integers, so the result is bit-stable under any
+    partitioning; the oracle replays the same logic as SQL window
+    functions over DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        tokens(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.col("toks"),
+    )
+    wins = toked.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode(
+            F.when(
+                F.size("toks") >= _SUBSTR_K,
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {_SUBSTR_K}), "
+                    f"i -> concat_ws(' ', slice(toks, i + 1, {_SUBSTR_K})))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "s"),
+    ).select("doc_id", "n_tokens", "pos", hash60(F.col("s")).alias("hs"))
+    counts = wins.groupBy("hs").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = wins.join(counts.filter(F.col("cnt") >= 2), "hs").select(
+        "doc_id", "n_tokens",
+        F.col("pos").alias("start"),
+        (F.col("pos") + _SUBSTR_K).alias("end"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("start")
+    prev_max = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dup.withColumn(
+        "new_island",
+        F.when(
+            prev_max.isNull() | (F.col("start") > prev_max), 1
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w))
+    per_doc = (
+        islands.groupBy("doc_id", "n_tokens", "island")
+        .agg((F.max("end") - F.min("start")).alias("span_len"))
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.sum("span_len").alias("dup_tokens"))
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return base.join(per_doc, ["doc_id", "n_tokens"], "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+        F.expr(
+            "CAST(coalesce(dup_tokens, 0) * 1000000 AS BIGINT)"
+            " div greatest(n_tokens, CAST(1 AS BIGINT))"
+        ).alias("dup_ppm"),
+    )
+
+
+_SUBSTR_SQL = f"""
+WITH toked AS (
+    SELECT doc_id, string_split(text, ' ') AS w,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+wins AS (
+    SELECT doc_id, n_tokens, i - 1 AS start,
+           CAST(('0x' || substr(md5(
+               array_to_string(w[i : i + {_SUBSTR_K - 1}], ' ')
+           ), 1, 15)) AS BIGINT) AS hs
+    FROM (
+        SELECT doc_id, n_tokens, w,
+               unnest(generate_series(1, len(w) - {_SUBSTR_K - 1})) AS i
+        FROM toked WHERE len(w) >= {_SUBSTR_K}
+    )
+),
+counts AS (
+    SELECT hs FROM wins GROUP BY hs HAVING count(*) >= 2
+),
+dup AS (
+    SELECT doc_id, n_tokens, start, start + {_SUBSTR_K} AS "end"
+    FROM wins JOIN counts USING (hs)
+),
+marked AS (
+    SELECT doc_id, n_tokens, start, "end",
+           CASE WHEN max("end") OVER (
+                    PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NULL
+                 OR start > max("end") OVER (
+                    PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) THEN 1 ELSE 0 END AS new_island
+    FROM dup
+),
+islands AS (
+    SELECT doc_id, n_tokens, start, "end",
+           sum(new_island) OVER (
+               PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS island
+    FROM marked
+),
+per_doc AS (
+    SELECT doc_id, n_tokens, CAST(sum(span_len) AS BIGINT) AS dup_tokens
+    FROM (
+        SELECT doc_id, n_tokens, island,
+               max("end") - min(start) AS span_len
+        FROM islands GROUP BY doc_id, n_tokens, island
+    ) GROUP BY doc_id, n_tokens
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(p.dup_tokens, 0) * 1000000
+            // greatest(b.n_tokens, 1) AS BIGINT) AS dup_ppm
+FROM (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents) b
+LEFT JOIN per_doc p ON b.doc_id = p.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_substring_spans": dedup_substring_spans,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "decontam_ngram": decontam_ngram,
     "text_repetition": text_repetition,
@@ -4331,6 +4481,7 @@ ORACLE = {
     "url_dedup": _URL_DEDUP_SQL,
     "dedup_semantic": _semantic_sql(),
     "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_substring_spans": _SUBSTR_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "decontam_ngram": _DECONTAM_SQL,
     "text_repetition": _TEXT_REPETITION_SQL,
