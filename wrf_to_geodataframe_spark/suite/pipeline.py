@@ -4328,6 +4328,12 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<string>"))
         ).alias("pos", "s"),
     ).select("doc_id", "n_tokens", "pos", hash60(F.col("s")).alias("hs"))
+    # wins feeds BOTH the occurrence-count build side and the probe —
+    # persist once (corpus-token-sized, sequential-scan-only, so
+    # DISK_ONLY: the decontam raw-shingle discipline)
+    from pyspark import StorageLevel
+
+    wins = wins.persist(StorageLevel.DISK_ONLY)
     counts = wins.groupBy("hs").agg(F.count(F.lit(1)).alias("cnt"))
     dup = wins.join(counts.filter(F.col("cnt") >= 2), "hs").select(
         "doc_id", "n_tokens",
