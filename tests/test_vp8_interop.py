@@ -285,3 +285,52 @@ def test_vp8_random_image_sweep():
         np.testing.assert_array_equal(gy, ly, err_msg=f"trial {trial} Y")
         np.testing.assert_array_equal(gu, lu, err_msg=f"trial {trial} U")
         np.testing.assert_array_equal(gv, lv, err_msg=f"trial {trial} V")
+
+
+@needs_libwebp
+def test_vp8_loop_filter_param_sweep():
+    """Randomized transcode sweep over the loop-filter parameter space
+    (sharpness 0-7, levels across the hev thresholds, ref/mode deltas,
+    per-segment filter values, simple/normal) — libwebp validates each
+    synthesized stream and both decoders must stay bit-exact."""
+    import random
+    import sys
+
+    sys.path.insert(0, "tests")
+    from vp8_transcode import transcode, wrap_webp
+
+    from wrf_to_geodataframe_spark.sources.vp8 import decode_vp8_frame
+
+    w, h = 96, 64
+    rgb = _test_image(w, h, seed=21)
+    base = _lib_encode_lossy(rgb, w, h, 40.0)  # seg on, real token load
+    payload = _vp8_payload(base)
+    rnd = random.Random(7)
+    for trial in range(24):
+        sharp = rnd.randrange(8)
+        level = rnd.choice([1, 8, 14, 15, 39, 40, 63])
+        ftype = rnd.randrange(2)
+        lfd = rnd.randrange(2)
+
+        def mut(hh, mbs):
+            hh.sharpness = sharp
+            hh.filter_level = level
+            hh.filter_type = ftype
+            if lfd:
+                hh.lf_delta = 1
+                hh.ref_lf_deltas = [rnd.randrange(-20, 21), 0, 0, 0]
+                hh.mode_lf_deltas = [rnd.randrange(-20, 21), 0, 0, 0]
+            if hh.segmentation:
+                hh.seg_abs = rnd.randrange(2)
+                if hh.seg_abs:
+                    hh.seg_lf = [rnd.randrange(0, 64) for _ in range(4)]
+                else:
+                    hh.seg_lf = [rnd.randrange(-30, 31) for _ in range(4)]
+
+        new_payload = transcode(payload, mut)
+        lw, lh, ly, lu, lv = _lib_decode_yuv(wrap_webp(new_payload))
+        gw, gh, gy, gu, gv = decode_vp8_frame(new_payload)
+        ctx = f"trial {trial}: sharp={sharp} level={level} ft={ftype} lfd={lfd}"
+        np.testing.assert_array_equal(gy, ly, err_msg=ctx)
+        np.testing.assert_array_equal(gu, lu, err_msg=ctx)
+        np.testing.assert_array_equal(gv, lv, err_msg=ctx)

@@ -835,16 +835,18 @@ def decode_vp8_frame(data: bytes):
 
 
 def _mb_filter_level(h: _Header, seg: int, is_bpred: bool) -> int:
+    # the segment-adjusted base is NOT clamped before the lf deltas are
+    # added — only one final clamp (libwebp PrecomputeFilterStrengths;
+    # an intermediate clamp changes levels when a negative segment
+    # delta underflows and a positive ref delta pulls it back)
     level = h.filter_level
     if h.segmentation:
         level = h.seg_lf[seg] if h.seg_abs else level + h.seg_lf[seg]
-        level = _clamp(level, 0, 63)
     if h.lf_delta:
         level += h.ref_lf_deltas[0]  # keyframe: intra-frame delta
         if is_bpred:
             level += h.mode_lf_deltas[0]
-        level = _clamp(level, 0, 63)
-    return level
+    return _clamp(level, 0, 63)
 
 
 def _loop_filter(h, Y, U, V, mb_w, mb_h, mb_seg, mb_bpred, mb_has_coeff):
