@@ -334,3 +334,48 @@ def test_vp8_loop_filter_param_sweep():
         np.testing.assert_array_equal(gy, ly, err_msg=ctx)
         np.testing.assert_array_equal(gu, lu, err_msg=ctx)
         np.testing.assert_array_equal(gv, lv, err_msg=ctx)
+
+
+@needs_libwebp
+def test_vp8_quantizer_param_sweep():
+    """Randomized transcode sweep over the quantizer space: base index
+    extremes, all five delta fields at their 4-bit limits, per-segment
+    quantizers (absolute and delta) — exercises index clamping, the
+    y2 dc x2 / ac x155/100 escalation, and the uv-dc 117 index cap.
+    Tokens are independent of the quantizers, so mutated streams stay
+    valid and libwebp remains the arbiter."""
+    import random
+    import sys
+
+    sys.path.insert(0, "tests")
+    from vp8_transcode import transcode, wrap_webp
+
+    from wrf_to_geodataframe_spark.sources.vp8 import decode_vp8_frame
+
+    w, h = 80, 48
+    rgb = _test_image(w, h, seed=33)
+    payload = _vp8_payload(_lib_encode_lossy(rgb, w, h, 55.0))
+    rnd = random.Random(11)
+    for trial in range(24):
+        qb = rnd.choice([0, 1, 5, 38, 63, 100, 126, 127])
+        deltas = tuple(rnd.choice([-15, -8, -2, 0, 3, 9, 15]) for _ in range(5))
+        sq_abs = rnd.randrange(2)
+        sq = [
+            rnd.randrange(0, 128) if sq_abs else rnd.randrange(-64, 65)
+            for _ in range(4)
+        ]
+
+        def mut(hh, mbs):
+            hh.q_base = qb
+            hh.q_deltas = deltas
+            if hh.segmentation:
+                hh.seg_abs = sq_abs
+                hh.seg_quant = sq
+
+        new_payload = transcode(payload, mut)
+        lw, lh, ly, lu, lv = _lib_decode_yuv(wrap_webp(new_payload))
+        gw, gh, gy, gu, gv = decode_vp8_frame(new_payload)
+        ctx = f"trial {trial}: qb={qb} d={deltas} abs={sq_abs} sq={sq}"
+        np.testing.assert_array_equal(gy, ly, err_msg=ctx)
+        np.testing.assert_array_equal(gu, lu, err_msg=ctx)
+        np.testing.assert_array_equal(gv, lv, err_msg=ctx)

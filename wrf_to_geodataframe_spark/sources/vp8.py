@@ -316,6 +316,10 @@ def _parse_side_info(b: _Bool, h: _Header) -> None:
 
 
 def _dequant_factors(h: _Header, segment: int):
+    # the segment-adjusted base is NOT clamped before the per-plane
+    # deltas — each final index clamps once (libwebp VP8ParseQuant;
+    # a pre-clamp changes indices when a large negative segment value
+    # underflows and a positive plane delta pulls it back)
     base = h.q_base
     if h.segmentation:
         base = (
@@ -323,7 +327,6 @@ def _dequant_factors(h: _Header, segment: int):
             if h.seg_abs
             else base + h.seg_quant[segment]
         )
-        base = _clamp(base, 0, 127)
     d = h.q_deltas
     y1_dc = DC_QLOOKUP[_q_idx(base, d[0])]
     y1_ac = AC_QLOOKUP[_q_idx(base, 0)]
