@@ -379,3 +379,38 @@ def test_vp8_quantizer_param_sweep():
         np.testing.assert_array_equal(gy, ly, err_msg=ctx)
         np.testing.assert_array_equal(gu, lu, err_msg=ctx)
         np.testing.assert_array_equal(gv, lv, err_msg=ctx)
+
+
+@needs_libwebp
+def test_vp8_token_partition_table():
+    """Token-partition plumbing: a one-MB-row image re-wrapped as a
+    2-partition stream (row 0 -> partition 0, partition 1 present but
+    empty) must parse the partition size table and decode identically;
+    libwebp validates the synthesized stream."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from vp8_transcode import parse_part0, wrap_webp, write_part0
+
+    from wrf_to_geodataframe_spark.sources.vp8 import decode_vp8_frame
+
+    w, h = 64, 16  # one MB row
+    rgb = _test_image(w, h, seed=12)
+    payload = _vp8_payload(_lib_encode_lossy(rgb, w, h, 60.0))
+    hh, mbs, rest = parse_part0(payload)
+    assert hh.n_parts == 1
+    hh.n_parts = 2
+    part0 = write_part0(hh, mbs)
+    tag = (len(part0) << 5) | (hh.show_frame << 4) | (hh.version << 1)
+    new_payload = (
+        bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+        + payload[3:10]
+        + part0
+        + len(rest).to_bytes(3, "little")  # partition 0 size
+        + rest
+    )
+    lw, lh, ly, lu, lv = _lib_decode_yuv(wrap_webp(new_payload))
+    gw, gh, gy, gu, gv = decode_vp8_frame(new_payload)
+    np.testing.assert_array_equal(gy, ly)
+    np.testing.assert_array_equal(gu, lu)
+    np.testing.assert_array_equal(gv, lv)
