@@ -373,3 +373,53 @@ def test_triangulate_rows_quarantines_invalid_rings(spark):
     assert len(ok) == 6  # 8-vertex U -> 6 triangles
     with pytest.raises(Exception, match="invalid boundary ring"):
         triangulate_rows(df, "b_poly").collect()
+
+
+def test_star_polygon_fuzz_pip_and_triangulation():
+    """Random star polygons (random radii at sorted angles — simple by
+    construction, usually concave): ear-clip area partition holds and
+    the even-odd PIP agrees with the triangle union on random probes."""
+    from hypothesis import given, settings, strategies as st
+
+    from wrf_to_geodataframe_spark.geometry.polygons import (
+        ear_clip,
+        point_in_convex_polygon,
+        point_in_polygon,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(5, 14), st.randoms(use_true_random=False))
+    def prop(n, rnd):
+        angles = sorted(rnd.uniform(0, 2 * np.pi) for _ in range(n))
+        gaps = [b - a for a, b in zip(angles, angles[1:])]
+        gaps.append(2 * np.pi - angles[-1] + angles[0])
+        # radial polygons are star-shaped about the origin (hence
+        # simple) only when every cyclic angular gap < pi; and nearly
+        # coincident rays make sliver rings — skip both
+        if min(gaps) < 1e-3 or max(gaps) >= np.pi - 1e-3:
+            return
+        poly = np.array(
+            [
+                [r * np.cos(t), r * np.sin(t)]
+                for t, r in ((t, rnd.uniform(0.5, 5.0)) for t in angles)
+            ]
+        )
+        tris = ear_clip(poly)
+        total = sum(shoelace_area(t) for t in tris)
+        assert np.isclose(total, shoelace_area(poly), rtol=1e-9)
+        for _ in range(25):
+            px, py = rnd.uniform(-6, 6), rnd.uniform(-6, 6)
+            want = any(point_in_convex_polygon(px, py, t) for t in tris)
+            got = point_in_polygon(px, py, poly)
+            # boundary-epsilon disagreements are legitimate: skip probes
+            # within a hair of any edge
+            d = min(
+                abs((b[0]-a[0])*(py-a[1]) - (b[1]-a[1])*(px-a[0]))
+                / max(np.hypot(b[0]-a[0], b[1]-a[1]), 1e-9)
+                for a, b in zip(poly, np.roll(poly, -1, 0))
+            )
+            if d < 1e-6:
+                continue
+            assert got == want
+
+    prop()

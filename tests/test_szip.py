@@ -208,3 +208,56 @@ def test_hypothesis_param_sweep_round_trip():
         assert szip_decode(comp, n, mask, bits, ppb, pps) == raw
 
     prop()
+
+
+def test_second_extension_randomized_streams():
+    """The encoder never emits second extension, so fuzz the DECODER
+    with test-side hand-packed 2nd-ext blocks: random small pairs are
+    gamma-coded per the spec and must decode exactly."""
+    import random
+
+    rnd = random.Random(9)
+    for trial in range(40):
+        J = rnd.choice([4, 8, 16])
+        n_blocks = rnd.randrange(1, 5)
+        vals = []
+        bits_s = []
+        for _ in range(n_blocks):
+            block = [rnd.randrange(0, 4) for _ in range(J)]
+            # gamma for each pair; FS-code = gamma zeros + 1
+            bits_s.append("000" + "1")  # ID=0 (3-bit, 8-bit data), ext=1
+            for i in range(0, J, 2):
+                a, b = block[i], block[i + 1]
+                m = a + b
+                gamma = m * (m + 1) // 2 + b
+                bits_s.append("0" * gamma + "1")
+            vals.extend(block)
+        stream = _bits(" ".join(bits_s))
+        got = szip_decode(stream, len(vals), 0, 8, J, J * n_blocks)
+        assert got == bytes(vals), (trial, J, vals)
+
+
+def test_hdf5_szip_float32_dataset(tmp_path):
+    """szip over float32 climate-style data: the codec treats samples
+    as 32-bit patterns (what szlib does for floats); the dataset must
+    read back bit-identical."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from hdf5_fixture import FixtureWriter
+
+    from wrf_to_geodataframe_spark.sources.hdf5 import read_hdf5
+
+    rng = np.random.default_rng(13)
+    arr = (280.0 + 5.0 * rng.standard_normal((11, 9))).astype(np.float32)
+    w = FixtureWriter()
+    w.add_chunked_szip(
+        "t2m", arr, chunk=(4, 5),
+        options_mask=SZ_NN_OPTION_MASK | SZ_LSB_OPTION_MASK,
+        pixels_per_block=8, pixels_per_scanline=16,
+    )
+    path = str(tmp_path / "szf.nc")
+    w.finish(path)
+    got = read_hdf5(path)["variables"]["t2m"]["data"]
+    np.testing.assert_array_equal(got, arr)
+    assert got.dtype == np.float32
