@@ -242,10 +242,10 @@ def test_vp8x_alpha_still_decodes_rgba():
         ctypes.string_at(p, lw.value * lh.value * 4), np.uint8
     ).reshape(h, w, 4)
 
-    np.testing.assert_array_equal(mine[:, :, 3], theirs[:, :, 3])  # exact
-    # RGB: same YUV, different upsampler — bounded divergence
-    diff = np.abs(mine[:, :, :3].astype(int) - theirs[:, :, :3].astype(int))
-    assert diff.mean() < 6.0, diff.mean()
+    # RGBA now matches libwebp BIT-EXACTLY: alpha is losslessly
+    # coded, and the RGB path replicates the fancy upsampler + the
+    # truncating fixed-point matrix
+    np.testing.assert_array_equal(mine, theirs)
 
 
 @needs_libwebp
@@ -414,3 +414,30 @@ def test_vp8_token_partition_table():
     np.testing.assert_array_equal(gy, ly)
     np.testing.assert_array_equal(gu, lu)
     np.testing.assert_array_equal(gv, lv)
+
+
+@needs_libwebp
+@pytest.mark.parametrize(
+    "size,q", [((32, 32), 50.0), ((61, 37), 75.0), ((144, 96), 20.0)]
+)
+def test_vp8_rgb_output_bit_exact(size, q):
+    """decode_webp's RGB surface (fancy 9-3-3-1 upsampler with nested
+    rounding + MultHi-truncating BT.601 matrix) must equal
+    WebPDecodeRGB byte for byte — the full end-to-end claim, beyond
+    the YUV planes."""
+    _LIB.WebPDecodeRGB.restype = ctypes.POINTER(ctypes.c_uint8)
+    _LIB.WebPDecodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    from wrf_to_geodataframe_spark.sources.webp import decode_webp
+
+    w, h = size
+    rgb = _test_image(w, h, seed=h + int(q))
+    webp = _lib_encode_lossy(rgb, w, h, q)
+    lw, lh = ctypes.c_int(), ctypes.c_int()
+    p = _LIB.WebPDecodeRGB(webp, len(webp), ctypes.byref(lw), ctypes.byref(lh))
+    theirs = ctypes.string_at(p, w * h * 3)
+    dw, dh, ch, px = decode_webp(webp)
+    assert (dw, dh, ch) == (w, h, 3)
+    assert px == theirs

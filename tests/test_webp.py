@@ -410,7 +410,7 @@ def test_decode_lossy_vp8_committed_fixture():
     )
     w, h, ch, px = decode_webp(blob)
     assert (w, h, ch) == (32, 24, 3)
-    assert hashlib.md5(px).hexdigest() == "d3671e04e0322624557a08dfc5221bd9"
+    assert hashlib.md5(px).hexdigest() == "55a6a413c31dacf32c377f6afc8fc489"
 
 
 def test_alpha_unfilter_all_methods():

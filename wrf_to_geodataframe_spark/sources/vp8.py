@@ -905,15 +905,54 @@ def _loop_filter(h, Y, U, V, mb_w, mb_h, mb_seg, mb_bpred, mb_has_coeff):
                 _filter_edge(V, c0 + 4, cx0, cx0 + 8, False, "sub", hev_t, interior, sub_lim)
 
 
+def _fancy_upsample(c: np.ndarray, w: int, h: int) -> np.ndarray:
+    """libwebp's 'fancy' 9-3-3-1 bilinear chroma upsampler: each output
+    sample mixes its nearest half-res sample (9), the two adjacent
+    ones (3+3) and the diagonal (1), +8 >> 4, with edge replication."""
+    ch, cw = c.shape
+    yy = np.arange(h)
+    xx = np.arange(w)
+    ny = np.clip(yy >> 1, 0, ch - 1)
+    nx = np.clip(xx >> 1, 0, cw - 1)
+    oy = np.clip((yy >> 1) + np.where(yy & 1, 1, -1), 0, ch - 1)
+    ox = np.clip((xx >> 1) + np.where(xx & 1, 1, -1), 0, cw - 1)
+    c = c.astype(np.int32)
+    near = c[np.ix_(ny, nx)]
+    horiz = c[np.ix_(ny, ox)]
+    vert = c[np.ix_(oy, nx)]
+    diag = c[np.ix_(oy, ox)]
+    # libwebp's NESTED rounding, not a flat (9n+3h+3v+d+8)>>4 — the
+    # diagonal average rounds first, then pairs with the near sample
+    # (upsampling.c: diag_12/diag_03 then (diag + nearest) >> 1)
+    return (((3 * horiz + 3 * vert + near + diag + 8) >> 3) + near) >> 1
+
+
+# libwebp's BT.601 limited-range conversion (yuv.h): each product
+# TRUNCATES >>8 first (the MultHiVal / _mm_mulhi_epu16 emulation),
+# sums with the integer bias, then shifts the 6-bit fix — replicating
+# the truncation order is what makes the RGB output bit-exact
+_YS, _VR, _UG, _VG, _UB = 19077, 26149, 6419, 13320, 33050
+_RC, _GC, _BC = -14234, 8708, -17685
+
+
+def _mult_hi(v: np.ndarray, coeff: int) -> np.ndarray:
+    return (v * coeff) >> 8
+
+
+def _clip8(v: np.ndarray) -> np.ndarray:
+    return np.clip(v >> 6, 0, 255).astype(np.uint8)
+
+
 def yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
-    """BT.601 conversion with nearest-neighbor chroma upsampling — the
-    engine's decode surface.  (libwebp's fancy upsampler differs by
-    design; the bit-exact interop comparison is on the Y/U/V planes.)"""
+    """libwebp-identical YUV->RGB: fancy 9-3-3-1 chroma upsampling +
+    the truncating fixed-point BT.601 matrix, so ``decode_webp``'s RGB
+    output matches ``WebPDecodeRGB`` BIT-EXACTLY (pinned in
+    tests/test_vp8_interop.py), not just the YUV planes."""
     h, w = y.shape
-    uu = np.repeat(np.repeat(u, 2, 0), 2, 1)[:h, :w].astype(np.int32) - 128
-    vv = np.repeat(np.repeat(v, 2, 0), 2, 1)[:h, :w].astype(np.int32) - 128
-    yy = ((y.astype(np.int32) - 16) * 76309) >> 16
-    r = yy + ((104597 * vv) >> 16)
-    g = yy - ((25675 * uu + 53279 * vv) >> 16)
-    b = yy + ((132201 * uu) >> 16)
-    return np.clip(np.stack([r, g, b], -1), 0, 255).astype(np.uint8)
+    uu = _fancy_upsample(u, w, h)
+    vv = _fancy_upsample(v, w, h)
+    yy = _mult_hi(y.astype(np.int32), _YS)
+    r = _clip8(yy + _mult_hi(vv, _VR) + _RC)
+    g = _clip8(yy - _mult_hi(uu, _UG) - _mult_hi(vv, _VG) + _GC)
+    b = _clip8(yy + _mult_hi(uu, _UB) + _BC)
+    return np.stack([r, g, b], -1)
