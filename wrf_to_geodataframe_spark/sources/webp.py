@@ -682,8 +682,9 @@ def _decode_alpha(payload: bytes, width: int, height: int) -> np.ndarray:
 def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a WebP container: VP8L (lossless) payloads decode to
     RGBA; lossy "VP8 " key frames decode through the RFC 6386 decoder
-    (``sources/vp8.py``, libwebp-bit-exact YUV planes) and convert to
-    RGB via BT.601 + nearest-neighbor chroma upsampling; VP8X STILL
+    (``sources/vp8.py``) and convert to RGB through libwebp's exact
+    pipeline (fancy upsampler + truncating fixed-point BT.601), so the
+    output is BYTE-IDENTICAL to ``WebPDecodeRGB``; VP8X STILL
     images compose an ALPH alpha plane (raw or lossless-coded, all
     four prediction filters) over the lossy payload into RGBA.
     Animations (ANMF frames) raise cleanly (use ``webp_info`` to
