@@ -13,8 +13,8 @@ Implemented from the public "WebP Lossless Bitstream Specification"
   (lossy, frame-tag dims), "VP8L" (lossless, 14-bit dims), "VP8X"
   (extended, 24-bit canvas dims + feature flags incl. animation).
 - ``avif_info``: ISOBMFF box walk (ftyp brand + meta/iprp/ipco/ispe)
-  for AVIF dimensions — triage only, AV1 payload decode is out of
-  scope and raises cleanly.
+  for AVIF dimensions; payload decode lives in ``sources/avif.py``
+  (gated on the system libavif).
 - ``decode_webp``: full VP8L decoder — canonical prefix codes (simple
   and code-length-coded, incl. the max-symbol variant), color cache,
   LZ77 backward references with the 120-entry close-neighborhood
@@ -28,8 +28,9 @@ Implemented from the public "WebP Lossless Bitstream Specification"
 
 Lossy "VP8 " key frames decode through the RFC 6386 decoder in
 ``sources/vp8.py`` (boolean coder, intra prediction, token partitions,
-loop filter — cross-validated bit-exactly against libwebp); only VP8X
-animation/alpha payloads remain triage-only.
+loop filter) with the final RGB byte-identical to ``WebPDecodeRGB``;
+VP8X stills compose the ALPH alpha plane, and animations decode
+per-frame (``webp_frames``) and composited (``decode_webp_animation``).
 
 Scale path mirrors ``sources/png.py``/``jpeg.py``: the codec runs
 inside Arrow ``mapInPandas`` batches, one image per call, spread
