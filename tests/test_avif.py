@@ -129,3 +129,41 @@ def test_avif_420_subsampling():
     got = np.frombuffer(px, np.uint8).reshape(h, w, 4).astype(int)
     assert np.abs(got[..., :3] - img4[..., :3].astype(int)).mean() < 8.0
     np.testing.assert_array_equal(got[..., 3], 255)
+
+
+@needs_libavif
+def test_avif_10bit_decodes_to_8bit_rgba():
+    """High-bit-depth AVIF (10-bit, the common HDR web flavor): the
+    binding requests 8-bit RGBA and libavif performs the depth
+    conversion — output must track the 10->8 downshift."""
+    lib = ctypes.CDLL("libavif.so.15")
+    lib.avifImageCreate.restype = ctypes.c_void_p
+    lib.avifEncoderCreate.restype = ctypes.c_void_p
+    w, h = 24, 16
+    img = lib.avifImageCreate(w, h, 10, 1)
+    rgb = _RGBImage()
+    lib.avifRGBImageSetDefaults(ctypes.byref(rgb), ctypes.c_void_p(img))
+    rng = np.random.default_rng(1)
+    rgba16 = rng.integers(0, 1024, (h, w, 4)).astype(np.uint16)
+    rgba16[..., 3] = 1023
+    rgb.format = 1
+    buf = np.ascontiguousarray(rgba16)
+    rgb.pixels = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    rgb.rowBytes = w * 8
+    assert lib.avifImageRGBToYUV(ctypes.c_void_p(img), ctypes.byref(rgb)) == 0
+    enc = lib.avifEncoderCreate()
+    ctypes.cast(enc + 32, ctypes.POINTER(ctypes.c_int))[0] = 10
+    out = _RWData()
+    assert lib.avifEncoderWrite(
+        ctypes.c_void_p(enc), ctypes.c_void_p(img), ctypes.byref(out)
+    ) == 0
+    blob = ctypes.string_at(out.data, out.size)
+    lib.avifRWDataFree(ctypes.byref(out))
+    lib.avifEncoderDestroy(ctypes.c_void_p(enc))
+    lib.avifImageDestroy(ctypes.c_void_p(img))
+
+    dw, dh, ch, px = decode_avif(blob)
+    assert (dw, dh, ch) == (w, h, 4)
+    got = np.frombuffer(px, np.uint8).reshape(h, w, 4).astype(int)
+    want8 = rgba16[..., :3].astype(int) >> 2
+    assert np.abs(got[..., :3] - want8).mean() < 4.0
