@@ -1257,3 +1257,40 @@ def test_dedup_substring_spans_semantics(spark, tmp_path):
     assert got[3] == (17, 8)
     assert got[4] == (19, 16)   # two 8-token islands, 3-token gap unique
     assert got[5] == (12, 0)
+
+
+def test_html_extract_rules_on_handwritten_markup(spark):
+    """Each extraction rule pinned on hand-written HTML: script bodies
+    containing '<' vanish whole, comments and style blocks vanish,
+    tags strip, entities decode, whitespace collapses."""
+    import pyspark.sql.functions as F
+
+    html = (
+        '<html><head><script>if (a < b && c > d) { run("x"); }</script>'
+        "<style>p < q {}</style></head>"
+        "<body><!-- secret --><h1>A&amp;B</h1>\n\n"
+        '<p class="x">one &lt;two&gt; &quot;three&quot; &#65;&#x42;</p>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "t string")
+    out = df.select(
+        F.expr(
+            """
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(t, '(?is)<script\\\\b[^>]*>.*?</script>', ' '),
+                  '(?is)<style\\\\b[^>]*>.*?</style>', ' '),
+                '(?s)<!--.*?-->', ' '),
+              '<[^>]+>', ' '),
+            '&#65;', 'A'), '&#x42;', 'B'),
+            '&lt;', '<'), '&gt;', '>'),
+            '&quot;', '"'), '&amp;', '&'),
+          '\\\\s+', ' '))
+        """
+        ).alias("x")
+    ).collect()[0].x
+    assert out == 'A&B one <two> "three" AB'
+    assert "secret" not in out and "run(" not in out and "p < q" not in out

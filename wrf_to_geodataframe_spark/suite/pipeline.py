@@ -667,6 +667,113 @@ WHERE rk <= quota
 """
 
 
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction — the crawl-pipeline stage between WARC
+    ingestion (raw HTML payloads) and every text operator in this
+    suite: drop <script>/<style> blocks and comments wholesale, strip
+    the remaining tags, decode the common entities (incl. numeric
+    character references), and collapse whitespace.
+
+    The synthetic corpus has no HTML column, so HTML is PLANTED
+    in-plan around each doc's text (the ``text_scrub_pii`` discipline):
+    doc_id-dependent head/script/style/comment blocks, attribute-laden
+    tags, and entity-encoded punctuation — every rule must fire for
+    the hash to match.
+
+    Scale shape: a chain of ``regexp_replace`` calls — pure JVM
+    whole-stage codegen, one scan, no shuffle at all (the cheapest
+    possible plan class); at 100 TB this runs map-side inside the same
+    stage as the WARC record parse that feeds it."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.expr(
+        """
+        '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS STRING)
+        || '</title>'
+        || CASE WHEN doc_id % 2 = 0
+                THEN '<script type="text/javascript">var x = 1 < 2 && "a";
+</script>' ELSE '' END
+        || CASE WHEN doc_id % 3 = 0
+                THEN '<style>.c { color: red; }</style>' ELSE '' END
+        || '</head><body class="main" data-id="' || CAST(doc_id AS STRING)
+        || '"><!-- comment ' || CAST(doc_id AS STRING) || ' --><h1>T&amp;C</h1>
+<p>' || text || ' &lt;fin&gt; &#65;&#x42;</p></body></html>
+        '
+        """
+    )
+    # order matters: script/style/comments out first (their content
+    # may contain '<'), then tags, then entities, then whitespace —
+    # one nested codegen expression, shared verbatim with the oracle
+    extracted = (
+        docs.select("doc_id", html.alias("t"))
+        .select(
+            "doc_id",
+            F.expr(
+                """
+            trim(regexp_replace(
+              replace(replace(replace(replace(replace(replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(t, '(?is)<script\\\\b[^>]*>.*?</script>', ' '),
+                      '(?is)<style\\\\b[^>]*>.*?</style>', ' '),
+                    '(?s)<!--.*?-->', ' '),
+                  '<[^>]+>', ' '),
+                '&#65;', 'A'), '&#x42;', 'B'),
+                '&lt;', '<'), '&gt;', '>'),
+                '&quot;', '"'), '&amp;', '&'),
+              '\\\\s+', ' '))
+            """
+            ).alias("extracted"),
+        )
+    )
+    return extracted.select(
+        "doc_id",
+        F.md5("extracted").alias("text_md5"),
+        F.length("extracted").cast("long").alias("n_chars"),
+        F.substring("extracted", 1, 24).alias("head"),
+    )
+
+
+_HTML_EXTRACT_SQL = """
+WITH raw AS (
+    SELECT doc_id,
+           '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+           || '</title>'
+           || CASE WHEN doc_id % 2 = 0
+                   THEN '<script type="text/javascript">var x = 1 < 2 && "a";
+</script>' ELSE '' END
+           || CASE WHEN doc_id % 3 = 0
+                   THEN '<style>.c { color: red; }</style>' ELSE '' END
+           || '</head><body class="main" data-id="' || CAST(doc_id AS VARCHAR)
+           || '"><!-- comment ' || CAST(doc_id AS VARCHAR) || ' --><h1>T&amp;C</h1>
+<p>' || text || ' &lt;fin&gt; &#65;&#x42;</p></body></html>
+        ' AS t
+    FROM documents
+),
+extracted AS (
+    SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(t, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                 '<[^>]+>', ' ', 'g'),
+               '&#65;', 'A'), '&#x42;', 'B'),
+               '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&amp;', '&'),
+             '\\s+', ' ', 'g')) AS extracted
+    FROM raw
+)
+SELECT doc_id, md5(extracted) AS text_md5,
+       CAST(len(extracted) AS BIGINT) AS n_chars,
+       substr(extracted, 1, 24) AS head
+FROM extracted
+"""
+
+
 def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing — the redaction pass run before any corpus ships:
     count and redact email addresses and URLs per document, emitting
@@ -4441,6 +4548,7 @@ QUERIES = {
     "decontam_ngram": decontam_ngram,
     "text_repetition": text_repetition,
     "text_scrub_pii": text_scrub_pii,
+    "text_html_extract": text_html_extract,
     "mixture_sample_temperature": mixture_sample_temperature,
     "dedup_paragraph": dedup_paragraph,
     "quality_lm_score": quality_lm_score,
@@ -4492,6 +4600,7 @@ ORACLE = {
     "decontam_ngram": _DECONTAM_SQL,
     "text_repetition": _TEXT_REPETITION_SQL,
     "text_scrub_pii": _TEXT_SCRUB_SQL,
+    "text_html_extract": _HTML_EXTRACT_SQL,
     "mixture_sample_temperature": _MIXTURE_SQL,
     "dedup_paragraph": _DEDUP_PARAGRAPH_SQL,
     "quality_lm_score": _LM_SCORE_SQL,
