@@ -662,3 +662,61 @@ def test_concave_overlay_1m_cells(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@slow
+def test_substring_spans_200k_docs_planted(spark, tmp_path):
+    """200k docs, a 12-token boilerplate run planted into every 100th
+    doc (plus unique filler): exact-substring span accounting must flag
+    exactly the planted docs with exactly the planted span length, and
+    no other doc — the corpus-wide window-count join stays an equi
+    join (no cartesian)."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        _SUBSTR_K,
+        dedup_substring_spans,
+    )
+
+    n = 200_000
+    boiler = " ".join(f"b{i}" for i in range(12))  # 12-token shared run
+    docs = (
+        spark.range(n)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 100 == 0,
+                F.concat(
+                    F.lit(boiler + " "),
+                    F.concat_ws(
+                        " ",
+                        *[
+                            F.concat(F.lit(f"u{k}x"), F.col("doc_id"))
+                            for k in range(10)
+                        ],
+                    ),
+                ),
+            ).otherwise(
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(F.lit(f"w{k}x"), F.col("doc_id"))
+                        for k in range(22)
+                    ],
+                )
+            ),
+        )
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = dedup_substring_spans(spark, str(tmp_path))
+    flagged = out.filter(F.col("dup_tokens") > 0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = flagged.collect()
+    assert len(rows) == n // 100
+    for r in rows:
+        assert r.doc_id % 100 == 0
+        assert r.dup_tokens == 12  # exactly the boilerplate span
+        assert r.n_tokens == 22
+    spark.catalog.clearCache()
