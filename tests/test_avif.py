@@ -24,7 +24,9 @@ needs_libavif = pytest.mark.skipif(
 
 
 def _encode_avif(rgba: np.ndarray, quality_speed: int = 10) -> bytes:
-    lib = ctypes.CDLL("libavif.so.15")
+    import wrf_to_geodataframe_spark.sources.avif as A
+
+    lib = A._LIB  # the same handle the production gate loaded
     lib.avifImageCreate.restype = ctypes.c_void_p
     lib.avifEncoderCreate.restype = ctypes.c_void_p
     h, w = rgba.shape[:2]
@@ -97,7 +99,9 @@ def test_avif_420_subsampling():
     libaom rejects the monochrome alpha encode with
     AVIF_RESULT_ENCODE_ALPHA_FAILED, an encoder-build limitation —
     alpha DECODE goes through the same avifImageYUVToRGB call.)"""
-    lib = ctypes.CDLL("libavif.so.15")
+    import wrf_to_geodataframe_spark.sources.avif as A
+
+    lib = A._LIB  # the same handle the production gate loaded
     lib.avifImageCreate.restype = ctypes.c_void_p
     lib.avifEncoderCreate.restype = ctypes.c_void_p
     h, w = 20, 28
@@ -136,7 +140,9 @@ def test_avif_10bit_decodes_to_8bit_rgba():
     """High-bit-depth AVIF (10-bit, the common HDR web flavor): the
     binding requests 8-bit RGBA and libavif performs the depth
     conversion — output must track the 10->8 downshift."""
-    lib = ctypes.CDLL("libavif.so.15")
+    import wrf_to_geodataframe_spark.sources.avif as A
+
+    lib = A._LIB  # the same handle the production gate loaded
     lib.avifImageCreate.restype = ctypes.c_void_p
     lib.avifEncoderCreate.restype = ctypes.c_void_p
     w, h = 24, 16

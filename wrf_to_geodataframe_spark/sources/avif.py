@@ -34,19 +34,35 @@ class _RWData(ctypes.Structure):
                 ("size", ctypes.c_size_t)]
 
 
+_RGB_FIELDS_COMMON = [
+    ("width", ctypes.c_uint32), ("height", ctypes.c_uint32),
+    ("depth", ctypes.c_uint32), ("format", ctypes.c_int),
+    ("chromaUpsampling", ctypes.c_int),
+    ("chromaDownsampling", ctypes.c_int),
+    ("avoidLibYUV", ctypes.c_int), ("ignoreAlpha", ctypes.c_int),
+    ("alphaPremultiplied", ctypes.c_int), ("isFloat", ctypes.c_int),
+]
+_RGB_FIELDS_TAIL = [
+    ("pixels", ctypes.POINTER(ctypes.c_uint8)),
+    ("rowBytes", ctypes.c_uint32),
+]
+
+
 class _RGBImage(ctypes.Structure):
-    # leading fields of avifRGBImage (v0.11/v1.x); always initialized
-    # via avifRGBImageSetDefaults before use
-    _fields_ = [
-        ("width", ctypes.c_uint32), ("height", ctypes.c_uint32),
-        ("depth", ctypes.c_uint32), ("format", ctypes.c_int),
-        ("chromaUpsampling", ctypes.c_int),
-        ("chromaDownsampling", ctypes.c_int),
-        ("avoidLibYUV", ctypes.c_int), ("ignoreAlpha", ctypes.c_int),
-        ("alphaPremultiplied", ctypes.c_int), ("isFloat", ctypes.c_int),
-        ("pixels", ctypes.POINTER(ctypes.c_uint8)),
-        ("rowBytes", ctypes.c_uint32),
-    ]
+    """avifRGBImage, v0.11 layout."""
+
+    _fields_ = _RGB_FIELDS_COMMON + _RGB_FIELDS_TAIL
+
+
+class _RGBImageV1(ctypes.Structure):
+    """avifRGBImage, v1.x layout — adds ``maxThreads`` before the
+    pixel pointer."""
+
+    _fields_ = (
+        _RGB_FIELDS_COMMON
+        + [("maxThreads", ctypes.c_int)]
+        + _RGB_FIELDS_TAIL
+    )
 
 
 _AVIF_RGBA = 1  # avifRGBFormat AVIF_RGB_FORMAT_RGBA
@@ -59,19 +75,29 @@ def _load():
             continue
         try:
             lib = ctypes.CDLL(name)
-        except OSError:
+            lib.avifDecoderCreate.restype = ctypes.c_void_p
+            lib.avifImageCreateEmpty.restype = ctypes.c_void_p
+            lib.avifDecoderReadMemory.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.c_size_t,
+            ]
+            lib.avifVersion.restype = ctypes.c_char_p
+            ver = lib.avifVersion().decode("ascii", "replace")
+        except (OSError, AttributeError):
+            # a library missing any needed symbol must degrade to the
+            # triage gate, never break import for every codec
             continue
-        lib.avifDecoderCreate.restype = ctypes.c_void_p
-        lib.avifImageCreateEmpty.restype = ctypes.c_void_p
-        lib.avifDecoderReadMemory.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_char_p,
-            ctypes.c_size_t,
-        ]
-        return lib
-    return None
+        major = ver.split(".", 1)[0]
+        if major == "0":
+            return lib, _RGBImage
+        if major == "1":
+            return lib, _RGBImageV1
+        # unknown future ABI: refuse rather than risk a wrong struct
+        continue
+    return None, None
 
 
-_LIB = _load()
+_LIB, _RGB_STRUCT = _load()
 
 
 def libavif_present() -> bool:
@@ -79,7 +105,15 @@ def libavif_present() -> bool:
 
 
 def is_avif(data: bytes) -> bool:
-    return len(data) > 12 and data[4:12] in (b"ftypavif", b"ftypavis")
+    """Matches ``avif_info``'s brand acceptance: avif/avis majors, or
+    an HEIF 'mif1' major that lists avif among its compatible brands
+    (a common encoder/muxer output)."""
+    if len(data) <= 16 or data[4:8] != b"ftyp":
+        return False
+    brand = data[8:12]
+    if brand in (b"avif", b"avis"):
+        return True
+    return brand == b"mif1" and b"avif" in data[12:64]
 
 
 def decode_avif(data: bytes) -> tuple[int, int, int, bytes]:
@@ -107,7 +141,7 @@ def decode_avif(data: bytes) -> tuple[int, int, int, bytes]:
                 "libavif dimensions disagree with container triage — "
                 "refusing (possible ABI drift)"
             )
-        rgb = _RGBImage()
+        rgb = _RGB_STRUCT()
         _LIB.avifRGBImageSetDefaults(ctypes.byref(rgb), ctypes.c_void_p(img))
         rgb.format = _AVIF_RGBA
         rgb.depth = 8

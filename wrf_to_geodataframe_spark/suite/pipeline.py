@@ -4463,10 +4463,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "n_tokens")
         .agg(F.sum("span_len").alias("dup_tokens"))
     )
-    base = docs.select(
-        "doc_id",
-        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
-    )
+    base = toked.select("doc_id", "n_tokens")
     return base.join(per_doc, ["doc_id", "n_tokens"], "left").select(
         "doc_id",
         "n_tokens",
