@@ -106,3 +106,41 @@ def test_dispatch_includes_bmp_and_pnm(spark):
     got = {r.doc_id: r for r in decode_images(df).collect()}
     assert bytes(got[0].pixels) == px and got[0].channels == 3
     assert bytes(got[1].pixels) == px and got[1].channels == 3
+
+
+def test_hypothesis_round_trip_fuzz():
+    """Property: any pixel buffer round-trips through the BMP codec —
+    RGB (row padding, bottom-up and top-down) and paletted 8-bit with
+    and without RLE8."""
+    from hypothesis import given, settings, strategies as st
+
+    from wrf_to_geodataframe_spark.sources.bmp import decode_bmp, encode_bmp
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(1, 23), st.integers(1, 11),
+        st.sampled_from(["rgb", "pal", "rle"]), st.booleans(),
+        st.randoms(use_true_random=False),
+    )
+    def prop(w, h, kind, top_down, rnd):
+        if kind == "rgb":
+            px = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+            blob = encode_bmp(px, w, h, 3, top_down=top_down)
+            assert decode_bmp(blob) == (w, h, 3, px)
+            return
+        ncol = rnd.randrange(2, 17)
+        pal = [tuple(rnd.randrange(256) for _ in range(3)) for _ in range(ncol)]
+        if kind == "rle":
+            # runs make RLE8 meaningful
+            idx = bytearray()
+            while len(idx) < w * h:
+                idx += bytes([rnd.randrange(ncol)]) * rnd.randrange(1, 9)
+            idx = bytes(idx[: w * h])
+        else:
+            idx = bytes(rnd.randrange(ncol) for _ in range(w * h))
+        blob = encode_bmp(idx, w, h, palette=pal,
+                          rle=(kind == "rle"), top_down=top_down and kind != "rle")
+        want = b"".join(bytes(pal[i]) for i in idx)
+        assert decode_bmp(blob) == (w, h, 3, want)
+
+    prop()

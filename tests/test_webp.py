@@ -584,3 +584,29 @@ def test_animated_webp_lossy_frame():
     (f,) = webp_frames(anim)
     assert (f["width"], f["height"], f["channels"]) == (still_w, still_h, 3)
     assert f["pixels"] == still_px
+
+
+def test_hypothesis_vp8l_round_trip_fuzz():
+    """Property: any RGBA buffer round-trips through the VP8L
+    encoder/decoder, with and without subtract-green (completing the
+    GIF/TIFF/PNG/WAV fuzz discipline for the lossless WebP codec)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(1, 21), st.integers(1, 13), st.booleans(),
+        st.randoms(use_true_random=False),
+    )
+    def prop(w, h, sub_green, rnd):
+        kind = rnd.randrange(3)
+        if kind == 0:  # noise
+            px = bytes(rnd.randrange(256) for _ in range(w * h * 4))
+        elif kind == 1:  # few colors (cache/LZ77 territory)
+            pal = [bytes(rnd.randrange(256) for _ in range(4)) for _ in range(3)]
+            px = b"".join(pal[rnd.randrange(3)] for _ in range(w * h))
+        else:  # constant
+            px = bytes([rnd.randrange(256)] * 4) * (w * h)
+        blob = encode_webp(px, w, h, subtract_green=sub_green)
+        assert decode_webp(blob) == (w, h, 4, px)
+
+    prop()
