@@ -642,3 +642,49 @@ def test_concave_shapefile_boundary_end_to_end(spark, tmp_path):
     # spot values: full base cell, prong cell
     base_cell = {cid for cid in got if (cid % 8 - 1, cid // 8 - 1) == (2, 0)}
     assert base_cell and abs(got[base_cell.pop()] - 1.0) < 1e-9
+
+
+def test_hypothesis_netcdf_round_trip_fuzz(tmp_path):
+    """Property: random dim/variable layouts (mixed dtypes, 1-3 dims,
+    odd sizes that exercise the 4-byte record alignment) round-trip
+    through the NetCDF-3 writer/reader."""
+    from hypothesis import given, settings, strategies as st
+
+    from wrf_to_geodataframe_spark.sources.netcdf import (
+        read_netcdf,
+        write_netcdf,
+    )
+
+    counter = [0]
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 3), st.randoms(use_true_random=False))
+    def prop(ndims, rnd):
+        rng = np.random.default_rng(rnd.randrange(2**31))
+        dims = {f"d{i}": rnd.randrange(1, 6) for i in range(ndims)}
+        names = list(dims)
+        variables = {}
+        for v in range(rnd.randrange(1, 4)):
+            vdims = names[: rnd.randrange(1, ndims + 1)]
+            shape = tuple(dims[d] for d in vdims)
+            dt = rnd.choice(["float64", "float32", "int32", "int16", "int8"])
+            if dt.startswith("float"):
+                data = rng.standard_normal(shape).astype(dt)
+            else:
+                info = np.iinfo(dt)
+                data = rng.integers(
+                    info.min, info.max, shape, dtype=dt
+                )
+            variables[f"v{v}"] = {"dims": list(vdims), "data": data}
+        counter[0] += 1
+        path = str(tmp_path / f"fz{counter[0]}.nc")
+        write_netcdf(path, dims, variables)
+        ds = read_netcdf(path)
+        assert ds["dims"] == dims
+        for name, spec in variables.items():
+            got = ds["variables"][name]
+            assert got["dims"] == spec["dims"]
+            np.testing.assert_array_equal(got["data"], spec["data"])
+            assert got["data"].dtype == spec["data"].dtype
+
+    prop()
