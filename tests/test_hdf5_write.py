@@ -1,0 +1,178 @@
+"""S4 NetCDF-4/HDF5 sink (``sources/hdf5_write.py``): the reference's
+default ``to_netcdf`` format (delphine/regrid.py:330), closing the
+read/write asymmetry of VERDICT r7 item #2.
+
+Validation: round-trip through the repo's own from-scratch HDF5 reader
+(dims, dtypes, values, attributes, dimension-scale wiring), metadata
+parity with the classic NetCDF-3 writer for the same logical dataset,
+the distributed directory source over a mixed NetCDF-3/NetCDF-4 dir,
+and — when h5py / netCDF4-python exist in the environment — the
+cross-library interop check (skipped cleanly otherwise; the codec
+discipline of tests/test_hdf5.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from wrf_to_geodataframe_spark.sources.hdf5 import read_hdf5, read_netcdf_any
+from wrf_to_geodataframe_spark.sources.hdf5_write import write_netcdf4
+from wrf_to_geodataframe_spark.sources.netcdf import write_netcdf
+
+
+def _dataset():
+    rng = np.random.default_rng(11)
+    t2 = rng.normal(280.0, 5.0, (4, 6, 5)).astype(np.float32)
+    lat2d = np.linspace(50.0, 53.0, 30).reshape(6, 5)
+    lon2d = np.linspace(-4.0, -1.0, 30).reshape(6, 5)
+    xs = np.arange(5, dtype=np.float64) * 1000.0
+    counts = rng.integers(-100, 100, (6, 5)).astype(np.int16)
+    dims = {"t": 4, "y": 6, "x": 5}
+    variables = {
+        "T2": {
+            "dims": ["t", "y", "x"],
+            "data": t2,
+            "attrs": {"units": "K", "scale_factor": 1.0, "valid_min": -50},
+        },
+        "XLAT": {"dims": ["y", "x"], "data": lat2d},
+        "XLONG": {"dims": ["y", "x"], "data": lon2d},
+        "x": {"dims": ["x"], "data": xs, "attrs": {"units": "m"}},
+        "counts": {"dims": ["y", "x"], "data": counts},
+    }
+    return dims, variables
+
+
+def test_round_trip_through_own_reader(tmp_path):
+    dims, variables = _dataset()
+    p = str(tmp_path / "out.nc")
+    write_netcdf4(p, dims, variables, attrs={"title": "wrf regrid"})
+    ds = read_hdf5(p)
+    # dims: every declared dimension, sized correctly (y/t are "pure"
+    # dimensions -> phony scales; x has a coordinate variable)
+    assert ds["dims"] == dims
+    # phony scales do not surface as variables; the coordinate var does
+    assert set(ds["variables"]) == {"T2", "XLAT", "XLONG", "x", "counts"}
+    for name, spec in variables.items():
+        got = ds["variables"][name]["data"]
+        np.testing.assert_array_equal(got, spec["data"])
+        assert got.dtype == np.asarray(spec["data"]).dtype
+    # dimension names resolved through DIMENSION_LIST object refs
+    assert ds["variables"]["T2"]["dims"] == ["t", "y", "x"]
+    assert ds["variables"]["counts"]["dims"] == ["y", "x"]
+    assert ds["variables"]["x"]["dims"] == ["x"]
+    assert ds["attrs"]["title"] == "wrf regrid"
+    a = ds["variables"]["T2"]["attrs"]
+    assert a["units"] == "K"
+    assert float(a["scale_factor"]) == 1.0
+    assert int(a["valid_min"]) == -50
+    assert ds["variables"]["x"]["attrs"]["CLASS"] == "DIMENSION_SCALE"
+
+
+def test_metadata_parity_with_classic_writer(tmp_path):
+    """The SAME logical dataset written classic and NetCDF-4 must read
+    back with identical dims / variable sets / per-variable dim names
+    (the symmetric twin of test_dimension_list_names_match_netcdf3)."""
+    v = np.arange(6, dtype=np.float64).reshape(2, 3)
+    x_coord = np.array([10.0, 20.0, 30.0])
+    dims = {"y": 2, "x": 3}
+    variables = {
+        "v": {"dims": ["y", "x"], "data": v},
+        "x": {"dims": ["x"], "data": x_coord},
+    }
+    p3 = str(tmp_path / "classic.nc")
+    p4 = str(tmp_path / "nc4.nc")
+    write_netcdf(p3, dims, variables)
+    write_netcdf4(p4, dims, variables)
+    d3 = read_netcdf_any(p3)
+    d4 = read_netcdf_any(p4)
+    assert d3["dims"] == d4["dims"] == dims
+    assert set(d3["variables"]) == set(d4["variables"])
+    for n in d3["variables"]:
+        assert list(d3["variables"][n]["dims"]) == list(
+            d4["variables"][n]["dims"]
+        )
+        np.testing.assert_array_equal(
+            d3["variables"][n]["data"], d4["variables"][n]["data"]
+        )
+
+
+def test_numeric_and_array_attributes_round_trip(tmp_path):
+    p = str(tmp_path / "a.nc")
+    write_netcdf4(
+        p,
+        dims={"x": 3},
+        variables={
+            "v": {
+                "dims": ["x"],
+                "data": np.array([1.0, 2.0, 3.0]),
+                "attrs": {
+                    "_FillValue": np.float64(-9999.0),
+                    "valid_range": np.array([0.0, 100.0]),
+                    "levels": np.array([1, 2, 3], dtype=np.int32),
+                },
+            }
+        },
+    )
+    a = read_hdf5(p)["variables"]["v"]["attrs"]
+    assert float(a["_FillValue"]) == -9999.0
+    np.testing.assert_array_equal(a["valid_range"], [0.0, 100.0])
+    np.testing.assert_array_equal(a["levels"], [1, 2, 3])
+
+
+def test_rejects_mismatched_dims():
+    with pytest.raises(ValueError, match="dim 'x' is 3"):
+        write_netcdf4(
+            "/dev/null",
+            dims={"x": 3},
+            variables={"v": {"dims": ["x"], "data": np.zeros(4)}},
+        )
+
+
+def test_distributed_dir_reads_nc4_written_files(spark, tmp_path):
+    """write_netcdf4 output flows through the distributed S1 source
+    alongside classic files — the full sink->archive->scan loop."""
+    from wrf_to_geodataframe_spark.sources.netcdf import read_netcdf_dir
+
+    lat = np.linspace(50.0, 51.0, 6).reshape(2, 3)
+    lon = np.linspace(-1.0, 0.0, 6).reshape(2, 3)
+    va = np.arange(6, dtype=np.float64).reshape(2, 3)
+    vb = va * 10.0
+    write_netcdf4(
+        str(tmp_path / "a.nc"),
+        dims={"y": 2, "x": 3},
+        variables={
+            "T2": {"dims": ["y", "x"], "data": va},
+            "XLAT": {"dims": ["y", "x"], "data": lat},
+            "XLONG": {"dims": ["y", "x"], "data": lon},
+        },
+    )
+    write_netcdf(
+        str(tmp_path / "b.nc"),
+        dims={"y": 2, "x": 3},
+        variables={
+            "T2": {"dims": ("y", "x"), "data": vb},
+            "XLAT": {"dims": ("y", "x"), "data": lat},
+            "XLONG": {"dims": ("y", "x"), "data": lon},
+        },
+    )
+    rows = read_netcdf_dir(
+        spark, str(tmp_path), "T2", "XLAT", "XLONG"
+    ).collect()
+    assert len(rows) == 12
+    for r in rows:
+        src = va if r.file.endswith("a.nc") else vb
+        assert r.value == src[r.y_idx, r.x_idx]
+
+
+def test_interop_with_system_hdf5_libraries(tmp_path):
+    """Cross-library check: h5py / netCDF4-python read our output.
+    Skipped when neither library exists (this container); runs — and
+    must pass — anywhere they do."""
+    h5py = pytest.importorskip("h5py")
+    dims, variables = _dataset()
+    p = str(tmp_path / "interop.nc")
+    write_netcdf4(p, dims, variables, attrs={"title": "t"})
+    with h5py.File(p, "r") as f:
+        assert set(f.keys()) >= {"T2", "XLAT", "XLONG", "x", "counts"}
+        np.testing.assert_array_equal(f["T2"][...], variables["T2"]["data"])
+        assert f.attrs["title"] in (b"t", "t")

@@ -844,6 +844,13 @@ def read_hdf5(path: str) -> dict:
     resolvable DIMENSION_LIST fall back to the shape tuple (sizes)."""
     with open(path, "rb") as fh:
         buf = fh.read()
+    return read_hdf5_bytes(buf)
+
+
+def read_hdf5_bytes(buf: bytes) -> dict:
+    """``read_hdf5`` over an in-memory buffer (executor-side entry of
+    the distributed many-file source, sources/netcdf.py
+    ``read_netcdf_dir``)."""
     f = _Hdf5File(buf)
     root_attrs: dict = {}
     for mtype, body, _size in f.messages(f.root_header):
@@ -888,11 +895,18 @@ def read_netcdf_any(path: str) -> dict:
     """Dispatch on magic bytes: NetCDF classic (CDF-1/2) -> the
     ``sources/netcdf.py`` parser; HDF5 -> this one (NetCDF-4)."""
     with open(path, "rb") as fh:
-        magic = fh.read(8)
-    if magic[:3] == b"CDF":
-        from wrf_to_geodataframe_spark.sources.netcdf import read_netcdf
+        buf = fh.read()
+    return read_netcdf_any_bytes(buf, name=path)
 
-        return read_netcdf(path)
-    if magic == _SIG:
-        return read_hdf5(path)
-    raise ValueError(f"{path}: neither NetCDF classic nor HDF5")
+
+def read_netcdf_any_bytes(buf: bytes, name: str = "<bytes>") -> dict:
+    """``read_netcdf_any`` over an in-memory buffer."""
+    if buf[:3] == b"CDF":
+        from wrf_to_geodataframe_spark.sources.netcdf import (
+            read_netcdf_bytes,
+        )
+
+        return read_netcdf_bytes(buf, name=name)
+    if buf[:8] == _SIG:
+        return read_hdf5_bytes(buf)
+    raise ValueError(f"{name}: neither NetCDF classic nor HDF5")

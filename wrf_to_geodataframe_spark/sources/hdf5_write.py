@@ -1,0 +1,264 @@
+"""NetCDF-4/HDF5 sink (SURVEY.md §2 S4; the reference's ``to_netcdf``
+at delphine/regrid.py:330 writes NetCDF-4/HDF5 by default — this
+module closes the read/write asymmetry flagged in VERDICT r7 item #2:
+the classic writer at sources/netcdf.py covers CDF-1 only).
+
+Pure-python/numpy writer of the exact HDF5 subset the companion reader
+(sources/hdf5.py) parses, laid out the way netcdf-c's libhdf5 output
+is structured so real tooling (h5py / netCDF4-python, when present)
+opens the files too:
+
+- superblock v0 (8-byte offsets/lengths, leaf/internal K = 4/16),
+  v1 object headers, symbol-table root group (v1 group B-tree + local
+  heap + SNOD, names sorted, empty-string low key);
+- one CONTIGUOUS dataset per variable (sinks are small by design —
+  the re-densified C3 result grid — so chunking/compression is the
+  reader's problem, not the writer's);
+- the netCDF-4 dimension-scale convention: every dimension is a 1-D
+  dataset with ``CLASS = "DIMENSION_SCALE"``; a dimension with a
+  coordinate variable carries its values and ``NAME = <dim>``, a pure
+  dimension gets netcdf-c's placeholder ``NAME`` sentinel; data
+  variables carry a ``DIMENSION_LIST`` attribute of
+  vlen-of-object-reference hvl_t elements resolved through a global
+  heap collection (GCOL) — the same encoding the reader resolves at
+  sources/hdf5.py:261-303.
+
+All structures used are v1 (no checksummed v2 B-trees / fractal
+heaps), so a byte-exact layout is fully determined by the inputs —
+writes are deterministic.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_UNDEF = 0xFFFFFFFFFFFFFFFF
+_PHONY = "This is a netCDF dimension but not a netCDF variable."
+
+
+def _pad8(b: bytes) -> bytes:
+    return b + b"\x00" * (-len(b) % 8)
+
+
+def _msg(mtype: int, body: bytes) -> bytes:
+    body = _pad8(body)
+    return struct.pack("<HHB3x", mtype, len(body), 0) + body
+
+
+def _object_header(messages: list[bytes]) -> bytes:
+    blob = b"".join(messages)
+    return struct.pack("<BxHII4x", 1, len(messages), 1, len(blob)) + blob
+
+
+def _dataspace(shape: tuple[int, ...]) -> bytes:
+    if not shape:
+        return struct.pack("<BBB5x", 1, 0, 0)  # scalar
+    return struct.pack("<BBB5x", 1, len(shape), 0) + b"".join(
+        struct.pack("<Q", s) for s in shape
+    )
+
+
+def _datatype(dtype: np.dtype) -> bytes:
+    """v1 datatype message for a little-endian numeric numpy dtype."""
+    dtype = dtype.newbyteorder("<")
+    size = dtype.itemsize
+    if dtype.kind == "f":
+        # class 1 float, IEEE 754 little-endian bit layout
+        if size == 8:
+            props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+            bits = (0x20, 0x3F, 0x00)
+        elif size == 4:
+            props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
+            bits = (0x20, 0x1F, 0x00)
+        else:
+            raise ValueError(f"unsupported float size {size}")
+        return struct.pack("<BBBBI", 0x11, *bits, size) + props
+    if dtype.kind in "iu":
+        signed = 0x08 if dtype.kind == "i" else 0x00
+        return struct.pack("<BBBBI", 0x10, signed, 0, 0, size) + struct.pack(
+            "<HH", 0, size * 8
+        )
+    raise ValueError(f"unsupported dtype kind {dtype.kind!r}")
+
+
+def _dt_string(size: int) -> bytes:
+    return struct.pack("<BBBBI", 0x13, 0, 0, 0, size)
+
+
+def _attribute(name: str, value) -> bytes:
+    """v1 attribute message: fixed null-terminated string, numeric
+    scalar (int -> int32, float -> float64, numpy scalar -> itself),
+    or 1-D numeric array values."""
+    nm = name.encode() + b"\x00"
+    if isinstance(value, str):
+        val = value.encode() + b"\x00"
+        dt = _dt_string(len(val))
+        ds = _dataspace(())
+        raw = val
+    else:
+        if isinstance(value, (int, np.integer)) and not isinstance(
+            value, np.generic
+        ):
+            arr = np.array(value, dtype="<i4")
+        elif isinstance(value, float):
+            arr = np.array(value, dtype="<f8")
+        else:
+            arr = np.asarray(value)
+            arr = arr.astype(arr.dtype.newbyteorder("<"))
+        dt = _datatype(arr.dtype)
+        ds = _dataspace(arr.shape)
+        raw = arr.tobytes()
+    body = struct.pack("<BxHHH", 1, len(nm), len(dt), len(ds))
+    return body + _pad8(nm) + _pad8(dt) + _pad8(ds) + raw
+
+
+class _Hdf5Builder:
+    def __init__(self):
+        self.buf = bytearray(96)  # superblock v0 placeholder
+        self.headers: dict[str, int] = {}  # dataset name -> header addr
+
+    def _alloc(self, b: bytes) -> int:
+        addr = len(self.buf)
+        self.buf += b
+        return addr
+
+    def _dimension_list(self, scale_addrs: list[int]) -> bytes:
+        """DIMENSION_LIST attribute message: one global heap object per
+        referenced scale (holding its object-header address), values a
+        rank-1 array of hvl_t (count, GCOL address, object index)."""
+        objs = b""
+        for i, addr in enumerate(scale_addrs, 1):
+            objs += struct.pack("<HHIQ", i, 1, 0, 8) + struct.pack("<Q", addr)
+        tail = 16  # free-space object (index 0)
+        size = 16 + len(objs) + tail
+        gcol = self._alloc(
+            b"GCOL"
+            + struct.pack("<B3xQ", 1, size)
+            + objs
+            + struct.pack("<HHIQ", 0, 0, 0, tail)
+        )
+        nm = b"DIMENSION_LIST\x00"
+        ref = struct.pack("<BBBBI", 0x17, 0, 0, 0, 8)  # class 7 object ref
+        dt = struct.pack("<BBBBI", 0x19, 0, 0, 0, 16) + ref  # class 9 vlen
+        ds = _dataspace((len(scale_addrs),))
+        val = b"".join(
+            struct.pack("<IQI", 1, gcol, i + 1)
+            for i in range(len(scale_addrs))
+        )
+        body = struct.pack("<BxHHH", 1, len(nm), len(dt), len(ds))
+        return _msg(0x000C, body + _pad8(nm) + _pad8(dt) + _pad8(ds) + val)
+
+
+def write_netcdf4(
+    path: str,
+    dims: dict[str, int],
+    variables: dict[str, dict],
+    attrs: dict | None = None,
+) -> None:
+    """Write a NetCDF-4 (HDF5) file with fixed-size contiguous
+    variables — the same call shape as ``write_netcdf`` (classic).
+
+    ``variables``: name -> {dims: [names], data: numpy array,
+    attrs: optional {str: str|int|float|array}}.  A variable named
+    like a dimension and 1-D over it becomes that dimension's
+    coordinate scale; dimensions without one get netcdf-c's
+    placeholder scale.  ``attrs`` become root-group (global)
+    attributes."""
+    b = _Hdf5Builder()
+    dim_order = list(dims)
+
+    def _write_dataset(name: str, arr: np.ndarray, msgs_extra: list[bytes]):
+        arr = np.ascontiguousarray(arr)
+        arr = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
+        data_addr = b._alloc(arr.tobytes())
+        msgs = [
+            _msg(0x0001, _dataspace(arr.shape)),
+            _msg(0x0003, _datatype(arr.dtype)),
+            _msg(0x0008, struct.pack("<BBQQ", 3, 1, data_addr, arr.nbytes)),
+        ]
+        msgs += msgs_extra
+        b.headers[name] = b._alloc(_object_header(msgs))
+
+    # 1) dimension scales first (DIMENSION_LIST needs their addresses)
+    for i, dname in enumerate(dim_order):
+        size = dims[dname]
+        spec = variables.get(dname)
+        is_coord = (
+            spec is not None
+            and list(spec["dims"]) == [dname]
+            and np.asarray(spec["data"]).ndim == 1
+        )
+        if is_coord:
+            data = np.asarray(spec["data"])
+            name_attr = dname
+        else:
+            data = np.zeros(size, dtype="<f4")
+            name_attr = f"{_PHONY} {size:10d}"
+        scale_attrs = [
+            _msg(0x000C, _attribute("CLASS", "DIMENSION_SCALE")),
+            _msg(0x000C, _attribute("NAME", name_attr)),
+            _msg(0x000C, _attribute("_Netcdf4Dimid", np.int32(i))),
+        ]
+        if is_coord:
+            for k, v in spec.get("attrs", {}).items():
+                scale_attrs.append(_msg(0x000C, _attribute(k, v)))
+        _write_dataset(dname, data, scale_attrs)
+
+    # 2) data variables, each with a DIMENSION_LIST over its scales
+    for name, spec in variables.items():
+        if name in b.headers:
+            continue  # coordinate variable already written as a scale
+        arr = np.asarray(spec["data"])
+        vdims = list(spec["dims"])
+        if arr.ndim != len(vdims):
+            raise ValueError(f"{name}: rank {arr.ndim} != dims {vdims}")
+        for d, s in zip(vdims, arr.shape):
+            if d not in dims:
+                raise ValueError(f"{name}: unknown dimension {d!r}")
+            if dims[d] != s:
+                raise ValueError(
+                    f"{name}: dim {d!r} is {dims[d]}, data axis is {s}"
+                )
+        extra = [
+            _msg(0x000C, _attribute(k, v))
+            for k, v in spec.get("attrs", {}).items()
+        ]
+        extra.append(b._dimension_list([b.headers[d] for d in vdims]))
+        _write_dataset(name, arr, extra)
+
+    # 3) root group: local heap + SNOD + v1 group B-tree, names sorted
+    names = sorted(b.headers)
+    heap_data = bytearray(8)  # offset 0 = the empty string (low key)
+    name_off = {}
+    for n in names:
+        name_off[n] = len(heap_data)
+        heap_data += n.encode() + b"\x00"
+        heap_data += b"\x00" * (-len(heap_data) % 8)
+    heap_data_addr = b._alloc(bytes(heap_data))
+    heap_addr = b._alloc(
+        b"HEAP"
+        + struct.pack("<B3xQQQ", 0, len(heap_data), _UNDEF, heap_data_addr)
+    )
+    snod = bytearray(b"SNOD" + struct.pack("<BxH", 1, len(names)))
+    for n in names:
+        snod += struct.pack("<QQI4x16x", name_off[n], b.headers[n], 0)
+    snod_addr = b._alloc(bytes(snod))
+    tree = b"TREE" + struct.pack("<BBHQQ", 0, 0, 1, _UNDEF, _UNDEF)
+    tree += struct.pack("<QQQ", 0, snod_addr, name_off[names[-1]])
+    tree_addr = b._alloc(tree)
+    root_msgs = [_msg(0x0011, struct.pack("<QQ", tree_addr, heap_addr))]
+    for k, v in (attrs or {}).items():
+        root_msgs.append(_msg(0x000C, _attribute(k, v)))
+    root_addr = b._alloc(_object_header(root_msgs))
+
+    sb = bytearray()
+    sb += b"\x89HDF\r\n\x1a\n"
+    sb += struct.pack("<BBBxBBBxHHI", 0, 0, 0, 0, 8, 8, 4, 16, 0)
+    sb += struct.pack("<QQQQ", 0, _UNDEF, len(b.buf), _UNDEF)
+    sb += struct.pack("<QQI4x", 0, root_addr, 1)  # root STE, cached scratch
+    sb += struct.pack("<QQ", tree_addr, heap_addr)
+    b.buf[: len(sb)] = sb
+    with open(path, "wb") as f:
+        f.write(bytes(b.buf))

@@ -9,9 +9,15 @@ ingest helper unnests a 2-D grid variable into the engine's long-table
 shape with explicit (y_idx, x_idx) keys (C1) — ravel-order alignment
 never leaves this module (SURVEY.md §1.3).
 
-Scale path: one driver-side read is fine for a single model file; a
-directory of files distributes as ``spark.read.format("binaryFile")`` +
-``mapInPandas(parse)`` — same parser, one file per task.
+Scale path: one driver-side read is fine for a single model file
+(``read_netcdf_grid``); a DIRECTORY of files — the real shape of a
+WRF/HadUK archive, one file per timestep/member — distributes via
+``read_netcdf_dir``: ``spark.read.format("binaryFile")`` (one split
+per file; .nc is not block-splittable) + ``mapInPandas`` running the
+same pure-numpy parser inside each executor task, emitting the long
+(file, t_idx, y_idx, x_idx, lat, lon, value) table.  No file content
+ever crosses the driver; at 100 TB the parallelism unit is the file,
+exactly as with WARC archives (sources/warc.py).
 """
 
 from __future__ import annotations
@@ -73,8 +79,15 @@ def read_netcdf(path: str) -> dict:
     variables maps name -> {dims, attrs, data (numpy, native order)}."""
     with open(path, "rb") as f:
         buf = f.read()
+    return read_netcdf_bytes(buf, name=path)
+
+
+def read_netcdf_bytes(buf: bytes, name: str = "<bytes>") -> dict:
+    """``read_netcdf`` over an in-memory buffer — the executor-side
+    entry point of the distributed source (``read_netcdf_dir``), where
+    file content arrives as a ``binaryFile`` row, not a local path."""
     if buf[:3] != b"CDF" or buf[3] not in (1, 2):
-        raise ValueError(f"{path}: not a NetCDF classic (CDF-1/CDF-2) file")
+        raise ValueError(f"{name}: not a NetCDF classic (CDF-1/CDF-2) file")
     cdf2 = buf[3] == 2
     r = _Reader(buf)
     r.pos = 4
@@ -235,25 +248,108 @@ def read_netcdf_grid(
     NetCDF-4/HDF5 files — dispatch on magic bytes (sources/hdf5.py)."""
     from wrf_to_geodataframe_spark.sources.hdf5 import read_netcdf_any
 
+    import pandas as pd
+
     ds = read_netcdf_any(path)
+    frames = list(_unnest_grid(ds, var, lat_var, lon_var, time_index))
+    pdf = pd.concat(frames, ignore_index=True).drop(columns=["t_idx"])
+    return spark.createDataFrame(pdf)
+
+
+def _unnest_grid(ds: dict, var: str, lat_var: str, lon_var: str,
+                 time_index: int | None):
+    """Yield one pandas frame per time slice of ``var`` with columns
+    (t_idx, y_idx, x_idx, lat, lon, value).  2-D variables yield one
+    frame with t_idx 0; 3-D variables yield every record (or just
+    ``time_index`` when given).  Shared by the driver-side
+    ``read_netcdf_grid`` and the executor-side ``read_netcdf_dir``."""
+    import pandas as pd
+
     v = ds["variables"][var]["data"]
-    if time_index is not None and v.ndim == 3:
-        v = v[time_index]  # P3 positional slice at the ingest edge
     lat = ds["variables"][lat_var]["data"]
     lon = ds["variables"][lon_var]["data"]
     if lat.ndim == 1 and lon.ndim == 1:  # rectilinear: broadcast to 2-D
         lon, lat = np.meshgrid(lon, lat)
-    ny, nx = v.shape
+    if v.ndim == 2:
+        slices = [(0, v)]
+    elif time_index is not None:
+        slices = [(time_index, v[time_index])]
+    else:
+        slices = list(enumerate(v))
+    ny, nx = slices[0][1].shape
     yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
-    import pandas as pd
+    y_flat = yy.ravel().astype("int64")
+    x_flat = xx.ravel().astype("int64")
+    lat_flat = lat.ravel().astype("float64")
+    lon_flat = lon.ravel().astype("float64")
+    for t, sl in slices:
+        yield pd.DataFrame(
+            {
+                "t_idx": np.full(ny * nx, t, dtype="int64"),
+                "y_idx": y_flat,
+                "x_idx": x_flat,
+                "lat": lat_flat,
+                "lon": lon_flat,
+                "value": sl.ravel().astype("float64"),
+            }
+        )
 
-    pdf = pd.DataFrame(
-        {
-            "y_idx": yy.ravel().astype("int64"),
-            "x_idx": xx.ravel().astype("int64"),
-            "lat": lat.ravel().astype("float64"),
-            "lon": lon.ravel().astype("float64"),
-            "value": v.ravel().astype("float64"),
-        }
+
+def read_netcdf_dir(
+    spark,
+    path: str,
+    var: str,
+    lat_var: str,
+    lon_var: str,
+    time_index: int | None = None,
+):
+    """Distributed S1 over a DIRECTORY (or glob) of NetCDF files — the
+    100-TB shape of ``xr.open_dataset`` at wrf_voronoi.py:115, where a
+    model archive is thousands of per-timestep ``.nc`` shards.
+
+    ``binaryFile`` scan (one split per file — NetCDF is not
+    block-splittable, matching how such archives shard in practice) ->
+    ``mapInPandas`` Arrow batches, each executor task running the same
+    pure-numpy classic/HDF5 parser (``read_netcdf_any_bytes``) on its
+    files.  Emits the long table
+    (file string, t_idx, y_idx, x_idx, lat, lon, value) — the engine's
+    explicit-keys data model (SURVEY.md §1.1/§1.3) with the source
+    file kept as a column so per-shard provenance survives the unnest.
+    Nothing data-sized ever touches the driver."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
     )
-    return spark.createDataFrame(pdf)
+
+    schema = StructType(
+        [
+            StructField("file", StringType()),
+            StructField("t_idx", LongType()),
+            StructField("y_idx", LongType()),
+            StructField("x_idx", LongType()),
+            StructField("lat", DoubleType()),
+            StructField("lon", DoubleType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    files = spark.read.format("binaryFile").load(path)
+
+    def _batches(it):
+        from wrf_to_geodataframe_spark.sources.hdf5 import (
+            read_netcdf_any_bytes,
+        )
+
+        for pdf in it:
+            for fname, buf in zip(pdf["path"], pdf["content"]):
+                ds = read_netcdf_any_bytes(bytes(buf), name=fname)
+                for frame in _unnest_grid(
+                    ds, var, lat_var, lon_var, time_index
+                ):
+                    frame.insert(0, "file", fname)
+                    yield frame
+
+    return files.select("path", "content").mapInPandas(_batches, schema)
