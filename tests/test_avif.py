@@ -173,3 +173,22 @@ def test_avif_10bit_decodes_to_8bit_rgba():
     got = np.frombuffer(px, np.uint8).reshape(h, w, 4).astype(int)
     want8 = rgba16[..., :3].astype(int) >> 2
     assert np.abs(got[..., :3] - want8).mean() < 4.0
+
+
+def test_is_avif_mif1_brand_scan_bounded_by_ftyp_box():
+    """ADVICE r7: the mif1 compatible-brand scan must stop at the ftyp
+    box boundary — an 'avif' byte-string in the NEXT box is not a
+    brand declaration."""
+    # ftyp box: size 24 = header(8) + major(4) + minor(4) + 2 brands(8)
+    ftyp = (24).to_bytes(4, "big") + b"ftypmif1" + b"\x00\x00\x00\x00"
+    with_brand = ftyp + b"heicavif" + b"\x00" * 16
+    assert __import__(
+        "wrf_to_geodataframe_spark.sources.avif", fromlist=["is_avif"]
+    ).is_avif(with_brand)
+    # same layout, but 'avif' only appears INSIDE the following box
+    no_brand = ftyp + b"heicmsf1" + (16).to_bytes(4, "big") + b"mdatavif" + b"\x00" * 8
+    from wrf_to_geodataframe_spark.sources.avif import is_avif
+    assert not is_avif(no_brand)
+    # unaligned 'avif' straddling brand slots also must not match
+    mis = (20).to_bytes(4, "big") + b"ftypmif1" + b"\x00\x00\x00\x00" + b"xavi" + b"favi" + b"f\x00\x00\x00"
+    assert not is_avif(mis)

@@ -87,12 +87,20 @@ def _load():
             # a library missing any needed symbol must degrade to the
             # triage gate, never break import for every codec
             continue
-        major = ver.split(".", 1)[0]
-        if major == "0":
+        parts = ver.split(".")
+        major = parts[0]
+        try:
+            minor = int(parts[1])
+        except (IndexError, ValueError):
+            minor = -1
+        # 0.x only matches _RGBImage from 0.11 (chromaDownsampling /
+        # avoidLibYUV fields appeared then); 0.8-0.10 would put
+        # pixels/rowBytes at wrong offsets -> garbage pointer write.
+        if major == "0" and minor >= 11:
             return lib, _RGBImage
         if major == "1":
             return lib, _RGBImageV1
-        # unknown future ABI: refuse rather than risk a wrong struct
+        # older/unknown ABI: refuse rather than risk a wrong struct
         continue
     return None, None
 
@@ -113,7 +121,15 @@ def is_avif(data: bytes) -> bool:
     brand = data[8:12]
     if brand in (b"avif", b"avis"):
         return True
-    return brand == b"mif1" and b"avif" in data[12:64]
+    if brand != b"mif1":
+        return False
+    # compatible-brand scan bounded by the ftyp box itself (4-byte
+    # strides from offset 16), never into the following box's bytes
+    size = int.from_bytes(data[0:4], "big")
+    end = min(size, len(data))
+    return any(
+        data[p:p + 4] == b"avif" for p in range(16, end - 3, 4)
+    )
 
 
 def decode_avif(data: bytes) -> tuple[int, int, int, bytes]:

@@ -85,12 +85,87 @@ GROUP BY 1
 """
 
 
+_S1_FILES, _S1_NY, _S1_NX = 4, 8, 8
+
+
+def s1_netcdf_dir_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 at archive shape (VERDICT r7 item #1): a directory of
+    per-shard NetCDF files — half classic CDF-1, half NetCDF-4/HDF5 —
+    ingested through the DISTRIBUTED source (``read_netcdf_dir``:
+    binaryFile scan, one task per file, executor-side pure-numpy
+    parse), then aggregated per shard.
+
+    The files carry an analytically-defined grid (values and coords on
+    a 2^-3 lattice, so every double sum is exact and order-free); the
+    DuckDB oracle recomputes the same aggregates from the closed form,
+    verifying the write -> archive -> distributed-scan -> unnest loop
+    end to end without ever reading NetCDF itself."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.sources.hdf5_write import write_netcdf4
+    from wrf_to_geodataframe_spark.sources.netcdf import (
+        read_netcdf_dir,
+        write_netcdf,
+    )
+
+    d = tempfile.mkdtemp(prefix="s1_archive_")
+    ny, nx = _S1_NY, _S1_NX
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    lat = (50.0 + yy * 0.25).astype("float64")
+    lon = (-3.0 + xx * 0.125).astype("float64")
+    for fno in range(_S1_FILES):
+        val = (fno * 1000 + yy * nx + xx).astype("float64")
+        variables = {
+            "T2": {"dims": ["y", "x"], "data": val},
+            "XLAT": {"dims": ["y", "x"], "data": lat},
+            "XLONG": {"dims": ["y", "x"], "data": lon},
+        }
+        writer = write_netcdf if fno % 2 == 0 else write_netcdf4
+        writer(
+            os.path.join(d, f"shard_{fno}.nc"),
+            {"y": ny, "x": nx},
+            variables,
+        )
+    df = read_netcdf_dir(spark, d, "T2", "XLAT", "XLONG")
+    return (
+        df.withColumn(
+            "shard",
+            F.regexp_extract("file", r"shard_(\d+)\.nc", 1).cast("bigint"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("value").alias("sum_val"),
+            F.sum(F.col("lat") + F.col("lon")).alias("sum_coord"),
+            F.max("value").alias("max_val"),
+        )
+    )
+
+
+_S1_SQL = f"""
+SELECT f.f AS shard,
+       COUNT(*) AS n_cells,
+       SUM(CAST(f.f * 1000 + y.y * {_S1_NX} + x.x AS DOUBLE)) AS sum_val,
+       SUM((50.0 + y.y * 0.25) + (-3.0 + x.x * 0.125)) AS sum_coord,
+       MAX(CAST(f.f * 1000 + y.y * {_S1_NX} + x.x AS DOUBLE)) AS max_val
+FROM generate_series(0, {_S1_FILES - 1}) AS f(f),
+     generate_series(0, {_S1_NY - 1}) AS y(y),
+     generate_series(0, {_S1_NX - 1}) AS x(x)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "c1_grid_unnest": c1_grid_unnest,
     "c3_table_to_grid": c3_table_to_grid,
+    "s1_netcdf_dir_ingest": s1_netcdf_dir_ingest,
 }
 
 ORACLE = {
     "c1_grid_unnest": _C1_SQL,
     "c3_table_to_grid": _C3_SQL,
+    "s1_netcdf_dir_ingest": _S1_SQL,
 }
