@@ -14,7 +14,11 @@ Implemented from the public ISO 28500 / WARC 1.0-1.1 format:
   ``Content-Length`` payload bytes, the mandatory CRLF CRLF record
   separator — tolerant of per-record-gzipped archives (the Common
   Crawl layout: each record is its own gzip member; Python's zlib
-  consumes members sequentially).
+  consumes members sequentially) AND of zstd-compressed archives
+  (.warc.zst per the IIPC warc-zstd convention: per-record zstd
+  frames, optional leading skippable-frame dictionary — decoded by
+  the from-scratch RFC 8878 implementation in sources/zstd.py, or
+  the system libzstd when present).
 - ``parse_http_response(payload)``: status code, response headers,
   and body split for ``response`` records (the part a text pipeline
   actually wants).
@@ -40,9 +44,19 @@ _CRLF = b"\r\n"
 
 
 def _gunzip_members(buf: bytes) -> bytes:
-    """Decompress a concatenation of gzip members (the per-record
-    layout of .warc.gz) — or return the buffer unchanged when it is
-    not gzip."""
+    """Decompress the archive's member layout: per-record gzip
+    (.warc.gz, the classic Common Crawl shape), zstd frames
+    (.warc.zst, the IIPC warc-zstd convention — per-record frames
+    with an optional leading skippable-frame dictionary;
+    sources/zstd.py), or plain uncompressed WARC."""
+    if len(buf) >= 4:
+        from wrf_to_geodataframe_spark.sources.zstd import (
+            is_zstd,
+            warc_zstd_decompress,
+        )
+
+        if is_zstd(buf):
+            return warc_zstd_decompress(buf)
     if buf[:2] != b"\x1f\x8b":
         return buf
     out = []
