@@ -720,3 +720,67 @@ def test_substring_spans_200k_docs_planted(spark, tmp_path):
         assert r.dup_tokens == 12  # exactly the boilerplate span
         assert r.n_tokens == 22
     spark.catalog.clearCache()
+
+
+@slow
+def test_quality_lm_score_1000x_stopword_skew(spark, tmp_path):
+    """quality_lm_score at 200k docs where EVERY doc interleaves the
+    stop word 'the' with doc-unique tokens: the 'the' bigram-prefix
+    key carries ~half of all 3.2M bigram rows (a 1000x+ hot key vs any
+    other prefix).  Under default adaptive settings the scoring join
+    must complete inside the budget via AQE's runtime broadcast
+    conversion of the dictionary-sized build side (the mechanism the
+    quality_lm_score docstring claims; the rule-level counterparts are
+    pinned fast in tests/test_skew.py), and the scores themselves must
+    match the closed form: with every bigram (the,u)/(u,the) unique
+    per doc, p = 1e9*cb//cu is 1e9//1_600_000 for 'the'-prefixed
+    bigrams (cb=1, cu=8*n_docs) and 1e9 for u-prefixed ones (cb=cu=1,
+    except u,the with cb=1,cu=1)."""
+    import os
+    import time
+
+    from wrf_to_geodataframe_spark.suite.pipeline import quality_lm_score
+
+    n_docs = 200_000
+    n_pairs = 8
+    uniq = [
+        F.substring(
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(f":{j}"))), 1, 8
+        )
+        for j in range(n_pairs)
+    ]
+    parts = []
+    for u in uniq:
+        parts += [F.lit("the"), u]
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *parts).alias("text"),
+    )
+    # materialize: in-plan md5 corpora re-inline into every downstream
+    # lambda (the r6 collapse-projection trap)
+    docs.write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    t0 = time.time()
+    out = quality_lm_score(spark, str(tmp_path))
+    rows = out.collect()
+    wall = time.time() - t0
+    spark.catalog.clearCache()
+    assert len(rows) == n_docs
+    # closed-form check: per doc 15 bigrams; 8 'the'-prefixed each
+    # p_the = 1e9 // (8*n_docs); 7 u-prefixed each p_u = 1e9
+    p_the = 10**9 // (n_pairs * n_docs)
+    exp_mean = (n_pairs * p_the + (n_pairs - 1) * 10**9) // (2 * n_pairs - 1)
+    for r in rows[:100]:
+        assert r.n_tokens == 2 * n_pairs
+        assert r.n_bigrams == 2 * n_pairs - 1
+        assert r.lm_min_scaled == p_the, r
+        assert r.lm_mean_scaled == exp_mean, r
+    # the skew-sensitive w1 join must have been converted to broadcast
+    final = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "BroadcastHashJoin" in final, final
+    print(f"200k-doc 1000x stop-word skew lm score: wall={wall:.1f}s")
+    assert wall < 120, wall

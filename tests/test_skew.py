@@ -77,3 +77,135 @@ def test_salt_is_retry_stable(spark):
         "fact_id", deterministic_salt([F.col("fact_id")], 8).alias("s")
     ).collect()}
     assert a == b
+
+
+# ------------------------------------------------------ AQE evidence
+#
+# VERDICT r7 item #4: turn the "AQE skew-join territory" prose into
+# measured evidence.  The three tests below pin the ACTUAL adaptive
+# behaviors the engine's hot-key claims rest on:
+#  1. AQE splits a skewed shuffle partition of a plain
+#     shuffle->shuffle equi join (SortMergeJoin(skew=true));
+#  2. AQE does NOT split through an AGGREGATED build side — the
+#     OptimizeSkewedJoin pattern needs Sort(ShuffleStage) children,
+#     and a final HashAggregate between them blinds it.  For
+#     dictionary-shaped build sides the working mechanism is AQE's
+#     runtime broadcast conversion (tested at scale in
+#     test_scale.py::test_quality_lm_score_1000x_stopword_skew); when
+#     the build side outgrows broadcast, the mitigation is explicit
+#     salting (salted_join above), NOT AQE.
+
+
+class _conf:
+    """Set session confs, restoring previous values on exit."""
+
+    def __init__(self, spark, **kv):
+        self.spark = spark
+        self.kv = {k.replace("__", "."): v for k, v in kv.items()}
+
+    def __enter__(self):
+        self.old = {}
+        for k, v in self.kv.items():
+            try:
+                self.old[k] = self.spark.conf.get(k)
+            except Exception:
+                self.old[k] = None
+            self.spark.conf.set(k, v)
+
+    def __exit__(self, *exc):
+        for k, v in self.old.items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
+
+
+_AQE_SMALL = dict(
+    (k, v)
+    for k, v in {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "32",
+    }.items()
+)
+
+
+def _hot_left(spark, n=400_000):
+    """Half the rows carry key 'the' (one hot shuffle partition), the
+    rest near-unique keys; payload keeps the partition bytes well past
+    the lowered skew threshold."""
+    return spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit("the"))
+        .otherwise(F.md5(F.col("id").cast("string")))
+        .alias("k"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+
+
+def _keep_join_filter(df):
+    # references both sides, so it cannot push below the join and
+    # collapse it before AQE runs
+    return df.filter(
+        F.md5(F.concat_ws(":", "payload", F.col("c").cast("string")))
+        .startswith("zzzzzzz")
+    )
+
+
+def test_aqe_splits_skewed_plain_shuffle_join(spark):
+    right = spark.range(100).select(
+        F.when(F.col("id") == 0, F.lit("the"))
+        .otherwise(F.md5((F.col("id") + 10_000_000).cast("string")))
+        .alias("k"),
+        F.col("id").alias("c"),
+    )
+    with _conf(spark, **_AQE_SMALL):
+        j = _keep_join_filter(_hot_left(spark).join(right, "k"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in plan
+    assert "SortMergeJoin(skew=true)" in final, final
+    # node prints "AQEShuffleRead skewed" or "... coalesced and skewed"
+    assert "skewed" in final, final
+
+
+def test_aqe_skew_rule_blind_through_aggregated_build_side(spark):
+    """Negative evidence: the SAME hot probe side joined to an
+    AGGREGATED build side (the quality_lm_score / tfidf shape) gets NO
+    skew split even with broadcast disabled — the salting fallback
+    exists for exactly this plan shape."""
+    left = _hot_left(spark)
+    right = left.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    with _conf(spark, **_AQE_SMALL):
+        j = _keep_join_filter(left.join(right, "k"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in plan
+    assert "SortMergeJoin" in final
+    assert "skew=true" not in final, final
+
+
+def test_aqe_runtime_broadcast_converts_aggregated_build_side(spark):
+    """Positive evidence for the dictionary-shaped build side: under
+    DEFAULT broadcast settings AQE's runtime stats convert the join to
+    BroadcastHashJoin (the aggregate output is tiny), so the hot probe
+    key never shuffles on the join key at all."""
+    left = _hot_left(spark, n=100_000)
+    right = left.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    with _conf(
+        spark,
+        **{
+            "spark.sql.shuffle.partitions": "32",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",  # static off
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "10m",
+        },
+    ):
+        j = _keep_join_filter(left.join(right, "k"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, final

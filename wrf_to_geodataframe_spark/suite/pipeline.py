@@ -230,9 +230,19 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: ONE tokenize scan -> bigram rows (persisted — they
     feed the bigram-count agg, the prefix-count agg, and the scoring
     join; all three aggs partial/map-side).  Scoring is two equi joins
-    on the bigram/prefix keys; stop-word-grade hot keys skew the probe
-    side and are AQE skew-join territory (model side is 1 row per key,
-    so no cartesian blow-up is possible).  Per-doc reduce is one
+    on the bigram/prefix keys with 1-row-per-key build sides, so no
+    cartesian blow-up is possible.  Stop-word-grade hot keys skew the
+    probe side; the measured mitigation (tests/test_scale.py::
+    test_quality_lm_score_1000x_stopword_skew, 200k docs with a 1000x
+    hot prefix) is AQE's RUNTIME BROADCAST conversion — the aggregated
+    build side is dictionary-sized, so the hot key never shuffles on
+    the join key at all.  Note AQE's OptimizeSkewedJoin canNOT split
+    this shape when broadcast is off (its pattern needs plain
+    Sort(ShuffleStage) children; a final HashAggregate on the build
+    side blinds it — pinned by tests/test_skew.py::
+    test_aqe_skew_rule_blind_through_aggregated_build_side), so past
+    broadcast scale the fallback is explicit salting
+    (operators/skew.salted_join), not AQE.  Per-doc reduce is one
     partial-agg groupBy.  No window, no cross join."""
     docs = load_table(spark, sf_dir, "documents")
     w = tokens(F.col("text"))
