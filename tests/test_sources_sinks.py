@@ -688,3 +688,71 @@ def test_hypothesis_netcdf_round_trip_fuzz(tmp_path):
             assert got["data"].dtype == spec["data"].dtype
 
     prop()
+
+
+def test_geopackage_round_trip_holes_multipolygons_concave(tmp_path):
+    """VERDICT r7 item #6: the full GPKG sink->source loop over every
+    geometry class the engine emits — concave (L-shaped) rings,
+    polygons with holes, multipolygons (incl. a part with a hole) —
+    vertex-hash-equal after write -> read, envelope and declared
+    geometry type consistent."""
+    import hashlib
+
+    from wrf_to_geodataframe_spark.sources.geopackage import (
+        read_geopackage,
+        wkb_area,
+        write_geopackage,
+    )
+
+    concave = np.array(  # L-shape: a reflex vertex at (1, 1)
+        [[0, 0], [3, 0], [3, 1], [1, 1], [1, 3], [0, 3]], float
+    )
+    outer = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float)
+    hole = np.array([[1, 1], [2, 1], [2, 2], [1, 2]], float)
+    part_a = [np.array([[10, 10], [12, 10], [12, 12], [10, 12]], float)]
+    part_b = [
+        np.array([[20, 20], [24, 20], [24, 24], [20, 24]], float),
+        np.array([[21, 21], [22, 21], [22, 22], [21, 22]], float),
+    ]
+    rows = [
+        {"geom": concave, "cell": 1},
+        {"geom": [outer, hole], "cell": 2},
+        {"geom": [part_a, part_b], "cell": 3},
+    ]
+    path = str(tmp_path / "mixed.gpkg")
+    write_geopackage(path, "mixed", rows)
+
+    con = sqlite3.connect(path)
+    (tname,) = con.execute(
+        "SELECT geometry_type_name FROM gpkg_geometry_columns"
+    ).fetchone()
+    assert tname == "GEOMETRY"  # mixed polygon/multipolygon layer
+    blobs = [
+        r[0] for r in con.execute('SELECT geom FROM "mixed" ORDER BY fid')
+    ]
+    con.close()
+    # areas through the raw stored WKB: L = 9-4=5, holed = 16-1,
+    # multi = 4 + (16-1)
+    areas = [wkb_area(bytes(b[8 + 32:])) for b in blobs]
+    assert areas == [5.0, 15.0, 19.0]
+
+    back = read_geopackage(path)
+    assert [r["cell"] for r in back] == [1, 2, 3]
+
+    def vhash(geom):
+        h = hashlib.sha256()
+        if isinstance(geom, np.ndarray):
+            geom = ("Polygon", [[geom]])
+        kind, polys = geom
+        h.update(kind.encode())
+        for rings in polys:
+            for r in rings:
+                h.update(np.ascontiguousarray(r, dtype="<f8").tobytes())
+        return h.hexdigest()
+
+    assert vhash(back[0]["geom"]) == vhash(concave)
+    assert vhash(back[1]["geom"]) == vhash(("Polygon", [[outer, hole]]))
+    assert vhash(back[2]["geom"]) == vhash(("MultiPolygon", [part_a, part_b]))
+    # single-ring rows keep the historical (n, 2) return form
+    assert isinstance(back[0]["geom"], np.ndarray)
+    np.testing.assert_array_equal(back[0]["geom"], concave)

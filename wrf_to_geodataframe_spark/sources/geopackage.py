@@ -141,17 +141,43 @@ def wkb_area(wkb: bytes) -> float:
     return total
 
 
-def _gpkg_geom_blob(ring: np.ndarray, srs_id: int) -> bytes:
+def _geom_wkb_and_kind(geom) -> tuple[bytes, str]:
+    """Normalize a row's geometry spec to (WKB, type name):
+
+    - ``bytes``            -> raw WKB, passed through (type from WKB);
+    - ``(n, 2) ndarray``   -> single-ring POLYGON;
+    - ``[ring, ...]``      -> POLYGON with holes (first ring outer);
+    - ``[[ring, ...], ..]`` -> MULTIPOLYGON.
+    """
+    if isinstance(geom, (bytes, bytearray)):
+        kind, _ = parse_wkb(bytes(geom))
+        return bytes(geom), kind.upper()
+    if isinstance(geom, np.ndarray):
+        return polygon_wkb(geom), "POLYGON"
+    geom = list(geom)
+    if geom and isinstance(geom[0], (list, tuple)):
+        return multipolygon_wkb(geom), "MULTIPOLYGON"
+    return polygon_wkb_rings(geom), "POLYGON"
+
+
+def _wkb_vertices(wkb: bytes) -> np.ndarray:
+    _kind, polys = parse_wkb(wkb)
+    return np.vstack([r for rings in polys for r in rings])
+
+
+def _gpkg_geom_blob(geom, srs_id: int) -> bytes:
     """GPKG geometry blob: magic 'GP', version 0, flags (LE byte order,
-    envelope type 1), srs_id, [minx maxx miny maxy], WKB."""
-    ring = np.asarray(ring, dtype="<f8")
+    envelope type 1), srs_id, [minx maxx miny maxy], WKB.  ``geom`` is
+    any spec :func:`_geom_wkb_and_kind` accepts."""
+    wkb, _kind = _geom_wkb_and_kind(geom)
+    pts = _wkb_vertices(wkb)
     flags = 0b00000011  # envelope=1 (xy), little-endian
     env = struct.pack(
         "<dddd",
-        float(ring[:, 0].min()), float(ring[:, 0].max()),
-        float(ring[:, 1].min()), float(ring[:, 1].max()),
+        float(pts[:, 0].min()), float(pts[:, 0].max()),
+        float(pts[:, 1].min()), float(pts[:, 1].max()),
     )
-    return b"GP" + struct.pack("<BBi", 0, flags, srs_id) + env + polygon_wkb(ring)
+    return b"GP" + struct.pack("<BBi", 0, flags, srs_id) + env + wkb
 
 
 def write_geopackage(
@@ -216,14 +242,20 @@ def write_geopackage(
         f'geom BLOB{", " + cols if cols else ""})'
     )
     allx, ally = [], []
+    kinds: set[str] = set()
     for r in rows:
-        ring = np.asarray(r[geom_key], dtype=float)
-        allx += [ring[:, 0].min(), ring[:, 0].max()]
-        ally += [ring[:, 1].min(), ring[:, 1].max()]
+        geom = r[geom_key]
+        if isinstance(geom, np.ndarray):
+            geom = np.asarray(geom, dtype=float)
+        blob = _gpkg_geom_blob(geom, srs_id)
+        kinds.add(_geom_wkb_and_kind(geom)[1])
+        pts = _wkb_vertices(blob[8 + 32:])
+        allx += [pts[:, 0].min(), pts[:, 0].max()]
+        ally += [pts[:, 1].min(), pts[:, 1].max()]
         cur.execute(
             f'INSERT INTO "{layer}" (geom{"".join("," + chr(34) + k + chr(34) for k in attr_keys)}) '
             f'VALUES (?{", ?" * len(attr_keys)})',
-            [_gpkg_geom_blob(ring, srs_id)] + [
+            [blob] + [
                 r[k].item() if isinstance(r[k], np.generic) else r[k]
                 for k in attr_keys
             ],
@@ -240,9 +272,13 @@ def write_geopackage(
         "min_x, min_y, max_x, max_y, srs_id) VALUES (?,?,?,?,?,?,?,?)",
         (layer, "features", layer, *extent, srs_id),
     )
+    if len(kinds) == 1:
+        type_name = kinds.pop()
+    else:
+        type_name = "GEOMETRY" if kinds else "POLYGON"
     cur.execute(
         "INSERT INTO gpkg_geometry_columns VALUES (?,?,?,?,0,0)",
-        (layer, "geom", "POLYGON", srs_id),
+        (layer, "geom", type_name, srs_id),
     )
     con.commit()
     con.close()
@@ -251,11 +287,13 @@ def write_geopackage(
 def read_geopackage(
     path: str, layer: str | None = None, geom_key: str = "geom"
 ) -> list[dict]:
-    """Inverse of :func:`write_geopackage`: read one polygon layer back
-    into row dicts with ``geom_key`` -> (n, 2) vertex array plus the
-    attribute columns.  Driver-side by design, like the writer — the
-    GPKG format is a single sqlite file (<= ~1e5 rows in this engine's
-    usage); the at-scale path is :func:`read_geoparquet`."""
+    """Inverse of :func:`write_geopackage`: read one feature layer back
+    into row dicts.  A plain single-ring polygon comes back as its
+    (n, 2) vertex array; polygons with holes and multipolygons come
+    back as ``(kind, polys)`` in the :func:`parse_wkb` form.  Driver-
+    side by design, like the writer — the GPKG format is a single
+    sqlite file (<= ~1e5 rows in this engine's usage); the at-scale
+    path is :func:`read_geoparquet`."""
     con = sqlite3.connect(path)
     try:
         cur = con.cursor()
@@ -283,7 +321,12 @@ def read_geopackage(
             if env_len is None:
                 raise ValueError(f"{path}: invalid envelope indicator {env_type}")
             wkb = bytes(blob[8 + env_len:])
-            row = {geom_key: parse_polygon_wkb(wkb)}
+            kind, polys = parse_wkb(wkb)
+            if kind == "Polygon" and len(polys) == 1 and len(polys[0]) == 1:
+                geom = polys[0][0]  # plain single-ring polygon: (n, 2)
+            else:
+                geom = (kind, polys)  # holes / multipolygon: full form
+            row = {geom_key: geom}
             row.update(dict(zip(cols, rec[1:])))
             out.append(row)
         return out
