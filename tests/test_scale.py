@@ -784,3 +784,84 @@ def test_quality_lm_score_1000x_stopword_skew(spark, tmp_path):
     assert "BroadcastHashJoin" in final, final
     print(f"200k-doc 1000x stop-word skew lm score: wall={wall:.1f}s")
     assert wall < 120, wall
+
+
+@slow
+def test_heavy_gates_10x_scale_ratio(spark, tmp_path):
+    """VERDICT r7 item #7: the three heaviest pipeline gates on the
+    SAME synthesized corpus at n and 10n docs — wall-clock must grow
+    linearly-or-better (ratio well under the ~100x a hidden quadratic
+    term would show; bound 25 leaves room for fixed job overhead and
+    timing noise).  The corpus plants every signal class the gates
+    consume: 10-doc exact-duplicate clusters per 1000-block
+    (cluster_cc), a 12-token boilerplate run in every 100th doc
+    (substring spans), and a 3-source mixture (curate_v3)."""
+    import os
+    import time
+
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        dedup_cluster_cc,
+        dedup_substring_spans,
+        pipeline_curate_v3,
+    )
+
+    boiler = " ".join(f"bl{i}" for i in range(12))
+
+    def corpus(n: int) -> str:
+        outdir = os.path.join(str(tmp_path), f"sf_{n}")
+        doc_id = F.col("id")
+        r = doc_id % 100
+        base_key = (
+            F.when(
+                r == 7,
+                F.concat(
+                    F.lit("dup:"),
+                    (doc_id / 1000).cast("long").cast("string"),
+                ),
+            )
+            .otherwise(doc_id.cast("string"))
+        )
+        words = [  # 60 words: clears curate's n_words >= 50 floor
+            F.substring(F.md5(F.concat(base_key, F.lit(f":w{j}"))), 1, 8)
+            for j in range(60)
+        ]
+        body = F.concat_ws(" ", *words)
+        text = F.when(r == 3, F.concat(F.lit(boiler + " "), body)).otherwise(
+            body
+        )
+        spark.range(n).select(
+            doc_id.alias("doc_id"),
+            text.alias("text"),
+            F.lit("en").alias("lang"),
+            F.element_at(
+                F.array(F.lit("web"), F.lit("books"), F.lit("code")),
+                (doc_id % 3 + 1).cast("int"),
+            ).alias("source"),
+            F.length(text).alias("n_chars"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(outdir, "documents.parquet")
+        )
+        return outdir
+
+    gates = {
+        "dedup_substring_spans": dedup_substring_spans,
+        "dedup_cluster_cc": dedup_cluster_cc,
+        "pipeline_curate_v3": pipeline_curate_v3,
+    }
+    n_small = 15_000
+    walls: dict[str, dict[int, float]] = {g: {} for g in gates}
+    for n in (n_small, 10 * n_small):
+        d = corpus(n)
+        for name, fn in gates.items():
+            t0 = time.time()
+            rows = fn(spark, d).collect()
+            walls[name][n] = time.time() - t0
+            assert rows, name
+            spark.catalog.clearCache()
+    for name in gates:
+        r = walls[name][10 * n_small] / walls[name][n_small]
+        print(
+            f"{name}: {walls[name][n_small]:.1f}s -> "
+            f"{walls[name][10 * n_small]:.1f}s at 10x (ratio {r:.1f})"
+        )
+        assert r < 25, (name, walls[name])
