@@ -1294,3 +1294,46 @@ def test_html_extract_rules_on_handwritten_markup(spark):
     ).collect()[0].x
     assert out == 'A&B one <two> "three" AB'
     assert "secret" not in out and "run(" not in out and "p < q" not in out
+
+
+def test_canonical_url_adversarial_corpus_idempotent(spark):
+    """r7 polish: canonical_url over an adversarial URL corpus —
+    userinfo, IPv6 hosts, odd ports, repeated separators, query edge
+    cases, unicode, percent-encoding — must (a) be IDEMPOTENT
+    (canonical(canonical(u)) == canonical(u)) and (b) never produce
+    the degenerate '://' prefix for schemeless inputs.  One Spark job
+    evaluates the whole corpus (the column is pure codegen)."""
+    import random
+
+    from wrf_to_geodataframe_spark.functions.urls import canonical_url
+
+    rng = random.Random(8)
+    schemes = ["http", "HTTP", "https", "HtTpS", "ftp", "wss", ""]
+    hosts = [
+        "example.com", "EXAMPLE.com:443", "a.b.c:80", "[::1]:8080",
+        "user:pass@site.io", "127.0.0.1:65535", "xn--nxasmq6b.example",
+    ]
+    paths = ["", "/", "/a/b", "//double//slash", "/p%20q", "/café",
+             "/a?b", "/.."]
+    queries = ["", "?", "?a=1", "?utm_source=x", "?b=2&a=1&utm_x=3",
+               "?ref=z&&", "?a=1&a=0", "?=empty", "?a=%26"]
+    frags = ["", "#", "#frag", "#a?b=1"]
+    corpus = []
+    for _ in range(400):
+        s = rng.choice(schemes)
+        u = (s + "://" if s else "") + rng.choice(hosts) + \
+            rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        corpus.append(u)
+    df = spark.createDataFrame([(u,) for u in corpus], "url string")
+    rows = df.select(
+        "url",
+        canonical_url(F.col("url")).alias("c1"),
+        canonical_url(canonical_url(F.col("url"))).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r.c1 == r.c2, (r.url, r.c1, r.c2)  # idempotence
+        if "://" not in r.url:
+            assert r.c1 == r.url  # schemeless passthrough
+        else:
+            assert not r.c1.startswith("://"), r.url
+            assert "#" not in r.c1, r.url  # fragment always dropped

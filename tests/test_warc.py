@@ -126,3 +126,97 @@ def test_warc_feeds_the_curation_surface(spark, tmp_path):
     assert {(r.target_uri, r.n_words) for r in out} == {
         ("https://example.com/a", 4),
     }
+
+
+# ------------------------------------------------------- fuzz (r7 #8)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_hname = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ-",
+    min_size=1, max_size=20,
+).filter(lambda s: s.lower() not in ("content-length", "warc-type"))
+_hval = st.text(
+    alphabet=st.characters(
+        codec="latin-1", exclude_characters="\r\n"
+    ),
+    max_size=40,
+).map(str.strip)
+
+
+def _serialize(records) -> bytes:
+    out = []
+    for wtype, payload, extra in records:
+        lines = [b"WARC/1.0", b"WARC-Type: " + wtype.encode()]
+        for k, v in extra.items():
+            lines.append(k.encode("latin-1") + b": " + v.encode("latin-1"))
+        lines.append(b"Content-Length: " + str(len(payload)).encode())
+        out.append(
+            b"\r\n".join(lines) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+        )
+    return b"".join(out)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    records=st.lists(
+        st.tuples(
+            st.sampled_from(["response", "request", "warcinfo", "metadata"]),
+            st.binary(max_size=500),
+            st.dictionaries(_hname, _hval, max_size=4),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    per_record_gzip=st.booleans(),
+)
+def test_fuzz_warc_serialize_parse_round_trip(records, per_record_gzip):
+    # header names are case-insensitive on parse: drop case collisions
+    records = [
+        (t, p, {k: v for k, v in
+                {kk.lower(): (kk, vv) for kk, vv in e.items()}.values()})
+        for t, p, e in records
+    ]
+    blob = (
+        b"".join(
+            gzip.compress(_serialize([r])) for r in records
+        )
+        if per_record_gzip
+        else _serialize(records)
+    )
+    got = list(iter_warc_records(blob))
+    assert len(got) == len(records)
+    for (wtype, payload, extra), (headers, gpayload) in zip(records, got):
+        assert headers["warc-type"] == wtype
+        assert gpayload == payload
+        for k, v in extra.items():
+            if k.lower() not in ("warc-type",):
+                assert headers[k.lower()] == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    records=st.lists(
+        st.tuples(
+            st.sampled_from(["response", "request"]),
+            st.binary(max_size=300),
+            st.just({}),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    data=st.data(),
+)
+def test_fuzz_warc_truncation_never_yields_garbage(records, data):
+    """Cutting an archive at ANY byte either raises a named ValueError
+    or yields an exact prefix of the true record list — never a
+    corrupted or phantom record."""
+    blob = _serialize(records)
+    full = list(iter_warc_records(blob))
+    cut = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+    try:
+        got = list(iter_warc_records(blob[:cut]))
+    except ValueError:
+        return
+    assert got == full[: len(got)]

@@ -387,9 +387,38 @@ def test_avif_info_box_walk():
     ftyp = _box(b"ftyp", b"avif" + bytes(4) + b"avifmif1")
     blob = ftyp + meta
     info = avif_info(blob)
-    assert info == {"width": 1280, "height": 720, "brand": "avif"}
+    assert info == {
+        "width": 1280, "height": 720, "brand": "avif",
+        "animated": False, "has_alpha": False,
+        "bit_depth": None, "n_channels": None,
+    }
     with pytest.raises(ValueError, match="ftyp"):
         avif_info(b"\x00" * 20)
+
+
+def test_avif_info_alpha_animation_depth_triage():
+    """Alpha (auxC URN), animation (avis brand / moov box), and bit
+    depth (pixi) surface from triage alone — no decoder needed."""
+    import struct as st
+
+    ispe = _box(b"ispe", bytes(4) + st.pack(">II", 64, 32))
+    auxc = _box(
+        b"auxC",
+        bytes(4) + b"urn:mpeg:mpegB:cicp:systems:auxiliary:alpha\x00",
+    )
+    pixi = _box(b"pixi", bytes(4) + bytes([3, 10, 10, 10]))
+    ipco = _box(b"ipco", ispe + auxc + pixi)
+    meta = _box(b"meta", bytes(4) + _box(b"iprp", ipco))
+    ftyp_avis = _box(b"ftyp", b"avis" + bytes(4) + b"avisavifmif1")
+    info = avif_info(ftyp_avis + meta)
+    assert info["animated"] is True  # avis brand
+    assert info["has_alpha"] is True
+    assert (info["bit_depth"], info["n_channels"]) == (10, 3)
+    # still-image brand but a moov box present -> animated
+    ftyp_avif = _box(b"ftyp", b"avif" + bytes(4) + b"avifmif1")
+    info2 = avif_info(ftyp_avif + meta + _box(b"moov", b""))
+    assert info2["animated"] is True
+    assert avif_info(ftyp_avif + meta)["animated"] is False
 
 
 def test_decode_lossy_vp8_committed_fixture():

@@ -979,8 +979,14 @@ def webp_info(data: bytes) -> dict:
 
 
 def avif_info(data: bytes) -> dict:
-    """ISOBMFF triage for AVIF: {width, height, brand}.  AV1 payload
-    decode is out of scope."""
+    """ISOBMFF triage for AVIF: {width, height, brand, animated,
+    has_alpha, bit_depth, n_channels}.  Dimensions come from the first
+    ``ispe`` property; alpha from an ``auxC`` property carrying the
+    MPEG-B alpha URN; animation from the ``avis`` brand or a ``moov``
+    box; depth/channels from the first ``pixi`` property (None when
+    absent).  AV1 payload decode is out of scope here (gated system
+    libavif path: sources/avif.py) — triage still yields full
+    metadata without any decoder."""
     if len(data) < 12 or data[4:8] != b"ftyp":
         raise ValueError("not an ISOBMFF file (no ftyp)")
     brand = data[8:12].decode("ascii", "replace")
@@ -1016,8 +1022,34 @@ def avif_info(data: bytes) -> dict:
     loc = find(0, len(data), [b"meta", b"iprp", b"ipco"])
     if loc is None:
         raise ValueError("no ipco box in AVIF")
+    dims = None
+    has_alpha = False
+    bit_depth = None
+    n_channels = None
     for btype, body, bend in walk(*loc):
-        if btype == b"ispe":
-            w, h = struct.unpack(">II", data[body + 4:body + 12])
-            return {"width": w, "height": h, "brand": brand}
-    raise ValueError("no ispe box in AVIF")
+        if btype == b"ispe" and dims is None:
+            dims = struct.unpack(">II", data[body + 4:body + 12])
+        elif btype == b"auxC":
+            # FullBox: version/flags then a null-terminated aux type URN
+            urn = data[body + 4:bend].split(b"\x00")[0]
+            if b"alpha" in urn:
+                has_alpha = True
+        elif btype == b"pixi" and bit_depth is None:
+            nch = data[body + 4]
+            n_channels = nch
+            if nch:
+                bit_depth = data[body + 5]
+    if dims is None:
+        raise ValueError("no ispe box in AVIF")
+    animated = brand == "avis" or any(
+        t == b"moov" for t, _b, _e in walk(0, len(data))
+    )
+    return {
+        "width": dims[0],
+        "height": dims[1],
+        "brand": brand,
+        "animated": animated,
+        "has_alpha": has_alpha,
+        "bit_depth": bit_depth,
+        "n_channels": n_channels,
+    }
