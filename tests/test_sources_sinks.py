@@ -661,12 +661,19 @@ def test_hypothesis_netcdf_round_trip_fuzz(tmp_path):
     @given(st.integers(1, 3), st.randoms(use_true_random=False))
     def prop(ndims, rnd):
         rng = np.random.default_rng(rnd.randrange(2**31))
-        dims = {f"d{i}": rnd.randrange(1, 6) for i in range(ndims)}
-        names = list(dims)
+        sizes = {f"d{i}": rnd.randrange(1, 6) for i in range(ndims)}
+        names = list(sizes)
+        # ~half the layouts declare d0 UNLIMITED: every variable whose
+        # first dim is d0 then takes the interleaved record layout
+        # (incl. multi-record-var 4-byte slab padding for odd int16/
+        # int8 slabs and the single-record-var tight packing)
+        dims = dict(sizes)
+        if rnd.random() < 0.5:
+            dims["d0"] = 0
         variables = {}
         for v in range(rnd.randrange(1, 4)):
             vdims = names[: rnd.randrange(1, ndims + 1)]
-            shape = tuple(dims[d] for d in vdims)
+            shape = tuple(sizes[d] for d in vdims)
             dt = rnd.choice(["float64", "float32", "int32", "int16", "int8"])
             if dt.startswith("float"):
                 data = rng.standard_normal(shape).astype(dt)

@@ -82,10 +82,12 @@ def read_netcdf(path: str) -> dict:
     return read_netcdf_bytes(buf, name=path)
 
 
-def read_netcdf_bytes(buf: bytes, name: str = "<bytes>") -> dict:
-    """``read_netcdf`` over an in-memory buffer — the executor-side
-    entry point of the distributed source (``read_netcdf_dir``), where
-    file content arrives as a ``binaryFile`` row, not a local path."""
+def _parse_header(buf: bytes, name: str = "<bytes>") -> dict:
+    """Parse ONLY the classic-format header -> {cdf2, numrecs, dims
+    (list of (name, size)), attrs, entries (list of (name, dimids,
+    attrs, nc_type, begin)), rec_dim, recsize}.  Needs just the header
+    bytes, not the whole file — the slab-parallel single-file source
+    (``read_netcdf_slabs``) feeds it a bounded prefix read."""
     if buf[:3] != b"CDF" or buf[3] not in (1, 2):
         raise ValueError(f"{name}: not a NetCDF classic (CDF-1/CDF-2) file")
     cdf2 = buf[3] == 2
@@ -119,7 +121,6 @@ def read_netcdf_bytes(buf: bytes, name: str = "<bytes>") -> dict:
     dims = read_dims()
     gatts = read_attrs()
     tag, nvars = r.i4(), r.i4()
-    variables: dict[str, dict] = {}
     order: list[tuple] = []
     if tag != _ABSENT:
         assert tag == _NC_VARIABLE
@@ -143,13 +144,37 @@ def read_netcdf_bytes(buf: bytes, name: str = "<bytes>") -> dict:
         )
         for (_, dimids, _, t, _) in recvars
     )
-    for nm, dimids, vatts, t, begin in order:
+    return {
+        "cdf2": cdf2,
+        "numrecs": numrecs,
+        "dims": dims,
+        "attrs": gatts,
+        "entries": order,
+        "rec_dim": rec_dim,
+        "recsize": recsize,
+        "n_recvars": len(recvars),
+    }
+
+
+def read_netcdf_bytes(buf: bytes, name: str = "<bytes>") -> dict:
+    """``read_netcdf`` over an in-memory buffer — the executor-side
+    entry point of the distributed source (``read_netcdf_dir``), where
+    file content arrives as a ``binaryFile`` row, not a local path."""
+    hdr = _parse_header(buf, name=name)
+    dims = hdr["dims"]
+    gatts = hdr["attrs"]
+    numrecs = hdr["numrecs"]
+    rec_dim = hdr["rec_dim"]
+    recsize = hdr["recsize"]
+    recvars_n = hdr["n_recvars"]
+    variables: dict[str, dict] = {}
+    for nm, dimids, vatts, t, begin in hdr["entries"]:
         shape = [dims[d][1] for d in dimids]
         is_rec = rec_dim is not None and dimids and dimids[0] == rec_dim
         if is_rec:
             shape[0] = numrecs
             per_rec = int(np.prod(shape[1:], initial=1))
-            step = recsize if len(recvars) > 1 else _SIZES[t] * per_rec
+            step = recsize if recvars_n > 1 else _SIZES[t] * per_rec
             parts = [
                 np.frombuffer(buf, dtype=_DTYPES[t], count=per_rec,
                               offset=begin + rec * step)
@@ -173,13 +198,18 @@ def read_netcdf_bytes(buf: bytes, name: str = "<bytes>") -> dict:
 
 
 def write_netcdf(path: str, dims: dict[str, int], variables: dict[str, dict]) -> None:
-    """Write a NetCDF-3 classic (CDF-1) file with fixed-size variables.
+    """Write a NetCDF-3 classic (CDF-1) file.
 
-    ``variables``: name -> {dims: [names], data: numpy array}.  The S4
+    ``variables``: name -> {dims: [names], data: numpy array}.  A
+    dimension with size 0 is the RECORD (unlimited) dimension;
+    variables whose first dimension is the record dimension are
+    written in the spec's interleaved record layout (per-record slabs,
+    4-byte padded when more than one record variable exists).  The S4
     sink: collect the (small, re-densified C3) result grid and persist.
     """
     dim_names = list(dims)
     dim_ids = {n: i for i, n in enumerate(dim_names)}
+    rec_id = next((i for i, n in enumerate(dim_names) if dims[n] == 0), None)
 
     def enc_name(s: str) -> bytes:
         b = s.encode("utf-8")
@@ -193,18 +223,32 @@ def write_netcdf(path: str, dims: dict[str, int], variables: dict[str, dict]) ->
         np.dtype("float64"): _NC_DOUBLE,
     }
 
-    header = b"CDF\x01" + struct.pack(">i", 0)
+    fixed, recs = [], []
+    numrecs = 0
+    for nm, spec in variables.items():
+        arr = np.ascontiguousarray(spec["data"])
+        nc_t = np_to_nc[arr.dtype.newbyteorder("=")]
+        vdims = list(spec["dims"])
+        is_rec = (
+            rec_id is not None and vdims and dim_ids[vdims[0]] == rec_id
+        )
+        if is_rec:
+            if numrecs not in (0, arr.shape[0]):
+                raise ValueError(
+                    f"{nm}: record count {arr.shape[0]} != {numrecs}"
+                )
+            numrecs = arr.shape[0]
+            slab = arr.nbytes // max(arr.shape[0], 1)
+            recs.append((nm, vdims, nc_t, arr, _pad4(slab)))
+        else:
+            fixed.append((nm, vdims, nc_t, arr, _pad4(arr.nbytes)))
+    entries = fixed + recs
+
+    header = b"CDF\x01" + struct.pack(">i", numrecs)
     header += struct.pack(">ii", _NC_DIMENSION, len(dim_names))
     for n in dim_names:
         header += enc_name(n) + struct.pack(">i", dims[n])
     header += struct.pack(">ii", _ABSENT, 0)  # no global attrs
-
-    entries = []
-    for nm, spec in variables.items():
-        arr = np.ascontiguousarray(spec["data"])
-        nc_t = np_to_nc[arr.dtype.newbyteorder("=")]
-        vsize = _pad4(arr.nbytes)
-        entries.append((nm, spec["dims"], nc_t, arr, vsize))
 
     # var header size must be known to compute begins: build twice
     def var_header(begin_map):
@@ -222,15 +266,32 @@ def write_netcdf(path: str, dims: dict[str, int], variables: dict[str, dict]) ->
     base = len(header) + len(var_header(zero))
     begins = {}
     off = base
-    for nm, _vdims, _t, _arr, vsize in entries:
+    for nm, _vdims, _t, _arr, vsize in fixed:
         begins[nm] = off
         off += vsize
-    blob = header + var_header(begins)
-    for nm, _vdims, nc_t, arr, vsize in entries:
+    # record-variable begins point into the FIRST record; the single-
+    # record-variable case packs records tightly (no inter-record pad,
+    # matching the reader's step = elem * per_rec)
+    for nm, _vdims, nc_t, arr, vsize in recs:
+        begins[nm] = off
+        off += vsize
+    blob = bytearray(header + var_header(begins))
+    for nm, _vdims, nc_t, arr, vsize in fixed:
         raw = arr.astype(_DTYPES[nc_t]).tobytes()
         blob += raw + b"\x00" * (vsize - len(raw))
+    if recs:
+        pad_slabs = len(recs) > 1
+        for rec in range(numrecs):
+            for nm, _vdims, nc_t, arr, vsize in recs:
+                # np.asarray: a 1-D record var yields a SCALAR at
+                # arr[rec], and scalar .astype silently drops the
+                # big-endian byte order
+                raw = np.asarray(arr[rec]).astype(_DTYPES[nc_t]).tobytes()
+                blob += raw
+                if pad_slabs:
+                    blob += b"\x00" * (vsize - len(raw))
     with open(path, "wb") as f:
-        f.write(blob)
+        f.write(bytes(blob))
 
 
 def read_netcdf_grid(
@@ -353,3 +414,157 @@ def read_netcdf_dir(
                     yield frame
 
     return files.select("path", "content").mapInPandas(_batches, schema)
+
+
+def _read_header_from_file(path: str) -> dict:
+    """Parse the classic header with bounded prefix reads (64 KiB
+    doubling) — a 50 GB model file never round-trips through memory
+    just to learn its layout."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic[:3] != b"CDF" or magic[3:4] not in (b"\x01", b"\x02"):
+        raise ValueError(f"{path}: not a NetCDF classic (CDF-1/CDF-2) file")
+    size = 1 << 16
+    while True:
+        with open(path, "rb") as f:
+            buf = f.read(size)
+        try:
+            return _parse_header(buf, name=path)
+        except (struct.error, IndexError, ValueError, AssertionError):
+            if len(buf) < size:  # whole file read and still truncated
+                raise ValueError(f"{path}: truncated NetCDF header")
+            size *= 8
+
+
+def read_netcdf_slabs(
+    spark,
+    path: str,
+    var: str,
+    lat_var: str,
+    lon_var: str,
+    records_per_slab: int | None = None,
+):
+    """Record-parallel scan of ONE huge classic NetCDF file — the
+    complement of ``read_netcdf_dir`` (which parallelizes across
+    files): a single multi-year model output can be tens of GB, and
+    one-file-one-task would serialize it.
+
+    The driver reads ONLY the header (bounded prefix read) plus the
+    small fixed coordinate variables; the record dimension is split
+    into slabs of ``records_per_slab`` records, and each executor task
+    seeks directly to its slab's byte ranges (the classic format's
+    record layout is arithmetic: ``begin + rec * step``), reading just
+    its own bytes.  Coordinates ship once via a broadcast.  Emits the
+    same (t_idx, y_idx, x_idx, lat, lon, value) long table as the
+    other S1 sources.
+
+    Requires a filesystem every executor can open by path (local mode,
+    NFS/Lustre — the usual HPC archive home); HDF5-backed NetCDF-4
+    needs chunk-index walks instead and stays on the per-file path
+    (``read_netcdf_dir``)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    hdr = _read_header_from_file(path)
+    dims = hdr["dims"]
+    entry = {e[0]: e for e in hdr["entries"]}
+    if var not in entry:
+        raise ValueError(f"{path}: no variable {var!r}")
+    nm, dimids, _vatts, t, begin = entry[var]
+    rec_dim = hdr["rec_dim"]
+    is_rec = rec_dim is not None and dimids and dimids[0] == rec_dim
+    if len(dimids) == 2:
+        # plain 2-D grid: nothing to slab over; one driver read
+        return read_netcdf_grid(spark, path, var, lat_var, lon_var)
+    if len(dimids) != 3:
+        raise ValueError(f"{path}: {var!r} is not a (t, y, x) grid")
+    grid_shape = [dims[d][1] for d in dimids[1:]]
+    ny, nx = grid_shape
+    per_rec = ny * nx
+    if is_rec:
+        # record layout: slabs interleave across record variables
+        step = (
+            hdr["recsize"] if hdr["n_recvars"] > 1 else _SIZES[t] * per_rec
+        )
+        nrec = hdr["numrecs"]
+    else:
+        # fixed 3-D variable: contiguous slices along axis 0
+        step = _SIZES[t] * per_rec
+        nrec = dims[dimids[0]][1]
+    dtype = _DTYPES[t]
+
+    def _fixed_var(name: str) -> np.ndarray:
+        e = entry[name]
+        shape = [dims[d][1] for d in e[1]]
+        count = int(np.prod(shape, initial=1))
+        with open(path, "rb") as f:
+            f.seek(e[4])
+            raw = f.read(count * _SIZES[e[3]])
+        arr = np.frombuffer(raw, dtype=_DTYPES[e[3]], count=count)
+        return arr.reshape(shape).astype(arr.dtype.newbyteorder("="))
+
+    lat = _fixed_var(lat_var)
+    lon = _fixed_var(lon_var)
+    if lat.ndim == 1 and lon.ndim == 1:
+        lon, lat = np.meshgrid(lon, lat)
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    coords = spark.sparkContext.broadcast(
+        (
+            yy.ravel().astype("int64"),
+            xx.ravel().astype("int64"),
+            lat.ravel().astype("float64"),
+            lon.ravel().astype("float64"),
+        )
+    )
+    if records_per_slab is None:
+        target = spark.sparkContext.defaultParallelism * 2
+        records_per_slab = max(1, -(-nrec // target))
+    ranges = [
+        (s, min(s + records_per_slab, nrec))
+        for s in range(0, nrec, records_per_slab)
+    ]
+    schema = StructType(
+        [
+            StructField("t_idx", LongType()),
+            StructField("y_idx", LongType()),
+            StructField("x_idx", LongType()),
+            StructField("lat", DoubleType()),
+            StructField("lon", DoubleType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    rdf = spark.createDataFrame(
+        ranges, "rec_start long, rec_end long"
+    ).repartition(len(ranges), "rec_start")
+
+    nbytes_rec = _SIZES[t] * per_rec
+
+    def _slabs(it):
+        y_f, x_f, lat_f, lon_f = coords.value
+        with open(path, "rb") as f:
+            for pdf in it:
+                for rs, re_ in zip(pdf["rec_start"], pdf["rec_end"]):
+                    for rec in range(int(rs), int(re_)):
+                        f.seek(begin + rec * step)
+                        vals = np.frombuffer(
+                            f.read(nbytes_rec), dtype=dtype, count=per_rec
+                        )
+                        yield pd.DataFrame(
+                            {
+                                "t_idx": np.full(
+                                    per_rec, rec, dtype="int64"
+                                ),
+                                "y_idx": y_f,
+                                "x_idx": x_f,
+                                "lat": lat_f,
+                                "lon": lon_f,
+                                "value": vals.astype("float64"),
+                            }
+                        )
+
+    return rdf.mapInPandas(_slabs, schema)
