@@ -258,3 +258,46 @@ def test_slab_reader_header_probe_is_bounded(tmp_path):
     bad.write_bytes(b"not netcdf at all")
     with _pytest.raises(ValueError, match="not a NetCDF"):
         _read_header_from_file(str(bad))
+
+
+def test_distributed_sink_then_distributed_scan_round_trip(spark, tmp_path):
+    """write_netcdf_dir -> read_netcdf_dir: the full archive->archive
+    loop stays distributed on both ends (executor-side shard writes
+    via applyInPandas, executor-side parses via mapInPandas), and the
+    cell values survive bit-exactly."""
+    from wrf_to_geodataframe_spark.sources.netcdf import (
+        read_netcdf_dir,
+        write_netcdf_dir,
+    )
+    from pyspark.sql import functions as F
+
+    nt, ny, nx = 5, 4, 6
+    cells = (
+        spark.range(nt * ny * nx)
+        .select(
+            (F.col("id") / (ny * nx)).cast("long").alias("t_idx"),
+            ((F.col("id") % (ny * nx)) / nx).cast("long").alias("y_idx"),
+            (F.col("id") % nx).alias("x_idx"),
+        )
+        .select(
+            "t_idx", "y_idx", "x_idx",
+            (50.0 + F.col("y_idx") * 0.25).alias("lat"),
+            (-3.0 + F.col("x_idx") * 0.125).alias("lon"),
+            (F.col("t_idx") * 1000 + F.col("y_idx") * nx + F.col("x_idx"))
+            .cast("double").alias("value"),
+        )
+    )
+    outdir = str(tmp_path / "archive")
+    manifest = write_netcdf_dir(cells, outdir).collect()
+    assert len(manifest) == nt
+    assert sorted(m.shard for m in manifest) == list(range(nt))
+    assert all(m.n_cells == ny * nx and m.ny == ny and m.nx == nx
+               for m in manifest)
+    back = read_netcdf_dir(spark, outdir, "T2", "XLAT", "XLONG")
+    rows = back.collect()
+    assert len(rows) == nt * ny * nx
+    for r in rows:
+        shard = int(r.file.split("shard_")[1].split(".")[0])
+        assert r.value == shard * 1000 + r.y_idx * nx + r.x_idx
+        assert r.lat == 50.0 + r.y_idx * 0.25
+        assert r.lon == -3.0 + r.x_idx * 0.125

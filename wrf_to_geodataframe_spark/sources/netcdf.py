@@ -416,6 +416,68 @@ def read_netcdf_dir(
     return files.select("path", "content").mapInPandas(_batches, schema)
 
 
+def write_netcdf_dir(
+    df,
+    outdir: str,
+    var_col: str = "value",
+    shard_col: str = "t_idx",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+):
+    """Distributed S4 at archive shape: the inverse of
+    ``read_netcdf_dir``.  One classic NetCDF shard per distinct
+    ``shard_col`` value (the per-timestep layout real model archives
+    use), each written INSIDE an executor task via ``applyInPandas``
+    — the driver never sees cell data.  Cells are re-densified from
+    the explicit (y_idx, x_idx) keys; absent cells become NaN.
+
+    Returns the lazy MANIFEST DataFrame (shard, file, ny, nx,
+    n_cells) — executing it performs the writes, and its row count is
+    the shard count.  ``outdir`` must be a directory every executor
+    can create files in (local mode, NFS/Lustre)."""
+    import os
+
+    import pandas as pd
+
+    os.makedirs(outdir, exist_ok=True)
+
+    def _write_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        shard = int(pdf[shard_col].iloc[0])
+        ny = int(pdf["y_idx"].max()) + 1
+        nx = int(pdf["x_idx"].max()) + 1
+        grid = np.full((ny, nx), np.nan)
+        lat = np.full((ny, nx), np.nan)
+        lon = np.full((ny, nx), np.nan)
+        yi = pdf["y_idx"].to_numpy()
+        xi = pdf["x_idx"].to_numpy()
+        grid[yi, xi] = pdf[var_col].to_numpy()
+        lat[yi, xi] = pdf[lat_col].to_numpy()
+        lon[yi, xi] = pdf[lon_col].to_numpy()
+        fname = os.path.join(outdir, f"shard_{shard:06d}.nc")
+        write_netcdf(
+            fname,
+            {"y": ny, "x": nx},
+            {
+                "T2": {"dims": ("y", "x"), "data": grid},
+                "XLAT": {"dims": ("y", "x"), "data": lat},
+                "XLONG": {"dims": ("y", "x"), "data": lon},
+            },
+        )
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "file": [fname],
+                "ny": [ny],
+                "nx": [nx],
+                "n_cells": [len(pdf)],
+            }
+        )
+
+    return df.groupBy(shard_col).applyInPandas(
+        _write_shard, "shard long, file string, ny long, nx long, n_cells long"
+    )
+
+
 def _read_header_from_file(path: str) -> dict:
     """Parse the classic header with bounded prefix reads (64 KiB
     doubling) — a 50 GB model file never round-trips through memory
