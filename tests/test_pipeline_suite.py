@@ -1337,3 +1337,38 @@ def test_canonical_url_adversarial_corpus_idempotent(spark):
         else:
             assert not r.c1.startswith("://"), r.url
             assert "#" not in r.c1, r.url  # fragment always dropped
+
+
+def test_text_scrub_spans_removes_exactly_planted_spans(spark, tmp_path):
+    """The scrubber cuts exactly the duplicated-window tokens and
+    nothing else: two docs share a 10-token boilerplate run (>= K=8),
+    a third is fully unique, a fourth is an exact clone of the third
+    -> clones scrub to empty, boilerplate docs lose only the run."""
+    import os
+
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        _SUBSTR_K,
+        text_scrub_spans,
+    )
+
+    assert _SUBSTR_K == 8
+    boiler = " ".join(f"b{i}" for i in range(10))
+    u = lambda d, k: f"u{d}x{k}"
+    docs = [
+        (0, boiler + " " + " ".join(u(0, k) for k in range(6))),
+        (1, " ".join(u(1, k) for k in range(5)) + " " + boiler),
+        (2, " ".join(u(2, k) for k in range(12))),
+        (3, " ".join(u(2, k) for k in range(12))),  # exact clone of 2
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    got = {r.doc_id: r for r in text_scrub_spans(spark, d).collect()}
+    assert got[0].clean_text == " ".join(u(0, k) for k in range(6))
+    assert got[0].kept_tokens == 6 and got[0].n_tokens == 16
+    assert got[1].clean_text == " ".join(u(1, k) for k in range(5))
+    assert got[1].kept_tokens == 5
+    # full clones: every window duplicated -> everything scrubbed
+    assert got[2].clean_text == "" and got[2].kept_tokens == 0
+    assert got[3].clean_text == "" and got[3].kept_tokens == 0

@@ -4424,6 +4424,32 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning; the oracle replays the same logic as SQL window
     functions over DuckDB."""
     docs = load_table(spark, sf_dir, "documents")
+    toked, islands = _substr_islands(docs)
+    per_doc = (
+        islands.groupBy("doc_id", "n_tokens", "island")
+        .agg((F.max("end") - F.min("start")).alias("span_len"))
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.sum("span_len").alias("dup_tokens"))
+    )
+    base = toked.select("doc_id", "n_tokens")
+    return base.join(per_doc, ["doc_id", "n_tokens"], "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+        F.expr(
+            "CAST(coalesce(dup_tokens, 0) * 1000000 AS BIGINT)"
+            " div greatest(n_tokens, CAST(1 AS BIGINT))"
+        ).alias("dup_ppm"),
+    )
+
+
+def _substr_islands(docs: DataFrame):
+    """Shared core of the Lee-et-al exact-substring pair: tokenize,
+    explode every positioned K-token window with its 60-bit hash,
+    keep windows whose hash occurs >= 2 times corpus-wide (partial-agg
+    groupBy + equi join), and mark the gaps-and-islands structure.
+    -> (toked (doc_id, n_tokens, toks), islands (doc_id, n_tokens,
+    start, end, island))."""
     toked = docs.select(
         "doc_id",
         tokens(F.col("text")).alias("toks"),
@@ -4467,22 +4493,124 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             prev_max.isNull() | (F.col("start") > prev_max), 1
         ).otherwise(0),
     ).withColumn("island", F.sum("new_island").over(w))
-    per_doc = (
-        islands.groupBy("doc_id", "n_tokens", "island")
-        .agg((F.max("end") - F.min("start")).alias("span_len"))
-        .groupBy("doc_id", "n_tokens")
-        .agg(F.sum("span_len").alias("dup_tokens"))
+    return toked, islands
+
+
+def text_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the exact-substring span manifest: the scrubber stage
+    that consumes what ``dedup_substring_spans`` reports.  Every token
+    inside a duplicated span (a merged island of K-token windows that
+    occur >= 2 times corpus-wide) is removed; the output is the
+    scrubbed text plus the kept-token accounting — the Lee et al. 2022
+    pipeline's actual data-mutation step, not just its report.
+
+    Spark-first: islands merge in the shared gaps-and-islands plan
+    (``_substr_islands``), collapse to one interval ARRAY per doc
+    (small: islands per doc, not tokens), broadcast-join back to the
+    token arrays, and the token filter is a nested HOF — ``filter``
+    over ``transform`` with an ``exists`` span probe — entirely inside
+    codegen, no UDFs, no extra shuffle beyond the span agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked, islands = _substr_islands(docs)
+    spans = (
+        islands.groupBy("doc_id", "island")
+        .agg(F.min("start").alias("s"), F.max("end").alias("e"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("s"), F.col("e")))
+            ).alias("spans")
+        )
     )
-    base = toked.select("doc_id", "n_tokens")
-    return base.join(per_doc, ["doc_id", "n_tokens"], "left").select(
+    joined = toked.join(spans, "doc_id", "left")
+    kept = F.expr(
+        "filter(transform(toks, (t, i) -> "
+        "IF(spans IS NOT NULL AND exists(spans, sp -> i >= sp.s AND i < sp.e), "
+        "CAST(NULL AS STRING), t)), x -> x IS NOT NULL)"
+    )
+    return joined.select(
         "doc_id",
         "n_tokens",
-        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
-        F.expr(
-            "CAST(coalesce(dup_tokens, 0) * 1000000 AS BIGINT)"
-            " div greatest(n_tokens, CAST(1 AS BIGINT))"
-        ).alias("dup_ppm"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        F.concat_ws(" ", kept).alias("clean_text"),
     )
+
+
+_SCRUB_SQL = f"""
+WITH toked AS (
+    SELECT doc_id, string_split(text, ' ') AS w,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+wins AS (
+    SELECT doc_id, i - 1 AS start,
+           CAST(('0x' || substr(md5(
+               array_to_string(w[i : i + {_SUBSTR_K - 1}], ' ')
+           ), 1, 15)) AS BIGINT) AS hs
+    FROM (
+        SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - {_SUBSTR_K - 1})) AS i
+        FROM toked WHERE len(w) >= {_SUBSTR_K}
+    )
+),
+counts AS (
+    SELECT hs FROM wins GROUP BY hs HAVING count(*) >= 2
+),
+dup AS (
+    SELECT doc_id, start, start + {_SUBSTR_K} AS "end"
+    FROM wins JOIN counts USING (hs)
+),
+marked AS (
+    SELECT doc_id, start, "end",
+           CASE WHEN max("end") OVER (
+                    PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NULL
+                 OR start > max("end") OVER (
+                    PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) THEN 1 ELSE 0 END AS new_island
+    FROM dup
+),
+islands AS (
+    SELECT doc_id, start, "end",
+           sum(new_island) OVER (
+               PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS island
+    FROM marked
+),
+merged AS (
+    SELECT doc_id, min(start) AS s, max("end") AS e
+    FROM islands GROUP BY doc_id, island
+),
+tok_rows AS (
+    SELECT doc_id, n_tokens, i, w[i] AS t
+    FROM (SELECT doc_id, n_tokens, w,
+                 unnest(generate_series(1, len(w))) AS i
+          FROM toked)
+),
+kept AS (
+    SELECT tr.doc_id, tr.n_tokens, tr.i, tr.t
+    FROM tok_rows tr
+    WHERE NOT EXISTS (
+        SELECT 1 FROM merged m
+        WHERE m.doc_id = tr.doc_id
+          AND tr.i - 1 >= m.s AND tr.i - 1 < m.e
+    )
+),
+agg AS (
+    SELECT doc_id, any_value(n_tokens) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS kept_tokens,
+           string_agg(t, ' ' ORDER BY i) AS clean_text
+    FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       coalesce(a.kept_tokens, 0) AS kept_tokens,
+       coalesce(a.clean_text, '') AS clean_text
+FROM (SELECT doc_id, n_tokens FROM toked) t
+LEFT JOIN agg a USING (doc_id)
+"""
 
 
 _SUBSTR_SQL = f"""
@@ -4551,6 +4679,7 @@ LEFT JOIN per_doc p ON b.doc_id = p.doc_id
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_substring_spans": dedup_substring_spans,
+    "text_scrub_spans": text_scrub_spans,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "decontam_ngram": decontam_ngram,
     "text_repetition": text_repetition,
@@ -4603,6 +4732,7 @@ ORACLE = {
     "dedup_semantic": _semantic_sql(),
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_substring_spans": _SUBSTR_SQL,
+    "text_scrub_spans": _SCRUB_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "decontam_ngram": _DECONTAM_SQL,
     "text_repetition": _TEXT_REPETITION_SQL,
