@@ -176,3 +176,39 @@ def test_interop_with_system_hdf5_libraries(tmp_path):
         assert set(f.keys()) >= {"T2", "XLAT", "XLONG", "x", "counts"}
         np.testing.assert_array_equal(f["T2"][...], variables["T2"]["data"])
         assert f.attrs["title"] in (b"t", "t")
+
+
+def test_compressed_round_trip(tmp_path):
+    """compress=True: data variables store chunked+shuffle+deflate
+    (v1 B-tree chunk index, zero-padded edge chunks) and read back
+    bit-exact; scales stay contiguous; the file actually shrinks on
+    compressible data."""
+    rng = np.random.default_rng(3)
+    t2 = np.repeat(
+        rng.normal(280.0, 5.0, (9, 1, 11)), 13, axis=1
+    ).astype(np.float32)  # repetition -> compressible
+    dims = {"t": 9, "y": 13, "x": 11}
+    variables = {
+        "T2": {"dims": ["t", "y", "x"], "data": t2},
+        "x": {"dims": ["x"], "data": np.arange(11, dtype=np.float64)},
+    }
+    plain = str(tmp_path / "plain.nc")
+    comp = str(tmp_path / "comp.nc")
+    write_netcdf4(plain, dims, variables)
+    write_netcdf4(comp, dims, variables, compress=True, chunk=(4, 5, 6))
+    import os
+
+    assert os.path.getsize(comp) < os.path.getsize(plain)
+    for p in (plain, comp):
+        ds = read_hdf5(p)
+        np.testing.assert_array_equal(ds["variables"]["T2"]["data"], t2)
+        assert ds["variables"]["T2"]["dims"] == ["t", "y", "x"]
+        np.testing.assert_array_equal(
+            ds["variables"]["x"]["data"], np.arange(11.0)
+        )
+    # default chunk shape path (min(axis, 64)) also round-trips
+    comp2 = str(tmp_path / "comp2.nc")
+    write_netcdf4(comp2, dims, variables, compress=True)
+    np.testing.assert_array_equal(
+        read_hdf5(comp2)["variables"]["T2"]["data"], t2
+    )

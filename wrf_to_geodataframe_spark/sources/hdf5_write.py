@@ -31,6 +31,7 @@ writes are deterministic.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -151,33 +152,103 @@ class _Hdf5Builder:
         return _msg(0x000C, body + _pad8(nm) + _pad8(dt) + _pad8(ds) + val)
 
 
+def _chunked_messages(
+    b: "_Hdf5Builder", arr: np.ndarray, chunk: tuple[int, ...] | None
+) -> list[bytes]:
+    """Dataspace/datatype/filter-pipeline/layout messages for a
+    chunked + shuffle + deflate dataset with a single level-0 v1
+    B-tree chunk index (edge chunks zero-padded per the spec)."""
+    if chunk is None:
+        chunk = tuple(min(s, 64) for s in arr.shape)
+    if len(chunk) != arr.ndim:
+        raise ValueError(f"chunk rank {len(chunk)} != data rank {arr.ndim}")
+    elem = arr.dtype.itemsize
+    entries = []  # (compressed size, chunk offsets, address)
+    grid = [(s + c - 1) // c for s, c in zip(arr.shape, chunk)]
+    for idx in np.ndindex(*grid):
+        off = tuple(i * c for i, c in zip(idx, chunk))
+        block = np.zeros(chunk, arr.dtype)
+        sel = tuple(
+            slice(o, min(o + c, s))
+            for o, c, s in zip(off, chunk, arr.shape)
+        )
+        trim = tuple(slice(0, s.stop - s.start) for s in sel)
+        block[trim] = arr[sel]
+        raw = block.tobytes()
+        shuffled = (
+            np.frombuffer(raw, np.uint8)
+            .reshape(len(raw) // elem, elem)
+            .T.tobytes()
+        )
+        comp = zlib.compress(shuffled, 6)
+        entries.append((len(comp), off, b._alloc(comp)))
+    ndims = arr.ndim + 1
+    node = bytearray()
+    node += b"TREE" + struct.pack(
+        "<BBHQQ", 1, 0, len(entries), _UNDEF, _UNDEF
+    )
+    for nbytes, off, addr in entries:
+        node += struct.pack("<II", nbytes, 0)
+        node += b"".join(struct.pack("<Q", o) for o in off)
+        node += struct.pack("<QQ", 0, addr)
+    node += struct.pack("<II", 0, 0)  # trailing key
+    btree = b._alloc(bytes(node))
+    filters = struct.pack("<BB2x4x", 1, 2)
+    filters += struct.pack("<HHHH", 2, 0, 0, 1) + struct.pack("<I4x", elem)
+    filters += struct.pack("<HHHH", 1, 0, 0, 1) + struct.pack("<I4x", 6)
+    layout = struct.pack("<BBB", 3, 2, ndims) + struct.pack("<Q", btree)
+    layout += b"".join(struct.pack("<I", c) for c in chunk)
+    layout += struct.pack("<I", elem)
+    return [
+        _msg(0x0001, _dataspace(arr.shape)),
+        _msg(0x0003, _datatype(arr.dtype)),
+        _msg(0x000B, filters),
+        _msg(0x0008, layout),
+    ]
+
+
 def write_netcdf4(
     path: str,
     dims: dict[str, int],
     variables: dict[str, dict],
     attrs: dict | None = None,
+    compress: bool = False,
+    chunk: tuple[int, ...] | None = None,
 ) -> None:
-    """Write a NetCDF-4 (HDF5) file with fixed-size contiguous
-    variables — the same call shape as ``write_netcdf`` (classic).
+    """Write a NetCDF-4 (HDF5) file — the same call shape as
+    ``write_netcdf`` (classic).
 
     ``variables``: name -> {dims: [names], data: numpy array,
     attrs: optional {str: str|int|float|array}}.  A variable named
     like a dimension and 1-D over it becomes that dimension's
     coordinate scale; dimensions without one get netcdf-c's
     placeholder scale.  ``attrs`` become root-group (global)
-    attributes."""
+    attributes.
+
+    ``compress=True`` stores DATA variables (never the small scales)
+    chunked + shuffle + deflate behind a v1 B-tree chunk index — the
+    layout netcdf-c emits for compressed files and the one the
+    companion reader's chunk path decodes; ``chunk`` overrides the
+    default per-axis chunk shape ``min(axis, 64)``."""
     b = _Hdf5Builder()
     dim_order = list(dims)
 
-    def _write_dataset(name: str, arr: np.ndarray, msgs_extra: list[bytes]):
+    def _write_dataset(name: str, arr: np.ndarray, msgs_extra: list[bytes],
+                       chunked: bool = False):
         arr = np.ascontiguousarray(arr)
         arr = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
-        data_addr = b._alloc(arr.tobytes())
-        msgs = [
-            _msg(0x0001, _dataspace(arr.shape)),
-            _msg(0x0003, _datatype(arr.dtype)),
-            _msg(0x0008, struct.pack("<BBQQ", 3, 1, data_addr, arr.nbytes)),
-        ]
+        if chunked and arr.ndim >= 1 and arr.size:
+            msgs = _chunked_messages(b, arr, chunk)
+        else:
+            data_addr = b._alloc(arr.tobytes())
+            msgs = [
+                _msg(0x0001, _dataspace(arr.shape)),
+                _msg(0x0003, _datatype(arr.dtype)),
+                _msg(
+                    0x0008,
+                    struct.pack("<BBQQ", 3, 1, data_addr, arr.nbytes),
+                ),
+            ]
         msgs += msgs_extra
         b.headers[name] = b._alloc(_object_header(msgs))
 
@@ -226,7 +297,7 @@ def write_netcdf4(
             for k, v in spec.get("attrs", {}).items()
         ]
         extra.append(b._dimension_list([b.headers[d] for d in vdims]))
-        _write_dataset(name, arr, extra)
+        _write_dataset(name, arr, extra, chunked=compress)
 
     # 3) root group: local heap + SNOD + v1 group B-tree, names sorted
     names = sorted(b.headers)
