@@ -264,3 +264,35 @@ def test_read_warc_spark_source_zst(spark, tmp_path):
     bodies = {bytes(r.body) for r in rows}
     assert b"<html>doc A</html>" in bodies
     assert {r.http_status for r in rows} == {200, 404}
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.data())
+def test_fuzz_malformed_input_always_raises_zstderror(data):
+    """Exception hygiene on UNTRUSTED archives: random bytes behind a
+    frame magic, bit-flipped valid frames, and truncations must raise
+    ZstdError (or decode successfully for benign flips) — never escape
+    as IndexError/struct.error or hang."""
+    import random
+
+    mode = data.draw(st.integers(0, 2))
+    rng = random.Random(data.draw(st.integers(0, 2**31)))
+    if _CLI is not None:
+        base = _cli(bytes(rng.randbytes(500)) + b"abc" * 500, "-5")
+    else:
+        base = struct.pack("<I", 0x28B52FFD) + bytes(rng.randbytes(100))
+    if mode == 0:
+        blob = struct.pack("<I", 0xFD2FB528) + rng.randbytes(
+            rng.randrange(0, 200)
+        )
+    elif mode == 1:
+        b = bytearray(base)
+        for _ in range(rng.randrange(1, 4)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        blob = bytes(b)
+    else:
+        blob = base[: rng.randrange(len(base))]
+    try:
+        zstd_decompress(blob)
+    except ZstdError:
+        pass

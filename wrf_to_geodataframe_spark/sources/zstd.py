@@ -610,6 +610,12 @@ class ZstdDict:
 
     def __init__(self, data: bytes):
         self.raw = bytes(data)  # original serialized form (libzstd path)
+        try:
+            self._parse(data)
+        except (IndexError, struct.error) as exc:
+            raise ZstdError(f"corrupt dictionary: {exc}") from exc
+
+    def _parse(self, data: bytes) -> None:
         if len(data) >= 8 and struct.unpack_from("<I", data)[0] == _MAGIC_DICT:
             self.dict_id = struct.unpack_from("<I", data, 4)[0]
             pos = 8
@@ -742,7 +748,12 @@ def zstd_decompress(data: bytes, zdict: ZstdDict | bytes | None = None) -> bytes
             continue
         if magic != _MAGIC:
             raise ZstdError(f"bad frame magic 0x{magic:08X}")
-        content, pos = _decode_frame(data, pos + 4, zdict)
+        try:
+            content, pos = _decode_frame(data, pos + 4, zdict)
+        except (IndexError, struct.error) as exc:
+            # malformed input must always surface as ZstdError — this
+            # path decodes UNTRUSTED crawl archives
+            raise ZstdError(f"corrupt frame: {exc}") from exc
         parts.append(content)
     return b"".join(parts)
 
