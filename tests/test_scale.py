@@ -865,3 +865,75 @@ def test_heavy_gates_10x_scale_ratio(spark, tmp_path):
             f"{walls[name][10 * n_small]:.1f}s at 10x (ratio {r:.1f})"
         )
         assert r < 25, (name, walls[name])
+
+
+@slow
+def test_netcdf_archive_120_shards_round_trip(spark, tmp_path):
+    """Archive-scale S1/S4 demo: 120 per-timestep shards x 60x80 cells
+    (576k cells) written by the DISTRIBUTED sink and re-read by the
+    DISTRIBUTED scan — closed-form value/coord sums verified exactly
+    (2^-3-lattice coords, integer values), parallelism >= shard count
+    when packing is defeated, wall bounded."""
+    import time
+
+    from wrf_to_geodataframe_spark.sources.netcdf import (
+        read_netcdf_dir,
+        write_netcdf_dir,
+    )
+
+    nt, ny, nx = 120, 60, 80
+    cells = (
+        spark.range(nt * ny * nx)
+        .select(
+            (F.col("id") / (ny * nx)).cast("long").alias("t_idx"),
+            ((F.col("id") % (ny * nx)) / nx).cast("long").alias("y_idx"),
+            (F.col("id") % nx).alias("x_idx"),
+        )
+        .select(
+            "t_idx", "y_idx", "x_idx",
+            (50.0 + F.col("y_idx") * 0.25).alias("lat"),
+            (-3.0 + F.col("x_idx") * 0.125).alias("lon"),
+            (F.col("t_idx") * 100_000 + F.col("y_idx") * nx
+             + F.col("x_idx")).cast("double").alias("value"),
+        )
+    )
+    outdir = str(tmp_path / "archive")
+    t0 = time.time()
+    manifest = write_netcdf_dir(cells, outdir).collect()
+    t_write = time.time() - t0
+    assert len(manifest) == nt
+    t0 = time.time()
+    df = read_netcdf_dir(spark, outdir, "T2", "XLAT", "XLONG")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sv"),
+        F.sum(F.col("lat") + F.col("lon")).alias("sc"),
+    ).collect()[0]
+    t_read = time.time() - t0
+    n_cells = nt * ny * nx
+    assert agg.n == n_cells
+    # exact closed forms (integer values; coords on the 2^-3 lattice)
+    sv = sum(t * 100_000 * ny * nx for t in range(nt)) + nt * sum(
+        y * nx + x for y in range(ny) for x in range(nx)
+    )
+    sc = nt * sum(
+        (50.0 + y * 0.25) + (-3.0 + x * 0.125)
+        for y in range(ny) for x in range(nx)
+    )
+    assert agg.sv == float(sv)
+    assert agg.sc == sc
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+        assert (
+            read_netcdf_dir(spark, outdir, "T2", "XLAT", "XLONG")
+            .rdd.getNumPartitions()
+            >= nt
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    print(
+        f"120-shard archive: write {t_write:.1f}s, "
+        f"read+agg {t_read:.1f}s ({n_cells} cells)"
+    )
+    assert t_write < 120 and t_read < 120
