@@ -158,14 +158,82 @@ GROUP BY 1
 """
 
 
+_Z_NT, _Z_NY, _Z_NX = 3, 8, 8
+
+
+def s1_zarr_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 at CLOUD-archive shape: a Zarr v2 store (the
+    ``xarray.to_zarr`` serialization of the reference's data model,
+    wrf_voronoi.py:115) scanned through the CHUNK-PARALLEL distributed
+    source (``read_zarr_dist``: manifest by arithmetic from the
+    ``.zarray`` JSON, one task per chunk object, executor-side
+    decompress — zlib + byte-shuffle filter here), then aggregated per
+    timestep.
+
+    Values and coords sit on a 2^-3 lattice (every double sum exact
+    and order-free); the DuckDB oracle recomputes the aggregates from
+    the closed form, verifying chunked-write -> chunk-grid manifest ->
+    distributed decode -> unnest end to end without reading zarr."""
+    import tempfile
+
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.sources.zarr import (
+        read_zarr_dist,
+        write_zarr,
+    )
+
+    d = tempfile.mkdtemp(prefix="s1_zarr_")
+    nt, ny, nx = _Z_NT, _Z_NY, _Z_NX
+    tt, yy, xx = np.meshgrid(
+        np.arange(nt), np.arange(ny), np.arange(nx), indexing="ij"
+    )
+    vals = (tt * 1000 + yy * nx + xx).astype("float64")
+    lat = (50.0 + yy[0] * 0.25).astype("float64")
+    lon = (-3.0 + xx[0] * 0.125).astype("float64")
+    write_zarr(
+        d,
+        {"t": nt, "y": ny, "x": nx},
+        {
+            "T2": {"dims": ["t", "y", "x"], "data": vals},
+            "XLAT": {"dims": ["y", "x"], "data": lat},
+            "XLONG": {"dims": ["y", "x"], "data": lon},
+        },
+        chunks={"T2": (2, 4, 4), "XLAT": (4, 4), "XLONG": (4, 4)},
+        filters=[{"id": "shuffle", "elementsize": 8}],
+    )
+    df = read_zarr_dist(spark, d, "T2", "XLAT", "XLONG")
+    return df.groupBy("t_idx").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("value").alias("sum_val"),
+        F.sum(F.col("lat") + F.col("lon")).alias("sum_coord"),
+        F.max("value").alias("max_val"),
+    )
+
+
+_SZ_SQL = f"""
+SELECT t.t AS t_idx,
+       COUNT(*) AS n_cells,
+       SUM(CAST(t.t * 1000 + y.y * {_Z_NX} + x.x AS DOUBLE)) AS sum_val,
+       SUM((50.0 + y.y * 0.25) + (-3.0 + x.x * 0.125)) AS sum_coord,
+       MAX(CAST(t.t * 1000 + y.y * {_Z_NX} + x.x AS DOUBLE)) AS max_val
+FROM generate_series(0, {_Z_NT - 1}) AS t(t),
+     generate_series(0, {_Z_NY - 1}) AS y(y),
+     generate_series(0, {_Z_NX - 1}) AS x(x)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "c1_grid_unnest": c1_grid_unnest,
     "c3_table_to_grid": c3_table_to_grid,
     "s1_netcdf_dir_ingest": s1_netcdf_dir_ingest,
+    "s1_zarr_ingest": s1_zarr_ingest,
 }
 
 ORACLE = {
     "c1_grid_unnest": _C1_SQL,
     "c3_table_to_grid": _C3_SQL,
     "s1_netcdf_dir_ingest": _S1_SQL,
+    "s1_zarr_ingest": _SZ_SQL,
 }
