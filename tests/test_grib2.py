@@ -1,0 +1,288 @@
+"""GRIB2 reader/writer tests (sources/grib2.py).
+
+No GRIB implementation exists in this container (no eccodes/wgrib2),
+so the evidence layers are: (1) spec-golden messages hand-assembled
+octet by octet from the WMO FM 92 section/template tables —
+independent of the module's writer; (2) write->read round-trip fuzz
+across packings, scan modes, bitmaps and multi-message files;
+(3) malformed-input hygiene.  (A gated eccodes interop test belongs
+here the moment an environment provides the library.)
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from wrf_to_geodataframe_spark.sources.grib2 import (
+    Grib2Error,
+    is_grib2,
+    read_grib2,
+    read_grib2_bytes,
+    write_grib2,
+)
+
+
+def _golden_message(
+    x_bytes=bytes([8, 16, 24, 32, 40, 48]),
+    nbits=8,
+    e_raw=b"\x80\x03",          # sign-magnitude -3
+    d_raw=b"\x00\x00",
+    ref=0.0,
+    la1=50_000_000,
+    bitmap_body=bytes([255]),
+    ndata=6,
+) -> bytes:
+    """2 rows x 3 cols, simple packing, north->south scan — assembled
+    from the WMO octet tables, NOT via write_grib2."""
+    s1 = struct.pack(">IB", 21, 1) + struct.pack(
+        ">HHBBBHBBBBBBB", 7, 0, 2, 1, 1, 2026, 8, 14, 0, 0, 0, 0, 1
+    )
+    tmpl30 = (
+        bytes([6]) + b"\x00" * 15
+        + struct.pack(">II", 3, 2)          # Ni=3, Nj=2
+        + struct.pack(">II", 0, 0)          # basic angle / subdivisions
+        + struct.pack(">I", la1)            # La1 (sign-magnitude)
+        + struct.pack(">I", 357_000_000)    # Lo1 = 357.0
+        + bytes([0x30])                     # res flags: di/dj given
+        + struct.pack(">I", 49_750_000)     # La2
+        + struct.pack(">I", 357_250_000)    # Lo2
+        + struct.pack(">II", 125_000, 250_000)  # Di, Dj
+        + bytes([0x00])                     # scan: +i, -j (N->S)
+    )
+    assert len(tmpl30) == 58
+    s3 = struct.pack(">IB", 72, 3) + struct.pack(">BIBBH", 0, 6, 0, 0, 0) + tmpl30
+    tmpl40 = (
+        bytes([0, 0, 2, 0, 0]) + struct.pack(">H", 0) + bytes([0, 1])
+        + struct.pack(">i", 6)
+        + bytes([1, 0]) + b"\x00" * 4 + bytes([255]) + b"\xff" * 5
+    )
+    assert len(tmpl40) == 25
+    s4 = struct.pack(">IB", 34, 4) + struct.pack(">HH", 0, 0) + tmpl40
+    s5 = (
+        struct.pack(">IB", 21, 5) + struct.pack(">IH", ndata, 0)
+        + struct.pack(">f", ref) + e_raw + d_raw + bytes([nbits, 0])
+    )
+    s6 = struct.pack(">IB", 5 + len(bitmap_body), 6) + bitmap_body
+    s7 = struct.pack(">IB", 5 + len(x_bytes), 7) + x_bytes
+    body = s1 + s3 + s4 + s5 + s6 + s7
+    total = 16 + len(body) + 4
+    s0 = b"GRIB\x00\x00" + bytes([0, 2]) + struct.pack(">Q", total)
+    return s0 + body + b"7777"
+
+
+def test_golden_simple_packing():
+    msg = _golden_message()
+    assert is_grib2(msg)
+    out = read_grib2_bytes(msg)
+    assert len(out) == 1
+    m = out[0]
+    assert (m["ni"], m["nj"]) == (3, 2)
+    assert m["param_category"] == 0 and m["param_number"] == 0
+    assert m["ref_time"] == (2026, 8, 14, 0, 0, 0)
+    assert m["forecast_hours"] == 6
+    # X on a 2^-3 lattice: (0 + X * 2^-3) / 10^0
+    np.testing.assert_array_equal(
+        m["values"], np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    )
+    np.testing.assert_allclose(m["lat"], [50.0, 49.75])
+    np.testing.assert_allclose(m["lon"], [357.0, 357.125, 357.25])
+
+
+def test_golden_negative_la1_sign_magnitude():
+    # -35.5 deg encoded sign-magnitude: 0x80000000 | 35_500_000
+    msg = _golden_message(la1=0x80000000 | 35_500_000)
+    m = read_grib2_bytes(msg)[0]
+    np.testing.assert_allclose(m["lat"], [-35.5, -35.75])
+
+
+def test_golden_decimal_scale():
+    # D = 2: value = (R + X * 2^0) / 100, R = 7
+    msg = _golden_message(
+        x_bytes=bytes([0, 10, 20, 30, 40, 50]),
+        e_raw=b"\x00\x00",
+        d_raw=b"\x00\x02",
+        ref=7.0,
+    )
+    m = read_grib2_bytes(msg)[0]
+    np.testing.assert_allclose(
+        m["values"].ravel(), (7.0 + np.arange(0, 60, 10)) / 100.0
+    )
+
+
+def test_golden_negative_decimal_scale():
+    # D = -1 (sign-magnitude 0x8001): value = X * 10
+    msg = _golden_message(
+        x_bytes=bytes([1, 2, 3, 4, 5, 6]),
+        e_raw=b"\x00\x00",
+        d_raw=b"\x80\x01",
+    )
+    m = read_grib2_bytes(msg)[0]
+    np.testing.assert_allclose(m["values"].ravel(), np.arange(1, 7) * 10.0)
+
+
+def test_golden_sub_byte_packing():
+    # nbits=6, X = 0..5 packed MSB-first into 36 bits -> 5 bytes
+    xs = np.arange(6)
+    bits = "".join(format(x, "06b") for x in xs)
+    packed = int(bits, 2) << (40 - 36)
+    msg = _golden_message(
+        x_bytes=packed.to_bytes(5, "big"), nbits=6, e_raw=b"\x00\x00"
+    )
+    m = read_grib2_bytes(msg)[0]
+    np.testing.assert_array_equal(m["values"].ravel(), xs.astype(float))
+
+
+def test_golden_bitmap():
+    # bitmap 101101 -> 4 present points packed, absent -> NaN
+    bm = int("10110100", 2)
+    msg = _golden_message(
+        x_bytes=bytes([8, 16, 24, 32]),
+        bitmap_body=bytes([0, bm]),
+        ndata=4,
+    )
+    m = read_grib2_bytes(msg)[0]
+    v = m["values"].ravel()
+    np.testing.assert_array_equal(v[[0, 2, 3, 5]], [1.0, 2.0, 3.0, 4.0])
+    assert np.isnan(v[[1, 4]]).all()
+
+
+def test_golden_multi_message():
+    blob = _golden_message() + _golden_message(
+        x_bytes=bytes([80, 88, 96, 104, 112, 120])
+    )
+    out = read_grib2_bytes(blob)
+    assert len(out) == 2
+    np.testing.assert_array_equal(
+        out[1]["values"].ravel(), np.arange(10.0, 16.0)
+    )
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b[:40],                          # truncated mid-section
+        lambda b: b"XRIB" + b[4:],                 # bad magic
+        lambda b: b[:7] + b"\x01" + b[8:],         # edition 1
+        lambda b: b[:-4] + b"777!",                # missing end section
+        lambda b: b + b"junk",                     # trailing garbage
+    ],
+)
+def test_malformed(mutate):
+    msg = _golden_message()
+    with pytest.raises(Grib2Error):
+        read_grib2_bytes(mutate(msg))
+
+
+def test_bitmap_count_mismatch_rejected():
+    bm = int("11110000", 2)  # 4 set bits but section 5 says 6
+    msg = _golden_message(bitmap_body=bytes([0, bm]), ndata=6)
+    with pytest.raises(Grib2Error):
+        read_grib2_bytes(msg)
+
+
+# -- writer round-trips --------------------------------------------------
+
+def test_roundtrip_simple_packing(tmp_path):
+    vals = np.arange(20, dtype="float64").reshape(4, 5) / 8.0
+    p = str(tmp_path / "a.grib2")
+    write_grib2(
+        p,
+        [
+            {
+                "values": vals,
+                "lat0": 60.0, "lon0": 10.0, "dlat": -0.5, "dlon": 0.25,
+                "param_category": 3, "param_number": 1,
+                "forecast_hours": 12,
+                "ref_time": (2026, 8, 14, 6, 0, 0),
+                "packing": {"template": 0, "ref": 0.0, "e": -3, "d": 0,
+                            "nbits": 12},
+            }
+        ],
+    )
+    m = read_grib2(p)[0]
+    np.testing.assert_array_equal(m["values"], vals)
+    np.testing.assert_allclose(m["lat"], 60.0 - 0.5 * np.arange(4))
+    np.testing.assert_allclose(m["lon"], 10.0 + 0.25 * np.arange(5))
+    assert m["forecast_hours"] == 12
+    assert (m["param_category"], m["param_number"]) == (3, 1)
+    assert m["ref_time"] == (2026, 8, 14, 6, 0, 0)
+
+
+def test_roundtrip_ieee_and_south_north(tmp_path):
+    rng = np.random.default_rng(5)
+    vals = rng.standard_normal((3, 7)).astype("float32").astype("float64")
+    p = str(tmp_path / "b.grib2")
+    write_grib2(
+        p,
+        [{"values": vals, "lat0": -10.0, "lon0": 100.0, "dlat": 1.0,
+          "dlon": 0.5, "packing": {"template": 4}}],
+    )
+    m = read_grib2(p)[0]
+    np.testing.assert_array_equal(m["values"], vals)
+    np.testing.assert_allclose(m["lat"], -10.0 + np.arange(3))
+
+
+def test_roundtrip_nan_becomes_bitmap(tmp_path):
+    vals = np.arange(12, dtype="float64").reshape(3, 4)
+    vals[0, 1] = np.nan
+    vals[2, 3] = np.nan
+    p = str(tmp_path / "c.grib2")
+    write_grib2(
+        p,
+        [{"values": vals, "lat0": 0.0, "lon0": 0.0, "dlat": -1.0,
+          "dlon": 1.0,
+          "packing": {"template": 0, "ref": 0.0, "e": 0, "d": 0,
+                      "nbits": 8}}],
+    )
+    m = read_grib2(p)[0]
+    got = m["values"]
+    assert np.isnan(got[0, 1]) and np.isnan(got[2, 3])
+    mask = ~np.isnan(vals)
+    np.testing.assert_array_equal(got[mask], vals[mask])
+
+
+def test_roundtrip_fuzz(tmp_path):
+    rng = np.random.default_rng(0x6B1B)
+    for i in range(30):
+        nj = int(rng.integers(1, 9))
+        ni = int(rng.integers(1, 9))
+        nbits = int(rng.integers(2, 21))
+        e = int(rng.integers(-4, 5))
+        d = int(rng.integers(-2, 3))
+        x = rng.integers(0, 1 << nbits, (nj, ni))
+        ref = float(rng.integers(-100, 100))
+        vals = (ref + x * (2.0 ** e)) / (10.0 ** d)
+        dlat = float(rng.choice([-1, 1])) * float(rng.integers(1, 8)) / 4
+        msgs = [
+            {
+                "values": vals,
+                "lat0": float(rng.integers(-80, 80)),
+                "lon0": float(rng.integers(0, 350)),
+                "dlat": dlat, "dlon": float(rng.integers(1, 8)) / 8,
+                "packing": {"template": 0, "ref": ref, "e": e, "d": d,
+                            "nbits": nbits},
+            }
+        ]
+        p = str(tmp_path / f"f{i}.grib2")
+        write_grib2(p, msgs)
+        m = read_grib2(p)[0]
+        np.testing.assert_allclose(
+            m["values"], vals, rtol=0, atol=2.0 ** e / 10.0 ** d * 0.51,
+            err_msg=f"case {i}",
+        )
+
+
+def test_roundtrip_multi_message_file(tmp_path):
+    msgs = [
+        {"values": np.full((2, 2), float(k)), "lat0": 10.0, "lon0": 20.0,
+         "dlat": -1.0, "dlon": 1.0,
+         "packing": {"template": 0, "ref": 0.0, "e": 0, "d": 0, "nbits": 4}}
+        for k in range(5)
+    ]
+    p = str(tmp_path / "m.grib2")
+    write_grib2(p, msgs)
+    out = read_grib2(p)
+    assert [m["values"][0, 0] for m in out] == [0.0, 1.0, 2.0, 3.0, 4.0]

@@ -1,0 +1,429 @@
+"""GRIB2 scan + sink (SURVEY.md §2 S1 at met-archive shape).
+
+The reference's workflow starts from model fields (``xr.open_dataset``
+at wrf_voronoi.py:115); the exchange format those fields arrive in
+across the WRF ecosystem — GFS/ERA5 initial conditions, every WMO
+dissemination feed — is GRIB2 (WMO FM 92 Edition 2).  Pure-python/
+numpy implementation of the public spec:
+
+* Section structure 0-8 (Indicator / Identification / Local use /
+  Grid definition / Product definition / Data representation /
+  Bitmap / Data / End), multi-message files (messages are simply
+  concatenated; each states its own total length).
+* Grid template 3.0 — regular latitude/longitude, microdegree
+  coordinates, sign-magnitude signed fields, scanning modes 0x00
+  (north->south) and 0x40 (south->north).
+* Data representation template 5.0 — simple packing
+  ``value = (R + X * 2^E) / 10^D`` with MSB-first n-bit fields — and
+  5.4 (IEEE float32).  Bitmapped (section 6) sparse fields read as
+  NaN at absent points.
+* Product template 4.0 (parameter category/number, forecast hour).
+
+No GRIB implementation exists in this environment (no eccodes/
+wgrib2/pygrib), so correctness rests on hand-assembled spec-golden
+bitstreams plus write->read round-trip fuzz (tests/test_grib2.py) —
+the szip discipline; a gated eccodes interop test belongs here the
+moment an environment provides one.
+
+Scale path: a met archive is many files x many messages.
+``read_grib2_dir`` distributes per-file via ``binaryFile`` +
+``mapInPandas`` (the WARC/NetCDF-dir pattern, sources/warc.py:132);
+within a task, messages decode independently.  Nothing data-sized
+crosses the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "Grib2Error",
+    "is_grib2",
+    "read_grib2",
+    "read_grib2_bytes",
+    "write_grib2",
+    "read_grib2_grid",
+    "read_grib2_dir",
+]
+
+
+class Grib2Error(ValueError):
+    """Malformed or unsupported GRIB2 content."""
+
+
+def _smag(u: int, bits: int) -> int:
+    """GRIB2 signed fields are sign-magnitude: high bit set means
+    negative magnitude (NOT two's complement)."""
+    sign = u >> (bits - 1)
+    mag = u & ((1 << (bits - 1)) - 1)
+    return -mag if sign else mag
+
+
+def _enc_smag(v: int, nbytes: int) -> bytes:
+    bits = nbytes * 8
+    mag = abs(int(v))
+    if mag >= 1 << (bits - 1):
+        raise Grib2Error(f"sign-magnitude overflow: {v}")
+    u = mag | ((1 << (bits - 1)) if v < 0 else 0)
+    return int(u).to_bytes(nbytes, "big")
+
+
+def is_grib2(buf: bytes) -> bool:
+    return len(buf) >= 16 and buf[:4] == b"GRIB" and buf[7] == 2
+
+
+def _unpack_bits(data: bytes, nbits: int, n: int) -> np.ndarray:
+    """n MSB-first nbits-wide unsigned fields -> int64 array."""
+    if nbits == 0:
+        return np.zeros(n, dtype="int64")
+    need = (n * nbits + 7) // 8
+    if len(data) < need:
+        raise Grib2Error("data section shorter than packed field")
+    bits = np.unpackbits(np.frombuffer(data[:need], dtype="u1"))[: n * nbits]
+    weights = (1 << np.arange(nbits - 1, -1, -1, dtype="int64"))
+    return bits.reshape(n, nbits).astype("int64") @ weights
+
+
+def _pack_bits(vals: np.ndarray, nbits: int) -> bytes:
+    if nbits == 0:
+        return b""
+    v = np.asarray(vals, dtype="int64")
+    if v.size and (v.min() < 0 or v.max() >= (1 << nbits)):
+        raise Grib2Error(f"value out of range for {nbits}-bit packing")
+    weights = np.arange(nbits - 1, -1, -1, dtype="int64")
+    bits = ((v[:, None] >> weights) & 1).astype("u1").reshape(-1)
+    return np.packbits(bits).tobytes()
+
+
+def _parse_grid_template_3_0(body: bytes) -> dict:
+    """``body`` is the grid definition template, i.e. section 3 octets
+    15.. (0-based offset = WMO octet - 15): shape-of-earth block 0-15,
+    Ni 16, Nj 20, basic angle 24, subdivisions 28, La1 32, Lo1 36,
+    resolution flags 40, La2 41, Lo2 45, Di 49, Dj 53, scan mode 57."""
+    def u4(o):
+        return struct.unpack_from(">I", body, o)[0]
+
+    def s4(o):
+        return _smag(u4(o), 32)
+
+    ni, nj = u4(16), u4(20)
+    la1, lo1 = s4(32), u4(36)
+    la2, lo2 = s4(41), u4(45)
+    di, dj = u4(49), u4(53)
+    scan = body[57]
+    if scan not in (0x00, 0x40):
+        raise Grib2Error(f"unsupported scanning mode 0x{scan:02x}")
+    lat = la1 / 1e6 + np.arange(nj) * ((dj / 1e6) if scan & 0x40 else -(dj / 1e6))
+    lon = lo1 / 1e6 + np.arange(ni) * (di / 1e6)
+    return {
+        "ni": int(ni),
+        "nj": int(nj),
+        "lat": lat,
+        "lon": lon,
+        "la2": la2 / 1e6,
+        "lo2": lo2 / 1e6,
+        "scan": scan,
+    }
+
+
+def read_grib2_bytes(buf: bytes, name: str = "<bytes>") -> list[dict]:
+    """Parse every GRIB2 message in ``buf`` -> list of dicts with keys
+    discipline, param_category, param_number, ref_time (tuple),
+    forecast_hours, ni, nj, lat (1-D, row order as stored), lon (1-D),
+    values (nj x ni float64, NaN at bitmapped-absent points)."""
+    out = []
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        if n - pos < 16:
+            raise Grib2Error(f"{name}: trailing garbage at {pos}")
+        if buf[pos:pos + 4] != b"GRIB":
+            raise Grib2Error(f"{name}: no GRIB magic at {pos}")
+        if buf[pos + 7] != 2:
+            raise Grib2Error(f"{name}: GRIB edition {buf[pos + 7]} != 2")
+        discipline = buf[pos + 6]
+        (msg_len,) = struct.unpack_from(">Q", buf, pos + 8)
+        if pos + msg_len > n:
+            raise Grib2Error(f"{name}: message length past end of file")
+        msg = buf[pos:pos + msg_len]
+        out.append(_parse_message(msg, discipline, name))
+        pos += msg_len
+    if not out:
+        raise Grib2Error(f"{name}: empty GRIB2 stream")
+    return out
+
+
+def _parse_message(msg: bytes, discipline: int, name: str) -> dict:
+    p = 16
+    sections: dict[int, bytes] = {}
+    while p < len(msg):
+        if msg[p:p + 4] == b"7777":
+            break
+        (slen,) = struct.unpack_from(">I", msg, p)
+        if slen < 5 or p + slen > len(msg):
+            raise Grib2Error(f"{name}: bad section length at {p}")
+        snum = msg[p + 4]
+        sections[snum] = msg[p:p + slen]
+        p += slen
+    else:
+        raise Grib2Error(f"{name}: missing 7777 end section")
+    for req in (1, 3, 4, 5, 7):
+        if req not in sections:
+            raise Grib2Error(f"{name}: missing section {req}")
+
+    s1 = sections[1]
+    year = struct.unpack_from(">H", s1, 12)[0]
+    ref_time = (year, s1[14], s1[15], s1[16], s1[17], s1[18])
+
+    s3 = sections[3]
+    (tmpl3,) = struct.unpack_from(">H", s3, 12)
+    if tmpl3 != 0:
+        raise Grib2Error(f"{name}: grid template 3.{tmpl3} not supported")
+    (npoints,) = struct.unpack_from(">I", s3, 6)
+    grid = _parse_grid_template_3_0(s3[14:])
+    if grid["ni"] * grid["nj"] != npoints:
+        raise Grib2Error(f"{name}: grid {grid['nj']}x{grid['ni']} != {npoints} points")
+
+    s4 = sections[4]
+    (tmpl4,) = struct.unpack_from(">H", s4, 7)
+    param_category = s4[9] if tmpl4 == 0 else None
+    param_number = s4[10] if tmpl4 == 0 else None
+    forecast_hours = (
+        struct.unpack_from(">i", s4, 18)[0] if tmpl4 == 0 else None
+    )
+
+    s5 = sections[5]
+    (ndata,) = struct.unpack_from(">I", s5, 5)
+    (tmpl5,) = struct.unpack_from(">H", s5, 9)
+
+    bitmap = None
+    s6 = sections.get(6)
+    if s6 is not None:
+        bmi = s6[5]
+        if bmi == 0:
+            bits = np.unpackbits(np.frombuffer(s6[6:], dtype="u1"))
+            bitmap = bits[:npoints].astype(bool)
+            if bitmap.sum() != ndata:
+                raise Grib2Error(
+                    f"{name}: bitmap has {int(bitmap.sum())} set bits, "
+                    f"section 5 declares {ndata}"
+                )
+        elif bmi != 255:
+            raise Grib2Error(f"{name}: bitmap indicator {bmi} not supported")
+    if bitmap is None and ndata != npoints:
+        raise Grib2Error(f"{name}: {ndata} packed != {npoints} grid points")
+
+    s7 = sections[7]
+    payload = s7[5:]
+    if tmpl5 == 0:
+        (ref,) = struct.unpack_from(">f", s5, 11)
+        e = _smag(struct.unpack_from(">H", s5, 15)[0], 16)
+        d = _smag(struct.unpack_from(">H", s5, 17)[0], 16)
+        nbits = s5[19]
+        x = _unpack_bits(payload, nbits, ndata)
+        data = (float(ref) + x.astype("float64") * (2.0 ** e)) / (10.0 ** d)
+    elif tmpl5 == 4:
+        prec = s5[11]
+        if prec != 1:
+            raise Grib2Error(f"{name}: IEEE precision {prec} not supported")
+        data = np.frombuffer(payload, dtype=">f4", count=ndata).astype("float64")
+    else:
+        raise Grib2Error(f"{name}: data template 5.{tmpl5} not supported")
+
+    if bitmap is not None:
+        full = np.full(npoints, np.nan)
+        full[bitmap] = data
+        data = full
+    values = data.reshape(grid["nj"], grid["ni"])
+    return {
+        "discipline": discipline,
+        "param_category": param_category,
+        "param_number": param_number,
+        "ref_time": ref_time,
+        "forecast_hours": forecast_hours,
+        "ni": grid["ni"],
+        "nj": grid["nj"],
+        "lat": grid["lat"],
+        "lon": grid["lon"],
+        "values": values,
+    }
+
+
+def read_grib2(path: str) -> list[dict]:
+    with open(path, "rb") as f:
+        return read_grib2_bytes(f.read(), name=path)
+
+
+# -- writer (round-trip basis + S4-adjacent sink) ------------------------
+
+def write_grib2(path: str, messages: list[dict]) -> None:
+    """Write GRIB2 messages.  Each message dict: values (nj x ni),
+    lat0/lon0/dlat/dlon in degrees (dlat sign gives scan direction),
+    optional discipline/param_category/param_number/ref_time/
+    forecast_hours, and packing: {"template": 0, "ref": R, "e": E,
+    "d": D, "nbits": n} (simple; X computed by rounding) or
+    {"template": 4} (IEEE float32), optional "bitmap": bool mask of
+    PRESENT points (NaN values with a bitmap are encoded absent)."""
+    blob = b"".join(_encode_message(m) for m in messages)
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def _encode_message(m: dict) -> bytes:
+    vals = np.asarray(m["values"], dtype="float64")
+    nj, ni = vals.shape
+    npoints = ni * nj
+    flat = vals.reshape(-1)
+    pack = dict(m.get("packing", {"template": 0, "ref": 0.0, "e": 0, "d": 0,
+                                  "nbits": 16}))
+    bitmap = m.get("bitmap")
+    if bitmap is None and np.isnan(flat).any():
+        bitmap = ~np.isnan(flat)
+    if bitmap is not None:
+        bitmap = np.asarray(bitmap, dtype=bool).reshape(-1)
+        present = flat[bitmap]
+    else:
+        present = flat
+
+    def sec(num: int, body: bytes) -> bytes:
+        return struct.pack(">IB", 5 + len(body), num) + body
+
+    rt = m.get("ref_time", (2026, 1, 1, 0, 0, 0))
+    s1 = sec(1, struct.pack(
+        ">HHBBBHBBBBBBB",
+        0, 0, 2, 1, 1, rt[0], rt[1], rt[2], rt[3], rt[4], rt[5], 0, 1,
+    ))
+
+    lat0, lon0 = float(m["lat0"]), float(m["lon0"])
+    dlat, dlon = float(m["dlat"]), float(m["dlon"])
+    scan = 0x40 if dlat > 0 else 0x00
+    la1 = round(lat0 * 1e6)
+    lo1 = round(lon0 * 1e6)
+    la2 = round((lat0 + dlat * (nj - 1)) * 1e6)
+    lo2 = round((lon0 + dlon * (ni - 1)) * 1e6)
+    tmpl30 = (
+        bytes([6])                      # shape of earth: spherical r=6371229
+        + b"\x00" * 5 + b"\x00" * 5 + b"\x00" * 5  # radius/major/minor (unused)
+        + struct.pack(">II", ni, nj)
+        + struct.pack(">II", 0, 0)      # basic angle / subdivisions
+        + _enc_smag(la1, 4) + int(lo1 % (360 * 10**6)).to_bytes(4, "big")
+        + bytes([0x30])                 # resolution/component flags: di,dj given
+        + _enc_smag(la2, 4) + int(lo2 % (360 * 10**6)).to_bytes(4, "big")
+        + struct.pack(">II", round(abs(dlon) * 1e6), round(abs(dlat) * 1e6))
+        + bytes([scan])
+    )
+    s3 = sec(3, struct.pack(">BIBBH", 0, npoints, 0, 0, 0) + tmpl30)
+
+    fh = int(m.get("forecast_hours", 0))
+    tmpl40 = struct.pack(
+        ">BBBBBHBBi",
+        int(m.get("param_category", 0)), int(m.get("param_number", 0)),
+        2, 0, 0, 0, 0, 1, fh,
+    ) + bytes([1, 0]) + b"\x00" * 4 + bytes([255]) + b"\xff" * 5
+    s4 = sec(4, struct.pack(">HH", 0, 0) + tmpl40)
+
+    if pack["template"] == 0:
+        ref = float(pack.get("ref", 0.0))
+        e, d = int(pack.get("e", 0)), int(pack.get("d", 0))
+        nbits = int(pack.get("nbits", 16))
+        x = np.rint(
+            (present * (10.0 ** d) - ref) / (2.0 ** e)
+        ).astype("int64")
+        payload = _pack_bits(x, nbits)
+        s5 = sec(5, struct.pack(">IH", len(present), 0)
+                 + struct.pack(">f", ref)
+                 + _enc_smag(e, 2) + _enc_smag(d, 2)
+                 + bytes([nbits, 0]))
+    elif pack["template"] == 4:
+        payload = np.asarray(present, dtype=">f4").tobytes()
+        s5 = sec(5, struct.pack(">IH", len(present), 4) + bytes([1]))
+    else:
+        raise Grib2Error(f"write: data template 5.{pack['template']}")
+
+    if bitmap is not None:
+        s6 = sec(6, bytes([0]) + np.packbits(
+            bitmap.astype("u1")
+        ).tobytes())
+    else:
+        s6 = sec(6, bytes([255]))
+    s7 = sec(7, payload)
+
+    body = s1 + s3 + s4 + s5 + s6 + s7
+    total = 16 + len(body) + 4
+    s0 = b"GRIB" + b"\x00\x00" + bytes([int(m.get("discipline", 0)), 2]) + struct.pack(">Q", total)
+    return s0 + body + b"7777"
+
+
+# -- Spark surfaces ------------------------------------------------------
+
+def _unnest_messages(msgs: list[dict], fname: str | None):
+    """Yield one pandas frame per message in the engine's long shape
+    (msg_idx, y_idx, x_idx, lat, lon, value) — NaN (bitmapped-absent)
+    cells included, so grids stay dense and keyed."""
+    import pandas as pd
+
+    for mi, m in enumerate(msgs):
+        nj, ni = m["nj"], m["ni"]
+        yy, xx = np.meshgrid(np.arange(nj), np.arange(ni), indexing="ij")
+        frame = pd.DataFrame(
+            {
+                "msg_idx": np.full(nj * ni, mi, dtype="int64"),
+                "y_idx": yy.ravel().astype("int64"),
+                "x_idx": xx.ravel().astype("int64"),
+                "lat": np.repeat(m["lat"], ni).astype("float64"),
+                "lon": np.tile(m["lon"], nj).astype("float64"),
+                "value": m["values"].ravel().astype("float64"),
+            }
+        )
+        if fname is not None:
+            frame.insert(0, "file", fname)
+        yield frame
+
+
+def read_grib2_grid(spark, path: str):
+    """Driver-side S1 ingest of one GRIB2 file -> long DataFrame
+    (msg_idx, y_idx, x_idx, lat, lon, value)."""
+    import pandas as pd
+
+    frames = list(_unnest_messages(read_grib2(path), None))
+    return spark.createDataFrame(pd.concat(frames, ignore_index=True))
+
+
+def read_grib2_dir(spark, path: str):
+    """Distributed S1 over a directory/glob of GRIB2 files — the
+    met-archive shape (one file per cycle/member, many messages per
+    file).  ``binaryFile`` scan (GRIB2 is not block-splittable; the
+    file is the parallelism unit, as with NetCDF archives) +
+    ``mapInPandas`` executor-side parse.  Emits
+    (file, msg_idx, y_idx, x_idx, lat, lon, value)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("file", StringType()),
+            StructField("msg_idx", LongType()),
+            StructField("y_idx", LongType()),
+            StructField("x_idx", LongType()),
+            StructField("lat", DoubleType()),
+            StructField("lon", DoubleType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    files = spark.read.format("binaryFile").load(path)
+
+    def _batches(it):
+        for pdf in it:
+            for fname, buf in zip(pdf["path"], pdf["content"]):
+                msgs = read_grib2_bytes(bytes(buf), name=fname)
+                yield from _unnest_messages(msgs, fname)
+
+    return files.select("path", "content").mapInPandas(_batches, schema)

@@ -224,11 +224,85 @@ GROUP BY 1
 """
 
 
+_G_FILES, _G_MSGS, _G_NY, _G_NX = 2, 2, 6, 6
+
+
+def s1_grib2_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 at MET-archive shape: a directory of GRIB2 files (the WMO
+    exchange format WRF-ecosystem inputs arrive in — GFS/ERA5 cycles,
+    several messages per file), ingested through the DISTRIBUTED
+    source (``read_grib2_dir``: binaryFile scan, executor-side
+    pure-numpy section/template decode incl. simple packing's
+    ``(R + X*2^E)/10^D``), then aggregated per (file, message).
+
+    Packed integers X sit on a 2^-3 lattice (E=-3), so every double
+    is exact; the DuckDB oracle recomputes the closed form."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.sources.grib2 import (
+        read_grib2_dir,
+        write_grib2,
+    )
+
+    d = tempfile.mkdtemp(prefix="s1_grib2_")
+    ny, nx = _G_NY, _G_NX
+    for fno in range(_G_FILES):
+        msgs = []
+        for k in range(_G_MSGS):
+            base = (fno * _G_MSGS + k) * 1000
+            x = base + np.arange(ny * nx).reshape(ny, nx)
+            msgs.append(
+                {
+                    "values": x / 8.0,
+                    "lat0": 50.0, "lon0": 357.0,
+                    "dlat": -0.25, "dlon": 0.125,
+                    "param_category": k,
+                    "packing": {"template": 0, "ref": 0.0, "e": -3,
+                                "d": 0, "nbits": 16},
+                }
+            )
+        write_grib2(os.path.join(d, f"cycle_{fno}.grib2"), msgs)
+    df = read_grib2_dir(spark, d)
+    return (
+        df.withColumn(
+            "shard",
+            F.regexp_extract("file", r"cycle_(\d+)\.grib2", 1).cast("bigint"),
+        )
+        .groupBy("shard", "msg_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("value").alias("sum_val"),
+            F.sum(F.col("lat") + F.col("lon")).alias("sum_coord"),
+            F.max("value").alias("max_val"),
+        )
+    )
+
+
+_SG_SQL = f"""
+SELECT f.f AS shard, m.m AS msg_idx,
+       COUNT(*) AS n_cells,
+       SUM(((f.f * {_G_MSGS} + m.m) * 1000 + y.y * {_G_NX} + x.x) / 8.0)
+           AS sum_val,
+       SUM((50.0 - y.y * 0.25) + (357.0 + x.x * 0.125)) AS sum_coord,
+       MAX(((f.f * {_G_MSGS} + m.m) * 1000 + y.y * {_G_NX} + x.x) / 8.0)
+           AS max_val
+FROM generate_series(0, {_G_FILES - 1}) AS f(f),
+     generate_series(0, {_G_MSGS - 1}) AS m(m),
+     generate_series(0, {_G_NY - 1}) AS y(y),
+     generate_series(0, {_G_NX - 1}) AS x(x)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "c1_grid_unnest": c1_grid_unnest,
     "c3_table_to_grid": c3_table_to_grid,
     "s1_netcdf_dir_ingest": s1_netcdf_dir_ingest,
     "s1_zarr_ingest": s1_zarr_ingest,
+    "s1_grib2_ingest": s1_grib2_ingest,
 }
 
 ORACLE = {
@@ -236,4 +310,5 @@ ORACLE = {
     "c3_table_to_grid": _C3_SQL,
     "s1_netcdf_dir_ingest": _S1_SQL,
     "s1_zarr_ingest": _SZ_SQL,
+    "s1_grib2_ingest": _SG_SQL,
 }
