@@ -1,0 +1,159 @@
+"""Streaming S1 ingest mirrors (streaming/ingest.py): stream==batch
+equivalence for the NetCDF/GRIB2 archive scans and the live-zarr
+chunk tail, plus exactly-once incremental file discovery through a
+checkpoint."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from wrf_to_geodataframe_spark.sources.grib2 import write_grib2
+from wrf_to_geodataframe_spark.sources.netcdf import (
+    read_netcdf_dir,
+    write_netcdf,
+)
+from wrf_to_geodataframe_spark.sources.zarr import read_zarr_dist, write_zarr
+from wrf_to_geodataframe_spark.streaming.ingest import (
+    stream_grib2_dir,
+    stream_netcdf_dir,
+    stream_zarr_chunks,
+)
+
+
+def _drain(stream_df, checkpoint: str) -> pd.DataFrame:
+    """Run an availableNow pass collecting every micro-batch on the
+    driver (test sink only)."""
+    frames: list[pd.DataFrame] = []
+
+    def _sink(batch_df, _bid):
+        frames.append(batch_df.toPandas())
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if frames:
+        return pd.concat(frames, ignore_index=True)
+    return pd.DataFrame()
+
+
+def _write_nc_shards(d: str, shards: range, ny=4, nx=5):
+    os.makedirs(d, exist_ok=True)
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    for s in shards:
+        write_netcdf(
+            os.path.join(d, f"shard_{s}.nc"),
+            {"y": ny, "x": nx},
+            {
+                "T2": {"dims": ["y", "x"],
+                       "data": (s * 100 + yy * nx + xx).astype("float64")},
+                "XLAT": {"dims": ["y", "x"],
+                         "data": (50.0 + yy * 0.25)},
+                "XLONG": {"dims": ["y", "x"],
+                          "data": (-3.0 + xx * 0.125)},
+            },
+        )
+
+
+def _keyed(pdf: pd.DataFrame, cols) -> dict:
+    return {
+        tuple(
+            os.path.basename(str(r[c])) if c in ("file",) else r[c]
+            for c in cols
+        ): r["value"]
+        for _, r in pdf.iterrows()
+    }
+
+
+def test_netcdf_stream_equals_batch(spark, tmp_path):
+    d = str(tmp_path / "arch")
+    _write_nc_shards(d, range(3))
+    sdf = stream_netcdf_dir(spark, d, "T2", "XLAT", "XLONG")
+    assert sdf.isStreaming
+    got = _drain(sdf, str(tmp_path / "ckpt"))
+    batch = read_netcdf_dir(spark, d, "T2", "XLAT", "XLONG").toPandas()
+    cols = ("file", "t_idx", "y_idx", "x_idx")
+    assert _keyed(got, cols) == _keyed(batch, cols)
+    assert len(got) == 3 * 4 * 5
+
+
+def test_netcdf_stream_incremental_discovery(spark, tmp_path):
+    """New shards arriving between runs are processed exactly once
+    (file-source checkpoint): second availableNow pass sees ONLY the
+    new files; the union covers the whole archive."""
+    d = str(tmp_path / "arch")
+    ckpt = str(tmp_path / "ckpt")
+    _write_nc_shards(d, range(2))
+    sdf = stream_netcdf_dir(spark, d, "T2", "XLAT", "XLONG")
+    first = _drain(sdf, ckpt)
+    assert sorted(set(os.path.basename(f) for f in first["file"])) == [
+        "shard_0.nc", "shard_1.nc",
+    ]
+    _write_nc_shards(d, range(2, 5))
+    second = _drain(stream_netcdf_dir(spark, d, "T2", "XLAT", "XLONG"), ckpt)
+    assert sorted(set(os.path.basename(f) for f in second["file"])) == [
+        "shard_2.nc", "shard_3.nc", "shard_4.nc",
+    ]
+    batch = read_netcdf_dir(spark, d, "T2", "XLAT", "XLONG").toPandas()
+    cols = ("file", "t_idx", "y_idx", "x_idx")
+    union = pd.concat([first, second], ignore_index=True)
+    assert _keyed(union, cols) == _keyed(batch, cols)
+
+
+def test_grib2_stream_equals_batch(spark, tmp_path):
+    from wrf_to_geodataframe_spark.sources.grib2 import read_grib2_dir
+
+    d = str(tmp_path / "feed")
+    os.makedirs(d)
+    for f in range(2):
+        msgs = [
+            {
+                "values": ((f * 2 + k) * 100
+                           + np.arange(12).reshape(3, 4)) / 8.0,
+                "lat0": 40.0, "lon0": 10.0, "dlat": -0.5, "dlon": 0.25,
+                "packing": {"template": 0, "ref": 0.0, "e": -3, "d": 0,
+                            "nbits": 16},
+            }
+            for k in range(2)
+        ]
+        write_grib2(os.path.join(d, f"cycle_{f}.grib2"), msgs)
+    got = _drain(stream_grib2_dir(spark, d), str(tmp_path / "ckpt"))
+    batch = read_grib2_dir(spark, d).toPandas()
+    cols = ("file", "msg_idx", "y_idx", "x_idx")
+    assert _keyed(got, cols) == _keyed(batch, cols)
+    assert len(got) == 2 * 2 * 12
+
+
+@pytest.mark.parametrize("sep", [".", "/"])
+def test_zarr_chunk_tail_equals_dist_read(spark, tmp_path, sep):
+    store = str(tmp_path / "live")
+    rng = np.random.default_rng(11)
+    nt, ny, nx = 2, 6, 8
+    vals = np.round(rng.standard_normal((nt, ny, nx)) * 8) / 8
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    write_zarr(
+        store,
+        {"t": nt, "y": ny, "x": nx},
+        {
+            "T2": {"dims": ["t", "y", "x"], "data": vals},
+            "XLAT": {"dims": ["y", "x"], "data": 50.0 + yy * 0.25},
+            "XLONG": {"dims": ["y", "x"], "data": -3.0 + xx * 0.125},
+        },
+        chunks={"T2": (1, 4, 3), "XLAT": (4, 3), "XLONG": (4, 3)},
+        dimension_separator=sep,
+    )
+    got = _drain(
+        stream_zarr_chunks(spark, store, "T2", "XLAT", "XLONG"),
+        str(tmp_path / "ckpt"),
+    )
+    dist = read_zarr_dist(spark, store, "T2", "XLAT", "XLONG").toPandas()
+    cols = ("chunk_key", "t_idx", "y_idx", "x_idx")
+    assert _keyed(got, cols) == _keyed(dist, cols)
+    assert len(got) == nt * ny * nx
