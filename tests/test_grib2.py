@@ -34,6 +34,7 @@ def _golden_message(
     la1=50_000_000,
     bitmap_body=bytes([255]),
     ndata=6,
+    s5_body=None,
 ) -> bytes:
     """2 rows x 3 cols, simple packing, north->south scan — assembled
     from the WMO octet tables, NOT via write_grib2."""
@@ -61,10 +62,12 @@ def _golden_message(
     )
     assert len(tmpl40) == 25
     s4 = struct.pack(">IB", 34, 4) + struct.pack(">HH", 0, 0) + tmpl40
-    s5 = (
-        struct.pack(">IB", 21, 5) + struct.pack(">IH", ndata, 0)
-        + struct.pack(">f", ref) + e_raw + d_raw + bytes([nbits, 0])
-    )
+    if s5_body is None:
+        s5_body = (
+            struct.pack(">IH", ndata, 0)
+            + struct.pack(">f", ref) + e_raw + d_raw + bytes([nbits, 0])
+        )
+    s5 = struct.pack(">IB", 5 + len(s5_body), 5) + s5_body
     s6 = struct.pack(">IB", 5 + len(bitmap_body), 6) + bitmap_body
     s7 = struct.pack(">IB", 5 + len(x_bytes), 7) + x_bytes
     body = s1 + s3 + s4 + s5 + s6 + s7
@@ -181,6 +184,146 @@ def test_bitmap_count_mismatch_rejected():
     msg = _golden_message(bitmap_body=bytes([0, bm]), ndata=6)
     with pytest.raises(Grib2Error):
         read_grib2_bytes(msg)
+
+
+# -- complex packing (templates 5.2 / 5.3) -------------------------------
+
+def _complex_s5_body(ndata, tmpl, nbits, ng, wbits, lastlen, lbits,
+                     extra=b""):
+    return (
+        struct.pack(">IH", ndata, tmpl)
+        + struct.pack(">f", 0.0) + b"\x00\x00" + b"\x00\x00"  # R=0 E=0 D=0
+        + bytes([nbits, 0, 1, 0])       # nbits, type, split=1, missing=0
+        + b"\x00" * 8
+        + struct.pack(">I", ng)
+        + bytes([0, wbits])
+        + struct.pack(">I", 0) + bytes([1])
+        + struct.pack(">I", lastlen) + bytes([lbits])
+        + extra
+    )
+
+
+def test_golden_complex_5_2():
+    """Hand-packed WMO 5.2 example: X = [5,6,7,100,101,100], two
+    groups of three, per-array byte alignment, continuous data bits."""
+    s5 = _complex_s5_body(6, 2, nbits=7, ng=2, wbits=2, lastlen=3, lbits=2)
+    payload = (
+        bytes([0b00001011, 0b10010000])   # refs 5, 100 (7 bits each)
+        + bytes([0b10010000])             # widths 2, 1 (2 bits each)
+        + bytes([0b11110000])             # lengths 3, 3 (2 bits each)
+        + bytes([0b00011001, 0b00000000]) # data 0,1,2 (2b) then 0,1,0 (1b)
+    )
+    msg = _golden_message(x_bytes=payload, s5_body=s5)
+    m = read_grib2_bytes(msg)[0]
+    np.testing.assert_array_equal(
+        m["values"].ravel(), [5.0, 6.0, 7.0, 100.0, 101.0, 100.0]
+    )
+
+
+def test_golden_complex_5_3_order1():
+    """Hand-packed 5.3 order-1: x=[10,12,11,14] -> deltas [2,-1,3],
+    hmin=-1, packed g=[0,3,0,4]; h1/hmin as 4-byte sign-magnitude."""
+    s5 = _complex_s5_body(
+        4, 3, nbits=0, ng=1, wbits=2, lastlen=4, lbits=3,
+        extra=bytes([1, 4]),
+    )
+    payload = (
+        b"\x00\x00\x00\x0a"               # h1 = 10
+        + b"\x80\x00\x00\x01"             # hmin = -1 (sign-magnitude)
+        + b""                             # refs: 0 bits
+        + bytes([0b11000000])             # width 3 (2 bits)
+        + bytes([0b10000000])             # length 4 (3 bits)
+        + bytes([0b00001100, 0b01000000]) # data 0,3,0,4 (3 bits each)
+    )
+    # the 2x3 grid has 6 points; a 4-present-point bitmap carries the
+    # 4 packed values
+    bm = int("11110000", 2)
+    msg = _golden_message(x_bytes=payload, s5_body=s5, ndata=4,
+                          bitmap_body=bytes([0, bm]))
+    m = read_grib2_bytes(msg)[0]
+    v = m["values"].ravel()
+    np.testing.assert_array_equal(v[:4], [10.0, 12.0, 11.0, 14.0])
+    assert np.isnan(v[4:]).all()
+
+
+def test_complex_missing_management_rejected():
+    s5 = bytearray(_complex_s5_body(6, 2, 7, 2, 2, 3, 2))
+    s5[22] = 1  # primary missing value management
+    with pytest.raises(Grib2Error):
+        read_grib2_bytes(_golden_message(x_bytes=b"\x00" * 8,
+                                         s5_body=bytes(s5)))
+
+
+def test_complex_group_length_mismatch_rejected():
+    s5 = _complex_s5_body(6, 2, nbits=7, ng=2, wbits=2, lastlen=2, lbits=2)
+    payload = bytes([0b00001011, 0b10010000, 0b10010000, 0b11110000,
+                     0b00011001, 0b00000000])
+    with pytest.raises(Grib2Error):
+        read_grib2_bytes(_golden_message(x_bytes=payload, s5_body=s5))
+
+
+@pytest.mark.parametrize("tmpl,order", [(2, 0), (3, 1), (3, 2)])
+def test_roundtrip_complex(tmp_path, tmpl, order):
+    rng = np.random.default_rng(100 + tmpl * 10 + order)
+    vals = (rng.integers(0, 4000, (7, 9)) / 8.0) - 100.0
+    p = str(tmp_path / "c.grib2")
+    pack = {"template": tmpl, "ref": -800.0, "e": -3, "d": 0,
+            "group_size": 11}
+    if tmpl == 3:
+        pack["order"] = order
+    write_grib2(
+        p,
+        [{"values": vals, "lat0": 50.0, "lon0": 0.0, "dlat": -0.25,
+          "dlon": 0.25, "packing": pack}],
+    )
+    m = read_grib2(p)[0]
+    np.testing.assert_array_equal(m["values"], vals)
+
+
+def test_roundtrip_complex_fuzz(tmp_path):
+    rng = np.random.default_rng(0xC0)
+    for i in range(25):
+        nj, ni = int(rng.integers(1, 8)), int(rng.integers(2, 8))
+        tmpl = int(rng.choice([2, 3]))
+        order = int(rng.integers(1, 3))
+        if tmpl == 3 and nj * ni <= order:
+            ni += 2
+        gsz = int(rng.integers(1, nj * ni + 4))
+        e = int(rng.integers(-3, 3))
+        x = rng.integers(0, 1 << int(rng.integers(1, 14)), (nj, ni))
+        ref = float(rng.integers(-50, 50))
+        vals = ref + x * (2.0 ** e)
+        pack = {"template": tmpl, "ref": ref, "e": e, "d": 0,
+                "group_size": gsz}
+        if tmpl == 3:
+            pack["order"] = order
+        p = str(tmp_path / f"cf{i}.grib2")
+        write_grib2(
+            p,
+            [{"values": vals, "lat0": 10.0, "lon0": 5.0, "dlat": -1.0,
+              "dlon": 1.0, "packing": pack}],
+        )
+        m = read_grib2(p)[0]
+        np.testing.assert_array_equal(m["values"], vals, err_msg=f"case {i}")
+
+
+def test_roundtrip_complex_with_bitmap(tmp_path):
+    vals = np.arange(30, dtype="float64").reshape(5, 6)
+    vals[1, 2] = np.nan
+    vals[4, 5] = np.nan
+    p = str(tmp_path / "cb.grib2")
+    write_grib2(
+        p,
+        [{"values": vals, "lat0": 0.0, "lon0": 0.0, "dlat": 1.0,
+          "dlon": 1.0,
+          "packing": {"template": 3, "order": 2, "ref": 0.0, "e": 0,
+                      "d": 0, "group_size": 7}}],
+    )
+    m = read_grib2(p)[0]
+    got = m["values"]
+    mask = ~np.isnan(vals)
+    np.testing.assert_array_equal(got[mask], vals[mask])
+    assert np.isnan(got[~mask]).all()
 
 
 # -- writer round-trips --------------------------------------------------

@@ -14,9 +14,15 @@ numpy implementation of the public spec:
   coordinates, sign-magnitude signed fields, scanning modes 0x00
   (north->south) and 0x40 (south->north).
 * Data representation template 5.0 — simple packing
-  ``value = (R + X * 2^E) / 10^D`` with MSB-first n-bit fields — and
-  5.4 (IEEE float32).  Bitmapped (section 6) sparse fields read as
-  NaN at absent points.
+  ``value = (R + X * 2^E) / 10^D`` with MSB-first n-bit fields — 5.2
+  (complex packing: general group splitting — per-group reference/
+  width/length arrays, each byte-aligned, then one continuous data
+  bitstream) and 5.3 (complex packing + spatial differencing of
+  order 1/2: sign-magnitude extra descriptors h1[, h2], hmin in
+  section 7, recurrence ``x[n] = g[n] + hmin + x[n-1]`` resp.
+  ``+ 2x[n-1] - x[n-2]``) — the templates real GFS/NCEP files use —
+  and 5.4 (IEEE float32).  Bitmapped (section 6) sparse fields read
+  as NaN at absent points.
 * Product template 4.0 (parameter category/number, forecast hour).
 
 No GRIB implementation exists in this environment (no eccodes/
@@ -95,6 +101,107 @@ def _pack_bits(vals: np.ndarray, nbits: int) -> bytes:
     weights = np.arange(nbits - 1, -1, -1, dtype="int64")
     bits = ((v[:, None] >> weights) & 1).astype("u1").reshape(-1)
     return np.packbits(bits).tobytes()
+
+
+class _BitCursor:
+    """MSB-first bit reader over a byte payload, with the complex-
+    packing alignment rule: each descriptor array is padded to a byte
+    boundary; the group data stream is continuous across groups."""
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype="u1"))
+        self.pos = 0
+
+    def fields(self, width: int, count: int) -> np.ndarray:
+        if width == 0:
+            return np.zeros(count, dtype="int64")
+        end = self.pos + width * count
+        if end > self.bits.size:
+            raise Grib2Error("packed stream shorter than declared")
+        w = (1 << np.arange(width - 1, -1, -1, dtype="int64"))
+        out = self.bits[self.pos:end].reshape(count, width).astype("int64") @ w
+        self.pos = end
+        return out
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _unpack_complex(s5: bytes, payload: bytes, ndata: int,
+                    tmpl5: int, name: str) -> np.ndarray:
+    """Data templates 5.2/5.3 -> float64 values (missing-value
+    management 0 only; 1/2 rejected loudly)."""
+    (ref,) = struct.unpack_from(">f", s5, 11)
+    e = _smag(struct.unpack_from(">H", s5, 15)[0], 16)
+    d = _smag(struct.unpack_from(">H", s5, 17)[0], 16)
+    nbits = s5[19]
+    split = s5[21]
+    missing = s5[22]
+    if split != 1:
+        raise Grib2Error(f"{name}: group splitting method {split}")
+    if missing != 0:
+        raise Grib2Error(
+            f"{name}: missing value management {missing} not supported"
+        )
+    (ng,) = struct.unpack_from(">I", s5, 31)
+    wref, wbits = s5[35], s5[36]
+    (lref,) = struct.unpack_from(">I", s5, 37)
+    linc = s5[41]
+    (last_len,) = struct.unpack_from(">I", s5, 42)
+    lbits = s5[46]
+    if ng == 0:
+        raise Grib2Error(f"{name}: zero groups")
+
+    order, extra_octets = 0, 0
+    pos = 0
+    h = []
+    if tmpl5 == 3:
+        order, extra_octets = s5[47], s5[48]
+        if order not in (1, 2):
+            raise Grib2Error(f"{name}: spatial differencing order {order}")
+        for _ in range(order + 1):
+            u = int.from_bytes(payload[pos:pos + extra_octets], "big")
+            h.append(_smag(u, extra_octets * 8))
+            pos += extra_octets
+
+    cur = _BitCursor(payload[pos:])
+    refs = cur.fields(nbits, ng)
+    cur.align()
+    widths = wref + cur.fields(wbits, ng)
+    cur.align()
+    scaled = cur.fields(lbits, ng)
+    cur.align()
+    lengths = lref + linc * scaled
+    lengths[-1] = last_len
+    total = int(lengths.sum())
+    if total != ndata:
+        raise Grib2Error(
+            f"{name}: group lengths sum {total} != {ndata} data points"
+        )
+    x = np.empty(ndata, dtype="int64")
+    off = 0
+    for g in range(ng):
+        n = int(lengths[g])
+        x[off:off + n] = refs[g] + cur.fields(int(widths[g]), n)
+        off += n
+
+    if tmpl5 == 3:
+        hmin = h[-1]
+        if order == 1:
+            x[1:] += hmin
+            x[0] = h[0]
+            np.cumsum(x, out=x)
+        else:
+            # x[n] = g[n] + hmin + 2x[n-1] - x[n-2]: a second-order
+            # recurrence = double cumulative sum with x[0]=h1, x[1]=h2
+            x[2:] += hmin
+            x[0], x[1] = h[0], h[1]
+            if ndata > 1:
+                first = x[1:].copy()
+                first[0] = h[1] - h[0]
+                np.cumsum(first, out=first)
+                x[1:] = h[0] + np.cumsum(first)
+    return (float(ref) + x.astype("float64") * (2.0 ** e)) / (10.0 ** d)
 
 
 def _parse_grid_template_3_0(body: bytes) -> dict:
@@ -224,6 +331,8 @@ def _parse_message(msg: bytes, discipline: int, name: str) -> dict:
         nbits = s5[19]
         x = _unpack_bits(payload, nbits, ndata)
         data = (float(ref) + x.astype("float64") * (2.0 ** e)) / (10.0 ** d)
+    elif tmpl5 in (2, 3):
+        data = _unpack_complex(s5, payload, ndata, tmpl5, name)
     elif tmpl5 == 4:
         prec = s5[11]
         if prec != 1:
@@ -336,6 +445,9 @@ def _encode_message(m: dict) -> bytes:
                  + struct.pack(">f", ref)
                  + _enc_smag(e, 2) + _enc_smag(d, 2)
                  + bytes([nbits, 0]))
+    elif pack["template"] in (2, 3):
+        s5_body, payload = _encode_complex(present, pack)
+        s5 = sec(5, s5_body)
     elif pack["template"] == 4:
         payload = np.asarray(present, dtype=">f4").tobytes()
         s5 = sec(5, struct.pack(">IH", len(present), 4) + bytes([1]))
@@ -354,6 +466,103 @@ def _encode_message(m: dict) -> bytes:
     total = 16 + len(body) + 4
     s0 = b"GRIB" + b"\x00\x00" + bytes([int(m.get("discipline", 0)), 2]) + struct.pack(">Q", total)
     return s0 + body + b"7777"
+
+
+def _nbits_for(vmax: int) -> int:
+    return max(int(vmax).bit_length(), 1) if vmax > 0 else 0
+
+
+def _encode_complex(present: np.ndarray, pack: dict) -> tuple[bytes, bytes]:
+    """Encode template 5.2/5.3 (general group splitting; spatial
+    differencing order from ``pack['order']`` for 5.3).  Grouping is
+    fixed-size (``group_size``) with per-group min reference and
+    minimal widths — a valid, simple instance of the general format
+    (real encoders optimize group boundaries; the FORMAT is identical,
+    which is what the decoder round-trip needs)."""
+    tmpl = int(pack["template"])
+    ref = float(pack.get("ref", 0.0))
+    e, d = int(pack.get("e", 0)), int(pack.get("d", 0))
+    gsz = int(pack.get("group_size", 20))
+    x = np.rint((present * (10.0 ** d) - ref) / (2.0 ** e)).astype("int64")
+    n = x.size
+    if n == 0:
+        raise Grib2Error("complex packing needs at least one value")
+
+    header_extra = b""
+    payload_prefix = b""
+    if tmpl == 3:
+        order = int(pack.get("order", 2))
+        if order not in (1, 2):
+            raise Grib2Error(f"write: spatial differencing order {order}")
+        if n <= order:
+            raise Grib2Error("write: field shorter than differencing order")
+        h = [int(x[0])] + ([int(x[1])] if order == 2 else [])
+        g = x.copy()
+        if order == 1:
+            g[1:] = x[1:] - x[:-1]
+        else:
+            g[2:] = x[2:] - 2 * x[1:-1] + x[:-2]
+        hmin = int(g[order:].min())
+        g[order:] -= hmin
+        g[:order] = 0
+        h.append(hmin)
+        x = g
+        extra_octets = 4
+        header_extra = bytes([order, extra_octets])
+        payload_prefix = b"".join(_enc_smag(v, extra_octets) for v in h)
+    elif tmpl != 2:
+        raise Grib2Error(f"write: data template 5.{tmpl}")
+
+    if x.min() < 0:
+        raise Grib2Error(
+            "complex packing: negative packed value (reference too high)"
+        )
+    ng = -(-n // gsz)
+    groups = [x[i * gsz:(i + 1) * gsz] for i in range(ng)]
+    refs = np.array([int(g.min()) for g in groups], dtype="int64")
+    widths = np.array(
+        [_nbits_for(int(g.max()) - int(r)) for g, r in zip(groups, refs)],
+        dtype="int64",
+    )
+    lengths = np.array([g.size for g in groups], dtype="int64")
+    nbits = _nbits_for(int(refs.max()))
+    wbits = _nbits_for(int(widths.max()))
+    lbits = _nbits_for(int(lengths.max()))
+    # lref=0, linc=1: scaled lengths are the true lengths; the last
+    # group's length additionally goes in the template (octets 43-46)
+    body = (
+        struct.pack(">IH", n, tmpl)
+        + struct.pack(">f", ref)
+        + _enc_smag(e, 2) + _enc_smag(d, 2)
+        + bytes([nbits, 0, 1, 0])            # nbits, type, split=1, missing=0
+        + b"\x00" * 8                        # primary/secondary substitutes
+        + struct.pack(">I", ng)
+        + bytes([0, wbits])                  # width reference, width bits
+        + struct.pack(">I", 0) + bytes([1])  # length ref, length increment
+        + struct.pack(">I", int(lengths[-1]))
+        + bytes([lbits])
+        + header_extra
+    )
+    data_bits = [
+        ((g - r)[:, None] >> np.arange(int(w) - 1, -1, -1, dtype="int64")) & 1
+        for g, r, w in zip(groups, refs, widths)
+        if w > 0
+    ]
+    stream = (
+        np.packbits(
+            np.concatenate([b.reshape(-1) for b in data_bits]).astype("u1")
+        ).tobytes()
+        if data_bits
+        else b""
+    )
+    payload = (
+        payload_prefix
+        + _pack_bits(refs, nbits)
+        + _pack_bits(widths, wbits)
+        + _pack_bits(lengths, lbits)
+        + stream
+    )
+    return body, payload
 
 
 # -- Spark surfaces ------------------------------------------------------

@@ -232,8 +232,11 @@ def s1_grib2_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange format WRF-ecosystem inputs arrive in — GFS/ERA5 cycles,
     several messages per file), ingested through the DISTRIBUTED
     source (``read_grib2_dir``: binaryFile scan, executor-side
-    pure-numpy section/template decode incl. simple packing's
-    ``(R + X*2^E)/10^D``), then aggregated per (file, message).
+    pure-numpy section/template decode), then aggregated per (file,
+    message).  Message 0 of each file uses SIMPLE packing (template
+    5.0, ``(R + X*2^E)/10^D``); message 1 uses COMPLEX packing with
+    second-order spatial differencing (template 5.3 — the real
+    GFS/NCEP layout), so both decode paths sit under the oracle.
 
     Packed integers X sit on a 2^-3 lattice (E=-3), so every double
     is exact; the DuckDB oracle recomputes the closed form."""
@@ -254,14 +257,19 @@ def s1_grib2_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(_G_MSGS):
             base = (fno * _G_MSGS + k) * 1000
             x = base + np.arange(ny * nx).reshape(ny, nx)
+            packing = (
+                {"template": 0, "ref": 0.0, "e": -3, "d": 0, "nbits": 16}
+                if k == 0
+                else {"template": 3, "order": 2, "ref": 0.0, "e": -3,
+                      "d": 0, "group_size": 7}
+            )
             msgs.append(
                 {
                     "values": x / 8.0,
                     "lat0": 50.0, "lon0": 357.0,
                     "dlat": -0.25, "dlon": 0.125,
                     "param_category": k,
-                    "packing": {"template": 0, "ref": 0.0, "e": -3,
-                                "d": 0, "nbits": 16},
+                    "packing": packing,
                 }
             )
         write_grib2(os.path.join(d, f"cycle_{fno}.grib2"), msgs)
