@@ -348,6 +348,48 @@ def _parse_attribute(buf: bytes, pos: int):
     return name, vals
 
 
+def decode_chunk_pipeline(
+    raw: bytes,
+    filters,
+    elem: int,
+    n_elems: int | None = None,
+    filter_mask: int = 0,
+) -> bytes:
+    """Run a chunk through the filter pipeline in reverse;
+    ``filter_mask`` bit i set means pipeline filter i was SKIPPED for
+    this chunk (HDF5 optional-filter semantics — e.g. szip leaves
+    incompressible chunks unfiltered).  Module-level so executor tasks
+    of the distributed chunk scan (sources/netcdf.py
+    ``read_netcdf_chunks``) can decode without holding a file object."""
+    for i in range(len(filters) - 1, -1, -1):
+        if filter_mask & (1 << i):
+            continue
+        fid, cv = filters[i]
+        if fid == 1:
+            raw = zlib.decompress(raw)
+        elif fid == 2:
+            raw = _unshuffle(raw, elem)
+        elif fid == 3:
+            raw = raw[:-4]  # fletcher32 trailer (not verified)
+        elif fid == 4:  # szip (CCSDS extended-Rice), sources/szip.py
+            from wrf_to_geodataframe_spark.sources.szip import szip_decode
+
+            if len(cv) < 4 or n_elems is None:
+                raise Hdf5Error("malformed szip filter params")
+            # H5Z_FILTER_SZIP prefixes the szlib bitstream with the
+            # uncompressed byte count (4 bytes little-endian)
+            if len(raw) < 4:
+                raise Hdf5Error("truncated szip chunk")
+            stored = int.from_bytes(raw[:4], "little")
+            n_px = stored // ((cv[1] + 7) // 8)
+            if n_px > n_elems:
+                raise Hdf5Error("szip stored size exceeds chunk")
+            raw = szip_decode(raw[4:], n_px, cv[0], cv[1], cv[2], cv[3])
+        else:
+            raise Hdf5Error(f"unsupported filter id {fid}")
+    return raw
+
+
 class _Hdf5File:
     def __init__(self, buf: bytes):
         if buf[:8] != _SIG:
@@ -706,39 +748,7 @@ class _Hdf5File:
         n_elems: int | None = None,
         filter_mask: int = 0,
     ) -> bytes:
-        """Run the chunk through the filter pipeline in reverse;
-        ``filter_mask`` bit i set means pipeline filter i was SKIPPED
-        for this chunk (HDF5 optional-filter semantics — e.g. szip
-        leaves incompressible chunks unfiltered)."""
-        for i in range(len(filters) - 1, -1, -1):
-            if filter_mask & (1 << i):
-                continue
-            fid, cv = filters[i]
-            if fid == 1:
-                raw = zlib.decompress(raw)
-            elif fid == 2:
-                raw = _unshuffle(raw, elem)
-            elif fid == 3:
-                raw = raw[:-4]  # fletcher32 trailer (not verified)
-            elif fid == 4:  # szip (CCSDS extended-Rice), sources/szip.py
-                from wrf_to_geodataframe_spark.sources.szip import (
-                    szip_decode,
-                )
-
-                if len(cv) < 4 or n_elems is None:
-                    raise Hdf5Error("malformed szip filter params")
-                # H5Z_FILTER_SZIP prefixes the szlib bitstream with the
-                # uncompressed byte count (4 bytes little-endian)
-                if len(raw) < 4:
-                    raise Hdf5Error("truncated szip chunk")
-                stored = int.from_bytes(raw[:4], "little")
-                n_px = stored // ((cv[1] + 7) // 8)
-                if n_px > n_elems:
-                    raise Hdf5Error("szip stored size exceeds chunk")
-                raw = szip_decode(raw[4:], n_px, cv[0], cv[1], cv[2], cv[3])
-            else:
-                raise Hdf5Error(f"unsupported filter id {fid}")
-        return raw
+        return decode_chunk_pipeline(raw, filters, elem, n_elems, filter_mask)
 
     def _read_layout(self, layout, dtype, shape, filters):
         body, _size = layout
@@ -784,7 +794,11 @@ class _Hdf5File:
             return out
         raise Hdf5Error(f"layout class {lclass}")
 
-    def _read_chunk_btree(self, addr, out, chunk, dtype, filters, ndims):
+    def _iter_chunk_btree(self, addr, ndims):
+        """Yield (offsets, data_addr, nbytes, filter_mask) for every
+        STORED chunk under a v1 chunk B-tree (any depth) — the chunk
+        index walk shared by the in-memory reader and the distributed
+        chunk-manifest scan (``hdf5_chunk_manifest``)."""
         buf = self.buf
         if buf[addr:addr + 4] != b"TREE":
             raise Hdf5Error(f"expected TREE at {addr}")
@@ -803,32 +817,146 @@ class _Hdf5File:
             )
             child = self.f.u(p + key_size, 8)
             if level > 0:
-                self._read_chunk_btree(
-                    child, out, chunk, dtype, filters, ndims
-                )
+                yield from self._iter_chunk_btree(child, ndims)
             else:
-                nchunk = int(np.prod(chunk))
-                raw = self._decode(
-                    buf[child:child + nbytes], filters, dtype.itemsize,
-                    nchunk, filter_mask,
-                )
-                if isinstance(dtype, VlenType):
-                    block = _resolve_vlen(buf, raw, dtype, nchunk)
-                else:
-                    block = np.frombuffer(raw, dtype, count=nchunk)
-                block = block.reshape(chunk)
-                sel = tuple(
-                    slice(o, min(o + c, s))
-                    for o, c, s in zip(offsets, chunk, out.shape)
-                )
-                trim = tuple(
-                    slice(0, sl.stop - sl.start) for sl in sel
-                )
-                out[sel] = block[trim]
+                yield offsets, child, nbytes, filter_mask
             p += key_size + 8
+
+    def _read_chunk_btree(self, addr, out, chunk, dtype, filters, ndims):
+        buf = self.buf
+        nchunk = int(np.prod(chunk))
+        for offsets, child, nbytes, filter_mask in self._iter_chunk_btree(
+            addr, ndims
+        ):
+            raw = self._decode(
+                buf[child:child + nbytes], filters, dtype.itemsize,
+                nchunk, filter_mask,
+            )
+            if isinstance(dtype, VlenType):
+                block = _resolve_vlen(buf, raw, dtype, nchunk)
+            else:
+                block = np.frombuffer(raw, dtype, count=nchunk)
+            block = block.reshape(chunk)
+            sel = tuple(
+                slice(o, min(o + c, s))
+                for o, c, s in zip(offsets, chunk, out.shape)
+            )
+            trim = tuple(
+                slice(0, sl.stop - sl.start) for sl in sel
+            )
+            out[sel] = block[trim]
+
+    def dataset_info(self, addr: int) -> dict:
+        """Metadata-only view of a dataset's storage: shape, dtype,
+        layout message (body, size), filter pipeline.  Reads header
+        messages only — with an mmap-backed buffer no data page is
+        touched, which is what makes the driver-side chunk-manifest
+        extraction O(metadata) on a multi-GB file."""
+        dtype = shape = layout = None
+        filters: list[tuple[int, tuple]] = []
+        for mtype, body, size in self.messages(addr):
+            if mtype == 0x0001:
+                shape = _parse_dataspace(self.buf, body)
+            elif mtype == 0x0003:
+                dtype = _parse_datatype(self.buf, body)
+            elif mtype == 0x0008:
+                layout = (body, size)
+            elif mtype == 0x000B:
+                filters = self._parse_filters(body)
+        if layout is None:
+            raise Hdf5Error("node has no data layout (a group?)")
+        return {
+            "shape": shape, "dtype": dtype, "layout": layout,
+            "filters": filters,
+        }
 
 
 _NC4_PHONY_DIM = "This is a netCDF dimension but not a netCDF variable."
+
+
+def hdf5_chunk_manifest(
+    path: str, var: str, aux_vars: tuple[str, ...] = ()
+) -> dict:
+    """Driver-side CHUNK MANIFEST for one dataset of a NetCDF-4/HDF5
+    file — the kerchunk idea as a function: the file is opened via
+    mmap and ONLY metadata pages (superblock, object headers, chunk
+    B-tree nodes) plus the small ``aux_vars`` (coordinate scales) are
+    ever touched, so a multi-GB model file costs O(index) on the
+    driver.  Returns::
+
+        {shape, chunks, dtype (numpy str), filters, fill (0.0 —
+         read_hdf5's unwritten-chunk semantics),
+         entries: [(chunk_offsets, file_addr, nbytes, filter_mask)],
+         aux: {name: ndarray (copied out of the mmap)}}
+
+    ``entries`` lists only STORED chunks; unwritten chunks are the
+    caller's fill.  A contiguous dataset degrades to one whole-array
+    pseudo-chunk entry with no filters.  Vlen/compound datasets are
+    rejected (their heap indirection needs whole-file access).
+    """
+    import mmap
+
+    with open(path, "rb") as fh:
+        mm = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+        try:
+            f = _Hdf5File(mm)
+            links = f.group_links(f.root_header)
+            if var not in links:
+                raise Hdf5Error(f"{path}: no dataset {var!r}")
+            info = f.dataset_info(links[var])
+            dtype, shape = info["dtype"], info["shape"]
+            if isinstance(dtype, VlenType) or dtype.kind == "V":
+                raise Hdf5Error(
+                    f"{var}: vlen/compound datasets have heap "
+                    "indirection; use the whole-file reader"
+                )
+            body, _size = info["layout"]
+            if mm[body] != 3:
+                raise Hdf5Error(f"data layout version {mm[body]}")
+            lclass = mm[body + 1]
+            if lclass == 1:  # contiguous -> one pseudo-chunk
+                addr = f.f.u(body + 2, 8)
+                if addr == _UNDEF:
+                    entries, chunks = [], tuple(shape)
+                else:
+                    n = int(np.prod(shape)) if shape else 1
+                    entries = [
+                        (tuple(0 for _ in shape), addr,
+                         n * dtype.itemsize, 0)
+                    ]
+                    chunks = tuple(shape)
+                filters = []
+            elif lclass == 2:
+                ndims = mm[body + 2]
+                btree = f.f.u(body + 3, 8)
+                chunks = tuple(
+                    f.f.u(body + 11 + 4 * i, 4) for i in range(ndims - 1)
+                )
+                filters = info["filters"]
+                entries = (
+                    list(f._iter_chunk_btree(btree, ndims))
+                    if btree != _UNDEF
+                    else []
+                )
+            else:
+                raise Hdf5Error(f"layout class {lclass} has no chunk map")
+            aux = {}
+            for name in aux_vars:
+                if name not in links:
+                    raise Hdf5Error(f"{path}: no dataset {name!r}")
+                data, _attrs = f.read_dataset(links[name])
+                aux[name] = np.array(data, copy=True)
+            return {
+                "shape": tuple(shape),
+                "chunks": chunks,
+                "dtype": dtype.str,
+                "filters": filters,
+                "fill": 0.0,
+                "entries": entries,
+                "aux": aux,
+            }
+        finally:
+            mm.close()
 
 
 def read_hdf5(path: str) -> dict:

@@ -213,7 +213,7 @@ def write_netcdf4(
     variables: dict[str, dict],
     attrs: dict | None = None,
     compress: bool = False,
-    chunk: tuple[int, ...] | None = None,
+    chunk: tuple[int, ...] | dict[str, tuple[int, ...]] | None = None,
 ) -> None:
     """Write a NetCDF-4 (HDF5) file — the same call shape as
     ``write_netcdf`` (classic).
@@ -229,16 +229,25 @@ def write_netcdf4(
     chunked + shuffle + deflate behind a v1 B-tree chunk index — the
     layout netcdf-c emits for compressed files and the one the
     companion reader's chunk path decodes; ``chunk`` overrides the
-    default per-axis chunk shape ``min(axis, 64)``."""
+    default per-axis chunk shape ``min(axis, 64)`` — either one tuple
+    (applied where the rank matches; others keep the default) or a
+    dict of variable name -> chunk shape."""
     b = _Hdf5Builder()
     dim_order = list(dims)
+
+    def _chunk_for(name: str, arr: np.ndarray):
+        if isinstance(chunk, dict):
+            return chunk.get(name)
+        if chunk is not None and len(chunk) != arr.ndim:
+            return None  # rank-mismatched global override: default
+        return chunk
 
     def _write_dataset(name: str, arr: np.ndarray, msgs_extra: list[bytes],
                        chunked: bool = False):
         arr = np.ascontiguousarray(arr)
         arr = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
         if chunked and arr.ndim >= 1 and arr.size:
-            msgs = _chunked_messages(b, arr, chunk)
+            msgs = _chunked_messages(b, arr, _chunk_for(name, arr))
         else:
             data_addr = b._alloc(arr.tobytes())
             msgs = [

@@ -478,6 +478,158 @@ def write_netcdf_dir(
     )
 
 
+def read_netcdf_chunks(
+    spark,
+    path: str,
+    var: str,
+    lat_var: str,
+    lon_var: str,
+    time_index: int | None = None,
+):
+    """Chunk-parallel scan of ONE huge NetCDF-4/HDF5 file — the HDF5
+    counterpart of ``read_netcdf_slabs`` (classic), closing the one
+    layout where single-file parallelism was previously per-file only.
+
+    The driver extracts the CHUNK MANIFEST (``hdf5_chunk_manifest``:
+    mmap walk of object headers + v1 chunk B-tree — O(index), no data
+    pages) and broadcasts the small coordinate scales; each executor
+    task seeks directly to its chunks' byte ranges and runs the
+    filter pipeline (deflate/shuffle/szip) itself.  Unwritten chunks
+    yield the reader's fill (0.0).  Emits the same
+    (t_idx, y_idx, x_idx, lat, lon, value) long table as the other
+    single-file source.  Requires a path every executor can open
+    (local mode, NFS/Lustre — the HPC archive shape)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from wrf_to_geodataframe_spark.sources.hdf5 import (
+        decode_chunk_pipeline,
+        hdf5_chunk_manifest,
+    )
+
+    man = hdf5_chunk_manifest(path, var, aux_vars=(lat_var, lon_var))
+    shape, chunk = man["shape"], man["chunks"]
+    if len(shape) == 3:
+        tdim = True
+    elif len(shape) == 2:
+        tdim = False
+    else:
+        raise ValueError(f"{var}: expected (t,y,x) or (y,x), got {shape}")
+    lat = man["aux"][lat_var].astype("float64")
+    lon = man["aux"][lon_var].astype("float64")
+    if lat.ndim == 1 and lon.ndim == 1:
+        lon, lat = np.meshgrid(lon, lat)
+    coords = spark.sparkContext.broadcast((lat, lon))
+    bman = spark.sparkContext.broadcast(
+        {
+            "chunks": chunk,
+            "dtype": man["dtype"],
+            "filters": man["filters"],
+            "shape": shape,
+            "fill": man["fill"],
+        }
+    )
+
+    stored = {
+        tuple(o // c for o, c in zip(offs, chunk)): (addr, nbytes, mask)
+        for offs, addr, nbytes, mask in man["entries"]
+    }
+    grid = tuple(-(-s // c) for s, c in zip(shape, chunk))
+    rows = []
+    for idx in np.ndindex(*grid):
+        if tdim and time_index is not None:
+            t0 = idx[0] * chunk[0]
+            if not (t0 <= time_index < t0 + chunk[0]):
+                continue
+        addr, nbytes, mask = stored.get(idx, (-1, 0, 0))
+        origin = tuple(int(i * c) for i, c in zip(idx, chunk))
+        rows.append(
+            (addr, nbytes, mask)
+            + ((origin if tdim else (0,) + origin))
+        )
+    mdf = spark.createDataFrame(
+        rows, "addr long, nbytes long, fmask long, t0 long, y0 long, x0 long"
+    ).repartition(
+        max(1, min(len(rows), spark.sparkContext.defaultParallelism * 2)),
+        "addr",
+    )
+
+    schema = StructType(
+        [
+            StructField("t_idx", LongType()),
+            StructField("y_idx", LongType()),
+            StructField("x_idx", LongType()),
+            StructField("lat", DoubleType()),
+            StructField("lon", DoubleType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+
+    def _scan(it):
+        m = bman.value
+        lat_g, lon_g = coords.value
+        csh = m["chunks"]
+        dt = np.dtype(m["dtype"])
+        nchunk = int(np.prod(csh))
+        shp = m["shape"]
+        with open(path, "rb") as fh:
+            for pdf in it:
+                for row in pdf.itertuples(index=False):
+                    if row.addr >= 0:
+                        fh.seek(int(row.addr))
+                        raw = decode_chunk_pipeline(
+                            fh.read(int(row.nbytes)), m["filters"],
+                            dt.itemsize, nchunk, int(row.fmask),
+                        )
+                        carr = np.frombuffer(raw, dt, count=nchunk)
+                        carr = carr.reshape(csh).astype(
+                            dt.newbyteorder("="), copy=False
+                        )
+                    else:
+                        carr = np.full(csh, m["fill"], dt.newbyteorder("="))
+                    t0, y0, x0 = int(row.t0), int(row.y0), int(row.x0)
+                    if tdim:
+                        nt = min(csh[0], shp[0] - t0)
+                        ny = min(csh[1], shp[1] - y0)
+                        nx = min(csh[2], shp[2] - x0)
+                        block = carr[:nt, :ny, :nx]
+                        tsel = range(nt)
+                        if time_index is not None:
+                            rel = time_index - t0
+                            block = block[rel:rel + 1]
+                            tsel = [rel]
+                    else:
+                        ny = min(csh[0], shp[0] - y0)
+                        nx = min(csh[1], shp[1] - x0)
+                        block = carr[None, :ny, :nx]
+                        tsel = [0]
+                    yy, xx = np.meshgrid(
+                        np.arange(ny), np.arange(nx), indexing="ij"
+                    )
+                    lat_c = lat_g[y0:y0 + ny, x0:x0 + nx].ravel()
+                    lon_c = lon_g[y0:y0 + ny, x0:x0 + nx].ravel()
+                    for rel_t, sl in zip(tsel, block):
+                        yield pd.DataFrame(
+                            {
+                                "t_idx": np.full(
+                                    ny * nx, t0 + rel_t, "int64"
+                                ),
+                                "y_idx": (yy.ravel() + y0).astype("int64"),
+                                "x_idx": (xx.ravel() + x0).astype("int64"),
+                                "lat": lat_c,
+                                "lon": lon_c,
+                                "value": sl.ravel().astype("float64"),
+                            }
+                        )
+
+    return mdf.mapInPandas(_scan, schema)
+
+
 def _read_header_from_file(path: str) -> dict:
     """Parse the classic header with bounded prefix reads (64 KiB
     doubling) — a 50 GB model file never round-trips through memory
@@ -522,8 +674,8 @@ def read_netcdf_slabs(
 
     Requires a filesystem every executor can open by path (local mode,
     NFS/Lustre — the usual HPC archive home); HDF5-backed NetCDF-4
-    needs chunk-index walks instead and stays on the per-file path
-    (``read_netcdf_dir``)."""
+    files get the same single-file parallelism via chunk-index walks
+    in ``read_netcdf_chunks``."""
     import pandas as pd
     from pyspark.sql.types import (
         DoubleType,
