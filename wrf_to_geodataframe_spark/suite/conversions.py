@@ -305,12 +305,72 @@ GROUP BY 1, 2
 """
 
 
+_GT_H, _GT_W, _GT_TILE = 48, 48, 16
+
+
+def s1_geotiff_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 at RASTER-archive shape: a tiled GeoTIFF (the COG layout —
+    deflate tiles, float-predictor 3, north-up affine, EPSG tag)
+    scanned through the TILE-PARALLEL distributed source
+    (``read_geotiff_dist``: IFD-manifest from mmap'd metadata pages,
+    one task per tile byte-range, executor-side inflate+unpredict),
+    then aggregated per tile row.
+
+    Values sit on a 2^-3 lattice and the affine on 2^-2/2^-3, so all
+    double sums are exact; the DuckDB oracle recomputes the closed
+    form, verifying write -> IFD manifest -> distributed tile decode
+    -> affine georeferencing end to end."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.sources.geotiff import (
+        read_geotiff_dist,
+        write_geotiff,
+    )
+
+    d = tempfile.mkdtemp(prefix="s1_geotiff_")
+    h, w = _GT_H, _GT_W
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    vals = ((yy * w + xx) / 8.0).astype("float32")
+    p = os.path.join(d, "scene.tif")
+    write_geotiff(
+        p, vals, transform=(0.125, 0, 10.0, 0, -0.25, 60.0), epsg=4326,
+        tiled=True, tile=(_GT_TILE, _GT_TILE), compression=8, predictor=3,
+    )
+    df = read_geotiff_dist(spark, p)
+    return (
+        df.withColumn("tile_row", (F.col("y_idx") / _GT_TILE).cast("long"))
+        .groupBy("tile_row")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("value").alias("sum_val"),
+            F.sum(F.col("lat") + F.col("lon")).alias("sum_coord"),
+            F.max("value").alias("max_val"),
+        )
+    )
+
+
+_SGT_SQL = f"""
+SELECT CAST(floor(y.y / {_GT_TILE}.0) AS BIGINT) AS tile_row,
+       COUNT(*) AS n_cells,
+       SUM((y.y * {_GT_W} + x.x) / 8.0) AS sum_val,
+       SUM((60.0 - y.y * 0.25) + (10.0 + x.x * 0.125)) AS sum_coord,
+       MAX((y.y * {_GT_W} + x.x) / 8.0) AS max_val
+FROM generate_series(0, {_GT_H - 1}) AS y(y),
+     generate_series(0, {_GT_W - 1}) AS x(x)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "c1_grid_unnest": c1_grid_unnest,
     "c3_table_to_grid": c3_table_to_grid,
     "s1_netcdf_dir_ingest": s1_netcdf_dir_ingest,
     "s1_zarr_ingest": s1_zarr_ingest,
     "s1_grib2_ingest": s1_grib2_ingest,
+    "s1_geotiff_ingest": s1_geotiff_ingest,
 }
 
 ORACLE = {
@@ -319,4 +379,5 @@ ORACLE = {
     "s1_netcdf_dir_ingest": _S1_SQL,
     "s1_zarr_ingest": _SZ_SQL,
     "s1_grib2_ingest": _SG_SQL,
+    "s1_geotiff_ingest": _SGT_SQL,
 }
