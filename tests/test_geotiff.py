@@ -167,6 +167,46 @@ def test_malformed_rejected(tmp_path):
         write_geotiff(str(tmp_path / "z.tif"), arr, predictor=2)
 
 
+def test_overview_chain_roundtrip(tmp_path):
+    """COG overview IFDs: write with 2 overview levels, read each
+    level; overview k is the 2^k decimation with doubled pixel
+    scale."""
+    rng = np.random.default_rng(44)
+    arr = rng.standard_normal((64, 80)).astype("float32")
+    p = str(tmp_path / "ov.tif")
+    write_geotiff(p, arr, transform=(0.25, 0, 10.0, 0, -0.25, 60.0),
+                  epsg=4326, tiled=True, tile=(32, 32), overviews=2)
+    raw = open(p, "rb").read()
+    info0 = geotiff_info(raw, level=0)
+    assert info0["n_levels"] == 3
+    _i0, full = read_geotiff(p, level=0)
+    np.testing.assert_array_equal(full[:, :, 0], arr)
+    info1, ov1 = read_geotiff(p, level=1)
+    assert (info1["height"], info1["width"]) == (32, 40)
+    np.testing.assert_array_equal(ov1[:, :, 0], arr[::2, ::2])
+    assert info1["transform"] == (0.5, 0.0, 10.0, 0.0, -0.5, 60.0)
+    info2, ov2 = read_geotiff(p, level=2)
+    assert (info2["height"], info2["width"]) == (16, 20)
+    np.testing.assert_array_equal(ov2[:, :, 0], arr[::4, ::4])
+    with pytest.raises(GeoTiffError):
+        read_geotiff(p, level=3)
+
+
+@pytest.mark.skipif(_LIB is None, reason="no libtiff")
+def test_libtiff_sees_overview_directories(tmp_path):
+    """libtiff counts the same IFD chain our writer emits."""
+    arr = np.zeros((64, 64), dtype="float32")
+    p = str(tmp_path / "ovl.tif")
+    write_geotiff(p, arr, tiled=True, tile=(32, 32), overviews=2)
+    t = _LIB.TIFFOpen(p.encode(), b"r")
+    assert t
+    th = ctypes.c_void_p(t)
+    _LIB.TIFFNumberOfDirectories.restype = ctypes.c_uint16
+    _LIB.TIFFNumberOfDirectories.argtypes = [ctypes.c_void_p]
+    assert _LIB.TIFFNumberOfDirectories(th) == 3
+    _LIB.TIFFClose(ctypes.c_void_p(t))
+
+
 # -- libtiff interop -----------------------------------------------------
 
 requires_libtiff = pytest.mark.skipif(_LIB is None, reason="no libtiff")

@@ -326,6 +326,72 @@ def test_roundtrip_complex_with_bitmap(tmp_path):
     assert np.isnan(got[~mask]).all()
 
 
+# -- PNG packing (template 5.41) -----------------------------------------
+
+@pytest.mark.parametrize("nbits", [8, 12, 16, 24, 32])
+def test_roundtrip_png_packing(tmp_path, nbits):
+    rng = np.random.default_rng(0x541 + nbits)
+    rounded = min(32, ((nbits + 7) // 8) * 8)
+    x = rng.integers(0, 1 << min(nbits, 31), (5, 7))
+    vals = -40.0 + x * 0.125
+    p = str(tmp_path / "p.grib2")
+    write_grib2(
+        p,
+        [{"values": vals, "lat0": 50.0, "lon0": 0.0, "dlat": -0.5,
+          "dlon": 0.5,
+          "packing": {"template": 41, "ref": -40.0, "e": -3, "d": 0,
+                      "nbits": nbits}}],
+    )
+    m = read_grib2(p)[0]
+    np.testing.assert_array_equal(m["values"], vals)
+    assert rounded in (8, 16, 24, 32)
+
+
+def test_golden_png_packing_section5_shape():
+    """The 5.41 section-5 carries (R, E, D, rounded-depth) in the 5.0
+    octet positions and a verbatim PNG stream in section 7."""
+    from wrf_to_geodataframe_spark.sources.png import encode_png
+
+    xs = bytes([1, 2, 3, 4, 5, 6])
+    png = encode_png(xs, 6, 1, channels=1, bit_depth=8)
+    s5 = (
+        struct.pack(">IH", 6, 41) + struct.pack(">f", 0.0)
+        + b"\x00\x00" + b"\x00\x00" + bytes([8, 0])
+    )
+    msg = _golden_message(x_bytes=png, s5_body=s5)
+    m = read_grib2_bytes(msg)[0]
+    np.testing.assert_array_equal(
+        m["values"].ravel(), [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    )
+
+
+def test_png_packing_with_bitmap(tmp_path):
+    vals = np.arange(12, dtype="float64").reshape(3, 4)
+    vals[0, 0] = np.nan
+    p = str(tmp_path / "pb.grib2")
+    write_grib2(
+        p,
+        [{"values": vals, "lat0": 0.0, "lon0": 0.0, "dlat": 1.0,
+          "dlon": 1.0,
+          "packing": {"template": 41, "ref": 0.0, "e": 0, "d": 0,
+                      "nbits": 8}}],
+    )
+    m = read_grib2(p)[0]
+    assert np.isnan(m["values"][0, 0])
+    mask = ~np.isnan(vals)
+    np.testing.assert_array_equal(m["values"][mask], vals[mask])
+
+
+def test_png_packing_corrupt_payload_rejected():
+    s5 = (
+        struct.pack(">IH", 6, 41) + struct.pack(">f", 0.0)
+        + b"\x00\x00" + b"\x00\x00" + bytes([8, 0])
+    )
+    msg = _golden_message(x_bytes=b"\x89PNGnot-really", s5_body=s5)
+    with pytest.raises(Grib2Error):
+        read_grib2_bytes(msg)
+
+
 # -- writer round-trips --------------------------------------------------
 
 def test_roundtrip_simple_packing(tmp_path):

@@ -94,9 +94,11 @@ def is_tiff(buf: bytes) -> bool:
     )
 
 
-def _parse_first_ifd(buf) -> tuple[dict, str, bool]:
-    """-> (tags {tag: list/str}, endian prefix, bigtiff).  Accepts any
-    buffer supporting slicing (bytes or mmap)."""
+def _parse_ifds(buf, max_ifds: int = 64) -> tuple[list[dict], str, bool]:
+    """Follow the IFD chain -> ([tags {tag: list/str} per IFD], endian
+    prefix, bigtiff).  IFD 0 is the full raster; further IFDs are
+    overviews in a COG.  Accepts any buffer supporting slicing (bytes
+    or mmap)."""
     if buf[:2] == b"II":
         e = "<"
     elif buf[:2] == b"MM":
@@ -116,46 +118,61 @@ def _parse_first_ifd(buf) -> tuple[dict, str, bool]:
     else:
         raise GeoTiffError(f"bad TIFF magic {magic}")
 
-    tags: dict[int, object] = {}
     if big:
-        (n,) = struct.unpack_from(e + "Q", buf, ifd_off)
-        p = ifd_off + 8
-        entry_sz, cnt_fmt, inline = 20, "Q", 8
+        entry_sz, cnt_fmt, inline, nfmt = 20, "Q", 8, "Q"
     else:
-        (n,) = struct.unpack_from(e + "H", buf, ifd_off)
-        p = ifd_off + 2
-        entry_sz, cnt_fmt, inline = 12, "I", 4
-    for _ in range(int(n)):
-        tag, typ = struct.unpack_from(e + "HH", buf, p)
-        (count,) = struct.unpack_from(e + cnt_fmt, buf, p + 4)
-        voff = p + 4 + struct.calcsize(cnt_fmt)
-        size = _TYPE_SIZE.get(typ, 0) * count
-        if size == 0:
-            p += entry_sz
-            continue
-        if size <= inline:
-            data_off = voff
-        else:
-            (data_off,) = struct.unpack_from(e + cnt_fmt, buf, voff)
-        raw = bytes(buf[data_off:data_off + size])
-        if typ == 2:
-            tags[tag] = raw.split(b"\x00")[0].decode("ascii", "replace")
-        elif typ in (5, 10):  # rational: numerator/denominator pairs
-            base = "Ii"[typ == 10]
-            vals = struct.unpack(e + base * (2 * count), raw)
-            tags[tag] = [
-                vals[2 * i] / (vals[2 * i + 1] or 1) for i in range(count)
-            ]
-        elif typ in (7,):  # UNDEFINED: raw bytes
-            tags[tag] = raw
-        else:
-            fmt = _TYPE_FMT.get(typ)
-            if fmt is None:
+        entry_sz, cnt_fmt, inline, nfmt = 12, "I", 4, "H"
+    cnt_len = struct.calcsize(cnt_fmt)
+    out = []
+    seen = set()
+    while ifd_off and len(out) < max_ifds:
+        if ifd_off in seen:
+            raise GeoTiffError("IFD chain loop")
+        seen.add(ifd_off)
+        (n,) = struct.unpack_from(e + nfmt, buf, ifd_off)
+        p = ifd_off + struct.calcsize(nfmt)
+        tags: dict[int, object] = {}
+        for _ in range(int(n)):
+            tag, typ = struct.unpack_from(e + "HH", buf, p)
+            (count,) = struct.unpack_from(e + cnt_fmt, buf, p + 4)
+            voff = p + 4 + cnt_len
+            size = _TYPE_SIZE.get(typ, 0) * count
+            if size == 0:
                 p += entry_sz
                 continue
-            tags[tag] = list(struct.unpack(e + fmt * count, raw))
-        p += entry_sz
-    return tags, e, big
+            if size <= inline:
+                data_off = voff
+            else:
+                (data_off,) = struct.unpack_from(e + cnt_fmt, buf, voff)
+            raw = bytes(buf[data_off:data_off + size])
+            if typ == 2:
+                tags[tag] = raw.split(b"\x00")[0].decode("ascii", "replace")
+            elif typ in (5, 10):  # rational: numerator/denominator pairs
+                base = "Ii"[typ == 10]
+                vals = struct.unpack(e + base * (2 * count), raw)
+                tags[tag] = [
+                    vals[2 * i] / (vals[2 * i + 1] or 1)
+                    for i in range(count)
+                ]
+            elif typ in (7,):  # UNDEFINED: raw bytes
+                tags[tag] = raw
+            else:
+                fmt = _TYPE_FMT.get(typ)
+                if fmt is None:
+                    p += entry_sz
+                    continue
+                tags[tag] = list(struct.unpack(e + fmt * count, raw))
+            p += entry_sz
+        out.append(tags)
+        (ifd_off,) = struct.unpack_from(e + cnt_fmt, buf, p)
+    if not out:
+        raise GeoTiffError("no IFDs")
+    return out, e, big
+
+
+def _parse_first_ifd(buf) -> tuple[dict, str, bool]:
+    ifds, e, big = _parse_ifds(buf, max_ifds=1)
+    return ifds[0], e, big
 
 
 def _dtype_of(tags, e: str) -> np.dtype:
@@ -212,11 +229,18 @@ def _epsg_of(tags) -> int | None:
     return epsg
 
 
-def geotiff_info(buf) -> dict:
-    """First-IFD raster metadata: width, height, bands, dtype (str),
-    tiled, block shape, blocks-per-row/col, compression, predictor,
-    affine transform, epsg, nodata."""
-    tags, e, big = _parse_first_ifd(buf)
+def geotiff_info(buf, level: int = 0) -> dict:
+    """Raster metadata for one IFD ``level`` (0 = full resolution;
+    higher levels are COG overviews): width, height, bands, dtype
+    (str), tiled, block shape, blocks-per-row/col, compression,
+    predictor, affine transform, epsg, nodata, n_levels."""
+    ifds, e, big = _parse_ifds(buf)
+    if not (0 <= level < len(ifds)):
+        raise GeoTiffError(
+            f"overview level {level} out of range ({len(ifds)} IFDs)"
+        )
+    tags = ifds[level]
+    n_levels = len(ifds)
     w = tags.get(_T_WIDTH, [0])[0]
     h = tags.get(_T_HEIGHT, [0])[0]
     if not w or not h:
@@ -276,6 +300,8 @@ def geotiff_info(buf) -> dict:
         "epsg": _epsg_of(tags),
         "nodata": nodata,
         "bigtiff": big,
+        "n_levels": n_levels,
+        "level": level,
     }
 
 
@@ -343,14 +369,15 @@ def _decode_block(raw: bytes, info: dict, rows: int) -> np.ndarray:
     return arr.astype(dt.newbyteorder("="), copy=False)
 
 
-def read_geotiff(path_or_buf) -> tuple[dict, np.ndarray]:
-    """-> (info, array (height, width, bands) in native order)."""
+def read_geotiff(path_or_buf, level: int = 0) -> tuple[dict, np.ndarray]:
+    """-> (info, array (height, width, bands) in native order) for
+    overview ``level`` (0 = full resolution)."""
     if isinstance(path_or_buf, (bytes, bytearray, memoryview)):
         buf = path_or_buf
     else:
         with open(path_or_buf, "rb") as f:
             buf = f.read()
-    info = geotiff_info(buf)
+    info = geotiff_info(buf, level=level)
     h, w = info["height"], info["width"]
     bw, bh = info["block_w"], info["block_h"]
     out = np.zeros((h, w, info["bands"]),
@@ -380,109 +407,25 @@ def write_geotiff(
     predictor: int = 1,
     nodata: float | None = None,
     bigtiff: bool = False,
+    overviews: int = 0,
 ) -> None:
     """Write a (height, width[, bands]) raster as GeoTIFF (little-
     endian; classic or BigTIFF).  ``transform`` is the affine
     (a, b, c, d, e, f) — north-up affines (b == d == 0) are emitted as
     PixelScale+Tiepoint (the common GDAL layout), others as the full
-    ModelTransformation matrix."""
-    arr = np.asarray(array)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    h, w, bands = arr.shape
-    dt = arr.dtype.newbyteorder("<")
-    arr = np.ascontiguousarray(arr, dtype=dt)
-    fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
-    if predictor == 3 and dt.kind != "f":
-        raise GeoTiffError("predictor 3 needs float samples")
-    if predictor == 2 and dt.kind == "f":
-        raise GeoTiffError("predictor 2 needs integer samples")
-
-    if tiled:
-        bw, bh = tile
-        if bw % 16 or bh % 16:
-            raise GeoTiffError("tile dims must be multiples of 16")
-    else:
-        bw, bh = w, rows_per_strip
-    nbx, nby = -(-w // bw), -(-h // bh)
-
-    blocks = []
-    for by in range(nby):
-        for bx in range(nbx):
-            y0, x0 = by * bh, bx * bw
-            rows = bh if tiled else min(bh, h - y0)
-            block = np.zeros((rows, bw, bands), dtype=dt)
-            ny, nx = min(bh, h - y0), min(bw, w - x0)
-            block[:ny, :nx] = arr[y0:y0 + ny, x0:x0 + nx]
-            if predictor == 2:
-                enc = _predict2_encode(
-                    block.astype(dt.newbyteorder("="))
-                ).astype(dt)
-                raw = enc.tobytes()
-            elif predictor == 3:
-                be = block.astype(dt.newbyteorder(">")).view("u1")
-                raw = _predict3_encode(
-                    be.reshape(rows, bw * bands * dt.itemsize)
-                    .reshape(rows, bw * bands, dt.itemsize),
-                    rows, bw * bands, dt.itemsize,
-                )
-            else:
-                raw = block.tobytes()
-            if compression == 1:
-                out = raw
-            elif compression in (8, 32946):
-                out = zlib.compress(raw, 6)
-            elif compression == 5:
-                out = tlzw_encode(raw)
-            elif compression == 32773:
-                out = packbits_encode(raw)
-            else:
-                raise GeoTiffError(f"write: compression {compression}")
-            blocks.append(out)
-
-    tags: list[tuple[int, int, list]] = [
-        (_T_WIDTH, 4, [w]),
-        (_T_HEIGHT, 4, [h]),
-        (_T_BITS, 3, [dt.itemsize * 8] * bands),
-        (_T_COMP, 3, [compression]),
-        (_T_PHOTO, 3, [1]),
-        (_T_SPP, 3, [bands]),
-        (_T_PLANAR, 3, [1]),
-        (_T_SAMPLE_FMT, 3, [fmt] * bands),
-    ]
-    if predictor != 1:
-        tags.append((_T_PREDICTOR, 3, [predictor]))
-    if tiled:
-        tags += [(_T_TILE_W, 3, [bw]), (_T_TILE_H, 3, [bh])]
-    else:
-        tags.append((_T_ROWS_PER_STRIP, 4, [bh]))
-    if transform is not None:
-        a, b_, c, d, e_, f_ = transform
-        if b_ == 0 and d == 0 and e_ < 0:
-            tags += [
-                (_T_PIXEL_SCALE, 12, [a, -e_, 0.0]),
-                (_T_TIEPOINT, 12, [0.0, 0.0, 0.0, c, f_, 0.0]),
-            ]
-        else:
-            m = [a, b_, 0.0, c, d, e_, 0.0, f_,
-                 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]
-            tags.append((_T_TRANSFORM, 12, m))
-    if epsg is not None:
-        # minimal GeoKey directory: version 1.1.0, one key (2048
-        # geographic <32767, else 3072 projected)
-        key = 2048 if epsg < 32767 and 4000 <= epsg < 5000 else 3072
-        tags.append((_T_GEO_DIR, 3, [1, 1, 0, 1, key, 0, 1, epsg]))
-    if nodata is not None:
-        s = repr(float(nodata)).encode() + b"\x00"
-        tags.append((_T_GDAL_NODATA, 2, list(s)))
-
-    off_type = 16 if bigtiff else 4
-    cnt_tag_type = 16 if bigtiff else 4
-    tags.append((_T_TILE_OFF if tiled else _T_STRIP_OFF, off_type,
-                 [0] * len(blocks)))
-    tags.append((_T_TILE_CNT if tiled else _T_STRIP_CNT, cnt_tag_type,
-                 [len(b) for b in blocks]))
-    tags.sort(key=lambda t: t[0])
+    ModelTransformation matrix.  ``overviews=N`` appends up to N
+    chained overview IFDs, each a 2x decimation of the previous level
+    with its pixel scale doubled — the COG layout
+    ``geotiff_info(level=k)`` reads back."""
+    arr0 = np.asarray(array)
+    if arr0.ndim == 2:
+        arr0 = arr0[:, :, None]
+    levels = [arr0]
+    for _ in range(max(0, overviews)):
+        prev = levels[-1]
+        if min(prev.shape[0], prev.shape[1]) < 2:
+            break
+        levels.append(prev[::2, ::2])
 
     e = "<"
     if bigtiff:
@@ -493,64 +436,190 @@ def write_geotiff(
         header_len = 8
         entry_sz, cnt_fmt, inline = 12, "I", 4
         nfmt = "H"
-    ifd_len = struct.calcsize(nfmt) + entry_sz * len(tags) + \
-        struct.calcsize(cnt_fmt)
-    # layout: header | IFD | overflow tag data | blocks
-    overflow: list[bytes] = []
-    pos_overflow = header_len + ifd_len
 
     def enc_values(typ, vals) -> bytes:
         if typ == 2:
             return bytes(vals)
         return struct.pack(e + _TYPE_FMT[typ] * len(vals), *vals)
 
-    # place blocks after all tag data; need two passes for offsets
-    tag_payloads = {}
-    for tag, typ, vals in tags:
-        size = _TYPE_SIZE[typ] * len(vals)
-        if size > inline:
-            tag_payloads[tag] = size
-    data_start = pos_overflow + sum(
-        (s + 1) & ~1 for s in tag_payloads.values()
-    )
-    block_offsets = []
-    bpos = data_start
-    for blk in blocks:
-        block_offsets.append(bpos)
-        bpos += (len(blk) + 1) & ~1
-    # patch the offsets tag values
-    tags = [
-        (tag, typ, block_offsets if tag in (_T_TILE_OFF, _T_STRIP_OFF)
-         else vals)
-        for tag, typ, vals in tags
-    ]
-
-    ifd = struct.pack(e + nfmt, len(tags))
-    opos = pos_overflow
-    for tag, typ, vals in tags:
-        raw = enc_values(typ, vals)
-        entry = struct.pack(e + "HH", tag, typ)
-        entry += struct.pack(e + cnt_fmt, len(vals))
-        if len(raw) <= inline:
-            entry += raw.ljust(inline, b"\x00")
+    def build_segment(arr, tf, li: int, base: int) -> tuple[bytes, int]:
+        """One IFD + its tag overflow + its blocks, laid out at file
+        offset ``base``.  Returns (segment bytes, position of the
+        next-IFD pointer within the segment)."""
+        h, w, bands = arr.shape
+        dt = arr.dtype.newbyteorder("<")
+        arr = np.ascontiguousarray(arr, dtype=dt)
+        fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
+        if predictor == 3 and dt.kind != "f":
+            raise GeoTiffError("predictor 3 needs float samples")
+        if predictor == 2 and dt.kind == "f":
+            raise GeoTiffError("predictor 2 needs integer samples")
+        if tiled:
+            bw, bh = tile
+            if bw % 16 or bh % 16:
+                raise GeoTiffError("tile dims must be multiples of 16")
         else:
-            entry += struct.pack(e + cnt_fmt, opos)
-            overflow.append(raw if len(raw) % 2 == 0 else raw + b"\x00")
-            opos += (len(raw) + 1) & ~1
-        ifd += entry
-    ifd += struct.pack(e + cnt_fmt, 0)  # no next IFD
+            bw, bh = w, rows_per_strip
+        nbx, nby = -(-w // bw), -(-h // bh)
+
+        blocks = []
+        for by in range(nby):
+            for bx in range(nbx):
+                y0, x0 = by * bh, bx * bw
+                rows = bh if tiled else min(bh, h - y0)
+                block = np.zeros((rows, bw, bands), dtype=dt)
+                ny, nx = min(bh, h - y0), min(bw, w - x0)
+                block[:ny, :nx] = arr[y0:y0 + ny, x0:x0 + nx]
+                if predictor == 2:
+                    enc = _predict2_encode(
+                        block.astype(dt.newbyteorder("="))
+                    ).astype(dt)
+                    raw = enc.tobytes()
+                elif predictor == 3:
+                    be = block.astype(dt.newbyteorder(">")).view("u1")
+                    raw = _predict3_encode(
+                        be.reshape(rows, bw * bands * dt.itemsize)
+                        .reshape(rows, bw * bands, dt.itemsize),
+                        rows, bw * bands, dt.itemsize,
+                    )
+                else:
+                    raw = block.tobytes()
+                if compression == 1:
+                    out = raw
+                elif compression in (8, 32946):
+                    out = zlib.compress(raw, 6)
+                elif compression == 5:
+                    out = tlzw_encode(raw)
+                elif compression == 32773:
+                    out = packbits_encode(raw)
+                else:
+                    raise GeoTiffError(
+                        f"write: compression {compression}"
+                    )
+                blocks.append(out)
+
+        tags: list[tuple[int, int, list]] = [
+            (_T_WIDTH, 4, [w]),
+            (_T_HEIGHT, 4, [h]),
+            (_T_BITS, 3, [dt.itemsize * 8] * bands),
+            (_T_COMP, 3, [compression]),
+            (_T_PHOTO, 3, [1]),
+            (_T_SPP, 3, [bands]),
+            (_T_PLANAR, 3, [1]),
+            (_T_SAMPLE_FMT, 3, [fmt] * bands),
+        ]
+        if li > 0:
+            tags.append((254, 4, [1]))  # NewSubfileType: reduced image
+        if predictor != 1:
+            tags.append((_T_PREDICTOR, 3, [predictor]))
+        if tiled:
+            tags += [(_T_TILE_W, 3, [bw]), (_T_TILE_H, 3, [bh])]
+        else:
+            tags.append((_T_ROWS_PER_STRIP, 4, [bh]))
+        if tf is not None:
+            a, b_, c, d, e_, f_ = tf
+            if b_ == 0 and d == 0 and e_ < 0:
+                tags += [
+                    (_T_PIXEL_SCALE, 12, [a, -e_, 0.0]),
+                    (_T_TIEPOINT, 12, [0.0, 0.0, 0.0, c, f_, 0.0]),
+                ]
+            else:
+                m = [a, b_, 0.0, c, d, e_, 0.0, f_,
+                     0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]
+                tags.append((_T_TRANSFORM, 12, m))
+        if epsg is not None and li == 0:
+            # minimal GeoKey directory: version 1.1.0, one key (2048
+            # geographic <32767, else 3072 projected)
+            key = 2048 if epsg < 32767 and 4000 <= epsg < 5000 else 3072
+            tags.append((_T_GEO_DIR, 3, [1, 1, 0, 1, key, 0, 1, epsg]))
+        if nodata is not None:
+            s = repr(float(nodata)).encode() + b"\x00"
+            tags.append((_T_GDAL_NODATA, 2, list(s)))
+
+        off_type = 16 if bigtiff else 4
+        tags.append((_T_TILE_OFF if tiled else _T_STRIP_OFF, off_type,
+                     [0] * len(blocks)))
+        tags.append((_T_TILE_CNT if tiled else _T_STRIP_CNT, off_type,
+                     [len(b) for b in blocks]))
+        tags.sort(key=lambda t: t[0])
+
+        ifd_len = struct.calcsize(nfmt) + entry_sz * len(tags) + \
+            struct.calcsize(cnt_fmt)
+        # segment layout: IFD | overflow tag data | blocks
+        pos_overflow = base + ifd_len
+        tag_payloads = {}
+        for tag, typ, vals in tags:
+            size = _TYPE_SIZE[typ] * len(vals)
+            if size > inline:
+                tag_payloads[tag] = size
+        data_start = pos_overflow + sum(
+            (s + 1) & ~1 for s in tag_payloads.values()
+        )
+        block_offsets = []
+        bpos = data_start
+        for blk in blocks:
+            block_offsets.append(bpos)
+            bpos += (len(blk) + 1) & ~1
+        tags = [
+            (tag, typ,
+             block_offsets if tag in (_T_TILE_OFF, _T_STRIP_OFF)
+             else vals)
+            for tag, typ, vals in tags
+        ]
+        # assemble: IFD entries + next-IFD pointer, overflow, blocks
+        overflow: list[bytes] = []
+        ifd = struct.pack(e + nfmt, len(tags))
+        opos = pos_overflow
+        for tag, typ, vals in tags:
+            raw = enc_values(typ, vals)
+            entry = struct.pack(e + "HH", tag, typ)
+            entry += struct.pack(e + cnt_fmt, len(vals))
+            if len(raw) <= inline:
+                entry += raw.ljust(inline, b"\x00")
+            else:
+                entry += struct.pack(e + cnt_fmt, opos)
+                overflow.append(
+                    raw if len(raw) % 2 == 0 else raw + b"\x00"
+                )
+                opos += (len(raw) + 1) & ~1
+            ifd += entry
+        next_ptr_rel = len(ifd)
+        ifd += struct.pack(e + cnt_fmt, 0)  # next IFD (patched later)
+        seg = bytearray(ifd)
+        for ov in overflow:
+            seg += ov
+        for blk in blocks:
+            seg += blk if len(blk) % 2 == 0 else blk + b"\x00"
+        return bytes(seg), next_ptr_rel
+
+    segments: list[tuple[bytes, int, int]] = []  # (seg, base, next_rel)
+    pos = header_len
+    for li, lv in enumerate(levels):
+        tf = None
+        if transform is not None:
+            a, b_, c, d, e_, f_ = transform
+            s = 1 << li
+            tf = (a * s, b_ * s, c, d * s, e_ * s, f_)
+        seg, next_rel = build_segment(lv, tf, li, pos)
+        segments.append((seg, pos, next_rel))
+        pos += len(seg)
 
     if bigtiff:
         header = b"II" + struct.pack("<HHHQ", 43, 8, 0, header_len)
+        nxt_fmt = "<Q"
     else:
         header = b"II" + struct.pack("<HI", 42, header_len)
+        nxt_fmt = "<I"
     with open(path, "wb") as f:
         f.write(header)
-        f.write(ifd)
-        for ov in overflow:
-            f.write(ov)
-        for blk in blocks:
-            f.write(blk if len(blk) % 2 == 0 else blk + b"\x00")
+        for i, (seg, _base, next_rel) in enumerate(segments):
+            if i + 1 < len(segments):
+                seg = bytearray(seg)
+                struct.pack_into(
+                    nxt_fmt, seg, next_rel, segments[i + 1][1]
+                )
+                seg = bytes(seg)
+            f.write(seg)
 
 
 # -- Spark surfaces ------------------------------------------------------

@@ -21,8 +21,10 @@ numpy implementation of the public spec:
   order 1/2: sign-magnitude extra descriptors h1[, h2], hmin in
   section 7, recurrence ``x[n] = g[n] + hmin + x[n-1]`` resp.
   ``+ 2x[n-1] - x[n-2]``) — the templates real GFS/NCEP files use —
-  and 5.4 (IEEE float32).  Bitmapped (section 6) sparse fields read
-  as NaN at absent points.
+  5.4 (IEEE float32), and 5.41 (PNG packing, NCEP/MRMS: the packed
+  integers ride as raw PNG samples, decoded through the repo's own
+  libpng-cross-validated decoder via ``decode_png_raw``).  Bitmapped
+  (section 6) sparse fields read as NaN at absent points.
 * Product template 4.0 (parameter category/number, forecast hour).
 
 No GRIB implementation exists in this environment (no eccodes/
@@ -333,6 +335,23 @@ def _parse_message(msg: bytes, discipline: int, name: str) -> dict:
         data = (float(ref) + x.astype("float64") * (2.0 ** e)) / (10.0 ** d)
     elif tmpl5 in (2, 3):
         data = _unpack_complex(s5, payload, ndata, tmpl5, name)
+    elif tmpl5 == 41:
+        # PNG packing (NCEP, e.g. MRMS): section 7 is a PNG stream
+        # whose RAW samples carry the nbits-wide packed integers
+        # MSB-first (g2lib pngunpack semantics: depth/channels come
+        # from the PNG, the field width from the template)
+        from wrf_to_geodataframe_spark.sources.png import decode_png_raw
+
+        (ref,) = struct.unpack_from(">f", s5, 11)
+        e = _smag(struct.unpack_from(">H", s5, 15)[0], 16)
+        d = _smag(struct.unpack_from(">H", s5, 17)[0], 16)
+        nbits = s5[19]
+        try:
+            _w, _h, _depth, _ch, raw = decode_png_raw(payload)
+        except ValueError as exc:
+            raise Grib2Error(f"{name}: 5.41 PNG payload: {exc}") from exc
+        x = _unpack_bits(raw, nbits, ndata)
+        data = (float(ref) + x.astype("float64") * (2.0 ** e)) / (10.0 ** d)
     elif tmpl5 == 4:
         prec = s5[11]
         if prec != 1:
@@ -448,6 +467,30 @@ def _encode_message(m: dict) -> bytes:
     elif pack["template"] in (2, 3):
         s5_body, payload = _encode_complex(present, pack)
         s5 = sec(5, s5_body)
+    elif pack["template"] == 41:
+        from wrf_to_geodataframe_spark.sources.png import encode_png
+
+        ref = float(pack.get("ref", 0.0))
+        e, d = int(pack.get("e", 0)), int(pack.get("d", 0))
+        nbits = int(pack.get("nbits", 16))
+        # g2lib pngpack rounds the width to a whole PNG sample size
+        rounded = min(32, ((max(nbits, 1) + 7) // 8) * 8)
+        x = np.rint(
+            (present * (10.0 ** d) - ref) / (2.0 ** e)
+        ).astype("int64")
+        if x.size and (x.min() < 0 or x.max() >= (1 << rounded)):
+            raise Grib2Error(f"value out of range for {rounded}-bit PNG")
+        nb = rounded // 8
+        buf = b"".join(int(v).to_bytes(nb, "big") for v in x)
+        depth, channels = {1: (8, 1), 2: (16, 1), 3: (8, 3),
+                           4: (8, 4)}[nb]
+        payload = encode_png(
+            buf, len(present), 1, channels=channels, bit_depth=depth
+        )
+        s5 = sec(5, struct.pack(">IH", len(present), 41)
+                 + struct.pack(">f", ref)
+                 + _enc_smag(e, 2) + _enc_smag(d, 2)
+                 + bytes([rounded, 0]))
     elif pack["template"] == 4:
         payload = np.asarray(present, dtype=">f4").tobytes()
         s5 = sec(5, struct.pack(">IH", len(present), 4) + bytes([1]))

@@ -323,6 +323,72 @@ def _expand_scanline(
     return out.tobytes()
 
 
+def decode_png_raw(data: bytes) -> tuple[int, int, int, int, bytes]:
+    """Decode a NON-interlaced PNG to its RAW unfiltered scanline
+    samples: ``(width, height, bit_depth, channels, bytes)`` with no
+    8-bit normalization (16-bit samples stay big-endian pairs,
+    sub-byte rows stay packed with their padding).  The entry point
+    data-carrying PNG payloads need — GRIB2 template 5.41
+    (sources/grib2.py) stores packed field integers as PNG samples,
+    where normalization would destroy the values."""
+    if data[:8] != _SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = depth = ctype = -1
+    interlace = 0
+    idat = bytearray()
+    seen_end = False
+    while pos < len(data) and not seen_end:
+        if pos + 8 > len(data):
+            raise ValueError("corrupt PNG: truncated chunk header")
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        if len(payload) != length or pos + 12 + length > len(data):
+            raise ValueError("corrupt PNG: truncated chunk")
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length:pos + 12 + length]
+        )
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"corrupt PNG: CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", payload)
+            )
+            if comp != 0 or filt != 0:
+                raise ValueError(
+                    "unsupported PNG: nonzero compression/filter method"
+                )
+            if interlace != 0:
+                raise ValueError("raw decode: interlaced PNG")
+            if ctype not in _CHANNELS:
+                raise ValueError(f"unsupported PNG: color type {ctype}")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            seen_end = True
+        pos += 12 + length
+    if ctype < 0 or not seen_end:
+        raise ValueError("corrupt PNG: missing IHDR/IEND")
+    channels = _CHANNELS[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = (width * channels * depth + 7) // 8
+    bpp = max(1, channels * depth // 8)
+    out = bytearray()
+    prev = bytes(stride)
+    pos = 0
+    for _ in range(height):
+        if pos + 1 + stride > len(raw):
+            raise ValueError("corrupt PNG: truncated scanline")
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        _unfilter_line(ftype, line, prev, bpp)
+        prev = bytes(line)
+        out += line
+    return width, height, depth, channels, bytes(out)
+
+
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PNG to ``(width, height, channels, pixels)`` —
     NORMALIZED 8-bit interleaved samples, scanlines top-to-bottom (see
