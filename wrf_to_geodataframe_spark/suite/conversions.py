@@ -224,6 +224,52 @@ GROUP BY 1
 """
 
 
+def s1_zarr3_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 at zarr v3 SHARDED shape (the current spec's scale layout):
+    a sharding_indexed store — one storage object per shard, many
+    gzip inner chunks + a crc32c-protected (offset, nbytes) index per
+    object — scanned through the SHARD-PARALLEL distributed source
+    (``read_zarr3_dist``: one task per shard, the task range-decodes
+    its inner chunks from the local index), then aggregated per
+    timestep.  Same closed-form 2^-3 lattice as the v2 gate; the
+    DuckDB oracle recomputes it."""
+    import tempfile
+
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.sources.zarr3 import (
+        read_zarr3_dist,
+        write_zarr3,
+    )
+
+    d = tempfile.mkdtemp(prefix="s1_zarr3_")
+    nt, ny, nx = _Z_NT, _Z_NY, _Z_NX
+    tt, yy, xx = np.meshgrid(
+        np.arange(nt), np.arange(ny), np.arange(nx), indexing="ij"
+    )
+    vals = (tt * 1000 + yy * nx + xx).astype("float64")
+    lat = (50.0 + yy[0] * 0.25).astype("float64")
+    lon = (-3.0 + xx[0] * 0.125).astype("float64")
+    write_zarr3(
+        d,
+        {"t": nt, "y": ny, "x": nx},
+        {
+            "T2": {"dims": ["t", "y", "x"], "data": vals},
+            "XLAT": {"dims": ["y", "x"], "data": lat},
+            "XLONG": {"dims": ["y", "x"], "data": lon},
+        },
+        chunks={"T2": (1, 2, 2), "XLAT": (4, 4), "XLONG": (4, 4)},
+        shards={"T2": (2, 4, 4)},
+    )
+    df = read_zarr3_dist(spark, d, "T2", "XLAT", "XLONG")
+    return df.groupBy("t_idx").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("value").alias("sum_val"),
+        F.sum(F.col("lat") + F.col("lon")).alias("sum_coord"),
+        F.max("value").alias("max_val"),
+    )
+
+
 _G_FILES, _G_MSGS, _G_NY, _G_NX = 2, 2, 6, 6
 
 
@@ -369,6 +415,7 @@ QUERIES = {
     "c3_table_to_grid": c3_table_to_grid,
     "s1_netcdf_dir_ingest": s1_netcdf_dir_ingest,
     "s1_zarr_ingest": s1_zarr_ingest,
+    "s1_zarr3_ingest": s1_zarr3_ingest,
     "s1_grib2_ingest": s1_grib2_ingest,
     "s1_geotiff_ingest": s1_geotiff_ingest,
 }
@@ -378,6 +425,7 @@ ORACLE = {
     "c3_table_to_grid": _C3_SQL,
     "s1_netcdf_dir_ingest": _S1_SQL,
     "s1_zarr_ingest": _SZ_SQL,
+    "s1_zarr3_ingest": _SZ_SQL,
     "s1_grib2_ingest": _SG_SQL,
     "s1_geotiff_ingest": _SGT_SQL,
 }
