@@ -326,6 +326,98 @@ def test_roundtrip_complex_with_bitmap(tmp_path):
     assert np.isnan(got[~mask]).all()
 
 
+# -- Lambert conformal (template 3.30) -----------------------------------
+
+def test_lcc_snyder_worked_example():
+    """Snyder, 'Map Projections — A Working Manual', spherical
+    Lambert conformal numerical example (p. 295): R=1, phi1=33,
+    phi2=45, phi0=23, lambda0=-96; point (35, -75) ->
+    x=0.2966785, y=0.2462112."""
+    from wrf_to_geodataframe_spark.sources.grib2 import (
+        lcc_forward,
+        lcc_inverse,
+    )
+
+    x, y = lcc_forward(35.0, -75.0, 33.0, 45.0, 23.0, -96.0, 1.0)
+    assert abs(float(x) - 0.2966785) < 1e-6
+    assert abs(float(y) - 0.2462112) < 1e-6
+    lat, lon = lcc_inverse(x, y, 33.0, 45.0, 23.0, -96.0, 1.0)
+    assert abs(float(lat) - 35.0) < 1e-9
+    assert abs(float(lon) - (-75.0)) < 1e-9
+
+
+def test_lcc_forward_inverse_fuzz():
+    from wrf_to_geodataframe_spark.sources.grib2 import (
+        lcc_forward,
+        lcc_inverse,
+    )
+
+    rng = np.random.default_rng(0x1CC)
+    lat = rng.uniform(5, 75, 500)
+    lon = rng.uniform(-170, 170, 500)
+    x, y = lcc_forward(lat, lon, 30.0, 60.0, 40.0, -100.0, 6371229.0)
+    lat2, lon2 = lcc_inverse(x, y, 30.0, 60.0, 40.0, -100.0, 6371229.0)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    dlon = ((lon2 - lon + 180) % 360) - 180
+    np.testing.assert_allclose(dlon, 0, atol=1e-9)
+
+
+def test_roundtrip_lambert_grid(tmp_path):
+    """Template 3.30 write -> read: values exact; corner (0,0) hits
+    (La1, Lo1); the curvilinear lat/lon grid is consistent with the
+    projection (spacing = Dx/Dy on the cone)."""
+    from wrf_to_geodataframe_spark.sources.grib2 import lcc_forward
+
+    nj, ni = 6, 8
+    vals = np.arange(nj * ni, dtype="float64").reshape(nj, ni) / 8.0
+    grid = {
+        "type": "lambert", "la1": 21.138, "lo1": 237.28,
+        "lad": 25.0, "lov": 265.0, "latin1": 25.0, "latin2": 25.0,
+        "dx": 3000.0, "dy": 3000.0,
+    }
+    p = str(tmp_path / "lcc.grib2")
+    write_grib2(
+        p,
+        [{"values": vals, "grid": grid,
+          "packing": {"template": 0, "ref": 0.0, "e": -3, "d": 0,
+                      "nbits": 12}}],
+    )
+    m = read_grib2(p)[0]
+    np.testing.assert_array_equal(m["values"], vals)
+    assert m["lat"].shape == (nj, ni)
+    assert m["projection"]["name"] == "lambert_conformal_conic"
+    assert abs(m["lat"][0, 0] - 21.138) < 1e-6
+    assert abs(m["lon"][0, 0] - 237.28) < 1e-6
+    # grid spacing: re-project two adjacent points, expect ~Dx apart
+    x0, y0 = lcc_forward(m["lat"][0, 0], m["lon"][0, 0],
+                         25.0, 25.0, 25.0, -95.0, 6371229.0)
+    x1, y1 = lcc_forward(m["lat"][0, 1], m["lon"][0, 1],
+                         25.0, 25.0, 25.0, -95.0, 6371229.0)
+    assert abs((x1 - x0) - 3000.0) < 1e-3
+    assert abs(y1 - y0) < 1e-3
+    x2, y2 = lcc_forward(m["lat"][1, 0], m["lon"][1, 0],
+                         25.0, 25.0, 25.0, -95.0, 6371229.0)
+    assert abs((y2 - y0) - 3000.0) < 1e-3
+
+
+def test_lambert_south_pole_rejected(tmp_path):
+    vals = np.zeros((2, 2))
+    grid = {"type": "lambert", "la1": -30.0, "lo1": 100.0, "lad": -25.0,
+            "lov": 100.0, "latin1": -25.0, "latin2": -25.0,
+            "dx": 1000.0, "dy": 1000.0}
+    p = str(tmp_path / "sp.grib2")
+    write_grib2(p, [{"values": vals, "grid": grid,
+                     "packing": {"template": 4}}])
+    blob = bytearray(open(p, "rb").read())
+    # flip the projection-centre flag (section 3 octet 64 = template
+    # offset 49); locate section 3: starts after s0 (16) + s1 (21)
+    s3_start = 16 + 21
+    assert blob[s3_start + 4] == 3
+    blob[s3_start + 14 + 49] |= 0x80
+    with pytest.raises(Grib2Error):
+        read_grib2_bytes(bytes(blob))
+
+
 # -- PNG packing (template 5.41) -----------------------------------------
 
 @pytest.mark.parametrize("nbits", [8, 12, 16, 24, 32])

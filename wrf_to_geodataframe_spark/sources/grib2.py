@@ -12,7 +12,12 @@ numpy implementation of the public spec:
   concatenated; each states its own total length).
 * Grid template 3.0 — regular latitude/longitude, microdegree
   coordinates, sign-magnitude signed fields, scanning modes 0x00
-  (north->south) and 0x40 (south->north).
+  (north->south) and 0x40 (south->north) — and 3.30, Lambert
+  conformal conic (WRF's native projection; NAM/HRRR grids): from-
+  scratch spherical LCC forward/inverse (Snyder eqs. 15-1..15-5,
+  pinned to his published worked example), yielding the 2-D
+  curvilinear lat/lon the engine's explicit-key data model carries
+  natively.
 * Data representation template 5.0 — simple packing
   ``value = (R + X * 2^E) / 10^D`` with MSB-first n-bit fields — 5.2
   (complex packing: general group splitting — per-group reference/
@@ -206,6 +211,109 @@ def _unpack_complex(s5: bytes, payload: bytes, ndata: int,
     return (float(ref) + x.astype("float64") * (2.0 ** e)) / (10.0 ** d)
 
 
+def _lcc_constants(lat1d: float, lat2d: float, lat0d: float, R: float):
+    """Spherical Lambert conformal conic constants (Snyder, Map
+    Projections — A Working Manual, eqs. 15-1..15-3): cone constant
+    n, F, and rho0 at the reference latitude."""
+    p1, p2, p0 = map(np.radians, (lat1d, lat2d, lat0d))
+    if abs(lat1d - lat2d) < 1e-12:
+        n = np.sin(p1)
+    else:
+        n = (
+            np.log(np.cos(p1) / np.cos(p2))
+            / np.log(np.tan(np.pi / 4 + p2 / 2)
+                     / np.tan(np.pi / 4 + p1 / 2))
+        )
+    F = np.cos(p1) * np.tan(np.pi / 4 + p1 / 2) ** n / n
+    rho0 = R * F / np.tan(np.pi / 4 + p0 / 2) ** n
+    return n, F, rho0
+
+
+def lcc_forward(lat, lon, lat1d, lat2d, lat0d, lon0d, R):
+    """(lat, lon) degrees -> (x, y) metres on the spherical LCC."""
+    n, F, rho0 = _lcc_constants(lat1d, lat2d, lat0d, R)
+    p = np.radians(np.asarray(lat, dtype="float64"))
+    dl = np.radians(np.asarray(lon, dtype="float64") - lon0d)
+    # wrap to (-pi, pi] so grids straddling lon0 +- 180 stay sane
+    dl = (dl + np.pi) % (2 * np.pi) - np.pi
+    rho = R * F / np.tan(np.pi / 4 + p / 2) ** n
+    return rho * np.sin(n * dl), rho0 - rho * np.cos(n * dl)
+
+
+def lcc_inverse(x, y, lat1d, lat2d, lat0d, lon0d, R):
+    """(x, y) metres -> (lat, lon) degrees on the spherical LCC."""
+    n, F, rho0 = _lcc_constants(lat1d, lat2d, lat0d, R)
+    x = np.asarray(x, dtype="float64")
+    y = np.asarray(y, dtype="float64")
+    rho = np.sign(n) * np.sqrt(x * x + (rho0 - y) ** 2)
+    theta = np.arctan2(
+        np.sign(n) * x, np.sign(n) * (rho0 - y)
+    )
+    lat = 2 * np.arctan((R * F / rho) ** (1.0 / n)) - np.pi / 2
+    return np.degrees(lat), lon0d + np.degrees(theta / n)
+
+
+def _earth_radius(body: bytes) -> float:
+    """Shape-of-earth octets (template offset 0..15): spherical radii
+    only (LCC on a spheroid is out of scope; NCEP LCC grids are
+    spherical)."""
+    shape = body[0]
+    if shape == 0:
+        return 6367470.0
+    if shape == 6:
+        return 6371229.0
+    if shape == 1:
+        sf = body[1]
+        val = struct.unpack_from(">I", body, 2)[0]
+        return val / (10.0 ** sf)
+    raise Grib2Error(f"shape of earth {shape} not supported for LCC")
+
+
+def _parse_grid_template_3_30(body: bytes) -> dict:
+    """Lambert conformal (template 3.30) — WRF's native projection.
+    ``body`` = section 3 octets 15.. (0-based offset = octet - 15):
+    shape block 0-15, Nx 16, Ny 20, La1 24, Lo1 28, resolution 32,
+    LaD 33, LoV 37, Dx 41, Dy 45 (both millimetres), projection
+    centre 49, scan mode 50, Latin1 51, Latin2 55, south pole 59-66.
+    Returns 2-D curvilinear lat/lon computed by inverse projection."""
+    def u4(o):
+        return struct.unpack_from(">I", body, o)[0]
+
+    def s4(o):
+        return _smag(u4(o), 32)
+
+    ni, nj = u4(16), u4(20)
+    la1, lo1 = s4(24) / 1e6, u4(28) / 1e6
+    lad, lov = s4(33) / 1e6, u4(37) / 1e6
+    dx, dy = u4(41) / 1e3, u4(45) / 1e3
+    centre = body[49]
+    scan = body[50]
+    latin1, latin2 = s4(51) / 1e6, s4(55) / 1e6
+    if centre & 0x80:
+        raise Grib2Error("south-pole-centred LCC not supported")
+    if scan not in (0x00, 0x40):
+        raise Grib2Error(f"unsupported scanning mode 0x{scan:02x}")
+    R = _earth_radius(body)
+    lov_c = ((lov + 180.0) % 360.0) - 180.0
+    x1, y1 = lcc_forward(la1, lo1, latin1, latin2, lad, lov_c, R)
+    xs = x1 + np.arange(ni) * dx
+    ys = y1 + np.arange(nj) * (dy if scan & 0x40 else -dy)
+    xg, yg = np.meshgrid(xs, ys)
+    lat, lon = lcc_inverse(xg, yg, latin1, latin2, lad, lov_c, R)
+    return {
+        "ni": int(ni),
+        "nj": int(nj),
+        "lat": lat,
+        "lon": lon % 360.0,
+        "scan": scan,
+        "projection": {
+            "name": "lambert_conformal_conic",
+            "latin1": latin1, "latin2": latin2,
+            "lad": lad, "lov": lov, "radius": R,
+        },
+    }
+
+
 def _parse_grid_template_3_0(body: bytes) -> dict:
     """``body`` is the grid definition template, i.e. section 3 octets
     15.. (0-based offset = WMO octet - 15): shape-of-earth block 0-15,
@@ -288,10 +396,13 @@ def _parse_message(msg: bytes, discipline: int, name: str) -> dict:
 
     s3 = sections[3]
     (tmpl3,) = struct.unpack_from(">H", s3, 12)
-    if tmpl3 != 0:
-        raise Grib2Error(f"{name}: grid template 3.{tmpl3} not supported")
     (npoints,) = struct.unpack_from(">I", s3, 6)
-    grid = _parse_grid_template_3_0(s3[14:])
+    if tmpl3 == 0:
+        grid = _parse_grid_template_3_0(s3[14:])
+    elif tmpl3 == 30:
+        grid = _parse_grid_template_3_30(s3[14:])
+    else:
+        raise Grib2Error(f"{name}: grid template 3.{tmpl3} not supported")
     if grid["ni"] * grid["nj"] != npoints:
         raise Grib2Error(f"{name}: grid {grid['nj']}x{grid['ni']} != {npoints} points")
 
@@ -365,7 +476,7 @@ def _parse_message(msg: bytes, discipline: int, name: str) -> dict:
         full[bitmap] = data
         data = full
     values = data.reshape(grid["nj"], grid["ni"])
-    return {
+    out = {
         "discipline": discipline,
         "param_category": param_category,
         "param_number": param_number,
@@ -377,6 +488,9 @@ def _parse_message(msg: bytes, discipline: int, name: str) -> dict:
         "lon": grid["lon"],
         "values": values,
     }
+    if "projection" in grid:
+        out["projection"] = grid["projection"]
+    return out
 
 
 def read_grib2(path: str) -> list[dict]:
@@ -424,25 +538,49 @@ def _encode_message(m: dict) -> bytes:
         0, 0, 2, 1, 1, rt[0], rt[1], rt[2], rt[3], rt[4], rt[5], 0, 1,
     ))
 
-    lat0, lon0 = float(m["lat0"]), float(m["lon0"])
-    dlat, dlon = float(m["dlat"]), float(m["dlon"])
-    scan = 0x40 if dlat > 0 else 0x00
-    la1 = round(lat0 * 1e6)
-    lo1 = round(lon0 * 1e6)
-    la2 = round((lat0 + dlat * (nj - 1)) * 1e6)
-    lo2 = round((lon0 + dlon * (ni - 1)) * 1e6)
-    tmpl30 = (
-        bytes([6])                      # shape of earth: spherical r=6371229
-        + b"\x00" * 5 + b"\x00" * 5 + b"\x00" * 5  # radius/major/minor (unused)
-        + struct.pack(">II", ni, nj)
-        + struct.pack(">II", 0, 0)      # basic angle / subdivisions
-        + _enc_smag(la1, 4) + int(lo1 % (360 * 10**6)).to_bytes(4, "big")
-        + bytes([0x30])                 # resolution/component flags: di,dj given
-        + _enc_smag(la2, 4) + int(lo2 % (360 * 10**6)).to_bytes(4, "big")
-        + struct.pack(">II", round(abs(dlon) * 1e6), round(abs(dlat) * 1e6))
-        + bytes([scan])
-    )
-    s3 = sec(3, struct.pack(">BIBBH", 0, npoints, 0, 0, 0) + tmpl30)
+    grid = m.get("grid")
+    if grid and grid.get("type") == "lambert":
+        # template 3.30: Lambert conformal, scan +i +j, first point =
+        # grid lower-left, north-pole-centred spherical earth
+        tmpl = (
+            bytes([6]) + b"\x00" * 15
+            + struct.pack(">II", ni, nj)
+            + _enc_smag(round(grid["la1"] * 1e6), 4)
+            + int(round(grid["lo1"] * 1e6) % (360 * 10**6)).to_bytes(4, "big")
+            + bytes([0x08])
+            + _enc_smag(round(grid["lad"] * 1e6), 4)
+            + int(round(grid["lov"] * 1e6) % (360 * 10**6)).to_bytes(4, "big")
+            + struct.pack(
+                ">II", round(grid["dx"] * 1e3), round(grid["dy"] * 1e3)
+            )
+            + bytes([0, 0x40])
+            + _enc_smag(round(grid["latin1"] * 1e6), 4)
+            + _enc_smag(round(grid["latin2"] * 1e6), 4)
+            + _enc_smag(-90 * 10**6, 4) + (0).to_bytes(4, "big")
+        )
+        s3 = sec(3, struct.pack(">BIBBH", 0, npoints, 0, 0, 30) + tmpl)
+    else:
+        lat0, lon0 = float(m["lat0"]), float(m["lon0"])
+        dlat, dlon = float(m["dlat"]), float(m["dlon"])
+        scan = 0x40 if dlat > 0 else 0x00
+        la1 = round(lat0 * 1e6)
+        lo1 = round(lon0 * 1e6)
+        la2 = round((lat0 + dlat * (nj - 1)) * 1e6)
+        lo2 = round((lon0 + dlon * (ni - 1)) * 1e6)
+        tmpl30 = (
+            bytes([6])                  # shape of earth: spherical r=6371229
+            + b"\x00" * 5 + b"\x00" * 5 + b"\x00" * 5  # radius/major/minor
+            + struct.pack(">II", ni, nj)
+            + struct.pack(">II", 0, 0)  # basic angle / subdivisions
+            + _enc_smag(la1, 4) + int(lo1 % (360 * 10**6)).to_bytes(4, "big")
+            + bytes([0x30])             # resolution flags: di,dj given
+            + _enc_smag(la2, 4) + int(lo2 % (360 * 10**6)).to_bytes(4, "big")
+            + struct.pack(
+                ">II", round(abs(dlon) * 1e6), round(abs(dlat) * 1e6)
+            )
+            + bytes([scan])
+        )
+        s3 = sec(3, struct.pack(">BIBBH", 0, npoints, 0, 0, 0) + tmpl30)
 
     fh = int(m.get("forecast_hours", 0))
     tmpl40 = struct.pack(
@@ -619,13 +757,19 @@ def _unnest_messages(msgs: list[dict], fname: str | None):
     for mi, m in enumerate(msgs):
         nj, ni = m["nj"], m["ni"]
         yy, xx = np.meshgrid(np.arange(nj), np.arange(ni), indexing="ij")
+        if np.ndim(m["lat"]) == 2:  # curvilinear (Lambert conformal)
+            lat_flat = np.asarray(m["lat"]).ravel().astype("float64")
+            lon_flat = np.asarray(m["lon"]).ravel().astype("float64")
+        else:
+            lat_flat = np.repeat(m["lat"], ni).astype("float64")
+            lon_flat = np.tile(m["lon"], nj).astype("float64")
         frame = pd.DataFrame(
             {
                 "msg_idx": np.full(nj * ni, mi, dtype="int64"),
                 "y_idx": yy.ravel().astype("int64"),
                 "x_idx": xx.ravel().astype("int64"),
-                "lat": np.repeat(m["lat"], ni).astype("float64"),
-                "lon": np.tile(m["lon"], nj).astype("float64"),
+                "lat": lat_flat,
+                "lon": lon_flat,
                 "value": m["values"].ravel().astype("float64"),
             }
         )
