@@ -1,0 +1,106 @@
+"""CF time decoding (functions/cftime.py) and its ingest wiring
+(``time_var`` on the NetCDF sources)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from wrf_to_geodataframe_spark.functions.cftime import (
+    cf_times_to_datetime64,
+    parse_cf_time_units,
+)
+from wrf_to_geodataframe_spark.sources.hdf5_write import write_netcdf4
+from wrf_to_geodataframe_spark.sources.netcdf import (
+    read_netcdf_dir,
+    read_netcdf_grid,
+)
+
+
+def test_parse_units_grammar():
+    for units, step, ref in [
+        ("hours since 2020-01-01", 3600, "2020-01-01T00:00:00"),
+        ("days since 1900-01-01 00:00:00", 86400, "1900-01-01T00:00:00"),
+        ("seconds since 1970-1-2 03:04:05", 1, "1970-01-02T03:04:05"),
+        ("Hours since 2020-01-01T06:30:00Z", 3600, "2020-01-01T06:30:00"),
+        ("minutes since 2001-12-31 23:59:30.5", 60,
+         "2001-12-31T23:59:30.500"),
+    ]:
+        s, base = parse_cf_time_units(units)
+        assert s == step, units
+        assert base == np.datetime64(ref, "ns"), units
+
+
+def test_parse_units_rejects_garbage():
+    for bad in ["fortnights since 2020-01-01", "hours after 2020-01-01",
+                "hours since someday"]:
+        with pytest.raises(ValueError):
+            parse_cf_time_units(bad)
+
+
+def test_decode_values_and_floats():
+    t = cf_times_to_datetime64([0, 6, 12.5], "hours since 2020-03-01")
+    assert t[0] == np.datetime64("2020-03-01T00:00:00")
+    assert t[1] == np.datetime64("2020-03-01T06:00:00")
+    assert t[2] == np.datetime64("2020-03-01T12:30:00")
+    d = cf_times_to_datetime64([365], "days since 2019-01-01")
+    assert d[0] == np.datetime64("2020-01-01T00:00:00")
+
+
+def test_model_calendars_rejected():
+    with pytest.raises(ValueError):
+        cf_times_to_datetime64([0], "days since 2000-01-01",
+                               calendar="360_day")
+    with pytest.raises(ValueError):
+        cf_times_to_datetime64([0], "days since 2000-01-01",
+                               calendar="noleap")
+
+
+def _cf_file(path, nt=4, ny=3, nx=3):
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    tt = np.arange(nt)
+    vals = (
+        tt[:, None, None] * 100 + yy * nx + xx
+    ).astype("float64")
+    write_netcdf4(
+        path,
+        {"t": nt, "y": ny, "x": nx},
+        {
+            "t": {"dims": ["t"], "data": tt.astype("float64") * 1.0,
+                  "attrs": {"units": "hours since 2020-03-01 00:00:00",
+                            "calendar": "standard"}},
+            "T2": {"dims": ["t", "y", "x"], "data": vals},
+            "XLAT": {"dims": ["y", "x"],
+                     "data": (50.0 + yy * 0.25)},
+            "XLONG": {"dims": ["y", "x"],
+                      "data": (-3.0 + xx * 0.125)},
+        },
+    )
+    return vals
+
+
+def test_grid_ingest_time_column(spark, tmp_path):
+    p = str(tmp_path / "cf.nc")
+    vals = _cf_file(p)
+    df = read_netcdf_grid(spark, p, "T2", "XLAT", "XLONG", time_var="t")
+    rows = df.collect()
+    assert len(rows) == 4 * 9
+    import datetime
+
+    for r in rows:
+        assert r["time"] == datetime.datetime(2020, 3, 1, r["t_idx"])
+        assert r["value"] == vals[r["t_idx"], r["y_idx"], r["x_idx"]]
+
+
+def test_dir_ingest_time_column(spark, tmp_path):
+    d = tmp_path / "arch"
+    os.makedirs(d)
+    _cf_file(str(d / "a.nc"))
+    _cf_file(str(d / "b.nc"))
+    df = read_netcdf_dir(spark, str(d), "T2", "XLAT", "XLONG",
+                         time_var="t")
+    assert "time" in df.columns
+    assert df.count() == 2 * 4 * 9
+    assert df.select("time").distinct().count() == 4

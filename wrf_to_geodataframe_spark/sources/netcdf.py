@@ -301,30 +301,63 @@ def read_netcdf_grid(
     lat_var: str,
     lon_var: str,
     time_index: int | None = None,
+    time_var: str | None = None,
 ):
     """S1 ingest: NetCDF grid variable -> long DataFrame with explicit
     (y_idx, x_idx) integer keys + coord + value columns (the engine's
     data model, SURVEY.md §1.1; parameterized names per the
     haduk_voronoi.py:22-29 contract).  Accepts classic (CDF-1/2) AND
-    NetCDF-4/HDF5 files — dispatch on magic bytes (sources/hdf5.py)."""
+    NetCDF-4/HDF5 files — dispatch on magic bytes (sources/hdf5.py).
+    ``time_var`` names a CF time coordinate to decode into a ``time``
+    timestamp column (xarray's decode_cf parity)."""
     from wrf_to_geodataframe_spark.sources.hdf5 import read_netcdf_any
 
     import pandas as pd
 
     ds = read_netcdf_any(path)
-    frames = list(_unnest_grid(ds, var, lat_var, lon_var, time_index))
-    pdf = pd.concat(frames, ignore_index=True).drop(columns=["t_idx"])
+    frames = list(
+        _unnest_grid(ds, var, lat_var, lon_var, time_index, time_var)
+    )
+    pdf = pd.concat(frames, ignore_index=True)
+    if time_var is None:
+        pdf = pdf.drop(columns=["t_idx"])
     return spark.createDataFrame(pdf)
 
 
+def _cf_time_axis(ds: dict, time_var: str) -> "np.ndarray":
+    """Decode a CF time coordinate variable (``units`` [+
+    ``calendar``] attributes) -> datetime64[ns] axis (functions/
+    cftime.py — the half of ``xr.open_dataset`` that isn't the array
+    read)."""
+    from wrf_to_geodataframe_spark.functions.cftime import (
+        cf_times_to_datetime64,
+    )
+
+    tv = ds["variables"][time_var]
+    attrs = tv.get("attrs", {})
+    units = attrs.get("units")
+    if isinstance(units, np.ndarray):
+        units = "".join(units.astype(str))
+    if not isinstance(units, str):
+        raise ValueError(f"{time_var}: no CF units attribute")
+    calendar = attrs.get("calendar", "standard")
+    if isinstance(calendar, np.ndarray):
+        calendar = "".join(calendar.astype(str))
+    return cf_times_to_datetime64(tv["data"], units, calendar)
+
+
 def _unnest_grid(ds: dict, var: str, lat_var: str, lon_var: str,
-                 time_index: int | None):
+                 time_index: int | None, time_var: str | None = None):
     """Yield one pandas frame per time slice of ``var`` with columns
     (t_idx, y_idx, x_idx, lat, lon, value).  2-D variables yield one
     frame with t_idx 0; 3-D variables yield every record (or just
-    ``time_index`` when given).  Shared by the driver-side
-    ``read_netcdf_grid`` and the executor-side ``read_netcdf_dir``."""
+    ``time_index`` when given).  When ``time_var`` names a CF time
+    coordinate, each frame additionally carries the decoded ``time``
+    timestamp.  Shared by the driver-side ``read_netcdf_grid`` and
+    the executor-side ``read_netcdf_dir``."""
     import pandas as pd
+
+    times = _cf_time_axis(ds, time_var) if time_var else None
 
     v = ds["variables"][var]["data"]
     lat = ds["variables"][lat_var]["data"]
@@ -344,7 +377,7 @@ def _unnest_grid(ds: dict, var: str, lat_var: str, lon_var: str,
     lat_flat = lat.ravel().astype("float64")
     lon_flat = lon.ravel().astype("float64")
     for t, sl in slices:
-        yield pd.DataFrame(
+        frame = pd.DataFrame(
             {
                 "t_idx": np.full(ny * nx, t, dtype="int64"),
                 "y_idx": y_flat,
@@ -354,6 +387,12 @@ def _unnest_grid(ds: dict, var: str, lat_var: str, lon_var: str,
                 "value": sl.ravel().astype("float64"),
             }
         )
+        if times is not None:
+            frame.insert(
+                1, "time",
+                np.full(ny * nx, times[t], dtype="datetime64[ns]"),
+            )
+        yield frame
 
 
 def read_netcdf_dir(
@@ -363,10 +402,13 @@ def read_netcdf_dir(
     lat_var: str,
     lon_var: str,
     time_index: int | None = None,
+    time_var: str | None = None,
 ):
     """Distributed S1 over a DIRECTORY (or glob) of NetCDF files — the
     100-TB shape of ``xr.open_dataset`` at wrf_voronoi.py:115, where a
     model archive is thousands of per-timestep ``.nc`` shards.
+    ``time_var`` adds a CF-decoded ``time`` timestamp column
+    (executor-side decode, functions/cftime.py).
 
     ``binaryFile`` scan (one split per file — NetCDF is not
     block-splittable, matching how such archives shard in practice) ->
@@ -384,19 +426,21 @@ def read_netcdf_dir(
         StringType,
         StructField,
         StructType,
+        TimestampType,
     )
 
-    schema = StructType(
-        [
-            StructField("file", StringType()),
-            StructField("t_idx", LongType()),
-            StructField("y_idx", LongType()),
-            StructField("x_idx", LongType()),
-            StructField("lat", DoubleType()),
-            StructField("lon", DoubleType()),
-            StructField("value", DoubleType()),
-        ]
-    )
+    fields = [
+        StructField("file", StringType()),
+        StructField("t_idx", LongType()),
+        StructField("y_idx", LongType()),
+        StructField("x_idx", LongType()),
+        StructField("lat", DoubleType()),
+        StructField("lon", DoubleType()),
+        StructField("value", DoubleType()),
+    ]
+    if time_var is not None:
+        fields.insert(2, StructField("time", TimestampType()))
+    schema = StructType(fields)
     files = spark.read.format("binaryFile").load(path)
 
     def _batches(it):
@@ -408,7 +452,7 @@ def read_netcdf_dir(
             for fname, buf in zip(pdf["path"], pdf["content"]):
                 ds = read_netcdf_any_bytes(bytes(buf), name=fname)
                 for frame in _unnest_grid(
-                    ds, var, lat_var, lon_var, time_index
+                    ds, var, lat_var, lon_var, time_index, time_var
                 ):
                     frame.insert(0, "file", fname)
                     yield frame

@@ -224,6 +224,74 @@ GROUP BY 1
 """
 
 
+_CF_NT, _CF_NY, _CF_NX = 8, 4, 4
+
+
+def s1_cf_time_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 with CF TIME DECODING (the half of ``xr.open_dataset`` that
+    isn't the array read): a NetCDF-4 file whose time coordinate
+    carries ``units = "hours since 2020-03-01"`` is ingested with
+    ``time_var`` so every cell row gets a real timestamp, then
+    aggregated per DAY — the reference's ``resample(XTIME="1D")``
+    prerequisite (delphine/regrid.py) exercised end to end from the
+    on-disk attribute.  Values on an integer lattice; the DuckDB
+    oracle rebuilds the same calendar with INTERVAL arithmetic."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.sources.hdf5_write import write_netcdf4
+    from wrf_to_geodataframe_spark.sources.netcdf import read_netcdf_dir
+
+    # load_table pins the session timezone to UTC (semantics-critical
+    # for to_date bucketing; the driver uses a vanilla session)
+    load_table(spark, sf_dir, "region")
+    d = tempfile.mkdtemp(prefix="s1_cftime_")
+    nt, ny, nx = _CF_NT, _CF_NY, _CF_NX
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    tt = np.arange(nt)
+    vals = (tt[:, None, None] * 1000 + yy * nx + xx).astype("float64")
+    write_netcdf4(
+        os.path.join(d, "cf.nc"),
+        {"t": nt, "y": ny, "x": nx},
+        {
+            # 6-hourly steps: 0,6,..,42 h -> 4 steps on 2020-03-01
+            # and 4 on 2020-03-02
+            "t": {"dims": ["t"], "data": tt.astype("float64") * 6.0,
+                  "attrs": {"units": "hours since 2020-03-01 00:00:00",
+                            "calendar": "standard"}},
+            "T2": {"dims": ["t", "y", "x"], "data": vals},
+            "XLAT": {"dims": ["y", "x"], "data": 50.0 + yy * 0.25},
+            "XLONG": {"dims": ["y", "x"], "data": -3.0 + xx * 0.125},
+        },
+    )
+    df = read_netcdf_dir(spark, d, "T2", "XLAT", "XLONG", time_var="t")
+    return (
+        df.groupBy(
+            F.to_date("time").cast("string").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("value").alias("sum_val"),
+            F.max("value").alias("max_val"),
+        )
+    )
+
+
+_SCF_SQL = f"""
+SELECT CAST(CAST(TIMESTAMP '2020-03-01 00:00:00'
+            + t.t * 6 * INTERVAL 1 HOUR AS DATE) AS VARCHAR) AS day,
+       COUNT(*) AS n_cells,
+       SUM(CAST(t.t * 1000 + y.y * {_CF_NX} + x.x AS DOUBLE)) AS sum_val,
+       MAX(CAST(t.t * 1000 + y.y * {_CF_NX} + x.x AS DOUBLE)) AS max_val
+FROM generate_series(0, {_CF_NT - 1}) AS t(t),
+     generate_series(0, {_CF_NY - 1}) AS y(y),
+     generate_series(0, {_CF_NX - 1}) AS x(x)
+GROUP BY 1
+"""
+
+
 def s1_zarr3_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 at zarr v3 SHARDED shape (the current spec's scale layout):
     a sharding_indexed store — one storage object per shard, many
@@ -416,6 +484,7 @@ QUERIES = {
     "s1_netcdf_dir_ingest": s1_netcdf_dir_ingest,
     "s1_zarr_ingest": s1_zarr_ingest,
     "s1_zarr3_ingest": s1_zarr3_ingest,
+    "s1_cf_time_ingest": s1_cf_time_ingest,
     "s1_grib2_ingest": s1_grib2_ingest,
     "s1_geotiff_ingest": s1_geotiff_ingest,
 }
@@ -426,6 +495,7 @@ ORACLE = {
     "s1_netcdf_dir_ingest": _S1_SQL,
     "s1_zarr_ingest": _SZ_SQL,
     "s1_zarr3_ingest": _SZ_SQL,
+    "s1_cf_time_ingest": _SCF_SQL,
     "s1_grib2_ingest": _SG_SQL,
     "s1_geotiff_ingest": _SGT_SQL,
 }
