@@ -98,7 +98,14 @@ def _parse_ifds(buf, max_ifds: int = 64) -> tuple[list[dict], str, bool]:
     """Follow the IFD chain -> ([tags {tag: list/str} per IFD], endian
     prefix, bigtiff).  IFD 0 is the full raster; further IFDs are
     overviews in a COG.  Accepts any buffer supporting slicing (bytes
-    or mmap)."""
+    or mmap).  Truncated structures surface as GeoTiffError."""
+    try:
+        return _parse_ifds_inner(buf, max_ifds)
+    except (struct.error, IndexError) as e:
+        raise GeoTiffError(f"truncated TIFF structure: {e}") from e
+
+
+def _parse_ifds_inner(buf, max_ifds: int) -> tuple[list[dict], str, bool]:
     if buf[:2] == b"II":
         e = "<"
     elif buf[:2] == b"MM":
@@ -349,7 +356,10 @@ def _decode_block(raw: bytes, info: dict, rows: int) -> np.ndarray:
     if comp == 1:
         data = raw[:expected]
     elif comp in (8, 32946):
-        data = zlib.decompress(raw)[:expected]
+        try:
+            data = zlib.decompress(raw)[:expected]
+        except zlib.error as e:
+            raise GeoTiffError(f"corrupt deflate block: {e}") from e
     elif comp == 5:
         data = tlzw_decode(raw, expected)
     elif comp == 32773:
