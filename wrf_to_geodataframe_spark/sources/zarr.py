@@ -93,9 +93,7 @@ def _parse_fill(fill, dt: np.dtype):
     return dt.type(fill)
 
 
-def _load_array_meta(adir: str) -> dict:
-    with open(os.path.join(adir, ".zarray"), "rb") as f:
-        meta = json.loads(f.read())
+def _meta_from_dicts(adir: str, meta: dict, attrs: dict) -> dict:
     if meta.get("zarr_format") != 2:
         raise ZarrError(f"{adir}: zarr_format {meta.get('zarr_format')}")
     dt = _parse_dtype(meta["dtype"])
@@ -105,11 +103,6 @@ def _load_array_meta(adir: str) -> dict:
     sep = meta.get("dimension_separator", ".")
     if sep not in (".", "/"):
         raise ZarrError(f"{adir}: bad dimension_separator {sep!r}")
-    attrs = {}
-    zattrs = os.path.join(adir, ".zattrs")
-    if os.path.exists(zattrs):
-        with open(zattrs, "rb") as f:
-            attrs = json.loads(f.read())
     return {
         "shape": tuple(int(s) for s in meta["shape"]),
         "chunks": tuple(int(c) for c in meta["chunks"]),
@@ -121,6 +114,36 @@ def _load_array_meta(adir: str) -> dict:
         "filters": meta.get("filters") or [],
         "attrs": attrs,
     }
+
+
+def _load_array_meta(adir: str) -> dict:
+    with open(os.path.join(adir, ".zarray"), "rb") as f:
+        meta = json.loads(f.read())
+    attrs = {}
+    zattrs = os.path.join(adir, ".zattrs")
+    if os.path.exists(zattrs):
+        with open(zattrs, "rb") as f:
+            attrs = json.loads(f.read())
+    return _meta_from_dicts(adir, meta, attrs)
+
+
+def read_consolidated_metadata(path: str) -> dict | None:
+    """zarr v2 consolidated metadata (``.zmetadata``, the
+    zarr-python/xarray convention): ONE JSON object holding every
+    ``.zgroup``/``.zarray``/``.zattrs`` — at archive scale this is the
+    difference between one GET and thousands when opening a store.
+    Returns the ``metadata`` mapping, or None when absent."""
+    p = os.path.join(path, ".zmetadata")
+    if not os.path.exists(p):
+        return None
+    with open(p, "rb") as f:
+        doc = json.loads(f.read())
+    if doc.get("zarr_consolidated_format") != 1:
+        raise ZarrError(
+            f"{p}: zarr_consolidated_format "
+            f"{doc.get('zarr_consolidated_format')}"
+        )
+    return doc.get("metadata", {})
 
 
 # -- codecs --------------------------------------------------------------
@@ -362,10 +385,13 @@ def _chunk_key(idx: tuple, sep: str) -> str:
     return sep.join(str(i) for i in idx) if idx else "0"
 
 
-def read_zarr_array(adir: str) -> tuple[dict, np.ndarray]:
+def read_zarr_array(
+    adir: str, meta: dict | None = None
+) -> tuple[dict, np.ndarray]:
     """Read one zarr v2 array directory -> (meta, ndarray).  Missing
-    chunks read as ``fill_value`` per spec."""
-    meta = _load_array_meta(adir)
+    chunks read as ``fill_value`` per spec.  ``meta`` may come from
+    consolidated metadata (skips the per-array JSON reads)."""
+    meta = meta or _load_array_meta(adir)
     shape, chunks = meta["shape"], meta["chunks"]
     out = np.full(shape if shape else (), meta["fill"],
                   dtype=meta["dtype"].newbyteorder("="))
@@ -403,20 +429,39 @@ def read_zarr_store(path: str) -> dict:
     unchanged.  Dims come from xarray's ``_ARRAY_DIMENSIONS``."""
     if not os.path.isdir(path):
         raise ZarrError(f"{path}: not a directory")
-    attrs = {}
-    zattrs = os.path.join(path, ".zattrs")
-    if os.path.exists(zattrs):
-        with open(zattrs, "rb") as f:
-            attrs = json.loads(f.read())
+    cons = read_consolidated_metadata(path)
+    if cons is not None:
+        attrs = cons.get(".zattrs", {})
+        entries = [
+            (
+                name,
+                _meta_from_dicts(
+                    name,
+                    cons[f"{name}/.zarray"],
+                    cons.get(f"{name}/.zattrs", {}),
+                ),
+            )
+            for name in sorted(
+                k.split("/")[0] for k in cons if k.endswith("/.zarray")
+            )
+        ]
+    else:
+        attrs = {}
+        zattrs = os.path.join(path, ".zattrs")
+        if os.path.exists(zattrs):
+            with open(zattrs, "rb") as f:
+                attrs = json.loads(f.read())
+        entries = [
+            (name, None)
+            for name in sorted(os.listdir(path))
+            if os.path.isdir(os.path.join(path, name))
+            and os.path.exists(os.path.join(path, name, ".zarray"))
+        ]
     variables = {}
     dims: dict[str, int] = {}
-    for name in sorted(os.listdir(path)):
+    for name, pre_meta in entries:
         adir = os.path.join(path, name)
-        if not os.path.isdir(adir):
-            continue
-        if not os.path.exists(os.path.join(adir, ".zarray")):
-            continue
-        meta, data = read_zarr_array(adir)
+        meta, data = read_zarr_array(adir, pre_meta)
         vdims = meta["attrs"].get(
             "_ARRAY_DIMENSIONS",
             [f"{name}_d{i}" for i in range(data.ndim)],
@@ -445,13 +490,15 @@ def write_zarr(
     order: str = "C",
     dimension_separator: str = ".",
     filters: list | None = None,
+    consolidated: bool = True,
 ) -> None:
     """Write a zarr v2 group (the S4 sink at cloud-archive shape;
     signature mirrors ``write_netcdf``).  ``variables``: name ->
     {dims: [names], data: ndarray}.  ``chunks`` optionally maps
     variable name -> chunk shape (default: one chunk per array).
     Writes xarray's ``_ARRAY_DIMENSIONS`` so the store round-trips
-    through xarray/zarr-python unchanged."""
+    through xarray/zarr-python unchanged, and (``consolidated``)
+    the ``.zmetadata`` single-GET metadata document."""
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, ".zgroup"), "w") as f:
         json.dump({"zarr_format": 2}, f)
@@ -473,6 +520,20 @@ def write_zarr(
             filters or [],
             var_attrs=spec.get("attrs"),
         )
+    if consolidated:
+        md: dict = {".zgroup": {"zarr_format": 2}}
+        if attrs:
+            md[".zattrs"] = attrs
+        for name in variables:
+            for suffix in (".zarray", ".zattrs"):
+                p = os.path.join(path, name, suffix)
+                if os.path.exists(p):
+                    with open(p, "rb") as f:
+                        md[f"{name}/{suffix}"] = json.loads(f.read())
+        with open(os.path.join(path, ".zmetadata"), "w") as f:
+            json.dump(
+                {"zarr_consolidated_format": 1, "metadata": md}, f
+            )
 
 
 def _json_fill(fill, dt: np.dtype):

@@ -141,6 +141,65 @@ def stream_grib2_dir(
     )
 
 
+def stream_geotiff_dir(
+    spark: SparkSession,
+    path: str,
+    band: int = 0,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Unbounded mirror of ``read_geotiff_dir`` — the satellite-scene
+    landing-zone shape (one raster per scene/date arriving over
+    time)."""
+    files = _binary_stream(spark, path, max_files_per_trigger)
+
+    def _batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from wrf_to_geodataframe_spark.sources.geotiff import (
+            _affine_cols,
+            read_geotiff,
+        )
+
+        for pdf in it:
+            for fname, buf in zip(pdf["path"], pdf["content"]):
+                info, arr = read_geotiff(bytes(buf))
+                h, w = info["height"], info["width"]
+                yy, xx = np.meshgrid(
+                    np.arange(h), np.arange(w), indexing="ij"
+                )
+                lon_f, lat_f = _affine_cols(info["transform"])
+                vals = arr[:, :, band].astype("float64")
+                if info["nodata"] is not None:
+                    vals = np.where(
+                        vals == info["nodata"], np.nan, vals
+                    )
+                gx = xx.ravel().astype("float64")
+                gy = yy.ravel().astype("float64")
+                yield pd.DataFrame(
+                    {
+                        "file": np.repeat(fname, h * w),
+                        "y_idx": gy.astype("int64"),
+                        "x_idx": gx.astype("int64"),
+                        "lon": lon_f(gx, gy),
+                        "lat": lat_f(gx, gy),
+                        "value": vals.ravel(),
+                    }
+                )
+
+    schema = StructType(
+        [
+            StructField("file", StringType()),
+            StructField("y_idx", LongType()),
+            StructField("x_idx", LongType()),
+            StructField("lon", DoubleType()),
+            StructField("lat", DoubleType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    return files.select("path", "content").mapInPandas(_batches, schema)
+
+
 _ZARR_SCHEMA = StructType(
     [
         StructField("chunk_key", StringType()),
