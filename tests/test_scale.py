@@ -937,3 +937,76 @@ def test_netcdf_archive_120_shards_round_trip(spark, tmp_path):
         f"read+agg {t_read:.1f}s ({n_cells} cells)"
     )
     assert t_write < 120 and t_read < 120
+
+
+@slow
+def test_zarr3_sharded_store_2m_cells_round_trip(spark, tmp_path):
+    """Cloud-archive-scale zarr v3 demo: 2.3M cells written by the
+    DISTRIBUTED sharded sink (one task = one shard object: 16 shards
+    each packing 96 gzip inner chunks + a crc32c index) and re-read by
+    the SHARD-parallel scan — closed-form sums verified exactly; the
+    object count is 16, not the 1536 a plain chunk store would
+    create (the sharding_indexed point at 100 TB)."""
+    import os
+    import time
+
+    from wrf_to_geodataframe_spark.sources.zarr3 import (
+        read_zarr3_dist,
+        write_zarr3_dist,
+    )
+
+    nt, ny, nx = 12, 480, 400  # 2.304M cells
+    cells = (
+        spark.range(nt * ny * nx)
+        .select(
+            (F.col("id") / (ny * nx)).cast("long").alias("t_idx"),
+            ((F.col("id") % (ny * nx)) / nx).cast("long").alias("y_idx"),
+            (F.col("id") % nx).alias("x_idx"),
+        )
+        .select(
+            "t_idx", "y_idx", "x_idx",
+            (50.0 + F.col("y_idx") * 0.25).alias("lat"),
+            (-3.0 + F.col("x_idx") * 0.125).alias("lon"),
+            (F.col("t_idx") * 1_000_000 + F.col("y_idx") * nx
+             + F.col("x_idx")).cast("double").alias("value"),
+        )
+    )
+    out = str(tmp_path / "store")
+    t0 = time.time()
+    manifest = write_zarr3_dist(
+        cells, out, chunk=(1, 30, 50), shard=(3, 240, 200)
+    ).collect()
+    t_write = time.time() - t0
+    n_shards = (nt // 3) * (ny // 240) * (nx // 200)
+    assert len(manifest) == n_shards
+    # object economy: shards on disk, not inner chunks
+    n_obj = sum(
+        len(files)
+        for _r, _d, files in os.walk(os.path.join(out, "T2"))
+    ) - 1  # minus zarr.json
+    assert n_obj == n_shards
+    t0 = time.time()
+    df = read_zarr3_dist(spark, out, "T2", "XLAT", "XLONG")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sv"),
+        F.sum(F.col("lat") + F.col("lon")).alias("sc"),
+    ).collect()[0]
+    t_read = time.time() - t0
+    n_cells = nt * ny * nx
+    assert agg.n == n_cells
+    sv = sum(t * 1_000_000 * ny * nx for t in range(nt)) + nt * (
+        (ny - 1) * ny // 2 * nx * nx + nx * (nx - 1) // 2 * ny
+    )
+    sc = nt * (
+        ny * nx * (50.0 - 3.0)
+        + 0.25 * ((ny - 1) * ny // 2) * nx
+        + 0.125 * ((nx - 1) * nx // 2) * ny
+    )
+    assert agg.sv == float(sv)
+    assert agg.sc == sc
+    print(
+        f"zarr3 sharded store: write {t_write:.1f}s, read+agg "
+        f"{t_read:.1f}s ({n_cells} cells, {n_shards} objects)"
+    )
+    assert t_write < 180 and t_read < 120
