@@ -418,6 +418,118 @@ def test_lambert_south_pole_rejected(tmp_path):
         read_grib2_bytes(bytes(blob))
 
 
+# -- rotated pole (template 3.1) -----------------------------------------
+
+def test_rotation_invariants():
+    """The rotated->true map must (a) send the rotated pole to
+    (-sp_lat, sp_lon-180), (b) send the rotated ORIGIN to
+    (90+sp_lat, sp_lon) — the UKCP18 rotation (CF north pole 37.5N,
+    177.5E => GRIB south pole -37.5, -2.5) puts rotated (0,0) on the
+    UK — (c) be the identity for the unmoved pole, (d) preserve
+    angular distances, (e) invert exactly."""
+    from wrf_to_geodataframe_spark.sources.grib2 import (
+        rotated_to_true,
+        true_to_rotated,
+    )
+
+    sp_lat, sp_lon = -37.5, -2.5  # the UKCP18 rotation (GRIB form)
+    np_lat, np_lon = 37.5, 177.5
+    lat, lon = rotated_to_true(90.0, 0.0, sp_lat, sp_lon)
+    assert abs(float(lat) - np_lat) < 1e-9
+    assert abs(((float(lon) - np_lon + 180) % 360) - 180) < 1e-9
+    lat, lon = rotated_to_true(0.0, 0.0, sp_lat, sp_lon)
+    assert abs(float(lat) - 52.5) < 1e-9          # the UK band
+    assert abs(((float(lon) - sp_lon + 180) % 360) - 180) < 1e-9
+    # identity rotation: south pole at (-90, 0)
+    lat, lon = rotated_to_true(51.5, -0.1, -90.0, 0.0)
+    assert abs(float(lat) - 51.5) < 1e-9
+    assert abs(float(lon) - (-0.1)) < 1e-9
+    # distance preservation + exact inverse on a random cloud
+    rng = np.random.default_rng(0x07)
+    la = rng.uniform(-80, 80, 200)
+    lo = rng.uniform(-180, 180, 200)
+    tla, tlo = rotated_to_true(la, lo, sp_lat, sp_lon)
+    rla, rlo = true_to_rotated(tla, tlo, sp_lat, sp_lon)
+    np.testing.assert_allclose(rla, la, atol=1e-9)
+    dlo = ((rlo - lo + 180) % 360) - 180
+    np.testing.assert_allclose(dlo, 0, atol=1e-9)
+
+    def _cosdist(a1, o1, a2, o2):
+        a1, o1, a2, o2 = map(np.radians, (a1, o1, a2, o2))
+        return (np.sin(a1) * np.sin(a2)
+                + np.cos(a1) * np.cos(a2) * np.cos(o1 - o2))
+
+    np.testing.assert_allclose(
+        _cosdist(la[:-1], lo[:-1], la[1:], lo[1:]),
+        _cosdist(tla[:-1], tlo[:-1], tla[1:], tlo[1:]),
+        atol=1e-12,
+    )
+
+
+def test_roundtrip_rotated_grid(tmp_path):
+    from wrf_to_geodataframe_spark.sources.grib2 import rotated_to_true
+
+    nj, ni = 5, 7
+    vals = np.arange(nj * ni, dtype="float64").reshape(nj, ni)
+    grid = {"type": "rotated", "la1": -2.0, "lo1": 357.0,
+            "dlat": 0.5, "dlon": 0.5, "sp_lat": -37.5, "sp_lon": -2.5}
+    p = str(tmp_path / "rot.grib2")
+    write_grib2(p, [{"values": vals, "grid": grid,
+                     "packing": {"template": 4}}])
+    m = read_grib2(p)[0]
+    np.testing.assert_array_equal(m["values"], vals)
+    assert m["projection"]["name"] == "rotated_latlon"
+    assert m["lat"].shape == (nj, ni)
+    # corner (0,0) = rotated (-2.0, -3.0) mapped to true coords
+    want_lat, want_lon = rotated_to_true(-2.0, -3.0, -37.5, -2.5)
+    assert abs(m["lat"][0, 0] - float(want_lat)) < 1e-5
+    assert abs(m["lon"][0, 0] - float(want_lon) % 360.0) < 1e-5
+    # rotated grid over the UK: true lats must land in a UK-ish band
+    assert 45.0 < m["lat"].mean() < 60.0
+
+
+# -- Gaussian grid (template 3.40) ---------------------------------------
+
+def test_gaussian_latitudes_are_legendre_roots():
+    from numpy.polynomial.legendre import Legendre
+
+    from wrf_to_geodataframe_spark.sources.grib2 import gaussian_latitudes
+
+    for n in (2, 16, 32):
+        lats = gaussian_latitudes(n)
+        assert lats.size == 2 * n
+        assert (np.diff(lats) < 0).all()           # strictly N -> S
+        np.testing.assert_allclose(lats, -lats[::-1], atol=1e-12)
+        p = Legendre.basis(2 * n)
+        np.testing.assert_allclose(
+            p(np.sin(np.radians(lats))), 0, atol=1e-10
+        )
+    # first colatitude ~ j0_1/(2N + 1/2) (Bessel-zero asymptotics for
+    # Legendre roots) — N32's first latitude ~ 87.8638 N
+    assert abs(gaussian_latitudes(32)[0] - 87.8638) < 5e-3
+
+
+def test_roundtrip_gaussian_grid(tmp_path):
+    from wrf_to_geodataframe_spark.sources.grib2 import gaussian_latitudes
+
+    n = 8
+    nj, ni = 2 * n, 12
+    vals = (np.arange(nj * ni, dtype="float64") / 8.0).reshape(nj, ni)
+    p = str(tmp_path / "gg.grib2")
+    write_grib2(
+        p,
+        [{"values": vals,
+          "grid": {"type": "gaussian", "n": n, "lo1": 0.0, "dlon": 30.0},
+          "packing": {"template": 0, "ref": 0.0, "e": -3, "d": 0,
+                      "nbits": 12}}],
+    )
+    m = read_grib2(p)[0]
+    np.testing.assert_array_equal(m["values"], vals)
+    assert m["projection"] == {"name": "gaussian", "n": n}
+    np.testing.assert_allclose(m["lat"], gaussian_latitudes(n), atol=0)
+    np.testing.assert_allclose(m["lon"], np.arange(12) * 30.0)
+
+
 # -- PNG packing (template 5.41) -----------------------------------------
 
 @pytest.mark.parametrize("nbits", [8, 12, 16, 24, 32])

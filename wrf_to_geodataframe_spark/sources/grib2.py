@@ -12,11 +12,16 @@ numpy implementation of the public spec:
   concatenated; each states its own total length).
 * Grid template 3.0 — regular latitude/longitude, microdegree
   coordinates, sign-magnitude signed fields, scanning modes 0x00
-  (north->south) and 0x40 (south->north) — and 3.30, Lambert
-  conformal conic (WRF's native projection; NAM/HRRR grids): from-
-  scratch spherical LCC forward/inverse (Snyder eqs. 15-1..15-5,
-  pinned to his published worked example), yielding the 2-D
-  curvilinear lat/lon the engine's explicit-key data model carries
+  (north->south) and 0x40 (south->north); 3.1, ROTATED lat/lon (the
+  UKCP18/HadUK/COSMO regional-climate grid — the reference's own data
+  family): rotation-matrix construction with the rotated origin on
+  the south pole's meridian, invariants pinned in tests; 3.30,
+  Lambert conformal conic (WRF's native projection; NAM/HRRR):
+  from-scratch spherical LCC forward/inverse (Snyder eqs. 15-1..15-5,
+  pinned to his published worked example); and 3.40, GAUSSIAN grids
+  (ERA5's native rows): latitudes = arcsin of the Legendre P_2N
+  roots, re-verified against the polynomial.  Curvilinear grids come
+  out as 2-D lat/lon — the engine's explicit-key model carries them
   natively.
 * Data representation template 5.0 — simple packing
   ``value = (R + X * 2^E) / 10^D`` with MSB-first n-bit fields — 5.2
@@ -269,6 +274,144 @@ def _earth_radius(body: bytes) -> float:
     raise Grib2Error(f"shape of earth {shape} not supported for LCC")
 
 
+def rotated_to_true(lat_r, lon_r, sp_lat: float, sp_lon: float):
+    """Rotated-pole coordinates -> true (lat, lon) degrees.  The
+    rotated system's north pole sits at true (-sp_lat, sp_lon - 180);
+    implemented as an explicit rotation-matrix product (Ry then Rz),
+    which pins the sign conventions by construction instead of by a
+    memorized formula — the invariants (pole image, origin image,
+    angular-distance preservation, involution with the inverse) are
+    asserted in tests/test_grib2.py."""
+    np_lat = -sp_lat
+    np_lon = sp_lon - 180.0
+    phi = np.radians(np.asarray(lat_r, dtype="float64"))
+    lam = np.radians(np.asarray(lon_r, dtype="float64"))
+    # the rotated lambda_r = 0 meridian faces AWAY from the pole's
+    # true meridian (rotated origin lands at (90 - np_lat, sp_lon) —
+    # the UKCP18 rotation puts rotated (0,0) on the UK, not its
+    # antipode): pre-rotate 180 degrees about z
+    x = -np.cos(phi) * np.cos(lam)
+    y = -np.cos(phi) * np.sin(lam)
+    z = np.sin(phi)
+    theta = np.radians(90.0 - np_lat)
+    # Ry(theta): tilt the pole toward +x, then Rz(np_lon)
+    x1 = x * np.cos(theta) + z * np.sin(theta)
+    z1 = -x * np.sin(theta) + z * np.cos(theta)
+    lam_p = np.radians(np_lon)
+    x2 = x1 * np.cos(lam_p) - y * np.sin(lam_p)
+    y2 = x1 * np.sin(lam_p) + y * np.cos(lam_p)
+    lat = np.degrees(np.arcsin(np.clip(z1, -1.0, 1.0)))
+    lon = np.degrees(np.arctan2(y2, x2))
+    return lat, lon
+
+
+def true_to_rotated(lat, lon, sp_lat: float, sp_lon: float):
+    """Inverse of ``rotated_to_true`` (transpose rotations, reverse
+    order)."""
+    np_lat = -sp_lat
+    np_lon = sp_lon - 180.0
+    phi = np.radians(np.asarray(lat, dtype="float64"))
+    lam = np.radians(np.asarray(lon, dtype="float64"))
+    x = np.cos(phi) * np.cos(lam)
+    y = np.cos(phi) * np.sin(lam)
+    z = np.sin(phi)
+    lam_p = np.radians(np_lon)
+    x1 = x * np.cos(lam_p) + y * np.sin(lam_p)
+    y1 = -x * np.sin(lam_p) + y * np.cos(lam_p)
+    theta = np.radians(90.0 - np_lat)
+    x2 = x1 * np.cos(theta) - z * np.sin(theta)
+    z2 = x1 * np.sin(theta) + z * np.cos(theta)
+    lat_r = np.degrees(np.arcsin(np.clip(z2, -1.0, 1.0)))
+    # undo the 180-degree pre-rotation (see rotated_to_true)
+    lon_r = np.degrees(np.arctan2(-y1, -x2))
+    return lat_r, lon_r
+
+
+def _parse_grid_template_3_1(body: bytes) -> dict:
+    """Rotated latitude/longitude (template 3.1 — the UKCP/HadUK/
+    COSMO regional-climate grid): template 3.0 fields, then octets
+    73-76/77-80 southern-pole latitude/longitude and 81-84 rotation
+    angle (only 0 supported).  Grid is regular in ROTATED coords;
+    true coords come out 2-D curvilinear."""
+    base = _parse_grid_template_3_0(body)
+    def u4(o):
+        return struct.unpack_from(">I", body, o)[0]
+
+    sp_lat = _smag(u4(58), 32) / 1e6
+    sp_lon = u4(62) / 1e6
+    angle = u4(66)
+    if angle != 0:
+        raise Grib2Error(f"rotated-grid rotation angle {angle} != 0")
+    # base lat/lon are the ROTATED-frame axes
+    lon_r, lat_r = np.meshgrid(
+        ((base["lon"] + 180.0) % 360.0) - 180.0, base["lat"]
+    )
+    lat, lon = rotated_to_true(lat_r, lon_r, sp_lat, sp_lon)
+    return {
+        "ni": base["ni"],
+        "nj": base["nj"],
+        "lat": lat,
+        "lon": lon % 360.0,
+        "scan": base["scan"],
+        "projection": {
+            "name": "rotated_latlon",
+            "sp_lat": sp_lat,
+            "sp_lon": sp_lon,
+            "lat_rot_first": float(base["lat"][0]),
+            "lon_rot_first": float(base["lon"][0]),
+        },
+    }
+
+
+def gaussian_latitudes(n: int) -> np.ndarray:
+    """The 2N Gaussian latitudes (degrees, north->south): arcsin of
+    the roots of the Legendre polynomial P_2N — ERA5's native grid
+    rows.  Exact by construction (numpy's Gauss-Legendre nodes ARE
+    the P_2N roots; the test re-verifies |P_2N(sin lat)| ~ 0)."""
+    nodes, _w = np.polynomial.legendre.leggauss(2 * n)
+    return np.degrees(np.arcsin(nodes))[::-1]  # descending (N -> S)
+
+
+def _parse_grid_template_3_40(body: bytes) -> dict:
+    """Gaussian latitude/longitude (template 3.40): identical octet
+    layout to 3.0 except octets 68-71 carry N (parallels between pole
+    and equator) instead of Dj; latitude rows are the computed
+    Gaussian latitudes clipped to [La1, La2]."""
+    def u4(o):
+        return struct.unpack_from(">I", body, o)[0]
+
+    def s4(o):
+        return _smag(u4(o), 32)
+
+    ni, nj = u4(16), u4(20)
+    la1, lo1 = s4(32) / 1e6, u4(36) / 1e6
+    la2 = s4(41) / 1e6
+    di = u4(49)
+    n = u4(53)
+    scan = body[57]
+    if scan not in (0x00, 0x40):
+        raise Grib2Error(f"unsupported scanning mode 0x{scan:02x}")
+    glats = gaussian_latitudes(int(n))
+    lo_b, hi_b = sorted((la1, la2))
+    rows = glats[(glats >= lo_b - 1e-6) & (glats <= hi_b + 1e-6)]
+    if scan & 0x40:
+        rows = rows[::-1]  # south -> north
+    if rows.size != nj:
+        raise Grib2Error(
+            f"Gaussian grid: {rows.size} latitudes in [{la1}, {la2}] "
+            f"but Nj = {nj}"
+        )
+    lon = lo1 + np.arange(ni) * (di / 1e6)
+    return {
+        "ni": int(ni),
+        "nj": int(nj),
+        "lat": rows,
+        "lon": lon,
+        "scan": scan,
+        "projection": {"name": "gaussian", "n": int(n)},
+    }
+
+
 def _parse_grid_template_3_30(body: bytes) -> dict:
     """Lambert conformal (template 3.30) — WRF's native projection.
     ``body`` = section 3 octets 15.. (0-based offset = octet - 15):
@@ -399,8 +542,12 @@ def _parse_message(msg: bytes, discipline: int, name: str) -> dict:
     (npoints,) = struct.unpack_from(">I", s3, 6)
     if tmpl3 == 0:
         grid = _parse_grid_template_3_0(s3[14:])
+    elif tmpl3 == 1:
+        grid = _parse_grid_template_3_1(s3[14:])
     elif tmpl3 == 30:
         grid = _parse_grid_template_3_30(s3[14:])
+    elif tmpl3 == 40:
+        grid = _parse_grid_template_3_40(s3[14:])
     else:
         raise Grib2Error(f"{name}: grid template 3.{tmpl3} not supported")
     if grid["ni"] * grid["nj"] != npoints:
@@ -538,8 +685,68 @@ def _encode_message(m: dict) -> bytes:
         0, 0, 2, 1, 1, rt[0], rt[1], rt[2], rt[3], rt[4], rt[5], 0, 1,
     ))
 
+    def _latlon_template(lat0, lon0, dlat, dlon):
+        scan = 0x40 if dlat > 0 else 0x00
+        la1 = round(lat0 * 1e6)
+        lo1 = round(lon0 * 1e6)
+        la2 = round((lat0 + dlat * (nj - 1)) * 1e6)
+        lo2 = round((lon0 + dlon * (ni - 1)) * 1e6)
+        return (
+            bytes([6])                  # spherical earth r=6371229
+            + b"\x00" * 5 + b"\x00" * 5 + b"\x00" * 5
+            + struct.pack(">II", ni, nj)
+            + struct.pack(">II", 0, 0)  # basic angle / subdivisions
+            + _enc_smag(la1, 4)
+            + int(lo1 % (360 * 10**6)).to_bytes(4, "big")
+            + bytes([0x30])             # resolution flags: di,dj given
+            + _enc_smag(la2, 4)
+            + int(lo2 % (360 * 10**6)).to_bytes(4, "big")
+            + struct.pack(
+                ">II", round(abs(dlon) * 1e6), round(abs(dlat) * 1e6)
+            )
+            + bytes([scan])
+        )
+
     grid = m.get("grid")
-    if grid and grid.get("type") == "lambert":
+    if grid and grid.get("type") == "rotated":
+        # template 3.1: 3.0 fields in ROTATED coordinates + south pole
+        tmpl = (
+            _latlon_template(
+                grid["la1"], grid["lo1"], grid["dlat"], grid["dlon"]
+            )
+            + _enc_smag(round(grid["sp_lat"] * 1e6), 4)
+            + int(round(grid["sp_lon"] * 1e6) % (360 * 10**6)).to_bytes(
+                4, "big"
+            )
+            + struct.pack(">I", 0)      # angle of rotation
+        )
+        s3 = sec(3, struct.pack(">BIBBH", 0, npoints, 0, 0, 1) + tmpl)
+    elif grid and grid.get("type") == "gaussian":
+        # template 3.40: full global Gaussian grid, N->S scan
+        n_par = int(grid["n"])
+        glats = gaussian_latitudes(n_par)
+        if nj != 2 * n_par:
+            raise Grib2Error(
+                f"gaussian grid: nj {nj} != 2N = {2 * n_par}"
+            )
+        lo1 = round(float(grid["lo1"]) * 1e6)
+        dlon = float(grid["dlon"])
+        lo2 = round((float(grid["lo1"]) + dlon * (ni - 1)) * 1e6)
+        tmpl = (
+            bytes([6]) + b"\x00" * 15
+            + struct.pack(">II", ni, nj)
+            + struct.pack(">II", 0, 0)
+            + _enc_smag(round(glats[0] * 1e6), 4)
+            + int(lo1 % (360 * 10**6)).to_bytes(4, "big")
+            + bytes([0x30])
+            + _enc_smag(round(glats[-1] * 1e6), 4)
+            + int(lo2 % (360 * 10**6)).to_bytes(4, "big")
+            + struct.pack(">I", round(dlon * 1e6))
+            + struct.pack(">I", n_par)
+            + bytes([0x00])
+        )
+        s3 = sec(3, struct.pack(">BIBBH", 0, npoints, 0, 0, 40) + tmpl)
+    elif grid and grid.get("type") == "lambert":
         # template 3.30: Lambert conformal, scan +i +j, first point =
         # grid lower-left, north-pole-centred spherical earth
         tmpl = (
@@ -560,25 +767,9 @@ def _encode_message(m: dict) -> bytes:
         )
         s3 = sec(3, struct.pack(">BIBBH", 0, npoints, 0, 0, 30) + tmpl)
     else:
-        lat0, lon0 = float(m["lat0"]), float(m["lon0"])
-        dlat, dlon = float(m["dlat"]), float(m["dlon"])
-        scan = 0x40 if dlat > 0 else 0x00
-        la1 = round(lat0 * 1e6)
-        lo1 = round(lon0 * 1e6)
-        la2 = round((lat0 + dlat * (nj - 1)) * 1e6)
-        lo2 = round((lon0 + dlon * (ni - 1)) * 1e6)
-        tmpl30 = (
-            bytes([6])                  # shape of earth: spherical r=6371229
-            + b"\x00" * 5 + b"\x00" * 5 + b"\x00" * 5  # radius/major/minor
-            + struct.pack(">II", ni, nj)
-            + struct.pack(">II", 0, 0)  # basic angle / subdivisions
-            + _enc_smag(la1, 4) + int(lo1 % (360 * 10**6)).to_bytes(4, "big")
-            + bytes([0x30])             # resolution flags: di,dj given
-            + _enc_smag(la2, 4) + int(lo2 % (360 * 10**6)).to_bytes(4, "big")
-            + struct.pack(
-                ">II", round(abs(dlon) * 1e6), round(abs(dlat) * 1e6)
-            )
-            + bytes([scan])
+        tmpl30 = _latlon_template(
+            float(m["lat0"]), float(m["lon0"]),
+            float(m["dlat"]), float(m["dlon"]),
         )
         s3 = sec(3, struct.pack(">BIBBH", 0, npoints, 0, 0, 0) + tmpl30)
 
