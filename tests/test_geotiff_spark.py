@@ -72,6 +72,26 @@ def test_nodata_becomes_null(spark, tmp_path):
     assert {(r["y_idx"], r["x_idx"]) for r in drv.collect()} == got
 
 
+def test_dist_overview_level(spark, tmp_path):
+    """level=1 scans the overview IFD: quarter the cells, doubled
+    pixel scale, decimated values."""
+    rng = np.random.default_rng(31)
+    arr = np.round(rng.standard_normal((32, 32)) * 8).astype("float32") / 8
+    p = os.path.join(str(tmp_path), "ov.tif")
+    write_geotiff(p, arr, transform=(0.25, 0, 10.0, 0, -0.25, 60.0),
+                  tiled=True, tile=(16, 16), overviews=1)
+    df = read_geotiff_dist(spark, p, level=1)
+    got = {
+        (r["y_idx"], r["x_idx"]): (r["lon"], r["lat"], r["value"])
+        for r in df.collect()
+    }
+    assert len(got) == 16 * 16
+    for (y, x), (lon, lat, v) in got.items():
+        assert v == arr[2 * y, 2 * x]
+        assert lon == 10.0 + 0.5 * x
+        assert lat == 60.0 - 0.5 * y
+
+
 def test_dir_scan_matches_union(spark, tmp_path):
     d = tmp_path / "scenes"
     os.makedirs(d)

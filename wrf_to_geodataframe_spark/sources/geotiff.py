@@ -672,13 +672,16 @@ def read_geotiff_grid(spark, path: str, band: int = 0):
     return spark.createDataFrame(pdf)
 
 
-def read_geotiff_dist(spark, path: str, band: int = 0):
+def read_geotiff_dist(spark, path: str, band: int = 0, level: int = 0):
     """Tile-parallel scan of ONE large (Big)GeoTIFF/COG — the raster
     twin of the zarr/HDF5 chunk scans: the driver reads ONLY the IFD
     (mmap; a COG's tile index is KBs for a raster of any size) and
     each executor task seeks to its tiles' byte ranges and decodes
-    them itself.  Emits (block_id, y_idx, x_idx, lon, lat, value);
-    requires a path every executor can open."""
+    them itself.  ``level`` selects an overview IFD (0 = full
+    resolution) — reading a decimated pyramid level is the COG way to
+    scan a continental raster at reduced cost.  Emits (block_id,
+    y_idx, x_idx, lon, lat, value); requires a path every executor
+    can open."""
     import mmap
 
     import pandas as pd
@@ -692,7 +695,7 @@ def read_geotiff_dist(spark, path: str, band: int = 0):
     with open(path, "rb") as fh:
         mm = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
         try:
-            info = geotiff_info(mm)
+            info = geotiff_info(mm, level=level)
         finally:
             mm.close()
     binfo = spark.sparkContext.broadcast(
