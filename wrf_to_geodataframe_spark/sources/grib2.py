@@ -978,6 +978,87 @@ def read_grib2_grid(spark, path: str):
     return spark.createDataFrame(pd.concat(frames, ignore_index=True))
 
 
+def scan_grib2_offsets(path: str) -> list[tuple[int, int, int]]:
+    """Driver-side message index of ONE GRIB2 file: [(msg_idx, offset,
+    length)].  Each message's section 0 states its total length, so
+    the scan is a seek chain of 16-byte reads — O(messages), not
+    O(bytes); a multi-GB GFS file indexes in milliseconds (the role
+    wgrib2's ``.idx`` sidecars play, derived from the data itself)."""
+    out = []
+    with open(path, "rb") as f:
+        f.seek(0, 2)
+        size = f.tell()
+        pos = 0
+        idx = 0
+        while pos < size:
+            f.seek(pos)
+            head = f.read(16)
+            if len(head) < 16 or head[:4] != b"GRIB":
+                raise Grib2Error(f"{path}: no GRIB magic at {pos}")
+            if head[7] != 2:
+                raise Grib2Error(f"{path}: GRIB edition {head[7]} != 2")
+            (msg_len,) = struct.unpack_from(">Q", head, 8)
+            if msg_len < 20 or pos + msg_len > size:
+                raise Grib2Error(f"{path}: bad message length at {pos}")
+            out.append((idx, pos, int(msg_len)))
+            pos += msg_len
+            idx += 1
+    if not out:
+        raise Grib2Error(f"{path}: empty GRIB2 file")
+    return out
+
+
+def read_grib2_msgs(spark, path: str):
+    """Message-parallel scan of ONE large GRIB2 file — the complement
+    of ``read_grib2_dir`` (which parallelizes across files): a single
+    GFS cycle file packs hundreds of messages, and one-file-one-task
+    would serialize it.  The driver builds the byte-range message
+    index (``scan_grib2_offsets``); each executor task seeks straight
+    to its messages and decodes only those bytes.  Emits the same
+    (msg_idx, y_idx, x_idx, lat, lon, value) table as
+    ``read_grib2_grid``.  Requires a path every executor can open."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    offsets = scan_grib2_offsets(path)
+    mdf = spark.createDataFrame(
+        offsets, "msg_idx long, off long, length long"
+    ).repartition(
+        max(1, min(len(offsets),
+                   spark.sparkContext.defaultParallelism * 2)),
+        "msg_idx",
+    )
+    schema = StructType(
+        [
+            StructField("msg_idx", LongType()),
+            StructField("y_idx", LongType()),
+            StructField("x_idx", LongType()),
+            StructField("lat", DoubleType()),
+            StructField("lon", DoubleType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+
+    def _scan(it):
+        with open(path, "rb") as fh:
+            for pdf in it:
+                for row in pdf.itertuples(index=False):
+                    fh.seek(int(row.off))
+                    msgs = read_grib2_bytes(
+                        fh.read(int(row.length)), name=path
+                    )
+                    for frame in _unnest_messages(msgs, None):
+                        frame["msg_idx"] = int(row.msg_idx)
+                        yield frame
+
+    return mdf.mapInPandas(_scan, schema)
+
+
 def read_grib2_dir(spark, path: str):
     """Distributed S1 over a directory/glob of GRIB2 files — the
     met-archive shape (one file per cycle/member, many messages per
