@@ -153,16 +153,39 @@ class _Hdf5Builder:
 
 
 def _chunked_messages(
-    b: "_Hdf5Builder", arr: np.ndarray, chunk: tuple[int, ...] | None
+    b: "_Hdf5Builder",
+    arr: np.ndarray,
+    chunk: tuple[int, ...] | None,
+    method: str = "deflate",
 ) -> list[bytes]:
     """Dataspace/datatype/filter-pipeline/layout messages for a
-    chunked + shuffle + deflate dataset with a single level-0 v1
-    B-tree chunk index (edge chunks zero-padded per the spec)."""
+    chunked dataset with a single level-0 v1 B-tree chunk index (edge
+    chunks zero-padded per the spec).  ``method``: "deflate" =
+    shuffle + deflate (netcdf-c's compressed default); "szip" = the
+    H5Z_FILTER_SZIP convention (NN + LSB coding for little-endian
+    samples, 4-byte LE uncompressed-size prefix per chunk) through
+    the pure-python CCSDS codec (sources/szip.py)."""
     if chunk is None:
         chunk = tuple(min(s, 64) for s in arr.shape)
     if len(chunk) != arr.ndim:
         raise ValueError(f"chunk rank {len(chunk)} != data rank {arr.ndim}")
     elem = arr.dtype.itemsize
+    if method == "szip":
+        from wrf_to_geodataframe_spark.sources.szip import (
+            SZ_LSB_OPTION_MASK,
+            SZ_NN_OPTION_MASK,
+            szip_encode,
+        )
+
+        bits = elem * 8
+        if bits not in (8, 16, 32):
+            raise ValueError(
+                f"szip supports 8/16/32-bit samples, not {bits}"
+            )
+        mask = SZ_NN_OPTION_MASK | SZ_LSB_OPTION_MASK
+        ppb = 16
+        fastest = int(chunk[-1])
+        ppl = max(ppb, min(fastest, 128 * ppb))
     entries = []  # (compressed size, chunk offsets, address)
     grid = [(s + c - 1) // c for s, c in zip(arr.shape, chunk)]
     for idx in np.ndindex(*grid):
@@ -175,12 +198,17 @@ def _chunked_messages(
         trim = tuple(slice(0, s.stop - s.start) for s in sel)
         block[trim] = arr[sel]
         raw = block.tobytes()
-        shuffled = (
-            np.frombuffer(raw, np.uint8)
-            .reshape(len(raw) // elem, elem)
-            .T.tobytes()
-        )
-        comp = zlib.compress(shuffled, 6)
+        if method == "szip":
+            comp = struct.pack("<I", len(raw)) + szip_encode(
+                raw, mask, bits, ppb, ppl
+            )
+        else:
+            shuffled = (
+                np.frombuffer(raw, np.uint8)
+                .reshape(len(raw) // elem, elem)
+                .T.tobytes()
+            )
+            comp = zlib.compress(shuffled, 6)
         entries.append((len(comp), off, b._alloc(comp)))
     ndims = arr.ndim + 1
     node = bytearray()
@@ -193,9 +221,19 @@ def _chunked_messages(
         node += struct.pack("<QQ", 0, addr)
     node += struct.pack("<II", 0, 0)  # trailing key
     btree = b._alloc(bytes(node))
-    filters = struct.pack("<BB2x4x", 1, 2)
-    filters += struct.pack("<HHHH", 2, 0, 0, 1) + struct.pack("<I4x", elem)
-    filters += struct.pack("<HHHH", 1, 0, 0, 1) + struct.pack("<I4x", 6)
+    if method == "szip":
+        filters = struct.pack("<BB2x4x", 1, 1)
+        filters += struct.pack("<HHHH", 4, 0, 1, 4) + struct.pack(
+            "<IIII", mask, bits, ppb, ppl
+        )
+    else:
+        filters = struct.pack("<BB2x4x", 1, 2)
+        filters += struct.pack(
+            "<HHHH", 2, 0, 0, 1
+        ) + struct.pack("<I4x", elem)
+        filters += struct.pack(
+            "<HHHH", 1, 0, 0, 1
+        ) + struct.pack("<I4x", 6)
     layout = struct.pack("<BBB", 3, 2, ndims) + struct.pack("<Q", btree)
     layout += b"".join(struct.pack("<I", c) for c in chunk)
     layout += struct.pack("<I", elem)
@@ -212,7 +250,7 @@ def write_netcdf4(
     dims: dict[str, int],
     variables: dict[str, dict],
     attrs: dict | None = None,
-    compress: bool = False,
+    compress: bool | str = False,
     chunk: tuple[int, ...] | dict[str, tuple[int, ...]] | None = None,
 ) -> None:
     """Write a NetCDF-4 (HDF5) file — the same call shape as
@@ -225,10 +263,13 @@ def write_netcdf4(
     placeholder scale.  ``attrs`` become root-group (global)
     attributes.
 
-    ``compress=True`` stores DATA variables (never the small scales)
-    chunked + shuffle + deflate behind a v1 B-tree chunk index — the
-    layout netcdf-c emits for compressed files and the one the
-    companion reader's chunk path decodes; ``chunk`` overrides the
+    ``compress=True`` (or ``"deflate"``) stores DATA variables (never
+    the small scales) chunked + shuffle + deflate behind a v1 B-tree
+    chunk index — the layout netcdf-c emits for compressed files and
+    the one the companion reader's chunk path decodes;
+    ``compress="szip"`` uses the H5Z_FILTER_SZIP convention through
+    the pure-python CCSDS codec instead (8/16/32-bit samples only).
+    ``chunk`` overrides the
     default per-axis chunk shape ``min(axis, 64)`` — either one tuple
     (applied where the rank matches; others keep the default) or a
     dict of variable name -> chunk shape."""
@@ -247,7 +288,10 @@ def write_netcdf4(
         arr = np.ascontiguousarray(arr)
         arr = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
         if chunked and arr.ndim >= 1 and arr.size:
-            msgs = _chunked_messages(b, arr, _chunk_for(name, arr))
+            msgs = _chunked_messages(
+                b, arr, _chunk_for(name, arr),
+                method="szip" if compress == "szip" else "deflate",
+            )
         else:
             data_addr = b._alloc(arr.tobytes())
             msgs = [
