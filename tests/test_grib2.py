@@ -418,6 +418,43 @@ def test_lambert_south_pole_rejected(tmp_path):
         read_grib2_bytes(bytes(blob))
 
 
+# -- product templates 4.1 / 4.8 -----------------------------------------
+
+def test_roundtrip_ensemble_product(tmp_path):
+    vals = np.arange(6, dtype="float64").reshape(2, 3)
+    p = str(tmp_path / "ens.grib2")
+    write_grib2(
+        p,
+        [{"values": vals, "lat0": 0.0, "lon0": 0.0, "dlat": -1.0,
+          "dlon": 1.0, "forecast_hours": 24,
+          "product": {"template": 1, "ens_type": 3, "ens_member": 7,
+                      "ens_total": 31},
+          "packing": {"template": 4}}],
+    )
+    m = read_grib2(p)[0]
+    np.testing.assert_array_equal(m["values"], vals)
+    assert m["forecast_hours"] == 24
+    assert m["product"] == {"ens_type": 3, "ens_member": 7,
+                            "ens_total": 31}
+
+
+def test_roundtrip_statistical_product(tmp_path):
+    vals = np.ones((2, 2))
+    p = str(tmp_path / "acc.grib2")
+    write_grib2(
+        p,
+        [{"values": vals, "lat0": 0.0, "lon0": 0.0, "dlat": -1.0,
+          "dlon": 1.0, "forecast_hours": 0,
+          "product": {"template": 8, "stat_type": 1, "stat_hours": 6,
+                      "interval_end": (2026, 8, 14, 18, 0, 0)},
+          "packing": {"template": 4}}],
+    )
+    m = read_grib2(p)[0]
+    assert m["product"]["stat_type"] == 1          # accumulation
+    assert m["product"]["stat_hours"] == 6
+    assert m["product"]["interval_end"] == (2026, 8, 14, 18, 0, 0)
+
+
 # -- rotated pole (template 3.1) -----------------------------------------
 
 def test_rotation_invariants():

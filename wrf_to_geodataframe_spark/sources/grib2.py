@@ -555,11 +555,30 @@ def _parse_message(msg: bytes, discipline: int, name: str) -> dict:
 
     s4 = sections[4]
     (tmpl4,) = struct.unpack_from(">H", s4, 7)
-    param_category = s4[9] if tmpl4 == 0 else None
-    param_number = s4[10] if tmpl4 == 0 else None
-    forecast_hours = (
-        struct.unpack_from(">i", s4, 18)[0] if tmpl4 == 0 else None
-    )
+    product: dict = {}
+    if tmpl4 in (0, 1, 8):
+        # templates 4.1 (ensemble member) and 4.8 (statistical
+        # interval) share 4.0's octets 10-34
+        param_category = s4[9]
+        param_number = s4[10]
+        forecast_hours = struct.unpack_from(">i", s4, 18)[0]
+        if tmpl4 == 1:
+            product = {
+                "ens_type": s4[34],
+                "ens_member": s4[35],
+                "ens_total": s4[36],
+            }
+        elif tmpl4 == 8:
+            eyear = struct.unpack_from(">H", s4, 34)[0]
+            product = {
+                "interval_end": (
+                    eyear, s4[36], s4[37], s4[38], s4[39], s4[40]
+                ),
+                "stat_type": s4[46],
+                "stat_hours": struct.unpack_from(">I", s4, 49)[0],
+            }
+    else:
+        param_category = param_number = forecast_hours = None
 
     s5 = sections[5]
     (ndata,) = struct.unpack_from(">I", s5, 5)
@@ -637,6 +656,8 @@ def _parse_message(msg: bytes, discipline: int, name: str) -> dict:
     }
     if "projection" in grid:
         out["projection"] = grid["projection"]
+    if product:
+        out["product"] = product
     return out
 
 
@@ -779,7 +800,32 @@ def _encode_message(m: dict) -> bytes:
         int(m.get("param_category", 0)), int(m.get("param_number", 0)),
         2, 0, 0, 0, 0, 1, fh,
     ) + bytes([1, 0]) + b"\x00" * 4 + bytes([255]) + b"\xff" * 5
-    s4 = sec(4, struct.pack(">HH", 0, 0) + tmpl40)
+    product = m.get("product") or {}
+    ptmpl = int(product.get("template", 0))
+    if ptmpl == 1:
+        body4 = tmpl40 + bytes([
+            int(product.get("ens_type", 3)),
+            int(product.get("ens_member", 0)),
+            int(product.get("ens_total", 0)),
+        ])
+    elif ptmpl == 8:
+        ey, emo, ed, eh, emi, es = product.get(
+            "interval_end", (2026, 1, 1, 0, 0, 0)
+        )
+        body4 = (
+            tmpl40
+            + struct.pack(">HBBBBB", ey, emo, ed, eh, emi, es)
+            + bytes([1])                     # one time-range spec
+            + struct.pack(">I", 0)           # missing in interval
+            + bytes([int(product.get("stat_type", 1)), 2, 1])
+            + struct.pack(">I", int(product.get("stat_hours", 0)))
+            + bytes([255]) + struct.pack(">I", 0)
+        )
+    elif ptmpl == 0:
+        body4 = tmpl40
+    else:
+        raise Grib2Error(f"write: product template 4.{ptmpl}")
+    s4 = sec(4, struct.pack(">HH", 0, ptmpl) + body4)
 
     if pack["template"] == 0:
         ref = float(pack.get("ref", 0.0))
