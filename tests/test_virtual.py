@@ -1,0 +1,205 @@
+"""Virtual-dataset (kerchunk-style) manifest: build + pruned reads.
+
+Covers the scale story the layer exists for — metadata parsed once on
+executors, later reads answered from byte ranges with chunk-level
+pruning that reaches the parquet scan as PushedFilters — against
+directories mixing NetCDF-4 (chunked+deflate) and classic NetCDF-3
+(fixed AND interleaved record layouts), multiple coordinate grids, and
+boundary-straddling index windows."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from wrf_to_geodataframe_spark.sources.hdf5_write import write_netcdf4
+from wrf_to_geodataframe_spark.sources.netcdf import write_netcdf
+from wrf_to_geodataframe_spark.sources.virtual import (
+    build_virtual_manifest,
+    read_virtual,
+)
+
+NT, NY, NX = 4, 6, 5
+
+
+def _val(f, t, y, x):
+    return f * 100000.0 + t * 1000.0 + y * NX + x
+
+
+def _write_archive(d, n_files=3, classic_every=2, extra_recvar=False):
+    """n_files files, each (NT, NY, NX); every ``classic_every``-th is
+    classic NetCDF-3 with a RECORD time dimension (and optionally a
+    second record variable, exercising the interleaved record
+    stride)."""
+    yy, xx = np.meshgrid(np.arange(NY), np.arange(NX), indexing="ij")
+    lat = (50.0 + yy * 0.25).astype("float64")
+    lon = (-3.0 + xx * 0.125).astype("float64")
+    paths = []
+    for f in range(n_files):
+        tt = np.arange(NT)
+        vals = _val(f, tt[:, None, None], yy, xx).astype("float64")
+        path = os.path.join(d, f"shard_{f}.nc")
+        if classic_every and f % classic_every == 1:
+            variables = {
+                "T2": {"dims": ["t", "y", "x"], "data": vals},
+                "XLAT": {"dims": ["y", "x"], "data": lat},
+                "XLONG": {"dims": ["y", "x"], "data": lon},
+            }
+            if extra_recvar:
+                variables["Q2"] = {
+                    "dims": ["t", "y", "x"], "data": vals * 0.5,
+                }
+            write_netcdf(path, {"t": 0, "y": NY, "x": NX}, variables)
+        else:
+            write_netcdf4(
+                path,
+                {"t": NT, "y": NY, "x": NX},
+                {
+                    "T2": {"dims": ["t", "y", "x"], "data": vals},
+                    "XLAT": {"dims": ["y", "x"], "data": lat},
+                    "XLONG": {"dims": ["y", "x"], "data": lon},
+                },
+                compress=True,
+                chunk={"T2": (2, 4, 3)},
+            )
+        paths.append(path)
+    return paths
+
+
+@pytest.fixture(scope="module")
+def archive(tmp_path_factory, spark):
+    d = str(tmp_path_factory.mktemp("vds_src"))
+    _write_archive(d, n_files=3, extra_recvar=True)
+    out = str(tmp_path_factory.mktemp("vds_man"))
+    build_virtual_manifest(spark, d, "T2", "XLAT", "XLONG", out)
+    return d, out
+
+
+def _expected(files=range(3), trange=None, yrange=None, xrange_=None):
+    rows = []
+    for f in files:
+        for t in range(NT):
+            g = f * NT + t
+            if trange and not (trange[0] <= g <= trange[1]):
+                continue
+            for y in range(NY):
+                if yrange and not (yrange[0] <= y <= yrange[1]):
+                    continue
+                for x in range(NX):
+                    if xrange_ and not (xrange_[0] <= x <= xrange_[1]):
+                        continue
+                    rows.append((g, y, x, 50.0 + y * 0.25,
+                                 -3.0 + x * 0.125, _val(f, t, y, x)))
+    return sorted(rows)
+
+
+def _got(df):
+    return sorted(
+        (r["t_idx"], r["y_idx"], r["x_idx"], r["lat"], r["lon"],
+         r["value"])
+        for r in df.collect()
+    )
+
+
+def test_full_read_matches_closed_form(spark, archive):
+    _, out = archive
+    assert _got(read_virtual(spark, out)) == _expected()
+
+
+def test_time_window_straddles_chunks_and_files(spark, archive):
+    _, out = archive
+    got = _got(read_virtual(spark, out, time_range=(3, 9)))
+    assert got == _expected(trange=(3, 9))
+
+
+def test_spatial_window_trims_rows_at_chunk_boundary(spark, archive):
+    _, out = archive
+    got = _got(
+        read_virtual(spark, out, y_range=(1, 4), x_range=(2, 2))
+    )
+    assert got == _expected(yrange=(1, 4), xrange_=(2, 2))
+
+
+def test_manifest_pruning_reaches_parquet_scan(spark, archive):
+    """The time predicate must appear as PushedFilters on t0/t1 in the
+    manifest parquet scan — pruned chunks never materialize a row."""
+    from pyspark.sql import functions as F
+
+    _, out = archive
+    man = spark.read.parquet(os.path.join(out, "chunks"))
+    total = man.count()
+    filtered = man.filter((F.col("t1") > 8) & (F.col("t0") <= 9))
+    assert filtered.count() < total
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThan(t1,8" in plan and "LessThanOrEqual(t0,9" in plan
+
+
+def test_coords_sidecar_deduplicates_identical_grids(spark, archive):
+    _, out = archive
+    coords = spark.read.parquet(os.path.join(out, "coords"))
+    assert coords.count() == 1  # 3 files, one shared grid
+
+
+def test_distinct_coordinate_grids_resolved_per_file(spark, tmp_path):
+    """Two files with DIFFERENT lat/lon grids: each chunk row resolves
+    its own grid through the coord hash."""
+    d, out = str(tmp_path / "src"), str(tmp_path / "man")
+    os.makedirs(d)
+    yy, xx = np.meshgrid(np.arange(NY), np.arange(NX), indexing="ij")
+    for f, lat0 in enumerate((50.0, 70.0)):
+        write_netcdf4(
+            os.path.join(d, f"g{f}.nc"),
+            {"t": 1, "y": NY, "x": NX},
+            {
+                "T2": {"dims": ["t", "y", "x"],
+                       "data": np.full((1, NY, NX), float(f))},
+                "XLAT": {"dims": ["y", "x"], "data": lat0 + yy * 0.25},
+                "XLONG": {"dims": ["y", "x"], "data": -3.0 + xx * 0.125},
+            },
+            compress=True,
+        )
+    build_virtual_manifest(spark, d, "T2", "XLAT", "XLONG", out)
+    coords = spark.read.parquet(os.path.join(out, "coords"))
+    assert coords.count() == 2
+    rows = read_virtual(spark, out).collect()
+    for r in rows:
+        want = (50.0 if r["t_idx"] == 0 else 70.0) + r["y_idx"] * 0.25
+        assert r["lat"] == want
+        assert r["value"] == float(r["t_idx"])
+
+
+def test_matches_per_file_direct_reads(spark, archive):
+    """Virtual read == union of the existing whole-file sources."""
+    from wrf_to_geodataframe_spark.sources.netcdf import read_netcdf_dir
+
+    d, out = archive
+    direct = read_netcdf_dir(spark, d, "T2", "XLAT", "XLONG")
+    want = sorted(
+        (r["y_idx"], r["x_idx"], r["lat"], r["lon"], r["value"])
+        for r in direct.collect()
+    )
+    got = sorted(
+        (r["y_idx"], r["x_idx"], r["lat"], r["lon"], r["value"])
+        for r in read_virtual(spark, out).collect()
+    )
+    assert got == want
+
+
+def test_explicit_file_list_sets_time_order(spark, tmp_path):
+    """Passing an ordered path list overrides name order — file 1
+    first means its timesteps own global t 0..NT-1."""
+    d, out = str(tmp_path / "src"), str(tmp_path / "man")
+    os.makedirs(d)
+    paths = _write_archive(d, n_files=2, classic_every=0)
+    build_virtual_manifest(
+        spark, [paths[1], paths[0]], "T2", "XLAT", "XLONG", out
+    )
+    got = _got(read_virtual(spark, out, time_range=(0, NT - 1)))
+    want = sorted(
+        (t, y, x, 50.0 + y * 0.25, -3.0 + x * 0.125, _val(1, t, y, x))
+        for t in range(NT) for y in range(NY) for x in range(NX)
+    )
+    assert got == want

@@ -1,0 +1,448 @@
+"""Kerchunk-style VIRTUAL DATASET over a directory of NetCDF files.
+
+The reference opens one file at a time through xarray
+(wrf_voronoi.py:115 ``xr.open_dataset``); a real WRF/climate archive is
+thousands of per-cycle files totalling terabytes.  The public pattern
+for querying such archives without a rewrite is the *virtual dataset*
+(kerchunk / VirtualiZarr): parse every file's METADATA once, persist
+the resulting chunk index as a queryable table, then serve all later
+reads from byte ranges listed in that index — no per-query metadata
+walk, and chunk-level pruning for free from the table's own min/max
+statistics.
+
+This module is that pattern, Spark-native, on top of the repo's own
+pure-numpy parsers:
+
+- ``build_virtual_manifest``: one executor task per file batch runs the
+  metadata-only walk (``hdf5_chunk_manifest`` — mmap, no data pages —
+  for NetCDF-4/HDF5; header arithmetic for classic NetCDF-3, both fixed
+  and record layouts) and emits one row per chunk-grid cell with its
+  GLOBAL time interval ``[t0, t1)`` (files are concatenated along time
+  in sorted-name order, the archive convention).  The chunk table is
+  range-partitioned and sorted on ``(t0, y0, x0)`` before the parquet
+  write so row-group min/max statistics align with the query axes.
+  Coordinate grids are deduplicated by content hash into a tiny sidecar
+  (one row per DISTINCT grid, not per file — a 10k-file single-domain
+  archive stores its lat/lon exactly once).
+
+- ``read_virtual``: a parquet scan of the chunk table with the time /
+  index-window predicates expressed as ordinary column filters — they
+  reach the parquet reader as ``PushedFilters`` on ``t0/t1/y0/...``, so
+  pruned chunks cost NOTHING (not even a manifest row is materialized;
+  see tests/test_virtual.py's explain assertion) — followed by an
+  Arrow-batched ``mapInPandas`` in which each task seeks straight to
+  its chunks' byte ranges and runs the filter pipeline
+  (deflate/shuffle/szip) itself.  Chunk-level pruning is made exact by
+  a row-level trim inside the same task (no second pass).
+
+Scale shape: the manifest build is O(metadata) per file and embarrasses
+in parallel; the manifest itself is a parquet table (queryable,
+re-partitionable, join-able — e.g. against a calendar dimension); reads
+never touch the driver beyond the O(#distinct-grids) coordinate
+sidecar, which is broadcast.  Requires paths every executor can open
+(local mode, NFS/Lustre — the HPC archive shape), like the other
+byte-range sources.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+
+import numpy as np
+
+__all__ = ["build_virtual_manifest", "read_virtual"]
+
+_CHUNK_SCHEMA = (
+    "file string, file_no long, nt long, lt0 long, lt1 long, "
+    "y0 long, y1 long, x0 long, x1 long, "
+    "addr long, nbytes long, fmask long, "
+    "ct long, cy long, cx long, "
+    "dtype string, filters string, fill double, coord_hash string"
+)
+
+_COORD_SCHEMA = (
+    "coord_hash string, ny long, nx long, lat binary, lon binary"
+)
+
+
+def _coord_grids(lat: np.ndarray, lon: np.ndarray):
+    """Normalize coordinate variables to matching 2-D float64 grids."""
+    lat = np.asarray(lat, dtype="float64")
+    lon = np.asarray(lon, dtype="float64")
+    if lat.ndim == 1 and lon.ndim == 1:
+        lon, lat = np.meshgrid(lon, lat)
+    if lat.shape != lon.shape or lat.ndim != 2:
+        raise ValueError(f"coordinate shapes {lat.shape} vs {lon.shape}")
+    return np.ascontiguousarray(lat), np.ascontiguousarray(lon)
+
+
+def _hash_grids(lat: np.ndarray, lon: np.ndarray) -> str:
+    h = hashlib.sha1()
+    h.update(repr(lat.shape).encode())
+    h.update(lat.tobytes())
+    h.update(lon.tobytes())
+    return h.hexdigest()
+
+
+def _file_chunk_rows(path: str, file_no: int, var: str,
+                     lat_var: str, lon_var: str):
+    """Metadata-only chunk enumeration of ONE file -> (chunk row list,
+    coords row).  Chunk rows carry LOCAL time bounds (lt0/lt1) plus the
+    file's time length ``nt``; the builder converts to global bounds
+    declaratively.  Every chunk-grid cell is listed — unwritten HDF5
+    chunks with ``addr = -1`` (the reader fills them), matching the
+    single-file scan's semantics (netcdf.py:read_netcdf_chunks)."""
+    with open(path, "rb") as fh:
+        magic = fh.read(8)
+    if magic[:4] == b"\x89HDF":
+        rows, coords = _hdf5_rows(path, file_no, var, lat_var, lon_var)
+    elif magic[:3] == b"CDF" and magic[3] in (1, 2):
+        rows, coords = _classic_rows(path, file_no, var, lat_var, lon_var)
+    else:
+        raise ValueError(f"{path}: neither HDF5 nor NetCDF classic")
+    return rows, coords
+
+
+def _hdf5_rows(path, file_no, var, lat_var, lon_var):
+    from wrf_to_geodataframe_spark.sources.hdf5 import hdf5_chunk_manifest
+
+    man = hdf5_chunk_manifest(path, var, aux_vars=(lat_var, lon_var))
+    shape, chunk = man["shape"], man["chunks"]
+    if len(shape) == 2:
+        shape = (1,) + tuple(shape)
+        chunk = (1,) + tuple(chunk)
+        tdim = False
+    elif len(shape) == 3:
+        shape, chunk = tuple(shape), tuple(chunk)
+        tdim = True
+    else:
+        raise ValueError(f"{var}: expected (t,y,x) or (y,x), got {shape}")
+    lat, lon = _coord_grids(man["aux"][lat_var], man["aux"][lon_var])
+    chash = _hash_grids(lat, lon)
+    stored = {}
+    for offs, addr, nbytes, mask in man["entries"]:
+        key = tuple(offs) if tdim else (0,) + tuple(offs)
+        stored[tuple(o // c for o, c in zip(key, chunk))] = (
+            addr, nbytes, mask,
+        )
+    grid = tuple(-(-s // c) for s, c in zip(shape, chunk))
+    filters = json.dumps([[fid, list(cd)] for fid, cd in man["filters"]])
+    rows = []
+    for idx in np.ndindex(*grid):
+        addr, nbytes, mask = stored.get(idx, (-1, 0, 0))
+        o = tuple(int(i * c) for i, c in zip(idx, chunk))
+        e = tuple(min(oo + c, s) for oo, c, s in zip(o, chunk, shape))
+        rows.append((
+            path, file_no, shape[0], o[0], e[0], o[1], e[1], o[2], e[2],
+            addr, nbytes, mask, chunk[0], chunk[1], chunk[2],
+            man["dtype"], filters, float(man["fill"]), chash,
+        ))
+    coords = (chash, lat.shape[0], lat.shape[1],
+              lat.tobytes(), lon.tobytes())
+    return rows, coords
+
+
+def _classic_rows(path, file_no, var, lat_var, lon_var):
+    from wrf_to_geodataframe_spark.sources.netcdf import (
+        _DTYPES,
+        _SIZES,
+        _read_header_from_file,
+    )
+
+    def _fixed_var(hdr, name):
+        """Bounded byte-range read of one non-record variable — the
+        coordinate grids of a multi-GB classic file cost two seeks,
+        not a whole-file read."""
+        e = next((e for e in hdr["entries"] if e[0] == name), None)
+        if e is None:
+            raise ValueError(f"{path}: no variable {name!r}")
+        _, ids, _a, t, beg = e
+        if hdr["rec_dim"] is not None and ids[:1] == [hdr["rec_dim"]]:
+            raise ValueError(f"{name}: record coordinate unsupported")
+        shp = [hdr["dims"][d][1] for d in ids]
+        n = int(np.prod(shp, initial=1))
+        with open(path, "rb") as fh:
+            fh.seek(beg)
+            buf = fh.read(n * _SIZES[t])
+        return np.frombuffer(buf, _DTYPES[t], count=n).reshape(shp)
+
+    hdr = _read_header_from_file(path)
+    dims, rec_dim = hdr["dims"], hdr["rec_dim"]
+    numrecs, recsize = hdr["numrecs"], hdr["recsize"]
+    entry = next((e for e in hdr["entries"] if e[0] == var), None)
+    if entry is None:
+        raise ValueError(f"{path}: no variable {var!r}")
+    _, dimids, _vatts, nc_type, begin = entry
+    shape = [dims[d][1] for d in dimids]
+    is_rec = rec_dim is not None and dimids and dimids[0] == rec_dim
+    if is_rec:
+        shape[0] = numrecs
+    if len(shape) == 2:
+        nt, (ny, nx) = 1, shape
+        is_rec = False
+    elif len(shape) == 3:
+        nt, ny, nx = shape
+    else:
+        raise ValueError(f"{var}: expected (t,y,x) or (y,x), got {shape}")
+    size, dtype = _SIZES[nc_type], np.dtype(_DTYPES[nc_type]).str
+    plane = size * ny * nx
+    # one pseudo-chunk per time plane; record vars stride by the shared
+    # record slab when several record variables interleave (recsize)
+    step = (
+        recsize if (is_rec and hdr["n_recvars"] > 1) else plane
+    )
+    rows = []
+    for t in range(nt):
+        rows.append((
+            path, file_no, nt, t, t + 1, 0, ny, 0, nx,
+            begin + t * step, plane, 0, 1, ny, nx,
+            dtype, "[]", 0.0, None,  # coord hash patched below
+        ))
+    lat, lon = _coord_grids(_fixed_var(hdr, lat_var),
+                            _fixed_var(hdr, lon_var))
+    chash = _hash_grids(lat, lon)
+    rows = [r[:-1] + (chash,) for r in rows]
+    coords = (chash, lat.shape[0], lat.shape[1],
+              lat.tobytes(), lon.tobytes())
+    return rows, coords
+
+
+def build_virtual_manifest(
+    spark,
+    src: str | list[str],
+    var: str,
+    lat_var: str,
+    lon_var: str,
+    out_path: str,
+    pattern: str = "*.nc",
+) -> str:
+    """Build and persist the virtual-dataset manifest for ``src`` (a
+    directory, globbed with ``pattern`` in sorted-name order — the
+    archive's time order — or an explicit ordered path list).  Writes
+    ``out_path/chunks`` (the chunk table) and ``out_path/coords`` (the
+    deduplicated coordinate sidecar).  Returns ``out_path``.
+
+    The metadata walk runs ON EXECUTORS (one task per file batch); the
+    driver only lists file names.  Global time bounds are assigned with
+    a cumulative-sum window over the O(#files) per-file lengths — a
+    single-partition window over a frame that is tiny by construction,
+    then broadcast-joined back onto the chunk rows."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    files = (
+        sorted(glob.glob(os.path.join(src, pattern)))
+        if isinstance(src, str)
+        else list(src)
+    )
+    if not files:
+        raise ValueError(f"no input files under {src!r}")
+    sc = spark.sparkContext
+    fdf = spark.createDataFrame(
+        list(enumerate(files)), "file_no long, path string"
+    ).repartition(
+        max(1, min(len(files), sc.defaultParallelism * 2)), "file_no"
+    )
+
+    def _scan_meta(it):
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                rows, _ = _file_chunk_rows(
+                    row.path, int(row.file_no), var, lat_var, lon_var
+                )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "file", "file_no", "nt", "lt0", "lt1",
+                        "y0", "y1", "x0", "x1",
+                        "addr", "nbytes", "fmask", "ct", "cy", "cx",
+                        "dtype", "filters", "fill", "coord_hash",
+                    ],
+                )
+
+    def _scan_coords(it):
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                _, c = _file_chunk_rows(
+                    row.path, int(row.file_no), var, lat_var, lon_var
+                )
+                yield pd.DataFrame(
+                    [c], columns=["coord_hash", "ny", "nx", "lat", "lon"]
+                )
+
+    chunks = fdf.mapInPandas(_scan_meta, _CHUNK_SCHEMA)
+    w = Window.orderBy("file_no").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        chunks.select("file_no", "nt")
+        .distinct()
+        .withColumn(
+            "t_off", F.coalesce(F.sum("nt").over(w), F.lit(0))
+        )
+        .select("file_no", "t_off")
+    )
+    n_out = max(1, min(len(files), sc.defaultParallelism))
+    (
+        chunks.join(F.broadcast(offsets), "file_no")
+        .withColumn("t0", F.col("lt0") + F.col("t_off"))
+        .withColumn("t1", F.col("lt1") + F.col("t_off"))
+        .drop("lt0", "lt1", "nt", "t_off", "file_no")
+        .repartitionByRange(n_out, "t0", "y0", "x0")
+        .sortWithinPartitions("t0", "y0", "x0")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_path, "chunks"))
+    )
+    (
+        fdf.mapInPandas(_scan_coords, _COORD_SCHEMA)
+        .dropDuplicates(["coord_hash"])
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_path, "coords"))
+    )
+    return out_path
+
+
+def read_virtual(
+    spark,
+    manifest_path: str,
+    time_range: tuple[int, int] | None = None,
+    y_range: tuple[int, int] | None = None,
+    x_range: tuple[int, int] | None = None,
+):
+    """Scan a virtual dataset built by ``build_virtual_manifest`` ->
+    the engine's long grid table ``(file, t_idx, y_idx, x_idx, lat,
+    lon, value)``.  Ranges are INCLUSIVE index windows; each becomes a
+    plain column predicate on the chunk table (pushed into the parquet
+    scan — pruned chunks are never read, not even their manifest rows)
+    plus an exact row-level trim inside the decode task."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from wrf_to_geodataframe_spark.sources.hdf5 import decode_chunk_pipeline
+
+    man = spark.read.parquet(os.path.join(manifest_path, "chunks"))
+    for (col0, col1), rng in (
+        (("t0", "t1"), time_range),
+        (("y0", "y1"), y_range),
+        (("x0", "x1"), x_range),
+    ):
+        if rng is not None:
+            lo, hi = int(rng[0]), int(rng[1])
+            man = man.filter(
+                (F.col(col1) > F.lit(lo)) & (F.col(col0) <= F.lit(hi))
+            )
+
+    coord_rows = (
+        spark.read.parquet(os.path.join(manifest_path, "coords")).collect()
+    )
+    grids = {
+        r["coord_hash"]: (
+            np.frombuffer(r["lat"], "float64").reshape(r["ny"], r["nx"]),
+            np.frombuffer(r["lon"], "float64").reshape(r["ny"], r["nx"]),
+        )
+        for r in coord_rows
+    }
+    bgrids = spark.sparkContext.broadcast(grids)
+    bounds = (time_range, y_range, x_range)
+
+    schema = StructType([
+        StructField("file", StringType()),
+        StructField("t_idx", LongType()),
+        StructField("y_idx", LongType()),
+        StructField("x_idx", LongType()),
+        StructField("lat", DoubleType()),
+        StructField("lon", DoubleType()),
+        StructField("value", DoubleType()),
+    ])
+
+    def _scan(it):
+        grids = bgrids.value
+        trange, yrange, xrange_ = bounds
+        handles: dict[str, object] = {}
+        fcache: dict[str, list] = {}
+        try:
+            for pdf in it:
+                for row in pdf.itertuples(index=False):
+                    dt = np.dtype(row.dtype)
+                    csh = (int(row.ct), int(row.cy), int(row.cx))
+                    nchunk = csh[0] * csh[1] * csh[2]
+                    if row.addr >= 0:
+                        fh = handles.get(row.file)
+                        if fh is None:
+                            fh = handles[row.file] = open(row.file, "rb")
+                        fh.seek(int(row.addr))
+                        raw = fh.read(int(row.nbytes))
+                        filt = fcache.get(row.filters)
+                        if filt is None:
+                            filt = fcache[row.filters] = [
+                                (fid, tuple(cd))
+                                for fid, cd in json.loads(row.filters)
+                            ]
+                        if filt:
+                            raw = decode_chunk_pipeline(
+                                raw, filt, dt.itemsize, nchunk,
+                                int(row.fmask),
+                            )
+                        carr = np.frombuffer(raw, dt, count=nchunk)
+                        carr = carr.reshape(csh).astype(
+                            dt.newbyteorder("="), copy=False
+                        )
+                    else:
+                        carr = np.full(
+                            csh, row.fill, dt.newbyteorder("=")
+                        )
+                    t0, y0, x0 = int(row.t0), int(row.y0), int(row.x0)
+                    nt = int(row.t1) - t0
+                    ny = int(row.y1) - y0
+                    nx = int(row.x1) - x0
+                    block = carr[:nt, :ny, :nx]
+                    lat_g, lon_g = grids[row.coord_hash]
+                    yy, xx = np.meshgrid(
+                        np.arange(ny) + y0, np.arange(nx) + x0,
+                        indexing="ij",
+                    )
+                    lat_c = lat_g[y0:y0 + ny, x0:x0 + nx].ravel()
+                    lon_c = lon_g[y0:y0 + ny, x0:x0 + nx].ravel()
+                    yf, xf = yy.ravel(), xx.ravel()
+                    mask = np.ones(ny * nx, bool)
+                    if yrange is not None:
+                        mask &= (yf >= yrange[0]) & (yf <= yrange[1])
+                    if xrange_ is not None:
+                        mask &= (xf >= xrange_[0]) & (xf <= xrange_[1])
+                    for rel_t in range(nt):
+                        t = t0 + rel_t
+                        if trange is not None and not (
+                            trange[0] <= t <= trange[1]
+                        ):
+                            continue
+                        yield pd.DataFrame({
+                            "file": row.file,
+                            "t_idx": np.full(int(mask.sum()), t, "int64"),
+                            "y_idx": yf[mask].astype("int64"),
+                            "x_idx": xf[mask].astype("int64"),
+                            "lat": lat_c[mask],
+                            "lon": lon_c[mask],
+                            "value": block[rel_t].ravel()[mask].astype(
+                                "float64"
+                            ),
+                        })
+        finally:
+            for fh in handles.values():
+                fh.close()
+
+    n = spark.sparkContext.defaultParallelism * 2
+    return man.repartition(n, "file", "t0", "y0", "x0").mapInPandas(
+        _scan, schema
+    )

@@ -478,6 +478,99 @@ GROUP BY 1
 """
 
 
+_V_FILES, _V_NT, _V_NY, _V_NX = 3, 4, 6, 5
+_V_TLO, _V_THI = 3, 9
+
+
+def s1_virtual_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 at INDEXED-archive shape — the kerchunk/VirtualiZarr pattern
+    over the reference's own entry format (wrf_voronoi.py:115): a
+    mixed directory of NetCDF-4 (chunked+shuffle+deflate) and classic
+    NetCDF-3 (two interleaved RECORD variables — the stride case)
+    files is indexed ONCE by ``build_virtual_manifest`` (executor-side
+    metadata-only walk -> parquet chunk table, range-partitioned and
+    sorted on (t0, y0, x0); coordinate grids deduplicated by hash into
+    a sidecar), then ``read_virtual`` answers a TIME-WINDOW query from
+    byte ranges — the window prunes chunk rows inside the parquet scan
+    (PushedFilters on t0/t1, asserted in tests/test_virtual.py) and
+    the window straddles both chunk and file boundaries, so the
+    row-level trim is under the oracle too.
+
+    Values sit on a 2^-3 lattice (exact, order-free double sums); the
+    DuckDB oracle recomputes the closed form over the selected window,
+    including the file -> global-time concatenation arithmetic."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.sources.hdf5_write import write_netcdf4
+    from wrf_to_geodataframe_spark.sources.netcdf import write_netcdf
+    from wrf_to_geodataframe_spark.sources.virtual import (
+        build_virtual_manifest,
+        read_virtual,
+    )
+
+    d = tempfile.mkdtemp(prefix="s1_vds_src_")
+    out = tempfile.mkdtemp(prefix="s1_vds_man_")
+    nt, ny, nx = _V_NT, _V_NY, _V_NX
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    lat = (50.0 + yy * 0.25).astype("float64")
+    lon = (-3.0 + xx * 0.125).astype("float64")
+    tt = np.arange(nt)
+    for fno in range(_V_FILES):
+        vals = (
+            (fno * 100000 + tt[:, None, None] * 1000 + yy * nx + xx) / 8.0
+        ).astype("float64")
+        path = os.path.join(d, f"shard_{fno}.nc")
+        if fno % 2 == 1:  # classic, record dim, interleaved stride
+            write_netcdf(
+                path,
+                {"t": 0, "y": ny, "x": nx},
+                {
+                    "T2": {"dims": ["t", "y", "x"], "data": vals},
+                    "Q2": {"dims": ["t", "y", "x"], "data": vals * 0.5},
+                    "XLAT": {"dims": ["y", "x"], "data": lat},
+                    "XLONG": {"dims": ["y", "x"], "data": lon},
+                },
+            )
+        else:  # NetCDF-4, chunked + shuffle + deflate
+            write_netcdf4(
+                path,
+                {"t": nt, "y": ny, "x": nx},
+                {
+                    "T2": {"dims": ["t", "y", "x"], "data": vals},
+                    "XLAT": {"dims": ["y", "x"], "data": lat},
+                    "XLONG": {"dims": ["y", "x"], "data": lon},
+                },
+                compress=True,
+                chunk={"T2": (2, 4, 3)},
+            )
+    build_virtual_manifest(spark, d, "T2", "XLAT", "XLONG", out)
+    df = read_virtual(spark, out, time_range=(_V_TLO, _V_THI))
+    return df.groupBy("t_idx").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("value").alias("sum_val"),
+        F.sum(F.col("lat") + F.col("lon")).alias("sum_coord"),
+        F.max("value").alias("max_val"),
+    )
+
+
+_SV_SQL = f"""
+SELECT t.t AS t_idx,
+       COUNT(*) AS n_cells,
+       SUM(((t.t // {_V_NT}) * 100000 + (t.t % {_V_NT}) * 1000
+            + y.y * {_V_NX} + x.x) / 8.0) AS sum_val,
+       SUM((50.0 + y.y * 0.25) + (-3.0 + x.x * 0.125)) AS sum_coord,
+       MAX(((t.t // {_V_NT}) * 100000 + (t.t % {_V_NT}) * 1000
+            + y.y * {_V_NX} + x.x) / 8.0) AS max_val
+FROM generate_series({_V_TLO}, {_V_THI}) AS t(t),
+     generate_series(0, {_V_NY - 1}) AS y(y),
+     generate_series(0, {_V_NX - 1}) AS x(x)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "c1_grid_unnest": c1_grid_unnest,
     "c3_table_to_grid": c3_table_to_grid,
@@ -487,6 +580,7 @@ QUERIES = {
     "s1_cf_time_ingest": s1_cf_time_ingest,
     "s1_grib2_ingest": s1_grib2_ingest,
     "s1_geotiff_ingest": s1_geotiff_ingest,
+    "s1_virtual_dataset": s1_virtual_dataset,
 }
 
 ORACLE = {
@@ -498,4 +592,5 @@ ORACLE = {
     "s1_cf_time_ingest": _SCF_SQL,
     "s1_grib2_ingest": _SG_SQL,
     "s1_geotiff_ingest": _SGT_SQL,
+    "s1_virtual_dataset": _SV_SQL,
 }
