@@ -486,3 +486,27 @@ def test_curation_shingle_index_bucketed_reuse(spark):
         assert cand.limit(1).count() >= 0 and dec.limit(1).count() >= 0
     finally:
         spark.sql("DROP TABLE IF EXISTS b_shingles")
+
+
+def test_ts_climatology_broadcasts_small_side_one_scan_pair(spark):
+    """The climatology join build side is a 24x|types| aggregate —
+    must be a broadcast join (no shuffled sort-merge on the event
+    scan), and the whole query reads events at most twice (raw +
+    climatology branch), never per-group."""
+    from wrf_to_geodataframe_spark.suite.timeseries import QUERIES
+
+    plan = _plan(QUERIES["ts_climatology_anomaly"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_ts_streak_runs_no_self_join(spark):
+    """Gaps-and-islands must be window-only: one scan, no join of the
+    daily table against itself."""
+    from wrf_to_geodataframe_spark.suite.timeseries import QUERIES
+
+    plan = _plan(QUERIES["ts_streak_runs"](spark, SF))
+    assert plan.count("Scan parquet") == 1, plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in plan, plan

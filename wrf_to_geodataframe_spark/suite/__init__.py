@@ -29,9 +29,13 @@ from wrf_to_geodataframe_spark.suite import (
     relational,
     spatial,
     tessellation,
+    timeseries,
 )
 
-_GROUPS = [core, relational, conversions, spatial, tessellation, pipeline]
+_GROUPS = [
+    core, relational, conversions, spatial, tessellation, pipeline,
+    timeseries,
+]
 
 
 def _driver_last_checked() -> dict[str, int]:
