@@ -203,3 +203,26 @@ def test_explicit_file_list_sets_time_order(spark, tmp_path):
         for t in range(NT) for y in range(NY) for x in range(NX)
     )
     assert got == want
+
+
+def test_bbox_to_windows_maps_bbox_to_tight_index_windows(spark, archive):
+    from wrf_to_geodataframe_spark.sources.virtual import bbox_to_windows
+
+    _, out = archive
+    # lat = 50 + 0.25*y, lon = -3 + 0.125*x
+    yr, xr = bbox_to_windows(
+        spark, out, lat_range=(50.3, 51.0), lon_range=(-2.8, -2.5)
+    )
+    assert yr == (2, 4)   # y in {2,3,4}: 50.5, 50.75, 51.0
+    assert xr == (2, 4)   # x in {2,3,4}: -2.75, -2.625, -2.5
+    got = _got(read_virtual(spark, out, y_range=yr, x_range=xr))
+    assert got == _expected(yrange=yr, xrange_=xr)
+
+
+def test_bbox_to_windows_empty_bbox(spark, archive):
+    from wrf_to_geodataframe_spark.sources.virtual import bbox_to_windows
+
+    _, out = archive
+    assert bbox_to_windows(spark, out, (80.0, 81.0), (0.0, 1.0)) == (
+        None, None,
+    )

@@ -53,7 +53,7 @@ import os
 
 import numpy as np
 
-__all__ = ["build_virtual_manifest", "read_virtual"]
+__all__ = ["bbox_to_windows", "build_virtual_manifest", "read_virtual"]
 
 _CHUNK_SCHEMA = (
     "file string, file_no long, nt long, lt0 long, lt1 long, "
@@ -305,6 +305,46 @@ def build_virtual_manifest(
         .parquet(os.path.join(out_path, "coords"))
     )
     return out_path
+
+
+def bbox_to_windows(
+    spark,
+    manifest_path: str,
+    lat_range: tuple[float, float],
+    lon_range: tuple[float, float],
+) -> tuple[tuple[int, int] | None, tuple[int, int] | None]:
+    """Convert a lat/lon bbox into the tightest (y_range, x_range)
+    INDEX windows covering every grid cell inside it, by scanning the
+    coordinate SIDECAR only (O(#distinct-grids × grid), driver-side —
+    never the chunk table, never a data page).  This is P4's bbox
+    filter (suite/spatial.py:60) lifted to archive scale: the returned
+    windows feed ``read_virtual``, which prunes excluded chunks inside
+    the parquet scan.  Returns ``(None, None)`` when no cell matches
+    (the caller gets an empty-but-well-typed read via an impossible
+    window).  With several distinct grids the windows are the union —
+    conservative for all, exact for one."""
+    rows = (
+        spark.read.parquet(os.path.join(manifest_path, "coords")).collect()
+    )
+    y_lo = x_lo = None
+    y_hi = x_hi = -1
+    for r in rows:
+        lat = np.frombuffer(r["lat"], "float64").reshape(r["ny"], r["nx"])
+        lon = np.frombuffer(r["lon"], "float64").reshape(r["ny"], r["nx"])
+        inside = (
+            (lat >= lat_range[0]) & (lat <= lat_range[1])
+            & (lon >= lon_range[0]) & (lon <= lon_range[1])
+        )
+        ys, xs = np.nonzero(inside)
+        if not ys.size:
+            continue
+        y_lo = int(ys.min()) if y_lo is None else min(y_lo, int(ys.min()))
+        x_lo = int(xs.min()) if x_lo is None else min(x_lo, int(xs.min()))
+        y_hi = max(y_hi, int(ys.max()))
+        x_hi = max(x_hi, int(xs.max()))
+    if y_lo is None:
+        return None, None
+    return (y_lo, y_hi), (x_lo, x_hi)
 
 
 def read_virtual(
