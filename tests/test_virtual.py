@@ -226,3 +226,74 @@ def test_bbox_to_windows_empty_bbox(spark, archive):
     assert bbox_to_windows(spark, out, (80.0, 81.0), (0.0, 1.0)) == (
         None, None,
     )
+
+
+def _write_grib2_archive(d, n_files=2, n_msgs=4):
+    """n_files GRIB2 files; message k of file f carries param
+    (category k%2, number 0) — var filter "0.0" selects the even
+    messages — on a 2^-3 value lattice."""
+    from wrf_to_geodataframe_spark.sources.grib2 import write_grib2
+
+    ny, nx = 5, 6
+    for f in range(n_files):
+        msgs = []
+        for k in range(n_msgs):
+            base = (f * n_msgs + k) * 1000
+            x = base + np.arange(ny * nx).reshape(ny, nx)
+            msgs.append({
+                "values": x / 8.0,
+                "lat0": 50.0, "lon0": 357.0,
+                "dlat": -0.25, "dlon": 0.125,
+                "param_category": k % 2,
+                "packing": {"template": 0, "ref": 0.0, "e": -3,
+                            "d": 0, "nbits": 16},
+            })
+        write_grib2(os.path.join(d, f"cycle_{f}.grib2"), msgs)
+    return ny, nx
+
+
+def test_grib2_virtual_selects_param_and_orders_time(spark, tmp_path):
+    """GRIB2 archive through the virtual layer: var="0.0" keeps the
+    even messages; their stored order becomes the global time axis
+    across files; values decode via the section parser from the
+    manifest's message byte ranges."""
+    d, out = str(tmp_path / "src"), str(tmp_path / "man")
+    os.makedirs(d)
+    ny, nx = _write_grib2_archive(d)
+    build_virtual_manifest(
+        spark, d, "0.0", None, None, out, pattern="*.grib2"
+    )
+    got = sorted(
+        (r["t_idx"], r["y_idx"], r["x_idx"], r["lat"], r["lon"],
+         r["value"])
+        for r in read_virtual(spark, out).collect()
+    )
+    want = []
+    for g, (f, k) in enumerate([(0, 0), (0, 2), (1, 0), (1, 2)]):
+        for y in range(ny):
+            for x in range(nx):
+                want.append((
+                    g, y, x, 50.0 - y * 0.25, 357.0 + x * 0.125,
+                    ((f * 4 + k) * 1000 + y * nx + x) / 8.0,
+                ))
+    assert got == sorted(want)
+
+
+def test_grib2_virtual_time_window_prunes_messages(spark, tmp_path):
+    d, out = str(tmp_path / "src"), str(tmp_path / "man")
+    os.makedirs(d)
+    ny, nx = _write_grib2_archive(d)
+    build_virtual_manifest(
+        spark, d, "", None, None, out, pattern="*.grib2"
+    )
+    man = spark.read.parquet(os.path.join(out, "chunks"))
+    assert man.count() == 8  # every message indexed when var is empty
+    df = read_virtual(spark, out, time_range=(5, 6))
+    rows = df.collect()
+    assert {r["t_idx"] for r in rows} == {5, 6}
+    assert len(rows) == 2 * ny * nx
+    for r in rows:
+        g = r["t_idx"]
+        assert r["value"] == (
+            g * 1000 + r["y_idx"] * nx + r["x_idx"]
+        ) / 8.0

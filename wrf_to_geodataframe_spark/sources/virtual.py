@@ -16,9 +16,12 @@ pure-numpy parsers:
 - ``build_virtual_manifest``: one executor task per file batch runs the
   metadata-only walk (``hdf5_chunk_manifest`` — mmap, no data pages —
   for NetCDF-4/HDF5; header arithmetic for classic NetCDF-3, both fixed
-  and record layouts) and emits one row per chunk-grid cell with its
-  GLOBAL time interval ``[t0, t1)`` (files are concatenated along time
-  in sorted-name order, the archive convention).  The chunk table is
+  and record layouts; a section-header seek chain for GRIB2, where one
+  MESSAGE is one chunk and ``var`` selects by ``"category.number"`` —
+  ``lat_var``/``lon_var`` are ignored, the grid comes from section 3)
+  and emits one row per chunk-grid cell with its GLOBAL time interval
+  ``[t0, t1)`` (files are concatenated along time in sorted-name order,
+  the archive convention).  The chunk table is
   range-partitioned and sorted on ``(t0, y0, x0)`` before the parquet
   write so row-group min/max statistics align with the query axes.
   Coordinate grids are deduplicated by content hash into a tiny sidecar
@@ -90,20 +93,26 @@ def _hash_grids(lat: np.ndarray, lon: np.ndarray) -> str:
 def _file_chunk_rows(path: str, file_no: int, var: str,
                      lat_var: str, lon_var: str):
     """Metadata-only chunk enumeration of ONE file -> (chunk row list,
-    coords row).  Chunk rows carry LOCAL time bounds (lt0/lt1) plus the
-    file's time length ``nt``; the builder converts to global bounds
-    declaratively.  Every chunk-grid cell is listed — unwritten HDF5
-    chunks with ``addr = -1`` (the reader fills them), matching the
-    single-file scan's semantics (netcdf.py:read_netcdf_chunks)."""
+    coords rows).  Chunk rows carry LOCAL time bounds (lt0/lt1) plus
+    the file's time length ``nt``; the builder converts to global
+    bounds declaratively.  Every chunk-grid cell is listed — unwritten
+    HDF5 chunks with ``addr = -1`` (the reader fills them), matching
+    the single-file scan's semantics (netcdf.py:read_netcdf_chunks).
+    GRIB2 files contribute one chunk per (selected) MESSAGE — the
+    byte-range unit wgrib2's ``.idx`` sidecars index — with the whole
+    message as the chunk payload and ``dtype = "grib2"`` telling the
+    reader to decode it with the section parser."""
     with open(path, "rb") as fh:
         magic = fh.read(8)
     if magic[:4] == b"\x89HDF":
         rows, coords = _hdf5_rows(path, file_no, var, lat_var, lon_var)
     elif magic[:3] == b"CDF" and magic[3] in (1, 2):
         rows, coords = _classic_rows(path, file_no, var, lat_var, lon_var)
+    elif magic[:4] == b"GRIB":
+        return _grib2_rows(path, file_no, var)
     else:
-        raise ValueError(f"{path}: neither HDF5 nor NetCDF classic")
-    return rows, coords
+        raise ValueError(f"{path}: not HDF5 / NetCDF classic / GRIB2")
+    return rows, [coords]
 
 
 def _hdf5_rows(path, file_no, var, lat_var, lon_var):
@@ -210,6 +219,83 @@ def _classic_rows(path, file_no, var, lat_var, lon_var):
     return rows, coords
 
 
+def _grib2_rows(path: str, file_no: int, var: str | None):
+    """GRIB2 file -> one chunk per selected message.  ``var`` filters
+    by ``"<param_category>.<param_number>"`` (empty/None = every
+    message); selected messages become the file's LOCAL time axis in
+    stored order — the GFS/ERA5 cycle-file convention.  Only section
+    HEADERS plus sections 3/4 bodies are read (seek chain): the data
+    payload (section 7, the bulk of the file) is never touched."""
+    from wrf_to_geodataframe_spark.sources.grib2 import (
+        Grib2Error,
+        _parse_grid_template_3_0,
+        _parse_grid_template_3_1,
+        _parse_grid_template_3_30,
+        _parse_grid_template_3_40,
+        scan_grib2_offsets,
+    )
+    import struct
+
+    parsers = {
+        0: _parse_grid_template_3_0,
+        1: _parse_grid_template_3_1,
+        30: _parse_grid_template_3_30,
+        40: _parse_grid_template_3_40,
+    }
+    rows, coords, seen = [], [], set()
+    lt = 0
+    with open(path, "rb") as fh:
+        for _mi, off, mlen in scan_grib2_offsets(path):
+            p = off + 16
+            grid = param = None
+            while p < off + mlen:
+                fh.seek(p)
+                head = fh.read(5)
+                if head[:4] == b"7777":
+                    break
+                (slen,) = struct.unpack_from(">I", head, 0)
+                snum = head[4]
+                if snum == 3:
+                    fh.seek(p)
+                    s3 = fh.read(slen)
+                    (tmpl3,) = struct.unpack_from(">H", s3, 12)
+                    if tmpl3 not in parsers:
+                        raise Grib2Error(
+                            f"{path}: grid template 3.{tmpl3} unsupported"
+                        )
+                    grid = parsers[tmpl3](s3[14:])
+                elif snum == 4:
+                    fh.seek(p)
+                    s4 = fh.read(min(slen, 64))
+                    (tmpl4,) = struct.unpack_from(">H", s4, 7)
+                    if tmpl4 in (0, 1, 8):
+                        param = f"{s4[9]}.{s4[10]}"
+                elif snum == 7:
+                    break  # data payload: stop the walk, never read
+                p += slen
+            if grid is None:
+                raise Grib2Error(f"{path}: message without section 3")
+            if var and param != var:
+                continue
+            lat, lon = _coord_grids(grid["lat"], grid["lon"])
+            chash = _hash_grids(lat, lon)
+            if chash not in seen:
+                seen.add(chash)
+                coords.append((chash, lat.shape[0], lat.shape[1],
+                               lat.tobytes(), lon.tobytes()))
+            nj, ni = lat.shape
+            rows.append((
+                path, file_no, -1, lt, lt + 1, 0, nj, 0, ni,
+                off, mlen, 0, 1, nj, ni,
+                "grib2", "[]", 0.0, chash,
+            ))
+            lt += 1
+    if not rows:
+        raise Grib2Error(f"{path}: no message matches {var!r}")
+    rows = [r[:2] + (lt,) + r[3:] for r in rows]  # patch nt = selected
+    return rows, coords
+
+
 def build_virtual_manifest(
     spark,
     src: str | list[str],
@@ -267,11 +353,11 @@ def build_virtual_manifest(
     def _scan_coords(it):
         for pdf in it:
             for row in pdf.itertuples(index=False):
-                _, c = _file_chunk_rows(
+                _, cs = _file_chunk_rows(
                     row.path, int(row.file_no), var, lat_var, lon_var
                 )
                 yield pd.DataFrame(
-                    [c], columns=["coord_hash", "ny", "nx", "lat", "lon"]
+                    cs, columns=["coord_hash", "ny", "nx", "lat", "lon"]
                 )
 
     chunks = fdf.mapInPandas(_scan_meta, _CHUNK_SCHEMA)
@@ -370,6 +456,7 @@ def read_virtual(
         StructType,
     )
 
+    from wrf_to_geodataframe_spark.sources.grib2 import read_grib2_bytes
     from wrf_to_geodataframe_spark.sources.hdf5 import decode_chunk_pipeline
 
     man = spark.read.parquet(os.path.join(manifest_path, "chunks"))
@@ -415,10 +502,19 @@ def read_virtual(
         try:
             for pdf in it:
                 for row in pdf.itertuples(index=False):
-                    dt = np.dtype(row.dtype)
                     csh = (int(row.ct), int(row.cy), int(row.cx))
                     nchunk = csh[0] * csh[1] * csh[2]
-                    if row.addr >= 0:
+                    if row.dtype == "grib2":
+                        fh = handles.get(row.file)
+                        if fh is None:
+                            fh = handles[row.file] = open(row.file, "rb")
+                        fh.seek(int(row.addr))
+                        msg = read_grib2_bytes(
+                            fh.read(int(row.nbytes)), name=row.file
+                        )[0]
+                        carr = msg["values"][None, ...].astype("float64")
+                    elif row.addr >= 0:
+                        dt = np.dtype(row.dtype)
                         fh = handles.get(row.file)
                         if fh is None:
                             fh = handles[row.file] = open(row.file, "rb")
@@ -439,9 +535,10 @@ def read_virtual(
                         carr = carr.reshape(csh).astype(
                             dt.newbyteorder("="), copy=False
                         )
-                    else:
+                    else:  # unwritten chunk: fill, native byte order
                         carr = np.full(
-                            csh, row.fill, dt.newbyteorder("=")
+                            csh, row.fill,
+                            np.dtype(row.dtype).newbyteorder("="),
                         )
                     t0, y0, x0 = int(row.t0), int(row.y0), int(row.x0)
                     nt = int(row.t1) - t0
