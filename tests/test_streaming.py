@@ -203,7 +203,7 @@ def test_stateful_running_stats_across_batches(spark, sf_dir, tmp_path):
         .parquet(src)
     )
     q = (
-        stream_running_stats(stream)
+        stream_running_stats(stream, timeout_ms=None)
         .writeStream.format("memory")
         .queryName("running_stats")
         .outputMode("update")
@@ -582,3 +582,105 @@ def test_stream_curate_watermark_drops_late_duplicate(spark, tmp_path):
     # (doc_id 3's planted-PII aug differs from doc 1's only when a mod-5/7
     # branch fires; 1 and 3 hit neither, so their scrubbed content ties.)
     assert kept == [1, 9], rows
+
+
+def test_stream_transitions_lag_crosses_batches(spark, sf_dir, tmp_path):
+    """Cross-batch lag: splitting each user's sequence across two
+    time-ordered micro-batches must still count the boundary
+    transition — summed deltas == the batch transition matrix."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.session import load_table
+    from wrf_to_geodataframe_spark.streaming.transitions import (
+        stream_transition_deltas,
+    )
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 12)
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    cut = events.agg(
+        F.expr("percentile(unix_micros(ts), 0.5D)")
+    ).collect()[0][0]
+    src = str(tmp_path / "trans_src")
+    import os
+    import time
+
+    os.makedirs(src)
+    early = events.filter(F.unix_micros("ts") <= cut)
+    late = events.filter(F.unix_micros("ts") > cut)
+    early.toPandas().to_parquet(
+        os.path.join(src, "b1.parquet"), coerce_timestamps="us"
+    )
+    time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+    late.toPandas().to_parquet(
+        os.path.join(src, "b2.parquet"), coerce_timestamps="us"
+    )
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_transition_deltas(stream, timeout_ms=None)
+        .writeStream.format("memory")
+        .queryName("transition_deltas")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        progress = [
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+    finally:
+        q.stop()
+    assert len(progress) >= 2, "sequences must span micro-batches"
+    got = {
+        (r.prev_type, r.event_type): r.total
+        for r in spark.table("transition_deltas")
+        .groupBy("prev_type", "event_type")
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    }
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    seq = events.withColumn(
+        "prev_type",
+        F.lag("event_type").over(
+            w.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    ).filter(F.col("prev_type").isNotNull())
+    want = {
+        (r.prev_type, r.event_type): r.total
+        for r in seq.groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("total"))
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_stateful_timeout_branch_evicts_silently():
+    """The hasTimedOut path must drop state and emit nothing (the
+    finite-replay tests run with NoTimeout, so pin the eviction branch
+    directly — it is what bounds state-store cardinality in unbounded
+    deployments)."""
+    from wrf_to_geodataframe_spark.streaming.stateful import _make_update
+    from wrf_to_geodataframe_spark.streaming.transitions import (
+        _make_update as _make_update_trans,
+    )
+
+    class _FakeState:
+        hasTimedOut = True
+        exists = False
+        removed = 0
+
+        def remove(self):
+            self.removed += 1
+
+    for make in (_make_update, _make_update_trans):
+        st = _FakeState()
+        out = list(make(1000)(("k",), iter(()), st))
+        assert out == [] and st.removed == 1

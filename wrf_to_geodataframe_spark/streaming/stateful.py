@@ -27,7 +27,7 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "n long, s long, mn double, mx double"
 
 
-def _make_update(timeout_ms: int):
+def _make_update(timeout_ms: int | None):
     def _update(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
@@ -54,7 +54,8 @@ def _make_update(timeout_ms: int):
             mn = bmn if mn is None else min(mn, bmn)
             mx = bmx if mx is None else max(mx, bmx)
         state.update((n, s, mn, mx))
-        state.setTimeoutDuration(timeout_ms)
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -69,12 +70,18 @@ def _make_update(timeout_ms: int):
 
 
 def stream_running_stats(
-    stream: DataFrame, timeout_ms: int = 3_600_000
+    stream: DataFrame, timeout_ms: int | None = 3_600_000
 ) -> DataFrame:
     """Per-user running stats over an unbounded event stream; emits the
     refreshed state row for every key touched in each micro-batch
     (update output mode).  Keys idle for ``timeout_ms`` of processing
-    time are evicted (state removed, nothing emitted)."""
+    time are evicted (state removed, nothing emitted).
+
+    ``timeout_ms=None`` disables eviction (NoTimeout) — required for
+    FINITE replays (``availableNow``): armed processing-time timers
+    keep an otherwise-drained query triggering empty micro-batches, so
+    it never terminates (measured: 200+ empty commits before the test
+    harness gave up)."""
     return (
         stream.select("user_id", "value")
         .groupBy("user_id")
@@ -83,6 +90,10 @@ def stream_running_stats(
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if timeout_ms is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
     )
