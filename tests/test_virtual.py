@@ -297,3 +297,121 @@ def test_grib2_virtual_time_window_prunes_messages(spark, tmp_path):
         assert r["value"] == (
             g * 1000 + r["y_idx"] * nx + r["x_idx"]
         ) / 8.0
+
+
+def test_update_manifest_appends_new_files_only(spark, tmp_path):
+    """Daily-cycle append: indexing the grown directory adds ONLY the
+    new file's chunks, at the end of the global time axis; a second
+    update with nothing new is a no-op."""
+    from wrf_to_geodataframe_spark.sources.virtual import (
+        update_virtual_manifest,
+    )
+
+    d, out = str(tmp_path / "src"), str(tmp_path / "man")
+    os.makedirs(d)
+    _write_archive(d, n_files=2)
+    build_virtual_manifest(spark, d, "T2", "XLAT", "XLONG", out)
+    before = spark.read.parquet(os.path.join(out, "chunks")).count()
+    # a new cycle arrives (existing files must stay byte-identical —
+    # the manifest indexes their offsets)
+    yy, xx = np.meshgrid(np.arange(NY), np.arange(NX), indexing="ij")
+    tt = np.arange(NT)
+    write_netcdf4(
+        os.path.join(d, "shard_2.nc"),
+        {"t": NT, "y": NY, "x": NX},
+        {
+            "T2": {"dims": ["t", "y", "x"],
+                   "data": _val(2, tt[:, None, None], yy, xx)},
+            "XLAT": {"dims": ["y", "x"], "data": 50.0 + yy * 0.25},
+            "XLONG": {"dims": ["y", "x"], "data": -3.0 + xx * 0.125},
+        },
+        compress=True,
+        chunk={"T2": (2, 4, 3)},
+    )
+    assert update_virtual_manifest(
+        spark, d, "T2", "XLAT", "XLONG", out
+    ) == 1
+    assert update_virtual_manifest(
+        spark, d, "T2", "XLAT", "XLONG", out
+    ) == 0
+    after = spark.read.parquet(os.path.join(out, "chunks"))
+    assert after.count() > before
+    got = _got(read_virtual(spark, out))
+    assert got == _expected(files=range(3))
+    # the appended file owns the tail of the time axis
+    tail = _got(read_virtual(spark, out, time_range=(2 * NT, 3 * NT - 1)))
+    assert tail == _expected(files=[2])
+
+
+def test_compact_manifest_coalesces_contiguous_records(spark, tmp_path):
+    """A classic single-record-variable archive stores one manifest
+    row per record; compaction must fuse each file's records into one
+    byte-contiguous run and decode identically."""
+    from wrf_to_geodataframe_spark.sources.virtual import compact_manifest
+
+    d = str(tmp_path / "src")
+    out, cout = str(tmp_path / "man"), str(tmp_path / "man_c")
+    os.makedirs(d)
+    yy, xx = np.meshgrid(np.arange(NY), np.arange(NX), indexing="ij")
+    for f in range(2):
+        tt = np.arange(NT)
+        write_netcdf(
+            os.path.join(d, f"s{f}.nc"),
+            {"t": 0, "y": NY, "x": NX},
+            {
+                "T2": {"dims": ["t", "y", "x"],
+                       "data": _val(f, tt[:, None, None], yy, xx)},
+                "XLAT": {"dims": ["y", "x"], "data": 50.0 + yy * 0.25},
+                "XLONG": {"dims": ["y", "x"], "data": -3.0 + xx * 0.125},
+            },
+        )
+    build_virtual_manifest(spark, d, "T2", "XLAT", "XLONG", out)
+    compact_manifest(spark, out, cout)
+    n0 = spark.read.parquet(os.path.join(out, "chunks")).count()
+    n1 = spark.read.parquet(os.path.join(cout, "chunks")).count()
+    assert n0 == 2 * NT and n1 == 2  # one fused run per file
+    got = _got(read_virtual(spark, cout))
+    assert got == _expected(files=range(2))
+    # pruned read through the fused rows still trims exactly
+    assert _got(read_virtual(spark, cout, time_range=(2, 5))) == _expected(
+        files=range(2), trange=(2, 5)
+    )
+
+
+def test_compact_manifest_leaves_compressed_chunks_alone(spark, archive):
+    from wrf_to_geodataframe_spark.sources.virtual import compact_manifest
+
+    _, out = archive
+    cout = out + "_compacted"
+    compact_manifest(spark, out, cout)
+    # deflate chunks and interleaved record vars are not mergeable;
+    # row count may only change via the classic single-var case, which
+    # this mixed archive does not contain
+    n0 = spark.read.parquet(os.path.join(out, "chunks")).count()
+    n1 = spark.read.parquet(os.path.join(cout, "chunks")).count()
+    assert n0 == n1
+    assert _got(read_virtual(spark, cout)) == _expected()
+
+
+def test_stale_manifest_fails_loudly_on_rewritten_file(spark, tmp_path):
+    """Byte offsets are only valid for the indexed bytes: rewriting an
+    indexed file (different size) must raise, not decode garbage."""
+    d, out = str(tmp_path / "src"), str(tmp_path / "man")
+    os.makedirs(d)
+    _write_archive(d, n_files=1, classic_every=0)
+    build_virtual_manifest(spark, d, "T2", "XLAT", "XLONG", out)
+    # rewrite shard_0 in a different format -> different size/layout
+    yy, xx = np.meshgrid(np.arange(NY), np.arange(NX), indexing="ij")
+    tt = np.arange(NT)
+    write_netcdf(
+        os.path.join(d, "shard_0.nc"),
+        {"t": 0, "y": NY, "x": NX},
+        {
+            "T2": {"dims": ["t", "y", "x"],
+                   "data": _val(0, tt[:, None, None], yy, xx)},
+            "XLAT": {"dims": ["y", "x"], "data": 50.0 + yy * 0.25},
+            "XLONG": {"dims": ["y", "x"], "data": -3.0 + xx * 0.125},
+        },
+    )
+    with pytest.raises(Exception, match="changed since the manifest"):
+        read_virtual(spark, out).collect()

@@ -56,14 +56,21 @@ import os
 
 import numpy as np
 
-__all__ = ["bbox_to_windows", "build_virtual_manifest", "read_virtual"]
+__all__ = [
+    "bbox_to_windows",
+    "build_virtual_manifest",
+    "compact_manifest",
+    "read_virtual",
+    "update_virtual_manifest",
+]
 
 _CHUNK_SCHEMA = (
     "file string, file_no long, nt long, lt0 long, lt1 long, "
     "y0 long, y1 long, x0 long, x1 long, "
     "addr long, nbytes long, fmask long, "
     "ct long, cy long, cx long, "
-    "dtype string, filters string, fill double, coord_hash string"
+    "dtype string, filters string, fill double, coord_hash string, "
+    "fsize long"
 )
 
 _COORD_SCHEMA = (
@@ -139,6 +146,7 @@ def _hdf5_rows(path, file_no, var, lat_var, lon_var):
         )
     grid = tuple(-(-s // c) for s, c in zip(shape, chunk))
     filters = json.dumps([[fid, list(cd)] for fid, cd in man["filters"]])
+    fsize = os.path.getsize(path)
     rows = []
     for idx in np.ndindex(*grid):
         addr, nbytes, mask = stored.get(idx, (-1, 0, 0))
@@ -147,7 +155,7 @@ def _hdf5_rows(path, file_no, var, lat_var, lon_var):
         rows.append((
             path, file_no, shape[0], o[0], e[0], o[1], e[1], o[2], e[2],
             addr, nbytes, mask, chunk[0], chunk[1], chunk[2],
-            man["dtype"], filters, float(man["fill"]), chash,
+            man["dtype"], filters, float(man["fill"]), chash, fsize,
         ))
     coords = (chash, lat.shape[0], lat.shape[1],
               lat.tobytes(), lon.tobytes())
@@ -203,17 +211,17 @@ def _classic_rows(path, file_no, var, lat_var, lon_var):
     step = (
         recsize if (is_rec and hdr["n_recvars"] > 1) else plane
     )
+    lat, lon = _coord_grids(_fixed_var(hdr, lat_var),
+                            _fixed_var(hdr, lon_var))
+    chash = _hash_grids(lat, lon)
+    fsize = os.path.getsize(path)
     rows = []
     for t in range(nt):
         rows.append((
             path, file_no, nt, t, t + 1, 0, ny, 0, nx,
             begin + t * step, plane, 0, 1, ny, nx,
-            dtype, "[]", 0.0, None,  # coord hash patched below
+            dtype, "[]", 0.0, chash, fsize,
         ))
-    lat, lon = _coord_grids(_fixed_var(hdr, lat_var),
-                            _fixed_var(hdr, lon_var))
-    chash = _hash_grids(lat, lon)
-    rows = [r[:-1] + (chash,) for r in rows]
     coords = (chash, lat.shape[0], lat.shape[1],
               lat.tobytes(), lon.tobytes())
     return rows, coords
@@ -287,7 +295,7 @@ def _grib2_rows(path: str, file_no: int, var: str | None):
             rows.append((
                 path, file_no, -1, lt, lt + 1, 0, nj, 0, ni,
                 off, mlen, 0, 1, nj, ni,
-                "grib2", "[]", 0.0, chash,
+                "grib2", "[]", 0.0, chash, os.path.getsize(path),
             ))
             lt += 1
     if not rows:
@@ -316,10 +324,6 @@ def build_virtual_manifest(
     a cumulative-sum window over the O(#files) per-file lengths — a
     single-partition window over a frame that is tiny by construction,
     then broadcast-joined back onto the chunk rows."""
-    import pandas as pd
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
     files = (
         sorted(glob.glob(os.path.join(src, pattern)))
         if isinstance(src, str)
@@ -327,6 +331,64 @@ def build_virtual_manifest(
     )
     if not files:
         raise ValueError(f"no input files under {src!r}")
+    _index_files(
+        spark, files, var, lat_var, lon_var, out_path,
+        base_t=0, write_mode="overwrite",
+    )
+    return out_path
+
+
+def update_virtual_manifest(
+    spark,
+    src: str | list[str],
+    var: str,
+    lat_var: str,
+    lon_var: str,
+    out_path: str,
+    pattern: str = "*.nc",
+) -> int:
+    """INCREMENTAL manifest maintenance — the daily-cycle append: index
+    only files not yet present in ``out_path`` and append their chunks
+    to the END of the global time axis (sorted-name order within the
+    new batch), leaving every existing row untouched.  Returns the
+    number of newly indexed files (0 = no-op, nothing written).
+
+    The already-indexed file set is one DISTINCT projection of the
+    chunk table (O(#files) rows — the same driver-side footprint as
+    the glob listing itself); the new batch's metadata walk runs on
+    executors exactly like the initial build.  New coordinate grids
+    append to the sidecar; readers dedupe by hash, so re-appending a
+    grid that is already present is harmless."""
+    from pyspark.sql import functions as F
+
+    files = (
+        sorted(glob.glob(os.path.join(src, pattern)))
+        if isinstance(src, str)
+        else list(src)
+    )
+    chunks_path = os.path.join(out_path, "chunks")
+    existing = spark.read.parquet(chunks_path)
+    seen = {
+        r["file"] for r in existing.select("file").distinct().collect()
+    }
+    new = [f for f in files if f not in seen]
+    if not new:
+        return 0
+    base = existing.agg(F.max("t1")).collect()[0][0]
+    _index_files(
+        spark, new, var, lat_var, lon_var, out_path,
+        base_t=int(base), write_mode="append",
+    )
+    return len(new)
+
+
+def _index_files(
+    spark, files, var, lat_var, lon_var, out_path, base_t, write_mode
+):
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     sc = spark.sparkContext
     fdf = spark.createDataFrame(
         list(enumerate(files)), "file_no long, path string"
@@ -347,6 +409,7 @@ def build_virtual_manifest(
                         "y0", "y1", "x0", "x1",
                         "addr", "nbytes", "fmask", "ct", "cy", "cx",
                         "dtype", "filters", "fill", "coord_hash",
+                        "fsize",
                     ],
                 )
 
@@ -368,7 +431,8 @@ def build_virtual_manifest(
         chunks.select("file_no", "nt")
         .distinct()
         .withColumn(
-            "t_off", F.coalesce(F.sum("nt").over(w), F.lit(0))
+            "t_off",
+            F.coalesce(F.sum("nt").over(w), F.lit(0)) + F.lit(base_t),
         )
         .select("file_no", "t_off")
     )
@@ -380,12 +444,103 @@ def build_virtual_manifest(
         .drop("lt0", "lt1", "nt", "t_off", "file_no")
         .repartitionByRange(n_out, "t0", "y0", "x0")
         .sortWithinPartitions("t0", "y0", "x0")
-        .write.mode("overwrite")
+        .write.mode(write_mode)
         .parquet(os.path.join(out_path, "chunks"))
     )
     (
         fdf.mapInPandas(_scan_coords, _COORD_SCHEMA)
         .dropDuplicates(["coord_hash"])
+        .coalesce(1)
+        .write.mode(write_mode)
+        .parquet(os.path.join(out_path, "coords"))
+    )
+
+
+def compact_manifest(spark, manifest_path: str, out_path: str) -> str:
+    """Manifest MAINTENANCE: coalesce runs of byte-CONTIGUOUS
+    full-plane chunks into single read units — gaps-and-islands
+    applied to byte ranges.  A classic-NetCDF record variable yields
+    one tiny manifest row per record; after compaction a run of K
+    adjacent records is ONE row with ``ct = K`` and the summed byte
+    range, so a read costs one seek instead of K (the small-files
+    problem, solved inside the index instead of rewriting data).
+
+    Only provably-safe rows merge: uncompressed (``filters == []`` —
+    compressed chunk boundaries cannot be recovered from a merged
+    range), raw-array (not GRIB2 messages), stored (``addr >= 0``),
+    sole chunk of their timestep within the file (full y/x plane, so
+    planes are contiguous in the global array), with touching time
+    intervals AND touching byte ranges.  Everything else passes
+    through untouched.  The merge itself is declarative — a window
+    lag -> run-id running sum -> groupBy, no driver loop — and writes
+    a NEW manifest at ``out_path`` (parquet reads are lazy; compacting
+    in place would race the scan of the input)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    man = spark.read.parquet(os.path.join(manifest_path, "chunks"))
+    n_t = Window.partitionBy("file", "t0")
+    man = man.withColumn("n_at_t", F.count(F.lit(1)).over(n_t))
+    mergeable = (
+        (F.col("n_at_t") == 1)
+        & (F.col("filters") == "[]")
+        & (F.col("dtype") != "grib2")
+        & (F.col("addr") >= 0)
+    )
+    plain = man.filter(~mergeable).drop("n_at_t")
+    cand = man.filter(mergeable).drop("n_at_t")
+
+    w = Window.partitionBy("file").orderBy("t0")
+    runs = (
+        cand.withColumn(
+            "brk",
+            F.when(
+                (F.col("t0") == F.lag("t1").over(w))
+                & (
+                    F.col("addr")
+                    == F.lag("addr").over(w) + F.lag("nbytes").over(w)
+                ),
+                F.lit(0),
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "run",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("file", "run")
+        .agg(
+            F.min("t0").alias("t0"),
+            F.max("t1").alias("t1"),
+            F.min("y0").alias("y0"),
+            F.max("y1").alias("y1"),
+            F.min("x0").alias("x0"),
+            F.max("x1").alias("x1"),
+            F.min("addr").alias("addr"),
+            F.sum("nbytes").alias("nbytes"),
+            F.min("fmask").alias("fmask"),
+            (F.max("t1") - F.min("t0")).alias("ct"),
+            F.first("cy").alias("cy"),
+            F.first("cx").alias("cx"),
+            F.first("dtype").alias("dtype"),
+            F.first("filters").alias("filters"),
+            F.first("fill").alias("fill"),
+            F.first("coord_hash").alias("coord_hash"),
+            F.first("fsize").alias("fsize"),
+        )
+        .drop("run")
+    )
+    n_out = max(1, spark.sparkContext.defaultParallelism)
+    (
+        runs.unionByName(plain)
+        .repartitionByRange(n_out, "t0", "y0", "x0")
+        .sortWithinPartitions("t0", "y0", "x0")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_path, "chunks"))
+    )
+    (
+        spark.read.parquet(os.path.join(manifest_path, "coords"))
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(os.path.join(out_path, "coords"))
@@ -499,15 +654,30 @@ def read_virtual(
         trange, yrange, xrange_ = bounds
         handles: dict[str, object] = {}
         fcache: dict[str, list] = {}
+
+        def _open(file, fsize):
+            """Stale-manifest guard: byte offsets are only valid for
+            the exact file that was indexed — a rewritten file must
+            fail LOUDLY, not decode garbage."""
+            fh = handles.get(file)
+            if fh is None:
+                actual = os.path.getsize(file)
+                if actual != int(fsize):
+                    raise ValueError(
+                        f"{file}: size {actual} != {int(fsize)} at "
+                        "index time — file changed since the manifest "
+                        "was built; re-run build/update_virtual_manifest"
+                    )
+                fh = handles[file] = open(file, "rb")
+            return fh
+
         try:
             for pdf in it:
                 for row in pdf.itertuples(index=False):
                     csh = (int(row.ct), int(row.cy), int(row.cx))
                     nchunk = csh[0] * csh[1] * csh[2]
                     if row.dtype == "grib2":
-                        fh = handles.get(row.file)
-                        if fh is None:
-                            fh = handles[row.file] = open(row.file, "rb")
+                        fh = _open(row.file, row.fsize)
                         fh.seek(int(row.addr))
                         msg = read_grib2_bytes(
                             fh.read(int(row.nbytes)), name=row.file
@@ -515,9 +685,7 @@ def read_virtual(
                         carr = msg["values"][None, ...].astype("float64")
                     elif row.addr >= 0:
                         dt = np.dtype(row.dtype)
-                        fh = handles.get(row.file)
-                        if fh is None:
-                            fh = handles[row.file] = open(row.file, "rb")
+                        fh = _open(row.file, row.fsize)
                         fh.seek(int(row.addr))
                         raw = fh.read(int(row.nbytes))
                         filt = fcache.get(row.filters)
