@@ -1010,3 +1010,95 @@ def test_zarr3_sharded_store_2m_cells_round_trip(spark, tmp_path):
         f"{t_read:.1f}s ({n_cells} cells, {n_shards} objects)"
     )
     assert t_write < 180 and t_read < 120
+
+
+@slow
+def test_virtual_manifest_300_files_pruned_read(spark, tmp_path):
+    """Archive-scale virtual dataset: 300 NetCDF-4 files (chunked +
+    shuffle+deflate, 4x32x32 each -> 1.2M cells) indexed ONCE into the
+    chunk table, then (a) a 10-timestep window answered from pruned
+    byte ranges and (b) an incremental one-file append.  Asserts the
+    window's manifest scan materializes only the window's chunks (the
+    chunk-pruning claim at file counts where it matters) and that the
+    pruned read is value-exact."""
+    import time
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.sources.hdf5_write import write_netcdf4
+    from wrf_to_geodataframe_spark.sources.virtual import (
+        build_virtual_manifest,
+        read_virtual,
+        update_virtual_manifest,
+    )
+
+    n_files, nt, ny, nx = 300, 4, 32, 32
+    d = str(tmp_path / "src")
+    out = str(tmp_path / "man")
+    os.makedirs(d)
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    tt = np.arange(nt)
+    for f in range(n_files):
+        write_netcdf4(
+            os.path.join(d, f"shard_{f:04d}.nc"),
+            {"t": nt, "y": ny, "x": nx},
+            {
+                "T2": {"dims": ["t", "y", "x"],
+                       "data": (f * 100000.0 + tt[:, None, None] * 1000
+                                + yy * nx + xx)},
+                "XLAT": {"dims": ["y", "x"], "data": 50.0 + yy * 0.25},
+                "XLONG": {"dims": ["y", "x"], "data": -3.0 + xx * 0.125},
+            },
+            compress=True,
+            chunk={"T2": (2, 16, 16)},
+        )
+    t0 = time.monotonic()
+    build_virtual_manifest(spark, d, "T2", "XLAT", "XLONG", out)
+    t_build = time.monotonic() - t0
+    man = spark.read.parquet(os.path.join(out, "chunks"))
+    # 2x2x2 chunk grid per file
+    assert man.count() == n_files * 8
+    assert man.select("coord_hash").distinct().count() == 1
+
+    # (a) 10-timestep window: global t in [600, 609] -> files 150-152
+    lo, hi = 600, 609
+    pruned = man.filter((F.col("t1") > lo) & (F.col("t0") <= hi))
+    touched = pruned.count()
+    assert touched <= 3 * 8  # at most 3 files' chunks survive pruning
+    t0 = time.monotonic()
+    rows = read_virtual(spark, out, time_range=(lo, hi)).collect()
+    t_read = time.monotonic() - t0
+    assert len(rows) == 10 * ny * nx
+    for r in rows[:: max(1, len(rows) // 97)]:
+        f, lt = divmod(r["t_idx"], nt)
+        assert r["value"] == (
+            f * 100000.0 + lt * 1000 + r["y_idx"] * nx + r["x_idx"]
+        )
+
+    # (b) incremental append: one new cycle, existing rows untouched
+    write_netcdf4(
+        os.path.join(d, "shard_9999.nc"),
+        {"t": nt, "y": ny, "x": nx},
+        {
+            "T2": {"dims": ["t", "y", "x"],
+                   "data": np.full((nt, ny, nx), 7.0)},
+            "XLAT": {"dims": ["y", "x"], "data": 50.0 + yy * 0.25},
+            "XLONG": {"dims": ["y", "x"], "data": -3.0 + xx * 0.125},
+        },
+        compress=True,
+        chunk={"T2": (2, 16, 16)},
+    )
+    assert update_virtual_manifest(
+        spark, d, "T2", "XLAT", "XLONG", out
+    ) == 1
+    tail = read_virtual(
+        spark, out, time_range=(n_files * nt, (n_files + 1) * nt - 1)
+    )
+    assert tail.count() == nt * ny * nx
+    assert tail.agg(F.max("value")).collect()[0][0] == 7.0
+    print(
+        f"\nvirtual 300-file archive: build {t_build:.1f}s, "
+        f"pruned 10-step read {t_read:.1f}s, "
+        f"window touched {touched}/{n_files * 8} chunks"
+    )
