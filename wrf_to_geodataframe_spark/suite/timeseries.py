@@ -184,14 +184,139 @@ GROUP BY 1, 2
 """
 
 
+def ts_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAST-SQUARES TREND per event type — the climate-trend query
+    (slope of value against day index) with EVERY cross-row sum kept
+    in exact BIGINT: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx) and
+    intercept = (Sy*Sxx - Sx*Sxy) / same, where x is the integer day
+    offset and y the quantized value — the two double divisions happen
+    once per OUTPUT row, so Spark and DuckDB agree bitwise.  (Built-in
+    ``regr_slope`` sums doubles in engine-specific order; this closed
+    form is the quantization discipline applied to regression.)
+
+    One scan, one map-side-combinable shuffle on |types| keys."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.col("value") * _Q).cast("bigint").alias("y"),
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        "event_type",
+        "n",
+        ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / den / _Q).alias("slope_per_day"),
+        ((F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+         / den / _Q).alias("intercept"),
+    )
+
+
+_TS_TREND_SQL = f"""
+WITH q AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         CAST(FLOOR(value * {_Q}) AS BIGINT) AS y
+  FROM events
+), a AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(x AS BIGINT)) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS BIGINT) * y) AS sxy,
+         SUM(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS sxx
+  FROM q GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) / {_Q} AS slope_per_day,
+       CAST(sy * sxx - sx * sxy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) / {_Q} AS intercept
+FROM a
+"""
+
+
+# Morton spread of a 16-bit integer via multiply-and-mask (the shifts
+# written as *2^k so the SAME formula text runs on Spark and DuckDB)
+def _morton_spread(col: str) -> str:
+    v = f"CAST({col} AS BIGINT)"
+    v = f"(({v} | ({v} * 65536)) & 281470681808895)"   # 0x0000FFFF0000FFFF
+    v = f"(({v} | ({v} * 256)) & 71777214294589695)"   # 0x00FF00FF00FF00FF
+    v = f"(({v} | ({v} * 16)) & 1085102592571150095)"  # 0x0F0F0F0F0F0F0F0F
+    v = f"(({v} | ({v} * 4)) & 3689348814741910323)"   # 0x3333333333333333
+    v = f"(({v} | ({v} * 2)) & 6148914691236517205)"   # 0x5555555555555555
+    return v
+
+
+def ts_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton) LAYOUT KEY — the space-filling-curve clustering
+    key used to sort a 100-TB spatial table so that bbox queries touch
+    few row groups (the `OPTIMIZE ZORDER BY` idea as a pure-SQL
+    expression): 16-bit y/x cell indices interleave via five
+    multiply-and-mask rounds (no UDF, whole-stage-codegen friendly; the
+    identical formula text is the oracle, so the bit arithmetic itself
+    is under the gate).  Returns per-z-bucket occupancy — adjacent
+    buckets are spatially adjacent quads, which is the locality
+    property the sort exploits.
+
+    Scale shape: the key is a projection (zero shuffle); the bucket
+    histogram is one map-side-combinable aggregation."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("pmod(event_id, 64)").cast("bigint").alias("yc"),
+        F.expr("pmod(user_id * 7 + event_id, 64)")
+        .cast("bigint")
+        .alias("xc"),
+        F.floor(F.col("value") * _Q).cast("bigint").alias("vq"),
+    )
+    z = f"({_morton_spread('yc')} * 2) | {_morton_spread('xc')}"
+    return (
+        # FLOOR, not CAST: DuckDB CAST(double->BIGINT) rounds to
+        # nearest while Spark truncates — floor agrees on both
+        ev.withColumn(
+            "zbucket", F.expr(f"CAST(FLOOR(({z}) / 256) AS BIGINT)")
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("vq").alias("sum_vq"),
+        )
+    )
+
+
+_ZS_Y = _morton_spread("yc")
+_ZS_X = _morton_spread("xc")
+_TS_ZORDER_SQL = f"""
+WITH q AS (
+  SELECT CAST(event_id % 64 AS BIGINT) AS yc,
+         CAST((user_id * 7 + event_id) % 64 AS BIGINT) AS xc,
+         CAST(FLOOR(value * {_Q}) AS BIGINT) AS vq
+  FROM events
+)
+SELECT CAST(FLOOR((({_ZS_Y} * 2) | {_ZS_X}) / 256) AS BIGINT) AS zbucket,
+       COUNT(*) AS n_cells,
+       CAST(SUM(vq) AS BIGINT) AS sum_vq
+FROM q GROUP BY 1
+"""
+
+
 QUERIES = {
     "ts_climatology_anomaly": ts_climatology_anomaly,
     "ts_streak_runs": ts_streak_runs,
     "ts_transition_matrix": ts_transition_matrix,
+    "ts_trend_per_type": ts_trend_per_type,
+    "ts_zorder_layout": ts_zorder_layout,
 }
 
 ORACLE = {
     "ts_climatology_anomaly": _TS_CLIM_SQL,
     "ts_streak_runs": _TS_STREAK_SQL,
     "ts_transition_matrix": _TS_TRANS_SQL,
+    "ts_trend_per_type": _TS_TREND_SQL,
+    "ts_zorder_layout": _TS_ZORDER_SQL,
 }
