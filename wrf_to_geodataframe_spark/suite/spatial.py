@@ -925,8 +925,179 @@ FROM pts
 """
 
 
+def focal_mean_3x3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-ALGEBRA FOCAL MEAN (the raster-smoothing neighborhood op a
+    met user applies after the regrid — xarray's ``rolling(...,
+    center=True).mean()`` over both grid axes): each cell's mean over
+    the EXISTING cells of its 3x3 neighborhood, computed by exploding
+    every cell's quantized value to the nine positions it contributes
+    to and re-aggregating on the target cell key.
+
+    Scale shape: scatter-gather as two map-side-combinable shuffles on
+    the cell key plus one equi self-join to restrict targets to real
+    cells — NO range join, NO cartesian, no window over a 2-D frame
+    (Spark windows order by ONE axis; the explode is the idiomatic
+    neighborhood join at any grid size).  Sums stay exact BIGINT; the
+    one double division is per output row."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.pmod("user_id", F.lit(GRID_W)).cast("bigint").alias("x_idx"),
+        F.expr(f"CAST(floor(user_id / {GRID_W}.0) AS BIGINT)").alias(
+            "y_idx"
+        ),
+        F.floor(F.col("value") * Q).cast("bigint").alias("vq"),
+    )
+    cells = ev.groupBy("x_idx", "y_idx").agg(F.sum("vq").alias("vq"))
+    contrib = (
+        cells.withColumn("dx", F.expr("explode(array(-1, 0, 1))"))
+        .withColumn("dy", F.expr("explode(array(-1, 0, 1))"))
+        .select(
+            (F.col("x_idx") + F.col("dx")).alias("x_idx"),
+            (F.col("y_idx") + F.col("dy")).alias("y_idx"),
+            "vq",
+        )
+        .groupBy("x_idx", "y_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum("vq").alias("focal_sum_q"),
+        )
+    )
+    return cells.join(contrib, ["x_idx", "y_idx"]).select(
+        "x_idx",
+        "y_idx",
+        "n_neighbors",
+        "focal_sum_q",
+        (F.col("focal_sum_q") / F.col("n_neighbors") / Q).alias(
+            "focal_mean"
+        ),
+    )
+
+
+_FOCAL_SQL = f"""
+WITH cells AS (
+  SELECT user_id % {GRID_W} AS x_idx,
+         CAST(floor(user_id / {GRID_W}.0) AS BIGINT) AS y_idx,
+         SUM(CAST(FLOOR(value * {Q}) AS BIGINT)) AS vq
+  FROM events GROUP BY 1, 2
+), contrib AS (
+  SELECT c.x_idx + dx.d AS x_idx, c.y_idx + dy.d AS y_idx,
+         COUNT(*) AS n_neighbors, CAST(SUM(c.vq) AS BIGINT) AS focal_sum_q
+  FROM cells c,
+       generate_series(-1, 1) AS dx(d),
+       generate_series(-1, 1) AS dy(d)
+  GROUP BY 1, 2
+)
+SELECT c.x_idx, c.y_idx, f.n_neighbors, f.focal_sum_q,
+       CAST(f.focal_sum_q AS DOUBLE) / f.n_neighbors / {Q} AS focal_mean
+FROM cells c JOIN contrib f USING (x_idx, y_idx)
+"""
+
+
+_DP_EPS = 0.99  # chord-distance window proven in the docstring
+
+
+def g12_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOUGLAS-PEUCKER SIMPLIFICATION under the oracle: one polyline
+    per entity — [(0,0), (2,0), (5,h), (8,0), (10,0)] with spike
+    height ``h = (user_id % 6) * 0.25`` — simplified at eps=0.99 by
+    the distributed zero-shuffle kernel (geometry/simplify.py), then
+    summarized as (n_vertices, sum of kept coordinates).
+
+    The construction is chosen so the DP outcome is CLOSED FORM: the
+    spike survives iff h > eps (h in {1.0, 1.25} here), and the
+    shoulder points (2,0)/(8,0) NEVER survive — their distance to the
+    split chord (0,0)-(5,h) is 2h/sqrt(25+h^2) <= 0.970 < eps for
+    every h <= 1.25.  The DuckDB oracle states that closed form, so
+    the kernel's retention logic (not a mirrored reimplementation) is
+    what's verified."""
+    from wrf_to_geodataframe_spark.geometry.simplify import simplify_lines
+
+    ev = load_table(spark, sf_dir, "events")
+    lines = (
+        ev.select("user_id").distinct()
+        .withColumn(
+            "h", (F.pmod("user_id", F.lit(6)) * F.lit(0.25)).cast("double")
+        )
+        .select(
+            "user_id",
+            F.expr("array(0.0D, 2.0D, 5.0D, 8.0D, 10.0D)").alias("xs"),
+            F.expr("array(0.0D, 0.0D, h, 0.0D, 0.0D)").alias("ys"),
+        )
+    )
+    simp = simplify_lines(lines, _DP_EPS)
+    return simp.select(
+        "user_id",
+        F.size("xs").cast("bigint").alias("n_vertices"),
+        F.expr(
+            "aggregate(xs, 0.0D, (acc, v) -> acc + v)"
+        ).alias("sum_x"),
+        F.expr(
+            "aggregate(ys, 0.0D, (acc, v) -> acc + v)"
+        ).alias("sum_y"),
+    )
+
+
+_G12_SQL = f"""
+SELECT DISTINCT user_id,
+       CAST(CASE WHEN (user_id % 6) * 0.25 > {_DP_EPS}
+            THEN 3 ELSE 2 END AS BIGINT) AS n_vertices,
+       CASE WHEN (user_id % 6) * 0.25 > {_DP_EPS}
+            THEN 15.0 ELSE 10.0 END AS sum_x,
+       CASE WHEN (user_id % 6) * 0.25 > {_DP_EPS}
+            THEN (user_id % 6) * 0.25 ELSE 0.0 END AS sum_y
+FROM events
+"""
+
+
+def g13_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVEX HULL (Andrew monotone chain, strict turns) under the
+    oracle: one point set per entity — the corners of a
+    ``w x h = (1 + user_id%5) x (1 + user_id%3)`` rectangle plus edge
+    midpoints and the center — summarized by the distributed
+    zero-shuffle kernel as (n_hull, area, perimeter).  Closed form:
+    collinear edge midpoints and the interior center must NOT be hull
+    vertices, so n_hull = 4, area = w*h, perimeter = 2(w+h); the
+    DuckDB oracle states exactly that, gating the chain's turn logic
+    and the shoelace summary."""
+    from wrf_to_geodataframe_spark.geometry.simplify import hull_summary
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = (
+        ev.select("user_id").distinct()
+        .withColumn(
+            "w", (F.pmod("user_id", F.lit(5)) + 1).cast("double")
+        )
+        .withColumn(
+            "h", (F.pmod("user_id", F.lit(3)) + 1).cast("double")
+        )
+        .select(
+            "user_id",
+            F.expr(
+                "array(0.0D, w, w, 0.0D, w/2, w/2, 0.0D, w, w/2)"
+            ).alias("xs"),
+            F.expr(
+                "array(0.0D, 0.0D, h, h, 0.0D, h, h/2, h/2, h/2)"
+            ).alias("ys"),
+        )
+    )
+    return hull_summary(pts).select(
+        "user_id", "n_hull", "hull_area", "hull_perimeter"
+    )
+
+
+_G13_SQL = """
+SELECT DISTINCT user_id,
+       CAST(4 AS BIGINT) AS n_hull,
+       (1 + user_id % 5) * (1 + user_id % 3) * 1.0 AS hull_area,
+       2.0 * ((1 + user_id % 5) + (1 + user_id % 3)) AS hull_perimeter
+FROM events
+"""
+
+
 QUERIES = {
     "p4_bbox_filter": p4_bbox_filter,
+    "focal_mean_3x3": focal_mean_3x3,
+    "g12_simplify_dp": g12_simplify_dp,
+    "g13_convex_hull": g13_convex_hull,
     "p5_intersects_boundary": p5_intersects_boundary,
     "j4_concave_overlay": j4_concave_overlay,
     "p5_concave_boundary": p5_concave_boundary,
@@ -942,6 +1113,9 @@ QUERIES = {
 
 ORACLE = {
     "p4_bbox_filter": _P4_SQL,
+    "focal_mean_3x3": _FOCAL_SQL,
+    "g12_simplify_dp": _G12_SQL,
+    "g13_convex_hull": _G13_SQL,
     "p5_intersects_boundary": _P5_SQL,
     "j4_concave_overlay": _J4_CONCAVE_SQL,
     "p5_concave_boundary": _P5_CONCAVE_SQL,
