@@ -1045,8 +1045,79 @@ SELECT user_id, 'v_max', v_max FROM wide
 """
 
 
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNTING per vertex — the graph-analytics companion to
+    the connected-components operator (operators/graph.py): an edge
+    list derived from lineitem's order/part incidence is closed into
+    oriented wedges and matched against the third edge with two
+    shuffled EQUI joins (the standard distributed algorithm: orient
+    every edge small->large so each triangle is found exactly once,
+    as (u < v < w)), then each triangle credits its three corners.
+
+    Scale notes: edge orientation bounds the join fan-out by the
+    SMALLER endpoint's degree (the classic heavy-hitter mitigation —
+    a star's hub never appears as a join source), and both joins are
+    plain equi joins AQE can re-plan; no cartesian anywhere.  The
+    oracle states the same closure declaratively."""
+    li = load_table(spark, sf_dir, "lineitem")
+    u = F.pmod("l_orderkey", F.lit(120)).cast("bigint")
+    v = F.pmod("l_partkey", F.lit(120)).cast("bigint")
+    edges = (
+        li.select(
+            F.least(u, v).alias("u"), F.greatest(u, v).alias("v")
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u"))
+            & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    return (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("vertex")
+        )
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+_TRIANGLES_SQL = """
+WITH edges AS (
+  SELECT DISTINCT LEAST(l_orderkey % 120, l_partkey % 120) AS u,
+                  GREATEST(l_orderkey % 120, l_partkey % 120) AS v
+  FROM lineitem
+  WHERE l_orderkey % 120 <> l_partkey % 120
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v
+), corners AS (
+  SELECT a AS vertex FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT vertex, COUNT(*) AS n_triangles
+FROM corners GROUP BY 1
+"""
+
+
 QUERIES = {
     "p1_drop_columns": p1_drop_columns,
+    "graph_triangles": graph_triangles,
     "p2_select_columns": p2_select_columns,
     "p3_time_slice": p3_time_slice,
     "p6_value_mask": p6_value_mask,
@@ -1083,6 +1154,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "graph_triangles": _TRIANGLES_SQL,
     "p1_drop_columns": _P1_SQL,
     "p2_select_columns": _P2_SQL,
     "p3_time_slice": _P3_SQL,
