@@ -114,16 +114,20 @@ def test_query_construction_is_lazy(spark):
     (like AQE stats): g1_auto_dispatch's adaptive path choice,
     dedup_cluster_cc's auto-escalating convergence check (which
     executes — and thereby pre-materializes — the persisted component
-    map the collect reuses), and the BPE trainer's bounded per-round
+    map the collect reuses), the BPE trainer's bounded per-round
     1-row argmax collects (the k-means-codebook pattern: iterative
-    algorithms keep O(1) control state on the driver)."""
+    algorithms keep O(1) control state on the driver), and
+    s1_virtual_dataset (building the virtual-dataset INDEX is itself
+    distributed work — the manifest parquet is a materialized
+    artifact, then the read is lazy)."""
     from wrf_to_geodataframe_spark.suite import all_queries
 
     store = spark.sparkContext._jsc.sc().statusStore()
     before = store.jobsList(None).size()
     for name, fn in all_queries().items():
         if name in ("g1_auto_dispatch", "dedup_cluster_cc",
-                    "bpe_train", "bpe_encode", "pipeline_curate_v3"):
+                    "bpe_train", "bpe_encode", "pipeline_curate_v3",
+                    "s1_virtual_dataset"):
             continue
         fn(spark, SF)
     after = store.jobsList(None).size()

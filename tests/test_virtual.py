@@ -415,3 +415,119 @@ def test_stale_manifest_fails_loudly_on_rewritten_file(spark, tmp_path):
     )
     with pytest.raises(Exception, match="changed since the manifest"):
         read_virtual(spark, out).collect()
+
+
+def _write_mosaic(d, tiles=(2, 2), h=32, w=32, px=0.125):
+    """tiles[0] x tiles[1] north-up COG scenes on a shared pixel grid;
+    scene (r, c) covers global pixels [r*h, (r+1)*h) x [c*w, (c+1)*w);
+    value = global y*1000 + x on a 2^-3 lattice."""
+    from wrf_to_geodataframe_spark.sources.geotiff import write_geotiff
+
+    for r in range(tiles[0]):
+        for c in range(tiles[1]):
+            gy, gx = np.meshgrid(
+                np.arange(h) + r * h, np.arange(w) + c * w,
+                indexing="ij",
+            )
+            vals = ((gy * 1000.0 + gx) / 8.0).astype("float64")
+            write_geotiff(
+                os.path.join(d, f"scene_{r}_{c}.tif"),
+                vals,
+                transform=(px, 0, 10.0 + c * w * px,
+                           0, -0.25, 60.0 - r * h * 0.25),
+                epsg=4326,
+                tiled=True,
+                tile=(16, 16),
+                compression=8,
+                predictor=3,
+            )
+    return h, w
+
+
+def test_mosaic_full_read_places_scenes_globally(spark, tmp_path):
+    from wrf_to_geodataframe_spark.sources.virtual import (
+        build_virtual_mosaic,
+    )
+
+    d, out = str(tmp_path / "src"), str(tmp_path / "man")
+    os.makedirs(d)
+    h, w = _write_mosaic(d)
+    build_virtual_mosaic(spark, d, out)
+    df = read_virtual(spark, out)
+    rows = df.collect()
+    assert len(rows) == (2 * h) * (2 * w)
+    for r in rows[:: max(1, len(rows) // 211)]:
+        assert r["value"] == (r["y_idx"] * 1000.0 + r["x_idx"]) / 8.0
+        assert r["lon"] == 10.0 + r["x_idx"] * 0.125
+        assert r["lat"] == 60.0 - r["y_idx"] * 0.25
+
+
+def test_mosaic_window_prunes_across_scene_boundary(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.sources.virtual import (
+        build_virtual_mosaic,
+    )
+
+    d, out = str(tmp_path / "src"), str(tmp_path / "man")
+    os.makedirs(d)
+    h, w = _write_mosaic(d)
+    build_virtual_mosaic(spark, d, out)
+    man = spark.read.parquet(os.path.join(out, "chunks"))
+    total = man.count()
+    # a window straddling the scene seam at y=32, x=32
+    df = read_virtual(spark, out, y_range=(24, 39), x_range=(28, 35))
+    rows = df.collect()
+    assert len(rows) == 16 * 8
+    assert {r["y_idx"] for r in rows} == set(range(24, 40))
+    assert {r["x_idx"] for r in rows} == set(range(28, 36))
+    for r in rows:
+        assert r["value"] == (r["y_idx"] * 1000.0 + r["x_idx"]) / 8.0
+    touched = man.filter(
+        (F.col("y1") > 24) & (F.col("y0") <= 39)
+        & (F.col("x1") > 28) & (F.col("x0") <= 35)
+    ).count()
+    assert touched < total  # chunk pruning bites across all 4 scenes
+
+
+def test_mosaic_bbox_to_windows_affine(spark, tmp_path):
+    from wrf_to_geodataframe_spark.sources.virtual import (
+        bbox_to_windows,
+        build_virtual_mosaic,
+    )
+
+    d, out = str(tmp_path / "src"), str(tmp_path / "man")
+    os.makedirs(d)
+    _write_mosaic(d)
+    build_virtual_mosaic(spark, d, out)
+    # lon = 10 + 0.125x, lat = 60 - 0.25y
+    yr, xr = bbox_to_windows(
+        spark, out, lat_range=(51.0, 55.0), lon_range=(11.0, 12.0)
+    )
+    assert xr == (8, 16)
+    assert yr == (20, 36)
+    got = read_virtual(spark, out, y_range=yr, x_range=xr).count()
+    assert got == (36 - 20 + 1) * (16 - 8 + 1)
+
+
+def test_mosaic_nodata_becomes_null(spark, tmp_path):
+    from wrf_to_geodataframe_spark.sources.geotiff import write_geotiff
+    from wrf_to_geodataframe_spark.sources.virtual import (
+        build_virtual_mosaic,
+    )
+
+    d, out = str(tmp_path / "src"), str(tmp_path / "man")
+    os.makedirs(d)
+    vals = np.arange(16 * 16, dtype="float64").reshape(16, 16)
+    vals[3, 5] = -9999.0
+    write_geotiff(
+        os.path.join(d, "s.tif"), vals,
+        transform=(0.125, 0, 10.0, 0, -0.25, 60.0), epsg=4326,
+        tiled=True, tile=(16, 16), nodata=-9999.0,
+    )
+    build_virtual_mosaic(spark, d, out)
+    df = read_virtual(spark, out)
+    from pyspark.sql import functions as F
+
+    nulls = df.filter(F.col("value").isNull()).collect()
+    assert [(r["y_idx"], r["x_idx"]) for r in nulls] == [(3, 5)]

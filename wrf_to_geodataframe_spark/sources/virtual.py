@@ -74,7 +74,8 @@ _CHUNK_SCHEMA = (
 )
 
 _COORD_SCHEMA = (
-    "coord_hash string, ny long, nx long, lat binary, lon binary"
+    "coord_hash string, ny long, nx long, lat binary, lon binary, "
+    "affine array<double>"
 )
 
 
@@ -419,9 +420,11 @@ def _index_files(
                 _, cs = _file_chunk_rows(
                     row.path, int(row.file_no), var, lat_var, lon_var
                 )
-                yield pd.DataFrame(
+                frame = pd.DataFrame(
                     cs, columns=["coord_hash", "ny", "nx", "lat", "lon"]
                 )
+                frame["affine"] = None
+                yield frame
 
     chunks = fdf.mapInPandas(_scan_meta, _CHUNK_SCHEMA)
     w = Window.orderBy("file_no").rowsBetween(
@@ -454,6 +457,179 @@ def _index_files(
         .write.mode(write_mode)
         .parquet(os.path.join(out_path, "coords"))
     )
+
+
+def build_virtual_mosaic(
+    spark,
+    src: str | list[str],
+    out_path: str,
+    pattern: str = "*.tif",
+    band: int = 0,
+) -> str:
+    """Virtual dataset over a GeoTIFF/COG MOSAIC — files that tile
+    SPACE instead of time (the satellite/DEM distribution shape: one
+    north-up COG per scene on a shared pixel grid).  Each tile/strip
+    becomes one chunk whose y0/x0 are GLOBAL pixel coordinates (file
+    placement derived from the affine transforms), so the same
+    ``read_virtual`` window/bbox pruning that slices a time archive
+    slices a continental raster; the time axis is a single step.
+
+    Georeferencing is one AFFINE sidecar row (not per-pixel grids —
+    a mosaic's lat/lon are closed-form), and the reader synthesizes
+    coordinates arithmetically.  The mosaic origin is a 1-row
+    bounded aggregate over per-file origins (the A1 bbox pattern);
+    rotated transforms or mixed pixel sizes fail loudly.  Metadata
+    parsing (IFD walk, KBs per COG of any size) runs ON EXECUTORS."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.sources.geotiff import (
+        GeoTiffError,
+        geotiff_info,
+    )
+
+    files = (
+        sorted(glob.glob(os.path.join(src, pattern)))
+        if isinstance(src, str)
+        else list(src)
+    )
+    if not files:
+        raise ValueError(f"no input files under {src!r}")
+    sc = spark.sparkContext
+    fdf = spark.createDataFrame(
+        [(p,) for p in files], "path string"
+    ).repartition(max(1, min(len(files), sc.defaultParallelism * 2)))
+
+    def _scan_blocks(it):
+        import mmap
+
+        for pdf in it:
+            for prow in pdf.itertuples(index=False):
+                path = prow.path
+                with open(path, "rb") as fh:
+                    mm = mmap.mmap(
+                        fh.fileno(), 0, access=mmap.ACCESS_READ
+                    )
+                    try:
+                        info = geotiff_info(mm)
+                    finally:
+                        mm.close()
+                a, b_, c, d_, e, f = info["transform"]
+                if b_ != 0.0 or d_ != 0.0:
+                    raise GeoTiffError(
+                        f"{path}: rotated transform in mosaic"
+                    )
+                dec = json.dumps({"geotiff": {
+                    "block_w": info["block_w"],
+                    "block_h": info["block_h"],
+                    "bands": info["bands"],
+                    "dtype": info["dtype"],
+                    "compression": info["compression"],
+                    "predictor": info["predictor"],
+                    "nodata": info["nodata"],
+                    "band": band,
+                }})
+                fsize = os.path.getsize(path)
+                h, w = info["height"], info["width"]
+                bh, bw = info["block_h"], info["block_w"]
+                rows = []
+                for bi, (off, cnt) in enumerate(
+                    zip(info["offsets"], info["counts"])
+                ):
+                    by, bx = divmod(bi, info["nbx"])
+                    y0, x0 = by * bh, bx * bw
+                    stored_rows = bh if info["tiled"] else min(
+                        bh, h - y0
+                    )
+                    rows.append((
+                        path, y0, min(y0 + bh, h), x0, min(x0 + bw, w),
+                        off, cnt, stored_rows, bw,
+                        dec, a, e, c, f, fsize,
+                    ))
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "file", "ly0", "ly1", "lx0", "lx1",
+                        "addr", "nbytes", "cy", "cx",
+                        "filters", "px_w", "px_h", "wx", "wy",
+                        "fsize",
+                    ],
+                )
+
+    blocks = fdf.mapInPandas(
+        _scan_blocks,
+        "file string, ly0 long, ly1 long, lx0 long, lx1 long, "
+        "addr long, nbytes long, cy long, cx long, "
+        "filters string, px_w double, px_h double, "
+        "wx double, wy double, fsize long",
+    )
+    # mosaic origin + pixel-size consistency: 1-row bounded aggregate
+    org = blocks.agg(
+        F.min("wx").alias("ox"),
+        F.max("wy").alias("oy"),
+        F.count_distinct("px_w", "px_h").alias("n_px"),
+        F.first("px_w").alias("pw"),
+        F.first("px_h").alias("ph"),
+    ).collect()[0]
+    if org["n_px"] != 1:
+        raise ValueError("mosaic files disagree on pixel size")
+    ox, oy, pw, ph = org["ox"], org["oy"], org["pw"], org["ph"]
+    chash = "affine:" + hashlib.sha1(
+        repr((pw, ph, ox, oy)).encode()
+    ).hexdigest()
+
+    n_out = max(1, min(len(files), sc.defaultParallelism))
+    (
+        blocks.withColumn(
+            "gx", F.round((F.col("wx") - F.lit(ox)) / F.lit(pw))
+            .cast("bigint")
+        )
+        .withColumn(
+            "gy", F.round((F.col("wy") - F.lit(oy)) / F.lit(ph))
+            .cast("bigint")
+        )
+        .select(
+            "file",
+            F.lit(0).cast("bigint").alias("t0"),
+            F.lit(1).cast("bigint").alias("t1"),
+            (F.col("ly0") + F.col("gy")).alias("y0"),
+            (F.col("ly1") + F.col("gy")).alias("y1"),
+            (F.col("lx0") + F.col("gx")).alias("x0"),
+            (F.col("lx1") + F.col("gx")).alias("x1"),
+            "addr", "nbytes",
+            F.lit(0).cast("bigint").alias("fmask"),
+            F.lit(1).cast("bigint").alias("ct"),
+            "cy", "cx",
+            F.lit("geotiff").alias("dtype"),
+            "filters",
+            F.lit(0.0).alias("fill"),
+            F.lit(chash).alias("coord_hash"),
+            "fsize",
+        )
+        .repartitionByRange(n_out, "y0", "x0")
+        .sortWithinPartitions("y0", "x0")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_path, "chunks"))
+    )
+    import pandas as pd  # noqa: F811 (driver-side tiny frame)
+
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "coord_hash": [chash],
+                "ny": [0],
+                "nx": [0],
+                "lat": [None],
+                "lon": [None],
+                "affine": [[float(pw), float(ph), float(ox),
+                            float(oy)]],
+            }
+        ),
+        _COORD_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_path, "coords")
+    )
+    return out_path
 
 
 def compact_manifest(spark, manifest_path: str, out_path: str) -> str:
@@ -567,9 +743,36 @@ def bbox_to_windows(
     rows = (
         spark.read.parquet(os.path.join(manifest_path, "coords")).collect()
     )
+    import math
+
     y_lo = x_lo = None
     y_hi = x_hi = -1
+
+    def _merge(ylo, yhi, xlo, xhi):
+        nonlocal y_lo, y_hi, x_lo, x_hi
+        y_lo = ylo if y_lo is None else min(y_lo, ylo)
+        x_lo = xlo if x_lo is None else min(x_lo, xlo)
+        y_hi = max(y_hi, yhi)
+        x_hi = max(x_hi, xhi)
+
     for r in rows:
+        if r["affine"] is not None:
+            pw, ph, ox, oy = r["affine"]
+            # sample-point convention (lon = ox + x*pw); ph < 0 for
+            # north-up, so the lat bounds swap
+            xa = math.ceil((lon_range[0] - ox) / pw)
+            xb = math.floor((lon_range[1] - ox) / pw)
+            ya = math.ceil((lat_range[1] - oy) / ph)
+            yb = math.floor((lat_range[0] - oy) / ph)
+            if ph > 0:
+                ya, yb = (
+                    math.ceil((lat_range[0] - oy) / ph),
+                    math.floor((lat_range[1] - oy) / ph),
+                )
+            if xa > xb or ya > yb:
+                continue
+            _merge(max(ya, 0), yb, max(xa, 0), xb)
+            continue
         lat = np.frombuffer(r["lat"], "float64").reshape(r["ny"], r["nx"])
         lon = np.frombuffer(r["lon"], "float64").reshape(r["ny"], r["nx"])
         inside = (
@@ -579,10 +782,7 @@ def bbox_to_windows(
         ys, xs = np.nonzero(inside)
         if not ys.size:
             continue
-        y_lo = int(ys.min()) if y_lo is None else min(y_lo, int(ys.min()))
-        x_lo = int(xs.min()) if x_lo is None else min(x_lo, int(xs.min()))
-        y_hi = max(y_hi, int(ys.max()))
-        x_hi = max(x_hi, int(xs.max()))
+        _merge(int(ys.min()), int(ys.max()), int(xs.min()), int(xs.max()))
     if y_lo is None:
         return None, None
     return (y_lo, y_hi), (x_lo, x_hi)
@@ -629,13 +829,22 @@ def read_virtual(
     coord_rows = (
         spark.read.parquet(os.path.join(manifest_path, "coords")).collect()
     )
-    grids = {
-        r["coord_hash"]: (
-            np.frombuffer(r["lat"], "float64").reshape(r["ny"], r["nx"]),
-            np.frombuffer(r["lon"], "float64").reshape(r["ny"], r["nx"]),
-        )
-        for r in coord_rows
-    }
+    grids = {}
+    for r in coord_rows:
+        if r["affine"] is not None:
+            grids[r["coord_hash"]] = (
+                "affine", np.asarray(r["affine"], "float64"),
+            )
+        else:
+            grids[r["coord_hash"]] = (
+                "grid",
+                np.frombuffer(r["lat"], "float64").reshape(
+                    r["ny"], r["nx"]
+                ),
+                np.frombuffer(r["lon"], "float64").reshape(
+                    r["ny"], r["nx"]
+                ),
+            )
     bgrids = spark.sparkContext.broadcast(grids)
     bounds = (time_range, y_range, x_range)
 
@@ -683,6 +892,22 @@ def read_virtual(
                             fh.read(int(row.nbytes)), name=row.file
                         )[0]
                         carr = msg["values"][None, ...].astype("float64")
+                    elif row.dtype == "geotiff":
+                        from wrf_to_geodataframe_spark.sources.geotiff import (  # noqa: E501
+                            _decode_block,
+                        )
+
+                        meta = json.loads(row.filters)["geotiff"]
+                        fh = _open(row.file, row.fsize)
+                        fh.seek(int(row.addr))
+                        raw = fh.read(int(row.nbytes))
+                        arr = _decode_block(raw, meta, int(row.cy))
+                        carr = arr[:, :, meta["band"]][None, ...].astype(
+                            "float64"
+                        )
+                        if meta["nodata"] is not None:
+                            carr = carr.copy()
+                            carr[carr == meta["nodata"]] = np.nan
                     elif row.addr >= 0:
                         dt = np.dtype(row.dtype)
                         fh = _open(row.file, row.fsize)
@@ -713,14 +938,20 @@ def read_virtual(
                     ny = int(row.y1) - y0
                     nx = int(row.x1) - x0
                     block = carr[:nt, :ny, :nx]
-                    lat_g, lon_g = grids[row.coord_hash]
+                    g = grids[row.coord_hash]
                     yy, xx = np.meshgrid(
                         np.arange(ny) + y0, np.arange(nx) + x0,
                         indexing="ij",
                     )
-                    lat_c = lat_g[y0:y0 + ny, x0:x0 + nx].ravel()
-                    lon_c = lon_g[y0:y0 + ny, x0:x0 + nx].ravel()
                     yf, xf = yy.ravel(), xx.ravel()
+                    if g[0] == "affine":
+                        pw, ph, ox_, oy_ = g[1]
+                        lat_c = oy_ + yf * ph
+                        lon_c = ox_ + xf * pw
+                    else:
+                        _, lat_g, lon_g = g
+                        lat_c = lat_g[y0:y0 + ny, x0:x0 + nx].ravel()
+                        lon_c = lon_g[y0:y0 + ny, x0:x0 + nx].ravel()
                     mask = np.ones(ny * nx, bool)
                     if yrange is not None:
                         mask &= (yf >= yrange[0]) & (yf <= yrange[1])
