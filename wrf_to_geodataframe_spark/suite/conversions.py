@@ -571,6 +571,76 @@ GROUP BY 1
 """
 
 
+_M_TILES, _M_H, _M_W = 2, 24, 24  # 2x2 scenes of 24x24, 16px tiles
+_M_YLO, _M_YHI, _M_XLO, _M_XHI = 12, 35, 20, 27
+
+
+def s1_virtual_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 at SATELLITE-mosaic shape: a 2x2 grid of north-up COG scenes
+    (deflate tiles, float predictor 3) indexed by
+    ``build_virtual_mosaic`` into GLOBAL pixel space, then a window
+    straddling all four scene seams read through the same pruned
+    byte-range path as the time archives, aggregated per global row.
+    Values on a 2^-3 lattice; affine on 2^-2/2^-3 — every double
+    exact.  The DuckDB oracle recomputes the closed form including the
+    affine georeferencing, so scene placement, tile decode, and the
+    window trim are all under the gate."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.sources.geotiff import write_geotiff
+    from wrf_to_geodataframe_spark.sources.virtual import (
+        build_virtual_mosaic,
+        read_virtual,
+    )
+
+    d = tempfile.mkdtemp(prefix="s1_mosaic_src_")
+    out = tempfile.mkdtemp(prefix="s1_mosaic_man_")
+    h, w = _M_H, _M_W
+    for r in range(_M_TILES):
+        for c in range(_M_TILES):
+            gy, gx = np.meshgrid(
+                np.arange(h) + r * h, np.arange(w) + c * w,
+                indexing="ij",
+            )
+            write_geotiff(
+                os.path.join(d, f"scene_{r}_{c}.tif"),
+                ((gy * 1000.0 + gx) / 8.0).astype("float64"),
+                transform=(0.125, 0, 10.0 + c * w * 0.125,
+                           0, -0.25, 60.0 - r * h * 0.25),
+                epsg=4326,
+                tiled=True,
+                tile=(16, 16),
+                compression=8,
+                predictor=3,
+            )
+    build_virtual_mosaic(spark, d, out)
+    df = read_virtual(
+        spark, out,
+        y_range=(_M_YLO, _M_YHI), x_range=(_M_XLO, _M_XHI),
+    )
+    return df.groupBy("y_idx").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("value").alias("sum_val"),
+        F.sum(F.col("lat") + F.col("lon")).alias("sum_coord"),
+        F.max("value").alias("max_val"),
+    )
+
+
+_SM_SQL = f"""
+SELECT y.y AS y_idx,
+       COUNT(*) AS n_cells,
+       SUM((y.y * 1000.0 + x.x) / 8.0) AS sum_val,
+       SUM((60.0 - y.y * 0.25) + (10.0 + x.x * 0.125)) AS sum_coord,
+       MAX((y.y * 1000.0 + x.x) / 8.0) AS max_val
+FROM generate_series({_M_YLO}, {_M_YHI}) AS y(y),
+     generate_series({_M_XLO}, {_M_XHI}) AS x(x)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "c1_grid_unnest": c1_grid_unnest,
     "c3_table_to_grid": c3_table_to_grid,
@@ -581,6 +651,7 @@ QUERIES = {
     "s1_grib2_ingest": s1_grib2_ingest,
     "s1_geotiff_ingest": s1_geotiff_ingest,
     "s1_virtual_dataset": s1_virtual_dataset,
+    "s1_virtual_mosaic": s1_virtual_mosaic,
 }
 
 ORACLE = {
@@ -593,4 +664,5 @@ ORACLE = {
     "s1_grib2_ingest": _SG_SQL,
     "s1_geotiff_ingest": _SGT_SQL,
     "s1_virtual_dataset": _SV_SQL,
+    "s1_virtual_mosaic": _SM_SQL,
 }
