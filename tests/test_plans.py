@@ -514,3 +514,64 @@ def test_ts_streak_runs_no_self_join(spark):
     assert plan.count("Scan parquet") == 1, plan
     for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert j not in plan, plan
+
+
+def test_zorder_sort_tightens_rowgroup_stats(spark, tmp_path):
+    """The layout claim behind ts_zorder_layout: writing a spatial
+    table sorted by the Morton key makes parquet row-group min/max on
+    BOTH axes tight, so a bbox filter prunes row groups that a
+    time-ordered layout cannot.  Counted directly from the footers
+    with pyarrow (the same stats any engine's scan pruning uses)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.suite.timeseries import _morton_spread
+
+    # synthetic spatial table in scan (time-ish) order: consecutive
+    # rows jump all over the grid, the worst case for min/max stats
+    ev = spark.range(60000).select(
+        F.expr("pmod(id * 48271, 64)").cast("bigint").alias("yc"),
+        F.expr("pmod(id * 69621, 64)").cast("bigint").alias("xc"),
+        (F.col("id") % 1000).cast("double").alias("value"),
+    )
+    z = f"({_morton_spread('yc')} * 2) | {_morton_spread('xc')}"
+    plain, zsorted = str(tmp_path / "plain"), str(tmp_path / "zsort")
+    (
+        ev.coalesce(1)
+        .write.option("parquet.block.size", 16 * 1024)
+        .mode("overwrite").parquet(plain)
+    )
+    (
+        ev.withColumn("zk", F.expr(z))
+        .orderBy("zk")
+        .coalesce(1)
+        .drop("zk")
+        .write.option("parquet.block.size", 16 * 1024)
+        .mode("overwrite").parquet(zsorted)
+    )
+
+    def rowgroups_touched(path, y0, y1, x0, x1):
+        import glob as g
+
+        total = touched = 0
+        for f in g.glob(path + "/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            idx = {
+                meta.row_group(0).column(i).path_in_schema: i
+                for i in range(meta.num_columns)
+            }
+            for rg in range(meta.num_row_groups):
+                total += 1
+                sy = meta.row_group(rg).column(idx["yc"]).statistics
+                sx = meta.row_group(rg).column(idx["xc"]).statistics
+                if (sy.min <= y1 and y0 <= sy.max
+                        and sx.min <= x1 and x0 <= sx.max):
+                    touched += 1
+        return touched, total
+
+    pt, ptot = rowgroups_touched(plain, 8, 15, 8, 15)
+    zt, ztot = rowgroups_touched(zsorted, 8, 15, 8, 15)
+    assert ptot > 4 and ztot > 4  # enough row groups to mean anything
+    # the unsorted layout touches (nearly) everything; z-order prunes
+    assert pt >= ptot * 0.9
+    assert zt <= ztot * 0.5, (zt, ztot)
