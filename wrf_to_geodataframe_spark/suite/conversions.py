@@ -641,6 +641,70 @@ GROUP BY 1
 """
 
 
+_N_SHARDS, _N_ROWS, _N_DIM = 3, 6, 5
+
+
+def s1_npy_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 at EMBEDDING-dump shape: per-worker ``.npy`` shards (the
+    layout a distributed embedding job emits via ``np.save``) scanned
+    by the distributed source (``read_npy_dir``: one task per shard,
+    executor-side from-scratch NPY header parse — numpy interop is
+    pinned separately in tests/test_npy.py), then aggregated per
+    shard.  Vector elements sit on a 2^-3 lattice (exact, order-free
+    sums); the DuckDB oracle recomputes the closed form."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.sources.npy import read_npy_dir
+
+    d = tempfile.mkdtemp(prefix="s1_npy_")
+    n, dim = _N_ROWS, _N_DIM
+    for f in range(_N_SHARDS):
+        arr = (
+            f * 1000 + np.arange(n * dim).reshape(n, dim)
+        ).astype("float64") / 8.0
+        np.save(os.path.join(d, f"shard_{f}.npy"), arr)
+    df = read_npy_dir(spark, d)
+    return (
+        df.withColumn(
+            "shard",
+            F.regexp_extract("file", r"shard_(\d+)\.npy", 1).cast(
+                "bigint"
+            ),
+        )
+        .select(
+            "shard",
+            "row_idx",
+            F.expr(
+                "aggregate(embedding, 0.0D, (acc, v) -> acc + v)"
+            ).alias("vec_sum"),
+            F.array_max("embedding").alias("vec_max"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("vec_sum").alias("sum_all"),
+            F.max("vec_max").alias("max_all"),
+            F.sum("row_idx").alias("sum_idx"),
+        )
+    )
+
+
+_SN_SQL = f"""
+SELECT f.f AS shard,
+       COUNT(DISTINCT r.r) AS n_vecs,
+       SUM((f.f * 1000 + r.r * {_N_DIM} + c.c) / 8.0) AS sum_all,
+       MAX((f.f * 1000 + r.r * {_N_DIM} + c.c) / 8.0) AS max_all,
+       CAST(SUM(r.r) / {_N_DIM} AS BIGINT) AS sum_idx
+FROM generate_series(0, {_N_SHARDS - 1}) AS f(f),
+     generate_series(0, {_N_ROWS - 1}) AS r(r),
+     generate_series(0, {_N_DIM - 1}) AS c(c)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "c1_grid_unnest": c1_grid_unnest,
     "c3_table_to_grid": c3_table_to_grid,
@@ -652,6 +716,7 @@ QUERIES = {
     "s1_geotiff_ingest": s1_geotiff_ingest,
     "s1_virtual_dataset": s1_virtual_dataset,
     "s1_virtual_mosaic": s1_virtual_mosaic,
+    "s1_npy_ingest": s1_npy_ingest,
 }
 
 ORACLE = {
@@ -665,4 +730,5 @@ ORACLE = {
     "s1_geotiff_ingest": _SGT_SQL,
     "s1_virtual_dataset": _SV_SQL,
     "s1_virtual_mosaic": _SM_SQL,
+    "s1_npy_ingest": _SN_SQL,
 }
