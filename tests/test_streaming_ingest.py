@@ -157,3 +157,24 @@ def test_zarr_chunk_tail_equals_dist_read(spark, tmp_path, sep):
     cols = ("chunk_key", "t_idx", "y_idx", "x_idx")
     assert _keyed(got, cols) == _keyed(dist, cols)
     assert len(got) == nt * ny * nx
+
+
+def test_npy_stream_equals_batch(spark, tmp_path):
+    from wrf_to_geodataframe_spark.sources.npy import read_npy_dir
+    from wrf_to_geodataframe_spark.streaming.ingest import stream_npy_dir
+
+    d = str(tmp_path / "emb")
+    os.makedirs(d)
+    for f in range(3):
+        arr = (np.arange(24, dtype="f8").reshape(6, 4) + f * 100) / 8.0
+        np.save(os.path.join(d, f"shard_{f}.npy"), arr)
+    sdf = stream_npy_dir(spark, d)
+    assert sdf.isStreaming
+    got = _drain(sdf, str(tmp_path / "ckpt"))
+    batch = read_npy_dir(spark, d).toPandas()
+    key = lambda df: sorted(  # noqa: E731
+        (os.path.basename(f), i, tuple(v))
+        for f, i, v in zip(df["file"], df["row_idx"], df["embedding"])
+    )
+    assert key(got) == key(batch)
+    assert len(got) == 18

@@ -20,8 +20,12 @@ checkpointing makes ingest exactly-once per file.
 
 from __future__ import annotations
 
+import os
+
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     LongType,
@@ -310,4 +314,45 @@ def stream_zarr_chunks(
 
     return files.select("path", "content").mapInPandas(
         _batches, _ZARR_SCHEMA
+    )
+
+
+_NPY_SCHEMA = StructType(
+    [
+        StructField("file", StringType()),
+        StructField("row_idx", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+def stream_npy_dir(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Unbounded mirror of ``read_npy_dir`` (sources/npy.py): each
+    arriving 2-D ``.npy`` embedding shard — the np.save-per-worker
+    output of a running embedding job — becomes (file, row_idx,
+    embedding) rows in the micro-batch that discovers it, feeding the
+    streaming side of the ANN/dedup operators while the batch side
+    reads the same directory."""
+    files = _binary_stream(spark, os.path.join(path, "*.npy"),
+                           max_files_per_trigger)
+
+    def _batches(it):
+        from wrf_to_geodataframe_spark.sources.npy import (
+            _emit_rows,
+            read_npy_bytes,
+        )
+
+        for pdf in it:
+            for fname, buf in zip(pdf["path"], pdf["content"]):
+                arr = read_npy_bytes(bytes(buf), name=fname)
+                yield _emit_rows(
+                    np.array(arr, dtype="float64"), fname, 0
+                )
+
+    return files.select("path", "content").mapInPandas(
+        _batches, _NPY_SCHEMA
     )
