@@ -1115,9 +1115,48 @@ FROM corners GROUP BY 1
 """
 
 
+# One ANSI-dialect query string executed VERBATIM by both engines —
+# the spark.sql() surface under the gate with zero translation layer
+# (every construct here is shared: CTE, join, CASE, FLOOR, HAVING).
+_SQL_SHARED = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS rev_q,
+         COUNT(*) AS n_lines
+  FROM lineitem
+  WHERE l_quantity > 24
+  GROUP BY l_orderkey
+  HAVING COUNT(*) >= 2
+)
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(b.rev_q) AS BIGINT) AS rev_q_total,
+       MAX(b.n_lines) AS max_lines,
+       CASE WHEN MAX(b.n_lines) > 4 THEN 'wide' ELSE 'narrow' END
+           AS shape
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def sql_shared_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL SURFACE itself as an operator: ``spark.sql`` runs the
+    *identical* query text the DuckDB oracle runs (no DataFrame
+    translation, no dialect shim) over temp views of the same tables —
+    a user of the reference who writes ANSI SQL ports with zero
+    changes.  Catalyst still gets full pushdown/codegen: SQL and
+    DataFrame plans meet in the same optimizer."""
+    for t in ("lineitem", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_SHARED)
+
+
 QUERIES = {
     "p1_drop_columns": p1_drop_columns,
     "graph_triangles": graph_triangles,
+    "sql_shared_dialect": sql_shared_dialect,
     "p2_select_columns": p2_select_columns,
     "p3_time_slice": p3_time_slice,
     "p6_value_mask": p6_value_mask,
@@ -1155,6 +1194,7 @@ QUERIES = {
 
 ORACLE = {
     "graph_triangles": _TRIANGLES_SQL,
+    "sql_shared_dialect": _SQL_SHARED,
     "p1_drop_columns": _P1_SQL,
     "p2_select_columns": _P2_SQL,
     "p3_time_slice": _P3_SQL,
