@@ -117,7 +117,7 @@ def test_query_construction_is_lazy(spark):
     map the collect reuses), the BPE trainer's bounded per-round
     1-row argmax collects (the k-means-codebook pattern: iterative
     algorithms keep O(1) control state on the driver), and
-    s1_virtual_dataset (building the virtual-dataset INDEX is itself
+    the virtual-dataset gates (building the INDEX is itself
     distributed work — the manifest parquet is a materialized
     artifact, then the read is lazy)."""
     from wrf_to_geodataframe_spark.suite import all_queries
@@ -127,7 +127,7 @@ def test_query_construction_is_lazy(spark):
     for name, fn in all_queries().items():
         if name in ("g1_auto_dispatch", "dedup_cluster_cc",
                     "bpe_train", "bpe_encode", "pipeline_curate_v3",
-                    "s1_virtual_dataset"):
+                    "s1_virtual_dataset", "s1_virtual_mosaic"):
             continue
         fn(spark, SF)
     after = store.jobsList(None).size()
