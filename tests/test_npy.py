@@ -117,3 +117,42 @@ def test_slab_scan_matches_whole_read(spark, tmp_path):
         assert vec == tuple(arr[i].astype("float64"))
     # ~8 slabs -> at least 2 tasks actually used
     assert df.rdd.getNumPartitions() >= 2
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    shape=st.lists(st.integers(0, 7), min_size=0, max_size=3),
+    dtype=st.sampled_from(["<f8", "<f4", "<i8", "<i4", "<u2", "|u1"]),
+    version=st.sampled_from([(1, 0), (2, 0)]),
+)
+@settings(max_examples=120, deadline=None)
+def test_fuzz_roundtrip_vs_numpy(tmp_path_factory, shape, dtype, version):
+    """Random shape/dtype/header-version arrays serialized by NUMPY
+    must decode identically here, and ours must load in numpy."""
+    rng = np.random.default_rng(hash((tuple(shape), dtype)) % 2**32)
+    n = int(np.prod(shape, initial=1))
+    arr = (rng.integers(0, 250, n).astype(dtype)).reshape(shape)
+    buf = io.BytesIO()
+    np.lib.format.write_array(buf, arr, version=version)
+    got = read_npy_bytes(buf.getvalue())
+    assert got.shape == arr.shape and np.array_equal(got, arr)
+    d = tmp_path_factory.mktemp("fz")
+    p = str(d / "x.npy")
+    write_npy(p, arr)
+    back = np.load(p)
+    assert back.shape == arr.shape and np.array_equal(back, arr)
+
+
+def test_truncated_npy_raises(tmp_path):
+    p = str(tmp_path / "t.npy")
+    np.save(p, np.arange(100, dtype="f8"))
+    whole = open(p, "rb").read()
+    for cut in (3, 8, 60):
+        try:
+            read_npy_bytes(whole[:cut])
+        except ValueError:
+            continue
+        raise AssertionError(f"no error at cut={cut}")

@@ -531,3 +531,35 @@ def test_mosaic_nodata_becomes_null(spark, tmp_path):
 
     nulls = df.filter(F.col("value").isNull()).collect()
     assert [(r["y_idx"], r["x_idx"]) for r in nulls] == [(3, 5)]
+
+
+def test_grib2_incremental_update_appends_cycle(spark, tmp_path):
+    """A new GRIB2 cycle file appended to the archive is indexed
+    incrementally and owns the tail of the time axis."""
+    from wrf_to_geodataframe_spark.sources.grib2 import write_grib2
+    from wrf_to_geodataframe_spark.sources.virtual import (
+        update_virtual_manifest,
+    )
+
+    d, out = str(tmp_path / "src"), str(tmp_path / "man")
+    os.makedirs(d)
+    ny, nx = _write_grib2_archive(d, n_files=1, n_msgs=2)
+    build_virtual_manifest(spark, d, "", None, None, out,
+                           pattern="*.grib2")
+    x = 10000 + np.arange(ny * nx).reshape(ny, nx)
+    write_grib2(os.path.join(d, "cycle_9.grib2"), [{
+        "values": x / 8.0,
+        "lat0": 50.0, "lon0": 357.0, "dlat": -0.25, "dlon": 0.125,
+        "param_category": 0,
+        "packing": {"template": 0, "ref": 0.0, "e": -3, "d": 0,
+                    "nbits": 16},
+    }])
+    assert update_virtual_manifest(
+        spark, d, "", None, None, out, pattern="*.grib2"
+    ) == 1
+    tail = read_virtual(spark, out, time_range=(2, 2)).collect()
+    assert len(tail) == ny * nx
+    for r in tail:
+        assert r["value"] == (
+            10000 + r["y_idx"] * nx + r["x_idx"]
+        ) / 8.0

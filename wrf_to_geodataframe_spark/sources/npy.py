@@ -47,17 +47,21 @@ __all__ = [
 def npy_info(buf: bytes, name: str = "<bytes>") -> dict:
     """Parse the NPY header -> {dtype (np.dtype), shape, fortran,
     offset (first data byte)} without touching the data."""
-    if buf[:6] != _MAGIC:
+    if len(buf) < 10 or buf[:6] != _MAGIC:
         raise ValueError(f"{name}: not an NPY file")
     major = buf[6]
     if major == 1:
         (hlen,) = struct.unpack_from("<H", buf, 8)
         off = 10 + hlen
     elif major in (2, 3):
+        if len(buf) < 12:
+            raise ValueError(f"{name}: truncated NPY header")
         (hlen,) = struct.unpack_from("<I", buf, 8)
         off = 12 + hlen
     else:
         raise ValueError(f"{name}: NPY version {major} unsupported")
+    if len(buf) < off:
+        raise ValueError(f"{name}: truncated NPY header")
     header = buf[off - hlen:off].decode(
         "latin1" if major < 3 else "utf-8"
     )
