@@ -1115,6 +1115,134 @@ FROM corners GROUP BY 1
 """
 
 
+_MERGE_CUT = "2024-02-01"
+
+
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / UPSERT semantics (the Delta/Iceberg ``MERGE INTO``
+    statement as a plain plan): a TARGET snapshot (latest value per
+    user before a cutoff) receives an UPDATES batch (latest value per
+    user after it) — matched keys update, unmatched insert, untouched
+    rows carry through, each row labeled with its merge action.
+    Expressed as two dedup-to-latest windows + ONE full outer join on
+    the key; deterministic latest via the (ts, event_id) total order.
+
+    Scale shape: both sides shuffle once on the merge key and the
+    outer join reuses that partitioning; at warehouse scale this is
+    exactly the shuffle MERGE INTO plans to — no driver state, no
+    row-at-a-time apply."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    def latest(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "value")
+        )
+
+    cut = F.lit(_MERGE_CUT).cast("timestamp")
+    target = latest(ev.filter(F.col("ts") < cut))
+    updates = latest(ev.filter(F.col("ts") >= cut))
+    t = target.alias("t")
+    u = updates.alias("u")
+    return t.join(u, "user_id", "full_outer").select(
+        "user_id",
+        F.coalesce(F.col("u.value"), F.col("t.value")).alias("value"),
+        F.when(
+            F.col("u.value").isNotNull() & F.col("t.value").isNotNull(),
+            F.lit("update"),
+        )
+        .when(F.col("u.value").isNotNull(), F.lit("insert"))
+        .otherwise(F.lit("carry"))
+        .alias("action"),
+    )
+
+
+_MERGE_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, value, ts,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id,
+                        (ts >= TIMESTAMP '{_MERGE_CUT} 00:00:00')
+           ORDER BY ts DESC, event_id DESC
+         ) AS rn,
+         ts >= TIMESTAMP '{_MERGE_CUT} 00:00:00' AS is_update
+  FROM events
+), target AS (
+  SELECT user_id, value FROM ranked WHERE rn = 1 AND NOT is_update
+), updates AS (
+  SELECT user_id, value FROM ranked WHERE rn = 1 AND is_update
+)
+SELECT COALESCE(t.user_id, u.user_id) AS user_id,
+       COALESCE(u.value, t.value) AS value,
+       CASE WHEN u.user_id IS NOT NULL AND t.user_id IS NOT NULL
+                 THEN 'update'
+            WHEN u.user_id IS NOT NULL THEN 'insert'
+            ELSE 'carry' END AS action
+FROM target t FULL OUTER JOIN updates u USING (user_id)
+"""
+
+
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLOWLY-CHANGING-DIMENSION TYPE 2: per-entity attribute history
+    as validity intervals — every run of consecutive events with the
+    same ``event_type`` collapses to one row with
+    ``[valid_from, valid_to)`` micros and a version number (open
+    current version: NULL valid_to).  Change detection is one lag
+    comparison; interval close is one lead over the CHANGE rows only —
+    two windows on the same (user) partitioning, one shuffle total,
+    no self-join.  Timestamps travel as epoch-micros BIGINTs so both
+    engines compare integers, not calendar dtypes."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    changes = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev").isNull()
+            | (F.col("prev") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", F.col("tus").alias("valid_from"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("bigint").alias("version"),
+    )
+
+
+_SCD2_SQL = """
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS prev
+  FROM events
+), changes AS (
+  SELECT user_id, event_type, tus AS valid_from
+  FROM seq WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, valid_from,
+       LEAD(valid_from) OVER (
+         PARTITION BY user_id ORDER BY valid_from
+       ) AS valid_to,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY user_id ORDER BY valid_from
+       ) AS BIGINT) AS version
+FROM changes
+"""
+
+
 # One ANSI-dialect query string executed VERBATIM by both engines —
 # the spark.sql() surface under the gate with zero translation layer
 # (every construct here is shared: CTE, join, CASE, FLOOR, HAVING).
@@ -1157,6 +1285,8 @@ QUERIES = {
     "p1_drop_columns": p1_drop_columns,
     "graph_triangles": graph_triangles,
     "sql_shared_dialect": sql_shared_dialect,
+    "merge_upsert": merge_upsert,
+    "scd2_history": scd2_history,
     "p2_select_columns": p2_select_columns,
     "p3_time_slice": p3_time_slice,
     "p6_value_mask": p6_value_mask,
@@ -1195,6 +1325,8 @@ QUERIES = {
 ORACLE = {
     "graph_triangles": _TRIANGLES_SQL,
     "sql_shared_dialect": _SQL_SHARED,
+    "merge_upsert": _MERGE_SQL,
+    "scd2_history": _SCD2_SQL,
     "p1_drop_columns": _P1_SQL,
     "p2_select_columns": _P2_SQL,
     "p3_time_slice": _P3_SQL,
