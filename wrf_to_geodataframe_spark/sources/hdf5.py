@@ -750,10 +750,177 @@ class _Hdf5File:
     ) -> bytes:
         return decode_chunk_pipeline(raw, filters, elem, n_elems, filter_mask)
 
+    def _parse_v4_chunked(self, body: int):
+        """Parse a VERSION 4 chunked data-layout message (the libver-
+        latest layout HDF5 >= 1.10 emits) -> (chunk dims incl. the
+        trailing element-size dim, list of (offsets, addr, nbytes,
+        filter_mask) for every STORED chunk).  Chunk index types:
+        1 Single Chunk, 2 Implicit, 3 Fixed Array (paged and
+        unpaged, filtered and unfiltered clients).  Extensible Array
+        (4) and v2 B-tree (5) indexes are rejected loudly — they only
+        appear with unlimited/appendable dimensions.
+
+        Format per the HDF5 spec III.D (layout v4) and III.K (fixed
+        array): dimensionality counts the +1 element-size dimension
+        like v3; dimension sizes use the message's own encoded
+        length; fixed-array elements are addresses (client 0) or
+        address + variable-width chunk size + 4-byte filter mask
+        (client 1), in row-major linear chunk order."""
+        buf, f = self.buf, self.f
+        flags = buf[body + 2]
+        ndims = buf[body + 3]
+        enc = buf[body + 4]
+        p = body + 5
+        chunk = []
+        for _ in range(ndims):
+            chunk.append(f.u(p, enc))
+            p += enc
+        chunk = tuple(chunk)
+        itype = buf[p]
+        p += 1
+        nbytes_unfiltered = int(np.prod(chunk, initial=1))
+        if itype == 1:  # single chunk
+            if flags & 0x02:  # filtered single chunk
+                fsize = f.u(p, 8)
+                mask = f.u(p + 8, 4)
+                p += 12
+            else:
+                fsize, mask = nbytes_unfiltered, 0
+            addr = f.u(p, 8)
+            entries = (
+                []
+                if addr == _UNDEF
+                else [(tuple(0 for _ in chunk[:-1]), addr, fsize, mask)]
+            )
+            return chunk, entries
+        if itype == 2:  # implicit: contiguous unfiltered chunks
+            addr = f.u(p, 8)
+            return chunk, (
+                [] if addr == _UNDEF else ("implicit", addr)
+            )
+        if itype == 3:  # fixed array
+            _page_bits = buf[p]
+            addr = f.u(p + 1, 8)
+            if addr == _UNDEF:
+                return chunk, []
+            return chunk, self._fixed_array_entries(addr)
+        raise Hdf5Error(f"chunk index type {itype} not supported")
+
+    def _fixed_array_entries(self, addr: int):
+        """Walk a Fixed Array index -> [(linear_idx, addr, nbytes,
+        mask)] of stored chunks (linear index resolved to grid offsets
+        by the caller).  Handles the paged data-block layout (page
+        bitmap + checksummed pages)."""
+        buf, f = self.buf, self.f
+        if buf[addr:addr + 4] != b"FAHD":
+            raise Hdf5Error(f"expected FAHD at {addr}")
+        client = buf[addr + 5]
+        entry_size = buf[addr + 6]
+        page_bits = buf[addr + 7]
+        nelmts = f.u(addr + 8, 8)
+        dblk = f.u(addr + 16, 8)
+        if client not in (0, 1):
+            raise Hdf5Error(f"fixed-array client {client}")
+        if dblk == _UNDEF:
+            return []
+        if buf[dblk:dblk + 4] != b"FADB":
+            raise Hdf5Error(f"expected FADB at {dblk}")
+        p = dblk + 6 + 8  # sig(4) version(1) client(1) header addr(8)
+        page_size = 1 << page_bits
+        raw = bytearray()
+        if nelmts > page_size:  # paged layout
+            npages = -(-nelmts // page_size)
+            bitmap_len = (npages + 7) // 8
+            p += bitmap_len + 4  # bitmap + data-block checksum
+            left = nelmts
+            while left > 0:
+                n = min(page_size, left)
+                raw += buf[p:p + n * entry_size]
+                p += n * entry_size + 4  # page checksum
+                left -= n
+        else:
+            raw += buf[p:p + nelmts * entry_size]
+        out = []
+        size_len = entry_size - 12  # client 1: addr(8)+size(var)+mask(4)
+        for i in range(nelmts):
+            e = i * entry_size
+            a = int.from_bytes(raw[e:e + 8], "little")
+            if a == _UNDEF:
+                continue
+            if client == 0:
+                out.append((i, a, None, 0))
+            else:
+                sz = int.from_bytes(
+                    raw[e + 8:e + 8 + size_len], "little"
+                )
+                mask = int.from_bytes(
+                    raw[e + 8 + size_len:e + 12 + size_len], "little"
+                )
+                out.append((i, a, sz, mask))
+        return out
+
+    def _v4_stored_chunks(self, chunk, entries, shape):
+        """Normalize ``_parse_v4_chunked`` output to the v1-B-tree
+        iterator contract: (grid offsets, addr, nbytes, mask) with
+        linear indexes mapped to row-major chunk-grid offsets."""
+        cdims = chunk[:-1]
+        nbytes_full = int(np.prod(chunk, initial=1))
+        grid = tuple(
+            -(-s // c) for s, c in zip(shape, cdims)
+        ) if shape else ()
+        if isinstance(entries, tuple) and entries and entries[0] == "implicit":
+            base = entries[1]
+            n = int(np.prod(grid, initial=1))
+            entries = [(i, base + i * nbytes_full, nbytes_full, 0)
+                       for i in range(n)]
+        out = []
+        for item in entries:
+            if len(item) == 4 and isinstance(item[0], tuple):
+                out.append(item)  # single chunk, already offsets
+                continue
+            i, a, sz, mask = item
+            offs = []
+            rem = i
+            for g in reversed(grid):
+                offs.append(rem % g)
+                rem //= g
+            offs = tuple(
+                o * c for o, c in zip(reversed(offs), cdims)
+            )
+            out.append((offs, a, nbytes_full if sz is None else sz,
+                        mask))
+        return out
+
     def _read_layout(self, layout, dtype, shape, filters):
         body, _size = layout
         buf = self.buf
         ver = buf[body]
+        if ver == 4 and buf[body + 1] == 2:
+            if isinstance(dtype, VlenType):
+                raise Hdf5Error("vlen dataset with v4 layout")
+            chunk, entries = self._parse_v4_chunked(body)
+            out = np.zeros(shape, dtype)
+            stored = self._v4_stored_chunks(entries=entries,
+                                            chunk=chunk, shape=shape)
+            cdims = chunk[:-1]
+            nchunk = int(np.prod(cdims, initial=1))
+            for offs, addr, nbytes, mask in stored:
+                raw = self._decode(
+                    buf[addr:addr + nbytes], filters,
+                    dtype.itemsize, nchunk, mask,
+                )
+                block = np.frombuffer(
+                    raw, dtype, count=nchunk
+                ).reshape(cdims)
+                sel = tuple(
+                    slice(o, min(o + c, s))
+                    for o, c, s in zip(offs, cdims, shape)
+                )
+                trim = tuple(
+                    slice(0, sl.stop - sl.start) for sl in sel
+                )
+                out[sel] = block[trim]
+            return out
         if ver != 3:
             raise Hdf5Error(f"data layout version {ver}")
         lclass = buf[body + 1]
@@ -911,10 +1078,17 @@ def hdf5_chunk_manifest(
                     "indirection; use the whole-file reader"
                 )
             body, _size = info["layout"]
-            if mm[body] != 3:
+            if mm[body] == 4 and mm[body + 1] == 2:
+                # libver-latest chunk indexes (single/implicit/FA)
+                chunk4, raw_entries = f._parse_v4_chunked(body)
+                entries = f._v4_stored_chunks(
+                    chunk4, raw_entries, tuple(shape)
+                )
+                chunks = tuple(chunk4[:-1])
+                filters = info["filters"]
+            elif mm[body] != 3:
                 raise Hdf5Error(f"data layout version {mm[body]}")
-            lclass = mm[body + 1]
-            if lclass == 1:  # contiguous -> one pseudo-chunk
+            elif (lclass := mm[body + 1]) == 1:  # contiguous -> one pseudo-chunk
                 addr = f.f.u(body + 2, 8)
                 if addr == _UNDEF:
                     entries, chunks = [], tuple(shape)

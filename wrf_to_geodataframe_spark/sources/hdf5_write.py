@@ -352,7 +352,14 @@ def write_netcdf4(
         extra.append(b._dimension_list([b.headers[d] for d in vdims]))
         _write_dataset(name, arr, extra, chunked=compress)
 
-    # 3) root group: local heap + SNOD + v1 group B-tree, names sorted
+    _finalize(b, path, attrs)
+
+
+def _finalize(b: "_Hdf5Builder", path: str, attrs: dict | None) -> None:
+    """Root group (local heap + SNOD + v1 group B-tree) + superblock
+    v0, then write the file — shared by the sink and the hand-built
+    spec-golden fixtures in tests (e.g. v4-layout files the sink
+    itself never emits)."""
     names = sorted(b.headers)
     heap_data = bytearray(8)  # offset 0 = the empty string (low key)
     name_off = {}
