@@ -291,3 +291,79 @@ def test_manifest_and_chunk_scan_support_v4(tmp_path, spark):
     for r in rows:
         assert r["value"] == r["y_idx"] * nx + r["x_idx"]
         assert r["lat"] == 50.0 + r["y_idx"] * 0.25
+
+
+def _bt2_layout(b, records, rec_type, rec_size,
+                chunk_dims=(2, 3, 4)):
+    """Depth-0 v2 chunk B-tree: BTHD + one BTLF leaf (the any-depth
+    walker itself is exercised by the dense-link tests)."""
+    leaf = bytearray(b"BTLF" + bytes([0, rec_type]))
+    for r in records:
+        assert len(r) == rec_size
+        leaf += r
+    leaf += struct.pack("<I", 0)  # checksum (not verified on read)
+    leaf_addr = b._alloc(bytes(leaf))
+    hdr = bytearray(b"BTHD" + bytes([0, rec_type]))
+    hdr += struct.pack("<IHH", 2048, rec_size, 0)  # node size/rec/depth
+    hdr += bytes([85, 40])  # split/merge percent
+    hdr += struct.pack("<QHQI", leaf_addr, len(records),
+                       len(records), 0)
+    hdr_addr = b._alloc(bytes(hdr))
+    return (
+        _v4_prefix(chunk_dims)
+        + bytes([5])  # v2 B-tree index
+        + struct.pack("<IBB", 2048, 85, 40)
+        + struct.pack("<Q", hdr_addr)
+    )
+
+
+def test_bt2_chunk_index_unfiltered(tmp_path):
+    """Record type 10: address + 8-byte scaled offsets per rank."""
+    arr = (np.arange(35, dtype="<i4") * 2 + 3).reshape(5, 7)
+    p = str(tmp_path / "bt2.h5")
+
+    def layout(b):
+        recs = []
+        for by in range(3):
+            for bx in range(3):
+                block = np.zeros((2, 3), arr.dtype)
+                sy = slice(by * 2, min(by * 2 + 2, 5))
+                sx = slice(bx * 3, min(bx * 3 + 3, 7))
+                block[: sy.stop - sy.start, : sx.stop - sx.start] = (
+                    arr[sy, sx]
+                )
+                a = b._alloc(block.tobytes())
+                recs.append(struct.pack("<QQQ", a, by, bx))
+        return _bt2_layout(b, recs, rec_type=10, rec_size=24)
+
+    _write(p, arr, layout)
+    assert np.array_equal(_got(p), arr)
+
+
+def test_bt2_chunk_index_filtered(tmp_path):
+    """Record type 11: address + variable-width chunk size + filter
+    mask + scaled offsets."""
+    arr = np.arange(24, dtype="<f8").reshape(4, 6)
+    p = str(tmp_path / "bt2f.h5")
+
+    def layout(b):
+        recs = []
+        for by in range(2):
+            for bx in range(2):
+                block = arr[by * 2:by * 2 + 2, bx * 3:bx * 3 + 3]
+                comp = zlib.compress(
+                    np.ascontiguousarray(block).tobytes(), 6
+                )
+                a = b._alloc(comp)
+                recs.append(
+                    struct.pack("<Q", a)
+                    + len(comp).to_bytes(3, "little")  # 3-byte size
+                    + struct.pack("<I", 0)
+                    + struct.pack("<QQ", by, bx)
+                )
+        return _bt2_layout(
+            b, recs, rec_type=11, rec_size=31, chunk_dims=(2, 3, 8)
+        )
+
+    _write(p, arr, layout, filtered=True)
+    assert np.array_equal(_got(p), arr)

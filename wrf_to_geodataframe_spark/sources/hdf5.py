@@ -804,6 +804,46 @@ class _Hdf5File:
             if addr == _UNDEF:
                 return chunk, []
             return chunk, self._fixed_array_entries(addr)
+        if itype == 5:  # v2 B-tree chunk index (record types 10/11)
+            # node size(4) + split(1) + merge(1), then header address
+            addr = f.u(p + 6, 8)
+            if addr == _UNDEF:
+                return chunk, []
+            rank = ndims - 1
+            rec_type = buf[addr + 5]
+            if f.u(addr + 16, 8) == _UNDEF:
+                return chunk, []
+            entries = []
+            for rec in self._bt2_leaf_records(addr):
+                a = int.from_bytes(rec[0:8], "little")
+                if rec_type == 10:  # non-filtered: addr + scaled offs
+                    sz, mask = nbytes_unfiltered, 0
+                    off_at = 8
+                elif rec_type == 11:  # + variable size + mask
+                    size_len = len(rec) - 12 - 8 * rank
+                    sz = int.from_bytes(
+                        rec[8:8 + size_len], "little"
+                    )
+                    mask = int.from_bytes(
+                        rec[8 + size_len:12 + size_len], "little"
+                    )
+                    off_at = 12 + size_len
+                else:
+                    raise Hdf5Error(
+                        f"chunk B-tree record type {rec_type}"
+                    )
+                scaled = [
+                    int.from_bytes(
+                        rec[off_at + 8 * i:off_at + 8 * (i + 1)],
+                        "little",
+                    )
+                    for i in range(rank)
+                ]
+                offs = tuple(
+                    s * c for s, c in zip(scaled, chunk[:-1])
+                )
+                entries.append((offs, a, sz, mask))
+            return chunk, entries
         raise Hdf5Error(f"chunk index type {itype} not supported")
 
     def _fixed_array_entries(self, addr: int):
