@@ -563,3 +563,48 @@ def test_grib2_incremental_update_appends_cycle(spark, tmp_path):
         assert r["value"] == (
             10000 + r["y_idx"] * nx + r["x_idx"]
         ) / 8.0
+
+
+def test_multi_variable_manifest_selects_by_var(spark, tmp_path):
+    """One indexing pass over an archive with TWO variables; reads
+    select by var (a pushed manifest predicate) and each variable has
+    its own correct values over the shared grid."""
+    from pyspark.sql import functions as F
+
+    d, out = str(tmp_path / "src"), str(tmp_path / "man")
+    os.makedirs(d)
+    yy, xx = np.meshgrid(np.arange(NY), np.arange(NX), indexing="ij")
+    tt = np.arange(NT)
+    for f in range(2):
+        write_netcdf4(
+            os.path.join(d, f"s{f}.nc"),
+            {"t": NT, "y": NY, "x": NX},
+            {
+                "T2": {"dims": ["t", "y", "x"],
+                       "data": _val(f, tt[:, None, None], yy, xx)},
+                "Q2": {"dims": ["t", "y", "x"],
+                       "data": _val(f, tt[:, None, None], yy, xx) * 0.5},
+                "XLAT": {"dims": ["y", "x"], "data": 50.0 + yy * 0.25},
+                "XLONG": {"dims": ["y", "x"], "data": -3.0 + xx * 0.125},
+            },
+            compress=True,
+            chunk={"T2": (2, 4, 3), "Q2": (2, 4, 3)},
+        )
+    build_virtual_manifest(
+        spark, d, ["T2", "Q2"], "XLAT", "XLONG", out
+    )
+    man = spark.read.parquet(os.path.join(out, "chunks"))
+    assert man.select("var").distinct().count() == 2
+    t2 = _got(read_virtual(spark, out, var="T2"))
+    assert t2 == _expected(files=range(2))
+    q2 = read_virtual(spark, out, var="Q2", time_range=(5, 6)).collect()
+    assert len(q2) == 2 * NY * NX
+    for r in q2:
+        f, lt = divmod(r["t_idx"], NT)
+        assert r["value"] == _val(f, lt, r["y_idx"], r["x_idx"]) * 0.5
+    # the var predicate reaches the manifest parquet scan
+    plan = (
+        man.filter(F.col("var") == "T2")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "EqualTo(var,T2" in plan

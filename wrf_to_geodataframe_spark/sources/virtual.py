@@ -65,7 +65,7 @@ __all__ = [
 ]
 
 _CHUNK_SCHEMA = (
-    "file string, file_no long, nt long, lt0 long, lt1 long, "
+    "file string, var string, file_no long, nt long, lt0 long, lt1 long, "
     "y0 long, y1 long, x0 long, x1 long, "
     "addr long, nbytes long, fmask long, "
     "ct long, cy long, cx long, "
@@ -154,7 +154,8 @@ def _hdf5_rows(path, file_no, var, lat_var, lon_var):
         o = tuple(int(i * c) for i, c in zip(idx, chunk))
         e = tuple(min(oo + c, s) for oo, c, s in zip(o, chunk, shape))
         rows.append((
-            path, file_no, shape[0], o[0], e[0], o[1], e[1], o[2], e[2],
+            path, var, file_no, shape[0],
+            o[0], e[0], o[1], e[1], o[2], e[2],
             addr, nbytes, mask, chunk[0], chunk[1], chunk[2],
             man["dtype"], filters, float(man["fill"]), chash, fsize,
         ))
@@ -219,7 +220,7 @@ def _classic_rows(path, file_no, var, lat_var, lon_var):
     rows = []
     for t in range(nt):
         rows.append((
-            path, file_no, nt, t, t + 1, 0, ny, 0, nx,
+            path, var, file_no, nt, t, t + 1, 0, ny, 0, nx,
             begin + t * step, plane, 0, 1, ny, nx,
             dtype, "[]", 0.0, chash, fsize,
         ))
@@ -293,15 +294,20 @@ def _grib2_rows(path: str, file_no: int, var: str | None):
                 coords.append((chash, lat.shape[0], lat.shape[1],
                                lat.tobytes(), lon.tobytes()))
             nj, ni = lat.shape
+            # the var column is the SELECTION key: rows carry the
+            # requested selector (empty = every message, one shared
+            # time axis in stored order), so an unfiltered index does
+            # not split into per-param axes
             rows.append((
-                path, file_no, -1, lt, lt + 1, 0, nj, 0, ni,
+                path, var or "", file_no, -1, lt, lt + 1, 0, nj, 0, ni,
                 off, mlen, 0, 1, nj, ni,
                 "grib2", "[]", 0.0, chash, os.path.getsize(path),
             ))
             lt += 1
     if not rows:
         raise Grib2Error(f"{path}: no message matches {var!r}")
-    rows = [r[:2] + (lt,) + r[3:] for r in rows]  # patch nt = selected
+    # patch nt (index 3: file, var, file_no, nt) = #selected messages
+    rows = [r[:3] + (lt,) + r[4:] for r in rows]
     return rows, coords
 
 
@@ -397,16 +403,21 @@ def _index_files(
         max(1, min(len(files), sc.defaultParallelism * 2)), "file_no"
     )
 
+    vars_ = [var] if isinstance(var, str) or var is None else list(var)
+
     def _scan_meta(it):
         for pdf in it:
             for row in pdf.itertuples(index=False):
-                rows, _ = _file_chunk_rows(
-                    row.path, int(row.file_no), var, lat_var, lon_var
-                )
+                rows = []
+                for v in vars_:
+                    r, _ = _file_chunk_rows(
+                        row.path, int(row.file_no), v, lat_var, lon_var
+                    )
+                    rows.extend(r)
                 yield pd.DataFrame(
                     rows,
                     columns=[
-                        "file", "file_no", "nt", "lt0", "lt1",
+                        "file", "var", "file_no", "nt", "lt0", "lt1",
                         "y0", "y1", "x0", "x1",
                         "addr", "nbytes", "fmask", "ct", "cy", "cx",
                         "dtype", "filters", "fill", "coord_hash",
@@ -417,9 +428,12 @@ def _index_files(
     def _scan_coords(it):
         for pdf in it:
             for row in pdf.itertuples(index=False):
-                _, cs = _file_chunk_rows(
-                    row.path, int(row.file_no), var, lat_var, lon_var
-                )
+                cs = []
+                for v in vars_:
+                    _, c = _file_chunk_rows(
+                        row.path, int(row.file_no), v, lat_var, lon_var
+                    )
+                    cs.extend(c)
                 frame = pd.DataFrame(
                     cs, columns=["coord_hash", "ny", "nx", "lat", "lon"]
                 )
@@ -427,21 +441,21 @@ def _index_files(
                 yield frame
 
     chunks = fdf.mapInPandas(_scan_meta, _CHUNK_SCHEMA)
-    w = Window.orderBy("file_no").rowsBetween(
+    w = Window.partitionBy("var").orderBy("file_no").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = (
-        chunks.select("file_no", "nt")
+        chunks.select("var", "file_no", "nt")
         .distinct()
         .withColumn(
             "t_off",
             F.coalesce(F.sum("nt").over(w), F.lit(0)) + F.lit(base_t),
         )
-        .select("file_no", "t_off")
+        .select("var", "file_no", "t_off")
     )
     n_out = max(1, min(len(files), sc.defaultParallelism))
     (
-        chunks.join(F.broadcast(offsets), "file_no")
+        chunks.join(F.broadcast(offsets), ["var", "file_no"])
         .withColumn("t0", F.col("lt0") + F.col("t_off"))
         .withColumn("t1", F.col("lt1") + F.col("t_off"))
         .drop("lt0", "lt1", "nt", "t_off", "file_no")
@@ -590,6 +604,7 @@ def build_virtual_mosaic(
         )
         .select(
             "file",
+            F.lit(f"band{band}").alias("var"),
             F.lit(0).cast("bigint").alias("t0"),
             F.lit(1).cast("bigint").alias("t1"),
             (F.col("ly0") + F.col("gy")).alias("y0"),
@@ -655,7 +670,7 @@ def compact_manifest(spark, manifest_path: str, out_path: str) -> str:
     from pyspark.sql import functions as F
 
     man = spark.read.parquet(os.path.join(manifest_path, "chunks"))
-    n_t = Window.partitionBy("file", "t0")
+    n_t = Window.partitionBy("file", "var", "t0")
     man = man.withColumn("n_at_t", F.count(F.lit(1)).over(n_t))
     mergeable = (
         (F.col("n_at_t") == 1)
@@ -666,7 +681,7 @@ def compact_manifest(spark, manifest_path: str, out_path: str) -> str:
     plain = man.filter(~mergeable).drop("n_at_t")
     cand = man.filter(mergeable).drop("n_at_t")
 
-    w = Window.partitionBy("file").orderBy("t0")
+    w = Window.partitionBy("file", "var").orderBy("t0")
     runs = (
         cand.withColumn(
             "brk",
@@ -685,7 +700,7 @@ def compact_manifest(spark, manifest_path: str, out_path: str) -> str:
                 w.rowsBetween(Window.unboundedPreceding, 0)
             ),
         )
-        .groupBy("file", "run")
+        .groupBy("file", "var", "run")
         .agg(
             F.min("t0").alias("t0"),
             F.max("t1").alias("t1"),
@@ -794,6 +809,7 @@ def read_virtual(
     time_range: tuple[int, int] | None = None,
     y_range: tuple[int, int] | None = None,
     x_range: tuple[int, int] | None = None,
+    var: str | None = None,
 ):
     """Scan a virtual dataset built by ``build_virtual_manifest`` ->
     the engine's long grid table ``(file, t_idx, y_idx, x_idx, lat,
@@ -815,6 +831,8 @@ def read_virtual(
     from wrf_to_geodataframe_spark.sources.hdf5 import decode_chunk_pipeline
 
     man = spark.read.parquet(os.path.join(manifest_path, "chunks"))
+    if var is not None:
+        man = man.filter(F.col("var") == var)
     for (col0, col1), rng in (
         (("t0", "t1"), time_range),
         (("y0", "y1"), y_range),
