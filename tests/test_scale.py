@@ -1102,3 +1102,66 @@ def test_virtual_manifest_300_files_pruned_read(spark, tmp_path):
         f"pruned 10-step read {t_read:.1f}s, "
         f"window touched {touched}/{n_files * 8} chunks"
     )
+
+
+@slow
+def test_virtual_mosaic_100_scenes_bbox_read(spark, tmp_path):
+    """Continental-mosaic shape: a 10x10 grid of 64x64 COG scenes
+    (409.6k pixels, deflate tiles) indexed into global pixel space;
+    a bbox straddling four scene corners reads through pruned byte
+    ranges and is value-exact."""
+    import time
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.sources.geotiff import write_geotiff
+    from wrf_to_geodataframe_spark.sources.virtual import (
+        bbox_to_windows,
+        build_virtual_mosaic,
+        read_virtual,
+    )
+
+    n, h, w = 10, 64, 64
+    d, out = str(tmp_path / "src"), str(tmp_path / "man")
+    os.makedirs(d)
+    for r in range(n):
+        for c in range(n):
+            gy, gx = np.meshgrid(
+                np.arange(h) + r * h, np.arange(w) + c * w,
+                indexing="ij",
+            )
+            write_geotiff(
+                os.path.join(d, f"scene_{r:02d}_{c:02d}.tif"),
+                ((gy * 10000.0 + gx) / 8.0),
+                transform=(0.125, 0, 0.0 + c * w * 0.125,
+                           0, -0.25, 80.0 - r * h * 0.25),
+                epsg=4326, tiled=True, tile=(16, 16), compression=8,
+            )
+    t0 = time.monotonic()
+    build_virtual_mosaic(spark, d, out)
+    t_build = time.monotonic() - t0
+    man = spark.read.parquet(os.path.join(out, "chunks"))
+    total = man.count()
+    assert total == n * n * 16  # 4x4 tiles per scene
+    # bbox centered on the seam between scenes (4,4)..(5,5)
+    yr, xr = bbox_to_windows(
+        spark, out, lat_range=(-2.0, 2.0), lon_range=(38.0, 42.0)
+    )
+    touched = man.filter(
+        (F.col("y1") > yr[0]) & (F.col("y0") <= yr[1])
+        & (F.col("x1") > xr[0]) & (F.col("x0") <= xr[1])
+    ).count()
+    t0 = time.monotonic()
+    rows = read_virtual(spark, out, y_range=yr, x_range=xr).collect()
+    t_read = time.monotonic() - t0
+    assert len(rows) == (yr[1] - yr[0] + 1) * (xr[1] - xr[0] + 1)
+    for r_ in rows[:: max(1, len(rows) // 101)]:
+        assert r_["value"] == (
+            r_["y_idx"] * 10000.0 + r_["x_idx"]
+        ) / 8.0
+    assert touched < total * 0.05  # bbox touches < 5% of the tiles
+    print(
+        f"\nmosaic 100 scenes: build {t_build:.1f}s, bbox read "
+        f"{t_read:.1f}s, touched {touched}/{total} tiles"
+    )
