@@ -575,3 +575,24 @@ def test_zorder_sort_tightens_rowgroup_stats(spark, tmp_path):
     # the unsorted layout touches (nearly) everything; z-order prunes
     assert pt >= ptot * 0.9
     assert zt <= ztot * 0.5, (zt, ztot)
+
+
+def test_merge_upsert_reuses_key_partitioning(spark):
+    """Both dedup windows and the full outer join share the user_id
+    key: the plan must contain no cartesian and at most the two
+    window exchanges — the join itself rides the existing
+    partitioning."""
+    from wrf_to_geodataframe_spark.suite.relational import QUERIES
+
+    plan = _plan(QUERIES["merge_upsert"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_graph_triangles_all_equi_joins(spark):
+    from wrf_to_geodataframe_spark.suite.relational import QUERIES
+
+    plan = _plan(QUERIES["graph_triangles"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
