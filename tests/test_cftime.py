@@ -30,7 +30,7 @@ def test_parse_units_grammar():
     ]:
         s, base = parse_cf_time_units(units)
         assert s == step, units
-        assert base == np.datetime64(ref, "ns"), units
+        assert base == int(np.datetime64(ref, "ns").astype("int64")), units
 
 
 def test_parse_units_rejects_garbage():
@@ -47,6 +47,33 @@ def test_decode_values_and_floats():
     assert t[2] == np.datetime64("2020-03-01T12:30:00")
     d = cf_times_to_datetime64([365], "days since 2019-01-01")
     assert d[0] == np.datetime64("2020-01-01T00:00:00")
+
+
+def test_pre1678_reference_epoch_exact():
+    # 'days since 0001-01-01' is a common CF epoch; the reference
+    # itself is OUTSIDE the datetime64[ns] window but base+offset can
+    # land inside it.  date(1970,1,1).toordinal()-date(1,1,1).toordinal()
+    # == 719162 proleptic-Gregorian days.
+    t = cf_times_to_datetime64([719162], "days since 0001-01-01")
+    assert t[0] == np.datetime64("1970-01-01T00:00:00")
+    t = cf_times_to_datetime64(
+        [719162 * 24 + 6], "hours since 0001-01-01"
+    )
+    assert t[0] == np.datetime64("1970-01-01T06:00:00")
+
+
+def test_out_of_range_offsets_raise_not_wrap():
+    # numpy 1.26 silently wraps np.datetime64('1600-01-01','ns') to
+    # 2184-07-20; the loud-rejection contract requires ValueError for
+    # any base+offset outside 1677-09-21 .. 2262-04-11.
+    with pytest.raises(ValueError, match="representable range"):
+        cf_times_to_datetime64([0], "days since 1600-01-01")
+    with pytest.raises(ValueError, match="representable range"):
+        cf_times_to_datetime64([0], "days since 0001-01-01")
+    with pytest.raises(ValueError, match="representable range"):
+        cf_times_to_datetime64([200000], "days since 2000-01-01")
+    with pytest.raises(ValueError, match="non-finite"):
+        cf_times_to_datetime64([float("nan")], "days since 2000-01-01")
 
 
 def test_model_calendars_rejected():

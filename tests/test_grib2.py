@@ -736,3 +736,24 @@ def test_roundtrip_multi_message_file(tmp_path):
     write_grib2(p, msgs)
     out = read_grib2(p)
     assert [m["values"][0, 0] for m in out] == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_order2_with_too_few_points_is_grib2error():
+    # a malformed 5.3 message declaring order-2 spatial differencing
+    # with ndata <= order must raise Grib2Error (the loud-malformed
+    # contract), not IndexError from the recurrence seeding
+    from wrf_to_geodataframe_spark.sources.grib2 import _unpack_complex
+
+    s5 = bytearray(49)
+    struct.pack_into(">f", s5, 11, 0.0)   # reference value
+    s5[19] = 8                            # nbits
+    s5[21] = 1                            # group splitting: general
+    s5[22] = 0                            # missing mgmt: none
+    struct.pack_into(">I", s5, 31, 1)     # 1 group
+    struct.pack_into(">I", s5, 42, 1)     # last group length
+    s5[47] = 2                            # order 2
+    s5[48] = 1                            # 1 extra octet
+    with pytest.raises(Grib2Error, match="spatial differencing"):
+        _unpack_complex(bytes(s5), b"\x00" * 16, 1, 3, "t")
+    with pytest.raises(Grib2Error, match="spatial differencing"):
+        _unpack_complex(bytes(s5), b"\x00" * 16, 2, 3, "t")

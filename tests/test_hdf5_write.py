@@ -212,3 +212,47 @@ def test_compressed_round_trip(tmp_path):
     np.testing.assert_array_equal(
         read_hdf5(comp2)["variables"]["T2"]["data"], t2
     )
+
+
+def test_chunk_btree_trailing_key_is_full(tmp_path):
+    """The v1 chunk B-tree's 2K+1-th (right-most) key must be a FULL
+    key — size 0, mask 0, then ndims uint64 offsets strictly above
+    every chunk offset.  libhdf5's H5D__btree_cmp3 compares lookups
+    per-component against it, so a short/zero trailing key makes every
+    chunk except (0,..,0) unfindable in h5py even though this repo's
+    own reader (which walks entries_used) never notices."""
+    import struct
+
+    p = str(tmp_path / "c.nc")
+    data = np.arange(6 * 8, dtype="float64").reshape(6, 8)
+    write_netcdf4(
+        p, {"y": 6, "x": 8},
+        {"v": {"dims": ["y", "x"], "data": data}},
+        compress=True, chunk=(2, 3),
+    )
+    buf = open(p, "rb").read()
+    pos = buf.find(b"TREE")
+    assert pos >= 0
+    node_type, level, entries = struct.unpack_from("<BBH", buf, pos + 4)
+    assert (node_type, level) == (1, 0)
+    assert entries == 3 * 3  # ceil(6/2) * ceil(8/3)
+    ndims = 3  # rank 2 + element dimension
+    key_sz = 4 + 4 + ndims * 8
+    off = pos + 4 + 1 + 1 + 2 + 8 + 8
+    seen = []
+    for _ in range(entries):
+        nbytes, mask = struct.unpack_from("<II", buf, off)
+        offs = struct.unpack_from("<QQQ", buf, off + 8)
+        assert nbytes > 0 and mask == 0 and offs[2] == 0
+        seen.append(offs[:2])
+        off += key_sz + 8  # key + child pointer
+    tr_nbytes, tr_mask = struct.unpack_from("<II", buf, off)
+    tr_offs = struct.unpack_from("<QQQ", buf, off + 8)
+    assert (tr_nbytes, tr_mask) == (0, 0)
+    # chunk-aligned extent: 6->6 (chunks of 2), 8->9 (chunks of 3)
+    assert tr_offs == (6, 9, 8)  # last = element size (float64)
+    for o in seen:  # strictly above every real chunk offset, per dim
+        assert o[0] < tr_offs[0] and o[1] < tr_offs[1]
+    # and the file still round-trips through the repo's reader
+    back = read_hdf5(p)["variables"]["v"]["data"]
+    np.testing.assert_array_equal(back, data)

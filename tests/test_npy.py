@@ -156,3 +156,29 @@ def test_truncated_npy_raises(tmp_path):
         except ValueError:
             continue
         raise AssertionError(f"no error at cut={cut}")
+
+
+def test_slab_scan_header_exceeding_prefix(spark, tmp_path):
+    # a v1 header may legally exceed the 4096-byte probe prefix (e.g.
+    # heavy alignment padding); read_npy_slabs must re-read using the
+    # declared header length rather than reporting truncation
+    import struct as _struct
+
+    from wrf_to_geodataframe_spark.sources.npy import read_npy_slabs
+
+    arr = np.arange(24, dtype="<f8").reshape(6, 4)
+    header = "{'descr': '<f8', 'fortran_order': False, 'shape': (6, 4), }"
+    pad = 8192 - 10 - len(header) - 1
+    header = header + " " * pad + "\n"
+    p = str(tmp_path / "bighead.npy")
+    with open(p, "wb") as f:
+        f.write(b"\x93NUMPY" + bytes([1, 0]))
+        f.write(_struct.pack("<H", len(header)))
+        f.write(header.encode("latin1"))
+        f.write(arr.tobytes())
+    assert np.load(p).shape == (6, 4)  # numpy agrees it is valid
+    rows = read_npy_slabs(spark, p, rows_per_task=2).collect()
+    assert len(rows) == 6
+    got = {r["row_idx"]: r["embedding"] for r in rows}
+    for i in range(6):
+        assert got[i] == list(arr[i])

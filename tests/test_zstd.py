@@ -193,6 +193,13 @@ def test_error_paths():
     with pytest.raises(ZstdError):
         zstd_decompress(b"\x28\xb5\x2f\xfd")  # truncated header
     assert zstd_decompress(b"") == b""
+    # skippable frames truncated inside or past the 8-byte header must
+    # surface as ZstdError, never struct.error or a silent clean EOF
+    skip_magic = struct.pack("<I", 0x184D2A50)
+    with pytest.raises(ZstdError, match="skippable"):
+        zstd_decompress(skip_magic + b"\x05\x00")  # cut inside size
+    with pytest.raises(ZstdError, match="skippable"):
+        zstd_decompress(struct.pack("<II", 0x184D2A50, 100) + b"short")
 
 
 @needs_cli

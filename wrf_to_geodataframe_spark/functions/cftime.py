@@ -38,15 +38,21 @@ _SUPPORTED_CALENDARS = {
 }
 
 
-def parse_cf_time_units(units: str) -> tuple[int, np.datetime64]:
-    """``"hours since 2020-01-01 00:00:00"`` ->
-    (seconds per unit, reference datetime64[ns])."""
-    m = re.match(r"^\s*(\w+)\s+since\s+(.*)$", units, re.IGNORECASE)
-    if not m:
-        raise ValueError(f"unparseable CF time units {units!r}")
-    unit, ref = m.group(1).lower(), m.group(2)
-    if unit not in _UNIT_SECONDS:
-        raise ValueError(f"unsupported CF time unit {unit!r}")
+# datetime64[ns] spans 1677-09-21T00:12:43.145224193 ..
+# 2262-04-11T23:47:16.854775807 (int64 ns around the 1970 epoch).
+# Kept as int constants so range checks are exact python-int
+# arithmetic, never wrapping int64.
+_NS_MIN = -(2**63) + 1  # NaT is -2**63
+_NS_MAX = 2**63 - 1
+
+
+def _ref_epoch_ns(ref: str) -> int:
+    """CF reference datetime string -> nanoseconds since the Unix
+    epoch as an exact python int (proleptic Gregorian).  Parsed at
+    seconds resolution first so references far outside the
+    datetime64[ns] window (e.g. ``0001-01-01``) never touch wrapping
+    int64 arithmetic — numpy 1.26 silently wraps
+    ``np.datetime64('1600-01-01', 'ns')`` to 2184-07-20."""
     rm = _REF_RE.match(ref)
     if not rm:
         raise ValueError(f"unparseable CF reference datetime {ref!r}")
@@ -54,14 +60,34 @@ def parse_cf_time_units(units: str) -> tuple[int, np.datetime64]:
     hh = int(rm.group(4) or 0)
     mm = int(rm.group(5) or 0)
     ss = float(rm.group(6) or 0.0)
-    base = np.datetime64(f"{y:04d}-{mo:02d}-{d:02d}", "ns")
-    base = (
-        base
-        + np.timedelta64(hh, "h")
-        + np.timedelta64(mm, "m")
-        + np.timedelta64(round(ss * 1_000_000_000), "ns")
-    )
-    return _UNIT_SECONDS[unit], base
+    # days since 1970-01-01 via datetime64[D] at year resolution is
+    # still wrap-prone; use the proleptic-Gregorian day-number formula
+    # (valid for all years >= 1) instead.
+    if not (1 <= mo <= 12 and 1 <= d <= 31):
+        raise ValueError(f"unparseable CF reference datetime {ref!r}")
+    a = (14 - mo) // 12
+    yy = y + 4800 - a
+    mm_ = mo + 12 * a - 3
+    jdn = d + (153 * mm_ + 2) // 5 + 365 * yy + yy // 4 - yy // 100 + yy // 400 - 32045
+    days = jdn - 2440588  # JDN of 1970-01-01
+    frac_ns = round(ss * 1_000_000_000)
+    return ((days * 24 + hh) * 60 + mm) * 60 * 1_000_000_000 + frac_ns
+
+
+def parse_cf_time_units(units: str) -> tuple[int, int]:
+    """``"hours since 2020-01-01 00:00:00"`` ->
+    (seconds per unit, reference epoch in exact-int nanoseconds).
+
+    The reference may fall OUTSIDE the datetime64[ns] window (common
+    epochs like ``days since 0001-01-01`` do); only base+offset must
+    land inside it, which :func:`cf_times_to_datetime64` enforces."""
+    m = re.match(r"^\s*(\w+)\s+since\s+(.*)$", units, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"unparseable CF time units {units!r}")
+    unit, ref = m.group(1).lower(), m.group(2)
+    if unit not in _UNIT_SECONDS:
+        raise ValueError(f"unsupported CF time unit {unit!r}")
+    return _UNIT_SECONDS[unit], _ref_epoch_ns(ref)
 
 
 def cf_times_to_datetime64(
@@ -75,7 +101,24 @@ def cf_times_to_datetime64(
             f"calendar {calendar!r} has no datetime64 representation "
             "(360_day/noleap need model-calendar arithmetic)"
         )
-    step, base = parse_cf_time_units(units)
+    step, base_ns = parse_cf_time_units(units)
     v = np.asarray(values, dtype="float64")
-    ns = np.rint(v * step * 1e9).astype("int64")
-    return base + ns.astype("timedelta64[ns]")
+    out = np.empty(v.shape, dtype="int64")
+    flat_v = v.ravel()
+    flat_o = out.ravel()
+    step_ns = step * 1_000_000_000
+    for i, x in enumerate(flat_v):
+        # exact python-int arithmetic end to end: the base may sit far
+        # outside the ns window (days since 0001-01-01) as long as
+        # base+offset lands inside it
+        if not np.isfinite(x):
+            raise ValueError(f"non-finite CF time value {x!r}")
+        ns = base_ns + round(float(x) * step_ns)
+        if not (_NS_MIN <= ns <= _NS_MAX):
+            raise ValueError(
+                f"CF time value {x!r} {units!r} is outside the "
+                "datetime64[ns] representable range (1677-09-21 .. "
+                "2262-04-11); refusing to wrap silently"
+            )
+        flat_o[i] = ns
+    return out.view("datetime64[ns]")

@@ -171,6 +171,14 @@ def _unpack_complex(s5: bytes, payload: bytes, ndata: int,
         order, extra_octets = s5[47], s5[48]
         if order not in (1, 2):
             raise Grib2Error(f"{name}: spatial differencing order {order}")
+        if ndata <= order:
+            # the recurrence seeds `order` initial values x[0..order-1];
+            # a message declaring fewer data points than that is
+            # malformed and must surface as Grib2Error, not IndexError
+            raise Grib2Error(
+                f"{name}: order-{order} spatial differencing needs "
+                f"> {order} data points, message declares {ndata}"
+            )
         for _ in range(order + 1):
             u = int.from_bytes(payload[pos:pos + extra_octets], "big")
             h.append(_smag(u, extra_octets * 8))

@@ -219,7 +219,17 @@ def _chunked_messages(
         node += struct.pack("<II", nbytes, 0)
         node += b"".join(struct.pack("<Q", o) for o in off)
         node += struct.pack("<QQ", 0, addr)
-    node += struct.pack("<II", 0, 0)  # trailing key
+    # trailing (2K+1-th) key: a FULL key — size 0, mask 0, and ndims
+    # offsets strictly above every real chunk offset (chunk-aligned
+    # dataset extent, element-size in the final dim), matching what
+    # libhdf5 emits.  libhdf5's H5D__btree_cmp3 compares lookups
+    # per-component against this right-most key; a short/zero key makes
+    # every chunk except (0,..,0) report "not found" in h5py.
+    node += struct.pack("<II", 0, 0)
+    node += b"".join(
+        struct.pack("<Q", g * c) for g, c in zip(grid, chunk)
+    )
+    node += struct.pack("<Q", elem)
     btree = b._alloc(bytes(node))
     if method == "szip":
         filters = struct.pack("<BB2x4x", 1, 1)

@@ -177,6 +177,20 @@ def read_npy_slabs(spark, path: str, rows_per_task: int = 65536):
     manifest — no chunk index to build or store."""
     with open(path, "rb") as f:
         head = f.read(4096)
+        # a valid header may exceed the fixed prefix (v1 allows up to
+        # 64 KiB, v2/v3 up to 4 GiB — long structured descrs or heavy
+        # padding); the declared header length is in the first 12
+        # bytes, so re-read exactly what's needed before failing
+        if len(head) >= 12 and head[:6] == _MAGIC:
+            if head[6] == 1:
+                need = 10 + struct.unpack_from("<H", head, 8)[0]
+            elif head[6] in (2, 3):
+                need = 12 + struct.unpack_from("<I", head, 8)[0]
+            else:
+                need = len(head)
+            if need > len(head):
+                f.seek(0)
+                head = f.read(need)
     info = npy_info(head, path)
     if info["fortran"]:
         raise ValueError(f"{path}: Fortran-order file is not row-splittable")

@@ -746,7 +746,18 @@ def zstd_decompress(data: bytes, zdict: ZstdDict | bytes | None = None) -> bytes
             raise ZstdError("trailing garbage shorter than a magic")
         magic = struct.unpack_from("<I", data, pos)[0]
         if _MAGIC_SKIP_LO <= magic <= _MAGIC_SKIP_HI:
+            # bounds-check BEFORE reading/skipping: a frame truncated
+            # inside the 8-byte skippable header must surface as
+            # ZstdError (not struct.error), and a declared size past
+            # EOF is a truncated file, not a clean end of input
+            if pos + 8 > n:
+                raise ZstdError("truncated skippable-frame header")
             size = struct.unpack_from("<I", data, pos + 4)[0]
+            if pos + 8 + size > n:
+                raise ZstdError(
+                    f"skippable frame declares {size} bytes but only "
+                    f"{n - pos - 8} remain"
+                )
             pos += 8 + size
             continue
         if magic != _MAGIC:
