@@ -53,12 +53,64 @@ def _object_header(messages: list[bytes]) -> bytes:
     return struct.pack("<BxHII4x", 1, len(messages), 1, len(blob)) + blob
 
 
-def _dataspace(shape: tuple[int, ...]) -> bytes:
+def _dataspace(
+    shape: tuple[int, ...], maxshape: tuple[int, ...] | None = None
+) -> bytes:
+    """v1 dataspace; ``maxshape`` (unlimited = ``_UNDEF``) sets flag
+    bit 0 and appends max dims — required for appendable datasets."""
     if not shape:
         return struct.pack("<BBB5x", 1, 0, 0)  # scalar
-    return struct.pack("<BBB5x", 1, len(shape), 0) + b"".join(
-        struct.pack("<Q", s) for s in shape
-    )
+    body = struct.pack(
+        "<BBB5x", 1, len(shape), 1 if maxshape is not None else 0
+    ) + b"".join(struct.pack("<Q", s) for s in shape)
+    if maxshape is not None:
+        body += b"".join(struct.pack("<Q", m) for m in maxshape)
+    return body
+
+
+def _lookup3(data: bytes, init: int = 0) -> int:
+    """Jenkins lookup3 ``hashlittle`` — H5_checksum_lookup3, the
+    checksum on every piece of libver-latest metadata (extensible
+    array blocks here).  Public algorithm (Bob Jenkins, lookup3.c,
+    public domain; same function libhdf5 vendors)."""
+    M = 0xFFFFFFFF
+
+    def rot(x: int, k: int) -> int:
+        return ((x << k) | (x >> (32 - k))) & M
+
+    def mix(a: int, b: int, c: int):
+        a = (a - c) & M; a ^= rot(c, 4); c = (c + b) & M
+        b = (b - a) & M; b ^= rot(a, 6); a = (a + c) & M
+        c = (c - b) & M; c ^= rot(b, 8); b = (b + a) & M
+        a = (a - c) & M; a ^= rot(c, 16); c = (c + b) & M
+        b = (b - a) & M; b ^= rot(a, 19); a = (a + c) & M
+        c = (c - b) & M; c ^= rot(b, 4); b = (b + a) & M
+        return a, b, c
+
+    a = b = c = (0xDEADBEEF + len(data) + init) & M
+    i, left = 0, len(data)
+    while left > 12:
+        a = (a + int.from_bytes(data[i:i + 4], "little")) & M
+        b = (b + int.from_bytes(data[i + 4:i + 8], "little")) & M
+        c = (c + int.from_bytes(data[i + 8:i + 12], "little")) & M
+        a, b, c = mix(a, b, c)
+        i += 12
+        left -= 12
+    if left == 0:
+        return c  # zero-length input: no final mixing
+    tail = data[i:] + b"\x00" * (12 - left)
+    a = (a + int.from_bytes(tail[0:4], "little")) & M
+    b = (b + int.from_bytes(tail[4:8], "little")) & M
+    c = (c + int.from_bytes(tail[8:12], "little")) & M
+    # final()
+    c ^= b; c = (c - rot(b, 14)) & M
+    a ^= c; a = (a - rot(c, 11)) & M
+    b ^= a; b = (b - rot(a, 25)) & M
+    c ^= b; c = (c - rot(b, 16)) & M
+    a ^= c; a = (a - rot(c, 4)) & M
+    b ^= a; b = (b - rot(a, 14)) & M
+    c ^= b; c = (c - rot(b, 24)) & M
+    return c
 
 
 def _datatype(dtype: np.dtype) -> bytes:
@@ -255,6 +307,203 @@ def _chunked_messages(
     ]
 
 
+# libhdf5's fixed chunk-index creation parameters (H5Dearray.c)
+_EA_MAX_NELMTS_BITS = 32
+_EA_IDX_BLK_ELMTS = 4
+_EA_SUP_BLK_MIN_DATA_PTRS = 4
+_EA_DATA_BLK_MIN_ELMTS = 16
+_EA_MAX_DBLK_PAGE_NELMTS_BITS = 10
+
+
+def _earray_messages(
+    b: "_Hdf5Builder",
+    arr: np.ndarray,
+    chunk: tuple[int, ...] | None,
+    unlimited_axis: int,
+    method: str | None = "deflate",
+) -> list[bytes]:
+    """Dataspace/datatype/(filter)/v4-layout messages for a chunked
+    dataset behind an EXTENSIBLE ARRAY chunk index — the libver-latest
+    default for one-unlimited-dimension datasets, i.e. the
+    time-appendable NetCDF-4 layout the reference's entry point opens
+    (wrf_voronoi.py:115, UNLIMITED ``XTIME``).  Spec III.G: EAHD
+    header, EAIB index block (direct elements + direct data-block
+    addresses + super-block addresses), EASB super blocks, EADB data
+    blocks; libhdf5's default creation parameters; Jenkins-lookup3
+    checksums on every block.  Elements are ordered with the unlimited
+    dimension swizzled to the SLOWEST position.  Paged data blocks
+    (beyond ~131k stored chunks at the default parameters) are
+    rejected loudly — appendable sinks that large should shard files
+    instead (``write_netcdf_dir``)."""
+    if chunk is None:
+        chunk = tuple(min(s, 64) for s in arr.shape)
+    if len(chunk) != arr.ndim:
+        raise ValueError(f"chunk rank {len(chunk)} != data rank {arr.ndim}")
+    elem = arr.dtype.itemsize
+    chunk_bytes = int(np.prod(chunk, initial=1)) * elem
+    client = 0 if method is None else 1
+    # variable chunk-size width per H5D__earray_crt_context
+    size_len = min(8, 1 + ((chunk_bytes.bit_length() - 1) + 8) // 8)
+    elmt_size = 8 if client == 0 else 8 + size_len + 4
+    arr_off = (_EA_MAX_NELMTS_BITS + 7) // 8
+
+    # encode chunks in swizzled linear order (unlimited axis slowest)
+    grid = [-(-s // c) for s, c in zip(arr.shape, chunk)]
+    fixed = [d for d in range(arr.ndim) if d != unlimited_axis]
+    elements: list[bytes] = []
+    for qu in range(grid[unlimited_axis]):
+        def rec(d_i: int, coords: dict):
+            if d_i == len(fixed):
+                off = tuple(
+                    (qu if d == unlimited_axis else coords[d]) * chunk[d]
+                    for d in range(arr.ndim)
+                )
+                block = np.zeros(chunk, arr.dtype)
+                sel = tuple(
+                    slice(o, min(o + c, s))
+                    for o, c, s in zip(off, chunk, arr.shape)
+                )
+                trim = tuple(slice(0, s.stop - s.start) for s in sel)
+                block[trim] = arr[sel]
+                raw = block.tobytes()
+                if client == 0:
+                    elements.append(
+                        struct.pack("<Q", b._alloc(raw))
+                    )
+                else:
+                    shuffled = (
+                        np.frombuffer(raw, np.uint8)
+                        .reshape(len(raw) // elem, elem)
+                        .T.tobytes()
+                    )
+                    comp = zlib.compress(shuffled, 6)
+                    elements.append(
+                        struct.pack("<Q", b._alloc(comp))
+                        + len(comp).to_bytes(size_len, "little")
+                        + struct.pack("<I", 0)
+                    )
+                return
+            for v in range(grid[fixed[d_i]]):
+                rec(d_i + 1, {**coords, fixed[d_i]: v})
+        rec(0, {})
+    n = len(elements)
+
+    # super-block geometry (H5EA__hdr_init)
+    nsblks_total = 1 + (
+        _EA_MAX_NELMTS_BITS - (_EA_DATA_BLK_MIN_ELMTS.bit_length() - 1)
+    ) // 2
+    geo, start = [], 0
+    for s in range(nsblks_total):
+        nd = 1 << (s // 2)
+        ne = (1 << ((s + 1) // 2)) * _EA_DATA_BLK_MIN_ELMTS
+        geo.append((nd, ne, start))
+        start += nd * ne
+    nsblks_direct = 2 * (_EA_SUP_BLK_MIN_DATA_PTRS.bit_length() - 1)
+    ndblk_addrs = 2 * (_EA_SUP_BLK_MIN_DATA_PTRS - 1)
+    nsblk_addrs = nsblks_total - nsblks_direct
+    page_nelmts = 1 << _EA_MAX_DBLK_PAGE_NELMTS_BITS
+
+    hdr_addr = b._alloc(b"\x00" * 72)  # EAHD patched in below
+
+    def csum(body: bytearray) -> bytes:
+        return bytes(body) + struct.pack("<I", _lookup3(bytes(body)))
+
+    def dblock(base: int, nelmts: int) -> int:
+        if base >= n:
+            return _UNDEF
+        if nelmts > page_nelmts:
+            raise ValueError(
+                f"{n} chunks exceed the unpaged extensible-array "
+                "capacity; shard the archive (write_netcdf_dir) instead"
+            )
+        body = bytearray(b"EADB" + bytes([0, client]))
+        body += struct.pack("<Q", hdr_addr)
+        body += base.to_bytes(arr_off, "little")
+        for i in range(base, base + nelmts):
+            body += (
+                elements[i] if i < n
+                else b"\xff" * 8 + b"\x00" * (elmt_size - 8)
+            )
+        return b._alloc(csum(body))
+
+    direct = []
+    for s in range(nsblks_direct):
+        nd, ne, st = geo[s]
+        for d in range(nd):
+            direct.append(dblock(_EA_IDX_BLK_ELMTS + st + d * ne, ne))
+    sblk_addrs = []
+    for k in range(nsblk_addrs):
+        s = nsblks_direct + k
+        nd, ne, st = geo[s]
+        if _EA_IDX_BLK_ELMTS + st >= n:
+            sblk_addrs.append(_UNDEF)
+            continue
+        dblks = [
+            dblock(_EA_IDX_BLK_ELMTS + st + d * ne, ne)
+            for d in range(nd)
+        ]
+        body = bytearray(b"EASB" + bytes([0, client]))
+        body += struct.pack("<Q", hdr_addr)
+        body += (_EA_IDX_BLK_ELMTS + st).to_bytes(arr_off, "little")
+        body += b"".join(struct.pack("<Q", a) for a in dblks)
+        sblk_addrs.append(b._alloc(csum(body)))
+    iblk = bytearray(b"EAIB" + bytes([0, client]))
+    iblk += struct.pack("<Q", hdr_addr)
+    for i in range(_EA_IDX_BLK_ELMTS):
+        iblk += (
+            elements[i] if i < n
+            else b"\xff" * 8 + b"\x00" * (elmt_size - 8)
+        )
+    iblk += b"".join(struct.pack("<Q", a) for a in direct)
+    iblk += b"".join(struct.pack("<Q", a) for a in sblk_addrs)
+    iblk_addr = b._alloc(csum(iblk))
+
+    ndblks_alloc = sum(1 for a in direct if a != _UNDEF)
+    nsb_alloc = sum(1 for a in sblk_addrs if a != _UNDEF)
+    hdr = bytearray(b"EAHD" + bytes([
+        0, client, elmt_size, _EA_MAX_NELMTS_BITS, _EA_IDX_BLK_ELMTS,
+        _EA_DATA_BLK_MIN_ELMTS, _EA_SUP_BLK_MIN_DATA_PTRS,
+        _EA_MAX_DBLK_PAGE_NELMTS_BITS,
+    ]))
+    hdr += struct.pack(
+        "<QQQQQQ", nsb_alloc, 0, ndblks_alloc, 0, n, n
+    )
+    hdr += struct.pack("<Q", iblk_addr)
+    hdr = csum(hdr)
+    b.buf[hdr_addr:hdr_addr + 72] = hdr
+
+    maxshape = tuple(
+        _UNDEF if d == unlimited_axis else s
+        for d, s in enumerate(arr.shape)
+    )
+    layout = struct.pack("<BBBBB", 4, 2, 0, arr.ndim + 1, 4)
+    for c in chunk:
+        layout += struct.pack("<I", c)
+    layout += struct.pack("<I", elem)
+    layout += bytes([4])  # chunk index: extensible array
+    layout += bytes([
+        _EA_MAX_NELMTS_BITS, _EA_IDX_BLK_ELMTS,
+        _EA_SUP_BLK_MIN_DATA_PTRS, _EA_DATA_BLK_MIN_ELMTS,
+        _EA_MAX_DBLK_PAGE_NELMTS_BITS,
+    ])
+    layout += struct.pack("<Q", hdr_addr)
+    msgs = [
+        _msg(0x0001, _dataspace(arr.shape, maxshape)),
+        _msg(0x0003, _datatype(arr.dtype)),
+    ]
+    if client == 1:
+        filters = struct.pack("<BB2x4x", 1, 2)
+        filters += struct.pack("<HHHH", 2, 0, 0, 1) + struct.pack(
+            "<I4x", elem
+        )
+        filters += struct.pack("<HHHH", 1, 0, 0, 1) + struct.pack(
+            "<I4x", 6
+        )
+        msgs.append(_msg(0x000B, filters))
+    msgs.append(_msg(0x0008, layout))
+    return msgs
+
+
 def write_netcdf4(
     path: str,
     dims: dict[str, int],
@@ -262,6 +511,7 @@ def write_netcdf4(
     attrs: dict | None = None,
     compress: bool | str = False,
     chunk: tuple[int, ...] | dict[str, tuple[int, ...]] | None = None,
+    unlimited: str | None = None,
 ) -> None:
     """Write a NetCDF-4 (HDF5) file — the same call shape as
     ``write_netcdf`` (classic).
@@ -282,9 +532,19 @@ def write_netcdf4(
     ``chunk`` overrides the
     default per-axis chunk shape ``min(axis, 64)`` — either one tuple
     (applied where the rank matches; others keep the default) or a
-    dict of variable name -> chunk shape."""
+    dict of variable name -> chunk shape.
+
+    ``unlimited`` names ONE dimension as appendable: chunked data
+    variables over it get the libver-latest EXTENSIBLE ARRAY chunk
+    index and an unlimited-maxdims dataspace (the time-appendable
+    WRF/NetCDF-4 archive shape — reference wrf_voronoi.py:115);
+    variables not over it, and the dimension scales, keep the fixed
+    layouts.  Requires ``compress`` truthy (EA written here is always
+    chunked)."""
     b = _Hdf5Builder()
     dim_order = list(dims)
+    if unlimited is not None and unlimited not in dims:
+        raise ValueError(f"unlimited dimension {unlimited!r} not in dims")
 
     def _chunk_for(name: str, arr: np.ndarray):
         if isinstance(chunk, dict):
@@ -294,10 +554,18 @@ def write_netcdf4(
         return chunk
 
     def _write_dataset(name: str, arr: np.ndarray, msgs_extra: list[bytes],
-                       chunked: bool = False):
+                       chunked: bool = False, unlim_axis: int | None = None):
         arr = np.ascontiguousarray(arr)
         arr = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
-        if chunked and arr.ndim >= 1 and arr.size:
+        if chunked and arr.ndim >= 1 and arr.size and unlim_axis is not None:
+            if compress == "szip":
+                raise ValueError(
+                    "unlimited + szip is not supported; use deflate"
+                )
+            msgs = _earray_messages(
+                b, arr, _chunk_for(name, arr), unlim_axis,
+            )
+        elif chunked and arr.ndim >= 1 and arr.size:
             msgs = _chunked_messages(
                 b, arr, _chunk_for(name, arr),
                 method="szip" if compress == "szip" else "deflate",
@@ -360,7 +628,14 @@ def write_netcdf4(
             for k, v in spec.get("attrs", {}).items()
         ]
         extra.append(b._dimension_list([b.headers[d] for d in vdims]))
-        _write_dataset(name, arr, extra, chunked=compress)
+        _write_dataset(
+            name, arr, extra, chunked=compress,
+            unlim_axis=(
+                vdims.index(unlimited)
+                if unlimited is not None and unlimited in vdims
+                else None
+            ),
+        )
 
     _finalize(b, path, attrs)
 

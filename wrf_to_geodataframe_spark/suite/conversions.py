@@ -534,7 +534,10 @@ def s1_virtual_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "XLONG": {"dims": ["y", "x"], "data": lon},
                 },
             )
-        else:  # NetCDF-4, chunked + shuffle + deflate
+        else:  # NetCDF-4, chunked + shuffle + deflate; shard 2 is
+            # TIME-APPENDABLE (unlimited t -> Extensible Array chunk
+            # index, the libver-latest default the reference's entry
+            # point opens), so the manifest covers both v4 index shapes
             write_netcdf4(
                 path,
                 {"t": nt, "y": ny, "x": nx},
@@ -545,6 +548,7 @@ def s1_virtual_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 },
                 compress=True,
                 chunk={"T2": (2, 4, 3)},
+                unlimited="t" if fno == 2 else None,
             )
     build_virtual_manifest(spark, d, "T2", "XLAT", "XLONG", out)
     df = read_virtual(spark, out, time_range=(_V_TLO, _V_THI))
