@@ -1165,3 +1165,79 @@ def test_virtual_mosaic_100_scenes_bbox_read(spark, tmp_path):
         f"\nmosaic 100 scenes: build {t_build:.1f}s, bbox read "
         f"{t_read:.1f}s, touched {touched}/{total} tiles"
     )
+
+
+@slow
+def test_virtual_100_distinct_grids_bounded_driver(spark, tmp_path):
+    """The adversarial sidecar shape: 100 files, EVERY one on a
+    DISTINCT 64x64 curvilinear grid (no hash dedup possible — the
+    sidecar is 100 x 64 x 64 x 16 B = 6.6 MB of coordinate arrays).
+    (a) bbox_to_windows computes per-grid windows ON EXECUTORS and
+    collects only the 4-number union — asserted by running it under a
+    sidecar far over the read cap; (b) read_virtual's named guard
+    trips at a cap below the sidecar size and succeeds above it;
+    (c) the guarded read is value-exact on a pruned window."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.sources.hdf5_write import write_netcdf4
+    from wrf_to_geodataframe_spark.sources.virtual import (
+        bbox_to_windows,
+        build_virtual_manifest,
+        read_virtual,
+    )
+
+    n_files, nt, ny, nx = 100, 2, 64, 64
+    d = str(tmp_path / "src")
+    out = str(tmp_path / "man")
+    os.makedirs(d)
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    tt = np.arange(nt)
+    for f in range(n_files):
+        # distinct grid per file: shifted origin -> distinct hash
+        write_netcdf4(
+            os.path.join(d, f"shard_{f:04d}.nc"),
+            {"t": nt, "y": ny, "x": nx},
+            {
+                "T2": {"dims": ["t", "y", "x"],
+                       "data": (f * 100000.0 + tt[:, None, None] * 1000
+                                + yy * nx + xx)},
+                "XLAT": {"dims": ["y", "x"],
+                         "data": 40.0 + f * 0.01 + yy * 0.25},
+                "XLONG": {"dims": ["y", "x"],
+                          "data": -9.0 + f * 0.01 + xx * 0.125},
+            },
+            compress=True,
+            chunk={"T2": (1, 32, 32)},
+        )
+    build_virtual_manifest(spark, d, "T2", "XLAT", "XLONG", out)
+    coords = spark.read.parquet(os.path.join(out, "coords"))
+    n_grids = coords.count()
+    assert n_grids == n_files  # no dedup possible: all distinct
+    sidecar_bytes = coords.agg(
+        F.sum(F.length("lat") + F.length("lon"))
+    ).collect()[0][0]
+    assert sidecar_bytes == n_files * ny * nx * 16
+
+    # (a) executor-side window search: only the union row reaches the
+    # driver, no grid bytes — works regardless of sidecar size
+    yr, xr = bbox_to_windows(
+        spark, out, lat_range=(41.0, 41.5), lon_range=(-8.5, -8.0)
+    )
+    assert yr is not None and xr is not None
+    # grid 0 places lat 41.0..41.5 at y 4..6; later grids shift down
+    assert yr[0] >= 0 and yr[1] < ny and xr[0] >= 0 and xr[1] < nx
+
+    # (b) the read guard: named failure below the sidecar size,
+    # success above it
+    with pytest.raises(ValueError, match="too large to broadcast"):
+        read_virtual(spark, out, max_sidecar_bytes=sidecar_bytes - 1)
+    rows = read_virtual(
+        spark, out, time_range=(0, 0), y_range=yr, x_range=xr,
+        max_sidecar_bytes=sidecar_bytes + 1024,
+    ).collect()
+    assert rows
+    # (c) value-exact on the pruned window (file 0 owns t_idx 0)
+    for r in rows:
+        assert r["value"] == r["y_idx"] * nx + r["x_idx"]
+        assert abs(r["lat"] - (40.0 + r["y_idx"] * 0.25)) < 1e-12

@@ -608,3 +608,54 @@ def test_multi_variable_manifest_selects_by_var(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters" in plan and "EqualTo(var,T2" in plan
+
+
+def test_sidecar_size_guard_named_error(spark, archive):
+    """read_virtual measures the coordinate sidecar EXECUTOR-side and
+    refuses to broadcast one over max_sidecar_bytes with a named
+    error — the many-distinct-grids archive must not OOM the driver."""
+    _, out = archive
+    with pytest.raises(ValueError, match="too large to broadcast"):
+        read_virtual(spark, out, max_sidecar_bytes=16).collect()
+    # raising the cap back restores the read
+    assert len(read_virtual(spark, out, time_range=(0, 0),
+                            max_sidecar_bytes=256 * 2**20).collect()) > 0
+
+
+def test_update_manifest_anti_join_appends_only_new(spark, tmp_path):
+    """update_virtual_manifest diffs the directory listing against the
+    indexed set with a LEFT ANTI join (driver collects only the NEW
+    batch) and appends at the end of the global time axis."""
+    from wrf_to_geodataframe_spark.sources.virtual import (
+        update_virtual_manifest,
+    )
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    _write_archive(d, n_files=2, classic_every=0)
+    out = str(tmp_path / "man")
+    build_virtual_manifest(spark, d, "T2", "XLAT", "XLONG", out)
+    assert update_virtual_manifest(
+        spark, d, "T2", "XLAT", "XLONG", out
+    ) == 0  # no-op: nothing new
+    # drop two more files in and re-update
+    yy, xx = np.meshgrid(np.arange(NY), np.arange(NX), indexing="ij")
+    lat = (50.0 + yy * 0.25).astype("float64")
+    lon = (-3.0 + xx * 0.125).astype("float64")
+    for f in (2, 3):
+        tt = np.arange(NT)
+        vals = _val(f, tt[:, None, None], yy, xx).astype("float64")
+        write_netcdf4(
+            os.path.join(d, f"shard_{f}.nc"),
+            {"t": NT, "y": NY, "x": NX},
+            {
+                "T2": {"dims": ["t", "y", "x"], "data": vals},
+                "XLAT": {"dims": ["y", "x"], "data": lat},
+                "XLONG": {"dims": ["y", "x"], "data": lon},
+            },
+            compress=True, chunk={"T2": (2, 4, 3)},
+        )
+    assert update_virtual_manifest(
+        spark, d, "T2", "XLAT", "XLONG", out
+    ) == 2
+    assert _got(read_virtual(spark, out)) == _expected(files=range(4))

@@ -360,12 +360,14 @@ def update_virtual_manifest(
     new batch), leaving every existing row untouched.  Returns the
     number of newly indexed files (0 = no-op, nothing written).
 
-    The already-indexed file set is one DISTINCT projection of the
-    chunk table (O(#files) rows — the same driver-side footprint as
-    the glob listing itself); the new batch's metadata walk runs on
-    executors exactly like the initial build.  New coordinate grids
-    append to the sidecar; readers dedupe by hash, so re-appending a
-    grid that is already present is harmless."""
+    The new-file set is computed with a LEFT ANTI join of the
+    directory listing against the chunk table's distinct files — at
+    million-file archive scale the driver collects only the NEW batch
+    (bounded by the day's arrivals), never the full indexed file list.
+    The new batch's metadata walk runs on executors exactly like the
+    initial build.  New coordinate grids append to the sidecar;
+    readers dedupe by hash, so re-appending a grid that is already
+    present is harmless."""
     from pyspark.sql import functions as F
 
     files = (
@@ -375,10 +377,13 @@ def update_virtual_manifest(
     )
     chunks_path = os.path.join(out_path, "chunks")
     existing = spark.read.parquet(chunks_path)
-    seen = {
-        r["file"] for r in existing.select("file").distinct().collect()
-    }
-    new = [f for f in files if f not in seen]
+    listing = spark.createDataFrame([(f,) for f in files], "file string")
+    new = sorted(
+        r["file"]
+        for r in listing.join(
+            existing.select("file").distinct(), "file", "left_anti"
+        ).collect()
+    )
     if not new:
         return 0
     base = existing.agg(F.max("t1")).collect()[0][0]
@@ -747,60 +752,78 @@ def bbox_to_windows(
 ) -> tuple[tuple[int, int] | None, tuple[int, int] | None]:
     """Convert a lat/lon bbox into the tightest (y_range, x_range)
     INDEX windows covering every grid cell inside it, by scanning the
-    coordinate SIDECAR only (O(#distinct-grids × grid), driver-side —
-    never the chunk table, never a data page).  This is P4's bbox
-    filter (suite/spatial.py:60) lifted to archive scale: the returned
-    windows feed ``read_virtual``, which prunes excluded chunks inside
-    the parquet scan.  Returns ``(None, None)`` when no cell matches
-    (the caller gets an empty-but-well-typed read via an impossible
-    window).  With several distinct grids the windows are the union —
-    conservative for all, exact for one."""
-    rows = (
-        spark.read.parquet(os.path.join(manifest_path, "coords")).collect()
-    )
-    import math
+    coordinate SIDECAR only — never the chunk table, never a data
+    page.  This is P4's bbox filter (suite/spatial.py:60) lifted to
+    archive scale: the returned windows feed ``read_virtual``, which
+    prunes excluded chunks inside the parquet scan.  Returns
+    ``(None, None)`` when no cell matches (the caller gets an
+    empty-but-well-typed read via an impossible window).  With several
+    distinct grids the windows are the union — conservative for all,
+    exact for one.
 
-    y_lo = x_lo = None
-    y_hi = x_hi = -1
+    The per-grid window search runs ON EXECUTORS (an Arrow map over
+    the sidecar rows followed by a 4-column min/max aggregate), so an
+    archive of many DISTINCT curvilinear grids costs the driver O(1):
+    only the final union row is ever collected."""
+    import pandas as pd
+    from pyspark.sql import functions as F
 
-    def _merge(ylo, yhi, xlo, xhi):
-        nonlocal y_lo, y_hi, x_lo, x_hi
-        y_lo = ylo if y_lo is None else min(y_lo, ylo)
-        x_lo = xlo if x_lo is None else min(x_lo, xlo)
-        y_hi = max(y_hi, yhi)
-        x_hi = max(x_hi, xhi)
+    coords = spark.read.parquet(os.path.join(manifest_path, "coords"))
+    la0, la1 = float(lat_range[0]), float(lat_range[1])
+    lo0, lo1 = float(lon_range[0]), float(lon_range[1])
 
-    for r in rows:
-        if r["affine"] is not None:
-            pw, ph, ox, oy = r["affine"]
-            # sample-point convention (lon = ox + x*pw); ph < 0 for
-            # north-up, so the lat bounds swap
-            xa = math.ceil((lon_range[0] - ox) / pw)
-            xb = math.floor((lon_range[1] - ox) / pw)
-            ya = math.ceil((lat_range[1] - oy) / ph)
-            yb = math.floor((lat_range[0] - oy) / ph)
-            if ph > 0:
-                ya, yb = (
-                    math.ceil((lat_range[0] - oy) / ph),
-                    math.floor((lat_range[1] - oy) / ph),
+    def _windows(it):
+        import math
+
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.affine is not None:
+                    pw, ph, ox, oy = r.affine
+                    # sample-point convention (lon = ox + x*pw);
+                    # ph < 0 for north-up, so the lat bounds swap
+                    xa = math.ceil((lo0 - ox) / pw)
+                    xb = math.floor((lo1 - ox) / pw)
+                    ya = math.ceil((la1 - oy) / ph)
+                    yb = math.floor((la0 - oy) / ph)
+                    if ph > 0:
+                        ya = math.ceil((la0 - oy) / ph)
+                        yb = math.floor((la1 - oy) / ph)
+                    if xa > xb or ya > yb:
+                        continue
+                    out.append((max(ya, 0), yb, max(xa, 0), xb))
+                    continue
+                lat = np.frombuffer(r.lat, "float64").reshape(r.ny, r.nx)
+                lon = np.frombuffer(r.lon, "float64").reshape(r.ny, r.nx)
+                inside = (
+                    (lat >= la0) & (lat <= la1)
+                    & (lon >= lo0) & (lon <= lo1)
                 )
-            if xa > xb or ya > yb:
-                continue
-            _merge(max(ya, 0), yb, max(xa, 0), xb)
-            continue
-        lat = np.frombuffer(r["lat"], "float64").reshape(r["ny"], r["nx"])
-        lon = np.frombuffer(r["lon"], "float64").reshape(r["ny"], r["nx"])
-        inside = (
-            (lat >= lat_range[0]) & (lat <= lat_range[1])
-            & (lon >= lon_range[0]) & (lon <= lon_range[1])
+                ys, xs = np.nonzero(inside)
+                if not ys.size:
+                    continue
+                out.append((int(ys.min()), int(ys.max()),
+                            int(xs.min()), int(xs.max())))
+            yield pd.DataFrame(
+                out, columns=["ylo", "yhi", "xlo", "xhi"]
+            )
+
+    row = (
+        coords.mapInPandas(
+            _windows, "ylo long, yhi long, xlo long, xhi long"
         )
-        ys, xs = np.nonzero(inside)
-        if not ys.size:
-            continue
-        _merge(int(ys.min()), int(ys.max()), int(xs.min()), int(xs.max()))
-    if y_lo is None:
+        .agg(
+            F.min("ylo").alias("ylo"), F.max("yhi").alias("yhi"),
+            F.min("xlo").alias("xlo"), F.max("xhi").alias("xhi"),
+        )
+        .collect()[0]
+    )
+    if row["ylo"] is None:
         return None, None
-    return (y_lo, y_hi), (x_lo, x_hi)
+    return (
+        (int(row["ylo"]), int(row["yhi"])),
+        (int(row["xlo"]), int(row["xhi"])),
+    )
 
 
 def read_virtual(
@@ -810,13 +833,20 @@ def read_virtual(
     y_range: tuple[int, int] | None = None,
     x_range: tuple[int, int] | None = None,
     var: str | None = None,
+    max_sidecar_bytes: int = 256 * 2**20,
 ):
     """Scan a virtual dataset built by ``build_virtual_manifest`` ->
     the engine's long grid table ``(file, t_idx, y_idx, x_idx, lat,
     lon, value)``.  Ranges are INCLUSIVE index windows; each becomes a
     plain column predicate on the chunk table (pushed into the parquet
     scan — pruned chunks are never read, not even their manifest rows)
-    plus an exact row-level trim inside the decode task."""
+    plus an exact row-level trim inside the decode task.
+
+    The coordinate sidecar is broadcast to the decode tasks; its size
+    is measured executor-side first and reads exceeding
+    ``max_sidecar_bytes`` fail loudly (many-distinct-grids archives
+    should be split per grid or read per ``var``) rather than OOM the
+    driver."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.types import (
@@ -844,9 +874,31 @@ def read_virtual(
                 (F.col(col1) > F.lit(lo)) & (F.col(col0) <= F.lit(hi))
             )
 
-    coord_rows = (
-        spark.read.parquet(os.path.join(manifest_path, "coords")).collect()
-    )
+    coords_df = spark.read.parquet(os.path.join(manifest_path, "coords"))
+    # Size guard: the sidecar is collected + broadcast (shared-grid
+    # archives and mosaics dedupe to a handful of rows, so this is
+    # normally KBs), but an archive of many DISTINCT large curvilinear
+    # grids would make it O(#grids x ny x nx x 16 B).  Measure
+    # executor-side and fail with a NAMED error before materializing
+    # anything driver-sized.
+    stats = coords_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.coalesce(F.length("lat"), F.lit(0))
+            + F.coalesce(F.length("lon"), F.lit(0))
+        ).alias("nbytes"),
+    ).collect()[0]
+    sidecar_bytes = int(stats["nbytes"] or 0)
+    if sidecar_bytes > max_sidecar_bytes:
+        raise ValueError(
+            f"{manifest_path}: coordinate sidecar is "
+            f"{sidecar_bytes / 2**20:.0f} MiB across {stats['n']} "
+            "distinct grids — too large to broadcast (cap "
+            f"{max_sidecar_bytes / 2**20:.0f} MiB).  Select one "
+            "variable (var=...), split the archive into per-grid "
+            "manifests, or raise max_sidecar_bytes explicitly."
+        )
+    coord_rows = coords_df.collect()
     grids = {}
     for r in coord_rows:
         if r["affine"] is not None:
