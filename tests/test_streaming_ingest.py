@@ -178,3 +178,66 @@ def test_npy_stream_equals_batch(spark, tmp_path):
     )
     assert key(got) == key(batch)
     assert len(got) == 18
+
+
+def test_virtual_stream_equals_batch_and_appends(spark, tmp_path):
+    """stream_virtual tails a virtual manifest: the first availableNow
+    pass replays the initial build's chunks; after
+    update_virtual_manifest appends a new model cycle, a second pass
+    (same checkpoint) decodes ONLY the new cycle's chunks; the union
+    matches read_virtual over the grown manifest — exactly-once at the
+    manifest level."""
+    from wrf_to_geodataframe_spark.sources.hdf5_write import write_netcdf4
+    from wrf_to_geodataframe_spark.sources.virtual import (
+        build_virtual_manifest,
+        read_virtual,
+        stream_virtual,
+        update_virtual_manifest,
+    )
+
+    nt, ny, nx = 4, 4, 5
+    d = str(tmp_path / "arch")
+    out = str(tmp_path / "man")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(d)
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    tt = np.arange(nt)
+
+    def _shard(f):
+        write_netcdf4(
+            os.path.join(d, f"shard_{f}.nc"),
+            {"t": nt, "y": ny, "x": nx},
+            {
+                "T2": {"dims": ["t", "y", "x"],
+                       "data": (f * 100000.0 + tt[:, None, None] * 1000
+                                + yy * nx + xx)},
+                "XLAT": {"dims": ["y", "x"], "data": 50.0 + yy * 0.25},
+                "XLONG": {"dims": ["y", "x"], "data": -3.0 + xx * 0.125},
+            },
+            compress=True, chunk={"T2": (2, 4, 3)},
+        )
+
+    for f in range(2):
+        _shard(f)
+    build_virtual_manifest(spark, d, "T2", "XLAT", "XLONG", out)
+
+    sdf = stream_virtual(spark, out)
+    assert sdf.isStreaming
+    first = _drain(sdf, ckpt)
+    assert len(first) == 2 * nt * ny * nx
+
+    # a new model cycle lands; incremental index, then tail again
+    _shard(2)
+    assert update_virtual_manifest(
+        spark, d, "T2", "XLAT", "XLONG", out
+    ) == 1
+    second = _drain(stream_virtual(spark, out), ckpt)
+    assert len(second) == nt * ny * nx
+    assert set(os.path.basename(f) for f in second["file"]) == {
+        "shard_2.nc"
+    }
+    union = pd.concat([first, second], ignore_index=True)
+    batch = read_virtual(spark, out).toPandas()
+    cols = ("t_idx", "y_idx", "x_idx")
+    assert _keyed(union, cols) == _keyed(batch, cols)
+    assert len(union) == len(batch) == 3 * nt * ny * nx

@@ -61,8 +61,34 @@ __all__ = [
     "build_virtual_manifest",
     "compact_manifest",
     "read_virtual",
+    "stream_virtual",
     "update_virtual_manifest",
 ]
+
+_VIRTUAL_OUT_COLS = (
+    "file string, t_idx long, y_idx long, x_idx long, "
+    "lat double, lon double, value double"
+)
+
+
+def _virtual_out_schema():
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType([
+        StructField("file", StringType()),
+        StructField("t_idx", LongType()),
+        StructField("y_idx", LongType()),
+        StructField("x_idx", LongType()),
+        StructField("lat", DoubleType()),
+        StructField("lon", DoubleType()),
+        StructField("value", DoubleType()),
+    ])
 
 _CHUNK_SCHEMA = (
     "file string, var string, file_no long, nt long, lt0 long, lt1 long, "
@@ -847,18 +873,7 @@ def read_virtual(
     ``max_sidecar_bytes`` fail loudly (many-distinct-grids archives
     should be split per grid or read per ``var``) rather than OOM the
     driver."""
-    import pandas as pd
     from pyspark.sql import functions as F
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    from wrf_to_geodataframe_spark.sources.grib2 import read_grib2_bytes
-    from wrf_to_geodataframe_spark.sources.hdf5 import decode_chunk_pipeline
 
     man = spark.read.parquet(os.path.join(manifest_path, "chunks"))
     if var is not None:
@@ -874,13 +889,62 @@ def read_virtual(
                 (F.col(col1) > F.lit(lo)) & (F.col(col0) <= F.lit(hi))
             )
 
+    bgrids = _broadcast_sidecar(spark, manifest_path, max_sidecar_bytes)
+    bounds = (time_range, y_range, x_range)
+    _scan = _chunk_scanner(bgrids, bounds)
+    n = spark.sparkContext.defaultParallelism * 2
+    return man.repartition(n, "file", "t0", "y0", "x0").mapInPandas(
+        _scan, _virtual_out_schema()
+    )
+
+
+def stream_virtual(
+    spark,
+    manifest_path: str,
+    var: str | None = None,
+    max_files_per_trigger: int | None = None,
+    max_sidecar_bytes: int = 256 * 2**20,
+):
+    """STREAMING mirror of ``read_virtual``: tail a virtual manifest
+    that ``update_virtual_manifest`` keeps appending to — each model
+    cycle's newly indexed chunk rows become a micro-batch of decoded
+    grid rows (same schema as ``read_virtual``), without re-reading
+    anything already processed (file-source checkpointing is
+    exactly-once per manifest parquet file).
+
+    The chunk table IS the stream: ``update_virtual_manifest`` appends
+    new parquet files under ``<manifest>/chunks``, and the parquet
+    file source discovers them per trigger.  The coordinate sidecar is
+    snapshotted and broadcast at stream DEFINITION (the shared-grid
+    archive shape); a chunk row arriving with an unseen coord_hash
+    fails loudly with a restart instruction rather than decoding with
+    stale coordinates."""
+    from pyspark.sql import functions as F
+
+    chunks_dir = os.path.join(manifest_path, "chunks")
+    schema = spark.read.parquet(chunks_dir).schema  # one footer read
+    r = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    man = r.parquet(chunks_dir)
+    if var is not None:
+        man = man.filter(F.col("var") == var)
+    bgrids = _broadcast_sidecar(spark, manifest_path, max_sidecar_bytes)
+    _scan = _chunk_scanner(bgrids, (None, None, None))
+    return man.mapInPandas(_scan, _virtual_out_schema())
+
+
+def _broadcast_sidecar(spark, manifest_path: str, max_sidecar_bytes: int):
+    """Collect + broadcast the coordinate sidecar as {coord_hash ->
+    ("affine", params) | ("grid", lat, lon)}.  Size guard first: the
+    sidecar is normally KBs (shared-grid archives dedupe to a handful
+    of rows), but an archive of many DISTINCT large curvilinear grids
+    would make it O(#grids x ny x nx x 16 B) — measured executor-side
+    and rejected with a NAMED error before materializing anything
+    driver-sized."""
+    from pyspark.sql import functions as F
+
     coords_df = spark.read.parquet(os.path.join(manifest_path, "coords"))
-    # Size guard: the sidecar is collected + broadcast (shared-grid
-    # archives and mosaics dedupe to a handful of rows, so this is
-    # normally KBs), but an archive of many DISTINCT large curvilinear
-    # grids would make it O(#grids x ny x nx x 16 B).  Measure
-    # executor-side and fail with a NAMED error before materializing
-    # anything driver-sized.
     stats = coords_df.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
@@ -898,9 +962,8 @@ def read_virtual(
             "variable (var=...), split the archive into per-grid "
             "manifests, or raise max_sidecar_bytes explicitly."
         )
-    coord_rows = coords_df.collect()
     grids = {}
-    for r in coord_rows:
+    for r in coords_df.collect():
         if r["affine"] is not None:
             grids[r["coord_hash"]] = (
                 "affine", np.asarray(r["affine"], "float64"),
@@ -915,18 +978,17 @@ def read_virtual(
                     r["ny"], r["nx"]
                 ),
             )
-    bgrids = spark.sparkContext.broadcast(grids)
-    bounds = (time_range, y_range, x_range)
+    return spark.sparkContext.broadcast(grids)
 
-    schema = StructType([
-        StructField("file", StringType()),
-        StructField("t_idx", LongType()),
-        StructField("y_idx", LongType()),
-        StructField("x_idx", LongType()),
-        StructField("lat", DoubleType()),
-        StructField("lon", DoubleType()),
-        StructField("value", DoubleType()),
-    ])
+
+def _chunk_scanner(bgrids, bounds):
+    """The per-task chunk decoder shared by ``read_virtual`` (batch)
+    and ``stream_virtual`` (micro-batch): manifest rows in, long grid
+    rows out, byte-range reads against the indexed files."""
+    import pandas as pd
+
+    from wrf_to_geodataframe_spark.sources.grib2 import read_grib2_bytes
+    from wrf_to_geodataframe_spark.sources.hdf5 import decode_chunk_pipeline
 
     def _scan(it):
         grids = bgrids.value
@@ -1008,7 +1070,15 @@ def read_virtual(
                     ny = int(row.y1) - y0
                     nx = int(row.x1) - x0
                     block = carr[:nt, :ny, :nx]
-                    g = grids[row.coord_hash]
+                    g = grids.get(row.coord_hash)
+                    if g is None:
+                        raise ValueError(
+                            f"{row.file}: coordinate grid "
+                            f"{row.coord_hash} is not in the sidecar "
+                            "snapshot — the manifest gained a new grid "
+                            "after this read/stream was defined; "
+                            "restart it to pick up the new sidecar"
+                        )
                     yy, xx = np.meshgrid(
                         np.arange(ny) + y0, np.arange(nx) + x0,
                         indexing="ij",
@@ -1048,7 +1118,4 @@ def read_virtual(
             for fh in handles.values():
                 fh.close()
 
-    n = spark.sparkContext.defaultParallelism * 2
-    return man.repartition(n, "file", "t0", "y0", "x0").mapInPandas(
-        _scan, schema
-    )
+    return _scan
