@@ -3209,6 +3209,94 @@ WHERE rank <= {_TOP_K}
 """
 
 
+def pca_project_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA under the oracle (VERDICT r8 item 6): fit on a
+    2-D slice of the embeddings (operators/pca.py — integer-Gram
+    partials, driver eigh, broadcast projection) and return the
+    per-component POPULATION VARIANCE of the projected coordinates.
+    Mathematically that variance IS the covariance eigenvalue, and for
+    d=2 the eigenvalues have the closed form
+    ``mean(tr) ± sqrt(((caa-cbb)/2)^2 + cab^2)`` — which DuckDB can
+    replay exactly from the same quantized Gram sums.  The inputs are
+    pre-snapped to the 2^-20 dyadic lattice on BOTH sides so the
+    quantization inside fit_pca is the identity and the only
+    disagreement is eigensolver-vs-closed-form float error (~1e-12
+    relative), absorbed by the 2^-10 output quantization.
+
+    The fit is EAGER by design (one bounded O(d^2) partials collect,
+    the kmeans/BPE discipline — exempted in the laziness plan test);
+    the projection + variance aggregate stays lazy."""
+    from wrf_to_geodataframe_spark.operators.pca import (
+        fit_pca,
+        project_pca,
+    )
+
+    q = float(1 << 20)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.array(
+            F.floor(F.col("embedding")[0].cast("double") * q) / q,
+            F.floor(F.col("embedding")[1].cast("double") * q) / q,
+        ).alias("embedding"),
+    )
+    mean, comps, _eig = fit_pca(spark, emb, "embedding")
+    proj = project_pca(spark, emb, mean, comps, k=2)
+    agg = proj.agg(
+        F.var_pop(F.col("pca")[0]).alias("v0"),
+        F.var_pop(F.col("pca")[1]).alias("v1"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("long").alias("component"),
+                    F.floor(F.col("v0") * 1024).cast("long").alias("var_q"),
+                ),
+                F.struct(
+                    F.lit(1).cast("long").alias("component"),
+                    F.floor(F.col("v1") * 1024).cast("long").alias("var_q"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.component", "s.var_q")
+
+
+_PCA_SQL = """
+WITH q AS (
+    SELECT CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1048576) AS BIGINT) AS a,
+           CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1048576) AS BIGINT) AS b
+    FROM embeddings
+), s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(a) AS DOUBLE) AS sa, CAST(SUM(b) AS DOUBLE) AS sb,
+           CAST(SUM(a * a) AS DOUBLE) AS gaa,
+           CAST(SUM(a * b) AS DOUBLE) AS gab,
+           CAST(SUM(b * b) AS DOUBLE) AS gbb
+    FROM q
+), c AS (
+    SELECT gaa / 1099511627776.0 / n
+               - (sa / 1048576.0 / n) * (sa / 1048576.0 / n) AS caa,
+           gab / 1099511627776.0 / n
+               - (sa / 1048576.0 / n) * (sb / 1048576.0 / n) AS cab,
+           gbb / 1099511627776.0 / n
+               - (sb / 1048576.0 / n) * (sb / 1048576.0 / n) AS cbb
+    FROM s
+), e AS (
+    SELECT (caa + cbb) / 2.0
+               + SQRT(((caa - cbb) / 2.0) * ((caa - cbb) / 2.0)
+                      + cab * cab) AS l1,
+           (caa + cbb) / 2.0
+               - SQRT(((caa - cbb) / 2.0) * ((caa - cbb) / 2.0)
+                      + cab * cab) AS l2
+    FROM c
+)
+SELECT CAST(0 AS BIGINT) AS component,
+       CAST(FLOOR(l1 * 1024) AS BIGINT) AS var_q FROM e
+UNION ALL
+SELECT CAST(1 AS BIGINT), CAST(FLOOR(l2 * 1024) AS BIGINT) FROM e
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns
 
@@ -4712,6 +4800,7 @@ QUERIES = {
     "sim_lsh_ann": sim_lsh_ann,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_pq_topk": sim_pq_topk,
+    "pca_project_variance": pca_project_variance,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_resize": multimodal_resize,
@@ -4765,6 +4854,7 @@ ORACLE = {
     "sim_lsh_ann": _SIM_LSH_SQL,
     "sim_ivf_topk": _SIM_IVF_SQL,
     "sim_pq_topk": _SIM_PQ_SQL,
+    "pca_project_variance": _PCA_SQL,
     "multimodal_meta": _MULTIMODAL_META_SQL,
     # the mapInPandas kernels are hash-checked too: the oracles restate
     # the full md5-synthesized pipeline + index arithmetic in SQL
