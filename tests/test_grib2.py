@@ -757,3 +757,101 @@ def test_order2_with_too_few_points_is_grib2error():
         _unpack_complex(bytes(s5), b"\x00" * 16, 1, 3, "t")
     with pytest.raises(Grib2Error, match="spatial differencing"):
         _unpack_complex(bytes(s5), b"\x00" * 16, 2, 3, "t")
+
+
+def _siz_codestream(w=3, h=2, prec=8, body=b""):
+    """Minimal SOC+SIZ prefix (ITU-T T.800 A.5.1) for triage tests —
+    NOT a decodable codestream."""
+    siz = struct.pack(
+        ">HHIIIIIIIIH", 38 + 3, 0, w, h, 0, 0, w, h, 0, 0, 1
+    ) + bytes([prec - 1, 1, 1])
+    return b"\xff\x4f\xff\x51" + siz + body
+
+
+def test_j2k_triage_parses_siz():
+    from wrf_to_geodataframe_spark.sources.openjpeg import j2k_info
+
+    info = j2k_info(_siz_codestream(w=620, h=400, prec=12))
+    assert info == {
+        "width": 620, "height": 400, "ncomps": 1, "prec": 12,
+        "signed": False,
+    }
+    with pytest.raises(ValueError, match="SOC"):
+        j2k_info(b"\x00\x01")
+    with pytest.raises(ValueError, match="truncated"):
+        j2k_info(_siz_codestream()[:20])
+
+
+def test_template_5_40_gated_on_openjpeg():
+    """A 5.40 (JPEG2000) message: with libopenjp2 absent the decode
+    fails with a NAMED triage error carrying the codestream dims;
+    malformed payloads fail as Grib2Error either way."""
+    from wrf_to_geodataframe_spark.sources.openjpeg import (
+        openjpeg_present,
+    )
+
+    s5_body = (
+        struct.pack(">IH", 6, 40)
+        + struct.pack(">f", 0.0) + b"\x80\x03" + b"\x00\x00"
+        + bytes([8, 0, 0, 255])
+    )
+    msg = _golden_message(
+        x_bytes=_siz_codestream(), s5_body=s5_body
+    )
+    if openjpeg_present():
+        # header triage passes, but the truncated codestream must
+        # fail INSIDE the library as a wrapped Grib2Error
+        with pytest.raises(Grib2Error):
+            read_grib2_bytes(msg)
+    else:
+        with pytest.raises(Grib2Error, match="openjpeg.*absent|absent"):
+            read_grib2_bytes(msg)
+        with pytest.raises(Grib2Error, match="2x3"):
+            read_grib2_bytes(msg)  # triage dims surface in the error
+    # malformed payload (no SOC): loud Grib2Error regardless of lib
+    bad = _golden_message(x_bytes=b"\x00" * 16, s5_body=s5_body)
+    with pytest.raises(Grib2Error, match="5.40 payload"):
+        read_grib2_bytes(bad)
+
+
+def test_template_5_40_decode_parity_with_opj_tools(tmp_path):
+    """Lossless round-trip via the system openjpeg encoder CLI
+    (opj_compress) — runs wherever the library AND the CLI exist,
+    skips cleanly otherwise (the gated-codec discipline)."""
+    import shutil
+    import subprocess
+
+    from wrf_to_geodataframe_spark.sources.openjpeg import (
+        decode_j2k,
+        openjpeg_present,
+    )
+
+    if not openjpeg_present():
+        pytest.skip("libopenjp2 absent")
+    cli = shutil.which("opj_compress")
+    if cli is None:
+        pytest.skip("opj_compress CLI absent")
+    # 2x3 8-bit field X = 8..48: PGM -> lossless .j2k
+    x = np.array([[8, 16, 24], [32, 40, 48]], dtype=np.uint8)
+    pgm = tmp_path / "f.pgm"
+    with open(pgm, "wb") as f:
+        f.write(b"P5\n3 2\n255\n" + x.tobytes())
+    j2k = tmp_path / "f.j2k"
+    subprocess.run(
+        [cli, "-i", str(pgm), "-o", str(j2k)],
+        check=True, capture_output=True,
+    )
+    payload = open(j2k, "rb").read()
+    np.testing.assert_array_equal(decode_j2k(payload), x)
+    # full message: (0 + X * 2^-3) / 10^0
+    s5_body = (
+        struct.pack(">IH", 6, 40)
+        + struct.pack(">f", 0.0) + b"\x80\x03" + b"\x00\x00"
+        + bytes([8, 0, 0, 255])
+    )
+    m = read_grib2_bytes(
+        _golden_message(x_bytes=payload, s5_body=s5_body)
+    )[0]
+    np.testing.assert_array_equal(
+        m["values"], x.astype("float64") / 8.0
+    )

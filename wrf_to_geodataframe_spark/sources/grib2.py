@@ -31,10 +31,13 @@ numpy implementation of the public spec:
   order 1/2: sign-magnitude extra descriptors h1[, h2], hmin in
   section 7, recurrence ``x[n] = g[n] + hmin + x[n-1]`` resp.
   ``+ 2x[n-1] - x[n-2]``) — the templates real GFS/NCEP files use —
-  5.4 (IEEE float32), and 5.41 (PNG packing, NCEP/MRMS: the packed
-  integers ride as raw PNG samples, decoded through the repo's own
-  libpng-cross-validated decoder via ``decode_png_raw``).  Bitmapped
-  (section 6) sparse fields read as NaN at absent points.
+  5.4 (IEEE float32), 5.40 (JPEG2000 packing, operational ECMWF/
+  NCEP: gated on the system libopenjp2 via ``sources/openjpeg.py`` —
+  SIZ-marker triage always works, decode raises a named error when
+  the library is absent), and 5.41 (PNG packing, NCEP/MRMS: the
+  packed integers ride as raw PNG samples, decoded through the
+  repo's own libpng-cross-validated decoder via ``decode_png_raw``).
+  Bitmapped (section 6) sparse fields read as NaN at absent points.
 * Product template 4.0 (parameter category/number, forecast hour).
 
 No GRIB implementation exists in this environment (no eccodes/
@@ -620,6 +623,44 @@ def _parse_message(msg: bytes, discipline: int, name: str) -> dict:
         data = (float(ref) + x.astype("float64") * (2.0 ** e)) / (10.0 ** d)
     elif tmpl5 in (2, 3):
         data = _unpack_complex(s5, payload, ndata, tmpl5, name)
+    elif tmpl5 == 40:
+        # JPEG2000 packing (operational ECMWF/NCEP): section 7 is a
+        # raw J2K codestream whose component-0 samples are the packed
+        # integers.  Decoding is GATED on the system openjpeg
+        # (sources/openjpeg.py, the libavif discipline); without it
+        # the message fails with a named triage error.
+        from wrf_to_geodataframe_spark.sources.openjpeg import (
+            decode_j2k,
+            j2k_info,
+            openjpeg_present,
+        )
+
+        (ref,) = struct.unpack_from(">f", s5, 11)
+        e = _smag(struct.unpack_from(">H", s5, 15)[0], 16)
+        d = _smag(struct.unpack_from(">H", s5, 17)[0], 16)
+        try:
+            triage = j2k_info(payload)
+        except ValueError as exc:
+            raise Grib2Error(f"{name}: 5.40 payload: {exc}") from exc
+        if not openjpeg_present():
+            raise Grib2Error(
+                f"{name}: data template 5.40 (JPEG2000, "
+                f"{triage['height']}x{triage['width']} "
+                f"{triage['prec']}-bit) needs the system openjpeg "
+                "library (libopenjp2) — gated codec, absent here"
+            )
+        try:
+            x = decode_j2k(payload)
+        except ValueError as exc:
+            raise Grib2Error(f"{name}: 5.40 decode: {exc}") from exc
+        if x.size != ndata:
+            raise Grib2Error(
+                f"{name}: 5.40 codestream has {x.size} samples, "
+                f"section 5 declares {ndata}"
+            )
+        data = (
+            float(ref) + x.reshape(-1).astype("float64") * (2.0 ** e)
+        ) / (10.0 ** d)
     elif tmpl5 == 41:
         # PNG packing (NCEP, e.g. MRMS): section 7 is a PNG stream
         # whose RAW samples carry the nbits-wide packed integers
