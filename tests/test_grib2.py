@@ -855,3 +855,59 @@ def test_template_5_40_decode_parity_with_opj_tools(tmp_path):
     np.testing.assert_array_equal(
         m["values"], x.astype("float64") / 8.0
     )
+
+
+# -- Hypothesis property fuzz: complex-packing encoder (VERDICT r8 #8)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.data(),
+    ni=st.integers(2, 9),
+    nj=st.integers(1, 6),
+    tmpl=st.sampled_from([2, 3]),
+    order=st.integers(1, 2),
+    group_size=st.integers(1, 40),
+    e=st.integers(-3, 3),
+    ref=st.integers(-50, 50),
+    span_bits=st.integers(1, 14),
+)
+def test_complex_packing_roundtrip_property(
+    tmp_path_factory, data, ni, nj, tmpl, order, group_size, e, ref,
+    span_bits,
+):
+    """Property: ANY integer field on the (ref, 2^e) lattice survives
+    the complex-packing write->read round-trip bit-exactly, for every
+    (template, differencing order, group size) — including adversarial
+    constant runs and max-contrast groups Hypothesis shrinks toward.
+    The seeded fuzz above samples this space; Hypothesis searches it."""
+    n = ni * nj
+    if tmpl == 3 and n <= order:
+        ni = order + 1
+        n = ni * nj
+    x = np.array(
+        data.draw(
+            st.lists(
+                st.integers(0, (1 << span_bits) - 1),
+                min_size=n, max_size=n,
+            )
+        ),
+        dtype="int64",
+    ).reshape(nj, ni)
+    vals = float(ref) + x * (2.0 ** e)
+    pack = {"template": tmpl, "ref": float(ref), "e": e, "d": 0,
+            "group_size": group_size}
+    if tmpl == 3:
+        pack["order"] = order
+    p = str(tmp_path_factory.mktemp("hcf") / "m.grib2")
+    write_grib2(
+        p,
+        [{"values": vals, "lat0": 10.0, "lon0": 5.0, "dlat": -1.0,
+          "dlon": 1.0, "packing": pack}],
+    )
+    m = read_grib2(p)[0]
+    np.testing.assert_array_equal(m["values"], vals)

@@ -176,6 +176,17 @@ def test_interop_with_system_hdf5_libraries(tmp_path):
         assert set(f.keys()) >= {"T2", "XLAT", "XLONG", "x", "counts"}
         np.testing.assert_array_equal(f["T2"][...], variables["T2"]["data"])
         assert f.attrs["title"] in (b"t", "t")
+    # the appendable (Extensible Array) layout: h5py must see the
+    # unlimited maxshape and read every chunk through the EA index
+    pe = str(tmp_path / "interop_ea.nc")
+    write_netcdf4(
+        pe, dims, variables, compress=True,
+        chunk={"T2": (2, 3, 3)}, unlimited="t",
+    )
+    with h5py.File(pe, "r") as f:
+        ds = f["T2"]
+        assert ds.maxshape[0] is None  # unlimited t
+        np.testing.assert_array_equal(ds[...], variables["T2"]["data"])
 
 
 def test_compressed_round_trip(tmp_path):

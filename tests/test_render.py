@@ -1,0 +1,168 @@
+"""S5 plot sink (sources/render.py): scanline rasterization vs the
+even-odd PIP kernel, tile-parallel == single-image, deterministic
+colormap, PNG validity through the repo's own codec, and the pixel
+guard mirroring the reference's smallness check."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from wrf_to_geodataframe_spark.geometry.polygons import point_in_polygon
+from wrf_to_geodataframe_spark.sources.png import decode_png
+from wrf_to_geodataframe_spark.sources.render import (
+    colormap_rgb,
+    rasterize_polygon,
+    render_cells,
+    render_cells_png,
+    world_file,
+)
+
+
+def test_colormap_endpoints_and_monotone_luma():
+    c = colormap_rgb(np.arange(256))
+    assert c.shape == (256, 3) and c.dtype == np.uint8
+    assert tuple(c[0]) == (68, 1, 84)        # first anchor
+    assert tuple(c[255]) == (253, 231, 37)   # last anchor
+    # perceptual ramp: integer luma strictly non-decreasing
+    luma = c @ np.array([299, 587, 114])
+    assert (np.diff(luma.astype("int64")) >= 0).all()
+    with pytest.raises(ValueError):
+        colormap_rgb(np.array([256]))
+
+
+def _pip_mask(xs, ys, transform, w, h):
+    """Oracle: even-odd PIP of every pixel center (geometry/polygons
+    kernel) — the rasterizer must agree wherever no center sits
+    exactly on an edge."""
+    pw, ph, ox, oy = transform
+    poly = np.column_stack([xs, ys])
+    out = np.zeros((h, w), dtype=bool)
+    for r in range(h):
+        for c in range(w):
+            out[r, c] = point_in_polygon(
+                ox + (c + 0.5) * pw, oy + (r + 0.5) * ph, poly
+            )
+    return out
+
+
+@pytest.mark.parametrize("ph", [0.25, -0.25])
+def test_rasterizer_agrees_with_pip_kernel(ph):
+    rng = np.random.default_rng(7)
+    transform = (0.25, ph, 0.0, 0.0 if ph > 0 else 5.0)
+    w = h = 20
+    for case in range(30):
+        n = int(rng.integers(3, 9))
+        # random star-shaped simple polygon, vertices OFF the pixel
+        # lattice so no center lands exactly on an edge
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        rad = rng.uniform(0.4, 2.3, n)
+        cx, cy = rng.uniform(1.0, 4.0, 2)
+        xs = cx + rad * np.cos(ang) + 0.0013
+        ys = (cy if ph > 0 else 5.0 - cy) + rad * np.sin(ang) + 0.0017
+        r0, c0, mask = rasterize_polygon(xs, ys, transform, w, h)
+        full = np.zeros((h, w), dtype=bool)
+        if mask.size:
+            full[r0:r0 + mask.shape[0], c0:c0 + mask.shape[1]] = mask
+        expect = _pip_mask(xs, ys, transform, w, h)
+        np.testing.assert_array_equal(full, expect, err_msg=f"case {case}")
+
+
+def test_rasterizer_concave_even_odd():
+    # L-shape: the notch must stay unfilled (even-odd, not convex fill)
+    xs = [0.1, 4.1, 4.1, 2.1, 2.1, 0.1]
+    ys = [0.1, 0.1, 2.1, 2.1, 4.1, 4.1]
+    transform = (1.0, 1.0, 0.0, 0.0)
+    r0, c0, mask = rasterize_polygon(xs, ys, transform, 6, 6)
+    full = np.zeros((6, 6), dtype=bool)
+    full[r0:r0 + mask.shape[0], c0:c0 + mask.shape[1]] = mask
+    expect = _pip_mask(xs, ys, transform, 6, 6)
+    np.testing.assert_array_equal(full, expect)
+    assert not full[3, 3]  # inside the notch
+    assert full[1, 1]
+
+
+def _cells_df(spark):
+    # 2x2 unit squares tiling [0,2)x[0,2), distinct values
+    rows = []
+    for j in range(2):
+        for i in range(2):
+            rows.append((
+                j * 2 + i,
+                [float(i), float(i + 1), float(i + 1), float(i)],
+                [float(j), float(j), float(j + 1), float(j + 1)],
+                float(j * 2 + i),
+            ))
+    return spark.createDataFrame(
+        rows, "cell_id long, xs array<double>, ys array<double>, v double"
+    )
+
+
+def test_tiles_stitch_to_single_image(spark):
+    """Tile-parallel render (3px tiles forcing seams through cell
+    interiors) stitches EXACTLY to the one-tile render — the
+    distributed==single discipline."""
+    cells = _cells_df(spark)
+    transform = (0.25, 0.25, 0.0, 0.0)
+    png_tiled, wf = render_cells_png(
+        spark, cells, "v", transform, 8, 8, tile=3, order_col="cell_id"
+    )
+    png_one, _ = render_cells_png(
+        spark, cells, "v", transform, 8, 8, tile=64, order_col="cell_id"
+    )
+    assert png_tiled == png_one
+    w, h, ch, raw = decode_png(png_one)
+    assert (w, h, ch) == (8, 8, 4)
+    img = np.frombuffer(raw, "uint8").reshape(8, 8, 4)
+    # full coverage: a tessellation leaves no background pixels
+    assert (img[:, :, 3] == 255).all()
+    # distinct quadrant colors; value order follows the colormap ramp
+    q = {(0, 0): img[1, 1], (0, 1): img[1, 6],
+         (1, 0): img[6, 1], (1, 1): img[6, 6]}
+    assert len({tuple(v) for v in q.values()}) == 4
+    assert tuple(q[(0, 0)][:3]) == (68, 1, 84)     # v=0 -> first anchor
+    assert tuple(q[(1, 1)][:3]) == (253, 231, 37)  # v=3 -> last anchor
+    # world file: pixel size + center-of-first-pixel origin
+    lines = wf.strip().splitlines()
+    assert float(lines[0]) == 0.25 and float(lines[3]) == 0.25
+    assert float(lines[4]) == 0.125 and float(lines[5]) == 0.125
+
+
+def test_render_tiles_dataframe_shape(spark):
+    cells = _cells_df(spark)
+    tiles = render_cells(
+        spark, cells, "v", (0.25, 0.25, 0.0, 0.0), 8, 8, tile=4,
+        order_col="cell_id",
+    ).collect()
+    assert sorted((r["tile_y"], r["tile_x"]) for r in tiles) == [
+        (0, 0), (0, 1), (1, 0), (1, 1)
+    ]
+    for r in tiles:
+        w, h, ch, _raw = decode_png(bytes(r["png"]))
+        assert (w, h, ch) == (4, 4, 4)
+
+
+def test_single_image_pixel_guard(spark):
+    cells = _cells_df(spark)
+    with pytest.raises(ValueError, match="max_pixels"):
+        render_cells_png(
+            spark, cells, "v", (0.25, 0.25, 0.0, 0.0), 8000, 8000
+        )
+
+
+def test_constant_value_renders_midscale(spark):
+    cells = _cells_df(spark).withColumn("v", _lit_one())
+    png, _ = render_cells_png(
+        spark, cells, "v", (0.5, 0.5, 0.0, 0.0), 4, 4,
+        order_col="cell_id",
+    )
+    w, h, ch, raw = decode_png(png)
+    img = np.frombuffer(raw, "uint8").reshape(4, 4, 4)
+    mid = colormap_rgb(np.int64(128))
+    assert (img[:, :, :3] == mid).all()
+
+
+def _lit_one():
+    from pyspark.sql import functions as F
+
+    return F.lit(1.0)

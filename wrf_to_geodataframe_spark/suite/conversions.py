@@ -709,6 +709,82 @@ GROUP BY 1
 """
 
 
+_R_PW = 0.25
+_R_W, _R_H = 30, 36  # canvas 7.5 x 9.0 world units: x clips, y just fits
+
+
+def s5_render_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 (plot sink) under the oracle: the choropleth renderer's
+    scanline even-odd rasterizer (sources/render.py — the kernel under
+    every painted tile) run over 64 axis-aligned cells derived from
+    ``events.user_id``, returning per-cell PAINTED-PIXEL counts.  Cell
+    bounds are multiples of the pixel size, so no pixel center ever
+    lies on an edge and the count has a closed form — the DuckDB
+    oracle restates the ceil/floor center arithmetic including the
+    canvas clamps (cells with x0 = 7 overhang the 7.5-unit canvas and
+    must clip).  PNG bytes/colormap stay pytest-golden
+    (tests/test_render.py); this row gates the geometry arithmetic."""
+    import pandas as pd
+
+    from wrf_to_geodataframe_spark.sources.render import (
+        rasterize_polygon,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select((F.col("user_id") % 64).alias("cell_id"))
+        .distinct()
+        .select(
+            "cell_id",
+            (F.col("cell_id") % 8).cast("double").alias("x0"),
+            F.floor(F.col("cell_id") / 8).cast("double").alias("y0"),
+            (0.5 + (F.col("cell_id") % 3) * 0.25).alias("w"),
+            (0.5 + (F.col("cell_id") % 2) * 0.5).alias("h"),
+        )
+    )
+
+    def _count(it):
+        for pdf in it:
+            n = []
+            for r in pdf.itertuples(index=False):
+                x0, y0 = float(r.x0), float(r.y0)
+                x1, y1 = x0 + float(r.w), y0 + float(r.h)
+                _r0, _c0, mask = rasterize_polygon(
+                    [x0, x1, x1, x0], [y0, y0, y1, y1],
+                    (_R_PW, _R_PW, 0.0, 0.0), _R_W, _R_H,
+                )
+                n.append(int(mask.sum()))
+            yield pd.DataFrame(
+                {"cell_id": pdf["cell_id"], "n_pixels": n}
+            )
+
+    return cells.mapInPandas(_count, "cell_id long, n_pixels long")
+
+
+_S5_SQL = f"""
+WITH ids AS (SELECT DISTINCT user_id % 64 AS cell_id FROM events),
+b AS (
+    SELECT cell_id,
+           CAST(cell_id % 8 AS DOUBLE) AS x0,
+           CAST(cell_id // 8 AS DOUBLE) AS y0,
+           CAST(cell_id % 8 AS DOUBLE) + 0.5 + (cell_id % 3) * 0.25 AS x1,
+           CAST(cell_id // 8 AS DOUBLE) + 0.5 + (cell_id % 2) * 0.5 AS y1
+    FROM ids
+), c AS (
+    SELECT cell_id,
+           GREATEST(CAST(CEIL(x0 / {_R_PW} - 0.5) AS BIGINT), 0) AS ca,
+           LEAST(CAST(FLOOR(x1 / {_R_PW} - 0.5) AS BIGINT), {_R_W - 1}) AS cb,
+           GREATEST(CAST(CEIL(y0 / {_R_PW} - 0.5) AS BIGINT), 0) AS ra,
+           LEAST(CAST(FLOOR(y1 / {_R_PW} - 0.5) AS BIGINT), {_R_H - 1}) AS rb
+    FROM b
+)
+SELECT cell_id,
+       GREATEST(cb - ca + 1, CAST(0 AS BIGINT))
+           * GREATEST(rb - ra + 1, CAST(0 AS BIGINT)) AS n_pixels
+FROM c
+"""
+
+
 QUERIES = {
     "c1_grid_unnest": c1_grid_unnest,
     "c3_table_to_grid": c3_table_to_grid,
@@ -721,6 +797,7 @@ QUERIES = {
     "s1_virtual_dataset": s1_virtual_dataset,
     "s1_virtual_mosaic": s1_virtual_mosaic,
     "s1_npy_ingest": s1_npy_ingest,
+    "s5_render_coverage": s5_render_coverage,
 }
 
 ORACLE = {
@@ -735,4 +812,5 @@ ORACLE = {
     "s1_virtual_dataset": _SV_SQL,
     "s1_virtual_mosaic": _SM_SQL,
     "s1_npy_ingest": _SN_SQL,
+    "s5_render_coverage": _S5_SQL,
 }
