@@ -166,3 +166,38 @@ def _lit_one():
     from pyspark.sql import functions as F
 
     return F.lit(1.0)
+
+
+def test_render_grid_from_long_table(spark):
+    """The grid fast path: (y_idx, x_idx, value) rows -> pixel tiles;
+    NULLs stay transparent background (the nodata convention); the
+    colormap matches the polygon path's on identical values."""
+    import pandas as pd
+
+    from wrf_to_geodataframe_spark.sources.render import render_grid
+
+    rows = [
+        (y, x, float(y * 6 + x) if (y, x) != (2, 3) else None)
+        for y in range(5)
+        for x in range(6)
+    ]
+    grid = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["y_idx", "x_idx", "value"])
+    )
+    tiles = render_grid(spark, grid, tile=4).collect()
+    assert sorted((r["tile_y"], r["tile_x"]) for r in tiles) == [
+        (0, 0), (0, 1), (1, 0), (1, 1)
+    ]
+    img = np.zeros((5, 6, 4), dtype="uint8")
+    for r in tiles:
+        w, h, ch, raw = decode_png(bytes(r["png"]))
+        block = np.frombuffer(raw, "uint8").reshape(h, w, ch)
+        img[r["tile_y"] * 4:r["tile_y"] * 4 + h,
+            r["tile_x"] * 4:r["tile_x"] * 4 + w] = block
+    assert img[2, 3, 3] == 0          # NULL cell: transparent
+    assert (img[0, 0, :3] == colormap_rgb(np.int64(0))).all()
+    assert (img[4, 5, :3] == colormap_rgb(np.int64(255))).all()
+    # all non-null pixels painted opaque
+    mask = np.ones((5, 6), dtype=bool)
+    mask[2, 3] = False
+    assert (img[:, :, 3][mask] == 255).all()

@@ -1241,3 +1241,57 @@ def test_virtual_100_distinct_grids_bounded_driver(spark, tmp_path):
     for r in rows:
         assert r["value"] == r["y_idx"] * nx + r["x_idx"]
         assert abs(r["lat"] - (40.0 + r["y_idx"] * 0.25)) < 1e-12
+
+
+@slow
+def test_render_100k_cells_tile_parallel(spark, tmp_path):
+    """S5 at scale: a 100k-cell unit-square tessellation (320x320)
+    rendered as a 10x10 set of 256px tiles — cells reach only the
+    tiles their bbox overlaps (explode + groupBy, no cross join), each
+    tile paints in one Arrow task, nothing image-sized on the driver.
+    Spot-decodes tiles for full coverage and correct colormap ends."""
+    import time
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.sources.png import decode_png
+    from wrf_to_geodataframe_spark.sources.render import (
+        colormap_rgb,
+        render_cells,
+    )
+
+    n = 320  # 320x320 = 102,400 cells
+    cells = (
+        spark.range(n * n)
+        .select(
+            F.col("id").alias("cell_id"),
+            (F.col("id") % n).cast("double").alias("x0"),
+            F.floor(F.col("id") / n).cast("double").alias("y0"),
+        )
+        .select(
+            "cell_id",
+            F.array("x0", F.col("x0") + 1, F.col("x0") + 1, "x0").alias("xs"),
+            F.array("y0", "y0", F.col("y0") + 1, F.col("y0") + 1).alias("ys"),
+            F.col("cell_id").cast("double").alias("v"),
+        )
+    )
+    # 8 px per cell -> 2560x2560 canvas, 256px tiles -> 10x10 tiles
+    t0 = time.monotonic()
+    tiles = render_cells(
+        spark, cells, "v", (0.125, 0.125, 0.0, 0.0), 2560, 2560,
+        order_col="cell_id",
+    ).collect()
+    dt = time.monotonic() - t0
+    assert len(tiles) == 100
+    got = {(r["tile_y"], r["tile_x"]): bytes(r["png"]) for r in tiles}
+    # spot-decode corner tiles: full opaque coverage, ramp endpoints
+    w, h, ch, raw = decode_png(got[(0, 0)])
+    img00 = np.frombuffer(raw, "uint8").reshape(256, 256, 4)
+    assert (img00[:, :, 3] == 255).all()
+    assert tuple(img00[0, 0, :3]) == tuple(colormap_rgb(np.int64(0)))
+    w, h, ch, raw = decode_png(got[(9, 9)])
+    img99 = np.frombuffer(raw, "uint8").reshape(256, 256, 4)
+    assert (img99[:, :, 3] == 255).all()
+    assert tuple(img99[-1, -1, :3]) == tuple(colormap_rgb(np.int64(255)))
+    print(f"\nrender 102400 cells -> 100 tiles in {dt:.1f}s")

@@ -35,6 +35,7 @@ __all__ = [
     "rasterize_polygon",
     "render_cells",
     "render_cells_png",
+    "render_grid",
     "world_file",
 ]
 
@@ -298,4 +299,69 @@ def render_cells_png(
     return (
         encode_png(img.tobytes(), width, height, channels=4),
         world_file(transform),
+    )
+
+
+def render_grid(
+    spark,
+    grid,
+    value_col: str = "value",
+    y_col: str = "y_idx",
+    x_col: str = "x_idx",
+    width: int | None = None,
+    height: int | None = None,
+    tile: int = 256,
+    background=(0, 0, 0, 0),
+):
+    """Fast path for the engine's LONG GRID TABLE (the shape
+    ``read_virtual`` / ``read_netcdf_dir`` emit and the reference
+    plots with ``.plot(varname)``): one pixel per (y_idx, x_idx) cell,
+    colored through the global-extent colormap -> (tile_y, tile_x,
+    png) RGBA tiles.  No rasterization needed — cells ARE pixels —
+    so each tile is one Arrow task painting its own rows; NULL/NaN
+    values stay background (the nodata convention).  ``width``/
+    ``height`` default to max index + 1 (one extra 1-row aggregate)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.sources.png import encode_png
+
+    if width is None or height is None:
+        ext = grid.agg(
+            F.max(x_col).alias("mx"), F.max(y_col).alias("my")
+        ).collect()[0]
+        width = width or int(ext["mx"]) + 1
+        height = height or int(ext["my"]) + 1
+    d = _scale_to_255(
+        grid.filter(F.col(value_col).isNotNull()), value_col
+    ).select(
+        F.col(y_col).alias("py"), F.col(x_col).alias("px"), "cidx"
+    ).filter(
+        (F.col("px") >= 0) & (F.col("px") < width)
+        & (F.col("py") >= 0) & (F.col("py") < height)
+    ).withColumn("ty", F.floor(F.col("py") / tile)).withColumn(
+        "tx", F.floor(F.col("px") / tile)
+    )
+    bg = tuple(int(b) for b in background)
+    tile_sz, W, H = int(tile), int(width), int(height)
+
+    def _paint(key, pdf):
+        ty, tx = int(key[0]), int(key[1])
+        th = min(tile_sz, H - ty * tile_sz)
+        tw = min(tile_sz, W - tx * tile_sz)
+        img = np.empty((th, tw, 4), dtype="uint8")
+        img[...] = bg
+        rows = pdf["py"].to_numpy() - ty * tile_sz
+        cols = pdf["px"].to_numpy() - tx * tile_sz
+        rgb = colormap_rgb(pdf["cidx"].to_numpy())
+        img[rows, cols, :3] = rgb
+        img[rows, cols, 3] = 255
+        png = encode_png(img.tobytes(), tw, th, channels=4)
+        return pd.DataFrame(
+            {"tile_y": [ty], "tile_x": [tx], "png": [png]}
+        )
+
+    return (
+        d.groupBy("ty", "tx")
+        .applyInPandas(_paint, "tile_y int, tile_x int, png binary")
     )
