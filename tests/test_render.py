@@ -201,3 +201,31 @@ def test_render_grid_from_long_table(spark):
     mask = np.ones((5, 6), dtype=bool)
     mask[2, 3] = False
     assert (img[:, :, 3][mask] == 255).all()
+
+
+def test_write_png_tiles_executor_side(spark, tmp_path):
+    import os
+
+    from wrf_to_geodataframe_spark.sources.render import (
+        render_cells,
+        write_png_tiles,
+    )
+
+    cells = _cells_df(spark)
+    transform = (0.25, 0.25, 0.0, 0.0)
+    tiles = render_cells(
+        spark, cells, "v", transform, 8, 8, tile=4, order_col="cell_id"
+    )
+    out = str(tmp_path / "tiles")
+    n = write_png_tiles(tiles, out, transform=transform, tile=4)
+    assert n == 4
+    names = sorted(os.listdir(out))
+    assert names == [
+        "tile_0_0.pgw", "tile_0_0.png", "tile_0_1.pgw", "tile_0_1.png",
+        "tile_1_0.pgw", "tile_1_0.png", "tile_1_1.pgw", "tile_1_1.png",
+    ]
+    w, h, ch, _ = decode_png(open(os.path.join(out, "tile_1_1.png"), "rb").read())
+    assert (w, h, ch) == (4, 4, 4)
+    # tile (1,1)'s world file shifts the origin by one 4px tile
+    lines = open(os.path.join(out, "tile_1_1.pgw")).read().splitlines()
+    assert float(lines[4]) == 1.0 + 0.125 and float(lines[5]) == 1.0 + 0.125

@@ -37,6 +37,7 @@ __all__ = [
     "render_cells_png",
     "render_grid",
     "world_file",
+    "write_png_tiles",
 ]
 
 # viridis-like anchors (dark purple -> blue -> green -> yellow),
@@ -365,3 +366,41 @@ def render_grid(
         d.groupBy("ty", "tx")
         .applyInPandas(_paint, "tile_y int, tile_x int, png binary")
     )
+
+
+def write_png_tiles(tiles, out_dir: str, transform=None, tile: int = 256):
+    """Persist a (tile_y, tile_x, png) DataFrame as
+    ``<out_dir>/tile_<y>_<x>.png`` files, written BY THE EXECUTORS
+    (one task per partition — the driver never holds image bytes);
+    with ``transform`` each tile also gets its ``.pgw`` world file so
+    GIS tools mosaic the set directly.  Returns the number of tiles
+    written."""
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    t = None if transform is None else tuple(float(v) for v in transform)
+    tile_sz = int(tile)
+
+    def _write(it):
+        n = 0
+        for pdf in it:
+            for r in pdf.itertuples(index=False):
+                ty, tx = int(r.tile_y), int(r.tile_x)
+                base = os.path.join(out_dir, f"tile_{ty}_{tx}")
+                with open(base + ".png", "wb") as f:
+                    f.write(bytes(r.png))
+                if t is not None:
+                    pw, ph, ox, oy = t
+                    wf = world_file(
+                        (pw, ph, ox + tx * tile_sz * pw,
+                         oy + ty * tile_sz * ph)
+                    )
+                    with open(base + ".pgw", "w") as f:
+                        f.write(wf)
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    counts = tiles.mapInPandas(_write, "n long").collect()
+    return int(sum(r["n"] for r in counts))
