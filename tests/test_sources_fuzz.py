@@ -118,3 +118,74 @@ def test_zarr3_chunk_decode_truncation():
     for n in range(len(blob)):
         with pytest.raises((ZarrError, _zlib.error)):
             _z3_decode(blob[:n], meta, (64,))
+
+
+def _nc4_blobs(tmp_path):
+    """Two NetCDF-4 twins of the same small grid: v1-B-tree chunked
+    and Extensible-Array chunked (the appendable layout)."""
+    from wrf_to_geodataframe_spark.sources.hdf5_write import write_netcdf4
+
+    vals = np.arange(6 * 4 * 6, dtype="float64").reshape(6, 4, 6)
+    blobs = []
+    for i, unlim in enumerate([None, "t"]):
+        p = str(tmp_path / f"f{i}.nc")
+        write_netcdf4(
+            p, {"t": 6, "y": 4, "x": 6},
+            {"T2": {"dims": ["t", "y", "x"], "data": vals}},
+            compress=True, chunk={"T2": (2, 4, 3)}, unlimited=unlim,
+        )
+        blobs.append(open(p, "rb").read())
+    return blobs
+
+
+def test_hdf5_truncation_prefixes(tmp_path):
+    """Every truncation of a valid NetCDF-4 file (both chunk-index
+    layouts) must raise Hdf5Error — never IndexError/struct.error —
+    through BOTH executor entries (read_hdf5_bytes and, via a temp
+    file, hdf5_chunk_manifest)."""
+    from wrf_to_geodataframe_spark.sources.hdf5 import (
+        Hdf5Error,
+        hdf5_chunk_manifest,
+        read_hdf5_bytes,
+    )
+
+    for blob in _nc4_blobs(tmp_path):
+        n = len(blob)
+        for cut in sorted({8, 64, 97, 300, 1021, n // 2, n - 3}):
+            try:
+                read_hdf5_bytes(blob[:cut])
+            except Hdf5Error:
+                pass
+        # manifest path: a handful of cuts through a real file
+        for cut in (97, n // 2, n - 3):
+            p = str(tmp_path / "cut.nc")
+            with open(p, "wb") as f:
+                f.write(blob[:cut])
+            try:
+                hdf5_chunk_manifest(p, "T2")
+            except Hdf5Error:
+                pass
+
+
+def test_hdf5_byte_flips(tmp_path):
+    """Byte flips must either raise Hdf5Error or decode SOMETHING
+    (v1 metadata has no checksums, so data flips are undetectable by
+    design) — never an uncontrolled error type."""
+    import random
+
+    from wrf_to_geodataframe_spark.sources.hdf5 import (
+        Hdf5Error,
+        read_hdf5_bytes,
+    )
+
+    rng = random.Random(0xEA)
+    for blob in _nc4_blobs(tmp_path):
+        for _ in range(120):
+            pos = rng.randrange(len(blob))
+            bit = 1 << rng.randrange(8)
+            mutated = bytearray(blob)
+            mutated[pos] ^= bit
+            try:
+                read_hdf5_bytes(bytes(mutated))
+            except Hdf5Error:
+                pass

@@ -735,6 +735,10 @@ class _Hdf5File:
                 is_group = True
         if is_group or layout is None:
             return None, attrs
+        if dtype is None or shape is None:
+            raise Hdf5Error(
+                "dataset has a layout but no datatype/dataspace message"
+            )
         return (
             self._read_layout(layout, dtype, shape, filters, maxshape),
             attrs,
@@ -1319,6 +1323,10 @@ class _Hdf5File:
                 filters = self._parse_filters(body)
         if layout is None:
             raise Hdf5Error("node has no data layout (a group?)")
+        if dtype is None or shape is None:
+            raise Hdf5Error(
+                "dataset has a layout but no datatype/dataspace message"
+            )
         return {
             "shape": shape, "maxshape": maxshape, "dtype": dtype,
             "layout": layout, "filters": filters,
@@ -1353,73 +1361,87 @@ def hdf5_chunk_manifest(
     with open(path, "rb") as fh:
         mm = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
         try:
-            f = _Hdf5File(mm)
-            links = f.group_links(f.root_header)
-            if var not in links:
-                raise Hdf5Error(f"{path}: no dataset {var!r}")
-            info = f.dataset_info(links[var])
-            dtype, shape = info["dtype"], info["shape"]
-            if isinstance(dtype, VlenType) or dtype.kind == "V":
+            try:
+                return _chunk_manifest_inner(mm, path, var, aux_vars)
+            except Hdf5Error:
+                raise
+            except (IndexError, KeyError, OverflowError, TypeError,
+                    ValueError, zlib.error, struct.error) as exc:
+                # same malformed-input hygiene as read_hdf5_bytes:
+                # corrupted offset chains surface as Hdf5Error
                 raise Hdf5Error(
-                    f"{var}: vlen/compound datasets have heap "
-                    "indirection; use the whole-file reader"
-                )
-            body, _size = info["layout"]
-            if mm[body] == 4 and mm[body + 1] == 2:
-                # libver-latest chunk indexes (single/implicit/FA/EA/bt2)
-                chunk4, raw_entries = f._parse_v4_chunked(
-                    body, tuple(shape), info["maxshape"]
-                )
-                entries = f._v4_stored_chunks(
-                    chunk4, raw_entries, tuple(shape)
-                )
-                chunks = tuple(chunk4[:-1])
-                filters = info["filters"]
-            elif mm[body] != 3:
-                raise Hdf5Error(f"data layout version {mm[body]}")
-            elif (lclass := mm[body + 1]) == 1:  # contiguous -> one pseudo-chunk
-                addr = f.f.u(body + 2, 8)
-                if addr == _UNDEF:
-                    entries, chunks = [], tuple(shape)
-                else:
-                    n = int(np.prod(shape)) if shape else 1
-                    entries = [
-                        (tuple(0 for _ in shape), addr,
-                         n * dtype.itemsize, 0)
-                    ]
-                    chunks = tuple(shape)
-                filters = []
-            elif lclass == 2:
-                ndims = mm[body + 2]
-                btree = f.f.u(body + 3, 8)
-                chunks = tuple(
-                    f.f.u(body + 11 + 4 * i, 4) for i in range(ndims - 1)
-                )
-                filters = info["filters"]
-                entries = (
-                    list(f._iter_chunk_btree(btree, ndims))
-                    if btree != _UNDEF
-                    else []
-                )
-            else:
-                raise Hdf5Error(f"layout class {lclass} has no chunk map")
-            aux = {}
-            for name in aux_vars:
-                if name not in links:
-                    raise Hdf5Error(f"{path}: no dataset {name!r}")
-                data, _attrs = f.read_dataset(links[name])
-                aux[name] = np.array(data, copy=True)
-            return {
-                "shape": tuple(shape),
-                "chunks": chunks,
-                "dtype": dtype.str,
-                "filters": filters,
-                "fill": 0.0,
-                "entries": entries,
-                "aux": aux,
-            }
+                    f"{path}: malformed HDF5 stream: {exc}"
+                ) from exc
         finally:
             mm.close()
+
+
+def _chunk_manifest_inner(mm, path, var, aux_vars):
+    f = _Hdf5File(mm)
+    links = f.group_links(f.root_header)
+    if var not in links:
+        raise Hdf5Error(f"{path}: no dataset {var!r}")
+    info = f.dataset_info(links[var])
+    dtype, shape = info["dtype"], info["shape"]
+    if isinstance(dtype, VlenType) or dtype.kind == "V":
+        raise Hdf5Error(
+            f"{var}: vlen/compound datasets have heap "
+            "indirection; use the whole-file reader"
+        )
+    body, _size = info["layout"]
+    if mm[body] == 4 and mm[body + 1] == 2:
+        # libver-latest chunk indexes (single/implicit/FA/EA/bt2)
+        chunk4, raw_entries = f._parse_v4_chunked(
+            body, tuple(shape), info["maxshape"]
+        )
+        entries = f._v4_stored_chunks(
+            chunk4, raw_entries, tuple(shape)
+        )
+        chunks = tuple(chunk4[:-1])
+        filters = info["filters"]
+    elif mm[body] != 3:
+        raise Hdf5Error(f"data layout version {mm[body]}")
+    elif (lclass := mm[body + 1]) == 1:  # contiguous -> one pseudo-chunk
+        addr = f.f.u(body + 2, 8)
+        if addr == _UNDEF:
+            entries, chunks = [], tuple(shape)
+        else:
+            n = int(np.prod(shape)) if shape else 1
+            entries = [
+                (tuple(0 for _ in shape), addr,
+                 n * dtype.itemsize, 0)
+            ]
+            chunks = tuple(shape)
+        filters = []
+    elif lclass == 2:
+        ndims = mm[body + 2]
+        btree = f.f.u(body + 3, 8)
+        chunks = tuple(
+            f.f.u(body + 11 + 4 * i, 4) for i in range(ndims - 1)
+        )
+        filters = info["filters"]
+        entries = (
+            list(f._iter_chunk_btree(btree, ndims))
+            if btree != _UNDEF
+            else []
+        )
+    else:
+        raise Hdf5Error(f"layout class {lclass} has no chunk map")
+    aux = {}
+    for name in aux_vars:
+        if name not in links:
+            raise Hdf5Error(f"{path}: no dataset {name!r}")
+        data, _attrs = f.read_dataset(links[name])
+        aux[name] = np.array(data, copy=True)
+    return {
+        "shape": tuple(shape),
+        "chunks": chunks,
+        "dtype": dtype.str,
+        "filters": filters,
+        "fill": 0.0,
+        "entries": entries,
+        "aux": aux,
+    }
 
 
 def read_hdf5(path: str) -> dict:
@@ -1441,7 +1463,24 @@ def read_hdf5(path: str) -> dict:
 def read_hdf5_bytes(buf: bytes) -> dict:
     """``read_hdf5`` over an in-memory buffer (executor-side entry of
     the distributed many-file source, sources/netcdf.py
-    ``read_netcdf_dir``)."""
+    ``read_netcdf_dir``).
+
+    Malformed-input hygiene: executors parse UNTRUSTED archive bytes,
+    so any truncation/byte-flip must surface as ``Hdf5Error`` — never
+    an uncontrolled IndexError/struct.error/numpy ValueError from a
+    corrupted offset chain (v1 structures carry no checksums, so a
+    flip can also silently change DATA; only structural failures are
+    detectable)."""
+    try:
+        return _read_hdf5_bytes(buf)
+    except Hdf5Error:
+        raise
+    except (IndexError, KeyError, OverflowError, TypeError,
+            ValueError, zlib.error, struct.error) as exc:
+        raise Hdf5Error(f"malformed HDF5 stream: {exc}") from exc
+
+
+def _read_hdf5_bytes(buf: bytes) -> dict:
     f = _Hdf5File(buf)
     root_attrs: dict = {}
     for mtype, body, _size in f.messages(f.root_header):
