@@ -229,3 +229,49 @@ def test_write_png_tiles_executor_side(spark, tmp_path):
     # tile (1,1)'s world file shifts the origin by one 4px tile
     lines = open(os.path.join(out, "tile_1_1.pgw")).read().splitlines()
     assert float(lines[4]) == 1.0 + 0.125 and float(lines[5]) == 1.0 + 0.125
+
+
+def test_nan_values_render_as_nodata_not_poison(spark):
+    """NaN (the nodata convention GeoTIFF/virtual reads emit) must
+    render as background AND not poison the global extent — Spark's
+    min/max order NaN above every double, so an unfiltered aggregate
+    would wreck every other cell's color."""
+    import pandas as pd
+
+    from wrf_to_geodataframe_spark.sources.render import render_grid
+
+    rows = [
+        (0, 0, 0.0), (0, 1, float("nan")), (1, 0, 3.0), (1, 1, None),
+    ]
+    grid = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["y_idx", "x_idx", "value"])
+    )
+    tiles = render_grid(spark, grid, width=2, height=2, tile=4).collect()
+    assert len(tiles) == 1
+    w, h, ch, raw = decode_png(bytes(tiles[0]["png"]))
+    img = np.frombuffer(raw, "uint8").reshape(2, 2, 4)
+    assert img[0, 1, 3] == 0 and img[1, 1, 3] == 0   # NaN & NULL: nodata
+    # extent is (0, 3), not (0, NaN): endpoints hit the ramp ends
+    assert tuple(img[0, 0, :3]) == tuple(colormap_rgb(np.int64(0)))
+    assert tuple(img[1, 0, :3]) == tuple(colormap_rgb(np.int64(255)))
+    # polygon path: NaN-valued cell drops out, others keep their ramp
+    from wrf_to_geodataframe_spark.sources.render import render_cells_png
+
+    cells = _cells_df(spark).withColumn(
+        "v", _nan_if_zero()
+    )
+    png, _ = render_cells_png(
+        spark, cells, "v", (0.5, 0.5, 0.0, 0.0), 4, 4,
+        order_col="cell_id",
+    )
+    w, h, ch, raw = decode_png(png)
+    img = np.frombuffer(raw, "uint8").reshape(4, 4, 4)
+    assert img[0, 0, 3] == 0                          # NaN cell: background
+    assert tuple(img[0, 3, :3]) == tuple(colormap_rgb(np.int64(0)))
+    assert tuple(img[3, 3, :3]) == tuple(colormap_rgb(np.int64(255)))
+
+
+def _nan_if_zero():
+    from pyspark.sql import functions as F
+
+    return F.when(F.col("v") == 0.0, float("nan")).otherwise(F.col("v"))

@@ -138,9 +138,19 @@ def world_file(transform) -> str:
 
 def _scale_to_255(df, value_col):
     """(df + 'cidx' 0..255 column, computed from the GLOBAL min/max via
-    a broadcast 1-row agg — the A1 pattern, no driver round-trip)."""
+    a broadcast 1-row agg — the A1 pattern, no driver round-trip).
+    NaN values (the nodata convention GeoTIFF/virtual reads emit) are
+    dropped FIRST: Spark's min/max order NaN above every double, so a
+    single nodata cell would otherwise poison the whole extent."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, FloatType
 
+    if isinstance(df.schema[value_col].dataType, (DoubleType, FloatType)):
+        df = df.filter(
+            F.col(value_col).isNotNull() & ~F.isnan(value_col)
+        )
+    else:
+        df = df.filter(F.col(value_col).isNotNull())
     ext = df.agg(
         F.min(value_col).alias("vmin"), F.max(value_col).alias("vmax")
     )
