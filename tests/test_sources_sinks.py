@@ -763,3 +763,98 @@ def test_geopackage_round_trip_holes_multipolygons_concave(tmp_path):
     # single-ring rows keep the historical (n, 2) return form
     assert isinstance(back[0]["geom"], np.ndarray)
     np.testing.assert_array_equal(back[0]["geom"], concave)
+
+
+def test_appendable_archive_workflow_end_to_end(spark, tmp_path):
+    """The reference workflow at ARCHIVE scale with the round-9
+    pieces: a TIME-APPENDABLE NetCDF-4 archive (Extensible Array
+    chunk index, the libver-latest default wrf_voronoi.py:115 opens)
+    -> kerchunk-style virtual manifest -> incremental append of a new
+    model cycle -> bbox-derived index windows -> pruned byte-range
+    window read -> per-cell period mean -> choropleth tiles through
+    the S5 renderer, decoded and spot-checked."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.sources.hdf5_write import write_netcdf4
+    from wrf_to_geodataframe_spark.sources.png import decode_png
+    from wrf_to_geodataframe_spark.sources.render import (
+        colormap_rgb,
+        render_grid,
+        write_png_tiles,
+    )
+    from wrf_to_geodataframe_spark.sources.virtual import (
+        bbox_to_windows,
+        build_virtual_manifest,
+        read_virtual,
+        update_virtual_manifest,
+    )
+
+    nt, ny, nx = 4, 8, 8
+    d = str(tmp_path / "arch")
+    man = str(tmp_path / "man")
+    os.makedirs(d)
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    tt = np.arange(nt)
+
+    def _cycle(f):
+        write_netcdf4(
+            os.path.join(d, f"cycle_{f}.nc"),
+            {"t": nt, "y": ny, "x": nx},
+            {
+                "T2": {"dims": ["t", "y", "x"],
+                       "data": (f * 1000.0 + tt[:, None, None] * 100
+                                + yy * nx + xx) / 8.0},
+                "XLAT": {"dims": ["y", "x"], "data": 50.0 + yy * 0.25},
+                "XLONG": {"dims": ["y", "x"], "data": -3.0 + xx * 0.125},
+            },
+            compress=True, chunk={"T2": (2, 4, 4)}, unlimited="t",
+        )
+
+    for f in range(3):
+        _cycle(f)
+    build_virtual_manifest(spark, d, "T2", "XLAT", "XLONG", man)
+    _cycle(3)  # the next model cycle lands
+    assert update_virtual_manifest(
+        spark, d, "T2", "XLAT", "XLONG", man
+    ) == 1
+
+    # spatial windows from a lat/lon bbox (P4 at archive scale)
+    yr, xr = bbox_to_windows(
+        spark, man, lat_range=(50.5, 51.25), lon_range=(-2.75, -2.25)
+    )
+    assert yr == (2, 5) and xr == (2, 6)
+
+    # time window straddling the appended cycle (global t 10..14)
+    window = read_virtual(
+        spark, man, time_range=(10, 14), y_range=yr, x_range=xr
+    )
+    mean = window.groupBy("y_idx", "x_idx").agg(
+        F.avg("value").alias("t_mean")
+    )
+    rows = {(r["y_idx"], r["x_idx"]): r["t_mean"] for r in mean.collect()}
+    assert len(rows) == 4 * 5
+    # closed form: mean over global t of (f*1000 + lt*100 + y*nx+x)/8
+    expect = np.mean(
+        [(t // nt) * 1000 + (t % nt) * 100 for t in range(10, 15)]
+    )
+    for (y, x), v in rows.items():
+        assert abs(v - (expect + y * nx + x) / 8.0) < 1e-9
+
+    # S5: render the mean field, persist tiles, decode and spot-check
+    tiles = render_grid(
+        spark, mean, value_col="t_mean", width=nx, height=ny, tile=4
+    )
+    out = str(tmp_path / "tiles")
+    n = write_png_tiles(tiles, out, transform=(0.125, 0.25, -3.0, 50.0),
+                        tile=4)
+    assert n == 4  # windowed cells span all four 4px tiles of the 8x8
+    w, h, ch, raw = decode_png(
+        open(os.path.join(out, "tile_0_0.png"), "rb").read()
+    )
+    img = np.frombuffer(raw, "uint8").reshape(h, w, ch)
+    # cell (2,2) is the window minimum -> ramp start; outside stays bg
+    assert tuple(img[2, 2, :3]) == tuple(colormap_rgb(np.int64(0)))
+    assert img[0, 0, 3] == 0
