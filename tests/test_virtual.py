@@ -659,3 +659,81 @@ def test_update_manifest_anti_join_appends_only_new(spark, tmp_path):
         spark, d, "T2", "XLAT", "XLONG", out
     ) == 2
     assert _got(read_virtual(spark, out)) == _expected(files=range(4))
+
+
+def test_fsio_dispatch_and_named_error(tmp_path, monkeypatch):
+    """fsio: plain + file:// paths use the stdlib; URL schemes go
+    through fsspec when importable (stubbed here — the container has
+    none) and raise a NAMED error when not."""
+    import io
+    import sys
+    import types
+
+    from wrf_to_geodataframe_spark.sources import fsio
+
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"0123456789")
+    assert not fsio.is_remote(str(p))
+    assert not fsio.is_remote("file://" + str(p))
+    assert fsio.is_remote("s3://bucket/key")
+    assert fsio.getsize("file://" + str(p)) == 10
+    with fsio.open_binary("file://" + str(p)) as fh:
+        fh.seek(4)
+        assert fh.read(3) == b"456"
+    # absent fsspec: named error
+    monkeypatch.setitem(sys.modules, "fsspec", None)
+    monkeypatch.delitem(sys.modules, "fsspec")
+    with pytest.raises(ValueError, match="fsspec"):
+        fsio.open_binary("s3://bucket/key")
+    # stub fsspec: ranged reads + size go through it
+    store = {"mem://a/x.bin": b"abcdefgh"}
+
+    class _OpenFile:
+        def __init__(self, path):
+            self.path = path
+
+        def open(self):
+            return io.BytesIO(store[self.path])
+
+    class _FS:
+        def size(self, rel):
+            return len(store["mem://" + rel])
+
+    stub = types.ModuleType("fsspec")
+    stub.open = lambda path, mode: _OpenFile(path)
+    stub.core = types.SimpleNamespace(
+        url_to_fs=lambda path: (_FS(), path.split("://", 1)[1])
+    )
+    monkeypatch.setitem(sys.modules, "fsspec", stub)
+    assert fsio.getsize("mem://a/x.bin") == 8
+    with fsio.open_binary("mem://a/x.bin") as fh:
+        fh.seek(2)
+        assert fh.read(3) == b"cde"
+
+
+def test_read_virtual_with_url_file_column(spark, tmp_path):
+    """The manifest's ``file`` column may carry URLs (index once on a
+    POSIX view, read from wherever the archive lives): rewriting the
+    chunk table to file:// URLs reads identically through the real
+    executor path."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    _write_archive(d, n_files=2, classic_every=0)
+    out = str(tmp_path / "man")
+    build_virtual_manifest(spark, d, "T2", "XLAT", "XLONG", out)
+    expect = _got(read_virtual(spark, out))
+
+    out2 = str(tmp_path / "man_url")
+    os.makedirs(out2)
+    (
+        spark.read.parquet(os.path.join(out, "chunks"))
+        .withColumn("file", F.concat(F.lit("file://"), F.col("file")))
+        .write.parquet(os.path.join(out2, "chunks"))
+    )
+    (
+        spark.read.parquet(os.path.join(out, "coords"))
+        .write.parquet(os.path.join(out2, "coords"))
+    )
+    assert _got(read_virtual(spark, out2)) == expect

@@ -999,17 +999,22 @@ def _chunk_scanner(bgrids, bounds):
         def _open(file, fsize):
             """Stale-manifest guard: byte offsets are only valid for
             the exact file that was indexed — a rewritten file must
-            fail LOUDLY, not decode garbage."""
+            fail LOUDLY, not decode garbage.  Opens through fsio, so
+            a manifest whose ``file`` column carries object-store
+            URLs reads wherever the archive lives (index once on a
+            POSIX view, serve byte ranges from anywhere)."""
+            from wrf_to_geodataframe_spark.sources import fsio
+
             fh = handles.get(file)
             if fh is None:
-                actual = os.path.getsize(file)
+                actual = fsio.getsize(file)
                 if actual != int(fsize):
                     raise ValueError(
                         f"{file}: size {actual} != {int(fsize)} at "
                         "index time — file changed since the manifest "
                         "was built; re-run build/update_virtual_manifest"
                     )
-                fh = handles[file] = open(file, "rb")
+                fh = handles[file] = fsio.open_binary(file)
             return fh
 
         try:
