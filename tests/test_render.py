@@ -275,3 +275,60 @@ def _nan_if_zero():
     from pyspark.sql import functions as F
 
     return F.when(F.col("v") == 0.0, float("nan")).otherwise(F.col("v"))
+
+
+def test_tile_pyramid_levels_and_alpha_weighting(spark):
+    """build_tile_pyramid: level-1 composes 4 children box-downsampled
+    2x into quadrants; alpha-weighted averaging keeps nodata pixels
+    from bleeding (a fully transparent block stays transparent, a
+    constant opaque block keeps its exact color); level-2 reduces to
+    one tile."""
+    import pandas as pd
+
+    from wrf_to_geodataframe_spark.sources.png import encode_png
+    from wrf_to_geodataframe_spark.sources.render import (
+        build_tile_pyramid,
+    )
+
+    T = 8  # tiny tiles for the test
+
+    def _tile(rgb, alpha=255):
+        img = np.zeros((T, T, 4), dtype="uint8")
+        img[:, :, :3] = rgb
+        img[:, :, 3] = alpha
+        return encode_png(img.tobytes(), T, T, channels=4)
+
+    rows = [
+        (0, 0, _tile((10, 20, 30))),
+        (0, 1, _tile((50, 60, 70))),
+        (1, 0, _tile((90, 100, 110), alpha=0)),   # fully transparent
+        (1, 1, _tile((130, 140, 150))),
+        (0, 2, _tile((200, 0, 0))),               # second parent, half empty
+    ]
+    tiles = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["tile_y", "tile_x", "png"])
+    )
+    pyr = build_tile_pyramid(spark, tiles, levels=2, tile=T).collect()
+    lv1 = {(r["tile_y"], r["tile_x"]): bytes(r["png"])
+           for r in pyr if r["level"] == 1}
+    lv2 = [r for r in pyr if r["level"] == 2]
+    assert sorted(lv1) == [(0, 0), (0, 1)]
+    assert len(lv2) == 1 and (lv2[0]["tile_y"], lv2[0]["tile_x"]) == (0, 0)
+
+    w, h, ch, raw = decode_png(lv1[(0, 0)])
+    img = np.frombuffer(raw, "uint8").reshape(T, T, 4)
+    hf = T // 2
+    # constant opaque children keep exact colors in their quadrants
+    assert (img[:hf, :hf, :3] == (10, 20, 30)).all()
+    assert (img[:hf, hf:, :3] == (50, 60, 70)).all()
+    assert (img[hf:, hf:, :3] == (130, 140, 150)).all()
+    assert (img[:hf, :, 3] == 255).all() and (img[hf:, hf:, 3] == 255).all()
+    # the transparent child's quadrant stays fully transparent
+    assert (img[hf:, :hf, 3] == 0).all()
+
+    # parent (0,1) has only one child (0,2): its other quadrants are
+    # empty, the child's quadrant keeps the color
+    w, h, ch, raw = decode_png(lv1[(0, 1)])
+    img2 = np.frombuffer(raw, "uint8").reshape(T, T, 4)
+    assert (img2[:hf, :hf, :3] == (200, 0, 0)).all()
+    assert (img2[:, hf:, 3] == 0).all() and (img2[hf:, :, 3] == 0).all()

@@ -31,6 +31,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = [
+    "build_tile_pyramid",
     "colormap_rgb",
     "rasterize_polygon",
     "render_cells",
@@ -414,3 +415,83 @@ def write_png_tiles(tiles, out_dir: str, transform=None, tile: int = 256):
 
     counts = tiles.mapInPandas(_write, "n long").collect()
     return int(sum(r["n"] for r in counts))
+
+
+def build_tile_pyramid(spark, tiles, levels: int, tile: int = 256):
+    """Zoom pyramid over a (tile_y, tile_x, png) level-0 tile set (the
+    slippy-map shape): each coarser level's tile composes its four
+    children box-downsampled 2x — one ``groupBy(parent)`` per level,
+    each parent built in one Arrow task from at most 4 child PNGs, so
+    a planet-sized layer reduces level by level with no driver-sized
+    state.  Downsampling is ALPHA-WEIGHTED integer box filtering
+    (transparent nodata pixels don't bleed into averages; a fully
+    transparent 2x2 block stays transparent).  Returns a DataFrame
+    (level, tile_y, tile_x, png) containing levels 1..``levels``
+    (level 0 is the input)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.sources.png import decode_png, encode_png
+
+    tile_sz = int(tile)
+    half = tile_sz // 2
+
+    def _compose(key, pdf):
+        ty, tx = int(key[0]), int(key[1])
+        img = np.zeros((tile_sz, tile_sz, 4), dtype="uint8")
+        for r in pdf.itertuples(index=False):
+            w, h, ch, raw = decode_png(bytes(r.png))
+            child = np.zeros((tile_sz, tile_sz, 4), dtype="uint8")
+            child[:h, :w, :ch] = np.frombuffer(raw, "uint8").reshape(
+                h, w, ch
+            )
+            # alpha-weighted 2x box filter in exact integer arithmetic
+            c = child.astype("uint32")
+            a = c[:, :, 3]
+            asum = (
+                a[0::2, 0::2] + a[0::2, 1::2]
+                + a[1::2, 0::2] + a[1::2, 1::2]
+            )
+            out = np.zeros((half, half, 4), dtype="uint8")
+            for k in range(3):
+                num = (
+                    c[0::2, 0::2, k] * a[0::2, 0::2]
+                    + c[0::2, 1::2, k] * a[0::2, 1::2]
+                    + c[1::2, 0::2, k] * a[1::2, 0::2]
+                    + c[1::2, 1::2, k] * a[1::2, 1::2]
+                )
+                nz = asum > 0
+                out[:, :, k][nz] = (
+                    (num[nz] + asum[nz] // 2) // asum[nz]
+                ).astype("uint8")
+            out[:, :, 3] = ((asum + 2) // 4).astype("uint8")
+            dy = (int(r.tile_y) % 2) * half
+            dx = (int(r.tile_x) % 2) * half
+            img[dy:dy + half, dx:dx + half] = out
+        png = encode_png(img.tobytes(), tile_sz, tile_sz, channels=4)
+        return pd.DataFrame(
+            {"tile_y": [ty], "tile_x": [tx], "png": [png]}
+        )
+
+    out_levels = []
+    cur = tiles.select("tile_y", "tile_x", "png")
+    for lvl in range(1, int(levels) + 1):
+        nxt = (
+            cur.groupBy(
+                F.floor(F.col("tile_y") / 2).alias("pty"),
+                F.floor(F.col("tile_x") / 2).alias("ptx"),
+            )
+            .applyInPandas(
+                lambda key, pdf: _compose(key, pdf),
+                "tile_y int, tile_x int, png binary",
+            )
+        )
+        out_levels.append(
+            nxt.select(F.lit(lvl).alias("level"), "tile_y", "tile_x",
+                       "png")
+        )
+        cur = nxt
+    out = out_levels[0]
+    for lv in out_levels[1:]:
+        out = out.unionByName(lv)
+    return out
