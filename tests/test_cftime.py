@@ -131,3 +131,61 @@ def test_dir_ingest_time_column(spark, tmp_path):
     assert "time" in df.columns
     assert df.count() == 2 * 4 * 9
     assert df.select("time").distinct().count() == 4
+
+
+def test_wrf_times_char_array_convention(spark, tmp_path):
+    """The WRF 'Times' convention: a (Time, DateStrLen) char array of
+    'YYYY-MM-DD_HH:MM:SS' strings with no CF units — every real WRF
+    output carries it alongside numeric XTIME; time_var='Times' must
+    decode it."""
+    import datetime
+
+    nt, ny, nx = 3, 2, 3
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    vals = (np.arange(nt)[:, None, None] * 100 + yy * nx + xx).astype(
+        "float64"
+    )
+    times = np.array(
+        [list(f"2020-03-01_{h:02d}:00:00".encode()) for h in range(nt)],
+        dtype="u1",
+    ).view("S1")
+    from wrf_to_geodataframe_spark.sources.netcdf import (
+        read_netcdf,
+        read_netcdf_grid,
+        write_netcdf,
+    )
+
+    p = str(tmp_path / "wrf.nc")
+    write_netcdf(
+        p,
+        {"t": nt, "s": 19, "y": ny, "x": nx},
+        {
+            "Times": {"dims": ["t", "s"], "data": times},
+            "T2": {"dims": ["t", "y", "x"], "data": vals},
+            "XLAT": {"dims": ["y", "x"], "data": 50.0 + yy * 0.25},
+            "XLONG": {"dims": ["y", "x"], "data": -3.0 + xx * 0.125},
+        },
+    )
+    # the char variable round-trips through the classic reader
+    back = read_netcdf(p)["variables"]["Times"]["data"]
+    assert back.dtype == np.dtype("S1") and back.shape == (nt, 19)
+    rows = read_netcdf_grid(
+        spark, p, "T2", "XLAT", "XLONG", time_var="Times"
+    ).collect()
+    assert len(rows) == nt * ny * nx
+    for r in rows:
+        assert r["time"] == datetime.datetime(2020, 3, 1, r["t_idx"])
+        assert r["value"] == vals[r["t_idx"], r["y_idx"], r["x_idx"]]
+
+
+def test_wrf_times_malformed_is_loud(tmp_path):
+    from wrf_to_geodataframe_spark.sources.netcdf import (
+        _cf_time_axis,
+    )
+
+    bad = np.array([list(b"not-a-time-string!!")], dtype="u1").view("S1")
+    with pytest.raises(ValueError, match="unparseable WRF time"):
+        _cf_time_axis(
+            {"variables": {"Times": {"data": bad, "attrs": {}}}},
+            "Times",
+        )

@@ -216,6 +216,7 @@ def write_netcdf(path: str, dims: dict[str, int], variables: dict[str, dict]) ->
         return struct.pack(">i", len(b)) + b + b"\x00" * (_pad4(len(b)) - len(b))
 
     np_to_nc = {
+        np.dtype("S1"): _NC_CHAR,  # WRF 'Times' char arrays
         np.dtype("int8"): _NC_BYTE,
         np.dtype("int16"): _NC_SHORT,
         np.dtype("int32"): _NC_INT,
@@ -334,6 +335,22 @@ def _cf_time_axis(ds: dict, time_var: str) -> "np.ndarray":
     )
 
     tv = ds["variables"][time_var]
+    data = np.asarray(tv["data"])
+    if data.dtype.kind == "S" and data.ndim == 2:
+        # the WRF 'Times' convention: a (Time, DateStrLen) char array
+        # of 'YYYY-MM-DD_HH:MM:SS' strings, no CF units attribute —
+        # the OTHER time encoding every real WRF output carries
+        # besides numeric XTIME
+        out = np.empty(data.shape[0], dtype="datetime64[ns]")
+        for i, row in enumerate(data):
+            s = b"".join(row).decode("ascii", "strict").strip("\x00 ")
+            try:
+                out[i] = np.datetime64(s.replace("_", "T"), "ns")
+            except ValueError as exc:
+                raise ValueError(
+                    f"{time_var}[{i}]: unparseable WRF time {s!r}"
+                ) from exc
+        return out
     attrs = tv.get("attrs", {})
     units = attrs.get("units")
     if isinstance(units, np.ndarray):
@@ -343,7 +360,7 @@ def _cf_time_axis(ds: dict, time_var: str) -> "np.ndarray":
     calendar = attrs.get("calendar", "standard")
     if isinstance(calendar, np.ndarray):
         calendar = "".join(calendar.astype(str))
-    return cf_times_to_datetime64(tv["data"], units, calendar)
+    return cf_times_to_datetime64(data, units, calendar)
 
 
 def _unnest_grid(ds: dict, var: str, lat_var: str, lon_var: str,
