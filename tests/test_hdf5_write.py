@@ -360,3 +360,27 @@ def test_earray_manifest_parity_with_btree(tmp_path):
     kb = sorted((e[0], e[2]) for e in mb["entries"])
     ke = sorted((e[0], e[2]) for e in me["entries"])
     assert kb == ke  # same offsets, same compressed sizes
+
+
+def test_char_array_dataset_round_trip(tmp_path):
+    """NC_CHAR-style fixed-string (S1) datasets — the netCDF-4 form of
+    WRF's 'Times' (Time, DateStrLen) variable — round-trip through the
+    class-3 string datatype."""
+    p = str(tmp_path / "times.nc")
+    times = np.frombuffer(
+        b"2020-03-01_00:00:002020-03-01_01:00:00", dtype="S1"
+    ).reshape(2, 19)
+    write_netcdf4(
+        p, {"t": 2, "s": 19},
+        {"Times": {"dims": ["t", "s"], "data": times}},
+    )
+    back = read_hdf5(p)["variables"]["Times"]["data"]
+    assert back.dtype == np.dtype("S1")
+    np.testing.assert_array_equal(back, times)
+    # and the WRF time-axis decoder accepts the round-tripped array
+    from wrf_to_geodataframe_spark.sources.netcdf import _cf_time_axis
+
+    ax = _cf_time_axis(
+        {"variables": {"Times": {"data": back, "attrs": {}}}}, "Times"
+    )
+    assert ax[1] == np.datetime64("2020-03-01T01:00:00")

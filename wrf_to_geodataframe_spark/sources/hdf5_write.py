@@ -133,6 +133,10 @@ def _datatype(dtype: np.dtype) -> bytes:
         return struct.pack("<BBBBI", 0x10, signed, 0, 0, size) + struct.pack(
             "<HH", 0, size * 8
         )
+    if dtype.kind == "S":
+        # class 3 fixed string (null-padded ASCII) — netCDF-4's NC_CHAR
+        # encoding (size-1 strings), e.g. the WRF 'Times' char arrays
+        return struct.pack("<BBBBI", 0x13, 0, 0, 0, size)
     raise ValueError(f"unsupported dtype kind {dtype.kind!r}")
 
 
