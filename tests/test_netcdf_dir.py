@@ -301,3 +301,37 @@ def test_distributed_sink_then_distributed_scan_round_trip(spark, tmp_path):
         assert r.value == shard * 1000 + r.y_idx * nx + r.x_idx
         assert r.lat == 50.0 + r.y_idx * 0.25
         assert r.lon == -3.0 + r.x_idx * 0.125
+
+
+def test_cf_mask_and_scale_applied_like_xarray(spark, tmp_path):
+    """CF-packed variables (int16 raw + scale_factor/add_offset,
+    _FillValue -> NaN) decode to physical values through the grid
+    ingest — the mask-and-scale half of xr.open_dataset the reference
+    relies on (wrf_voronoi.py:115)."""
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.sources.netcdf import (
+        read_netcdf_grid,
+        write_netcdf,
+    )
+
+    ny, nx = 2, 3
+    raw = np.array([[100, 200, -32767], [300, 400, 500]], dtype="int16")
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    p = str(tmp_path / "packed.nc")
+    write_netcdf(
+        p,
+        {"y": ny, "x": nx},
+        {
+            "T2": {"dims": ["y", "x"], "data": raw,
+                   "attrs": {"scale_factor": 0.01, "add_offset": 270.0,
+                             "_FillValue": np.int16(-32767)}},
+            "XLAT": {"dims": ["y", "x"], "data": 50.0 + yy * 0.25},
+            "XLONG": {"dims": ["y", "x"], "data": -3.0 + xx * 0.125},
+        },
+    )
+    rows = read_netcdf_grid(spark, p, "T2", "XLAT", "XLONG").collect()
+    got = {(r["y_idx"], r["x_idx"]): r["value"] for r in rows}
+    assert got[(0, 0)] == 100 * 0.01 + 270.0
+    assert got[(1, 2)] == 500 * 0.01 + 270.0
+    assert got[(0, 2)] is None  # fill -> NaN -> NULL at the boundary

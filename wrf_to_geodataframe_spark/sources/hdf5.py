@@ -1349,7 +1349,9 @@ def hdf5_chunk_manifest(
         {shape, chunks, dtype (numpy str), filters, fill (0.0 —
          read_hdf5's unwritten-chunk semantics),
          entries: [(chunk_offsets, file_addr, nbytes, filter_mask)],
-         aux: {name: ndarray (copied out of the mmap)}}
+         aux: {name: ndarray (copied out of the mmap)},
+         attrs: {var's compact attributes — CF packing lives here},
+         aux_attrs: {name: that aux variable's attributes}}
 
     ``entries`` lists only STORED chunks; unwritten chunks are the
     caller's fill.  A contiguous dataset degrades to one whole-array
@@ -1427,12 +1429,21 @@ def _chunk_manifest_inner(mm, path, var, aux_vars):
         )
     else:
         raise Hdf5Error(f"layout class {lclass} has no chunk map")
-    aux = {}
+    var_attrs: dict = {}
+    for mtype, abody, _sz in f.messages(links[var]):
+        if mtype == 0x000C:
+            try:
+                k, v = _parse_attribute(f.buf, abody)
+                var_attrs[k] = v
+            except Hdf5Error:
+                pass
+    aux, aux_attrs = {}, {}
     for name in aux_vars:
         if name not in links:
             raise Hdf5Error(f"{path}: no dataset {name!r}")
-        data, _attrs = f.read_dataset(links[name])
+        data, attrs = f.read_dataset(links[name])
         aux[name] = np.array(data, copy=True)
+        aux_attrs[name] = attrs
     return {
         "shape": tuple(shape),
         "chunks": chunks,
@@ -1441,6 +1452,8 @@ def _chunk_manifest_inner(mm, path, var, aux_vars):
         "fill": 0.0,
         "entries": entries,
         "aux": aux,
+        "attrs": var_attrs,
+        "aux_attrs": aux_attrs,
     }
 
 

@@ -224,11 +224,51 @@ def write_netcdf(path: str, dims: dict[str, int], variables: dict[str, dict]) ->
         np.dtype("float64"): _NC_DOUBLE,
     }
 
+    def enc_attrs(attrs: dict) -> bytes:
+        """NC_ATTRIBUTE list: strings as NC_CHAR, python ints as
+        NC_INT (range-checked), floats as NC_DOUBLE, numpy values as
+        their own type — the CF packing attributes
+        (scale_factor/_FillValue/units) the reader mask-and-scales."""
+        if not attrs:
+            return struct.pack(">ii", _ABSENT, 0)
+        out = struct.pack(">ii", _NC_ATTRIBUTE, len(attrs))
+        for k, v in attrs.items():
+            out += enc_name(k)
+            if isinstance(v, str):
+                b = v.encode("utf-8")
+                out += struct.pack(">ii", _NC_CHAR, len(b))
+                out += b + b"\x00" * (_pad4(len(b)) - len(b))
+                continue
+            if isinstance(v, (int, np.integer)) and not isinstance(
+                v, np.generic
+            ):
+                if not -(2**31) <= int(v) < 2**31:
+                    raise ValueError(
+                        f"attr {k!r}: int {v} exceeds NC_INT range"
+                    )
+                arr = np.array([v], dtype=">i4")
+            elif isinstance(v, float):
+                arr = np.array([v], dtype=">f8")
+            else:
+                arr = np.atleast_1d(np.asarray(v))
+            nat = arr.dtype.newbyteorder("=")
+            if nat not in np_to_nc:
+                raise ValueError(
+                    f"attr {k!r}: unsupported dtype {arr.dtype}"
+                )
+            nc_t = np_to_nc[nat]
+            raw = arr.astype(_DTYPES[nc_t]).tobytes()
+            out += struct.pack(">ii", nc_t, arr.size)
+            out += raw + b"\x00" * (_pad4(len(raw)) - len(raw))
+        return out
+
     fixed, recs = [], []
+    var_attrs: dict[str, bytes] = {}
     numrecs = 0
     for nm, spec in variables.items():
         arr = np.ascontiguousarray(spec["data"])
         nc_t = np_to_nc[arr.dtype.newbyteorder("=")]
+        var_attrs[nm] = enc_attrs(spec.get("attrs", {}))
         vdims = list(spec["dims"])
         is_rec = (
             rec_id is not None and vdims and dim_ids[vdims[0]] == rec_id
@@ -259,7 +299,7 @@ def write_netcdf(path: str, dims: dict[str, int], variables: dict[str, dict]) ->
             out += struct.pack(">i", len(vdims))
             for d in vdims:
                 out += struct.pack(">i", dim_ids[d])
-            out += struct.pack(">ii", _ABSENT, 0)  # no var attrs
+            out += var_attrs[nm]
             out += struct.pack(">iii", nc_t, vsize, begin_map[nm])
         return out
 
@@ -363,6 +403,37 @@ def _cf_time_axis(ds: dict, time_var: str) -> "np.ndarray":
     return cf_times_to_datetime64(data, units, calendar)
 
 
+def _attr_scalar(attrs: dict, *names) -> float | None:
+    for n in names:
+        if n in attrs:
+            v = np.asarray(attrs[n]).ravel()
+            if v.size:
+                return float(v[0])
+    return None
+
+
+def cf_mask_and_scale(arr: "np.ndarray", attrs: dict) -> "np.ndarray":
+    """CF packing decode — the mask-and-scale half of
+    ``xr.open_dataset`` the reference relies on (xarray defaults
+    ``mask_and_scale=True``): fill/missing values (compared on the
+    RAW stored integers, per CF) become NaN, then
+    ``value = raw * scale_factor + add_offset``.  A no-op (and
+    dtype-preserving) when none of the attributes are present."""
+    sf = _attr_scalar(attrs, "scale_factor")
+    ao = _attr_scalar(attrs, "add_offset")
+    fv = _attr_scalar(attrs, "_FillValue", "missing_value")
+    if sf is None and ao is None and fv is None:
+        return arr
+    out = np.asarray(arr, dtype="float64")
+    if fv is not None:
+        out = np.where(np.asarray(arr, "float64") == fv, np.nan, out)
+    if sf is not None:
+        out = out * sf
+    if ao is not None:
+        out = out + ao
+    return out
+
+
 def _unnest_grid(ds: dict, var: str, lat_var: str, lon_var: str,
                  time_index: int | None, time_var: str | None = None):
     """Yield one pandas frame per time slice of ``var`` with columns
@@ -370,15 +441,21 @@ def _unnest_grid(ds: dict, var: str, lat_var: str, lon_var: str,
     frame with t_idx 0; 3-D variables yield every record (or just
     ``time_index`` when given).  When ``time_var`` names a CF time
     coordinate, each frame additionally carries the decoded ``time``
-    timestamp.  Shared by the driver-side ``read_netcdf_grid`` and
-    the executor-side ``read_netcdf_dir``."""
+    timestamp.  CF packing attributes (scale_factor/add_offset/
+    _FillValue/missing_value) are applied per variable, matching
+    xarray's default mask-and-scale.  Shared by the driver-side
+    ``read_netcdf_grid`` and the executor-side ``read_netcdf_dir``."""
     import pandas as pd
 
     times = _cf_time_axis(ds, time_var) if time_var else None
 
-    v = ds["variables"][var]["data"]
-    lat = ds["variables"][lat_var]["data"]
-    lon = ds["variables"][lon_var]["data"]
+    def _scaled(name):
+        spec = ds["variables"][name]
+        return cf_mask_and_scale(spec["data"], spec.get("attrs", {}))
+
+    v = _scaled(var)
+    lat = _scaled(lat_var)
+    lon = _scaled(lon_var)
     if lat.ndim == 1 and lon.ndim == 1:  # rectilinear: broadcast to 2-D
         lon, lat = np.meshgrid(lon, lat)
     if v.ndim == 2:
@@ -581,8 +658,14 @@ def read_netcdf_chunks(
         tdim = False
     else:
         raise ValueError(f"{var}: expected (t,y,x) or (y,x), got {shape}")
-    lat = man["aux"][lat_var].astype("float64")
-    lon = man["aux"][lon_var].astype("float64")
+    lat = np.asarray(
+        cf_mask_and_scale(man["aux"][lat_var], man["aux_attrs"][lat_var]),
+        dtype="float64",
+    )
+    lon = np.asarray(
+        cf_mask_and_scale(man["aux"][lon_var], man["aux_attrs"][lon_var]),
+        dtype="float64",
+    )
     if lat.ndim == 1 and lon.ndim == 1:
         lon, lat = np.meshgrid(lon, lat)
     coords = spark.sparkContext.broadcast((lat, lon))
@@ -593,6 +676,7 @@ def read_netcdf_chunks(
             "filters": man["filters"],
             "shape": shape,
             "fill": man["fill"],
+            "attrs": man["attrs"],
         }
     )
 
@@ -653,6 +737,7 @@ def read_netcdf_chunks(
                         )
                     else:
                         carr = np.full(csh, m["fill"], dt.newbyteorder("="))
+                    carr = cf_mask_and_scale(carr, m["attrs"])
                     t0, y0, x0 = int(row.t0), int(row.y0), int(row.x0)
                     if tdim:
                         nt = min(csh[0], shp[0] - t0)
@@ -750,7 +835,7 @@ def read_netcdf_slabs(
     entry = {e[0]: e for e in hdr["entries"]}
     if var not in entry:
         raise ValueError(f"{path}: no variable {var!r}")
-    nm, dimids, _vatts, t, begin = entry[var]
+    nm, dimids, vatts, t, begin = entry[var]
     rec_dim = hdr["rec_dim"]
     is_rec = rec_dim is not None and dimids and dimids[0] == rec_dim
     if len(dimids) == 2:
@@ -781,7 +866,8 @@ def read_netcdf_slabs(
             f.seek(e[4])
             raw = f.read(count * _SIZES[e[3]])
         arr = np.frombuffer(raw, dtype=_DTYPES[e[3]], count=count)
-        return arr.reshape(shape).astype(arr.dtype.newbyteorder("="))
+        arr = arr.reshape(shape).astype(arr.dtype.newbyteorder("="))
+        return np.asarray(cf_mask_and_scale(arr, e[2] or {}))
 
     lat = _fixed_var(lat_var)
     lon = _fixed_var(lon_var)
@@ -829,6 +915,7 @@ def read_netcdf_slabs(
                         vals = np.frombuffer(
                             f.read(nbytes_rec), dtype=dtype, count=per_rec
                         )
+                        vals = cf_mask_and_scale(vals, vatts or {})
                         yield pd.DataFrame(
                             {
                                 "t_idx": np.full(

@@ -96,7 +96,7 @@ _CHUNK_SCHEMA = (
     "addr long, nbytes long, fmask long, "
     "ct long, cy long, cx long, "
     "dtype string, filters string, fill double, coord_hash string, "
-    "fsize long"
+    "fsize long, packing string"
 )
 
 _COORD_SCHEMA = (
@@ -122,6 +122,22 @@ def _hash_grids(lat: np.ndarray, lon: np.ndarray) -> str:
     h.update(lat.tobytes())
     h.update(lon.tobytes())
     return h.hexdigest()
+
+
+def _packing_json(attrs: dict | None) -> str:
+    """CF packing attributes -> a compact JSON chunk-row column
+    (``"{}"`` for the overwhelmingly common unpacked variable).  The
+    decode task replays xarray's default mask-and-scale from it:
+    fill/missing compared on RAW stored values, then
+    ``raw * scale_factor + add_offset`` (netcdf.cf_mask_and_scale)."""
+    out = {}
+    for k in ("scale_factor", "add_offset", "_FillValue",
+              "missing_value"):
+        if attrs and k in attrs:
+            v = np.asarray(attrs[k]).ravel()
+            if v.size:
+                out[k] = float(v[0])
+    return json.dumps(out, sort_keys=True) if out else "{}"
 
 
 def _file_chunk_rows(path: str, file_no: int, var: str,
@@ -151,6 +167,7 @@ def _file_chunk_rows(path: str, file_no: int, var: str,
 
 def _hdf5_rows(path, file_no, var, lat_var, lon_var):
     from wrf_to_geodataframe_spark.sources.hdf5 import hdf5_chunk_manifest
+    from wrf_to_geodataframe_spark.sources.netcdf import cf_mask_and_scale
 
     man = hdf5_chunk_manifest(path, var, aux_vars=(lat_var, lon_var))
     shape, chunk = man["shape"], man["chunks"]
@@ -163,7 +180,15 @@ def _hdf5_rows(path, file_no, var, lat_var, lon_var):
         tdim = True
     else:
         raise ValueError(f"{var}: expected (t,y,x) or (y,x), got {shape}")
-    lat, lon = _coord_grids(man["aux"][lat_var], man["aux"][lon_var])
+    lat, lon = _coord_grids(
+        np.asarray(cf_mask_and_scale(
+            man["aux"][lat_var], man["aux_attrs"][lat_var]
+        )),
+        np.asarray(cf_mask_and_scale(
+            man["aux"][lon_var], man["aux_attrs"][lon_var]
+        )),
+    )
+    packing = _packing_json(man["attrs"])
     chash = _hash_grids(lat, lon)
     stored = {}
     for offs, addr, nbytes, mask in man["entries"]:
@@ -184,6 +209,7 @@ def _hdf5_rows(path, file_no, var, lat_var, lon_var):
             o[0], e[0], o[1], e[1], o[2], e[2],
             addr, nbytes, mask, chunk[0], chunk[1], chunk[2],
             man["dtype"], filters, float(man["fill"]), chash, fsize,
+            packing,
         ))
     coords = (chash, lat.shape[0], lat.shape[1],
               lat.tobytes(), lon.tobytes())
@@ -195,6 +221,7 @@ def _classic_rows(path, file_no, var, lat_var, lon_var):
         _DTYPES,
         _SIZES,
         _read_header_from_file,
+        cf_mask_and_scale,
     )
 
     def _fixed_var(hdr, name):
@@ -204,7 +231,7 @@ def _classic_rows(path, file_no, var, lat_var, lon_var):
         e = next((e for e in hdr["entries"] if e[0] == name), None)
         if e is None:
             raise ValueError(f"{path}: no variable {name!r}")
-        _, ids, _a, t, beg = e
+        _, ids, atts, t, beg = e
         if hdr["rec_dim"] is not None and ids[:1] == [hdr["rec_dim"]]:
             raise ValueError(f"{name}: record coordinate unsupported")
         shp = [hdr["dims"][d][1] for d in ids]
@@ -212,7 +239,8 @@ def _classic_rows(path, file_no, var, lat_var, lon_var):
         with open(path, "rb") as fh:
             fh.seek(beg)
             buf = fh.read(n * _SIZES[t])
-        return np.frombuffer(buf, _DTYPES[t], count=n).reshape(shp)
+        arr = np.frombuffer(buf, _DTYPES[t], count=n).reshape(shp)
+        return np.asarray(cf_mask_and_scale(arr, atts or {}))
 
     hdr = _read_header_from_file(path)
     dims, rec_dim = hdr["dims"], hdr["rec_dim"]
@@ -220,7 +248,7 @@ def _classic_rows(path, file_no, var, lat_var, lon_var):
     entry = next((e for e in hdr["entries"] if e[0] == var), None)
     if entry is None:
         raise ValueError(f"{path}: no variable {var!r}")
-    _, dimids, _vatts, nc_type, begin = entry
+    _, dimids, vatts, nc_type, begin = entry
     shape = [dims[d][1] for d in dimids]
     is_rec = rec_dim is not None and dimids and dimids[0] == rec_dim
     if is_rec:
@@ -244,11 +272,12 @@ def _classic_rows(path, file_no, var, lat_var, lon_var):
     chash = _hash_grids(lat, lon)
     fsize = os.path.getsize(path)
     rows = []
+    packing = _packing_json(vatts)
     for t in range(nt):
         rows.append((
             path, var, file_no, nt, t, t + 1, 0, ny, 0, nx,
             begin + t * step, plane, 0, 1, ny, nx,
-            dtype, "[]", 0.0, chash, fsize,
+            dtype, "[]", 0.0, chash, fsize, packing,
         ))
     coords = (chash, lat.shape[0], lat.shape[1],
               lat.tobytes(), lon.tobytes())
@@ -327,7 +356,7 @@ def _grib2_rows(path: str, file_no: int, var: str | None):
             rows.append((
                 path, var or "", file_no, -1, lt, lt + 1, 0, nj, 0, ni,
                 off, mlen, 0, 1, nj, ni,
-                "grib2", "[]", 0.0, chash, os.path.getsize(path),
+                "grib2", "[]", 0.0, chash, os.path.getsize(path), "{}",
             ))
             lt += 1
     if not rows:
@@ -452,7 +481,7 @@ def _index_files(
                         "y0", "y1", "x0", "x1",
                         "addr", "nbytes", "fmask", "ct", "cy", "cx",
                         "dtype", "filters", "fill", "coord_hash",
-                        "fsize",
+                        "fsize", "packing",
                     ],
                 )
 
@@ -651,6 +680,7 @@ def build_virtual_mosaic(
             F.lit(0.0).alias("fill"),
             F.lit(chash).alias("coord_hash"),
             "fsize",
+            F.lit("{}").alias("packing"),
         )
         .repartitionByRange(n_out, "y0", "x0")
         .sortWithinPartitions("y0", "x0")
@@ -700,7 +730,9 @@ def compact_manifest(spark, manifest_path: str, out_path: str) -> str:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    man = spark.read.parquet(os.path.join(manifest_path, "chunks"))
+    man = _with_packing(
+        spark.read.parquet(os.path.join(manifest_path, "chunks"))
+    )
     n_t = Window.partitionBy("file", "var", "t0")
     man = man.withColumn("n_at_t", F.count(F.lit(1)).over(n_t))
     mergeable = (
@@ -750,6 +782,7 @@ def compact_manifest(spark, manifest_path: str, out_path: str) -> str:
             F.first("fill").alias("fill"),
             F.first("coord_hash").alias("coord_hash"),
             F.first("fsize").alias("fsize"),
+            F.first("packing").alias("packing"),
         )
         .drop("run")
     )
@@ -875,7 +908,9 @@ def read_virtual(
     driver."""
     from pyspark.sql import functions as F
 
-    man = spark.read.parquet(os.path.join(manifest_path, "chunks"))
+    man = _with_packing(
+        spark.read.parquet(os.path.join(manifest_path, "chunks"))
+    )
     if var is not None:
         man = man.filter(F.col("var") == var)
     for (col0, col1), rng in (
@@ -934,6 +969,17 @@ def stream_virtual(
     return man.mapInPandas(_scan, _virtual_out_schema())
 
 
+def _with_packing(df):
+    """Backward compat for manifests written before the ``packing``
+    column existed: read them as unpacked (their build-time
+    semantics) instead of failing on the missing column."""
+    from pyspark.sql import functions as F
+
+    if "packing" not in df.columns:
+        df = df.withColumn("packing", F.lit("{}"))
+    return df
+
+
 def _broadcast_sidecar(spark, manifest_path: str, max_sidecar_bytes: int):
     """Collect + broadcast the coordinate sidecar as {coord_hash ->
     ("affine", params) | ("grid", lat, lon)}.  Size guard first: the
@@ -989,12 +1035,14 @@ def _chunk_scanner(bgrids, bounds):
 
     from wrf_to_geodataframe_spark.sources.grib2 import read_grib2_bytes
     from wrf_to_geodataframe_spark.sources.hdf5 import decode_chunk_pipeline
+    from wrf_to_geodataframe_spark.sources.netcdf import cf_mask_and_scale
 
     def _scan(it):
         grids = bgrids.value
         trange, yrange, xrange_ = bounds
         handles: dict[str, object] = {}
         fcache: dict[str, list] = {}
+        pcache: dict[str, dict] = {}
 
         def _open(file, fsize):
             """Stale-manifest guard: byte offsets are only valid for
@@ -1070,6 +1118,12 @@ def _chunk_scanner(bgrids, bounds):
                             csh, row.fill,
                             np.dtype(row.dtype).newbyteorder("="),
                         )
+                    pk = getattr(row, "packing", "{}") or "{}"
+                    if pk != "{}":
+                        attrs = pcache.get(pk)
+                        if attrs is None:
+                            attrs = pcache[pk] = json.loads(pk)
+                        carr = np.asarray(cf_mask_and_scale(carr, attrs))
                     t0, y0, x0 = int(row.t0), int(row.y0), int(row.x0)
                     nt = int(row.t1) - t0
                     ny = int(row.y1) - y0
