@@ -98,6 +98,50 @@ def _check2d(rows, exp2: np.ndarray):
                 assert got[(y, x)] == pytest.approx(e, abs=1e-9)
 
 
+def test_unsigned_reinterpret():
+    """NC_BYTE + _Unsigned='true' (the netCDF-classic unsigned-byte
+    convention xarray honors): signed storage reinterprets as
+    unsigned, and a negative signed _FillValue shifts with it."""
+    raw = np.array([-1, -128, 127, 0], dtype="int8")  # u8: 255,128,127,0
+    out = cf_mask_and_scale(raw, {"_Unsigned": "true"})
+    assert out.dtype == np.uint8
+    assert list(out) == [255, 128, 127, 0]
+    # -1 signed == 255 unsigned is the fill
+    out = cf_mask_and_scale(
+        raw,
+        {"_Unsigned": "true", "_FillValue": np.int8(-1),
+         "scale_factor": 0.5},
+    )
+    assert np.isnan(out[0])
+    assert out[1] == pytest.approx(64.0)
+    # unsigned kinds pass through untouched
+    u = np.array([3], dtype="uint16")
+    assert cf_mask_and_scale(u, {"_Unsigned": "true"}).dtype == np.uint16
+
+
+def test_unsigned_through_classic_grid(spark, tmp_path):
+    ny, nx = 2, 2
+    raw = np.array([[-1, -2], [100, 0]], dtype="int8")  # u8: 255,254
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    p = str(tmp_path / "unsigned.nc")
+    write_netcdf(
+        p,
+        {"y": ny, "x": nx},
+        {
+            "B": {"dims": ["y", "x"], "data": raw,
+                  "attrs": {"_Unsigned": "true",
+                            "scale_factor": 0.5}},
+            "XLAT": {"dims": ["y", "x"], "data": 50.0 + yy * 0.25},
+            "XLONG": {"dims": ["y", "x"], "data": -3.0 + xx * 0.125},
+        },
+    )
+    rows = read_netcdf_grid(spark, p, "B", "XLAT", "XLONG").collect()
+    got = {(r["y_idx"], r["x_idx"]): r["value"] for r in rows}
+    assert got[(0, 0)] == pytest.approx(255 * 0.5)
+    assert got[(0, 1)] == pytest.approx(254 * 0.5)
+    assert got[(1, 0)] == pytest.approx(50.0)
+
+
 def test_classic_grid_read_applies_packing(spark, tmp_path):
     ny, nx = 2, 4
     raw = _raw(1, ny, nx)[0]

@@ -415,18 +415,34 @@ def _attr_scalar(attrs: dict, *names) -> float | None:
 def cf_mask_and_scale(arr: "np.ndarray", attrs: dict) -> "np.ndarray":
     """CF packing decode — the mask-and-scale half of
     ``xr.open_dataset`` the reference relies on (xarray defaults
-    ``mask_and_scale=True``): fill/missing values (compared on the
-    RAW stored integers, per CF) become NaN, then
+    ``mask_and_scale=True``): ``_Unsigned = "true"`` reinterprets
+    signed storage as unsigned (the NC_BYTE convention; the signed
+    ``_FillValue`` attribute shifts with it), fill/missing values
+    (compared on the RAW stored integers, per CF) become NaN, then
     ``value = raw * scale_factor + add_offset``.  A no-op (and
     dtype-preserving) when none of the attributes are present."""
     sf = _attr_scalar(attrs, "scale_factor")
     ao = _attr_scalar(attrs, "add_offset")
     fv = _attr_scalar(attrs, "_FillValue", "missing_value")
+    uns = attrs.get("_Unsigned") if attrs else None
+    if isinstance(uns, np.ndarray):
+        uns = "".join(uns.astype(str))
+    if isinstance(uns, bytes):
+        uns = uns.decode("ascii", "replace")
+    a = np.asarray(arr)
+    unsigned = (
+        isinstance(uns, str) and uns.lower() == "true"
+        and a.dtype.kind == "i"
+    )
+    if unsigned:
+        a = np.ascontiguousarray(a).view(a.dtype.str.replace("i", "u"))
+        if fv is not None and fv < 0:
+            fv += float(2 ** (8 * a.dtype.itemsize))
     if sf is None and ao is None and fv is None:
-        return arr
-    out = np.asarray(arr, dtype="float64")
+        return a if unsigned else arr
+    out = np.asarray(a, dtype="float64")
     if fv is not None:
-        out = np.where(np.asarray(arr, "float64") == fv, np.nan, out)
+        out = np.where(np.asarray(a, "float64") == fv, np.nan, out)
     if sf is not None:
         out = out * sf
     if ao is not None:

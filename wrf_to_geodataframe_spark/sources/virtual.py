@@ -137,6 +137,13 @@ def _packing_json(attrs: dict | None) -> str:
             v = np.asarray(attrs[k]).ravel()
             if v.size:
                 out[k] = float(v[0])
+    uns = attrs.get("_Unsigned") if attrs else None
+    if isinstance(uns, np.ndarray):
+        uns = "".join(uns.astype(str))
+    if isinstance(uns, bytes):
+        uns = uns.decode("ascii", "replace")
+    if isinstance(uns, str) and uns.lower() == "true":
+        out["_Unsigned"] = "true"
     return json.dumps(out, sort_keys=True) if out else "{}"
 
 

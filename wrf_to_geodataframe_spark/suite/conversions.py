@@ -292,6 +292,94 @@ GROUP BY 1
 """
 
 
+_CP_FILES, _CP_NY, _CP_NX = 2, 8, 8
+_CP_SF, _CP_AO = 0.125, 270.0  # 2^-3 scale: decoded doubles are exact
+
+
+def s1_cf_packed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 with CF PACKED variables (the mask-and-scale half of
+    ``xr.open_dataset``, reference wrf_voronoi.py:115): int16 storage
+    + ``scale_factor``/``add_offset`` attributes decode to physical
+    floats and the ``_FillValue`` cell surfaces as NULL — across BOTH
+    on-disk formats (shard 0 classic CDF-1 attribute list, shard 1
+    NetCDF-4/HDF5 compact attribute messages on a deflate-chunked
+    dataset) through the distributed directory scan.
+
+    scale_factor is 2^-3 and add_offset integral, so every decoded
+    double (and their sums) is exact and order-free; the DuckDB
+    oracle replays ``raw * sf + ao`` from the closed form with the
+    fill cell nulled out."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.sources.hdf5_write import write_netcdf4
+    from wrf_to_geodataframe_spark.sources.netcdf import (
+        read_netcdf_dir,
+        write_netcdf,
+    )
+
+    d = tempfile.mkdtemp(prefix="s1_packed_")
+    ny, nx = _CP_NY, _CP_NX
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    lat = (50.0 + yy * 0.25).astype("float64")
+    lon = (-3.0 + xx * 0.125).astype("float64")
+    attrs = {
+        "scale_factor": np.float64(_CP_SF),
+        "add_offset": np.float64(_CP_AO),
+        "_FillValue": np.int16(-32767),
+        "units": "K",
+    }
+    for fno in range(_CP_FILES):
+        raw = (fno * 100 + yy * nx + xx).astype("int16")
+        raw[0, 0] = -32767  # one fill cell per shard
+        variables = {
+            "T2": {"dims": ["y", "x"], "data": raw, "attrs": attrs},
+            "XLAT": {"dims": ["y", "x"], "data": lat},
+            "XLONG": {"dims": ["y", "x"], "data": lon},
+        }
+        p = os.path.join(d, f"shard_{fno}.nc")
+        if fno % 2 == 0:
+            write_netcdf(p, {"y": ny, "x": nx}, variables)
+        else:
+            write_netcdf4(
+                p, {"y": ny, "x": nx}, variables,
+                compress=True, chunk={"T2": (4, 4)},
+            )
+    df = read_netcdf_dir(spark, d, "T2", "XLAT", "XLONG")
+    return (
+        df.withColumn(
+            "shard",
+            F.regexp_extract("file", r"shard_(\d+)\.nc", 1).cast("bigint"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.count("value").alias("n_valid"),
+            F.sum("value").alias("sum_val"),
+            F.max("value").alias("max_val"),
+        )
+    )
+
+
+_SCP_SQL = f"""
+SELECT f.f AS shard,
+       COUNT(*) AS n_cells,
+       COUNT(CASE WHEN NOT (y.y = 0 AND x.x = 0) THEN 1 END) AS n_valid,
+       SUM(CASE WHEN y.y = 0 AND x.x = 0 THEN NULL
+                ELSE (f.f * 100 + y.y * {_CP_NX} + x.x) * {_CP_SF}
+                     + {_CP_AO} END) AS sum_val,
+       MAX(CASE WHEN y.y = 0 AND x.x = 0 THEN NULL
+                ELSE (f.f * 100 + y.y * {_CP_NX} + x.x) * {_CP_SF}
+                     + {_CP_AO} END) AS max_val
+FROM generate_series(0, {_CP_FILES - 1}) AS f(f),
+     generate_series(0, {_CP_NY - 1}) AS y(y),
+     generate_series(0, {_CP_NX - 1}) AS x(x)
+GROUP BY 1
+"""
+
+
 def s1_zarr3_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 at zarr v3 SHARDED shape (the current spec's scale layout):
     a sharding_indexed store — one storage object per shard, many
@@ -792,6 +880,7 @@ QUERIES = {
     "s1_zarr_ingest": s1_zarr_ingest,
     "s1_zarr3_ingest": s1_zarr3_ingest,
     "s1_cf_time_ingest": s1_cf_time_ingest,
+    "s1_cf_packed_ingest": s1_cf_packed_ingest,
     "s1_grib2_ingest": s1_grib2_ingest,
     "s1_geotiff_ingest": s1_geotiff_ingest,
     "s1_virtual_dataset": s1_virtual_dataset,
@@ -807,6 +896,7 @@ ORACLE = {
     "s1_zarr_ingest": _SZ_SQL,
     "s1_zarr3_ingest": _SZ_SQL,
     "s1_cf_time_ingest": _SCF_SQL,
+    "s1_cf_packed_ingest": _SCP_SQL,
     "s1_grib2_ingest": _SG_SQL,
     "s1_geotiff_ingest": _SGT_SQL,
     "s1_virtual_dataset": _SV_SQL,
