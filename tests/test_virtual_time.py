@@ -1,0 +1,252 @@
+"""Virtual-layer TIME AXIS: ``build_virtual_manifest(...,
+time_var=...)`` decodes each file's CF time coordinate at INDEX time
+into a metadata-sized ``times`` sidecar; ``read_virtual`` /
+``stream_virtual`` then emit a real ``time`` timestamp column next to
+``t_idx`` — the archive-scale mirror of ``read_netcdf_grid(...,
+time_var=...)`` (xarray decode_cf at wrf_voronoi.py:115), and
+``time_to_windows`` turns timestamp ranges into pruned index windows
+(the time-axis sibling of ``bbox_to_windows``)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+from wrf_to_geodataframe_spark.sources.netcdf import write_netcdf
+from wrf_to_geodataframe_spark.sources.virtual import (
+    build_virtual_manifest,
+    read_virtual,
+    time_to_windows,
+    update_virtual_manifest,
+)
+
+NY, NX = 3, 4
+
+
+def _grid_vars(nt: int, seed: int):
+    yy, xx = np.meshgrid(np.arange(NY), np.arange(NX), indexing="ij")
+    tt = np.arange(nt)
+    vals = (seed * 10000 + tt[:, None, None] * 100 + yy * NX + xx).astype(
+        "float64"
+    )
+    return {
+        "T2": {"dims": ["t", "y", "x"], "data": vals},
+        "XLAT": {"dims": ["y", "x"], "data": 50.0 + yy * 0.25},
+        "XLONG": {"dims": ["y", "x"], "data": -3.0 + xx * 0.125},
+    }
+
+
+def _write_classic(path: str, nt: int, seed: int, hour0: float,
+                   record: bool = False):
+    variables = dict(_grid_vars(nt, seed))
+    variables["t"] = {
+        "dims": ["t"],
+        "data": (hour0 + np.arange(nt) * 6.0).astype("float64"),
+        "attrs": {"units": "hours since 2021-06-01 00:00:00",
+                  "calendar": "standard"},
+    }
+    write_netcdf(path, {"t": 0 if record else nt, "y": NY, "x": NX},
+                 variables)
+
+
+def _write_nc4(path: str, nt: int, seed: int, hour0: float):
+    from wrf_to_geodataframe_spark.sources.hdf5_write import write_netcdf4
+
+    variables = dict(_grid_vars(nt, seed))
+    variables["t"] = {
+        "dims": ["t"],
+        "data": (hour0 + np.arange(nt) * 6.0).astype("float64"),
+        "attrs": {"units": "hours since 2021-06-01 00:00:00",
+                  "calendar": "standard"},
+    }
+    write_netcdf4(path, {"t": nt, "y": NY, "x": NX}, variables,
+                  compress=True, chunk={"T2": (2, 2, 2)})
+
+
+def _expected_time(step: int) -> datetime:
+    base = np.datetime64("2021-06-01T00:00:00", "us")
+    return (base + np.timedelta64(step * 6, "h")).astype(datetime)
+
+
+def test_mixed_archive_time_column(spark, tmp_path):
+    """Classic (record-dim coord) shard 0 + NetCDF-4 shard 1: global
+    t_idx 0..5 maps onto one continuous 6-hourly axis spanning both
+    files, decoded from each file's own units attribute."""
+    _write_classic(str(tmp_path / "a_shard.nc"), 3, seed=1, hour0=0.0,
+                   record=True)
+    _write_nc4(str(tmp_path / "b_shard.nc"), 3, seed=2, hour0=18.0)
+    man = str(tmp_path / "manifest")
+    build_virtual_manifest(
+        spark, str(tmp_path), "T2", "XLAT", "XLONG", man, time_var="t"
+    )
+    rows = read_virtual(spark, man).collect()
+    assert len(rows) == 6 * NY * NX
+    seen = {}
+    for r in rows:
+        seen.setdefault(r["t_idx"], set()).add(r["time"])
+    assert sorted(seen) == list(range(6))
+    for t_idx, times in seen.items():
+        assert times == {_expected_time(t_idx)}, t_idx
+    # values come from the right shard at the right step
+    v = {(r["t_idx"], r["y_idx"], r["x_idx"]): r["value"] for r in rows}
+    assert v[(1, 0, 1)] == 1 * 10000 + 1 * 100 + 1
+    assert v[(4, 0, 1)] == 2 * 10000 + 1 * 100 + 1
+
+
+def test_update_appends_time_axis(spark, tmp_path):
+    _write_classic(str(tmp_path / "a.nc"), 2, seed=1, hour0=0.0)
+    man = str(tmp_path / "manifest")
+    build_virtual_manifest(
+        spark, str(tmp_path), "T2", "XLAT", "XLONG", man, time_var="t"
+    )
+    _write_classic(str(tmp_path / "b.nc"), 2, seed=2, hour0=12.0)
+    n = update_virtual_manifest(
+        spark, str(tmp_path), "T2", "XLAT", "XLONG", man, time_var="t"
+    )
+    assert n == 1
+    rows = read_virtual(spark, man).collect()
+    got = {r["t_idx"]: r["time"] for r in rows}
+    assert got == {i: _expected_time(i) for i in range(4)}
+
+
+def test_update_time_var_consistency_raises(spark, tmp_path):
+    _write_classic(str(tmp_path / "a.nc"), 2, seed=1, hour0=0.0)
+    with_t = str(tmp_path / "with_t")
+    without_t = str(tmp_path / "without_t")
+    build_virtual_manifest(
+        spark, str(tmp_path), "T2", "XLAT", "XLONG", with_t, time_var="t"
+    )
+    build_virtual_manifest(
+        spark, str(tmp_path), "T2", "XLAT", "XLONG", without_t
+    )
+    _write_classic(str(tmp_path / "b.nc"), 2, seed=2, hour0=12.0)
+    with pytest.raises(ValueError, match="pass the same time_var"):
+        update_virtual_manifest(
+            spark, str(tmp_path), "T2", "XLAT", "XLONG", with_t
+        )
+    with pytest.raises(ValueError, match="built without time_var"):
+        update_virtual_manifest(
+            spark, str(tmp_path), "T2", "XLAT", "XLONG", without_t,
+            time_var="t",
+        )
+
+
+def test_no_times_sidecar_reads_without_time_column(spark, tmp_path):
+    _write_classic(str(tmp_path / "a.nc"), 2, seed=1, hour0=0.0)
+    man = str(tmp_path / "manifest")
+    build_virtual_manifest(spark, str(tmp_path), "T2", "XLAT", "XLONG", man)
+    df = read_virtual(spark, man)
+    assert "time" not in df.columns
+    assert df.count() == 2 * NY * NX
+
+
+def test_time_to_windows_prunes(spark, tmp_path):
+    _write_classic(str(tmp_path / "a.nc"), 4, seed=1, hour0=0.0)
+    _write_classic(str(tmp_path / "b.nc"), 4, seed=2, hour0=24.0)
+    man = str(tmp_path / "manifest")
+    build_virtual_manifest(
+        spark, str(tmp_path), "T2", "XLAT", "XLONG", man, time_var="t"
+    )
+    # 12:00-30:00 covers steps 2,3 (12h,18h) and 4,5 (24h,30h)
+    win = time_to_windows(
+        spark, man,
+        ("2021-06-01T12:00:00", "2021-06-02T06:00:00"),
+    )
+    assert win == (2, 5)
+    rows = read_virtual(spark, man, time_range=win).collect()
+    assert sorted({r["t_idx"] for r in rows}) == [2, 3, 4, 5]
+    # empty range -> impossible window -> empty well-typed read
+    win = time_to_windows(
+        spark, man, ("2030-01-01", "2030-01-02")
+    )
+    assert win == (-1, -1)
+    assert read_virtual(spark, man, time_range=win).count() == 0
+    # manifest without times: loud error
+    plain = str(tmp_path / "plain_man")
+    build_virtual_manifest(
+        spark, str(tmp_path), "T2", "XLAT", "XLONG", plain
+    )
+    with pytest.raises(ValueError, match="no times sidecar"):
+        time_to_windows(spark, plain, ("2021-06-01", "2021-06-02"))
+
+
+def test_wrf_times_char_axis(spark, tmp_path):
+    """The WRF 'Times' convention: a (Time, DateStrLen) NC_CHAR array
+    of 'YYYY-MM-DD_HH:MM:SS' strings, no units attribute — decoded
+    through the same sidecar path."""
+    nt = 2
+    variables = dict(_grid_vars(nt, seed=3))
+    strs = ["2021-06-01_00:00:00", "2021-06-01_06:00:00"]
+    chars = np.array(
+        [list(s.encode()) for s in strs], dtype="uint8"
+    ).view("S1").reshape(nt, len(strs[0]))
+    variables["Times"] = {"dims": ["t", "sl"], "data": chars}
+    write_netcdf(
+        str(tmp_path / "wrf.nc"),
+        {"t": nt, "y": NY, "x": NX, "sl": len(strs[0])},
+        variables,
+    )
+    man = str(tmp_path / "manifest")
+    build_virtual_manifest(
+        spark, str(tmp_path), "T2", "XLAT", "XLONG", man,
+        time_var="Times",
+    )
+    rows = read_virtual(spark, man).collect()
+    got = {r["t_idx"]: r["time"] for r in rows}
+    assert got == {0: _expected_time(0), 1: _expected_time(1)}
+
+
+def test_stream_virtual_carries_time_column(spark, tmp_path):
+    """stream==batch with the times sidecar: the stream-static join
+    maps every micro-batch row's t_idx to the same timestamp the
+    batch reader emits."""
+    import pandas as pd
+
+    from wrf_to_geodataframe_spark.sources.virtual import stream_virtual
+
+    _write_classic(str(tmp_path / "a.nc"), 2, seed=1, hour0=0.0)
+    _write_classic(str(tmp_path / "b.nc"), 2, seed=2, hour0=12.0)
+    man = str(tmp_path / "manifest")
+    build_virtual_manifest(
+        spark, str(tmp_path), "T2", "XLAT", "XLONG", man, time_var="t"
+    )
+    sdf = stream_virtual(spark, man)
+    assert sdf.isStreaming and "time" in sdf.columns
+    frames = []
+    q = (
+        sdf.writeStream.foreachBatch(
+            lambda b, _bid: frames.append(b.toPandas())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = pd.concat(frames, ignore_index=True)
+    batch = read_virtual(spark, man).toPandas()
+    key = lambda df: sorted(  # noqa: E731
+        map(tuple, df[["t_idx", "y_idx", "x_idx", "time"]].itertuples(
+            index=False
+        ))
+    )
+    assert key(got) == key(batch)
+    assert len(got) == 4 * NY * NX
+
+
+def test_grib2_member_with_time_var_raises(spark, tmp_path):
+    from wrf_to_geodataframe_spark.sources.grib2 import write_grib2
+
+    write_grib2(
+        str(tmp_path / "m.grib2"),
+        [{"values": np.ones((2, 2)), "lat0": 40.0, "lon0": -5.0,
+          "dlat": 1.0, "dlon": 1.0}],
+    )
+    man = str(tmp_path / "manifest")
+    # raised inside the executor metadata walk -> surfaces wrapped
+    with pytest.raises(Exception, match="not supported for GRIB2"):
+        build_virtual_manifest(
+            spark, str(tmp_path), None, "XLAT", "XLONG", man,
+            pattern="*.grib2", time_var="t",
+        )

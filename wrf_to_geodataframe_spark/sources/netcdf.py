@@ -365,6 +365,20 @@ def read_netcdf_grid(
     return spark.createDataFrame(pdf)
 
 
+def decode_cf_time_values(data: "np.ndarray", attrs: dict) -> "np.ndarray":
+    """Decode one CF time coordinate's values + attributes ->
+    datetime64[ns], without needing a whole-dataset dict — the entry
+    point the virtual layer's index-time axis decoding uses.  Fixed
+    HDF5 strings (``S19`` 1-D) normalize to the classic (n, strlen)
+    ``S1`` shape so the WRF 'Times' branch handles both layouts."""
+    data = np.asarray(data)
+    if data.dtype.kind == "S" and data.dtype.itemsize > 1 and data.ndim == 1:
+        data = data.view("S1").reshape(data.shape[0], data.dtype.itemsize)
+    return _cf_time_axis(
+        {"variables": {"t": {"data": data, "attrs": attrs or {}}}}, "t"
+    )
+
+
 def _cf_time_axis(ds: dict, time_var: str) -> "np.ndarray":
     """Decode a CF time coordinate variable (``units`` [+
     ``calendar``] attributes) -> datetime64[ns] axis (functions/

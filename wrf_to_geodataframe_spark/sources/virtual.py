@@ -148,35 +148,54 @@ def _packing_json(attrs: dict | None) -> str:
 
 
 def _file_chunk_rows(path: str, file_no: int, var: str,
-                     lat_var: str, lon_var: str):
+                     lat_var: str, lon_var: str, time_var: str | None = None):
     """Metadata-only chunk enumeration of ONE file -> (chunk row list,
-    coords rows).  Chunk rows carry LOCAL time bounds (lt0/lt1) plus
-    the file's time length ``nt``; the builder converts to global
-    bounds declaratively.  Every chunk-grid cell is listed — unwritten
-    HDF5 chunks with ``addr = -1`` (the reader fills them), matching
-    the single-file scan's semantics (netcdf.py:read_netcdf_chunks).
-    GRIB2 files contribute one chunk per (selected) MESSAGE — the
-    byte-range unit wgrib2's ``.idx`` sidecars index — with the whole
-    message as the chunk payload and ``dtype = "grib2"`` telling the
-    reader to decode it with the section parser."""
+    coords rows, time rows).  Chunk rows carry LOCAL time bounds
+    (lt0/lt1) plus the file's time length ``nt``; the builder converts
+    to global bounds declaratively.  Every chunk-grid cell is listed —
+    unwritten HDF5 chunks with ``addr = -1`` (the reader fills them),
+    matching the single-file scan's semantics
+    (netcdf.py:read_netcdf_chunks).  GRIB2 files contribute one chunk
+    per (selected) MESSAGE — the byte-range unit wgrib2's ``.idx``
+    sidecars index — with the whole message as the chunk payload and
+    ``dtype = "grib2"`` telling the reader to decode it with the
+    section parser.
+
+    ``time_var`` names the file's CF time coordinate: its values +
+    attributes (or a WRF 'Times' char array) decode at INDEX time into
+    ``(var, file_no, lt, time_ns)`` rows — the manifest's time
+    sidecar, still metadata-sized (one row per timestep)."""
     with open(path, "rb") as fh:
         magic = fh.read(8)
     if magic[:4] == b"\x89HDF":
-        rows, coords = _hdf5_rows(path, file_no, var, lat_var, lon_var)
+        rows, coords, times = _hdf5_rows(
+            path, file_no, var, lat_var, lon_var, time_var
+        )
     elif magic[:3] == b"CDF" and magic[3] in (1, 2):
-        rows, coords = _classic_rows(path, file_no, var, lat_var, lon_var)
+        rows, coords, times = _classic_rows(
+            path, file_no, var, lat_var, lon_var, time_var
+        )
     elif magic[:4] == b"GRIB":
-        return _grib2_rows(path, file_no, var)
+        if time_var is not None:
+            raise ValueError(
+                f"{path}: time_var is not supported for GRIB2 archive "
+                "members (message times are positional in stored order)"
+            )
+        rows, coords = _grib2_rows(path, file_no, var)
+        return rows, coords, []
     else:
         raise ValueError(f"{path}: not HDF5 / NetCDF classic / GRIB2")
-    return rows, [coords]
+    return rows, [coords], times
 
 
-def _hdf5_rows(path, file_no, var, lat_var, lon_var):
+def _hdf5_rows(path, file_no, var, lat_var, lon_var, time_var=None):
     from wrf_to_geodataframe_spark.sources.hdf5 import hdf5_chunk_manifest
     from wrf_to_geodataframe_spark.sources.netcdf import cf_mask_and_scale
 
-    man = hdf5_chunk_manifest(path, var, aux_vars=(lat_var, lon_var))
+    aux = (lat_var, lon_var) + (
+        (time_var,) if time_var is not None else ()
+    )
+    man = hdf5_chunk_manifest(path, var, aux_vars=aux)
     shape, chunk = man["shape"], man["chunks"]
     if len(shape) == 2:
         shape = (1,) + tuple(shape)
@@ -220,10 +239,36 @@ def _hdf5_rows(path, file_no, var, lat_var, lon_var):
         ))
     coords = (chash, lat.shape[0], lat.shape[1],
               lat.tobytes(), lon.tobytes())
-    return rows, coords
+    times = []
+    if time_var is not None:
+        times = _time_rows(
+            var, file_no, man["aux"][time_var],
+            man["aux_attrs"][time_var], shape[0], path, time_var,
+        )
+    return rows, coords, times
 
 
-def _classic_rows(path, file_no, var, lat_var, lon_var):
+def _time_rows(var, file_no, data, attrs, nt, path, time_var):
+    """Decode one file's time coordinate -> (var, file_no, lt,
+    time_ns) sidecar rows, length-checked against the variable's
+    time extent."""
+    from wrf_to_geodataframe_spark.sources.netcdf import (
+        decode_cf_time_values,
+    )
+
+    tns = decode_cf_time_values(np.asarray(data), attrs).astype("int64")
+    if tns.ndim != 1 or tns.shape[0] != nt:
+        raise ValueError(
+            f"{path}: time coordinate {time_var!r} has "
+            f"{tns.shape[0] if tns.ndim == 1 else tns.shape} steps, "
+            f"variable {var!r} has {nt}"
+        )
+    return [
+        (var, file_no, int(i), int(v)) for i, v in enumerate(tns)
+    ]
+
+
+def _classic_rows(path, file_no, var, lat_var, lon_var, time_var=None):
     from wrf_to_geodataframe_spark.sources.netcdf import (
         _DTYPES,
         _SIZES,
@@ -288,7 +333,39 @@ def _classic_rows(path, file_no, var, lat_var, lon_var):
         ))
     coords = (chash, lat.shape[0], lat.shape[1],
               lat.tobytes(), lon.tobytes())
-    return rows, coords
+    times = []
+    if time_var is not None:
+        te = next((e for e in hdr["entries"] if e[0] == time_var), None)
+        if te is None:
+            raise ValueError(f"{path}: no time variable {time_var!r}")
+        _, tids, tatts, tt, tbeg = te
+        t_rec = rec_dim is not None and tids[:1] == [rec_dim]
+        tail = [dims[d][1] for d in (tids[1:] if t_rec else tids)]
+        per = int(np.prod(tail, initial=1))
+        isz = _SIZES[tt]
+        if t_rec:
+            # record coordinate: one small value per interleaved slab
+            tstep = recsize if hdr["n_recvars"] > 1 else isz * per
+            parts = []
+            with open(path, "rb") as fh:
+                for rec in range(numrecs):
+                    fh.seek(tbeg + rec * tstep)
+                    parts.append(fh.read(isz * per))
+            tarr = np.frombuffer(
+                b"".join(parts), _DTYPES[tt], count=numrecs * per
+            ).reshape([numrecs] + tail)
+        else:
+            n = int(np.prod([dims[d][1] for d in tids], initial=1))
+            with open(path, "rb") as fh:
+                fh.seek(tbeg)
+                buf = fh.read(n * isz)
+            tarr = np.frombuffer(buf, _DTYPES[tt], count=n).reshape(
+                [dims[d][1] for d in tids]
+            )
+        times = _time_rows(
+            var, file_no, tarr, tatts, nt, path, time_var
+        )
+    return rows, coords, times
 
 
 def _grib2_rows(path: str, file_no: int, var: str | None):
@@ -381,12 +458,21 @@ def build_virtual_manifest(
     lon_var: str,
     out_path: str,
     pattern: str = "*.nc",
+    time_var: str | None = None,
 ) -> str:
     """Build and persist the virtual-dataset manifest for ``src`` (a
     directory, globbed with ``pattern`` in sorted-name order — the
     archive's time order — or an explicit ordered path list).  Writes
     ``out_path/chunks`` (the chunk table) and ``out_path/coords`` (the
     deduplicated coordinate sidecar).  Returns ``out_path``.
+
+    ``time_var`` names each file's CF time coordinate (numeric
+    ``units``-attributed values or a WRF 'Times' char array): it is
+    decoded at INDEX time into an ``out_path/times`` sidecar (one row
+    per global timestep — still metadata-sized), and ``read_virtual``
+    / ``stream_virtual`` then emit a real ``time`` timestamp column
+    next to ``t_idx`` (the archive-scale mirror of
+    ``read_netcdf_grid(..., time_var=...)``).
 
     The metadata walk runs ON EXECUTORS (one task per file batch); the
     driver only lists file names.  Global time bounds are assigned with
@@ -402,7 +488,7 @@ def build_virtual_manifest(
         raise ValueError(f"no input files under {src!r}")
     _index_files(
         spark, files, var, lat_var, lon_var, out_path,
-        base_t=0, write_mode="overwrite",
+        base_t=0, write_mode="overwrite", time_var=time_var,
     )
     return out_path
 
@@ -415,6 +501,7 @@ def update_virtual_manifest(
     lon_var: str,
     out_path: str,
     pattern: str = "*.nc",
+    time_var: str | None = None,
 ) -> int:
     """INCREMENTAL manifest maintenance — the daily-cycle append: index
     only files not yet present in ``out_path`` and append their chunks
@@ -439,6 +526,19 @@ def update_virtual_manifest(
     )
     chunks_path = os.path.join(out_path, "chunks")
     existing = spark.read.parquet(chunks_path)
+    has_times = _try_read_times(spark, out_path) is not None
+    if has_times and time_var is None:
+        raise ValueError(
+            f"{out_path}: manifest has a times sidecar — pass the same "
+            "time_var to update_virtual_manifest, or new steps would "
+            "have no timestamps"
+        )
+    if time_var is not None and not has_times:
+        raise ValueError(
+            f"{out_path}: manifest was built without time_var — "
+            "rebuild with build_virtual_manifest(..., time_var=...) "
+            "instead of appending a partial time axis"
+        )
     listing = spark.createDataFrame([(f,) for f in files], "file string")
     new = sorted(
         r["file"]
@@ -451,13 +551,14 @@ def update_virtual_manifest(
     base = existing.agg(F.max("t1")).collect()[0][0]
     _index_files(
         spark, new, var, lat_var, lon_var, out_path,
-        base_t=int(base), write_mode="append",
+        base_t=int(base), write_mode="append", time_var=time_var,
     )
     return len(new)
 
 
 def _index_files(
-    spark, files, var, lat_var, lon_var, out_path, base_t, write_mode
+    spark, files, var, lat_var, lon_var, out_path, base_t, write_mode,
+    time_var=None,
 ):
     import pandas as pd
     from pyspark.sql import Window
@@ -477,8 +578,9 @@ def _index_files(
             for row in pdf.itertuples(index=False):
                 rows = []
                 for v in vars_:
-                    r, _ = _file_chunk_rows(
-                        row.path, int(row.file_no), v, lat_var, lon_var
+                    r, _, _ = _file_chunk_rows(
+                        row.path, int(row.file_no), v, lat_var, lon_var,
+                        time_var,
                     )
                     rows.extend(r)
                 yield pd.DataFrame(
@@ -497,8 +599,9 @@ def _index_files(
             for row in pdf.itertuples(index=False):
                 cs = []
                 for v in vars_:
-                    _, c = _file_chunk_rows(
-                        row.path, int(row.file_no), v, lat_var, lon_var
+                    _, c, _ = _file_chunk_rows(
+                        row.path, int(row.file_no), v, lat_var, lon_var,
+                        time_var,
                     )
                     cs.extend(c)
                 frame = pd.DataFrame(
@@ -538,6 +641,37 @@ def _index_files(
         .write.mode(write_mode)
         .parquet(os.path.join(out_path, "coords"))
     )
+    if time_var is not None:
+        def _scan_times(it):
+            for pdf in it:
+                for row in pdf.itertuples(index=False):
+                    ts = []
+                    for v in vars_:
+                        _, _, t = _file_chunk_rows(
+                            row.path, int(row.file_no), v,
+                            lat_var, lon_var, time_var,
+                        )
+                        ts.extend(t)
+                    yield pd.DataFrame(
+                        ts,
+                        columns=["var", "file_no", "lt", "time_ns"],
+                    )
+
+        (
+            fdf.mapInPandas(
+                _scan_times,
+                "var string, file_no long, lt long, time_ns long",
+            )
+            .join(F.broadcast(offsets), ["var", "file_no"])
+            .select(
+                "var",
+                (F.col("lt") + F.col("t_off")).alias("t"),
+                "time_ns",
+            )
+            .coalesce(1)
+            .write.mode(write_mode)
+            .parquet(os.path.join(out_path, "times"))
+        )
 
 
 def build_virtual_mosaic(
@@ -935,9 +1069,13 @@ def read_virtual(
     bounds = (time_range, y_range, x_range)
     _scan = _chunk_scanner(bgrids, bounds)
     n = spark.sparkContext.defaultParallelism * 2
-    return man.repartition(n, "file", "t0", "y0", "x0").mapInPandas(
+    out = man.repartition(n, "file", "t0", "y0", "x0").mapInPandas(
         _scan, _virtual_out_schema()
     )
+    times = _try_read_times(spark, manifest_path)
+    if times is not None:
+        out = _with_time_column(out, times, var)
+    return out
 
 
 def stream_virtual(
@@ -973,7 +1111,98 @@ def stream_virtual(
         man = man.filter(F.col("var") == var)
     bgrids = _broadcast_sidecar(spark, manifest_path, max_sidecar_bytes)
     _scan = _chunk_scanner(bgrids, (None, None, None))
-    return man.mapInPandas(_scan, _virtual_out_schema())
+    out = man.mapInPandas(_scan, _virtual_out_schema())
+    # stream-static join against the times sidecar SNAPSHOT (same
+    # definition-time semantics as the coordinate sidecar)
+    times = _try_read_times(spark, manifest_path)
+    if times is not None:
+        out = _with_time_column(out, times, var)
+    return out
+
+
+def _try_read_times(spark, manifest_path: str):
+    """The ``times`` sidecar DataFrame (var, t, time_ns), or None for
+    manifests built without ``time_var`` — probed with one parquet
+    footer read, no filesystem-specific existence check."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(os.path.join(manifest_path, "times"))
+    except AnalysisException:
+        return None
+
+
+def _with_time_column(out, times, var):
+    """LEFT-join the (small, broadcast) times sidecar onto the decoded
+    grid rows: ``t_idx -> time`` (microsecond timestamp; the sidecar
+    keeps exact int64 ns).  With a multi-variable manifest whose axes
+    DIFFER, an unfiltered read has no single mapping — fail loudly
+    and ask for ``var=``."""
+    from pyspark.sql import functions as F
+
+    if var is not None:
+        times = times.filter(F.col("var") == var)
+    tm = times.select(F.col("t").alias("t_idx"), "time_ns").distinct()
+    if var is None:
+        dup = (
+            tm.groupBy("t_idx").count().filter("count > 1").limit(1)
+        )
+        if dup.count() > 0:
+            raise ValueError(
+                "manifest time axes differ between variables — pass "
+                "var=... to read_virtual/stream_virtual so t_idx maps "
+                "to one time axis"
+            )
+    return (
+        out.join(F.broadcast(tm), "t_idx", "left")
+        .withColumn(
+            "time",
+            F.timestamp_micros(F.expr("time_ns div 1000")),
+        )
+        .select(
+            "file", "t_idx", "y_idx", "x_idx", "lat", "lon", "value",
+            "time",
+        )
+    )
+
+
+def time_to_windows(
+    spark,
+    manifest_path: str,
+    time_range: tuple,
+    var: str | None = None,
+) -> tuple[int, int]:
+    """Convert a TIMESTAMP range (inclusive; numpy datetime64,
+    datetime, or ISO strings) into the tightest t-INDEX window
+    covering it, by scanning the metadata-sized times sidecar only —
+    the time-axis mirror of ``bbox_to_windows``.  Feed the result to
+    ``read_virtual(time_range=...)``, which prunes excluded chunks
+    inside the manifest parquet scan.  Returns ``(-1, -1)`` (an
+    impossible window -> empty-but-well-typed read) when no timestep
+    falls inside the range."""
+    from pyspark.sql import functions as F
+
+    times = _try_read_times(spark, manifest_path)
+    if times is None:
+        raise ValueError(
+            f"{manifest_path}: manifest has no times sidecar — build "
+            "with build_virtual_manifest(..., time_var=...)"
+        )
+    if var is not None:
+        times = times.filter(F.col("var") == var)
+    lo = int(np.datetime64(time_range[0], "ns").astype("int64"))
+    hi = int(np.datetime64(time_range[1], "ns").astype("int64"))
+    row = (
+        times.filter(
+            (F.col("time_ns") >= F.lit(lo))
+            & (F.col("time_ns") <= F.lit(hi))
+        )
+        .agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+        .collect()[0]
+    )
+    if row["lo"] is None:
+        return (-1, -1)
+    return (int(row["lo"]), int(row["hi"]))
 
 
 def _with_packing(df):

@@ -380,6 +380,87 @@ GROUP BY 1
 """
 
 
+_VT_FILES, _VT_PER, _VT_NY, _VT_NX = 2, 4, 4, 4
+
+
+def s1_virtual_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 virtual dataset with a decoded TIME AXIS: a 2-file archive
+    whose per-file CF ``units`` attributes span one continuous
+    6-hourly axis is indexed with ``time_var`` (the axis decodes at
+    INDEX time into the metadata-sized ``times`` sidecar), then
+    ``read_virtual`` emits real timestamps and the query buckets per
+    DAY — the reference's ``resample(XTIME="1D")`` prerequisite at
+    archive scale, without re-opening any source file for its time
+    coordinate.  Values on an integer lattice; the DuckDB oracle
+    rebuilds the calendar with INTERVAL arithmetic."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.sources.hdf5_write import write_netcdf4
+    from wrf_to_geodataframe_spark.sources.netcdf import write_netcdf
+    from wrf_to_geodataframe_spark.sources.virtual import (
+        build_virtual_manifest,
+        read_virtual,
+    )
+
+    load_table(spark, sf_dir, "region")  # pins UTC session timezone
+    d = tempfile.mkdtemp(prefix="s1_vtime_")
+    arch = os.path.join(d, "arch")
+    os.makedirs(arch)
+    per, ny, nx = _VT_PER, _VT_NY, _VT_NX
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    lt = np.arange(per)
+    for fno in range(_VT_FILES):
+        gt = fno * per + lt  # global steps: one continuous axis
+        variables = {
+            "t": {"dims": ["t"], "data": gt.astype("float64") * 6.0,
+                  "attrs": {"units": "hours since 2020-03-01 00:00:00",
+                            "calendar": "standard"}},
+            "T2": {"dims": ["t", "y", "x"],
+                   "data": (gt[:, None, None] * 1000
+                            + yy * nx + xx).astype("float64")},
+            "XLAT": {"dims": ["y", "x"], "data": 50.0 + yy * 0.25},
+            "XLONG": {"dims": ["y", "x"], "data": -3.0 + xx * 0.125},
+        }
+        p = os.path.join(arch, f"shard_{fno}.nc")
+        if fno % 2 == 0:
+            write_netcdf(p, {"t": per, "y": ny, "x": nx}, variables)
+        else:
+            write_netcdf4(
+                p, {"t": per, "y": ny, "x": nx}, variables,
+                compress=True, chunk={"T2": (2, 2, 2)},
+            )
+    man = build_virtual_manifest(
+        spark, arch, "T2", "XLAT", "XLONG",
+        os.path.join(d, "manifest"), time_var="t",
+    )
+    df = read_virtual(spark, man)
+    return (
+        df.groupBy(F.to_date("time").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("value").alias("sum_val"),
+            F.max("value").alias("max_val"),
+        )
+    )
+
+
+_SVT_NT = _VT_FILES * _VT_PER
+_SVT_SQL = f"""
+SELECT CAST(CAST(TIMESTAMP '2020-03-01 00:00:00'
+            + t.t * 6 * INTERVAL 1 HOUR AS DATE) AS VARCHAR) AS day,
+       COUNT(*) AS n_cells,
+       SUM(CAST(t.t * 1000 + y.y * {_VT_NX} + x.x AS DOUBLE)) AS sum_val,
+       MAX(CAST(t.t * 1000 + y.y * {_VT_NX} + x.x AS DOUBLE)) AS max_val
+FROM generate_series(0, {_SVT_NT - 1}) AS t(t),
+     generate_series(0, {_VT_NY - 1}) AS y(y),
+     generate_series(0, {_VT_NX - 1}) AS x(x)
+GROUP BY 1
+"""
+
+
 def s1_zarr3_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 at zarr v3 SHARDED shape (the current spec's scale layout):
     a sharding_indexed store — one storage object per shard, many
@@ -881,6 +962,7 @@ QUERIES = {
     "s1_zarr3_ingest": s1_zarr3_ingest,
     "s1_cf_time_ingest": s1_cf_time_ingest,
     "s1_cf_packed_ingest": s1_cf_packed_ingest,
+    "s1_virtual_time": s1_virtual_time,
     "s1_grib2_ingest": s1_grib2_ingest,
     "s1_geotiff_ingest": s1_geotiff_ingest,
     "s1_virtual_dataset": s1_virtual_dataset,
@@ -897,6 +979,7 @@ ORACLE = {
     "s1_zarr3_ingest": _SZ_SQL,
     "s1_cf_time_ingest": _SCF_SQL,
     "s1_cf_packed_ingest": _SCP_SQL,
+    "s1_virtual_time": _SVT_SQL,
     "s1_grib2_ingest": _SG_SQL,
     "s1_geotiff_ingest": _SGT_SQL,
     "s1_virtual_dataset": _SV_SQL,
