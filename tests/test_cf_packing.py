@@ -275,6 +275,60 @@ def test_virtual_manifest_applies_packing(spark, tmp_path):
                 assert r["value"] == pytest.approx(e, abs=1e-9)
 
 
+def test_zarr_dist_applies_packing(spark, tmp_path):
+    """xarray applies mask-and-scale to zarr stores too (.zattrs):
+    the chunk-parallel v2 scan must agree with the closed form."""
+    from wrf_to_geodataframe_spark.sources.zarr import (
+        read_zarr_dist,
+        write_zarr,
+    )
+
+    nt, ny, nx = 3, 4, 4
+    raw = _raw(nt, ny, nx, seed=31)
+    lat, lon = _coords(ny, nx)
+    d = str(tmp_path / "store")
+    write_zarr(
+        d,
+        {"t": nt, "y": ny, "x": nx},
+        {
+            "T2": {"dims": ["t", "y", "x"], "data": raw,
+                   "attrs": {"scale_factor": SF, "add_offset": AO,
+                             "_FillValue": FILL}},
+            "XLAT": {"dims": ["y", "x"], "data": lat},
+            "XLONG": {"dims": ["y", "x"], "data": lon},
+        },
+        chunks={"T2": (2, 2, 2)},
+    )
+    rows = read_zarr_dist(spark, d, "T2", "XLAT", "XLONG").collect()
+    _check(rows, _expected(raw))
+
+
+def test_zarr3_dist_applies_packing(spark, tmp_path):
+    from wrf_to_geodataframe_spark.sources.zarr3 import (
+        read_zarr3_dist,
+        write_zarr3,
+    )
+
+    nt, ny, nx = 2, 4, 4
+    raw = _raw(nt, ny, nx, seed=33)
+    lat, lon = _coords(ny, nx)
+    d = str(tmp_path / "store3")
+    write_zarr3(
+        d,
+        {"t": nt, "y": ny, "x": nx},
+        {
+            "T2": {"dims": ["t", "y", "x"], "data": raw,
+                   "attrs": {"scale_factor": SF, "add_offset": AO,
+                             "_FillValue": FILL}},
+            "XLAT": {"dims": ["y", "x"], "data": lat},
+            "XLONG": {"dims": ["y", "x"], "data": lon},
+        },
+        chunks={"T2": (1, 2, 4)},
+    )
+    rows = read_zarr3_dist(spark, d, "T2", "XLAT", "XLONG").collect()
+    _check(rows, _expected(raw))
+
+
 def test_old_manifest_without_packing_column_still_reads(spark, tmp_path):
     """Manifests built before the packing column existed must keep
     reading (as raw/unpacked data, their build-time semantics)."""

@@ -676,16 +676,20 @@ def read_zarr_dist(
     else:
         raise ZarrError(f"{var}: expected (t,y,x) or (y,x), got {shape}")
 
-    _m, lat = read_zarr_array(os.path.join(path, lat_var))
-    _m, lon = read_zarr_array(os.path.join(path, lon_var))
+    from wrf_to_geodataframe_spark.sources.netcdf import cf_mask_and_scale
+
+    lm, lat = read_zarr_array(os.path.join(path, lat_var))
+    om, lon = read_zarr_array(os.path.join(path, lon_var))
+    lat = np.asarray(cf_mask_and_scale(lat, lm.get("attrs") or {}))
+    lon = np.asarray(cf_mask_and_scale(lon, om.get("attrs") or {}))
     if lat.ndim == 1 and lon.ndim == 1:
         lon, lat = np.meshgrid(lon, lat)
     lat = lat.astype("float64")
     lon = lon.astype("float64")
     coords = spark.sparkContext.broadcast((lat, lon))
-    bmeta = spark.sparkContext.broadcast(
-        {k: v for k, v in meta.items() if k != "attrs"}
-    )
+    # attrs ride along for executor-side CF mask-and-scale (xarray
+    # applies its packed-variable decode to zarr stores too)
+    bmeta = spark.sparkContext.broadcast(dict(meta))
 
     grid = _chunk_grid(shape, chunks)
     keys = []
@@ -736,6 +740,9 @@ def read_zarr_dist(
                     carr = np.full(
                         csh, m["fill"], dtype=m["dtype"].newbyteorder("=")
                     )
+                carr = np.asarray(
+                    cf_mask_and_scale(carr, m.get("attrs") or {})
+                )
                 if tdim:
                     ny = min(csh[1], shape[1] - y0)
                     nx = min(csh[2], shape[2] - x0)

@@ -732,16 +732,20 @@ def read_zarr3_dist(
         tdim = True
     else:
         raise ZarrError(f"{var}: expected (t,y,x) or (y,x), got {shape}")
-    _m, lat = read_zarr3_array(os.path.join(path, lat_var))
-    _m2, lon = read_zarr3_array(os.path.join(path, lon_var))
+    from wrf_to_geodataframe_spark.sources.netcdf import cf_mask_and_scale
+
+    lm, lat = read_zarr3_array(os.path.join(path, lat_var))
+    om, lon = read_zarr3_array(os.path.join(path, lon_var))
+    lat = np.asarray(cf_mask_and_scale(lat, lm.get("attrs") or {}))
+    lon = np.asarray(cf_mask_and_scale(lon, om.get("attrs") or {}))
     if lat.ndim == 1 and lon.ndim == 1:
         lon, lat = np.meshgrid(lon, lat)
     coords = spark.sparkContext.broadcast(
         (lat.astype("float64"), lon.astype("float64"))
     )
-    bmeta = spark.sparkContext.broadcast(
-        {k: v for k, v in meta.items() if k != "attrs"}
-    )
+    # attrs ride along for executor-side CF mask-and-scale (xarray
+    # applies its packed-variable decode to zarr stores too)
+    bmeta = spark.sparkContext.broadcast(dict(meta))
     grid = tuple(-(-s // c) for s, c in zip(shape, chunks))
     keys = [
         (_chunk_key(idx, meta["key_name"], meta["key_sep"]),)
@@ -792,6 +796,9 @@ def read_zarr3_dist(
                         csh, m["fill"],
                         dtype=m["dtype"].newbyteorder("="),
                     )
+                carr = np.asarray(
+                    cf_mask_and_scale(carr, m.get("attrs") or {})
+                )
                 if tdim:
                     nt = min(csh[0], shape[0] - t0)
                     ny = min(csh[1], shape[1] - y0)
