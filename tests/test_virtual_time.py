@@ -157,6 +157,12 @@ def test_time_to_windows_prunes(spark, tmp_path):
     assert win == (2, 5)
     rows = read_virtual(spark, man, time_range=win).collect()
     assert sorted({r["t_idx"] for r in rows}) == [2, 3, 4, 5]
+    # timestamp sugar: read_virtual accepts the raw timestamp range
+    sugar = read_virtual(
+        spark, man,
+        time_range=("2021-06-01T12:00:00", "2021-06-02T06:00:00"),
+    ).collect()
+    assert sorted({r["t_idx"] for r in sugar}) == [2, 3, 4, 5]
     # empty range -> impossible window -> empty well-typed read
     win = time_to_windows(
         spark, man, ("2030-01-01", "2030-01-02")
@@ -198,6 +204,41 @@ def test_wrf_times_char_axis(spark, tmp_path):
     assert got == {0: _expected_time(0), 1: _expected_time(1)}
 
 
+def test_multivar_read_carries_var_column_and_times(spark, tmp_path):
+    """A multi-variable manifest read with var=None keeps variables
+    distinguishable (the new ``var`` output column) and maps each
+    variable's t_idx through its own axis rows."""
+    nt = 2
+    yy, xx = np.meshgrid(np.arange(NY), np.arange(NX), indexing="ij")
+    tt = np.arange(nt)
+    variables = {
+        "t": {"dims": ["t"], "data": tt.astype("float64") * 6.0,
+              "attrs": {"units": "hours since 2021-06-01 00:00:00"}},
+        "T2": {"dims": ["t", "y", "x"],
+               "data": (tt[:, None, None] * 100 + yy * NX + xx) * 1.0},
+        "Q2": {"dims": ["t", "y", "x"],
+               "data": (tt[:, None, None] * 100 + yy * NX + xx) * -1.0},
+        "XLAT": {"dims": ["y", "x"], "data": 50.0 + yy * 0.25},
+        "XLONG": {"dims": ["y", "x"], "data": -3.0 + xx * 0.125},
+    }
+    write_netcdf(str(tmp_path / "a.nc"), {"t": nt, "y": NY, "x": NX},
+                 variables)
+    man = str(tmp_path / "manifest")
+    build_virtual_manifest(
+        spark, str(tmp_path), ["T2", "Q2"], "XLAT", "XLONG", man,
+        time_var="t",
+    )
+    rows = read_virtual(spark, man).collect()
+    assert len(rows) == 2 * nt * NY * NX
+    got = {(r["var"], r["t_idx"], r["y_idx"], r["x_idx"]):
+           (r["value"], r["time"]) for r in rows}
+    assert got[("T2", 1, 0, 1)] == (101.0, _expected_time(1))
+    assert got[("Q2", 1, 0, 1)] == (-101.0, _expected_time(1))
+    # var= selection still narrows
+    only = read_virtual(spark, man, var="Q2").collect()
+    assert {r["var"] for r in only} == {"Q2"}
+
+
 def test_stream_virtual_carries_time_column(spark, tmp_path):
     """stream==batch with the times sidecar: the stream-static join
     maps every micro-batch row's t_idx to the same timestamp the
@@ -235,18 +276,26 @@ def test_stream_virtual_carries_time_column(spark, tmp_path):
     assert len(got) == 4 * NY * NX
 
 
-def test_grib2_member_with_time_var_raises(spark, tmp_path):
+def test_grib2_member_message_times(spark, tmp_path):
+    """GRIB2 members have no named time coordinate — any ``time_var``
+    opts them into MESSAGE-time decoding: section 1 reference time +
+    the section-4 forecast offset in its declared unit."""
     from wrf_to_geodataframe_spark.sources.grib2 import write_grib2
 
-    write_grib2(
-        str(tmp_path / "m.grib2"),
-        [{"values": np.ones((2, 2)), "lat0": 40.0, "lon0": -5.0,
-          "dlat": 1.0, "dlon": 1.0}],
-    )
+    msgs = [
+        {"values": np.full((2, 2), float(i)), "lat0": 40.0,
+         "lon0": -5.0, "dlat": 1.0, "dlon": 1.0,
+         "ref_time": (2021, 6, 1, 0, 0, 0), "forecast_hours": 6 * i}
+        for i in range(3)
+    ]
+    write_grib2(str(tmp_path / "m.grib2"), msgs)
     man = str(tmp_path / "manifest")
-    # raised inside the executor metadata walk -> surfaces wrapped
-    with pytest.raises(Exception, match="not supported for GRIB2"):
-        build_virtual_manifest(
-            spark, str(tmp_path), None, "XLAT", "XLONG", man,
-            pattern="*.grib2", time_var="t",
-        )
+    build_virtual_manifest(
+        spark, str(tmp_path), None, "XLAT", "XLONG", man,
+        pattern="*.grib2", time_var="t",
+    )
+    rows = read_virtual(spark, man).collect()
+    got = {r["t_idx"]: r["time"] for r in rows}
+    assert got == {i: _expected_time(i) for i in range(3)}
+    vals = {r["t_idx"]: r["value"] for r in rows}
+    assert vals == {0: 0.0, 1: 1.0, 2: 2.0}

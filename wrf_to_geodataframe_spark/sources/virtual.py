@@ -82,6 +82,7 @@ def _virtual_out_schema():
 
     return StructType([
         StructField("file", StringType()),
+        StructField("var", StringType()),
         StructField("t_idx", LongType()),
         StructField("y_idx", LongType()),
         StructField("x_idx", LongType()),
@@ -176,13 +177,12 @@ def _file_chunk_rows(path: str, file_no: int, var: str,
             path, file_no, var, lat_var, lon_var, time_var
         )
     elif magic[:4] == b"GRIB":
-        if time_var is not None:
-            raise ValueError(
-                f"{path}: time_var is not supported for GRIB2 archive "
-                "members (message times are positional in stored order)"
-            )
-        rows, coords = _grib2_rows(path, file_no, var)
-        return rows, coords, []
+        # any time_var opts GRIB2 members into message-time decoding
+        # (section 1 reference + section 4 forecast offset) — GRIB2
+        # has no named coordinate variable to point at
+        return _grib2_rows(
+            path, file_no, var, with_times=time_var is not None
+        )
     else:
         raise ValueError(f"{path}: not HDF5 / NetCDF classic / GRIB2")
     return rows, [coords], times
@@ -368,13 +368,31 @@ def _classic_rows(path, file_no, var, lat_var, lon_var, time_var=None):
     return rows, coords, times
 
 
-def _grib2_rows(path: str, file_no: int, var: str | None):
+_GRIB2_TIME_UNITS_NS = {
+    0: 60_000_000_000,            # minute
+    1: 3_600_000_000_000,         # hour
+    2: 86_400_000_000_000,        # day
+    10: 3 * 3_600_000_000_000,    # 3 hours
+    11: 6 * 3_600_000_000_000,    # 6 hours
+    12: 12 * 3_600_000_000_000,   # 12 hours
+    13: 1_000_000_000,            # second
+}
+
+
+def _grib2_rows(path: str, file_no: int, var: str | None,
+                with_times: bool = False):
     """GRIB2 file -> one chunk per selected message.  ``var`` filters
     by ``"<param_category>.<param_number>"`` (empty/None = every
     message); selected messages become the file's LOCAL time axis in
     stored order — the GFS/ERA5 cycle-file convention.  Only section
     HEADERS plus sections 3/4 bodies are read (seek chain): the data
-    payload (section 7, the bulk of the file) is never touched."""
+    payload (section 7, the bulk of the file) is never touched.
+
+    ``with_times``: additionally decode each message's VALID time —
+    section 1 reference time plus the section-4 forecast offset in its
+    declared time-range unit (code table 4.4) — into time-sidecar
+    rows; messages whose product template carries no forecast octets
+    count as the reference time."""
     from wrf_to_geodataframe_spark.sources.grib2 import (
         Grib2Error,
         _parse_grid_template_3_0,
@@ -391,12 +409,13 @@ def _grib2_rows(path: str, file_no: int, var: str | None):
         30: _parse_grid_template_3_30,
         40: _parse_grid_template_3_40,
     }
-    rows, coords, seen = [], [], set()
+    rows, coords, times, seen = [], [], [], set()
     lt = 0
     with open(path, "rb") as fh:
         for _mi, off, mlen in scan_grib2_offsets(path):
             p = off + 16
             grid = param = None
+            ref_ns = fcst_ns = None
             while p < off + mlen:
                 fh.seek(p)
                 head = fh.read(5)
@@ -404,7 +423,16 @@ def _grib2_rows(path: str, file_no: int, var: str | None):
                     break
                 (slen,) = struct.unpack_from(">I", head, 0)
                 snum = head[4]
-                if snum == 3:
+                if snum == 1 and with_times:
+                    fh.seek(p)
+                    s1 = fh.read(min(slen, 21))
+                    y = struct.unpack_from(">H", s1, 12)[0]
+                    ref_ns = int(np.datetime64(
+                        f"{y:04d}-{s1[14]:02d}-{s1[15]:02d}"
+                        f"T{s1[16]:02d}:{s1[17]:02d}:{s1[18]:02d}",
+                        "ns",
+                    ).astype("int64"))
+                elif snum == 3:
                     fh.seek(p)
                     s3 = fh.read(slen)
                     (tmpl3,) = struct.unpack_from(">H", s3, 12)
@@ -419,6 +447,16 @@ def _grib2_rows(path: str, file_no: int, var: str | None):
                     (tmpl4,) = struct.unpack_from(">H", s4, 7)
                     if tmpl4 in (0, 1, 8):
                         param = f"{s4[9]}.{s4[10]}"
+                        if with_times:
+                            unit = s4[17]
+                            if unit not in _GRIB2_TIME_UNITS_NS:
+                                raise Grib2Error(
+                                    f"{path}: time-range unit {unit} "
+                                    "(code table 4.4) unsupported for "
+                                    "the times sidecar"
+                                )
+                            fcst = struct.unpack_from(">i", s4, 18)[0]
+                            fcst_ns = fcst * _GRIB2_TIME_UNITS_NS[unit]
                 elif snum == 7:
                     break  # data payload: stop the walk, never read
                 p += slen
@@ -426,6 +464,15 @@ def _grib2_rows(path: str, file_no: int, var: str | None):
                 raise Grib2Error(f"{path}: message without section 3")
             if var and param != var:
                 continue
+            if with_times:
+                if ref_ns is None:
+                    raise Grib2Error(
+                        f"{path}: message without section 1 reference "
+                        "time"
+                    )
+                times.append((
+                    var or "", file_no, lt, ref_ns + (fcst_ns or 0),
+                ))
             lat, lon = _coord_grids(grid["lat"], grid["lon"])
             chash = _hash_grids(lat, lon)
             if chash not in seen:
@@ -447,7 +494,7 @@ def _grib2_rows(path: str, file_no: int, var: str | None):
         raise Grib2Error(f"{path}: no message matches {var!r}")
     # patch nt (index 3: file, var, file_no, nt) = #selected messages
     rows = [r[:3] + (lt,) + r[4:] for r in rows]
-    return rows, coords
+    return rows, coords, times
 
 
 def build_virtual_manifest(
@@ -1037,10 +1084,14 @@ def read_virtual(
 ):
     """Scan a virtual dataset built by ``build_virtual_manifest`` ->
     the engine's long grid table ``(file, t_idx, y_idx, x_idx, lat,
-    lon, value)``.  Ranges are INCLUSIVE index windows; each becomes a
+    lon, value)`` (plus ``time`` when the manifest has a times
+    sidecar).  Ranges are INCLUSIVE index windows; each becomes a
     plain column predicate on the chunk table (pushed into the parquet
     scan — pruned chunks are never read, not even their manifest rows)
     plus an exact row-level trim inside the decode task.
+    ``time_range`` also accepts TIMESTAMPS (ISO strings, datetime,
+    numpy datetime64) when the manifest was built with ``time_var`` —
+    converted through ``time_to_windows`` before pruning.
 
     The coordinate sidecar is broadcast to the decode tasks; its size
     is measured executor-side first and reads exceeding
@@ -1049,6 +1100,12 @@ def read_virtual(
     driver."""
     from pyspark.sql import functions as F
 
+    if time_range is not None and not all(
+        isinstance(b, (int, np.integer)) for b in time_range
+    ):
+        time_range = time_to_windows(
+            spark, manifest_path, time_range, var=var
+        )
     man = _with_packing(
         spark.read.parquet(os.path.join(manifest_path, "chunks"))
     )
@@ -1134,34 +1191,26 @@ def _try_read_times(spark, manifest_path: str):
 
 def _with_time_column(out, times, var):
     """LEFT-join the (small, broadcast) times sidecar onto the decoded
-    grid rows: ``t_idx -> time`` (microsecond timestamp; the sidecar
-    keeps exact int64 ns).  With a multi-variable manifest whose axes
-    DIFFER, an unfiltered read has no single mapping — fail loudly
-    and ask for ``var=``."""
+    grid rows on ``(var, t_idx)`` — each variable maps to its own
+    axis, so multi-variable manifests with diverging axes stay
+    unambiguous.  ``time`` is a microsecond timestamp; the sidecar
+    keeps exact int64 ns."""
     from pyspark.sql import functions as F
 
     if var is not None:
         times = times.filter(F.col("var") == var)
-    tm = times.select(F.col("t").alias("t_idx"), "time_ns").distinct()
-    if var is None:
-        dup = (
-            tm.groupBy("t_idx").count().filter("count > 1").limit(1)
-        )
-        if dup.count() > 0:
-            raise ValueError(
-                "manifest time axes differ between variables — pass "
-                "var=... to read_virtual/stream_virtual so t_idx maps "
-                "to one time axis"
-            )
+    tm = times.select(
+        "var", F.col("t").alias("t_idx"), "time_ns"
+    ).distinct()
     return (
-        out.join(F.broadcast(tm), "t_idx", "left")
+        out.join(F.broadcast(tm), ["var", "t_idx"], "left")
         .withColumn(
             "time",
             F.timestamp_micros(F.expr("time_ns div 1000")),
         )
         .select(
-            "file", "t_idx", "y_idx", "x_idx", "lat", "lon", "value",
-            "time",
+            "file", "var", "t_idx", "y_idx", "x_idx", "lat", "lon",
+            "value", "time",
         )
     )
 
@@ -1400,6 +1449,7 @@ def _chunk_scanner(bgrids, bounds):
                             continue
                         yield pd.DataFrame({
                             "file": row.file,
+                            "var": row.var,
                             "t_idx": np.full(int(mask.sum()), t, "int64"),
                             "y_idx": yf[mask].astype("int64"),
                             "x_idx": xf[mask].astype("int64"),
