@@ -1016,11 +1016,13 @@ def test_zarr3_sharded_store_2m_cells_round_trip(spark, tmp_path):
 def test_virtual_manifest_300_files_pruned_read(spark, tmp_path):
     """Archive-scale virtual dataset: 300 NetCDF-4 files (chunked +
     shuffle+deflate, 4x32x32 each -> 1.2M cells) indexed ONCE into the
-    chunk table, then (a) a 10-timestep window answered from pruned
-    byte ranges and (b) an incremental one-file append.  Asserts the
-    window's manifest scan materializes only the window's chunks (the
-    chunk-pruning claim at file counts where it matters) and that the
-    pruned read is value-exact."""
+    chunk table WITH a decoded 1200-step time axis, then (a) a
+    10-timestep window answered from pruned byte ranges, (a') the same
+    window derived from a TIMESTAMP range via the times sidecar alone,
+    and (b) an incremental one-file append extending the axis.
+    Asserts the window's manifest scan materializes only the window's
+    chunks (the chunk-pruning claim at file counts where it matters)
+    and that the pruned read is value-exact."""
     import time
 
     import numpy as np
@@ -1044,6 +1046,10 @@ def test_virtual_manifest_300_files_pruned_read(spark, tmp_path):
             os.path.join(d, f"shard_{f:04d}.nc"),
             {"t": nt, "y": ny, "x": nx},
             {
+                "t": {"dims": ["t"],
+                      "data": (f * nt + tt).astype("float64") * 6.0,
+                      "attrs": {"units":
+                                "hours since 2020-01-01 00:00:00"}},
                 "T2": {"dims": ["t", "y", "x"],
                        "data": (f * 100000.0 + tt[:, None, None] * 1000
                                 + yy * nx + xx)},
@@ -1054,7 +1060,8 @@ def test_virtual_manifest_300_files_pruned_read(spark, tmp_path):
             chunk={"T2": (2, 16, 16)},
         )
     t0 = time.monotonic()
-    build_virtual_manifest(spark, d, "T2", "XLAT", "XLONG", out)
+    build_virtual_manifest(spark, d, "T2", "XLAT", "XLONG", out,
+                           time_var="t")
     t_build = time.monotonic() - t0
     man = spark.read.parquet(os.path.join(out, "chunks"))
     # 2x2x2 chunk grid per file
@@ -1076,11 +1083,30 @@ def test_virtual_manifest_300_files_pruned_read(spark, tmp_path):
             f * 100000.0 + lt * 1000 + r["y_idx"] * nx + r["x_idx"]
         )
 
+    # timestamp-window pruning from the times sidecar alone: global
+    # steps 600-609 are hours 3600..3654 after the epoch
+    from wrf_to_geodataframe_spark.sources.virtual import time_to_windows
+
+    t0 = time.monotonic()
+    win = time_to_windows(
+        spark, out,
+        (np.datetime64("2020-01-01") + np.timedelta64(3600, "h"),
+         np.datetime64("2020-01-01") + np.timedelta64(3654, "h")),
+    )
+    t_win = time.monotonic() - t0
+    assert win == (lo, hi)
+    with_time = read_virtual(spark, out, time_range=win)
+    assert "time" in with_time.columns
+
     # (b) incremental append: one new cycle, existing rows untouched
     write_netcdf4(
         os.path.join(d, "shard_9999.nc"),
         {"t": nt, "y": ny, "x": nx},
         {
+            "t": {"dims": ["t"],
+                  "data": (n_files * nt + tt).astype("float64") * 6.0,
+                  "attrs": {"units":
+                            "hours since 2020-01-01 00:00:00"}},
             "T2": {"dims": ["t", "y", "x"],
                    "data": np.full((nt, ny, nx), 7.0)},
             "XLAT": {"dims": ["y", "x"], "data": 50.0 + yy * 0.25},
@@ -1090,7 +1116,7 @@ def test_virtual_manifest_300_files_pruned_read(spark, tmp_path):
         chunk={"T2": (2, 16, 16)},
     )
     assert update_virtual_manifest(
-        spark, d, "T2", "XLAT", "XLONG", out
+        spark, d, "T2", "XLAT", "XLONG", out, time_var="t"
     ) == 1
     tail = read_virtual(
         spark, out, time_range=(n_files * nt, (n_files + 1) * nt - 1)
@@ -1100,7 +1126,8 @@ def test_virtual_manifest_300_files_pruned_read(spark, tmp_path):
     print(
         f"\nvirtual 300-file archive: build {t_build:.1f}s, "
         f"pruned 10-step read {t_read:.1f}s, "
-        f"window touched {touched}/{n_files * 8} chunks"
+        f"window touched {touched}/{n_files * 8} chunks, "
+        f"timestamp->window {t_win:.2f}s"
     )
 
 
