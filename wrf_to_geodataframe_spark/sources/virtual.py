@@ -607,9 +607,12 @@ def _index_files(
     spark, files, var, lat_var, lon_var, out_path, base_t, write_mode,
     time_var=None,
 ):
+    import pickle
+
     import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
 
     sc = spark.sparkContext
     fdf = spark.createDataFrame(
@@ -620,105 +623,115 @@ def _index_files(
 
     vars_ = [var] if isinstance(var, str) or var is None else list(var)
 
-    def _scan_meta(it):
+    def _scan_all(it):
+        """ONE metadata walk per file, serialized per-file — the
+        chunk/coords/times consumers below unpack from the persisted
+        blobs instead of re-walking (a remote archive's header reads
+        are the expensive part of indexing; without the persist, the
+        offsets broadcast subtree and the three sidecar writes would
+        each re-run the walk)."""
         for pdf in it:
             for row in pdf.itertuples(index=False):
-                rows = []
+                rows, coords, times = [], [], []
                 for v in vars_:
-                    r, _, _ = _file_chunk_rows(
+                    r, c, t = _file_chunk_rows(
                         row.path, int(row.file_no), v, lat_var, lon_var,
                         time_var,
                     )
                     rows.extend(r)
+                    coords.extend(c)
+                    times.extend(t)
                 yield pd.DataFrame(
-                    rows,
-                    columns=[
-                        "file", "var", "file_no", "nt", "lt0", "lt1",
-                        "y0", "y1", "x0", "x1",
-                        "addr", "nbytes", "fmask", "ct", "cy", "cx",
-                        "dtype", "filters", "fill", "coord_hash",
-                        "fsize", "packing",
-                    ],
+                    {"blob": [pickle.dumps((rows, coords, times))]}
                 )
 
-    def _scan_coords(it):
-        for pdf in it:
-            for row in pdf.itertuples(index=False):
-                cs = []
-                for v in vars_:
-                    _, c, _ = _file_chunk_rows(
-                        row.path, int(row.file_no), v, lat_var, lon_var,
-                        time_var,
-                    )
-                    cs.extend(c)
-                frame = pd.DataFrame(
-                    cs, columns=["coord_hash", "ny", "nx", "lat", "lon"]
-                )
-                frame["affine"] = None
-                yield frame
-
-    chunks = fdf.mapInPandas(_scan_meta, _CHUNK_SCHEMA)
-    w = Window.partitionBy("var").orderBy("file_no").rowsBetween(
-        Window.unboundedPreceding, -1
+    scanned = fdf.mapInPandas(_scan_all, "blob binary").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    offsets = (
-        chunks.select("var", "file_no", "nt")
-        .distinct()
-        .withColumn(
-            "t_off",
-            F.coalesce(F.sum("nt").over(w), F.lit(0)) + F.lit(base_t),
+
+    def _part(idx, columns):
+        def _it(batches):
+            for pdf in batches:
+                for b in pdf["blob"]:
+                    recs = pickle.loads(bytes(b))[idx]
+                    if recs:
+                        yield pd.DataFrame(recs, columns=columns)
+        return _it
+
+    try:
+        chunks = scanned.mapInPandas(
+            _part(0, [
+                "file", "var", "file_no", "nt", "lt0", "lt1",
+                "y0", "y1", "x0", "x1",
+                "addr", "nbytes", "fmask", "ct", "cy", "cx",
+                "dtype", "filters", "fill", "coord_hash",
+                "fsize", "packing",
+            ]),
+            _CHUNK_SCHEMA,
         )
-        .select("var", "file_no", "t_off")
-    )
-    n_out = max(1, min(len(files), sc.defaultParallelism))
-    (
-        chunks.join(F.broadcast(offsets), ["var", "file_no"])
-        .withColumn("t0", F.col("lt0") + F.col("t_off"))
-        .withColumn("t1", F.col("lt1") + F.col("t_off"))
-        .drop("lt0", "lt1", "nt", "t_off", "file_no")
-        .repartitionByRange(n_out, "t0", "y0", "x0")
-        .sortWithinPartitions("t0", "y0", "x0")
-        .write.mode(write_mode)
-        .parquet(os.path.join(out_path, "chunks"))
-    )
-    (
-        fdf.mapInPandas(_scan_coords, _COORD_SCHEMA)
-        .dropDuplicates(["coord_hash"])
-        .coalesce(1)
-        .write.mode(write_mode)
-        .parquet(os.path.join(out_path, "coords"))
-    )
-    if time_var is not None:
-        def _scan_times(it):
-            for pdf in it:
-                for row in pdf.itertuples(index=False):
-                    ts = []
-                    for v in vars_:
-                        _, _, t = _file_chunk_rows(
-                            row.path, int(row.file_no), v,
-                            lat_var, lon_var, time_var,
+        w = Window.partitionBy("var").orderBy("file_no").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = (
+            chunks.select("var", "file_no", "nt")
+            .distinct()
+            .withColumn(
+                "t_off",
+                F.coalesce(F.sum("nt").over(w), F.lit(0))
+                + F.lit(base_t),
+            )
+            .select("var", "file_no", "t_off")
+        )
+        n_out = max(1, min(len(files), sc.defaultParallelism))
+        (
+            chunks.join(F.broadcast(offsets), ["var", "file_no"])
+            .withColumn("t0", F.col("lt0") + F.col("t_off"))
+            .withColumn("t1", F.col("lt1") + F.col("t_off"))
+            .drop("lt0", "lt1", "nt", "t_off", "file_no")
+            .repartitionByRange(n_out, "t0", "y0", "x0")
+            .sortWithinPartitions("t0", "y0", "x0")
+            .write.mode(write_mode)
+            .parquet(os.path.join(out_path, "chunks"))
+        )
+
+        def _coords_it(batches):
+            for pdf in batches:
+                for b in pdf["blob"]:
+                    cs = pickle.loads(bytes(b))[1]
+                    if cs:
+                        frame = pd.DataFrame(
+                            cs,
+                            columns=["coord_hash", "ny", "nx",
+                                     "lat", "lon"],
                         )
-                        ts.extend(t)
-                    yield pd.DataFrame(
-                        ts,
-                        columns=["var", "file_no", "lt", "time_ns"],
-                    )
+                        frame["affine"] = None
+                        yield frame
 
         (
-            fdf.mapInPandas(
-                _scan_times,
-                "var string, file_no long, lt long, time_ns long",
-            )
-            .join(F.broadcast(offsets), ["var", "file_no"])
-            .select(
-                "var",
-                (F.col("lt") + F.col("t_off")).alias("t"),
-                "time_ns",
-            )
+            scanned.mapInPandas(_coords_it, _COORD_SCHEMA)
+            .dropDuplicates(["coord_hash"])
             .coalesce(1)
             .write.mode(write_mode)
-            .parquet(os.path.join(out_path, "times"))
+            .parquet(os.path.join(out_path, "coords"))
         )
+        if time_var is not None:
+            (
+                scanned.mapInPandas(
+                    _part(2, ["var", "file_no", "lt", "time_ns"]),
+                    "var string, file_no long, lt long, time_ns long",
+                )
+                .join(F.broadcast(offsets), ["var", "file_no"])
+                .select(
+                    "var",
+                    (F.col("lt") + F.col("t_off")).alias("t"),
+                    "time_ns",
+                )
+                .coalesce(1)
+                .write.mode(write_mode)
+                .parquet(os.path.join(out_path, "times"))
+            )
+    finally:
+        scanned.unpersist()
 
 
 def build_virtual_mosaic(
@@ -1183,8 +1196,11 @@ def _try_read_times(spark, manifest_path: str):
     footer read, no filesystem-specific existence check."""
     from pyspark.errors.exceptions.captured import AnalysisException
 
+    tdir = os.path.join(manifest_path, "times")
+    if "://" not in str(manifest_path) and not os.path.isdir(tdir):
+        return None  # cheap local check; avoids a logged JVM error
     try:
-        return spark.read.parquet(os.path.join(manifest_path, "times"))
+        return spark.read.parquet(tdir)
     except AnalysisException:
         return None
 
