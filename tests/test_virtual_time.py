@@ -178,6 +178,24 @@ def test_time_to_windows_prunes(spark, tmp_path):
         time_to_windows(spark, plain, ("2021-06-01", "2021-06-02"))
 
 
+def test_compaction_preserves_time_axis(spark, tmp_path):
+    """compact_manifest copies the times sidecar through — a
+    compacted archive keeps its timestamps (byte-range coalescing
+    never changes the axis)."""
+    from wrf_to_geodataframe_spark.sources.virtual import compact_manifest
+
+    _write_classic(str(tmp_path / "a.nc"), 4, seed=1, hour0=0.0,
+                   record=True)
+    man = str(tmp_path / "manifest")
+    build_virtual_manifest(
+        spark, str(tmp_path), "T2", "XLAT", "XLONG", man, time_var="t"
+    )
+    cman = compact_manifest(spark, man, str(tmp_path / "compact"))
+    rows = read_virtual(spark, cman).collect()
+    got = {r["t_idx"]: r["time"] for r in rows}
+    assert got == {i: _expected_time(i) for i in range(4)}
+
+
 def test_wrf_times_char_axis(spark, tmp_path):
     """The WRF 'Times' convention: a (Time, DateStrLen) NC_CHAR array
     of 'YYYY-MM-DD_HH:MM:SS' strings, no units attribute — decoded

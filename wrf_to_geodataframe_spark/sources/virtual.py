@@ -1001,6 +1001,11 @@ def compact_manifest(spark, manifest_path: str, out_path: str) -> str:
         .write.mode("overwrite")
         .parquet(os.path.join(out_path, "coords"))
     )
+    times = _try_read_times(spark, manifest_path)
+    if times is not None:  # the time axis survives compaction as-is
+        times.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_path, "times")
+        )
     return out_path
 
 
