@@ -858,3 +858,60 @@ def test_appendable_archive_workflow_end_to_end(spark, tmp_path):
     # cell (2,2) is the window minimum -> ramp start; outside stays bg
     assert tuple(img[2, 2, :3]) == tuple(colormap_rgb(np.int64(0)))
     assert img[0, 0, 3] == 0
+
+
+def test_shapefile_sink_round_trip(spark, tmp_path):
+    """S2 SINK: write_shapefile -> .shp/.shx/.dbf that the engine's
+    own reader (and the spec) agree on: ccw rings stored cw+closed,
+    C/N attribute fields, .shx offsets consistent with the records."""
+    import struct as _struct
+
+    from wrf_to_geodataframe_spark.geometry.polygons import shoelace_area
+    from wrf_to_geodataframe_spark.sources.shapefile import (
+        read_dbf,
+        read_shapefile,
+        read_shp,
+        write_shapefile,
+    )
+
+    rings = [
+        [[0.0, 0.0], [2.0, 0.0], [2.0, 1.0], [0.0, 1.0]],
+        [[5.0, 5.0], [6.0, 5.0], [6.0, 6.5], [5.5, 6.75], [5.0, 6.5]],
+    ]
+    attrs = [
+        {"name": "rect", "code": 7, "w": 2.0},
+        {"name": "pent", "code": 11, "w": 1.0},
+    ]
+    shp = str(tmp_path / "out.shp")
+    write_shapefile(shp, rings, attrs)
+
+    shapes = read_shp(shp)
+    assert [s["fid"] for s in shapes] == [1, 2]
+    for s, ring in zip(shapes, rings):
+        stored = s["parts"][0]
+        assert np.allclose(stored[0], stored[-1])  # closed
+        assert shoelace_area(stored[:-1][::-1]) == pytest.approx(
+            shoelace_area(np.asarray(ring))
+        )
+    recs = read_dbf(str(tmp_path / "out.dbf"))
+    assert [r["name"] for r in recs] == ["rect", "pent"]
+    assert [r["code"] for r in recs] == [7, 11]
+    assert [r["w"] for r in recs] == [2.0, 1.0]
+
+    # .shx index rows point at the actual record headers
+    with open(str(tmp_path / "out.shx"), "rb") as f:
+        shx = f.read()
+    with open(shp, "rb") as f:
+        shpbuf = f.read()
+    for i in range(2):
+        off_w, len_w = _struct.unpack_from(">ii", shx, 100 + 8 * i)
+        recno, content_w = _struct.unpack_from(">ii", shpbuf, off_w * 2)
+        assert (recno, content_w) == (i + 1, len_w)
+
+    # full reader: orientation back to ccw, attributes joined
+    rows = {r["name"]: r for r in
+            read_shapefile(spark, shp).collect()}
+    ring = np.asarray(rows["pent"]["geom"])
+    assert shoelace_area(ring) == pytest.approx(
+        shoelace_area(np.asarray(rings[1]))
+    )

@@ -131,3 +131,109 @@ def read_shapefile(spark, shp_path: str):
             }
         )
     return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def write_shapefile(
+    path: str,
+    rings: list,
+    attrs: list[dict] | None = None,
+) -> None:
+    """S2 sink: polygon rings -> .shp + .shx + .dbf (ESRI shapefile
+    spec; dBase III attributes).  ``rings`` are open outer rings in
+    the engine's CCW convention (O2) — the spec stores outer rings
+    CLOCKWISE with an explicit closing vertex, so the writer reverses
+    and closes; ``read_shapefile`` undoes both on ingest.  ``attrs``
+    is one dict per ring; string values become C(32) fields, ints and
+    floats N(18[,6]) fields (field set taken from the first record).
+    The boundary files the reference writes/reads this way (borough
+    polygons at wrf_voronoi.py:185-187) are small — a driver-side
+    sink, like the GPKG path."""
+    n = len(rings)
+    attrs = attrs if attrs is not None else [{}] * n
+    if len(attrs) != n:
+        raise ValueError(f"{n} rings but {len(attrs)} attribute rows")
+
+    records = b""
+    offsets = []  # (offset_words, content_words) for the .shx index
+    allx, ally = [], []
+    pos = 100
+    for i, ring in enumerate(rings):
+        ring = np.asarray(ring, dtype="<f8").reshape(-1, 2)
+        if len(ring) < 3:
+            raise ValueError(f"ring {i}: needs >= 3 vertices")
+        # engine ccw -> spec cw, with the closing vertex appended
+        closed = np.vstack([ring[::-1], ring[::-1][:1]])
+        content = struct.pack("<i", SHP_POLYGON)
+        content += struct.pack(
+            "<dddd",
+            closed[:, 0].min(), closed[:, 1].min(),
+            closed[:, 0].max(), closed[:, 1].max(),
+        )
+        content += struct.pack("<ii", 1, len(closed))
+        content += struct.pack("<i", 0)  # one part at point 0
+        content += closed.astype("<f8").tobytes()
+        offsets.append((pos // 2, len(content) // 2))
+        records += struct.pack(">ii", i + 1, len(content) // 2) + content
+        pos += 8 + len(content)
+        allx += [closed[:, 0].min(), closed[:, 0].max()]
+        ally += [closed[:, 1].min(), closed[:, 1].max()]
+
+    def _header(length_bytes: int) -> bytes:
+        h = struct.pack(">i", 9994) + b"\x00" * 20
+        h += struct.pack(">i", length_bytes // 2)
+        h += struct.pack("<ii", 1000, SHP_POLYGON)
+        h += struct.pack(
+            "<dddd", min(allx), min(ally), max(allx), max(ally)
+        )
+        h += struct.pack("<dddd", 0.0, 0.0, 0.0, 0.0)  # Z/M unused
+        return h
+
+    with open(path, "wb") as f:
+        f.write(_header(100 + len(records)) + records)
+    with open(path[:-4] + ".shx", "wb") as f:
+        f.write(_header(100 + 8 * n))
+        for off_w, len_w in offsets:
+            f.write(struct.pack(">ii", off_w, len_w))
+
+    # dBase III: field set from the first record; C(32) / N(18[,6])
+    fields = []
+    for k, v in (attrs[0] or {}).items():
+        if isinstance(v, str):
+            fields.append((k, "C", 32, 0))
+        elif isinstance(v, (int, np.integer)) and not isinstance(v, bool):
+            fields.append((k, "N", 18, 0))
+        elif isinstance(v, (float, np.floating)):
+            fields.append((k, "N", 18, 6))
+        else:
+            raise ValueError(f"attr {k!r}: unsupported type {type(v)}")
+    rsize = 1 + sum(fl for _, _, fl, _ in fields)
+    hsize = 32 + 32 * len(fields) + 1
+    dbf = struct.pack("<B3BiHH", 3, 24, 1, 1, n, hsize, rsize)
+    dbf += b"\x00" * 20
+    for name, ftype, flen, fdec in fields:
+        dbf += (
+            name.encode("ascii")[:10].ljust(11, b"\x00")
+            + ftype.encode("ascii")
+            + b"\x00" * 4
+            + bytes([flen, fdec])
+            + b"\x00" * 14
+        )
+    dbf += b"\x0D"
+    for att in attrs:
+        dbf += b" "
+        for name, ftype, flen, fdec in fields:
+            v = (att or {}).get(name)
+            if ftype == "C":
+                dbf += str(v if v is not None else "").encode(
+                    "ascii", "replace"
+                ).ljust(flen)[:flen]
+            else:
+                s = (
+                    "" if v is None
+                    else f"{float(v):.{fdec}f}" if fdec
+                    else str(int(v))
+                )
+                dbf += s.rjust(flen).encode("ascii")[:flen]
+    dbf += b"\x1a"
+    with open(path[:-4] + ".dbf", "wb") as f:
+        f.write(dbf)

@@ -380,6 +380,64 @@ GROUP BY 1
 """
 
 
+_S2_N = 24
+
+
+def s2_shapefile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 under the oracle: the engine's own shapefile SINK writes 24
+    analytically-defined rectangles (.shp cw+closed rings, .shx
+    offsets, dBase III C/N fields), the S2 SCAN reads them back
+    (cw -> ccw, closing-vertex drop, attribute join), and the query
+    computes per-polygon vertex counts + shoelace areas with a
+    codegen HOF (zip_with/aggregate over the vertex array — no UDF).
+    Widths sit on the 2^-3 lattice so every area is exact; the DuckDB
+    oracle replays the closed form.  The reference's boundary-file
+    loop is gpd.read_file at wrf_voronoi.py:185-187."""
+    import os
+    import tempfile
+
+    from wrf_to_geodataframe_spark.sources.shapefile import (
+        read_shapefile,
+        write_shapefile,
+    )
+
+    d = tempfile.mkdtemp(prefix="s2_shp_")
+    rings, attrs = [], []
+    for i in range(_S2_N):
+        x0, y0 = float(i % 6), float(i // 6) * 2.0
+        w = 1.0 + (i % 4) * 0.125
+        h = 1.0 + (i % 2) * 0.25
+        rings.append([[x0, y0], [x0 + w, y0],
+                      [x0 + w, y0 + h], [x0, y0 + h]])  # ccw
+        attrs.append({"name": f"p{i}", "code": i * 7})
+    path = os.path.join(d, "polys.shp")
+    write_shapefile(path, rings, attrs)
+    df = read_shapefile(spark, path)
+    shoelace = F.expr(
+        "0.5 * abs(aggregate(zip_with(geom, "
+        "concat(slice(geom, 2, size(geom) - 1), slice(geom, 1, 1)), "
+        "(a, b) -> a[0] * b[1] - b[0] * a[1]), "
+        "0.0D, (acc, v) -> acc + v))"
+    )
+    return df.select(
+        F.col("fid").cast("bigint").alias("fid"),
+        "name",
+        F.col("code").cast("bigint").alias("code"),
+        F.size("geom").cast("bigint").alias("n_vertices"),
+        shoelace.alias("area"),
+    )
+
+
+_S2_SQL = f"""
+SELECT CAST(i + 1 AS BIGINT) AS fid,
+       'p' || CAST(i AS VARCHAR) AS name,
+       CAST(i * 7 AS BIGINT) AS code,
+       CAST(4 AS BIGINT) AS n_vertices,
+       (1.0 + (i % 4) * 0.125) * (1.0 + (i % 2) * 0.25) AS area
+FROM generate_series(0, {_S2_N - 1}) AS t(i)
+"""
+
+
 _VT_FILES, _VT_PER, _VT_NY, _VT_NX = 2, 4, 4, 4
 
 
@@ -963,6 +1021,7 @@ QUERIES = {
     "s1_cf_time_ingest": s1_cf_time_ingest,
     "s1_cf_packed_ingest": s1_cf_packed_ingest,
     "s1_virtual_time": s1_virtual_time,
+    "s2_shapefile_ingest": s2_shapefile_ingest,
     "s1_grib2_ingest": s1_grib2_ingest,
     "s1_geotiff_ingest": s1_geotiff_ingest,
     "s1_virtual_dataset": s1_virtual_dataset,
@@ -980,6 +1039,7 @@ ORACLE = {
     "s1_cf_time_ingest": _SCF_SQL,
     "s1_cf_packed_ingest": _SCP_SQL,
     "s1_virtual_time": _SVT_SQL,
+    "s2_shapefile_ingest": _S2_SQL,
     "s1_grib2_ingest": _SG_SQL,
     "s1_geotiff_ingest": _SGT_SQL,
     "s1_virtual_dataset": _SV_SQL,
