@@ -438,6 +438,75 @@ FROM generate_series(0, {_S2_N - 1}) AS t(i)
 """
 
 
+_S3_N = 18
+
+
+def s3_geopackage_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 under the oracle: the GPKG SINK writes 18 analytic
+    rectangles (sqlite container, GP geometry blobs, typed attribute
+    columns — the reference's output format at wrf_voronoi.py:181),
+    the GPKG reader parses them back (header flags, envelope skip,
+    WKB), and the query computes vertex counts + shoelace areas with
+    the same codegen HOF as S2.  2^-3-lattice widths keep every
+    double exact; DuckDB replays the closed form."""
+    import os
+    import tempfile
+
+    from wrf_to_geodataframe_spark.sources.geopackage import (
+        read_geopackage,
+        write_geopackage,
+    )
+
+    import numpy as np
+
+    d = tempfile.mkdtemp(prefix="s3_gpkg_")
+    p = os.path.join(d, "polys.gpkg")
+    rows = []
+    for i in range(_S3_N):
+        x0, y0 = float(i % 6) * 3.0, float(i // 6) * 3.0
+        w = 1.0 + (i % 4) * 0.125
+        h = 1.0 + (i % 3) * 0.25
+        ring = np.array([[x0, y0], [x0 + w, y0],
+                         [x0 + w, y0 + h], [x0, y0 + h]])
+        rows.append({"geom": ring, "name": f"g{i}", "code": i * 3})
+    write_geopackage(p, "polys", rows)
+    back = read_geopackage(p)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "name": [r["name"] for r in back],
+            "code": [int(r["code"]) for r in back],
+            "geom": [
+                [[float(x), float(y)] for x, y in r["geom"]]
+                for r in back
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    shoelace = F.expr(
+        "0.5 * abs(aggregate(zip_with(geom, "
+        "concat(slice(geom, 2, size(geom) - 1), slice(geom, 1, 1)), "
+        "(a, b) -> a[0] * b[1] - b[0] * a[1]), "
+        "0.0D, (acc, v) -> acc + v))"
+    )
+    return df.select(
+        "name",
+        F.col("code").cast("bigint").alias("code"),
+        F.size("geom").cast("bigint").alias("n_vertices"),
+        shoelace.alias("area"),
+    )
+
+
+_S3_SQL = f"""
+SELECT 'g' || CAST(i AS VARCHAR) AS name,
+       CAST(i * 3 AS BIGINT) AS code,
+       CAST(4 AS BIGINT) AS n_vertices,
+       (1.0 + (i % 4) * 0.125) * (1.0 + (i % 3) * 0.25) AS area
+FROM generate_series(0, {_S3_N - 1}) AS t(i)
+"""
+
+
 _VT_FILES, _VT_PER, _VT_NY, _VT_NX = 2, 4, 4, 4
 
 
@@ -1022,6 +1091,7 @@ QUERIES = {
     "s1_cf_packed_ingest": s1_cf_packed_ingest,
     "s1_virtual_time": s1_virtual_time,
     "s2_shapefile_ingest": s2_shapefile_ingest,
+    "s3_geopackage_ingest": s3_geopackage_ingest,
     "s1_grib2_ingest": s1_grib2_ingest,
     "s1_geotiff_ingest": s1_geotiff_ingest,
     "s1_virtual_dataset": s1_virtual_dataset,
@@ -1040,6 +1110,7 @@ ORACLE = {
     "s1_cf_packed_ingest": _SCP_SQL,
     "s1_virtual_time": _SVT_SQL,
     "s2_shapefile_ingest": _S2_SQL,
+    "s3_geopackage_ingest": _S3_SQL,
     "s1_grib2_ingest": _SG_SQL,
     "s1_geotiff_ingest": _SGT_SQL,
     "s1_virtual_dataset": _SV_SQL,
