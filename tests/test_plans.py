@@ -128,7 +128,8 @@ def test_query_construction_is_lazy(spark):
         if name in ("g1_auto_dispatch", "dedup_cluster_cc",
                     "bpe_train", "bpe_encode", "pipeline_curate_v3",
                     "s1_virtual_dataset", "s1_virtual_mosaic",
-                    "s1_virtual_time", "pca_project_variance"):
+                    "s1_virtual_time", "s4_geoparquet_ingest",
+                    "pca_project_variance"):
             continue
         fn(spark, SF)
     after = store.jobsList(None).size()

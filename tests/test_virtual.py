@@ -228,6 +228,24 @@ def test_bbox_to_windows_empty_bbox(spark, archive):
     )
 
 
+def test_read_virtual_bbox_sugar(spark, archive):
+    """read_virtual(bbox=...) is the one-call P4: same rows as the
+    explicit window form; an empty bbox reads zero rows well-typed;
+    mixing bbox with explicit windows raises."""
+    import pytest
+
+    _, out = archive
+    got = _got(read_virtual(
+        spark, out, bbox=((50.3, 51.0), (-2.8, -2.5))
+    ))
+    assert got == _expected(yrange=(2, 4), xrange_=(2, 4))
+    empty = read_virtual(spark, out, bbox=((80.0, 81.0), (0.0, 1.0)))
+    assert empty.count() == 0
+    with pytest.raises(ValueError, match="not both"):
+        read_virtual(spark, out, y_range=(0, 1),
+                     bbox=((50.3, 51.0), (-2.8, -2.5)))
+
+
 def _write_grib2_archive(d, n_files=2, n_msgs=4):
     """n_files GRIB2 files; message k of file f carries param
     (category k%2, number 0) — var filter "0.0" selects the even

@@ -1099,6 +1099,7 @@ def read_virtual(
     x_range: tuple[int, int] | None = None,
     var: str | None = None,
     max_sidecar_bytes: int = 256 * 2**20,
+    bbox: tuple | None = None,
 ):
     """Scan a virtual dataset built by ``build_virtual_manifest`` ->
     the engine's long grid table ``(file, t_idx, y_idx, x_idx, lat,
@@ -1110,6 +1111,10 @@ def read_virtual(
     ``time_range`` also accepts TIMESTAMPS (ISO strings, datetime,
     numpy datetime64) when the manifest was built with ``time_var`` —
     converted through ``time_to_windows`` before pruning.
+    ``bbox=(lat_range, lon_range)`` is the one-call spatial form:
+    converted through ``bbox_to_windows`` (sidecar scan only) into
+    the pruning y/x windows; a bbox touching no cell yields an
+    empty-but-well-typed read.
 
     The coordinate sidecar is broadcast to the decode tasks; its size
     is measured executor-side first and reads exceeding
@@ -1124,6 +1129,14 @@ def read_virtual(
         time_range = time_to_windows(
             spark, manifest_path, time_range, var=var
         )
+    if bbox is not None:
+        if y_range is not None or x_range is not None:
+            raise ValueError("pass bbox OR y_range/x_range, not both")
+        y_range, x_range = bbox_to_windows(
+            spark, manifest_path, bbox[0], bbox[1]
+        )
+        if y_range is None:
+            y_range = x_range = (-1, -1)  # no matching cell: empty read
     man = _with_packing(
         spark.read.parquet(os.path.join(manifest_path, "chunks"))
     )

@@ -507,6 +507,69 @@ FROM generate_series(0, {_S3_N - 1}) AS t(i)
 """
 
 
+_S4G_N = 40
+
+
+def s4_geoparquet_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale geo sink under the oracle: 40 lattice-exact
+    rectangles built ENTIRELY in-plan (array constructors, no driver
+    geometry), written through the distributed GeoParquet 1.1 sink
+    (WKB encoding + bbox covering column + geo footer), then read back
+    with a covering-intersection bbox filter that prunes on row-group
+    statistics, and reduced to exact areas from the covering struct —
+    JVM-side end to end.  The query bbox's xmin sits strictly between
+    the excluded column's xmax values and the kept ones, so the
+    filter semantics are unambiguous; DuckDB replays the closed
+    form."""
+    import os
+    import tempfile
+
+    from wrf_to_geodataframe_spark.sources.geopackage import (
+        read_geoparquet,
+        write_geoparquet,
+    )
+
+    d = tempfile.mkdtemp(prefix="s4_geopq_")
+    p = os.path.join(d, "polys.parquet")
+    base = spark.range(_S4G_N).select(
+        F.col("id").cast("bigint").alias("code"),
+        (F.col("id") % 8).cast("double").alias("x0"),
+        (F.floor(F.col("id") / 8) * 2).cast("double").alias("y0"),
+        (F.lit(1.0) + (F.col("id") % 4) * 0.125).alias("w"),
+        (F.lit(1.0) + (F.col("id") % 2) * 0.25).alias("h"),
+    )
+    polys = base.select(
+        "code",
+        F.array(
+            F.array("x0", "y0"),
+            F.array(F.col("x0") + F.col("w"), F.col("y0")),
+            F.array(F.col("x0") + F.col("w"), F.col("y0") + F.col("h")),
+            F.array("x0", F.col("y0") + F.col("h")),
+        ).alias("geom"),
+    )
+    write_geoparquet(polys, p, mode="overwrite")
+    # x0 = 0 rectangles end at xmax <= 1.375 < 1.75; everything else
+    # starts at x0 >= 1 with xmax >= 2.0 > 1.75
+    df, _meta = read_geoparquet(
+        spark, p, bbox=(1.75, -100.0, 1000.0, 1000.0)
+    )
+    return df.select(
+        "code",
+        (
+            (F.col("bbox.xmax") - F.col("bbox.xmin"))
+            * (F.col("bbox.ymax") - F.col("bbox.ymin"))
+        ).alias("area"),
+    )
+
+
+_S4G_SQL = f"""
+SELECT CAST(i AS BIGINT) AS code,
+       (1.0 + (i % 4) * 0.125) * (1.0 + (i % 2) * 0.25) AS area
+FROM generate_series(0, {_S4G_N - 1}) AS t(i)
+WHERE (i % 8) <> 0
+"""
+
+
 _VT_FILES, _VT_PER, _VT_NY, _VT_NX = 2, 4, 4, 4
 
 
@@ -1092,6 +1155,7 @@ QUERIES = {
     "s1_virtual_time": s1_virtual_time,
     "s2_shapefile_ingest": s2_shapefile_ingest,
     "s3_geopackage_ingest": s3_geopackage_ingest,
+    "s4_geoparquet_ingest": s4_geoparquet_ingest,
     "s1_grib2_ingest": s1_grib2_ingest,
     "s1_geotiff_ingest": s1_geotiff_ingest,
     "s1_virtual_dataset": s1_virtual_dataset,
@@ -1111,6 +1175,7 @@ ORACLE = {
     "s1_virtual_time": _SVT_SQL,
     "s2_shapefile_ingest": _S2_SQL,
     "s3_geopackage_ingest": _S3_SQL,
+    "s4_geoparquet_ingest": _S4G_SQL,
     "s1_grib2_ingest": _SG_SQL,
     "s1_geotiff_ingest": _SGT_SQL,
     "s1_virtual_dataset": _SV_SQL,
