@@ -189,3 +189,52 @@ def test_hdf5_byte_flips(tmp_path):
                 read_hdf5_bytes(bytes(mutated))
             except Hdf5Error:
                 pass
+
+
+def test_shapefile_truncation_and_flips(tmp_path):
+    """Truncations and byte flips of a valid .shp/.dbf pair must
+    either parse or raise ShapefileError — never IndexError /
+    struct.error / a silent hang (negative counts and zero-length
+    records are guarded)."""
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.sources.shapefile import (
+        ShapefileError,
+        read_dbf,
+        read_shp,
+        write_shapefile,
+    )
+
+    rings = [
+        [[0.0, 0.0], [2.0, 0.0], [2.0, 1.0], [0.0, 1.0]],
+        [[5.0, 5.0], [7.0, 5.0], [6.0, 7.0]],
+    ]
+    shp = str(tmp_path / "f.shp")
+    write_shapefile(shp, rings, [{"name": "a", "code": 1},
+                                 {"name": "b", "code": 2}])
+    for ext in (".shp", ".dbf"):
+        path = shp[:-4] + ext
+        reader = read_shp if ext == ".shp" else read_dbf
+        with open(path, "rb") as f:
+            blob = f.read()
+        n = len(blob)
+        for cut in sorted({4, 30, 99, 101, n // 2, n - 2}):
+            p = str(tmp_path / f"cut{ext}")
+            with open(p, "wb") as f:
+                f.write(blob[:cut])
+            try:
+                reader(p)
+            except ShapefileError:
+                pass
+        rng = np.random.default_rng(5)
+        for _ in range(80):
+            bad = bytearray(blob)
+            i = int(rng.integers(0, n))
+            bad[i] ^= int(rng.integers(1, 256))
+            p = str(tmp_path / f"flip{ext}")
+            with open(p, "wb") as f:
+                f.write(bytes(bad))
+            try:
+                reader(p)
+            except ShapefileError:
+                pass

@@ -19,19 +19,48 @@ import numpy as np
 SHP_POINT, SHP_POLYLINE, SHP_POLYGON = 1, 3, 5
 
 
+class ShapefileError(ValueError):
+    """Malformed .shp/.dbf input — truncations and corrupted offsets
+    surface as this named error, never a raw struct/Index error (the
+    malformed-input hygiene rule shared with Hdf5Error/Grib2Error)."""
+
+
 def read_shp(path: str) -> list[dict]:
     """Parse a .shp file -> [{fid, shape_type, parts: [np.ndarray]}]."""
     with open(path, "rb") as f:
         buf = f.read()
+    try:
+        return _read_shp_inner(buf, path)
+    except ShapefileError:
+        raise
+    except (struct.error, IndexError, OverflowError, ValueError,
+            MemoryError) as exc:
+        raise ShapefileError(
+            f"{path}: malformed shapefile: {exc}"
+        ) from exc
+
+
+def _read_shp_inner(buf: bytes, path: str) -> list[dict]:
     (magic,) = struct.unpack_from(">i", buf, 0)
     if magic != 9994:
-        raise ValueError(f"{path}: not a shapefile (bad magic {magic})")
+        raise ShapefileError(
+            f"{path}: not a shapefile (bad magic {magic})"
+        )
     (flen_words,) = struct.unpack_from(">i", buf, 24)
     end = flen_words * 2
+    if end > len(buf):
+        raise ShapefileError(
+            f"{path}: header says {end} bytes, file has {len(buf)}"
+        )
     out = []
     pos = 100
     while pos < end:
         recno, content_words = struct.unpack_from(">ii", buf, pos)
+        if content_words < 2:  # content always includes the type int
+            raise ShapefileError(
+                f"{path}: record {recno}: content length "
+                f"{content_words} words"
+            )
         pos += 8
         (stype,) = struct.unpack_from("<i", buf, pos)
         if stype == SHP_POINT:
@@ -39,6 +68,12 @@ def read_shp(path: str) -> list[dict]:
             parts = [np.array([[x, y]])]
         elif stype in (SHP_POLYLINE, SHP_POLYGON):
             nparts, npoints = struct.unpack_from("<ii", buf, pos + 36)
+            if nparts < 0 or npoints < 0:
+                # a negative count would make frombuffer read to EOF
+                raise ShapefileError(
+                    f"{path}: record {recno}: {nparts} parts / "
+                    f"{npoints} points"
+                )
             part_idx = list(
                 struct.unpack_from(f"<{nparts}i", buf, pos + 44)
             ) + [npoints]
@@ -51,7 +86,7 @@ def read_shp(path: str) -> list[dict]:
         elif stype == 0:  # null shape
             parts = []
         else:
-            raise NotImplementedError(f"shape type {stype}")
+            raise ShapefileError(f"{path}: shape type {stype}")
         out.append({"fid": recno, "shape_type": stype, "parts": parts})
         pos += 8 + content_words * 2 - 8  # content includes the type int
     return out
@@ -62,7 +97,22 @@ def read_dbf(path: str) -> list[dict]:
     (C -> str, N/F -> float/int, L -> bool)."""
     with open(path, "rb") as f:
         buf = f.read()
+    try:
+        return _read_dbf_inner(buf)
+    except ShapefileError:
+        raise
+    except (struct.error, IndexError, OverflowError, ValueError,
+            MemoryError) as exc:
+        raise ShapefileError(f"{path}: malformed .dbf: {exc}") from exc
+
+
+def _read_dbf_inner(buf: bytes) -> list[dict]:
     nrec, hsize, rsize = struct.unpack_from("<iHH", buf, 4)
+    if nrec < 0 or rsize <= 0 or nrec * rsize > len(buf):
+        raise ShapefileError(
+            f"header claims {nrec} records x {rsize} bytes, "
+            f"file has {len(buf)}"
+        )
     fields = []
     pos = 32
     while buf[pos] != 0x0D:
