@@ -915,3 +915,77 @@ def test_shapefile_sink_round_trip(spark, tmp_path):
     assert shoelace_area(ring) == pytest.approx(
         shoelace_area(np.asarray(rings[1]))
     )
+
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+
+@_settings(max_examples=40, deadline=None)
+@_given(data=_st.data(), n_polys=_st.integers(1, 5))
+def test_shapefile_round_trip_property(tmp_path_factory, data, n_polys):
+    """Property: ANY simple convex lattice polygon set + attributes
+    survives write_shapefile -> read_shp/read_dbf exactly (vertices
+    bit-equal up to the documented rotation, orientation ccw,
+    attribute values typed)."""
+    from wrf_to_geodataframe_spark.geometry.polygons import shoelace_area
+    from wrf_to_geodataframe_spark.sources.shapefile import (
+        read_dbf,
+        read_shp,
+        write_shapefile,
+    )
+
+    tmp = tmp_path_factory.mktemp("shp_prop")
+    rings, attrs = [], []
+    for i in range(n_polys):
+        # convex ccw polygon: lattice points on a circle, unique angles
+        k = data.draw(_st.integers(3, 8))
+        cx = data.draw(_st.integers(-100, 100)) * 0.125
+        cy = data.draw(_st.integers(-100, 100)) * 0.125
+        r = data.draw(_st.integers(1, 40)) * 0.125
+        ang = np.sort(
+            np.array(
+                data.draw(
+                    _st.lists(
+                        _st.integers(0, 359),
+                        min_size=k, max_size=k, unique=True,
+                    )
+                ),
+                dtype="float64",
+            )
+        )
+        a = np.deg2rad(ang)
+        # snap to the 2^-8 lattice so doubles round-trip bit-exactly
+        ring = np.round(
+            np.c_[cx + r * np.cos(a), cy + r * np.sin(a)] * 256
+        ) / 256
+        if shoelace_area(ring) <= 0:
+            continue  # degenerate (collinear after snapping)
+        rings.append(ring)
+        attrs.append(
+            {
+                "name": f"poly_{i}",
+                "code": int(data.draw(_st.integers(-10**6, 10**6))),
+                "w": data.draw(_st.integers(-10**6, 10**6)) * 0.015625,
+            }
+        )
+    if not rings:
+        return
+    shp = str(tmp / "p.shp")
+    write_shapefile(shp, rings, attrs)
+    shapes = read_shp(shp)
+    recs = read_dbf(str(tmp / "p.dbf"))
+    assert len(shapes) == len(rings)
+    for s, ring in zip(shapes, rings):
+        stored = s["parts"][0]
+        assert np.allclose(stored[0], stored[-1])
+        back = stored[:-1][::-1]  # cw+closed -> ccw open (rotated)
+        assert len(back) == len(ring)
+        # rotation-invariant exact match: align on the lexicographic min
+        k0 = int(np.lexsort((ring[:, 1], ring[:, 0]))[0])
+        k1 = int(np.lexsort((back[:, 1], back[:, 0]))[0])
+        assert np.array_equal(np.roll(ring, -k0, 0), np.roll(back, -k1, 0))
+    for rec, att in zip(recs, attrs):
+        assert rec["name"] == att["name"]
+        assert rec["code"] == att["code"]
+        assert rec["w"] == pytest.approx(att["w"], abs=5e-7)

@@ -287,3 +287,10 @@ def write_shapefile(
     dbf += b"\x1a"
     with open(path[:-4] + ".dbf", "wb") as f:
         f.write(dbf)
+    # .prj: WKT1 CRS sidecar GIS tools expect next to the .shp
+    with open(path[:-4] + ".prj", "w") as f:
+        f.write(
+            'GEOGCS["WGS 84",DATUM["WGS_1984",'
+            'SPHEROID["WGS 84",6378137,298.257223563]],'
+            'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]'
+        )
