@@ -5,6 +5,7 @@ to end on this engine."""
 from __future__ import annotations
 
 import json
+import os
 import sqlite3
 import struct
 
@@ -989,3 +990,56 @@ def test_shapefile_round_trip_property(tmp_path_factory, data, n_polys):
         assert rec["name"] == att["name"]
         assert rec["code"] == att["code"]
         assert rec["w"] == pytest.approx(att["w"], abs=5e-7)
+
+
+def test_shapefile_dir_scan_matches_driver_union(spark, tmp_path):
+    """read_shapefile_dir == union of per-file driver reads, with one
+    shared attribute schema; a file with diverging fields fails
+    loudly; the plan is binaryFile -> MapInPandas (no driver
+    createDataFrame)."""
+    from wrf_to_geodataframe_spark.sources.shapefile import (
+        read_shapefile,
+        read_shapefile_dir,
+        write_shapefile,
+    )
+
+    d = tmp_path / "arch"
+    d.mkdir()
+    for f in range(3):
+        rings = [
+            [[float(f), 0.0], [float(f) + 1, 0.0],
+             [float(f) + 1, 1.0], [float(f), 1.0]],
+            [[10.0 + f, 10.0], [12.0 + f, 10.0], [11.0 + f, 12.0]],
+        ]
+        write_shapefile(
+            str(d / f"region_{f}.shp"), rings,
+            [{"name": f"r{f}a", "code": f * 10},
+             {"name": f"r{f}b", "code": f * 10 + 1}],
+        )
+    df = read_shapefile_dir(spark, str(d))
+    rows = df.collect()
+    assert len(rows) == 6
+    got = {(os.path.basename(r["file"]), r["fid"]):
+           (r["name"], r["code"], tuple(map(tuple, r["geom"])))
+           for r in rows}
+    for f in range(3):
+        single = read_shapefile(
+            spark, str(d / f"region_{f}.shp")
+        ).collect()
+        for r in single:
+            key = (f"region_{f}.shp", r["fid"])
+            assert got[key] == (
+                r["name"], r["code"], tuple(map(tuple, r["geom"]))
+            )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Scan binaryFile" in plan
+
+    # schema divergence fails loudly
+    write_shapefile(
+        str(d / "rogue.shp"),
+        [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]]],
+        [{"other": "x"}],
+    )
+    with pytest.raises(Exception, match="shared schema"):
+        read_shapefile_dir(spark, str(d)).collect()
