@@ -226,6 +226,33 @@ def test_netcdf4_chunk_scan_matches_driver_read(spark, tmp_path):
     _check(rows, _expected(raw))
 
 
+def test_netcdf4_ea_chunk_scan_applies_packing(spark, tmp_path):
+    """Packed + APPENDABLE: the Extensible-Array layout (libver-latest
+    v2 object headers) must surface the packing attributes through the
+    chunk manifest exactly like the v1-B-tree layout."""
+    from wrf_to_geodataframe_spark.sources.hdf5_write import write_netcdf4
+
+    nt, ny, nx = 3, 4, 4
+    raw = _raw(nt, ny, nx, seed=8)
+    lat, lon = _coords(ny, nx)
+    p = str(tmp_path / "packed_ea.nc4")
+    write_netcdf4(
+        p,
+        {"t": nt, "y": ny, "x": nx},
+        {
+            "T2": {"dims": ["t", "y", "x"], "data": raw,
+                   "attrs": _packed_attrs()},
+            "XLAT": {"dims": ["y", "x"], "data": lat},
+            "XLONG": {"dims": ["y", "x"], "data": lon},
+        },
+        compress=True,
+        chunk={"T2": (1, 2, 4)},
+        unlimited="t",
+    )
+    rows = read_netcdf_chunks(spark, p, "T2", "XLAT", "XLONG").collect()
+    _check(rows, _expected(raw))
+
+
 def test_virtual_manifest_applies_packing(spark, tmp_path):
     from wrf_to_geodataframe_spark.sources.hdf5_write import write_netcdf4
     from wrf_to_geodataframe_spark.sources.virtual import (
