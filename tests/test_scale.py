@@ -1322,3 +1322,62 @@ def test_render_100k_cells_tile_parallel(spark, tmp_path):
     assert (img99[:, :, 3] == 255).all()
     assert tuple(img99[-1, -1, :3]) == tuple(colormap_rgb(np.int64(255)))
     print(f"\nrender 102400 cells -> 100 tiles in {dt:.1f}s")
+
+
+@slow
+def test_shapefile_archive_150_files_distributed_scan(spark, tmp_path):
+    """Admin-boundary archive shape: 150 shapefiles x 40 polygons
+    (6000 shapes) scanned through read_shapefile_dir — one binaryFile
+    task per file, executor-side .shp/.dbf parse, one shared
+    attribute schema — then a per-file aggregate proving values and
+    distribution (no driver-side createDataFrame in the lineage)."""
+    import time
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.sources.shapefile import (
+        read_shapefile_dir,
+        write_shapefile,
+    )
+
+    n_files, per = 150, 40
+    d = str(tmp_path / "arch")
+    os.makedirs(d)
+    for f in range(n_files):
+        rings, attrs = [], []
+        for i in range(per):
+            x0, y0 = float(i % 8), float(i // 8) + f * 10.0
+            w = 1.0 + (i % 4) * 0.125
+            rings.append([[x0, y0], [x0 + w, y0],
+                          [x0 + w, y0 + 1.0], [x0, y0 + 1.0]])
+            attrs.append({"name": f"f{f}_p{i}", "code": f * 1000 + i})
+        write_shapefile(os.path.join(d, f"region_{f:03d}.shp"),
+                        rings, attrs)
+    t0 = time.monotonic()
+    df = read_shapefile_dir(spark, d)
+    shoelace = F.expr(
+        "0.5 * abs(aggregate(zip_with(geom, "
+        "concat(slice(geom, 2, size(geom) - 1), slice(geom, 1, 1)), "
+        "(a, b) -> a[0] * b[1] - b[0] * a[1]), "
+        "0.0D, (acc, v) -> acc + v))"
+    )
+    per_file = (
+        df.groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(shoelace).alias("sum_area"),
+            F.max("code").alias("max_code"),
+        )
+        .collect()
+    )
+    dt = time.monotonic() - t0
+    assert len(per_file) == n_files
+    exp_area = sum(1.0 + (i % 4) * 0.125 for i in range(per))
+    for r in per_file:
+        assert r["n"] == per
+        assert r["sum_area"] == exp_area  # lattice-exact
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "Scan binaryFile" in plan
+    print(f"\nshapefile archive: {n_files} files / "
+          f"{n_files * per} shapes scanned+aggregated in {dt:.1f}s")
