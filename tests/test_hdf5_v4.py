@@ -456,17 +456,19 @@ def _ea_layout(b, elements, chunk_dims=(2, 3, 4), client=0,
             sblk_addrs.append(_UNDEF)
             continue
         npages = ne // page_nelmts if ne > page_nelmts else 0
-        dblks, bitmap = [], bytearray()
+        # ONE contiguous bitmap of nd*npages bits for the whole super
+        # block (H5EA_SBLOCK_SIZEOF_PAGE_INIT): bit (d*npages + pg),
+        # MSB-first — NOT byte-aligned per data block.
+        dblks = []
+        bitmap = bytearray((nd * npages + 7) // 8)
         for d in range(nd):
             dblks.append(
                 dblock(idx_blk_elmts + start + d * ne, ne, s, d)
             )
-            if npages:
-                bits = bytearray((npages + 7) // 8)
-                for pg in range(npages):
-                    if (s, d, pg) not in uninit_pages:
-                        bits[pg // 8] |= 1 << (7 - pg % 8)
-                bitmap += bits
+            for pg in range(npages):
+                if (s, d, pg) not in uninit_pages:
+                    bit = d * npages + pg
+                    bitmap[bit // 8] |= 1 << (7 - bit % 8)
         body = bytearray(b"EASB" + bytes([0, client]))
         body += struct.pack("<Q", 0)
         body += (idx_blk_elmts + start).to_bytes(arr_off, "little")
@@ -591,6 +593,36 @@ def test_ea_paged_data_block_with_uninit_page(tmp_path):
             idx_blk_elmts=2, data_blk_min_elmts=2,
             sup_blk_min_data_ptrs=2, page_bits=1,
             uninit_pages={(2, 0, 1)},
+        )
+
+    _write_ea(p, arr, (_UNDEF, 3), layout)
+    assert np.array_equal(_got(p), expect)
+
+
+def test_ea_paged_bitmap_packed_across_data_blocks(tmp_path):
+    """Page-init bits for a super block are ONE contiguous bitstream
+    (H5EA_SBLOCK_SIZEOF_PAGE_INIT), not byte-aligned per data block:
+    with npages=2 the second data block's bits start at BIT 2 of byte
+    0.  A byte-aligned reader would consume 2 bytes of bitmap, shift
+    every data-block address by one byte, and fail to parse — here
+    sblk-2 dblk-1 exists and its page 0 is uninitialized (bit 2 = 0),
+    so chunks 12..13 must read as fill while 14..15 read real data."""
+    arr = (np.arange(32 * 3, dtype="<i4") + 5).reshape(32, 3)
+    expect = arr.copy()
+    # sblk-2 dblk-1 holds elements 12..15; its page 0 = chunks 12..13
+    expect[24:28, :] = 0
+    p = str(tmp_path / "ea2b.h5")
+
+    def layout(b):
+        elems = [
+            struct.pack("<Q", b._alloc(blk.tobytes()))
+            for blk in _chunk_blocks(arr, (2, 3))
+        ]
+        return _ea_layout(
+            b, elems, chunk_dims=(2, 3, 4), max_nelmts_bits=16,
+            idx_blk_elmts=2, data_blk_min_elmts=2,
+            sup_blk_min_data_ptrs=2, page_bits=1,
+            uninit_pages={(2, 1, 0)},
         )
 
     _write_ea(p, arr, (_UNDEF, 3), layout)

@@ -142,6 +142,47 @@ def test_render_tiles_dataframe_shape(spark):
         assert (w, h, ch) == (4, 4, 4)
 
 
+def test_off_canvas_cells_are_dropped_not_exploded(spark):
+    """A cell whose bbox lies entirely off-canvas must not render:
+    F.sequence descends when start > stop, so without the pre-explode
+    filter a right/below cell generated the whole descending tile
+    range (negative tile dims -> crash) and an above/left cell painted
+    the wrong part of the image via negative indexing."""
+    base = _cells_df(spark)
+    extra = spark.createDataFrame(
+        [
+            # entirely right+below of the 8x8 canvas (pixel 0.25)
+            (10, [9.0, 10.0, 10.0, 9.0], [9.0, 9.0, 10.0, 10.0], 1.5),
+            # entirely left+above (negative world coords)
+            (11, [-5.0, -4.0, -4.0, -5.0], [-5.0, -5.0, -4.0, -4.0], 1.5),
+        ],
+        "cell_id long, xs array<double>, ys array<double>, v double",
+    )
+    transform = (0.25, 0.25, 0.0, 0.0)
+    png_with, _ = render_cells_png(
+        spark, base.unionByName(extra), "v", transform, 8, 8,
+        tile=3, order_col="cell_id",
+    )
+    png_without, _ = render_cells_png(
+        spark, base, "v", transform, 8, 8, tile=3, order_col="cell_id"
+    )
+    # off-canvas cells are inside [vmin, vmax] of the on-canvas values
+    # so the colormap scaling is unchanged -> images identical
+    assert png_with == png_without
+
+
+def test_tile_pyramid_rejects_odd_tile_size(spark):
+    from wrf_to_geodataframe_spark.sources.render import build_tile_pyramid
+
+    cells = _cells_df(spark)
+    tiles = render_cells(
+        spark, cells, "v", (0.25, 0.25, 0.0, 0.0), 8, 8, tile=4,
+        order_col="cell_id",
+    )
+    with pytest.raises(ValueError, match="even tile size"):
+        build_tile_pyramid(spark, tiles, levels=1, tile=5)
+
+
 def test_single_image_pixel_guard(spark):
     cells = _cells_df(spark)
     with pytest.raises(ValueError, match="max_pixels"):

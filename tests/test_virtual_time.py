@@ -294,6 +294,72 @@ def test_stream_virtual_carries_time_column(spark, tmp_path):
     assert len(got) == 4 * NY * NX
 
 
+def test_stream_virtual_post_definition_append_fails_loudly(
+    spark, tmp_path
+):
+    """A file appended by update_virtual_manifest WHILE the stream
+    runs carries t_idx values the definition-time times snapshot
+    doesn't know.  Those must NOT pass through as silent NULL
+    timestamps (wrong data): the micro-batch fails with the named
+    restart instruction — and a restarted stream (fresh definition,
+    same checkpoint) resumes exactly-once with the correct new
+    timestamps."""
+    import pandas as pd
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from wrf_to_geodataframe_spark.sources.virtual import stream_virtual
+
+    _write_classic(str(tmp_path / "a.nc"), 2, seed=1, hour0=0.0)
+    man = str(tmp_path / "manifest")
+    build_virtual_manifest(
+        spark, str(tmp_path), "T2", "XLAT", "XLONG", man, time_var="t"
+    )
+    sdf = stream_virtual(spark, man)  # snapshot: t_idx 0..1 only
+    ckpt = str(tmp_path / "ckpt")
+    frames = []
+    sink = lambda b, _bid: frames.append(b.toPandas())  # noqa: E731
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(pd.concat(frames, ignore_index=True)) == 2 * NY * NX
+    # append while the stream definition is live
+    _write_classic(str(tmp_path / "b.nc"), 2, seed=2, hour0=12.0)
+    update_virtual_manifest(
+        spark, str(tmp_path), "T2", "XLAT", "XLONG", man, time_var="t"
+    )
+    q2 = (
+        sdf.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(
+        StreamingQueryException, match="times sidecar snapshot"
+    ):
+        q2.awaitTermination(120)
+    # restart = re-define (fresh sidecar snapshots) + same checkpoint:
+    # exactly-once resume picks up ONLY the appended rows, timestamped
+    frames2 = []
+    q3 = (
+        stream_virtual(spark, man)
+        .writeStream.foreachBatch(
+            lambda b, _bid: frames2.append(b.toPandas())
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q3.awaitTermination(120)
+    got = pd.concat(frames2, ignore_index=True)
+    assert len(got) == 2 * NY * NX
+    assert sorted(got["t_idx"].unique()) == [2, 3]
+    assert set(got["time"]) == {_expected_time(2), _expected_time(3)}
+
+
 def test_grib2_member_message_times(spark, tmp_path):
     """GRIB2 members have no named time coordinate — any ``time_var``
     opts them into MESSAGE-time decoding: section 1 reference time +
@@ -317,3 +383,34 @@ def test_grib2_member_message_times(spark, tmp_path):
     assert got == {i: _expected_time(i) for i in range(3)}
     vals = {r["t_idx"]: r["value"] for r in rows}
     assert vals == {0: 0.0, 1: 1.0, 2: 2.0}
+
+
+def test_grib2_template_48_uses_interval_end(spark, tmp_path):
+    """Template 4.8 (statistical/accumulation) valid time is the END
+    of the overall interval (octets 35-41), matching wgrib2/eccodes —
+    NOT reference + forecast offset, which is the interval START.
+    Here: ref 00:00, forecast +0h, 6-hour accumulation ending 06:00
+    -> sidecar timestamp must be 06:00."""
+    from wrf_to_geodataframe_spark.sources.grib2 import write_grib2
+
+    msgs = [
+        {"values": np.full((2, 2), float(i)), "lat0": 40.0,
+         "lon0": -5.0, "dlat": 1.0, "dlon": 1.0,
+         "ref_time": (2021, 6, 1, 0, 0, 0), "forecast_hours": 6 * i,
+         "product": {
+             "template": 8,
+             # interval ends one step (6 h) after its start
+             "interval_end": (2021, 6, 1, 6 * (i + 1), 0, 0),
+             "stat_type": 1, "stat_hours": 6,
+         }}
+        for i in range(2)
+    ]
+    write_grib2(str(tmp_path / "acc.grib2"), msgs)
+    man = str(tmp_path / "manifest")
+    build_virtual_manifest(
+        spark, str(tmp_path), None, "XLAT", "XLONG", man,
+        pattern="*.grib2", time_var="t",
+    )
+    rows = read_virtual(spark, man).collect()
+    got = {r["t_idx"]: r["time"] for r in rows}
+    assert got == {0: _expected_time(1), 1: _expected_time(2)}

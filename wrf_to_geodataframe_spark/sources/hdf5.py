@@ -1115,7 +1115,13 @@ class _Hdf5File:
             )
             bitmap = b""
             if npages:
-                bm_len = sblk_ndblks[s] * ((npages + 7) // 8)
+                # ONE contiguous bitmap of ndblks*npages bits for the
+                # whole super block (H5EA_SBLOCK_SIZEOF_PAGE_INIT):
+                # bit (d*npages + pg), MSB-first per H5VM_bit_get.
+                # NOT byte-aligned per data block — with npages not a
+                # multiple of 8 a per-block slice would shift every
+                # following data-block address.
+                bm_len = (sblk_ndblks[s] * npages + 7) // 8
                 bitmap = buf[q:q + bm_len]
                 q += bm_len
             for d in range(sblk_ndblks[s]):
@@ -1135,10 +1141,9 @@ class _Hdf5File:
                     raise Hdf5Error(f"expected EADB at {daddr}")
                 pp = daddr + 6 + 8 + arr_off_size + 4
                 page_sz = page_nelmts * elmt_size + 4
-                init_sz = (npages + 7) // 8
-                bm = bitmap[d * init_sz:(d + 1) * init_sz]
                 for pg in range(npages):
-                    if not (bm[pg // 8] >> (7 - pg % 8)) & 1:
+                    bit = d * npages + pg
+                    if not (bitmap[bit // 8] >> (7 - bit % 8)) & 1:
                         continue  # uninitialized page: no chunks
                     emit(
                         buf[pp + pg * page_sz:

@@ -215,6 +215,14 @@ def render_cells(
     )
     nty = -(-height // tile)
     ntx = -(-width // tile)
+    # drop cells whose bbox lies entirely off-canvas BEFORE exploding:
+    # F.sequence DESCENDS when start > stop, so an off-canvas cell
+    # would otherwise generate the whole descending tile range
+    # (negative / out-of-range tile indices).
+    d = d.filter(
+        (F.col("px1") >= 0) & (F.col("px0") < F.lit(float(width)))
+        & (F.col("py1") >= 0) & (F.col("py0") < F.lit(float(height)))
+    )
     d = (
         d.withColumn(
             "ty",
@@ -434,6 +442,11 @@ def build_tile_pyramid(spark, tiles, levels: int, tile: int = 256):
     from wrf_to_geodataframe_spark.sources.png import decode_png, encode_png
 
     tile_sz = int(tile)
+    if tile_sz % 2:
+        raise ValueError(
+            f"build_tile_pyramid needs an even tile size, got {tile_sz}: "
+            "the 2x2 box filter would silently drop the last row/column"
+        )
     half = tile_sz // 2
 
     def _compose(key, pdf):

@@ -65,12 +65,6 @@ __all__ = [
     "update_virtual_manifest",
 ]
 
-_VIRTUAL_OUT_COLS = (
-    "file string, t_idx long, y_idx long, x_idx long, "
-    "lat double, lon double, value double"
-)
-
-
 def _virtual_out_schema():
     from pyspark.sql.types import (
         DoubleType,
@@ -390,9 +384,11 @@ def _grib2_rows(path: str, file_no: int, var: str | None,
 
     ``with_times``: additionally decode each message's VALID time —
     section 1 reference time plus the section-4 forecast offset in its
-    declared time-range unit (code table 4.4) — into time-sidecar
-    rows; messages whose product template carries no forecast octets
-    count as the reference time."""
+    declared time-range unit (code table 4.4); for template 4.8
+    (statistical interval) the END of the overall interval (octets
+    35-41, what wgrib2/eccodes report) — into time-sidecar rows;
+    messages whose product template carries no forecast octets count
+    as the reference time."""
     from wrf_to_geodataframe_spark.sources.grib2 import (
         Grib2Error,
         _parse_grid_template_3_0,
@@ -415,7 +411,7 @@ def _grib2_rows(path: str, file_no: int, var: str | None,
         for _mi, off, mlen in scan_grib2_offsets(path):
             p = off + 16
             grid = param = None
-            ref_ns = fcst_ns = None
+            ref_ns = fcst_ns = end_ns = None
             while p < off + mlen:
                 fh.seek(p)
                 head = fh.read(5)
@@ -457,6 +453,19 @@ def _grib2_rows(path: str, file_no: int, var: str | None,
                                 )
                             fcst = struct.unpack_from(">i", s4, 18)[0]
                             fcst_ns = fcst * _GRIB2_TIME_UNITS_NS[unit]
+                            if tmpl4 == 8:
+                                # statistical/accumulation products:
+                                # valid time is the END of the overall
+                                # interval (octets 35-41), matching
+                                # wgrib2/eccodes — ref+forecast is the
+                                # interval START
+                                ey = struct.unpack_from(">H", s4, 34)[0]
+                                end_ns = int(np.datetime64(
+                                    f"{ey:04d}-{s4[36]:02d}-{s4[37]:02d}"
+                                    f"T{s4[38]:02d}:{s4[39]:02d}"
+                                    f":{s4[40]:02d}",
+                                    "ns",
+                                ).astype("int64"))
                 elif snum == 7:
                     break  # data payload: stop the walk, never read
                 p += slen
@@ -471,7 +480,9 @@ def _grib2_rows(path: str, file_no: int, var: str | None,
                         "time"
                     )
                 times.append((
-                    var or "", file_no, lt, ref_ns + (fcst_ns or 0),
+                    var or "", file_no, lt,
+                    end_ns if end_ns is not None
+                    else ref_ns + (fcst_ns or 0),
                 ))
             lat, lon = _coord_grids(grid["lat"], grid["lon"])
             chash = _hash_grids(lat, lon)
@@ -1102,8 +1113,8 @@ def read_virtual(
     bbox: tuple | None = None,
 ):
     """Scan a virtual dataset built by ``build_virtual_manifest`` ->
-    the engine's long grid table ``(file, t_idx, y_idx, x_idx, lat,
-    lon, value)`` (plus ``time`` when the manifest has a times
+    the engine's long grid table ``(file, var, t_idx, y_idx, x_idx,
+    lat, lon, value)`` (plus ``time`` when the manifest has a times
     sidecar).  Ranges are INCLUSIVE index windows; each becomes a
     plain column predicate on the chunk table (pushed into the parquet
     scan — pruned chunks are never read, not even their manifest rows)
@@ -1178,15 +1189,19 @@ def stream_virtual(
     cycle's newly indexed chunk rows become a micro-batch of decoded
     grid rows (same schema as ``read_virtual``), without re-reading
     anything already processed (file-source checkpointing is
-    exactly-once per manifest parquet file).
+    exactly-once per manifest parquet file).  Output schema matches
+    ``read_virtual``: ``(file, var, t_idx, y_idx, x_idx, lat, lon,
+    value)`` plus ``time`` when the manifest has a times sidecar.
 
     The chunk table IS the stream: ``update_virtual_manifest`` appends
     new parquet files under ``<manifest>/chunks``, and the parquet
-    file source discovers them per trigger.  The coordinate sidecar is
-    snapshotted and broadcast at stream DEFINITION (the shared-grid
-    archive shape); a chunk row arriving with an unseen coord_hash
+    file source discovers them per trigger.  The coordinate sidecar
+    AND the times sidecar are snapshotted at stream DEFINITION (the
+    shared-grid archive shape); a chunk row arriving with an unseen
+    coord_hash — or a t_idx missing from the times snapshot (a file
+    appended by ``update_virtual_manifest`` while the stream ran) —
     fails loudly with a restart instruction rather than decoding with
-    stale coordinates."""
+    stale coordinates or silently NULL timestamps."""
     from pyspark.sql import functions as F
 
     chunks_dir = os.path.join(manifest_path, "chunks")
@@ -1200,11 +1215,13 @@ def stream_virtual(
     bgrids = _broadcast_sidecar(spark, manifest_path, max_sidecar_bytes)
     _scan = _chunk_scanner(bgrids, (None, None, None))
     out = man.mapInPandas(_scan, _virtual_out_schema())
-    # stream-static join against the times sidecar SNAPSHOT (same
-    # definition-time semantics as the coordinate sidecar)
+    # stream-static join against the times sidecar SNAPSHOT — strict:
+    # a joined-null time means the manifest gained timesteps after
+    # definition, which must not pass through as silent NULLs (the
+    # same discipline as the coord-hash restart error)
     times = _try_read_times(spark, manifest_path)
     if times is not None:
-        out = _with_time_column(out, times, var)
+        out = _with_time_column(out, times, var, strict=True)
     return out
 
 
@@ -1223,12 +1240,15 @@ def _try_read_times(spark, manifest_path: str):
         return None
 
 
-def _with_time_column(out, times, var):
+def _with_time_column(out, times, var, strict: bool = False):
     """LEFT-join the (small, broadcast) times sidecar onto the decoded
     grid rows on ``(var, t_idx)`` — each variable maps to its own
     axis, so multi-variable manifests with diverging axes stay
     unambiguous.  ``time`` is a microsecond timestamp; the sidecar
-    keeps exact int64 ns."""
+    keeps exact int64 ns.  ``strict`` (the streaming path) raises on a
+    joined-null — a t_idx the sidecar snapshot doesn't know means the
+    manifest gained timesteps after the stream was defined, and a
+    silent NULL timestamp would be wrong data, not missing data."""
     from pyspark.sql import functions as F
 
     if var is not None:
@@ -1236,12 +1256,26 @@ def _with_time_column(out, times, var):
     tm = times.select(
         "var", F.col("t").alias("t_idx"), "time_ns"
     ).distinct()
+    time_col = F.timestamp_micros(F.expr("time_ns div 1000"))
+    if strict:
+        time_col = F.when(
+            F.col("time_ns").isNull(),
+            F.raise_error(F.concat(
+                F.lit("stream_virtual: t_idx "),
+                F.col("t_idx").cast("string"),
+                F.lit(" of var "), F.col("var"),
+                F.lit(
+                    " is not in the times sidecar snapshot — the "
+                    "manifest gained new timesteps after this stream "
+                    "was defined; restart it to pick up the new "
+                    "sidecar (file-source checkpointing resumes "
+                    "exactly-once)"
+                ),
+            )).cast("timestamp"),
+        ).otherwise(time_col)
     return (
         out.join(F.broadcast(tm), ["var", "t_idx"], "left")
-        .withColumn(
-            "time",
-            F.timestamp_micros(F.expr("time_ns div 1000")),
-        )
+        .withColumn("time", time_col)
         .select(
             "file", "var", "t_idx", "y_idx", "x_idx", "lat", "lon",
             "value", "time",
