@@ -169,3 +169,321 @@ def test_osgb_inverse_tm_matches_worked_example():
     )
     assert abs(phi[0] - phi_want) < 1e-9
     assert abs(lam[0] - lam_want) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Lambert conformal conic column transforms (WRF's native projection)
+
+
+def test_lcc_columns_match_grib2_kernel_and_snyder(spark):
+    """The LCC column transform and the Snyder-pinned numpy kernel in
+    sources/grib2.py share their constants function — outputs must
+    agree to fp roundoff, and the Snyder spherical worked example
+    (unit sphere, eqs. 15-1/15-2: x=0.2966785, y=0.2462112) must hold
+    through the COLUMN path too."""
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.functions.crs import lonlat_to_lcc
+    from wrf_to_geodataframe_spark.sources.grib2 import lcc_forward
+
+    rows = [(float(lo), float(la))
+            for lo in np.linspace(-120.0, -80.0, 5)
+            for la in np.linspace(25.0, 55.0, 5)]
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    out = lonlat_to_lcc(
+        df, F.col("lon"), F.col("lat"), 30.0, 60.0, 40.0, -100.0,
+        6370000.0,
+    ).collect()
+    for r in out:
+        x, y = lcc_forward(r["lat"], r["lon"], 30.0, 60.0, 40.0,
+                           -100.0, 6370000.0)
+        assert abs(r["lcc_x"] - float(x)) < 1e-6
+        assert abs(r["lcc_y"] - float(y)) < 1e-6
+    sn = lonlat_to_lcc(
+        spark.createDataFrame([(-75.0, 35.0)], "lon double, lat double"),
+        F.col("lon"), F.col("lat"), 33.0, 45.0, 23.0, -96.0, 1.0,
+    ).collect()[0]
+    assert abs(sn["lcc_x"] - 0.2966785) < 1e-6
+    assert abs(sn["lcc_y"] - 0.2462112) < 1e-6
+
+
+def test_lcc_column_roundtrip(spark):
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        lcc_to_lonlat,
+        lonlat_to_lcc,
+    )
+
+    rows = [(float(lo), float(la))
+            for lo in np.linspace(-130.0, -70.0, 6)
+            for la in np.linspace(20.0, 60.0, 6)]
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    args = (30.0, 60.0, 40.0, -100.0, 6370000.0, 10000.0, -5000.0)
+    fwd = lonlat_to_lcc(df, F.col("lon"), F.col("lat"), *args)
+    back = lcc_to_lonlat(
+        fwd, F.col("lcc_x"), F.col("lcc_y"), *args,
+        out_lon="lon2", out_lat="lat2",
+    ).collect()
+    for r in back:
+        assert abs(r["lon2"] - r["lon"]) < 1e-9
+        assert abs(r["lat2"] - r["lat"]) < 1e-9
+
+
+def test_lcc2sp_matches_snyder_ellipsoidal_example(spark):
+    """Snyder's ellipsoidal LCC numerical example (Clarke 1866,
+    e2=0.00676866; standard parallels 33/45, origin (23, -96); point
+    (35, -75) -> x=1,894,410.9 y=1,564,649.5) through the numpy twin
+    AND the column transform."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        lcc2sp_forward_numpy,
+        lonlat_to_lcc2sp,
+    )
+
+    A, E2 = 6378206.4, 0.00676866
+    x, y = lcc2sp_forward_numpy(-75.0, 35.0, 33.0, 45.0, 23.0, -96.0,
+                                A, E2)
+    assert abs(float(x) - 1894410.9) < 0.5
+    assert abs(float(y) - 1564649.5) < 0.5
+    r = lonlat_to_lcc2sp(
+        spark.createDataFrame([(-75.0, 35.0)], "lon double, lat double"),
+        F.col("lon"), F.col("lat"), 33.0, 45.0, 23.0, -96.0, A, E2,
+    ).collect()[0]
+    assert abs(r["lcc_x"] - float(x)) < 1e-6
+    assert abs(r["lcc_y"] - float(y)) < 1e-6
+
+
+def test_lcc2sp_reduces_to_spherical_at_e0():
+    """e2 = 0 must reduce the ellipsoidal 2SP formulas EXACTLY to the
+    spherical Snyder kernel (t -> tan(pi/4 - phi/2) = 1/tan(pi/4 +
+    phi/2), m -> cos phi) — an internal consistency check tying the
+    two published formula families together."""
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        lcc2sp_forward_numpy,
+    )
+    from wrf_to_geodataframe_spark.sources.grib2 import lcc_forward
+
+    lons = np.linspace(-120.0, -80.0, 7)
+    lats = np.linspace(25.0, 55.0, 7)
+    lo, la = np.meshgrid(lons, lats)
+    x0, y0 = lcc2sp_forward_numpy(lo, la, 33.0, 45.0, 23.0, -96.0,
+                                  6370997.0, 0.0)
+    xs, ys = lcc_forward(la, lo, 33.0, 45.0, 23.0, -96.0, 6370997.0)
+    np.testing.assert_allclose(x0, xs, rtol=0, atol=1e-7)
+    np.testing.assert_allclose(y0, ys, rtol=0, atol=1e-7)
+
+
+def test_lcc2sp_column_roundtrip(spark):
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        lcc2sp_to_lonlat,
+        lonlat_to_lcc2sp,
+    )
+
+    rows = [(float(lo), float(la))
+            for lo in np.linspace(-130.0, -70.0, 5)
+            for la in np.linspace(20.0, 60.0, 5)]
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    fwd = lonlat_to_lcc2sp(df, F.col("lon"), F.col("lat"),
+                           33.0, 45.0, 23.0, -96.0)
+    back = lcc2sp_to_lonlat(
+        fwd, F.col("lcc_x"), F.col("lcc_y"), 33.0, 45.0, 23.0, -96.0,
+        out_lon="lon2", out_lat="lat2",
+    ).collect()
+    for r in back:
+        assert abs(r["lon2"] - r["lon"]) < 1e-9
+        assert abs(r["lat2"] - r["lat"]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Transverse Mercator / UTM (Kruger series)
+
+
+def test_tm_matches_snyder_utm_example(spark):
+    """Snyder's TM ellipsoid example (p. 269: Clarke 1866, k0=0.9996,
+    lon0=-75; point (40d30', -73d30') -> x=127,106.5 y=4,484,124.4)
+    through the numpy twin AND the column transform."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        lonlat_to_tm,
+        tm_forward_numpy,
+    )
+
+    a_c, b_c = 6378206.4, 6356583.8
+    f_c = (a_c - b_c) / a_c
+    E, N = tm_forward_numpy(-73.5, 40.5, -75.0, 0.9996, a_c, f_c)
+    assert abs(float(E) - 127106.5) < 0.5
+    assert abs(float(N) - 4484124.4) < 0.5
+    r = lonlat_to_tm(
+        spark.createDataFrame([(-73.5, 40.5)], "lon double, lat double"),
+        F.col("lon"), F.col("lat"), -75.0, 0.9996, a_c, f_c,
+    ).collect()[0]
+    assert abs(r["easting"] - float(E)) < 1e-6
+    assert abs(r["northing"] - float(N)) < 1e-6
+
+
+def _tm_redfearn_numpy(lon, lat, lon0d, k0, a, f):
+    """INDEPENDENT cross-check implementation: the Redfearn/OS-series
+    transverse Mercator (the formula family functions/crs.py uses for
+    OSGB, generalized to any ellipsoid) — a different published series
+    than the shipped Kruger form, so agreement validates both."""
+    import numpy as np
+
+    b = a * (1.0 - f)
+    e2 = (a * a - b * b) / (a * a)
+    n = (a - b) / (a + b)
+    ma = 1 + n + 5 / 4 * n**2 + 5 / 4 * n**3
+    mb = 3 * n + 3 * n**2 + 21 / 8 * n**3
+    mc = 15 / 8 * (n**2 + n**3)
+    md = 35 / 24 * n**3
+    af0, bf0 = a * k0, b * k0
+    phi = np.radians(np.asarray(lat, "float64"))
+    lam = np.radians(np.asarray(lon, "float64"))
+    lam0 = np.radians(lon0d)
+    s2, c2, t2 = np.sin(phi), np.cos(phi), np.tan(phi)
+    nu = af0 / np.sqrt(1 - e2 * s2 * s2)
+    rho = af0 * (1 - e2) * (1 - e2 * s2 * s2) ** -1.5
+    eta2 = nu / rho - 1
+    M = bf0 * (ma * phi - mb * np.sin(phi) * np.cos(phi)
+               + mc * np.sin(2 * phi) * np.cos(2 * phi)
+               - md * np.sin(3 * phi) * np.cos(3 * phi))
+    dl = lam - lam0
+    t22, t24, c23, c25 = t2 * t2, t2**4, c2**3, c2**5
+    E = (nu * c2 * dl
+         + nu / 6 * c23 * (nu / rho - t22) * dl**3
+         + nu / 120 * c25
+         * (5 - 18 * t22 + t24 + 14 * eta2 - 58 * t22 * eta2) * dl**5)
+    N = (M + nu / 2 * s2 * c2 * dl * dl
+         + nu / 24 * s2 * c23 * (5 - t22 + 9 * eta2) * dl**4
+         + nu / 720 * s2 * c25 * (61 - 58 * t22 + t24) * dl**6)
+    return E, N
+
+
+def test_tm_kruger_agrees_with_redfearn_series():
+    """Two independent published TM series (the shipped Kruger n-series
+    vs a Redfearn/OS-style test-side implementation, WGS84, phi0=0)
+    agree to < 2 mm across a full UTM zone — mirrored implementation
+    bugs cannot hide because the formula families share nothing."""
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        WGS_A,
+        WGS_F,
+        tm_forward_numpy,
+    )
+
+    lons = np.linspace(-3.0, 3.0, 9) - 3.0  # zone 30, lon0 = -3
+    lats = np.linspace(-80.0, 80.0, 17)
+    lo, la = np.meshgrid(lons, lats)
+    E1, N1 = tm_forward_numpy(lo, la, -3.0, 0.9996, WGS_A, WGS_F)
+    E2_, N2 = _tm_redfearn_numpy(lo, la, -3.0, 0.9996, WGS_A, WGS_F)
+    assert np.max(np.abs(E1 - E2_)) < 2e-3
+    assert np.max(np.abs(N1 - N2)) < 2e-3
+
+
+def test_utm_column_roundtrip_both_hemispheres(spark):
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        lonlat_to_utm,
+        utm_to_lonlat,
+    )
+
+    rows = [(float(lo), float(la))
+            for lo in np.linspace(-5.9, -0.1, 4)
+            for la in np.linspace(1.0, 79.0, 5)]
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    fwd = lonlat_to_utm(df, F.col("lon"), F.col("lat"), zone=30)
+    back = utm_to_lonlat(
+        fwd, F.col("easting"), F.col("northing"), zone=30,
+        out_lon="lon2", out_lat="lat2",
+    ).collect()
+    # closure floor measured at 6.6e-9 deg (~0.7 mm) over the whole
+    # zone: the forward alpha and inverse beta/delta series are
+    # independent truncations at n^3, not exact inverses of each other
+    for r in back:
+        assert 100000 < r["easting"] < 900000
+        assert abs(r["lon2"] - r["lon"]) < 2e-8
+        assert abs(r["lat2"] - r["lat"]) < 2e-8
+    south = [(float(lo), float(la))
+             for lo in np.linspace(172.0, 177.0, 3)
+             for la in np.linspace(-46.0, -35.0, 3)]
+    df_s = spark.createDataFrame(south, "lon double, lat double")
+    fwd_s = lonlat_to_utm(df_s, F.col("lon"), F.col("lat"), zone=59,
+                          south=True)
+    back_s = utm_to_lonlat(
+        fwd_s, F.col("easting"), F.col("northing"), zone=59, south=True,
+        out_lon="lon2", out_lat="lat2",
+    ).collect()
+    for r in back_s:
+        assert 0 < r["northing"] < 10000000  # FN keeps N positive
+        assert abs(r["lon2"] - r["lon"]) < 2e-8
+        assert abs(r["lat2"] - r["lat"]) < 2e-8
+
+
+def test_utm_zone_validation():
+    import pytest
+
+    from wrf_to_geodataframe_spark.functions.crs import utm_zone_lon0
+
+    assert utm_zone_lon0(30) == -3.0
+    assert utm_zone_lon0(1) == -177.0
+    assert utm_zone_lon0(60) == 177.0
+    with pytest.raises(ValueError, match="out of 1..60"):
+        utm_zone_lon0(0)
+    with pytest.raises(ValueError, match="out of 1..60"):
+        utm_zone_lon0(61)
+
+
+def test_crs_pyproj_crosscheck():
+    """Env-gated parity vs pyproj (absent in this container): UTM 30N,
+    the NCEP-style spherical LCC, and the ellipsoidal 2SP against
+    pyproj's EPSG/proj-string transforms, sub-mm."""
+    import pytest
+
+    pyproj = pytest.importorskip("pyproj")
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        WGS_A,
+        WGS_F,
+        lcc2sp_forward_numpy,
+        tm_forward_numpy,
+    )
+    from wrf_to_geodataframe_spark.sources.grib2 import lcc_forward
+
+    lons = np.linspace(-5.9, -0.1, 5)
+    lats = np.linspace(1.0, 79.0, 5)
+    lo, la = np.meshgrid(lons, lats)
+    t = pyproj.Transformer.from_crs("EPSG:4326", "EPSG:32630",
+                                    always_xy=True)
+    ex, ny = t.transform(lo, la)
+    E, N = tm_forward_numpy(lo, la, -3.0, 0.9996, WGS_A, WGS_F)
+    np.testing.assert_allclose(E + 500000.0, ex, rtol=0, atol=1e-3)
+    np.testing.assert_allclose(N, ny, rtol=0, atol=1e-3)
+
+    t2 = pyproj.Transformer.from_crs(
+        "EPSG:4326",
+        "+proj=lcc +lat_1=30 +lat_2=60 +lat_0=40 +lon_0=-100 "
+        "+R=6370000 +units=m +no_defs",
+        always_xy=True,
+    )
+    lo2, la2 = np.meshgrid(np.linspace(-120, -80, 5),
+                           np.linspace(25, 55, 5))
+    px, py = t2.transform(lo2, la2)
+    x, y = lcc_forward(la2, lo2, 30.0, 60.0, 40.0, -100.0, 6370000.0)
+    np.testing.assert_allclose(x, px, rtol=0, atol=1e-3)
+    np.testing.assert_allclose(y, py, rtol=0, atol=1e-3)
+
+    t3 = pyproj.Transformer.from_crs(
+        "EPSG:4326",
+        "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-96 "
+        "+ellps=WGS84 +units=m +no_defs",
+        always_xy=True,
+    )
+    qx, qy = t3.transform(lo2, la2)
+    x2, y2 = lcc2sp_forward_numpy(lo2, la2, 33.0, 45.0, 23.0, -96.0)
+    np.testing.assert_allclose(x2, qx, rtol=0, atol=1e-3)
+    np.testing.assert_allclose(y2, qy, rtol=0, atol=1e-3)

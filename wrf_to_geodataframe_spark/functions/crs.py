@@ -406,3 +406,482 @@ def osgb_inverse_pandas_udf():
         return pd.DataFrame({"lon": lon, "lat": lat})
 
     return _transform
+
+
+# ---------------------------------------------------------------------------
+# Lambert conformal conic — WRF's NATIVE projection (the grid every WRF
+# output file is on; the reference reprojects via pyproj's any-EPSG
+# ``to_crs``, wrf_voronoi.py:188).  The spherical forward/inverse math
+# already lives Snyder-pinned in sources/grib2.py (template 3.30 decode);
+# here the SAME formulas (Snyder, Map Projections — A Working Manual,
+# eqs. 15-1..15-5 spherical; 15-7..15-10 / EPSG 9802 ellipsoidal 2SP)
+# become COLUMN transforms: projection constants are precomputed Python
+# floats (identical literals for the Spark plan and any SQL oracle), the
+# per-row math is built-in JVM expressions inside whole-stage codegen.
+
+WRF_SPHERE_R = 6370000.0  # WRF's spherical earth radius (share_config)
+
+
+def lcc_constants(lat1d: float, lat2d: float, lat0d: float,
+                  R: float) -> tuple[float, float, float]:
+    """Spherical LCC constants (cone constant n, F, rho0) — delegates to
+    the Snyder-pinned kernel in sources/grib2.py so the column transform
+    and the GRIB2 grid decoder can never drift apart."""
+    from wrf_to_geodataframe_spark.sources.grib2 import _lcc_constants
+
+    n, F_, rho0 = _lcc_constants(lat1d, lat2d, lat0d, R)
+    return float(n), float(F_), float(rho0)
+
+
+def lonlat_to_lcc(
+    df,
+    lon,
+    lat,
+    lat1d: float,
+    lat2d: float,
+    lat0d: float,
+    lon0d: float,
+    R: float = WRF_SPHERE_R,
+    false_easting: float = 0.0,
+    false_northing: float = 0.0,
+    out_x: str = "lcc_x",
+    out_y: str = "lcc_y",
+):
+    """Append spherical-LCC ``(out_x, out_y)`` metre columns for WGS84
+    ``lon``/``lat`` columns (Snyder eqs. 15-1/15-2): rho = R F /
+    tan(pi/4 + phi/2)^n, x = rho sin(n dl), y = rho0 - rho cos(n dl),
+    with dl wrapped to (-pi, pi] so grids straddling lon0 +- 180 work."""
+    n, F_, rho0 = lcc_constants(lat1d, lat2d, lat0d, R)
+    d = df.withColumns({
+        "_phi": F.radians(lat),
+        "_dl": F.pmod(
+            F.radians(lon - F.lit(lon0d)) + F.lit(math.pi),
+            F.lit(2.0 * math.pi),
+        ) - F.lit(math.pi),
+    })
+    d = d.withColumn(
+        "_rho",
+        F.lit(R * F_)
+        / F.pow(
+            F.tan(F.lit(math.pi / 4) + F.col("_phi") / 2), F.lit(n)
+        ),
+    )
+    d = d.withColumns({
+        out_x: F.col("_rho") * F.sin(F.lit(n) * F.col("_dl"))
+        + F.lit(false_easting),
+        out_y: F.lit(rho0 + false_northing)
+        - F.col("_rho") * F.cos(F.lit(n) * F.col("_dl")),
+    })
+    return d.drop("_phi", "_dl", "_rho")
+
+
+def lcc_to_lonlat(
+    df,
+    x,
+    y,
+    lat1d: float,
+    lat2d: float,
+    lat0d: float,
+    lon0d: float,
+    R: float = WRF_SPHERE_R,
+    false_easting: float = 0.0,
+    false_northing: float = 0.0,
+    out_lon: str = "lon",
+    out_lat: str = "lat",
+):
+    """Inverse spherical LCC (Snyder eqs. 15-4/15-5): metre columns ->
+    WGS84 degree columns; mirrors ``lcc_inverse`` in sources/grib2.py."""
+    n, F_, rho0 = lcc_constants(lat1d, lat2d, lat0d, R)
+    sgn = 1.0 if n >= 0 else -1.0
+    d = df.withColumns({
+        "_xs": (x - F.lit(false_easting)) * F.lit(sgn),
+        "_ys": (F.lit(rho0 + false_northing) - y) * F.lit(sgn),
+    })
+    d = d.withColumns({
+        "_rho": F.lit(sgn) * F.sqrt(
+            F.col("_xs") * F.col("_xs") + F.col("_ys") * F.col("_ys")
+        ),
+        "_theta": F.atan2(F.col("_xs"), F.col("_ys")),
+    })
+    d = d.withColumns({
+        out_lat: F.degrees(
+            F.lit(2.0)
+            * F.atan(F.pow(F.lit(R * F_) / F.col("_rho"), F.lit(1.0 / n)))
+            - F.lit(math.pi / 2)
+        ),
+        out_lon: F.lit(lon0d) + F.degrees(F.col("_theta") / F.lit(n)),
+    })
+    return d.drop("_xs", "_ys", "_rho", "_theta")
+
+
+def lcc2sp_constants(
+    lat1d: float, lat2d: float, lat0d: float, a: float, e2: float
+) -> tuple[float, float, float, float]:
+    """Ellipsoidal LCC 2SP constants (Snyder eqs. 15-8/14-15/15-10,
+    EPSG method 9802): returns (n, a*F, rho0, e) as Python floats.
+    ``e2 = 0`` reduces exactly to the spherical constants."""
+    e = math.sqrt(e2)
+
+    def m(phid):
+        p = math.radians(phid)
+        return math.cos(p) / math.sqrt(1 - e2 * math.sin(p) ** 2)
+
+    def t(phid):
+        p = math.radians(phid)
+        sp = math.sin(p)
+        es = ((1 - e * sp) / (1 + e * sp)) ** (e / 2) if e else 1.0
+        return math.tan(math.pi / 4 - p / 2) / es
+
+    m1, m2 = m(lat1d), m(lat2d)
+    t1, t2, t0 = t(lat1d), t(lat2d), t(lat0d)
+    if abs(lat1d - lat2d) < 1e-12:
+        n = math.sin(math.radians(lat1d))
+    else:
+        n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    aF = a * m1 / (n * t1 ** n)
+    rho0 = aF * t0 ** n
+    return n, aF, rho0, e
+
+
+def lonlat_to_lcc2sp(
+    df,
+    lon,
+    lat,
+    lat1d: float,
+    lat2d: float,
+    lat0d: float,
+    lon0d: float,
+    a: float = WGS_A,
+    e2: float = E2_WGS,
+    false_easting: float = 0.0,
+    false_northing: float = 0.0,
+    out_x: str = "lcc_x",
+    out_y: str = "lcc_y",
+):
+    """Ellipsoidal LCC two-standard-parallel forward (Snyder 15-7/15-9,
+    EPSG 9802) as column expressions: t(phi) = tan(pi/4 - phi/2) *
+    ((1 + e sin phi)/(1 - e sin phi))^(e/2), rho = aF t^n."""
+    n, aF, rho0, e = lcc2sp_constants(lat1d, lat2d, lat0d, a, e2)
+    d = df.withColumns({
+        "_phi": F.radians(lat),
+        "_dl": F.pmod(
+            F.radians(lon - F.lit(lon0d)) + F.lit(math.pi),
+            F.lit(2.0 * math.pi),
+        ) - F.lit(math.pi),
+    })
+    d = d.withColumn("_sp", F.sin("_phi"))
+    d = d.withColumn(
+        "_t",
+        F.tan(F.lit(math.pi / 4) - F.col("_phi") / 2)
+        * F.pow(
+            (F.lit(1.0) + F.lit(e) * F.col("_sp"))
+            / (F.lit(1.0) - F.lit(e) * F.col("_sp")),
+            F.lit(e / 2),
+        ),
+    )
+    d = d.withColumn("_rho", F.lit(aF) * F.pow("_t", F.lit(n)))
+    d = d.withColumns({
+        out_x: F.col("_rho") * F.sin(F.lit(n) * F.col("_dl"))
+        + F.lit(false_easting),
+        out_y: F.lit(rho0 + false_northing)
+        - F.col("_rho") * F.cos(F.lit(n) * F.col("_dl")),
+    })
+    return d.drop("_phi", "_dl", "_sp", "_t", "_rho")
+
+
+def lcc2sp_to_lonlat(
+    df,
+    x,
+    y,
+    lat1d: float,
+    lat2d: float,
+    lat0d: float,
+    lon0d: float,
+    a: float = WGS_A,
+    e2: float = E2_WGS,
+    false_easting: float = 0.0,
+    false_northing: float = 0.0,
+    out_lon: str = "lon",
+    out_lat: str = "lat",
+):
+    """Ellipsoidal LCC 2SP inverse (Snyder 15-10/7-9): phi from t by the
+    standard fixed-point iteration phi <- pi/2 - 2 atan(t ((1 - e sin
+    phi)/(1 + e sin phi))^(e/2)), unrolled 6 times (contraction ~e^2/2
+    per step => sub-nanometre for earth ellipsoids)."""
+    n, aF, rho0, e = lcc2sp_constants(lat1d, lat2d, lat0d, a, e2)
+    sgn = 1.0 if n >= 0 else -1.0
+    d = df.withColumns({
+        "_xs": (x - F.lit(false_easting)) * F.lit(sgn),
+        "_ys": (F.lit(rho0 + false_northing) - y) * F.lit(sgn),
+    })
+    d = d.withColumns({
+        "_rho": F.lit(sgn) * F.sqrt(
+            F.col("_xs") * F.col("_xs") + F.col("_ys") * F.col("_ys")
+        ),
+        "_theta": F.atan2(F.col("_xs"), F.col("_ys")),
+    })
+    d = d.withColumn(
+        "_t", F.pow(F.lit(sgn) * F.col("_rho") / F.lit(sgn * aF),
+                    F.lit(1.0 / n))
+    )
+    # chi (conformal latitude) seed, then unrolled fixed point
+    d = d.withColumn(
+        "_phi2",
+        F.lit(math.pi / 2) - F.lit(2.0) * F.atan("_t"),
+    )
+    for _ in range(6):
+        d = d.withColumn("_sphi", F.sin("_phi2")).withColumn(
+            "_phi2",
+            F.lit(math.pi / 2)
+            - F.lit(2.0)
+            * F.atan(
+                F.col("_t")
+                * F.pow(
+                    (F.lit(1.0) - F.lit(e) * F.col("_sphi"))
+                    / (F.lit(1.0) + F.lit(e) * F.col("_sphi")),
+                    F.lit(e / 2),
+                )
+            ),
+        )
+    d = d.withColumns({
+        out_lat: F.degrees("_phi2"),
+        out_lon: F.lit(lon0d) + F.degrees(F.col("_theta") / F.lit(n)),
+    })
+    return d.drop(*[c for c in d.columns if c.startswith("_")])
+
+
+def lcc2sp_forward_numpy(lon, lat, lat1d, lat2d, lat0d, lon0d,
+                         a=WGS_A, e2=E2_WGS):
+    """Numpy twin of :func:`lonlat_to_lcc2sp` (no false offsets)."""
+    n, aF, rho0, e = lcc2sp_constants(lat1d, lat2d, lat0d, a, e2)
+    phi = np.radians(np.asarray(lat, "float64"))
+    dl = np.radians(np.asarray(lon, "float64") - lon0d)
+    dl = (dl + np.pi) % (2 * np.pi) - np.pi
+    sp = np.sin(phi)
+    t = np.tan(np.pi / 4 - phi / 2) * ((1 + e * sp) / (1 - e * sp)) ** (
+        e / 2
+    )
+    rho = aF * t ** n
+    return rho * np.sin(n * dl), rho0 - rho * np.cos(n * dl)
+
+
+def lcc2sp_inverse_numpy(x, y, lat1d, lat2d, lat0d, lon0d,
+                         a=WGS_A, e2=E2_WGS):
+    """Numpy twin of :func:`lcc2sp_to_lonlat` (no false offsets)."""
+    n, aF, rho0, e = lcc2sp_constants(lat1d, lat2d, lat0d, a, e2)
+    sgn = 1.0 if n >= 0 else -1.0
+    xs = np.asarray(x, "float64") * sgn
+    ys = (rho0 - np.asarray(y, "float64")) * sgn
+    rho = sgn * np.sqrt(xs * xs + ys * ys)
+    theta = np.arctan2(xs, ys)
+    t = (sgn * rho / (sgn * aF)) ** (1.0 / n)
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(6):
+        s = np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            t * ((1 - e * s) / (1 + e * s)) ** (e / 2)
+        )
+    return lon0d + np.degrees(theta / n), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Transverse Mercator / UTM — the other reprojection target a WRF user
+# reaches for after the model's own LCC.  Kruger n-series (Karney 2011,
+# "Transverse Mercator with an accuracy of a few nanometers", eqs.
+# 12-14/35; the UTM form on any ellipsoid), truncated at n^3: the n^4
+# terms contribute < 0.5 mm on earth ellipsoids, three orders below the
+# cm rounding the oracle gates use.  Constants are Python floats so the
+# Spark plan and the DuckDB oracle embed identical literals; DuckDB has
+# no hyperbolics, so its oracle mirrors them through exp/ln identities.
+
+WGS_F = 1.0 / 298.257223563
+
+
+def tm_constants(a: float = WGS_A, f: float = WGS_F) -> dict:
+    """Kruger-series constants for the ellipsoid (a, f): third
+    flattening n, rectifying radius A, forward coefficients alpha1..3,
+    inverse coefficients beta1..3, conformal-to-geodetic delta1..3, and
+    the conformal factor c = 2 sqrt(n) / (1 + n)."""
+    n = f / (2.0 - f)
+    return {
+        "n": n,
+        "A": a / (1 + n) * (1 + n * n / 4 + n ** 4 / 64),
+        "alpha": (
+            n / 2 - 2 * n * n / 3 + 5 * n ** 3 / 16,
+            13 * n * n / 48 - 3 * n ** 3 / 5,
+            61 * n ** 3 / 240,
+        ),
+        "beta": (
+            n / 2 - 2 * n * n / 3 + 37 * n ** 3 / 96,
+            n * n / 48 + n ** 3 / 15,
+            17 * n ** 3 / 480,
+        ),
+        "delta": (
+            2 * n - 2 * n * n / 3 - 2 * n ** 3,
+            7 * n * n / 3 - 8 * n ** 3 / 5,
+            56 * n ** 3 / 15,
+        ),
+        "c": 2 * math.sqrt(n) / (1 + n),
+    }
+
+
+def lonlat_to_tm(
+    df,
+    lon,
+    lat,
+    lon0d: float,
+    k0: float = 0.9996,
+    a: float = WGS_A,
+    f: float = WGS_F,
+    false_easting: float = 0.0,
+    false_northing: float = 0.0,
+    out_e: str = "easting",
+    out_n: str = "northing",
+):
+    """Transverse Mercator forward (Kruger series) as column
+    expressions: conformal latitude via t = sinh(atanh sin phi - c
+    atanh(c sin phi)), then the alpha trigonometric series.  Valid to
+    sub-mm within +-4 degrees of the central meridian (every UTM
+    zone)."""
+    k = tm_constants(a, f)
+    kA = k0 * k["A"]
+    a1, a2, a3 = k["alpha"]
+    c = k["c"]
+    d = df.withColumns({
+        "_sp": F.sin(F.radians(lat)),
+        "_lp": F.radians(lon - F.lit(lon0d)),
+    })
+    d = d.withColumn(
+        "_t",
+        F.sinh(
+            F.atanh("_sp") - F.lit(c) * F.atanh(F.lit(c) * F.col("_sp"))
+        ),
+    )
+    d = d.withColumns({
+        "_xip": F.atan2(F.col("_t"), F.cos("_lp")),
+        "_etap": F.atanh(
+            F.sin("_lp")
+            / F.sqrt(F.lit(1.0) + F.col("_t") * F.col("_t"))
+        ),
+    })
+    xi = F.col("_xip")
+    eta = F.col("_etap")
+    for j, aj in ((1, a1), (2, a2), (3, a3)):
+        xi = xi + F.lit(aj) * F.sin(F.lit(2.0 * j) * F.col("_xip")) \
+            * F.cosh(F.lit(2.0 * j) * F.col("_etap"))
+        eta = eta + F.lit(aj) * F.cos(F.lit(2.0 * j) * F.col("_xip")) \
+            * F.sinh(F.lit(2.0 * j) * F.col("_etap"))
+    d = d.withColumns({
+        out_e: F.lit(false_easting) + F.lit(kA) * eta,
+        out_n: F.lit(false_northing) + F.lit(kA) * xi,
+    })
+    return d.drop("_sp", "_lp", "_t", "_xip", "_etap")
+
+
+def tm_to_lonlat(
+    df,
+    e_col,
+    n_col,
+    lon0d: float,
+    k0: float = 0.9996,
+    a: float = WGS_A,
+    f: float = WGS_F,
+    false_easting: float = 0.0,
+    false_northing: float = 0.0,
+    out_lon: str = "lon",
+    out_lat: str = "lat",
+):
+    """Transverse Mercator inverse (Kruger beta series, then the
+    conformal-to-geodetic delta series) as column expressions."""
+    k = tm_constants(a, f)
+    kA = k0 * k["A"]
+    b1, b2, b3 = k["beta"]
+    d1, d2, d3 = k["delta"]
+    d = df.withColumns({
+        "_xi": (n_col - F.lit(false_northing)) / F.lit(kA),
+        "_eta": (e_col - F.lit(false_easting)) / F.lit(kA),
+    })
+    xip = F.col("_xi")
+    etap = F.col("_eta")
+    for j, bj in ((1, b1), (2, b2), (3, b3)):
+        xip = xip - F.lit(bj) * F.sin(F.lit(2.0 * j) * F.col("_xi")) \
+            * F.cosh(F.lit(2.0 * j) * F.col("_eta"))
+        etap = etap - F.lit(bj) * F.cos(F.lit(2.0 * j) * F.col("_xi")) \
+            * F.sinh(F.lit(2.0 * j) * F.col("_eta"))
+    d = d.withColumns({"_xip": xip, "_etap": etap})
+    d = d.withColumn(
+        "_chi", F.asin(F.sin("_xip") / F.cosh("_etap"))
+    )
+    phi = F.col("_chi")
+    for j, dj in ((1, d1), (2, d2), (3, d3)):
+        phi = phi + F.lit(dj) * F.sin(F.lit(2.0 * j) * F.col("_chi"))
+    d = d.withColumns({
+        out_lat: F.degrees(phi),
+        out_lon: F.lit(lon0d)
+        + F.degrees(F.atan2(F.sinh("_etap"), F.cos("_xip"))),
+    })
+    return d.drop("_xi", "_eta", "_xip", "_etap", "_chi")
+
+
+def utm_zone_lon0(zone: int) -> float:
+    """Central meridian of a UTM zone (1..60)."""
+    if not 1 <= int(zone) <= 60:
+        raise ValueError(f"UTM zone {zone} out of 1..60")
+    return float(zone * 6 - 183)
+
+
+def lonlat_to_utm(df, lon, lat, zone: int, south: bool = False,
+                  out_e: str = "easting", out_n: str = "northing"):
+    """WGS84 lon/lat columns -> UTM zone easting/northing (EPSG
+    326xx/327xx): k0 = 0.9996, FE 500 km, FN 10000 km south."""
+    return lonlat_to_tm(
+        df, lon, lat, utm_zone_lon0(zone), 0.9996, WGS_A, WGS_F,
+        500000.0, 10000000.0 if south else 0.0, out_e, out_n,
+    )
+
+
+def utm_to_lonlat(df, e_col, n_col, zone: int, south: bool = False,
+                  out_lon: str = "lon", out_lat: str = "lat"):
+    """Inverse of :func:`lonlat_to_utm`."""
+    return tm_to_lonlat(
+        df, e_col, n_col, utm_zone_lon0(zone), 0.9996, WGS_A, WGS_F,
+        500000.0, 10000000.0 if south else 0.0, out_lon, out_lat,
+    )
+
+
+def tm_forward_numpy(lon, lat, lon0d, k0=0.9996, a=WGS_A, f=WGS_F):
+    """Numpy twin of :func:`lonlat_to_tm` (no false offsets)."""
+    k = tm_constants(a, f)
+    kA = k0 * k["A"]
+    c = k["c"]
+    sp = np.sin(np.radians(np.asarray(lat, "float64")))
+    lp = np.radians(np.asarray(lon, "float64") - lon0d)
+    t = np.sinh(np.arctanh(sp) - c * np.arctanh(c * sp))
+    xip = np.arctan2(t, np.cos(lp))
+    etap = np.arctanh(np.sin(lp) / np.sqrt(1.0 + t * t))
+    xi, eta = xip.copy(), etap.copy()
+    for j, aj in ((1, k["alpha"][0]), (2, k["alpha"][1]),
+                  (3, k["alpha"][2])):
+        xi += aj * np.sin(2 * j * xip) * np.cosh(2 * j * etap)
+        eta += aj * np.cos(2 * j * xip) * np.sinh(2 * j * etap)
+    return kA * eta, kA * xi
+
+
+def tm_inverse_numpy(E, N, lon0d, k0=0.9996, a=WGS_A, f=WGS_F):
+    """Numpy twin of :func:`tm_to_lonlat` (no false offsets)."""
+    k = tm_constants(a, f)
+    kA = k0 * k["A"]
+    xi = np.asarray(N, "float64") / kA
+    eta = np.asarray(E, "float64") / kA
+    xip, etap = xi.copy(), eta.copy()
+    for j, bj in ((1, k["beta"][0]), (2, k["beta"][1]),
+                  (3, k["beta"][2])):
+        xip -= bj * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        etap -= bj * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    chi = np.arcsin(np.sin(xip) / np.cosh(etap))
+    phi = chi.copy()
+    for j, dj in ((1, k["delta"][0]), (2, k["delta"][1]),
+                  (3, k["delta"][2])):
+        phi += dj * np.sin(2 * j * chi)
+    lon = lon0d + np.degrees(np.arctan2(np.sinh(etap), np.cos(xip)))
+    return lon, np.degrees(phi)

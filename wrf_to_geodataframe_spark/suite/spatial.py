@@ -895,6 +895,146 @@ FROM tm2
 _G8_OSGB_SQL = _osgb_sql()
 
 
+def g8_crs_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambert conformal conic transform (SURVEY.md §2 G8) — WRF's
+    NATIVE projection (the grid every wrfout file is on; the reference
+    reaches it through pyproj's any-EPSG ``to_crs``): grid centers as
+    pseudo lon/lat over CONUS projected through the spherical LCC
+    column transform (functions/crs.py, Snyder eqs. 15-1/15-2 — the
+    same constants kernel the GRIB2 template-3.30 decoder uses).
+    NCEP-style parameters: standard parallels 30/60, origin (40, -100),
+    WRF spherical earth.  Outputs rounded to cm (cross-engine libm
+    drift ~1e-10 m)."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        WRF_SPHERE_R,
+        lonlat_to_lcc,
+    )
+
+    cells = grid_cells(spark, sf_dir)
+    d = cells.select(
+        "user_id",
+        (F.col("x") * 0.5 - 108.0).alias("lon"),  # ~[-108, -92.5]
+        (F.col("y") * 0.5 + 28.0).alias("lat"),   # ~[28, 51.5]
+    )
+    out = lonlat_to_lcc(
+        d, F.col("lon"), F.col("lat"), 30.0, 60.0, 40.0, -100.0,
+        WRF_SPHERE_R,
+    )
+    return out.select(
+        "user_id",
+        F.round("lcc_x", 2).alias("lcc_x"),
+        F.round("lcc_y", 2).alias("lcc_y"),
+    )
+
+
+def _lcc_sql() -> str:
+    """Oracle mirror of the spherical LCC forward, embedding the
+    IDENTICAL precomputed constants (cone constant n, R*F, rho0)."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        WRF_SPHERE_R,
+        lcc_constants,
+    )
+
+    n, F_, rho0 = lcc_constants(30.0, 60.0, 40.0, WRF_SPHERE_R)
+    rf = WRF_SPHERE_R * F_
+    return f"""
+WITH cells AS ({_CELLS_SQL}),
+ll AS (
+    SELECT user_id,
+           radians((y1 + 0.5) * 0.5 + 28.0) AS phi,
+           radians((x1 + 0.5) * 0.5 - 108.0 + 100.0) AS dl
+    FROM cells
+),
+r AS (
+    SELECT user_id, dl,
+           {rf!r} / pow(tan(pi() / 4 + phi / 2), {n!r}) AS rho
+    FROM ll
+)
+SELECT user_id,
+       round(rho * sin({n!r} * dl), 2) AS lcc_x,
+       round({rho0!r} - rho * cos({n!r} * dl), 2) AS lcc_y
+FROM r
+"""
+
+
+_G8_LCC_SQL = _lcc_sql()
+
+
+def g8_crs_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTM transform (SURVEY.md §2 G8): grid centers as pseudo WGS84
+    lon/lat inside UTM zone 30 projected through the Kruger-series
+    transverse Mercator column transform (functions/crs.py; validated
+    against Snyder's worked example and the OS-series independent
+    formulation in tests/test_crs.py).  Outputs rounded to cm — DuckDB
+    has no hyperbolics, so the oracle mirrors sinh/cosh/atanh through
+    exp/ln identities (drift ~1e-9 m, seven orders under the rounding
+    quantum)."""
+    from wrf_to_geodataframe_spark.functions.crs import lonlat_to_utm
+
+    cells = grid_cells(spark, sf_dir)
+    d = cells.select(
+        "user_id",
+        (F.col("x") * 0.15 - 5.4).alias("lon"),  # ~[-5.4, -0.75]
+        (F.col("y") * 0.4 + 35.0).alias("lat"),  # ~[35, 53.4]
+    )
+    out = lonlat_to_utm(d, F.col("lon"), F.col("lat"), zone=30)
+    return out.select(
+        "user_id",
+        F.round("easting", 2).alias("easting"),
+        F.round("northing", 2).alias("northing"),
+    )
+
+
+def _utm_sql() -> str:
+    """Oracle mirror of the Kruger-series UTM forward with identical
+    constant literals; hyperbolics via exp, atanh via ln."""
+    from wrf_to_geodataframe_spark.functions.crs import tm_constants
+
+    k = tm_constants()
+    kA = 0.9996 * k["A"]
+    a1, a2, a3 = k["alpha"]
+    c = k["c"]
+    return f"""
+WITH cells AS ({_CELLS_SQL}),
+ll AS (
+    SELECT user_id,
+           sin(radians((y1 + 0.5) * 0.4 + 35.0)) AS s,
+           radians((x1 + 0.5) * 0.15 - 5.4 + 3.0) AS lp
+    FROM cells
+),
+q AS (
+    SELECT user_id, lp,
+           0.5 * ln((1.0 + s) / (1.0 - s))
+           - {c!r} * 0.5 * ln((1.0 + {c!r} * s) / (1.0 - {c!r} * s)) AS qv
+    FROM ll
+),
+tt AS (
+    SELECT user_id, lp, (exp(qv) - exp(-qv)) / 2.0 AS t
+    FROM q
+),
+xe AS (
+    SELECT user_id,
+           atan2(t, cos(lp)) AS xip,
+           0.5 * ln((1.0 + sin(lp) / sqrt(1.0 + t * t))
+                    / (1.0 - sin(lp) / sqrt(1.0 + t * t))) AS etap
+    FROM tt
+)
+SELECT user_id,
+       round(500000.0 + {kA!r} * (etap
+           + {a1!r} * cos(2.0 * xip) * (exp(2.0 * etap) - exp(-2.0 * etap)) / 2.0
+           + {a2!r} * cos(4.0 * xip) * (exp(4.0 * etap) - exp(-4.0 * etap)) / 2.0
+           + {a3!r} * cos(6.0 * xip) * (exp(6.0 * etap) - exp(-6.0 * etap)) / 2.0), 2) AS easting,
+       round({kA!r} * (xip
+           + {a1!r} * sin(2.0 * xip) * (exp(2.0 * etap) + exp(-2.0 * etap)) / 2.0
+           + {a2!r} * sin(4.0 * xip) * (exp(4.0 * etap) + exp(-4.0 * etap)) / 2.0
+           + {a3!r} * sin(6.0 * xip) * (exp(6.0 * etap) + exp(-6.0 * etap)) / 2.0), 2) AS northing
+FROM xe
+"""
+
+
+_G8_UTM_SQL = _utm_sql()
+
+
 def a7_domain_center(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain center + radius (SURVEY.md §2 A7, wrf_voronoi.py:51-53
     ``vor.points.mean(axis=0)`` and ``ptp().max()``): the scalar
@@ -1108,6 +1248,8 @@ QUERIES = {
     "regrid_conservative_general": regrid_conservative_general,
     "g8_crs_webmercator": g8_crs_webmercator,
     "g8_crs_osgb": g8_crs_osgb,
+    "g8_crs_lcc": g8_crs_lcc,
+    "g8_crs_utm": g8_crs_utm,
     "a7_domain_center": a7_domain_center,
 }
 
@@ -1126,5 +1268,7 @@ ORACLE = {
     "regrid_conservative_general": _REGRID_GENERAL_SQL,
     "g8_crs_webmercator": _G8_SQL,
     "g8_crs_osgb": _G8_OSGB_SQL,
+    "g8_crs_lcc": _G8_LCC_SQL,
+    "g8_crs_utm": _G8_UTM_SQL,
     "a7_domain_center": _A7_SQL,
 }
