@@ -755,3 +755,146 @@ def test_read_virtual_with_url_file_column(spark, tmp_path):
         .write.parquet(os.path.join(out2, "coords"))
     )
     assert _got(read_virtual(spark, out2)) == expect
+
+
+# ---------------------------------------------------------------------------
+# HTTP byte-range path: the 100-TB story ("index once, answer from byte
+# ranges wherever the archive lives") exercised FOR REAL against an
+# in-process stdlib http.server with Range support — zero dependencies.
+
+
+def _start_range_server(directory, records, support_range=True):
+    """Threaded HTTP server over ``directory`` recording every
+    (path, Range-header) request; 206 partial content when
+    ``support_range``, naive 200 full-body otherwise."""
+    import http.server
+    import threading
+
+    class _H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            fp = os.path.join(directory, self.path.lstrip("/"))
+            with open(fp, "rb") as f:
+                data = f.read()
+            rng = self.headers.get("Range")
+            records.append((self.path, rng))
+            if rng and support_range:
+                a, b = rng.split("=", 1)[1].split("-")
+                a = int(a)
+                b = int(b) if b else len(data) - 1
+                if a >= len(data):
+                    self.send_response(416)
+                    self.end_headers()
+                    return
+                b = min(b, len(data) - 1)
+                body = data[a:b + 1]
+                self.send_response(206)
+                self.send_header(
+                    "Content-Range", f"bytes {a}-{b}/{len(data)}"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, srv.server_address[1]
+
+
+def test_http_range_file_unit(tmp_path):
+    """HttpRangeFile: size via a 0-0 probe, seek/read slices, reads
+    past EOF, and the LOUD failure against a server that ignores
+    Range (silently downloading a multi-TB member would be worse)."""
+    from wrf_to_geodataframe_spark.sources import fsio
+
+    p = tmp_path / "blob.bin"
+    p.write_bytes(bytes(range(200)))
+    records = []
+    srv, port = _start_range_server(str(tmp_path), records)
+    try:
+        url = f"http://127.0.0.1:{port}/blob.bin"
+        assert fsio.is_remote(url)
+        assert fsio.getsize(url) == 200
+        with fsio.open_binary(url) as fh:
+            fh.seek(10)
+            assert fh.read(5) == bytes(range(10, 15))
+            assert fh.tell() == 15
+            fh.seek(-4, 2)
+            assert fh.read() == bytes(range(196, 200))
+            fh.seek(500)
+            assert fh.read(10) == b""  # past EOF: empty, not an error
+        # every request was ranged — exactly the bytes asked for
+        assert records and all(r[1] for r in records)
+    finally:
+        srv.shutdown()
+    records2 = []
+    srv2, port2 = _start_range_server(
+        str(tmp_path), records2, support_range=False
+    )
+    try:
+        url2 = f"http://127.0.0.1:{port2}/blob.bin"
+        with pytest.raises(ValueError, match="Range support"):
+            fsio.getsize(url2)
+        with pytest.raises(ValueError, match="Range support"):
+            fsio.open_binary(url2).read(4)
+    finally:
+        srv2.shutdown()
+
+
+def test_read_virtual_over_http_issues_pruned_ranged_gets(
+    spark, tmp_path
+):
+    """End-to-end over HTTP: remap the chunk table's file column to
+    http:// URLs and read a pruned window through REAL executors.
+    Values must match the local read; the server must see ONLY Range
+    requests (never a full-object 200 download) and ONLY for the file
+    the index-window pruning keeps — the pruned shard is never
+    touched."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    _write_archive(d, n_files=2, classic_every=0)
+    man = str(tmp_path / "man")
+    build_virtual_manifest(spark, d, "T2", "XLAT", "XLONG", man)
+    window = (0, NT - 1)  # file 0 only; shard_1's chunks prune away
+    expect = _got(read_virtual(spark, man, time_range=window))
+
+    records = []
+    srv, port = _start_range_server(d, records)
+    try:
+        man2 = str(tmp_path / "man_http")
+        os.makedirs(man2)
+        (
+            spark.read.parquet(os.path.join(man, "chunks"))
+            .withColumn(
+                "file",
+                F.concat(
+                    F.lit(f"http://127.0.0.1:{port}/"),
+                    F.element_at(F.split(F.col("file"), "/"), -1),
+                ),
+            )
+            .write.parquet(os.path.join(man2, "chunks"))
+        )
+        (
+            spark.read.parquet(os.path.join(man, "coords"))
+            .write.parquet(os.path.join(man2, "coords"))
+        )
+        got = _got(read_virtual(spark, man2, time_range=window))
+        assert got == expect and len(got) == NT * NY * NX
+        assert records, "no HTTP requests reached the server"
+        assert all(rng for _p, rng in records), (
+            "un-ranged full-object GET observed"
+        )
+        assert all("shard_0.nc" in p for p, _rng in records), (
+            "pruned shard was fetched"
+        )
+    finally:
+        srv.shutdown()

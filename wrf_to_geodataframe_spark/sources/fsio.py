@@ -7,20 +7,112 @@ therefore work wherever the archive actually lives at cluster scale —
 an object store or a remote filesystem — not just on local mounts.
 
 ``open_binary``/``getsize`` dispatch on the path: plain paths (and
-``file://``) use the standard library; URL-style paths
-(``s3://…``, ``gs://…``, ``https://…``) go through **fsspec** when it
-is installed and raise a NAMED error when it is not (the gated
-optional-dependency discipline — fsspec is the de-facto public
-filesystem abstraction the kerchunk ecosystem itself uses; it is not
-in this container, so tests exercise the dispatch through an injected
-stub).  fsspec file objects support ``seek``/``read``, which is all
-the chunk scanner needs."""
+``file://``) use the standard library; ``http://``/``https://`` use a
+BUILT-IN stdlib Range-request reader (zero dependencies — tested for
+real against an in-process ``http.server`` in
+tests/test_virtual.py); other URL schemes (``s3://…``, ``gs://…``) go
+through **fsspec** when it is installed and raise a NAMED error when
+it is not (the gated optional-dependency discipline — fsspec is the
+de-facto public filesystem abstraction the kerchunk ecosystem itself
+uses; it is not in this container, so tests exercise that dispatch
+through an injected stub).  All returned file objects support
+``seek``/``read``, which is all the chunk scanner needs."""
 
 from __future__ import annotations
 
 import os
 
 __all__ = ["getsize", "is_remote", "open_binary"]
+
+
+class HttpRangeFile:
+    """Seekable read-only view over an HTTP(S) object using stdlib
+    ``urllib`` Range requests: each ``read(n)`` issues ONE ranged GET
+    for exactly the bytes asked for — the repeated-read path of the
+    virtual layer (never a full-object download).  A server that
+    ignores Range (responds 200) fails LOUDLY: silently downloading a
+    multi-TB archive member is worse than an error."""
+
+    def __init__(self, url: str):
+        self.url = url
+        self._pos = 0
+        self._size = None  # filled lazily by size()
+
+    def size(self) -> int:
+        if self._size is None:
+            import urllib.request
+
+            req = urllib.request.Request(
+                self.url, headers={"Range": "bytes=0-0"}
+            )
+            with urllib.request.urlopen(req) as resp:
+                if resp.status == 206:
+                    cr = resp.headers.get("Content-Range", "")
+                    # "bytes 0-0/N"
+                    self._size = int(cr.rsplit("/", 1)[1])
+                    resp.read()
+                else:
+                    raise ValueError(
+                        f"{self.url}: server answered {resp.status} to a "
+                        "Range request — byte-range reads need an "
+                        "HTTP server with Range support"
+                    )
+        return self._size
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 0:
+            self._pos = int(offset)
+        elif whence == 1:
+            self._pos += int(offset)
+        elif whence == 2:
+            self._pos = self.size() + int(offset)
+        else:
+            raise ValueError(f"whence {whence}")
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        import urllib.request
+
+        if n is not None and n == 0:
+            return b""
+        if n is None or n < 0:
+            end = self.size() - 1
+        else:
+            end = self._pos + int(n) - 1
+        if end < self._pos and n is not None and n > 0:
+            return b""
+        req = urllib.request.Request(
+            self.url, headers={"Range": f"bytes={self._pos}-{end}"}
+        )
+        import urllib.error
+
+        try:
+            with urllib.request.urlopen(req) as resp:
+                if resp.status != 206:
+                    raise ValueError(
+                        f"{self.url}: server answered {resp.status} to "
+                        "a Range request — byte-range reads need an "
+                        "HTTP server with Range support"
+                    )
+                data = resp.read()
+        except urllib.error.HTTPError as exc:
+            if exc.code == 416:  # asked past EOF: nothing to read
+                return b""
+            raise
+        self._pos += len(data)
+        return data
+
+    def close(self):
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def is_remote(path: str) -> bool:
@@ -47,15 +139,24 @@ def _fsspec():
     return fsspec
 
 
+def _is_http(path: str) -> bool:
+    return path.startswith(("http://", "https://"))
+
+
 def open_binary(path: str):
     """Open ``path`` for seekable binary reads — local via ``open``,
-    remote via fsspec."""
+    http(s) via the built-in stdlib Range reader, other remote schemes
+    via fsspec."""
+    if _is_http(path):
+        return HttpRangeFile(path)
     if is_remote(path):
         return _fsspec().open(path, "rb").open()
     return open(_strip_file_scheme(path), "rb")
 
 
 def getsize(path: str) -> int:
+    if _is_http(path):
+        return HttpRangeFile(path).size()
     if is_remote(path):
         fs, rel = _fsspec().core.url_to_fs(path)
         return int(fs.size(rel))
