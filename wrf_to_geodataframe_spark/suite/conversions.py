@@ -1144,6 +1144,152 @@ FROM c
 """
 
 
+def s5_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 zoom pyramid under the oracle: the REAL render path —
+    ``render_grid`` (one pixel per cell through the global-extent
+    colormap) over a 16x16 grid derived from ``events.user_id``, then
+    ``build_tile_pyramid`` level 1 (alpha-weighted integer 2x2 box
+    filter over the four child tiles) — decoded back to per-pixel
+    (r, g, b, a) rows.  Every step is exact integer arithmetic the
+    DuckDB oracle restates in closed form: the colormap's segment
+    interpolation, and the box filter's (255*sum_c + (255*n)//2) //
+    (255*n) weighting with n = #present children (absent cells are
+    transparent nodata, so partial 2x2 blocks exercise the alpha
+    weighting at small SFs)."""
+    import pandas as pd
+
+    from wrf_to_geodataframe_spark.sources.png import decode_png
+    from wrf_to_geodataframe_spark.sources.render import (
+        build_tile_pyramid,
+        render_grid,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select((F.col("user_id") % 256).alias("k"))
+        .distinct()
+        .select(
+            F.floor(F.col("k") / 16).cast("bigint").alias("y_idx"),
+            (F.col("k") % 16).cast("bigint").alias("x_idx"),
+            F.col("k").cast("double").alias("v"),
+        )
+    )
+    tiles = render_grid(
+        spark, cells, "v", "y_idx", "x_idx", width=16, height=16,
+        tile=8,
+    )
+    pyr = build_tile_pyramid(spark, tiles, levels=1, tile=8)
+
+    def _pixels(it):
+        import numpy as np
+
+        for pdf in it:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                w, h, ch, raw = decode_png(bytes(row.png))
+                img = np.frombuffer(raw, "uint8").reshape(h, w, ch)
+                ys, xs = np.nonzero(img[:, :, 3])
+                frames.append(pd.DataFrame({
+                    "tile_y": int(row.tile_y),
+                    "tile_x": int(row.tile_x),
+                    "py": ys.astype("int64"),
+                    "px": xs.astype("int64"),
+                    "r": img[ys, xs, 0].astype("int64"),
+                    "g": img[ys, xs, 1].astype("int64"),
+                    "b": img[ys, xs, 2].astype("int64"),
+                    "a": img[ys, xs, 3].astype("int64"),
+                }))
+            yield (
+                pd.concat(frames, ignore_index=True) if frames
+                else pd.DataFrame({
+                    c: pd.Series(dtype="int64")
+                    for c in ("tile_y", "tile_x", "py", "px",
+                              "r", "g", "b", "a")
+                })
+            )
+
+    return (
+        pyr.filter(F.col("level") == 1)
+        .select("tile_y", "tile_x", "png")
+        .mapInPandas(
+            _pixels,
+            "tile_y long, tile_x long, py long, px long, "
+            "r long, g long, b long, a long",
+        )
+    )
+
+
+# the oracle restates: cidx (global-extent scaling, clamped), the
+# viridis-anchor integer colormap (segment s covers [s*255//4,
+# (s+1)*255//4], rounded integer lerp), and the alpha-weighted 2x2 box
+# filter over present children — all BIGINT arithmetic
+_S5P_ANCHOR = {
+    "r": (68, 59, 33, 94, 253),
+    "g": (1, 82, 145, 201, 231),
+    "b": (84, 139, 140, 98, 37),
+}
+
+
+def _s5p_channel_sql(ch: str) -> str:
+    a = _S5P_ANCHOR[ch]
+    c0 = (f"CASE seg WHEN 0 THEN {a[0]} WHEN 1 THEN {a[1]} "
+          f"WHEN 2 THEN {a[2]} ELSE {a[3]} END")
+    c1 = (f"CASE seg WHEN 0 THEN {a[1]} WHEN 1 THEN {a[2]} "
+          f"WHEN 2 THEN {a[3]} ELSE {a[4]} END")
+    return (f"({c0} * (td - tn) + {c1} * tn + td // 2) // td AS {ch}")
+
+
+_S5P_SQL = f"""
+WITH ks AS (SELECT DISTINCT user_id % 256 AS k FROM events),
+ext AS (
+    SELECT MIN(CAST(k AS DOUBLE)) AS vmin, MAX(CAST(k AS DOUBLE)) AS vmax
+    FROM ks
+),
+cidx AS (
+    SELECT CAST(k // 16 AS BIGINT) AS cy, CAST(k % 16 AS BIGINT) AS cx,
+           CASE WHEN vmax > vmin THEN
+               LEAST(GREATEST(CAST(FLOOR(
+                   (CAST(k AS DOUBLE) - vmin) / (vmax - vmin) * 255.0
+               ) AS BIGINT), 0), 255)
+           ELSE 128 END AS idx
+    FROM ks, ext
+),
+segs AS (
+    SELECT cy, cx, idx, LEAST(idx * 4 // 255, 3) AS seg
+    FROM cidx
+),
+lerp AS (
+    SELECT cy, cx, seg,
+           idx - (seg * 255 // 4) AS tn,
+           GREATEST((seg + 1) * 255 // 4 - seg * 255 // 4, 1) AS td
+    FROM segs
+),
+rgb AS (
+    SELECT cy, cx,
+           {_s5p_channel_sql('r')},
+           {_s5p_channel_sql('g')},
+           {_s5p_channel_sql('b')}
+    FROM lerp
+),
+parent AS (
+    SELECT cy // 2 AS pr, cx // 2 AS pc,
+           COUNT(*) AS n,
+           SUM(r) AS sr, SUM(g) AS sg, SUM(b) AS sb
+    FROM rgb
+    GROUP BY cy // 2, cx // 2
+)
+SELECT CAST(pr // 8 AS BIGINT) AS tile_y,
+       CAST(pc // 8 AS BIGINT) AS tile_x,
+       CAST(pr % 8 AS BIGINT) AS py,
+       CAST(pc % 8 AS BIGINT) AS px,
+       CAST((255 * sr + (255 * n) // 2) // (255 * n) AS BIGINT) AS r,
+       CAST((255 * sg + (255 * n) // 2) // (255 * n) AS BIGINT) AS g,
+       CAST((255 * sb + (255 * n) // 2) // (255 * n) AS BIGINT) AS b,
+       CAST((255 * n + 2) // 4 AS BIGINT) AS a
+FROM parent
+"""
+
+
 QUERIES = {
     "c1_grid_unnest": c1_grid_unnest,
     "c3_table_to_grid": c3_table_to_grid,
@@ -1162,6 +1308,7 @@ QUERIES = {
     "s1_virtual_mosaic": s1_virtual_mosaic,
     "s1_npy_ingest": s1_npy_ingest,
     "s5_render_coverage": s5_render_coverage,
+    "s5_tile_pyramid": s5_tile_pyramid,
 }
 
 ORACLE = {
@@ -1182,4 +1329,5 @@ ORACLE = {
     "s1_virtual_mosaic": _SM_SQL,
     "s1_npy_ingest": _SN_SQL,
     "s5_render_coverage": _S5_SQL,
+    "s5_tile_pyramid": _S5P_SQL,
 }
