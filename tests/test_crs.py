@@ -487,3 +487,80 @@ def test_crs_pyproj_crosscheck():
     x2, y2 = lcc2sp_forward_numpy(lo2, la2, 33.0, 45.0, 23.0, -96.0)
     np.testing.assert_allclose(x2, qx, rtol=0, atol=1e-3)
     np.testing.assert_allclose(y2, qy, rtol=0, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# EPSG front door (the reference's to_crs("EPSG:...") API shape)
+
+
+def test_to_crs_dispatch_matches_direct_transforms(spark):
+    from wrf_to_geodataframe_spark.functions.crs import (
+        from_crs,
+        lonlat_to_osgb,
+        lonlat_to_utm,
+        lonlat_to_webmercator_x,
+        lonlat_to_webmercator_y,
+        to_crs,
+    )
+
+    df = spark.createDataFrame(
+        [(-3.5, 52.0), (-1.0, 55.5)], "lon double, lat double"
+    )
+    # 4326: identity
+    r = to_crs(df, "EPSG:4326").collect()[0]
+    assert (r["x"], r["y"]) == (-3.5, 52.0)
+    # 3857 == direct Web Mercator expressions
+    wm = to_crs(df, 3857).collect()
+    direct = df.select(
+        lonlat_to_webmercator_x(F.col("lon")).alias("x"),
+        lonlat_to_webmercator_y(F.col("lat")).alias("y"),
+    ).collect()
+    assert [(r["x"], r["y"]) for r in wm] == [
+        (r["x"], r["y"]) for r in direct
+    ]
+    # 27700 == lonlat_to_osgb
+    os_ = to_crs(df, "EPSG:27700").collect()
+    dos = lonlat_to_osgb(df, F.col("lon"), F.col("lat")).collect()
+    assert [(r["x"], r["y"]) for r in os_] == [
+        (r["easting"], r["northing"]) for r in dos
+    ]
+    # 32630 == UTM zone 30 north
+    ut = to_crs(df, "EPSG:32630").collect()
+    dut = lonlat_to_utm(df, F.col("lon"), F.col("lat"), 30).collect()
+    assert [(r["x"], r["y"]) for r in ut] == [
+        (r["easting"], r["northing"]) for r in dut
+    ]
+    # round trips through from_crs for every implemented family
+    for crs in ("EPSG:4326", "EPSG:3857", "EPSG:32630", "EPSG:27700"):
+        back = from_crs(
+            to_crs(df, crs), crs, out_lon="lon2", out_lat="lat2"
+        ).collect()
+        tol = 1e-7 if crs == "EPSG:27700" else 1e-8  # height-drop floor
+        for r in back:
+            assert abs(r["lon2"] - r["lon"]) < tol, crs
+            assert abs(r["lat2"] - r["lat"]) < tol, crs
+
+
+def test_to_crs_southern_utm_and_named_errors(spark):
+    import pytest
+
+    from wrf_to_geodataframe_spark.functions.crs import from_crs, to_crs
+
+    df_s = spark.createDataFrame(
+        [(174.8, -41.3)], "lon double, lat double"  # Wellington, 60S
+    )
+    r = to_crs(df_s, "EPSG:32760").collect()[0]
+    assert 0 < r["y"] < 10000000  # false northing applied
+    b = from_crs(
+        to_crs(df_s, "EPSG:32760"), "EPSG:32760",
+        out_lon="lon2", out_lat="lat2",
+    ).collect()[0]
+    assert abs(b["lon2"] - 174.8) < 1e-8
+    assert abs(b["lat2"] + 41.3) < 1e-8
+    with pytest.raises(ValueError, match="EPSG:2154 is not implemented"):
+        to_crs(df_s, "EPSG:2154")
+    with pytest.raises(ValueError, match="not implemented"):
+        from_crs(df_s.withColumns({"x": F.lit(0.0), "y": F.lit(0.0)}),
+                 "EPSG:2154")
+    with pytest.raises(ValueError, match="expected an EPSG code"):
+        to_crs(df_s, "+proj=lcc +lat_1=30")

@@ -867,6 +867,90 @@ def tm_forward_numpy(lon, lat, lon0d, k0=0.9996, a=WGS_A, f=WGS_F):
     return kA * eta, kA * xi
 
 
+# ---------------------------------------------------------------------------
+# EPSG front door — the reference's API shape is gdf.to_crs("EPSG:27700")
+# (wrf_voronoi.py:188, one string into pyproj's any-EPSG surface).  The
+# engine's counterpart dispatches an EPSG code to the implemented column
+# transforms and FAILS NAMED for anything else (never a silent wrong
+# projection): 4326 identity, 3857 Web Mercator, 27700 OSGB National
+# Grid, 32601-32660 / 32701-32760 UTM WGS84 north/south.
+
+
+def _epsg_code(crs: str | int) -> int:
+    s = str(crs).strip().upper()
+    if s.startswith("EPSG:"):
+        s = s[5:]
+    if not s.isdigit():
+        raise ValueError(f"unsupported CRS {crs!r}: expected an EPSG code")
+    return int(s)
+
+
+def to_crs(df, crs: str | int, lon="lon", lat="lat",
+           out_x: str = "x", out_y: str = "y"):
+    """Project WGS84 ``lon``/``lat`` columns to ``crs`` (an EPSG code),
+    appending ``out_x``/``out_y`` metre columns (degrees for 4326) —
+    the engine's counterpart of the reference's ``to_crs``.  Built-in
+    JVM expressions throughout; raises a NAMED error for EPSG codes
+    outside the implemented set."""
+    code = _epsg_code(crs)
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    if code == 4326:
+        return df.withColumns({out_x: lon * 1.0, out_y: lat * 1.0})
+    if code == 3857:
+        return df.withColumns({
+            out_x: lonlat_to_webmercator_x(lon),
+            out_y: lonlat_to_webmercator_y(lat),
+        })
+    if code == 27700:
+        return lonlat_to_osgb(df, lon, lat, out_e=out_x, out_n=out_y)
+    if 32601 <= code <= 32660:
+        return lonlat_to_utm(df, lon, lat, code - 32600,
+                             out_e=out_x, out_n=out_y)
+    if 32701 <= code <= 32760:
+        return lonlat_to_utm(df, lon, lat, code - 32700, south=True,
+                             out_e=out_x, out_n=out_y)
+    raise ValueError(
+        f"EPSG:{code} is not implemented: supported are 4326, 3857 "
+        "(Web Mercator), 27700 (OSGB National Grid), 32601-32660 / "
+        "32701-32760 (UTM WGS84) — or use lonlat_to_lcc / "
+        "lonlat_to_lcc2sp / lonlat_to_tm with explicit parameters"
+    )
+
+
+def from_crs(df, crs: str | int, x="x", y="y",
+             out_lon: str = "lon", out_lat: str = "lat"):
+    """Inverse of :func:`to_crs`: projected columns -> WGS84 lon/lat.
+    EPSG:27700's inverse runs through the Arrow-vectorized chain (the
+    exact Helmert inverse is iterative; see osgb_to_lonlat_numpy)."""
+    code = _epsg_code(crs)
+    x = F.col(x) if isinstance(x, str) else x
+    y = F.col(y) if isinstance(y, str) else y
+    if code == 4326:
+        return df.withColumns({out_lon: x * 1.0, out_lat: y * 1.0})
+    if code == 3857:
+        return df.withColumns({
+            out_lon: webmercator_to_lon(x),
+            out_lat: webmercator_to_lat(y),
+        })
+    if code == 27700:
+        inv = osgb_inverse_pandas_udf()
+        d = df.withColumn("_ll", inv(x, y))
+        return d.withColumns({
+            out_lon: F.col("_ll.lon"), out_lat: F.col("_ll.lat"),
+        }).drop("_ll")
+    if 32601 <= code <= 32660:
+        return utm_to_lonlat(df, x, y, code - 32600,
+                             out_lon=out_lon, out_lat=out_lat)
+    if 32701 <= code <= 32760:
+        return utm_to_lonlat(df, x, y, code - 32700, south=True,
+                             out_lon=out_lon, out_lat=out_lat)
+    raise ValueError(
+        f"EPSG:{code} is not implemented: supported are 4326, 3857, "
+        "27700, 32601-32660 / 32701-32760"
+    )
+
+
 def tm_inverse_numpy(E, N, lon0d, k0=0.9996, a=WGS_A, f=WGS_F):
     """Numpy twin of :func:`tm_to_lonlat` (no false offsets)."""
     k = tm_constants(a, f)
