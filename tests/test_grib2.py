@@ -782,6 +782,51 @@ def test_j2k_triage_parses_siz():
         j2k_info(_siz_codestream()[:20])
 
 
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(st.binary(max_size=128))
+@settings(max_examples=300, deadline=None)
+def test_j2k_triage_fuzz_arbitrary_bytes(data):
+    """The SIZ triage sees ARBITRARY bytes on every 5.40 message even
+    when libopenjp2 is absent (it feeds the named Grib2Error): any
+    input must either parse to sane dims or raise ValueError — never
+    struct.error/IndexError, never nonpositive dimensions."""
+    from wrf_to_geodataframe_spark.sources.openjpeg import j2k_info
+
+    try:
+        info = j2k_info(data)
+    except ValueError:
+        return
+    assert info["width"] >= 1 and info["height"] >= 1
+    assert info["ncomps"] >= 1 and 1 <= info["prec"] <= 128
+
+
+@given(
+    w=st.integers(1, 2**20), h=st.integers(1, 2**20),
+    xo=st.integers(0, 1000), yo=st.integers(0, 1000),
+    prec=st.integers(1, 32), ncomp=st.integers(1, 4),
+    signed=st.booleans(),
+)
+@settings(max_examples=100, deadline=None)
+def test_j2k_triage_fuzz_structured_siz(w, h, xo, yo, prec, ncomp,
+                                        signed):
+    """Structured SIZ fuzz: triage recovers exactly the grid-minus-
+    offset dims, component count, precision and sign bit."""
+    from wrf_to_geodataframe_spark.sources.openjpeg import j2k_info
+
+    siz = struct.pack(
+        ">HHIIIIIIIIH", 38 + 3 * ncomp, 0, xo + w, yo + h, xo, yo,
+        xo + w, yo + h, xo, yo, ncomp,
+    ) + bytes([(prec - 1) | (0x80 if signed else 0), 1, 1]) * ncomp
+    info = j2k_info(b"\xff\x4f\xff\x51" + siz)
+    assert info == {
+        "width": w, "height": h, "ncomps": ncomp, "prec": prec,
+        "signed": signed,
+    }
+
+
 def test_template_5_40_gated_on_openjpeg():
     """A 5.40 (JPEG2000) message: with libopenjp2 absent the decode
     fails with a NAMED triage error carrying the codestream dims;

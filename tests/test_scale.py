@@ -1381,3 +1381,69 @@ def test_shapefile_archive_150_files_distributed_scan(spark, tmp_path):
     assert "MapInPandas" in plan and "Scan binaryFile" in plan
     print(f"\nshapefile archive: {n_files} files / "
           f"{n_files * per} shapes scanned+aggregated in {dt:.1f}s")
+
+
+@slow
+def test_render_grid_100m_pixels_slippy_layer(spark, tmp_path):
+    """The docstring claim behind render_grid, demonstrated: a 10^8-cell
+    long grid table (10000x10000, the shape read_virtual emits) renders
+    as a 40x40 slippy-map layer of 256px tiles written BY THE EXECUTORS
+    (write_png_tiles — the driver never holds image bytes), then reduces
+    one pyramid level (1600 -> 400 parents) with per-parent state of at
+    most 4 child PNGs.  One shuffle for the tile groupBy; pixel painting
+    is vectorized numpy per Arrow task."""
+    import os as _os
+    import time
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.sources.png import decode_png
+    from wrf_to_geodataframe_spark.sources.render import (
+        build_tile_pyramid,
+        colormap_rgb,
+        render_grid,
+        write_png_tiles,
+    )
+
+    n = 10_000  # 10^8 pixels
+    grid = spark.range(n * n).select(
+        F.floor(F.col("id") / n).cast("bigint").alias("y_idx"),
+        (F.col("id") % n).cast("bigint").alias("x_idx"),
+        # value = x + y: a diagonal ramp hitting both colormap ends
+        ((F.col("id") % n) + F.floor(F.col("id") / n))
+        .cast("double").alias("value"),
+    )
+    t0 = time.monotonic()
+    tiles = render_grid(spark, grid, width=n, height=n, tile=256)
+    tiles.persist()
+    out_dir = str(tmp_path / "layer")
+    n_written = write_png_tiles(
+        tiles, out_dir, transform=(1.0, 1.0, 0.0, 0.0)
+    )
+    dt = time.monotonic() - t0
+    nt = -(-n // 256)  # 40
+    assert n_written == nt * nt == 1600
+    # spot-decode the two extreme corner tiles from DISK
+    with open(_os.path.join(out_dir, "tile_0_0.png"), "rb") as f:
+        w, h, ch, raw = decode_png(f.read())
+    img = np.frombuffer(raw, "uint8").reshape(h, w, 4)
+    assert (img[:, :, 3] == 255).all()
+    assert tuple(img[0, 0, :3]) == tuple(colormap_rgb(np.int64(0)))
+    last = nt - 1
+    with open(
+        _os.path.join(out_dir, f"tile_{last}_{last}.png"), "rb"
+    ) as f:
+        w, h, ch, raw = decode_png(f.read())
+    # edge tile: 10000 % 256 = 16 -> 16x16
+    assert (w, h) == (n - last * 256, n - last * 256)
+    img2 = np.frombuffer(raw, "uint8").reshape(h, w, 4)
+    assert tuple(img2[-1, -1, :3]) == tuple(colormap_rgb(np.int64(255)))
+    t1 = time.monotonic()
+    parents = build_tile_pyramid(spark, tiles, levels=1, tile=256)
+    n_parents = parents.count()
+    dt2 = time.monotonic() - t1
+    tiles.unpersist()
+    assert n_parents == (nt // 2) ** 2 == 400
+    print(f"\nrender 10^8 px -> 1600 tiles in {dt:.1f}s; "
+          f"pyramid level 1 (400 parents) in {dt2:.1f}s")

@@ -49,6 +49,12 @@ def j2k_info(data: bytes) -> dict:
     ) = struct.unpack_from(">HHIIIIIIIIH", data, 4)
     if csiz < 1 or len(data) < 42 + 3 * csiz:
         raise ValueError("truncated JPEG2000 SIZ component list")
+    if xsiz <= xosiz or ysiz <= yosiz:
+        raise ValueError(
+            "JPEG2000 SIZ with empty reference grid "
+            f"(XSiz {xsiz} <= XOSiz {xosiz} or YSiz {ysiz} <= "
+            f"YOSiz {yosiz})"
+        )
     ssiz = data[42]
     return {
         "width": int(xsiz - xosiz),
