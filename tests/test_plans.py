@@ -98,6 +98,20 @@ def test_q1_runs_inside_wholestage_codegen(spark):
     assert re.search(r"\*\(\d+\) HashAggregate", plan), plan
 
 
+def test_crs_transforms_stay_jvm_side(spark):
+    """The G8 projections' scale property: one scan, the whole
+    transcendental chain as built-in JVM expressions (no Python
+    evaluation node anywhere), and no join — per-row math only."""
+    from wrf_to_geodataframe_spark.suite.spatial import QUERIES
+
+    for name in ("g8_crs_lcc", "g8_crs_utm", "g8_crs_osgb",
+                 "g8_crs_webmercator"):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert plan.count("Scan parquet") == 1, name
+        assert "EvalPython" not in plan, name
+        assert "Join" not in plan, name
+
+
 def test_asof_is_one_window_no_inequality_join(spark):
     from wrf_to_geodataframe_spark.suite.relational import QUERIES
 
