@@ -564,3 +564,63 @@ def test_to_crs_southern_utm_and_named_errors(spark):
                  "EPSG:2154")
     with pytest.raises(ValueError, match="expected an EPSG code"):
         to_crs(df_s, "+proj=lcc +lat_1=30")
+
+
+def test_wrf_lcc_params_end_to_end(spark, tmp_path):
+    """The WRF workflow closed loop: a wrfout-style file carrying the
+    standard projection GLOBAL attributes (MAP_PROJ=1, TRUELAT1/2,
+    MOAD_CEN_LAT, STAND_LON) is written by the engine's own classic
+    sink, read back, and its attrs drive lonlat_to_lcc — matching the
+    Snyder kernel with the same parameters."""
+    import numpy as np
+    import pytest
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        lcc_to_lonlat,
+        lonlat_to_lcc,
+        wrf_lcc_params,
+    )
+    from wrf_to_geodataframe_spark.sources.grib2 import lcc_forward
+    from wrf_to_geodataframe_spark.sources.netcdf import (
+        read_netcdf,
+        write_netcdf,
+    )
+
+    p = str(tmp_path / "wrfout_d01.nc")
+    write_netcdf(
+        p, {"y": 2, "x": 2},
+        {"T2": {"dims": ["y", "x"],
+                "data": np.arange(4, dtype="float64").reshape(2, 2)}},
+        gattrs={
+            "TITLE": "OUTPUT FROM WRF V4", "MAP_PROJ": 1,
+            "TRUELAT1": np.float32(30.0), "TRUELAT2": np.float32(60.0),
+            "MOAD_CEN_LAT": np.float32(40.0),
+            "STAND_LON": np.float32(-100.0),
+            "CEN_LAT": np.float32(40.0), "DX": np.float32(12000.0),
+        },
+    )
+    ds = read_netcdf(p)
+    assert ds["attrs"]["TITLE"] == "OUTPUT FROM WRF V4"
+    params = wrf_lcc_params(ds["attrs"])
+    assert params["R"] == 6370000.0
+    df = spark.createDataFrame(
+        [(-105.0, 38.0), (-92.5, 45.0)], "lon double, lat double"
+    )
+    out = lonlat_to_lcc(df, F.col("lon"), F.col("lat"), **params)
+    for r in out.collect():
+        x, y = lcc_forward(r["lat"], r["lon"], 30.0, 60.0, 40.0,
+                           -100.0, 6370000.0)
+        assert abs(r["lcc_x"] - float(x)) < 1e-6
+        assert abs(r["lcc_y"] - float(y)) < 1e-6
+    back = lcc_to_lonlat(
+        out, F.col("lcc_x"), F.col("lcc_y"), **params,
+        out_lon="lon2", out_lat="lat2",
+    ).collect()
+    for r in back:
+        assert abs(r["lon2"] - r["lon"]) < 1e-9
+        assert abs(r["lat2"] - r["lat"]) < 1e-9
+    # named errors: non-LCC projection, missing block
+    with pytest.raises(ValueError, match="not Lambert conformal"):
+        wrf_lcc_params({**ds["attrs"], "MAP_PROJ": 3})
+    with pytest.raises(ValueError, match="TRUELAT1 is missing"):
+        wrf_lcc_params({"MAP_PROJ": 1})

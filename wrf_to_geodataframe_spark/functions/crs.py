@@ -867,6 +867,41 @@ def tm_forward_numpy(lon, lat, lon0d, k0=0.9996, a=WGS_A, f=WGS_F):
     return kA * eta, kA * xi
 
 
+def wrf_lcc_params(attrs: dict) -> dict:
+    """WRF GLOBAL attributes (the projection block every wrfout file
+    carries: ``MAP_PROJ``, ``TRUELAT1``, ``TRUELAT2``, ``MOAD_CEN_LAT``,
+    ``STAND_LON``) -> the keyword arguments of :func:`lonlat_to_lcc` /
+    :func:`lcc_to_lonlat` for the model's NATIVE grid — the projection
+    a WRF user most often reprojects to (the reference reaches it via
+    pyproj proj-strings).  WRF runs on a spherical earth of radius
+    6 370 000 m.  Raises a NAMED error for non-LCC ``MAP_PROJ`` values
+    (2 polar stereographic, 3 Mercator, 6 lat-lon) or missing attrs."""
+    def scalar(name):
+        v = attrs.get(name)
+        if v is None:
+            raise ValueError(
+                f"WRF global attribute {name} is missing — not a "
+                "wrfout projection block?"
+            )
+        a = np.atleast_1d(np.asarray(v))
+        return float(a[0])
+
+    mp = int(scalar("MAP_PROJ"))
+    if mp != 1:
+        raise ValueError(
+            f"MAP_PROJ={mp} is not Lambert conformal (1): polar "
+            "stereographic (2) / Mercator (3) / lat-lon (6) grids "
+            "need their own transform"
+        )
+    return {
+        "lat1d": scalar("TRUELAT1"),
+        "lat2d": scalar("TRUELAT2"),
+        "lat0d": scalar("MOAD_CEN_LAT"),
+        "lon0d": scalar("STAND_LON"),
+        "R": WRF_SPHERE_R,
+    }
+
+
 # ---------------------------------------------------------------------------
 # EPSG front door — the reference's API shape is gdf.to_crs("EPSG:27700")
 # (wrf_voronoi.py:188, one string into pyproj's any-EPSG surface).  The

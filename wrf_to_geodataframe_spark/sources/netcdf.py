@@ -197,14 +197,17 @@ def read_netcdf_bytes(buf: bytes, name: str = "<bytes>") -> dict:
     return {"dims": dict(dims), "attrs": gatts, "variables": variables}
 
 
-def write_netcdf(path: str, dims: dict[str, int], variables: dict[str, dict]) -> None:
+def write_netcdf(path: str, dims: dict[str, int], variables: dict[str, dict],
+                 gattrs: dict | None = None) -> None:
     """Write a NetCDF-3 classic (CDF-1) file.
 
     ``variables``: name -> {dims: [names], data: numpy array}.  A
     dimension with size 0 is the RECORD (unlimited) dimension;
     variables whose first dimension is the record dimension are
     written in the spec's interleaved record layout (per-record slabs,
-    4-byte padded when more than one record variable exists).  The S4
+    4-byte padded when more than one record variable exists).
+    ``gattrs``: optional GLOBAL attributes (the WRF projection /
+    provenance block: MAP_PROJ, TRUELAT1/2, STAND_LON, …).  The S4
     sink: collect the (small, re-densified C3) result grid and persist.
     """
     dim_names = list(dims)
@@ -289,7 +292,7 @@ def write_netcdf(path: str, dims: dict[str, int], variables: dict[str, dict]) ->
     header += struct.pack(">ii", _NC_DIMENSION, len(dim_names))
     for n in dim_names:
         header += enc_name(n) + struct.pack(">i", dims[n])
-    header += struct.pack(">ii", _ABSENT, 0)  # no global attrs
+    header += enc_attrs(gattrs or {})  # global attribute list
 
     # var header size must be known to compute begins: build twice
     def var_header(begin_map):
