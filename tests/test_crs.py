@@ -624,3 +624,123 @@ def test_wrf_lcc_params_end_to_end(spark, tmp_path):
         wrf_lcc_params({**ds["attrs"], "MAP_PROJ": 3})
     with pytest.raises(ValueError, match="TRUELAT1 is missing"):
         wrf_lcc_params({"MAP_PROJ": 1})
+
+
+def test_polar_stereographic_invariants(spark):
+    """Spherical polar stereographic (WRF MAP_PROJ=2): pole at the
+    origin, closed-form meridian point, scale true at TRUELAT1
+    (projected/great-circle distance ratio = 1 across lat_ts), and
+    round-trip both poles."""
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        WRF_SPHERE_R,
+        lonlat_to_stere,
+        stere_to_lonlat,
+    )
+
+    R, lat_ts, lon0 = WRF_SPHERE_R, 60.0, -100.0
+    k0 = (1.0 + math.sin(math.radians(60.0))) / 2.0
+    df = spark.createDataFrame(
+        [(-100.0, 90.0), (-100.0, 60.0)], "lon double, lat double"
+    )
+    rows = lonlat_to_stere(
+        df, F.col("lon"), F.col("lat"), lat_ts, lon0
+    ).collect()
+    assert abs(rows[0]["x"]) < 1e-9 and abs(rows[0]["y"]) < 1e-9
+    rho = 2.0 * R * k0 * math.tan(math.radians(15.0))  # pi/4 - 60/2
+    assert abs(rows[1]["x"] - 0.0) < 1e-6
+    assert abs(rows[1]["y"] + rho) < 1e-6
+    # scale true at lat_ts: tiny east-west step along the parallel
+    eps = 1e-4
+    d2 = spark.createDataFrame(
+        [(-100.0, 60.0), (-100.0 + eps, 60.0)], "lon double, lat double"
+    )
+    pts = lonlat_to_stere(
+        d2, F.col("lon"), F.col("lat"), lat_ts, lon0
+    ).collect()
+    proj = math.hypot(pts[1]["x"] - pts[0]["x"],
+                      pts[1]["y"] - pts[0]["y"])
+    true_d = R * math.cos(math.radians(60.0)) * math.radians(eps)
+    assert abs(proj / true_d - 1.0) < 1e-6
+    # round-trip, both hemispheres (south: lat_ts < 0 picks the pole)
+    for ts, lats in ((60.0, (30.0, 55.0, 89.0)),
+                     (-60.0, (-30.0, -55.0, -89.0))):
+        pts = [(float(lo), float(la))
+               for lo in np.linspace(-170.0, 170.0, 5) for la in lats]
+        dd = spark.createDataFrame(pts, "lon double, lat double")
+        back = stere_to_lonlat(
+            lonlat_to_stere(dd, F.col("lon"), F.col("lat"), ts, lon0),
+            F.col("x"), F.col("y"), ts, lon0,
+            out_lon="lon2", out_lat="lat2",
+        ).collect()
+        for r in back:
+            dlon = (r["lon2"] - r["lon"] + 180.0) % 360.0 - 180.0
+            assert abs(dlon) < 1e-9, (ts, r["lon"], r["lat"])
+            assert abs(r["lat2"] - r["lat"]) < 1e-9
+
+
+def test_mercator_truelat_and_webmercator_equivalence(spark):
+    from wrf_to_geodataframe_spark.functions.crs import (
+        lonlat_to_mercator,
+        lonlat_to_webmercator_x,
+        lonlat_to_webmercator_y,
+        mercator_to_lonlat,
+    )
+
+    df = spark.createDataFrame(
+        [(-50.0, 10.0), (120.0, -35.0)], "lon double, lat double"
+    )
+    # lat_ts=0 / R=6378137 / lon0=0 IS Web Mercator
+    wm = lonlat_to_mercator(
+        df, F.col("lon"), F.col("lat"), 0.0, 0.0, 6378137.0
+    ).collect()
+    direct = df.select(
+        lonlat_to_webmercator_x(F.col("lon")).alias("x"),
+        lonlat_to_webmercator_y(F.col("lat")).alias("y"),
+    ).collect()
+    for a, b in zip(wm, direct):
+        assert abs(a["x"] - b["x"]) < 1e-9
+        assert abs(a["y"] - b["y"]) < 1e-9
+    # WRF-style true latitude + central meridian: round trip
+    back = mercator_to_lonlat(
+        lonlat_to_mercator(df, F.col("lon"), F.col("lat"), 20.0, -100.0),
+        F.col("x"), F.col("y"), 20.0, -100.0,
+        out_lon="lon2", out_lat="lat2",
+    ).collect()
+    for r in back:
+        assert abs(r["lon2"] - r["lon"]) < 1e-9
+        assert abs(r["lat2"] - r["lat"]) < 1e-9
+
+
+def test_wrf_projection_dispatch_all_map_proj(spark):
+    import pytest
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        lonlat_to_stere,
+        wrf_projection,
+    )
+
+    base = {"TRUELAT1": 60.0, "TRUELAT2": 30.0, "MOAD_CEN_LAT": 40.0,
+            "STAND_LON": -100.0}
+    df = spark.createDataFrame([(-95.0, 45.0)], "lon double, lat double")
+    # MAP_PROJ=2 dispatch == direct polar stereographic
+    fwd, inv = wrf_projection({**base, "MAP_PROJ": 2})
+    got = fwd(df, F.col("lon"), F.col("lat")).collect()[0]
+    want = lonlat_to_stere(
+        df, F.col("lon"), F.col("lat"), 60.0, -100.0
+    ).collect()[0]
+    assert (got["x"], got["y"]) == (want["x"], want["y"])
+    b = inv(fwd(df, F.col("lon"), F.col("lat")), F.col("x"), F.col("y"),
+            out_lon="lon2", out_lat="lat2").collect()[0]
+    assert abs(b["lon2"] + 95.0) < 1e-9 and abs(b["lat2"] - 45.0) < 1e-9
+    # every MAP_PROJ round-trips through its own pair
+    for mp in (1, 2, 3, 6):
+        fwd, inv = wrf_projection({**base, "MAP_PROJ": mp})
+        r = inv(fwd(df, F.col("lon"), F.col("lat")),
+                F.col("x"), F.col("y"),
+                out_lon="lon2", out_lat="lat2").collect()[0]
+        assert abs(r["lon2"] + 95.0) < 1e-8, mp
+        assert abs(r["lat2"] - 45.0) < 1e-8, mp
+    with pytest.raises(ValueError, match="MAP_PROJ=5"):
+        wrf_projection({**base, "MAP_PROJ": 5})

@@ -104,8 +104,8 @@ def test_crs_transforms_stay_jvm_side(spark):
     evaluation node anywhere), and no join — per-row math only."""
     from wrf_to_geodataframe_spark.suite.spatial import QUERIES
 
-    for name in ("g8_crs_lcc", "g8_crs_utm", "g8_crs_osgb",
-                 "g8_crs_webmercator"):
+    for name in ("g8_crs_lcc", "g8_crs_utm", "g8_crs_stere",
+                 "g8_crs_osgb", "g8_crs_webmercator"):
         plan = _plan(QUERIES[name](spark, SF))
         assert plan.count("Scan parquet") == 1, name
         assert "EvalPython" not in plan, name

@@ -867,6 +867,83 @@ def tm_forward_numpy(lon, lat, lon0d, k0=0.9996, a=WGS_A, f=WGS_F):
     return kA * eta, kA * xi
 
 
+# ---------------------------------------------------------------------------
+# Polar stereographic + Mercator (spherical) — WRF's other two
+# projections (MAP_PROJ 2 and 3).  Snyder eqs. 21-33/21-34 (polar
+# aspect with scale true at lat_ts: rho = 2 R k0 tan(pi/4 -+ phi/2),
+# k0 = (1 +- sin lat_ts)/2) and 7-1/7-2 (Mercator true at lat_ts:
+# k0 = cos lat_ts).  Same discipline as LCC: constants are Python
+# floats, per-row math is JVM expressions.
+
+
+def lonlat_to_stere(
+    df, lon, lat, lat_ts: float, lon0d: float, R: float = WRF_SPHERE_R,
+    out_x: str = "x", out_y: str = "y",
+):
+    """Spherical polar stereographic forward, pole chosen by the sign
+    of ``lat_ts`` (WRF's convention: TRUELAT1 < 0 = south polar)."""
+    south = lat_ts < 0
+    k0 = (1.0 + math.sin(math.radians(abs(lat_ts)))) / 2.0
+    phi = F.radians(lat) * F.lit(-1.0 if south else 1.0)
+    dl = (F.radians(lon - F.lit(lon0d))) * F.lit(-1.0 if south else 1.0)
+    rho = F.lit(2.0 * R * k0) * F.tan(F.lit(math.pi / 4) - phi / 2)
+    d = df.withColumns({
+        out_x: rho * F.sin(dl) * F.lit(-1.0 if south else 1.0),
+        out_y: -rho * F.cos(dl) * F.lit(-1.0 if south else 1.0),
+    })
+    return d
+
+
+def stere_to_lonlat(
+    df, x, y, lat_ts: float, lon0d: float, R: float = WRF_SPHERE_R,
+    out_lon: str = "lon", out_lat: str = "lat",
+):
+    """Inverse spherical polar stereographic (Snyder 20-14/20-16
+    polar simplification)."""
+    south = lat_ts < 0
+    k0 = (1.0 + math.sin(math.radians(abs(lat_ts)))) / 2.0
+    sgn = -1.0 if south else 1.0
+    xs, ys = x * F.lit(sgn), y * F.lit(sgn)
+    rho = F.sqrt(xs * xs + ys * ys)
+    phi = F.lit(math.pi / 2) - F.lit(2.0) * F.atan(
+        rho / F.lit(2.0 * R * k0)
+    )
+    return df.withColumns({
+        out_lat: F.degrees(phi) * F.lit(sgn),
+        out_lon: F.lit(lon0d) + F.degrees(F.atan2(xs, -ys)) * F.lit(sgn),
+    })
+
+
+def lonlat_to_mercator(
+    df, lon, lat, lat_ts: float = 0.0, lon0d: float = 0.0,
+    R: float = WRF_SPHERE_R, out_x: str = "x", out_y: str = "y",
+):
+    """Spherical Mercator with scale true at ``lat_ts`` (Snyder
+    7-1/7-2; ``lat_ts=0, R=6378137, lon0=0`` is Web Mercator)."""
+    k0 = math.cos(math.radians(lat_ts))
+    return df.withColumns({
+        out_x: F.lit(R * k0) * F.radians(lon - F.lit(lon0d)),
+        out_y: F.lit(R * k0) * F.log(
+            F.tan(F.lit(math.pi / 4) + F.radians(lat) / 2)
+        ),
+    })
+
+
+def mercator_to_lonlat(
+    df, x, y, lat_ts: float = 0.0, lon0d: float = 0.0,
+    R: float = WRF_SPHERE_R, out_lon: str = "lon", out_lat: str = "lat",
+):
+    """Inverse spherical Mercator (Snyder 7-4/7-5)."""
+    k0 = math.cos(math.radians(lat_ts))
+    return df.withColumns({
+        out_lon: F.lit(lon0d) + F.degrees(x / F.lit(R * k0)),
+        out_lat: F.degrees(
+            F.lit(2.0) * F.atan(F.exp(y / F.lit(R * k0)))
+            - F.lit(math.pi / 2)
+        ),
+    })
+
+
 def wrf_lcc_params(attrs: dict) -> dict:
     """WRF GLOBAL attributes (the projection block every wrfout file
     carries: ``MAP_PROJ``, ``TRUELAT1``, ``TRUELAT2``, ``MOAD_CEN_LAT``,
@@ -900,6 +977,66 @@ def wrf_lcc_params(attrs: dict) -> dict:
         "lon0d": scalar("STAND_LON"),
         "R": WRF_SPHERE_R,
     }
+
+
+def wrf_projection(attrs: dict):
+    """(forward, inverse) column-transform pair for a wrfout file's
+    NATIVE projection, dispatched on ``MAP_PROJ``: 1 Lambert conformal,
+    2 polar stereographic (true at TRUELAT1, pole by its sign),
+    3 Mercator (true at TRUELAT1), 6 lat-lon identity.  Call as
+    ``fwd(df, lon, lat, out_x=..., out_y=...)`` and ``inv(df, x, y,
+    out_lon=..., out_lat=...)``.  Named error otherwise."""
+    import functools
+
+    def scalar(name):
+        v = attrs.get(name)
+        if v is None:
+            raise ValueError(
+                f"WRF global attribute {name} is missing — not a "
+                "wrfout projection block?"
+            )
+        return float(np.atleast_1d(np.asarray(v))[0])
+
+    mp = int(scalar("MAP_PROJ"))
+    if mp == 1:
+        p = wrf_lcc_params(attrs)
+        # uniform out-column defaults across all MAP_PROJ branches
+        # (call-site kwargs still override partial kwargs)
+        return (
+            functools.partial(lonlat_to_lcc, **p, out_x="x", out_y="y"),
+            functools.partial(lcc_to_lonlat, **p),
+        )
+    if mp == 2:
+        kw = {"lat_ts": scalar("TRUELAT1"),
+              "lon0d": scalar("STAND_LON"), "R": WRF_SPHERE_R}
+        return (
+            functools.partial(lonlat_to_stere, **kw),
+            functools.partial(stere_to_lonlat, **kw),
+        )
+    if mp == 3:
+        kw = {"lat_ts": scalar("TRUELAT1"),
+              "lon0d": scalar("STAND_LON"), "R": WRF_SPHERE_R}
+        return (
+            functools.partial(lonlat_to_mercator, **kw),
+            functools.partial(mercator_to_lonlat, **kw),
+        )
+    if mp == 6:
+
+        def _fwd(df, lon, lat, out_x="x", out_y="y", **_):
+            lon = F.col(lon) if isinstance(lon, str) else lon
+            lat = F.col(lat) if isinstance(lat, str) else lat
+            return df.withColumns({out_x: lon * 1.0, out_y: lat * 1.0})
+
+        def _inv(df, x, y, out_lon="lon", out_lat="lat", **_):
+            x = F.col(x) if isinstance(x, str) else x
+            y = F.col(y) if isinstance(y, str) else y
+            return df.withColumns({out_lon: x * 1.0, out_lat: y * 1.0})
+
+        return _fwd, _inv
+    raise ValueError(
+        f"MAP_PROJ={mp} is not a WRF projection this engine knows "
+        "(1 LCC, 2 polar stereographic, 3 Mercator, 6 lat-lon)"
+    )
 
 
 # ---------------------------------------------------------------------------

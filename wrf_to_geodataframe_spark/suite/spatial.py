@@ -1035,6 +1035,58 @@ FROM xe
 _G8_UTM_SQL = _utm_sql()
 
 
+def g8_crs_stere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polar stereographic transform (SURVEY.md §2 G8) — WRF
+    MAP_PROJ=2 (high-latitude domains): grid centers as pseudo lon/lat
+    over the Arctic projected through the spherical polar
+    stereographic column transform (functions/crs.py, Snyder
+    21-33/21-34, scale true at 60N).  Outputs rounded to cm."""
+    from wrf_to_geodataframe_spark.functions.crs import lonlat_to_stere
+
+    cells = grid_cells(spark, sf_dir)
+    d = cells.select(
+        "user_id",
+        (F.col("x") * 11.0 - 176.0).alias("lon"),  # ~[-176, 165]
+        (F.col("y") * 0.5 + 55.0).alias("lat"),    # ~[55, 78.5]
+    )
+    out = lonlat_to_stere(
+        d, F.col("lon"), F.col("lat"), 60.0, -100.0,
+    )
+    return out.select(
+        "user_id",
+        F.round("x", 2).alias("ps_x"),
+        F.round("y", 2).alias("ps_y"),
+    )
+
+
+def _stere_sql() -> str:
+    from wrf_to_geodataframe_spark.functions.crs import WRF_SPHERE_R
+    import math as _m
+
+    k0 = (1.0 + _m.sin(_m.radians(60.0))) / 2.0
+    c = 2.0 * WRF_SPHERE_R * k0
+    return f"""
+WITH cells AS ({_CELLS_SQL}),
+ll AS (
+    SELECT user_id,
+           radians((y1 + 0.5) * 0.5 + 55.0) AS phi,
+           radians((x1 + 0.5) * 11.0 - 176.0 + 100.0) AS dl
+    FROM cells
+),
+r AS (
+    SELECT user_id, dl, {c!r} * tan(pi() / 4 - phi / 2) AS rho
+    FROM ll
+)
+SELECT user_id,
+       round(rho * sin(dl), 2) AS ps_x,
+       round(-(rho * cos(dl)), 2) AS ps_y
+FROM r
+"""
+
+
+_G8_STERE_SQL = _stere_sql()
+
+
 def a7_domain_center(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain center + radius (SURVEY.md §2 A7, wrf_voronoi.py:51-53
     ``vor.points.mean(axis=0)`` and ``ptp().max()``): the scalar
@@ -1250,6 +1302,7 @@ QUERIES = {
     "g8_crs_osgb": g8_crs_osgb,
     "g8_crs_lcc": g8_crs_lcc,
     "g8_crs_utm": g8_crs_utm,
+    "g8_crs_stere": g8_crs_stere,
     "a7_domain_center": a7_domain_center,
 }
 
@@ -1270,5 +1323,6 @@ ORACLE = {
     "g8_crs_osgb": _G8_OSGB_SQL,
     "g8_crs_lcc": _G8_LCC_SQL,
     "g8_crs_utm": _G8_UTM_SQL,
+    "g8_crs_stere": _G8_STERE_SQL,
     "a7_domain_center": _A7_SQL,
 }
