@@ -744,3 +744,68 @@ def test_wrf_projection_dispatch_all_map_proj(spark):
         assert abs(r["lat2"] - 45.0) < 1e-8, mp
     with pytest.raises(ValueError, match="MAP_PROJ=5"):
         wrf_projection({**base, "MAP_PROJ": 5})
+
+
+def test_rotated_columns_match_grib2_kernel(spark):
+    """The rotated-pole column transforms mirror the grib2
+    rotation-matrix kernels (whose pole/origin/angular-distance
+    invariants are pinned in tests/test_grib2.py) to fp roundoff, and
+    invert each other."""
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        lonlat_to_rotated,
+        rotated_to_lonlat,
+    )
+    from wrf_to_geodataframe_spark.sources.grib2 import rotated_to_true
+
+    sp_lat, sp_lon = -37.5, -2.5  # UKCP18
+    rows = [(float(lo), float(la))
+            for lo in np.linspace(-8.0, 8.0, 5)
+            for la in np.linspace(-6.0, 6.0, 5)]
+    df = spark.createDataFrame(rows, "lon_r double, lat_r double")
+    out = rotated_to_lonlat(
+        df, F.col("lon_r"), F.col("lat_r"), sp_lat, sp_lon
+    ).collect()
+    for r in out:
+        la, lo = rotated_to_true(r["lat_r"], r["lon_r"], sp_lat, sp_lon)
+        assert abs(r["lat"] - float(la)) < 1e-9
+        assert abs(r["lon"] - float(lo)) < 1e-9
+    back = lonlat_to_rotated(
+        rotated_to_lonlat(df, F.col("lon_r"), F.col("lat_r"),
+                          sp_lat, sp_lon),
+        F.col("lon"), F.col("lat"), sp_lat, sp_lon,
+        out_lon="lon_r2", out_lat="lat_r2",
+    ).collect()
+    for r in back:
+        assert abs(r["lon_r2"] - r["lon_r"]) < 1e-9
+        assert abs(r["lat_r2"] - r["lat_r"]) < 1e-9
+
+
+def test_haversine_known_values(spark):
+    """Haversine: zero at identity, half-circumference at antipodes,
+    1 degree of longitude at the equator = pi/180 * R, and symmetric."""
+    import math as m
+
+    from wrf_to_geodataframe_spark.functions.crs import haversine_m
+
+    R = 6371000.0
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 0.0, 0.0),
+         (0.0, 0.0, 0.0, 180.0),
+         (0.0, 0.0, 0.0, 1.0),
+         (51.5, -0.12, 48.857, 2.351)],  # London -> Paris
+        "lat1 double, lon1 double, lat2 double, lon2 double",
+    )
+    rows = df.select(
+        haversine_m(F.col("lat1"), F.col("lon1"),
+                    F.col("lat2"), F.col("lon2")).alias("d"),
+        haversine_m(F.col("lat2"), F.col("lon2"),
+                    F.col("lat1"), F.col("lon1")).alias("rev"),
+    ).collect()
+    assert rows[0]["d"] == 0.0
+    assert abs(rows[1]["d"] - m.pi * R) < 1e-6
+    assert abs(rows[2]["d"] - m.radians(1.0) * R) < 1e-6
+    assert 330_000 < rows[3]["d"] < 350_000  # ~341 km
+    for r in rows:
+        assert abs(r["d"] - r["rev"]) < 1e-9

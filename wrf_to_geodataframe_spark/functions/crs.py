@@ -944,6 +944,114 @@ def mercator_to_lonlat(
     })
 
 
+# ---------------------------------------------------------------------------
+# Rotated lat-lon (the UKCP18 / regional-climate grid; GRIB2 template
+# 3.1) — the rotation-matrix construction in sources/grib2.py
+# (rotated_to_true/true_to_rotated, invariants pinned in
+# tests/test_grib2.py) re-expressed as JVM column transforms with the
+# SAME formula shape, column-vs-numpy parity-tested.
+
+
+def rotated_to_lonlat(
+    df, lon_r, lat_r, sp_lat: float, sp_lon: float,
+    out_lon: str = "lon", out_lat: str = "lat",
+):
+    """Rotated-pole coordinates -> true WGS84 degrees: explicit
+    Ry(90-np_lat) then Rz(np_lon) rotation product on the unit sphere
+    (with the 180-degree pre-rotation that puts rotated (0,0) on the
+    domain, not its antipode) — mirrors grib2.rotated_to_true."""
+    np_lat = -sp_lat
+    np_lon = sp_lon - 180.0
+    theta = math.radians(90.0 - np_lat)
+    lam_p = math.radians(np_lon)
+    d = df.withColumns({
+        "_phi": F.radians(lat_r), "_lam": F.radians(lon_r),
+    })
+    d = d.withColumns({
+        "_x": -F.cos("_phi") * F.cos("_lam"),
+        "_y": -F.cos("_phi") * F.sin("_lam"),
+        "_z": F.sin("_phi"),
+    })
+    d = d.withColumns({
+        "_x1": F.col("_x") * F.lit(math.cos(theta))
+        + F.col("_z") * F.lit(math.sin(theta)),
+        "_z1": -F.col("_x") * F.lit(math.sin(theta))
+        + F.col("_z") * F.lit(math.cos(theta)),
+    })
+    d = d.withColumns({
+        "_x2": F.col("_x1") * F.lit(math.cos(lam_p))
+        - F.col("_y") * F.lit(math.sin(lam_p)),
+        "_y2": F.col("_x1") * F.lit(math.sin(lam_p))
+        + F.col("_y") * F.lit(math.cos(lam_p)),
+    })
+    d = d.withColumns({
+        out_lat: F.degrees(F.asin(
+            F.least(F.greatest(F.col("_z1"), F.lit(-1.0)), F.lit(1.0))
+        )),
+        out_lon: F.degrees(F.atan2(F.col("_y2"), F.col("_x2"))),
+    })
+    return d.drop("_phi", "_lam", "_x", "_y", "_z", "_x1", "_z1",
+                  "_x2", "_y2")
+
+
+def lonlat_to_rotated(
+    df, lon, lat, sp_lat: float, sp_lon: float,
+    out_lon: str = "lon_r", out_lat: str = "lat_r",
+):
+    """True WGS84 degrees -> rotated-pole coordinates (transpose
+    rotations, reverse order) — mirrors grib2.true_to_rotated."""
+    np_lat = -sp_lat
+    np_lon = sp_lon - 180.0
+    theta = math.radians(90.0 - np_lat)
+    lam_p = math.radians(np_lon)
+    d = df.withColumns({
+        "_phi": F.radians(lat), "_lam": F.radians(lon),
+    })
+    d = d.withColumns({
+        "_x": F.cos("_phi") * F.cos("_lam"),
+        "_y": F.cos("_phi") * F.sin("_lam"),
+        "_z": F.sin("_phi"),
+    })
+    d = d.withColumns({
+        "_x1": F.col("_x") * F.lit(math.cos(lam_p))
+        + F.col("_y") * F.lit(math.sin(lam_p)),
+        "_y1": -F.col("_x") * F.lit(math.sin(lam_p))
+        + F.col("_y") * F.lit(math.cos(lam_p)),
+    })
+    d = d.withColumns({
+        "_x2": F.col("_x1") * F.lit(math.cos(theta))
+        - F.col("_z") * F.lit(math.sin(theta)),
+        "_z2": F.col("_x1") * F.lit(math.sin(theta))
+        + F.col("_z") * F.lit(math.cos(theta)),
+    })
+    d = d.withColumns({
+        out_lat: F.degrees(F.asin(
+            F.least(F.greatest(F.col("_z2"), F.lit(-1.0)), F.lit(1.0))
+        )),
+        out_lon: F.degrees(F.atan2(-F.col("_y1"), -F.col("_x2"))),
+    })
+    return d.drop("_phi", "_lam", "_x", "_y", "_z", "_x1", "_y1",
+                  "_x2", "_z2")
+
+
+def haversine_m(lat1, lon1, lat2, lon2, R: float = 6371000.0) -> Column:
+    """Great-circle distance in metres between two lon/lat column
+    pairs (haversine form — numerically stable for small separations
+    where the spherical law of cosines loses precision).  Built-in JVM
+    expressions; the geo engine's nearest-station / within-radius
+    primitive."""
+    dphi = F.radians(lat2 - lat1) / 2
+    dlam = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.sin(dlam) * F.sin(dlam)
+    )
+    return F.lit(2.0 * R) * F.asin(F.sqrt(
+        F.least(F.greatest(a, F.lit(0.0)), F.lit(1.0))
+    ))
+
+
 def wrf_lcc_params(attrs: dict) -> dict:
     """WRF GLOBAL attributes (the projection block every wrfout file
     carries: ``MAP_PROJ``, ``TRUELAT1``, ``TRUELAT2``, ``MOAD_CEN_LAT``,

@@ -1087,6 +1087,122 @@ FROM r
 _G8_STERE_SQL = _stere_sql()
 
 
+def g8_crs_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotated lat-lon unrotation (SURVEY.md §2 G8 — the UKCP18 /
+    regional-climate grid, GRIB2 template 3.1): grid centers as pseudo
+    ROTATED coordinates mapped to true WGS84 through the
+    rotation-matrix column transform (functions/crs.py, the same
+    construction as the GRIB2 decoder's Snyder-invariant-pinned
+    kernel; UKCP18 pole).  Degrees rounded to 1e-7 (~cm)."""
+    from wrf_to_geodataframe_spark.functions.crs import rotated_to_lonlat
+
+    cells = grid_cells(spark, sf_dir)
+    d = cells.select(
+        "user_id",
+        (F.col("x") * 0.3 - 5.0).alias("lon_r"),  # ~[-5, 4.3]
+        (F.col("y") * 0.2 - 4.0).alias("lat_r"),  # ~[-4, 5.4]
+    )
+    out = rotated_to_lonlat(
+        d, F.col("lon_r"), F.col("lat_r"), -37.5, -2.5,  # UKCP18
+    )
+    return out.select(
+        "user_id",
+        F.round("lon", 7).alias("lon"),
+        F.round("lat", 7).alias("lat"),
+    )
+
+
+def _rotated_sql() -> str:
+    import math as _m
+
+    sp_lat, sp_lon = -37.5, -2.5
+    theta = _m.radians(90.0 - (-sp_lat))
+    lam_p = _m.radians(sp_lon - 180.0)
+    ct, st = _m.cos(theta), _m.sin(theta)
+    cl, sl = _m.cos(lam_p), _m.sin(lam_p)
+    return f"""
+WITH cells AS ({_CELLS_SQL}),
+ll AS (
+    SELECT user_id,
+           radians((y1 + 0.5) * 0.2 - 4.0) AS phi,
+           radians((x1 + 0.5) * 0.3 - 5.0) AS lam
+    FROM cells
+),
+xyz AS (
+    SELECT user_id,
+           -(cos(phi) * cos(lam)) AS x,
+           -(cos(phi) * sin(lam)) AS y,
+           sin(phi) AS z
+    FROM ll
+),
+rot AS (
+    SELECT user_id, y,
+           x * {ct!r} + z * {st!r} AS x1,
+           -(x * {st!r}) + z * {ct!r} AS z1
+    FROM xyz
+),
+fin AS (
+    SELECT user_id, z1,
+           x1 * {cl!r} - y * {sl!r} AS x2,
+           x1 * {sl!r} + y * {cl!r} AS y2
+    FROM rot
+)
+SELECT user_id,
+       round(degrees(atan2(y2, x2)), 7) AS lon,
+       round(degrees(asin(least(greatest(z1, -1.0), 1.0))), 7) AS lat
+FROM fin
+"""
+
+
+_G8_ROTATED_SQL = _rotated_sql()
+
+
+def g14_haversine_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle distance (the nearest-station / within-radius
+    primitive every geo pipeline needs): haversine metres from each
+    grid center's pseudo lon/lat to a fixed reference point, built-in
+    JVM expressions (functions/crs.py).  Rounded to cm."""
+    from wrf_to_geodataframe_spark.functions.crs import haversine_m
+
+    cells = grid_cells(spark, sf_dir)
+    d = cells.select(
+        "user_id",
+        (F.col("x") * 0.25 - 6.0).alias("lon"),
+        (F.col("y") * 0.1 + 50.0).alias("lat"),
+    )
+    return d.select(
+        "user_id",
+        F.round(
+            haversine_m(F.col("lat"), F.col("lon"),
+                        F.lit(51.5), F.lit(-0.12)),
+            2,
+        ).alias("dist_m"),
+    )
+
+
+_G14_HAVERSINE_SQL = f"""
+WITH cells AS ({_CELLS_SQL}),
+ll AS (
+    SELECT user_id,
+           (y1 + 0.5) * 0.1 + 50.0 AS lat,
+           (x1 + 0.5) * 0.25 - 6.0 AS lon
+    FROM cells
+),
+h AS (
+    SELECT user_id,
+           sin(radians(51.5 - lat) / 2) AS sp,
+           sin(radians(-0.12 - lon) / 2) AS sl,
+           cos(radians(lat)) * cos(radians(51.5)) AS cc
+    FROM ll
+)
+SELECT user_id,
+       round(2.0 * 6371000.0 * asin(sqrt(
+           least(greatest(sp * sp + cc * sl * sl, 0.0), 1.0)
+       )), 2) AS dist_m
+FROM h
+"""
+
+
 def a7_domain_center(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain center + radius (SURVEY.md §2 A7, wrf_voronoi.py:51-53
     ``vor.points.mean(axis=0)`` and ``ptp().max()``): the scalar
@@ -1303,6 +1419,8 @@ QUERIES = {
     "g8_crs_lcc": g8_crs_lcc,
     "g8_crs_utm": g8_crs_utm,
     "g8_crs_stere": g8_crs_stere,
+    "g8_crs_rotated": g8_crs_rotated,
+    "g14_haversine_distance": g14_haversine_distance,
     "a7_domain_center": a7_domain_center,
 }
 
@@ -1324,5 +1442,7 @@ ORACLE = {
     "g8_crs_lcc": _G8_LCC_SQL,
     "g8_crs_utm": _G8_UTM_SQL,
     "g8_crs_stere": _G8_STERE_SQL,
+    "g8_crs_rotated": _G8_ROTATED_SQL,
+    "g14_haversine_distance": _G14_HAVERSINE_SQL,
     "a7_domain_center": _A7_SQL,
 }
