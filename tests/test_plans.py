@@ -649,3 +649,15 @@ def test_render_cells_plan_explode_not_join(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     # one data shuffle: the groupBy(ty, tx)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_nearest_station_broadcasts_tiny_dim(spark):
+    """j7's scale property: the station dimension is broadcast (never
+    a shuffle-side join), the arg-min is a partial-aggregable
+    HashAggregate (no Window sort over the pair table)."""
+    from wrf_to_geodataframe_spark.suite.spatial import QUERIES
+
+    plan = _plan(QUERIES["j7_nearest_station"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan

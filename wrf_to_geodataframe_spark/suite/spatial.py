@@ -1203,6 +1203,81 @@ FROM h
 """
 
 
+def j7_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-STATION join (the met-data enrichment step after a
+    regrid: attach each cell to its closest observation site): 25
+    stations derived from ``nation``, grid cells as pseudo lon/lat,
+    great-circle distance via ``haversine_m``, arg-min per cell.
+
+    Scale shape: the station dimension is BROADCAST (tiny side never
+    shuffles; the fact table streams through one broadcast join), and
+    the arg-min is ``min(struct(dist, id))`` — a map-side-combinable
+    aggregate, not a window sort.  Distances quantized to exact mm
+    BIGINT before the min so the arg-min is order- and
+    engine-insensitive (stations are km apart; libm drift is 1e-10 m)."""
+    nation = load_table(spark, sf_dir, "nation")
+    from wrf_to_geodataframe_spark.functions.crs import haversine_m
+
+    stations = nation.select(
+        F.col("n_nationkey").cast("bigint").alias("station_id"),
+        (35.0 + (F.col("n_nationkey") % 5) * 3.7).alias("s_lat"),
+        (-10.0 + (F.col("n_nationkey") * 7 % 30) * 1.3).alias("s_lon"),
+    )
+    cells = grid_cells(spark, sf_dir).select(
+        "user_id",
+        (F.col("x") * 0.25 - 6.0).alias("lon"),
+        (F.col("y") * 0.1 + 50.0).alias("lat"),
+    )
+    d = cells.crossJoin(F.broadcast(stations)).withColumn(
+        "dist_mm",
+        F.floor(
+            haversine_m(F.col("lat"), F.col("lon"),
+                        F.col("s_lat"), F.col("s_lon")) * 1000.0
+        ).cast("bigint"),
+    )
+    best = d.groupBy("user_id").agg(
+        F.min(F.struct(F.col("dist_mm"), F.col("station_id"))).alias("b")
+    )
+    return best.select(
+        "user_id",
+        F.col("b.station_id").alias("station_id"),
+        F.col("b.dist_mm").alias("dist_mm"),
+    )
+
+
+_J7_SQL = f"""
+WITH cells AS ({_CELLS_SQL}),
+pts AS (
+    SELECT user_id,
+           (x1 + 0.5) * 0.25 - 6.0 AS lon,
+           (y1 + 0.5) * 0.1 + 50.0 AS lat
+    FROM cells
+),
+stations AS (
+    SELECT CAST(n_nationkey AS BIGINT) AS station_id,
+           35.0 + (n_nationkey % 5) * 3.7 AS s_lat,
+           -10.0 + (n_nationkey * 7 % 30) * 1.3 AS s_lon
+    FROM nation
+),
+pairs AS (
+    SELECT p.user_id, s.station_id,
+           CAST(FLOOR(2.0 * 6371000.0 * asin(sqrt(least(greatest(
+               sin(radians(s.s_lat - p.lat) / 2)
+                   * sin(radians(s.s_lat - p.lat) / 2)
+               + cos(radians(p.lat)) * cos(radians(s.s_lat))
+                   * sin(radians(s.s_lon - p.lon) / 2)
+                   * sin(radians(s.s_lon - p.lon) / 2),
+           0.0), 1.0))) * 1000.0) AS BIGINT) AS dist_mm
+    FROM pts p CROSS JOIN stations s
+)
+SELECT user_id, station_id, dist_mm
+FROM pairs
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY dist_mm, station_id
+) = 1
+"""
+
+
 def a7_domain_center(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain center + radius (SURVEY.md §2 A7, wrf_voronoi.py:51-53
     ``vor.points.mean(axis=0)`` and ``ptp().max()``): the scalar
@@ -1421,6 +1496,7 @@ QUERIES = {
     "g8_crs_stere": g8_crs_stere,
     "g8_crs_rotated": g8_crs_rotated,
     "g14_haversine_distance": g14_haversine_distance,
+    "j7_nearest_station": j7_nearest_station,
     "a7_domain_center": a7_domain_center,
 }
 
@@ -1444,5 +1520,6 @@ ORACLE = {
     "g8_crs_stere": _G8_STERE_SQL,
     "g8_crs_rotated": _G8_ROTATED_SQL,
     "g14_haversine_distance": _G14_HAVERSINE_SQL,
+    "j7_nearest_station": _J7_SQL,
     "a7_domain_center": _A7_SQL,
 }
