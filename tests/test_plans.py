@@ -661,3 +661,14 @@ def test_nearest_station_broadcasts_tiny_dim(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_knn_join_is_banded_equi_not_cartesian(spark):
+    """j8's scale property: the candidate join is an EQUI join on the
+    degree-grid cell keys — never a cartesian/nested-loop product of
+    points x stations."""
+    from wrf_to_geodataframe_spark.suite.spatial import QUERIES
+
+    plan = _plan(QUERIES["j8_knn_within_radius"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

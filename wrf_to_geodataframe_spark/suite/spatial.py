@@ -23,7 +23,7 @@ Scale notes baked into each plan:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wrf_to_geodataframe_spark.functions.grid import (
@@ -1278,6 +1278,100 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def j8_knn_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-NEAREST WITHIN RADIUS for LARGE point sets (the shape where
+    the station side does NOT broadcast — unlike ``j7``): top-3
+    stations (from ``supplier`` — 1000 rows at sf0.1, growing with SF)
+    within 150 km of each grid cell, by great-circle distance.
+
+    Scale shape: candidate generation is a BANDED EQUI JOIN — both
+    sides key on a degree-space grid cell, the station side explodes
+    its 3x3 cell neighborhood, and the cell size (2.5 deg) dominates
+    the 150 km radius in BOTH axes across the domain (>= 1.35 deg of
+    latitude; >= 2.35 deg of longitude at the domain's 55N top), so
+    every true pair shares a key — never an all-pairs product.  The
+    top-k is one window over the banded candidates (bounded by band
+    occupancy, not corpus size); distances quantized to exact mm
+    BIGINT for engine-insensitive ordering."""
+    from wrf_to_geodataframe_spark.functions.crs import haversine_m
+
+    cell = 2.5
+    radius_mm = 150_000_000  # 150 km in mm
+    sup = load_table(spark, sf_dir, "supplier")
+    stations = sup.select(
+        F.col("s_suppkey").cast("bigint").alias("station_id"),
+        (50.0 + (F.col("s_suppkey") % 50) * 0.1).alias("s_lat"),
+        (-6.0 + (F.col("s_suppkey") * 13 % 80) * 0.1).alias("s_lon"),
+    )
+    st = (
+        stations
+        .withColumn("dy", F.expr("explode(array(-1, 0, 1))"))
+        .withColumn("dx", F.expr("explode(array(-1, 0, 1))"))
+        .select(
+            "station_id", "s_lat", "s_lon",
+            (F.floor(F.col("s_lat") / cell) + F.col("dy")).alias("cy"),
+            (F.floor(F.col("s_lon") / cell) + F.col("dx")).alias("cx"),
+        )
+    )
+    pts = grid_cells(spark, sf_dir).select(
+        "user_id",
+        (F.col("x") * 0.25 - 6.0).alias("lon"),
+        (F.col("y") * 0.1 + 50.0).alias("lat"),
+    ).withColumns({
+        "cy": F.floor(F.col("lat") / cell),
+        "cx": F.floor(F.col("lon") / cell),
+    })
+    cand = pts.join(st, ["cy", "cx"]).withColumn(
+        "dist_mm",
+        F.floor(
+            haversine_m(F.col("lat"), F.col("lon"),
+                        F.col("s_lat"), F.col("s_lon")) * 1000.0
+        ).cast("bigint"),
+    ).filter(F.col("dist_mm") <= radius_mm)
+    w = Window.partitionBy("user_id").orderBy("dist_mm", "station_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "rk", "station_id", "dist_mm")
+    )
+
+
+_J8_SQL = f"""
+WITH cells AS ({_CELLS_SQL}),
+pts AS (
+    SELECT user_id,
+           (x1 + 0.5) * 0.25 - 6.0 AS lon,
+           (y1 + 0.5) * 0.1 + 50.0 AS lat
+    FROM cells
+),
+stations AS (
+    SELECT CAST(s_suppkey AS BIGINT) AS station_id,
+           50.0 + (s_suppkey % 50) * 0.1 AS s_lat,
+           -6.0 + (s_suppkey * 13 % 80) * 0.1 AS s_lon
+    FROM supplier
+),
+pairs AS (
+    SELECT p.user_id, s.station_id,
+           CAST(FLOOR(2.0 * 6371000.0 * asin(sqrt(least(greatest(
+               sin(radians(s.s_lat - p.lat) / 2)
+                   * sin(radians(s.s_lat - p.lat) / 2)
+               + cos(radians(p.lat)) * cos(radians(s.s_lat))
+                   * sin(radians(s.s_lon - p.lon) / 2)
+                   * sin(radians(s.s_lon - p.lon) / 2),
+           0.0), 1.0))) * 1000.0) AS BIGINT) AS dist_mm
+    FROM pts p CROSS JOIN stations s
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY dist_mm, station_id
+       ) AS INT) AS rk,
+       station_id, dist_mm
+FROM pairs
+WHERE dist_mm <= 150000000
+QUALIFY rk <= 3
+"""
+
+
 def a7_domain_center(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain center + radius (SURVEY.md §2 A7, wrf_voronoi.py:51-53
     ``vor.points.mean(axis=0)`` and ``ptp().max()``): the scalar
@@ -1497,6 +1591,7 @@ QUERIES = {
     "g8_crs_rotated": g8_crs_rotated,
     "g14_haversine_distance": g14_haversine_distance,
     "j7_nearest_station": j7_nearest_station,
+    "j8_knn_within_radius": j8_knn_within_radius,
     "a7_domain_center": a7_domain_center,
 }
 
@@ -1521,5 +1616,6 @@ ORACLE = {
     "g8_crs_rotated": _G8_ROTATED_SQL,
     "g14_haversine_distance": _G14_HAVERSINE_SQL,
     "j7_nearest_station": _J7_SQL,
+    "j8_knn_within_radius": _J8_SQL,
     "a7_domain_center": _A7_SQL,
 }
