@@ -4764,7 +4764,67 @@ LEFT JOIN per_doc p ON b.doc_id = p.doc_id
 """
 
 
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-STYLE DOCUMENT CHUNKING (the retrieval-corpus prep step
+    between curation and embedding): overlapping token windows of
+    W=32 whitespace tokens at stride S=24, with a guaranteed tail
+    chunk so the last tokens are always covered even when (n-W) is
+    not a stride multiple.  Entirely codegen array HOFs — split once,
+    generate starts with ``sequence``, slice per start — no UDFs, no
+    shuffle (per-row explode only), so it streams through 100 TB of
+    documents at scan speed."""
+    W, S = 32, 24
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    d = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "g", F.greatest(F.size("toks") - W, F.lit(0)).cast("bigint")
+    )
+    starts = F.array_distinct(
+        F.concat(
+            F.sequence(F.lit(0).cast("bigint"), F.col("g"), F.lit(S)),
+            F.array(F.col("g")),
+        )
+    )
+    d = d.withColumn("start", F.explode(starts))
+    return d.select(
+        "doc_id",
+        F.col("start").alias("chunk_start"),
+        F.least(
+            F.lit(W).cast("bigint"),
+            F.size("toks").cast("bigint") - F.col("start"),
+        ).alias("n_tokens"),
+        F.array_join(
+            F.slice("toks", F.col("start") + 1, W), " "
+        ).alias("chunk_text"),
+    )
+
+
+_CHUNK_SQL = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+    SELECT doc_id, toks,
+           CAST(len(toks) AS BIGINT) AS n,
+           CAST(GREATEST(len(toks) - 32, 0) AS BIGINT) AS g
+    FROM t
+),
+st AS (
+    SELECT doc_id, toks, n,
+           UNNEST(list_distinct(list_append(range(0, g + 1, 24), g)))
+               AS start
+    FROM s
+)
+SELECT doc_id,
+       CAST(start AS BIGINT) AS chunk_start,
+       CAST(LEAST(32, n - start) AS BIGINT) AS n_tokens,
+       array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text
+FROM st
+"""
+
+
 QUERIES = {
+    "chunk_documents": chunk_documents,
     "dedup_exact": dedup_exact,
     "dedup_substring_spans": dedup_substring_spans,
     "text_scrub_spans": text_scrub_spans,
@@ -4817,6 +4877,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "chunk_documents": _CHUNK_SQL,
     "url_dedup": _URL_DEDUP_SQL,
     "dedup_semantic": _semantic_sql(),
     "dedup_exact": _DEDUP_EXACT_SQL,
