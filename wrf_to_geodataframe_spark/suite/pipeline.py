@@ -4764,6 +4764,182 @@ LEFT JOIN per_doc p ON b.doc_id = p.doc_id
 """
 
 
+def dedup_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE NEAR-DUP DETECTION (the multimodal sibling of the text
+    dedup family): every doc gets a deterministic 16x16 grayscale
+    image — docs with ``doc_id % 10 == 1`` are NEAR-COPIES of their
+    predecessor (same md5-chain pixels, one pixel perturbed +3) — the
+    images go through a REAL PNG encode/decode round trip
+    (sources/png.py, Arrow kernels), an integer-exact average-hash is
+    computed from the DECODED pixels (8x8 block sums thresholded
+    against the global mean: bit = 64*block_sum >= total), and pairs
+    within Hamming distance 2 are reported.
+
+    Scale shape: candidates come from a BANDED equi self-join on the
+    hash's eight 8-bit bands — Hamming <= 2 leaves >= 6 of 8 bands
+    identical, so banding is EXACT for the reported radius (never
+    all-pairs); verification is a codegen zip_with/bit_count fold.
+    The oracle restates the whole chain analytically from the md5
+    pixels (encode-decode is identity), so the gate validates the
+    codec round trip AND the hash/banding arithmetic."""
+    from wrf_to_geodataframe_spark.operators.multimodal import (
+        decode_images,
+        encode_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    fam = F.when(
+        F.col("doc_id") % 10 == 1, F.col("doc_id") - 1
+    ).otherwise(F.col("doc_id")).cast("string")
+    blocks = F.concat(
+        *[
+            F.unhex(F.md5(F.concat(fam, F.lit(f":{b}"))))
+            for b in range(16)  # 16 blocks x 16 bytes = 256 px
+        ]
+    )
+    p0 = F.conv(
+        F.substring(F.md5(F.concat(fam, F.lit(":0"))), 1, 2), 16, 10
+    ).cast("int")
+    p0p = (
+        p0 + F.when(F.col("doc_id") % 10 == 1, F.lit(3)).otherwise(
+            F.lit(0)
+        )
+    ) % 256
+    base = docs.select(
+        "doc_id",
+        F.lit(16).cast("long").alias("width"),
+        F.lit(16).cast("long").alias("height"),
+        blocks.alias("_blocks"),
+        p0p.alias("_p0"),
+    ).select(
+        "doc_id",
+        "width",
+        "height",
+        F.concat(
+            F.unhex(F.lpad(F.hex(F.col("_p0")), 2, "0")),
+            F.expr("substring(_blocks, 2, 255)"),
+        ).alias("pixels"),
+    )
+    decoded = decode_images(encode_images(base))
+
+    def _ahash(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            bands = []
+            for px in pdf["pixels"]:
+                a = np.frombuffer(bytes(px), "uint8").astype(
+                    "int64"
+                ).reshape(16, 16)
+                bs = a.reshape(8, 2, 8, 2).sum(axis=(1, 3)).ravel()
+                total = int(a.sum())
+                bits = (bs * 64 >= total).astype("int64")
+                bands.append([
+                    int(sum(int(bits[j * 8 + k]) << k for k in range(8)))
+                    for j in range(8)
+                ])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "bands": bands}
+            )
+
+    h = decoded.select("doc_id", "pixels").mapInPandas(
+        _ahash, "doc_id long, bands array<long>"
+    )
+    e = h.select(
+        "doc_id", "bands", F.posexplode("bands").alias("bi", "bv")
+    )
+    ea = e.select(
+        F.col("doc_id").alias("doc_a"), F.col("bands").alias("ba"),
+        F.col("bi").alias("bia"), F.col("bv").alias("va"),
+    )
+    eb = e.select(
+        F.col("doc_id").alias("doc_b"), F.col("bands").alias("bb"),
+        F.col("bi").alias("bib"), F.col("bv").alias("vb"),
+    )
+    cand = (
+        ea.join(
+            eb,
+            (F.col("bia") == F.col("bib"))
+            & (F.col("va") == F.col("vb"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("ba").alias("ba"), F.first("bb").alias("bb"))
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.expr(
+                "CAST(aggregate(zip_with(ba, bb, (x, y) -> "
+                "bit_count(x ^ y)), 0, (acc, v) -> acc + v) AS BIGINT)"
+            ),
+        )
+        .filter(F.col("hamming") <= 2)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+_AHASH_BH = " || ".join(
+    "md5(CAST(fam AS VARCHAR) || ':{b}')".format(b=b) for b in range(16)
+)
+
+_AHASH_SQL = f"""
+WITH fam AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END
+               AS fam,
+           doc_id % 10 = 1 AS is_copy
+    FROM documents
+),
+hx AS (
+    SELECT doc_id, is_copy, {_AHASH_BH} AS bh FROM fam
+),
+pix AS (
+    SELECT doc_id,
+           list_transform(range(0, 256), i ->
+               CASE WHEN i = 0 THEN
+                   (CAST(('0x' || substr(bh, 1, 2)) AS BIGINT)
+                    + CASE WHEN is_copy THEN 3 ELSE 0 END) % 256
+               ELSE CAST(('0x' || substr(bh, 2 * i + 1, 2)) AS BIGINT)
+               END) AS p
+    FROM hx
+),
+sums AS (
+    SELECT doc_id,
+           list_transform(range(0, 64), j ->
+               p[(2 * (j // 8)) * 16 + 2 * (j % 8) + 1]
+               + p[(2 * (j // 8)) * 16 + 2 * (j % 8) + 2]
+               + p[(2 * (j // 8) + 1) * 16 + 2 * (j % 8) + 1]
+               + p[(2 * (j // 8) + 1) * 16 + 2 * (j % 8) + 2]) AS bs,
+           list_sum(p) AS total
+    FROM pix
+),
+bands AS (
+    SELECT doc_id,
+           list_transform(range(0, 8), j ->
+               list_sum(list_transform(range(0, 8), k ->
+                   CASE WHEN bs[j * 8 + k + 1] * 64 >= total
+                   THEN (1 << k) ELSE 0 END))) AS bands
+    FROM sums
+)
+SELECT doc_a, doc_b, hamming
+FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(list_sum(list_transform(range(0, 8), j ->
+               bit_count(CAST(xor(CAST(a.bands[j + 1] AS BIGINT),
+                                  CAST(b.bands[j + 1] AS BIGINT))
+                              AS BIGINT)))) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+)
+WHERE hamming <= 2
+"""
+
+
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-STYLE DOCUMENT CHUNKING (the retrieval-corpus prep step
     between curation and embedding): overlapping token windows of
@@ -4825,6 +5001,7 @@ FROM st
 
 QUERIES = {
     "chunk_documents": chunk_documents,
+    "dedup_image_ahash": dedup_image_ahash,
     "dedup_exact": dedup_exact,
     "dedup_substring_spans": dedup_substring_spans,
     "text_scrub_spans": text_scrub_spans,
@@ -4878,6 +5055,7 @@ QUERIES = {
 
 ORACLE = {
     "chunk_documents": _CHUNK_SQL,
+    "dedup_image_ahash": _AHASH_SQL,
     "url_dedup": _URL_DEDUP_SQL,
     "dedup_semantic": _semantic_sql(),
     "dedup_exact": _DEDUP_EXACT_SQL,
