@@ -80,8 +80,10 @@ def test_no_cartesian_in_banded_joins(spark):
         (PIPELINE, "dedup_semantic"),
         (PIPELINE, "url_dedup"),
         (PIPELINE, "sim_lsh_ann"),
+        (PIPELINE, "dedup_image_ahash"),
         (RELATIONAL, "j_range_join"),
         (SPATIAL, "j3_bucketed_spatial_join"),
+        (SPATIAL, "j8_knn_within_radius"),
     ]
     for group, name in checks:
         plan = _plan(group[name](spark, SF))
