@@ -1372,3 +1372,47 @@ def test_text_scrub_spans_removes_exactly_planted_spans(spark, tmp_path):
     # full clones: every window duplicated -> everything scrubbed
     assert got[2].clean_text == "" and got[2].kept_tokens == 0
     assert got[3].clean_text == "" and got[3].kept_tokens == 0
+
+
+def test_chunk_documents_full_coverage_and_overlap(spark, tmp_path):
+    """Chunking invariants the gate's value hash can't articulate:
+    every token index is covered by >= 1 chunk (the guaranteed tail
+    chunk), interior chunks are exactly W tokens at stride S, and
+    reassembling the stride-aligned prefix of each chunk reproduces
+    the document."""
+    import os
+
+    from wrf_to_geodataframe_spark.suite.pipeline import chunk_documents
+
+    W, S = 32, 24
+    docs = []
+    # token counts probing every boundary: < W, == W, W + 1,
+    # stride-aligned, stride-misaligned, large
+    for doc_id, n in enumerate((1, 5, 31, 32, 33, 56, 80, 81, 200)):
+        docs.append((doc_id, " ".join(f"t{doc_id}_{i}" for i in range(n))))
+    d = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    rows = chunk_documents(spark, d).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, n in enumerate((1, 5, 31, 32, 33, 56, 80, 81, 200)):
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_start)
+        covered = set()
+        for r in chunks:
+            toks = r.chunk_text.split(" ")
+            assert len(toks) == r.n_tokens
+            # chunk content is exactly the token window
+            assert toks == [f"t{doc_id}_{i}" for i in
+                            range(r.chunk_start, r.chunk_start + r.n_tokens)]
+            covered.update(range(r.chunk_start, r.chunk_start + r.n_tokens))
+        assert covered == set(range(n)), (doc_id, n)
+        # non-tail chunks are full W at stride S
+        for r in chunks[:-1]:
+            assert r.n_tokens == W
+            assert r.chunk_start % S == 0
+        # small docs are exactly one whole-doc chunk
+        if n <= W:
+            assert len(chunks) == 1 and chunks[0].n_tokens == n
