@@ -4940,6 +4940,165 @@ WHERE hamming <= 2
 """
 
 
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCENE-CUT DETECTION (the video-pipeline shape: frame fan-out ->
+    per-frame features -> temporal window): each doc carries a 12-frame
+    "video" whose content switches scene every 4 frames (md5-chain
+    pixels keyed by (doc, scene), one jitter pixel per frame so
+    same-scene neighbors differ slightly), frames fan out through the
+    REAL ``sample_frames`` Arrow kernel, each frame gets the
+    integer-exact average-hash, and a per-video lag window marks a cut
+    where consecutive-frame Hamming distance >= 16 (same-scene pairs
+    sit near 0; scene boundaries near 32).
+
+    Scale shape: one fan-out kernel + one window on (doc, frame) —
+    per-video state never exceeds a frame pair; the oracle replays the
+    synthesis, hash, lag and threshold analytically."""
+    from wrf_to_geodataframe_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    dk = F.col("doc_id").cast("string")
+
+    def frame_bytes(f: int):
+        key = F.concat(dk, F.lit(f":{f // 4}"))
+        blocks = F.concat(
+            *[
+                F.unhex(F.md5(F.concat(key, F.lit(f":{b}"))))
+                for b in range(16)
+            ]
+        )
+        p0 = F.conv(
+            F.substring(F.md5(F.concat(key, F.lit(":0"))), 1, 2), 16, 10
+        ).cast("int")
+        return F.concat(
+            F.unhex(F.lpad(F.hex((p0 + F.lit(f)) % 256), 2, "0")),
+            F.substring(blocks, 2, 255),
+        )
+
+    base = docs.select(
+        "doc_id",
+        F.lit(256).cast("long").alias("width"),   # one frame per row
+        F.lit(12).cast("long").alias("height"),   # 12 frames
+        F.concat(*[frame_bytes(f) for f in range(12)]).alias("pixels"),
+    )
+    frames = sample_frames(base, stride=1)
+
+    def _ahash(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            bands = []
+            for px in pdf["frame"]:
+                a = np.frombuffer(bytes(px), "uint8").astype(
+                    "int64"
+                ).reshape(16, 16)
+                bs = a.reshape(8, 2, 8, 2).sum(axis=(1, 3)).ravel()
+                total = int(a.sum())
+                bits = (bs * 64 >= total).astype("int64")
+                bands.append([
+                    int(sum(int(bits[j * 8 + k]) << k for k in range(8)))
+                    for j in range(8)
+                ])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "frame_idx": pdf["frame_idx"].astype("int64"),
+                "bands": bands,
+            })
+
+    h = frames.mapInPandas(
+        _ahash, "doc_id long, frame_idx long, bands array<long>"
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    return (
+        h.withColumn("pb", F.lag("bands").over(w))
+        .filter(F.col("pb").isNotNull())
+        .withColumn(
+            "hamming",
+            F.expr(
+                "CAST(aggregate(zip_with(bands, pb, (x, y) -> "
+                "bit_count(x ^ y)), 0, (acc, v) -> acc + v) AS BIGINT)"
+            ),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            "hamming",
+            (F.col("hamming") >= 16).cast("int").alias("is_cut"),
+        )
+    )
+
+
+_SCENE_BH = " || ".join(
+    "md5(k || ':{b}')".format(b=b) for b in range(16)
+)
+
+_SCENE_SQL = f"""
+WITH f AS (
+    SELECT doc_id, UNNEST(range(0, 12)) AS fi FROM documents
+),
+ky AS (
+    SELECT doc_id, fi,
+           CAST(doc_id AS VARCHAR) || ':' || CAST(fi // 4 AS VARCHAR)
+               AS k
+    FROM f
+),
+hx AS (
+    SELECT doc_id, fi, {_SCENE_BH} AS bh FROM ky
+),
+pix AS (
+    SELECT doc_id, fi,
+           list_transform(range(0, 256), i ->
+               CASE WHEN i = 0 THEN
+                   (CAST(('0x' || substr(bh, 1, 2)) AS BIGINT) + fi)
+                       % 256
+               ELSE CAST(('0x' || substr(bh, 2 * i + 1, 2)) AS BIGINT)
+               END) AS p
+    FROM hx
+),
+sums AS (
+    SELECT doc_id, fi,
+           list_transform(range(0, 64), j ->
+               p[(2 * (j // 8)) * 16 + 2 * (j % 8) + 1]
+               + p[(2 * (j // 8)) * 16 + 2 * (j % 8) + 2]
+               + p[(2 * (j // 8) + 1) * 16 + 2 * (j % 8) + 1]
+               + p[(2 * (j // 8) + 1) * 16 + 2 * (j % 8) + 2]) AS bs,
+           list_sum(p) AS total
+    FROM pix
+),
+bands AS (
+    SELECT doc_id, fi,
+           list_transform(range(0, 8), j ->
+               list_sum(list_transform(range(0, 8), k ->
+                   CASE WHEN bs[j * 8 + k + 1] * 64 >= total
+                   THEN (1 << k) ELSE 0 END))) AS bands
+    FROM sums
+),
+lagged AS (
+    SELECT doc_id, fi AS frame_idx, bands,
+           LAG(bands) OVER (PARTITION BY doc_id ORDER BY fi) AS pb
+    FROM bands
+)
+SELECT doc_id, frame_idx,
+       CAST(list_sum(list_transform(range(0, 8), j ->
+           bit_count(CAST(xor(CAST(bands[j + 1] AS BIGINT),
+                              CAST(pb[j + 1] AS BIGINT))
+                          AS BIGINT)))) AS BIGINT) AS hamming,
+       CAST(CAST(list_sum(list_transform(range(0, 8), j ->
+           bit_count(CAST(xor(CAST(bands[j + 1] AS BIGINT),
+                              CAST(pb[j + 1] AS BIGINT))
+                          AS BIGINT)))) AS BIGINT) >= 16 AS INT)
+           AS is_cut
+FROM lagged
+WHERE pb IS NOT NULL
+"""
+
+
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-STYLE DOCUMENT CHUNKING (the retrieval-corpus prep step
     between curation and embedding): overlapping token windows of
@@ -5002,6 +5161,7 @@ FROM st
 QUERIES = {
     "chunk_documents": chunk_documents,
     "dedup_image_ahash": dedup_image_ahash,
+    "video_scene_cuts": video_scene_cuts,
     "dedup_exact": dedup_exact,
     "dedup_substring_spans": dedup_substring_spans,
     "text_scrub_spans": text_scrub_spans,
@@ -5056,6 +5216,7 @@ QUERIES = {
 ORACLE = {
     "chunk_documents": _CHUNK_SQL,
     "dedup_image_ahash": _AHASH_SQL,
+    "video_scene_cuts": _SCENE_SQL,
     "url_dedup": _URL_DEDUP_SQL,
     "dedup_semantic": _semantic_sql(),
     "dedup_exact": _DEDUP_EXACT_SQL,
