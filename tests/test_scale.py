@@ -1447,3 +1447,69 @@ def test_render_grid_100m_pixels_slippy_layer(spark, tmp_path):
     assert n_parents == (nt // 2) ** 2 == 400
     print(f"\nrender 10^8 px -> 1600 tiles in {dt:.1f}s; "
           f"pyramid level 1 (400 parents) in {dt2:.1f}s")
+
+
+@slow
+def test_knn_join_1m_points_100k_stations(spark):
+    """The banded k-NN join at the scale the broadcast path can't do:
+    1M points x 100k stations, 15 km radius, 0.25-deg banding cells
+    (>= the radius in both axes up to 60N) — candidates stay band-
+    bounded, never the 1e11 all-pairs product.  Ten sampled points
+    are verified against a numpy brute force over ALL 100k stations."""
+    import time
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.suite.spatial import knn_join
+
+    # domain: lat [40, 60], lon [-10, 10]; deterministic LCG-ish spread
+    n_pts, n_st = 1_000_000, 100_000
+    pts = spark.range(n_pts).select(
+        F.col("id").alias("user_id"),
+        (F.pmod(F.col("id") * 7919, F.lit(2_000_000)) / 100000.0
+         - 10.0).alias("lon"),
+        (F.pmod(F.col("id") * 104729, F.lit(2_000_000)) / 100000.0
+         + 40.0).alias("lat"),
+    )
+    st = spark.range(n_st).select(
+        F.col("id").alias("station_id"),
+        (F.pmod(F.col("id") * 2153, F.lit(2_000_000)) / 100000.0
+         + 40.0).alias("s_lat"),
+        (F.pmod(F.col("id") * 6007, F.lit(2_000_000)) / 100000.0
+         - 10.0).alias("s_lon"),
+    )
+    t0 = time.monotonic()
+    out = knn_join(pts, st, radius_m=15_000.0, cell_deg=0.25, k=3)
+    got = {
+        (r["user_id"], r["rk"]): (r["station_id"], r["dist_mm"])
+        for r in out.filter(F.col("user_id") % 100_000 == 17).collect()
+    }
+    n_results = out.count()
+    dt = time.monotonic() - t0
+    assert n_results > 1_000_000  # ~3 hits per point at this density
+    # brute force the 10 sampled points against ALL stations
+    sl = (np.arange(n_st) * 2153 % 2_000_000) / 100000.0 + 40.0
+    so = (np.arange(n_st) * 6007 % 2_000_000) / 100000.0 - 10.0
+    R = 6371000.0
+    for uid in range(17, n_pts, 100_000):
+        plon = (uid * 7919 % 2_000_000) / 100000.0 - 10.0
+        plat = (uid * 104729 % 2_000_000) / 100000.0 + 40.0
+        dphi = np.radians(sl - plat) / 2
+        dlam = np.radians(so - plon) / 2
+        a = (np.sin(dphi) ** 2
+             + np.cos(np.radians(plat)) * np.cos(np.radians(sl))
+             * np.sin(dlam) ** 2)
+        d_mm = np.floor(
+            2.0 * R * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0))) * 1000.0
+        ).astype("int64")
+        order = np.lexsort((np.arange(n_st), d_mm))
+        want = [
+            (int(s), int(d_mm[s]))
+            for s in order if d_mm[s] <= 15_000_000
+        ][:3]
+        have = [got.get((uid, rk + 1)) for rk in range(len(want))]
+        assert have == want, uid
+        # and no extra ranks beyond the brute-force hit count
+        assert (uid, len(want) + 1) not in got
+    print(f"\nknn 1M x 100k in {dt:.1f}s, {n_results} result rows")

@@ -1278,6 +1278,58 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def knn_join(
+    points: DataFrame,
+    stations: DataFrame,
+    radius_m: float,
+    cell_deg: float,
+    k: int,
+    id_col: str = "user_id",
+    station_col: str = "station_id",
+) -> DataFrame:
+    """Reusable banded k-NN-within-radius join: ``points`` carries
+    (id_col, lat, lon), ``stations`` (station_col, s_lat, s_lon).
+    Returns (id_col, rk, station_col, dist_mm) — the top-``k``
+    stations within ``radius_m`` of each point by great-circle
+    distance.  ``cell_deg`` is the banding cell; EXACTNESS requires it
+    to dominate the radius in both axes across the domain
+    (cell_deg >= radius/111.19 km per degree of latitude, and
+    >= radius/(111.19 * cos(max |lat|)) for longitude) — the caller
+    owns that bound because only it knows the domain.  Candidates are
+    a banded equi join (station side explodes its 3x3 neighborhood);
+    top-k is one window over band-bounded candidates; distances are
+    exact-mm BIGINT."""
+    from wrf_to_geodataframe_spark.functions.crs import haversine_m
+
+    st = (
+        stations
+        .withColumn("dy", F.expr("explode(array(-1, 0, 1))"))
+        .withColumn("dx", F.expr("explode(array(-1, 0, 1))"))
+        .select(
+            station_col, "s_lat", "s_lon",
+            (F.floor(F.col("s_lat") / cell_deg) + F.col("dy")).alias("cy"),
+            (F.floor(F.col("s_lon") / cell_deg) + F.col("dx")).alias("cx"),
+        )
+    )
+    pts = points.withColumns({
+        "cy": F.floor(F.col("lat") / cell_deg),
+        "cx": F.floor(F.col("lon") / cell_deg),
+    })
+    cand = pts.join(st, ["cy", "cx"]).withColumn(
+        "dist_mm",
+        F.floor(
+            haversine_m(F.col("lat"), F.col("lon"),
+                        F.col("s_lat"), F.col("s_lon")) * 1000.0
+        ).cast("bigint"),
+    ).filter(F.col("dist_mm") <= int(radius_m * 1000))
+    w = Window.partitionBy(id_col).orderBy("dist_mm", station_col)
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "rk", station_col, "dist_mm")
+    )
+
+
 def j8_knn_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-NEAREST WITHIN RADIUS for LARGE point sets (the shape where
     the station side does NOT broadcast — unlike ``j7``): top-3
@@ -1293,47 +1345,19 @@ def j8_knn_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k is one window over the banded candidates (bounded by band
     occupancy, not corpus size); distances quantized to exact mm
     BIGINT for engine-insensitive ordering."""
-    from wrf_to_geodataframe_spark.functions.crs import haversine_m
-
-    cell = 2.5
-    radius_mm = 150_000_000  # 150 km in mm
     sup = load_table(spark, sf_dir, "supplier")
     stations = sup.select(
         F.col("s_suppkey").cast("bigint").alias("station_id"),
         (50.0 + (F.col("s_suppkey") % 50) * 0.1).alias("s_lat"),
         (-6.0 + (F.col("s_suppkey") * 13 % 80) * 0.1).alias("s_lon"),
     )
-    st = (
-        stations
-        .withColumn("dy", F.expr("explode(array(-1, 0, 1))"))
-        .withColumn("dx", F.expr("explode(array(-1, 0, 1))"))
-        .select(
-            "station_id", "s_lat", "s_lon",
-            (F.floor(F.col("s_lat") / cell) + F.col("dy")).alias("cy"),
-            (F.floor(F.col("s_lon") / cell) + F.col("dx")).alias("cx"),
-        )
-    )
     pts = grid_cells(spark, sf_dir).select(
         "user_id",
         (F.col("x") * 0.25 - 6.0).alias("lon"),
         (F.col("y") * 0.1 + 50.0).alias("lat"),
-    ).withColumns({
-        "cy": F.floor(F.col("lat") / cell),
-        "cx": F.floor(F.col("lon") / cell),
-    })
-    cand = pts.join(st, ["cy", "cx"]).withColumn(
-        "dist_mm",
-        F.floor(
-            haversine_m(F.col("lat"), F.col("lon"),
-                        F.col("s_lat"), F.col("s_lon")) * 1000.0
-        ).cast("bigint"),
-    ).filter(F.col("dist_mm") <= radius_mm)
-    w = Window.partitionBy("user_id").orderBy("dist_mm", "station_id")
-    return (
-        cand.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("user_id", "rk", "station_id", "dist_mm")
     )
+    return knn_join(pts, stations, radius_m=150_000.0,
+                    cell_deg=2.5, k=3)
 
 
 _J8_SQL = f"""
