@@ -4847,9 +4847,14 @@ def dedup_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "bands": bands}
             )
 
+    # the (doc_id, bands) table is tiny (8 longs/doc) but its lineage
+    # is the whole PNG encode/decode chain: persist it so the banded
+    # SELF-join's two branches don't each re-run the codecs (PythonMap
+    # subtrees never canonicalize equal, so exchange reuse can't help —
+    # the repo-wide self-join rule; bench clears caches between queries)
     h = decoded.select("doc_id", "pixels").mapInPandas(
         _ahash, "doc_id long, bands array<long>"
-    )
+    ).persist()
     e = h.select(
         "doc_id", "bands", F.posexplode("bands").alias("bi", "bv")
     )
