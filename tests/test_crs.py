@@ -809,3 +809,47 @@ def test_haversine_known_values(spark):
     assert 330_000 < rows[3]["d"] < 350_000  # ~341 km
     for r in rows:
         assert abs(r["d"] - r["rev"]) < 1e-9
+
+
+def test_bearing_and_destination_known_values_and_roundtrip(spark):
+    """Geodesic direct/inverse consistency: due-compass bearings at
+    the equator, destination(bearing(A,B), haversine(A,B)) lands on B
+    (midpoint symmetry), and a due-east equatorial hop of one degree
+    of arc moves exactly one degree of longitude."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        bearing_deg,
+        destination_point,
+        haversine_m,
+    )
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 0.0, 10.0),    # due east
+         (0.0, 0.0, 10.0, 0.0),    # due north
+         (51.5, -0.12, 48.857, 2.351)],  # London -> Paris
+        "lat1 double, lon1 double, lat2 double, lon2 double",
+    )
+    rows = df.select(
+        bearing_deg("lat1", "lon1", "lat2", "lon2").alias("b"),
+        destination_point(
+            F.col("lat1"), F.col("lon1"),
+            bearing_deg("lat1", "lon1", "lat2", "lon2"),
+            haversine_m("lat1", "lon1", "lat2", "lon2"),
+        ).alias("dst"),
+        "lat2", "lon2",
+    ).collect()
+    assert abs(rows[0]["b"] - 90.0) < 1e-9
+    assert abs(rows[1]["b"] - 0.0) < 1e-9
+    for r in rows:
+        assert abs(r["dst"]["lat"] - r["lat2"]) < 1e-9
+        assert abs(r["dst"]["lon"] - r["lon2"]) < 1e-9
+    # one degree of arc due east on the equator = one degree longitude
+    import math as m
+
+    one_deg = m.radians(1.0) * 6371000.0
+    r = spark.createDataFrame([(0.0, 5.0)], "lat double, lon double").select(
+        destination_point(
+            F.col("lat"), F.col("lon"), F.lit(90.0), F.lit(one_deg)
+        ).alias("d")
+    ).collect()[0]
+    assert abs(r["d"]["lon"] - 6.0) < 1e-9
+    assert abs(r["d"]["lat"]) < 1e-9

@@ -1040,6 +1040,10 @@ def haversine_m(lat1, lon1, lat2, lon2, R: float = 6371000.0) -> Column:
     where the spherical law of cosines loses precision).  Built-in JVM
     expressions; the geo engine's nearest-station / within-radius
     primitive."""
+    lat1 = F.col(lat1) if isinstance(lat1, str) else lat1
+    lon1 = F.col(lon1) if isinstance(lon1, str) else lon1
+    lat2 = F.col(lat2) if isinstance(lat2, str) else lat2
+    lon2 = F.col(lon2) if isinstance(lon2, str) else lon2
     dphi = F.radians(lat2 - lat1) / 2
     dlam = F.radians(lon2 - lon1) / 2
     a = (
@@ -1050,6 +1054,46 @@ def haversine_m(lat1, lon1, lat2, lon2, R: float = 6371000.0) -> Column:
     return F.lit(2.0 * R) * F.asin(F.sqrt(
         F.least(F.greatest(a, F.lit(0.0)), F.lit(1.0))
     ))
+
+
+def bearing_deg(lat1, lon1, lat2, lon2) -> Column:
+    """Initial great-circle bearing (forward azimuth) in degrees from
+    point 1 toward point 2, in [-180, 180] (atan2 convention):
+    theta = atan2(sin dlam cos phi2, cos phi1 sin phi2 - sin phi1
+    cos phi2 cos dlam)."""
+    lat1 = F.col(lat1) if isinstance(lat1, str) else lat1
+    lon1 = F.col(lon1) if isinstance(lon1, str) else lon1
+    lat2 = F.col(lat2) if isinstance(lat2, str) else lat2
+    lon2 = F.col(lon2) if isinstance(lon2, str) else lon2
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dl = F.radians(lon2 - lon1)
+    return F.degrees(F.atan2(
+        F.sin(dl) * F.cos(p2),
+        F.cos(p1) * F.sin(p2) - F.sin(p1) * F.cos(p2) * F.cos(dl),
+    ))
+
+
+def destination_point(lat, lon, bearing, dist_m,
+                      R: float = 6371000.0) -> Column:
+    """Great-circle destination: travel ``dist_m`` metres from
+    (lat, lon) along the initial ``bearing`` (degrees) -> struct
+    (lat, lon) degrees.  The spherical direct-geodesic formulas:
+    phi2 = asin(sin phi cos d + cos phi sin d cos theta)."""
+    p1 = F.radians(lat)
+    th = F.radians(bearing)
+    d = dist_m / F.lit(R)
+    sp2 = F.sin(p1) * F.cos(d) + F.cos(p1) * F.sin(d) * F.cos(th)
+    p2 = F.asin(F.least(F.greatest(sp2, F.lit(-1.0)), F.lit(1.0)))
+    l2 = F.radians(lon) + F.atan2(
+        F.sin(th) * F.sin(d) * F.cos(p1),
+        F.cos(d) - F.sin(p1) * sp2,
+    )
+    return F.struct(
+        F.degrees(p2).alias("lat"),
+        # wrap to (-180, 180]
+        (F.pmod(F.degrees(l2) + F.lit(180.0), F.lit(360.0))
+         - F.lit(180.0)).alias("lon"),
+    )
 
 
 def wrf_lcc_params(attrs: dict) -> dict:

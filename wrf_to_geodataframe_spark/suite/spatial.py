@@ -1203,6 +1203,82 @@ FROM h
 """
 
 
+def g15_geodesic_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic bearing + destination (the other half of the
+    great-circle toolkit next to ``haversine_m``): from each grid
+    center's pseudo lon/lat, take the initial bearing toward a fixed
+    reference point and travel HALF the haversine distance — the
+    great-circle midpoint — emitting bearing and midpoint coordinates.
+    All built-in JVM trig; the oracle restates the direct-geodesic
+    formulas.  Degrees rounded to 1e-7 (~cm)."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        bearing_deg,
+        destination_point,
+        haversine_m,
+    )
+
+    cells = grid_cells(spark, sf_dir)
+    d = cells.select(
+        "user_id",
+        (F.col("x") * 0.25 - 6.0).alias("lon"),
+        (F.col("y") * 0.1 + 50.0).alias("lat"),
+    )
+    rlat, rlon = F.lit(51.5), F.lit(-0.12)
+    b = bearing_deg(F.col("lat"), F.col("lon"), rlat, rlon)
+    half = haversine_m(F.col("lat"), F.col("lon"), rlat, rlon) / 2.0
+    mid = destination_point(F.col("lat"), F.col("lon"), b, half)
+    return d.select(
+        "user_id",
+        F.round(b, 7).alias("bearing"),
+        F.round(mid["lat"], 7).alias("mid_lat"),
+        F.round(mid["lon"], 7).alias("mid_lon"),
+    )
+
+
+_G15_SQL = f"""
+WITH cells AS ({_CELLS_SQL}),
+ll AS (
+    SELECT user_id,
+           radians((y1 + 0.5) * 0.1 + 50.0) AS p1,
+           radians((x1 + 0.5) * 0.25 - 6.0) AS l1,
+           radians(51.5) AS p2, radians(-0.12) AS l2
+    FROM cells
+),
+br AS (
+    SELECT user_id, p1, l1,
+           atan2(sin(l2 - l1) * cos(p2),
+                 cos(p1) * sin(p2) - sin(p1) * cos(p2) * cos(l2 - l1))
+               AS th,
+           2.0 * 6371000.0 * asin(sqrt(least(greatest(
+               sin((p2 - p1) / 2) * sin((p2 - p1) / 2)
+               + cos(p1) * cos(p2)
+                   * sin((l2 - l1) / 2) * sin((l2 - l1) / 2),
+           0.0), 1.0))) AS dist
+    FROM ll
+),
+dst AS (
+    SELECT user_id, p1, l1, th,
+           dist / 2.0 / 6371000.0 AS d
+    FROM br
+),
+mid AS (
+    SELECT user_id, th, l1, p1, d,
+           least(greatest(
+               sin(p1) * cos(d) + cos(p1) * sin(d) * cos(th),
+           -1.0), 1.0) AS sp2
+    FROM dst
+)
+SELECT user_id,
+       round(degrees(th), 7) AS bearing,
+       round(degrees(asin(sp2)), 7) AS mid_lat,
+       round(fmod(fmod(degrees(l1 + atan2(sin(th) * sin(d) * cos(p1),
+                                          cos(d) - sin(p1) * sp2))
+                       + 180.0, 360.0) + 360.0, 360.0) - 180.0, 7)
+           AS mid_lon
+FROM mid
+"""
+
+
 def j7_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAREST-STATION join (the met-data enrichment step after a
     regrid: attach each cell to its closest observation site): 25
@@ -1616,6 +1692,7 @@ QUERIES = {
     "g14_haversine_distance": g14_haversine_distance,
     "j7_nearest_station": j7_nearest_station,
     "j8_knn_within_radius": j8_knn_within_radius,
+    "g15_geodesic_midpoint": g15_geodesic_midpoint,
     "a7_domain_center": a7_domain_center,
 }
 
@@ -1641,5 +1718,6 @@ ORACLE = {
     "g14_haversine_distance": _G14_HAVERSINE_SQL,
     "j7_nearest_station": _J7_SQL,
     "j8_knn_within_radius": _J8_SQL,
+    "g15_geodesic_midpoint": _G15_SQL,
     "a7_domain_center": _A7_SQL,
 }
