@@ -24,6 +24,10 @@ import os
 
 __all__ = ["getsize", "is_remote", "open_binary"]
 
+# Fail LOUDLY on a stalled server rather than hanging an executor task
+# forever: every ranged GET gets this socket timeout.
+HTTP_TIMEOUT_S = 30.0
+
 
 class HttpRangeFile:
     """Seekable read-only view over an HTTP(S) object using stdlib
@@ -45,7 +49,7 @@ class HttpRangeFile:
             req = urllib.request.Request(
                 self.url, headers={"Range": "bytes=0-0"}
             )
-            with urllib.request.urlopen(req) as resp:
+            with urllib.request.urlopen(req, timeout=HTTP_TIMEOUT_S) as resp:
                 if resp.status == 206:
                     cr = resp.headers.get("Content-Range", "")
                     # "bytes 0-0/N"
@@ -82,15 +86,15 @@ class HttpRangeFile:
             end = self.size() - 1
         else:
             end = self._pos + int(n) - 1
-        if end < self._pos and n is not None and n > 0:
-            return b""
+        if self._size is not None and self._pos >= self._size:
+            return b""  # known EOF: save the doomed request
         req = urllib.request.Request(
             self.url, headers={"Range": f"bytes={self._pos}-{end}"}
         )
         import urllib.error
 
         try:
-            with urllib.request.urlopen(req) as resp:
+            with urllib.request.urlopen(req, timeout=HTTP_TIMEOUT_S) as resp:
                 if resp.status != 206:
                     raise ValueError(
                         f"{self.url}: server answered {resp.status} to "

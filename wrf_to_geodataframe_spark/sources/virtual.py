@@ -459,6 +459,13 @@ def _grib2_rows(path: str, file_no: int, var: str | None,
                                 # interval (octets 35-41), matching
                                 # wgrib2/eccodes — ref+forecast is the
                                 # interval START
+                                if len(s4) < 41:
+                                    raise Grib2Error(
+                                        f"{path}: truncated product "
+                                        "template 4.8 (need 41 octets "
+                                        f"for the interval end, got "
+                                        f"{len(s4)})"
+                                    )
                                 ey = struct.unpack_from(">H", s4, 34)[0]
                                 end_ns = int(np.datetime64(
                                     f"{ey:04d}-{s4[36]:02d}-{s4[37]:02d}"
