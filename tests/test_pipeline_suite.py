@@ -1416,3 +1416,44 @@ def test_chunk_documents_full_coverage_and_overlap(spark, tmp_path):
         # small docs are exactly one whole-doc chunk
         if n <= W:
             assert len(chunks) == 1 and chunks[0].n_tokens == n
+
+
+def test_ahash_bands_kernel_matches_scalar_reference():
+    """The factored, batch-vectorized aHash kernel
+    (operators/multimodal.ahash_bands) must be BIT-IDENTICAL to the
+    scalar definition the SQL oracles restate: block sums over 8x8
+    blocks, integer threshold 64*block_sum >= total, bit k of band j
+    = hash bit j*8+k (little bit order).  Random images + the two
+    degenerate extremes (all-zero: every bit set since 0 >= 0;
+    all-255: every bit set)."""
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.operators.multimodal import ahash_bands
+
+    rng = np.random.default_rng(20260815)
+    bufs = [
+        rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
+        for _ in range(64)
+    ] + [b"\x00" * 256, b"\xff" * 256]
+    got = ahash_bands(bufs)
+    assert got.shape == (66, 8) and got.dtype == np.int64
+    for i, px in enumerate(bufs):
+        a = np.frombuffer(px, "uint8").astype("int64").reshape(16, 16)
+        bs = a.reshape(8, 2, 8, 2).sum(axis=(1, 3)).ravel()
+        total = int(a.sum())
+        bits = (bs * 64 >= total).astype("int64")
+        want = [
+            int(sum(int(bits[j * 8 + k]) << k for k in range(8)))
+            for j in range(8)
+        ]
+        assert got[i].tolist() == want, i
+    assert got[-1].tolist() == [255] * 8  # all-255: uniform -> all bits
+    assert got[-2].tolist() == [255] * 8  # all-zero: 0 >= 0 everywhere
+    # empty batch and malformed sizes fail loudly, not silently
+    assert ahash_bands([]).shape == (0, 8)
+    try:
+        ahash_bands([b"\x00" * 255])
+    except ValueError as exc:
+        assert "256-byte" in str(exc)
+    else:
+        raise AssertionError("short buffer must raise")

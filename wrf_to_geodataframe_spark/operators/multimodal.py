@@ -649,3 +649,51 @@ def decode_images(with_png: DataFrame) -> DataFrame:
             )
 
     return with_png.mapInPandas(_batches, DECODE_SCHEMA)
+
+
+def ahash_bands(buffers, side: int = 16):
+    """Integer-exact 8x8 AVERAGE-HASH over a batch of equal-sized
+    square grayscale pixel buffers, returned as eight 8-bit BANDS per
+    image (the LSH banding unit of the perceptual near-dup family:
+    Hamming <= 2 on the 64-bit hash leaves >= 6 of 8 bands identical,
+    so a banded equi join is EXACT for that radius).
+
+    The hash is the classic aHash (block mean vs global mean) kept in
+    INTEGER arithmetic so the oracle can restate it exactly:
+    ``bit = 64 * block_sum >= total`` — no float mean, no rounding
+    drift.  Bit k of band j is hash bit ``j*8 + k`` (little bit
+    order), matching the analytic SQL oracles.
+
+    Vectorized across the whole Arrow batch: one ``frombuffer`` stack,
+    one blocked ``sum``, one ``np.packbits`` — no per-image Python
+    loop (this kernel sits inside the PNG-decode hot path of
+    ``dedup_image_ahash`` and the frame fan-out of
+    ``video_scene_cuts``).
+
+    Returns an ``(n, 8)`` int64 array; ``.tolist()`` gives the
+    ``array<long>`` column value per row.
+    """
+    import numpy as np
+
+    n = len(buffers)
+    if n == 0:
+        return np.empty((0, 8), dtype="int64")
+    blk = side // 8
+    if blk * 8 != side:
+        raise ValueError(f"ahash_bands needs side % 8 == 0, got {side}")
+    raw = b"".join(bytes(b) for b in buffers)
+    if len(raw) != n * side * side:
+        raise ValueError(
+            f"ahash_bands: expected {n} x {side * side}-byte buffers, "
+            f"got {len(raw)} total bytes"
+        )
+    a = np.frombuffer(raw, "uint8").astype("int64")
+    a = a.reshape(n, side, side)
+    bs = a.reshape(n, 8, blk, 8, blk).sum(axis=(2, 4)).reshape(n, 64)
+    total = a.reshape(n, -1).sum(axis=1)
+    bits = (bs * 64 >= total[:, None]).astype("uint8")
+    return (
+        np.packbits(bits.reshape(n, 8, 8), axis=-1, bitorder="little")
+        .reshape(n, 8)
+        .astype("int64")
+    )

@@ -4826,25 +4826,16 @@ def dedup_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = decode_images(encode_images(base))
 
     def _ahash(it):
-        import numpy as np
         import pandas as pd
 
+        from wrf_to_geodataframe_spark.operators.multimodal import (
+            ahash_bands,
+        )
+
         for pdf in it:
-            bands = []
-            for px in pdf["pixels"]:
-                a = np.frombuffer(bytes(px), "uint8").astype(
-                    "int64"
-                ).reshape(16, 16)
-                bs = a.reshape(8, 2, 8, 2).sum(axis=(1, 3)).ravel()
-                total = int(a.sum())
-                bits = (bs * 64 >= total).astype("int64")
-                bands.append([
-                    int(sum(int(bits[j * 8 + k]) << k for k in range(8)))
-                    for j in range(8)
-                ])
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"),
-                 "bands": bands}
+                 "bands": ahash_bands(pdf["pixels"]).tolist()}
             )
 
     # the (doc_id, bands) table is tiny (8 longs/doc) but its lineage
@@ -4994,26 +4985,17 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = sample_frames(base, stride=1)
 
     def _ahash(it):
-        import numpy as np
         import pandas as pd
 
+        from wrf_to_geodataframe_spark.operators.multimodal import (
+            ahash_bands,
+        )
+
         for pdf in it:
-            bands = []
-            for px in pdf["frame"]:
-                a = np.frombuffer(bytes(px), "uint8").astype(
-                    "int64"
-                ).reshape(16, 16)
-                bs = a.reshape(8, 2, 8, 2).sum(axis=(1, 3)).ravel()
-                total = int(a.sum())
-                bits = (bs * 64 >= total).astype("int64")
-                bands.append([
-                    int(sum(int(bits[j * 8 + k]) << k for k in range(8)))
-                    for j in range(8)
-                ])
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "frame_idx": pdf["frame_idx"].astype("int64"),
-                "bands": bands,
+                "bands": ahash_bands(pdf["frame"]).tolist(),
             })
 
     h = frames.mapInPandas(
