@@ -1457,3 +1457,78 @@ def test_ahash_bands_kernel_matches_scalar_reference():
         assert "256-byte" in str(exc)
     else:
         raise AssertionError("short buffer must raise")
+
+
+def test_minhash_collapse_90pct_identical_corpus_exact(spark, tmp_path):
+    """ADVERSARIAL EXACT-DUP SKEW: a corpus that is 90% byte-identical
+    copies (the shape that used to put every copy on one (band, key)
+    join key).  The collapsed generator must return EXACTLY the
+    within-group pair sets — every pair with jaccard_est precisely 1.0
+    — and nothing between unrelated documents (disjoint shingle sets
+    can never pass the 0.5 verify)."""
+    import itertools
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.suite.pipeline import dedup_minhash_lsh
+
+    groups = [(0, 90, "alpha"), (90, 96, "beta"), (96, 100, "gamma")]
+    rows = []
+    for lo, hi, tag in groups:
+        text = " ".join(f"{tag}word{k}" for k in range(12))
+        rows += [(i, text) for i in range(lo, hi)]
+    rows += [
+        (i, " ".join(f"uniq{i}w{k}" for k in range(12)))
+        for i in range(100, 112)
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(d, "documents.parquet"))
+
+    got = {
+        (r.da, r.db): r.jaccard_est
+        for r in dedup_minhash_lsh(spark, d).collect()
+    }
+    want = set()
+    for lo, hi, _ in groups:
+        want |= set(itertools.combinations(range(lo, hi), 2))
+    assert set(got) == want
+    assert all(v == 1.0 for v in got.values())
+
+
+def test_ahash_collapse_90pct_identical_exact_and_cross(spark):
+    """ADVERSARIAL EXACT-DUP SKEW for the image path: a hand-built
+    (doc_id, bands) table where 90 of 100 docs carry the SAME 64-bit
+    hash, 5 carry a hash at Hamming 1 from it, and 5 are far away.
+    Expected pair set is closed-form: all within-group pairs at
+    hamming 0, the full 90x5 cross product at hamming 1, nothing
+    touching the far hashes.  Also pins the loud banding-exactness
+    guard for radii past 2."""
+    import itertools
+
+    import pytest as _pytest
+
+    from wrf_to_geodataframe_spark.suite.pipeline import ahash_neardup_pairs
+
+    h1 = [10, 20, 30, 40, 50, 60, 70, 80]
+    h2 = [11, 20, 30, 40, 50, 60, 70, 80]  # band 0: 10^11 = 0b1 -> ham 1
+    far = [[255 - b, 128 + i, 1 + i, 2, 3, 4, 5, 6 + 32 * i]
+           for i, b in enumerate(range(5))]
+    rows = [(i, h1) for i in range(90)]
+    rows += [(90 + i, h2) for i in range(5)]
+    rows += [(95 + i, far[i]) for i in range(5)]
+    h = spark.createDataFrame(rows, "doc_id long, bands array<long>")
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in ahash_neardup_pairs(h).collect()
+    }
+    want = {p: 0 for p in itertools.combinations(range(90), 2)}
+    want |= {p: 0 for p in itertools.combinations(range(90, 95), 2)}
+    want |= {(a, b): 1 for a in range(90) for b in range(90, 95)}
+    assert got == want
+
+    with _pytest.raises(ValueError, match="hamming <= 2"):
+        ahash_neardup_pairs(h, max_hamming=3)

@@ -1558,3 +1558,72 @@ def test_image_ahash_dedup_100k_images(spark, tmp_path):
     print(f"\nimage dedup 100k PNG round-trips in {dt:.1f}s, "
           f"{len(got)} pairs, precision 1.0, "
           f"recall {1 - len(missed) / len(want):.4f}")
+
+
+@slow
+def test_minhash_dedup_adversarial_90pct_identical_200k(spark, tmp_path):
+    """EXACT-DUPLICATE SKEW at corpus scale: 200k docs of which 90% are
+    byte-identical copies — one HOT group of 4,000 copies plus 1,955
+    groups of 90 — the adversarial shape that used to put every copy of
+    a group on one (band, band_key) self-join key (O(k^2) candidate
+    rows on a single task, 4x-amplified across bands, then a distinct).
+    With the exact-duplicate collapse, only the ~22k DISTINCT
+    signatures enter the banded join and the verify stage; the
+    within-group side is pure output (every produced row IS a result
+    pair).  The pair count is closed-form and every estimate is exactly
+    1.0 on a sample."""
+    import os as _os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        minhash_verified_pairs,
+    )
+
+    n_hot, n_small_groups, gsz = 4_000, 1_955, 90
+    n_dup = n_hot + n_small_groups * gsz  # 179,950 = ~90% of 200k
+    n_docs = 200_000
+    # doc < n_hot -> the hot group (gid 0); next block -> group
+    # 1 + (doc - n_hot) // 90; rest unique
+    gid = (
+        F.when(F.col("id") < n_hot, F.lit(0))
+        .when(
+            F.col("id") < n_dup,
+            1 + ((F.col("id") - n_hot) / gsz).cast("long"),
+        )
+        .otherwise(-F.col("id") - 1)  # unique negative gid per doc
+    )
+    base = F.concat_ws(
+        " ",
+        *[
+            F.md5(F.concat(F.col("gid").cast("string"), F.lit(f"w{k}")))
+            for k in range(12)
+        ],
+    )
+    (
+        spark.range(n_docs)
+        .select(F.col("id").alias("doc_id"), gid.alias("gid"))
+        .select("doc_id", base.alias("text"))
+        .write.mode("overwrite")
+        .parquet(_os.path.join(str(tmp_path), "documents.parquet"))
+    )
+    docs = spark.read.parquet(_os.path.join(str(tmp_path), "documents.parquet"))
+    t0 = time.time()
+    pairs = minhash_verified_pairs(docs).persist()
+    n_pairs = pairs.count()
+    want = n_hot * (n_hot - 1) // 2 + n_small_groups * gsz * (gsz - 1) // 2
+    # estimates are exactly 1.0 everywhere (identical signatures);
+    # check the hot group's sampled slice without collecting 16M rows
+    bad_est = pairs.filter(F.col("jaccard_est") != 1.0).count()
+    hot = pairs.filter((F.col("da") == 0) & (F.col("db") < n_hot)).count()
+    wall = time.time() - t0
+    pairs.unpersist()
+    spark.catalog.clearCache()
+    print(
+        f"\nadversarial 90%-identical 200k: pairs={n_pairs} "
+        f"(want {want}), wall={wall:.1f}s"
+    )
+    assert n_pairs == want, (n_pairs, want)
+    assert bad_est == 0
+    assert hot == n_hot - 1  # doc 0 pairs with every other hot member

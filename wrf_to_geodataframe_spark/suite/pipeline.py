@@ -445,10 +445,37 @@ WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.8
 
 _MH_K = 16  # minhash functions
 _MH_BANDS = 4  # bands of 4 rows each: P(candidate) = 1-(1-j^4)^4
+_MH_R = _MH_K // _MH_BANDS  # rows (signature slots) per band
 
 
-def _minhash_sigs(docs: DataFrame) -> DataFrame:
-    """(doc_id, i, mh): the i-th minhash of each document's shingle set,
+def _collapse_identical(df: DataFrame, key: str, id_col: str = "doc_id"):
+    """(reps, cm): collapse rows whose ``key`` column (a full
+    signature/hash) is IDENTICAL down to one representative — the
+    smallest id — returning the representative table (key + ``rep``)
+    and the copy map (``id_col`` -> ``rep``).
+
+    This is the EXACT-DUPLICATE SKEW GUARD of the banded near-dup
+    family: a corpus dominated by byte-identical items puts every copy
+    on the same (band, value) join key, turning the banded self-join
+    into an O(k^2) hot task.  Collapsing first makes the banded join
+    run over DISTINCT signatures only; within-group pairs are emitted
+    directly from the copy map (output-bound — every row produced IS a
+    result row) and cross-group matches fan back out through it.  Both
+    shuffles here are skew-tolerant: the groupBy partial-aggregates
+    map-side, and the copy-map join matches exactly one representative
+    per row (AQE can split an oversized partition without blowup)."""
+    reps = df.groupBy(key).agg(F.min(id_col).alias("rep"))
+    cm = df.join(reps, key).select(F.col(id_col).alias("doc_id"), "rep")
+    return reps, cm
+
+
+def _minhash_sigv(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig): the 16-long densified OPH signature as ONE array
+    column (sig[i] = mh_i) — the unit the exact-duplicate collapse
+    groups on.  Derivation below; the long-format (doc_id, i, mh) view
+    is ``_minhash_sigs``/``_explode_sigv``.
+
+    The i-th minhash of each document's shingle set,
     i in [0, 16), via ONE-PERMUTATION HASHING with rotation
     densification (Li/Owen/Zhang, "One Permutation Hashing", NIPS 2012;
     densification per Shrivastava/Li): hash each shingle ONCE, partition
@@ -481,45 +508,98 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
             for i in range(_MH_K)
         ]
     )
-    return wide.select(
-        "doc_id", F.posexplode(dense).alias("i", "mh")
+    return wide.select("doc_id", dense.alias("sig"))
+
+
+def _explode_sigv(sigv: DataFrame) -> DataFrame:
+    """(doc_id, i, mh) long-format view of the array-form signatures —
+    the layout the per-pair Jaccard-estimate verifiers join on."""
+    return sigv.select(
+        "doc_id", F.posexplode("sig").alias("i", "mh")
     ).select("doc_id", F.col("i").cast("long").alias("i"), "mh")
 
 
+def _minhash_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, i, mh): long-format signatures (see _minhash_sigv)."""
+    return _explode_sigv(_minhash_sigv(docs))
+
+
 def _minhash_band_candidates(docs: DataFrame):
-    """(sigs, cand): the shared MinHash-LSH candidate generator — band
-    the 16-long signature 4x4 and self-equi-join on the band digest.
+    """(sigs, cross, within): the shared MinHash-LSH candidate
+    generator — band the 16-long signature 4x4 and self-equi-join on
+    the band digest.  ``cross`` pairs span two signature groups and
+    still need verification; ``within`` pairs share an IDENTICAL full
+    signature (agreement 16/16, Jaccard estimate exactly 1.0), so the
+    signature verifier skips them — only a verifier with access to
+    finer evidence (edit distance on the raw text) re-checks them.
     Both the Jaccard-estimate verifier (dedup_minhash_lsh) and the
     edit-distance verifier (dedup_edit_distance) consume these
-    candidates.  sigs/banded persist: they feed multiple plan branches
-    and self-joined HOF subtrees never hit exchange reuse."""
-    sigs = _minhash_sigs(docs).persist()
-    banded = (
-        sigs.withColumn("band", F.floor(F.col("i") / (_MH_K // _MH_BANDS)))
-        .groupBy("doc_id", "band")
-        .agg(
+    candidates.
+
+    EXACT-DUPLICATE COLLAPSE before banding (the skew guard, see
+    _collapse_identical): identical signatures — the shape of a corpus
+    full of byte-identical copies — are grouped to one representative;
+    only DISTINCT signatures enter the banded self-join.  The candidate
+    set is provably unchanged: sig(a) == sig(rep) means a shares
+    exactly rep's band keys, so cross-group candidacy is decided by the
+    representative pair, and within-group pairs (all bands equal) are
+    always candidates — emitted straight from the copy map, every row
+    produced being a result row.  sigv/cm persist: they feed multiple
+    plan branches and self-joined HOF subtrees never hit exchange
+    reuse."""
+    sigv = _minhash_sigv(docs).persist()
+    sigs = _explode_sigv(sigv)
+    reps, cm = _collapse_identical(sigv, "sig")
+    cm = cm.persist()
+    band_arr = F.array(
+        *[
             F.concat_ws(
                 ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                    lambda x: x["mh"].cast("string"),
-                ),
-            ).alias("band_key")
-        )
-    ).persist()
+                *[
+                    F.col("sig")[j * _MH_R + k].cast("string")
+                    for k in range(_MH_R)
+                ],
+            )
+            for j in range(_MH_BANDS)
+        ]
+    )
+    banded = reps.select(
+        "rep", F.posexplode(band_arr).alias("band", "band_key")
+    )
     qa = banded.alias("qa")
     qb = banded.alias("qb")
-    cand = (
+    rep_cand = (
         qa.join(
             qb,
             (F.col("qa.band") == F.col("qb.band"))
             & (F.col("qa.band_key") == F.col("qb.band_key"))
-            & (F.col("qa.doc_id") < F.col("qb.doc_id")),
+            & (F.col("qa.rep") < F.col("qb.rep")),
         )
-        .select(F.col("qa.doc_id").alias("da"), F.col("qb.doc_id").alias("db"))
+        .select(F.col("qa.rep").alias("ra"), F.col("qb.rep").alias("rb"))
         .distinct()
     )
-    return sigs, cand
+    ca = cm.select(F.col("rep").alias("ra"), F.col("doc_id").alias("ia"))
+    cb = cm.select(F.col("rep").alias("rb"), F.col("doc_id").alias("ib"))
+    cross = (
+        rep_cand.join(ca, "ra")
+        .join(cb, "rb")
+        .select(
+            F.least("ia", "ib").alias("da"),
+            F.greatest("ia", "ib").alias("db"),
+        )
+    )
+    within = (
+        cm.alias("x")
+        .join(
+            cm.alias("y"),
+            (F.col("x.rep") == F.col("y.rep"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db")
+        )
+    )
+    return sigs, cross, within
 
 
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -958,12 +1038,17 @@ def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
     arbitrary (doc_id, text) frame — band candidates re-scored by
     full-signature agreement, kept at matches/K >= 0.5.  Shared by the
     corpus query below and the 200k-doc scale test so the verification
-    semantics cannot drift between them."""
-    sigs, cand = _minhash_band_candidates(docs)
+    semantics cannot drift between them.  Only CROSS-group candidates
+    go through the signature-agreement join; within-group pairs carry
+    an identical signature, so their estimate is exactly 1.0 without
+    touching the signatures again (keeps the verify stage bounded by
+    DISTINCT signatures on an exact-duplicate-heavy corpus — the
+    within side is pure output)."""
+    sigs, cross, within = _minhash_band_candidates(docs)
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
     est = (
-        cand.join(sa, F.col("da") == F.col("sa.doc_id"))
+        cross.join(sa, F.col("da") == F.col("sa.doc_id"))
         .join(sb, (F.col("db") == F.col("sb.doc_id")) & (F.col("sa.i") == F.col("sb.i")))
         .groupBy("da", "db")
         .agg(
@@ -973,7 +1058,11 @@ def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
             ).alias("jaccard_est")
         )
     )
-    return est.filter(F.col("jaccard_est") >= 0.5)
+    return est.filter(F.col("jaccard_est") >= 0.5).unionByName(
+        within.select(
+            "da", "db", F.lit(1.0).cast("double").alias("jaccard_est")
+        )
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1162,7 +1251,11 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic Levenshtein definition, so the verify step is
     oracle-exact."""
     docs = load_table(spark, sf_dir, "documents")
-    _sigs, cand = _minhash_band_candidates(docs)
+    # identical-signature (within) pairs are NOT pre-verified here:
+    # equal signatures do not imply equal text, so every candidate goes
+    # through the exact Levenshtein check
+    _sigs, cross, within = _minhash_band_candidates(docs)
+    cand = cross.unionByName(within)
     ta = docs.select(
         F.col("doc_id").alias("da"), F.col("text").alias("text_a")
     )
@@ -4846,38 +4939,90 @@ def dedup_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = decoded.select("doc_id", "pixels").mapInPandas(
         _ahash, "doc_id long, bands array<long>"
     ).persist()
-    e = h.select(
-        "doc_id", "bands", F.posexplode("bands").alias("bi", "bv")
+    return ahash_neardup_pairs(h)
+
+
+def ahash_neardup_pairs(h: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """(doc_a, doc_b, hamming): all pairs within ``max_hamming`` of the
+    64-bit aHash, from a (doc_id, bands array<long>) table — the banded
+    self-join core of ``dedup_image_ahash``, factored out so the
+    adversarial skew tests can feed it a hand-built hash table.
+
+    Banding is EXACT for max_hamming <= 2 (>= 6 of 8 bands stay
+    identical); callers asking for a larger radius get a loud error
+    rather than silent recall loss.
+
+    EXACT-DUPLICATE COLLAPSE before banding (the skew guard, see
+    _collapse_identical): identical 64-bit hashes — the shape of a
+    corpus full of byte-identical images — collapse to one
+    representative; only DISTINCT hashes enter the banded self-join.
+    Exactness: hash(a) == hash(rep) means hamming(a, x) ==
+    hamming(rep, x) for every x, so cross-group pairs inherit the
+    representative pair's distance, and within-group pairs are
+    hamming 0 by construction."""
+    if max_hamming > 2:
+        raise ValueError(
+            "8-band aHash banding is exact only for hamming <= 2; "
+            f"got max_hamming={max_hamming}"
+        )
+    reps, cm = _collapse_identical(h, "bands")
+    reps = reps.persist()
+    cm = cm.persist()
+    e = reps.select(
+        "rep", "bands", F.posexplode("bands").alias("bi", "bv")
     )
     ea = e.select(
-        F.col("doc_id").alias("doc_a"), F.col("bands").alias("ba"),
+        F.col("rep").alias("ra"), F.col("bands").alias("ba"),
         F.col("bi").alias("bia"), F.col("bv").alias("va"),
     )
     eb = e.select(
-        F.col("doc_id").alias("doc_b"), F.col("bands").alias("bb"),
+        F.col("rep").alias("rb"), F.col("bands").alias("bb"),
         F.col("bi").alias("bib"), F.col("bv").alias("vb"),
     )
-    cand = (
+    rep_pairs = (
         ea.join(
             eb,
             (F.col("bia") == F.col("bib"))
             & (F.col("va") == F.col("vb"))
-            & (F.col("doc_a") < F.col("doc_b")),
+            & (F.col("ra") < F.col("rb")),
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy("ra", "rb")
         .agg(F.first("ba").alias("ba"), F.first("bb").alias("bb"))
-    )
-    return (
-        cand.withColumn(
+        .withColumn(
             "hamming",
             F.expr(
                 "CAST(aggregate(zip_with(ba, bb, (x, y) -> "
                 "bit_count(x ^ y)), 0, (acc, v) -> acc + v) AS BIGINT)"
             ),
         )
-        .filter(F.col("hamming") <= 2)
-        .select("doc_a", "doc_b", "hamming")
+        .filter(F.col("hamming") <= max_hamming)
+        .select("ra", "rb", "hamming")
     )
+    ca = cm.select(F.col("rep").alias("ra"), F.col("doc_id").alias("ia"))
+    cb = cm.select(F.col("rep").alias("rb"), F.col("doc_id").alias("ib"))
+    cross = (
+        rep_pairs.join(ca, "ra")
+        .join(cb, "rb")
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            "hamming",
+        )
+    )
+    within = (
+        cm.alias("x")
+        .join(
+            cm.alias("y"),
+            (F.col("x.rep") == F.col("y.rep"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 _AHASH_BH = " || ".join(
