@@ -853,3 +853,261 @@ def test_bearing_and_destination_known_values_and_roundtrip(spark):
     ).collect()[0]
     assert abs(r["d"]["lon"] - 6.0) < 1e-9
     assert abs(r["d"]["lat"]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Equal-area projections (LAEA / Albers) + exact ellipsoidal cell areas
+
+
+def test_laea_matches_epsg_and_snyder_worked_examples():
+    """Forward/inverse LAEA pinned to PUBLISHED numbers: the EPSG
+    Guidance Note 7-2 ETRS89-LAEA (EPSG:3035) worked example — 50N 5E
+    -> E 3962799.45, N 2999718.85 — and Snyder PP 1395's ellipsoidal
+    worked example (Clarke 1866, origin 40N/100W): (30N, 110W) ->
+    x -965932.1, y -1056814.9, plus its inverse."""
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        laea_forward_numpy,
+        laea_inverse_numpy,
+    )
+
+    x, y = laea_forward_numpy(5.0, 50.0, 52.0, 10.0,
+                              fe=4321000.0, fn=3210000.0)
+    assert round(float(x), 2) == 3962799.45
+    assert round(float(y), 2) == 2999718.85
+    lo, la = laea_inverse_numpy(3962799.45, 2999718.85, 52.0, 10.0,
+                                fe=4321000.0, fn=3210000.0)
+    assert abs(float(lo) - 5.0) < 1e-7 and abs(float(la) - 50.0) < 1e-6
+
+    a_c, e2_c = 6378206.4, 0.00676866  # Clarke 1866, Snyder's values
+    x2, y2 = laea_forward_numpy(-110.0, 30.0, 40.0, -100.0,
+                                a=a_c, e2=e2_c)
+    assert round(float(x2), 1) == -965932.1
+    assert round(float(y2), 1) == -1056814.9
+    lo2, la2 = laea_inverse_numpy(-965932.1, -1056814.9, 40.0, -100.0,
+                                  a=a_c, e2=e2_c)
+    assert abs(float(lo2) - -110.0) < 1e-6
+    assert abs(float(la2) - 30.0) < 1e-6
+
+
+def test_albers_matches_snyder_worked_example():
+    """Ellipsoidal Albers pinned to Snyder PP 1395's worked example
+    (Clarke 1866, standard parallels 29.5/45.5, origin 23N/96W):
+    (35N, 75W) -> x 1885472.7, y 1535925.0 — and its inverse."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        albers_forward_numpy,
+        albers_inverse_numpy,
+    )
+
+    a_c, e2_c = 6378206.4, 0.00676866
+    x, y = albers_forward_numpy(-75.0, 35.0, 29.5, 45.5, 23.0, -96.0,
+                                a=a_c, e2=e2_c)
+    assert round(float(x), 1) == 1885472.7
+    assert round(float(y), 1) == 1535925.0
+    lo, la = albers_inverse_numpy(1885472.7, 1535925.0, 29.5, 45.5,
+                                  23.0, -96.0, a=a_c, e2=e2_c)
+    assert abs(float(lo) - -75.0) < 1e-6 and abs(float(la) - 35.0) < 1e-6
+
+
+def test_laea_albers_columns_match_numpy_twins(spark):
+    """The JVM column transforms and the numpy twins are the same
+    formula evaluated by two engines — agreement to sub-mm on a grid
+    spanning the domain, INCLUDING the projection origin (the rho = 0
+    guard of the inverse)."""
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        albers_forward_numpy,
+        laea_forward_numpy,
+        lonlat_to_albers,
+        lonlat_to_laea,
+    )
+
+    df = spark.range(121).select(
+        ((F.col("id") % 11).cast("double") * 3.0 - 10.0).alias("lon"),
+        (F.floor(F.col("id") / 11).cast("double") * 3.5 + 35.0).alias("lat"),
+    )
+    # append the exact LAEA origin (10E, 52N)
+    df = df.union(spark.sql("SELECT 10.0 AS lon, 52.0 AS lat"))
+    rows = lonlat_to_laea(
+        df, "lon", "lat", 52.0, 10.0,
+        false_easting=4321000.0, false_northing=3210000.0,
+    ).collect()
+    lo = np.array([r.lon for r in rows])
+    la = np.array([r.lat for r in rows])
+    ex, ey = laea_forward_numpy(lo, la, 52.0, 10.0,
+                                fe=4321000.0, fn=3210000.0)
+    np.testing.assert_allclose([r.laea_x for r in rows], ex, atol=1e-4)
+    np.testing.assert_allclose([r.laea_y for r in rows], ey, atol=1e-4)
+
+    rows2 = lonlat_to_albers(
+        spark.range(121).select(
+            ((F.col("id") % 11).cast("double") * 5.0 - 120.0).alias("lon"),
+            (F.floor(F.col("id") / 11).cast("double") * 2.5 + 25.0)
+            .alias("lat"),
+        ),
+        "lon", "lat", 29.5, 45.5, 23.0, -96.0,
+    ).collect()
+    lo2 = np.array([r.lon for r in rows2])
+    la2 = np.array([r.lat for r in rows2])
+    ex2, ey2 = albers_forward_numpy(lo2, la2, 29.5, 45.5, 23.0, -96.0)
+    np.testing.assert_allclose([r.albers_x for r in rows2], ex2, atol=1e-4)
+    np.testing.assert_allclose([r.albers_y for r in rows2], ey2, atol=1e-4)
+
+
+def test_laea_albers_to_crs_roundtrip(spark):
+    """EPSG front door: to_crs(3035) -> from_crs(3035) and
+    to_crs(5070) -> from_crs(5070) round-trip to sub-micro-degree
+    (the 3-18 series' O(e^8) floor), including the origin."""
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.functions.crs import from_crs, to_crs
+
+    df = spark.range(50).select(
+        ((F.col("id") % 10).cast("double") * 4.0 - 8.0).alias("lon"),
+        (F.floor(F.col("id") / 10).cast("double") * 7.0 + 36.0)
+        .alias("lat"),
+    ).union(spark.sql("SELECT 10.0, 52.0"))
+    rt = from_crs(
+        to_crs(df, "EPSG:3035", out_x="x", out_y="y"),
+        3035, out_lon="lon2", out_lat="lat2",
+    ).collect()
+    for r in rt:
+        assert abs(r.lon2 - r.lon) < 1e-6, r
+        assert abs(r.lat2 - r.lat) < 1e-6, r
+
+    df2 = spark.range(50).select(
+        ((F.col("id") % 10).cast("double") * 5.5 - 122.0).alias("lon"),
+        (F.floor(F.col("id") / 10).cast("double") * 5.0 + 25.0)
+        .alias("lat"),
+    )
+    rt2 = from_crs(
+        to_crs(df2, 5070, out_x="x", out_y="y"),
+        "EPSG:5070", out_lon="lon2", out_lat="lat2",
+    ).collect()
+    for r in rt2:
+        assert abs(r.lon2 - r.lon) < 1e-6, r
+        assert abs(r.lat2 - r.lat) < 1e-6, r
+
+
+def test_equal_area_property_both_projections():
+    """THE defining property: the planar area of a densified projected
+    lon/lat box equals the exact ellipsoidal area (closed form via
+    authalic q) to ~1e-10 relative — for LAEA at European latitudes and
+    Albers over CONUS.  A conformal projection (Web Mercator) fails
+    this by design (area inflation ~ 1/cos^2(lat), > 2x at 50N) —
+    asserted as the negative control."""
+    import math as m
+
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        albers_forward_numpy,
+        ellipsoid_box_area_m2_float,
+        laea_forward_numpy,
+    )
+
+    def densified_ring(lon1, lat1, lon2, lat2, nseg=1500):
+        return np.concatenate([
+            np.stack([np.linspace(lon1, lon2, nseg),
+                      np.full(nseg, lat1)], 1),
+            np.stack([np.full(nseg, lon2),
+                      np.linspace(lat1, lat2, nseg)], 1),
+            np.stack([np.linspace(lon2, lon1, nseg),
+                      np.full(nseg, lat2)], 1),
+            np.stack([np.full(nseg, lon1),
+                      np.linspace(lat2, lat1, nseg)], 1),
+        ])
+
+    def shoelace(x, y):
+        return 0.5 * abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+    ring = densified_ring(5.0, 50.0, 6.0, 51.0)
+    want = ellipsoid_box_area_m2_float(5.0, 50.0, 6.0, 51.0)
+    px, py = laea_forward_numpy(ring[:, 0], ring[:, 1], 52.0, 10.0)
+    got = shoelace(px, py)
+    assert abs(got - want) / want < 1e-9, (got, want)
+
+    ring2 = densified_ring(-100.0, 38.0, -99.0, 39.0)
+    want2 = ellipsoid_box_area_m2_float(-100.0, 38.0, -99.0, 39.0)
+    qx, qy = albers_forward_numpy(ring2[:, 0], ring2[:, 1],
+                                  29.5, 45.5, 23.0, -96.0)
+    got2 = shoelace(qx, qy)
+    assert abs(got2 - want2) / want2 < 1e-9, (got2, want2)
+
+    # negative control: Web Mercator inflates area by ~1/cos^2(lat)
+    R = 6378137.0
+    wx = np.radians(ring[:, 0]) * R
+    wy = R * np.log(np.tan(np.pi / 4 + np.radians(ring[:, 1]) / 2))
+    infl = shoelace(wx, wy) / want
+    assert infl > 2.0, infl  # 1/cos(50.5 deg)^2 ~ 2.47
+
+
+def test_ellipsoid_box_area_additive_and_matches_column(spark):
+    """Additivity (the conservation precondition): splitting a box at
+    any interior latitude or longitude gives parts whose closed-form
+    areas sum to the whole within 1 ulp-scale tolerance; and the Spark
+    column evaluates the identical formula (sub-m^2 on ~1e10 m^2)."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        ellipsoid_box_area_m2,
+        ellipsoid_box_area_m2_float,
+    )
+
+    whole = ellipsoid_box_area_m2_float(3.0, 42.0, 7.0, 46.0)
+    for latm in (42.5, 44.0, 45.9):
+        parts = (ellipsoid_box_area_m2_float(3.0, 42.0, 7.0, latm)
+                 + ellipsoid_box_area_m2_float(3.0, latm, 7.0, 46.0))
+        assert abs(parts - whole) < 1e-3, (latm, parts, whole)
+    for lonm in (3.1, 5.0, 6.8):
+        parts = (ellipsoid_box_area_m2_float(3.0, 42.0, lonm, 46.0)
+                 + ellipsoid_box_area_m2_float(lonm, 42.0, 7.0, 46.0))
+        assert abs(parts - whole) < 1e-3, (lonm, parts, whole)
+
+    rows = spark.range(20).select(
+        (F.col("id").cast("double") * 0.37 - 3.0).alias("lon1"),
+        (F.col("id").cast("double") * 0.41 + 38.0).alias("lat1"),
+    ).select(
+        "lon1", "lat1",
+        ellipsoid_box_area_m2(
+            "lon1", "lat1",
+            F.col("lon1") + 0.25, F.col("lat1") + 0.25,
+        ).alias("area"),
+    ).collect()
+    for r in rows:
+        want = ellipsoid_box_area_m2_float(
+            r.lon1, r.lat1, r.lon1 + 0.25, r.lat1 + 0.25
+        )
+        assert abs(r.area - want) < 1.0, (r, want)
+
+
+def test_equalarea_pyproj_crosscheck():
+    """Env-gated parity vs pyproj (absent in this container):
+    EPSG:3035 and EPSG:5070 grids, sub-mm."""
+    import pytest
+
+    pyproj = pytest.importorskip("pyproj")
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        albers_forward_numpy,
+        laea_forward_numpy,
+    )
+
+    lo, la = np.meshgrid(np.linspace(-10, 30, 5), np.linspace(35, 70, 5))
+    t = pyproj.Transformer.from_crs("EPSG:4326", "EPSG:3035",
+                                    always_xy=True)
+    ex, ny = t.transform(lo, la)
+    x, y = laea_forward_numpy(lo, la, 52.0, 10.0,
+                              fe=4321000.0, fn=3210000.0)
+    np.testing.assert_allclose(x, ex, rtol=0, atol=1e-3)
+    np.testing.assert_allclose(y, ny, rtol=0, atol=1e-3)
+
+    lo2, la2 = np.meshgrid(np.linspace(-120, -75, 5),
+                           np.linspace(25, 48, 5))
+    t2 = pyproj.Transformer.from_crs("EPSG:4326", "EPSG:5070",
+                                     always_xy=True)
+    ex2, ny2 = t2.transform(lo2, la2)
+    x2, y2 = albers_forward_numpy(lo2, la2, 29.5, 45.5, 23.0, -96.0)
+    np.testing.assert_allclose(x2, ex2, rtol=0, atol=1e-3)
+    np.testing.assert_allclose(y2, ny2, rtol=0, atol=1e-3)
