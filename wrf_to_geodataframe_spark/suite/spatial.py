@@ -1670,6 +1670,287 @@ FROM events
 """
 
 
+
+# ---------------------------------------------------------------------------
+# G8 equal-area: LAEA column transform gate + the equal-area-weighted
+# conservative regrid (the scientific fix for the reference's planar
+# degrees^2 A4 weights, delphine/regrid.py:261-262)
+
+
+def g8_crs_laea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambert azimuthal equal-area transform (SURVEY.md §2 G8) —
+    EPSG:3035, the standard European equal-area climate/statistics
+    grid: grid centers as pseudo lon/lat over Europe projected through
+    the ellipsoidal LAEA column transform (functions/crs.py, Snyder
+    eqs. 24-17/24-18 with authalic q 3-12; pinned to the EPSG Guidance
+    Note 7-2 worked example and Snyder's in tests/test_crs.py).
+    Outputs rounded to cm (cross-engine libm drift ~1e-9 m)."""
+    from wrf_to_geodataframe_spark.functions.crs import lonlat_to_laea
+
+    cells = grid_cells(spark, sf_dir)
+    d = cells.select(
+        "user_id",
+        (F.col("x") * 0.5 - 2.0).alias("lon"),   # ~[-2, 13.5]
+        (F.col("y") * 0.4 + 38.0).alias("lat"),  # ~[38, 56.8]
+    )
+    out = lonlat_to_laea(
+        d, F.col("lon"), F.col("lat"), 52.0, 10.0,
+        false_easting=4321000.0, false_northing=3210000.0,
+    )
+    return out.select(
+        "user_id",
+        F.round("laea_x", 2).alias("laea_x"),
+        F.round("laea_y", 2).alias("laea_y"),
+    )
+
+
+def _laea_sql() -> str:
+    """Oracle mirror of the ellipsoidal LAEA forward with IDENTICAL
+    precomputed constants (qp, Rq, D, sin/cos beta1, e, e2)."""
+    from wrf_to_geodataframe_spark.functions.crs import laea_constants
+
+    k = laea_constants(52.0)
+    e, e2 = k["e"], k["e2"]
+    return f"""
+WITH cells AS ({_CELLS_SQL}),
+ll AS (
+    SELECT user_id,
+           sin(radians((y1 + 0.5) * 0.4 + 38.0)) AS s,
+           radians((x1 + 0.5) * 0.5 - 2.0 - 10.0) AS dl
+    FROM cells
+),
+b AS (
+    SELECT user_id, dl,
+           asin({1.0 - e2!r} * (s / (1.0 - {e2!r} * s * s)
+                - {1.0 / (2.0 * e)!r}
+                  * ln((1.0 - {e!r} * s) / (1.0 + {e!r} * s)))
+                / {k["qp"]!r}) AS beta
+    FROM ll
+),
+big AS (
+    SELECT user_id, dl, sin(beta) AS sb, cos(beta) AS cb,
+           {k["rq"]!r} * sqrt(2.0 / (1.0 + {k["sinb1"]!r} * sin(beta)
+               + {k["cosb1"]!r} * cos(beta) * cos(dl))) AS bb
+    FROM b
+)
+SELECT user_id,
+       round(bb * {k["d"]!r} * cb * sin(dl) + 4321000.0, 2) AS laea_x,
+       round((bb / {k["d"]!r}) * ({k["cosb1"]!r} * sb
+             - {k["sinb1"]!r} * cb * cos(dl)) + 3210000.0, 2) AS laea_y
+FROM big
+"""
+
+
+_G8_LAEA_SQL = _laea_sql()
+
+
+# Degree mapping for the equal-area regrid: the synthetic grid read as
+# 0.25-degree cells over Europe (lat 40-52N -> the cos(lat) weight
+# distortion the planar kernel ignores spans ~20% across the domain)
+EA_LON0, EA_DLON = -4.0, 0.25
+EA_LAT0, EA_DLAT = 40.0, 0.25
+
+
+def regrid_conservative_equalarea(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The conservative regrid with EQUAL-AREA weights (SURVEY.md §3.3
+    + VERDICT r10 item 1): the source grid is read as 0.25-degree
+    lon/lat cells over Europe and the A4 transfer weights are ratios of
+    EXACT ellipsoidal areas (functions/crs.ellipsoid_box_area_m2,
+    closed-form via Snyder's authalic q — the same integral every
+    equal-area projection is built on).
+
+    This fixes the reference's own latitude distortion: its weights are
+    planar areas in grid-CRS units — degrees^2 on EPSG:4326
+    (delphine/regrid.py:261-262) — which overweight the poleward part
+    of every cell by 1/cos(lat) (~20% across this domain).  Because the
+    closed-form area is ADDITIVE (a measure with shared boundary
+    terms), each source cell's intersection areas sum to its own area
+    and mass is conserved exactly (property test in
+    tests/test_spatial_suite.py).
+
+    Plan shape is identical to regrid_conservative: index-arithmetic
+    overlay explode (never all-pairs), one partial-aggregated shuffle
+    for the A4 kernel, quantized per-pair contributions so the
+    distributed sum is order-independent, left join onto the generated
+    destination grid with fillna(0)."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        ellipsoid_box_area_m2,
+    )
+
+    def lon(g):
+        return F.lit(EA_LON0) + F.lit(EA_DLON) * g
+
+    def lat(g):
+        return F.lit(EA_LAT0) + F.lit(EA_DLAT) * g
+
+    src = _source_cells_with_pop(spark, sf_dir)
+    cand = (
+        src.withColumn(
+            "i",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("x1") - F.lit(OX)) / F.lit(DW)),
+                    F.floor((F.col("x2") - F.lit(OX)) / F.lit(DW)),
+                )
+            ),
+        )
+        .withColumn(
+            "j",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("y1") - F.lit(OY)) / F.lit(DH)),
+                    F.floor((F.col("y2") - F.lit(OY)) / F.lit(DH)),
+                )
+            ),
+        )
+        .withColumn("ix1", F.greatest(F.col("x1"), F.lit(OX) + F.lit(DW) * F.col("i")))
+        .withColumn("iy1", F.greatest(F.col("y1"), F.lit(OY) + F.lit(DH) * F.col("j")))
+        .withColumn("ix2", F.least(F.col("x2"), F.lit(OX) + F.lit(DW) * (F.col("i") + 1)))
+        .withColumn("iy2", F.least(F.col("y2"), F.lit(OY) + F.lit(DH) * (F.col("j") + 1)))
+        .filter((F.col("ix2") > F.col("ix1")) & (F.col("iy2") > F.col("iy1")))
+    )
+    area_src = ellipsoid_box_area_m2(
+        lon(F.col("x1")), lat(F.col("y1")), lon(F.col("x2")), lat(F.col("y2"))
+    )
+    area_int = ellipsoid_box_area_m2(
+        lon(F.col("ix1")), lat(F.col("iy1")), lon(F.col("ix2")), lat(F.col("iy2"))
+    )
+    contrib_q = F.round(
+        F.col("pop") / area_src * area_int * F.lit(float(Q))
+    ).cast("long")
+    transferred = cand.groupBy("i", "j").agg(
+        (F.sum(contrib_q).cast("double") / F.lit(float(Q))).alias("pop_t")
+    )
+    bbox = src.agg(
+        F.min("x").alias("xmin"), F.min("y").alias("ymin"),
+        F.max("x").alias("xmax"), F.max("y").alias("ymax"),
+    )
+    dest = (
+        bbox.select(
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("xmin") - F.lit(0.5) - F.lit(OX)) / F.lit(DW)),
+                    F.floor((F.col("xmax") + F.lit(0.5) - F.lit(OX)) / F.lit(DW)),
+                )
+            ).alias("i"),
+            "ymin", "ymax",
+        )
+        .select(
+            "i",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("ymin") - F.lit(0.5) - F.lit(OY)) / F.lit(DH)),
+                    F.floor((F.col("ymax") + F.lit(0.5) - F.lit(OY)) / F.lit(DH)),
+                )
+            ).alias("j"),
+        )
+    )
+    return (
+        dest.join(transferred, ["i", "j"], "left")
+        .select(
+            "i", "j",
+            (F.lit(EA_LON0) + F.lit(EA_DLON) * (F.lit(OX) + F.lit(DW) * F.col("i"))).alias("lon1"),
+            (F.lit(EA_LAT0) + F.lit(EA_DLAT) * (F.lit(OY) + F.lit(DH) * F.col("j"))).alias("lat1"),
+            (F.lit(EA_LON0) + F.lit(EA_DLON) * (F.lit(OX) + F.lit(DW) * (F.col("i") + 1))).alias("lon2"),
+            (F.lit(EA_LAT0) + F.lit(EA_DLAT) * (F.lit(OY) + F.lit(DH) * (F.col("j") + 1))).alias("lat2"),
+            F.coalesce(F.col("pop_t"), F.lit(0.0)).alias("population"),
+        )
+    )
+
+
+def _regrid_equalarea_sql() -> str:
+    """Oracle mirror: the identical authalic-q closed form with the
+    identical GRS80 constant literals, per-pair rounding at 1e-6."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        GRS80_A,
+        GRS80_E2,
+    )
+    import math as _math
+
+    e2 = GRS80_E2
+    e = _math.sqrt(e2)
+    a2h = GRS80_A * GRS80_A / 2.0
+
+    def qs(sin_expr: str) -> str:
+        return (
+            f"({1.0 - e2!r} * ({sin_expr} / (1.0 - {e2!r} * {sin_expr}"
+            f" * {sin_expr}) - {1.0 / (2.0 * e)!r}"
+            f" * ln((1.0 - {e!r} * {sin_expr})"
+            f" / (1.0 + {e!r} * {sin_expr}))))"
+        )
+
+    def area(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+        sl1 = f"sin(radians({EA_LAT0} + {EA_DLAT} * ({lat1})))"
+        sl2 = f"sin(radians({EA_LAT0} + {EA_DLAT} * ({lat2})))"
+        return (
+            f"({a2h!r} * radians(({EA_LON0} + {EA_DLON} * ({lon2}))"
+            f" - ({EA_LON0} + {EA_DLON} * ({lon1})))"
+            f" * ({qs(sl2)} - {qs(sl1)}))"
+        )
+
+    a_src = area("s.x1", "s.y1", "s.x2", "s.y2")
+    a_int = area(
+        "greatest(s.x1, d.dx1)", "greatest(s.y1, d.dy1)",
+        "least(s.x2, d.dx2)", "least(s.y2, d.dy2)",
+    )
+    return f"""
+WITH src AS (
+    SELECT user_id, count(*) AS pop,
+           CAST(user_id % {GRID_W} AS DOUBLE) - 0.5 AS x1,
+           floor(user_id / {GRID_W}.0) - 0.5 AS y1,
+           CAST(user_id % {GRID_W} AS DOUBLE) + 0.5 AS x2,
+           floor(user_id / {GRID_W}.0) + 0.5 AS y2
+    FROM events GROUP BY user_id
+),
+bbox AS (
+    SELECT min(CAST(user_id % {GRID_W} AS DOUBLE)) AS xmin,
+           min(floor(user_id / {GRID_W}.0)) AS ymin,
+           max(CAST(user_id % {GRID_W} AS DOUBLE)) AS xmax,
+           max(floor(user_id / {GRID_W}.0)) AS ymax
+    FROM events
+),
+dest AS (
+    SELECT gi.i, gj.j,
+           {OX} + {DW} * gi.i AS dx1, {OY} + {DH} * gj.j AS dy1,
+           {OX} + {DW} * (gi.i + 1) AS dx2, {OY} + {DH} * (gj.j + 1) AS dy2
+    FROM bbox,
+         generate_series(-4, 4096) AS gi(i),
+         generate_series(-4, 4096) AS gj(j)
+    WHERE gi.i BETWEEN CAST(floor((xmin - 0.5 - {OX}) / {DW}) AS BIGINT)
+                   AND CAST(floor((xmax + 0.5 - {OX}) / {DW}) AS BIGINT)
+      AND gj.j BETWEEN CAST(floor((ymin - 0.5 - {OY}) / {DH}) AS BIGINT)
+                   AND CAST(floor((ymax + 0.5 - {OY}) / {DH}) AS BIGINT)
+),
+pairs AS (
+    SELECT d.i, d.j,
+           CAST(round(s.pop / {a_src} * {a_int} * {Q}.0) AS BIGINT)
+               AS contrib_q
+    FROM src s JOIN dest d
+      ON least(s.x2, d.dx2) > greatest(s.x1, d.dx1)
+     AND least(s.y2, d.dy2) > greatest(s.y1, d.dy1)
+),
+transferred AS (
+    SELECT i, j, CAST(sum(contrib_q) AS DOUBLE) / {Q}.0 AS pop_t
+    FROM pairs GROUP BY i, j
+)
+SELECT d.i, d.j,
+       -- CAST keeps the chain in binary DOUBLE (DuckDB parses bare
+       -- decimal-point literals as exact DECIMAL, which lands 1 ulp
+       -- off Spark's double arithmetic on some cells)
+       {EA_LON0} + {EA_DLON} * CAST(d.dx1 AS DOUBLE) AS lon1,
+       {EA_LAT0} + {EA_DLAT} * CAST(d.dy1 AS DOUBLE) AS lat1,
+       {EA_LON0} + {EA_DLON} * CAST(d.dx2 AS DOUBLE) AS lon2,
+       {EA_LAT0} + {EA_DLAT} * CAST(d.dy2 AS DOUBLE) AS lat2,
+       coalesce(t.pop_t, 0.0) AS population
+FROM dest d LEFT JOIN transferred t USING (i, j)
+"""
+
+
+_REGRID_EA_SQL = _regrid_equalarea_sql()
+
+
 QUERIES = {
     "p4_bbox_filter": p4_bbox_filter,
     "focal_mean_3x3": focal_mean_3x3,
@@ -1682,10 +1963,12 @@ QUERIES = {
     "g7_clipped_cell_areas": g7_clipped_cell_areas,
     "j3_bucketed_spatial_join": j3_bucketed_spatial_join,
     "regrid_conservative": regrid_conservative,
+    "regrid_conservative_equalarea": regrid_conservative_equalarea,
     "regrid_conservative_general": regrid_conservative_general,
     "g8_crs_webmercator": g8_crs_webmercator,
     "g8_crs_osgb": g8_crs_osgb,
     "g8_crs_lcc": g8_crs_lcc,
+    "g8_crs_laea": g8_crs_laea,
     "g8_crs_utm": g8_crs_utm,
     "g8_crs_stere": g8_crs_stere,
     "g8_crs_rotated": g8_crs_rotated,
@@ -1708,10 +1991,12 @@ ORACLE = {
     "g7_clipped_cell_areas": _G7_SQL,
     "j3_bucketed_spatial_join": _J3_SQL,
     "regrid_conservative": _REGRID_SQL,
+    "regrid_conservative_equalarea": _REGRID_EA_SQL,
     "regrid_conservative_general": _REGRID_GENERAL_SQL,
     "g8_crs_webmercator": _G8_SQL,
     "g8_crs_osgb": _G8_OSGB_SQL,
     "g8_crs_lcc": _G8_LCC_SQL,
+    "g8_crs_laea": _G8_LAEA_SQL,
     "g8_crs_utm": _G8_UTM_SQL,
     "g8_crs_stere": _G8_STERE_SQL,
     "g8_crs_rotated": _G8_ROTATED_SQL,
