@@ -28,6 +28,54 @@ __all__ = ["getsize", "is_remote", "open_binary"]
 # forever: every ranged GET gets this socket timeout.
 HTTP_TIMEOUT_S = 30.0
 
+# s3:// byte-range reads WITHOUT fsspec: when an S3 endpoint is
+# configured, s3://bucket/key maps to the PATH-STYLE URL
+# {endpoint}/bucket/key and reads go through the same stdlib ranged-GET
+# reader as http:// — the address form every S3-compatible gateway
+# (MinIO, LocalStack, Ceph RGW, public-bucket endpoints) serves.
+# Requests are UNSIGNED (public buckets / gateways with ambient auth);
+# private SigV4-signed buckets still need fsspec+s3fs.  The endpoint is
+# resolved at CALL time, in order:
+#   1. the Spark local property below — set it driver-side with
+#      ``spark.sparkContext.setLocalProperty(S3_ENDPOINT_PROP, url)``;
+#      Spark propagates local properties to every python worker, so
+#      this works per-job on a live cluster with no executor restart;
+#   2. the AWS SDK's standard ``AWS_ENDPOINT_URL`` env var (set it via
+#      ``spark.executorEnv.AWS_ENDPOINT_URL`` at cluster launch).
+S3_ENDPOINT_PROP = "wrf_to_geodataframe_spark.s3.endpoint"
+S3_ENDPOINT_ENV = "AWS_ENDPOINT_URL"
+
+
+def _s3_endpoint() -> str | None:
+    """The configured S3 endpoint, or None (-> fsspec dispatch)."""
+    try:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        if tc is not None:
+            v = tc.getLocalProperty(S3_ENDPOINT_PROP)
+            if v:
+                return v
+        else:
+            from pyspark import SparkContext
+
+            sc = SparkContext._active_spark_context
+            if sc is not None:
+                v = sc.getLocalProperty(S3_ENDPOINT_PROP)
+                if v:
+                    return v
+    except Exception:
+        pass  # no pyspark on the path / no live context: env only
+    return os.environ.get(S3_ENDPOINT_ENV) or None
+
+
+def _s3_to_http(path: str, endpoint: str) -> str:
+    """s3://bucket/key -> {endpoint}/bucket/key (path-style)."""
+    rest = path[len("s3://"):]
+    if "/" not in rest or not rest.split("/", 1)[1]:
+        raise ValueError(f"{path}: expected s3://bucket/key")
+    return endpoint.rstrip("/") + "/" + rest
+
 
 class HttpRangeFile:
     """Seekable read-only view over an HTTP(S) object using stdlib
@@ -149,10 +197,15 @@ def _is_http(path: str) -> bool:
 
 def open_binary(path: str):
     """Open ``path`` for seekable binary reads — local via ``open``,
-    http(s) via the built-in stdlib Range reader, other remote schemes
-    via fsspec."""
+    http(s) via the built-in stdlib Range reader, s3 via the same
+    reader when an endpoint is configured (see S3_ENDPOINT_PROP),
+    other remote schemes via fsspec."""
     if _is_http(path):
         return HttpRangeFile(path)
+    if path.startswith("s3://"):
+        ep = _s3_endpoint()
+        if ep:
+            return HttpRangeFile(_s3_to_http(path, ep))
     if is_remote(path):
         return _fsspec().open(path, "rb").open()
     return open(_strip_file_scheme(path), "rb")
@@ -161,6 +214,10 @@ def open_binary(path: str):
 def getsize(path: str) -> int:
     if _is_http(path):
         return HttpRangeFile(path).size()
+    if path.startswith("s3://"):
+        ep = _s3_endpoint()
+        if ep:
+            return HttpRangeFile(_s3_to_http(path, ep)).size()
     if is_remote(path):
         fs, rel = _fsspec().core.url_to_fs(path)
         return int(fs.size(rel))
