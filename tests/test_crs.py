@@ -1111,3 +1111,100 @@ def test_equalarea_pyproj_crosscheck():
     x2, y2 = albers_forward_numpy(lo2, la2, 29.5, 45.5, 23.0, -96.0)
     np.testing.assert_allclose(x2, ex2, rtol=0, atol=1e-3)
     np.testing.assert_allclose(y2, ny2, rtol=0, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Ellipsoidal geodesic distance (Vincenty inverse)
+
+
+def test_vincenty_matches_published_lines():
+    """Pinned to PUBLISHED numbers: Vincenty's own 1975 paper test
+    line (a) on the Bessel ellipsoid — phi1 55°45', phi2 -33°26',
+    L 108°13' -> s = 14110526.170 m — and GeographicLib's documented
+    JFK->LHR example, (40.6N, 73.8W) -> (51.6N, 0.5W) = 5551759.4 m
+    on WGS84 (Karney's geodesic and Vincenty agree to sub-mm there).
+    Plus structure: coincident points -> exactly 0; the equator is a
+    geodesic of length a * dlam; symmetry under swapping endpoints."""
+    import math
+
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.functions.crs import vincenty_numpy
+
+    d = float(vincenty_numpy(55.0 + 45.0 / 60.0, 0.0,
+                             -(33.0 + 26.0 / 60.0), 108.0 + 13.0 / 60.0,
+                             a=6377397.155, f=1.0 / 299.1528128))
+    assert abs(d - 14110526.170) < 1e-3, d
+
+    d2 = float(vincenty_numpy(40.6, -73.8, 51.6, -0.5))
+    assert abs(d2 - 5551759.400) < 1e-3, d2
+
+    assert float(vincenty_numpy(10.0, 20.0, 10.0, 20.0)) == 0.0
+    a_wgs = 6378137.0
+    deq = float(vincenty_numpy(0.0, 0.0, 0.0, 10.0))
+    assert abs(deq - a_wgs * math.radians(10.0)) < 1e-6
+    fwd = vincenty_numpy([12.0, -40.0], [5.0, 100.0], [47.0, -41.0],
+                         [-60.0, 121.0])
+    rev = vincenty_numpy([47.0, -41.0], [-60.0, 121.0], [12.0, -40.0],
+                         [5.0, 100.0])
+    np.testing.assert_allclose(fwd, rev, rtol=0, atol=1e-6)
+
+
+def test_vincenty_udf_matches_numpy_and_haversine_bound(spark):
+    """The Arrow pandas_udf is the numpy kernel verbatim (bit-equal on
+    a grid); and the documented spherical bound holds: haversine is
+    within 0.56% of the ellipsoidal distance over a mid-latitude
+    sweep (the flattening envelope the haversine_m docstring
+    promises)."""
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        ellipsoidal_distance_udf,
+        haversine_m,
+        vincenty_numpy,
+    )
+
+    df = spark.range(200).select(
+        ((F.col("id") % 20).cast("double") * 9.0 - 85.0).alias("lat1"),
+        (F.floor(F.col("id") / 20).cast("double") * 35.0 - 170.0)
+        .alias("lon1"),
+    ).filter(F.col("lat1") != -40.0)  # keep away from near-antipodal
+    vd = ellipsoidal_distance_udf()
+    rows = df.select(
+        "lat1", "lon1",
+        vd(F.col("lat1"), F.col("lon1"),
+           F.lit(40.0), F.lit(10.0)).alias("dv"),
+        haversine_m(F.col("lat1"), F.col("lon1"),
+                    F.lit(40.0), F.lit(10.0)).alias("dh"),
+    ).collect()
+    la = np.array([r.lat1 for r in rows])
+    lo = np.array([r.lon1 for r in rows])
+    want = vincenty_numpy(la, lo, np.full_like(la, 40.0),
+                          np.full_like(la, 10.0))
+    np.testing.assert_array_equal([r.dv for r in rows], want)
+    for r in rows:
+        if r.dv > 1000.0:
+            assert abs(r.dh - r.dv) / r.dv < 0.0056, r
+
+
+def test_vincenty_geographiclib_crosscheck():
+    """Env-gated parity vs geographiclib/pyproj (absent here): Karney
+    geodesic distances on a random sweep, within 1 mm of Vincenty for
+    non-near-antipodal pairs."""
+    import pytest
+
+    pyproj = pytest.importorskip("pyproj")
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.functions.crs import vincenty_numpy
+
+    g = pyproj.Geod(ellps="WGS84")
+    rng = np.random.default_rng(7)
+    la1 = rng.uniform(-70, 70, 50)
+    lo1 = rng.uniform(-180, 180, 50)
+    la2 = la1 + rng.uniform(-40, 40, 50)
+    lo2 = lo1 + rng.uniform(-40, 40, 50)
+    la2 = np.clip(la2, -89.0, 89.0)
+    _a1, _a2, want = g.inv(lo1, la1, lo2, la2)
+    got = vincenty_numpy(la1, lo1, la2, lo2)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-3)

@@ -1951,6 +1951,133 @@ FROM dest d LEFT JOIN transferred t USING (i, j)
 _REGRID_EA_SQL = _regrid_equalarea_sql()
 
 
+
+def g16_ellipsoidal_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ELLIPSOIDAL geodesic distance (Vincenty inverse,
+    functions/crs.py — the survey-grade upgrade of g14's spherical
+    haversine, closing the ~0.56% flattening error): grid centers as
+    pseudo lon/lat to a fixed reference point through the
+    Arrow-vectorized fixed-unroll kernel (pinned to Vincenty's own
+    published test line and GeographicLib's JFK->LHR example in
+    tests/test_crs.py).  The oracle UNROLLS the same iteration as a
+    SQL CTE chain with identical constants — two independent
+    evaluations of the fixed-point recursion.  Rounded to cm."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        ellipsoidal_distance_udf,
+    )
+
+    cells = grid_cells(spark, sf_dir)
+    d = cells.select(
+        "user_id",
+        (F.col("x") * 0.25 - 6.0).alias("lon"),
+        (F.col("y") * 0.1 + 50.0).alias("lat"),
+    )
+    vd = ellipsoidal_distance_udf()
+    return d.select(
+        "user_id",
+        F.round(
+            vd(F.col("lat"), F.col("lon"), F.lit(51.5), F.lit(-0.12)),
+            2,
+        ).alias("dist_m"),
+    )
+
+
+def _vincenty_sql() -> str:
+    """Oracle mirror of the Vincenty fixed unroll: iterations become a
+    CTE chain, every arithmetic step in the numpy kernel's exact
+    operation order, constants as identical literals."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        VINCENTY_ITERS,
+        WGS_A,
+        WGS_F,
+    )
+
+    a, f = WGS_A, WGS_F
+    b = a * (1.0 - f)
+    a2mb2 = a * a - b * b
+    b2 = b * b
+    body = """
+    SELECT user_id, L, su1, cu1, su2, cu2, lam, sl, cl,
+           sin_sig, cos_sig, atan2(sin_sig, cos_sig) AS sig,
+           cu1 * cu2 * sl
+               / (CASE WHEN sin_sig = 0.0 THEN 1.0 ELSE sin_sig END)
+               AS sin_alpha
+    FROM (
+        SELECT *, sqrt((cu2 * sl) * (cu2 * sl)
+                   + (cu1 * su2 - su1 * cu2 * cl)
+                     * (cu1 * su2 - su1 * cu2 * cl)) AS sin_sig,
+               su1 * su2 + cu1 * cu2 * cl AS cos_sig
+        FROM (SELECT user_id, L, su1, cu1, su2, cu2, lam,
+                     sin(lam) AS sl, cos(lam) AS cl FROM {prev})
+    )"""
+    stage2 = """
+    SELECT *, {f!r} / 16.0 * cos2_alpha
+              * (4.0 + {f!r} * (4.0 - 3.0 * cos2_alpha)) AS C
+    FROM (
+        SELECT *, CASE WHEN cos2_alpha = 0.0 THEN 0.0
+                       ELSE cos_sig - 2.0 * su1 * su2 / cos2_alpha
+                  END AS cos_2sigm
+        FROM (SELECT *, 1.0 - sin_alpha * sin_alpha AS cos2_alpha
+              FROM ({body}))
+    )"""
+    ctes = []
+    prev = "base"
+    for k in range(1, VINCENTY_ITERS):
+        full = stage2.format(f=f, body=body.format(prev=prev))
+        ctes.append(f"""it{k} AS (
+    SELECT user_id, L, su1, cu1, su2, cu2,
+           L + (1.0 - C) * {f!r} * sin_alpha * (sig + C * sin_sig
+               * (cos_2sigm + C * cos_sig
+                  * (-1.0 + 2.0 * cos_2sigm * cos_2sigm))) AS lam
+    FROM ({full})
+)""")
+        prev = f"it{k}"
+    final_body = stage2.format(f=f, body=body.format(prev=prev))
+    joined_ctes = ",\n".join(ctes)
+    return f"""
+WITH cells AS ({_CELLS_SQL}),
+ll AS (
+    SELECT user_id,
+           (y1 + 0.5) * 0.1 + 50.0 AS lat,
+           (x1 + 0.5) * 0.25 - 6.0 AS lon
+    FROM cells
+),
+base AS (
+    SELECT user_id, L, su1, cu1, su2, cu2, L AS lam
+    FROM (
+        SELECT user_id,
+               ((radians(-0.12 - lon) + pi()) % (2.0 * pi())) - pi()
+                   AS L,
+               sin(atan({1.0 - f!r} * tan(radians(lat)))) AS su1,
+               cos(atan({1.0 - f!r} * tan(radians(lat)))) AS cu1,
+               sin(atan({1.0 - f!r} * tan(radians(51.5)))) AS su2,
+               cos(atan({1.0 - f!r} * tan(radians(51.5)))) AS cu2
+        FROM ll
+    )
+),
+{joined_ctes},
+fin AS ({final_body})
+SELECT user_id,
+       round({b!r} * (1.0 + usq / 16384.0 * (4096.0 + usq
+               * (-768.0 + usq * (320.0 - 175.0 * usq))))
+           * (sig - (usq / 1024.0 * (256.0 + usq * (-128.0 + usq
+                  * (74.0 - 47.0 * usq)))) * sin_sig
+              * (cos_2sigm
+                 + (usq / 1024.0 * (256.0 + usq * (-128.0 + usq
+                        * (74.0 - 47.0 * usq)))) / 4.0
+                   * (cos_sig * (-1.0 + 2.0 * cos_2sigm * cos_2sigm)
+                      - (usq / 1024.0 * (256.0 + usq * (-128.0 + usq
+                             * (74.0 - 47.0 * usq)))) / 6.0 * cos_2sigm
+                        * (-3.0 + 4.0 * sin_sig * sin_sig)
+                        * (-3.0 + 4.0 * cos_2sigm * cos_2sigm)))),
+           2) AS dist_m
+FROM (SELECT *, cos2_alpha * {a2mb2!r} / {b2!r} AS usq FROM fin)
+"""
+
+
+_G16_VINCENTY_SQL = _vincenty_sql()
+
+
 QUERIES = {
     "p4_bbox_filter": p4_bbox_filter,
     "focal_mean_3x3": focal_mean_3x3,
@@ -1973,6 +2100,7 @@ QUERIES = {
     "g8_crs_stere": g8_crs_stere,
     "g8_crs_rotated": g8_crs_rotated,
     "g14_haversine_distance": g14_haversine_distance,
+    "g16_ellipsoidal_distance": g16_ellipsoidal_distance,
     "j7_nearest_station": j7_nearest_station,
     "j8_knn_within_radius": j8_knn_within_radius,
     "g15_geodesic_midpoint": g15_geodesic_midpoint,
@@ -2001,6 +2129,7 @@ ORACLE = {
     "g8_crs_stere": _G8_STERE_SQL,
     "g8_crs_rotated": _G8_ROTATED_SQL,
     "g14_haversine_distance": _G14_HAVERSINE_SQL,
+    "g16_ellipsoidal_distance": _G16_VINCENTY_SQL,
     "j7_nearest_station": _J7_SQL,
     "j8_knn_within_radius": _J8_SQL,
     "g15_geodesic_midpoint": _G15_SQL,
