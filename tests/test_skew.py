@@ -209,3 +209,62 @@ def test_aqe_runtime_broadcast_converts_aggregated_build_side(spark):
         plan = j._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final, final
+
+
+def test_knn_join_salted_identical_to_unsalted_on_clustered_stations(spark):
+    """A DENSE station cluster (one band cell holding most stations —
+    the city-cell shape that makes unsalted candidate generation a
+    single hot task): the salted join must return EXACTLY the unsalted
+    result, and a sampled point's top-k must match a brute force."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.suite.spatial import knn_join
+
+    # 2,000 stations crammed into ~one 0.25-deg cell at (48.1, 11.5)
+    # plus 200 scattered
+    st = spark.range(2200).select(
+        F.col("id").alias("station_id"),
+        F.when(F.col("id") < 2000,
+               48.10 + (F.col("id") % 40) * 0.005)
+        .otherwise(40.0 + F.col("id") % 15).alias("s_lat"),
+        F.when(F.col("id") < 2000,
+               11.50 + F.floor(F.col("id") / 40) * 0.004)
+        .otherwise(-5.0 + F.col("id") % 25).alias("s_lon"),
+    )
+    pts = spark.range(500).select(
+        F.col("id").alias("user_id"),
+        (48.0 + (F.col("id") % 50) * 0.01).alias("lat"),
+        (11.4 + F.floor(F.col("id") / 50) * 0.05).alias("lon"),
+    )
+    base = {
+        (r.user_id, r.rk): (r.station_id, r.dist_mm)
+        for r in knn_join(pts, st, 15_000.0, 0.25, 3).collect()
+    }
+    salted = {
+        (r.user_id, r.rk): (r.station_id, r.dist_mm)
+        for r in knn_join(pts, st, 15_000.0, 0.25, 3,
+                          n_salts=8).collect()
+    }
+    assert salted == base and len(base) > 1000
+
+    # brute-force one sampled point against all 2,200 stations
+    R = 6371000.0
+    st_rows = st.collect()
+    p = pts.filter(F.col("user_id") == 137).collect()[0]
+    dists = []
+    for s in st_rows:
+        dphi = math.radians(s.s_lat - p.lat) / 2
+        dlam = math.radians(s.s_lon - p.lon) / 2
+        a = (math.sin(dphi) ** 2
+             + math.cos(math.radians(p.lat))
+             * math.cos(math.radians(s.s_lat)) * math.sin(dlam) ** 2)
+        d_mm = math.floor(
+            2 * R * math.asin(math.sqrt(min(max(a, 0.0), 1.0))) * 1000
+        )
+        if d_mm <= 15_000_000:
+            dists.append((d_mm, s.station_id))
+    want = [(sid, d) for d, sid in sorted(dists)[:3]]
+    have = [salted.get((137, rk + 1)) for rk in range(len(want))]
+    assert have == want

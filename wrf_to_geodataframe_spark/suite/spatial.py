@@ -1362,6 +1362,7 @@ def knn_join(
     k: int,
     id_col: str = "user_id",
     station_col: str = "station_id",
+    n_salts: int = 1,
 ) -> DataFrame:
     """Reusable banded k-NN-within-radius join: ``points`` carries
     (id_col, lat, lon), ``stations`` (station_col, s_lat, s_lon).
@@ -1374,8 +1375,21 @@ def knn_join(
     owns that bound because only it knows the domain.  Candidates are
     a banded equi join (station side explodes its 3x3 neighborhood);
     top-k is one window over band-bounded candidates; distances are
-    exact-mm BIGINT."""
+    exact-mm BIGINT.
+
+    SKEW: ``n_salts > 1`` splits each band cell's candidate work
+    ``n_salts`` ways — for station sets with DENSE CLUSTERS (one city
+    cell holding 10^4 stations makes that cell's candidate generation
+    a single hot task).  Points take a deterministic salt (md5 of the
+    id — stable under retries, operators/skew.py), the station side
+    replicates across salts, so results are IDENTICAL to the unsalted
+    join (asserted in tests/test_skew.py) at the cost of an n_salts x
+    bigger station-side explode — cheap, because the station side is
+    the small one."""
     from wrf_to_geodataframe_spark.functions.crs import haversine_m
+    from wrf_to_geodataframe_spark.operators.skew import (
+        deterministic_salt,
+    )
 
     st = (
         stations
@@ -1391,7 +1405,17 @@ def knn_join(
         "cy": F.floor(F.col("lat") / cell_deg),
         "cx": F.floor(F.col("lon") / cell_deg),
     })
-    cand = pts.join(st, ["cy", "cx"]).withColumn(
+    keys = ["cy", "cx"]
+    if n_salts > 1:
+        st = st.withColumn(
+            "_salt",
+            F.explode(F.array(*[F.lit(s) for s in range(n_salts)])),
+        )
+        pts = pts.withColumn(
+            "_salt", deterministic_salt([F.col(id_col)], n_salts)
+        )
+        keys = ["cy", "cx", "_salt"]
+    cand = pts.join(st, keys).withColumn(
         "dist_mm",
         F.floor(
             haversine_m(F.col("lat"), F.col("lon"),
