@@ -684,3 +684,79 @@ def test_stateful_timeout_branch_evicts_silently():
         st = _FakeState()
         out = list(make(1000)(("k",), iter(()), st))
         assert out == [] and st.removed == 1
+
+
+def test_stream_chunk_documents_equals_batch_with_append(spark, tmp_path):
+    """stream==batch for the RAG chunker, across an APPEND: chunk a
+    first parquet drop with availableNow, append a second drop, run a
+    second availableNow pass from the same checkpoint — the union of
+    both passes' output must equal the batch chunk_tokens over the
+    full corpus (exact rows, including each document's guaranteed tail
+    chunk)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.streaming.chunk import (
+        stream_chunk_documents,
+    )
+    from wrf_to_geodataframe_spark.suite.pipeline import chunk_tokens
+
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.md5(F.concat(F.col("id").cast("string"),
+                                   F.lit(f":{k}")))
+                    for k in range(3)
+                ],
+            ).alias("_seed"),
+        ).select(
+            "doc_id",
+            # variable length: 10..89 whitespace tokens per doc
+            F.array_join(
+                F.slice(
+                    F.split(F.repeat(F.concat(F.col("_seed"),
+                                              F.lit(" ")), 30), " "),
+                    1,
+                    (10 + F.col("doc_id") % 80).cast("int"),
+                ),
+                " ",
+            ).alias("text"),
+        )
+
+    mk(0, 40).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = (
+            stream_chunk_documents(spark, src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    mk(40, 70).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = {
+        (r.doc_id, r.chunk_start, r.n_tokens, r.chunk_text)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.doc_id, r.chunk_start, r.n_tokens, r.chunk_text)
+        for r in chunk_tokens(
+            spark.read.parquet(src).select("doc_id", "text")
+        ).collect()
+    }
+    assert got == want and len(want) > 70

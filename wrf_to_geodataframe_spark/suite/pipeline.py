@@ -5239,16 +5239,26 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a stride multiple.  Entirely codegen array HOFs — split once,
     generate starts with ``sequence``, slice per start — no UDFs, no
     shuffle (per-row explode only), so it streams through 100 TB of
-    documents at scan speed."""
-    W, S = 32, 24
+    documents at scan speed.  The transform itself (chunk_tokens) is
+    STATELESS and stream-legal: streaming/chunk.py wraps the same
+    function over readStream for ingest-time chunking, with a
+    stream==batch equivalence test."""
     docs = load_table(spark, sf_dir, "documents")
+    return chunk_tokens(docs)
+
+
+def chunk_tokens(docs: DataFrame, w: int = 32, s: int = 24) -> DataFrame:
+    """The shared chunking transform over any (doc_id, text) frame —
+    batch gate and streaming mirror both call THIS, so the window
+    semantics can never drift between them (the curate_clean
+    pattern)."""
     toks = tokens(F.col("text"))
     d = docs.select("doc_id", toks.alias("toks")).withColumn(
-        "g", F.greatest(F.size("toks") - W, F.lit(0)).cast("bigint")
+        "g", F.greatest(F.size("toks") - w, F.lit(0)).cast("bigint")
     )
     starts = F.array_distinct(
         F.concat(
-            F.sequence(F.lit(0).cast("bigint"), F.col("g"), F.lit(S)),
+            F.sequence(F.lit(0).cast("bigint"), F.col("g"), F.lit(s)),
             F.array(F.col("g")),
         )
     )
@@ -5257,11 +5267,11 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("start").alias("chunk_start"),
         F.least(
-            F.lit(W).cast("bigint"),
+            F.lit(w).cast("bigint"),
             F.size("toks").cast("bigint") - F.col("start"),
         ).alias("n_tokens"),
         F.array_join(
-            F.slice("toks", F.col("start") + 1, W), " "
+            F.slice("toks", F.col("start") + 1, w), " "
         ).alias("chunk_text"),
     )
 
