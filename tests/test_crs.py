@@ -1208,3 +1208,85 @@ def test_vincenty_geographiclib_crosscheck():
     _a1, _a2, want = g.inv(lo1, la1, lo2, la2)
     got = vincenty_numpy(la1, lo1, la2, lo2)
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-3)
+
+
+def test_cea_ease_grid2_constants_and_equal_area():
+    """Cylindrical equal-area at EASE-Grid 2.0 parameters (WGS84,
+    lat_ts = 30): the map half-width at lon = 180 reproduces NSIDC's
+    PUBLISHED EASE-Grid 2.0 constant 17,367,530.45 m; the equal-area
+    property holds to 1e-10 relative against the closed-form
+    ellipsoidal box area; forward/inverse round-trip to the series
+    floor."""
+    import math
+
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        WGS_A,
+        WGS_F,
+        cea_forward_numpy,
+        cea_inverse_numpy,
+        ellipsoid_box_area_m2_float,
+    )
+
+    e2w = WGS_F * (2.0 - WGS_F)
+    # +180 wraps to -180 (the (-pi, pi] convention), so the half-width
+    # appears with a minus sign
+    x180, _y = cea_forward_numpy(180.0, 0.0, 30.0, a=WGS_A, e2=e2w)
+    assert abs(abs(float(x180)) - 17367530.45) < 0.01, x180
+
+    nseg = 1500
+    ring = np.concatenate([
+        np.stack([np.linspace(5, 6, nseg), np.full(nseg, 50.0)], 1),
+        np.stack([np.full(nseg, 6.0), np.linspace(50, 51, nseg)], 1),
+        np.stack([np.linspace(6, 5, nseg), np.full(nseg, 51.0)], 1),
+        np.stack([np.full(nseg, 5.0), np.linspace(51, 50, nseg)], 1),
+    ])
+    px, py = cea_forward_numpy(ring[:, 0], ring[:, 1], 30.0,
+                               a=WGS_A, e2=e2w)
+    sh = 0.5 * abs(np.sum(px * np.roll(py, -1) - np.roll(px, -1) * py))
+    want = ellipsoid_box_area_m2_float(5.0, 50.0, 6.0, 51.0,
+                                       a=WGS_A, e2=e2w)
+    assert abs(sh - want) / want < 1e-9
+
+    lo = np.linspace(-170, 170, 15)
+    la = np.linspace(-85, 85, 15)
+    X, Y = cea_forward_numpy(lo, la, 30.0, a=WGS_A, e2=e2w)
+    lo2, la2 = cea_inverse_numpy(X, Y, 30.0, a=WGS_A, e2=e2w)
+    np.testing.assert_allclose(lo2, lo, atol=1e-9)
+    np.testing.assert_allclose(la2, la, atol=1e-6)
+
+
+def test_cea_to_crs_roundtrip_and_column_parity(spark):
+    """EPSG:6933 through the front door: to_crs -> from_crs
+    round-trips, and the JVM columns equal the numpy twin."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        WGS_A,
+        WGS_F,
+        cea_forward_numpy,
+        from_crs,
+        to_crs,
+    )
+
+    df = spark.range(60).select(
+        ((F.col("id") % 12).cast("double") * 30.0 - 165.0).alias("lon"),
+        (F.floor(F.col("id") / 12).cast("double") * 35.0 - 70.0)
+        .alias("lat"),
+    )
+    rows = from_crs(
+        to_crs(df, "EPSG:6933", out_x="x", out_y="y"),
+        6933, out_lon="lon2", out_lat="lat2",
+    ).collect()
+    e2w = WGS_F * (2.0 - WGS_F)
+    lo = np.array([r.lon for r in rows])
+    la = np.array([r.lat for r in rows])
+    ex, ey = cea_forward_numpy(lo, la, 30.0, a=WGS_A, e2=e2w)
+    np.testing.assert_allclose([r.x for r in rows], ex, atol=1e-5)
+    np.testing.assert_allclose([r.y for r in rows], ey, atol=1e-5)
+    for r in rows:
+        assert abs(r.lon2 - r.lon) < 1e-8, r
+        assert abs(r.lat2 - r.lat) < 1e-6, r

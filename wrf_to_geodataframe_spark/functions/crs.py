@@ -1258,11 +1258,17 @@ def to_crs(df, crs: str | int, lon="lon", lat="lat",
         # NAD83 / Conus Albers (NAD83 == WGS84 to ~1-2 m; GRS80)
         return lonlat_to_albers(df, lon, lat, 29.5, 45.5, 23.0, -96.0,
                                 out_x=out_x, out_y=out_y)
+    if code == 6933:
+        # WGS84 / NSIDC EASE-Grid 2.0 Global (cylindrical equal-area,
+        # lat_ts = 30 — the polar/global gridded-satellite-data CRS)
+        return lonlat_to_cea(df, lon, lat, 30.0,
+                             a=WGS_A, e2=WGS_F * (2.0 - WGS_F),
+                             out_x=out_x, out_y=out_y)
     raise ValueError(
         f"EPSG:{code} is not implemented: supported are 4326, 3857 "
         "(Web Mercator), 27700 (OSGB National Grid), 32601-32660 / "
         "32701-32760 (UTM WGS84), 3035 (LAEA Europe), 5070 (Conus "
-        "Albers) — or use lonlat_to_lcc / lonlat_to_lcc2sp / "
+        "Albers), 6933 (EASE-Grid 2.0) — or use lonlat_to_lcc / lonlat_to_lcc2sp / "
         "lonlat_to_tm / lonlat_to_laea / lonlat_to_albers with "
         "explicit parameters"
     )
@@ -1303,9 +1309,13 @@ def from_crs(df, crs: str | int, x="x", y="y",
     if code == 5070:
         return albers_to_lonlat(df, x, y, 29.5, 45.5, 23.0, -96.0,
                                 out_lon=out_lon, out_lat=out_lat)
+    if code == 6933:
+        return cea_to_lonlat(df, x, y, 30.0,
+                             a=WGS_A, e2=WGS_F * (2.0 - WGS_F),
+                             out_lon=out_lon, out_lat=out_lat)
     raise ValueError(
         f"EPSG:{code} is not implemented: supported are 4326, 3857, "
-        "27700, 32601-32660 / 32701-32760, 3035, 5070"
+        "27700, 32601-32660 / 32701-32760, 3035, 5070, 6933"
     )
 
 
@@ -1872,3 +1882,118 @@ def ellipsoidal_distance_udf(a: float = WGS_A, f: float = WGS_F,
         )
 
     return _vincenty
+
+
+def cea_constants(lat_ts: float, a: float = GRS80_A,
+                  e2: float = GRS80_E2) -> dict:
+    """Ellipsoidal Lambert-cylindrical-equal-area constants (Snyder
+    ch. 10): k0 = cos(phi_s)/sqrt(1 - e^2 sin^2 phi_s)."""
+    e = math.sqrt(e2)
+    ps = math.radians(lat_ts)
+    k0 = math.cos(ps) / math.sqrt(1.0 - e2 * math.sin(ps) ** 2)
+    return {"e": e, "e2": e2, "k0": k0,
+            "qp": _authalic_q_float(1.0, e, e2)}
+
+
+def lonlat_to_cea(
+    df,
+    lon,
+    lat,
+    lat_ts: float,
+    lon0d: float = 0.0,
+    a: float = GRS80_A,
+    e2: float = GRS80_E2,
+    out_x: str = "cea_x",
+    out_y: str = "cea_y",
+):
+    """Append ellipsoidal cylindrical-equal-area metre columns (Snyder
+    eqs. 10-1/10-2 ellipsoidal): x = a k0 dl, y = a q / (2 k0) — the
+    projection family of NSIDC's EASE-Grid 2.0 (EPSG:6933,
+    lat_ts = 30 on WGS84; the engine's k0 reproduces the published
+    half-width 17,367,530.45 m at lon = 180, tests/test_crs.py)."""
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    k = cea_constants(lat_ts, a, e2)
+    dl = F.pmod(
+        F.radians(lon - F.lit(lon0d)) + F.lit(math.pi),
+        F.lit(2.0 * math.pi),
+    ) - F.lit(math.pi)
+    q = _authalic_q_col(F.sin(F.radians(lat)), k["e"], k["e2"])
+    return df.withColumns({
+        out_x: F.lit(a * k["k0"]) * dl,
+        out_y: F.lit(a) * q / F.lit(2.0 * k["k0"]),
+    })
+
+
+def cea_to_lonlat(
+    df,
+    x,
+    y,
+    lat_ts: float,
+    lon0d: float = 0.0,
+    a: float = GRS80_A,
+    e2: float = GRS80_E2,
+    out_lon: str = "lon",
+    out_lat: str = "lat",
+):
+    """Inverse ellipsoidal CEA: q = 2 y k0 / a, geodetic latitude via
+    the authalic series 3-18, lon = lon0 + x/(a k0)."""
+    x = F.col(x) if isinstance(x, str) else x
+    y = F.col(y) if isinstance(y, str) else y
+    k = cea_constants(lat_ts, a, e2)
+    c2, c4, c6 = authalic_series_coeffs(e2)
+    d = df.withColumn(
+        "_bt",
+        F.asin(
+            F.greatest(
+                F.lit(-1.0),
+                F.least(
+                    F.lit(1.0),
+                    F.lit(2.0 * k["k0"]) * y / F.lit(a) / F.lit(k["qp"]),
+                ),
+            )
+        ),
+    )
+    d = d.withColumns({
+        out_lat: F.degrees(
+            F.col("_bt")
+            + F.lit(c2) * F.sin(F.lit(2.0) * F.col("_bt"))
+            + F.lit(c4) * F.sin(F.lit(4.0) * F.col("_bt"))
+            + F.lit(c6) * F.sin(F.lit(6.0) * F.col("_bt"))
+        ),
+        out_lon: F.lit(lon0d) + F.degrees(x / F.lit(a * k["k0"])),
+    })
+    return d.drop("_bt")
+
+
+def cea_forward_numpy(lon, lat, lat_ts, lon0d=0.0, a=GRS80_A,
+                      e2=GRS80_E2):
+    """Numpy twin of :func:`lonlat_to_cea`."""
+    k = cea_constants(lat_ts, a, e2)
+    dl = np.radians(np.asarray(lon, "float64") - lon0d)
+    dl = np.mod(dl + np.pi, 2.0 * np.pi) - np.pi
+    s = np.sin(np.radians(np.asarray(lat, "float64")))
+    q = (1.0 - e2) * (
+        s / (1.0 - e2 * s * s)
+        - (1.0 / (2.0 * k["e"]))
+        * np.log((1.0 - k["e"] * s) / (1.0 + k["e"] * s))
+    )
+    return a * k["k0"] * dl, a * q / (2.0 * k["k0"])
+
+
+def cea_inverse_numpy(x, y, lat_ts, lon0d=0.0, a=GRS80_A,
+                      e2=GRS80_E2):
+    """Numpy twin of :func:`cea_to_lonlat`."""
+    k = cea_constants(lat_ts, a, e2)
+    c2, c4, c6 = authalic_series_coeffs(e2)
+    beta = np.arcsin(np.clip(
+        2.0 * k["k0"] * np.asarray(y, "float64") / a / k["qp"],
+        -1.0, 1.0,
+    ))
+    lat_out = np.degrees(
+        beta + c2 * np.sin(2 * beta) + c4 * np.sin(4 * beta)
+        + c6 * np.sin(6 * beta)
+    )
+    return (lon0d
+            + np.degrees(np.asarray(x, "float64") / (a * k["k0"])),
+            lat_out)
