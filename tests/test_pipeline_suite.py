@@ -1532,3 +1532,40 @@ def test_ahash_collapse_90pct_identical_exact_and_cross(spark):
 
     with _pytest.raises(ValueError, match="hamming <= 2"):
         ahash_neardup_pairs(h, max_hamming=3)
+
+
+def test_simhash_collapse_90pct_identical_corpus_exact(spark, tmp_path):
+    """ADVERSARIAL EXACT-DUP SKEW for the SimHash path: 90% of the
+    corpus byte-identical -> exact within-group pair sets at hamming 0,
+    nothing between unrelated docs (disjoint token sets -> far
+    hashes)."""
+    import itertools
+    import os as _os
+
+    from wrf_to_geodataframe_spark.suite.pipeline import simhash_neardup
+
+    groups = [(0, 45, "alpha"), (45, 50, "beta")]
+    rows = []
+    for lo, hi, tag in groups:
+        text = " ".join(f"{tag}tok{k}" for k in range(20))
+        rows += [(i, text) for i in range(lo, hi)]
+    rows += [
+        (i, " ".join(f"solo{i}w{k}" for k in range(20)))
+        for i in range(50, 56)
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(d, "documents.parquet"))
+
+    got = {
+        (r.da, r.db): r.hamming
+        for r in simhash_neardup(spark, d).collect()
+    }
+    want = {}
+    for lo, hi, _ in groups:
+        want |= {p: 0 for p in itertools.combinations(range(lo, hi), 2)}
+    # unrelated docs could legitimately pair only if their 60-bit
+    # hashes landed within hamming 3 — with disjoint random token sets
+    # that would be a ~1e-13 md5 coincidence; assert exactness
+    assert got == want

@@ -1330,8 +1330,17 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("sh"),
     ).persist()
-    chunks = sims.select(
-        "doc_id",
+    # EXACT-DUPLICATE COLLAPSE before banding (the skew guard, see
+    # _collapse_identical): byte-identical documents share the exact
+    # 60-bit simhash, which would put every copy on the same
+    # (chunk, value) self-join key; band DISTINCT simhashes only,
+    # emit within-group pairs (hamming 0) straight from the copy map,
+    # fan cross-group rep pairs back out (hamming depends only on the
+    # two hashes, so members inherit the representative distance).
+    reps, cm = _collapse_identical(sims, "sh")
+    cm = cm.persist()
+    chunks = reps.select(
+        "rep",
         "sh",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c"),
     ).withColumn(
@@ -1340,28 +1349,51 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = chunks.alias("a")
     b = chunks.alias("b")
-    cand = (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.c") == F.col("b.c"))
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.rep") < F.col("b.rep")),
         )
         .select(
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
+            F.col("a.rep").alias("ra"),
+            F.col("b.rep").alias("rb"),
             F.col("a.sh").alias("sha"),
             F.col("b.sh").alias("shb"),
         )
         .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).cast("long")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).cast("long"),
         )
         .filter(F.col("hamming") <= 3)
-        .select("da", "db", "hamming")
     )
+    ca = cm.select(F.col("rep").alias("ra"), F.col("doc_id").alias("ia"))
+    cb = cm.select(F.col("rep").alias("rb"), F.col("doc_id").alias("ib"))
+    cross = (
+        rep_pairs.join(ca, "ra")
+        .join(cb, "rb")
+        .select(
+            F.least("ia", "ib").alias("da"),
+            F.greatest("ia", "ib").alias("db"),
+            "hamming",
+        )
+    )
+    within = (
+        cm.alias("x")
+        .join(
+            cm.alias("y"),
+            (F.col("x.rep") == F.col("y.rep"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("da"),
+            F.col("y.doc_id").alias("db"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 _SIMHASH_SQL = """
