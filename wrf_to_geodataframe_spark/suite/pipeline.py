@@ -463,9 +463,16 @@ def _collapse_identical(df: DataFrame, key: str, id_col: str = "doc_id"):
     result row) and cross-group matches fan back out through it.  Both
     shuffles here are skew-tolerant: the groupBy partial-aggregates
     map-side, and the copy-map join matches exactly one representative
-    per row (AQE can split an oversized partition without blowup)."""
-    reps = df.groupBy(key).agg(F.min(id_col).alias("rep"))
-    cm = df.join(reps, key).select(F.col(id_col).alias("doc_id"), "rep")
+    per row (AQE can split an oversized partition without blowup).
+
+    Both outputs are PERSISTED here: the banded self-join consumes
+    ``reps`` on two aliased branches and the fan-out/within stages
+    consume ``cm`` on up to four — none of which hit exchange reuse
+    across aliases (the repo-wide self-join rule)."""
+    reps = df.groupBy(key).agg(F.min(id_col).alias("rep")).persist()
+    cm = df.join(reps, key).select(
+        F.col(id_col).alias("doc_id"), "rep"
+    ).persist()
     return reps, cm
 
 
@@ -550,7 +557,6 @@ def _minhash_band_candidates(docs: DataFrame):
     sigv = _minhash_sigv(docs).persist()
     sigs = _explode_sigv(sigv)
     reps, cm = _collapse_identical(sigv, "sig")
-    cm = cm.persist()
     band_arr = F.array(
         *[
             F.concat_ws(
@@ -1338,7 +1344,6 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan cross-group rep pairs back out (hamming depends only on the
     # two hashes, so members inherit the representative distance).
     reps, cm = _collapse_identical(sims, "sh")
-    cm = cm.persist()
     chunks = reps.select(
         "rep",
         "sh",
@@ -4998,8 +5003,6 @@ def ahash_neardup_pairs(h: DataFrame, max_hamming: int = 2) -> DataFrame:
             f"got max_hamming={max_hamming}"
         )
     reps, cm = _collapse_identical(h, "bands")
-    reps = reps.persist()
-    cm = cm.persist()
     e = reps.select(
         "rep", "bands", F.posexplode("bands").alias("bi", "bv")
     )
