@@ -84,6 +84,7 @@ def test_no_cartesian_in_banded_joins(spark):
         (RELATIONAL, "j_range_join"),
         (SPATIAL, "j3_bucketed_spatial_join"),
         (SPATIAL, "j8_knn_within_radius"),
+        (SPATIAL, "regrid_conservative_equalarea"),
     ]
     for group, name in checks:
         plan = _plan(group[name](spark, SF))
@@ -107,7 +108,7 @@ def test_crs_transforms_stay_jvm_side(spark):
     from wrf_to_geodataframe_spark.suite.spatial import QUERIES
 
     for name in ("g8_crs_lcc", "g8_crs_utm", "g8_crs_stere",
-                 "g8_crs_osgb", "g8_crs_webmercator"):
+                 "g8_crs_osgb", "g8_crs_webmercator", "g8_crs_laea"):
         plan = _plan(QUERIES[name](spark, SF))
         assert plan.count("Scan parquet") == 1, name
         assert "EvalPython" not in plan, name
@@ -674,3 +675,31 @@ def test_knn_join_is_banded_equi_not_cartesian(spark):
     plan = _plan(QUERIES["j8_knn_within_radius"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_equalarea_regrid_plan_parity_with_analytic(spark):
+    """The equal-area regrid must keep regrid_conservative's accepted
+    plan shape: no cartesian, the destination side broadcast into the
+    left-outer re-attach, and the same exchange/scan budget — the
+    authalic-q weights are per-row expressions, not joins."""
+    from wrf_to_geodataframe_spark.suite.spatial import QUERIES
+
+    base = _plan(QUERIES["regrid_conservative"](spark, SF))
+    ea = _plan(QUERIES["regrid_conservative_equalarea"](spark, SF))
+    assert "CartesianProduct" not in ea
+    assert "BroadcastHashJoin" in ea
+    assert ea.count("Scan parquet") == base.count("Scan parquet")
+    assert ea.count("Exchange") <= base.count("Exchange")
+
+
+def test_g16_single_scan_single_arrow_eval(spark):
+    """The Vincenty gate: one scan, ONE Arrow python eval node (the
+    fixed-unroll kernel batches whole columns), no join, no shuffle —
+    per-row math at scan speed."""
+    from wrf_to_geodataframe_spark.suite.spatial import QUERIES
+
+    plan = _plan(QUERIES["g16_ellipsoidal_distance"](spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Join" not in plan
+    assert "Exchange" not in plan or plan.count("Exchange") <= 1
