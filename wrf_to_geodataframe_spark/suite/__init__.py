@@ -41,7 +41,7 @@ _GROUPS = [
 def _driver_last_checked() -> dict[str, int]:
     """Latest driver round that recorded an official correctness row per
     query, read from the repo-root ``CORRECTNESS_r*.json`` files.  The
-    driver samples ~50 of the (currently 78) entries per round in
+    driver samples ~50 of the entries per round in
     enumeration order, so ``all_queries`` enumerates STALEST-FIRST:
     never-checked entries, then entries whose last official row is
     oldest (judge r4 item #2 — e.g. ``dedup_ngram_jaccard``'s semantics

@@ -1475,7 +1475,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is exact BIGINT arithmetic until the final
     dot/sqrt(na*nb) scalar, so the oracle replays it bit-for-bit; the
     candidate generator is an equi join on (band, key) — never an
-    all-pairs cross join."""
+    all-pairs cross join.
+
+    Skew note: mean-centering (below) is what keeps band buckets from
+    going quadratic on CORRELATED corpora; a corpus of byte-identical
+    docs would still share band keys, and unlike minhash/simhash/aHash
+    the verifier here reads the VECTORS (identical signature does not
+    imply identical vector), so the _collapse_identical fan-out would
+    dedupe candidate generation only — apply it on the sorted
+    (band, key) signature if a corpus carries mass duplication."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     # count occurrences BEFORE hashing: each distinct (doc, token) is
