@@ -162,3 +162,32 @@ def test_equalarea_weights_fix_planar_latitude_bias(spark, sf_dir):
     # both weight sets sum to 1 over the split
     a_lo = ellipsoid_box_area_m2_float(lon1, lat1, lon2, latm)
     assert abs((a_lo + a_hi) / a_full - 1.0) < 1e-12
+
+
+def test_conservative_regrid_rect_operator_closed_form(spark):
+    """The reusable operator on a hand-computable input: one unit
+    source cell [0,1]x[0,1] with value 10 against a 2x2 dest grid at
+    origin (0.5, 0.5) — the cell splits 1/4 each into dest (-1,-1),
+    (0,-1), (-1,0), (0,0) under planar weights; total conserved."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.operators.regrid import (
+        conservative_regrid_rect,
+    )
+
+    src = spark.createDataFrame(
+        [(0.0, 0.0, 1.0, 1.0, 0.5, 0.5, 10.0)],
+        "x1 double, y1 double, x2 double, y2 double, "
+        "x double, y double, val double",
+    )
+    out = conservative_regrid_rect(
+        src, "val", 0.5, 0.5, 2.0, 2.0,
+        area_fn=lambda x1, y1, x2, y2: (x2 - x1) * (y2 - y1),
+        quantize=lambda c: F.floor(c).cast("long"),
+        q_scale=1_000_000.0,
+    ).collect()
+    got = {(r.i, r.j): r.value for r in out}
+    want = {(-1, -1): 2.5, (0, -1): 2.5, (-1, 0): 2.5, (0, 0): 2.5}
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-6, (k, got[k])
+    assert abs(sum(got.values()) - 10.0) < 1e-5

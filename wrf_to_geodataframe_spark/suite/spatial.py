@@ -508,91 +508,18 @@ def regrid_conservative(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Conservation (A5, delphine/regrid.py:323-327) is asserted as a
     property test in tests/test_spatial_suite.py."""
+    from wrf_to_geodataframe_spark.operators.regrid import (
+        conservative_regrid_rect,
+    )
+
     src = _source_cells_with_pop(spark, sf_dir)
-
-    # overlay: explode to candidate dest indices, compute intersection
-    cand = (
-        src.withColumn(
-            "i",
-            F.explode(
-                F.sequence(
-                    F.floor((F.col("x1") - F.lit(OX)) / F.lit(DW)),
-                    F.floor((F.col("x2") - F.lit(OX)) / F.lit(DW)),
-                )
-            ),
-        )
-        .withColumn(
-            "j",
-            F.explode(
-                F.sequence(
-                    F.floor((F.col("y1") - F.lit(OY)) / F.lit(DH)),
-                    F.floor((F.col("y2") - F.lit(OY)) / F.lit(DH)),
-                )
-            ),
-        )
-        .withColumn("dx1", F.lit(OX) + F.lit(DW) * F.col("i"))
-        .withColumn("dy1", F.lit(OY) + F.lit(DH) * F.col("j"))
-        .withColumn("dx2", F.lit(OX) + F.lit(DW) * (F.col("i") + 1))
-        .withColumn("dy2", F.lit(OY) + F.lit(DH) * (F.col("j") + 1))
+    out = conservative_regrid_rect(
+        src, "pop", OX, OY, DW, DH,
+        area_fn=lambda x1, y1, x2, y2: (x2 - x1) * (y2 - y1),
+        quantize=lambda c: F.floor(c).cast("long"),
+        q_scale=float(Q),
     )
-    area_inter = box_intersection_area(
-        F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"),
-        F.col("dx1"), F.col("dy1"), F.col("dx2"), F.col("dy2"),
-    )
-    area_src = box_area(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"))
-    contrib_q = F.floor(
-        F.col("pop") / area_src * area_inter * F.lit(float(Q))
-    ).cast("long")
-    pairs = cand.withColumn("area_inter", area_inter).filter(
-        F.col("area_inter") > 0.0
-    )
-    # A4: the conservative kernel — one partial-aggregated shuffle
-    transferred = pairs.groupBy("i", "j").agg(
-        (F.sum(contrib_q).cast("double") / F.lit(float(Q))).alias("pop_t")
-    )
-
-    # destination grid from the A1 extent (J6 re-attach target).
-    # min/max are duplicate-insensitive, so the extent of the aggregated
-    # cell table equals the extent over raw events — reusing `src` keeps
-    # this branch's scan+groupBy subtree identical to the overlay
-    # branch's, which lets Spark reuse the exchange instead of scanning
-    # events a second time
-    bbox = src.agg(
-        F.min("x").alias("xmin"), F.min("y").alias("ymin"),
-        F.max("x").alias("xmax"), F.max("y").alias("ymax"),
-    )
-    dest = (
-        bbox.select(
-            F.explode(
-                F.sequence(
-                    F.floor((F.col("xmin") - F.lit(0.5) - F.lit(OX)) / F.lit(DW)),
-                    F.floor((F.col("xmax") + F.lit(0.5) - F.lit(OX)) / F.lit(DW)),
-                )
-            ).alias("i"),
-            "ymin", "ymax",
-        )
-        .select(
-            "i",
-            F.explode(
-                F.sequence(
-                    F.floor((F.col("ymin") - F.lit(0.5) - F.lit(OY)) / F.lit(DH)),
-                    F.floor((F.col("ymax") + F.lit(0.5) - F.lit(OY)) / F.lit(DH)),
-                )
-            ).alias("j"),
-        )
-    )
-    # J6 re-attach + P7 fillna(0)
-    return (
-        dest.join(transferred, ["i", "j"], "left")
-        .select(
-            "i", "j",
-            (F.lit(OX) + F.lit(DW) * F.col("i")).alias("dx1"),
-            (F.lit(OY) + F.lit(DH) * F.col("j")).alias("dy1"),
-            (F.lit(OX) + F.lit(DW) * (F.col("i") + 1)).alias("dx2"),
-            (F.lit(OY) + F.lit(DH) * (F.col("j") + 1)).alias("dy2"),
-            F.coalesce(F.col("pop_t"), F.lit(0.0)).alias("population"),
-        )
-    )
+    return out.withColumnRenamed("value", "population")
 
 
 _REGRID_SQL = f"""
@@ -1803,6 +1730,10 @@ def regrid_conservative_equalarea(
         ellipsoid_box_area_m2,
     )
 
+    from wrf_to_geodataframe_spark.operators.regrid import (
+        conservative_regrid_rect,
+    )
+
     def lon(g):
         return F.lit(EA_LON0) + F.lit(EA_DLON) * g
 
@@ -1810,77 +1741,21 @@ def regrid_conservative_equalarea(
         return F.lit(EA_LAT0) + F.lit(EA_DLAT) * g
 
     src = _source_cells_with_pop(spark, sf_dir)
-    cand = (
-        src.withColumn(
-            "i",
-            F.explode(
-                F.sequence(
-                    F.floor((F.col("x1") - F.lit(OX)) / F.lit(DW)),
-                    F.floor((F.col("x2") - F.lit(OX)) / F.lit(DW)),
-                )
-            ),
-        )
-        .withColumn(
-            "j",
-            F.explode(
-                F.sequence(
-                    F.floor((F.col("y1") - F.lit(OY)) / F.lit(DH)),
-                    F.floor((F.col("y2") - F.lit(OY)) / F.lit(DH)),
-                )
-            ),
-        )
-        .withColumn("ix1", F.greatest(F.col("x1"), F.lit(OX) + F.lit(DW) * F.col("i")))
-        .withColumn("iy1", F.greatest(F.col("y1"), F.lit(OY) + F.lit(DH) * F.col("j")))
-        .withColumn("ix2", F.least(F.col("x2"), F.lit(OX) + F.lit(DW) * (F.col("i") + 1)))
-        .withColumn("iy2", F.least(F.col("y2"), F.lit(OY) + F.lit(DH) * (F.col("j") + 1)))
-        .filter((F.col("ix2") > F.col("ix1")) & (F.col("iy2") > F.col("iy1")))
+    out = conservative_regrid_rect(
+        src, "pop", OX, OY, DW, DH,
+        area_fn=lambda x1, y1, x2, y2: ellipsoid_box_area_m2(
+            lon(x1), lat(y1), lon(x2), lat(y2)
+        ),
+        quantize=lambda c: F.round(c).cast("long"),
+        q_scale=float(Q),
     )
-    area_src = ellipsoid_box_area_m2(
-        lon(F.col("x1")), lat(F.col("y1")), lon(F.col("x2")), lat(F.col("y2"))
-    )
-    area_int = ellipsoid_box_area_m2(
-        lon(F.col("ix1")), lat(F.col("iy1")), lon(F.col("ix2")), lat(F.col("iy2"))
-    )
-    contrib_q = F.round(
-        F.col("pop") / area_src * area_int * F.lit(float(Q))
-    ).cast("long")
-    transferred = cand.groupBy("i", "j").agg(
-        (F.sum(contrib_q).cast("double") / F.lit(float(Q))).alias("pop_t")
-    )
-    bbox = src.agg(
-        F.min("x").alias("xmin"), F.min("y").alias("ymin"),
-        F.max("x").alias("xmax"), F.max("y").alias("ymax"),
-    )
-    dest = (
-        bbox.select(
-            F.explode(
-                F.sequence(
-                    F.floor((F.col("xmin") - F.lit(0.5) - F.lit(OX)) / F.lit(DW)),
-                    F.floor((F.col("xmax") + F.lit(0.5) - F.lit(OX)) / F.lit(DW)),
-                )
-            ).alias("i"),
-            "ymin", "ymax",
-        )
-        .select(
-            "i",
-            F.explode(
-                F.sequence(
-                    F.floor((F.col("ymin") - F.lit(0.5) - F.lit(OY)) / F.lit(DH)),
-                    F.floor((F.col("ymax") + F.lit(0.5) - F.lit(OY)) / F.lit(DH)),
-                )
-            ).alias("j"),
-        )
-    )
-    return (
-        dest.join(transferred, ["i", "j"], "left")
-        .select(
-            "i", "j",
-            (F.lit(EA_LON0) + F.lit(EA_DLON) * (F.lit(OX) + F.lit(DW) * F.col("i"))).alias("lon1"),
-            (F.lit(EA_LAT0) + F.lit(EA_DLAT) * (F.lit(OY) + F.lit(DH) * F.col("j"))).alias("lat1"),
-            (F.lit(EA_LON0) + F.lit(EA_DLON) * (F.lit(OX) + F.lit(DW) * (F.col("i") + 1))).alias("lon2"),
-            (F.lit(EA_LAT0) + F.lit(EA_DLAT) * (F.lit(OY) + F.lit(DH) * (F.col("j") + 1))).alias("lat2"),
-            F.coalesce(F.col("pop_t"), F.lit(0.0)).alias("population"),
-        )
+    return out.select(
+        "i", "j",
+        lon(F.col("dx1")).alias("lon1"),
+        lat(F.col("dy1")).alias("lat1"),
+        lon(F.col("dx2")).alias("lon2"),
+        lat(F.col("dy2")).alias("lat2"),
+        F.col("value").alias("population"),
     )
 
 
