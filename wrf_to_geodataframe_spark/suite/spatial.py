@@ -1759,14 +1759,13 @@ def regrid_conservative_equalarea(
     )
 
 
-def _regrid_equalarea_sql() -> str:
-    """Oracle mirror: the identical authalic-q closed form with the
-    identical GRS80 constant literals, per-pair rounding at 1e-6."""
-    from wrf_to_geodataframe_spark.functions.crs import (
-        GRS80_A,
-        GRS80_E2,
-    )
+def _ea_area_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """SQL expression string: exact ellipsoidal area (m^2) of the
+    degree box — the identical literals and operation order as
+    functions/crs.ellipsoid_box_area_m2 on GRS80 (authalic q 3-12)."""
     import math as _math
+
+    from wrf_to_geodataframe_spark.functions.crs import GRS80_A, GRS80_E2
 
     e2 = GRS80_E2
     e = _math.sqrt(e2)
@@ -1780,13 +1779,23 @@ def _regrid_equalarea_sql() -> str:
             f" / (1.0 + {e!r} * {sin_expr}))))"
         )
 
+    s1 = f"sin(radians({lat1}))"
+    s2 = f"sin(radians({lat2}))"
+    return (
+        f"({a2h!r} * radians(({lon2}) - ({lon1}))"
+        f" * ({qs(s2)} - {qs(s1)}))"
+    )
+
+
+def _regrid_equalarea_sql() -> str:
+    """Oracle mirror: the identical authalic-q closed form with the
+    identical GRS80 constant literals, per-pair rounding at 1e-6."""
     def area(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
-        sl1 = f"sin(radians({EA_LAT0} + {EA_DLAT} * ({lat1})))"
-        sl2 = f"sin(radians({EA_LAT0} + {EA_DLAT} * ({lat2})))"
-        return (
-            f"({a2h!r} * radians(({EA_LON0} + {EA_DLON} * ({lon2}))"
-            f" - ({EA_LON0} + {EA_DLON} * ({lon1})))"
-            f" * ({qs(sl2)} - {qs(sl1)}))"
+        return _ea_area_sql(
+            f"{EA_LON0} + {EA_DLON} * ({lon1})",
+            f"{EA_LAT0} + {EA_DLAT} * ({lat1})",
+            f"{EA_LON0} + {EA_DLON} * ({lon2})",
+            f"{EA_LAT0} + {EA_DLAT} * ({lat2})",
         )
 
     a_src = area("s.x1", "s.y1", "s.x2", "s.y2")
@@ -1977,6 +1986,83 @@ FROM (SELECT *, cos2_alpha * {a2mb2!r} / {b2!r} AS usq FROM fin)
 _G16_VINCENTY_SQL = _vincenty_sql()
 
 
+
+def a8_zonal_mean_equalarea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZONAL STATISTICS with EQUAL-AREA weights (the A6 weighted mean
+    done right for geographic zones): per 1-degree latitude band, the
+    area-weighted mean cell population where the weight is each cell's
+    EXACT ellipsoidal area (functions/crs.ellipsoid_box_area_m2) —
+    not the degrees^2 planar convention that overweights poleward
+    cells by 1/cos(lat).  Areas floor-quantized to whole m^2 (the
+    transcendental drift is ~1e-7 m^2 on ~6e8 m^2 cells) so the
+    distributed sums are exact integers; one scan, one shuffle."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        ellipsoid_box_area_m2,
+    )
+
+    def lon(g):
+        return F.lit(EA_LON0) + F.lit(EA_DLON) * g
+
+    def lat(g):
+        return F.lit(EA_LAT0) + F.lit(EA_DLAT) * g
+
+    src = _source_cells_with_pop(spark, sf_dir)
+    area_q = F.floor(
+        ellipsoid_box_area_m2(
+            lon(F.col("x1")), lat(F.col("y1")),
+            lon(F.col("x2")), lat(F.col("y2")),
+        )
+    ).cast("long")
+    return (
+        src.withColumn("zone", F.floor(F.col("y") / 4).cast("long"))
+        .withColumn("aq", area_q)
+        .groupBy("zone")
+        .agg(
+            (
+                F.sum(F.col("pop") * F.col("aq")).cast("double")
+                / F.sum("aq").cast("double")
+            ).alias("zonal_mean_pop"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        .orderBy("zone")
+    )
+
+
+def _zonal_ea_sql() -> str:
+    area = _ea_area_sql(
+        f"{EA_LON0} + {EA_DLON} * (x1)",
+        f"{EA_LAT0} + {EA_DLAT} * (y1)",
+        f"{EA_LON0} + {EA_DLON} * (x2)",
+        f"{EA_LAT0} + {EA_DLAT} * (y2)",
+    )
+    return f"""
+WITH src AS (
+    SELECT user_id, count(*) AS pop,
+           CAST(user_id % {GRID_W} AS DOUBLE) - 0.5 AS x1,
+           floor(user_id / {GRID_W}.0) - 0.5 AS y1,
+           CAST(user_id % {GRID_W} AS DOUBLE) + 0.5 AS x2,
+           floor(user_id / {GRID_W}.0) + 0.5 AS y2,
+           floor(user_id / {GRID_W}.0) AS y
+    FROM events GROUP BY user_id
+),
+aq AS (
+    SELECT CAST(floor(y / 4) AS BIGINT) AS zone, pop,
+           CAST(floor({area}) AS BIGINT) AS aq
+    FROM src
+)
+SELECT zone,
+       CAST(sum(pop * aq) AS DOUBLE) / CAST(sum(aq) AS DOUBLE)
+           AS zonal_mean_pop,
+       count(*) AS n_cells
+FROM aq
+GROUP BY zone
+ORDER BY zone
+"""
+
+
+_A8_ZONAL_EA_SQL = _zonal_ea_sql()
+
+
 QUERIES = {
     "p4_bbox_filter": p4_bbox_filter,
     "focal_mean_3x3": focal_mean_3x3,
@@ -2004,6 +2090,7 @@ QUERIES = {
     "j8_knn_within_radius": j8_knn_within_radius,
     "g15_geodesic_midpoint": g15_geodesic_midpoint,
     "a7_domain_center": a7_domain_center,
+    "a8_zonal_mean_equalarea": a8_zonal_mean_equalarea,
 }
 
 ORACLE = {
@@ -2033,4 +2120,5 @@ ORACLE = {
     "j8_knn_within_radius": _J8_SQL,
     "g15_geodesic_midpoint": _G15_SQL,
     "a7_domain_center": _A7_SQL,
+    "a8_zonal_mean_equalarea": _A8_ZONAL_EA_SQL,
 }
