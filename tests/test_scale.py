@@ -1627,3 +1627,62 @@ def test_minhash_dedup_adversarial_90pct_identical_200k(spark, tmp_path):
     assert n_pairs == want, (n_pairs, want)
     assert bad_est == 0
     assert hot == n_hot - 1  # doc 0 pairs with every other hot member
+
+
+@slow
+def test_equalarea_regrid_1m_cells_conserves(spark):
+    """The reusable conservative regrid at 1M source cells (0.05-deg
+    grid spanning 35-60N, continental scale) with EXACT ellipsoidal
+    area weights: mass is conserved to the per-pair quantization bound
+    and the run completes in seconds on local[32] — the overlay is an
+    index explode (~4 pairs/cell), one partial-aggregated shuffle, one
+    broadcast re-attach; nothing here grows superlinearly."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        ellipsoid_box_area_m2,
+    )
+    from wrf_to_geodataframe_spark.operators.regrid import (
+        conservative_regrid_rect,
+    )
+
+    nx, ny = 1000, 1000  # 1M cells, 0.05 deg each: lon 0..50E, lat 35..85N? keep 35..60
+    dlat = 0.025
+    src = spark.range(nx * ny).select(
+        (F.col("id") % nx).cast("double").alias("cx"),
+        (F.col("id") / nx).cast("long").cast("double").alias("cy"),
+        (F.pmod(F.col("id") * 37, F.lit(1000)) + 1).cast("double")
+        .alias("val"),
+    ).select(
+        (F.col("cx") * 0.05).alias("x1"),
+        (F.col("cy") * dlat + 35.0).alias("y1"),
+        ((F.col("cx") + 1) * 0.05).alias("x2"),
+        ((F.col("cy") + 1) * dlat + 35.0).alias("y2"),
+        (F.col("cx") * 0.05 + 0.025).alias("x"),
+        (F.col("cy") * dlat + 35.0 + dlat / 2).alias("y"),
+        "val",
+    )
+    total_src = src.agg(F.sum("val")).collect()[0][0]
+    t0 = time.monotonic()
+    out = conservative_regrid_rect(
+        src, "val", 0.013, 35.007, 0.09, 0.045,
+        area_fn=lambda x1, y1, x2, y2: ellipsoid_box_area_m2(
+            x1, y1, x2, y2
+        ),
+        quantize=lambda c: F.round(c).cast("long"),
+        q_scale=1_000_000.0,
+        pad=0.1,
+    )
+    agg = out.agg(
+        F.sum("value").alias("tot"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    dt = time.monotonic() - t0
+    # ~4 pairs/cell, 0.5/Q rounding each
+    assert abs(agg.tot - total_src) < 4e6 * 0.5 / 1e6 * 2, (
+        agg.tot, total_src
+    )
+    assert agg.n > 300_000  # the coarser grid covers the domain
+    print(f"\n1M-cell equal-area regrid in {dt:.1f}s, "
+          f"mass {agg.tot:.3f}/{total_src} over {agg.n} dest cells")
