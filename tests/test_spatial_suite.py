@@ -191,3 +191,147 @@ def test_conservative_regrid_rect_operator_closed_form(spark):
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-6, (k, got[k])
     assert abs(sum(got.values()) - 10.0) < 1e-5
+
+
+def test_regrid_to_crs_identity_matches_analytic(spark):
+    """conservative_regrid_to_crs at crs=4326 (identity projection):
+    the convex overlay of the un-projected boxes must reproduce the
+    ANALYTIC rectilinear regrid cell-for-cell — the exactness anchor
+    for the project-then-overlay workflow."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.operators.regrid import (
+        conservative_regrid_rect,
+        conservative_regrid_to_crs,
+    )
+
+    src = spark.range(64).select(
+        (F.col("id") % 8).cast("double").alias("cx"),
+        F.floor(F.col("id") / 8).cast("double").alias("cy"),
+        (1.0 + F.col("id") % 7).alias("val"),
+    ).select(
+        F.col("cx").alias("lon1"), F.col("cy").alias("lat1"),
+        (F.col("cx") + 1).alias("lon2"), (F.col("cy") + 1).alias("lat2"),
+        (F.col("cx") + 0.5).alias("x"), (F.col("cy") + 0.5).alias("y"),
+        F.col("cx").alias("x1"), F.col("cy").alias("y1"),
+        (F.col("cx") + 1).alias("x2"), (F.col("cy") + 1).alias("y2"),
+        "val",
+    )
+    want = {
+        (r.i, r.j): r.value
+        for r in conservative_regrid_rect(
+            src, "val", 0.3, 0.7, 2.0, 2.0,
+            area_fn=lambda x1, y1, x2, y2: (x2 - x1) * (y2 - y1),
+            quantize=lambda c: F.round(c).cast("long"),
+            q_scale=1e9,
+        ).collect()
+    }
+    got = {
+        (r.i, r.j): r.value
+        for r in conservative_regrid_to_crs(
+            src, "val", 4326, 0.3, 0.7, 2.0, 2.0, bucket=2.0,
+        ).collect()
+    }
+    # the overlay path generates dest cells only where source mass
+    # exists; the analytic path pads — compare on the union with 0s
+    for k in set(want) | set(got):
+        assert abs(want.get(k, 0.0) - got.get(k, 0.0)) < 1e-6, (
+            k, want.get(k), got.get(k)
+        )
+
+
+def test_regrid_to_crs_laea_conserves_and_partitions(spark):
+    """The equal-area production shape: lon/lat source cells onto an
+    EPSG:3035 (LAEA-metre) destination grid.  coverage-normalized mass
+    is conserved; area-normalized weights equal clipped/quad-area with
+    per-cell clipped areas partitioning each projected quad (checked
+    against an independent numpy Sutherland-Hodgman clip for a sampled
+    cell)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.functions.crs import laea_forward_numpy
+    from wrf_to_geodataframe_spark.operators.regrid import (
+        conservative_regrid_to_crs,
+    )
+
+    src = spark.range(36).select(
+        (F.col("id") % 6).cast("double").alias("cx"),
+        F.floor(F.col("id") / 6).cast("double").alias("cy"),
+        (1.0 + F.col("id") % 5).alias("val"),
+    ).select(
+        (F.col("cx") * 0.5 + 5.0).alias("lon1"),
+        (F.col("cy") * 0.5 + 48.0).alias("lat1"),
+        (F.col("cx") * 0.5 + 5.5).alias("lon2"),
+        (F.col("cy") * 0.5 + 48.5).alias("lat2"),
+        "val",
+    )
+    total = src.agg(F.sum("val")).collect()[0][0]
+    out = conservative_regrid_to_crs(
+        src, "val", "EPSG:3035",
+        4000000.0, 2700000.0, 50000.0, 50000.0,
+        bucket=100000.0, normalize="coverage",
+    )
+    got_total = out.agg(F.sum("value")).collect()[0][0]
+    assert abs(got_total - total) / total < 1e-9
+
+    # independent check of one source quad's clipped area against a
+    # numpy Sutherland-Hodgman over the same dest rectangle
+    lon1, lat1, lon2, lat2 = 5.0, 48.0, 5.5, 48.5
+    corners = np.array([
+        laea_forward_numpy(lo, la, 52.0, 10.0,
+                           fe=4321000.0, fn=3210000.0)
+        for lo, la in [(lon1, lat1), (lon2, lat1),
+                       (lon2, lat2), (lon1, lat2)]
+    ])
+
+    def clip_rect(poly, rx1, ry1, rx2, ry2):
+        def clip_half(pts, inside, inter):
+            out_pts = []
+            for k in range(len(pts)):
+                p, q = pts[k], pts[(k + 1) % len(pts)]
+                pi, qi = inside(p), inside(q)
+                if pi:
+                    out_pts.append(p)
+                    if not qi:
+                        out_pts.append(inter(p, q))
+                elif qi:
+                    out_pts.append(inter(p, q))
+            return out_pts
+
+        pts = [tuple(v) for v in poly]
+        for ins, itr in [
+            (lambda p: p[0] >= rx1,
+             lambda p, q: (rx1, p[1] + (q[1]-p[1])*(rx1-p[0])/(q[0]-p[0]))),
+            (lambda p: p[0] <= rx2,
+             lambda p, q: (rx2, p[1] + (q[1]-p[1])*(rx2-p[0])/(q[0]-p[0]))),
+            (lambda p: p[1] >= ry1,
+             lambda p, q: (p[0] + (q[0]-p[0])*(ry1-p[1])/(q[1]-p[1]), ry1)),
+            (lambda p: p[1] <= ry2,
+             lambda p, q: (p[0] + (q[0]-p[0])*(ry2-p[1])/(q[1]-p[1]), ry2)),
+        ]:
+            pts = clip_half(pts, ins, itr)
+            if not pts:
+                return 0.0
+        x = np.array([p[0] for p in pts])
+        y = np.array([p[1] for p in pts])
+        return 0.5 * abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+    rows = conservative_regrid_to_crs(
+        src.filter((F.col("lon1") == lon1) & (F.col("lat1") == lat1)),
+        "val", "EPSG:3035",
+        4000000.0, 2700000.0, 50000.0, 50000.0,
+        bucket=100000.0, normalize="area",
+    ).filter(F.col("value") > 0).collect()
+    quad_area = 0.5 * abs(np.sum(
+        corners[:, 0] * np.roll(corners[:, 1], -1)
+        - np.roll(corners[:, 0], -1) * corners[:, 1]
+    ))
+    w_sum = 0.0
+    for r in rows:
+        a_np = clip_rect(corners, r.dx1, r.dy1, r.dx2, r.dy2)
+        w_np = a_np / quad_area
+        # value = val(=1.0 for this cell) * weight
+        assert abs(r.value - 1.0 * w_np) < 1e-9, (r, w_np)
+        w_sum += w_np
+    assert abs(w_sum - 1.0) < 1e-9  # quad fully covered -> partition
