@@ -956,3 +956,79 @@ def test_complex_packing_roundtrip_property(
     )
     m = read_grib2(p)[0]
     np.testing.assert_array_equal(m["values"], vals)
+
+
+def _laea_message(scan=0x40):
+    """3x2 Lambert-azimuthal-equal-area grid (template 3.140),
+    simple packing — assembled from the WMO octet table."""
+    s1 = struct.pack(">IB", 21, 1) + struct.pack(
+        ">HHBBBHBBBBBBB", 7, 0, 2, 1, 1, 2026, 8, 14, 0, 0, 0, 0, 1
+    )
+    tmpl140 = (
+        bytes([6]) + b"\x00" * 15            # shape 6: R = 6371229
+        + struct.pack(">II", 3, 2)           # Nx=3, Ny=2
+        + struct.pack(">I", 48_000_000)      # La1 = 48N
+        + struct.pack(">I", 8_000_000)       # Lo1 = 8E
+        + struct.pack(">I", 52_000_000)      # standard parallel 52N
+        + struct.pack(">I", 10_000_000)      # central longitude 10E
+        + bytes([0x00])                      # resolution flags
+        + struct.pack(">II", 25_000_000, 25_000_000)  # Dx=Dy=25 km (mm)
+        + bytes([scan])                      # scan mode
+    )
+    assert len(tmpl140) == 50
+    s3 = (struct.pack(">IB", 64, 3)
+          + struct.pack(">BIBBH", 0, 6, 0, 0, 140) + tmpl140)
+    tmpl40 = (
+        bytes([0, 0, 2, 0, 0]) + struct.pack(">H", 0) + bytes([0, 1])
+        + struct.pack(">i", 6)
+        + bytes([1, 0]) + b"\x00" * 4 + bytes([255]) + b"\xff" * 5
+    )
+    s4 = struct.pack(">IB", 34, 4) + struct.pack(">HH", 0, 0) + tmpl40
+    s5_body = (
+        struct.pack(">IH", 6, 0)
+        + struct.pack(">f", 0.0) + b"\x00\x00" + b"\x00\x00"
+        + bytes([8, 0])
+    )
+    s5 = struct.pack(">IB", 5 + len(s5_body), 5) + s5_body
+    s6 = struct.pack(">IB", 6, 6) + bytes([255])
+    x_bytes = bytes([1, 2, 3, 4, 5, 6])
+    s7 = struct.pack(">IB", 5 + len(x_bytes), 7) + x_bytes
+    body = s1 + s3 + s4 + s5 + s6 + s7
+    total = 16 + len(body) + 4
+    s0 = b"GRIB\x00\x00" + bytes([0, 2]) + struct.pack(">Q", total)
+    return s0 + body + b"7777"
+
+
+def test_template_3_140_laea_grid():
+    """Template 3.140 decode: values land row-major; lat/lon equal the
+    independent inverse LAEA of the regular projected lattice; the
+    first grid point round-trips to exactly (La1, Lo1); +j and -j scan
+    modes mirror rows."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        laea_forward_numpy,
+        laea_inverse_numpy,
+    )
+
+    m = read_grib2_bytes(_laea_message())[0]
+    assert (m["ni"], m["nj"]) == (3, 2)
+    np.testing.assert_array_equal(
+        m["values"], np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    )
+    assert m["projection"]["name"] == "lambert_azimuthal_equal_area"
+    R = 6371229.0
+    # first grid point is exactly (48N, 8E)
+    np.testing.assert_allclose(m["lat"][0, 0], 48.0, atol=1e-9)
+    np.testing.assert_allclose(m["lon"][0, 0], 8.0, atol=1e-9)
+    # the whole grid equals the independent inverse of the lattice
+    x1, y1 = laea_forward_numpy(8.0, 48.0, 52.0, 10.0, a=R, e2=0.0)
+    xs = float(x1) + np.arange(3) * 25_000.0
+    ys = float(y1) + np.arange(2) * 25_000.0
+    xg, yg = np.meshgrid(xs, ys)
+    lon_w, lat_w = laea_inverse_numpy(xg, yg, 52.0, 10.0, a=R, e2=0.0)
+    np.testing.assert_allclose(m["lat"], lat_w, atol=1e-12)
+    np.testing.assert_allclose(m["lon"], lon_w % 360.0, atol=1e-12)
+    # -j scan walks south: row 0 of +j equals row 1 of -j... rows are
+    # generated from y1 downward, so latitudes must DECREASE
+    m2 = read_grib2_bytes(_laea_message(scan=0x00))[0]
+    assert m2["lat"][0, 0] > m2["lat"][1, 0]
+    np.testing.assert_allclose(m2["lat"][0, 0], 48.0, atol=1e-9)

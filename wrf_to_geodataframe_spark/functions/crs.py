@@ -1366,7 +1366,13 @@ GRS80_E2 = GRS80_F * (2.0 - GRS80_F)
 
 def _authalic_q_float(sinphi: float, e: float, e2: float) -> float:
     """Snyder eq. 3-12 as a Python float (constant precomputation):
-    q = (1-e^2)[ s/(1-e^2 s^2) - (1/2e) ln((1-es)/(1+es)) ]."""
+    q = (1-e^2)[ s/(1-e^2 s^2) - (1/2e) ln((1-es)/(1+es)) ].
+    At e = 0 (spherical earth — the common GRIB2 shape) the limit is
+    q = 2 s, which makes every authalic-based projection reduce
+    EXACTLY to its Snyder spherical form (beta = phi, Rq = R,
+    D = 1)."""
+    if e == 0.0:
+        return 2.0 * sinphi
     return (1.0 - e2) * (
         sinphi / (1.0 - e2 * sinphi * sinphi)
         - (1.0 / (2.0 * e))
@@ -1554,11 +1560,14 @@ def laea_forward_numpy(lon, lat, lat0d, lon0d, a=GRS80_A, e2=GRS80_E2,
     dl = np.radians(np.asarray(lon, "float64") - lon0d)
     dl = np.mod(dl + np.pi, 2.0 * np.pi) - np.pi
     s = np.sin(phi)
-    q = (1.0 - e2) * (
-        s / (1.0 - e2 * s * s)
-        - (1.0 / (2.0 * k["e"]))
-        * np.log((1.0 - k["e"] * s) / (1.0 + k["e"] * s))
-    )
+    if e2 == 0.0:
+        q = 2.0 * s
+    else:
+        q = (1.0 - e2) * (
+            s / (1.0 - e2 * s * s)
+            - (1.0 / (2.0 * k["e"]))
+            * np.log((1.0 - k["e"] * s) / (1.0 + k["e"] * s))
+        )
     beta = np.arcsin(q / k["qp"])
     B = k["rq"] * np.sqrt(
         2.0 / (1.0 + k["sinb1"] * np.sin(beta)
@@ -1730,11 +1739,14 @@ def albers_forward_numpy(lon, lat, lat1d, lat2d, lat0d, lon0d,
     dl = np.radians(np.asarray(lon, "float64") - lon0d)
     dl = np.mod(dl + np.pi, 2.0 * np.pi) - np.pi
     s = np.sin(phi)
-    q = (1.0 - e2) * (
-        s / (1.0 - e2 * s * s)
-        - (1.0 / (2.0 * k["e"]))
-        * np.log((1.0 - k["e"] * s) / (1.0 + k["e"] * s))
-    )
+    if e2 == 0.0:
+        q = 2.0 * s
+    else:
+        q = (1.0 - e2) * (
+            s / (1.0 - e2 * s * s)
+            - (1.0 / (2.0 * k["e"]))
+            * np.log((1.0 - k["e"] * s) / (1.0 + k["e"] * s))
+        )
     rho = a * np.sqrt(k["c"] - k["n"] * q) / k["n"]
     th = k["n"] * dl
     return rho * np.sin(th) + fe, k["rho0"] - rho * np.cos(th) + fn
@@ -1973,11 +1985,14 @@ def cea_forward_numpy(lon, lat, lat_ts, lon0d=0.0, a=GRS80_A,
     dl = np.radians(np.asarray(lon, "float64") - lon0d)
     dl = np.mod(dl + np.pi, 2.0 * np.pi) - np.pi
     s = np.sin(np.radians(np.asarray(lat, "float64")))
-    q = (1.0 - e2) * (
-        s / (1.0 - e2 * s * s)
-        - (1.0 / (2.0 * k["e"]))
-        * np.log((1.0 - k["e"] * s) / (1.0 + k["e"] * s))
-    )
+    if e2 == 0.0:
+        q = 2.0 * s
+    else:
+        q = (1.0 - e2) * (
+            s / (1.0 - e2 * s * s)
+            - (1.0 / (2.0 * k["e"]))
+            * np.log((1.0 - k["e"] * s) / (1.0 + k["e"] * s))
+        )
     return a * k["k0"] * dl, a * q / (2.0 * k["k0"])
 
 

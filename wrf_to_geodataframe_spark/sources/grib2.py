@@ -271,8 +271,8 @@ def lcc_inverse(x, y, lat1d, lat2d, lat0d, lon0d, R):
 
 def _earth_radius(body: bytes) -> float:
     """Shape-of-earth octets (template offset 0..15): spherical radii
-    only (LCC on a spheroid is out of scope; NCEP LCC grids are
-    spherical)."""
+    only (projected grids on a spheroid are out of scope; NCEP LCC and
+    the common 3.140 LAEA grids are spherical)."""
     shape = body[0]
     if shape == 0:
         return 6367470.0
@@ -282,7 +282,7 @@ def _earth_radius(body: bytes) -> float:
         sf = body[1]
         val = struct.unpack_from(">I", body, 2)[0]
         return val / (10.0 ** sf)
-    raise Grib2Error(f"shape of earth {shape} not supported for LCC")
+    raise Grib2Error(f"shape of earth {shape} not supported for projected grids")
 
 
 def rotated_to_true(lat_r, lon_r, sp_lat: float, sp_lon: float):
@@ -468,6 +468,54 @@ def _parse_grid_template_3_30(body: bytes) -> dict:
     }
 
 
+def _parse_grid_template_3_140(body: bytes) -> dict:
+    """Lambert azimuthal equal-area (template 3.140 — the EUMETSAT
+    OSI-SAF / EASE-style equal-area grids).  ``body`` = section 3
+    octets 15.. (0-based offset = octet - 15): shape block 0-15,
+    Nx 16, Ny 20, La1 24, Lo1 28, standard parallel 32, central
+    longitude 36, resolution flags 40, Dx 41, Dy 45 (both
+    millimetres), scan mode 49.  Grid points are regular in the LAEA
+    plane; lat/lon come from the inverse transform
+    (functions/crs.laea_inverse_numpy — Snyder ch. 24; the e = 0
+    authalic limit makes the spherical GRIB2 earths exact)."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        laea_forward_numpy,
+        laea_inverse_numpy,
+    )
+
+    def u4(o):
+        return struct.unpack_from(">I", body, o)[0]
+
+    def s4v(o):
+        return _smag(u4(o), 32)
+
+    ni, nj = u4(16), u4(20)
+    la1, lo1 = s4v(24) / 1e6, u4(28) / 1e6
+    lat0, lon0 = s4v(32) / 1e6, u4(36) / 1e6
+    dx, dy = u4(41) / 1e3, u4(45) / 1e3
+    scan = body[49]
+    if scan not in (0x00, 0x40):
+        raise Grib2Error(f"unsupported scanning mode 0x{scan:02x}")
+    R = _earth_radius(body)
+    lon0_c = ((lon0 + 180.0) % 360.0) - 180.0
+    x1, y1 = laea_forward_numpy(lo1, la1, lat0, lon0_c, a=R, e2=0.0)
+    xs = float(x1) + np.arange(ni) * dx
+    ys = float(y1) + np.arange(nj) * (dy if scan & 0x40 else -dy)
+    xg, yg = np.meshgrid(xs, ys)
+    lon, lat = laea_inverse_numpy(xg, yg, lat0, lon0_c, a=R, e2=0.0)
+    return {
+        "ni": int(ni),
+        "nj": int(nj),
+        "lat": lat,
+        "lon": lon % 360.0,
+        "scan": scan,
+        "projection": {
+            "name": "lambert_azimuthal_equal_area",
+            "lat0": lat0, "lon0": lon0, "radius": R,
+        },
+    }
+
+
 def _parse_grid_template_3_0(body: bytes) -> dict:
     """``body`` is the grid definition template, i.e. section 3 octets
     15.. (0-based offset = WMO octet - 15): shape-of-earth block 0-15,
@@ -559,6 +607,8 @@ def _parse_message(msg: bytes, discipline: int, name: str) -> dict:
         grid = _parse_grid_template_3_30(s3[14:])
     elif tmpl3 == 40:
         grid = _parse_grid_template_3_40(s3[14:])
+    elif tmpl3 == 140:
+        grid = _parse_grid_template_3_140(s3[14:])
     else:
         raise Grib2Error(f"{name}: grid template 3.{tmpl3} not supported")
     if grid["ni"] * grid["nj"] != npoints:
