@@ -1454,9 +1454,17 @@ def test_ahash_bands_kernel_matches_scalar_reference():
     try:
         ahash_bands([b"\x00" * 255])
     except ValueError as exc:
-        assert "256-byte" in str(exc)
+        assert "255 bytes, expected 256" in str(exc)
     else:
         raise AssertionError("short buffer must raise")
+    # per-buffer validation: mismatched sizes that SUM correctly must
+    # still raise (a total-length check would shift pixels silently)
+    try:
+        ahash_bands([b"\x00" * 255, b"\x00" * 257])
+    except ValueError as exc:
+        assert "buffer 0 is 255" in str(exc)
+    else:
+        raise AssertionError("mismatched buffer sizes must raise")
 
 
 def test_minhash_collapse_90pct_identical_corpus_exact(spark, tmp_path):

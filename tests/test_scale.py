@@ -1673,7 +1673,6 @@ def test_equalarea_regrid_1m_cells_conserves(spark):
         ),
         quantize=lambda c: F.round(c).cast("long"),
         q_scale=1_000_000.0,
-        pad=0.1,
     )
     agg = out.agg(
         F.sum("value").alias("tot"), F.count(F.lit(1)).alias("n")

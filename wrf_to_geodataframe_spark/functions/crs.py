@@ -1382,7 +1382,11 @@ def _authalic_q_float(sinphi: float, e: float, e2: float) -> float:
 
 def _authalic_q_col(sinphi: Column, e: float, e2: float) -> Column:
     """Column twin of :func:`_authalic_q_float` — same literal layout so
-    a DuckDB oracle restating the formula agrees to the last few ulps."""
+    a DuckDB oracle restating the formula agrees to the last few ulps.
+    The e = 0 spherical limit (q = 2 s) is a separate branch like the
+    float/numpy twins (the general form divides by e)."""
+    if e == 0.0:
+        return F.lit(2.0) * sinphi
     return F.lit(1.0 - e2) * (
         sinphi / (F.lit(1.0) - F.lit(e2) * sinphi * sinphi)
         - F.lit(1.0 / (2.0 * e))
@@ -1390,6 +1394,17 @@ def _authalic_q_col(sinphi: Column, e: float, e2: float) -> Column:
             (F.lit(1.0) - F.lit(e) * sinphi)
             / (F.lit(1.0) + F.lit(e) * sinphi)
         )
+    )
+
+
+def _authalic_q_np(s, e: float, e2: float):
+    """Numpy twin of :func:`_authalic_q_float` over a sin(phi) array —
+    the one copy every *_forward_numpy shares."""
+    if e2 == 0.0:
+        return 2.0 * s
+    return (1.0 - e2) * (
+        s / (1.0 - e2 * s * s)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
     )
 
 
@@ -1452,8 +1467,17 @@ def lonlat_to_laea(
         ) - F.lit(math.pi),
     })
     d = d.withColumn(
-        "_beta", F.asin(_authalic_q_col(F.col("_s"), k["e"], k["e2"])
-                        / F.lit(k["qp"]))
+        "_beta",
+        F.asin(
+            F.greatest(
+                F.lit(-1.0),
+                F.least(
+                    F.lit(1.0),
+                    _authalic_q_col(F.col("_s"), k["e"], k["e2"])
+                    / F.lit(k["qp"]),
+                ),
+            )
+        ),
     )
     d = d.withColumns({
         "_sb": F.sin(F.col("_beta")),
@@ -1560,15 +1584,10 @@ def laea_forward_numpy(lon, lat, lat0d, lon0d, a=GRS80_A, e2=GRS80_E2,
     dl = np.radians(np.asarray(lon, "float64") - lon0d)
     dl = np.mod(dl + np.pi, 2.0 * np.pi) - np.pi
     s = np.sin(phi)
-    if e2 == 0.0:
-        q = 2.0 * s
-    else:
-        q = (1.0 - e2) * (
-            s / (1.0 - e2 * s * s)
-            - (1.0 / (2.0 * k["e"]))
-            * np.log((1.0 - k["e"] * s) / (1.0 + k["e"] * s))
-        )
-    beta = np.arcsin(q / k["qp"])
+    q = _authalic_q_np(s, k["e"], e2)
+    # clamp: a last-ulp q/qp > 1 at the pole must not go NaN (the
+    # inverses clamp the same ratio)
+    beta = np.arcsin(np.clip(q / k["qp"], -1.0, 1.0))
     B = k["rq"] * np.sqrt(
         2.0 / (1.0 + k["sinb1"] * np.sin(beta)
                + k["cosb1"] * np.cos(beta) * np.cos(dl))
@@ -1739,14 +1758,7 @@ def albers_forward_numpy(lon, lat, lat1d, lat2d, lat0d, lon0d,
     dl = np.radians(np.asarray(lon, "float64") - lon0d)
     dl = np.mod(dl + np.pi, 2.0 * np.pi) - np.pi
     s = np.sin(phi)
-    if e2 == 0.0:
-        q = 2.0 * s
-    else:
-        q = (1.0 - e2) * (
-            s / (1.0 - e2 * s * s)
-            - (1.0 / (2.0 * k["e"]))
-            * np.log((1.0 - k["e"] * s) / (1.0 + k["e"] * s))
-        )
+    q = _authalic_q_np(s, k["e"], e2)
     rho = a * np.sqrt(k["c"] - k["n"] * q) / k["n"]
     th = k["n"] * dl
     return rho * np.sin(th) + fe, k["rho0"] - rho * np.cos(th) + fn
@@ -1985,14 +1997,7 @@ def cea_forward_numpy(lon, lat, lat_ts, lon0d=0.0, a=GRS80_A,
     dl = np.radians(np.asarray(lon, "float64") - lon0d)
     dl = np.mod(dl + np.pi, 2.0 * np.pi) - np.pi
     s = np.sin(np.radians(np.asarray(lat, "float64")))
-    if e2 == 0.0:
-        q = 2.0 * s
-    else:
-        q = (1.0 - e2) * (
-            s / (1.0 - e2 * s * s)
-            - (1.0 / (2.0 * k["e"]))
-            * np.log((1.0 - k["e"] * s) / (1.0 + k["e"] * s))
-        )
+    q = _authalic_q_np(s, k["e"], e2)
     return a * k["k0"] * dl, a * q / (2.0 * k["k0"])
 
 

@@ -681,12 +681,16 @@ def ahash_bands(buffers, side: int = 16):
     blk = side // 8
     if blk * 8 != side:
         raise ValueError(f"ahash_bands needs side % 8 == 0, got {side}")
-    raw = b"".join(bytes(b) for b in buffers)
-    if len(raw) != n * side * side:
-        raise ValueError(
-            f"ahash_bands: expected {n} x {side * side}-byte buffers, "
-            f"got {len(raw)} total bytes"
-        )
+    bufs = [bytes(b) for b in buffers]
+    want = side * side
+    for i, b in enumerate(bufs):
+        if len(b) != want:
+            raise ValueError(
+                f"ahash_bands: buffer {i} is {len(b)} bytes, expected "
+                f"{want} ({side}x{side}) — a total-length check alone "
+                "would let mismatched sizes shift pixels across images"
+            )
+    raw = b"".join(bufs)
     a = np.frombuffer(raw, "uint8").astype("int64")
     a = a.reshape(n, side, side)
     bs = a.reshape(n, 8, blk, 8, blk).sum(axis=(2, 4)).reshape(n, 64)

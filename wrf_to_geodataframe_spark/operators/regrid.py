@@ -44,13 +44,15 @@ def conservative_regrid_rect(
     area_fn: Callable[[Column, Column, Column, Column], Column],
     quantize: Callable[[Column], Column],
     q_scale: float,
-    pad: float = 0.5,
 ) -> DataFrame:
-    """``src``: (x1, y1, x2, y2, x, y, <value_col>) axis-aligned source
-    cells (x/y any cell-identifying point inside, used only for the
-    extent).  Returns the destination grid (i, j, dx1, dy1, dx2, dy2,
+    """``src``: (x1, y1, x2, y2, <value_col>) axis-aligned source
+    cells.  Returns the destination grid (i, j, dx1, dy1, dx2, dy2,
     <value_col>_t as ``value``) with the conservatively transferred
-    value, zero-filled where uncovered."""
+    value, zero-filled where uncovered.  The destination extent comes
+    from the BOX bounds (min x1 / max x2, min y1 / max y2), so every
+    cell's full footprint is covered whatever the cell size — a
+    padded-center extent would silently drop edge-cell mass for cells
+    wider than the pad."""
     cand = (
         src.withColumn(
             "i",
@@ -97,15 +99,15 @@ def conservative_regrid_rect(
         (F.sum(contrib_q).cast("double") / F.lit(q_scale)).alias("value")
     )
     bbox = src.agg(
-        F.min("x").alias("xmin"), F.min("y").alias("ymin"),
-        F.max("x").alias("xmax"), F.max("y").alias("ymax"),
+        F.min("x1").alias("xmin"), F.min("y1").alias("ymin"),
+        F.max("x2").alias("xmax"), F.max("y2").alias("ymax"),
     )
     dest = (
         bbox.select(
             F.explode(
                 F.sequence(
-                    F.floor((F.col("xmin") - F.lit(pad) - F.lit(ox)) / F.lit(dw)),
-                    F.floor((F.col("xmax") + F.lit(pad) - F.lit(ox)) / F.lit(dw)),
+                    F.floor((F.col("xmin") - F.lit(ox)) / F.lit(dw)),
+                    F.floor((F.col("xmax") - F.lit(ox)) / F.lit(dw)),
                 )
             ).alias("i"),
             "ymin", "ymax",
@@ -114,8 +116,8 @@ def conservative_regrid_rect(
             "i",
             F.explode(
                 F.sequence(
-                    F.floor((F.col("ymin") - F.lit(pad) - F.lit(oy)) / F.lit(dh)),
-                    F.floor((F.col("ymax") + F.lit(pad) - F.lit(oy)) / F.lit(dh)),
+                    F.floor((F.col("ymin") - F.lit(oy)) / F.lit(dh)),
+                    F.floor((F.col("ymax") - F.lit(oy)) / F.lit(dh)),
                 )
             ).alias("j"),
         )
@@ -180,14 +182,23 @@ def conservative_regrid_to_crs(
         raise ValueError(
             f"normalize must be 'area' or 'coverage', got {normalize!r}"
         )
-    # deterministic per-cell key from the box itself (grid cells are
-    # unique boxes by construction; monotonically_increasing_id would
-    # re-number between the plan's aliased branches)
-    src = src.withColumn(
-        "_sid",
-        F.xxhash64(
-            F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")
-        ),
+    # duplicate boxes pre-aggregate (the transfer is LINEAR in the
+    # value, so summing duplicate rows of the same box is exactly
+    # equivalent and makes boxes unique) — then a deterministic
+    # per-cell key from the box itself (monotonically_increasing_id
+    # would re-number between the plan's aliased branches; xxhash64
+    # collisions over distinct boxes are the usual 2^-64-per-pair
+    # hazard the hash-keyed operators share)
+    src = (
+        src.groupBy("lon1", "lat1", "lon2", "lat2")
+        .agg(F.sum(value_col).alias(value_col))
+        .withColumn(
+            "_sid",
+            F.xxhash64(
+                F.col("lon1"), F.col("lat1"),
+                F.col("lon2"), F.col("lat2"),
+            ),
+        )
     )
     # project the four corners: ll, lr, ur, ul (ccw)
     d = src

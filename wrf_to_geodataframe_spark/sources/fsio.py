@@ -70,11 +70,18 @@ def _s3_endpoint() -> str | None:
 
 
 def _s3_to_http(path: str, endpoint: str) -> str:
-    """s3://bucket/key -> {endpoint}/bucket/key (path-style)."""
+    """s3://bucket/key -> {endpoint}/bucket/key (path-style).  The key
+    is percent-encoded ('/' kept) so names with '#', '?', spaces or
+    '%' address the right object instead of being parsed as URL
+    syntax."""
+    import urllib.parse
+
     rest = path[len("s3://"):]
     if "/" not in rest or not rest.split("/", 1)[1]:
         raise ValueError(f"{path}: expected s3://bucket/key")
-    return endpoint.rstrip("/") + "/" + rest
+    bucket, key = rest.split("/", 1)
+    return (endpoint.rstrip("/") + "/" + bucket + "/"
+            + urllib.parse.quote(key, safe="/"))
 
 
 class HttpRangeFile:

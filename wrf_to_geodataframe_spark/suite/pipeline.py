@@ -584,16 +584,6 @@ def _minhash_band_candidates(docs: DataFrame):
         .select(F.col("qa.rep").alias("ra"), F.col("qb.rep").alias("rb"))
         .distinct()
     )
-    ca = cm.select(F.col("rep").alias("ra"), F.col("doc_id").alias("ia"))
-    cb = cm.select(F.col("rep").alias("rb"), F.col("doc_id").alias("ib"))
-    cross = (
-        rep_cand.join(ca, "ra")
-        .join(cb, "rb")
-        .select(
-            F.least("ia", "ib").alias("da"),
-            F.greatest("ia", "ib").alias("db"),
-        )
-    )
     within = (
         cm.alias("x")
         .join(
@@ -605,7 +595,26 @@ def _minhash_band_candidates(docs: DataFrame):
             F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db")
         )
     )
-    return sigs, cross, within
+    return sigs, rep_cand, cm, within
+
+
+def _fan_out_pairs(rep_pairs: DataFrame, cm: DataFrame, carry=()):
+    """Expand representative pairs (ra, rb, *carry) to member pairs
+    (da, db, *carry) through the copy map — the shared fan-out of the
+    collapsed near-dup family.  Every emitted row is a result row
+    (output-bound); group-disjointness makes the expansion
+    duplicate-free without a distinct."""
+    ca = cm.select(F.col("rep").alias("ra"), F.col("doc_id").alias("ia"))
+    cb = cm.select(F.col("rep").alias("rb"), F.col("doc_id").alias("ib"))
+    return (
+        rep_pairs.join(ca, "ra")
+        .join(cb, "rb")
+        .select(
+            F.least("ia", "ib").alias("da"),
+            F.greatest("ia", "ib").alias("db"),
+            *carry,
+        )
+    )
 
 
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1044,27 +1053,31 @@ def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
     arbitrary (doc_id, text) frame — band candidates re-scored by
     full-signature agreement, kept at matches/K >= 0.5.  Shared by the
     corpus query below and the 200k-doc scale test so the verification
-    semantics cannot drift between them.  Only CROSS-group candidates
-    go through the signature-agreement join; within-group pairs carry
-    an identical signature, so their estimate is exactly 1.0 without
-    touching the signatures again (keeps the verify stage bounded by
-    DISTINCT signatures on an exact-duplicate-heavy corpus — the
-    within side is pure output)."""
-    sigs, cross, within = _minhash_band_candidates(docs)
+    semantics cannot drift between them.  Verification runs at the
+    REPRESENTATIVE level: agreement(a, b) depends only on the two
+    signatures, and every member shares its representative's
+    signature, so scoring rep pairs before the copy-map fan-out is
+    exactly equivalent while the verify join stays bounded by DISTINCT
+    signatures (two 5k-copy groups band-colliding would otherwise push
+    25M member pairs through the 16-row agreement join); within-group
+    pairs carry an identical signature — estimate exactly 1.0 with no
+    join at all."""
+    sigs, rep_cand, cm, within = _minhash_band_candidates(docs)
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
-    est = (
-        cross.join(sa, F.col("da") == F.col("sa.doc_id"))
-        .join(sb, (F.col("db") == F.col("sb.doc_id")) & (F.col("sa.i") == F.col("sb.i")))
-        .groupBy("da", "db")
+    est_rep = (
+        rep_cand.join(sa, F.col("ra") == F.col("sa.doc_id"))
+        .join(sb, (F.col("rb") == F.col("sb.doc_id")) & (F.col("sa.i") == F.col("sb.i")))
+        .groupBy("ra", "rb")
         .agg(
             (
                 F.sum((F.col("sa.mh") == F.col("sb.mh")).cast("long")).cast("double")
                 / F.lit(float(_MH_K))
             ).alias("jaccard_est")
         )
+        .filter(F.col("jaccard_est") >= 0.5)
     )
-    return est.filter(F.col("jaccard_est") >= 0.5).unionByName(
+    return _fan_out_pairs(est_rep, cm, carry=("jaccard_est",)).unionByName(
         within.select(
             "da", "db", F.lit(1.0).cast("double").alias("jaccard_est")
         )
@@ -1260,8 +1273,8 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical-signature (within) pairs are NOT pre-verified here:
     # equal signatures do not imply equal text, so every candidate goes
     # through the exact Levenshtein check
-    _sigs, cross, within = _minhash_band_candidates(docs)
-    cand = cross.unionByName(within)
+    _sigs, rep_cand, cm, within = _minhash_band_candidates(docs)
+    cand = _fan_out_pairs(rep_cand, cm).unionByName(within)
     ta = docs.select(
         F.col("doc_id").alias("da"), F.col("text").alias("text_a")
     )
