@@ -108,7 +108,8 @@ def test_crs_transforms_stay_jvm_side(spark):
     from wrf_to_geodataframe_spark.suite.spatial import QUERIES
 
     for name in ("g8_crs_lcc", "g8_crs_utm", "g8_crs_stere",
-                 "g8_crs_osgb", "g8_crs_webmercator", "g8_crs_laea"):
+                 "g8_crs_osgb", "g8_crs_webmercator", "g8_crs_laea",
+                 "g8_crs_albers", "g8_crs_cea"):
         plan = _plan(QUERIES[name](spark, SF))
         assert plan.count("Scan parquet") == 1, name
         assert "EvalPython" not in plan, name

@@ -2063,6 +2063,131 @@ ORDER BY zone
 _A8_ZONAL_EA_SQL = _zonal_ea_sql()
 
 
+
+def g8_crs_albers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Albers equal-area conic transform (SURVEY.md §2 G8) —
+    EPSG:5070 parameters (Conus Albers, the US census/land-cover
+    CRS): grid centers as pseudo lon/lat over CONUS through the
+    ellipsoidal Albers column transform (functions/crs.py, Snyder
+    eqs. 14-1..14-4 with authalic q; pinned to Snyder's worked
+    example in tests/test_crs.py).  Rounded to cm."""
+    from wrf_to_geodataframe_spark.functions.crs import lonlat_to_albers
+
+    cells = grid_cells(spark, sf_dir)
+    d = cells.select(
+        "user_id",
+        (F.col("x") * 1.2 - 120.0).alias("lon"),  # ~[-120, -82.8]
+        (F.col("y") * 0.4 + 26.0).alias("lat"),   # ~[26, 44.8]
+    )
+    out = lonlat_to_albers(
+        d, F.col("lon"), F.col("lat"), 29.5, 45.5, 23.0, -96.0
+    )
+    return out.select(
+        "user_id",
+        F.round("albers_x", 2).alias("albers_x"),
+        F.round("albers_y", 2).alias("albers_y"),
+    )
+
+
+def _albers_sql() -> str:
+    """Oracle mirror of the ellipsoidal Albers forward with identical
+    precomputed constants (n, C, rho0, e, e2)."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        GRS80_A,
+        albers_constants,
+    )
+
+    k = albers_constants(29.5, 45.5, 23.0)
+    e, e2, n = k["e"], k["e2"], k["n"]
+    return f"""
+WITH cells AS ({_CELLS_SQL}),
+ll AS (
+    SELECT user_id,
+           sin(radians((y1 + 0.5) * 0.4 + 26.0)) AS s,
+           {n!r} * radians((x1 + 0.5) * 1.2 - 120.0 + 96.0) AS th
+    FROM cells
+),
+r AS (
+    SELECT user_id, th,
+           {GRS80_A!r} * sqrt({k["c"]!r} - {n!r}
+               * ({1.0 - e2!r} * (s / (1.0 - {e2!r} * s * s)
+                  - {1.0 / (2.0 * e)!r}
+                    * ln((1.0 - {e!r} * s) / (1.0 + {e!r} * s)))))
+               / {n!r} AS rho
+    FROM ll
+)
+SELECT user_id,
+       round(rho * sin(th), 2) AS albers_x,
+       round({k["rho0"]!r} - rho * cos(th), 2) AS albers_y
+FROM r
+"""
+
+
+_G8_ALBERS_SQL = _albers_sql()
+
+
+def g8_crs_cea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cylindrical equal-area transform (SURVEY.md §2 G8) — EPSG:6933
+    parameters (WGS84 / NSIDC EASE-Grid 2.0 Global, lat_ts = 30; the
+    column transform reproduces NSIDC's published half-width constant,
+    tests/test_crs.py): grid centers as pseudo lon/lat through the
+    ellipsoidal CEA columns (Snyder ch. 10).  Rounded to cm."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        WGS_A,
+        WGS_F,
+        lonlat_to_cea,
+    )
+
+    cells = grid_cells(spark, sf_dir)
+    d = cells.select(
+        "user_id",
+        (F.col("x") * 5.0 - 80.0).alias("lon"),  # ~[-80, 75]
+        (F.col("y") * 1.5 - 36.0).alias("lat"),  # ~[-36, 34.5+]
+    )
+    out = lonlat_to_cea(
+        d, F.col("lon"), F.col("lat"), 30.0,
+        a=WGS_A, e2=WGS_F * (2.0 - WGS_F),
+    )
+    return out.select(
+        "user_id",
+        F.round("cea_x", 2).alias("cea_x"),
+        F.round("cea_y", 2).alias("cea_y"),
+    )
+
+
+def _cea_sql() -> str:
+    """Oracle mirror of the ellipsoidal CEA forward (WGS84,
+    lat_ts = 30) with identical constants."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        WGS_A,
+        WGS_F,
+        cea_constants,
+    )
+
+    e2w = WGS_F * (2.0 - WGS_F)
+    k = cea_constants(30.0, a=WGS_A, e2=e2w)
+    e = k["e"]
+    return f"""
+WITH cells AS ({_CELLS_SQL}),
+ll AS (
+    SELECT user_id,
+           sin(radians((y1 + 0.5) * 1.5 - 36.0)) AS s,
+           radians((x1 + 0.5) * 5.0 - 80.0) AS dl
+    FROM cells
+)
+SELECT user_id,
+       round({WGS_A * k["k0"]!r} * dl, 2) AS cea_x,
+       round({WGS_A!r} * ({1.0 - e2w!r} * (s / (1.0 - {e2w!r} * s * s)
+             - {1.0 / (2.0 * e)!r}
+               * ln((1.0 - {e!r} * s) / (1.0 + {e!r} * s))))
+             / {2.0 * k["k0"]!r}, 2) AS cea_y
+FROM ll
+"""
+
+
+_G8_CEA_SQL = _cea_sql()
+
+
 QUERIES = {
     "p4_bbox_filter": p4_bbox_filter,
     "focal_mean_3x3": focal_mean_3x3,
@@ -2081,6 +2206,8 @@ QUERIES = {
     "g8_crs_osgb": g8_crs_osgb,
     "g8_crs_lcc": g8_crs_lcc,
     "g8_crs_laea": g8_crs_laea,
+    "g8_crs_albers": g8_crs_albers,
+    "g8_crs_cea": g8_crs_cea,
     "g8_crs_utm": g8_crs_utm,
     "g8_crs_stere": g8_crs_stere,
     "g8_crs_rotated": g8_crs_rotated,
@@ -2111,6 +2238,8 @@ ORACLE = {
     "g8_crs_osgb": _G8_OSGB_SQL,
     "g8_crs_lcc": _G8_LCC_SQL,
     "g8_crs_laea": _G8_LAEA_SQL,
+    "g8_crs_albers": _G8_ALBERS_SQL,
+    "g8_crs_cea": _G8_CEA_SQL,
     "g8_crs_utm": _G8_UTM_SQL,
     "g8_crs_stere": _G8_STERE_SQL,
     "g8_crs_rotated": _G8_ROTATED_SQL,
