@@ -1290,3 +1290,121 @@ def test_cea_to_crs_roundtrip_and_column_parity(spark):
     for r in rows:
         assert abs(r.lon2 - r.lon) < 1e-8, r
         assert abs(r.lat2 - r.lat) < 1e-6, r
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis fuzz: equal-area + geodesic kernels
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    lon=st.floats(-179.5, 179.5),
+    lat=st.floats(-85.0, 85.0),
+    lat0=st.floats(-80.0, 80.0),
+    lon0=st.floats(-179.0, 179.0),
+)
+def test_fuzz_laea_roundtrip(lon, lat, lat0, lon0):
+    """Forward->inverse LAEA round-trips everywhere except near the
+    antipode of the projection origin (where rho approaches the map
+    edge and the inverse loses conditioning)."""
+    import math
+
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        haversine_m,  # noqa: F401  (import kept for parity of surface)
+        laea_forward_numpy,
+        laea_inverse_numpy,
+    )
+
+    # skip near-antipodal pairs: angular distance > 150 deg
+    c = (math.sin(math.radians(lat0)) * math.sin(math.radians(lat))
+         + math.cos(math.radians(lat0)) * math.cos(math.radians(lat))
+         * math.cos(math.radians(lon - lon0)))
+    if c < math.cos(math.radians(150.0)):
+        return
+    x, y = laea_forward_numpy(np.array([lon]), np.array([lat]),
+                              lat0, lon0)
+    lo2, la2 = laea_inverse_numpy(x, y, lat0, lon0)
+    dlon = abs((float(lo2[0]) - lon + 180.0) % 360.0 - 180.0)
+    assert dlon * math.cos(math.radians(lat)) < 1e-6
+    assert abs(float(la2[0]) - lat) < 1e-6
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    lon=st.floats(-120.0, -70.0),
+    lat=st.floats(20.0, 50.0),
+)
+def test_fuzz_albers_cea_roundtrip_and_area_sign(lon, lat):
+    """Albers (Conus parameters) and CEA (EASE-2 parameters)
+    round-trip; the ellipsoidal box area of a small box around the
+    point is positive and within 1% of the cos-lat planar estimate."""
+    import math
+
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        WGS_A,
+        WGS_F,
+        albers_forward_numpy,
+        albers_inverse_numpy,
+        cea_forward_numpy,
+        cea_inverse_numpy,
+        ellipsoid_box_area_m2_float,
+    )
+
+    x, y = albers_forward_numpy(np.array([lon]), np.array([lat]),
+                                29.5, 45.5, 23.0, -96.0)
+    lo2, la2 = albers_inverse_numpy(x, y, 29.5, 45.5, 23.0, -96.0)
+    assert abs(float(lo2[0]) - lon) < 1e-7
+    assert abs(float(la2[0]) - lat) < 1e-6
+
+    e2w = WGS_F * (2.0 - WGS_F)
+    x2, y2 = cea_forward_numpy(np.array([lon]), np.array([lat]), 30.0,
+                               a=WGS_A, e2=e2w)
+    lo3, la3 = cea_inverse_numpy(x2, y2, 30.0, a=WGS_A, e2=e2w)
+    assert abs(float(lo3[0]) - lon) < 1e-7
+    assert abs(float(la3[0]) - lat) < 1e-6
+
+    a = ellipsoid_box_area_m2_float(lon, lat, lon + 0.1, lat + 0.1)
+    est = (0.1 * 111194.9 * 0.1 * 111194.9
+           * math.cos(math.radians(lat + 0.05)))
+    assert a > 0 and abs(a - est) / est < 0.01
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    lat1=st.floats(-75.0, 75.0),
+    lon1=st.floats(-180.0, 180.0),
+    dlat=st.floats(-25.0, 25.0),
+    dlon=st.floats(-25.0, 25.0),
+)
+def test_fuzz_vincenty_bounds(lat1, lon1, dlat, dlon):
+    """Vincenty distance sits within the documented 0.56% flattening
+    envelope of the spherical haversine, is symmetric, and obeys
+    d >= 0 with equality only for coincident points."""
+    import math
+
+    from wrf_to_geodataframe_spark.functions.crs import vincenty_numpy
+
+    lat2 = max(-89.0, min(89.0, lat1 + dlat))
+    lon2 = lon1 + dlon
+    d = float(vincenty_numpy(lat1, lon1, lat2, lon2))
+    dr = float(vincenty_numpy(lat2, lon2, lat1, lon1))
+    assert d >= 0.0
+    assert abs(d - dr) < 1e-5 * max(d, 1.0)
+    R = 6371000.0
+    dphi = math.radians(lat2 - lat1) / 2
+    dlam = math.radians(lon2 - lon1) / 2
+    a = (math.sin(dphi) ** 2 + math.cos(math.radians(lat1))
+         * math.cos(math.radians(lat2)) * math.sin(dlam) ** 2)
+    dh = 2 * R * math.asin(math.sqrt(min(max(a, 0.0), 1.0)))
+    if d > 1000.0:
+        # worst case is a short meridian arc at the equator:
+        # R_sphere / (a (1 - e^2)) - 1 = 0.5613%
+        assert abs(dh - d) / d < 0.00562

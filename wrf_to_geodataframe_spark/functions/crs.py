@@ -1042,9 +1042,10 @@ def haversine_m(lat1, lon1, lat2, lon2, R: float = 6371000.0) -> Column:
     primitive.
 
     ACCURACY BOUND (spherical model): vs the true WGS84 geodesic the
-    sphere is off by at most the flattening effect, |err| <= ~0.56% of
-    the distance (measured 0.55% worst-case over random mid-latitude
-    pairs in tests/test_crs.py; the classic bound is 0.5-0.6%).  That
+    sphere is off by at most the flattening effect, |err| <= 0.562% of
+    the distance — the worst case is a short meridian arc at the
+    equator, ratio R/(a(1-e^2)) - 1 = 0.5613%, asserted by Hypothesis
+    fuzz in tests/test_crs.py.  That
     is immaterial for banding/radius pre-filters (pad the radius by
     1%); for survey-grade distances use
     :func:`ellipsoidal_distance_udf` (Vincenty, sub-mm)."""
@@ -1089,7 +1090,7 @@ def destination_point(lat, lon, bearing, dist_m,
     phi2 = asin(sin phi cos d + cos phi sin d cos theta).
 
     ACCURACY BOUND (spherical model): the destination lands within
-    ~0.56% of dist_m of the true WGS84 geodesic endpoint (same
+    ~0.562% of dist_m of the true WGS84 geodesic endpoint (same
     flattening bound as :func:`haversine_m`) — fine for tiling,
     banding, and synthetic-grid construction; not for navigation."""
     p1 = F.radians(lat)
