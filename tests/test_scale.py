@@ -1685,3 +1685,48 @@ def test_equalarea_regrid_1m_cells_conserves(spark):
     assert agg.n > 300_000  # the coarser grid covers the domain
     print(f"\n1M-cell equal-area regrid in {dt:.1f}s, "
           f"mass {agg.tot:.3f}/{total_src} over {agg.n} dest cells")
+
+
+@slow
+def test_regrid_to_crs_100k_cells_laea(spark):
+    """The reference's project-then-overlay regrid at 100k source
+    cells: 0.1-deg lon/lat cells over Europe onto a 25-km EPSG:3035
+    grid through corner projection + the bucketed convex-clip overlay.
+    Mass conserved (coverage normalization) to 1e-9 relative; wall
+    time printed — the overlay is a bucketed equi join, so cost scales
+    with cells x overlapped-dest-cells, never all-pairs."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.operators.regrid import (
+        conservative_regrid_to_crs,
+    )
+
+    nx, ny = 400, 250  # 100k cells: lon -5..35, lat 40..65
+    src = spark.range(nx * ny).select(
+        (F.col("id") % nx).cast("double").alias("cx"),
+        (F.col("id") / nx).cast("long").cast("double").alias("cy"),
+        (1.0 + F.pmod(F.col("id") * 13, F.lit(100))).alias("val"),
+    ).select(
+        (F.col("cx") * 0.1 - 5.0).alias("lon1"),
+        (F.col("cy") * 0.1 + 40.0).alias("lat1"),
+        (F.col("cx") * 0.1 - 4.9).alias("lon2"),
+        (F.col("cy") * 0.1 + 40.1).alias("lat2"),
+        "val",
+    )
+    total = src.agg(F.sum("val")).collect()[0][0]
+    t0 = time.monotonic()
+    out = conservative_regrid_to_crs(
+        src, "val", "EPSG:3035",
+        3000000.0, 2000000.0, 25000.0, 25000.0,
+        bucket=100000.0, normalize="coverage",
+    )
+    agg = out.agg(
+        F.sum("value").alias("tot"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    dt = time.monotonic() - t0
+    assert abs(agg.tot - total) / total < 1e-9, (agg.tot, total)
+    assert agg.n > 10_000
+    print(f"\n100k-cell to_crs(3035) overlay regrid in {dt:.1f}s, "
+          f"mass {agg.tot:.3f}/{total}, {agg.n} dest cells")
