@@ -1577,3 +1577,41 @@ def test_simhash_collapse_90pct_identical_corpus_exact(spark, tmp_path):
     # hashes landed within hamming 3 — with disjoint random token sets
     # that would be a ~1e-13 md5 coincidence; assert exactness
     assert got == want
+
+
+def test_embedding_cosine_collapse_90pct_identical_exact(spark, tmp_path):
+    """ADVERSARIAL EXACT-DUP SKEW for the embedding path: 90% of the
+    corpus byte-identical -> every within-group pair reported at
+    cosine exactly 1.0, nothing between unrelated docs (disjoint token
+    sets -> uncorrelated sign-hash vectors far below the 0.95
+    threshold), and zero-norm degenerates excluded."""
+    import itertools
+    import os as _os
+
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        dedup_embedding_cosine,
+    )
+
+    groups = [(0, 27, "alpha"), (27, 30, "beta")]
+    rows = []
+    for lo, hi, tag in groups:
+        text = " ".join(f"{tag}term{k}" for k in range(24))
+        rows += [(i, text) for i in range(lo, hi)]
+    rows += [
+        (i, " ".join(f"uniq{i}tok{k}" for k in range(24)))
+        for i in range(30, 33)
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(d, "documents.parquet"))
+
+    got = {
+        (r.da, r.db): r.cosine
+        for r in dedup_embedding_cosine(spark, d).collect()
+    }
+    want = set()
+    for lo, hi, _ in groups:
+        want |= set(itertools.combinations(range(lo, hi), 2))
+    assert set(got) == want
+    assert all(v == 1.0 for v in got.values())

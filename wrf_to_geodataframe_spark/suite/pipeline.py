@@ -1491,12 +1491,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs cross join.
 
     Skew note: mean-centering (below) is what keeps band buckets from
-    going quadratic on CORRELATED corpora; a corpus of byte-identical
-    docs would still share band keys, and unlike minhash/simhash/aHash
-    the verifier here reads the VECTORS (identical signature does not
-    imply identical vector), so the _collapse_identical fan-out would
-    dedupe candidate generation only — apply it on the sorted
-    (band, key) signature if a corpus carries mass duplication."""
+    going quadratic on CORRELATED corpora; byte-identical docs are
+    handled by the EXACT-DUPLICATE COLLAPSE like the rest of the
+    near-dup family — but keyed on the full SPARSE VECTOR (cosine is a
+    pure function of the two vectors, so rep-level verification is
+    exact; a band-signature key would not be, since equal signatures
+    do not imply equal vectors).  Only representative docs enter the
+    banded self-join and the integer-cosine verify; within-group pairs
+    are cosine 1.0 by identity (zero-norm docs are excluded up front,
+    as the nq > 0 filter always did)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     # count occurrences BEFORE hashing: each distinct (doc, token) is
@@ -1577,27 +1580,42 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    qa, qb = banded.alias("qa"), banded.alias("qb")
-    cand = (
+    # EXACT-DUPLICATE COLLAPSE keyed on the full sparse vector
+    # (identical vector => identical cosine against everything); docs
+    # with a zero norm are excluded up front — the nq > 0 filter's job
+    vecarr = (
+        vec.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("j", "v"))).alias("vkey"),
+            F.sum(F.col("v") * F.col("v")).cast("long").alias("nq"),
+        )
+        .filter(F.col("nq") > 0)
+        .select("doc_id", "vkey")
+    )
+    reps, cm = _collapse_identical(vecarr, "vkey")
+    rep_ids = reps.select(F.col("rep").alias("doc_id"))
+    banded_r = banded.join(rep_ids, "doc_id")
+    qa, qb = banded_r.alias("qa"), banded_r.alias("qb")
+    rep_cand = (
         qa.join(
             qb,
             (F.col("qa.band") == F.col("qb.band"))
             & (F.col("qa.key") == F.col("qb.key"))
             & (F.col("qa.doc_id") < F.col("qb.doc_id")),
         )
-        .select(F.col("qa.doc_id").alias("da"), F.col("qb.doc_id").alias("db"))
+        .select(F.col("qa.doc_id").alias("ra"), F.col("qb.doc_id").alias("rb"))
         .distinct()
     )
     va = vec.alias("va")
     vb = vec.alias("vb")
     dots = (
-        cand.join(va, F.col("da") == F.col("va.doc_id"))
+        rep_cand.join(va, F.col("ra") == F.col("va.doc_id"))
         .join(
             vb,
-            (F.col("db") == F.col("vb.doc_id"))
+            (F.col("rb") == F.col("vb.doc_id"))
             & (F.col("va.j") == F.col("vb.j")),
         )
-        .groupBy("da", "db")
+        .groupBy("ra", "rb")
         .agg(F.sum(F.col("va.v") * F.col("vb.v")).cast("long").alias("dot"))
     )
     na = nv.alias("na")
@@ -1605,12 +1623,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine = F.col("dot").cast("double") / F.sqrt(
         F.col("na.nq").cast("double") * F.col("nb.nq").cast("double")
     )
-    return (
-        dots.join(na, F.col("da") == F.col("na.doc_id"))
-        .join(nb, F.col("db") == F.col("nb.doc_id"))
-        .filter((F.col("na.nq") > 0) & (F.col("nb.nq") > 0))
-        .select("da", "db", cosine.alias("cosine"))
+    rep_pairs = (
+        dots.join(na, F.col("ra") == F.col("na.doc_id"))
+        .join(nb, F.col("rb") == F.col("nb.doc_id"))
+        .select("ra", "rb", cosine.alias("cosine"))
         .filter(F.col("cosine") >= _EC_THRESH)
+    )
+    within = (
+        cm.alias("x")
+        .join(
+            cm.alias("y"),
+            (F.col("x.rep") == F.col("y.rep"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("da"),
+            F.col("y.doc_id").alias("db"),
+            F.lit(1.0).cast("double").alias("cosine"),
+        )
+    )
+    return _fan_out_pairs(rep_pairs, cm, carry=("cosine",)).unionByName(
+        within
     )
 
 
