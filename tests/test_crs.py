@@ -1408,3 +1408,80 @@ def test_fuzz_vincenty_bounds(lat1, lon1, dlat, dlon):
         # worst case is a short meridian arc at the equator:
         # R_sphere / (a (1 - e^2)) - 1 = 0.5613%
         assert abs(dh - d) / d < 0.00562
+
+
+def test_vincenty_direct_matches_published_line_and_inverse():
+    """The DIRECT problem pinned to Vincenty's own 1975 test line (a)
+    on Bessel — from 55°45'N along azimuth 96°36'08.79960" for
+    14110526.170 m -> phi2 = -33°26', L = 108°13',
+    alpha2 = 137°52'22.01454" — and closed against the inverse: for a
+    random sweep, direct(p1, bearing(p1, p2), dist(p1, p2)) lands on
+    p2 to sub-mm."""
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        vincenty_bearing_numpy,
+        vincenty_direct_numpy,
+        vincenty_numpy,
+    )
+
+    az1 = 96.0 + 36.0 / 60.0 + 8.79960 / 3600.0
+    lon2, lat2, az2 = vincenty_direct_numpy(
+        55.0 + 45.0 / 60.0, 0.0, az1, 14110526.170,
+        a=6377397.155, f=1.0 / 299.1528128,
+    )
+    assert abs(float(lat2) - -(33.0 + 26.0 / 60.0)) < 1e-8
+    assert abs(float(lon2) - (108.0 + 13.0 / 60.0)) < 1e-8
+    assert abs(float(az2) - (137.0 + 52.0 / 60.0 + 22.01454 / 3600.0)) < 1e-8
+
+    rng = np.random.default_rng(42)
+    la1 = rng.uniform(-70, 70, 40)
+    lo1 = rng.uniform(-180, 180, 40)
+    la2 = np.clip(la1 + rng.uniform(-30, 30, 40), -89, 89)
+    lo2 = lo1 + rng.uniform(-30, 30, 40)
+    d = vincenty_numpy(la1, lo1, la2, lo2)
+    az = vincenty_bearing_numpy(la1, lo1, la2, lo2)
+    glo, gla, _ = vincenty_direct_numpy(la1, lo1, az, d)
+    wlo = np.mod(lo2 + 180.0, 360.0) - 180.0
+    np.testing.assert_allclose(gla, la2, rtol=0, atol=1e-8)
+    dl = np.abs(np.mod(glo - wlo + 180.0, 360.0) - 180.0)
+    np.testing.assert_array_less(dl * np.cos(np.radians(la2)), 1e-8)
+
+
+def test_ellipsoidal_destination_udf(spark):
+    """The Arrow destination UDF equals the numpy direct kernel and
+    improves on the spherical destination_point by the flattening
+    margin (the spherical point sits within 0.562% of dist away)."""
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        destination_point,
+        ellipsoidal_destination_udf,
+        vincenty_direct_numpy,
+        vincenty_numpy,
+    )
+
+    df = spark.range(40).select(
+        ((F.col("id") % 8).cast("double") * 15.0 - 50.0).alias("lat"),
+        (F.floor(F.col("id") / 8).cast("double") * 60.0 - 120.0)
+        .alias("lon"),
+        ((F.col("id") * 37) % 360 - 180).cast("double").alias("brg"),
+        (F.lit(250000.0) + F.col("id") * 10000.0).alias("dist"),
+    )
+    dest = ellipsoidal_destination_udf()
+    rows = df.select(
+        "lat", "lon", "brg", "dist",
+        dest("lat", "lon", "brg", "dist").alias("e"),
+        destination_point(F.col("lat"), F.col("lon"), F.col("brg"),
+                          F.col("dist")).alias("s"),
+    ).collect()
+    la = np.array([r.lat for r in rows])
+    lo = np.array([r.lon for r in rows])
+    br = np.array([r.brg for r in rows])
+    di = np.array([r.dist for r in rows])
+    wlo, wla, _ = vincenty_direct_numpy(la, lo, br, di)
+    np.testing.assert_array_equal([r.e.lat for r in rows], wla)
+    np.testing.assert_array_equal([r.e.lon for r in rows], wlo)
+    for r in rows:
+        gap = float(vincenty_numpy(r.e.lat, r.e.lon, r.s.lat, r.s.lon))
+        assert gap < 0.00562 * r.dist + 1.0, (r, gap)

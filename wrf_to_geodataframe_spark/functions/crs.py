@@ -2018,3 +2018,120 @@ def cea_inverse_numpy(x, y, lat_ts, lon0d=0.0, a=GRS80_A,
     return (lon0d
             + np.degrees(np.asarray(x, "float64") / (a * k["k0"])),
             lat_out)
+
+
+def vincenty_bearing_numpy(lat1, lon1, lat2, lon2, a: float = WGS_A,
+                           f: float = WGS_F,
+                           iters: int = VINCENTY_ITERS):
+    """Forward azimuth (degrees, atan2 convention) of the ellipsoidal
+    geodesic from point 1 to point 2 — the inverse problem's other
+    output (Vincenty 1975 eq. 20), sharing the distance kernel's
+    lambda iteration."""
+    phi1 = np.radians(np.asarray(lat1, "float64"))
+    phi2 = np.radians(np.asarray(lat2, "float64"))
+    L = np.radians(np.asarray(lon2, "float64")
+                   - np.asarray(lon1, "float64"))
+    L = np.mod(L + np.pi, 2.0 * np.pi) - np.pi
+    u1 = np.arctan((1.0 - f) * np.tan(phi1))
+    u2a = np.arctan((1.0 - f) * np.tan(phi2))
+    su1, cu1 = np.sin(u1), np.cos(u1)
+    su2, cu2 = np.sin(u2a), np.cos(u2a)
+    lam = L
+    for _ in range(iters):
+        sl, cl = np.sin(lam), np.cos(lam)
+        sin_sig = np.sqrt((cu2 * sl) ** 2 + (cu1 * su2 - su1 * cu2 * cl) ** 2)
+        cos_sig = su1 * su2 + cu1 * cu2 * cl
+        sig = np.arctan2(sin_sig, cos_sig)
+        sin_alpha = cu1 * cu2 * sl / np.where(sin_sig == 0.0, 1.0, sin_sig)
+        cos2_alpha = 1.0 - sin_alpha * sin_alpha
+        cos_2sigm = cos_sig - 2.0 * su1 * su2 / np.where(
+            cos2_alpha == 0.0, 1.0, cos2_alpha
+        )
+        cos_2sigm = np.where(cos2_alpha == 0.0, 0.0, cos_2sigm)
+        C = f / 16.0 * cos2_alpha * (4.0 + f * (4.0 - 3.0 * cos2_alpha))
+        lam = L + (1.0 - C) * f * sin_alpha * (
+            sig + C * sin_sig * (
+                cos_2sigm + C * cos_sig * (-1.0 + 2.0 * cos_2sigm ** 2)
+            )
+        )
+    sl, cl = np.sin(lam), np.cos(lam)
+    return np.degrees(np.arctan2(cu2 * sl, cu1 * su2 - su1 * cu2 * cl))
+
+
+def vincenty_direct_numpy(lat1, lon1, az1_deg, dist_m, a: float = WGS_A,
+                          f: float = WGS_F, iters: int = VINCENTY_ITERS):
+    """Vincenty DIRECT problem (1975 eqs. 1-11): from (lat1, lon1)
+    along initial azimuth ``az1_deg`` for ``dist_m`` metres on the
+    (a, f) ellipsoid -> (lon2, lat2, az2) degrees — the ellipsoidal
+    upgrade of the spherical :func:`destination_point` (which carries
+    the documented 0.562% flattening bound).  The sigma iteration is a
+    fixed unroll like the inverse; pinned to Vincenty's own published
+    test line (a) and round-tripped against the inverse in
+    tests/test_crs.py."""
+    b = a * (1.0 - f)
+    phi1 = np.radians(np.asarray(lat1, "float64"))
+    alpha1 = np.radians(np.asarray(az1_deg, "float64"))
+    s = np.asarray(dist_m, "float64")
+    u1 = np.arctan((1.0 - f) * np.tan(phi1))
+    su1, cu1 = np.sin(u1), np.cos(u1)
+    sa1, ca1 = np.sin(alpha1), np.cos(alpha1)
+    sigma1 = np.arctan2(np.tan(u1), ca1)
+    sin_alpha = cu1 * sa1
+    cos2_alpha = 1.0 - sin_alpha * sin_alpha
+    usq = cos2_alpha * (a * a - b * b) / (b * b)
+    big_a = 1.0 + usq / 16384.0 * (
+        4096.0 + usq * (-768.0 + usq * (320.0 - 175.0 * usq))
+    )
+    big_b = usq / 1024.0 * (256.0 + usq * (-128.0 + usq * (74.0 - 47.0 * usq)))
+    sigma = s / (b * big_a)
+    for _ in range(iters):
+        cos_2sigm = np.cos(2.0 * sigma1 + sigma)
+        sin_sig, cos_sig = np.sin(sigma), np.cos(sigma)
+        dsig = big_b * sin_sig * (
+            cos_2sigm + big_b / 4.0 * (
+                cos_sig * (-1.0 + 2.0 * cos_2sigm ** 2)
+                - big_b / 6.0 * cos_2sigm
+                * (-3.0 + 4.0 * sin_sig ** 2) * (-3.0 + 4.0 * cos_2sigm ** 2)
+            )
+        )
+        sigma = s / (b * big_a) + dsig
+    cos_2sigm = np.cos(2.0 * sigma1 + sigma)
+    sin_sig, cos_sig = np.sin(sigma), np.cos(sigma)
+    phi2 = np.arctan2(
+        su1 * cos_sig + cu1 * sin_sig * ca1,
+        (1.0 - f) * np.sqrt(
+            sin_alpha ** 2 + (su1 * sin_sig - cu1 * cos_sig * ca1) ** 2
+        ),
+    )
+    lam = np.arctan2(sin_sig * sa1, cu1 * cos_sig - su1 * sin_sig * ca1)
+    C = f / 16.0 * cos2_alpha * (4.0 + f * (4.0 - 3.0 * cos2_alpha))
+    L = lam - (1.0 - C) * f * sin_alpha * (
+        sigma + C * sin_sig * (
+            cos_2sigm + C * cos_sig * (-1.0 + 2.0 * cos_2sigm ** 2)
+        )
+    )
+    lon2 = np.degrees(np.radians(np.asarray(lon1, "float64")) + L)
+    lon2 = np.mod(lon2 + 180.0, 360.0) - 180.0
+    az2 = np.degrees(
+        np.arctan2(sin_alpha, -(su1 * sin_sig - cu1 * cos_sig * ca1))
+    )
+    return lon2, np.degrees(phi2), az2
+
+
+def ellipsoidal_destination_udf(a: float = WGS_A, f: float = WGS_F,
+                                iters: int = VINCENTY_ITERS):
+    """Arrow pandas_udf wrapping :func:`vincenty_direct_numpy`:
+    (lat, lon, bearing_deg, dist_m) -> struct(lat, lon) — the
+    survey-grade :func:`destination_point`."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<lat: double, lon: double>")
+    def _direct(lat: pd.Series, lon: pd.Series, bearing: pd.Series,
+                dist_m: pd.Series) -> pd.DataFrame:
+        lon2, lat2, _az2 = vincenty_direct_numpy(
+            lat.to_numpy(), lon.to_numpy(), bearing.to_numpy(),
+            dist_m.to_numpy(), a=a, f=f, iters=iters,
+        )
+        return pd.DataFrame({"lat": lat2, "lon": lon2})
+
+    return _direct
