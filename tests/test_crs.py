@@ -1316,7 +1316,6 @@ def test_fuzz_laea_roundtrip(lon, lat, lat0, lon0):
     import numpy as np
 
     from wrf_to_geodataframe_spark.functions.crs import (
-        haversine_m,  # noqa: F401  (import kept for parity of surface)
         laea_forward_numpy,
         laea_inverse_numpy,
     )

@@ -1843,34 +1843,10 @@ def vincenty_numpy(lat1, lon1, lat2, lon2, a: float = WGS_A,
     is known not to converge) come back with the fixed-unroll estimate
     — error can reach ~0.1% there; everywhere else sub-mm."""
     b = a * (1.0 - f)
-    phi1 = np.radians(np.asarray(lat1, "float64"))
-    phi2 = np.radians(np.asarray(lat2, "float64"))
-    L = np.radians(np.asarray(lon2, "float64")
-                   - np.asarray(lon1, "float64"))
-    L = np.mod(L + np.pi, 2.0 * np.pi) - np.pi
-    u1 = np.arctan((1.0 - f) * np.tan(phi1))
-    u2a = np.arctan((1.0 - f) * np.tan(phi2))
-    su1, cu1 = np.sin(u1), np.cos(u1)
-    su2, cu2 = np.sin(u2a), np.cos(u2a)
-    lam = L
-    for _ in range(iters):
-        sl, cl = np.sin(lam), np.cos(lam)
-        sin_sig = np.sqrt((cu2 * sl) ** 2 + (cu1 * su2 - su1 * cu2 * cl) ** 2)
-        cos_sig = su1 * su2 + cu1 * cu2 * cl
-        sig = np.arctan2(sin_sig, cos_sig)
-        sin_alpha = cu1 * cu2 * sl / np.where(sin_sig == 0.0, 1.0, sin_sig)
-        cos2_alpha = 1.0 - sin_alpha * sin_alpha
-        # equatorial line: cos^2 alpha = 0 -> cos(2 sigma_m) unused (0)
-        cos_2sigm = cos_sig - 2.0 * su1 * su2 / np.where(
-            cos2_alpha == 0.0, 1.0, cos2_alpha
-        )
-        cos_2sigm = np.where(cos2_alpha == 0.0, 0.0, cos_2sigm)
-        C = f / 16.0 * cos2_alpha * (4.0 + f * (4.0 - 3.0 * cos2_alpha))
-        lam = L + (1.0 - C) * f * sin_alpha * (
-            sig + C * sin_sig * (
-                cos_2sigm + C * cos_sig * (-1.0 + 2.0 * cos_2sigm ** 2)
-            )
-        )
+    (_lam, _su1, _cu1, _su2, _cu2, sin_sig, cos_sig, sig,
+     cos2_alpha, cos_2sigm) = _vincenty_lambda_state(
+        lat1, lon1, lat2, lon2, f, iters
+    )
     usq = cos2_alpha * (a * a - b * b) / (b * b)
     big_a = 1.0 + usq / 16384.0 * (
         4096.0 + usq * (-768.0 + usq * (320.0 - 175.0 * usq))
@@ -2020,13 +1996,13 @@ def cea_inverse_numpy(x, y, lat_ts, lon0d=0.0, a=GRS80_A,
             lat_out)
 
 
-def vincenty_bearing_numpy(lat1, lon1, lat2, lon2, a: float = WGS_A,
-                           f: float = WGS_F,
-                           iters: int = VINCENTY_ITERS):
-    """Forward azimuth (degrees, atan2 convention) of the ellipsoidal
-    geodesic from point 1 to point 2 — the inverse problem's other
-    output (Vincenty 1975 eq. 20), sharing the distance kernel's
-    lambda iteration."""
+def _vincenty_lambda_state(lat1, lon1, lat2, lon2, f: float,
+                           iters: int):
+    """The shared lambda fixed-point of Vincenty's INVERSE problem:
+    returns the converged iteration state (lam, su1, cu1, su2, cu2,
+    sin_sig, cos_sig, sig, cos2_alpha, cos_2sigm) that both the
+    distance and the forward-azimuth outputs read — ONE kernel so the
+    two can never disagree."""
     phi1 = np.radians(np.asarray(lat1, "float64"))
     phi2 = np.radians(np.asarray(lat2, "float64"))
     L = np.radians(np.asarray(lon2, "float64")
@@ -2054,6 +2030,19 @@ def vincenty_bearing_numpy(lat1, lon1, lat2, lon2, a: float = WGS_A,
                 cos_2sigm + C * cos_sig * (-1.0 + 2.0 * cos_2sigm ** 2)
             )
         )
+    return lam, su1, cu1, su2, cu2, sin_sig, cos_sig, sig, cos2_alpha, cos_2sigm
+
+
+def vincenty_bearing_numpy(lat1, lon1, lat2, lon2, a: float = WGS_A,
+                           f: float = WGS_F,
+                           iters: int = VINCENTY_ITERS):
+    """Forward azimuth (degrees, atan2 convention) of the ellipsoidal
+    geodesic from point 1 to point 2 — the inverse problem's other
+    output (Vincenty 1975 eq. 20), reading the SAME converged lambda
+    state as the distance kernel."""
+    lam, su1, cu1, su2, cu2, *_ = _vincenty_lambda_state(
+        lat1, lon1, lat2, lon2, f, iters
+    )
     sl, cl = np.sin(lam), np.cos(lam)
     return np.degrees(np.arctan2(cu2 * sl, cu1 * su2 - su1 * cu2 * cl))
 

@@ -584,7 +584,17 @@ def _minhash_band_candidates(docs: DataFrame):
         .select(F.col("qa.rep").alias("ra"), F.col("qb.rep").alias("rb"))
         .distinct()
     )
-    within = (
+    within = _within_pairs(cm)
+    return sigs, rep_cand, cm, within
+
+
+def _within_pairs(cm: DataFrame, extra=()):
+    """All (da, db) member pairs inside each exact-duplicate group of
+    the copy map, with optional constant extra columns (the known
+    within-group distance/estimate: hamming 0, jaccard 1.0, cosine
+    1.0).  Output-bound: every produced row is a result row; AQE can
+    split the hot representative key."""
+    out = (
         cm.alias("x")
         .join(
             cm.alias("y"),
@@ -592,10 +602,12 @@ def _minhash_band_candidates(docs: DataFrame):
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(
-            F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db")
+            F.col("x.doc_id").alias("da"),
+            F.col("y.doc_id").alias("db"),
+            *[c.alias(n) for n, c in extra],
         )
     )
-    return sigs, rep_cand, cm, within
+    return out
 
 
 def _fan_out_pairs(rep_pairs: DataFrame, cm: DataFrame, carry=()):
@@ -1398,18 +1410,8 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hamming",
         )
     )
-    within = (
-        cm.alias("x")
-        .join(
-            cm.alias("y"),
-            (F.col("x.rep") == F.col("y.rep"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("da"),
-            F.col("y.doc_id").alias("db"),
-            F.lit(0).cast("long").alias("hamming"),
-        )
+    within = _within_pairs(
+        cm, extra=(("hamming", F.lit(0).cast("long")),)
     )
     return cross.unionByName(within)
 
@@ -1527,9 +1529,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sgn").cast("long").alias("v"))
         .persist()
     )
-    nv = vec.groupBy("doc_id").agg(
-        F.sum(F.col("v") * F.col("v")).cast("long").alias("nq")
-    )
+    # ONE per-doc aggregation produces both the norm (nq) and the
+    # collapse key (the sorted sparse vector): nv and vecarr are
+    # projections of it, not a second shuffle over vec
+    docagg = vec.groupBy("doc_id").agg(
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("nq"),
+        F.array_sort(F.collect_list(F.struct("j", "v"))).alias("vkey"),
+    ).persist()
+    nv = docagg.select("doc_id", "nq")
     # hyperplane weights as a broadcast (planes x dims) dim table
     w = spark.createDataFrame(
         [(h, j, _EC_W[h][j]) for h in range(_EC_PLANES) for j in range(_EC_D)],
@@ -1583,15 +1590,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EXACT-DUPLICATE COLLAPSE keyed on the full sparse vector
     # (identical vector => identical cosine against everything); docs
     # with a zero norm are excluded up front — the nq > 0 filter's job
-    vecarr = (
-        vec.groupBy("doc_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("j", "v"))).alias("vkey"),
-            F.sum(F.col("v") * F.col("v")).cast("long").alias("nq"),
-        )
-        .filter(F.col("nq") > 0)
-        .select("doc_id", "vkey")
-    )
+    vecarr = docagg.filter(F.col("nq") > 0).select("doc_id", "vkey")
     reps, cm = _collapse_identical(vecarr, "vkey")
     rep_ids = reps.select(F.col("rep").alias("doc_id"))
     banded_r = banded.join(rep_ids, "doc_id")
@@ -1629,18 +1628,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ra", "rb", cosine.alias("cosine"))
         .filter(F.col("cosine") >= _EC_THRESH)
     )
-    within = (
-        cm.alias("x")
-        .join(
-            cm.alias("y"),
-            (F.col("x.rep") == F.col("y.rep"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("da"),
-            F.col("y.doc_id").alias("db"),
-            F.lit(1.0).cast("double").alias("cosine"),
-        )
+    within = _within_pairs(
+        cm, extra=(("cosine", F.lit(1.0).cast("double")),)
     )
     return _fan_out_pairs(rep_pairs, cm, carry=("cosine",)).unionByName(
         within
@@ -5098,19 +5087,9 @@ def ahash_neardup_pairs(h: DataFrame, max_hamming: int = 2) -> DataFrame:
             "hamming",
         )
     )
-    within = (
-        cm.alias("x")
-        .join(
-            cm.alias("y"),
-            (F.col("x.rep") == F.col("y.rep"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.lit(0).cast("long").alias("hamming"),
-        )
-    )
+    within = _within_pairs(
+        cm, extra=(("hamming", F.lit(0).cast("long")),)
+    ).withColumnsRenamed({"da": "doc_a", "db": "doc_b"})
     return cross.unionByName(within)
 
 
