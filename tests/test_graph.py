@@ -148,3 +148,62 @@ def test_plan_is_lazy_no_jobs_at_build(spark):
     _ = labels.schema, unmerged.schema  # analysis is fine, jobs are not
     after = tracker.getJobIdsForGroup(None)
     assert before == after, "building the CC plan must trigger no Spark job"
+
+
+def test_pagerank_cycle_is_exact_fixed_point(spark):
+    """A uniform directed cycle is an EXACT fixed point of the integer
+    recurrence: (15*q) div 100 + (85*q) div 100 == q for q = 1e9, so
+    every node stays at exactly 1e9 after any number of iterations."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    n = 50
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    edges = spark.range(n).select(
+        F.col("id").alias("src"),
+        ((F.col("id") + 1) % n).alias("dst"),
+    )
+    got = pagerank_integer(nodes, edges, iters=7).collect()
+    assert len(got) == n
+    assert all(r.pr_q == 1_000_000_000 for r in got)
+
+
+def test_pagerank_matches_independent_python_replay(spark):
+    """The distributed operator equals a plain-python replay of the
+    same integer recurrence on a small irregular multigraph with a
+    SINK (no out-edges: its mass leaks, the documented simple-variant
+    semantics) and a multi-edge."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    n, q, d = 12, 1_000_000_000, 85
+    el = [(u, (u * 5 + 1) % n) for u in range(n) if u != 7]  # 7 = sink
+    el += [(u, (u * u + 2) % n) for u in range(n) if u % 3 == 0 and u != 7]
+    el.append((4, (4 * 5 + 1) % n))  # duplicate edge -> multi-edge
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    edges = spark.createDataFrame(el, "src long, dst long")
+    got = {
+        r.node: r.pr_q
+        for r in pagerank_integer(nodes, edges, iters=10).collect()
+    }
+
+    deg = {}
+    for u, _ in el:
+        deg[u] = deg.get(u, 0) + 1
+    pr = {v: q for v in range(n)}
+    base = (100 - d) * q // 100
+    for _ in range(10):
+        s = {v: 0 for v in range(n)}
+        for u, v in el:
+            s[v] += pr[u] // deg[u]
+        pr = {v: base + d * s[v] // 100 for v in range(n)}
+    assert got == pr
+    # the sink's in-rank still flows to it, but its own mass leaked:
+    # total mass strictly below n * q
+    assert sum(got.values()) < n * q

@@ -210,3 +210,72 @@ def label_components(
         )
     )
     return labels, unmerged
+
+
+def pagerank_integer(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 10,
+    q: int = 1_000_000_000,
+    damping_pct: int = 85,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank as an INTEGER-EXACT fixed unroll — the link-graph
+    quality signal crawl-curation pipelines weight documents by
+    (Page/Brin/Motwani/Winograd 1999), in the suite's replayable
+    arithmetic: ranks live on a 1/q lattice (BIGINT), each edge
+    contributes ``pr(src) div outdeg(src)`` (integer floor division),
+    and the update is ``pr'(v) = ((100 - damping) * q) div 100 +
+    (damping * S(v)) div 100`` — every operation integral, so a SQL
+    oracle replaying the same recurrence matches bit-for-bit, and a
+    uniform cycle is an EXACT fixed point at pr = q (pinned in
+    tests/test_graph.py).
+
+    Shape per iteration: one equi join rank->edges (shuffle on src),
+    one partial-aggregated groupBy on dst, one left join back onto the
+    node set — the plan tree grows LINEARLY in ``iters`` (each rank
+    frame is referenced exactly once), so the unroll stays a lazy
+    single-lineage DAG; no driver-side collects, no persists needed.
+    At 100 TB the per-iteration state is one BIGINT per node and the
+    joins shuffle on uniform id keys.
+
+    ``edges`` may contain duplicates (multi-edges count once per
+    occurrence); out-degrees are taken from the edge table itself, and
+    SINKS (nodes with no out-edges) simply leak their mass — the
+    deliberate simple-variant semantics, stated here so the oracle and
+    engine agree by construction."""
+    deg = edges.groupBy(src_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_deg")
+    )
+    base_q = ((100 - damping_pct) * q) // 100
+    pr = nodes.select(F.col(node_col).alias("node"),
+                      F.lit(int(q)).cast("long").alias("pr_q"))
+    for _ in range(iters):
+        contrib = (
+            pr.join(edges, pr["node"] == edges[src_col])
+            .join(deg, src_col)
+            .select(
+                F.col(dst_col).alias("node"),
+                F.expr("pr_q div _deg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        pr = (
+            nodes.select(F.col(node_col).alias("node"))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(int(base_q)).cast("long")
+                    + F.expr(
+                        f"CAST({damping_pct} AS BIGINT)"
+                        " * coalesce(_s, CAST(0 AS BIGINT))"
+                        " div CAST(100 AS BIGINT)"
+                    )
+                ).alias("pr_q"),
+            )
+        )
+    return pr

@@ -1281,9 +1281,92 @@ def sql_shared_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_SHARED)
 
 
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGERANK over a deterministic document link graph (the crawl
+    quality signal curation pipelines weight documents by): every doc
+    u links to (7u+3) mod N and (13u+5) mod N — an expander-ish
+    2-out-regular multigraph — and ranks run 10 iterations of the
+    INTEGER-EXACT recurrence in operators/graph.pagerank_integer
+    (ranks on a 1e-9 lattice, per-edge contribution pr div outdeg,
+    update (15*q) div 100 + (85*S) div 100; every op integral).  The
+    oracle UNROLLS the identical recurrence as a SQL CTE chain, so the
+    gate is bit-exact; a uniform cycle being an exact fixed point is
+    pinned separately in tests/test_graph.py.
+
+    Scale shape: per iteration one equi join onto the edge list
+    (shuffle on src), one partial-aggregated groupBy on dst, one left
+    join onto the node set — linear plan growth in iterations, one
+    BIGINT of state per node."""
+    from wrf_to_geodataframe_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    nn = docs.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    base = docs.select("doc_id").crossJoin(F.broadcast(nn))
+    edges = (
+        base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + 3) % F.col("nn")).alias("dst"),
+        )
+        .unionByName(
+            base.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 13 + 5) % F.col("nn")).alias("dst"),
+            )
+        )
+    )
+    return pagerank_integer(nodes, edges, iters=10)
+
+
+def _pagerank_sql(iters: int = 10) -> str:
+    """Oracle mirror: the identical integer recurrence unrolled as a
+    CTE chain (SUMs cast back to BIGINT — DuckDB widens to HUGEINT)."""
+    its = []
+    prev = "it0"
+    for k in range(1, iters + 1):
+        its.append(f"""it{k} AS (
+    SELECT nd.node,
+           CAST(150000000 AS BIGINT)
+           + CAST(85 AS BIGINT) * COALESCE(s.s, CAST(0 AS BIGINT))
+             // CAST(100 AS BIGINT) AS pr_q
+    FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM(p.pr_q // d.deg) AS BIGINT) AS s
+        FROM {prev} p
+        JOIN edges e ON p.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ) s USING (node)
+)""")
+        prev = f"it{k}"
+    joined = ",\n".join(its)
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT doc_id AS node FROM documents),
+edges AS (
+    SELECT doc_id AS src, (doc_id * 7 + 3) % n AS dst
+    FROM documents, nn
+    UNION ALL
+    SELECT doc_id, (doc_id * 13 + 5) % n FROM documents, nn
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        FROM edges GROUP BY src),
+it0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr_q FROM nodes),
+{joined}
+SELECT node, pr_q FROM {prev}
+"""
+
+
+_PAGERANK_SQL = _pagerank_sql()
+
+
 QUERIES = {
     "p1_drop_columns": p1_drop_columns,
     "graph_triangles": graph_triangles,
+    "graph_pagerank": graph_pagerank,
     "sql_shared_dialect": sql_shared_dialect,
     "merge_upsert": merge_upsert,
     "scd2_history": scd2_history,
@@ -1324,6 +1407,7 @@ QUERIES = {
 
 ORACLE = {
     "graph_triangles": _TRIANGLES_SQL,
+    "graph_pagerank": _PAGERANK_SQL,
     "sql_shared_dialect": _SQL_SHARED,
     "merge_upsert": _MERGE_SQL,
     "scd2_history": _SCD2_SQL,
