@@ -1615,3 +1615,19 @@ def test_embedding_cosine_collapse_90pct_identical_exact(spark, tmp_path):
         want |= set(itertools.combinations(range(lo, hi), 2))
     assert set(got) == want
     assert all(v == 1.0 for v in got.values())
+
+
+def test_tracked_persists_release(spark, sf_dir):
+    """The near-dup family's intra-query persists (signatures, collapse
+    maps) register with session.track_persist, and release_persisted()
+    frees them — the long-multi-query-session leak guard (ADVICE r11).
+    bench.py's clearCache() between queries covers the same ground
+    session-wide; this pins the surgical per-library API."""
+    from wrf_to_geodataframe_spark.session import release_persisted
+    from wrf_to_geodataframe_spark.suite.pipeline import dedup_minhash_lsh
+
+    release_persisted()  # drop anything earlier tests left pinned
+    dedup_minhash_lsh(spark, sf_dir).collect()
+    n = release_persisted()
+    assert n >= 3, f"expected sigv+reps+cm registered, released {n}"
+    assert release_persisted() == 0  # registry drained

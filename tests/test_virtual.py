@@ -902,10 +902,10 @@ def test_read_virtual_over_http_issues_pruned_ranged_gets(
 
 def test_s3_range_file_unit(tmp_path, monkeypatch):
     """s3://bucket/key over the stdlib ranged reader: the endpoint from
-    AWS_ENDPOINT_URL maps to the path-style URL {endpoint}/bucket/key
-    (the address every S3-compatible gateway serves); every read is a
-    ranged GET; malformed s3 paths and the no-endpoint/no-fsspec case
-    fail with NAMED errors."""
+    the library-owned WRF_S3_ENDPOINT maps to the path-style URL
+    {endpoint}/bucket/key (the address every S3-compatible gateway
+    serves); every read is a ranged GET; malformed s3 paths and the
+    no-endpoint/no-fsspec case fail with NAMED errors."""
     from wrf_to_geodataframe_spark.sources import fsio
 
     bucket = tmp_path / "my-bucket"
@@ -937,6 +937,52 @@ def test_s3_range_file_unit(tmp_path, monkeypatch):
     monkeypatch.delitem(_sys.modules, "fsspec")
     with pytest.raises(ValueError, match="fsspec"):
         fsio.open_binary("s3://my-bucket/blob.bin")
+
+
+def test_s3_endpoint_does_not_hijack_aws_sdk_var(tmp_path, monkeypatch):
+    """AWS_ENDPOINT_URL belongs to the AWS SDK: with fsspec INSTALLED
+    it must flow to s3fs (signed SigV4) untouched — the stdlib
+    unsigned reader engages on that var only as the no-fsspec
+    backstop.  The library-owned WRF_S3_ENDPOINT opts into the stdlib
+    reader regardless.  Pins the ADVICE r11 regression: environments
+    pointing AWS_ENDPOINT_URL at an authenticated MinIO/LocalStack
+    gateway must not silently lose their signatures."""
+    import importlib.machinery
+    import sys
+    import types
+
+    from wrf_to_geodataframe_spark.sources import fsio
+
+    monkeypatch.setenv(fsio._AWS_ENDPOINT_ENV, "http://aws-sdk-endpoint")
+    monkeypatch.delenv(fsio.S3_ENDPOINT_ENV, raising=False)
+
+    # fake an installed fsspec whose open() records the call
+    calls = []
+
+    class _FakeFile:
+        def open(self):
+            return self
+
+    fake = types.ModuleType("fsspec")
+    fake.__spec__ = importlib.machinery.ModuleSpec("fsspec", None)
+    fake.open = lambda path, mode: (calls.append(path), _FakeFile())[1]
+    monkeypatch.setitem(sys.modules, "fsspec", fake)
+    assert fsio._fsspec_available()
+    assert fsio._s3_endpoint() is None  # AWS var NOT honored
+    fsio.open_binary("s3://private-bucket/key")
+    assert calls == ["s3://private-bucket/key"], (
+        "fsspec-present read did not route through fsspec"
+    )
+
+    # the library-owned var opts in even with fsspec present
+    monkeypatch.setenv(fsio.S3_ENDPOINT_ENV, "http://wrf-endpoint")
+    assert fsio._s3_endpoint() == "http://wrf-endpoint"
+
+    # no fsspec at all -> AWS var is the documented backstop
+    monkeypatch.delenv(fsio.S3_ENDPOINT_ENV)
+    monkeypatch.delitem(sys.modules, "fsspec")
+    monkeypatch.setattr(fsio, "_fsspec_available", lambda: False)
+    assert fsio._s3_endpoint() == "http://aws-sdk-endpoint"
 
 
 def test_read_virtual_over_s3_issues_pruned_ranged_gets(

@@ -145,6 +145,56 @@ def sf_path(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+# ---------------------------------------------------------------------------
+# Tracked persists: several suite queries persist intra-query
+# intermediates (near-dup signatures, exact-duplicate collapse maps,
+# PageRank degree tables) that MUST stay cached until the caller's
+# action runs — the query builder cannot unpersist them eagerly.  In a
+# long multi-query session those entries would otherwise accumulate
+# until LRU eviction (ADVICE r11).  Every such persist registers here
+# (weakly — a frame the caller dropped unpersists itself at GC), and
+# ``release_persisted()`` frees whatever is still pinned.  bench.py
+# and the driver already call ``spark.catalog.clearCache()`` between
+# queries, which achieves the same thing session-wide; this is the
+# surgical per-library API for sessions that also cache their OWN
+# frames and don't want a global clear.
+#
+# STRONG references on purpose: the python DataFrame wrappers for
+# intra-query intermediates go out of scope the moment the query
+# builder returns (only the JVM plan lives on in the result), so a
+# weak registry would lose the unpersist handle before anyone could
+# call it.  The registry holds tiny wrapper objects, not data, and
+# release_persisted() empties it.
+
+_TRACKED_PERSISTS: list = []
+
+
+def track_persist(df):
+    """``df.persist()`` + register for :func:`release_persisted`.
+    Idempotent: an already-cached frame is only registered."""
+    if not df.is_cached:
+        df.persist()
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every still-tracked intermediate; returns the count.
+
+    Call after the action that consumed a suite query's result (or
+    rely on ``spark.catalog.clearCache()`` between queries, as
+    bench.py does)."""
+    n = 0
+    while _TRACKED_PERSISTS:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing left to free
+    return n
+
+
 _META_CACHE: dict[str, tuple[list[str], "object"]] = {}
 
 

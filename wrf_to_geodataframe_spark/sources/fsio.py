@@ -40,10 +40,29 @@ HTTP_TIMEOUT_S = 30.0
 #      ``spark.sparkContext.setLocalProperty(S3_ENDPOINT_PROP, url)``;
 #      Spark propagates local properties to every python worker, so
 #      this works per-job on a live cluster with no executor restart;
-#   2. the AWS SDK's standard ``AWS_ENDPOINT_URL`` env var (set it via
-#      ``spark.executorEnv.AWS_ENDPOINT_URL`` at cluster launch).
+#   2. the LIBRARY-OWNED ``WRF_S3_ENDPOINT`` env var (set it via
+#      ``spark.executorEnv.WRF_S3_ENDPOINT`` at cluster launch);
+#   3. the AWS SDK's ``AWS_ENDPOINT_URL`` env var, but ONLY when
+#      fsspec is NOT installed: that variable belongs to the AWS SDK,
+#      and an s3fs environment that sets it alongside credentials
+#      (MinIO/LocalStack with auth) expects SIGNED SigV4 reads —
+#      silently rerouting those onto the unsigned stdlib reader would
+#      turn working private-bucket reads into 401/403s.  With fsspec
+#      present, AWS_ENDPOINT_URL flows to s3fs untouched; opting into
+#      the stdlib reader anyway takes the library-owned var or the
+#      Spark property, both of which this library does own.
 S3_ENDPOINT_PROP = "wrf_to_geodataframe_spark.s3.endpoint"
-S3_ENDPOINT_ENV = "AWS_ENDPOINT_URL"
+S3_ENDPOINT_ENV = "WRF_S3_ENDPOINT"
+_AWS_ENDPOINT_ENV = "AWS_ENDPOINT_URL"
+
+
+def _fsspec_available() -> bool:
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("fsspec") is not None
+    except Exception:
+        return False
 
 
 def _s3_endpoint() -> str | None:
@@ -66,7 +85,15 @@ def _s3_endpoint() -> str | None:
                     return v
     except Exception:
         pass  # no pyspark on the path / no live context: env only
-    return os.environ.get(S3_ENDPOINT_ENV) or None
+    v = os.environ.get(S3_ENDPOINT_ENV)
+    if v:
+        return v
+    # AWS SDK var: honored only as a last resort when no fsspec exists
+    # to do the signed read — see the resolution-order comment above.
+    v = os.environ.get(_AWS_ENDPOINT_ENV)
+    if v and not _fsspec_available():
+        return v
+    return None
 
 
 def _s3_to_http(path: str, endpoint: str) -> str:

@@ -26,7 +26,7 @@ from wrf_to_geodataframe_spark.functions.text import (
     shingles_from_tokens,
     tokens,
 )
-from wrf_to_geodataframe_spark.session import load_table
+from wrf_to_geodataframe_spark.session import load_table, track_persist
 
 # ---------------------------------------------------------------------------
 # Exact deduplication
@@ -469,10 +469,10 @@ def _collapse_identical(df: DataFrame, key: str, id_col: str = "doc_id"):
     ``reps`` on two aliased branches and the fan-out/within stages
     consume ``cm`` on up to four — none of which hit exchange reuse
     across aliases (the repo-wide self-join rule)."""
-    reps = df.groupBy(key).agg(F.min(id_col).alias("rep")).persist()
-    cm = df.join(reps, key).select(
+    reps = track_persist(df.groupBy(key).agg(F.min(id_col).alias("rep")))
+    cm = track_persist(df.join(reps, key).select(
         F.col(id_col).alias("doc_id"), "rep"
-    ).persist()
+    ))
     return reps, cm
 
 
@@ -554,7 +554,7 @@ def _minhash_band_candidates(docs: DataFrame):
     produced being a result row.  sigv/cm persist: they feed multiple
     plan branches and self-joined HOF subtrees never hit exchange
     reuse."""
-    sigv = _minhash_sigv(docs).persist()
+    sigv = track_persist(_minhash_sigv(docs))
     sigs = _explode_sigv(sigv)
     reps, cm = _collapse_identical(sigv, "sig")
     band_arr = F.array(
@@ -1182,7 +1182,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification and the per-new-doc top-1 window both run on
     candidate pairs only."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = _minhash_sigs(docs).persist()
+    sigs = track_persist(_minhash_sigs(docs))
     banded = (
         sigs.withColumn("band", F.floor(F.col("i") / (_MH_K // _MH_BANDS)))
         .groupBy("doc_id", "band")
@@ -1196,6 +1196,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("band_key")
         )
     ).persist()
+    track_persist(banded)
     old = banded.filter(F.col("doc_id") % 3 != 0).alias("old")
     new = banded.filter(F.col("doc_id") % 3 == 0).alias("new")
     cand = (
@@ -1361,6 +1362,7 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("sh"),
     ).persist()
+    track_persist(sims)
     # EXACT-DUPLICATE COLLAPSE before banding (the skew guard, see
     # _collapse_identical): byte-identical documents share the exact
     # 60-bit simhash, which would put every copy on the same
@@ -1524,18 +1526,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole-stage-codegen method limit and fall back to interpretation —
     # the narrow plan stays fully codegen'd.  persist: feeds norms,
     # plane projection, and both sides of the verification join.
-    vec = (
+    vec = track_persist(
         hv.groupBy("doc_id", "j")
         .agg(F.sum("sgn").cast("long").alias("v"))
-        .persist()
     )
     # ONE per-doc aggregation produces both the norm (nq) and the
     # collapse key (the sorted sparse vector): nv and vecarr are
     # projections of it, not a second shuffle over vec
-    docagg = vec.groupBy("doc_id").agg(
+    docagg = track_persist(vec.groupBy("doc_id").agg(
         F.sum(F.col("v") * F.col("v")).cast("long").alias("nq"),
         F.array_sort(F.collect_list(F.struct("j", "v"))).alias("vkey"),
-    ).persist()
+    ))
     nv = docagg.select("doc_id", "nq")
     # hyperplane weights as a broadcast (planes x dims) dim table
     w = spark.createDataFrame(
@@ -1587,6 +1588,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    track_persist(banded)
     # EXACT-DUPLICATE COLLAPSE keyed on the full sparse vector
     # (identical vector => identical cosine against everything); docs
     # with a zero norm are excluded up front — the nq > 0 filter's job
@@ -5016,9 +5018,9 @@ def dedup_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SELF-join's two branches don't each re-run the codecs (PythonMap
     # subtrees never canonicalize equal, so exchange reuse can't help —
     # the repo-wide self-join rule; bench clears caches between queries)
-    h = decoded.select("doc_id", "pixels").mapInPandas(
+    h = track_persist(decoded.select("doc_id", "pixels").mapInPandas(
         _ahash, "doc_id long, bands array<long>"
-    ).persist()
+    ))
     return ahash_neardup_pairs(h)
 
 
