@@ -207,3 +207,111 @@ def test_pagerank_matches_independent_python_replay(spark):
     # the sink's in-rank still flows to it, but its own mass leaked:
     # total mass strictly below n * q
     assert sum(got.values()) < n * q
+
+
+def _dangling_python_replay(n, el, iters, q=1_000_000_000, d=85):
+    """Structurally independent replay of the redistribution
+    recurrence: plain dicts, no floor-split trick (uses d*x//100
+    directly — value-identical by the split identity, so it also
+    cross-checks the engine's overflow-safe form)."""
+    deg = {}
+    for u, _ in el:
+        deg[u] = deg.get(u, 0) + 1
+    pr = {v: q for v in range(n)}
+    base = (100 - d) * q // 100
+    hist = [dict(pr)]
+    for _ in range(iters):
+        share = sum(pr[v] for v in range(n) if v not in deg) // n
+        s = {v: 0 for v in range(n)}
+        for u, v in el:
+            s[v] += pr[u] // deg[u]
+        pr = {v: base + d * (s[v] + share) // 100 for v in range(n)}
+        hist.append(dict(pr))
+    return pr, hist
+
+
+def test_pagerank_dangling_matches_python_replay(spark):
+    """pagerank_dangling_integer equals the plain-python replay on an
+    irregular multigraph with TWO sinks, including the delta_q
+    convergence column (max |Δpr| of the final round)."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.operators.graph import (
+        pagerank_dangling_integer,
+    )
+
+    n = 12
+    el = [(u, (u * 5 + 1) % n) for u in range(n) if u not in (7, 10)]
+    el += [
+        (u, (u * u + 2) % n)
+        for u in range(n)
+        if u % 3 == 0 and u not in (7, 10)
+    ]
+    el.append((4, (4 * 5 + 1) % n))  # multi-edge
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    edges = spark.createDataFrame(el, "src long, dst long")
+    rows = pagerank_dangling_integer(nodes, edges, iters=10).collect()
+    got = {r.node: r.pr_q for r in rows}
+
+    pr, hist = _dangling_python_replay(n, el, 10)
+    assert got == pr
+    want_delta = max(abs(hist[-1][v] - hist[-2][v]) for v in range(n))
+    assert {r.delta_q for r in rows} == {want_delta}
+
+
+def test_pagerank_dangling_mass_conservation_bound(spark):
+    """Redistribution conserves mass up to floor losses ONLY — the
+    exact integer bound 0 <= N*q - sum(pr_k) <= k*(E + 3*N) (each
+    round drops < 1 unit per edge at pr div deg, < N units at the
+    share floor, < ~2N at the damped floors; algebra in the operator
+    docstring).  The leak variant on the same graph loses strictly
+    more."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.operators.graph import (
+        pagerank_dangling_integer,
+        pagerank_integer,
+    )
+
+    n, q, iters = 40, 1_000_000_000, 8
+    # every 4th node is a sink; others get 1-2 out-edges
+    el = [(u, (u * 3 + 1) % n) for u in range(n) if u % 4 != 0]
+    el += [(u, (u * 7 + 5) % n) for u in range(n) if u % 8 == 1]
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    edges = spark.createDataFrame(el, "src long, dst long")
+
+    t_redist = sum(
+        r.pr_q
+        for r in pagerank_dangling_integer(nodes, edges, iters=iters).collect()
+    )
+    t_leak = sum(
+        r.pr_q for r in pagerank_integer(nodes, edges, iters=iters).collect()
+    )
+    lost = n * q - t_redist
+    assert 0 <= lost <= iters * (len(el) + 3 * n), (lost, len(el), n)
+    assert t_leak < t_redist  # sinks leaked real mass, not floor dust
+
+
+def test_pagerank_dangling_no_sinks_equals_leak_variant(spark):
+    """With no sinks the dangling share is 0 every round, so the two
+    operators agree exactly (and a uniform cycle stays at the q fixed
+    point with delta_q == 0)."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.operators.graph import (
+        pagerank_dangling_integer,
+        pagerank_integer,
+    )
+
+    n = 30
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    edges = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")
+    )
+    got = pagerank_dangling_integer(nodes, edges, iters=6).collect()
+    leak = {
+        r.node: r.pr_q
+        for r in pagerank_integer(nodes, edges, iters=6).collect()
+    }
+    assert {r.node: r.pr_q for r in got} == leak
+    assert all(r.pr_q == 1_000_000_000 and r.delta_q == 0 for r in got)

@@ -245,9 +245,28 @@ def pagerank_integer(
     occurrence); out-degrees are taken from the edge table itself, and
     SINKS (nodes with no out-edges) simply leak their mass — the
     deliberate simple-variant semantics, stated here so the oracle and
-    engine agree by construction."""
-    deg = edges.groupBy(src_col).agg(
-        F.count(F.lit(1)).cast("long").alias("_deg")
+    engine agree by construction (the standard Google-matrix
+    redistribution semantics live in :func:`pagerank_dangling_integer`).
+
+    OVERFLOW CONTRACT: the damped term is evaluated as
+    ``d*(S div 100) + (d*(S mod 100)) div 100`` — value-identical to
+    ``(d*S) div 100`` for S >= 0, but the largest intermediate is
+    ``d*(S div 100) < S`` instead of ``d*S``.  S(v) is bounded by the
+    total mass N*q, so ranks stay exact whenever ``N*q < 2**63``
+    (~9.2e9 nodes at the default q=1e9); the naive form wrapped ~100x
+    earlier, at N*q*damping_pct >= 2**63 (ADVICE r11).
+
+    ``deg`` is persisted (tracked — see session.release_persisted):
+    every unrolled iteration consumes the same out-degree table, and
+    while Catalyst's ReuseExchange deduplicates the identical subplans
+    inside one DAG today, the persist makes that cost contract
+    explicit rather than optimizer-dependent."""
+    from wrf_to_geodataframe_spark.session import track_persist
+
+    deg = track_persist(
+        edges.groupBy(src_col).agg(
+            F.count(F.lit(1)).cast("long").alias("_deg")
+        )
     )
     base_q = ((100 - damping_pct) * q) // 100
     pr = nodes.select(F.col(node_col).alias("node"),
@@ -270,12 +289,146 @@ def pagerank_integer(
                 "node",
                 (
                     F.lit(int(base_q)).cast("long")
-                    + F.expr(
-                        f"CAST({damping_pct} AS BIGINT)"
-                        " * coalesce(_s, CAST(0 AS BIGINT))"
-                        " div CAST(100 AS BIGINT)"
-                    )
+                    + _damped(damping_pct, "coalesce(_s, CAST(0 AS BIGINT))")
                 ).alias("pr_q"),
             )
         )
     return pr
+
+
+def _damped(damping_pct: int, s_expr: str):
+    """``(damping_pct * S) div 100`` for non-negative BIGINT S, in the
+    overflow-safe split form: ``d*(S div 100) + (d*(S mod 100)) div
+    100``.  Exact for S >= 0 (write S = 100a + b: d*S div 100 =
+    d*a + (d*b) div 100); the largest intermediate is < S."""
+    d = f"CAST({int(damping_pct)} AS BIGINT)"
+    return F.expr(
+        f"{d} * (({s_expr}) div 100L)"
+        f" + ({d} * (({s_expr}) % 100L)) div 100L"
+    )
+
+
+def pagerank_dangling_integer(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 10,
+    q: int = 1_000_000_000,
+    damping_pct: int = 85,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank with DANGLING-MASS REDISTRIBUTION — the standard
+    Google-matrix semantics (sinks spread their rank uniformly over
+    all nodes) — in the same integer-exact idiom as
+    :func:`pagerank_integer`:
+
+        share_k = (sum of pr_k over sink nodes) div N
+        pr_{k+1}(v) = (100-d)*q div 100
+                      + (d * (S(v) + share_k)) div 100   [split form]
+
+    Every operation is integral, so a SQL oracle replaying the
+    recurrence matches bit-for-bit.  Mass is conserved up to the floor
+    losses only: per iteration the divisions drop < 1 unit per edge
+    (pr div deg), < N units (share floor) and < 100+1 units per node
+    (the damped split), so ``N*q - sum(pr_k) <= k*(101*N + E + N)`` —
+    an exact integer bound pinned in tests/test_graph.py.
+
+    EAGER per iteration, deliberately — ONE job per round: each
+    round's rank frame is ``localCheckpoint(eager=True)``-ed, making
+    the previous ranks a LogicalRDD LEAF.  That buys two things at
+    once: (a) the share aggregate can reference the rank frame on a
+    second branch (contribution join + dangling sum) as a broadcast
+    1-row crossJoin WITHOUT doubling the lineage per round — the
+    2^iters analysis blowup the module docstring bans — so no driver
+    collect is needed at all; (b) the plan analyzed each round is
+    CONSTANT-size (without truncation the k-th round re-analyzes a
+    k-deep tree and construction goes quadratic; measured 43 s ->
+    ~4 s at sf0.01).  Checkpointed blocks live in executor storage
+    like any persist.  The standard iterative-algorithm tradeoff
+    applies: local checkpoints are not executor-loss recoverable — on
+    a fault-sensitive production run, swap in
+    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``.
+    All but the final two rank frames are unpersisted as soon as the
+    loop ends (the convergence delta joins the last two), so steady
+    state holds two BIGINTs per node, not ``iters``.
+
+    Returns (node, pr_q, delta_q): ``delta_q`` = max |pr_iters -
+    pr_{iters-1}| over all nodes — the self-validating convergence
+    aggregate, same value on every row (the dedup_cluster_cc
+    unmerged-count pattern).  Scale shape per iteration: the same
+    three uniform-key shuffles as pagerank_integer plus one 1-row
+    aggregate; nothing data-sized touches the driver."""
+    from wrf_to_geodataframe_spark.session import track_persist
+
+    if iters < 1:
+        raise ValueError("pagerank_dangling_integer needs iters >= 1")
+    deg = track_persist(
+        edges.groupBy(src_col).agg(
+            F.count(F.lit(1)).cast("long").alias("_deg")
+        )
+    )
+    n_nodes = nodes.count()
+    base_q = ((100 - damping_pct) * q) // 100
+    pr = nodes.select(
+        F.col(node_col).alias("node"),
+        F.lit(int(q)).cast("long").alias("pr_q"),
+    ).localCheckpoint()
+    frames = [pr]
+    for _ in range(iters):
+        # 1-row dangling share, folded in as a broadcast — because pr
+        # is a checkpointed LEAF, referencing it on two branches
+        # (contribution join + this aggregate) costs two cache scans,
+        # not a doubled lineage; one job per round, no driver collect
+        share_f = (
+            pr.join(deg, pr["node"] == deg[src_col], "left_anti")
+            .agg(
+                F.expr(
+                    f"coalesce(sum(pr_q), 0L)"
+                    f" div CAST({int(n_nodes)} AS BIGINT)"
+                ).alias("_share")
+            )
+        )
+        contrib = (
+            pr.join(edges, pr["node"] == edges[src_col])
+            .join(deg, src_col)
+            .select(
+                F.col(dst_col).alias("node"),
+                F.expr("pr_q div _deg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        pr = (
+            nodes.select(F.col(node_col).alias("node"))
+            .join(contrib, "node", "left")
+            .crossJoin(F.broadcast(share_f))
+            .select(
+                "node",
+                (
+                    F.lit(int(base_q)).cast("long")
+                    + _damped(
+                        damping_pct,
+                        "coalesce(_s, 0L) + _share",
+                    )
+                ).alias("pr_q"),
+            )
+            .localCheckpoint()
+        )
+        frames.append(pr)
+    # checkpointed blocks for rounds the delta no longer needs; the
+    # data is never referenced again, so dropping it is safe even
+    # though local checkpoints cannot be recomputed
+    for old in frames[:-2]:
+        old.unpersist()
+    prev = frames[-2]
+    delta = (
+        pr.alias("a")
+        .join(prev.alias("b"), "node")
+        .agg(
+            F.max(F.abs(F.col("a.pr_q") - F.col("b.pr_q")))
+            .cast("long")
+            .alias("delta_q")
+        )
+    )
+    return pr.crossJoin(F.broadcast(delta))

@@ -1321,6 +1321,112 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_integer(nodes, edges, iters=10)
 
 
+def graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGERANK WITH DANGLING-MASS REDISTRIBUTION (the standard
+    Google-matrix semantics) over a link graph with real sinks: docs
+    with doc_id % 5 == 0 emit NO edges, every other doc links to
+    (7u+3) mod N and (13u+5) mod N.  Each iteration redistributes the
+    sinks' pooled rank uniformly (share = sum_sink pr div N) before
+    damping — see operators/graph.pagerank_dangling_integer for the
+    exact integer recurrence and the eager-per-round rationale.
+
+    Output (node, pr_q, delta_q): delta_q is the max |Δpr| of the
+    final iteration — the self-validating convergence aggregate.
+
+    Oracle-independence class: the SQL oracle REPLAYS the same
+    recurrence (materialized CTE chain), like graph_pagerank; the
+    structurally independent checks are the pure-python replay, the
+    exact mass-conservation floor bound, and the no-sink equivalence
+    against pagerank_integer in tests/test_graph.py."""
+    from wrf_to_geodataframe_spark.operators.graph import (
+        pagerank_dangling_integer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    nn = docs.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    base = (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") % 5 != 0)
+        .crossJoin(F.broadcast(nn))
+    )
+    edges = (
+        base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + 3) % F.col("nn")).alias("dst"),
+        )
+        .unionByName(
+            base.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 13 + 5) % F.col("nn")).alias("dst"),
+            )
+        )
+    )
+    return pagerank_dangling_integer(nodes, edges, iters=10)
+
+
+def _pagerank_dangling_sql(iters: int = 10) -> str:
+    """Oracle mirror of pagerank_dangling_integer: the identical
+    integer recurrence as a MATERIALIZED CTE chain (each iteration is
+    referenced twice — contribution join + dangling sum — so the
+    CTEs must not be inlined), with the per-iteration share as a
+    scalar subquery and the overflow-safe damped split replayed
+    verbatim."""
+    its = []
+    prev = "it0"
+    for k in range(1, iters + 1):
+        its.append(f"""it{k} AS MATERIALIZED (
+    SELECT nd.node,
+           CAST(150000000
+           + 85 * ((COALESCE(s.s, 0) + sh.share) // 100)
+           + (85 * ((COALESCE(s.s, 0) + sh.share) % 100)) // 100
+           AS BIGINT) AS pr_q
+    FROM nodes nd
+    LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM(p.pr_q // d.deg) AS BIGINT) AS s
+        FROM {prev} p
+        JOIN edges e ON p.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ) s USING (node)
+    CROSS JOIN (
+        SELECT CAST(COALESCE(SUM(p.pr_q), 0) AS BIGINT)
+               // (SELECT n FROM nn) AS share
+        FROM {prev} p
+        LEFT JOIN deg d ON p.node = d.src
+        WHERE d.src IS NULL
+    ) sh
+)""")
+        prev = f"it{k}"
+    joined = ",\n".join(its)
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT doc_id AS node FROM documents),
+edges AS MATERIALIZED (
+    SELECT doc_id AS src, (doc_id * 7 + 3) % n AS dst
+    FROM documents, nn WHERE doc_id % 5 <> 0
+    UNION ALL
+    SELECT doc_id, (doc_id * 13 + 5) % n
+    FROM documents, nn WHERE doc_id % 5 <> 0
+),
+deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        FROM edges GROUP BY src),
+it0 AS MATERIALIZED (
+    SELECT node, CAST(1000000000 AS BIGINT) AS pr_q FROM nodes),
+{joined}
+SELECT f.node, f.pr_q, dl.delta_q
+FROM {prev} f
+CROSS JOIN (
+    SELECT CAST(MAX(ABS(a.pr_q - b.pr_q)) AS BIGINT) AS delta_q
+    FROM {prev} a JOIN it{iters - 1} b USING (node)
+) dl
+"""
+
+
+_PAGERANK_DANGLING_SQL = _pagerank_dangling_sql()
+
+
 def _pagerank_sql(iters: int = 10) -> str:
     """Oracle mirror: the identical integer recurrence unrolled as a
     CTE chain (SUMs cast back to BIGINT — DuckDB widens to HUGEINT)."""
@@ -1367,6 +1473,7 @@ QUERIES = {
     "p1_drop_columns": p1_drop_columns,
     "graph_triangles": graph_triangles,
     "graph_pagerank": graph_pagerank,
+    "graph_pagerank_dangling": graph_pagerank_dangling,
     "sql_shared_dialect": sql_shared_dialect,
     "merge_upsert": merge_upsert,
     "scd2_history": scd2_history,
@@ -1408,6 +1515,7 @@ QUERIES = {
 ORACLE = {
     "graph_triangles": _TRIANGLES_SQL,
     "graph_pagerank": _PAGERANK_SQL,
+    "graph_pagerank_dangling": _PAGERANK_DANGLING_SQL,
     "sql_shared_dialect": _SQL_SHARED,
     "merge_upsert": _MERGE_SQL,
     "scd2_history": _SCD2_SQL,
