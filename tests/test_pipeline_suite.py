@@ -1631,3 +1631,105 @@ def test_tracked_persists_release(spark, sf_dir):
     n = release_persisted()
     assert n >= 3, f"expected sigv+reps+cm registered, released {n}"
     assert release_persisted() == 0  # registry drained
+
+
+def test_nb_classifier_generalizes_planted_classes(spark, tmp_path):
+    """Seed-distillation check on PLANTED classes: two disjoint
+    30-token vocabularies (plus shared stopwords), labels on the
+    ~29% doc_id % 7 < 2 seed only — the classifier trained on that
+    seed must classify every HELD-OUT document correctly (precision =
+    recall = 1.0).  Hash collisions in the 4096-bucket vocabulary only
+    perturb single-token weights; the 33-token document mean absorbs
+    them (asserted implicitly by the exact split)."""
+    import os as _os
+
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        quality_nb_classifier,
+    )
+
+    n = 1400
+    hq = [f"edu{k}" for k in range(30)]
+    lq = [f"spam{k}" for k in range(30)]
+    common = ["the", "a", "and"]
+    rows = []
+    for i in range(n):
+        vocab = hq if i % 2 == 1 else lq
+        rows.append(
+            (i, " ".join(vocab + common), "en" if i % 2 == 1 else "xx")
+        )
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(_os.path.join(d, "documents.parquet"))
+
+    out = {r.doc_id: r for r in quality_nb_classifier(spark, d).collect()}
+    assert len(out) == n
+    held_out = [i for i in range(n) if i % 7 >= 2]
+    assert held_out, "seed rule covered everything — test is vacuous"
+    for i in range(n):
+        want = i % 2 == 1
+        r = out[i]
+        assert r.pred_hq == want, (i, r.score_q)
+        # scores are confidently separated, not threshold-straddling
+        if want:
+            assert r.score_q > 700_000, (i, r.score_q)
+        else:
+            assert r.score_q < 300_000, (i, r.score_q)
+
+
+def test_curate_v3_optional_nb_stage_composes(spark, tmp_path):
+    """pipeline_curate_v3(nb_filter=True) prepends the model-based
+    quality stage, on a corpus where the classifier has real signal:
+    class-1 docs (lang=en, source=hq, +edu marker tokens) and class-0
+    docs (lang=xx, source=lq, +spam markers), bodies of unique md5
+    words so every doc passes the heuristic gates.  The filtered run
+    must keep ONLY the hq source; the unfiltered run keeps both.
+    Also pins the loud empty-corpus error: a filter that drops
+    everything must raise the named BPE message, not IndexError."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        pipeline_curate_v3,
+    )
+
+    n = 840
+    doc_id = F.col("id")
+    words = [
+        F.substring(
+            F.md5(F.concat(doc_id.cast("string"), F.lit(f":w{j}"))), 1, 8
+        )
+        for j in range(50)
+    ]
+    hq = doc_id % 2 == 1
+    markers = F.when(
+        hq, F.lit(" " + " ".join(f"edu{k}" for k in range(10)))
+    ).otherwise(F.lit(" " + " ".join(f"spam{k}" for k in range(10))))
+    synth = spark.range(n).select(
+        doc_id.alias("doc_id"),
+        F.when(hq, F.lit("en")).otherwise(F.lit("xx")).alias("lang"),
+        F.when(hq, F.lit("hq")).otherwise(F.lit("lq")).alias("source"),
+        F.concat(F.concat_ws(" ", *words), markers).alias("text"),
+    )
+    d = str(tmp_path)
+    synth.repartition(8).write.parquet(
+        _os.path.join(d, "documents.parquet")
+    )
+
+    base = {r.source for r in pipeline_curate_v3(spark, d).collect()}
+    assert base == {"hq", "lq"}
+    filt = {
+        r.source: r.n_docs
+        for r in pipeline_curate_v3(spark, d, nb_filter=True).collect()
+    }
+    assert set(filt) == {"hq"} and filt["hq"] > 0
+
+    # all-dropped corpus -> named error, not a blind IndexError
+    lq_dir = str(tmp_path / "lq_only")
+    _os.makedirs(lq_dir)
+    synth.filter(~hq).write.parquet(
+        _os.path.join(lq_dir, "documents.parquet")
+    )
+    with _pytest.raises(ValueError, match="BPE training corpus"):
+        pipeline_curate_v3(spark, lq_dir, nb_filter=True)

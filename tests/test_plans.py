@@ -707,3 +707,17 @@ def test_g16_single_scan_single_arrow_eval(spark):
     assert plan.count("ArrowEvalPython") == 1
     assert "Join" not in plan
     assert "Exchange" not in plan or plan.count("Exchange") <= 1
+
+
+def test_nb_classifier_scores_through_broadcast_model(spark):
+    """quality_nb_classifier's 100 TB claim: the hashed-token model is
+    fixed-size (<= 4096 rows), so scoring joins it by BROADCAST — no
+    shuffle on the token/bucket key, no sort-merge join, no cartesian
+    anywhere in the plan."""
+    from wrf_to_geodataframe_spark.suite.pipeline import QUERIES
+
+    plan = _plan(QUERIES["quality_nb_classifier"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

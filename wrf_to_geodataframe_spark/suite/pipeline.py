@@ -331,6 +331,171 @@ FROM words w LEFT JOIN per_doc p ON w.doc_id = p.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Model-based quality filtering: seed-trained hashed-token classifier
+
+_NB_BUCKETS = 4096  # hashed-vocabulary size (bounds the broadcast model)
+_NB_Q = 1_000_000  # posterior lattice: scores live on 1/Q
+
+
+def nb_token_model(seed: DataFrame, q: int = _NB_Q) -> DataFrame:
+    """(b, w_q): the BROADCASTABLE classifier model — for each hashed
+    vocabulary bucket ``b``, the Laplace-smoothed class-1 posterior of
+    a token landing there, on the 1/q lattice:
+
+        w_q(b) = (c1(b) + 1) * q div (c1(b) + c0(b) + 2)
+
+    ``seed`` is the labeled set as (b, y) token rows (y in {0,1}).
+    Exactly the feature hashing trick every production quality
+    classifier uses (fastText/DCLM-style hashed bag-of-words): the
+    model is FIXED-SIZE (<= _NB_BUCKETS rows) no matter the corpus, so
+    scoring is always a broadcast join — never a shuffle on the token
+    key.  Integer-exact by the suite's rational-lattice idiom: the
+    smoothed posterior replaces the NB log-likelihood (a float log no
+    two engines evaluate bit-identically); summed per document it is
+    the same linear-classifier family, hash-exact on both engines."""
+    return (
+        seed.groupBy("b")
+        .agg(
+            F.sum("y").cast("long").alias("c1"),
+            F.count(F.lit(1)).cast("long").alias("ct"),
+        )
+        .select(
+            "b",
+            F.expr(f"(c1 + 1L) * {int(q)}L div (ct + 2L)").alias("w_q"),
+        )
+    )
+
+
+def score_nb(tok: DataFrame, model: DataFrame, q: int = _NB_Q) -> DataFrame:
+    """(doc_id, n_tokens, score_q): mean smoothed class-1 posterior of
+    a document's hashed tokens under a broadcast ``nb_token_model``.
+    Buckets the seed never saw score the uninformative prior q/2
+    (the (0+1)*q div (0+0+2) smoothing fixed point).  One partial-agg
+    groupBy on doc_id after the broadcast join — no shuffle on the
+    token key, no cartesian."""
+    return (
+        tok.join(F.broadcast(model), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.expr(
+                f"sum(coalesce(w_q, {int(q) // 2}L)) div count(1)"
+            ).alias("score_q"),
+        )
+    )
+
+
+def hashed_tokens(docs: DataFrame, buckets: int = _NB_BUCKETS) -> DataFrame:
+    """(doc_id, lang, b): one row per token occurrence, bucketed by the
+    engine-portable hash60 modulo the hashed-vocabulary size."""
+    return docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w")
+    ).select(
+        "doc_id", "lang", (hash60(F.col("w")) % buckets).alias("b")
+    )
+
+
+def quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-BASED QUALITY FILTER — the classifier stage every modern
+    curation pipeline runs after the heuristic filters (GPT-3's
+    LR-vs-WebText filter, CCNet, DCLM's fastText classifier, FineWeb-
+    Edu's seed-distilled scorer): train a hashed bag-of-words
+    classifier on a small labeled SEED, broadcast the fixed-size
+    model, score the whole corpus.
+
+    Seed + labels, fully in-plan: docs with doc_id % 7 < 2 (~29%) are
+    the "labeled" set, y = 1 iff lang = 'en' (standing in for the
+    human/LLM quality label a real deployment supplies; the planted-
+    class generalization test lives in tests/test_pipeline_suite.py).
+    Train: one tokenize scan over the seed -> per-bucket Laplace
+    posterior (nb_token_model).  Score: one tokenize scan over the
+    corpus -> broadcast join -> per-doc mean (score_nb).  pred_hq is
+    the 0.5-threshold decision.
+
+    100 TB shape: the token rows are persisted (they feed train +
+    score; one tokenize pass), the model is <= 4096 rows (broadcast by
+    construction, pinned in tests/test_plans.py), both groupBys
+    partial-aggregate map-side, and nothing data-sized touches the
+    driver.  Integer-exact: every score is a rational on the 1e-6
+    lattice (see nb_token_model), so the DuckDB oracle matches
+    bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = track_persist(hashed_tokens(docs))
+    seed = tok.filter(F.col("doc_id") % 7 < 2).select(
+        "b", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
+    )
+    model = nb_token_model(seed)
+    scored = score_nb(tok.select("doc_id", "b"), model)
+    half = _NB_Q // 2
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+            F.coalesce(F.col("score_q"), F.lit(half)).cast("long").alias(
+                "score_q"
+            ),
+            (
+                F.coalesce(F.col("score_q"), F.lit(half)) * 2 >= _NB_Q
+            ).alias("pred_hq"),
+        )
+    )
+
+
+def nb_quality_filter(docs: DataFrame, q: int = _NB_Q) -> DataFrame:
+    """Drop documents the seed-trained classifier scores below the
+    0.5 posterior threshold — the optional model-based stage of
+    ``pipeline_curate_v3`` (train on the doc_id % 7 < 2 seed with the
+    lang='en' stand-in label, broadcast the model, semi-join the
+    keepers).  Same plan shape as quality_nb_classifier; returns the
+    input schema unchanged."""
+    tok = track_persist(hashed_tokens(docs))
+    seed = tok.filter(F.col("doc_id") % 7 < 2).select(
+        "b", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
+    )
+    model = nb_token_model(seed, q)
+    keep = (
+        score_nb(tok.select("doc_id", "b"), model, q)
+        .filter(F.col("score_q") * 2 >= q)
+        .select("doc_id")
+    )
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+_NB_CLASSIFIER_SQL = f"""
+WITH words AS (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+    FROM documents
+), tok AS (
+    SELECT doc_id, lang,
+           CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % {_NB_BUCKETS}
+               AS b
+    FROM words
+), model AS (
+    SELECT b,
+           (CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+            + 1) * {_NB_Q}
+           // (CAST(COUNT(*) AS BIGINT) + 2) AS w_q
+    FROM tok WHERE doc_id % 7 < 2 GROUP BY b
+), scored AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(COALESCE(w_q, {_NB_Q // 2})) AS BIGINT) // COUNT(*)
+               AS score_q
+    FROM tok LEFT JOIN model USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.score_q, {_NB_Q // 2}) AS BIGINT) AS score_q,
+       COALESCE(s.score_q, {_NB_Q // 2}) * 2 >= {_NB_Q} AS pred_hq
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Near-duplicate detection: exact n-gram Jaccard via inverted index
 
 
@@ -4141,12 +4306,19 @@ def _bpe_train_merges(docs: DataFrame) -> list:
     prev = None
     rows = []
     for r in range(_BPE_MERGES):
-        best = (
+        top = (
             _bpe_pair_counts(state)
             .orderBy(F.col("c").desc(), F.col("pair").asc())
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not top:
+            raise ValueError(
+                "BPE training corpus has no token pairs (empty corpus, "
+                "or every upstream stage filtered it out) — cannot "
+                f"train merge round {r}/{_BPE_MERGES}"
+            )
+        best = top[0]
         # the argmax just materialized ``state`` from ``prev``'s cache,
         # so the superseded round can drop now — live persisted state
         # stays bounded at <=2 vocab-sized DFs regardless of merge count
@@ -4285,7 +4457,9 @@ FROM documents, {froms}
 """
 
 
-def pipeline_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_curate_v3(
+    spark: SparkSession, sf_dir: str, nb_filter: bool = False
+) -> DataFrame:
     """Curation manifest v3 — the COMPLETE pretraining data story in
     one gate row: run the six-stage curation pass (quality ->
     repetition -> PII scrub -> decontam -> exact dedup -> temperature
@@ -4296,6 +4470,13 @@ def pipeline_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     number a pretraining run actually asks for: TOKENS PER SOURCE in
     the final mixture.
 
+    ``nb_filter=True`` prepends the model-based quality stage
+    (``nb_quality_filter``: seed-trained hashed-token classifier,
+    broadcast-scored) before the heuristic pass — the modern pipeline
+    ordering (DCLM/FineWeb-Edu run the classifier alongside the
+    heuristics).  Off by default so the oracle-gated output is the
+    audited six-stage chain.
+
     The oracle replays the entire chain — all curation CTEs, the 8
     BPE training rounds re-derived over the curated corpus, and the
     encode — so the hash checks the full composition end to end.
@@ -4305,6 +4486,8 @@ def pipeline_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounting is one scan over survivors with 16 literal replaces in
     codegen and a partial-agg groupBy on source."""
     docs = load_table(spark, sf_dir, "documents")
+    if nb_filter:
+        docs = nb_quality_filter(docs)
     kept = curate_v2(docs, _CURATE2_TARGET).select("doc_id", "source")
     # localCheckpoint TRUNCATES the curate lineage: without it the
     # six-stage expression tree re-inlines into every BPE word/pair
@@ -5385,6 +5568,7 @@ QUERIES = {
     "mixture_sample_temperature": mixture_sample_temperature,
     "dedup_paragraph": dedup_paragraph,
     "quality_lm_score": quality_lm_score,
+    "quality_nb_classifier": quality_nb_classifier,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_incremental": dedup_incremental,
     "bpe_train": bpe_train,
@@ -5442,6 +5626,7 @@ ORACLE = {
     "mixture_sample_temperature": _MIXTURE_SQL,
     "dedup_paragraph": _DEDUP_PARAGRAPH_SQL,
     "quality_lm_score": _LM_SCORE_SQL,
+    "quality_nb_classifier": _NB_CLASSIFIER_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_incremental": _INCREMENTAL_SQL,
     "bpe_train": _bpe_sql(_BPE_MERGES),
