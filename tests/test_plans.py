@@ -721,3 +721,23 @@ def test_nb_classifier_scores_through_broadcast_model(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_o1_has_no_single_partition_window_over_cells(spark):
+    """o1_sort_composite's scale fix (VERDICT r11): the row_number
+    runs PARTITIONED by the leading sort key; the only unpartitioned
+    window in the plan is the per-y offset cumsum over the grid-
+    height-bounded counts frame (below an aggregate, never the cells
+    table)."""
+    from wrf_to_geodataframe_spark.suite.relational import QUERIES
+
+    plan = _plan(QUERIES["o1_sort_composite"](spark, SF))
+    rn_windows = [
+        ln for ln in plan.splitlines() if "row_number" in ln
+    ]
+    assert rn_windows, plan
+    for ln in rn_windows:
+        # a PARTITIONED Window prints THREE bracket groups —
+        # "Window [exprs], [partition], [order]" — the unpartitioned
+        # single-task form prints only two ("[exprs], [order]")
+        assert ln.count("], [") >= 2, ln

@@ -177,13 +177,37 @@ FROM lineitem
 def o1_sort_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort by composite key (SURVEY.md §2 O1, delphine/regrid.py:139
     ``sortby([x, y])``).  The hash compare is order-insensitive, so the
-    sort is made observable as a materialized position column —
-    row_number over the same (y_idx, x_idx) order (unique per cell)."""
+    sort is made observable as a materialized position column — the
+    global position under (y_idx, x_idx) order (unique per cell).
+
+    SCALE-SAFE global ordering (VERDICT r11): a bare
+    ``row_number().over(Window.orderBy(...))`` plans a SINGLE-PARTITION
+    WindowExec — one task sorts the whole table.  Instead the position
+    is assembled from (a) a per-y_idx local rank (window PARTITIONED
+    by the leading sort key — parallel, each group one grid row) and
+    (b) the cumulative count of cells in preceding y rows, a window
+    over the per-y COUNTS frame only (bounded by the grid height, the
+    p3_time_slice days-table argument) broadcast back.  pos =
+    offset(y) + local_rank(x within y) — identical to the global
+    row_number, no single-task stage; the zipWithIndex shape."""
     cells = grid_cells(spark, sf_dir)
-    w = Window.orderBy("y_idx", "x_idx")
-    return cells.select(
-        "user_id", "y_idx", "x_idx",
-        F.row_number().over(w).cast("long").alias("pos"),
+    per_y = cells.groupBy("y_idx").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("y_idx").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = per_y.select(
+        "y_idx",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_loc = Window.partitionBy("y_idx").orderBy("x_idx")
+    return (
+        cells.join(F.broadcast(off), "y_idx")
+        .select(
+            "user_id", "y_idx", "x_idx",
+            (F.col("_off") + F.row_number().over(w_loc))
+            .cast("long")
+            .alias("pos"),
+        )
     )
 
 
