@@ -1,0 +1,172 @@
+"""Tokenized-training-corpus sink: seeded global shuffle + fixed-size
+token shards — the terminal stage of the curation story (what a
+pretraining data loader actually consumes).
+
+The reference has no training sink (its sinks are NetCDF/GPKG/plots);
+this is a §2.8-gap extension: after ``bpe_encode`` + ``pack_sequences``
+produce token streams, a trainer needs (a) a DETERMINISTIC SEEDED
+GLOBAL SHUFFLE of documents (epoch reproducibility — the same seed must
+yield the same byte stream no matter how the corpus was partitioned)
+and (b) fixed-size shards on disk (.npy here, via the engine's own
+writer in sources/npy.py).
+
+Scale shape, stage by stage:
+
+- The permutation key is ``hash60(seed ':' doc_id)`` — data-independent
+  of partition layout, so the output is IDENTICAL across any input
+  partitioning (pinned in tests/test_shards.py).
+- Global token offsets use the BUCKETED running-sum shape (the
+  o1_sort_composite / zipWithIndex fix, VERDICT r11): ranks are
+  uniform 60-bit hashes, so ``bucket = rank div (2^60 / B)`` is an
+  arithmetic range partitioner (no sampling job, order-compatible by
+  construction).  The running sum windows WITHIN each bucket
+  (parallel), and the cross-bucket offsets are a cumsum over the
+  B-row per-bucket totals (bounded by the constant B — the
+  p3_time_slice bounded-window argument) broadcast back.  No
+  single-partition WindowExec anywhere.
+- Token placement is pure arithmetic off the doc offset
+  (``gpos = doc_start + position``), one explode — never a token-level
+  window.
+- The writer is one shuffle on ``shard_id`` (uniform by construction:
+  every shard holds exactly ``shard_tokens`` tokens) into an Arrow
+  ``applyInPandas`` group that writes ``shard_<id>.npy`` and returns
+  the manifest row (shard_id, n_tokens, checksum).  At 100 TB each
+  executor writes its own shards to shared storage; nothing
+  data-sized touches the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from wrf_to_geodataframe_spark.functions.text import hash60
+
+SHARD_TOKENS = 4096  # tokens per shard file
+_ORDER_BUCKETS = 512  # parallel running-sum streams (see module doc)
+_RANK_SPAN = 1 << 60  # hash60 range
+
+# the manifest checksum folds each token's low 20 bits against its
+# 1-based position in the shard: order-sensitive, exact in BIGINT
+# (max 4096 * 4097 * 2^20 < 2^45 per shard), and replayable in SQL
+CHECKSUM_TOK_MOD = 1 << 20
+
+
+def seeded_token_offsets(
+    doc_tokens: DataFrame,
+    seed: str,
+    n_buckets: int = _ORDER_BUCKETS,
+) -> DataFrame:
+    """(doc_id, toks, n_tokens, start): each document's global token
+    offset under the seeded permutation — documents laid end-to-end in
+    ``hash60(seed ':' doc_id)`` order.  ``doc_tokens`` is
+    (doc_id, toks array<long>).  See the module docstring for why this
+    is a bucketed running sum, not one global window."""
+    span = _RANK_SPAN // n_buckets
+    ranked = doc_tokens.select(
+        "doc_id",
+        "toks",
+        F.size("toks").cast("long").alias("n_tokens"),
+        hash60(
+            F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string"))
+        ).alias("rank"),
+    ).withColumn("bucket", F.expr(f"rank div {span}L"))
+    w_loc = (
+        Window.partitionBy("bucket")
+        .orderBy("rank", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranked.withColumn(
+        "_loc", F.coalesce(F.sum("n_tokens").over(w_loc), F.lit(0))
+    )
+    per_b = ranked.groupBy("bucket").agg(F.sum("n_tokens").alias("_bt"))
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = per_b.select(
+        "bucket",
+        F.coalesce(F.sum("_bt").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return local.join(F.broadcast(off), "bucket").select(
+        "doc_id",
+        "toks",
+        "n_tokens",
+        (F.col("_loc") + F.col("_off")).cast("long").alias("start"),
+    )
+
+
+def token_shard_rows(
+    placed: DataFrame, shard_tokens: int = SHARD_TOKENS
+) -> DataFrame:
+    """(shard_id, pos_in_shard, tok): one row per token, addressed into
+    fixed-size shards by pure arithmetic off the document offset —
+    documents may straddle a shard boundary (GPT-style concatenation
+    packing; ``pack_sequences`` reports the same layout at chunk
+    granularity)."""
+    return placed.select(
+        F.posexplode("toks").alias("p", "tok"),
+        F.col("start"),
+    ).select(
+        F.expr(f"(start + p) div {int(shard_tokens)}L").alias("shard_id"),
+        F.expr(f"(start + p) % {int(shard_tokens)}L").alias(
+            "pos_in_shard"
+        ),
+        F.col("tok").cast("long").alias("tok"),
+    )
+
+
+def write_token_shards(
+    rows: DataFrame,
+    out_dir: str,
+    shard_tokens: int = SHARD_TOKENS,
+) -> DataFrame:
+    """Write one ``shard_<id>.npy`` (int64 tokens, shard order) per
+    shard_id group and return the manifest DataFrame
+    (shard_id, n_tokens, checksum).  LAZY: files land when the
+    manifest is acted on, executor-side, through the engine's own npy
+    writer.  Every shard except the last holds exactly
+    ``shard_tokens`` tokens (asserted loudly in the writer — a gap or
+    duplicate position means the upstream offsets are broken)."""
+    import numpy as np
+    import pandas as pd
+
+    from wrf_to_geodataframe_spark.sources.npy import write_npy
+
+    def _write(key, pdf):
+        sid = int(key[0])
+        pdf = pdf.sort_values("pos_in_shard")
+        pos = pdf["pos_in_shard"].to_numpy(dtype=np.int64)
+        if not (pos == np.arange(len(pos))).all():
+            raise ValueError(
+                f"shard {sid}: token positions not dense 0..{len(pos) - 1}"
+                " — upstream global offsets are broken"
+            )
+        arr = pdf["tok"].to_numpy(dtype=np.int64)
+        write_npy(os.path.join(out_dir, f"shard_{sid:010d}.npy"), arr)
+        checksum = int(((pos + 1) * (arr % CHECKSUM_TOK_MOD)).sum())
+        return pd.DataFrame(
+            [[sid, len(arr), checksum]],
+            columns=["shard_id", "n_tokens", "checksum"],
+        )
+
+    return rows.groupBy("shard_id").applyInPandas(
+        _write, "shard_id long, n_tokens long, checksum long"
+    )
+
+
+def write_training_corpus(
+    doc_tokens: DataFrame,
+    out_dir: str,
+    seed: str,
+    shard_tokens: int = SHARD_TOKENS,
+    n_buckets: int = _ORDER_BUCKETS,
+) -> DataFrame:
+    """The composed sink: seeded global shuffle -> fixed-size shards ->
+    npy files + manifest.  ``doc_tokens`` is (doc_id, toks
+    array<long>) — e.g. hashed ``bpe_encode`` output."""
+    placed = seeded_token_offsets(doc_tokens, seed, n_buckets)
+    return write_token_shards(
+        token_shard_rows(placed, shard_tokens), out_dir, shard_tokens
+    )

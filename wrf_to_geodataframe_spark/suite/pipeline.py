@@ -2933,6 +2933,81 @@ FROM placed
 
 
 # ---------------------------------------------------------------------------
+# Tokenized-training-corpus sink (operators/shards.py)
+
+_SHARD_SEED = "r12shard"
+
+
+def train_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZED-CORPUS TRAINING SINK — the terminal pipeline stage:
+    deterministic seeded global shuffle of the corpus (epoch
+    reproducibility), documents laid end-to-end, cut into fixed
+    4096-token shards, each written as ``shard_<id>.npy`` through the
+    engine's own npy writer (sources/npy.py), with the manifest row a
+    data loader indexes by: (shard_id, n_tokens, checksum).
+
+    Token ids here are hash60 of the whitespace tokens (the gate
+    exercises the SHUFFLE + SHARD mechanics; the full
+    bpe_encode-composed sink runs in tests/test_shards.py, which also
+    round-trips the files and pins determinism across input
+    partitionings).  The checksum folds each token's low 20 bits
+    against its 1-based position — order-sensitive, so the oracle
+    match proves the exact global permutation and shard layout, not
+    just totals.  The oracle replays the permutation closed-form:
+    hash-rank order, one running sum, arithmetic shard addressing.
+
+    Scale shape: see operators/shards.py — bucketed running sums (no
+    single-partition window), arithmetic range bucketing on the
+    uniform hash ranks (no sampling job), one uniform shuffle on
+    shard_id into the Arrow writer.  Files go to a fresh temp dir per
+    call (the driver's sf dirs are read-only); on a cluster the out
+    dir is shared storage."""
+    import tempfile
+
+    from wrf_to_geodataframe_spark.operators.shards import (
+        write_training_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.transform(tokens(F.col("text")), lambda w: hash60(w)).alias(
+            "toks"
+        ),
+    )
+    out = tempfile.mkdtemp(prefix="train_shards_")
+    return write_training_corpus(toks, out, _SHARD_SEED)
+
+
+_TRAIN_SHARD_SQL = f"""
+WITH ranked AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5('{_SHARD_SEED}:'
+                || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS rank,
+           string_split(text, ' ') AS ws
+    FROM documents
+), placed AS (
+    SELECT doc_id, ws,
+           CAST(coalesce(sum(len(ws)) OVER (
+               ORDER BY rank, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start
+    FROM ranked
+), toks AS (
+    SELECT start + unnest(generate_series(1, len(ws))) - 1 AS gpos,
+           CAST(('0x' || substr(md5(unnest(ws)), 1, 15)) AS BIGINT)
+               AS tok
+    FROM placed
+)
+SELECT gpos // 4096 AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum((gpos % 4096 + 1) * (tok % 1048576)) AS BIGINT)
+           AS checksum
+FROM toks GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Similarity search over embeddings
 
 _N_QUERIES = 8  # vec_id < 8 are the query vectors
@@ -5569,6 +5644,7 @@ QUERIES = {
     "dedup_paragraph": dedup_paragraph,
     "quality_lm_score": quality_lm_score,
     "quality_nb_classifier": quality_nb_classifier,
+    "train_shard_manifest": train_shard_manifest,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_incremental": dedup_incremental,
     "bpe_train": bpe_train,
@@ -5627,6 +5703,7 @@ ORACLE = {
     "dedup_paragraph": _DEDUP_PARAGRAPH_SQL,
     "quality_lm_score": _LM_SCORE_SQL,
     "quality_nb_classifier": _NB_CLASSIFIER_SQL,
+    "train_shard_manifest": _TRAIN_SHARD_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_incremental": _INCREMENTAL_SQL,
     "bpe_train": _bpe_sql(_BPE_MERGES),
