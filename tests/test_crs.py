@@ -1484,3 +1484,89 @@ def test_ellipsoidal_destination_udf(spark):
     for r in rows:
         gap = float(vincenty_numpy(r.e.lat, r.e.lon, r.s.lat, r.s.lon))
         assert gap < 0.00562 * r.dist + 1.0, (r, gap)
+
+
+def test_ellipsoid_polygon_area_box_identity():
+    """On a lon/lat-aligned rectangle the authalic shoelace equals the
+    closed-form box area exactly (iso-lat edges carry the integral,
+    iso-lon edges contribute zero) — swept over widths, heights and
+    latitudes including the southern hemisphere."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        ellipsoid_box_area_m2_float,
+        ellipsoid_polygon_area_m2_float,
+    )
+
+    for lon1, lat1, dlon, dlat in [
+        (0.0, 0.0, 1.0, 1.0),
+        (-120.0, 45.0, 0.25, 0.25),
+        (10.0, -80.0, 5.0, 3.0),
+        (170.0, 60.0, 2.0, 20.0),
+        (-4.0, 40.0, 0.01, 0.01),
+    ]:
+        lon2, lat2 = lon1 + dlon, lat1 + dlat
+        box = ellipsoid_box_area_m2_float(lon1, lat1, lon2, lat2)
+        poly = ellipsoid_polygon_area_m2_float(
+            [lon1, lon2, lon2, lon1], [lat1, lat1, lat2, lat2]
+        )
+        assert abs(poly - box) <= 1e-9 * box, (box, poly)
+
+
+def test_ellipsoid_polygon_area_cea_plane_identity():
+    """The kernel's exactness class: for ANY polygon it equals the
+    planar shoelace of the vertices projected to the ellipsoidal
+    cylindrical-equal-area plane (x = a*lam, y = a*q/2) — the
+    telescoping identity in the docstring — so the EA-projection
+    regrid route and this direct kernel measure identical areas."""
+    import math
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        GRS80_A,
+        GRS80_E2,
+        _authalic_q_float,
+        ellipsoid_polygon_area_m2_float,
+    )
+
+    e = math.sqrt(GRS80_E2)
+    # an irregular pentagon (a Voronoi-cell-ish shape)
+    xs = [5.0, 5.8, 6.1, 5.5, 4.7]
+    ys = [50.0, 50.1, 50.7, 51.2, 50.6]
+    got = ellipsoid_polygon_area_m2_float(xs, ys)
+    px = [GRS80_A * math.radians(x) for x in xs]
+    py = [
+        GRS80_A * _authalic_q_float(math.sin(math.radians(y)), e, GRS80_E2) / 2.0
+        for y in ys
+    ]
+    sho = 0.0
+    for i in range(len(xs)):
+        j = (i + 1) % len(xs)
+        sho += px[i] * py[j] - px[j] * py[i]
+    want = abs(sho) / 2.0
+    assert abs(got - want) <= 1e-6 * want, (got, want)
+    # orientation-insensitive
+    rev = ellipsoid_polygon_area_m2_float(xs[::-1], ys[::-1])
+    assert abs(rev - got) <= 1e-9 * got
+
+
+def test_ellipsoid_polygon_area_column_matches_float_twin(spark):
+    """The Column HOF kernel evaluates to the float twin on array
+    columns (same accumulation order, so equality is tight)."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        ellipsoid_polygon_area_m2,
+        ellipsoid_polygon_area_m2_float,
+    )
+
+    polys = [
+        ([0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0]),
+        ([5.0, 5.8, 6.1, 5.5, 4.7], [50.0, 50.1, 50.7, 51.2, 50.6]),
+        ([-120.0, -119.0, -119.5], [-33.0, -33.2, -32.1]),
+    ]
+    df = spark.createDataFrame(
+        [(i, xs, ys) for i, (xs, ys) in enumerate(polys)],
+        "i long, xs array<double>, ys array<double>",
+    )
+    rows = df.select(
+        "i", ellipsoid_polygon_area_m2(F.col("xs"), F.col("ys")).alias("a")
+    ).collect()
+    for r in rows:
+        want = ellipsoid_polygon_area_m2_float(*polys[r.i])
+        assert abs(r.a - want) <= 1e-9 * want, (r.i, r.a, want)

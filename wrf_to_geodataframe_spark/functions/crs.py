@@ -1821,6 +1821,63 @@ def ellipsoid_box_area_m2_float(
     return a * a / 2.0 * math.radians(lon2 - lon1) * dq
 
 
+def ellipsoid_polygon_area_m2(
+    xs: Column, ys: Column, a: float = GRS80_A, e2: float = GRS80_E2
+) -> Column:
+    """Ellipsoidal area (m^2) of an ARBITRARY lon/lat polygon — the
+    authalic shoelace (VERDICT r11 item 6), over two array columns
+    (``xs`` lon degrees, ``ys`` lat degrees, open ring: the last edge
+    closes back to vertex 0):
+
+        A = (a^2/4) | sum_i (lam_{i+1} - lam_i) (q_i + q_{i+1}) |
+
+    with Snyder's authalic q (eq. 3-12) at each vertex.  The trapezoid
+    sum telescopes into the PLANAR SHOELACE of the vertices in the
+    ellipsoidal cylindrical-equal-area plane (x = a*lam, y = a*q/2):
+    sum Dlam (q_i+q_{i+1}) = sum (lam_{i+1} q_i - lam_i q_{i+1}), so
+    this kernel is EXACT for any polygon whose edges are straight in
+    the CEA plane — the same edge convention the project-then-overlay
+    regrid (operators/regrid.conservative_regrid_to_crs) uses — and
+    exactly equal to ellipsoid_box_area_m2 on lon/lat-aligned boxes
+    (iso-lat edges carry the whole integral, iso-lon edges contribute
+    zero).  For edges meant as geodesics it is second-order accurate
+    in edge length (grid-scale cells: relative error ~ (edge/R)^2).
+    Orientation-insensitive (absolute value); property tests in
+    tests/test_crs.py pin the box identity, the CEA-plane identity,
+    and orientation invariance."""
+    e = math.sqrt(e2)
+    n = F.size(xs)
+    idx = F.sequence(F.lit(0), n - 1)
+    q_of = lambda i: _authalic_q_col(  # noqa: E731 — local closure
+        F.sin(F.radians(F.element_at(ys, i + 1))), e, e2
+    )
+    lam_of = lambda i: F.radians(F.element_at(xs, i + 1))  # noqa: E731
+    nxt = lambda i: (i + 1) % n  # noqa: E731
+    s = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (lam_of(nxt(i)) - lam_of(i)) * (q_of(i) + q_of(nxt(i))),
+    )
+    return F.lit(a * a / 4.0) * F.abs(s)
+
+
+def ellipsoid_polygon_area_m2_float(
+    xs, ys, a: float = GRS80_A, e2: float = GRS80_E2
+) -> float:
+    """Python-float twin of :func:`ellipsoid_polygon_area_m2` (same
+    accumulation order: one pass over the edges)."""
+    e = math.sqrt(e2)
+    n = len(xs)
+    lam = [math.radians(x) for x in xs]
+    q = [_authalic_q_float(math.sin(math.radians(y)), e, e2) for y in ys]
+    s = 0.0
+    for i in range(n):
+        j = (i + 1) % n
+        s += (lam[j] - lam[i]) * (q[i] + q[j])
+    return a * a / 4.0 * abs(s)
+
+
 # ---------------------------------------------------------------------------
 # Ellipsoidal geodesic distance — Vincenty's inverse formula (T. Vincenty,
 # "Direct and inverse solutions of geodesics on the ellipsoid with

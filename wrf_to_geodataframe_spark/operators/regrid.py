@@ -172,7 +172,14 @@ def conservative_regrid_to_crs(
     Properties (tests/test_spatial_suite.py): at crs=4326 this
     reproduces the analytic rectilinear regrid exactly; in an
     equal-area plane mass is conserved and per-cell clipped areas
-    partition the quad."""
+    partition the quad.
+
+    Area semantics note: planar areas measured in an equal-area plane
+    ARE ellipsoidal areas for polygons whose edges are straight in
+    that plane; the direct kernel for the same measure without a
+    projection step is functions/crs.ellipsoid_polygon_area_m2 (the
+    authalic shoelace — exactly the CEA-plane planar shoelace by the
+    telescoping identity in its docstring)."""
     from wrf_to_geodataframe_spark.functions.crs import to_crs
     from wrf_to_geodataframe_spark.geometry.overlay import (
         overlay_intersection,

@@ -2188,7 +2188,76 @@ FROM ll
 _G8_CEA_SQL = _cea_sql()
 
 
+def g17_ellipsoid_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ellipsoidal areas of ARBITRARY (non-axis-aligned) lon/lat
+    polygons (SURVEY.md §2 G7 extension; VERDICT r11 item 6): each grid
+    cell is read as a SKEWED quadrilateral over Europe and measured
+    with the authalic-shoelace kernel
+    (functions/crs.ellipsoid_polygon_area_m2) — the closed form the
+    box-area kernel generalizes to, exact for edges straight in the
+    equal-area plane.  Outputs rounded to 0.1 m^2 on ~1.4e9 m^2 cells
+    (cross-engine libm drift ~1e-5 m^2).
+
+    Oracle-independence class: the SQL replays the same authalic
+    shoelace with identical literals; the structurally different
+    cross-checks are the box-form identity and the CEA-plane planar
+    shoelace identity in tests/test_crs.py."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        ellipsoid_polygon_area_m2,
+    )
+
+    cells = grid_cells(spark, sf_dir)
+    lon = F.col("x") * 0.5 - 2.0
+    lat = F.col("y") * 0.4 + 38.0
+    xs = F.array(lon, lon + F.lit(0.5), lon + F.lit(0.62), lon + F.lit(0.03))
+    ys = F.array(lat, lat + F.lit(0.08), lat + F.lit(0.45), lat + F.lit(0.38))
+    return cells.select(
+        "user_id",
+        F.round(ellipsoid_polygon_area_m2(xs, ys), 1).alias("area_m2"),
+    )
+
+
+def _g17_sql() -> str:
+    """Oracle mirror: the 4-edge authalic shoelace with the identical
+    GRS80 literals (the _ea_area_sql q layout), summed in the same
+    edge order as the Column HOF."""
+    import math as _math
+
+    from wrf_to_geodataframe_spark.functions.crs import GRS80_A, GRS80_E2
+
+    e2 = GRS80_E2
+    e = _math.sqrt(e2)
+    a24 = GRS80_A * GRS80_A / 4.0
+
+    def qs(sin_expr: str) -> str:
+        return (
+            f"({1.0 - e2!r} * ({sin_expr} / (1.0 - {e2!r} * {sin_expr}"
+            f" * {sin_expr}) - {1.0 / (2.0 * e)!r}"
+            f" * ln((1.0 - {e!r} * {sin_expr})"
+            f" / (1.0 + {e!r} * {sin_expr}))))"
+        )
+
+    dx = [0.0, 0.5, 0.62, 0.03]
+    dy = [0.0, 0.08, 0.45, 0.38]
+    lam = [f"radians((x1 + 0.5) * 0.5 - 2.0 + {d!r})" for d in dx]
+    q = [qs(f"sin(radians((y1 + 0.5) * 0.4 + 38.0 + {d!r}))") for d in dy]
+    terms = " + ".join(
+        f"(({lam[(i + 1) % 4]}) - ({lam[i]})) * (({q[i]}) + ({q[(i + 1) % 4]}))"
+        for i in range(4)
+    )
+    return f"""
+WITH cells AS ({_CELLS_SQL})
+SELECT user_id,
+       round({a24!r} * abs({terms}), 1) AS area_m2
+FROM cells
+"""
+
+
+_G17_SQL = _g17_sql()
+
+
 QUERIES = {
+    "g17_ellipsoid_polygon_area": g17_ellipsoid_polygon_area,
     "p4_bbox_filter": p4_bbox_filter,
     "focal_mean_3x3": focal_mean_3x3,
     "g12_simplify_dp": g12_simplify_dp,
@@ -2240,6 +2309,7 @@ ORACLE = {
     "g8_crs_laea": _G8_LAEA_SQL,
     "g8_crs_albers": _G8_ALBERS_SQL,
     "g8_crs_cea": _G8_CEA_SQL,
+    "g17_ellipsoid_polygon_area": _G17_SQL,
     "g8_crs_utm": _G8_UTM_SQL,
     "g8_crs_stere": _G8_STERE_SQL,
     "g8_crs_rotated": _G8_ROTATED_SQL,
