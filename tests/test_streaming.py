@@ -760,3 +760,82 @@ def test_stream_chunk_documents_equals_batch_with_append(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 70
+
+
+def test_stream_curate_to_chunks_matches_static_composition(
+    spark, sf_dir, tmp_path
+):
+    """The composed ingestion spine (curate 1-4 -> exact dedup ->
+    chunk fan-out) under STREAMING execution equals the identical
+    composition applied to the static frame — including a second
+    availableNow pass over files appended after the first drain (only
+    the new docs' chunks arrive; nothing is re-emitted or lost)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.session import load_table
+    from wrf_to_geodataframe_spark.streaming.curate import (
+        static_eval_shingle_set,
+        stream_curate_to_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    ev_set = static_eval_shingle_set(docs)
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "landing")
+    _os.makedirs(src)
+    first.write.mode("append").parquet(src)
+
+    out_dir = str(tmp_path / "chunks_out")
+
+    def _drain(name):
+        # parquet sink: the one that supports checkpoint RECOVERY, so
+        # the second availableNow pass resumes instead of starting over
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = (
+            stream_curate_to_chunks(stream, ev_set)
+            .writeStream.format("parquet")
+            .queryName(name)
+            .outputMode("append")
+            .option("path", out_dir)
+            .option(
+                "checkpointLocation", str(tmp_path / "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+        return [
+            (r.doc_id, r.chunk_start, r.n_tokens, r.chunk_text)
+            for r in spark.read.parquet(out_dir).collect()
+        ]
+
+    got1 = _drain("curate_chunks_1")
+    want1 = [
+        (r.doc_id, r.chunk_start, r.n_tokens, r.chunk_text)
+        for r in stream_curate_to_chunks(first, ev_set).collect()
+    ]
+    assert sorted(got1) == sorted(want1) and got1
+
+    # append the second half; the SAME checkpoint only emits the delta
+    second.write.mode("append").parquet(src)
+    got2 = _drain("curate_chunks_2")
+    all_static = stream_curate_to_chunks(docs, ev_set).collect()
+    # stream keeper is first-seen, static keeper is arbitrary within a
+    # duplicate group — compare the chunk CONTENT multiset, which is
+    # keeper-independent (identical scrubbed text -> identical chunks)
+    want_all = sorted(
+        (r.chunk_start, r.n_tokens, r.chunk_text) for r in all_static
+    )
+    got_all = sorted(
+        (c, n, t) for (_d, c, n, t) in got2  # cumulative parquet sink
+    )
+    assert len(got2) > len(got1)  # the delta actually arrived
+    assert got_all == want_all

@@ -75,12 +75,17 @@ def static_eval_shingle_set(docs: DataFrame) -> DataFrame:
     )
 
 
-def curated_doc_stream(stream: DataFrame, ev_set: DataFrame) -> DataFrame:
+def curated_doc_stream(
+    stream: DataFrame, ev_set: DataFrame, keep_text: bool = False
+) -> DataFrame:
     """Stages 1-4 (quality, repetition, scrub, decontam) over a
     ``(doc_id, lang, source, text[, ts])`` stream — fully STATELESS
     (pure projections/filters + a broadcast stream-static join), so it
     composes under any downstream stateful operator.  Emits the batch
-    manifest columns plus any extra input columns (e.g. event time)."""
+    manifest columns plus any extra input columns (e.g. event time);
+    ``keep_text=True`` also carries the SCRUBBED text (the content
+    later stages consume, per the batch convention) for downstream
+    transforms like the chunk fan-out."""
     from wrf_to_geodataframe_spark.suite.pipeline import (
         _CURATE2_MAX_DUP3_PPM,
         _CURATE2_MAX_TOPW_PPM,
@@ -161,6 +166,7 @@ def curated_doc_stream(stream: DataFrame, ev_set: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_urls"),
         F.md5(scrubbed).alias("scrubbed_md5"),
+        *([scrubbed.alias("scrubbed_text")] if keep_text else []),
         "toks",
         *extra,
     )
@@ -183,6 +189,33 @@ def stream_curate(stream: DataFrame, ev_set: DataFrame) -> DataFrame:
     """Full chain with EXACT dedup (unbounded state) — right for
     bounded backfills and availableNow drains."""
     return curated_doc_stream(stream, ev_set).dropDuplicates(["scrubbed_md5"])
+
+
+def stream_curate_to_chunks(
+    stream: DataFrame, ev_set: DataFrame, w: int = 32, s: int = 24
+) -> DataFrame:
+    """The COMPOSED streaming ingestion spine (VERDICT r11 item 8):
+    curate stages 1-4 -> exact dedup on the scrubbed key -> RAG chunk
+    fan-out, all one streaming plan.  The chunker is the batch gate's
+    own ``chunk_tokens`` applied to the SCRUBBED text (the same shared-
+    helper discipline as streaming/chunk.py, so window/stride/tail
+    semantics cannot drift from the batch ``chunk_documents`` gate),
+    and it is stateless, so the chain's only state remains the dedup
+    key set.  Emits (doc_id, chunk_start, n_tokens, chunk_text) in
+    append mode.
+
+    Stream==batch execution equivalence (the same composition applied
+    to the static frame, plus a second availableNow pass over appended
+    files) is pinned in tests/test_streaming.py."""
+    from wrf_to_geodataframe_spark.suite.pipeline import chunk_tokens
+
+    deduped = curated_doc_stream(
+        stream, ev_set, keep_text=True
+    ).dropDuplicates(["scrubbed_md5"])
+    return chunk_tokens(
+        deduped.select("doc_id", F.col("scrubbed_text").alias("text")),
+        w=w, s=s,
+    )
 
 
 def stream_curate_within_watermark(

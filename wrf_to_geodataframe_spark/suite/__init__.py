@@ -10,6 +10,39 @@ BIGINT) before multi-row sums/averages — integer sums are exact and
 order-insensitive — and performs the final scalar division in double,
 which is deterministic.  ``min``/``max``/``count`` stay on raw doubles
 (exact under any order).
+
+Oracle-independence classes (VERDICT r11 item 7 — how much a DuckDB
+hash match proves, per gate):
+
+- **Class A — independent native oracle**: DuckDB computes the answer
+  through its OWN machinery, not a restatement of the engine's plan
+  (``j_asof_join``'s native ASOF JOIN, the plain-SQL relational
+  family, the ingest gates where DuckDB reads values the engine's
+  from-scratch decoders produced).  Strongest class.
+- **Class B — formula replay, externally pinned**: the oracle restates
+  the same closed-form math with identical literals (the g8 CRS
+  family, the equal-area/Vincenty kernels, g17), so the hash alone
+  only proves both engines evaluate one formula identically; the
+  INDEPENDENT evidence is the published worked examples and property
+  tests in pytest (Snyder/EPSG/OS/GeographicLib numbers, box/CEA
+  identities, round-trips).
+- **Class C — recurrence replay, pytest-cross-checked**: the oracle
+  unrolls the engine's own iterative recurrence (``graph_pagerank``,
+  ``graph_pagerank_dangling``, BPE training and everything composed
+  on it); a bug in the shared recurrence design would match on both
+  sides.  (``dedup_cluster_cc`` is NOT in this class: its oracle
+  states the true closure via DuckDB's recursive CTE — independent
+  machinery.)  Each such gate
+  therefore carries a STRUCTURALLY DIFFERENT cross-check in pytest —
+  a plain-python/hashlib replay, an exact fixed point, a conservation
+  bound, or a brute-force reference (tests/test_graph.py,
+  tests/test_pipeline_suite.py's pure-python BPE reference,
+  tests/test_shards.py's hashlib replay) — named in its docstring.
+
+Pipeline/curation gates are class A-minus: the oracle recomputes the
+same counting/threshold semantics in independent SQL (different
+execution machinery, same spec); their extra evidence is planted-class
+and adversarial corpora in pytest.
 """
 
 from __future__ import annotations

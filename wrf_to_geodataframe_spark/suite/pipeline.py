@@ -4571,7 +4571,12 @@ def pipeline_curate_v3(
     Scale shape: curation is the audited curate_v2 plan; BPE training
     is vocabulary-sized with bounded 1-row argmax collects; the final
     accounting is one scan over survivors with 16 literal replaces in
-    codegen and a partial-agg groupBy on source."""
+    codegen and a partial-agg groupBy on source.
+
+    Oracle-independence class C for the BPE half (suite/__init__
+    taxonomy; the curation half is class A-minus): the BPE recurrence
+    is cross-checked against a pure-python trainer in
+    tests/test_pipeline_suite.py (test_bpe_train_matches_pure_python_reference)."""
     docs = load_table(spark, sf_dir, "documents")
     if nb_filter:
         docs = nb_quality_filter(docs)

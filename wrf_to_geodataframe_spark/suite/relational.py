@@ -1321,7 +1321,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per iteration one equi join onto the edge list
     (shuffle on src), one partial-aggregated groupBy on dst, one left
     join onto the node set — linear plan growth in iterations, one
-    BIGINT of state per node."""
+    BIGINT of state per node.
+
+    Oracle-independence class C (suite/__init__ taxonomy): the oracle
+    replays the recurrence; the structurally different cross-checks
+    are the pure-python replay, the exact uniform-cycle fixed point,
+    and the sink-leak property in tests/test_graph.py."""
     from wrf_to_geodataframe_spark.operators.graph import (
         pagerank_integer,
     )
