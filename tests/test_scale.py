@@ -1773,3 +1773,176 @@ def test_pagerank_1m_nodes_10_iterations(spark):
     assert hub_rank > 3 * q  # ~10k extra in-links concentrate mass
     print(f"\npagerank 1M nodes x 3M edges x 10 iters in {dt:.1f}s, "
           f"hub pr {hub_rank/q:.1f}x baseline")
+
+
+@slow
+def test_pagerank_dangling_1m_nodes(spark):
+    """Dangling-redistribution PageRank at the same 1M-node scale:
+    10% of nodes are sinks (no out-edges); each of the 10 rounds is
+    one localCheckpoint job with a broadcast share.  Mass conservation
+    holds to the exact floor bound (N*q - total <= iters*(E + 3N)),
+    the sinks' rank is recycled rather than leaked (total strictly
+    above the leak variant's), and the run completes in well under a
+    minute on local[32]."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.operators.graph import (
+        pagerank_dangling_integer,
+        pagerank_integer,
+    )
+
+    n, q, iters = 1_000_000, 1_000_000_000, 10
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    live = spark.range(n).filter(F.col("id") % 10 != 0)  # 10% sinks
+    e1 = live.select(
+        F.col("id").alias("src"), ((F.col("id") * 48271 + 11) % n).alias("dst"))
+    e2 = live.select(
+        F.col("id").alias("src"), ((F.col("id") * 69621 + 7) % n).alias("dst"))
+    edges = e1.unionByName(e2).persist()
+    n_edges = edges.count()
+
+    t0 = time.monotonic()
+    pr = pagerank_dangling_integer(nodes, edges, iters=iters).persist()
+    total = pr.agg(F.sum("pr_q")).collect()[0][0]
+    delta = pr.select("delta_q").first().delta_q
+    dt = time.monotonic() - t0
+    leak_total = (
+        pagerank_integer(nodes, edges, iters=iters)
+        .agg(F.sum("pr_q")).collect()[0][0]
+    )
+    pr.unpersist()
+    edges.unpersist()
+    lost = n * q - total
+    assert 0 <= lost <= iters * (n_edges + 3 * n), (lost, n_edges)
+    assert leak_total < total  # redistribution recycled the sink mass
+    assert delta >= 0
+    print(f"\ndangling pagerank 1M nodes x {n_edges} edges x {iters} "
+          f"iters in {dt:.1f}s; floor loss {lost / (n * q):.2e}, "
+          f"leak variant lost {(n * q - leak_total) / (n * q):.1%}")
+
+
+@slow
+def test_nb_classifier_200k_docs_planted_classes(spark, tmp_path):
+    """The model-based quality filter at 200k docs: two planted
+    30-token vocabularies plus unique md5-word noise per document,
+    labels visible only on the ~29% seed — held-out classification
+    must stay exact (the hashed 4096-bucket model absorbs collisions
+    in the 33-token mean) and the whole train+score pass runs in
+    seconds: one tokenize scan, one broadcast model join, two
+    partial-agg groupBys."""
+    import os as _os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        quality_nb_classifier,
+    )
+
+    n = 200_000
+    doc_id = F.col("id")
+    hq = doc_id % 2 == 1
+    noise = [
+        F.substring(
+            F.md5(F.concat(doc_id.cast("string"), F.lit(f":n{j}"))), 1, 8
+        )
+        for j in range(20)
+    ]
+    markers = F.when(
+        hq, F.lit(" ".join(f"edu{k}" for k in range(30)))
+    ).otherwise(F.lit(" ".join(f"spam{k}" for k in range(30))))
+    synth = spark.range(n).select(
+        doc_id.alias("doc_id"),
+        F.when(hq, F.lit("en")).otherwise(F.lit("xx")).alias("lang"),
+        F.concat(markers, F.lit(" "), F.concat_ws(" ", *noise)).alias(
+            "text"
+        ),
+    )
+    d = str(tmp_path)
+    synth.repartition(32).write.parquet(
+        _os.path.join(d, "documents.parquet")
+    )
+
+    t0 = time.monotonic()
+    rows = quality_nb_classifier(spark, d).collect()
+    dt = time.monotonic() - t0
+    spark.catalog.clearCache()
+    assert len(rows) == n
+    wrong = [r.doc_id for r in rows if r.pred_hq != (r.doc_id % 2 == 1)]
+    assert not wrong, wrong[:10]
+    print(f"\nnb classifier 200k docs train+score in {dt:.1f}s, "
+          f"0 held-out errors")
+
+
+@slow
+def test_shard_sink_2m_tokens(spark, tmp_path):
+    """The training sink at 2M tokens (50k docs): deterministic
+    seeded shuffle + 4096-token npy shards.  Verifies the manifest
+    covers every token exactly once (sum == corpus tokens, all shards
+    full except the last), spot-checks three shard files byte-for-byte
+    against a hashlib replay, and reports wall time — the pipeline is
+    one tokenize scan, one doc-level window per hash bucket, one
+    explode, one shuffle on shard_id into the Arrow writer."""
+    import glob as _glob
+    import hashlib
+    import os as _os
+    import time
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.functions.text import hash60
+    from wrf_to_geodataframe_spark.operators.shards import (
+        SHARD_TOKENS,
+        write_training_corpus,
+    )
+
+    n_docs = 50_000
+    doc_id = F.col("id")
+    words = [
+        F.substring(
+            F.md5(F.concat(doc_id.cast("string"), F.lit(f":w{j}"))), 1, 6
+        )
+        for j in range(40)
+    ]
+    src = str(tmp_path / "corpus")
+    spark.range(n_docs).select(
+        doc_id.alias("doc_id"), F.concat_ws(" ", *words).alias("text")
+    ).repartition(32).write.parquet(src)
+    docs = spark.read.parquet(src)
+    doc_toks = docs.select(
+        "doc_id",
+        F.transform(F.split("text", " "), lambda w: hash60(w)).alias("toks"),
+    )
+    out = str(tmp_path / "shards")
+    _os.makedirs(out)
+
+    t0 = time.monotonic()
+    man = write_training_corpus(doc_toks, out, "scale").collect()
+    dt = time.monotonic() - t0
+    spark.catalog.clearCache()
+
+    total = n_docs * 40
+    assert sum(r.n_tokens for r in man) == total
+    sizes = {r.shard_id: r.n_tokens for r in man}
+    last = max(sizes)
+    assert sorted(sizes) == list(range(last + 1))
+    assert all(sizes[i] == SHARD_TOKENS for i in range(last))
+
+    # hashlib replay of the full stream; spot-check 3 shards on disk
+    def _h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    order = sorted(texts, key=lambda i: (_h60(f"scale:{i}"), i))
+    stream = [_h60(w) for i in order for w in texts[i].split(" ")]
+    files = sorted(_glob.glob(_os.path.join(out, "shard_*.npy")))
+    assert len(files) == last + 1
+    for sid in (0, last // 2, last):
+        arr = np.load(files[sid])
+        want = stream[sid * SHARD_TOKENS:(sid + 1) * SHARD_TOKENS]
+        assert [int(x) for x in arr] == want, f"shard {sid} mismatch"
+    print(f"\nshard sink: {total} tokens -> {last + 1} shards in "
+          f"{dt:.1f}s")
