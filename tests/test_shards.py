@@ -167,3 +167,119 @@ def test_shard_plan_no_cartesian_no_unpartitioned_data_window(spark):
     unpartitioned = [ln for ln in win_lines if ln.count("], [") < 2]
     # exactly the bounded bucket-offset cumsum may be unpartitioned
     assert len(unpartitioned) <= 1, plan
+
+
+def test_read_token_shards_round_trips_the_stream(spark, tmp_path):
+    """read(write(x)) == the seeded stream, through the distributed
+    shard reader (one task per file, positions rebuilt from the file
+    name)."""
+    from wrf_to_geodataframe_spark.operators.shards import (
+        read_token_shards,
+    )
+
+    rows = _corpus()
+    out = str(tmp_path / "shards")
+    os.makedirs(out)
+    write_training_corpus(
+        _doc_tokens(spark, rows), out, SEED, shard_tokens=S
+    ).collect()
+    got = [
+        r.tok
+        for r in read_token_shards(spark, out, shard_tokens=S)
+        .orderBy("gpos")
+        .collect()
+    ]
+    assert got == _replay_stream(rows)
+    with pytest.raises(ValueError, match="no shard"):
+        read_token_shards(spark, str(tmp_path / "empty"))
+
+
+def test_shards_epoch_reseed_permutes_but_preserves_tokens(
+    spark, tmp_path
+):
+    """Different seeds give different epoch permutations of the SAME
+    token multiset (the reshuffle-per-epoch contract); the same seed
+    reproduces the identical stream."""
+    import collections
+
+    rows = _corpus()
+    streams = {}
+    for tag, seed in (("e0", "epoch0"), ("e1", "epoch1"), ("e0b", "epoch0")):
+        out = str(tmp_path / tag)
+        os.makedirs(out)
+        write_training_corpus(
+            _doc_tokens(spark, rows), out, seed, shard_tokens=S
+        ).collect()
+        streams[tag] = _read_all(out)[0]
+    assert streams["e0"] == streams["e0b"]
+    assert streams["e0"] != streams["e1"]
+    assert collections.Counter(streams["e0"]) == collections.Counter(
+        streams["e1"]
+    )
+
+
+def test_shards_skip_empty_documents(spark, tmp_path):
+    """Zero-token documents occupy no stream positions: offsets stay
+    dense and the stream equals the replay with empty docs dropped."""
+    from pyspark.sql import functions as F
+
+    rows = _corpus(20)
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.array().cast("array<long>"),
+        )
+        .otherwise(
+            F.transform(F.split("text", " "), lambda w: hash60(w))
+        )
+        .alias("toks"),
+    )
+    out = str(tmp_path / "shards")
+    os.makedirs(out)
+    write_training_corpus(df, out, SEED, shard_tokens=S).collect()
+    want = _replay_stream(
+        [(i, t) for i, t in rows if i % 4 != 0]
+    )
+    assert _read_all(out)[0] == want
+
+
+def test_shards_handle_documents_longer_than_a_shard(spark, tmp_path):
+    """A document longer than shard_tokens spans multiple shards (the
+    GPT concatenation convention) — positions stay dense across its
+    boundary crossings."""
+    rows = [(0, " ".join(f"a{j}" for j in range(300))),
+            (1, "b0 b1 b2"),
+            (2, " ".join(f"c{j}" for j in range(100)))]
+    out = str(tmp_path / "shards")
+    os.makedirs(out)
+    man = write_training_corpus(
+        _doc_tokens(spark, rows), out, SEED, shard_tokens=S
+    ).collect()
+    assert _read_all(out)[0] == _replay_stream(rows)
+    assert sum(r.n_tokens for r in man) == 403
+
+
+@pytest.mark.parametrize("hyp_seed", [0, 1])
+def test_shards_fuzz_random_doc_lengths(spark, tmp_path, hyp_seed):
+    """Randomized doc-length mix (empty, tiny, multi-shard) against
+    the hashlib replay."""
+    import random
+
+    rng = random.Random(hyp_seed)
+    rows = []
+    for i in range(rng.randint(5, 40)):
+        n = rng.choice([0, 1, 3, rng.randint(2, 200)])
+        rows.append((i, " ".join(f"t{i}_{j}" for j in range(n))))
+    nonempty = [(i, t) for i, t in rows if t]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        F.expr(
+            "transform(filter(split(text, ' '), w -> w != ''), "
+            "w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT))"
+        ).alias("toks"),
+    )
+    out = str(tmp_path / f"shards{hyp_seed}")
+    os.makedirs(out)
+    write_training_corpus(df, out, SEED, shard_tokens=S).collect()
+    assert _read_all(out)[0] == _replay_stream(nonempty)

@@ -156,6 +156,54 @@ def write_token_shards(
     )
 
 
+def read_token_shards(spark, src_dir: str,
+                      shard_tokens: int = SHARD_TOKENS) -> "DataFrame":
+    """The CONSUME side: distributed scan of a shard directory back to
+    (gpos, tok) — one task per ``shard_<id>.npy``, executor-side header
+    parse + decode through the engine's own npy reader (no numpy I/O
+    on the driver), global positions rebuilt arithmetically from the
+    shard id in the file name.  ``read(write(x))`` equals the seeded
+    token stream exactly (pinned in tests/test_shards.py)."""
+    import glob
+
+    files = sorted(
+        glob.glob(os.path.join(src_dir, "shard_*.npy"))
+    )
+    if not files:
+        raise ValueError(f"no shard_*.npy files under {src_dir!r}")
+    sc = spark.sparkContext
+    fdf = spark.createDataFrame(
+        [(p,) for p in files], "path string"
+    ).repartition(max(1, min(len(files), sc.defaultParallelism * 2)))
+
+    def _scan(it):
+        import numpy as np
+        import pandas as pd
+
+        from wrf_to_geodataframe_spark.sources.npy import read_npy
+
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                name = os.path.basename(row.path)
+                sid = int(name[len("shard_"):-len(".npy")])
+                arr = read_npy(row.path)
+                if arr.ndim != 1:
+                    raise ValueError(
+                        f"{name}: token shards are 1-D, got {arr.shape}"
+                    )
+                base = sid * shard_tokens
+                yield pd.DataFrame(
+                    {
+                        "gpos": np.arange(
+                            base, base + arr.shape[0], dtype="int64"
+                        ),
+                        "tok": arr.astype("int64"),
+                    }
+                )
+
+    return fdf.mapInPandas(_scan, "gpos long, tok long")
+
+
 def write_training_corpus(
     doc_tokens: DataFrame,
     out_dir: str,
