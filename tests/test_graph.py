@@ -315,3 +315,35 @@ def test_pagerank_dangling_no_sinks_equals_leak_variant(spark):
     }
     assert {r.node: r.pr_q for r in got} == leak
     assert all(r.pr_q == 1_000_000_000 and r.delta_q == 0 for r in got)
+
+
+def test_pagerank_dangling_tol_stops_early_at_fixed_point(spark):
+    """tol_q makes iters a ceiling: a uniform cycle is an exact fixed
+    point after round 1 (delta 0), so the loop must stop there — and
+    the early-stopped result equals the full unroll exactly."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.operators.graph import (
+        pagerank_dangling_integer,
+    )
+
+    n = 20
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    edges = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")
+    )
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    early = pagerank_dangling_integer(
+        nodes, edges, iters=50, tol_q=0
+    ).collect()
+    early_jobs = len(tracker.getJobIdsForGroup(None) or []) - before
+    full = pagerank_dangling_integer(nodes, edges, iters=50).collect()
+    full_jobs = (
+        len(tracker.getJobIdsForGroup(None) or []) - before - early_jobs
+    )
+    assert sorted(map(tuple, early)) == sorted(map(tuple, full))
+    assert all(r.pr_q == 1_000_000_000 and r.delta_q == 0 for r in early)
+    # 50 fixed rounds run ~50 checkpoint jobs; tol stops after ~2
+    assert early_jobs < full_jobs / 3, (early_jobs, full_jobs)

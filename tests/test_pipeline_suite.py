@@ -1733,3 +1733,57 @@ def test_curate_v3_optional_nb_stage_composes(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="BPE training corpus"):
         pipeline_curate_v3(spark, lq_dir, nb_filter=True)
+
+
+def test_bloom_incremental_no_false_negatives_and_visible_fps(
+    spark, tmp_path
+):
+    """Bloom screening guarantees: (a) EVERY true cross-snapshot
+    duplicate is flagged (no false negatives, by construction of the
+    probe arithmetic), (b) false positives appear explicitly as
+    (bloom_hit, not is_dup) rows and their rate collapses with filter
+    headroom, (c) is_dup implies bloom_hit."""
+    import os as _os
+
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        dedup_bloom_incremental,
+    )
+
+    n = 3600  # big enough to load the demo-sized filter visibly
+    rows = [
+        (i, f"doc {i} " + " ".join(f"w{i}_{j}" for j in range(6)))
+        for i in range(n)
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(d, "documents.parquet"))
+
+    out = {r.doc_id: r for r in dedup_bloom_incremental(spark, d).collect()}
+    new_ids = [i for i in range(n) if i % 3 == 0]
+    assert sorted(out) == new_ids
+    planted = [i for i in new_ids if i % 9 == 0]
+    for i in planted:  # true dups: never missed
+        assert out[i].bloom_hit and out[i].is_dup, i
+    for i in new_ids:
+        if out[i].is_dup:
+            assert out[i].bloom_hit, i  # is_dup => bloom_hit
+        assert out[i].is_dup == (i % 9 == 0), i  # exact verify is exact
+    fps = [i for i in new_ids if out[i].bloom_hit and not out[i].is_dup]
+    # ~2.4k old keys x 5 probes on 16384 bits -> a visible but small
+    # fp tail; the exact join caught every one of them
+    assert 0 < len(fps) < len(new_ids) // 2, len(fps)
+
+
+def test_bloom_plan_broadcasts_filter_and_prefilters_exact_join(spark):
+    """Plan pin: the word table joins by BROADCAST (the filter is
+    fixed-size no matter the corpus) and no cartesian appears."""
+    from wrf_to_geodataframe_spark.suite.pipeline import QUERIES
+
+    df = QUERIES["dedup_bloom_incremental"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

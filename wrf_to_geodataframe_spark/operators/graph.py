@@ -317,6 +317,7 @@ def pagerank_dangling_integer(
     node_col: str = "node",
     src_col: str = "src",
     dst_col: str = "dst",
+    tol_q: int | None = None,
 ) -> DataFrame:
     """PageRank with DANGLING-MASS REDISTRIBUTION — the standard
     Google-matrix semantics (sinks spread their rank uniformly over
@@ -358,7 +359,15 @@ def pagerank_dangling_integer(
     aggregate, same value on every row (the dedup_cluster_cc
     unmerged-count pattern).  Scale shape per iteration: the same
     three uniform-key shuffles as pagerank_integer plus one 1-row
-    aggregate; nothing data-sized touches the driver."""
+    aggregate; nothing data-sized touches the driver.
+
+    ``tol_q`` (lattice units) makes ``iters`` a CEILING instead of a
+    fixed count: after each round the max |Δpr| (a bounded 1-row
+    collect over the two checkpointed frames) is compared against
+    tol_q and the loop stops early once converged — the production
+    power-iteration contract.  The returned delta_q is then the final
+    round's true delta either way.  None (the default, and what the
+    oracle gate uses) keeps the exact fixed unroll."""
     from wrf_to_geodataframe_spark.session import track_persist
 
     if iters < 1:
@@ -416,6 +425,18 @@ def pagerank_dangling_integer(
             .localCheckpoint()
         )
         frames.append(pr)
+        if tol_q is not None:
+            d = (
+                frames[-1].alias("a")
+                .join(frames[-2].alias("b"), "node")
+                .agg(
+                    F.max(F.abs(F.col("a.pr_q") - F.col("b.pr_q")))
+                    .alias("d")
+                )
+                .first()["d"]
+            )
+            if d is not None and d <= tol_q:
+                break
     # checkpointed blocks for rounds the delta no longer needs; the
     # data is never referenced again, so dropping it is safe even
     # though local checkpoints cannot be recomputed

@@ -1334,6 +1334,161 @@ HAVING CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE)
 # Incremental (cross-snapshot) dedup: new corpus vs already-trained corpus
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental membership (space-bounded exact-dup prefilter)
+
+_BLOOM_BITS = 1 << 14  # 16384 bits = 512 32-bit words (demo-sized; see doc)
+_BLOOM_K = 5  # probes per key
+
+
+def _bloom_positions(key, k: int = _BLOOM_K, m: int = _BLOOM_BITS):
+    """The k md5-derived bit positions of a content key — identical
+    arithmetic on both engines (hash60 of 'key:i')."""
+    return [
+        hash60(F.concat(key, F.lit(f":{i}"))) % m for i in range(k)
+    ]
+
+
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPACE-BOUNDED incremental exact-dup screening — the Bloom-filter
+    sidecar shape: at 100 TB the trained corpus's content-key set is
+    itself terabytes, but a Bloom filter over it is FIXED-SIZE, so the
+    new crawl can be screened with a broadcast join against a few MB
+    of bits, and only the (tiny) candidate set ever reaches the exact
+    key join.  No false negatives by construction — every true
+    duplicate is bloom_hit — and false positives are explicit in the
+    output as (bloom_hit=true, is_dup=false) rows, never silent drops.
+
+    Build: the old split's keys (md5 content, doc_id % 3 != 0) each
+    set _BLOOM_K md5-derived bits in an _BLOOM_BITS-bit filter,
+    materialized as (word_idx, 32-bit word) rows via one partial-agg
+    ``bit_or`` groupBy — at ANY corpus size the filter stays 512 rows
+    here (production sizes m ~ 1.44 * n * log2(1/fp); the demo m is
+    deliberately small so the false-positive arm is EXERCISED: ~11%
+    fp at sf0.1's ~3.3k old keys, ~0 at sf0.001 — the gate hashes all
+    three regimes).  Probe: each new-split doc's k probe positions
+    broadcast-join the word table; bloom_hit = every probed bit set.
+    Verify: ONLY bloom candidates enter the exact key semi join
+    against the old keys.  Planted dups (doc_id % 9 in {0,1} share a
+    content key across the split boundary) make is_dup non-trivial at
+    every SF.
+
+    Output (doc_id, bloom_hit, is_dup) for the new split.  All
+    arithmetic integral/boolean -> the oracle replays it bit-for-bit.
+
+    Oracle-independence class A-minus: the SQL recomputes the same
+    bit arithmetic through DuckDB's own bit_or/shift machinery; the
+    no-false-negative guarantee and fp-rate behavior are additionally
+    property-tested in tests/test_pipeline_suite.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.when(
+        F.col("doc_id") % 9 <= 1,
+        F.md5(F.concat(F.lit("shared:"),
+                       F.expr("CAST(doc_id div 9 AS STRING)"))),
+    ).otherwise(F.md5("text"))
+    keyed = docs.select("doc_id", key.alias("key"))
+    old = keyed.filter(F.col("doc_id") % 3 != 0)
+    new = keyed.filter(F.col("doc_id") % 3 == 0)
+
+    pos = old.select(
+        F.explode(F.array(*_bloom_positions(F.col("key")))).alias("pos")
+    )
+    words = (
+        pos.groupBy(F.expr("pos div 32").alias("widx"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(pos % 32 AS INT)))"
+            ).alias("w")
+        )
+    )
+    probes = new.select(
+        "doc_id", "key",
+        F.explode(F.array(*_bloom_positions(F.col("key")))).alias("pos"),
+    )
+    hit = (
+        probes.join(F.broadcast(words), F.expr("pos div 32") == F.col("widx"),
+                    "left")
+        .groupBy("doc_id", "key")
+        .agg(
+            (
+                F.min(
+                    F.when(
+                        F.expr(
+                            "w IS NOT NULL AND (w & shiftleft("
+                            "CAST(1 AS BIGINT), CAST(pos % 32 AS INT)"
+                            ")) != 0"
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+                == 1
+            ).alias("bloom_hit")
+        )
+    )
+    matched = (
+        hit.filter(F.col("bloom_hit"))
+        .join(old.select("key").distinct(), "key", "left_semi")
+        .select("doc_id", F.lit(True).alias("_dup"))
+    )
+    return (
+        hit.join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+def _bloom_sql() -> str:
+    m, k = _BLOOM_BITS, _BLOOM_K
+    pos = (
+        "CAST(('0x' || substr(md5(key || ':' || i), 1, 15)) AS BIGINT)"
+        f" % {m}"
+    )
+    return f"""
+WITH keyed AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 9 <= 1
+                THEN md5('shared:' || CAST(doc_id // 9 AS VARCHAR))
+                ELSE md5(text) END AS key
+    FROM documents
+),
+old AS (SELECT * FROM keyed WHERE doc_id % 3 <> 0),
+new AS (SELECT * FROM keyed WHERE doc_id % 3 = 0),
+oldpos AS (
+    SELECT {pos} AS pos
+    FROM old, generate_series(0, {k - 1}) AS t(i)
+),
+words AS (
+    SELECT pos // 32 AS widx,
+           bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS w
+    FROM oldpos GROUP BY 1
+),
+probes AS (
+    SELECT doc_id, key, {pos} AS pos
+    FROM new, generate_series(0, {k - 1}) AS t(i)
+),
+hit AS (
+    SELECT doc_id, key,
+           min(CASE WHEN w IS NOT NULL
+                     AND (w & (CAST(1 AS BIGINT)
+                               << CAST(pos % 32 AS INT))) <> 0
+                    THEN 1 ELSE 0 END) = 1 AS bloom_hit
+    FROM probes LEFT JOIN words ON probes.pos // 32 = words.widx
+    GROUP BY 1, 2
+)
+SELECT h.doc_id, h.bloom_hit,
+       (h.bloom_hit AND EXISTS (
+            SELECT 1 FROM old o WHERE o.key = h.key)) AS is_dup
+FROM hit h
+"""
+
+
+_BLOOM_SQL = _bloom_sql()
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup — the snapshot-over-snapshot shape every
     production pretraining pipeline needs: a NEW crawl must be deduped
@@ -5664,6 +5819,7 @@ QUERIES = {
     "train_shard_manifest": train_shard_manifest,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_incremental": dedup_incremental,
+    "dedup_bloom_incremental": dedup_bloom_incremental,
     "bpe_train": bpe_train,
     "bpe_encode": bpe_encode,
     "pipeline_curate_v3": pipeline_curate_v3,
@@ -5723,6 +5879,7 @@ ORACLE = {
     "train_shard_manifest": _TRAIN_SHARD_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_incremental": _INCREMENTAL_SQL,
+    "dedup_bloom_incremental": _BLOOM_SQL,
     "bpe_train": _bpe_sql(_BPE_MERGES),
     "bpe_encode": _bpe_encode_sql(_BPE_MERGES),
     "pipeline_curate_v3": _curate_v3_sql(),

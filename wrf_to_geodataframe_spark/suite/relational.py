@@ -186,10 +186,19 @@ def o1_sort_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     is assembled from (a) a per-y_idx local rank (window PARTITIONED
     by the leading sort key — parallel, each group one grid row) and
     (b) the cumulative count of cells in preceding y rows, a window
-    over the per-y COUNTS frame only (bounded by the grid height, the
-    p3_time_slice days-table argument) broadcast back.  pos =
+    over the per-y COUNTS frame only, broadcast back.  pos =
     offset(y) + local_rank(x within y) — identical to the global
-    row_number, no single-task stage; the zipWithIndex shape."""
+    row_number, no single-task stage; the zipWithIndex shape.
+
+    Boundedness contract for (b): the offsets frame is AXIS-sized
+    (one row per distinct y), the same accepted class as
+    p3_time_slice's days table and tessellate's axis values — real
+    grids have ~1e3-1e4 rows per axis regardless of cell count.  If
+    an ordering key's distinct count ever grows with the data instead
+    (as a dense row-id would), the escalation path is the second
+    bucketing level operators/shards.seeded_token_offsets uses:
+    arithmetic div-bucketing of the key to a constant bucket count,
+    cumsum over the bucket totals only."""
     cells = grid_cells(spark, sf_dir)
     per_y = cells.groupBy("y_idx").agg(F.count(F.lit(1)).alias("cnt"))
     w_off = Window.orderBy("y_idx").rowsBetween(
