@@ -839,3 +839,64 @@ def test_stream_curate_to_chunks_matches_static_composition(
     )
     assert len(got2) > len(got1)  # the delta actually arrived
     assert got_all == want_all
+
+
+def test_stream_bloom_screen_matches_batch_probe(spark, tmp_path):
+    """The streaming Bloom screen flags exactly the keys the batch
+    probe flags: every key present in the trained set is bloom_hit
+    (no false negatives across the stream boundary), absent keys are
+    hit only at the filter's fp rate, and the stream-static broadcast
+    join needs no state."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.streaming.dedup import (
+        bloom_words_static,
+        stream_bloom_screen,
+    )
+
+    old = spark.range(400).select(
+        F.md5(F.concat(F.lit("old:"), F.col("id").cast("string"))).alias(
+            "key"
+        )
+    )
+    words = bloom_words_static(old)
+
+    # incoming stream: half known keys, half novel
+    incoming = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.md5(F.concat(F.lit("old:"), (F.col("id") / 2).cast("long").cast("string"))),
+        )
+        .otherwise(
+            F.md5(F.concat(F.lit("new:"), F.col("id").cast("string")))
+        )
+        .alias("key"),
+    )
+    src = str(tmp_path / "keys_stream")
+    incoming.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, key string").parquet(src)
+    out = stream_bloom_screen(stream, words)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bloom_screen")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {r.doc_id: r.bloom_hit for r in spark.table("bloom_screen").collect()}
+    want = {
+        r.doc_id: r.bloom_hit
+        for r in stream_bloom_screen(incoming, words).collect()
+    }
+    assert got == want and len(got) == 200
+    for i in range(0, 200, 2):
+        assert got[i], i  # known keys: never missed
+    novel_hits = sum(1 for i in range(1, 200, 2) if got[i])
+    assert novel_hits < 100  # fp tail only, not saturation

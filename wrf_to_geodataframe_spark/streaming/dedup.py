@@ -48,3 +48,73 @@ def content_keyed(stream: DataFrame, text_col: str = "props") -> DataFrame:
     (suite/pipeline.dedup_exact) so stream and batch dedup agree on
     identity."""
     return stream.withColumn("content_md5", F.md5(F.col(text_col)))
+
+
+def bloom_words_static(old_keys: DataFrame, key_col: str = "key"):
+    """Build the STATIC Bloom word table (widx, w) from the trained
+    corpus's content keys — the batch artifact a streaming screen
+    broadcasts.  Identical bit arithmetic to the batch gate
+    (suite/pipeline.dedup_bloom_incremental)."""
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        _bloom_positions,
+    )
+
+    pos = old_keys.select(
+        F.explode(
+            F.array(*_bloom_positions(F.col(key_col)))
+        ).alias("pos")
+    )
+    return pos.groupBy(F.expr("pos div 32").alias("widx")).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)))"
+        ).alias("w")
+    )
+
+
+def stream_bloom_screen(
+    stream: DataFrame, words: DataFrame, key_col: str = "key"
+) -> DataFrame:
+    """Streaming Bloom membership screen — the ingest-time mirror of
+    ``dedup_bloom_incremental``'s probe side: each arriving document's
+    k probe positions stream-static broadcast-join the fixed-size word
+    table; ``bloom_hit`` marks keys POSSIBLY in the trained corpus
+    (route to the exact verifier), everything else is definitively
+    new.  Fully STATELESS (explode + broadcast join + per-doc
+    aggregate), so it composes under any downstream stateful operator
+    — the only state a full streaming dedup chain needs remains the
+    exact stage's.
+
+    Streaming caveat: the per-doc aggregate makes this an UPDATE/
+    COMPLETE-mode query on its own; compose it before a stateful sink
+    or use foreachBatch for append semantics.  Equivalence with the
+    batch probe is pinned in tests/test_streaming.py."""
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        _bloom_positions,
+    )
+
+    probes = stream.withColumn(
+        "pos", F.explode(F.array(*_bloom_positions(F.col(key_col))))
+    )
+    return (
+        probes.join(
+            F.broadcast(words),
+            F.expr("pos div 32") == F.col("widx"),
+            "left",
+        )
+        .groupBy(*[c for c in stream.columns])
+        .agg(
+            (
+                F.min(
+                    F.when(
+                        F.expr(
+                            "w IS NOT NULL AND (w & shiftleft("
+                            "CAST(1 AS BIGINT), CAST(pos % 32 AS INT)"
+                            ")) != 0"
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+                == 1
+            ).alias("bloom_hit")
+        )
+    )
