@@ -741,3 +741,32 @@ def test_o1_has_no_single_partition_window_over_cells(spark):
         # "Window [exprs], [partition], [order]" — the unpartitioned
         # single-task form prints only two ("[exprs], [order]")
         assert ln.count("], [") >= 2, ln
+
+
+def test_global_plan_invariants_all_queries(spark):
+    """The piecemeal no-cartesian pins, swept across EVERY queries()
+    entry: no plan anywhere may contain a CartesianProduct (banded/
+    bucketed equi joins only — 1-row broadcast crossJoins plan as
+    BroadcastNestedLoopJoin and are allowed) or a BatchEvalPython node
+    (row-at-a-time Python UDFs; Arrow pandas kernels plan as
+    ArrowEvalPython / MapInPandas and are allowed).  Eager builders
+    are skipped here — their own pins cover them and building them
+    runs real jobs."""
+    from wrf_to_geodataframe_spark.suite import all_queries
+
+    eager = {
+        "g1_auto_dispatch", "dedup_cluster_cc", "bpe_train",
+        "bpe_encode", "pipeline_curate_v3", "s1_virtual_dataset",
+        "s1_virtual_mosaic", "s1_virtual_time", "s4_geoparquet_ingest",
+        "pca_project_variance", "graph_pagerank_dangling",
+    }
+    bad = []
+    for name, fn in all_queries().items():
+        if name in eager:
+            continue
+        plan = _plan(fn(spark, SF))
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            bad.append((name, "BatchEvalPython"))
+    assert not bad, bad
