@@ -1,0 +1,103 @@
+"""Vertical-coordinate operators — the wrf-python post-processing
+staples the reference's users run before anything spatial: DESTAGGER
+(Arakawa-C staggered winds onto mass points) and INTERPLEVEL (model
+levels onto a constant pressure surface).
+
+The reference itself stops at 2-D surface fields (Tmin in
+wrf_voronoi.py), but every WRF workflow reaches these two within the
+first session (`wrf.destagger`, `wrf.interplevel`); re-expressed here
+as pure DataFrame window arithmetic so they run at archive scale:
+
+- **destagger**: the staggered dimension's adjacent-point mean,
+  ``0.5 * (v_i + v_{i+1})`` — one ``lead`` window PARTITIONED by all
+  other dims (each partition is one pencil through the grid, length =
+  the staggered axis — thousands of parallel groups, never a global
+  sort).
+- **interplevel**: per atmospheric column, find the model-level pair
+  bracketing the target pressure and interpolate linearly — one
+  ``lead`` window partitioned by the column key (length = #levels,
+  ~50), then a filter keeping the unique bracketing row.  Columns
+  where the target sits below ground / above top yield NULL (the
+  wrf-python convention), via a left join back onto the column set.
+
+Hash-exactness note: the interpolation ``f1 + (f2-f1)*(p1-pt)/
+(p1-p2)`` is +,-,*,/ on doubles only — IEEE-exact-rounded ops that
+Spark and DuckDB evaluate bit-identically when the expression tree
+matches (the suite's per-row float rule; only libm transcendentals
+drift).  No quantization needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def destagger(
+    df: DataFrame,
+    stag_col: str,
+    value_col: str,
+    group_cols: list[str],
+    out_col: str | None = None,
+) -> DataFrame:
+    """Adjacent-point mean along ``stag_col`` within each
+    ``group_cols`` pencil: output rows sit at the N-1 mass points of
+    an N-point staggered axis (the last staggered point has no right
+    neighbor and is dropped, matching ``wrf.destagger``)."""
+    out_col = out_col or f"{value_col}_m"
+    w = Window.partitionBy(*group_cols).orderBy(stag_col)
+    nxt = F.lead(value_col).over(w)
+    return (
+        df.withColumn("_nxt", nxt)
+        .filter(F.col("_nxt").isNotNull())
+        .select(
+            *group_cols,
+            F.col(stag_col),
+            ((F.col(value_col) + F.col("_nxt")) / 2.0).alias(out_col),
+        )
+    )
+
+
+def interplevel(
+    df: DataFrame,
+    level_col: str,
+    value_col: str,
+    target: float,
+    col_keys: list[str],
+    out_col: str | None = None,
+) -> DataFrame:
+    """Interpolate ``value_col`` onto the constant surface
+    ``level_col == target`` within each ``col_keys`` column.  Levels
+    must be strictly monotone DECREASING with height per column
+    (pressure); the bracketing pair p1 >= target >= p2 is found with
+    one lead window ordered bottom-up, and the output carries one row
+    per column — NULL where the target is out of the column's range
+    (below ground / above model top)."""
+    out_col = out_col or f"{value_col}_interp"
+    w = Window.partitionBy(*col_keys).orderBy(F.col(level_col).desc())
+    cand = (
+        df.withColumn("_p2", F.lead(level_col).over(w))
+        .withColumn("_f2", F.lead(value_col).over(w))
+        .filter(
+            F.col("_p2").isNotNull()
+            & (F.col(level_col) >= F.lit(float(target)))
+            & (F.col("_p2") <= F.lit(float(target)))
+        )
+        .select(
+            *col_keys,
+            (
+                F.col(value_col)
+                + (F.col("_f2") - F.col(value_col))
+                * (F.col(level_col) - F.lit(float(target)))
+                / (F.col(level_col) - F.col("_p2"))
+            ).alias(out_col),
+        )
+        # a target exactly ON an interior level satisfies BOTH its
+        # bracketing pairs; the two interpolants are identical (factor
+        # 1 vs 0 -> f at that level), so a per-column min dedupes
+        # without changing any value
+        .groupBy(*col_keys)
+        .agg(F.min(out_col).alias(out_col))
+    )
+    cols = df.select(*col_keys).distinct()
+    return cols.join(cand, col_keys, "left")

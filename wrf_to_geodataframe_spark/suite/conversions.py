@@ -1290,7 +1290,129 @@ FROM parent
 """
 
 
+# ---------------------------------------------------------------------------
+# Vertical operators (operators/vertical.py): the wrf-python staples
+
+_VL_K = 10  # model levels per column
+
+
+def v1_destagger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESTAGGER (wrf.destagger): an Arakawa-C staggered U field (one
+    point per cell EDGE, GRID_W+1 per grid row) onto mass points via
+    the adjacent-point mean — one lead window per grid row, thousands
+    of parallel pencils, no global sort (operators/vertical.py).  The
+    synthetic staggered values are exact rationals ((xs^2*7 + y*3)/4),
+    so the mean is IEEE-bit-exact on both engines.
+
+    Oracle-independence: the SQL is the CLOSED FORM of the mean at
+    each mass point — no window search — so the engine's lead-window
+    mechanics are checked against independent arithmetic."""
+    from wrf_to_geodataframe_spark.operators.vertical import destagger
+
+    events = load_table(spark, sf_dir, "events")
+    ys = events.select(
+        F.floor(F.col("user_id") / GRID_W).alias("y_idx")
+    ).distinct()
+    stag = ys.select(
+        "y_idx", F.explode(F.sequence(F.lit(0), F.lit(GRID_W))).alias("xs")
+    ).select(
+        "y_idx", "xs",
+        (
+            (F.col("xs") * F.col("xs") * 7.0 + F.col("y_idx") * 3.0) / 4.0
+        ).alias("u"),
+    )
+    return destagger(stag, "xs", "u", ["y_idx"]).select(
+        "y_idx", F.col("xs").cast("long").alias("xs"), "u_m"
+    )
+
+
+_V1_SQL = f"""
+WITH ys AS (
+    SELECT DISTINCT CAST(floor(user_id / {GRID_W}.0) AS BIGINT) AS y_idx
+    FROM events
+)
+SELECT y_idx, CAST(xs AS BIGINT) AS xs,
+       ((xs * xs * 7.0 + y_idx * 3.0) / 4.0
+        + ((xs + 1) * (xs + 1) * 7.0 + y_idx * 3.0) / 4.0) / 2.0 AS u_m
+FROM ys, generate_series(0, {GRID_W - 1}) AS t(xs)
+"""
+
+
+_VL_TARGET = 995.0  # below some columns' bottom level -> NULL arm live
+
+
+def v2_interplevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERPLEVEL (wrf.interplevel): interpolate a model-level field
+    onto the constant pressure surface p = 995 hPa.  Each grid cell
+    gets a 10-level synthetic column p(k) = 1000 - 90k - (x+y)%7
+    (strictly decreasing, column-dependent surface pressure) and
+    f(k) = (k^2 + 3x + 5y)/8; the operator finds the bracketing level
+    pair with one lead window per column and interpolates linearly —
+    columns whose surface sits above the target ((x+y)%7 == 6, i.e.
+    p(0) = 994 < 995) return NULL, the wrf-python below-ground
+    convention.  All arithmetic is exact-rounded double (+,-,*,/ on
+    integer-valued inputs), so no quantization is needed.
+
+    Oracle-independence: the SQL derives the bracketing pair in
+    CLOSED FORM (the target always falls between k=0 and k=1 when in
+    range) instead of replaying the window search — independent
+    arithmetic checking the search mechanics."""
+    from wrf_to_geodataframe_spark.operators.vertical import interplevel
+
+    cells = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        (F.col("user_id") % GRID_W).alias("x_idx"),
+        F.floor(F.col("user_id") / GRID_W).alias("y_idx"),
+    ).distinct()
+    lev = cells.select(
+        "user_id", "x_idx", "y_idx",
+        F.explode(F.sequence(F.lit(0), F.lit(_VL_K - 1))).alias("k"),
+    ).select(
+        "user_id",
+        (
+            F.lit(1000.0)
+            - F.lit(90.0) * F.col("k")
+            - ((F.col("x_idx") + F.col("y_idx")) % 7).cast("double")
+        ).alias("p"),
+        (
+            (
+                F.col("k") * F.col("k")
+                + F.col("x_idx") * 3.0
+                + F.col("y_idx") * 5.0
+            ) / 8.0
+        ).alias("f"),
+    )
+    return interplevel(lev, "p", "f", _VL_TARGET, ["user_id"]).select(
+        "user_id", F.col("f_interp").alias("f995")
+    )
+
+
+_V2_SQL = f"""
+WITH cells AS (
+    SELECT DISTINCT user_id,
+           user_id % {GRID_W} AS x_idx,
+           CAST(floor(user_id / {GRID_W}.0) AS BIGINT) AS y_idx
+    FROM events
+)
+SELECT user_id,
+       CASE WHEN (x_idx + y_idx) % 7 = 6 THEN NULL
+            ELSE
+              -- engine formula order: f1 + (f2-f1)*(p1-t)/(p1-p2)
+              ((0*0 + x_idx * 3.0 + y_idx * 5.0) / 8.0)
+              + (((1*1 + x_idx * 3.0 + y_idx * 5.0) / 8.0)
+                 - ((0*0 + x_idx * 3.0 + y_idx * 5.0) / 8.0))
+                * ((1000.0 - 90.0 * 0 - CAST((x_idx + y_idx) % 7 AS DOUBLE))
+                   - {_VL_TARGET!r})
+                / ((1000.0 - 90.0 * 0 - CAST((x_idx + y_idx) % 7 AS DOUBLE))
+                   - (1000.0 - 90.0 * 1 - CAST((x_idx + y_idx) % 7 AS DOUBLE)))
+       END AS f995
+FROM cells
+"""
+
+
 QUERIES = {
+    "v1_destagger": v1_destagger,
+    "v2_interplevel": v2_interplevel,
     "c1_grid_unnest": c1_grid_unnest,
     "c3_table_to_grid": c3_table_to_grid,
     "s1_netcdf_dir_ingest": s1_netcdf_dir_ingest,
@@ -1312,6 +1434,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "v1_destagger": _V1_SQL,
+    "v2_interplevel": _V2_SQL,
     "c1_grid_unnest": _C1_SQL,
     "c3_table_to_grid": _C3_SQL,
     "s1_netcdf_dir_ingest": _S1_SQL,
