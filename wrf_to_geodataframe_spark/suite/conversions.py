@@ -1410,7 +1410,113 @@ FROM cells
 """
 
 
+# ---------------------------------------------------------------------------
+# Meteorological diagnostics (functions/meteo.py): the getvar staples
+
+_M_TL1, _M_TL2, _M_SLON = 30.0, 60.0, 5.0
+
+
+def m1_met_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wrf-python `getvar` DIAGNOSTICS as one scan (functions/
+    meteo.py): temperature from theta (tk), relative humidity and
+    dewpoint (Bolton 1980), earth-rotated winds (uvmet with the LCC
+    cone constant), wind speed/direction, and hypsometric sea-level
+    pressure — each a codegen JVM expression over synthetic per-cell
+    surface fields.  Outputs rounded to 1e-6 (1e-4 for SLP's ~1e5 Pa
+    magnitude): cross-engine libm drift is ~1e-12 relative.
+
+    Oracle-independence class B: the SQL restates the formulas with
+    identical literals; the independent evidence is
+    tests/test_meteo.py (tk == theta at p0, rh == 100 at saturation,
+    td == t at saturation, uvmet preserves speed and is identity on
+    the standard longitude)."""
+    from wrf_to_geodataframe_spark.functions.meteo import (
+        dewpoint_k,
+        lcc_cone,
+        relative_humidity,
+        slp_hypsometric,
+        temperature_k,
+        uvmet,
+        wind_dir_met,
+        wind_speed,
+    )
+
+    cells = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        (F.col("user_id") % GRID_W).alias("x"),
+        F.floor(F.col("user_id") / GRID_W).alias("y"),
+    ).distinct()
+    d = cells.select(
+        "user_id",
+        (F.lit(290.0) + (F.col("x") % 5) + F.col("y") * 0.5).alias("theta"),
+        (F.lit(95000.0) + F.col("x") * 20.0 + F.col("y") * 10.0).alias("p"),
+        (F.lit(0.004) + 0.0001 * ((F.col("x") + F.col("y")) % 10)).alias("qv"),
+        (F.col("x") - 15.5).alias("u"),
+        (F.col("y") - 7.0).alias("v"),
+        (F.col("x") * 0.5 - 2.0).alias("lon"),
+        (F.lit(100.0) + F.col("y") * 3.0).alias("z"),
+    )
+    cone = lcc_cone(_M_TL1, _M_TL2)
+    tk = temperature_k(F.col("theta"), F.col("p"))
+    ue, ve = uvmet(F.col("u"), F.col("v"), F.col("lon"), _M_SLON, cone)
+    return d.select(
+        "user_id",
+        F.round(tk, 6).alias("tk"),
+        F.round(relative_humidity(tk, F.col("p"), F.col("qv")), 6).alias("rh"),
+        F.round(dewpoint_k(F.col("p"), F.col("qv")), 6).alias("td"),
+        F.round(wind_speed(F.col("u"), F.col("v")), 6).alias("ws"),
+        F.round(wind_dir_met(F.col("u"), F.col("v")), 6).alias("wdir"),
+        F.round(ue, 6).alias("ue"),
+        F.round(ve, 6).alias("ve"),
+        F.round(slp_hypsometric(F.col("p"), F.col("z"), tk), 4).alias("slp"),
+    )
+
+
+def _m1_sql() -> str:
+    from wrf_to_geodataframe_spark.functions.meteo import lcc_cone
+
+    cone = lcc_cone(_M_TL1, _M_TL2)
+    tk = "(theta * pow(p / 100000.0, 2.0/7.0))"
+    e = "((p / 100.0) * qv / (0.622 + qv))"
+    es = f"(6.112 * exp(17.67 * ({tk} - 273.15) / (({tk} - 273.15) + 243.5)))"
+    loge = f"ln({e} / 6.112)"
+    alpha = f"radians((lon - {_M_SLON!r}) * {cone!r})"
+    return f"""
+WITH cells AS (
+    SELECT DISTINCT user_id,
+           user_id % {GRID_W} AS x,
+           CAST(floor(user_id / {GRID_W}.0) AS BIGINT) AS y
+    FROM events
+), d AS (
+    SELECT user_id,
+           290.0 + (x % 5) + y * 0.5 AS theta,
+           95000.0 + x * 20.0 + y * 10.0 AS p,
+           0.004 + 0.0001 * ((x + y) % 10) AS qv,
+           x - 15.5 AS u,
+           y - 7.0 AS v,
+           x * 0.5 - 2.0 AS lon,
+           100.0 + y * 3.0 AS z
+    FROM cells
+)
+SELECT user_id,
+       round({tk}, 6) AS tk,
+       round(100.0 * {e} / {es}, 6) AS rh,
+       round(243.5 * {loge} / (17.67 - {loge}) + 273.15, 6) AS td,
+       round(sqrt(u * u + v * v), 6) AS ws,
+       round(((270.0 - degrees(atan2(v, u))) % 360.0 + 360.0) % 360.0, 6)
+           AS wdir,
+       round(v * sin({alpha}) + u * cos({alpha}), 6) AS ue,
+       round(v * cos({alpha}) - u * sin({alpha}), 6) AS ve,
+       round(p * exp(9.81 * z / (287.047 * {tk})), 4) AS slp
+FROM d
+"""
+
+
+_M1_SQL = _m1_sql()
+
+
 QUERIES = {
+    "m1_met_diagnostics": m1_met_diagnostics,
     "v1_destagger": v1_destagger,
     "v2_interplevel": v2_interplevel,
     "c1_grid_unnest": c1_grid_unnest,
@@ -1434,6 +1540,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "m1_met_diagnostics": _M1_SQL,
     "v1_destagger": _V1_SQL,
     "v2_interplevel": _V2_SQL,
     "c1_grid_unnest": _C1_SQL,
