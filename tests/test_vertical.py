@@ -127,3 +127,74 @@ def test_cloud_top_temperature_picks_highest_cloudy_level(spark):
     }
     assert got[0] == 250.0
     assert got[1] is None
+
+
+def test_wrf_postprocessing_end_to_end_from_netcdf(spark, tmp_path):
+    """The full post-processing flow a reference user runs, end to end
+    on a REAL NetCDF file through the engine's own scan: write a
+    (k, j, i) model-level THETA/P file with the classic writer, ingest
+    both variables with the distributed dir scan (k rides the t_idx
+    axis), derive air temperature with functions/meteo.temperature_k,
+    interpolate it onto 850 hPa per column, and match a pure-numpy
+    replay exactly."""
+    import os as _os
+
+    from wrf_to_geodataframe_spark.functions.meteo import temperature_k
+    from wrf_to_geodataframe_spark.operators.vertical import interplevel
+    from wrf_to_geodataframe_spark.sources.netcdf import (
+        read_netcdf_dir,
+        write_netcdf,
+    )
+
+    nk, nj, ni = 6, 4, 5
+    kk, jj, ii = np.meshgrid(
+        np.arange(nk), np.arange(nj), np.arange(ni), indexing="ij"
+    )
+    theta = 290.0 + jj + 0.5 * ii + 2.0 * kk
+    p = 100000.0 - 12000.0 * kk - 100.0 * ((ii + jj) % 3)
+    lat = 40.0 + np.arange(nj)[:, None] * 0.5 + np.zeros((nj, ni))
+    lon = -5.0 + np.arange(ni)[None, :] * 0.5 + np.zeros((nj, ni))
+    d = str(tmp_path / "arch")
+    _os.makedirs(d)
+    write_netcdf(
+        _os.path.join(d, "wrfout.nc"),
+        {"k": nk, "j": nj, "i": ni},
+        {
+            "THETA": {"dims": ["k", "j", "i"], "data": theta},
+            "P": {"dims": ["k", "j", "i"], "data": p},
+            "XLAT": {"dims": ["j", "i"], "data": lat},
+            "XLONG": {"dims": ["j", "i"], "data": lon},
+        },
+    )
+
+    th = read_netcdf_dir(spark, d, "THETA", "XLAT", "XLONG").select(
+        F.col("t_idx").alias("k"), "y_idx", "x_idx",
+        F.col("value").alias("theta"),
+    )
+    pr = read_netcdf_dir(spark, d, "P", "XLAT", "XLONG").select(
+        F.col("t_idx").alias("k"), "y_idx", "x_idx",
+        F.col("value").alias("p"),
+    )
+    lev = th.join(pr, ["k", "y_idx", "x_idx"]).select(
+        "y_idx", "x_idx", "p",
+        temperature_k(F.col("theta"), F.col("p")).alias("tk"),
+    )
+    target = 85000.0
+    got = {
+        (r.y_idx, r.x_idx): r.tk_interp
+        for r in interplevel(
+            lev, "p", "tk", target, ["y_idx", "x_idx"]
+        ).collect()
+    }
+    assert len(got) == nj * ni
+
+    tkf = theta * (p / 100000.0) ** (2.0 / 7.0)
+    for j in range(nj):
+        for i in range(ni):
+            pc, fc = p[:, j, i], tkf[:, j, i]
+            k2 = int(np.searchsorted(-pc, -target, side="left"))
+            k1 = k2 - 1
+            want = fc[k1] + (fc[k2] - fc[k1]) * (pc[k1] - target) / (
+                pc[k1] - pc[k2]
+            )
+            assert got[(j, i)] == pytest.approx(want, rel=1e-12), (j, i)
