@@ -334,15 +334,21 @@ def test_pagerank_dangling_tol_stops_early_at_fixed_point(spark):
     )
     sc = spark.sparkContext
     tracker = sc.statusTracker()
-    before = len(tracker.getJobIdsForGroup(None) or [])
+
+    def _max_job():
+        # job IDS are monotone; len() saturates at the UI's
+        # retained-jobs cap deep into a long test session
+        ids = tracker.getJobIdsForGroup(None) or []
+        return max(ids) if ids else 0
+
+    before = _max_job()
     early = pagerank_dangling_integer(
         nodes, edges, iters=50, tol_q=0
     ).collect()
-    early_jobs = len(tracker.getJobIdsForGroup(None) or []) - before
+    mid = _max_job()
+    early_jobs = mid - before
     full = pagerank_dangling_integer(nodes, edges, iters=50).collect()
-    full_jobs = (
-        len(tracker.getJobIdsForGroup(None) or []) - before - early_jobs
-    )
+    full_jobs = _max_job() - mid
     assert sorted(map(tuple, early)) == sorted(map(tuple, full))
     assert all(r.pr_q == 1_000_000_000 and r.delta_q == 0 for r in early)
     # 50 fixed rounds run ~50 checkpoint jobs; tol stops after ~2
