@@ -1570,3 +1570,25 @@ def test_ellipsoid_polygon_area_column_matches_float_twin(spark):
     for r in rows:
         want = ellipsoid_polygon_area_m2_float(*polys[r.i])
         assert abs(r.a - want) <= 1e-9 * want, (r.i, r.a, want)
+
+
+def test_ellipsoid_polygon_area_degenerate_rings(spark):
+    """Empty / sub-triangle vertex arrays measure zero area instead of
+    crashing on element_at(xs, 0) via sequence(0, -1)."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        ellipsoid_polygon_area_m2,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [], []), (1, [5.0], [50.0]), (2, [5.0, 6.0], [50.0, 51.0]),
+         (3, [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0])],
+        "i long, xs array<double>, ys array<double>",
+    )
+    got = {
+        r.i: r.a
+        for r in df.select(
+            "i", ellipsoid_polygon_area_m2(F.col("xs"), F.col("ys")).alias("a")
+        ).collect()
+    }
+    assert got[0] == 0.0 and got[1] == 0.0 and got[2] == 0.0
+    assert got[3] > 1e10  # the real 1-degree box still measures

@@ -198,3 +198,15 @@ def test_wrf_postprocessing_end_to_end_from_netcdf(spark, tmp_path):
                 pc[k1] - pc[k2]
             )
             assert got[(j, i)] == pytest.approx(want, rel=1e-12), (j, i)
+
+
+def test_destagger_emits_null_mass_point_for_missing_value(spark):
+    """A NULL staggered VALUE must yield a NULL mass point (wrf's
+    NaN), not silently drop the row — only the true end-of-pencil
+    (detected on the coordinate) is dropped."""
+    rows = [(0, 0, 1.0), (0, 1, None), (0, 2, 3.0), (0, 3, 5.0)]
+    df = spark.createDataFrame(rows, "g long, i long, u double")
+    got = {r.i: r.u_m for r in destagger(df, "i", "u", ["g"]).collect()}
+    assert set(got) == {0, 1, 2}  # 3 mass points from 4 staggered
+    assert got[0] is None and got[1] is None  # both touch the gap
+    assert got[2] == 4.0

@@ -940,13 +940,16 @@ def test_s3_range_file_unit(tmp_path, monkeypatch):
 
 
 def test_s3_endpoint_does_not_hijack_aws_sdk_var(tmp_path, monkeypatch):
-    """AWS_ENDPOINT_URL belongs to the AWS SDK: with fsspec INSTALLED
-    it must flow to s3fs (signed SigV4) untouched — the stdlib
-    unsigned reader engages on that var only as the no-fsspec
-    backstop.  The library-owned WRF_S3_ENDPOINT opts into the stdlib
-    reader regardless.  Pins the ADVICE r11 regression: environments
-    pointing AWS_ENDPOINT_URL at an authenticated MinIO/LocalStack
-    gateway must not silently lose their signatures."""
+    """AWS_ENDPOINT_URL belongs to the AWS SDK: with s3fs INSTALLED it
+    must flow to s3fs (signed SigV4) untouched — the stdlib unsigned
+    reader engages on that var only as the no-s3fs backstop.  The
+    probe is for s3fs SPECIFICALLY: fsspec alone (a ubiquitous
+    transitive dep) cannot serve s3://, so gating on it would break
+    previously-working unsigned reads.  The library-owned
+    WRF_S3_ENDPOINT opts into the stdlib reader regardless.  Pins the
+    ADVICE r11 regression: environments pointing AWS_ENDPOINT_URL at
+    an authenticated MinIO/LocalStack gateway must not silently lose
+    their signatures."""
     import importlib.machinery
     import sys
     import types
@@ -956,32 +959,44 @@ def test_s3_endpoint_does_not_hijack_aws_sdk_var(tmp_path, monkeypatch):
     monkeypatch.setenv(fsio._AWS_ENDPOINT_ENV, "http://aws-sdk-endpoint")
     monkeypatch.delenv(fsio.S3_ENDPOINT_ENV, raising=False)
 
-    # fake an installed fsspec whose open() records the call
+    def _fake_module(name, **attrs):
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        return m
+
+    # fake an installed s3fs + an fsspec whose open() records the call
     calls = []
 
     class _FakeFile:
         def open(self):
             return self
 
-    fake = types.ModuleType("fsspec")
-    fake.__spec__ = importlib.machinery.ModuleSpec("fsspec", None)
-    fake.open = lambda path, mode: (calls.append(path), _FakeFile())[1]
-    monkeypatch.setitem(sys.modules, "fsspec", fake)
-    assert fsio._fsspec_available()
+    monkeypatch.setitem(sys.modules, "s3fs", _fake_module("s3fs"))
+    monkeypatch.setitem(
+        sys.modules, "fsspec",
+        _fake_module(
+            "fsspec",
+            open=lambda path, mode: (calls.append(path), _FakeFile())[1],
+        ),
+    )
+    assert fsio._s3fs_available()
     assert fsio._s3_endpoint() is None  # AWS var NOT honored
     fsio.open_binary("s3://private-bucket/key")
     assert calls == ["s3://private-bucket/key"], (
-        "fsspec-present read did not route through fsspec"
+        "s3fs-present read did not route through fsspec"
     )
 
-    # the library-owned var opts in even with fsspec present
+    # the library-owned var opts in even with s3fs present
     monkeypatch.setenv(fsio.S3_ENDPOINT_ENV, "http://wrf-endpoint")
     assert fsio._s3_endpoint() == "http://wrf-endpoint"
 
-    # no fsspec at all -> AWS var is the documented backstop
+    # fsspec WITHOUT s3fs: the AWS var must still engage the stdlib
+    # reader (before the fix this raised ImportError through fsspec)
     monkeypatch.delenv(fsio.S3_ENDPOINT_ENV)
-    monkeypatch.delitem(sys.modules, "fsspec")
-    monkeypatch.setattr(fsio, "_fsspec_available", lambda: False)
+    monkeypatch.delitem(sys.modules, "s3fs")
+    assert not fsio._s3fs_available()
     assert fsio._s3_endpoint() == "http://aws-sdk-endpoint"
 
 

@@ -1859,7 +1859,13 @@ def ellipsoid_polygon_area_m2(
         lambda acc, i: acc
         + (lam_of(nxt(i)) - lam_of(i)) * (q_of(i) + q_of(nxt(i))),
     )
-    return F.lit(a * a / 4.0) * F.abs(s)
+    # degenerate rings (< 3 vertices) have zero area by definition —
+    # and without the guard n = 0 would build sequence(0, -1) =
+    # [0, -1] and crash on element_at(xs, 0) (CASE branches evaluate
+    # lazily, so the guarded branch never runs for them)
+    return F.when(n >= 3, F.lit(a * a / 4.0) * F.abs(s)).otherwise(
+        F.lit(0.0)
+    )
 
 
 def ellipsoid_polygon_area_m2_float(

@@ -46,10 +46,13 @@ def destagger(
     neighbor and is dropped, matching ``wrf.destagger``)."""
     out_col = out_col or f"{value_col}_m"
     w = Window.partitionBy(*group_cols).orderBy(stag_col)
-    nxt = F.lead(value_col).over(w)
+    # end-of-pencil is detected on the COORDINATE (never null), not
+    # the value: a missing VALUE at i+1 must yield a NULL mass point
+    # at i (wrf.destagger's NaN), not silently drop the row
     return (
-        df.withColumn("_nxt", nxt)
-        .filter(F.col("_nxt").isNotNull())
+        df.withColumn("_nxt", F.lead(value_col).over(w))
+        .withColumn("_nxt_s", F.lead(stag_col).over(w))
+        .filter(F.col("_nxt_s").isNotNull())
         .select(
             *group_cols,
             F.col(stag_col),
@@ -85,6 +88,7 @@ def interplevel(
         )
         .select(
             *col_keys,
+            F.col(level_col).alias("_p1"),
             (
                 F.col(value_col)
                 + (F.col("_f2") - F.col(value_col))
@@ -93,11 +97,12 @@ def interplevel(
             ).alias(out_col),
         )
         # a target exactly ON an interior level satisfies BOTH its
-        # bracketing pairs; the two interpolants are identical (factor
-        # 1 vs 0 -> f at that level), so a per-column min dedupes
-        # without changing any value
+        # bracketing pairs; keep the pair whose LOWER bound equals the
+        # target (smallest p1 -> interpolation factor exactly 0 -> the
+        # level's own value bit-for-bit; the factor-1 row's
+        # f1 + (f2-f1)*1.0 can be a rounding step off)
         .groupBy(*col_keys)
-        .agg(F.min(out_col).alias(out_col))
+        .agg(F.min_by(out_col, "_p1").alias(out_col))
     )
     cols = df.select(*col_keys).distinct()
     return cols.join(cand, col_keys, "left")

@@ -151,11 +151,10 @@ def sf_path(sf_dir: str, table: str) -> str:
 # PageRank degree tables) that MUST stay cached until the caller's
 # action runs — the query builder cannot unpersist them eagerly.  In a
 # long multi-query session those entries would otherwise accumulate
-# until LRU eviction (ADVICE r11).  Every such persist registers here
-# (weakly — a frame the caller dropped unpersists itself at GC), and
-# ``release_persisted()`` frees whatever is still pinned.  bench.py
-# and the driver already call ``spark.catalog.clearCache()`` between
-# queries, which achieves the same thing session-wide; this is the
+# until LRU eviction (ADVICE r11).  Every such persist registers here,
+# and ``release_persisted()`` frees whatever is still pinned.
+# bench.py and the driver already call ``spark.catalog.clearCache()``
+# between queries, which frees the BLOCKS session-wide; this is the
 # surgical per-library API for sessions that also cache their OWN
 # frames and don't want a global clear.
 #
@@ -163,10 +162,13 @@ def sf_path(sf_dir: str, table: str) -> str:
 # intra-query intermediates go out of scope the moment the query
 # builder returns (only the JVM plan lives on in the result), so a
 # weak registry would lose the unpersist handle before anyone could
-# call it.  The registry holds tiny wrapper objects, not data, and
-# release_persisted() empties it.
+# call it.  The registry holds tiny wrapper objects, not data — and
+# so a session that only ever calls clearCache() doesn't pin JVM
+# Datasets forever, track_persist prunes no-longer-cached entries
+# once the registry passes a small threshold.
 
 _TRACKED_PERSISTS: list = []
+_PRUNE_AT = 64  # wrappers; pruning is one is_cached probe per entry
 
 
 def track_persist(df):
@@ -174,6 +176,17 @@ def track_persist(df):
     Idempotent: an already-cached frame is only registered."""
     if not df.is_cached:
         df.persist()
+    if len(_TRACKED_PERSISTS) >= _PRUNE_AT:
+        # entries whose blocks a clearCache() already dropped are dead
+        # weight (keeping them would pin JVM Datasets indefinitely)
+        alive = []
+        for d in _TRACKED_PERSISTS:
+            try:
+                if d.is_cached:
+                    alive.append(d)
+            except Exception:
+                pass  # session gone — drop the handle
+        _TRACKED_PERSISTS[:] = alive
     _TRACKED_PERSISTS.append(df)
     return df
 

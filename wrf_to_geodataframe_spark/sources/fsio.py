@@ -43,24 +43,27 @@ HTTP_TIMEOUT_S = 30.0
 #   2. the LIBRARY-OWNED ``WRF_S3_ENDPOINT`` env var (set it via
 #      ``spark.executorEnv.WRF_S3_ENDPOINT`` at cluster launch);
 #   3. the AWS SDK's ``AWS_ENDPOINT_URL`` env var, but ONLY when
-#      fsspec is NOT installed: that variable belongs to the AWS SDK,
+#      s3fs is NOT installed: that variable belongs to the AWS SDK,
 #      and an s3fs environment that sets it alongside credentials
 #      (MinIO/LocalStack with auth) expects SIGNED SigV4 reads —
 #      silently rerouting those onto the unsigned stdlib reader would
-#      turn working private-bucket reads into 401/403s.  With fsspec
-#      present, AWS_ENDPOINT_URL flows to s3fs untouched; opting into
+#      turn working private-bucket reads into 401/403s.  With s3fs
+#      present, AWS_ENDPOINT_URL flows to it untouched; opting into
 #      the stdlib reader anyway takes the library-owned var or the
-#      Spark property, both of which this library does own.
+#      Spark property, both of which this library does own.  The
+#      probe is for s3fs specifically — fsspec alone (a ubiquitous
+#      transitive dependency) cannot serve s3:// reads, so gating on
+#      it would turn a working unsigned read into an ImportError.
 S3_ENDPOINT_PROP = "wrf_to_geodataframe_spark.s3.endpoint"
 S3_ENDPOINT_ENV = "WRF_S3_ENDPOINT"
 _AWS_ENDPOINT_ENV = "AWS_ENDPOINT_URL"
 
 
-def _fsspec_available() -> bool:
+def _s3fs_available() -> bool:
     import importlib.util
 
     try:
-        return importlib.util.find_spec("fsspec") is not None
+        return importlib.util.find_spec("s3fs") is not None
     except Exception:
         return False
 
@@ -88,10 +91,10 @@ def _s3_endpoint() -> str | None:
     v = os.environ.get(S3_ENDPOINT_ENV)
     if v:
         return v
-    # AWS SDK var: honored only as a last resort when no fsspec exists
+    # AWS SDK var: honored only as a last resort when no s3fs exists
     # to do the signed read — see the resolution-order comment above.
     v = os.environ.get(_AWS_ENDPOINT_ENV)
-    if v and not _fsspec_available():
+    if v and not _s3fs_available():
         return v
     return None
 

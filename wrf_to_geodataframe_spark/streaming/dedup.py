@@ -53,68 +53,42 @@ def content_keyed(stream: DataFrame, text_col: str = "props") -> DataFrame:
 def bloom_words_static(old_keys: DataFrame, key_col: str = "key"):
     """Build the STATIC Bloom word table (widx, w) from the trained
     corpus's content keys — the batch artifact a streaming screen
-    broadcasts.  Identical bit arithmetic to the batch gate
-    (suite/pipeline.dedup_bloom_incremental)."""
+    broadcasts.  Delegates to the ONE shared implementation
+    (suite/pipeline.bloom_word_table), so the bit arithmetic cannot
+    drift from the batch gate."""
     from wrf_to_geodataframe_spark.suite.pipeline import (
-        _bloom_positions,
+        bloom_word_table,
     )
 
-    pos = old_keys.select(
-        F.explode(
-            F.array(*_bloom_positions(F.col(key_col)))
-        ).alias("pos")
-    )
-    return pos.groupBy(F.expr("pos div 32").alias("widx")).agg(
-        F.expr(
-            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)))"
-        ).alias("w")
-    )
+    return bloom_word_table(old_keys, key_col)
 
 
 def stream_bloom_screen(
-    stream: DataFrame, words: DataFrame, key_col: str = "key"
+    stream: DataFrame,
+    words: DataFrame,
+    key_col: str = "key",
+    id_cols: tuple = ("doc_id",),
 ) -> DataFrame:
     """Streaming Bloom membership screen — the ingest-time mirror of
     ``dedup_bloom_incremental``'s probe side: each arriving document's
     k probe positions stream-static broadcast-join the fixed-size word
     table; ``bloom_hit`` marks keys POSSIBLY in the trained corpus
     (route to the exact verifier), everything else is definitively
-    new.  Fully STATELESS (explode + broadcast join + per-doc
-    aggregate), so it composes under any downstream stateful operator
-    — the only state a full streaming dedup chain needs remains the
-    exact stage's.
+    new.  Fully STATELESS per micro-batch (explode + broadcast join +
+    per-doc aggregate), so it composes under any downstream stateful
+    operator — the only state a full streaming dedup chain needs
+    remains the exact stage's.
+
+    Emits (id_cols..., key, bloom_hit) ONLY — the aggregate keys on
+    the compact (id, key) pair, never the full row (payload columns
+    would otherwise key the shuffle/aggregate state and byte-identical
+    rows would silently merge); join payload back by id downstream.
+    Delegates to the shared ``suite/pipeline.bloom_probe``.
 
     Streaming caveat: the per-doc aggregate makes this an UPDATE/
     COMPLETE-mode query on its own; compose it before a stateful sink
     or use foreachBatch for append semantics.  Equivalence with the
     batch probe is pinned in tests/test_streaming.py."""
-    from wrf_to_geodataframe_spark.suite.pipeline import (
-        _bloom_positions,
-    )
+    from wrf_to_geodataframe_spark.suite.pipeline import bloom_probe
 
-    probes = stream.withColumn(
-        "pos", F.explode(F.array(*_bloom_positions(F.col(key_col))))
-    )
-    return (
-        probes.join(
-            F.broadcast(words),
-            F.expr("pos div 32") == F.col("widx"),
-            "left",
-        )
-        .groupBy(*[c for c in stream.columns])
-        .agg(
-            (
-                F.min(
-                    F.when(
-                        F.expr(
-                            "w IS NOT NULL AND (w & shiftleft("
-                            "CAST(1 AS BIGINT), CAST(pos % 32 AS INT)"
-                            ")) != 0"
-                        ),
-                        1,
-                    ).otherwise(0)
-                )
-                == 1
-            ).alias("bloom_hit")
-        )
-    )
+    return bloom_probe(stream, words, key_col, tuple(id_cols))

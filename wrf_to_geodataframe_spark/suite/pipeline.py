@@ -264,6 +264,7 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         .persist()
     )
+    track_persist(bg)
     cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     cu = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
     scored = (
@@ -553,10 +554,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the inverted index carries the 60-bit shingle HASH, not the string:
     # 8-byte join keys shuffle less and compare faster, and the oracle
     # joins on the identical md5-derived value
-    raw = exploded_shingles(docs).select(
+    raw = track_persist(exploded_shingles(docs).select(
         "doc_id", hash60(F.col("s")).alias("hs")
-    ).persist()
-    sh = _cap_index(raw, _NGRAM_DF_CAP).persist()
+    ))
+    sh = track_persist(_cap_index(raw, _NGRAM_DF_CAP))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -1182,7 +1183,8 @@ def _decontam_evidence(docs: DataFrame) -> DataFrame:
     raw = exploded_shingles(docs, _DECON_K).select(
         "doc_id", hash60(F.col("s")).alias("hs")
     ).persist(StorageLevel.DISK_ONLY)
-    idx = _cap_index(raw, _NGRAM_DF_CAP).persist()
+    track_persist(raw)
+    idx = track_persist(_cap_index(raw, _NGRAM_DF_CAP))
     ev = idx.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0).select(
         "hs", F.col("doc_id").alias("eval_id")
     )
@@ -1349,6 +1351,69 @@ def _bloom_positions(key, k: int = _BLOOM_K, m: int = _BLOOM_BITS):
     ]
 
 
+def bloom_word_table(keys: DataFrame, key_col: str = "key") -> DataFrame:
+    """(widx, w): the FIXED-SIZE Bloom filter as 32-bit words — each
+    key sets _BLOOM_K md5-derived bits via one partial-agg ``bit_or``
+    groupBy.  The ONE build implementation shared by the batch gate
+    (dedup_bloom_incremental) and the streaming screen
+    (streaming/dedup.bloom_words_static), so the bit arithmetic cannot
+    drift between them (the chunk_tokens discipline)."""
+    pos = keys.select(
+        F.explode(
+            F.array(*_bloom_positions(F.col(key_col)))
+        ).alias("pos")
+    )
+    return pos.groupBy(F.expr("pos div 32").alias("widx")).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)))"
+        ).alias("w")
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    words: DataFrame,
+    key_col: str = "key",
+    group_cols: tuple = ("doc_id",),
+) -> DataFrame:
+    """(group_cols..., key_col, bloom_hit): probe a broadcast Bloom
+    word table — bloom_hit iff EVERY of the key's probe bits is set.
+    Groups on the COMPACT (group_cols, key) only (never the full row:
+    payload columns would otherwise key the shuffle and the aggregate
+    hash map, and byte-identical rows would silently merge); callers
+    join payload back by the group key.  Shared by batch and
+    streaming, like bloom_word_table."""
+    probes = df.select(
+        *group_cols, key_col,
+        F.explode(
+            F.array(*_bloom_positions(F.col(key_col)))
+        ).alias("pos"),
+    )
+    return (
+        probes.join(
+            F.broadcast(words),
+            F.expr("pos div 32") == F.col("widx"),
+            "left",
+        )
+        .groupBy(*group_cols, key_col)
+        .agg(
+            (
+                F.min(
+                    F.when(
+                        F.expr(
+                            "w IS NOT NULL AND (w & shiftleft("
+                            "CAST(1 AS BIGINT), CAST(pos % 32 AS INT)"
+                            ")) != 0"
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+                == 1
+            ).alias("bloom_hit")
+        )
+    )
+
+
 def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPACE-BOUNDED incremental exact-dup screening — the Bloom-filter
     sidecar shape: at 100 TB the trained corpus's content-key set is
@@ -1390,42 +1455,8 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = keyed.filter(F.col("doc_id") % 3 != 0)
     new = keyed.filter(F.col("doc_id") % 3 == 0)
 
-    pos = old.select(
-        F.explode(F.array(*_bloom_positions(F.col("key")))).alias("pos")
-    )
-    words = (
-        pos.groupBy(F.expr("pos div 32").alias("widx"))
-        .agg(
-            F.expr(
-                "bit_or(shiftleft(CAST(1 AS BIGINT),"
-                " CAST(pos % 32 AS INT)))"
-            ).alias("w")
-        )
-    )
-    probes = new.select(
-        "doc_id", "key",
-        F.explode(F.array(*_bloom_positions(F.col("key")))).alias("pos"),
-    )
-    hit = (
-        probes.join(F.broadcast(words), F.expr("pos div 32") == F.col("widx"),
-                    "left")
-        .groupBy("doc_id", "key")
-        .agg(
-            (
-                F.min(
-                    F.when(
-                        F.expr(
-                            "w IS NOT NULL AND (w & shiftleft("
-                            "CAST(1 AS BIGINT), CAST(pos % 32 AS INT)"
-                            ")) != 0"
-                        ),
-                        1,
-                    ).otherwise(0)
-                )
-                == 1
-            ).alias("bloom_hit")
-        )
-    )
+    words = bloom_word_table(old)
+    hit = bloom_probe(new, words)
     matched = (
         hit.filter(F.col("bloom_hit"))
         .join(old.select("key").distinct(), "key", "left_semi")
@@ -1527,7 +1558,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("band_key")
         )
-    ).persist()
+    )
     track_persist(banded)
     old = banded.filter(F.col("doc_id") % 3 != 0).alias("old")
     new = banded.filter(F.col("doc_id") % 3 == 0).alias("new")
@@ -2446,10 +2477,9 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wrf_to_geodataframe_spark.operators.graph import label_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = (
+    pairs = track_persist(
         dedup_minhash_lsh(spark, sf_dir)
         .select(F.col("da").alias("a"), F.col("db").alias("b"))
-        .persist()
     )
     labels, unmerged = label_components(
         docs, pairs, "doc_id", rounds=2, auto_escalate=3
@@ -2588,9 +2618,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial WindowGroupLimit before the shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
-    tc = tok.groupBy("doc_id", "t").agg(
+    tc = track_persist(tok.groupBy("doc_id", "t").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
-    ).persist()
+    ))
     dfreq = tc.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
     scored = tc.join(dfreq, "t").select(
         "doc_id",
@@ -2761,7 +2791,7 @@ def curate_v2(docs: DataFrame, target: int) -> DataFrame:
     keepers = survivors.groupBy("scrubbed_md5").agg(
         F.min("doc_id").alias("doc_id")
     ).select("doc_id")
-    survivors = survivors.join(keepers, "doc_id").persist()
+    survivors = track_persist(survivors.join(keepers, "doc_id"))
 
     # temperature mixture over the survivors (quotas in-plan)
     w = F.floor(F.sqrt(F.count("*").cast("double")) * _MIX_W_SCALE).cast("long")
@@ -2894,9 +2924,11 @@ def curate_clean(docs: DataFrame) -> DataFrame:
     # (quality -> repetition -> scrub -> decontam anti-join) computes
     # twice.  Doc-count rows, narrow manifest columns.
     contaminated = _decontam_evidence(docs).select("doc_id")
-    clean = scrub.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0).join(
-        contaminated, "doc_id", "left_anti"
-    ).persist()
+    clean = track_persist(
+        scrub.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0).join(
+            contaminated, "doc_id", "left_anti"
+        )
+    )
     return clean
 
 
@@ -3126,9 +3158,14 @@ def train_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: see operators/shards.py — bucketed running sums (no
     single-partition window), arithmetic range bucketing on the
     uniform hash ranks (no sampling job), one uniform shuffle on
-    shard_id into the Arrow writer.  Files go to a fresh temp dir per
-    call (the driver's sf dirs are read-only); on a cluster the out
-    dir is shared storage."""
+    shard_id into the Arrow writer.  Files go to ONE per-process temp
+    dir, CLEARED at each construction (the driver's sf dirs are
+    read-only, and a fresh mkdtemp per call would grow /tmp
+    monotonically across bench passes); same corpus + seed writes
+    byte-identical files, so overlapping lazy builds of this gate stay
+    consistent.  On a cluster the out dir is shared storage."""
+    import os
+    import shutil
     import tempfile
 
     from wrf_to_geodataframe_spark.operators.shards import (
@@ -3142,7 +3179,11 @@ def train_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "toks"
         ),
     )
-    out = tempfile.mkdtemp(prefix="train_shards_")
+    out = os.path.join(
+        tempfile.gettempdir(), f"train_shards_{os.getpid()}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
     return write_training_corpus(toks, out, _SHARD_SEED)
 
 
@@ -3326,7 +3367,8 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(F.expr(f"shiftleft(bit, CAST(h % {_LSH_PLANES // _LSH_BANDS} AS INT))"))
         .alias("band_key")
-    ).persist()
+    )
+    track_persist(bands)
     qb = bands.filter(F.col("vec_id") < _N_QUERIES).alias("qb")
     cb = bands.alias("cb")
     cand = (
@@ -3455,9 +3497,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (vec, norm) feeds centroid scoring, probes, and BOTH rerank sides;
     # norm_q is an interpreted HOF, so uncached branches would each
     # recompute it over the full table
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_vec(F.col("embedding")).alias("e")
-    ).withColumn("nq", norm_q(F.col("e"))).persist()
+    emb = track_persist(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double_vec(F.col("embedding")).alias("e")
+        ).withColumn("nq", norm_q(F.col("e")))
+    )
     # stride = floor(sqrt(N)) as a 1-row agg crossJoined in (plan stays
     # lazy, no driver collect); greatest(...,1) guards the empty table.
     stride = emb.agg(
@@ -3618,7 +3662,8 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
             f"/ nd * {_PQ_Q}) AS BIGINT))"
         ).alias("qv"),
-    ).persist()
+    )
+    track_persist(emb)
     cb = emb.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("c"), F.col("qv").alias("cv")
     )
@@ -4836,7 +4881,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e"), lambda x, i: F.when(i == 1, x * F.lit(1.01)).otherwise(x)
         ).alias("e"),
     )
-    aug = base.unionByName(copies).withColumn("nq", norm_q(F.col("e"))).persist()
+    aug = track_persist(
+        base.unionByName(copies).withColumn("nq", norm_q(F.col("e")))
+    )
     stride = base.agg(
         F.greatest(F.floor(F.sqrt(F.count("*"))).cast("long"), F.lit(1)).alias("s")
     )
