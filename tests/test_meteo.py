@@ -13,12 +13,18 @@ from wrf_to_geodataframe_spark.functions.meteo import (
     EPS,
     P1000MB,
     dewpoint_k,
+    geopotential_height,
     lcc_cone,
+    lcl_temperature_k,
+    reflectivity_dbz,
     relative_humidity,
     sat_vapor_pressure_hpa,
     slp_hypsometric,
     temperature_k,
+    theta_e_bolton,
     uvmet,
+    virtual_temperature,
+    wet_bulb_stull_c,
     wind_dir_met,
     wind_speed,
 )
@@ -95,6 +101,85 @@ def test_wind_dir_met_cardinal_points(spark):
     for u, v, want in cases:
         r = _one(spark, wind_dir_met(F.lit(u), F.lit(v)).alias("d"))
         assert r.d == pytest.approx(want, abs=1e-9), (u, v)
+
+
+def test_virtual_temperature_and_geopotential_height(spark):
+    r = _one(
+        spark,
+        virtual_temperature(F.lit(290.0), F.lit(0.0)).alias("dry"),
+        virtual_temperature(F.lit(290.0), F.lit(0.01)).alias("moist"),
+        geopotential_height(F.lit(0.0), F.lit(9810.0)).alias("z"),
+    )
+    assert r.dry == 290.0  # dry air: tv == t exactly
+    assert r.moist == pytest.approx(290.0 * 1.0061, rel=1e-12)
+    assert r.z == pytest.approx(1000.0, rel=1e-12)
+
+
+def test_theta_e_exceeds_tk_and_lcl_below_t(spark):
+    """Latent heat only ADDS: theta_e > theta > tk below p0, and the
+    LCL of a subsaturated parcel is colder than the parcel (Bolton
+    eq. 21 consistency); theta_e increases with moisture."""
+    t, p = 295.0, 95000.0
+    theta = t * (P1000MB / p) ** (2.0 / 7.0)
+    r = _one(
+        spark,
+        lcl_temperature_k(F.lit(t), F.lit(p), F.lit(0.008)).alias("tl"),
+        theta_e_bolton(F.lit(t), F.lit(p), F.lit(0.008)).alias("e8"),
+        theta_e_bolton(F.lit(t), F.lit(p), F.lit(0.012)).alias("e12"),
+    )
+    assert r.tl < t  # subsaturated: must lift (cool) to condense
+    assert r.e8 > theta  # latent-heat term adds to theta
+    assert r.e12 > r.e8  # more moisture, more latent heat
+
+
+def test_wet_bulb_between_dewpoint_and_temperature(spark):
+    """The wet-bulb sits between Td and T for subsaturated air, and
+    approaches T at RH -> 100 (Stull 2011 fit, +-0.3 K)."""
+    t, p = 293.15, 100000.0  # 20 C
+    es = 6.112 * math.exp(17.67 * 20.0 / (20.0 + 243.5))
+    for frac in (0.3, 0.6, 0.9):
+        e = frac * es
+        qv = EPS * e / (p / 100.0 - e)
+        r = _one(
+            spark,
+            relative_humidity(F.lit(t), F.lit(p), F.lit(qv)).alias("rh"),
+            dewpoint_k(F.lit(p), F.lit(qv)).alias("td"),
+        )
+        tw = _one(
+            spark, wet_bulb_stull_c(F.lit(t), F.lit(r.rh)).alias("tw")
+        ).tw
+        td_c = r.td - 273.15
+        assert td_c - 0.5 < tw < 20.0 + 0.3, (frac, tw, td_c)
+    r99 = _one(spark, wet_bulb_stull_c(F.lit(t), F.lit(99.0)).alias("tw"))
+    assert r99.tw == pytest.approx(20.0, abs=0.5)
+
+
+def test_reflectivity_floor_and_rain_monotonicity(spark):
+    """No hydrometeors -> the -30 dBZ floor (z_e clamps at 0.001);
+    more rain -> strictly larger dBZ; adding snow/graupel adds
+    reflectivity on top of rain."""
+    t, p, qv = 280.0, 90000.0, 0.005
+    r = _one(
+        spark,
+        reflectivity_dbz(
+            F.lit(t), F.lit(p), F.lit(qv), F.lit(0.0),
+            F.lit(0.0), F.lit(0.0),
+        ).alias("clear"),
+        reflectivity_dbz(
+            F.lit(t), F.lit(p), F.lit(qv), F.lit(1e-4)
+        ).alias("light"),
+        reflectivity_dbz(
+            F.lit(t), F.lit(p), F.lit(qv), F.lit(2e-3)
+        ).alias("heavy"),
+        reflectivity_dbz(
+            F.lit(t), F.lit(p), F.lit(qv), F.lit(1e-4),
+            F.lit(1e-4), F.lit(1e-4),
+        ).alias("mixed"),
+    )
+    assert r.clear == pytest.approx(-30.0, abs=1e-9)
+    assert -30.0 < r.light < r.heavy
+    assert 30.0 < r.heavy < 60.0  # heavy rain sits in the real-world band
+    assert r.mixed > r.light
 
 
 def test_slp_hypsometric_monotone_and_sea_level_identity(spark):

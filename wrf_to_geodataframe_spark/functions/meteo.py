@@ -126,3 +126,118 @@ def slp_hypsometric(p_sfc, z_sfc, t_k) -> Column:
     return _c(p_sfc) * F.exp(
         F.lit(G0) * _c(z_sfc) / (F.lit(RD) * _c(t_k))
     )
+
+
+def virtual_temperature(t_k, qv) -> Column:
+    """Virtual temperature [K] (wrf-python `tv`):
+    tv = t (1 + 0.61 qv) — the density temperature of moist air."""
+    return _c(t_k) * (F.lit(1.0) + F.lit(0.61) * _c(qv))
+
+
+def geopotential_height(ph, phb) -> Column:
+    """Geopotential height [m] from WRF's perturbation + base-state
+    geopotential (wrf-python `z`/`height`): z = (PH + PHB) / g."""
+    return (_c(ph) + _c(phb)) / F.lit(G0)
+
+
+def lcl_temperature_k(t_k, p, qv) -> Column:
+    """Temperature [K] at the lifting condensation level — Bolton
+    (1980) eq. 21: T_L = 2840 / (3.5 ln T - ln e - 4.805) + 55, with
+    e the vapor pressure in hPa."""
+    return F.lit(2840.0) / (
+        F.lit(3.5) * F.log(_c(t_k))
+        - F.log(vapor_pressure_hpa(p, qv))
+        - F.lit(4.805)
+    ) + F.lit(55.0)
+
+
+def theta_e_bolton(t_k, p, qv) -> Column:
+    """Equivalent potential temperature [K] — Bolton (1980) eq. 43
+    (the formula wrf-python's `eth` implements, accurate to ~0.3 K):
+
+        theta_e = T (1000/p_hPa)^(0.2854 (1 - 0.28 qv))
+                  * exp((3.376/T_L - 0.00254) * 1000 qv (1 + 0.81 qv))
+
+    with qv the mixing ratio [kg/kg] and T_L the Bolton LCL
+    temperature.  Conserved along pseudo-adiabats — the invariant the
+    CAPE parcel ascent iterates on."""
+    tl = lcl_temperature_k(t_k, p, qv)
+    return (
+        _c(t_k)
+        * F.pow(
+            F.lit(1000.0) / (_c(p) / F.lit(100.0)),
+            F.lit(0.2854) * (F.lit(1.0) - F.lit(0.28) * _c(qv)),
+        )
+        * F.exp(
+            (F.lit(3.376) / tl - F.lit(0.00254))
+            * F.lit(1000.0)
+            * _c(qv)
+            * (F.lit(1.0) + F.lit(0.81) * _c(qv))
+        )
+    )
+
+
+def wet_bulb_stull_c(t_k, rh_pct) -> Column:
+    """Wet-bulb temperature [degC] — Stull (2011, JAMC 50:2267)
+    closed-form fit from temperature and relative humidity, valid for
+    RH 5..99 % and T -20..50 degC (mean abs error 0.3 K):
+
+        Tw = T atan(0.151977 sqrt(RH + 8.313659)) + atan(T + RH)
+             - atan(RH - 1.676331)
+             + 0.00391838 RH^1.5 atan(0.023101 RH) - 4.686035
+    """
+    t = _c(t_k) - F.lit(CELSIUS)
+    rh = _c(rh_pct)
+    return (
+        t * F.atan(F.lit(0.151977) * F.sqrt(rh + F.lit(8.313659)))
+        + F.atan(t + rh)
+        - F.atan(rh - F.lit(1.676331))
+        + F.lit(0.00391838)
+        * F.pow(rh, F.lit(1.5))
+        * F.atan(F.lit(0.023101) * rh)
+        - F.lit(4.686035)
+    )
+
+
+# RIP CALDBZ constants (the wrf-python `dbz` defaults: exponential
+# Marshall-Palmer size distributions with fixed intercepts, ice
+# dielectric factor alpha on frozen species)
+_DBZ_GAMMA7 = 720.0  # Gamma(7)
+_DBZ_ALPHA = 0.224  # |K_ice|^2 / |K_water|^2 dielectric ratio
+_DBZ_RHO_R, _DBZ_N0R = 1000.0, 8.0e6  # rain density / intercept
+_DBZ_RHO_S, _DBZ_N0S = 100.0, 2.0e7  # snow
+_DBZ_RHO_G, _DBZ_N0G = 400.0, 4.0e6  # graupel
+_DBZ_RHOWAT = 1000.0
+
+
+def _dbz_factor(rho_x: float, n0_x: float, ice: bool) -> float:
+    f = _DBZ_GAMMA7 * 1.0e18 * (1.0 / (math.pi * rho_x)) ** 1.75
+    if ice:
+        f *= (rho_x / _DBZ_RHOWAT) ** 2 * _DBZ_ALPHA
+    return f / n0_x ** 0.75
+
+
+def reflectivity_dbz(t_k, p, qv, qr, qs=None, qg=None) -> Column:
+    """Simulated radar reflectivity [dBZ] — the RIP4 CALDBZ algorithm
+    (wrf-python `dbz` with ivarint=0, iliqskin=0): per-species
+    equivalent reflectivity z_e = Gamma(7) 1e18 (rho q / (pi rho_x))
+    ^1.75 / N0^0.75, frozen species scaled by (rho_x/rho_w)^2 alpha,
+    air density from the virtual temperature; dbz = 10 log10(max(z_e,
+    0.001)) so precipitation-free cells floor at -30 dBZ."""
+    rho = _c(p) / (F.lit(RD) * virtual_temperature(t_k, qv))
+    z_e = F.lit(_dbz_factor(_DBZ_RHO_R, _DBZ_N0R, False)) * F.pow(
+        rho * _c(qr), F.lit(1.75)
+    )
+    if qs is not None:
+        z_e = z_e + F.lit(_dbz_factor(_DBZ_RHO_S, _DBZ_N0S, True)) * F.pow(
+            rho * _c(qs), F.lit(1.75)
+        )
+    if qg is not None:
+        z_e = z_e + F.lit(_dbz_factor(_DBZ_RHO_G, _DBZ_N0G, True)) * F.pow(
+            rho * _c(qg), F.lit(1.75)
+        )
+    return (
+        F.lit(10.0)
+        * F.log(F.greatest(z_e, F.lit(0.001)))
+        / F.lit(math.log(10.0))
+    )

@@ -1515,6 +1515,137 @@ FROM d
 _M1_SQL = _m1_sql()
 
 
+def m2_thermo_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second tier of wrf-python `getvar` staples (functions/
+    meteo.py): virtual temperature (`tv`), geopotential height (`z`
+    from PH+PHB), Bolton (1980) equivalent potential temperature
+    (`eth`), Stull (2011) closed-form wet-bulb (`twb`), and the RIP4
+    CALDBZ simulated radar reflectivity (`dbz`, rain + snow + graupel
+    with the ice dielectric factor) — all codegen JVM expressions over
+    synthetic per-cell fields.  The hydrometeor fields have live zero
+    arms, so precipitation-free cells exercise the -30 dBZ floor at
+    every SF.
+
+    Oracle-independence class B: the SQL restates the formulas with
+    identical literals; independent evidence is tests/test_meteo.py
+    (theta_e > tk always and == theta at qv->0/p0, wet-bulb between
+    dewpoint and temperature, dbz floor and rain-only monotonicity)."""
+    from wrf_to_geodataframe_spark.functions.meteo import (
+        geopotential_height,
+        reflectivity_dbz,
+        relative_humidity,
+        temperature_k,
+        theta_e_bolton,
+        virtual_temperature,
+        wet_bulb_stull_c,
+    )
+
+    cells = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        (F.col("user_id") % GRID_W).alias("x"),
+        F.floor(F.col("user_id") / GRID_W).alias("y"),
+    ).distinct()
+    d = cells.select(
+        "user_id",
+        (F.lit(295.0) + (F.col("x") % 5) + F.col("y") * 0.5).alias("theta"),
+        (F.lit(95000.0) + F.col("x") * 20.0 + F.col("y") * 10.0).alias("p"),
+        (F.lit(0.004) + 0.0001 * ((F.col("x") + F.col("y")) % 10)).alias("qv"),
+        (F.lit(50.0) + F.col("x") * 2.0).alias("ph"),
+        (F.lit(1000.0) + F.col("y") * 10.0).alias("phb"),
+        F.when(
+            (F.col("x") + F.col("y")) % 4 == 0,
+            ((F.col("x") + F.col("y")) % 5 + 1.0) / 8192.0,
+        ).otherwise(F.lit(0.0)).alias("qr"),
+        F.when(
+            F.col("x") % 3 == 0, (F.col("y") % 4 + 1.0) / 16384.0
+        ).otherwise(F.lit(0.0)).alias("qs"),
+        F.when(
+            F.col("y") % 5 == 0, (F.col("x") % 3 + 1.0) / 16384.0
+        ).otherwise(F.lit(0.0)).alias("qg"),
+    )
+    tk = temperature_k(F.col("theta"), F.col("p"))
+    rh = relative_humidity(tk, F.col("p"), F.col("qv"))
+    return d.select(
+        "user_id",
+        F.round(virtual_temperature(tk, F.col("qv")), 6).alias("tv"),
+        F.round(
+            geopotential_height(F.col("ph"), F.col("phb")), 6
+        ).alias("zgeo"),
+        F.round(theta_e_bolton(tk, F.col("p"), F.col("qv")), 6).alias("the"),
+        F.round(wet_bulb_stull_c(tk, rh), 6).alias("twb"),
+        F.round(
+            reflectivity_dbz(
+                tk, F.col("p"), F.col("qv"),
+                F.col("qr"), F.col("qs"), F.col("qg"),
+            ),
+            6,
+        ).alias("dbz"),
+    )
+
+
+def _m2_sql() -> str:
+    from wrf_to_geodataframe_spark.functions.meteo import _dbz_factor
+
+    fr = _dbz_factor(1000.0, 8.0e6, False)
+    fs = _dbz_factor(100.0, 2.0e7, True)
+    fg = _dbz_factor(400.0, 4.0e6, True)
+    tk = "(theta * pow(p / 100000.0, 2.0/7.0))"
+    e = "((p / 100.0) * qv / (0.622 + qv))"
+    es = f"(6.112 * exp(17.67 * ({tk} - 273.15) / (({tk} - 273.15) + 243.5)))"
+    rh = f"(100.0 * {e} / {es})"
+    tl = f"(2840.0 / (3.5 * ln({tk}) - ln({e}) - 4.805) + 55.0)"
+    the = (
+        f"{tk} * pow(1000.0 / (p / 100.0), 0.2854 * (1.0 - 0.28 * qv))"
+        f" * exp((3.376 / {tl} - 0.00254) * 1000.0 * qv * (1.0 + 0.81 * qv))"
+    )
+    tc = f"({tk} - 273.15)"
+    twb = (
+        f"{tc} * atan(0.151977 * sqrt({rh} + 8.313659))"
+        f" + atan({tc} + {rh}) - atan({rh} - 1.676331)"
+        f" + 0.00391838 * pow({rh}, 1.5) * atan(0.023101 * {rh})"
+        f" - 4.686035"
+    )
+    tv = f"({tk} * (1.0 + 0.61 * qv))"
+    rho = f"(p / (287.047 * {tv}))"
+    z_e = (
+        f"({fr!r} * pow({rho} * qr, 1.75)"
+        f" + {fs!r} * pow({rho} * qs, 1.75)"
+        f" + {fg!r} * pow({rho} * qg, 1.75))"
+    )
+    return f"""
+WITH cells AS (
+    SELECT DISTINCT user_id,
+           user_id % {GRID_W} AS x,
+           CAST(floor(user_id / {GRID_W}.0) AS BIGINT) AS y
+    FROM events
+), d AS (
+    SELECT user_id,
+           295.0 + (x % 5) + y * 0.5 AS theta,
+           95000.0 + x * 20.0 + y * 10.0 AS p,
+           0.004 + 0.0001 * ((x + y) % 10) AS qv,
+           50.0 + x * 2.0 AS ph,
+           1000.0 + y * 10.0 AS phb,
+           CASE WHEN (x + y) % 4 = 0 THEN ((x + y) % 5 + 1.0) / 8192.0
+                ELSE 0.0 END AS qr,
+           CASE WHEN x % 3 = 0 THEN (y % 4 + 1.0) / 16384.0
+                ELSE 0.0 END AS qs,
+           CASE WHEN y % 5 = 0 THEN (x % 3 + 1.0) / 16384.0
+                ELSE 0.0 END AS qg
+    FROM cells
+)
+SELECT user_id,
+       round({tv}, 6) AS tv,
+       round((ph + phb) / 9.81, 6) AS zgeo,
+       round({the}, 6) AS the,
+       round({twb}, 6) AS twb,
+       round(10.0 * ln(greatest({z_e}, 0.001)) / ln(10.0), 6) AS dbz
+FROM d
+"""
+
+
+_M2_SQL = _m2_sql()
+
+
 def v3_precipitable_water(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRECIPITABLE WATER (wrf-python `pw`): the per-column vertical
     integral sum(qv dp) / (g rho_w) in millimetres, one partial-agg
@@ -1619,6 +1750,7 @@ FROM lev GROUP BY user_id
 
 QUERIES = {
     "m1_met_diagnostics": m1_met_diagnostics,
+    "m2_thermo_diagnostics": m2_thermo_diagnostics,
     "v1_destagger": v1_destagger,
     "v2_interplevel": v2_interplevel,
     "v3_precipitable_water": v3_precipitable_water,
@@ -1645,6 +1777,7 @@ QUERIES = {
 
 ORACLE = {
     "m1_met_diagnostics": _M1_SQL,
+    "m2_thermo_diagnostics": _M2_SQL,
     "v1_destagger": _V1_SQL,
     "v2_interplevel": _V2_SQL,
     "v3_precipitable_water": _V3_SQL,
