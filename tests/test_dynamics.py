@@ -1,0 +1,185 @@
+"""Dynamics operators (operators/dynamics.py): physical identities and
+a numpy finite-difference cross-check, independent of the class-B
+closed-form oracles in suite/dynamics.py."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from wrf_to_geodataframe_spark.operators.dynamics import (
+    OMEGA_E,
+    absolute_vorticity,
+    centered_diff,
+    coriolis_parameter,
+    storm_relative_helicity,
+    updraft_helicity,
+)
+
+
+def _grid(spark, nx, ny):
+    return (
+        spark.range(ny)
+        .select(F.col("id").alias("y"))
+        .select(
+            "y",
+            F.explode(F.sequence(F.lit(0), F.lit(nx - 1))).alias("x"),
+        )
+    )
+
+
+def test_centered_diff_matches_numpy_interior(spark):
+    """Random dyadic field: the lag/lead stencil must equal numpy's
+    explicit (f[i+1]-f[i-1])/(2h) on the interior, NULL at both ends."""
+    rng = np.random.default_rng(7)
+    vals = rng.integers(-512, 512, size=(5, 9)) / 16.0
+    rows = [
+        (int(y), int(x), float(vals[y, x]))
+        for y in range(5)
+        for x in range(9)
+    ]
+    df = spark.createDataFrame(rows, "y long, x long, f double")
+    got = {
+        (r.y, r.x): r.dfdx
+        for r in centered_diff(df, "f", "x", 2.0, ["y"], "dfdx").collect()
+    }
+    for y in range(5):
+        for x in range(9):
+            if x in (0, 8):
+                assert got[(y, x)] is None
+            else:
+                want = (vals[y, x + 1] - vals[y, x - 1]) / 4.0
+                assert got[(y, x)] == want, (y, x)
+
+
+def test_centered_diff_hole_in_pencil_yields_null(spark):
+    """A missing neighbor coordinate must produce NULL, never a
+    wrong-stride difference."""
+    rows = [(0, 0, 1.0), (0, 1, 2.0), (0, 3, 4.0), (0, 4, 8.0)]
+    df = spark.createDataFrame(rows, "y long, x long, f double")
+    got = {
+        r.x: r.d
+        for r in centered_diff(df, "f", "x", 1.0, ["y"], "d").collect()
+    }
+    assert got[1] is None  # right neighbor x=2 missing
+    assert got[3] is None  # left neighbor x=2 missing
+
+
+def test_solid_body_rotation_vorticity(spark):
+    """u = -omega y_m, v = omega x_m has relative vorticity exactly
+    2 omega everywhere in the interior."""
+    omega, dx = 0.125, 4.0
+    d = _grid(spark, 6, 6).select(
+        "y", "x",
+        (F.lit(-omega) * F.col("y") * dx).alias("u"),
+        (F.lit(omega) * F.col("x") * dx).alias("v"),
+    )
+    out = absolute_vorticity(d, "u", "v", "x", "y", dx, dx).collect()
+    interior = [r for r in out if r.avo is not None]
+    assert len(interior) == 16
+    for r in interior:
+        assert r.avo == 2 * omega
+
+
+def test_coriolis_parameter_limits(spark):
+    r = (
+        spark.range(1)
+        .select(
+            coriolis_parameter(F.lit(90.0)).alias("pole"),
+            coriolis_parameter(F.lit(0.0)).alias("equator"),
+            coriolis_parameter(F.lit(-90.0)).alias("south"),
+        )
+        .collect()[0]
+    )
+    assert r.pole == pytest.approx(2 * OMEGA_E, rel=1e-12)
+    assert r.equator == pytest.approx(0.0, abs=1e-20)
+    assert r.south == pytest.approx(-2 * OMEGA_E, rel=1e-12)
+
+
+def test_updraft_helicity_solid_body_constant_w(spark):
+    """Constant w over solid-body rotation: UH = w * 2 omega * (band
+    thickness), independent of position — and the lateral boundary
+    sums to exactly zero."""
+    omega, dx, w0 = 0.0625, 8.0, 0.5
+    nk = 8
+    lev = _grid(spark, 5, 5).select(
+        "y", "x",
+        F.explode(F.sequence(F.lit(0), F.lit(nk - 1))).alias("k"),
+    ).select(
+        "y", "x", "k",
+        (F.lit(-omega) * F.col("y") * dx).alias("u"),
+        (F.lit(omega) * F.col("x") * dx).alias("v"),
+        F.lit(w0).alias("w"),
+        (F.col("k") * 500.0 + 250.0).alias("z"),
+        F.lit(500.0).alias("dz"),
+    )
+    out = updraft_helicity(
+        lev, "w", "u", "v", "x", "y", "z", "k", dx, dx, "dz",
+        z_bottom=2000.0, z_top=5000.0,
+    ).collect()
+    # band levels: z in {2250, 2750, 3250, 3750} -> 4 * 500 m = 2000 m
+    want = w0 * 2 * omega * 2000.0
+    for r in out:
+        interior = 1 <= r.x <= 3 and 1 <= r.y <= 3
+        assert r.uh == (want if interior else 0.0), (r.x, r.y)
+
+
+def test_srh_straight_hodograph_through_storm_motion_is_zero(spark):
+    """A straight-line hodograph with the storm motion ON the line
+    sweeps zero area: SRH == 0 exactly.  Shifting the motion off the
+    line by dv makes each pair term (u_{k+1}-u_k) * dv."""
+    nk = 7
+    lev = _grid(spark, 2, 2).select(
+        "y", "x",
+        F.explode(F.sequence(F.lit(0), F.lit(nk - 1))).alias("k"),
+    ).select(
+        "y", "x", "k",
+        (F.col("k") * 2.0).alias("u"),
+        F.lit(3.0).alias("v"),
+        (F.col("k") * 500.0).alias("z"),
+    )
+    on_line = storm_relative_helicity(
+        lev, "u", "v", "z", "k", ["y", "x"], c_u=1.0, c_v=3.0,
+        depth=3000.0,
+    ).collect()
+    for r in on_line:
+        assert r.srh == 0.0
+    off_line = storm_relative_helicity(
+        lev, "u", "v", "z", "k", ["y", "x"], c_u=1.0, c_v=2.0,
+        depth=3000.0,
+    ).collect()
+    # pairs k=0..5 all inside depth; each term (u2-u1)*(v-cv) = 2*1
+    for r in off_line:
+        assert r.srh == pytest.approx(12.0, abs=1e-12)
+
+
+def test_srh_circular_hodograph_sweeps_circle_area(spark):
+    """A full-circle hodograph centered on the storm motion sweeps
+    twice its enclosed area in cross-product magnitude (the shoelace
+    identity, here the inscribed regular N-gon): counterclockwise
+    turning gives -2A in this convention (clockwise turning — the
+    NH-supercell-favorable sense — is positive)."""
+    n, radius = 12, 5.0
+    rows = [
+        (
+            0,
+            0,
+            k,
+            radius * math.cos(2 * math.pi * k / n),
+            radius * math.sin(2 * math.pi * k / n),
+            float(k),
+        )
+        for k in range(n + 1)
+    ]
+    lev = spark.createDataFrame(
+        rows, "y long, x long, k long, u double, v double, z double"
+    )
+    out = storm_relative_helicity(
+        lev, "u", "v", "z", "k", ["y", "x"], c_u=0.0, c_v=0.0,
+        depth=1e9,
+    ).collect()
+    ngon_area = 0.5 * n * radius * radius * math.sin(2 * math.pi / n)
+    assert out[0].srh == pytest.approx(-2 * ngon_area, rel=1e-12)

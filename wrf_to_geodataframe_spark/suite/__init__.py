@@ -58,6 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from wrf_to_geodataframe_spark.suite import (
     conversions,
     core,
+    dynamics,
     pipeline,
     relational,
     spatial,
@@ -67,7 +68,7 @@ from wrf_to_geodataframe_spark.suite import (
 
 _GROUPS = [
     core, relational, conversions, spatial, tessellation, pipeline,
-    timeseries,
+    timeseries, dynamics,
 ]
 
 
