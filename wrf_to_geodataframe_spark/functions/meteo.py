@@ -199,6 +199,93 @@ def wet_bulb_stull_c(t_k, rh_pct) -> Column:
     )
 
 
+def qv_sat(t_k, p) -> Column:
+    """Saturation mixing ratio [kg/kg] at (t, p): qs = eps es /
+    (p_hPa - es) with Bolton es."""
+    es = sat_vapor_pressure_hpa(t_k)
+    return F.lit(EPS) * es / (_c(p) / F.lit(100.0) - es)
+
+
+def _pi_sat(t, p) -> Column:
+    """theta_e/T for a SATURATED parcel at (t, p): the Bolton eq. 43
+    factor with qv = qs(t, p) and T_L = t (a saturated parcel is at
+    its own condensation level).  T * _pi_sat(T, p) is strictly
+    increasing in T — the monotonicity the bisection inverts."""
+    qs = qv_sat(t, p)
+    return F.pow(
+        F.lit(1000.0) / (_c(p) / F.lit(100.0)),
+        F.lit(0.2854) * (F.lit(1.0) - F.lit(0.28) * qs),
+    ) * F.exp(
+        (F.lit(3.376) / _c(t) - F.lit(0.00254))
+        * F.lit(1000.0)
+        * qs
+        * (F.lit(1.0) + F.lit(0.81) * qs)
+    )
+
+
+def moist_adiabat_t_k(theta_e0, p, iters: int = 40) -> Column:
+    """Temperature [K] on the pseudo-adiabat theta_e == ``theta_e0``
+    at pressure ``p``: inverts T * _pi_sat(T, p) = theta_e0 by
+    BISECTION on [150, 350] K, run as one ``F.aggregate`` higher-order
+    function — the 40 halvings execute at RUNTIME inside the JVM (no
+    expression unrolling, unlike a fixed-unroll Newton whose tree
+    would grow exponentially in the iteration count).
+
+    Cross-engine determinism: every midpoint is an exact dyadic
+    half-sum, so a libm-drifted comparison can only flip when the
+    midpoint is within drift distance of the ROOT itself — in which
+    case both branches bracket the root and the final answers agree
+    to ~1e-9 K.  40 iterations bound the bracket at 200/2^40 ~ 2e-10
+    K, well below the gates' quantization."""
+    the0 = _c(theta_e0)
+    zero = F.struct(
+        F.lit(150.0).alias("lo"), F.lit(350.0).alias("hi")
+    )
+
+    def step(acc, _x):
+        mid = (acc["lo"] + acc["hi"]) * F.lit(0.5)
+        below = mid * _pi_sat(mid, p) < the0
+        return F.struct(
+            F.when(below, mid).otherwise(acc["lo"]).alias("lo"),
+            F.when(below, acc["hi"]).otherwise(mid).alias("hi"),
+        )
+
+    res = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(iters))), zero, step
+    )
+    return (res["lo"] + res["hi"]) * F.lit(0.5)
+
+
+def moist_adiabat_sql(theta_e0_sql: str, p_sql: str = "p") -> dict[str, str]:
+    """The DuckDB mirror of ``moist_adiabat_t_k``: SQL fragments for a
+    recursive-CTE bisection (row-wise iteration — DuckDB has no
+    higher-order fold over scalars).  Returns the seed column list,
+    the step expressions for lo/hi, and the finish expression; the
+    caller owns the CTE plumbing.  Literals and operation order match
+    the Column builder exactly."""
+    def pi(t: str) -> str:
+        es = (
+            f"(6.112 * exp(17.67 * ({t} - 273.15)"
+            f" / (({t} - 273.15) + 243.5)))"
+        )
+        qs = f"(0.622 * {es} / ({p_sql} / 100.0 - {es}))"
+        return (
+            f"pow(1000.0 / ({p_sql} / 100.0),"
+            f" 0.2854 * (1.0 - 0.28 * {qs}))"
+            f" * exp((3.376 / {t} - 0.00254) * 1000.0 * {qs}"
+            f" * (1.0 + 0.81 * {qs}))"
+        )
+
+    mid = "((lo + hi) * 0.5)"
+    below = f"{mid} * {pi(mid)} < {theta_e0_sql}"
+    return {
+        "seed": "CAST(150.0 AS DOUBLE) AS lo, CAST(350.0 AS DOUBLE) AS hi",
+        "step_lo": f"CASE WHEN {below} THEN {mid} ELSE lo END",
+        "step_hi": f"CASE WHEN {below} THEN hi ELSE {mid} END",
+        "finish": "((lo + hi) * 0.5)",
+    }
+
+
 # RIP CALDBZ constants (the wrf-python `dbz` defaults: exponential
 # Marshall-Palmer size distributions with fixed intercepts, ice
 # dielectric factor alpha on frozen species)

@@ -138,6 +138,96 @@ def precipitable_water(
     )
 
 
+def surface_cape(
+    df: DataFrame,
+    p_col: str,
+    t_col: str,
+    qv_col: str,
+    dz_col: str,
+    col_keys: list[str],
+    iters: int = 40,
+    quant: float = 1.0e4,
+) -> DataFrame:
+    """Surface-based CAPE and CIN [J/kg] per atmospheric column (the
+    wrf-python `cape_2d` quantities): lift the LOWEST (highest-
+    pressure) level's parcel dry-adiabatically to its Bolton LCL, then
+    pseudo-adiabatically (theta_e conserved, inverted by the
+    ``moist_adiabat_t_k`` runtime bisection), and integrate virtual-
+    temperature buoyancy B = g (Tv_parcel - Tv_env) / Tv_env:
+
+    - **cape** = sum of max(B, 0) dz over the whole column (the
+      positive area; zero, not NULL, for absolutely stable columns);
+    - **cin**  = sum of min(B, 0) dz over levels strictly BELOW the
+      level of free convection (the first level with B > 0); NULL
+      when no LFC exists (the wrf-python missing-value convention).
+
+    Distribution shape: one window over the column key extracts the
+    surface parcel (first level by descending pressure), a second
+    window on the SAME key finds the LFC (no extra shuffle — Catalyst
+    reuses the partitioning), and one partial-aggregated groupBy sums
+    the quantized contributions.  Per-level contributions are floored
+    onto a 1/quant J/kg lattice (BIGINT) before summing, making the
+    multi-row float sum order-independent (suite integer rule);
+    gates verify their synthetic profiles keep safe distances from
+    the lattice boundaries."""
+    from wrf_to_geodataframe_spark.functions.meteo import (
+        G0,
+        RD_OVER_CP,
+        lcl_temperature_k,
+        moist_adiabat_t_k,
+        qv_sat,
+        theta_e_bolton,
+        virtual_temperature,
+    )
+
+    w = Window.partitionBy(*col_keys).orderBy(F.col(p_col).desc())
+    d = (
+        df.withColumn("_t0", F.first(t_col).over(w))
+        .withColumn("_p0", F.first(p_col).over(w))
+        .withColumn("_qv0", F.first(qv_col).over(w))
+    )
+    the0 = theta_e_bolton(F.col("_t0"), F.col("_p0"), F.col("_qv0"))
+    tl = lcl_temperature_k(F.col("_t0"), F.col("_p0"), F.col("_qv0"))
+    plcl = F.col("_p0") * F.pow(tl / F.col("_t0"), F.lit(3.5))
+    tp_dry = F.col("_t0") * F.pow(
+        F.col(p_col) / F.col("_p0"), F.lit(RD_OVER_CP)
+    )
+    below_lcl = F.col(p_col) >= plcl
+    d = d.withColumn(
+        "_tp",
+        F.when(below_lcl, tp_dry).otherwise(
+            moist_adiabat_t_k(the0, F.col(p_col), iters=iters)
+        ),
+    ).withColumn(
+        "_qvp",
+        F.when(below_lcl, F.col("_qv0")).otherwise(
+            qv_sat(F.col("_tp"), F.col(p_col))
+        ),
+    )
+    tve = virtual_temperature(F.col(t_col), F.col(qv_col))
+    tvp = virtual_temperature(F.col("_tp"), F.col("_qvp"))
+    d = d.withColumn("_b", F.lit(G0) * (tvp - tve) / tve)
+    wk = Window.partitionBy(*col_keys)
+    d = d.withColumn(
+        "_p_lfc",
+        F.max(F.when(F.col("_b") > 0, F.col(p_col))).over(wk),
+    )
+    q = F.lit(float(quant))
+    pos = F.floor(
+        F.greatest(F.col("_b"), F.lit(0.0)) * F.col(dz_col) * q
+    ).cast("long")
+    neg = F.when(
+        F.col(p_col) > F.col("_p_lfc"),
+        F.floor(
+            F.least(F.col("_b"), F.lit(0.0)) * F.col(dz_col) * q
+        ).cast("long"),
+    )
+    return d.groupBy(*col_keys).agg(
+        (F.sum(pos) / q).alias("cape"),
+        (F.sum(neg) / q).alias("cin"),
+    )
+
+
 def cloud_top_temperature(
     df: DataFrame,
     level_col: str,

@@ -210,14 +210,188 @@ FROM pairs GROUP BY y, x
 """
 
 
+_CAPE_K = 10  # levels per sounding column
+
+
+def m6_surface_cape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURFACE-BASED CAPE/CIN (wrf-python `cape_2d`): lift the surface
+    parcel dry-adiabatically to its Bolton LCL, pseudo-adiabatically
+    above it (theta_e inverted by the 40-step runtime BISECTION in
+    functions/meteo.moist_adiabat_t_k — an F.aggregate higher-order
+    fold, no expression unrolling), and integrate virtual-temperature
+    buoyancy per column: cape = positive area, cin = negative area
+    below the LFC, NULL when no LFC exists (operators/vertical.py
+    surface_cape).  Synthetic soundings vary surface moisture and
+    lapse rate per column, so convective (cape > 0, cin < 0) and
+    absolutely stable (cape = 0, cin NULL) arms are both live at
+    every SF.
+
+    Oracle: the ENGINE derives the surface parcel with a window and
+    brackets the adiabat with a JVM fold; the ORACLE states the
+    surface parcel in closed form and runs the bisection as a
+    40-round recursive CTE — independent machinery around shared
+    class-B formulas (tests/test_cape.py carries the physics
+    identities and a pure-numpy replay).  Per-level contributions are
+    floored onto a 1e-4 J/kg lattice before the sum (order-
+    independence); tests/test_cape.py measures the lattice and
+    branch-boundary margins at all three SFs."""
+    from wrf_to_geodataframe_spark.operators.vertical import surface_cape
+
+    # every synthetic constant is DYADIC (finite in binary AND
+    # decimal): DuckDB parses decimal literals as DECIMAL and computes
+    # the field expressions exactly, so only values that are exactly
+    # representable in both radixes give the two engines bit-identical
+    # inputs (B == 0 exactly at the surface relies on this)
+    lev = _lattice(spark, sf_dir).select(
+        "y", "x",
+        F.explode(F.sequence(F.lit(0), F.lit(_CAPE_K - 1))).alias("k"),
+    ).select(
+        "y", "x", "k",
+        (F.lit(100000.0) - F.col("k") * 9000.0).alias("p"),
+        (
+            F.lit(302.0)
+            + (F.col("x") % 3) * 0.5
+            + (F.col("y") % 5) * 0.25
+            - F.when((F.col("x") + F.col("y")) % 5 == 4, 3.0)
+            .otherwise(F.lit(6.5))
+            * F.col("k")
+        ).alias("t"),
+        F.greatest(
+            F.lit(0.015625)  # 1/64
+            + ((F.col("x") + F.col("y")) % 4) * 0.001953125  # 1/512
+            - F.lit(0.00146484375) * F.col("k"),  # 3/2048
+            F.lit(0.000244140625),  # 1/4096
+        ).alias("qv"),
+        (F.lit(500.0) + F.col("k") * 20.0).alias("dz"),
+    )
+    out = surface_cape(lev, "p", "t", "qv", "dz", ["y", "x"])
+    return out.select(
+        F.col("y").alias("y_idx"),
+        F.col("x").cast("long").alias("x_idx"),
+        "cape",
+        "cin",
+    )
+
+
+def _m6_sql() -> str:
+    from wrf_to_geodataframe_spark.functions.meteo import moist_adiabat_sql
+
+    # every formula below references the DOUBLE-cast columns of lev /
+    # par0, never raw decimal literals against each other: DuckDB only
+    # falls back to binary float arithmetic (matching Spark bit-for-
+    # bit) when at least one operand is DOUBLE — the synthetic columns
+    # are cast once, exactly (they are dyadic), and everything
+    # downstream is then double math identical to the engine's
+    e0 = "((p0 / 100.0) * qv0 / (0.622 + qv0))"
+    tl = f"(2840.0 / (3.5 * ln(t0) - ln({e0}) - 4.805) + 55.0)"
+    the0 = (
+        "(t0 * pow(1000.0 / (p0 / 100.0),"
+        " 0.2854 * (1.0 - 0.28 * qv0))"
+        " * exp((3.376 / tl - 0.00254) * 1000.0 * qv0"
+        " * (1.0 + 0.81 * qv0)))"
+    )
+    plcl = "(p0 * pow(tl / t0, 3.5))"
+    frag = moist_adiabat_sql("the0", "p")
+    es_tp = "(6.112 * exp(17.67 * (tp - 273.15) / ((tp - 273.15) + 243.5)))"
+    qs_tp = f"(0.622 * {es_tp} / (p / 100.0 - {es_tp}))"
+    return f"""
+WITH RECURSIVE ys AS ({_D_YS_SQL}),
+cells AS (
+    SELECT y, x FROM ys, generate_series(0, {_DW - 1}) AS t(x)
+),
+lev AS (
+    SELECT y, x, k,
+           CAST(100000.0 - k * 9000.0 AS DOUBLE) AS p,
+           CAST(302.0 + (x % 3) * 0.5 + (y % 5) * 0.25
+             - (CASE WHEN (x + y) % 5 = 4 THEN 3.0 ELSE 6.5 END) * k
+             AS DOUBLE) AS t,
+           CAST(CASE WHEN 0.015625 + ((x + y) % 4) * 0.001953125
+                          - 0.00146484375 * k > 0.000244140625
+                 THEN 0.015625 + ((x + y) % 4) * 0.001953125
+                      - 0.00146484375 * k
+                 ELSE 0.000244140625 END AS DOUBLE) AS qv,
+           CAST(500.0 + k * 20.0 AS DOUBLE) AS dz
+    FROM cells, generate_series(0, {_CAPE_K - 1}) AS t2(k)
+),
+par0 AS (
+    SELECT y, x,
+           CAST(302.0 + (x % 3) * 0.5 + (y % 5) * 0.25 AS DOUBLE) AS t0,
+           CAST(100000.0 AS DOUBLE) AS p0,
+           CAST(CASE WHEN 0.015625 + ((x + y) % 4) * 0.001953125
+                          > 0.000244140625
+                 THEN 0.015625 + ((x + y) % 4) * 0.001953125
+                 ELSE 0.000244140625 END AS DOUBLE) AS qv0
+    FROM cells
+),
+par1 AS (
+    SELECT y, x, t0, p0, qv0, {tl} AS tl FROM par0
+),
+par AS (
+    SELECT y, x, t0, p0, qv0, {the0} AS the0, {plcl} AS plcl FROM par1
+),
+it AS (
+    SELECT lev.y, lev.x, lev.k, lev.p, par.the0,
+           {frag['seed']}, 0 AS n
+    FROM lev JOIN par ON lev.y = par.y AND lev.x = par.x
+    WHERE lev.p < par.plcl
+    UNION ALL
+    SELECT y, x, k, p, the0,
+           {frag['step_lo']} AS lo,
+           {frag['step_hi']} AS hi,
+           n + 1
+    FROM it WHERE n < 40
+),
+tpm AS (
+    SELECT y, x, k, {frag['finish']} AS tp FROM it WHERE n = 40
+),
+b AS (
+    SELECT q.y, q.x, q.k, q.p, q.dz,
+           9.81 * (tvp - tve) / tve AS bb
+    FROM (
+        SELECT lev.*,
+               (CASE WHEN lev.p >= par.plcl
+                     THEN par.t0 * pow(lev.p / 100000.0, 2.0/7.0)
+                     ELSE tpm.tp END)
+               * (1.0 + 0.61 * (CASE WHEN lev.p >= par.plcl
+                                     THEN par.qv0 ELSE {qs_tp} END))
+                 AS tvp,
+               lev.t * (1.0 + 0.61 * lev.qv) AS tve
+        FROM lev
+        JOIN par ON lev.y = par.y AND lev.x = par.x
+        LEFT JOIN tpm
+          ON lev.y = tpm.y AND lev.x = tpm.x AND lev.k = tpm.k
+    ) q
+),
+lfc AS (
+    SELECT y, x, k, p, dz, bb,
+           max(CASE WHEN bb > 0 THEN p END)
+             OVER (PARTITION BY y, x) AS p_lfc
+    FROM b
+)
+SELECT y AS y_idx, CAST(x AS BIGINT) AS x_idx,
+       CAST(sum(CAST(floor(
+           (CASE WHEN bb > 0.0 THEN bb ELSE 0.0 END) * dz * 10000.0
+         ) AS BIGINT)) AS BIGINT) / 10000.0 AS cape,
+       CAST(sum(CASE WHEN p > p_lfc THEN CAST(floor(
+           (CASE WHEN bb < 0.0 THEN bb ELSE 0.0 END) * dz * 10000.0
+         ) AS BIGINT) END) AS BIGINT) / 10000.0 AS cin
+FROM lfc GROUP BY y, x
+"""
+
+
+_M6_SQL = _m6_sql()
+
+
 QUERIES = {
     "m3_absolute_vorticity": m3_absolute_vorticity,
     "m4_updraft_helicity": m4_updraft_helicity,
     "m5_storm_rel_helicity": m5_storm_rel_helicity,
+    "m6_surface_cape": m6_surface_cape,
 }
 
 ORACLE = {
     "m3_absolute_vorticity": _M3_SQL,
     "m4_updraft_helicity": _M4_SQL,
     "m5_storm_rel_helicity": _M5_SQL,
+    "m6_surface_cape": _M6_SQL,
 }
