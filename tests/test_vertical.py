@@ -210,3 +210,68 @@ def test_destagger_emits_null_mass_point_for_missing_value(spark):
     assert set(got) == {0, 1, 2}  # 3 mass points from 4 staggered
     assert got[0] is None and got[1] is None  # both touch the gap
     assert got[2] == 4.0
+
+
+def test_vertcross_bilinear_reproduces_linear_field_exactly(spark):
+    """Bilinear interpolation is exact on an affine field: sampling
+    f = a x + b y + c along any line must return the closed form at
+    every sample point and level."""
+    from wrf_to_geodataframe_spark.operators.vertical import vertcross
+
+    a, b, c = 2.5, -1.25, 7.0
+    rows = [
+        (x, y, k, a * x + b * y + c + 10.0 * k)
+        for x in range(5)
+        for y in range(5)
+        for k in range(3)
+    ]
+    df = spark.createDataFrame(rows, "x long, y long, k long, f double")
+    got = {
+        (r.s, r.k): r.vc
+        for r in vertcross(
+            df, "f", "k", "x", "y", (0.5, 0.25), (3.5, 3.25), 7
+        ).collect()
+    }
+    assert len(got) == 21
+    for s in range(7):
+        xi, yi = 0.5 + s * 0.5, 0.25 + s * 0.5
+        for k in range(3):
+            want = a * xi + b * yi + c + 10.0 * k
+            assert got[(s, k)] == want, (s, k)
+
+
+def test_vertcross_exact_node_hit_uses_single_cell(spark):
+    """A sample landing exactly ON a grid node must return that node's
+    value bit-for-bit, and must not reference neighbors (the zero-
+    weight filter) — probed on a grid whose node (2, 1) neighbors are
+    deliberately absent."""
+    from wrf_to_geodataframe_spark.operators.vertical import vertcross
+
+    rows = [(2, 1, 0, 42.5), (0, 0, 0, 1.0), (1, 0, 0, 2.0), (0, 1, 0, 3.0), (1, 1, 0, 4.0)]
+    df = spark.createDataFrame(rows, "x long, y long, k long, f double")
+    got = {
+        r.s: r.vc
+        for r in vertcross(
+            df, "f", "k", "x", "y", (0.5, 0.5), (2.0, 1.0), 2
+        ).collect()
+    }
+    assert got[1] == 42.5  # exact node, neighbors (3,1)/(2,2) absent
+    assert got[0] == (1.0 + 2.0 + 3.0 + 4.0) / 4.0  # cell-center mean
+
+
+def test_vertcross_broadcasts_the_point_table(spark):
+    """The grid side must never shuffle: the corner table is the
+    broadcast side of one BroadcastHashJoin."""
+    from wrf_to_geodataframe_spark.operators.vertical import vertcross
+
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("x"),
+        F.floor(F.col("id") / 10).alias("y"),
+        F.lit(0).alias("k"),
+        F.col("id").cast("double").alias("f"),
+    )
+    plan = vertcross(
+        df, "f", "k", "x", "y", (0.5, 0.5), (8.5, 8.5), 5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -138,6 +138,83 @@ def precipitable_water(
     )
 
 
+def vertcross(
+    df: DataFrame,
+    value_col: str,
+    level_col: str,
+    x_col: str,
+    y_col: str,
+    start: tuple[float, float],
+    end: tuple[float, float],
+    n_points: int,
+    out_col: str = "vc",
+) -> DataFrame:
+    """Vertical cross-section (wrf-python `vertcross`/`interpline`):
+    sample ``n_points`` evenly along the straight line ``start`` ->
+    ``end`` in grid-index space, bilinearly interpolating
+    ``value_col`` at every vertical level.
+
+    Distribution shape: the sample points and their (at most four)
+    weighted corner cells form a TINY driver-free table (built with
+    ``spark.range``, n_points x 4 rows) that is broadcast into one
+    equi join against the full grid on the cell key — the 100 TB grid
+    never shuffles; a partial-aggregated groupBy on (sample, level)
+    sums the corner contributions.  Zero-weight corners (samples
+    landing exactly on a grid line) are filtered out BEFORE the join,
+    so edge samples never reference cells outside the grid.
+
+    Exactness: with dyadic endpoints and a power-of-two point count
+    the sample coordinates, corner weights, and weighted sums are all
+    exactly representable — gates compare unquantized."""
+    sx, sy = float(start[0]), float(start[1])
+    ex, ey = float(end[0]), float(end[1])
+    n = int(n_points)
+    step = 1.0 / (n - 1) if n > 1 else 0.0
+    spark = df.sparkSession
+    pts = spark.range(n).select(
+        F.col("id").alias("_s"),
+        (F.lit(sx) + F.col("id") * F.lit((ex - sx) * step)).alias("_xi"),
+        (F.lit(sy) + F.col("id") * F.lit((ey - sy) * step)).alias("_yi"),
+    )
+    fx = F.col("_xi") - F.floor(F.col("_xi"))
+    fy = F.col("_yi") - F.floor(F.col("_yi"))
+    cx = F.floor(F.col("_xi")).cast("long")
+    cy = F.floor(F.col("_yi")).cast("long")
+    corner = F.explode(
+        F.array(
+            F.struct(
+                cx.alias("_cx"), cy.alias("_cy"),
+                ((F.lit(1.0) - fx) * (F.lit(1.0) - fy)).alias("_w"),
+            ),
+            F.struct(
+                (cx + 1).alias("_cx"), cy.alias("_cy"),
+                (fx * (F.lit(1.0) - fy)).alias("_w"),
+            ),
+            F.struct(
+                cx.alias("_cx"), (cy + 1).alias("_cy"),
+                ((F.lit(1.0) - fx) * fy).alias("_w"),
+            ),
+            F.struct(
+                (cx + 1).alias("_cx"), (cy + 1).alias("_cy"),
+                (fx * fy).alias("_w"),
+            ),
+        )
+    )
+    corners = (
+        pts.select("_s", corner.alias("_c"))
+        .select("_s", "_c._cx", "_c._cy", "_c._w")
+        .filter(F.col("_w") != 0.0)
+    )
+    joined = F.broadcast(corners).join(
+        df,
+        (F.col("_cx") == F.col(x_col)) & (F.col("_cy") == F.col(y_col)),
+    )
+    return (
+        joined.groupBy(F.col("_s").alias("s"), F.col(level_col))
+        .agg(F.sum(F.col("_w") * F.col(value_col)).alias(out_col))
+    )
+
+
 def surface_cape(
     df: DataFrame,
     p_col: str,

@@ -1748,9 +1748,77 @@ FROM lev GROUP BY user_id
 """
 
 
+def v5_vertcross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERTCROSS (wrf-python `vertcross`/`interpline`): bilinear
+    samples of a model-level field along the line (0.25, 0.25) ->
+    (2.75, 2.25) in grid-index space, at 9 points x 5 levels
+    (operators/vertical.py).  The engine broadcasts the tiny
+    point/corner table into one equi join against the grid (the grid
+    never shuffles) and sums corner contributions per (sample,
+    level); samples landing exactly on a grid line (s = 3, 7 here)
+    exercise the zero-weight-corner filter.  Dyadic endpoints and a
+    power-of-two step make every weight and weighted sum exact — the
+    gate compares unquantized.
+
+    Oracle: closed-form sample coordinates and weights in SQL, joined
+    by DuckDB's own machinery — class A-minus (same spec, independent
+    execution)."""
+    from wrf_to_geodataframe_spark.operators.vertical import vertcross
+
+    ys = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("user_id") / 4).alias("y")
+    ).distinct()
+    lev = ys.select(
+        "y", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("x")
+    ).select(
+        "y", "x", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("k")
+    ).select(
+        "y", "x", "k",
+        (
+            (F.col("x") * 3.0 + F.col("y") * 5.0 + F.col("k") * F.col("k"))
+            / 8.0
+        ).alias("f"),
+    )
+    out = vertcross(
+        lev, "f", "k", "x", "y", (0.25, 0.25), (2.75, 2.25), 9
+    )
+    return out.select("s", F.col("k").cast("long").alias("k"), "vc")
+
+
+_V5_SQL = """
+WITH ys AS (
+    SELECT DISTINCT CAST(floor(user_id / 4.0) AS BIGINT) AS y FROM events
+),
+lev AS (
+    SELECT y, x, k,
+           (x * 3.0 + y * 5.0 + k * k) / 8.0 AS f
+    FROM ys, generate_series(0, 3) AS t(x), generate_series(0, 4) AS t2(k)
+),
+pts AS (
+    SELECT s, 0.25 + s * 0.3125 AS xi, 0.25 + s * 0.25 AS yi
+    FROM generate_series(0, 8) AS t(s)
+),
+corners AS (
+    SELECT s,
+           CAST(floor(xi) AS BIGINT) + dx AS cx,
+           CAST(floor(yi) AS BIGINT) + dy AS cy,
+           (CASE WHEN dx = 0 THEN 1.0 - (xi - floor(xi))
+                 ELSE xi - floor(xi) END)
+           * (CASE WHEN dy = 0 THEN 1.0 - (yi - floor(yi))
+                   ELSE yi - floor(yi) END) AS w
+    FROM pts, (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) AS c(dx, dy)
+)
+SELECT CAST(s AS BIGINT) AS s, k, sum(w * f) AS vc
+FROM corners JOIN lev ON cx = lev.x AND cy = lev.y
+WHERE w <> 0.0
+GROUP BY s, k
+"""
+
+
 QUERIES = {
     "m1_met_diagnostics": m1_met_diagnostics,
     "m2_thermo_diagnostics": m2_thermo_diagnostics,
+    "v5_vertcross": v5_vertcross,
     "v1_destagger": v1_destagger,
     "v2_interplevel": v2_interplevel,
     "v3_precipitable_water": v3_precipitable_water,
@@ -1778,6 +1846,7 @@ QUERIES = {
 ORACLE = {
     "m1_met_diagnostics": _M1_SQL,
     "m2_thermo_diagnostics": _M2_SQL,
+    "v5_vertcross": _V5_SQL,
     "v1_destagger": _V1_SQL,
     "v2_interplevel": _V2_SQL,
     "v3_precipitable_water": _V3_SQL,
