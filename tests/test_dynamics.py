@@ -183,3 +183,98 @@ def test_srh_circular_hodograph_sweeps_circle_area(spark):
     ).collect()
     ngon_area = 0.5 * n * radius * radius * math.sin(2 * math.pi / n)
     assert out[0].srh == pytest.approx(-2 * ngon_area, rel=1e-12)
+
+
+def test_smooth2d_preserves_constant_and_matches_numpy(spark):
+    """A constant field is a fixed point of the smoother; a random
+    dyadic field must match the explicit numpy stencil with boundary
+    passthrough, for both one and two passes."""
+    from wrf_to_geodataframe_spark.operators.dynamics import smooth2d
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(-256, 256, size=(6, 5)) / 8.0
+
+    def np_pass(a):
+        out = a.copy()
+        out[1:-1, 1:-1] = a[1:-1, 1:-1] / 2.0 + (
+            (a[1:-1, :-2] + a[1:-1, 2:]) + (a[:-2, 1:-1] + a[2:, 1:-1])
+        ) / 8.0
+        return out
+
+    rows = [
+        (y, x, float(vals[y, x])) for y in range(6) for x in range(5)
+    ]
+    df = spark.createDataFrame(rows, "y long, x long, f double")
+    for passes in (1, 2):
+        want = vals
+        for _ in range(passes):
+            want = np_pass(want)
+        got = {
+            (r.y, r.x): r.fs
+            for r in smooth2d(df, "f", "x", "y", passes=passes,
+                              out_col="fs").collect()
+        }
+        for y in range(6):
+            for x in range(5):
+                assert got[(y, x)] == want[y, x], (passes, y, x)
+    const = df.withColumn("f", F.lit(3.25))
+    for r in smooth2d(const, "f", "x", "y", passes=3,
+                      out_col="fs").collect():
+        assert r.fs == 3.25
+
+
+def test_potential_vorticity_solid_body_uniform_lapse(spark):
+    """Solid-body rotation (zeta = 2 omega) with a uniform theta
+    lapse: PV = -g * 2 omega * dtheta/dp exactly at every interior
+    point."""
+    from wrf_to_geodataframe_spark.operators.dynamics import (
+        potential_vorticity,
+    )
+
+    omega, dx = 0.0625, 8.0
+    lev = _grid(spark, 5, 5).select(
+        "y", "x",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("k"),
+    ).select(
+        "y", "x", "k",
+        (F.lit(-omega) * F.col("y") * dx).alias("u"),
+        (F.lit(omega) * F.col("x") * dx).alias("v"),
+        (F.lit(300.0) + F.col("k") * 4.0).alias("theta"),
+        (F.lit(100000.0) - F.col("k") * 10000.0).alias("p"),
+    )
+    out = potential_vorticity(
+        lev, "u", "v", "theta", "p", "x", "y", "k", dx, dx
+    ).collect()
+    want = -9.81 * (2 * omega) * (8.0 / -20000.0)
+    n_interior = 0
+    for r in out:
+        interior = 1 <= r.x <= 3 and 1 <= r.y <= 3 and 1 <= r.k <= 3
+        if interior:
+            assert r.pv == want, (r.x, r.y, r.k)
+            n_interior += 1
+        else:
+            assert r.pv is None, (r.x, r.y, r.k)
+    assert n_interior == 27
+
+
+def test_cloud_fraction_clamps_and_null_band(spark):
+    """rh >= 95 saturates the ramp at exactly 1, rh <= 75 floors at
+    exactly 0, and a band with no levels yields NULL (distinct from
+    dry-but-sampled 0.0)."""
+    from wrf_to_geodataframe_spark.operators.vertical import cloud_fraction
+
+    rows = [
+        # column 0: low saturated, mid dry, no high levels at all
+        (0, 90000.0, 99.0), (0, 85000.0, 80.0), (0, 70000.0, 60.0),
+        # column 1: interpolated mid value 85 -> ramp 0.5
+        (1, 90000.0, 10.0), (1, 60000.0, 85.0), (1, 30000.0, 96.0),
+    ]
+    df = spark.createDataFrame(rows, "cid long, p double, rh double")
+    got = {
+        r.cid: (r.cf_low, r.cf_mid, r.cf_high)
+        for r in cloud_fraction(df, "p", "rh", ["cid"]).collect()
+    }
+    assert got[0][0] == 1.0  # 99 saturates; the 80-rh level also low
+    assert got[0][1] == 0.0  # mid has only the dry 70000 Pa level
+    assert got[0][2] is None  # no high levels
+    assert got[1] == (0.0, 0.5, 1.0)

@@ -171,11 +171,117 @@ def storm_relative_helicity(
     return pair.groupBy(*col_keys).agg(F.sum(term).alias(out_col))
 
 
+def potential_vorticity(
+    df: DataFrame,
+    u_col: str,
+    v_col: str,
+    theta_col: str,
+    p_col: str,
+    x_col: str,
+    y_col: str,
+    k_col: str,
+    dx: float,
+    dy: float,
+    lat_col: str | None = None,
+    out_col: str = "pv",
+) -> DataFrame:
+    """Ertel potential vorticity on model levels [K m2 kg-1 s-1]
+    (wrf-python `pvo`, isobaric-coordinate form without map factors —
+    stated): PV = -g (zeta + f) dtheta/dp, with zeta the relative
+    vorticity from horizontal pencil windows (per level) and dtheta/dp
+    a centered difference over the column pencil:
+
+        dtheta/dp = (theta[k+1] - theta[k-1]) / (p[k+1] - p[k-1])
+
+    Three pencil window passes total (d/dx, d/dy, d/dk), each
+    partitioned into thousands of independent pencils; lateral and
+    vertical boundaries carry NULL (the avo convention).  Multiply by
+    1e6 for PVU."""
+    zeta = absolute_vorticity(
+        df, u_col, v_col, x_col, y_col, dx, dy,
+        lat_col=lat_col, group_cols=[k_col], out_col="_zf",
+    )
+    w = Window.partitionBy(x_col, y_col).orderBy(k_col)
+    nxt_ok = F.lead(k_col).over(w) == F.col(k_col) + 1
+    prv_ok = F.lag(k_col).over(w) == F.col(k_col) - 1
+    dthdp = F.when(
+        nxt_ok & prv_ok,
+        (F.lead(theta_col).over(w) - F.lag(theta_col).over(w))
+        / (F.lead(p_col).over(w) - F.lag(p_col).over(w)),
+    )
+    return zeta.withColumn("_dthdp", dthdp).withColumn(
+        out_col,
+        F.lit(-9.81) * F.col("_zf") * F.col("_dthdp"),
+    ).drop("_zf", "_dthdp")
+
+
+def smooth2d(
+    df: DataFrame,
+    value_col: str,
+    x_col: str,
+    y_col: str,
+    passes: int = 1,
+    group_cols: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """The wrf-python `smooth2d` 5-point smoother: T' = T/2 +
+    (T_w + T_e + T_n + T_s)/8, applied ``passes`` times; points
+    without all four neighbors (grid boundary, holes) keep their
+    value unchanged for that pass (the RIP convention of leaving the
+    boundary alone).
+
+    Each pass is two pencil-window transforms (one per axis — the
+    cross stencil needs lag+lead on both), so ``passes`` unrolls to
+    2*passes shuffles on uniform pencil keys; all arithmetic is /2
+    and /8 — exact halvings, dyadic-in dyadic-out."""
+    out_col = out_col or f"{value_col}_sm"
+    extra = list(group_cols or [])
+    cur = value_col
+    d = df
+    for i in range(int(passes)):
+        wx = Window.partitionBy(*extra, y_col).orderBy(x_col)
+        wy = Window.partitionBy(*extra, x_col).orderBy(y_col)
+        step = f"_sm{i}"
+        d = (
+            d.withColumn(
+                "_ew",
+                F.when(
+                    (F.lead(x_col).over(wx) == F.col(x_col) + 1)
+                    & (F.lag(x_col).over(wx) == F.col(x_col) - 1),
+                    F.lead(cur).over(wx) + F.lag(cur).over(wx),
+                ),
+            )
+            .withColumn(
+                "_ns",
+                F.when(
+                    (F.lead(y_col).over(wy) == F.col(y_col) + 1)
+                    & (F.lag(y_col).over(wy) == F.col(y_col) - 1),
+                    F.lead(cur).over(wy) + F.lag(cur).over(wy),
+                ),
+            )
+            .withColumn(
+                step,
+                F.when(
+                    F.col("_ew").isNotNull() & F.col("_ns").isNotNull(),
+                    F.col(cur) / 2.0
+                    + (F.col("_ew") + F.col("_ns")) / 8.0,
+                ).otherwise(F.col(cur)),
+            )
+            .drop("_ew", "_ns")
+        )
+        if cur != value_col:
+            d = d.drop(cur)
+        cur = step
+    return d.withColumnRenamed(cur, out_col)
+
+
 __all__ = [
     "OMEGA_E",
     "absolute_vorticity",
     "centered_diff",
     "coriolis_parameter",
+    "potential_vorticity",
+    "smooth2d",
     "storm_relative_helicity",
     "updraft_helicity",
 ]

@@ -138,6 +138,45 @@ def precipitable_water(
     )
 
 
+def cloud_fraction(
+    df: DataFrame,
+    p_col: str,
+    rh_col: str,
+    col_keys: list[str],
+    low: tuple[float, float] = (97000.0, 80000.0),
+    mid: tuple[float, float] = (80000.0, 45000.0),
+    high: tuple[float, float] = (45000.0, 0.0),
+    rh_clear: float = 75.0,
+    rh_overcast: float = 95.0,
+) -> DataFrame:
+    """Low/mid/high cloud fraction per column (the wrf-python
+    `cloudfrac` shape): within each pressure band the fraction is the
+    MAX over levels of the relative-humidity ramp
+
+        frac = clamp((rh - rh_clear) / (rh_overcast - rh_clear), 0, 1)
+
+    — one partial-aggregated groupBy with three conditional maxes (no
+    window, no explode); a column with no level inside a band yields
+    NULL for that band (distinct from 0.0 = levels present but dry).
+    Band edges follow the low/mid/high convention [p_from, p_to) in
+    Pa, high ending at the model top."""
+    ramp = (F.col(rh_col) - F.lit(float(rh_clear))) / F.lit(
+        float(rh_overcast) - float(rh_clear)
+    )
+    frac = F.least(F.greatest(ramp, F.lit(0.0)), F.lit(1.0))
+
+    def band(bounds: tuple[float, float], name: str):
+        hi_p, lo_p = float(bounds[0]), float(bounds[1])
+        inside = (F.col(p_col) <= F.lit(hi_p)) & (
+            F.col(p_col) > F.lit(lo_p)
+        )
+        return F.max(F.when(inside, frac)).alias(name)
+
+    return df.groupBy(*col_keys).agg(
+        band(low, "cf_low"), band(mid, "cf_mid"), band(high, "cf_high")
+    )
+
+
 def vertcross(
     df: DataFrame,
     value_col: str,

@@ -382,11 +382,212 @@ FROM lfc GROUP BY y, x
 _M6_SQL = _m6_sql()
 
 
+def m7_potential_vorticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERTEL POTENTIAL VORTICITY (wrf-python `pvo`, isobaric form):
+    PV = -g (zeta + f) dtheta/dp over the dynamics lattice — three
+    pencil-window passes (d/dx, d/dy per level; dtheta/dp per column),
+    NULL on every lateral/vertical boundary (operators/dynamics.py).
+    The m4 wind fields give exact dyadic zeta; theta = 300 + 2k +
+    k^2/8 + ((3x+y)%8)/4 gives the exact column difference
+    4 + 0.5 k over the exact -18000 Pa span.  Output scaled to PVU
+    (1e-6 s-1 K m2 kg-1... the standard 1e-6 unit) and rounded,
+    absorbing Coriolis sin() drift."""
+    from wrf_to_geodataframe_spark.operators.dynamics import (
+        potential_vorticity,
+    )
+
+    lev = _lattice(spark, sf_dir).select(
+        "y", "x",
+        F.explode(F.sequence(F.lit(0), F.lit(_DK - 1))).alias("k"),
+    ).select(
+        "y", "x", "k",
+        (
+            (F.col("y") * F.col("y") * (F.col("k") + 1) * 3.0 + F.col("x"))
+            / 16.0
+        ).alias("u"),
+        (
+            (F.col("x") * F.col("x") * (F.col("k") + 2) * 5.0 + F.col("y"))
+            / 16.0
+        ).alias("v"),
+        (
+            F.lit(300.0)
+            + F.col("k") * 2.0
+            + F.col("k") * F.col("k") / 8.0
+            + ((F.col("x") * 3 + F.col("y")) % 8) / 4.0
+        ).alias("theta"),
+        (F.lit(100000.0) - F.col("k") * 9000.0).alias("p"),
+        (F.lit(20.0) + (F.col("y") % 160) * 0.25).alias("lat"),
+    )
+    out = potential_vorticity(
+        lev, "u", "v", "theta", "p", "x", "y", "k", _DXY, _DXY,
+        lat_col="lat", out_col="pv",
+    )
+    return out.select(
+        F.col("y").alias("y_idx"),
+        F.col("x").cast("long").alias("x_idx"),
+        F.col("k").cast("long").alias("k"),
+        F.round(F.col("pv") * 1000000.0, 6).alias("pvu"),
+    )
+
+
+_M7_SQL = f"""
+WITH ys AS ({_D_YS_SQL}),
+ym AS (SELECT max(y) AS ymax FROM ys),
+lev AS (
+    SELECT y, x, k FROM ys, generate_series(0, {_DW - 1}) AS t(x),
+         generate_series(0, {_DK - 1}) AS t2(k)
+)
+SELECT y AS y_idx, CAST(x AS BIGINT) AS x_idx, CAST(k AS BIGINT) AS k,
+       CASE WHEN x BETWEEN 1 AND {_DW - 2}
+             AND y BETWEEN 1 AND (SELECT ymax FROM ym) - 1
+             AND k BETWEEN 1 AND {_DK - 2}
+            THEN round(
+              (-9.81 * ((5.0 * x * (k + 2)) / 4096.0
+                        - (3.0 * y * (k + 1)) / 4096.0
+                        + {2.0 * OMEGA_E!r}
+                          * sin(radians(20.0 + (y % 160) * 0.25)))
+                * ((4.0 + 0.5 * k) / (-18000.0))) * 1000000.0, 6)
+       END AS pvu
+FROM lev
+"""
+
+
+def m8_cloud_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOUD FRACTION (the wrf-python `cloudfrac` shape): per column,
+    the max RH ramp clamp((rh - 75)/(95 - 75), 0, 1) within the low /
+    mid / high pressure bands — ONE partial-agg groupBy with three
+    conditional maxes (operators/vertical.py).  Column depth varies
+    (kmax = 9, 7, or 5 by column), so shallow columns yield NULL for
+    the empty high band (distinct from 0.0 = levels present but dry);
+    integer RH values put the ramp's clamp points (rh = 75, 95) on
+    exact values in both engines."""
+    from wrf_to_geodataframe_spark.operators.vertical import cloud_fraction
+
+    cols = _lattice(spark, sf_dir).withColumn(
+        "kmax", F.lit(9) - ((F.col("x") + F.col("y")) % 3) * 2
+    )
+    lev = cols.select(
+        "y", "x",
+        F.explode(F.sequence(F.lit(0), F.col("kmax"))).alias("k"),
+    ).select(
+        "y", "x",
+        (F.lit(100000.0) - F.col("k") * 9000.0).alias("p"),
+        (
+            F.lit(50.0)
+            + ((F.col("x") * 7 + F.col("y") * 3 + F.col("k") * 5) % 14)
+            * 4.0
+        ).alias("rh"),
+    )
+    out = cloud_fraction(lev, "p", "rh", ["y", "x"])
+    return out.select(
+        F.col("y").alias("y_idx"),
+        F.col("x").cast("long").alias("x_idx"),
+        "cf_low", "cf_mid", "cf_high",
+    )
+
+
+_M8_SQL = f"""
+WITH ys AS ({_D_YS_SQL}),
+cells AS (
+    SELECT y, x, 9 - ((x + y) % 3) * 2 AS kmax
+    FROM ys, generate_series(0, {_DW - 1}) AS t(x)
+),
+lev AS (
+    SELECT y, x,
+           100000.0 - k * 9000.0 AS p,
+           50.0 + ((x * 7 + y * 3 + k * 5) % 14) * 4.0 AS rh
+    FROM cells, generate_series(0, {_DK - 1}) AS t2(k)
+    WHERE k <= kmax
+),
+f AS (
+    SELECT y, x, p,
+           least(greatest((rh - 75.0) / 20.0, 0.0), 1.0) AS frac
+    FROM lev
+)
+SELECT y AS y_idx, CAST(x AS BIGINT) AS x_idx,
+       max(CASE WHEN p <= 97000.0 AND p > 80000.0 THEN frac END) AS cf_low,
+       max(CASE WHEN p <= 80000.0 AND p > 45000.0 THEN frac END) AS cf_mid,
+       max(CASE WHEN p <= 45000.0 AND p > 0.0 THEN frac END) AS cf_high
+FROM f GROUP BY y, x
+"""
+
+
+def g18_smooth2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMOOTH2D (wrf-python `smooth2d`): two passes of the RIP
+    5-point smoother T' = T/2 + (T_w + T_e + T_n + T_s)/8, boundary
+    points passed through unchanged — 2 pencil-window transforms per
+    pass in the engine (operators/dynamics.py).  All arithmetic is
+    exact halvings of dyadics, compared unquantized.
+
+    Oracle: pass 1 AND pass 2 are stated in fully CLOSED form (the
+    smoother applied symbolically to the analytic field, 25 inlined
+    field terms) — no windows, no joins, maximal independence from
+    the engine's neighbor search."""
+    from wrf_to_geodataframe_spark.operators.dynamics import smooth2d
+
+    d = _lattice(spark, sf_dir).select(
+        "y", "x",
+        ((F.col("x") * F.col("x") * 3.0 + F.col("y") * 7.0) / 8.0).alias(
+            "f"
+        ),
+    )
+    out = smooth2d(d, "f", "x", "y", passes=2, out_col="fs")
+    return out.select(
+        F.col("y").alias("y_idx"),
+        F.col("x").cast("long").alias("x_idx"),
+        "fs",
+    )
+
+
+def _g18_sql() -> str:
+    def fld(a: str, b: str) -> str:
+        return f"((({a}) * ({a}) * 3.0 + ({b}) * 7.0) / 8.0)"
+
+    def interior(a: str, b: str) -> str:
+        return (
+            f"({a}) BETWEEN 1 AND {_DW - 2}"
+            f" AND ({b}) BETWEEN 1 AND (SELECT ymax FROM ym) - 1"
+        )
+
+    def s1(a: str, b: str) -> str:
+        return (
+            f"(CASE WHEN {interior(a, b)}"
+            f" THEN {fld(a, b)} / 2.0"
+            f" + (({fld(f'({a}) + 1', b)} + {fld(f'({a}) - 1', b)})"
+            f" + ({fld(a, f'({b}) + 1')} + {fld(a, f'({b}) - 1')})) / 8.0"
+            f" ELSE {fld(a, b)} END)"
+        )
+
+    s2 = (
+        f"CASE WHEN {interior('x', 'y')}"
+        f" THEN {s1('x', 'y')} / 2.0"
+        f" + (({s1('x + 1', 'y')} + {s1('x - 1', 'y')})"
+        f" + ({s1('x', 'y + 1')} + {s1('x', 'y - 1')})) / 8.0"
+        f" ELSE {s1('x', 'y')} END"
+    )
+    return f"""
+WITH ys AS ({_D_YS_SQL}),
+ym AS (SELECT max(y) AS ymax FROM ys),
+cells AS (
+    SELECT y, x FROM ys, generate_series(0, {_DW - 1}) AS t(x)
+)
+SELECT y AS y_idx, CAST(x AS BIGINT) AS x_idx,
+       {s2} AS fs
+FROM cells
+"""
+
+
+_G18_SQL = _g18_sql()
+
+
 QUERIES = {
     "m3_absolute_vorticity": m3_absolute_vorticity,
     "m4_updraft_helicity": m4_updraft_helicity,
     "m5_storm_rel_helicity": m5_storm_rel_helicity,
     "m6_surface_cape": m6_surface_cape,
+    "m7_potential_vorticity": m7_potential_vorticity,
+    "m8_cloud_fraction": m8_cloud_fraction,
+    "g18_smooth2d": g18_smooth2d,
 }
 
 ORACLE = {
@@ -394,4 +595,7 @@ ORACLE = {
     "m4_updraft_helicity": _M4_SQL,
     "m5_storm_rel_helicity": _M5_SQL,
     "m6_surface_cape": _M6_SQL,
+    "m7_potential_vorticity": _M7_SQL,
+    "m8_cloud_fraction": _M8_SQL,
+    "g18_smooth2d": _G18_SQL,
 }
