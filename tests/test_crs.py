@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from wrf_to_geodataframe_spark.functions.crs import (
@@ -1592,3 +1594,61 @@ def test_ellipsoid_polygon_area_degenerate_rings(spark):
     }
     assert got[0] == 0.0 and got[1] == 0.0 and got[2] == 0.0
     assert got[3] > 1e10  # the real 1-degree box still measures
+
+
+def test_wrf_ll_to_xy_center_and_roundtrip_all_projections(spark):
+    """wrf-python ll_to_xy/xy_to_ll: the domain center maps to the
+    exact grid midpoint ((nx-1)/2, (ny-1)/2) under every MAP_PROJ
+    branch, and xy_to_ll inverts ll_to_xy to fp precision."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        wrf_ll_to_xy,
+        wrf_xy_to_ll,
+    )
+
+    base = {
+        "TRUELAT1": 30.0, "TRUELAT2": 60.0, "MOAD_CEN_LAT": 40.0,
+        "STAND_LON": -100.0, "CEN_LON": -97.0, "CEN_LAT": 41.5,
+        "DX": 4000.0, "DY": 4000.0,
+        "WEST-EAST_GRID_DIMENSION": 31, "SOUTH-NORTH_GRID_DIMENSION": 41,
+    }
+    pts = spark.createDataFrame(
+        [(-97.0, 41.5), (-103.25, 38.0), (-92.5, 45.25)],
+        "lon double, lat double",
+    )
+    for mp in (1, 2, 3, 6):
+        attrs = dict(base, MAP_PROJ=mp)
+        d = wrf_ll_to_xy(attrs, pts, "lon", "lat", out_i="i", out_j="j")
+        d = wrf_xy_to_ll(attrs, d, "i", "j", out_lon="lon2", out_lat="lat2")
+        rows = d.collect()
+        center = [r for r in rows if r.lon == -97.0][0]
+        # 31 staggered -> 30 mass points -> midpoint (30-1)/2 = 14.5
+        assert center.i == 14.5 and center.j == 19.5, mp
+        for r in rows:
+            assert r.lon2 == pytest.approx(r.lon, abs=1e-9), mp
+            assert r.lat2 == pytest.approx(r.lat, abs=1e-9), mp
+
+
+def test_wrf_ll_to_xy_is_lazy(spark):
+    """The center projection is a literal branch of the expression —
+    building the transform must run zero Spark jobs."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.functions.crs import wrf_ll_to_xy
+
+    attrs = {
+        "MAP_PROJ": 1, "TRUELAT1": 30.0, "TRUELAT2": 60.0,
+        "MOAD_CEN_LAT": 40.0, "STAND_LON": -100.0,
+        "CEN_LON": -97.0, "CEN_LAT": 41.5, "DX": 4000.0, "DY": 4000.0,
+        "WEST-EAST_GRID_DIMENSION": 31, "SOUTH-NORTH_GRID_DIMENSION": 41,
+    }
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = spark.range(10).select(
+        (F.col("id") * 0.1 - 100.0).alias("lon"),
+        (F.col("id") * 0.1 + 40.0).alias("lat"),
+    )
+    wrf_ll_to_xy(attrs, df, "lon", "lat")
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before

@@ -1205,6 +1205,78 @@ def wrf_projection(attrs: dict):
     )
 
 
+def _wrf_grid_geometry(attrs: dict) -> tuple[float, float, float, float, int, int]:
+    """(dx, dy, cen_lon, cen_lat, nx, ny) from a wrfout global-attr
+    block — nx/ny are MASS-point counts (the staggered
+    ``*_GRID_DIMENSION`` attrs minus one, the wrf-python convention)."""
+    def scalar(name):
+        v = attrs.get(name)
+        if v is None:
+            raise ValueError(
+                f"WRF global attribute {name} is missing — not a "
+                "wrfout projection block?"
+            )
+        return float(np.atleast_1d(np.asarray(v))[0])
+
+    return (
+        scalar("DX"), scalar("DY"),
+        scalar("CEN_LON"), scalar("CEN_LAT"),
+        int(scalar("WEST-EAST_GRID_DIMENSION")) - 1,
+        int(scalar("SOUTH-NORTH_GRID_DIMENSION")) - 1,
+    )
+
+
+def wrf_ll_to_xy(
+    attrs: dict, df, lon, lat, out_i: str = "i", out_j: str = "j"
+):
+    """wrf-python ``ll_to_xy``: fractional 0-based mass-grid indices
+    (i west-east, j south-north) for WGS84 ``lon``/``lat`` columns,
+    from a wrfout global-attribute block — project through the file's
+    native projection (``wrf_projection``), then index-normalize
+    around the projected domain center:
+
+        i = (x - x_center) / DX + (nx - 1) / 2
+
+    The center projection is embedded as a LITERAL-input branch of
+    the same column expression, so the whole transform stays one lazy
+    JVM projection — no driver-side evaluation, no job at
+    construction.  Callers snap to cells with ``F.round``."""
+    fwd, _ = wrf_projection(attrs)
+    dx, dy, cen_lon, cen_lat, nx, ny = _wrf_grid_geometry(attrs)
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    d = fwd(df, lon, lat, out_x="_px", out_y="_py")
+    d = fwd(d, F.lit(cen_lon), F.lit(cen_lat), out_x="_cx", out_y="_cy")
+    return d.withColumns({
+        out_i: (F.col("_px") - F.col("_cx")) / F.lit(dx)
+        + F.lit((nx - 1) / 2.0),
+        out_j: (F.col("_py") - F.col("_cy")) / F.lit(dy)
+        + F.lit((ny - 1) / 2.0),
+    }).drop("_px", "_py", "_cx", "_cy")
+
+
+def wrf_xy_to_ll(
+    attrs: dict, df, i, j, out_lon: str = "lon", out_lat: str = "lat"
+):
+    """wrf-python ``xy_to_ll``: WGS84 lon/lat for fractional 0-based
+    mass-grid index columns — the exact inverse composition of
+    :func:`wrf_ll_to_xy` (projected center from the same literal
+    branch, then the native projection's inverse)."""
+    fwd, inv = wrf_projection(attrs)
+    dx, dy, cen_lon, cen_lat, nx, ny = _wrf_grid_geometry(attrs)
+    i = F.col(i) if isinstance(i, str) else i
+    j = F.col(j) if isinstance(j, str) else j
+    d = fwd(df, F.lit(cen_lon), F.lit(cen_lat), out_x="_cx", out_y="_cy")
+    d = d.withColumns({
+        "_gx": (i - F.lit((nx - 1) / 2.0)) * F.lit(dx) + F.col("_cx"),
+        "_gy": (j - F.lit((ny - 1) / 2.0)) * F.lit(dy) + F.col("_cy"),
+    })
+    d = inv(
+        d, F.col("_gx"), F.col("_gy"), out_lon=out_lon, out_lat=out_lat
+    )
+    return d.drop("_gx", "_gy", "_cx", "_cy")
+
+
 # ---------------------------------------------------------------------------
 # EPSG front door — the reference's API shape is gdf.to_crs("EPSG:27700")
 # (wrf_voronoi.py:188, one string into pyproj's any-EPSG surface).  The

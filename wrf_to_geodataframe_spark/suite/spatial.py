@@ -887,6 +887,88 @@ FROM r
 _G8_LCC_SQL = _lcc_sql()
 
 
+_WRF_ATTRS = {
+    "MAP_PROJ": 1, "TRUELAT1": 30.0, "TRUELAT2": 60.0,
+    "MOAD_CEN_LAT": 40.0, "STAND_LON": -100.0,
+    "CEN_LON": -97.0, "CEN_LAT": 41.5,
+    "DX": 4000.0, "DY": 4000.0,
+    "WEST-EAST_GRID_DIMENSION": 31, "SOUTH-NORTH_GRID_DIMENSION": 41,
+}
+
+
+def g19_wrf_ll_to_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wrf-python ``ll_to_xy`` / ``xy_to_ll`` (functions/crs.py):
+    fractional mass-grid indices from lon/lat through a wrfout
+    LCC attribute block — project through the native projection,
+    index-normalize around the projected domain center (embedded as a
+    literal-input branch of the same lazy expression — no job at
+    construction) — plus the ROUND-TRIP back to lon/lat through the
+    inverse.  The oracle restates the Snyder forward and the index
+    arithmetic with identical constants (class B; the g8 family's
+    pattern) and states the round-trip columns as the closed-form
+    IDENTITY — the engine's inverse path is checked against the
+    original coordinates, not against a replay of itself."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        wrf_ll_to_xy,
+        wrf_xy_to_ll,
+    )
+
+    cells = grid_cells(spark, sf_dir)
+    d = cells.select(
+        "user_id",
+        (F.col("x") * 0.5 - 108.0).alias("lon"),
+        (F.col("y") * 0.5 + 28.0).alias("lat"),
+    )
+    d = wrf_ll_to_xy(_WRF_ATTRS, d, "lon", "lat", out_i="i", out_j="j")
+    d = wrf_xy_to_ll(_WRF_ATTRS, d, "i", "j", out_lon="lon2", out_lat="lat2")
+    return d.select(
+        "user_id",
+        F.round("i", 6).alias("i"),
+        F.round("j", 6).alias("j"),
+        F.round("lon2", 6).alias("lon2"),
+        F.round("lat2", 6).alias("lat2"),
+    )
+
+
+def _g19_sql() -> str:
+    from wrf_to_geodataframe_spark.functions.crs import (
+        WRF_SPHERE_R,
+        lcc_constants,
+    )
+
+    n, F_, rho0 = lcc_constants(30.0, 60.0, 40.0, WRF_SPHERE_R)
+    rf = WRF_SPHERE_R * F_
+    return f"""
+WITH cells AS ({_CELLS_SQL}),
+ll AS (
+    SELECT user_id,
+           (x1 + 0.5) * 0.5 - 108.0 AS lon,
+           (y1 + 0.5) * 0.5 + 28.0 AS lat
+    FROM cells
+),
+r AS (
+    SELECT user_id, lon, lat,
+           {rf!r} / pow(tan(pi() / 4 + radians(lat) / 2), {n!r}) AS rho,
+           radians(lon + 100.0) AS dl,
+           {rf!r} / pow(tan(pi() / 4 + radians(41.5) / 2), {n!r}) AS rhoc,
+           radians(-97.0 + 100.0) AS dlc
+    FROM ll
+)
+SELECT user_id,
+       round((rho * sin({n!r} * dl) - rhoc * sin({n!r} * dlc))
+             / 4000.0 + 14.5, 6) AS i,
+       round((({rho0!r} - rho * cos({n!r} * dl))
+              - ({rho0!r} - rhoc * cos({n!r} * dlc)))
+             / 4000.0 + 19.5, 6) AS j,
+       round(lon, 6) AS lon2,
+       round(lat, 6) AS lat2
+FROM r
+"""
+
+
+_G19_SQL = _g19_sql()
+
+
 def g8_crs_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UTM transform (SURVEY.md §2 G8): grid centers as pseudo WGS84
     lon/lat inside UTM zone 30 projected through the Kruger-series
@@ -2274,6 +2356,7 @@ QUERIES = {
     "g8_crs_webmercator": g8_crs_webmercator,
     "g8_crs_osgb": g8_crs_osgb,
     "g8_crs_lcc": g8_crs_lcc,
+    "g19_wrf_ll_to_xy": g19_wrf_ll_to_xy,
     "g8_crs_laea": g8_crs_laea,
     "g8_crs_albers": g8_crs_albers,
     "g8_crs_cea": g8_crs_cea,
@@ -2306,6 +2389,7 @@ ORACLE = {
     "g8_crs_webmercator": _G8_SQL,
     "g8_crs_osgb": _G8_OSGB_SQL,
     "g8_crs_lcc": _G8_LCC_SQL,
+    "g19_wrf_ll_to_xy": _G19_SQL,
     "g8_crs_laea": _G8_LAEA_SQL,
     "g8_crs_albers": _G8_ALBERS_SQL,
     "g8_crs_cea": _G8_CEA_SQL,
