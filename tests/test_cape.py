@@ -230,3 +230,91 @@ def test_m6_gate_margins_at_all_sfs(spark):
         assert min_lat > 1e-4, sf  # >= 1e5 x the drift scale
         assert min_b > 1e-4, sf
         assert min_plcl > 1.0, sf  # Pa
+
+
+ELEVATED = [
+    # dry surface layer, moisture maximum at k=2 (the MU parcel)
+    (100000.0 - 9000.0 * k, 300.0 - 6.5 * k,
+     (0.001953125 if k != 2 else 0.017578125), 500.0)
+    for k in range(10)
+]
+
+
+def _numpy_mu_cape(levels, depth=30000.0, quant=1.0e4):
+    """Replay of the most-unstable path: argmax theta_e in the lowest
+    ``depth`` Pa, then the surface_cape integration from that level."""
+    psfc = max(p for p, _, _, _ in levels)
+    cand = [(p, t, qv, dz) for p, t, qv, dz in levels if p >= psfc - depth]
+    p0, t0, qv0, _ = max(cand, key=lambda r: _theta_e(r[1], r[0], r[2]))
+    the0 = _theta_e(t0, p0, qv0)
+    e0 = (p0 / 100.0) * qv0 / (EPS + qv0)
+    tl = 2840.0 / (3.5 * np.log(t0) - np.log(e0) - 4.805) + 55.0
+    plcl = p0 * (tl / t0) ** 3.5
+    bs = []
+    for p, t, qv, dz in levels:
+        if p > p0:
+            continue
+        if p >= plcl:
+            tp, qvp = t0 * (p / p0) ** (2.0 / 7.0), qv0
+        else:
+            tp = _bisect(the0, p)
+            qvp = _qvs(tp, p)
+        tvp, tve = tp * (1 + 0.61 * qvp), t * (1 + 0.61 * qv)
+        bs.append((p, 9.81 * (tvp - tve) / tve, dz))
+    cape = sum(np.floor(max(b, 0) * dz * quant) for _, b, dz in bs) / quant
+    plfc = max((p for p, b, _ in bs if b > 0), default=None)
+    if plfc is None:
+        return cape, None
+    cin = (
+        sum(np.floor(min(b, 0) * dz * quant) for p, b, dz in bs if p > plfc)
+        / quant
+    )
+    return cape, cin
+
+
+def test_mu_cape_matches_numpy_replay_bitwise(spark):
+    got = {
+        r.cid: (r.cape, r.cin)
+        for r in surface_cape(
+            _sounding_df(spark, [UNSTABLE, STABLE, ELEVATED]),
+            "p", "t", "qv", "dz", ["cid"], parcel="most_unstable",
+        ).collect()
+    }
+    for cid, levels in enumerate([UNSTABLE, STABLE, ELEVATED]):
+        cape, cin = _numpy_mu_cape(levels)
+        assert got[cid][0] == cape, cid
+        assert got[cid][1] == cin, cid
+
+
+def test_mu_cape_at_least_surface_cape(spark):
+    """The most-unstable parcel maximizes theta_e, so MU-CAPE >=
+    SB-CAPE on every sounding (equality when the surface parcel IS the
+    max-theta_e one)."""
+    df = _sounding_df(spark, [UNSTABLE, STABLE, ELEVATED])
+    sb = {
+        r.cid: r.cape
+        for r in surface_cape(
+            df, "p", "t", "qv", "dz", ["cid"]
+        ).collect()
+    }
+    mu = {
+        r.cid: r.cape
+        for r in surface_cape(
+            df, "p", "t", "qv", "dz", ["cid"], parcel="most_unstable"
+        ).collect()
+    }
+    for cid in sb:
+        assert mu[cid] >= sb[cid], cid
+    # UNSTABLE's surface parcel is its moisture max -> identical result
+    assert mu[0] == sb[0]
+    # ELEVATED's dry surface gives ~no CAPE; the k=2 parcel is live
+    assert sb[2] == 0.0
+    assert mu[2] > 100.0
+
+
+def test_mu_cape_rejects_unknown_parcel(spark):
+    with pytest.raises(ValueError, match="parcel"):
+        surface_cape(
+            _sounding_df(spark, [STABLE]), "p", "t", "qv", "dz",
+            ["cid"], parcel="bogus",
+        )

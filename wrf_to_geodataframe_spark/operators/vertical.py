@@ -263,6 +263,8 @@ def surface_cape(
     col_keys: list[str],
     iters: int = 40,
     quant: float = 1.0e4,
+    parcel: str = "surface",
+    mu_depth_pa: float = 30000.0,
 ) -> DataFrame:
     """Surface-based CAPE and CIN [J/kg] per atmospheric column (the
     wrf-python `cape_2d` quantities): lift the LOWEST (highest-
@@ -276,6 +278,14 @@ def surface_cape(
     - **cin**  = sum of min(B, 0) dz over levels strictly BELOW the
       level of free convection (the first level with B > 0); NULL
       when no LFC exists (the wrf-python missing-value convention).
+
+    ``parcel="most_unstable"`` lifts the MOST-UNSTABLE parcel instead
+    (wrf-python `cape_2d`'s MCAPE): the level with the largest
+    theta_e within ``mu_depth_pa`` of the surface (selected by one
+    ``max_by`` over the same column-key window — no extra shuffle;
+    ties broken arbitrarily, so feed profiles with distinct theta_e),
+    and integration runs from the parcel level UP (levels below the
+    parcel origin contribute neither cape nor cin).
 
     Distribution shape: one window over the column key extracts the
     surface parcel (first level by descending pressure), a second
@@ -296,12 +306,38 @@ def surface_cape(
         virtual_temperature,
     )
 
-    w = Window.partitionBy(*col_keys).orderBy(F.col(p_col).desc())
-    d = (
-        df.withColumn("_t0", F.first(t_col).over(w))
-        .withColumn("_p0", F.first(p_col).over(w))
-        .withColumn("_qv0", F.first(qv_col).over(w))
-    )
+    if parcel == "most_unstable":
+        wk0 = Window.partitionBy(*col_keys)
+        the_lvl = theta_e_bolton(
+            F.col(t_col), F.col(p_col), F.col(qv_col)
+        )
+        cand = F.col(p_col) >= F.max(p_col).over(wk0) - F.lit(
+            float(mu_depth_pa)
+        )
+        sel = F.max_by(
+            F.struct(
+                F.col(t_col).alias("t"),
+                F.col(p_col).alias("p"),
+                F.col(qv_col).alias("qv"),
+            ),
+            F.when(cand, the_lvl),
+        ).over(wk0)
+        d = (
+            df.withColumn("_t0", sel["t"])
+            .withColumn("_p0", sel["p"])
+            .withColumn("_qv0", sel["qv"])
+        )
+    elif parcel == "surface":
+        w = Window.partitionBy(*col_keys).orderBy(F.col(p_col).desc())
+        d = (
+            df.withColumn("_t0", F.first(t_col).over(w))
+            .withColumn("_p0", F.first(p_col).over(w))
+            .withColumn("_qv0", F.first(qv_col).over(w))
+        )
+    else:
+        raise ValueError(
+            f"parcel={parcel!r}: expected 'surface' or 'most_unstable'"
+        )
     the0 = theta_e_bolton(F.col("_t0"), F.col("_p0"), F.col("_qv0"))
     tl = lcl_temperature_k(F.col("_t0"), F.col("_p0"), F.col("_qv0"))
     plcl = F.col("_p0") * F.pow(tl / F.col("_t0"), F.lit(3.5))
@@ -322,25 +358,46 @@ def surface_cape(
     )
     tve = virtual_temperature(F.col(t_col), F.col(qv_col))
     tvp = virtual_temperature(F.col("_tp"), F.col("_qvp"))
-    d = d.withColumn("_b", F.lit(G0) * (tvp - tve) / tve)
+    # buoyancy is defined from the parcel origin UP (p <= p0); for the
+    # surface parcel that is every level, so m6 semantics are unchanged
+    d = d.withColumn(
+        "_b",
+        F.when(
+            F.col(p_col) <= F.col("_p0"),
+            F.lit(G0) * (tvp - tve) / tve,
+        ),
+    )
     wk = Window.partitionBy(*col_keys)
     d = d.withColumn(
         "_p_lfc",
         F.max(F.when(F.col("_b") > 0, F.col(p_col))).over(wk),
     )
     q = F.lit(float(quant))
-    pos = F.floor(
-        F.greatest(F.col("_b"), F.lit(0.0)) * F.col(dz_col) * q
-    ).cast("long")
+    pos = F.when(
+        F.col("_b").isNotNull(),
+        F.floor(
+            F.greatest(F.col("_b"), F.lit(0.0)) * F.col(dz_col) * q
+        ).cast("long"),
+    )
     neg = F.when(
-        F.col(p_col) > F.col("_p_lfc"),
+        (F.col(p_col) > F.col("_p_lfc")) & F.col("_b").isNotNull(),
         F.floor(
             F.least(F.col("_b"), F.lit(0.0)) * F.col(dz_col) * q
         ).cast("long"),
     )
+    # an LFC at the parcel origin itself leaves NO below-LFC rows: the
+    # empty sum must read 0.0 (zero-depth inhibition layer), while a
+    # column with no LFC at all stays NULL — distinguish via the
+    # group-constant _p_lfc, not the sum's own null
     return d.groupBy(*col_keys).agg(
         (F.sum(pos) / q).alias("cape"),
-        (F.sum(neg) / q).alias("cin"),
+        (
+            F.when(
+                F.max("_p_lfc").isNotNull(),
+                F.coalesce(F.sum(neg), F.lit(0)),
+            )
+            / q
+        ).alias("cin"),
     )
 
 

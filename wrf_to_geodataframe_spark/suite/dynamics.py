@@ -580,7 +580,177 @@ FROM cells
 _G18_SQL = _g18_sql()
 
 
+def m10_mu_cape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOST-UNSTABLE CAPE/CIN (wrf-python `cape_2d`'s MCAPE):
+    surface_cape with ``parcel="most_unstable"`` — the max-theta_e
+    level within 300 hPa of the surface (one ``max_by`` over the same
+    column window, no extra shuffle), integrated from the parcel
+    level up.  The synthetic soundings carry an ELEVATED moisture
+    bump at level kpk = (x+y) % 3 (the MU parcel; measured theta_e
+    separation from the runner-up >= 10.8 K at all SFs — argmax can
+    never flip on libm drift) and a dyadic inversion just above it on
+    half the columns, so cape > 0 / cin < 0 / cin = 0 / stable
+    cape = 0 + cin NULL arms are all live at every SF.  Same 1e-4
+    J/kg floor lattice as m6, margins measured in tests/test_cape.py."""
+    from wrf_to_geodataframe_spark.operators.vertical import surface_cape
+
+    lev = _lattice(spark, sf_dir).select(
+        "y", "x",
+        F.explode(F.sequence(F.lit(0), F.lit(_CAPE_K - 1))).alias("k"),
+    ).select(
+        "y", "x", "k",
+        (F.lit(100000.0) - F.col("k") * 9000.0).alias("p"),
+        (
+            F.lit(301.0)
+            + (F.col("x") % 3) * 0.5
+            + (F.col("y") % 5) * 0.25
+            - F.when((F.col("x") + F.col("y")) % 5 == 4, 3.0)
+            .otherwise(F.lit(6.5))
+            * F.col("k")
+            + F.when(
+                (F.col("k") == (F.col("x") + F.col("y")) % 3 + 1)
+                & ((F.col("x") + F.col("y")) % 2 == 0),
+                3.0,
+            ).otherwise(F.lit(0.0))
+        ).alias("t"),
+        (
+            F.greatest(
+                F.lit(0.013671875)  # 7/512
+                - F.lit(0.0009765625) * F.col("k"),  # 2^-10
+                F.lit(0.000244140625),  # 2^-12
+            )
+            + F.when(
+                F.col("k") == (F.col("x") + F.col("y")) % 3, 0.0078125
+            ).otherwise(F.lit(0.0))  # 2^-7 bump at the MU level
+        ).alias("qv"),
+        (F.lit(500.0) + F.col("k") * 20.0).alias("dz"),
+    )
+    out = surface_cape(
+        lev, "p", "t", "qv", "dz", ["y", "x"], parcel="most_unstable"
+    )
+    return out.select(
+        F.col("y").alias("y_idx"),
+        F.col("x").cast("long").alias("x_idx"),
+        "cape",
+        "cin",
+    )
+
+
+def _m10_sql() -> str:
+    from wrf_to_geodataframe_spark.functions.meteo import moist_adiabat_sql
+
+    e = "((p / 100.0) * qv / (0.622 + qv))"
+    tl_lvl = f"(2840.0 / (3.5 * ln(t) - ln({e}) - 4.805) + 55.0)"
+    the_lvl = (
+        f"(t * pow(1000.0 / (p / 100.0), 0.2854 * (1.0 - 0.28 * qv))"
+        f" * exp((3.376 / {tl_lvl} - 0.00254) * 1000.0 * qv"
+        f" * (1.0 + 0.81 * qv)))"
+    )
+    e0 = "((p0 / 100.0) * qv0 / (0.622 + qv0))"
+    tl = f"(2840.0 / (3.5 * ln(t0) - ln({e0}) - 4.805) + 55.0)"
+    the0 = (
+        "(t0 * pow(1000.0 / (p0 / 100.0),"
+        " 0.2854 * (1.0 - 0.28 * qv0))"
+        " * exp((3.376 / tl - 0.00254) * 1000.0 * qv0"
+        " * (1.0 + 0.81 * qv0)))"
+    )
+    plcl = "(p0 * pow(tl / t0, 3.5))"
+    frag = moist_adiabat_sql("the0", "p")
+    es_tp = "(6.112 * exp(17.67 * (tp - 273.15) / ((tp - 273.15) + 243.5)))"
+    qs_tp = f"(0.622 * {es_tp} / (p / 100.0 - {es_tp}))"
+    return f"""
+WITH RECURSIVE ys AS ({_D_YS_SQL}),
+cells AS (
+    SELECT y, x FROM ys, generate_series(0, {_DW - 1}) AS t(x)
+),
+lev AS (
+    SELECT y, x, k,
+           CAST(100000.0 - k * 9000.0 AS DOUBLE) AS p,
+           CAST(301.0 + (x % 3) * 0.5 + (y % 5) * 0.25
+             - (CASE WHEN (x + y) % 5 = 4 THEN 3.0 ELSE 6.5 END) * k
+             + (CASE WHEN k = (x + y) % 3 + 1 AND (x + y) % 2 = 0
+                     THEN 3.0 ELSE 0.0 END)
+             AS DOUBLE) AS t,
+           CAST((CASE WHEN 0.013671875 - 0.0009765625 * k > 0.000244140625
+                 THEN 0.013671875 - 0.0009765625 * k
+                 ELSE 0.000244140625 END)
+             + (CASE WHEN k = (x + y) % 3 THEN 0.0078125 ELSE 0.0 END)
+             AS DOUBLE) AS qv,
+           CAST(500.0 + k * 20.0 AS DOUBLE) AS dz
+    FROM cells, generate_series(0, {_CAPE_K - 1}) AS t2(k)
+),
+par0 AS (
+    SELECT y, x,
+           arg_max(t, {the_lvl}) AS t0,
+           arg_max(p, {the_lvl}) AS p0,
+           arg_max(qv, {the_lvl}) AS qv0
+    FROM lev WHERE p >= 100000.0 - 30000.0
+    GROUP BY y, x
+),
+par1 AS (
+    SELECT y, x, t0, p0, qv0, {tl} AS tl FROM par0
+),
+par AS (
+    SELECT y, x, t0, p0, qv0, {the0} AS the0, {plcl} AS plcl FROM par1
+),
+it AS (
+    SELECT lev.y, lev.x, lev.k, lev.p, par.the0,
+           {frag['seed']}, 0 AS n
+    FROM lev JOIN par ON lev.y = par.y AND lev.x = par.x
+    WHERE lev.p < par.plcl
+    UNION ALL
+    SELECT y, x, k, p, the0,
+           {frag['step_lo']} AS lo,
+           {frag['step_hi']} AS hi,
+           n + 1
+    FROM it WHERE n < 40
+),
+tpm AS (
+    SELECT y, x, k, {frag['finish']} AS tp FROM it WHERE n = 40
+),
+b AS (
+    SELECT q.y, q.x, q.k, q.p, q.dz,
+           CASE WHEN q.p <= q.p0
+                THEN 9.81 * (tvp - tve) / tve END AS bb
+    FROM (
+        SELECT lev.*, par.p0,
+               (CASE WHEN lev.p >= par.plcl
+                     THEN par.t0 * pow(lev.p / par.p0, 2.0/7.0)
+                     ELSE tpm.tp END)
+               * (1.0 + 0.61 * (CASE WHEN lev.p >= par.plcl
+                                     THEN par.qv0 ELSE {qs_tp} END))
+                 AS tvp,
+               lev.t * (1.0 + 0.61 * lev.qv) AS tve
+        FROM lev
+        JOIN par ON lev.y = par.y AND lev.x = par.x
+        LEFT JOIN tpm
+          ON lev.y = tpm.y AND lev.x = tpm.x AND lev.k = tpm.k
+    ) q
+),
+lfc AS (
+    SELECT y, x, k, p, dz, bb,
+           max(CASE WHEN bb > 0 THEN p END)
+             OVER (PARTITION BY y, x) AS p_lfc
+    FROM b
+)
+SELECT y AS y_idx, CAST(x AS BIGINT) AS x_idx,
+       CAST(sum(CASE WHEN bb IS NOT NULL THEN CAST(floor(
+           (CASE WHEN bb > 0.0 THEN bb ELSE 0.0 END) * dz * 10000.0
+         ) AS BIGINT) END) AS BIGINT) / 10000.0 AS cape,
+       CAST(CASE WHEN max(p_lfc) IS NOT NULL THEN
+         COALESCE(sum(CASE WHEN p > p_lfc AND bb IS NOT NULL
+           THEN CAST(floor(
+             (CASE WHEN bb < 0.0 THEN bb ELSE 0.0 END) * dz * 10000.0
+           ) AS BIGINT) END), 0) END AS BIGINT) / 10000.0 AS cin
+FROM lfc GROUP BY y, x
+"""
+
+
+_M10_SQL = _m10_sql()
+
+
 QUERIES = {
+    "m10_mu_cape": m10_mu_cape,
     "m3_absolute_vorticity": m3_absolute_vorticity,
     "m4_updraft_helicity": m4_updraft_helicity,
     "m5_storm_rel_helicity": m5_storm_rel_helicity,
@@ -591,6 +761,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "m10_mu_cape": _M10_SQL,
     "m3_absolute_vorticity": _M3_SQL,
     "m4_updraft_helicity": _M4_SQL,
     "m5_storm_rel_helicity": _M5_SQL,
