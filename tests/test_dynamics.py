@@ -278,3 +278,99 @@ def test_cloud_fraction_clamps_and_null_band(spark):
     assert got[0][1] == 0.0  # mid has only the dry 70000 Pa level
     assert got[0][2] is None  # no high levels
     assert got[1] == (0.0, 0.5, 1.0)
+
+
+def test_wrf_dynamics_end_to_end_from_netcdf(spark, tmp_path):
+    """The dynamics post-processing flow end to end on a REAL NetCDF
+    file through the engine's own scan: write (k, j, i) U/V model
+    winds with the classic writer, ingest through the distributed dir
+    scan, derive per-level relative vorticity with the pencil
+    windows, smooth it with one smooth2d pass, sample a cross-section
+    line with the broadcast vertcross — and match a pure-numpy replay
+    of the identical stencils EXACTLY (dyadic fields, power-of-two
+    spacing)."""
+    import os as _os
+
+    from wrf_to_geodataframe_spark.operators.dynamics import (
+        absolute_vorticity,
+        smooth2d,
+    )
+    from wrf_to_geodataframe_spark.operators.vertical import vertcross
+    from wrf_to_geodataframe_spark.sources.netcdf import (
+        read_netcdf_dir,
+        write_netcdf,
+    )
+
+    nk, nj, ni, dx = 3, 8, 10, 512.0
+    kk, jj, ii = np.meshgrid(
+        np.arange(nk), np.arange(nj), np.arange(ni), indexing="ij"
+    )
+    u = (3.0 * jj * jj * (kk + 1) + ii) / 16.0
+    v = (5.0 * ii * ii * (kk + 2) + jj) / 16.0
+    d = str(tmp_path / "arch")
+    _os.makedirs(d)
+    write_netcdf(
+        _os.path.join(d, "wrfout.nc"),
+        {"k": nk, "j": nj, "i": ni},
+        {
+            "U": {"dims": ["k", "j", "i"], "data": u},
+            "V": {"dims": ["k", "j", "i"], "data": v},
+            "XLAT": {"dims": ["j", "i"],
+                     "data": 40.0 + jj[0] * 0.5},
+            "XLONG": {"dims": ["j", "i"],
+                      "data": -5.0 + ii[0] * 0.5},
+        },
+    )
+    uu = read_netcdf_dir(spark, d, "U", "XLAT", "XLONG").select(
+        F.col("t_idx").alias("k"), "y_idx", "x_idx",
+        F.col("value").alias("u"),
+    )
+    vv = read_netcdf_dir(spark, d, "V", "XLAT", "XLONG").select(
+        F.col("t_idx").alias("k"), "y_idx", "x_idx",
+        F.col("value").alias("v"),
+    )
+    lev = uu.join(vv, ["k", "y_idx", "x_idx"])
+    zeta = absolute_vorticity(
+        lev, "u", "v", "x_idx", "y_idx", dx, dx, group_cols=["k"],
+        out_col="zeta",
+    ).filter(F.col("zeta").isNotNull())
+    sm = smooth2d(
+        zeta, "zeta", "x_idx", "y_idx", passes=1, group_cols=["k"],
+        out_col="zs",
+    )
+    got = {
+        (r.s, r.k): r.vc
+        for r in vertcross(
+            sm, "zs", "k", "x_idx", "y_idx", (2.25, 2.25), (6.75, 4.5), 5
+        ).collect()
+    }
+    assert len(got) == 5 * nk
+
+    # ---- numpy replay of the identical stencils
+    zeta_np = np.full((nk, nj, ni), np.nan)
+    zeta_np[:, 1:-1, 1:-1] = (
+        v[:, 1:-1, 2:] - v[:, 1:-1, :-2]
+        - (u[:, 2:, 1:-1] - u[:, :-2, 1:-1])
+    ) / (2.0 * dx)
+    # cropped to the non-null region, smoothed with boundary passthrough
+    crop = zeta_np[:, 1:-1, 1:-1]
+    smn = crop.copy()
+    smn[:, 1:-1, 1:-1] = crop[:, 1:-1, 1:-1] / 2.0 + (
+        (crop[:, 1:-1, :-2] + crop[:, 1:-1, 2:])
+        + (crop[:, :-2, 1:-1] + crop[:, 2:, 1:-1])
+    ) / 8.0
+    for s in range(5):
+        xi = 2.25 + s * (4.5 / 4.0)
+        yi = 2.25 + s * (2.25 / 4.0)
+        cx, cy = int(np.floor(xi)), int(np.floor(yi))
+        fx, fy = xi - cx, yi - cy
+        for k in range(nk):
+            # cropped-grid indices are offset by the dropped boundary
+            g = smn[k, cy - 1: cy + 1, cx - 1: cx + 1]
+            want = (
+                (1 - fx) * (1 - fy) * g[0, 0]
+                + fx * (1 - fy) * g[0, 1]
+                + (1 - fx) * fy * g[1, 0]
+                + fx * fy * g[1, 1]
+            )
+            assert got[(s, k)] == want, (s, k)

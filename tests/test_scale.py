@@ -1946,3 +1946,132 @@ def test_shard_sink_2m_tokens(spark, tmp_path):
         assert [int(x) for x in arr] == want, f"shard {sid} mismatch"
     print(f"\nshard sink: {total} tokens -> {last + 1} shards in "
           f"{dt:.1f}s")
+
+
+@slow
+def test_vorticity_smooth2d_1m_cell_grid(spark):
+    """1M-cell grid (1000 x 1000) through the pencil-window dynamics:
+    solid-body rotation gives avo == 2 omega at every interior point
+    (998^2 cells), and two smooth2d passes leave the constant interior
+    constant — the d/dx, d/dy, and smoother shuffles all run as
+    thousands of parallel pencils, no global sort anywhere."""
+    from wrf_to_geodataframe_spark.operators.dynamics import (
+        absolute_vorticity,
+        smooth2d,
+    )
+
+    n, omega, dx = 1000, 0.0625, 16.0
+    grid = (
+        spark.range(n * n)
+        .select(
+            (F.col("id") % n).alias("x"),
+            (F.col("id") / n).cast("long").alias("y"),
+        )
+        .select(
+            "x", "y",
+            (F.lit(-omega) * F.col("y") * dx).alias("u"),
+            (F.lit(omega) * F.col("x") * dx).alias("v"),
+        )
+    )
+    avo = absolute_vorticity(grid, "u", "v", "x", "y", dx, dx)
+    agg = avo.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count("avo").alias("interior"),
+        F.min("avo").alias("lo"),
+        F.max("avo").alias("hi"),
+    ).collect()[0]
+    assert agg.total == n * n
+    assert agg.interior == (n - 2) * (n - 2)
+    assert agg.lo == 2 * omega and agg.hi == 2 * omega
+    sm = smooth2d(
+        avo.filter(F.col("avo").isNotNull()), "avo", "x", "y", passes=2,
+        out_col="avs",
+    )
+    deep = sm.filter(
+        F.col("x").between(3, n - 4) & F.col("y").between(3, n - 4)
+    ).agg(F.min("avs").alias("lo"), F.max("avs").alias("hi")).collect()[0]
+    assert deep.lo == 2 * omega and deep.hi == 2 * omega
+
+
+@slow
+def test_surface_cape_100k_columns(spark):
+    """100k sounding columns (1M level rows) through surface_cape: the
+    40-step F.aggregate bisection runs as plain JVM expression work
+    inside the two column-window stages.  Profiles repeat on a small
+    (x%4, y%5)-class pattern, so every column's cape/cin is pinned to
+    the numpy replay of its class — 100k exact assertions via one
+    distinct-and-join, no driver loop."""
+    import math as _math
+
+    ncols = 100_000
+    lev = (
+        spark.range(ncols)
+        .select(
+            (F.col("id") % 4).alias("cx"),
+            (F.col("id") / 4).cast("long").alias("cy"),
+        )
+        .select(
+            "cx", "cy",
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("k"),
+        )
+        .select(
+            "cx", "cy", "k",
+            (F.lit(100000.0) - F.col("k") * 9000.0).alias("p"),
+            (
+                F.lit(302.0)
+                + (F.col("cx") % 4) * 0.25
+                - F.when((F.col("cy") % 5) == 4, 3.0)
+                .otherwise(F.lit(6.5))
+                * F.col("k")
+            ).alias("t"),
+            F.greatest(
+                F.lit(0.015625)
+                + (F.col("cx") % 4) * 0.001953125
+                - F.lit(0.00146484375) * F.col("k"),
+                F.lit(0.000244140625),
+            ).alias("qv"),
+            F.lit(500.0).alias("dz"),
+        )
+    )
+    from wrf_to_geodataframe_spark.operators.vertical import surface_cape
+
+    out = surface_cape(lev, "p", "t", "qv", "dz", ["cy", "cx"])
+    # class expectations via the numpy replay in tests/test_cape.py
+    from tests.test_cape import _numpy_cape
+
+    expect = {}
+    for cxm in range(4):
+        for cym in range(5):
+            levels = []
+            for k in range(10):
+                lapse = 3.0 if cym == 4 else 6.5
+                levels.append((
+                    100000.0 - 9000.0 * k,
+                    302.0 + cxm * 0.25 - lapse * k,
+                    max(0.015625 + cxm * 0.001953125
+                        - 0.00146484375 * k, 0.000244140625),
+                    500.0,
+                ))
+            expect[(cxm, cym)] = _numpy_cape(levels)
+    rows = spark.createDataFrame(
+        [
+            (cxm, cym, float(cape),
+             float(cin) if cin is not None else _math.nan)
+            for (cxm, cym), (cape, cin) in expect.items()
+        ],
+        "cxm long, cym long, e_cape double, e_cin double",
+    )
+    joined = out.join(
+        rows,
+        ((F.col("cx") % 4) == F.col("cxm"))
+        & ((F.col("cy") % 5) == F.col("cym")),
+    )
+    cin_matches = F.coalesce(F.col("cin"), F.lit(_math.nan)).eqNullSafe(
+        F.col("e_cin")
+    )  # Spark NaN semantics: NaN equals NaN, standing in for NULL cin
+    bad = joined.filter(
+        (F.col("cape") != F.col("e_cape")) | ~cin_matches
+    ).count()
+    n = out.count()
+    assert n == ncols
+    assert bad == 0
