@@ -345,27 +345,38 @@ def surface_cape(
         F.col(p_col) / F.col("_p0"), F.lit(RD_OVER_CP)
     )
     below_lcl = F.col(p_col) >= plcl
-    d = d.withColumn(
-        "_tp",
-        F.when(below_lcl, tp_dry).otherwise(
-            moist_adiabat_t_k(the0, F.col(p_col), iters=iters)
-        ),
-    ).withColumn(
-        "_qvp",
-        F.when(below_lcl, F.col("_qv0")).otherwise(
-            qv_sat(F.col("_tp"), F.col(p_col))
-        ),
+    tp_expr = F.when(below_lcl, tp_dry).otherwise(
+        moist_adiabat_t_k(the0, F.col(p_col), iters=iters)
     )
     tve = virtual_temperature(F.col(t_col), F.col(qv_col))
-    tvp = virtual_temperature(F.col("_tp"), F.col("_qvp"))
+
+    def _b_of(tp):
+        # lambda-bound tp: the 40-iteration fold inside tp_expr is
+        # evaluated ONCE here, however many times B's tree references
+        # the parcel state (projection collapse would otherwise inline
+        # the fold into every reference — measured 10x interpreter
+        # cost at sf0.1 before this binding)
+        qvp = F.when(below_lcl, F.col("_qv0")).otherwise(
+            qv_sat(tp, F.col(p_col))
+        )
+        return F.lit(G0) * (virtual_temperature(tp, qvp) - tve) / tve
+
     # buoyancy is defined from the parcel origin UP (p <= p0); for the
     # surface parcel that is every level, so m6 semantics are unchanged
-    d = d.withColumn(
-        "_b",
-        F.when(
-            F.col(p_col) <= F.col("_p0"),
-            F.lit(G0) * (tvp - tve) / tve,
-        ),
+    b_expr = F.when(
+        F.col(p_col) <= F.col("_p0"),
+        F.get(F.transform(F.array(tp_expr), _b_of), 0),
+    )
+    # persist the per-level buoyancy: the LFC window, cape, and cin all
+    # consume _b, and without a materialization point each would
+    # re-run the fold per reference (a production pipeline checkpoints
+    # the parcel-buoyancy table anyway); released via release_persisted
+    from wrf_to_geodataframe_spark.session import track_persist
+
+    d = track_persist(
+        d.withColumn("_b", b_expr).select(
+            *col_keys, p_col, dz_col, "_b"
+        )
     )
     wk = Window.partitionBy(*col_keys)
     d = d.withColumn(
