@@ -275,3 +275,63 @@ def test_vertcross_broadcasts_the_point_table(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_vinterp_matches_interplevel_per_target(spark):
+    """vinterp at K targets must equal K independent interplevel runs
+    bit-for-bit — same bracket search, same tie rule, same NULL
+    convention."""
+    from wrf_to_geodataframe_spark.operators.vertical import (
+        interplevel,
+        vinterp,
+    )
+
+    rows = [
+        (c, float(1000 - 95 * k - c), float((k * k + 3 * c) / 8.0))
+        for c in range(6)
+        for k in range(8)
+    ]
+    df = spark.createDataFrame(rows, "cid long, p double, f double")
+    targets = [980.0, 620.0, 350.0, 1.0]  # last: above top -> NULL
+    multi = {
+        (r.cid, r.level): r.fv
+        for r in vinterp(
+            df, "p", "f", targets, ["cid"], out_col="fv"
+        ).collect()
+    }
+    assert len(multi) == 6 * len(targets)
+    for t in targets:
+        single = {
+            r.cid: r.f_interp
+            for r in interplevel(df, "p", "f", t, ["cid"]).collect()
+        }
+        for c in range(6):
+            assert multi[(c, t)] == single[c], (c, t)
+
+
+def test_sea_level_pressure_identities(spark):
+    """A sea-level column (z_sfc = 0) reduces to exactly p_sfc
+    (exp(0) = 1); raising the station raises the reduction; a column
+    with no level 100 hPa above the surface yields NULL."""
+    from wrf_to_geodataframe_spark.operators.vertical import (
+        sea_level_pressure,
+    )
+
+    def column(cid, zsfc, nk):
+        return [
+            (cid, 100000.0 - 9000.0 * k, 290.0 - 6.0 * k,
+             zsfc + 700.0 * k)
+            for k in range(nk)
+        ]
+
+    rows = column(0, 0.0, 8) + column(1, 500.0, 8) + column(2, 500.0, 2)
+    df = spark.createDataFrame(rows, "cid long, p double, t double, z double")
+    got = {
+        r.cid: r.slp
+        for r in sea_level_pressure(df, "p", "t", "z", ["cid"]).collect()
+    }
+    assert got[0] == 100000.0
+    assert got[1] > 100000.0
+    # hydrostatic sanity: ~12 hPa per 100 m
+    assert 104000.0 < got[1] < 108000.0
+    assert got[2] is None  # p(1) = 91000 > 90000: no pivot

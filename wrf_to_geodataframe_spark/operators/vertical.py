@@ -108,6 +108,64 @@ def interplevel(
     return cols.join(cand, col_keys, "left")
 
 
+def vinterp(
+    df: DataFrame,
+    coord_col: str,
+    value_col: str,
+    targets: list[float],
+    col_keys: list[str],
+    out_coord: str = "level",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Interpolate ``value_col`` onto MULTIPLE constant surfaces of an
+    arbitrary vertical coordinate (wrf-python `vinterp` for
+    pressure-like coordinates): ``coord_col`` must be strictly
+    monotone DECREASING with height per column — pass a negated
+    height/theta column for increasing coordinates.
+
+    Distribution shape: ONE lead window per column pencil (the
+    interplevel search, computed once), then the bracket rows cross a
+    LITERAL target array (explode of a constant — a ×T row growth,
+    never a join) and filter to the bracketing pair per (column,
+    target); targets exactly on an interior level keep the factor-0
+    pair (bit-exact level value, the interplevel tie rule).  Columns
+    whose range misses a target carry NULL for it via the
+    (column × target) left join."""
+    out_col = out_col or f"{value_col}_v"
+    w = Window.partitionBy(*col_keys).orderBy(F.col(coord_col).desc())
+    tgt_arr = F.array([F.lit(float(t)) for t in targets])
+    cand = (
+        df.withColumn("_p2", F.lead(coord_col).over(w))
+        .withColumn("_f2", F.lead(value_col).over(w))
+        .filter(F.col("_p2").isNotNull())
+        .withColumn("_t", F.explode(tgt_arr))
+        .filter(
+            (F.col(coord_col) >= F.col("_t"))
+            & (F.col("_p2") <= F.col("_t"))
+        )
+        .select(
+            *col_keys,
+            F.col("_t"),
+            F.col(coord_col).alias("_p1"),
+            (
+                F.col(value_col)
+                + (F.col("_f2") - F.col(value_col))
+                * (F.col(coord_col) - F.col("_t"))
+                / (F.col(coord_col) - F.col("_p2"))
+            ).alias(out_col),
+        )
+        .groupBy(*col_keys, "_t")
+        .agg(F.min_by(out_col, "_p1").alias(out_col))
+    )
+    universe = df.select(*col_keys).distinct().withColumn(
+        "_t", F.explode(tgt_arr)
+    )
+    return (
+        universe.join(cand, [*col_keys, "_t"], "left")
+        .withColumnRenamed("_t", out_coord)
+    )
+
+
 def precipitable_water(
     df: DataFrame,
     qv_col: str,
@@ -135,6 +193,61 @@ def precipitable_water(
                 / F.lit(g0 * rho_w)
             ).alias(out_col)
         )
+    )
+
+
+def sea_level_pressure(
+    df: DataFrame,
+    p_col: str,
+    t_col: str,
+    z_col: str,
+    col_keys: list[str],
+    pconst: float = 10000.0,
+    lapse: float = 0.0065,
+    out_col: str = "slp",
+) -> DataFrame:
+    """Full-column sea-level pressure [Pa] — the Benjamin & Miller
+    (1990) / RIP reduction wrf-python's `slp` implements (moisture
+    terms omitted — stated): from each column take the surface level
+    (highest pressure) and the PIVOT level — the highest-pressure
+    level at least ``pconst`` Pa above the surface (far enough up to
+    escape superadiabatic surface layers) — then
+
+        t_sfc = t_pivot (p_sfc / p_pivot)^(lapse Rd / g)
+        t_sl  = t_sfc + lapse z_sfc
+        slp   = p_sfc exp(2 g z_sfc / (Rd (t_sl + t_sfc)))
+
+    Two window aggregates on one column-key shuffle (surface by
+    ordered first, pivot by conditional max_by) + one groupBy; a
+    column too shallow to contain a pivot level yields NULL (the
+    missing-value convention, like cin)."""
+    from wrf_to_geodataframe_spark.functions.meteo import G0, RD
+
+    w = Window.partitionBy(*col_keys).orderBy(F.col(p_col).desc())
+    wk = Window.partitionBy(*col_keys)
+    d = (
+        df.withColumn("_psfc", F.first(p_col).over(w))
+        .withColumn("_zsfc", F.first(z_col).over(w))
+    )
+    sel = F.max_by(
+        F.struct(F.col(t_col).alias("t"), F.col(p_col).alias("p")),
+        F.when(
+            F.col(p_col) <= F.col("_psfc") - F.lit(float(pconst)),
+            F.col(p_col),
+        ),
+    ).over(wk)
+    xterm = float(lapse) * RD / G0
+    t_sfc = sel["t"] * F.pow(F.col("_psfc") / sel["p"], F.lit(xterm))
+    t_sl = t_sfc + F.lit(float(lapse)) * F.col("_zsfc")
+    slp = F.col("_psfc") * F.exp(
+        F.lit(2.0 * G0)
+        * F.col("_zsfc")
+        / (F.lit(RD) * (t_sl + t_sfc))
+    )
+    return (
+        d.withColumn("_slp", slp)
+        .groupBy(*col_keys)
+        .agg(F.min("_slp").alias(out_col))  # column-constant
     )
 
 

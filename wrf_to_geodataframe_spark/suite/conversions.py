@@ -1416,6 +1416,92 @@ FROM cells
 _M_TL1, _M_TL2, _M_SLON = 30.0, 60.0, 5.0
 
 
+def v6_vinterp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VINTERP (wrf-python `vinterp`): the v2 synthetic columns
+    interpolated onto THREE constant surfaces at once (995 / 820 /
+    400 hPa) through operators/vertical.vinterp — one lead window per
+    column computed once, bracket rows crossed with the literal
+    target array.  The 995 target goes NULL for (x+y)%7 == 6 columns
+    (below ground, the v2 arm); 820 lands EXACTLY on model level k=2
+    for (x+y)%7 == 0 columns, exercising the factor-0 tie rule at
+    every SF; 400 interpolates the (6,7) pair everywhere.
+
+    Oracle: per-target CLOSED-FORM brackets (the target pins which
+    level pair is hit, so no window search is replayed) — v2's
+    independence pattern extended across targets."""
+    from wrf_to_geodataframe_spark.operators.vertical import vinterp
+
+    cells = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        (F.col("user_id") % GRID_W).alias("x_idx"),
+        F.floor(F.col("user_id") / GRID_W).alias("y_idx"),
+    ).distinct()
+    lev = cells.select(
+        "user_id", "x_idx", "y_idx",
+        F.explode(F.sequence(F.lit(0), F.lit(_VL_K - 1))).alias("k"),
+    ).select(
+        "user_id",
+        (
+            F.lit(1000.0)
+            - F.lit(90.0) * F.col("k")
+            - ((F.col("x_idx") + F.col("y_idx")) % 7).cast("double")
+        ).alias("p"),
+        (
+            (
+                F.col("k") * F.col("k")
+                + F.col("x_idx") * 3.0
+                + F.col("y_idx") * 5.0
+            ) / 8.0
+        ).alias("f"),
+    )
+    out = vinterp(
+        lev, "p", "f", [995.0, 820.0, 400.0], ["user_id"],
+        out_coord="level", out_col="fv",
+    )
+    return out.select("user_id", "level", "fv")
+
+
+def _v6_sql() -> str:
+    def fk(k: str) -> str:
+        return f"(({k})*({k}) + x_idx * 3.0 + y_idx * 5.0) / 8.0"
+
+    def pk(k: str) -> str:
+        return f"(1000.0 - 90.0 * ({k}) - CAST((x_idx + y_idx) % 7 AS DOUBLE))"
+
+    def interp(k1: int, t: str) -> str:
+        return (
+            f"({fk(str(k1))})"
+            f" + (({fk(str(k1 + 1))}) - ({fk(str(k1))}))"
+            f" * (({pk(str(k1))}) - {t})"
+            f" / (({pk(str(k1))}) - ({pk(str(k1 + 1))}))"
+        )
+
+    return f"""
+WITH cells AS (
+    SELECT DISTINCT user_id,
+           user_id % {GRID_W} AS x_idx,
+           CAST(floor(user_id / {GRID_W}.0) AS BIGINT) AS y_idx
+    FROM events
+)
+SELECT user_id, t AS level,
+       CASE
+         WHEN t = 995.0 THEN
+           CASE WHEN (x_idx + y_idx) % 7 = 6 THEN NULL
+                ELSE {interp(0, '995.0')} END
+         WHEN t = 820.0 THEN
+           -- m = 0 hits level k = 2 exactly: the factor-0 tie rule
+           -- returns the level's own value bit-for-bit
+           CASE WHEN (x_idx + y_idx) % 7 = 0 THEN {fk('2')}
+                ELSE {interp(1, '820.0')} END
+         ELSE {interp(6, '400.0')}
+       END AS fv
+FROM cells, (VALUES (995.0), (820.0), (400.0)) AS tt(t)
+"""
+
+
+_V6_SQL = _v6_sql()
+
+
 def m1_met_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The wrf-python `getvar` DIAGNOSTICS as one scan (functions/
     meteo.py): temperature from theta (tk), relative humidity and
@@ -1819,6 +1905,7 @@ QUERIES = {
     "m1_met_diagnostics": m1_met_diagnostics,
     "m2_thermo_diagnostics": m2_thermo_diagnostics,
     "v5_vertcross": v5_vertcross,
+    "v6_vinterp": v6_vinterp,
     "v1_destagger": v1_destagger,
     "v2_interplevel": v2_interplevel,
     "v3_precipitable_water": v3_precipitable_water,
@@ -1847,6 +1934,7 @@ ORACLE = {
     "m1_met_diagnostics": _M1_SQL,
     "m2_thermo_diagnostics": _M2_SQL,
     "v5_vertcross": _V5_SQL,
+    "v6_vinterp": _V6_SQL,
     "v1_destagger": _V1_SQL,
     "v2_interplevel": _V2_SQL,
     "v3_precipitable_water": _V3_SQL,

@@ -749,8 +749,101 @@ FROM lfc GROUP BY y, x
 _M10_SQL = _m10_sql()
 
 
+def m11_slp_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-COLUMN SEA-LEVEL PRESSURE (wrf-python `slp`, the Benjamin
+    & Miller reduction; m1 carries only the single-level hypsometric
+    form): per column, the pivot level is the highest pressure at
+    least 100 hPa above the surface — level spacing varies by column
+    (6/8/10 kPa, so the pivot index varies and the exact-boundary
+    p == psfc - pconst comparison is exercised on exact doubles) and
+    shallow columns (kmax = 1) have NO pivot, the NULL arm
+    (operators/vertical.py).  Output rounded to 1e-4 Pa (drift
+    ~1e-11).
+
+    Oracle: the pivot INDEX is stated in closed form per column class
+    (no window replay), then the published formulas with identical
+    literals — the strong-class-B pattern."""
+    from wrf_to_geodataframe_spark.operators.vertical import (
+        sea_level_pressure,
+    )
+
+    cols = _lattice(spark, sf_dir).withColumn(
+        "kmax",
+        F.when((F.col("x") + F.col("y")) % 9 == 8, 1).otherwise(F.lit(9)),
+    )
+    lev = cols.select(
+        "y", "x",
+        F.explode(F.sequence(F.lit(0), F.col("kmax"))).alias("k"),
+    ).select(
+        "y", "x",
+        (
+            F.lit(100000.0)
+            - (F.lit(6000.0) + (F.col("x") % 3) * 2000.0) * F.col("k")
+        ).alias("p"),
+        (
+            F.lit(288.0)
+            + (F.col("x") % 5) * 0.5
+            + (F.col("y") % 7) * 0.25
+            - F.lit(6.0) * F.col("k")
+        ).alias("t"),
+        (
+            F.lit(150.0)
+            + (F.col("y") % 6) * 60.0
+            + (F.col("x") % 2) * 25.0
+            + F.lit(700.0) * F.col("k")
+        ).alias("z"),
+    )
+    out = sea_level_pressure(lev, "p", "t", "z", ["y", "x"])
+    return out.select(
+        F.col("y").alias("y_idx"),
+        F.col("x").cast("long").alias("x_idx"),
+        F.round("slp", 4).alias("slp"),
+    )
+
+
+def _m11_sql() -> str:
+    from wrf_to_geodataframe_spark.functions.meteo import G0, RD
+
+    xterm = 0.0065 * RD / G0
+    return f"""
+WITH ys AS ({_D_YS_SQL}),
+cells AS (
+    SELECT y, x,
+           CASE WHEN (x + y) % 9 = 8 THEN 1 ELSE 9 END AS kmax,
+           CASE WHEN x % 3 = 2 THEN 1 ELSE 2 END AS kpiv
+    FROM ys, generate_series(0, {_DW - 1}) AS t(x)
+),
+par AS (
+    SELECT y, x,
+           CAST(100000.0 AS DOUBLE) AS psfc,
+           CAST(150.0 + (y % 6) * 60.0 + (x % 2) * 25.0 AS DOUBLE)
+               AS zsfc,
+           CASE WHEN kpiv <= kmax THEN
+             CAST(288.0 + (x % 5) * 0.5 + (y % 7) * 0.25 - 6.0 * kpiv
+                  AS DOUBLE) END AS tpiv,
+           CASE WHEN kpiv <= kmax THEN
+             CAST(100000.0 - (6000.0 + (x % 3) * 2000.0) * kpiv
+                  AS DOUBLE) END AS ppiv
+    FROM cells
+),
+s AS (
+    SELECT y, x, psfc, zsfc,
+           tpiv * pow(psfc / ppiv, {xterm!r}) AS tsfc
+    FROM par
+)
+SELECT y AS y_idx, CAST(x AS BIGINT) AS x_idx,
+       round(psfc * exp({2.0 * G0!r} * zsfc
+             / ({RD!r} * ((tsfc + 0.0065 * zsfc) + tsfc))), 4) AS slp
+FROM s
+"""
+
+
+_M11_SQL = _m11_sql()
+
+
 QUERIES = {
     "m10_mu_cape": m10_mu_cape,
+    "m11_slp_column": m11_slp_column,
     "m3_absolute_vorticity": m3_absolute_vorticity,
     "m4_updraft_helicity": m4_updraft_helicity,
     "m5_storm_rel_helicity": m5_storm_rel_helicity,
@@ -762,6 +855,7 @@ QUERIES = {
 
 ORACLE = {
     "m10_mu_cape": _M10_SQL,
+    "m11_slp_column": _M11_SQL,
     "m3_absolute_vorticity": _M3_SQL,
     "m4_updraft_helicity": _M4_SQL,
     "m5_storm_rel_helicity": _M5_SQL,
