@@ -192,3 +192,23 @@ def test_slp_hypsometric_monotone_and_sea_level_identity(spark):
     assert r.a == 98000.0  # z = 0: exp(0) exact
     assert r.b > 98000.0  # reduction adds the column below
     assert r.c > r.b  # colder column -> denser -> larger correction
+
+
+def test_omega_sign_and_hydrostatic_magnitude(spark):
+    """Updraft (w > 0) gives negative omega; at surface density
+    (~1.2 kg/m3) 1 m/s maps to ~ -12 Pa/s; dry air reduces to
+    -g p w / (Rd t) exactly."""
+    from wrf_to_geodataframe_spark.functions.meteo import omega_from_w
+
+    r = _one(
+        spark,
+        omega_from_w(F.lit(1.0), F.lit(288.0), F.lit(101325.0),
+                     F.lit(0.0)).alias("up"),
+        omega_from_w(F.lit(-2.0), F.lit(288.0), F.lit(101325.0),
+                     F.lit(0.0)).alias("down"),
+    )
+    assert r.up == pytest.approx(
+        -9.81 * 101325.0 / (287.047 * 288.0), rel=1e-12
+    )
+    assert -13.0 < r.up < -11.0
+    assert r.down == pytest.approx(-2.0 * r.up, rel=1e-12)

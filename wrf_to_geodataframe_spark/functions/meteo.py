@@ -304,6 +304,14 @@ def _dbz_factor(rho_x: float, n0_x: float, ice: bool) -> float:
     return f / n0_x ** 0.75
 
 
+def omega_from_w(w, t_k, p, qv) -> Column:
+    """Pressure vertical velocity [Pa/s] from geometric w [m/s]
+    (wrf-python `omega`, hydrostatic form): omega = -rho g w with
+    rho = p / (Rd Tv) — positive omega is descent."""
+    rho = _c(p) / (F.lit(RD) * virtual_temperature(t_k, qv))
+    return F.lit(-G0) * rho * _c(w)
+
+
 def reflectivity_dbz(t_k, p, qv, qr, qs=None, qg=None) -> Column:
     """Simulated radar reflectivity [dBZ] — the RIP4 CALDBZ algorithm
     (wrf-python `dbz` with ivarint=0, iliqskin=0): per-species

@@ -841,9 +841,98 @@ FROM s
 _M11_SQL = _m11_sql()
 
 
+def m12_omega_mdbz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OMEGA + MDBZ (the last wrf-python getvar staples): per column,
+    the 700-hPa-nearest pressure vertical velocity omega = -rho g w
+    (functions/meteo.omega_from_w — codegen, min_by on |p - 70000|)
+    and the COLUMN-MAX simulated reflectivity (`mdbz` — one
+    conditional max over the m2 CALDBZ expression), in a single
+    partial-agg groupBy.  Hydrometeors keep live zero arms so some
+    columns' mdbz sits exactly on the -30 dBZ floor."""
+    from wrf_to_geodataframe_spark.functions.meteo import (
+        omega_from_w,
+        reflectivity_dbz,
+        temperature_k,
+    )
+
+    lev = _lattice(spark, sf_dir).select(
+        "y", "x",
+        F.explode(F.sequence(F.lit(0), F.lit(_DK - 1))).alias("k"),
+    ).select(
+        "y", "x", "k",
+        (F.lit(100000.0) - F.col("k") * 9000.0).alias("p"),
+        (
+            F.lit(300.0) + (F.col("x") % 5) + F.col("y") * 0.5
+        ).alias("theta"),
+        (
+            F.lit(0.004) + 0.0001 * ((F.col("x") + F.col("y")) % 10)
+        ).alias("qv"),
+        (((F.col("x") + F.col("y") + F.col("k")) % 7 - 3.0) / 8.0).alias(
+            "w"
+        ),
+        F.when(
+            (F.col("x") + F.col("y") + F.col("k")) % 6 == 0,
+            (F.col("k") + 1.0) / 8192.0,
+        ).otherwise(F.lit(0.0)).alias("qr"),
+    )
+    tk = temperature_k(F.col("theta"), F.col("p"))
+    d = lev.select(
+        "y", "x", "p",
+        F.round(omega_from_w(F.col("w"), tk, F.col("p"), F.col("qv")), 6)
+        .alias("om"),
+        F.round(
+            reflectivity_dbz(tk, F.col("p"), F.col("qv"), F.col("qr")), 6
+        ).alias("dbz"),
+    )
+    out = d.groupBy("y", "x").agg(
+        F.min_by("om", F.abs(F.col("p") - 70000.0)).alias("omega700"),
+        F.max("dbz").alias("mdbz"),
+    )
+    return out.select(
+        F.col("y").alias("y_idx"),
+        F.col("x").cast("long").alias("x_idx"),
+        "omega700",
+        "mdbz",
+    )
+
+
+def _m12_sql() -> str:
+    from wrf_to_geodataframe_spark.functions.meteo import _dbz_factor
+
+    fr = _dbz_factor(1000.0, 8.0e6, False)
+    tk = "(theta * pow(p / 100000.0, 2.0/7.0))"
+    tv = f"({tk} * (1.0 + 0.61 * qv))"
+    rho = f"(p / (287.047 * {tv}))"
+    om = f"(-9.81 * {rho} * w)"
+    z_e = f"({fr!r} * pow({rho} * qr, 1.75))"
+    dbz = f"(10.0 * ln(greatest({z_e}, 0.001)) / ln(10.0))"
+    return f"""
+WITH ys AS ({_D_YS_SQL}),
+lev AS (
+    SELECT y, x, k,
+           100000.0 - k * 9000.0 AS p,
+           300.0 + (x % 5) + y * 0.5 AS theta,
+           0.004 + 0.0001 * ((x + y) % 10) AS qv,
+           ((x + y + k) % 7 - 3.0) / 8.0 AS w,
+           CASE WHEN (x + y + k) % 6 = 0 THEN (k + 1.0) / 8192.0
+                ELSE 0.0 END AS qr
+    FROM ys, generate_series(0, {_DW - 1}) AS t(x),
+         generate_series(0, {_DK - 1}) AS t2(k)
+)
+SELECT y AS y_idx, CAST(x AS BIGINT) AS x_idx,
+       arg_min(round({om}, 6), abs(p - 70000.0)) AS omega700,
+       max(round({dbz}, 6)) AS mdbz
+FROM lev GROUP BY y, x
+"""
+
+
+_M12_SQL = _m12_sql()
+
+
 QUERIES = {
     "m10_mu_cape": m10_mu_cape,
     "m11_slp_column": m11_slp_column,
+    "m12_omega_mdbz": m12_omega_mdbz,
     "m3_absolute_vorticity": m3_absolute_vorticity,
     "m4_updraft_helicity": m4_updraft_helicity,
     "m5_storm_rel_helicity": m5_storm_rel_helicity,
@@ -856,6 +945,7 @@ QUERIES = {
 ORACLE = {
     "m10_mu_cape": _M10_SQL,
     "m11_slp_column": _M11_SQL,
+    "m12_omega_mdbz": _M12_SQL,
     "m3_absolute_vorticity": _M3_SQL,
     "m4_updraft_helicity": _M4_SQL,
     "m5_storm_rel_helicity": _M5_SQL,
