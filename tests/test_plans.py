@@ -770,3 +770,37 @@ def test_global_plan_invariants_all_queries(spark):
         if "BatchEvalPython" in plan:
             bad.append((name, "BatchEvalPython"))
     assert not bad, bad
+
+
+def test_surface_cape_single_column_shuffle(spark):
+    """surface_cape's parcel window, LFC window, and final groupBy all
+    key on the column id: TWO column-key exchanges and no joins — one
+    feeding the parcel window, and one re-partitioning the persisted
+    buoyancy table for the LFC window + groupBy (cached output
+    partitioning is not reused for exchange elision under this AQE
+    config — the _collapse_identical r11 finding; the persist buys a
+    measured ~10x interpreter saving on the bisection fold, worth one
+    narrow-table shuffle).  Any third exchange or a join appearing
+    here means the shape regressed."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.operators.vertical import surface_cape
+
+    lev = spark.range(400).select(
+        (F.col("id") % 40).alias("cid"),
+        (F.col("id") / 40).cast("long").alias("k"),
+    ).select(
+        "cid", "k",
+        (F.lit(100000.0) - F.col("k") * 9000.0).alias("p"),
+        (F.lit(300.0) - F.col("k") * 6.5).alias("t"),
+        F.lit(0.0078125).alias("qv"),
+        F.lit(500.0).alias("dz"),
+    )
+    for parcel in ("surface", "most_unstable"):
+        plan = surface_cape(
+            lev, "p", "t", "qv", "dz", ["cid"], parcel=parcel
+        )._jdf.queryExecution().executedPlan().toString()
+        n_exchange = plan.count("Exchange hashpartitioning(cid")
+        assert n_exchange == 2, (parcel, n_exchange)
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan

@@ -401,10 +401,12 @@ def surface_cape(
     parcel origin contribute neither cape nor cin).
 
     Distribution shape: one window over the column key extracts the
-    surface parcel (first level by descending pressure), a second
-    window on the SAME key finds the LFC (no extra shuffle — Catalyst
-    reuses the partitioning), and one partial-aggregated groupBy sums
-    the quantized contributions.  Per-level contributions are floored
+    surface parcel (first level by descending pressure); the per-level
+    buoyancy table is then PERSISTED (the fold below is interpreter-
+    evaluated, and materializing it once is a measured ~10x saving),
+    and the LFC window + final groupBy re-shuffle that narrow table on
+    the same key — two column-key exchanges total, no joins
+    (plan-pinned in tests/test_plans.py).  Per-level contributions are floored
     onto a 1/quant J/kg lattice (BIGINT) before summing, making the
     multi-row float sum order-independent (suite integer rule);
     gates verify their synthetic profiles keep safe distances from
