@@ -1,0 +1,276 @@
+"""wrf_getvar (operators/wrf.py): the wrf-python getvar front door
+driven end to end over a REAL two-shard wrfout-convention archive
+written with the engine's own NetCDF writer — standard variable names
+(T/P/PB/PH/PHB/QVAPOR/QRAIN/QCLOUD/U/V/W, staggered coords XLAT_U
+etc.), every supported quantity replayed in numpy."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from wrf_to_geodataframe_spark.operators.wrf import SUPPORTED, wrf_getvar
+
+NK, NJ, NI = 6, 5, 6
+NF = 2
+ATTRS = {"TRUELAT1": 30.0, "TRUELAT2": 60.0, "STAND_LON": -100.0,
+         "DX": 4000.0, "DY": 4000.0}
+EPS = 0.622
+
+
+def _fields(f):
+    kk, jj, ii = np.meshgrid(
+        np.arange(NK), np.arange(NJ), np.arange(NI), indexing="ij"
+    )
+    t_pert = -8.0 * kk + (ii + jj) / 4.0 + f  # theta = T + 300
+    pb = 95000.0 - 9000.0 * kk
+    p_pert = 100.0 * (ii % 3) + 25.0 * f
+    qv = (16.0 + ((ii + jj + kk) % 5) - kk) / 1024.0
+    qrain = np.where((ii + jj + kk) % 4 == 0, (kk + 1) / 8192.0, 0.0)
+    qcloud = np.where((ii + jj + kk) % 6 == 0, (kk + 1) / 4096.0, 0.0)
+    ks, jj2, ii2 = np.meshgrid(
+        np.arange(NK + 1), np.arange(NJ), np.arange(NI), indexing="ij"
+    )
+    phb = 4905.0 * ks  # zs base = 500 k
+    ph = 9.81 * (ii2 + jj2 + f) / 4.0
+    w = ((ii2 + jj2 + ks) % 5 - 2.0) / 8.0
+    _, jju, iiu = np.meshgrid(
+        np.arange(NK), np.arange(NJ), np.arange(NI + 1), indexing="ij"
+    )
+    u = (iiu * 2.0 + jju / 2.0 + f) / 4.0
+    _, jjv, iiv = np.meshgrid(
+        np.arange(NK), np.arange(NJ + 1), np.arange(NI), indexing="ij"
+    )
+    v = (iiv / 2.0 + jjv * 3.0 + f) / 4.0
+    return dict(t=t_pert, pb=pb, p=p_pert, qv=qv, qrain=qrain,
+                qcloud=qcloud, phb=phb, ph=ph, w=w, u=u, v=v)
+
+
+@pytest.fixture(scope="module")
+def archive(tmp_path_factory):
+    from wrf_to_geodataframe_spark.sources.netcdf import write_netcdf
+
+    d = str(tmp_path_factory.mktemp("wrfout"))
+    jj, ii = np.meshgrid(np.arange(NJ), np.arange(NI), indexing="ij")
+    lat = 38.0 + jj * 0.25 + ii * 0.0
+    lon = -101.0 + ii * 0.25 + jj * 0.0
+    jju, iiu = np.meshgrid(np.arange(NJ), np.arange(NI + 1), indexing="ij")
+    jjv, iiv = np.meshgrid(np.arange(NJ + 1), np.arange(NI), indexing="ij")
+    for f in range(NF):
+        v = _fields(float(f))
+        write_netcdf(
+            os.path.join(d, f"wrfout_d01_{f:03d}.nc"),
+            {"k": NK, "ks": NK + 1, "j": NJ, "i": NI,
+             "is_": NI + 1, "js": NJ + 1},
+            {
+                "T": {"dims": ["k", "j", "i"], "data": v["t"]},
+                "P": {"dims": ["k", "j", "i"], "data": v["p"]},
+                "PB": {"dims": ["k", "j", "i"], "data": v["pb"]},
+                "QVAPOR": {"dims": ["k", "j", "i"], "data": v["qv"]},
+                "QRAIN": {"dims": ["k", "j", "i"], "data": v["qrain"]},
+                "QCLOUD": {"dims": ["k", "j", "i"], "data": v["qcloud"]},
+                "PH": {"dims": ["ks", "j", "i"], "data": v["ph"]},
+                "PHB": {"dims": ["ks", "j", "i"], "data": v["phb"]},
+                "W": {"dims": ["ks", "j", "i"], "data": v["w"]},
+                "U": {"dims": ["k", "j", "is_"], "data": v["u"]},
+                "V": {"dims": ["k", "js", "i"], "data": v["v"]},
+                "XLAT": {"dims": ["j", "i"], "data": lat},
+                "XLONG": {"dims": ["j", "i"], "data": lon},
+                "XLAT_U": {"dims": ["j", "is_"],
+                           "data": 38.0 + jju * 0.25},
+                "XLONG_U": {"dims": ["j", "is_"],
+                            "data": -101.125 + iiu * 0.25},
+                "XLAT_V": {"dims": ["js", "i"],
+                           "data": 37.875 + jjv * 0.25},
+                "XLONG_V": {"dims": ["js", "i"],
+                            "data": -101.0 + iiv * 0.25},
+            },
+        )
+    return d
+
+
+def _collect(df, *val_cols):
+    rows = df.withColumn(
+        "f", F.regexp_extract("file", r"_(\d+)\.nc", 1).cast("long")
+    ).collect()
+    if len(val_cols) == 1:
+        if "k" in rows[0].asDict():
+            return {
+                (r.f, r.k, r.y_idx, r.x_idx): r[val_cols[0]] for r in rows
+            }
+        return {(r.f, r.y_idx, r.x_idx): r[val_cols[0]] for r in rows}
+    return {
+        (r.f, r.k, r.y_idx, r.x_idx): tuple(r[c] for c in val_cols)
+        for r in rows
+    }
+
+
+def _np_point(f):
+    v = _fields(float(f))
+    theta = v["t"] + 300.0
+    prs = v["p"] + v["pb"]
+    tk = theta * (prs / 100000.0) ** (2.0 / 7.0)
+    e = (prs / 100.0) * v["qv"] / (EPS + v["qv"])
+    es = 6.112 * np.exp(17.67 * (tk - 273.15) / ((tk - 273.15) + 243.5))
+    rh = 100.0 * e / es
+    return v, theta, prs, tk, rh
+
+
+def test_point_thermodynamics(spark, archive):
+    for name in ("theta", "pressure", "tk", "rh"):
+        got = _collect(wrf_getvar(spark, archive, name), name)
+        assert len(got) == NF * NK * NJ * NI, name
+        for f in range(NF):
+            v, theta, prs, tk, rh = _np_point(f)
+            want = {"theta": theta, "pressure": prs, "tk": tk, "rh": rh}[
+                name
+            ]
+            for k in (0, 3, NK - 1):
+                for j in (0, NJ - 1):
+                    for i in (0, 2):
+                        assert got[(f, k, j, i)] == pytest.approx(
+                            want[k, j, i], rel=1e-12
+                        ), (name, f, k, j, i)
+
+
+def test_height_and_dz_from_staggered_geopotential(spark, archive):
+    got = _collect(wrf_getvar(spark, archive, "z"), "z")
+    assert len(got) == NF * NK * NJ * NI
+    for f in range(NF):
+        v = _fields(float(f))
+        zs = (v["ph"] + v["phb"]) / 9.81
+        for k in range(NK):
+            zmass = (zs[k] + zs[k + 1]) / 2.0
+            assert got[(f, k, 2, 3)] == zmass[2, 3], (f, k)
+
+
+def test_destaggered_winds_and_uvmet(spark, archive):
+    got = _collect(wrf_getvar(spark, archive, "wspd_wdir"),
+                   "wspd", "wdir")
+    assert len(got) == NF * NK * NJ * NI
+    cone = math.log(
+        math.cos(math.radians(30)) / math.cos(math.radians(60))
+    ) / math.log(
+        math.tan(math.pi / 4 + math.radians(60) / 2)
+        / math.tan(math.pi / 4 + math.radians(30) / 2)
+    )
+    met = _collect(
+        wrf_getvar(spark, archive, "uvmet", attrs=ATTRS), "ue", "ve"
+    )
+    for f in range(NF):
+        v = _fields(float(f))
+        um = (v["u"][:, :, :-1] + v["u"][:, :, 1:]) / 2.0
+        vm = (v["v"][:, :-1, :] + v["v"][:, 1:, :]) / 2.0
+        for (k, j, i) in [(0, 0, 0), (2, 3, 4), (NK - 1, NJ - 1, NI - 1)]:
+            ws, wd = got[(f, k, j, i)]
+            assert ws == pytest.approx(
+                math.hypot(um[k, j, i], vm[k, j, i]), rel=1e-12
+            )
+            lon = -101.0 + i * 0.25
+            a = math.radians((lon - (-100.0)) * cone)
+            ue = vm[k, j, i] * math.sin(a) + um[k, j, i] * math.cos(a)
+            ve = vm[k, j, i] * math.cos(a) - um[k, j, i] * math.sin(a)
+            assert met[(f, k, j, i)][0] == pytest.approx(ue, rel=1e-12)
+            assert met[(f, k, j, i)][1] == pytest.approx(ve, rel=1e-12)
+
+
+def test_avo_matches_numpy_stencil(spark, archive):
+    got = _collect(wrf_getvar(spark, archive, "avo", attrs=ATTRS), "avo")
+    for f in range(NF):
+        v = _fields(float(f))
+        um = (v["u"][:, :, :-1] + v["u"][:, :, 1:]) / 2.0
+        vm = (v["v"][:, :-1, :] + v["v"][:, 1:, :]) / 2.0
+        for (k, j, i) in [(0, 2, 3), (4, 1, 1)]:
+            dvdx = (vm[k, j, i + 1] - vm[k, j, i - 1]) / 8000.0
+            dudy = (um[k, j + 1, i] - um[k, j - 1, i]) / 8000.0
+            fcor = 2 * 7.292e-5 * math.sin(math.radians(38.0 + j * 0.25))
+            assert got[(f, k, j, i)] == pytest.approx(
+                dvdx - dudy + fcor, rel=1e-9
+            ), (f, k, j, i)
+        assert got[(f, 0, 0, 0)] is None  # boundary NULL
+
+
+def test_pw_slp_cape_column_diagnostics(spark, archive):
+    from tests.test_cape import _numpy_cape
+
+    pw = _collect(wrf_getvar(spark, archive, "pw"), "pw")
+    slp = _collect(wrf_getvar(spark, archive, "slp"), "slp")
+    cape = wrf_getvar(spark, archive, "cape_2d")
+    got_cape = {
+        (r.f, r.y_idx, r.x_idx): (r.cape, r.cin)
+        for r in cape.withColumn(
+            "f", F.regexp_extract("file", r"_(\d+)\.nc", 1).cast("long")
+        ).collect()
+    }
+    for f in range(NF):
+        v, theta, prs, tk, rh = _np_point(f)
+        zs = (v["ph"] + v["phb"]) / 9.81
+        for (j, i) in [(0, 0), (2, 3), (NJ - 1, NI - 1)]:
+            want_pw = float(
+                np.sum(v["qv"][:-1, j, i] * -np.diff(prs[:, j, i]))
+                / 9810.0
+            )
+            assert pw[(f, j, i)] == pytest.approx(want_pw, rel=1e-12)
+            # slp replay: pivot = highest p <= psfc - 100 hPa
+            psfc = prs[0, j, i]
+            zsfc = (zs[0, j, i] + zs[1, j, i]) / 2.0
+            kpiv = min(
+                k for k in range(NK) if prs[k, j, i] <= psfc - 10000.0
+            )
+            xterm = 0.0065 * 287.047 / 9.81
+            tsfc = tk[kpiv, j, i] * (psfc / prs[kpiv, j, i]) ** xterm
+            tsl = tsfc + 0.0065 * zsfc
+            want_slp = psfc * math.exp(
+                2 * 9.81 * zsfc / (287.047 * (tsl + tsfc))
+            )
+            assert slp[(f, j, i)] == pytest.approx(want_slp, rel=1e-12)
+            levels = [
+                (
+                    float(prs[k, j, i]),
+                    float(tk[k, j, i]),
+                    float(v["qv"][k, j, i]),
+                    float(zs[k + 1, j, i] - zs[k, j, i]),
+                )
+                for k in range(NK)
+            ]
+            want_cape, want_cin = _numpy_cape(levels)
+            gc, gi = got_cape[(f, j, i)]
+            assert gc == pytest.approx(want_cape, abs=2e-4), (f, j, i)
+            if want_cin is None:
+                assert gi is None
+            else:
+                assert gi == pytest.approx(want_cin, abs=2e-4)
+
+
+def test_mdbz_and_omega(spark, archive):
+    mdbz = _collect(wrf_getvar(spark, archive, "mdbz"), "mdbz")
+    om = _collect(wrf_getvar(spark, archive, "omega"), "omega")
+    from wrf_to_geodataframe_spark.functions.meteo import _dbz_factor
+
+    fr = _dbz_factor(1000.0, 8.0e6, False)
+    for f in range(NF):
+        v, theta, prs, tk, rh = _np_point(f)
+        tv = tk * (1 + 0.61 * v["qv"])
+        rho = prs / (287.047 * tv)
+        z_e = fr * (rho * v["qrain"]) ** 1.75
+        dbz = 10.0 * np.log(np.maximum(z_e, 0.001)) / np.log(10.0)
+        wm = (v["w"][:-1] + v["w"][1:]) / 2.0
+        for (j, i) in [(1, 1), (3, 4)]:
+            assert mdbz[(f, j, i)] == pytest.approx(
+                float(dbz[:, j, i].max()), rel=1e-12
+            )
+            k = 2
+            assert om[(f, k, j, i)] == pytest.approx(
+                -9.81 * rho[k, j, i] * wm[k, j, i], rel=1e-12
+            )
+
+
+def test_getvar_named_errors(spark, archive):
+    with pytest.raises(ValueError, match="not implemented"):
+        wrf_getvar(spark, archive, "nonsense_var")
+    with pytest.raises(ValueError, match="attrs"):
+        wrf_getvar(spark, archive, "uvmet")

@@ -183,6 +183,7 @@ def potential_vorticity(
     dx: float,
     dy: float,
     lat_col: str | None = None,
+    group_cols: list[str] | None = None,
     out_col: str = "pv",
 ) -> DataFrame:
     """Ertel potential vorticity on model levels [K m2 kg-1 s-1]
@@ -195,13 +196,15 @@ def potential_vorticity(
 
     Three pencil window passes total (d/dx, d/dy, d/dk), each
     partitioned into thousands of independent pencils; lateral and
-    vertical boundaries carry NULL (the avo convention).  Multiply by
+    vertical boundaries carry NULL (the avo convention).  Extra
+    ``group_cols`` (time, file) keep pencils per-slab.  Multiply by
     1e6 for PVU."""
+    extra = list(group_cols or [])
     zeta = absolute_vorticity(
         df, u_col, v_col, x_col, y_col, dx, dy,
-        lat_col=lat_col, group_cols=[k_col], out_col="_zf",
+        lat_col=lat_col, group_cols=extra + [k_col], out_col="_zf",
     )
-    w = Window.partitionBy(x_col, y_col).orderBy(k_col)
+    w = Window.partitionBy(*extra, x_col, y_col).orderBy(k_col)
     nxt_ok = F.lead(k_col).over(w) == F.col(k_col) + 1
     prv_ok = F.lag(k_col).over(w) == F.col(k_col) - 1
     dthdp = F.when(

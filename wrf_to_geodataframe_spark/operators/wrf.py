@@ -1,0 +1,364 @@
+"""``wrf_getvar`` — the wrf-python ``getvar`` front door over wrfout
+archives, Spark-first.
+
+The reference's users arrive from wrf-python, where every analysis
+starts ``getvar(Dataset(...), "slp")``.  This module gives that call
+shape over a DIRECTORY of per-timestep wrfout shards (the 100-TB
+archive layout ``read_netcdf_dir`` scans: one binaryFile task per
+shard, executor-side pure-numpy NetCDF parse, nothing data-sized on
+the driver):
+
+    df = wrf_getvar(spark, "/archive/wrfout_*", "slp")
+
+Raw-variable conventions are the standard WRF ones (ARW users'
+guide): perturbation + base splits (T+300 for theta, P+PB for
+pressure, PH+PHB for geopotential), Arakawa-C staggering (U on
+west_east_stag with XLAT_U/XLONG_U coords, V on south_north_stag with
+XLAT_V/XLONG_V, W and PH/PHB on bottom_top_stag) — destaggered here
+with the pencil-window operators, never positional reshape.  Each
+file is one timestep; the vertical level index rides the reader's
+``t_idx`` axis, and (file, k, y_idx, x_idx) is the explicit key
+everywhere (SURVEY.md §1.3 / J5).  Layer geometry for the column
+diagnostics comes from the STAGGERED geopotential read on its own
+(never inner-joined against mass levels, which would drop the top
+staggered entry): z at mass level k is the half-sum of adjacent
+staggered heights and dz their exact difference.
+
+Derived quantities dispatch to functions/meteo.py (codegen column
+expressions) and operators/vertical.py / dynamics.py (pencil-window
+operators); projection-dependent names (``uvmet``, ``avo``, ``pvo``)
+take the wrfout global-attribute block via ``attrs=``.
+
+Parity notes: the reference (C-H-Simpson/wrf_to_geodataframe) reaches
+these fields through wrf-python/xarray before converting to
+GeoDataFrames (wrf_voronoi.py:115); this front door covers the getvar
+names its workflows consume.  CALDBZ runs rain-only here (QSNOW /
+QGRAUP join the same way if a caller extends the recipe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_KEY = ["file", "k", "y_idx", "x_idx"]
+_KEY3 = ["file", "y_idx", "x_idx"]
+
+#: getvar name -> MASS-grid raw variables joined into the base table
+SUPPORTED: dict[str, tuple[str, ...]] = {
+    "theta": ("T",),
+    "pressure": ("P", "PB"),
+    "tk": ("T", "P", "PB"),
+    "tc": ("T", "P", "PB"),
+    "tv": ("T", "P", "PB", "QVAPOR"),
+    "rh": ("T", "P", "PB", "QVAPOR"),
+    "td": ("P", "PB", "QVAPOR"),
+    "eth": ("T", "P", "PB", "QVAPOR"),
+    "twb": ("T", "P", "PB", "QVAPOR"),
+    "z": (),
+    "height": (),
+    "dbz": ("T", "P", "PB", "QVAPOR", "QRAIN"),
+    "mdbz": ("T", "P", "PB", "QVAPOR", "QRAIN"),
+    "omega": ("T", "P", "PB", "QVAPOR", "W"),
+    "pw": ("P", "PB", "QVAPOR"),
+    "ctt": ("T", "P", "PB", "QCLOUD"),
+    "cloudfrac": ("T", "P", "PB", "QVAPOR"),
+    "slp": ("T", "P", "PB"),
+    "cape_2d": ("T", "P", "PB", "QVAPOR"),
+    "mcape": ("T", "P", "PB", "QVAPOR"),
+    "wspd_wdir": ("U", "V"),
+    "uvmet": ("U", "V"),
+    "avo": ("U", "V"),
+    "pvo": ("U", "V", "T", "P", "PB"),
+}
+
+#: names whose column diagnostics need the staggered-geopotential
+#: layer geometry (z at mass levels, exact dz)
+_NEEDS_ZDZ = {"z", "height", "slp", "cape_2d", "mcape"}
+#: names that need the mass-grid lat/lon joined back after destagger
+_NEEDS_COORDS = {"uvmet", "avo", "pvo"}
+
+
+def _raw(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    lat_var: str,
+    lon_var: str,
+) -> DataFrame:
+    from wrf_to_geodataframe_spark.sources.netcdf import read_netcdf_dir
+
+    df = read_netcdf_dir(spark, path, name, lat_var, lon_var)
+    return df.select(
+        "file",
+        F.col("t_idx").alias("k"),
+        "y_idx",
+        "x_idx",
+        F.col("value").alias(name.lower()),
+    )
+
+
+def _base(
+    spark: SparkSession,
+    path: str,
+    names: tuple[str, ...],
+    lat_var: str,
+    lon_var: str,
+) -> DataFrame | None:
+    """The requested mass-grid variables joined on the explicit key;
+    staggered winds are destaggered onto mass points BEFORE joining,
+    so every join is a co-keyed equi join."""
+    from wrf_to_geodataframe_spark.operators.vertical import destagger
+
+    out = None
+    for name in names:
+        if name == "U":
+            d = destagger(
+                _raw(spark, path, name, f"{lat_var}_U", f"{lon_var}_U"),
+                "x_idx", "u", ["file", "k", "y_idx"], out_col="u",
+            )
+        elif name == "V":
+            d = destagger(
+                _raw(spark, path, name, f"{lat_var}_V", f"{lon_var}_V"),
+                "y_idx", "v", ["file", "k", "x_idx"], out_col="v",
+            )
+        elif name == "W":
+            d = destagger(
+                _raw(spark, path, name, lat_var, lon_var),
+                "k", "w", ["file", "y_idx", "x_idx"], out_col="w",
+            )
+        else:
+            d = _raw(spark, path, name, lat_var, lon_var)
+        d = d.select(*_KEY, name.lower())
+        out = d if out is None else out.join(d, _KEY)
+    return out
+
+
+def _coords(
+    spark: SparkSession, path: str, lat_var: str, lon_var: str
+) -> DataFrame:
+    """Mass-grid (file, y_idx, x_idx, lat, lon) — the 2-D coordinate
+    variable read as its own field (t_idx collapses to the single
+    plane)."""
+    from wrf_to_geodataframe_spark.sources.netcdf import read_netcdf_dir
+
+    return (
+        read_netcdf_dir(spark, path, lat_var, lat_var, lon_var)
+        .select("file", "y_idx", "x_idx", "lat", "lon")
+        .distinct()
+    )
+
+
+def _zdz(
+    spark: SparkSession, path: str, lat_var: str, lon_var: str
+) -> DataFrame:
+    """(file, k, y_idx, x_idx, z, dz) at MASS levels from the
+    staggered geopotential: z = half-sum of adjacent staggered
+    heights, dz = their exact difference — one lead window per column
+    pencil over the staggered-only table (joining staggered against
+    mass levels first would silently drop the top staggered entry)."""
+    ph = _raw(spark, path, "PH", lat_var, lon_var)
+    phb = _raw(spark, path, "PHB", lat_var, lon_var)
+    d = ph.join(phb, _KEY).withColumn(
+        "_zs", (F.col("ph") + F.col("phb")) / F.lit(9.81)
+    )
+    w = Window.partitionBy(*_KEY3).orderBy("k")
+    return (
+        d.withColumn("_zs2", F.lead("_zs").over(w))
+        .filter(F.col("_zs2").isNotNull())
+        .select(
+            *_KEY,
+            ((F.col("_zs") + F.col("_zs2")) / 2.0).alias("z"),
+            (F.col("_zs2") - F.col("_zs")).alias("dz"),
+        )
+    )
+
+
+def wrf_getvar(
+    spark: SparkSession,
+    path: str,
+    varname: str,
+    lat_var: str = "XLAT",
+    lon_var: str = "XLONG",
+    attrs: dict | None = None,
+    **kw,
+) -> DataFrame:
+    """wrf-python ``getvar(...)`` over an archive of per-timestep
+    wrfout shards.  Returns a long DataFrame keyed by (file, k,
+    y_idx, x_idx) for per-level fields or (file, y_idx, x_idx) for
+    column diagnostics, value column(s) named after the quantity.
+    Unknown names raise with the supported list (never a silent
+    wrong answer)."""
+    from wrf_to_geodataframe_spark.functions import meteo as M
+
+    if varname not in SUPPORTED:
+        raise ValueError(
+            f"getvar name {varname!r} not implemented; supported: "
+            f"{sorted(SUPPORTED)}"
+        )
+    base = _base(spark, path, SUPPORTED[varname], lat_var, lon_var)
+    if base is not None and "p" in base.columns and "pb" in base.columns:
+        base = base.withColumn("prs", F.col("p") + F.col("pb"))
+    theta = F.col("t") + F.lit(300.0)
+    prs = F.col("prs")
+
+    if varname == "theta":
+        return base.select(*_KEY, theta.alias("theta"))
+    if varname == "pressure":
+        return base.select(*_KEY, prs.alias("pressure"))
+    if varname in ("tk", "tc"):
+        tk = M.temperature_k(theta, prs)
+        v = tk if varname == "tk" else tk - F.lit(273.15)
+        return base.select(*_KEY, v.alias(varname))
+    if varname == "tv":
+        tk = M.temperature_k(theta, prs)
+        return base.select(
+            *_KEY, M.virtual_temperature(tk, F.col("qvapor")).alias("tv")
+        )
+    if varname == "rh":
+        tk = M.temperature_k(theta, prs)
+        return base.select(
+            *_KEY,
+            M.relative_humidity(tk, prs, F.col("qvapor")).alias("rh"),
+        )
+    if varname == "td":
+        return base.select(
+            *_KEY, M.dewpoint_k(prs, F.col("qvapor")).alias("td")
+        )
+    if varname == "eth":
+        tk = M.temperature_k(theta, prs)
+        return base.select(
+            *_KEY, M.theta_e_bolton(tk, prs, F.col("qvapor")).alias("eth")
+        )
+    if varname == "twb":
+        tk = M.temperature_k(theta, prs)
+        rh = M.relative_humidity(tk, prs, F.col("qvapor"))
+        return base.select(
+            *_KEY,
+            (M.wet_bulb_stull_c(tk, rh) + F.lit(273.15)).alias("twb"),
+        )
+    if varname in ("z", "height"):
+        return _zdz(spark, path, lat_var, lon_var).select(
+            *_KEY, F.col("z").alias(varname)
+        )
+    if varname == "dbz":
+        tk = M.temperature_k(theta, prs)
+        return base.select(
+            *_KEY,
+            M.reflectivity_dbz(
+                tk, prs, F.col("qvapor"), F.col("qrain")
+            ).alias("dbz"),
+        )
+    if varname == "mdbz":
+        tk = M.temperature_k(theta, prs)
+        dbz = M.reflectivity_dbz(tk, prs, F.col("qvapor"), F.col("qrain"))
+        return (
+            base.withColumn("_dbz", dbz)
+            .groupBy(*_KEY3)
+            .agg(F.max("_dbz").alias("mdbz"))
+        )
+    if varname == "omega":
+        tk = M.temperature_k(theta, prs)
+        return base.select(
+            *_KEY,
+            M.omega_from_w(F.col("w"), tk, prs, F.col("qvapor")).alias(
+                "omega"
+            ),
+        )
+    if varname == "pw":
+        # layer dp from adjacent full-level pressure differences
+        w = Window.partitionBy(*_KEY3).orderBy("k")
+        d = (
+            base.withColumn("_p2", F.lead("prs").over(w))
+            .filter(F.col("_p2").isNotNull())
+            .withColumn("_dp", prs - F.col("_p2"))
+        )
+        from wrf_to_geodataframe_spark.operators.vertical import (
+            precipitable_water,
+        )
+
+        return precipitable_water(d, "qvapor", "_dp", _KEY3, out_col="pw")
+    if varname == "ctt":
+        from wrf_to_geodataframe_spark.operators.vertical import (
+            cloud_top_temperature,
+        )
+
+        d = base.withColumn("_tk", M.temperature_k(theta, prs))
+        return cloud_top_temperature(
+            d, "prs", "_tk", "qcloud", _KEY3, out_col="ctt"
+        )
+    if varname == "cloudfrac":
+        from wrf_to_geodataframe_spark.operators.vertical import (
+            cloud_fraction,
+        )
+
+        tk = M.temperature_k(theta, prs)
+        rh = M.relative_humidity(tk, prs, F.col("qvapor"))
+        return cloud_fraction(
+            base.withColumn("_rh", rh), "prs", "_rh", _KEY3
+        )
+    if varname in ("slp", "cape_2d", "mcape"):
+        d = base.join(_zdz(spark, path, lat_var, lon_var), _KEY)
+        d = d.withColumn("_tk", M.temperature_k(theta, prs))
+        if varname == "slp":
+            from wrf_to_geodataframe_spark.operators.vertical import (
+                sea_level_pressure,
+            )
+
+            return sea_level_pressure(
+                d, "prs", "_tk", "z", _KEY3, out_col="slp"
+            )
+        from wrf_to_geodataframe_spark.operators.vertical import (
+            surface_cape,
+        )
+
+        return surface_cape(
+            d, "prs", "_tk", "qvapor", "dz", _KEY3,
+            parcel="surface" if varname == "cape_2d" else "most_unstable",
+            **kw,
+        )
+    if varname == "wspd_wdir":
+        return base.select(
+            *_KEY,
+            M.wind_speed(F.col("u"), F.col("v")).alias("wspd"),
+            M.wind_dir_met(F.col("u"), F.col("v")).alias("wdir"),
+        )
+    if varname == "uvmet":
+        if not attrs:
+            raise ValueError(
+                "uvmet needs the wrfout global attrs (TRUELAT1/2, "
+                "STAND_LON) via attrs="
+            )
+        d = base.join(_coords(spark, path, lat_var, lon_var), _KEY3)
+        cone = M.lcc_cone(
+            float(attrs["TRUELAT1"]), float(attrs["TRUELAT2"])
+        )
+        ue, ve = M.uvmet(
+            F.col("u"), F.col("v"), F.col("lon"),
+            float(attrs["STAND_LON"]), cone,
+        )
+        return d.select(*_KEY, ue.alias("ue"), ve.alias("ve"))
+    if varname in ("avo", "pvo"):
+        if not attrs:
+            raise ValueError(
+                f"{varname} needs the wrfout global attrs (DX, DY) via "
+                "attrs="
+            )
+        from wrf_to_geodataframe_spark.operators.dynamics import (
+            absolute_vorticity,
+            potential_vorticity,
+        )
+
+        d = base.join(_coords(spark, path, lat_var, lon_var), _KEY3)
+        dx, dy = float(attrs["DX"]), float(attrs["DY"])
+        if varname == "avo":
+            return absolute_vorticity(
+                d, "u", "v", "x_idx", "y_idx", dx, dy,
+                lat_col="lat", group_cols=["file", "k"], out_col="avo",
+            ).select(*_KEY, "avo")
+        d = d.withColumn("_theta", theta)
+        return potential_vorticity(
+            d, "u", "v", "_theta", "prs", "x_idx", "y_idx", "k",
+            dx, dy, lat_col="lat", group_cols=["file"], out_col="pvo",
+        ).select(*_KEY, "pvo")
+    raise AssertionError(varname)  # pragma: no cover

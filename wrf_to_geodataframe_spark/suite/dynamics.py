@@ -929,10 +929,123 @@ FROM lev GROUP BY y, x
 _M12_SQL = _m12_sql()
 
 
+_GV_NK, _GV_NJ, _GV_NI, _GV_NF = 6, 4, 4, 2
+
+
+def s6_wrf_getvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``wrf_getvar`` FRONT DOOR end to end (operators/wrf.py):
+    write a two-shard wrfout-convention archive (standard names
+    T/P/PB/PH/PHB/QVAPOR, staggered geopotential) with the engine's
+    own classic writer, then ``getvar("slp")`` + ``getvar("pw")``
+    through the distributed binaryFile scan — destagger-free column
+    diagnostics over the real variable-split conventions (theta =
+    T+300, pressure = P+PB, z from PH+PHB).  Fields are dyadic, so pw
+    is hash-exact unquantized; slp (transcendental) rounds to 1e-4 Pa.
+
+    Oracle: the whole chain in closed form — the pivot level is
+    k = 2 by construction (the perturbation pressure cancels in
+    p - psfc), so DuckDB never reads NetCDF or replays a window
+    (the s1_netcdf_dir_ingest pattern, extended through the
+    diagnostics)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_getvar
+    from wrf_to_geodataframe_spark.sources.netcdf import write_netcdf
+
+    d = tempfile.mkdtemp(prefix="s6_wrfout_")
+    nk, nj, ni = _GV_NK, _GV_NJ, _GV_NI
+    kk, jj, ii = np.meshgrid(
+        np.arange(nk), np.arange(nj), np.arange(ni), indexing="ij"
+    )
+    ks, jj2, ii2 = np.meshgrid(
+        np.arange(nk + 1), np.arange(nj), np.arange(ni), indexing="ij"
+    )
+    lat = 38.0 + jj[0] * 0.25 + ii[0] * 0.0
+    lon = -101.0 + ii[0] * 0.25 + jj[0] * 0.0
+    for f in range(_GV_NF):
+        write_netcdf(
+            os.path.join(d, f"wrfout_d01_{f:03d}.nc"),
+            {"k": nk, "ks": nk + 1, "j": nj, "i": ni},
+            {
+                "T": {"dims": ["k", "j", "i"],
+                      "data": -8.0 * kk + (ii + jj) / 4.0 + f},
+                "P": {"dims": ["k", "j", "i"],
+                      "data": 100.0 * (ii % 3) + 25.0 * f + 0.0 * kk},
+                "PB": {"dims": ["k", "j", "i"],
+                       "data": 95000.0 - 9000.0 * kk},
+                "QVAPOR": {"dims": ["k", "j", "i"],
+                           "data": (16.0 + (ii + jj + kk) % 5 - kk)
+                           / 1024.0},
+                "PH": {"dims": ["ks", "j", "i"],
+                       "data": 9.81 * (ii2 + jj2 + f) / 4.0},
+                "PHB": {"dims": ["ks", "j", "i"], "data": 4905.0 * ks},
+                "XLAT": {"dims": ["j", "i"], "data": lat},
+                "XLONG": {"dims": ["j", "i"], "data": lon},
+            },
+        )
+    slp = wrf_getvar(spark, d, "slp")
+    pw = wrf_getvar(spark, d, "pw")
+    return (
+        slp.join(pw, ["file", "y_idx", "x_idx"])
+        .select(
+            F.regexp_extract("file", r"_(\d+)\.nc", 1)
+            .cast("long")
+            .alias("shard"),
+            "y_idx", "x_idx",
+            F.round("slp", 4).alias("slp"),
+            "pw",
+        )
+    )
+
+
+def _s6_sql() -> str:
+    xterm = 0.0065 * 287.047 / 9.81
+    theta2 = "((-8.0 * 2 + (i + j) / 4.0 + f) + 300.0)"
+    prs2 = "(100.0 * (i % 3) + 25.0 * f + (95000.0 - 9000.0 * 2))"
+    psfc = "(100.0 * (i % 3) + 25.0 * f + 95000.0)"
+    zsfc = (
+        "(((9.81 * (i + j + f) / 4.0 + 4905.0 * 0) / 9.81"
+        " + (9.81 * (i + j + f) / 4.0 + 4905.0 * 1) / 9.81) / 2.0)"
+    )
+    tk2 = f"({theta2} * pow({prs2} / 100000.0, 2.0/7.0))"
+    tsfc = f"({tk2} * pow({psfc} / {prs2}, {xterm!r}))"
+    return f"""
+WITH cells AS (
+    SELECT f, j, i
+    FROM generate_series(0, {_GV_NF - 1}) AS tf(f),
+         generate_series(0, {_GV_NJ - 1}) AS tj(j),
+         generate_series(0, {_GV_NI - 1}) AS ti(i)
+),
+pwl AS (
+    SELECT f, j, i,
+           SUM(((16.0 + (i + j + k) % 5 - k) / 1024.0) * 9000.0) AS s
+    FROM cells, generate_series(0, {_GV_NK - 2}) AS tk(k)
+    GROUP BY f, j, i
+),
+sl AS (
+    SELECT f, j, i,
+           round({psfc} * exp({2.0 * 9.81!r} * {zsfc}
+                 / (287.047 * (({tsfc} + 0.0065 * {zsfc}) + {tsfc}))), 4)
+               AS slp
+    FROM cells
+)
+SELECT f AS shard, CAST(j AS BIGINT) AS y_idx, CAST(i AS BIGINT) AS x_idx,
+       slp, s / 9810.0 AS pw
+FROM sl JOIN pwl USING (f, j, i)
+"""
+
+
+_S6_SQL = _s6_sql()
+
+
 QUERIES = {
     "m10_mu_cape": m10_mu_cape,
     "m11_slp_column": m11_slp_column,
     "m12_omega_mdbz": m12_omega_mdbz,
+    "s6_wrf_getvar": s6_wrf_getvar,
     "m3_absolute_vorticity": m3_absolute_vorticity,
     "m4_updraft_helicity": m4_updraft_helicity,
     "m5_storm_rel_helicity": m5_storm_rel_helicity,
@@ -946,6 +1059,7 @@ ORACLE = {
     "m10_mu_cape": _M10_SQL,
     "m11_slp_column": _M11_SQL,
     "m12_omega_mdbz": _M12_SQL,
+    "s6_wrf_getvar": _S6_SQL,
     "m3_absolute_vorticity": _M3_SQL,
     "m4_updraft_helicity": _M4_SQL,
     "m5_storm_rel_helicity": _M5_SQL,
