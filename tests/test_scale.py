@@ -2075,3 +2075,68 @@ def test_surface_cape_100k_columns(spark):
     n = out.count()
     assert n == ncols
     assert bad == 0
+
+
+@slow
+def test_wrf_getvar_120_shard_archive(spark, tmp_path):
+    """The getvar front door at archive shape: 120 per-timestep wrfout
+    shards (one binaryFile task each, executor-side NetCDF parse)
+    through getvar('slp') and getvar('tk') — every shard's columns
+    pinned to the closed form, nothing data-sized on the driver."""
+    import os as _os
+
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_getvar
+    from wrf_to_geodataframe_spark.sources.netcdf import write_netcdf
+
+    nk, nj, ni, nf = 6, 6, 8, 120
+    kk, jj, ii = np.meshgrid(
+        np.arange(nk), np.arange(nj), np.arange(ni), indexing="ij"
+    )
+    ks = np.arange(nk + 1)[:, None, None] + 0 * jj[:1]
+    d = str(tmp_path / "arch")
+    _os.makedirs(d)
+    for f in range(nf):
+        write_netcdf(
+            _os.path.join(d, f"wrfout_d01_{f:04d}.nc"),
+            {"k": nk, "ks": nk + 1, "j": nj, "i": ni},
+            {
+                "T": {"dims": ["k", "j", "i"],
+                      "data": -8.0 * kk + (ii + jj) / 4.0 + (f % 16)},
+                "P": {"dims": ["k", "j", "i"], "data": 0.0 * kk},
+                "PB": {"dims": ["k", "j", "i"],
+                       "data": 95000.0 - 9000.0 * kk},
+                "PH": {"dims": ["ks", "j", "i"],
+                       "data": np.broadcast_to(
+                           0.0 * ks, (nk + 1, nj, ni)).copy()},
+                "PHB": {"dims": ["ks", "j", "i"],
+                        "data": np.broadcast_to(
+                            4905.0 * ks, (nk + 1, nj, ni)).copy()},
+                "XLAT": {"dims": ["j", "i"],
+                         "data": 38.0 + jj[0] * 0.25},
+                "XLONG": {"dims": ["j", "i"],
+                          "data": -101.0 + ii[0] * 0.25},
+            },
+        )
+    slp = wrf_getvar(spark, d, "slp").withColumn(
+        "f", F.regexp_extract("file", r"_(\d+)\.nc", 1).cast("long")
+    )
+    assert slp.count() == nf * nj * ni
+    # closed form: zsfc = 250 m everywhere; pivot k = 2
+    import math as _math
+
+    bad = 0
+    xterm = 0.0065 * 287.047 / 9.81
+    got = slp.collect()
+    for r in got:
+        theta2 = (-16.0 + (r.x_idx + r.y_idx) / 4.0 + (r.f % 16)) + 300.0
+        tk2 = theta2 * (77000.0 / 100000.0) ** (2.0 / 7.0)
+        tsfc = tk2 * (95000.0 / 77000.0) ** xterm
+        tsl = tsfc + 0.0065 * 250.0
+        want = 95000.0 * _math.exp(
+            2 * 9.81 * 250.0 / (287.047 * (tsl + tsfc))
+        )
+        if abs(r.slp - want) > 1e-7 * want:
+            bad += 1
+    assert bad == 0
+    tk = wrf_getvar(spark, d, "tk")
+    assert tk.count() == nf * nk * nj * ni
