@@ -274,3 +274,39 @@ def test_getvar_named_errors(spark, archive):
         wrf_getvar(spark, archive, "nonsense_var")
     with pytest.raises(ValueError, match="attrs"):
         wrf_getvar(spark, archive, "uvmet")
+
+
+def test_dbz_species_extension_and_validation(spark, archive):
+    """Adding frozen species can only ADD reflectivity; invalid or
+    rain-free species lists raise named errors."""
+    rain = _collect(wrf_getvar(spark, archive, "dbz"), "dbz")
+    # the archive has no QSNOW/QGRAUP vars, so only validate the
+    # argument surface here (the m2 gate covers 3-species math)
+    with pytest.raises(ValueError, match="QRAIN"):
+        wrf_getvar(spark, archive, "dbz", species=("QSNOW",))
+    with pytest.raises(ValueError, match="species"):
+        wrf_getvar(spark, archive, "mdbz", species=("QRAIN", "QICE"))
+    assert min(rain.values()) == pytest.approx(-30.0, abs=1e-9)
+
+
+def test_wrf_interplevel_composed_call(spark, archive):
+    """wrf_interplevel(spark, dir, 'tk', 85000) == the numpy replay of
+    tk interpolated onto 850 hPa per column, NULLs where out of
+    range."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_interplevel
+
+    target = 85000.0
+    got = _collect(
+        wrf_interplevel(spark, archive, "tk", target), "tk_interp"
+    )
+    assert len(got) == NF * NJ * NI
+    for f in range(NF):
+        v, theta, prs, tk, rh = _np_point(f)
+        for (j, i) in [(0, 0), (2, 3), (NJ - 1, NI - 1)]:
+            pc, fc = prs[:, j, i], tk[:, j, i]
+            k2 = int(np.searchsorted(-pc, -target, side="left"))
+            k1 = k2 - 1
+            want = fc[k1] + (fc[k2] - fc[k1]) * (pc[k1] - target) / (
+                pc[k1] - pc[k2]
+            )
+            assert got[(f, j, i)] == pytest.approx(want, rel=1e-12)

@@ -196,7 +196,20 @@ def wrf_getvar(
             f"getvar name {varname!r} not implemented; supported: "
             f"{sorted(SUPPORTED)}"
         )
-    base = _base(spark, path, SUPPORTED[varname], lat_var, lon_var)
+    need = SUPPORTED[varname]
+    species = ()
+    if varname in ("dbz", "mdbz"):
+        # the caller names which hydrometeor species the file carries
+        # (wrfout microphysics options differ); QRAIN is the default
+        species = tuple(kw.pop("species", ("QRAIN",)))
+        bad = [s for s in species if s not in ("QRAIN", "QSNOW", "QGRAUP")]
+        if bad or "QRAIN" not in species:
+            raise ValueError(
+                f"dbz species must include QRAIN and draw from "
+                f"QRAIN/QSNOW/QGRAUP, got {species}"
+            )
+        need = tuple(n for n in need if n != "QRAIN") + species
+    base = _base(spark, path, need, lat_var, lon_var)
     if base is not None and "p" in base.columns and "pb" in base.columns:
         base = base.withColumn("prs", F.col("p") + F.col("pb"))
     theta = F.col("t") + F.lit(300.0)
@@ -241,17 +254,15 @@ def wrf_getvar(
         return _zdz(spark, path, lat_var, lon_var).select(
             *_KEY, F.col("z").alias(varname)
         )
-    if varname == "dbz":
+    if varname in ("dbz", "mdbz"):
         tk = M.temperature_k(theta, prs)
-        return base.select(
-            *_KEY,
-            M.reflectivity_dbz(
-                tk, prs, F.col("qvapor"), F.col("qrain")
-            ).alias("dbz"),
+        dbz = M.reflectivity_dbz(
+            tk, prs, F.col("qvapor"), F.col("qrain"),
+            F.col("qsnow") if "QSNOW" in species else None,
+            F.col("qgraup") if "QGRAUP" in species else None,
         )
-    if varname == "mdbz":
-        tk = M.temperature_k(theta, prs)
-        dbz = M.reflectivity_dbz(tk, prs, F.col("qvapor"), F.col("qrain"))
+        if varname == "dbz":
+            return base.select(*_KEY, dbz.alias("dbz"))
         return (
             base.withColumn("_dbz", dbz)
             .groupBy(*_KEY3)
@@ -362,3 +373,40 @@ def wrf_getvar(
             dx, dy, lat_col="lat", group_cols=["file"], out_col="pvo",
         ).select(*_KEY, "pvo")
     raise AssertionError(varname)  # pragma: no cover
+
+
+def wrf_interplevel(
+    spark: SparkSession,
+    path: str,
+    field: str,
+    target: float,
+    on: str = "pressure",
+    lat_var: str = "XLAT",
+    lon_var: str = "XLONG",
+    attrs: dict | None = None,
+    **kw,
+) -> DataFrame:
+    """The composed call every wrf-python session runs next:
+    ``interplevel(getvar(f, "tk"), getvar(f, "pressure"), 850)`` —
+    here one line over the archive:
+
+        wrf_interplevel(spark, dir, "tk", 85000.0)
+
+    Both the field and the vertical coordinate come through
+    :func:`wrf_getvar` (any supported per-level name), join on the
+    explicit key, and interpolate per column with
+    operators/vertical.interplevel (NULL below ground / above top).
+    ``on`` must be monotone decreasing with height (pressure-like)."""
+    from wrf_to_geodataframe_spark.operators.vertical import interplevel
+
+    fld = wrf_getvar(
+        spark, path, field, lat_var=lat_var, lon_var=lon_var,
+        attrs=attrs, **kw,
+    )
+    coord = wrf_getvar(
+        spark, path, on, lat_var=lat_var, lon_var=lon_var
+    )
+    d = fld.join(coord, _KEY)
+    return interplevel(
+        d, on, field, float(target), _KEY3, out_col=f"{field}_interp"
+    )
