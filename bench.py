@@ -122,6 +122,17 @@ def main() -> None:
         "queries": timings,
         "passes": passes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # methodology pin (VERDICT r11 item 8): builder artifacts are
+        # per-query MINIMA over n_passes after a full JIT warm-up pass;
+        # the driver's own BENCH_r*.json is a single cold-ish pass, so
+        # driver-vs-builder comparisons should expect a uniform ~1.2-1.4x
+        # host/warm-up factor (measured spread on identical code:
+        # 119.7-178.2 s within one hour) and compare COMMON-SET SUMS
+        # round-over-round, never single-query deltas
+        "note": (
+            f"per-query min of {max(1, n_passes)} timed passes after a "
+            "full warm-up pass; see passes for the raw spread"
+        ),
     }
     # the driver's tail-capture of stdout head-truncates long lines
     # (BENCH_r06.json lost the alphabetically-early queries), so the

@@ -310,3 +310,60 @@ def test_wrf_interplevel_composed_call(spark, archive):
                 pc[k1] - pc[k2]
             )
             assert got[(f, j, i)] == pytest.approx(want, rel=1e-12)
+
+
+def test_wrf_interplevel_on_height(spark, archive):
+    """Interpolating on the INCREASING z coordinate (negated
+    internally): tk at 1750 m must equal the hand bracket between the
+    enclosing mass levels."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_interplevel
+
+    got = _collect(
+        wrf_interplevel(spark, archive, "tk", 1750.0, on="z"),
+        "tk_interp",
+    )
+    assert len(got) == NF * NJ * NI
+    for f in range(NF):
+        v, theta, prs, tk, rh = _np_point(f)
+        zs = (v["ph"] + v["phb"]) / 9.81
+        zm = (zs[:-1] + zs[1:]) / 2.0
+        for (j, i) in [(1, 1), (3, 4)]:
+            zc, fc = zm[:, j, i], tk[:, j, i]
+            k1 = int(np.searchsorted(zc, 1750.0)) - 1
+            want = fc[k1] + (fc[k1 + 1] - fc[k1]) * (zc[k1] - 1750.0) / (
+                zc[k1] - zc[k1 + 1]
+            )
+            assert got[(f, j, i)] == pytest.approx(want, rel=1e-12)
+
+
+def test_wrf_vertcross_per_shard(spark, archive):
+    """Cross-sections keep shards separate: the same line sampled in
+    both files yields each file's own bilinear values."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_vertcross
+
+    df = wrf_vertcross(
+        spark, archive, "theta", (0.5, 0.5), (4.5, 2.5), 5
+    )
+    rows = df.withColumn(
+        "f", F.regexp_extract("file", r"_(\d+)\.nc", 1).cast("long")
+    ).collect()
+    got = {(r.f, r.s, r.k): r.theta for r in rows}
+    assert len(got) == NF * 5 * NK
+    for f in range(NF):
+        v = _fields(float(f))
+        theta = v["t"] + 300.0
+        for s in range(5):
+            xi, yi = 0.5 + s * 1.0, 0.5 + s * 0.5
+            cx, cy = int(np.floor(xi)), int(np.floor(yi))
+            fx, fy = xi - cx, yi - cy
+            for k in (0, NK - 1):
+                g = theta[k, cy: cy + 2, cx: cx + 2]
+                want = (
+                    (1 - fx) * (1 - fy) * g[0, 0]
+                    + fx * (1 - fy) * g[0, 1]
+                    + (1 - fx) * fy * g[1, 0]
+                    + fx * fy * g[1, 1]
+                )
+                assert got[(f, s, k)] == pytest.approx(want, rel=1e-12), (
+                    f, s, k,
+                )

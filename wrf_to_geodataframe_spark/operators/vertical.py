@@ -300,6 +300,7 @@ def vertcross(
     end: tuple[float, float],
     n_points: int,
     out_col: str = "vc",
+    extra_keys: list[str] | None = None,
 ) -> DataFrame:
     """Vertical cross-section (wrf-python `vertcross`/`interpline`):
     sample ``n_points`` evenly along the straight line ``start`` ->
@@ -361,8 +362,9 @@ def vertcross(
         df,
         (F.col("_cx") == F.col(x_col)) & (F.col("_cy") == F.col(y_col)),
     )
+    extra = [F.col(c) for c in (extra_keys or [])]
     return (
-        joined.groupBy(F.col("_s").alias("s"), F.col(level_col))
+        joined.groupBy(*extra, F.col("_s").alias("s"), F.col(level_col))
         .agg(F.sum(F.col("_w") * F.col(value_col)).alias(out_col))
     )
 

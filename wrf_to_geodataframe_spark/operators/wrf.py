@@ -396,7 +396,10 @@ def wrf_interplevel(
     :func:`wrf_getvar` (any supported per-level name), join on the
     explicit key, and interpolate per column with
     operators/vertical.interplevel (NULL below ground / above top).
-    ``on`` must be monotone decreasing with height (pressure-like)."""
+    Pressure-like coordinates (decreasing with height) interpolate
+    directly; ``on`` in ("z", "height") is negated internally so the
+    bracket search's monotone-decreasing requirement holds — callers
+    pass the target height in plain metres either way."""
     from wrf_to_geodataframe_spark.operators.vertical import interplevel
 
     fld = wrf_getvar(
@@ -407,6 +410,38 @@ def wrf_interplevel(
         spark, path, on, lat_var=lat_var, lon_var=lon_var
     )
     d = fld.join(coord, _KEY)
+    tgt = float(target)
+    if on in ("z", "height"):  # increasing coordinate: search on -z
+        d = d.withColumn(on, -F.col(on))
+        tgt = -tgt
     return interplevel(
-        d, on, field, float(target), _KEY3, out_col=f"{field}_interp"
+        d, on, field, tgt, _KEY3, out_col=f"{field}_interp"
+    )
+
+
+def wrf_vertcross(
+    spark: SparkSession,
+    path: str,
+    field: str,
+    start: tuple[float, float],
+    end: tuple[float, float],
+    n_points: int,
+    lat_var: str = "XLAT",
+    lon_var: str = "XLONG",
+    attrs: dict | None = None,
+    **kw,
+) -> DataFrame:
+    """wrf-python ``vertcross`` over the archive: bilinear samples of
+    any per-level getvar field along a grid-index line, per shard
+    (one row per (file, sample, level)) — the broadcast corner join
+    of operators/vertical.vertcross with the shard key kept."""
+    from wrf_to_geodataframe_spark.operators.vertical import vertcross
+
+    fld = wrf_getvar(
+        spark, path, field, lat_var=lat_var, lon_var=lon_var,
+        attrs=attrs, **kw,
+    )
+    return vertcross(
+        fld, field, "k", "x_idx", "y_idx", start, end, n_points,
+        out_col=field, extra_keys=["file"],
     )
