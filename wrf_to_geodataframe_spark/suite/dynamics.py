@@ -947,45 +947,9 @@ def s6_wrf_getvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     p - psfc), so DuckDB never reads NetCDF or replays a window
     (the s1_netcdf_dir_ingest pattern, extended through the
     diagnostics)."""
-    import os
-    import tempfile
-
-    import numpy as np
-
     from wrf_to_geodataframe_spark.operators.wrf import wrf_getvar
-    from wrf_to_geodataframe_spark.sources.netcdf import write_netcdf
 
-    d = tempfile.mkdtemp(prefix="s6_wrfout_")
-    nk, nj, ni = _GV_NK, _GV_NJ, _GV_NI
-    kk, jj, ii = np.meshgrid(
-        np.arange(nk), np.arange(nj), np.arange(ni), indexing="ij"
-    )
-    ks, jj2, ii2 = np.meshgrid(
-        np.arange(nk + 1), np.arange(nj), np.arange(ni), indexing="ij"
-    )
-    lat = 38.0 + jj[0] * 0.25 + ii[0] * 0.0
-    lon = -101.0 + ii[0] * 0.25 + jj[0] * 0.0
-    for f in range(_GV_NF):
-        write_netcdf(
-            os.path.join(d, f"wrfout_d01_{f:03d}.nc"),
-            {"k": nk, "ks": nk + 1, "j": nj, "i": ni},
-            {
-                "T": {"dims": ["k", "j", "i"],
-                      "data": -8.0 * kk + (ii + jj) / 4.0 + f},
-                "P": {"dims": ["k", "j", "i"],
-                      "data": 100.0 * (ii % 3) + 25.0 * f + 0.0 * kk},
-                "PB": {"dims": ["k", "j", "i"],
-                       "data": 95000.0 - 9000.0 * kk},
-                "QVAPOR": {"dims": ["k", "j", "i"],
-                           "data": (16.0 + (ii + jj + kk) % 5 - kk)
-                           / 1024.0},
-                "PH": {"dims": ["ks", "j", "i"],
-                       "data": 9.81 * (ii2 + jj2 + f) / 4.0},
-                "PHB": {"dims": ["ks", "j", "i"], "data": 4905.0 * ks},
-                "XLAT": {"dims": ["j", "i"], "data": lat},
-                "XLONG": {"dims": ["j", "i"], "data": lon},
-            },
-        )
+    d = _write_getvar_fixture()
     slp = wrf_getvar(spark, d, "slp")
     pw = wrf_getvar(spark, d, "pw")
     return (
@@ -1041,11 +1005,108 @@ FROM sl JOIN pwl USING (f, j, i)
 _S6_SQL = _s6_sql()
 
 
+def _write_getvar_fixture() -> str:
+    """The s6 archive builder, shared by s7 (same fields, same closed
+    forms)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.sources.netcdf import write_netcdf
+
+    d = tempfile.mkdtemp(prefix="s6_wrfout_")
+    nk, nj, ni = _GV_NK, _GV_NJ, _GV_NI
+    kk, jj, ii = np.meshgrid(
+        np.arange(nk), np.arange(nj), np.arange(ni), indexing="ij"
+    )
+    ks, jj2, ii2 = np.meshgrid(
+        np.arange(nk + 1), np.arange(nj), np.arange(ni), indexing="ij"
+    )
+    lat = 38.0 + jj[0] * 0.25 + ii[0] * 0.0
+    lon = -101.0 + ii[0] * 0.25 + jj[0] * 0.0
+    for f in range(_GV_NF):
+        write_netcdf(
+            os.path.join(d, f"wrfout_d01_{f:03d}.nc"),
+            {"k": nk, "ks": nk + 1, "j": nj, "i": ni},
+            {
+                "T": {"dims": ["k", "j", "i"],
+                      "data": -8.0 * kk + (ii + jj) / 4.0 + f},
+                "P": {"dims": ["k", "j", "i"],
+                      "data": 100.0 * (ii % 3) + 25.0 * f + 0.0 * kk},
+                "PB": {"dims": ["k", "j", "i"],
+                       "data": 95000.0 - 9000.0 * kk},
+                "QVAPOR": {"dims": ["k", "j", "i"],
+                           "data": (16.0 + (ii + jj + kk) % 5 - kk)
+                           / 1024.0},
+                "PH": {"dims": ["ks", "j", "i"],
+                       "data": 9.81 * (ii2 + jj2 + f) / 4.0},
+                "PHB": {"dims": ["ks", "j", "i"], "data": 4905.0 * ks},
+                "XLAT": {"dims": ["j", "i"], "data": lat},
+                "XLONG": {"dims": ["j", "i"], "data": lon},
+            },
+        )
+    return d
+
+
+def s7_wrf_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED wrf-python call over the archive
+    (operators/wrf.wrf_interplevel): tk onto the 850 hPa surface —
+    getvar('tk') + getvar('pressure') joined on the explicit key,
+    bracket-searched per column.  By construction the target falls
+    between model levels 1 and 2 in every column (the perturbation
+    pressure is only 0..225 Pa), so the oracle states the bracket in
+    CLOSED FORM — the engine's scan + join + window mechanics checked
+    against independent arithmetic; rounded 1e-6 K (tk is
+    transcendental)."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_interplevel
+
+    d = _write_getvar_fixture()
+    out = wrf_interplevel(spark, d, "tk", 85000.0)
+    return out.select(
+        F.regexp_extract("file", r"_(\d+)\.nc", 1)
+        .cast("long")
+        .alias("shard"),
+        "y_idx", "x_idx",
+        F.round("tk_interp", 6).alias("tk850"),
+    )
+
+
+def _s7_sql() -> str:
+    def theta(k: str) -> str:
+        return f"((-8.0 * ({k}) + (i + j) / 4.0 + f) + 300.0)"
+
+    def prs(k: str) -> str:
+        return (
+            f"(100.0 * (i % 3) + 25.0 * f + (95000.0 - 9000.0 * ({k})))"
+        )
+
+    def tkk(k: str) -> str:
+        return f"({theta(k)} * pow({prs(k)} / 100000.0, 2.0/7.0))"
+
+    t = "85000.0"
+    interp = (
+        f"({tkk('1')} + ({tkk('2')} - {tkk('1')})"
+        f" * ({prs('1')} - {t}) / ({prs('1')} - {prs('2')}))"
+    )
+    return f"""
+SELECT f AS shard, CAST(j AS BIGINT) AS y_idx, CAST(i AS BIGINT) AS x_idx,
+       round({interp}, 6) AS tk850
+FROM generate_series(0, {_GV_NF - 1}) AS tf(f),
+     generate_series(0, {_GV_NJ - 1}) AS tj(j),
+     generate_series(0, {_GV_NI - 1}) AS ti(i)
+"""
+
+
+_S7_SQL = _s7_sql()
+
+
 QUERIES = {
     "m10_mu_cape": m10_mu_cape,
     "m11_slp_column": m11_slp_column,
     "m12_omega_mdbz": m12_omega_mdbz,
     "s6_wrf_getvar": s6_wrf_getvar,
+    "s7_wrf_interp": s7_wrf_interp,
     "m3_absolute_vorticity": m3_absolute_vorticity,
     "m4_updraft_helicity": m4_updraft_helicity,
     "m5_storm_rel_helicity": m5_storm_rel_helicity,
@@ -1060,6 +1121,7 @@ ORACLE = {
     "m11_slp_column": _M11_SQL,
     "m12_omega_mdbz": _M12_SQL,
     "s6_wrf_getvar": _S6_SQL,
+    "s7_wrf_interp": _S7_SQL,
     "m3_absolute_vorticity": _M3_SQL,
     "m4_updraft_helicity": _M4_SQL,
     "m5_storm_rel_helicity": _M5_SQL,
