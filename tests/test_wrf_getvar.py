@@ -367,3 +367,66 @@ def test_wrf_vertcross_per_shard(spark, archive):
                 assert got[(f, s, k)] == pytest.approx(want, rel=1e-12), (
                     f, s, k,
                 )
+
+
+def test_daily_tmin_rollup_over_hourly_shards(spark, tmp_path):
+    """The reference's signature workflow (daily Tmin per cell,
+    wrf_voronoi.py) end to end on the getvar chain: 8 six-hourly
+    wrfout shards spanning two days, surface tk per shard, shard time
+    parsed from the REAL wrfout filename convention
+    (wrfout_d01_YYYY-MM-DD_HH:MM:SS), one groupBy(day, cell) min —
+    matched to the closed form."""
+    from wrf_to_geodataframe_spark.sources.netcdf import write_netcdf
+
+    nk, nj, ni = 3, 4, 5
+    kk, jj, ii = np.meshgrid(
+        np.arange(nk), np.arange(nj), np.arange(ni), indexing="ij"
+    )
+    d = str(tmp_path / "arch")
+    os.makedirs(d)
+    # colons are illegal in Hadoop paths (a real wrfout-on-HDFS pain);
+    # the underscore rename convention is what archives actually use
+    stamps = [
+        f"2021-07-{3 + h // 4:02d}_{(h % 4) * 6:02d}_00_00"
+        for h in range(8)
+    ]
+    for h, stamp in enumerate(stamps):
+        # diurnal-ish cycle: coolest at the 2nd six-hour slot each day
+        write_netcdf(
+            os.path.join(d, f"wrfout_d01_{stamp}.nc"),
+            {"k": nk, "j": nj, "i": ni},
+            {
+                "T": {"dims": ["k", "j", "i"],
+                      "data": -8.0 * kk + (ii + jj) / 4.0
+                      + 2.0 * abs((h % 4) - 1)},
+                "P": {"dims": ["k", "j", "i"], "data": 0.0 * kk},
+                "PB": {"dims": ["k", "j", "i"],
+                       "data": 95000.0 - 9000.0 * kk},
+                "XLAT": {"dims": ["j", "i"],
+                         "data": 38.0 + jj[0] * 0.25},
+                "XLONG": {"dims": ["j", "i"],
+                          "data": -101.0 + ii[0] * 0.25},
+            },
+        )
+    tk = wrf_getvar(spark, d, "tk").filter(F.col("k") == 0)
+    daily = (
+        tk.withColumn(
+            "day",
+            F.regexp_extract("file", r"wrfout_d01_(\d{4}-\d{2}-\d{2})", 1),
+        )
+        .groupBy("day", "y_idx", "x_idx")
+        .agg(F.min("tk").alias("tmin"))
+    )
+    got = {
+        (r.day, r.y_idx, r.x_idx): r.tmin for r in daily.collect()
+    }
+    assert len(got) == 2 * nj * ni
+    for day in ("2021-07-03", "2021-07-04"):
+        for j in range(nj):
+            for i in range(ni):
+                # min over the 4 slots: the h%4 == 1 slot (offset 0)
+                theta0 = (i + j) / 4.0 + 300.0
+                want = theta0 * (95000.0 / 100000.0) ** (2.0 / 7.0)
+                assert got[(day, j, i)] == pytest.approx(
+                    want, rel=1e-12
+                ), (day, j, i)
