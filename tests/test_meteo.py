@@ -212,3 +212,16 @@ def test_omega_sign_and_hydrostatic_magnitude(spark):
     )
     assert -13.0 < r.up < -11.0
     assert r.down == pytest.approx(-2.0 * r.up, rel=1e-12)
+
+
+def test_reflectivity_clamps_negative_mixing_ratios(spark):
+    """Tiny negative q (advection undershoot in real wrfout) must hit
+    the -30 dBZ floor, not NaN."""
+    r = _one(
+        spark,
+        reflectivity_dbz(
+            F.lit(280.0), F.lit(90000.0), F.lit(0.005), F.lit(-1e-12),
+            F.lit(-1e-15), F.lit(-1e-9),
+        ).alias("d"),
+    )
+    assert r.d == pytest.approx(-30.0, abs=1e-9)

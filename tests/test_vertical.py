@@ -335,3 +335,73 @@ def test_sea_level_pressure_identities(spark):
     # hydrostatic sanity: ~12 hPa per 100 m
     assert 104000.0 < got[1] < 108000.0
     assert got[2] is None  # p(1) = 91000 > 90000: no pivot
+
+
+def test_vertcross_partial_corner_yields_null_not_partial_sum(spark):
+    """A sample whose bilinear cell hangs off the grid edge must yield
+    NULL (wrf-python's missing-value convention), never the partial
+    weighted sum of the surviving corners."""
+    from wrf_to_geodataframe_spark.operators.vertical import vertcross
+
+    rows = [(x, y, 0, 1.0) for x in range(3) for y in range(3)]
+    df = spark.createDataFrame(rows, "x long, y long, k long, f double")
+    out = {
+        r.s: r.vc
+        for r in vertcross(
+            df, "f", "k", "x", "y", (0.5, 0.5), (2.5, 0.5), 2
+        ).collect()
+    }
+    assert out[0] == 1.0  # fully inside
+    assert out[1] is None  # x in (2,3): the x=3 corners don't exist
+
+
+def test_smooth2d_in_place_and_zero_passes(spark):
+    from wrf_to_geodataframe_spark.operators.dynamics import smooth2d
+
+    df = spark.createDataFrame(
+        [(y, x, float(x + y)) for y in range(4) for x in range(4)],
+        "y long, x long, f double",
+    )
+    inplace = smooth2d(df, "f", "x", "y", passes=1, out_col="f")
+    assert inplace.columns.count("f") == 1
+    # x+y is harmonic for this stencil: interior values unchanged
+    got = {(r.y, r.x): r.f for r in inplace.collect()}
+    assert got[(1, 1)] == 2.0 and got[(2, 2)] == 4.0
+    zero = smooth2d(df, "f", "x", "y", passes=0, out_col="fs")
+    for r in zero.collect():
+        assert r.fs == r.f
+
+
+def test_updraft_helicity_group_cols_keep_slabs_separate(spark):
+    """Two time slabs stacked in one DataFrame: group_cols must keep
+    their pencils and column sums apart (each slab reproduces the
+    solid-body closed form at its own omega)."""
+    from wrf_to_geodataframe_spark.operators.dynamics import (
+        updraft_helicity,
+    )
+
+    dx, w0 = 8.0, 0.5
+    rows = []
+    for slab, omega in ((0, 0.0625), (1, 0.125)):
+        for y in range(5):
+            for x in range(5):
+                for k in range(8):
+                    rows.append((
+                        slab, y, x, k,
+                        -omega * y * dx, omega * x * dx, w0,
+                        k * 500.0 + 250.0, 500.0,
+                    ))
+    df = spark.createDataFrame(
+        rows,
+        "slab long, y long, x long, k long, u double, v double,"
+        " w double, z double, dz double",
+    )
+    out = updraft_helicity(
+        df, "w", "u", "v", "x", "y", "z", "k", dx, dx, "dz",
+        z_bottom=2000.0, z_top=5000.0, group_cols=["slab"],
+    ).collect()
+    for r in out:
+        omega = 0.0625 if r.slab == 0 else 0.125
+        want = w0 * 2 * omega * 2000.0
+        interior = 1 <= r.x <= 3 and 1 <= r.y <= 3
+        assert r.uh == (want if interior else 0.0), (r.slab, r.x, r.y)

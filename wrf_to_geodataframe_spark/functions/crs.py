@@ -1110,6 +1110,19 @@ def destination_point(lat, lon, bearing, dist_m,
     )
 
 
+
+def _attr_scalar(attrs: dict, name: str) -> float:
+    """One WRF global attribute as a python float (wrfout writers store
+    scalars as 1-element arrays); NAMED error when absent."""
+    v = attrs.get(name)
+    if v is None:
+        raise ValueError(
+            f"WRF global attribute {name} is missing — not a "
+            "wrfout projection block?"
+        )
+    return float(np.atleast_1d(np.asarray(v))[0])
+
+
 def wrf_lcc_params(attrs: dict) -> dict:
     """WRF GLOBAL attributes (the projection block every wrfout file
     carries: ``MAP_PROJ``, ``TRUELAT1``, ``TRUELAT2``, ``MOAD_CEN_LAT``,
@@ -1120,14 +1133,7 @@ def wrf_lcc_params(attrs: dict) -> dict:
     6 370 000 m.  Raises a NAMED error for non-LCC ``MAP_PROJ`` values
     (2 polar stereographic, 3 Mercator, 6 lat-lon) or missing attrs."""
     def scalar(name):
-        v = attrs.get(name)
-        if v is None:
-            raise ValueError(
-                f"WRF global attribute {name} is missing — not a "
-                "wrfout projection block?"
-            )
-        a = np.atleast_1d(np.asarray(v))
-        return float(a[0])
+        return _attr_scalar(attrs, name)
 
     mp = int(scalar("MAP_PROJ"))
     if mp != 1:
@@ -1155,13 +1161,7 @@ def wrf_projection(attrs: dict):
     import functools
 
     def scalar(name):
-        v = attrs.get(name)
-        if v is None:
-            raise ValueError(
-                f"WRF global attribute {name} is missing — not a "
-                "wrfout projection block?"
-            )
-        return float(np.atleast_1d(np.asarray(v))[0])
+        return _attr_scalar(attrs, name)
 
     mp = int(scalar("MAP_PROJ"))
     if mp == 1:
@@ -1209,20 +1209,11 @@ def _wrf_grid_geometry(attrs: dict) -> tuple[float, float, float, float, int, in
     """(dx, dy, cen_lon, cen_lat, nx, ny) from a wrfout global-attr
     block — nx/ny are MASS-point counts (the staggered
     ``*_GRID_DIMENSION`` attrs minus one, the wrf-python convention)."""
-    def scalar(name):
-        v = attrs.get(name)
-        if v is None:
-            raise ValueError(
-                f"WRF global attribute {name} is missing — not a "
-                "wrfout projection block?"
-            )
-        return float(np.atleast_1d(np.asarray(v))[0])
-
     return (
-        scalar("DX"), scalar("DY"),
-        scalar("CEN_LON"), scalar("CEN_LAT"),
-        int(scalar("WEST-EAST_GRID_DIMENSION")) - 1,
-        int(scalar("SOUTH-NORTH_GRID_DIMENSION")) - 1,
+        _attr_scalar(attrs, "DX"), _attr_scalar(attrs, "DY"),
+        _attr_scalar(attrs, "CEN_LON"), _attr_scalar(attrs, "CEN_LAT"),
+        int(_attr_scalar(attrs, "WEST-EAST_GRID_DIMENSION")) - 1,
+        int(_attr_scalar(attrs, "SOUTH-NORTH_GRID_DIMENSION")) - 1,
     )
 
 

@@ -320,16 +320,24 @@ def reflectivity_dbz(t_k, p, qv, qr, qs=None, qg=None) -> Column:
     air density from the virtual temperature; dbz = 10 log10(max(z_e,
     0.001)) so precipitation-free cells floor at -30 dBZ."""
     rho = _c(p) / (F.lit(RD) * virtual_temperature(t_k, qv))
+
+    def _q(x):
+        # CALDBZ clamps mixing ratios at zero first: real WRF output
+        # routinely carries tiny NEGATIVE q from advection undershoot,
+        # and pow(negative, 1.75) would be NaN (which then poisons
+        # greatest() and any column max)
+        return F.greatest(_c(x), F.lit(0.0))
+
     z_e = F.lit(_dbz_factor(_DBZ_RHO_R, _DBZ_N0R, False)) * F.pow(
-        rho * _c(qr), F.lit(1.75)
+        rho * _q(qr), F.lit(1.75)
     )
     if qs is not None:
         z_e = z_e + F.lit(_dbz_factor(_DBZ_RHO_S, _DBZ_N0S, True)) * F.pow(
-            rho * _c(qs), F.lit(1.75)
+            rho * _q(qs), F.lit(1.75)
         )
     if qg is not None:
         z_e = z_e + F.lit(_dbz_factor(_DBZ_RHO_G, _DBZ_N0G, True)) * F.pow(
-            rho * _c(qg), F.lit(1.75)
+            rho * _q(qg), F.lit(1.75)
         )
     return (
         F.lit(10.0)

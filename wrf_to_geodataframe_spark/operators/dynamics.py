@@ -103,6 +103,7 @@ def updraft_helicity(
     dz_col: str,
     z_bottom: float = 2000.0,
     z_top: float = 5000.0,
+    group_cols: list[str] | None = None,
     out_col: str = "uh",
 ) -> DataFrame:
     """Updraft helicity [m2 s-2] (the wrf-python `updraft_helicity`
@@ -111,10 +112,13 @@ def updraft_helicity(
     each model level.  One pencil-window pass per derivative axis
     (partitioned by level so each slab differentiates independently),
     then one partial-aggregated groupBy summing the band — levels
-    outside the band or on the lateral boundary contribute nothing."""
+    outside the band or on the lateral boundary contribute nothing.
+    Extra ``group_cols`` (time, file) keep pencils and columns
+    per-slab, like every sibling operator."""
+    extra = list(group_cols or [])
     zeta = absolute_vorticity(
         df, u_col, v_col, x_col, y_col, dx, dy,
-        lat_col=None, group_cols=[k_col], out_col="_zeta",
+        lat_col=None, group_cols=extra + [k_col], out_col="_zeta",
     )
     in_band = (F.col(z_col) >= F.lit(float(z_bottom))) & (
         F.col(z_col) <= F.lit(float(z_top))
@@ -124,7 +128,7 @@ def updraft_helicity(
         F.col(w_col) * F.col("_zeta") * F.col(dz_col),
     ).otherwise(F.lit(0.0))
     return (
-        zeta.groupBy(x_col, y_col)
+        zeta.groupBy(*extra, x_col, y_col)
         .agg(F.sum(term).alias(out_col))
     )
 
@@ -239,6 +243,8 @@ def smooth2d(
     and /8 — exact halvings, dyadic-in dyadic-out."""
     out_col = out_col or f"{value_col}_sm"
     extra = list(group_cols or [])
+    if int(passes) <= 0:  # same shape as passes >= 1: a copy column
+        return df.withColumn(out_col, F.col(value_col))
     cur = value_col
     d = df
     for i in range(int(passes)):
@@ -275,6 +281,8 @@ def smooth2d(
         if cur != value_col:
             d = d.drop(cur)
         cur = step
+    if out_col == value_col:  # in-place smoothing: no duplicate column
+        d = d.drop(value_col)
     return d.withColumnRenamed(cur, out_col)
 
 

@@ -314,7 +314,10 @@ def vertcross(
     never shuffles; a partial-aggregated groupBy on (sample, level)
     sums the corner contributions.  Zero-weight corners (samples
     landing exactly on a grid line) are filtered out BEFORE the join,
-    so edge samples never reference cells outside the grid.
+    so edge samples never reference cells outside the grid; a sample
+    missing SOME of its surviving corners (line leaving the domain, a
+    grid hole) yields NULL rather than a partial sum, and a sample
+    matching no cells at all is absent from the output.
 
     Exactness: with dyadic endpoints and a power-of-two point count
     the sample coordinates, corner weights, and weighted sums are all
@@ -353,9 +356,18 @@ def vertcross(
             ),
         )
     )
+    # expected nonzero-weight corner count per sample, in closed form:
+    # a sample on a grid line drops the zero-weight side(s).  Samples
+    # whose surviving corners are not ALL found in the grid (line
+    # leaving the domain, holes) must yield NULL — a partial weighted
+    # sum would be a plausible-looking wrong number (wrf-python's
+    # missing-value convention).
+    nc = (
+        F.lit(2) - (fx == 0.0).cast("int")
+    ) * (F.lit(2) - (fy == 0.0).cast("int"))
     corners = (
-        pts.select("_s", corner.alias("_c"))
-        .select("_s", "_c._cx", "_c._cy", "_c._w")
+        pts.select("_s", nc.alias("_nc"), corner.alias("_c"))
+        .select("_s", "_nc", "_c._cx", "_c._cy", "_c._w")
         .filter(F.col("_w") != 0.0)
     )
     joined = F.broadcast(corners).join(
@@ -365,7 +377,12 @@ def vertcross(
     extra = [F.col(c) for c in (extra_keys or [])]
     return (
         joined.groupBy(*extra, F.col("_s").alias("s"), F.col(level_col))
-        .agg(F.sum(F.col("_w") * F.col(value_col)).alias(out_col))
+        .agg(
+            F.when(
+                F.count(F.lit(1)) == F.max("_nc"),
+                F.sum(F.col("_w") * F.col(value_col)),
+            ).alias(out_col)
+        )
     )
 
 

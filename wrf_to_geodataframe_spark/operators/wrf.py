@@ -72,11 +72,9 @@ SUPPORTED: dict[str, tuple[str, ...]] = {
     "pvo": ("U", "V", "T", "P", "PB"),
 }
 
-#: names whose column diagnostics need the staggered-geopotential
-#: layer geometry (z at mass levels, exact dz)
-_NEEDS_ZDZ = {"z", "height", "slp", "cape_2d", "mcape"}
-#: names that need the mass-grid lat/lon joined back after destagger
-_NEEDS_COORDS = {"uvmet", "avo", "pvo"}
+#: names that accept extra keyword options (everything else must
+#: reject them — a silently-dropped typo'd option is a wrong answer)
+_TAKES_KW = {"dbz", "mdbz", "cape_2d", "mcape"}
 
 
 def _raw(
@@ -105,13 +103,28 @@ def _base(
     lat_var: str,
     lon_var: str,
 ) -> DataFrame | None:
-    """The requested mass-grid variables joined on the explicit key;
-    staggered winds are destaggered onto mass points BEFORE joining,
-    so every join is a co-keyed equi join."""
+    """The requested variables on the mass grid.  All MASS-grid
+    variables come from ONE archive scan (``read_netcdf_dir_many`` —
+    each shard's bytes parsed once, one column per variable);
+    staggered winds live on their own grids, so each gets its own
+    scan, is destaggered onto mass points, and equi-joins the mass
+    table on the explicit key."""
     from wrf_to_geodataframe_spark.operators.vertical import destagger
+    from wrf_to_geodataframe_spark.sources.netcdf import (
+        read_netcdf_dir_many,
+    )
 
+    stag = [n for n in names if n in ("U", "V", "W")]
+    mass = [n for n in names if n not in ("U", "V", "W")]
     out = None
-    for name in names:
+    if mass:
+        out = read_netcdf_dir_many(
+            spark, path, mass, lat_var, lon_var
+        ).select(
+            "file", F.col("t_idx").alias("k"), "y_idx", "x_idx",
+            *[n.lower() for n in mass],
+        )
+    for name in stag:
         if name == "U":
             d = destagger(
                 _raw(spark, path, name, f"{lat_var}_U", f"{lon_var}_U"),
@@ -122,13 +135,11 @@ def _base(
                 _raw(spark, path, name, f"{lat_var}_V", f"{lon_var}_V"),
                 "y_idx", "v", ["file", "k", "x_idx"], out_col="v",
             )
-        elif name == "W":
+        else:
             d = destagger(
                 _raw(spark, path, name, lat_var, lon_var),
                 "k", "w", ["file", "y_idx", "x_idx"], out_col="w",
             )
-        else:
-            d = _raw(spark, path, name, lat_var, lon_var)
         d = d.select(*_KEY, name.lower())
         out = d if out is None else out.join(d, _KEY)
     return out
@@ -157,10 +168,19 @@ def _zdz(
     heights, dz = their exact difference — one lead window per column
     pencil over the staggered-only table (joining staggered against
     mass levels first would silently drop the top staggered entry)."""
-    ph = _raw(spark, path, "PH", lat_var, lon_var)
-    phb = _raw(spark, path, "PHB", lat_var, lon_var)
-    d = ph.join(phb, _KEY).withColumn(
-        "_zs", (F.col("ph") + F.col("phb")) / F.lit(9.81)
+    from wrf_to_geodataframe_spark.functions.meteo import (
+        geopotential_height,
+    )
+    from wrf_to_geodataframe_spark.sources.netcdf import (
+        read_netcdf_dir_many,
+    )
+
+    d = read_netcdf_dir_many(
+        spark, path, ["PH", "PHB"], lat_var, lon_var
+    ).select(
+        "file", F.col("t_idx").alias("k"), "y_idx", "x_idx", "ph", "phb"
+    ).withColumn(
+        "_zs", geopotential_height(F.col("ph"), F.col("phb"))
     )
     w = Window.partitionBy(*_KEY3).orderBy("k")
     return (
@@ -209,6 +229,11 @@ def wrf_getvar(
                 f"QRAIN/QSNOW/QGRAUP, got {species}"
             )
         need = tuple(n for n in need if n != "QRAIN") + species
+    if kw and varname not in _TAKES_KW:
+        raise TypeError(
+            f"getvar({varname!r}) takes no extra options, got "
+            f"{sorted(kw)}"
+        )
     base = _base(spark, path, need, lat_var, lon_var)
     if base is not None and "p" in base.columns and "pb" in base.columns:
         base = base.withColumn("prs", F.col("p") + F.col("pb"))

@@ -587,6 +587,84 @@ def read_netcdf_dir(
     return files.select("path", "content").mapInPandas(_batches, schema)
 
 
+def read_netcdf_dir_many(
+    spark,
+    path: str,
+    variables: list[str],
+    lat_var: str,
+    lon_var: str,
+):
+    """``read_netcdf_dir`` for SEVERAL same-grid variables in ONE
+    archive scan: each shard's bytes are fetched and parsed once, and
+    every requested variable becomes its own column —
+    (file, t_idx, y_idx, x_idx, lat, lon, <var1.lower()>, ...).
+
+    The variables must share the first variable's grid shape (same
+    dims per time slice) — a mismatch raises a NAMED error inside the
+    task rather than mis-aligning raveled cells.  This is the reader
+    multi-variable derivations (wrf_getvar's T/P/PB/QVAPOR joins)
+    should use: N columns for one scan instead of N scans."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    variables = list(variables)
+    if not variables:
+        raise ValueError("read_netcdf_dir_many needs at least one variable")
+    schema = StructType(
+        [
+            StructField("file", StringType()),
+            StructField("t_idx", LongType()),
+            StructField("y_idx", LongType()),
+            StructField("x_idx", LongType()),
+            StructField("lat", DoubleType()),
+            StructField("lon", DoubleType()),
+        ]
+        + [StructField(v.lower(), DoubleType()) for v in variables]
+    )
+    files = spark.read.format("binaryFile").load(path)
+
+    def _batches(it):
+        from wrf_to_geodataframe_spark.sources.hdf5 import (
+            read_netcdf_any_bytes,
+        )
+
+        for pdf in it:
+            for fname, buf in zip(pdf["path"], pdf["content"]):
+                ds = read_netcdf_any_bytes(bytes(buf), name=fname)
+                frames = [
+                    f.rename(columns={"value": variables[0].lower()})
+                    for f in _unnest_grid(
+                        ds, variables[0], lat_var, lon_var, None
+                    )
+                ]
+                for var in variables[1:]:
+                    extra = list(
+                        _unnest_grid(ds, var, lat_var, lon_var, None)
+                    )
+                    if len(extra) != len(frames) or any(
+                        len(e) != len(f) for e, f in zip(extra, frames)
+                    ):
+                        raise ValueError(
+                            f"{var} does not share {variables[0]}'s grid "
+                            f"in {fname} — read staggered variables with "
+                            "their own read_netcdf_dir call"
+                        )
+                    for e, f in zip(extra, frames):
+                        # identical (t, y, x) ravel order by construction
+                        f[var.lower()] = e["value"].to_numpy()
+                for f in frames:
+                    f.insert(0, "file", fname)
+                    yield f
+
+    return files.select("path", "content").mapInPandas(_batches, schema)
+
+
 def write_netcdf_dir(
     df,
     outdir: str,
