@@ -241,3 +241,60 @@ def test_virtual_stream_equals_batch_and_appends(spark, tmp_path):
     cols = ("t_idx", "y_idx", "x_idx")
     assert _keyed(union, cols) == _keyed(batch, cols)
     assert len(union) == len(batch) == 3 * nt * ny * nx
+
+
+def test_streaming_getvar_tk_equals_batch(spark, tmp_path):
+    """Streaming diagnostics over a wrfout landing zone: the
+    multi-variable shard stream (one parse per file, T/P/PB as
+    columns) with the tk codegen expression equals batch
+    wrf_getvar('tk') row for row — diagnostics are stateless column
+    math, so the streaming mirror is the SAME expression over the
+    unbounded source."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.functions.meteo import temperature_k
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_getvar
+    from wrf_to_geodataframe_spark.streaming.ingest import (
+        stream_netcdf_dir_many,
+    )
+
+    nk, nj, ni = 3, 4, 5
+    kk, jj, ii = np.meshgrid(
+        np.arange(nk), np.arange(nj), np.arange(ni), indexing="ij"
+    )
+    d = str(tmp_path / "zone")
+    os.makedirs(d)
+    for f in range(3):
+        write_netcdf(
+            os.path.join(d, f"wrfout_d01_{f:03d}.nc"),
+            {"k": nk, "j": nj, "i": ni},
+            {
+                "T": {"dims": ["k", "j", "i"],
+                      "data": -8.0 * kk + (ii + jj) / 4.0 + f},
+                "P": {"dims": ["k", "j", "i"], "data": 0.0 * kk},
+                "PB": {"dims": ["k", "j", "i"],
+                       "data": 95000.0 - 9000.0 * kk},
+                "XLAT": {"dims": ["j", "i"],
+                         "data": 38.0 + jj[0] * 0.25},
+                "XLONG": {"dims": ["j", "i"],
+                          "data": -101.0 + ii[0] * 0.25},
+            },
+        )
+    sdf = stream_netcdf_dir_many(spark, d, ["T", "P", "PB"],
+                                 "XLAT", "XLONG")
+    tk_stream = sdf.select(
+        "file", F.col("t_idx").alias("k"), "y_idx", "x_idx",
+        temperature_k(
+            F.col("t") + F.lit(300.0), F.col("p") + F.col("pb")
+        ).alias("tk"),
+    )
+    got = _drain(tk_stream, str(tmp_path / "ckpt"))
+    want = wrf_getvar(spark, d, "tk").toPandas()
+    key = lambda pdf: {  # noqa: E731
+        (os.path.basename(str(r["file"])), r["k"], r["y_idx"],
+         r["x_idx"]): r["tk"]
+        for _, r in pdf.iterrows()
+    }
+    gk, wk = key(got), key(want)
+    assert len(gk) == 3 * nk * nj * ni
+    assert gk == wk

@@ -107,6 +107,70 @@ def stream_netcdf_dir(
     )
 
 
+def stream_netcdf_dir_many(
+    spark: SparkSession,
+    path: str,
+    variables: list[str],
+    lat_var: str,
+    lon_var: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Unbounded mirror of ``read_netcdf_dir_many``: each arriving
+    wrfout-style shard is parsed ONCE and every requested same-grid
+    variable becomes its own column — the ingest shape streaming
+    diagnostics (tk/rh/theta-e over a landing zone) consume without
+    stream-stream joins."""
+    from pyspark.sql.types import DoubleType as _D
+
+    variables = list(variables)
+    schema = StructType(
+        [
+            StructField("file", StringType()),
+            StructField("t_idx", LongType()),
+            StructField("y_idx", LongType()),
+            StructField("x_idx", LongType()),
+            StructField("lat", DoubleType()),
+            StructField("lon", DoubleType()),
+        ]
+        + [StructField(v.lower(), _D()) for v in variables]
+    )
+    files = _binary_stream(spark, path, max_files_per_trigger)
+
+    def _batches(it):
+        from wrf_to_geodataframe_spark.sources.hdf5 import (
+            read_netcdf_any_bytes,
+        )
+        from wrf_to_geodataframe_spark.sources.netcdf import _unnest_grid
+
+        for pdf in it:
+            for fname, buf in zip(pdf["path"], pdf["content"]):
+                ds = read_netcdf_any_bytes(bytes(buf), name=fname)
+                frames = [
+                    f.rename(columns={"value": variables[0].lower()})
+                    for f in _unnest_grid(
+                        ds, variables[0], lat_var, lon_var, None
+                    )
+                ]
+                for var in variables[1:]:
+                    extra = list(
+                        _unnest_grid(ds, var, lat_var, lon_var, None)
+                    )
+                    if len(extra) != len(frames) or any(
+                        len(e) != len(f) for e, f in zip(extra, frames)
+                    ):
+                        raise ValueError(
+                            f"{var} does not share {variables[0]}'s "
+                            f"grid in {fname}"
+                        )
+                    for e, f in zip(extra, frames):
+                        f[var.lower()] = e["value"].to_numpy()
+                for f in frames:
+                    f.insert(0, "file", fname)
+                    yield f
+
+    return files.select("path", "content").mapInPandas(_batches, schema)
+
+
 _GRIB_SCHEMA = StructType(
     [
         StructField("file", StringType()),
