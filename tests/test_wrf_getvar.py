@@ -430,3 +430,21 @@ def test_daily_tmin_rollup_over_hourly_shards(spark, tmp_path):
                 assert got[(day, j, i)] == pytest.approx(
                     want, rel=1e-12
                 ), (day, j, i)
+
+
+def test_getvar_plan_shapes(spark, archive):
+    """The multi-variable scan makes point diagnostics JOIN-FREE (one
+    archive pass, however many raw variables the formula needs);
+    column diagnostics needing layer geometry join exactly once
+    against the staggered-geopotential table; nothing is ever a
+    cartesian."""
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    for name in ("tk", "rh", "eth"):
+        plan = plan_of(wrf_getvar(spark, archive, name))
+        assert "Join" not in plan, name
+    slp = plan_of(wrf_getvar(spark, archive, "slp"))
+    assert slp.count("SortMergeJoin") + slp.count("BroadcastHashJoin") \
+        + slp.count("ShuffledHashJoin") == 1
+    assert "CartesianProduct" not in slp
