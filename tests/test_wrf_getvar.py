@@ -448,3 +448,59 @@ def test_getvar_plan_shapes(spark, archive):
     assert slp.count("SortMergeJoin") + slp.count("BroadcastHashJoin") \
         + slp.count("ShuffledHashJoin") == 1
     assert "CartesianProduct" not in slp
+
+
+def test_getvar_slp_to_png_map(spark, tmp_path):
+    """The reference's WHOLE pipeline in one chain: wrfout archive ->
+    getvar('slp') -> tile-parallel PNG map (sources/render.render_grid)
+    -> decoded back with the engine's own PNG decoder.  Every cell
+    paints a pixel, and the min/max slp cells carry the colormap
+    endpoints."""
+    from wrf_to_geodataframe_spark.sources.netcdf import write_netcdf
+    from wrf_to_geodataframe_spark.sources.png import decode_png
+    from wrf_to_geodataframe_spark.sources.render import render_grid
+
+    nk, nj, ni = 3, 6, 8
+    kk, jj, ii = np.meshgrid(
+        np.arange(nk), np.arange(nj), np.arange(ni), indexing="ij"
+    )
+    ks = np.arange(nk + 1)[:, None, None]
+    d = str(tmp_path / "arch")
+    os.makedirs(d)
+    write_netcdf(
+        os.path.join(d, "wrfout_d01_000.nc"),
+        {"k": nk, "ks": nk + 1, "j": nj, "i": ni},
+        {
+            "T": {"dims": ["k", "j", "i"],
+                  "data": -8.0 * kk + (ii + jj) / 4.0},
+            "P": {"dims": ["k", "j", "i"], "data": 0.0 * kk},
+            "PB": {"dims": ["k", "j", "i"],
+                   "data": 95000.0 - 9000.0 * kk},
+            "PH": {"dims": ["ks", "j", "i"],
+                   "data": np.broadcast_to(
+                       0.0 * ks, (nk + 1, nj, ni)).copy()},
+            "PHB": {"dims": ["ks", "j", "i"],
+                    "data": np.broadcast_to(
+                        4905.0 * ks, (nk + 1, nj, ni)).copy()},
+            "XLAT": {"dims": ["j", "i"], "data": 38.0 + jj[0] * 0.25},
+            "XLONG": {"dims": ["j", "i"],
+                      "data": -101.0 + ii[0] * 0.25},
+        },
+    )
+    slp = wrf_getvar(spark, d, "slp")
+    tiles = render_grid(spark, slp, value_col="slp").collect()
+    assert len(tiles) == 1  # 8x6 fits one 256-tile
+    w, h, nch, pix = decode_png(bytes(tiles[0].png))
+    assert (w, h) == (ni, nj)  # edge tiles are content-sized
+    arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, nch)
+    painted = arr
+    assert int((painted[..., 3] > 0).sum()) == nj * ni  # every cell
+    # warmer columns reduce LESS (slp = psfc exp(2gz/(Rd(Tsl+Tsfc)))),
+    # so the coldest cell (0, 0) carries the MAX slp (top colormap
+    # entry) and the warmest (nj-1, ni-1) the bottom one
+    from wrf_to_geodataframe_spark.sources.render import colormap_rgb
+
+    top = colormap_rgb(np.array([255]))[0]
+    bot = colormap_rgb(np.array([0]))[0]
+    assert tuple(painted[0, 0, :3]) == tuple(top)
+    assert tuple(painted[nj - 1, ni - 1, :3]) == tuple(bot)
