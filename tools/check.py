@@ -55,11 +55,21 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
             issues.append(f"dtype[{c}] spark={sv.dtype} oracle={ov.dtype}")
         if pd.api.types.is_float_dtype(sv) and pd.api.types.is_float_dtype(ov):
             a, b = sv.to_numpy(float), ov.to_numpy(float)
-            eq = (a == b) | (np.isnan(a) & np.isnan(b))
+            # BIT-PATTERN compare (uint64 view), not float ==: the driver
+            # hashes raw encodings, so -0.0 vs +0.0 (which == calls equal)
+            # fails its hash — the r12 m12_omega_mdbz escape.  NaNs are
+            # payload-normalized first (any NaN == any NaN).
+            an, bn = a.copy(), b.copy()
+            an[np.isnan(an)] = np.nan
+            bn[np.isnan(bn)] = np.nan
+            eq = an.view(np.uint64) == bn.view(np.uint64)
             if not eq.all():
                 bad = np.flatnonzero(~eq)
                 d = np.nanmax(np.abs(a[bad] - b[bad]))
-                issues.append(f"values[{c}] {len(bad)} cells differ, maxdiff={d:.3e}")
+                issues.append(
+                    f"values[{c}] {len(bad)} cells differ bitwise, "
+                    f"maxdiff={d:.3e}"
+                )
         else:
             eq = (sv == ov) | (sv.isna() & ov.isna())
             if not eq.all():

@@ -11,6 +11,19 @@ order-insensitive — and performs the final scalar division in double,
 which is deterministic.  ``min``/``max``/``count`` stay on raw doubles
 (exact under any order).
 
+SIGNED-ZERO RULE (r12 post-mortem, ``m12_omega_mdbz``): any rounded
+float gate output with a REACHABLE exact-zero arm (a product with a
+live ``x == 0`` factor and a negative coefficient, a subtraction that
+can cancel, …) must be zero-canonicalized with ``+ 0.0`` on BOTH the
+engine side (``F.round(e, k) + F.lit(0.0)``) and the oracle side
+(``round(e, k) + 0.0``).  Spark's ``F.round`` goes through BigDecimal
+and canonicalizes ``-0.0`` to ``+0.0``; DuckDB's ``round`` preserves
+``-0.0``; the driver hashes raw bit patterns, so the two encodings of
+zero fail the hash even though float ``==`` calls them equal.  IEEE
+754 guarantees ``-0.0 + 0.0 = +0.0`` in both engines.  The local gate
+(``tools/check.py``) compares uint64 bit patterns for exactly this
+reason — keep it strictly stronger than the driver's hash.
+
 Oracle-independence classes (VERDICT r11 item 7 — how much a DuckDB
 hash match proves, per gate):
 

@@ -876,12 +876,23 @@ def m12_omega_mdbz(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0.0)).alias("qr"),
     )
     tk = temperature_k(F.col("theta"), F.col("p"))
+    # SIGNED-ZERO RULE (suite/__init__.py): omega has a live w == 0 arm
+    # ((x+y+k) % 7 == 3), so -9.81*rho*w evaluates to -0.0.  Spark's
+    # F.round canonicalizes -0.0 to +0.0 (BigDecimal path) while
+    # DuckDB's round preserves it, and the driver's value hash
+    # distinguishes the two bit patterns.  `+ 0.0` canonicalizes on
+    # BOTH sides (IEEE 754: -0.0 + 0.0 = +0.0).
     d = lev.select(
         "y", "x", "p",
-        F.round(omega_from_w(F.col("w"), tk, F.col("p"), F.col("qv")), 6)
-        .alias("om"),
-        F.round(
-            reflectivity_dbz(tk, F.col("p"), F.col("qv"), F.col("qr")), 6
+        (
+            F.round(omega_from_w(F.col("w"), tk, F.col("p"), F.col("qv")), 6)
+            + F.lit(0.0)
+        ).alias("om"),
+        (
+            F.round(
+                reflectivity_dbz(tk, F.col("p"), F.col("qv"), F.col("qr")), 6
+            )
+            + F.lit(0.0)
         ).alias("dbz"),
     )
     out = d.groupBy("y", "x").agg(
@@ -920,8 +931,8 @@ lev AS (
          generate_series(0, {_DK - 1}) AS t2(k)
 )
 SELECT y AS y_idx, CAST(x AS BIGINT) AS x_idx,
-       arg_min(round({om}, 6), abs(p - 70000.0)) AS omega700,
-       max(round({dbz}, 6)) AS mdbz
+       arg_min(round({om}, 6) + 0.0, abs(p - 70000.0)) AS omega700,
+       max(round({dbz}, 6) + 0.0) AS mdbz
 FROM lev GROUP BY y, x
 """
 
