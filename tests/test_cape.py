@@ -67,7 +67,8 @@ def _numpy_cape(levels, quant=1.0e4):
         else:
             tp = _bisect(the0, p)
             qvp = _qvs(tp, p)
-        tvp, tve = tp * (1 + 0.61 * qvp), t * (1 + 0.61 * qv)
+        tvp, tve = (tp * (EPS + qvp) / (EPS * (1 + qvp)),
+                    t * (EPS + qv) / (EPS * (1 + qv)))
         bs.append((p, 9.81 * (tvp - tve) / tve, dz))
     cape = sum(np.floor(max(b, 0) * dz * quant) for _, b, dz in bs) / quant
     plfc = max((p for p, b, _ in bs if b > 0), default=None)
@@ -217,7 +218,8 @@ def test_m6_gate_margins_at_all_sfs(spark):
                     else:
                         tp = _bisect(the0, p)
                         qvp = _qvs(tp, p)
-                    tvp, tve = tp * (1 + 0.61 * qvp), t * (1 + 0.61 * qv)
+                    tvp, tve = (tp * (EPS + qvp) / (EPS * (1 + qvp)),
+                    t * (EPS + qv) / (EPS * (1 + qv)))
                     b = 9.81 * (tvp - tve) / tve
                     if b != 0.0:
                         min_b = min(min_b, abs(b))
@@ -259,7 +261,8 @@ def _numpy_mu_cape(levels, depth=30000.0, quant=1.0e4):
         else:
             tp = _bisect(the0, p)
             qvp = _qvs(tp, p)
-        tvp, tve = tp * (1 + 0.61 * qvp), t * (1 + 0.61 * qv)
+        tvp, tve = (tp * (EPS + qvp) / (EPS * (1 + qvp)),
+                    t * (EPS + qv) / (EPS * (1 + qv)))
         bs.append((p, 9.81 * (tvp - tve) / tve, dz))
     cape = sum(np.floor(max(b, 0) * dz * quant) for _, b, dz in bs) / quant
     plfc = max((p for p, b, _ in bs if b > 0), default=None)

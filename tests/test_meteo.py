@@ -110,8 +110,11 @@ def test_virtual_temperature_and_geopotential_height(spark):
         virtual_temperature(F.lit(290.0), F.lit(0.01)).alias("moist"),
         geopotential_height(F.lit(0.0), F.lit(9810.0)).alias("z"),
     )
-    assert r.dry == 290.0  # dry air: tv == t exactly
-    assert r.moist == pytest.approx(290.0 * 1.0061, rel=1e-12)
+    assert r.dry == 290.0  # dry air: tv == t exactly (eps/eps cancels)
+    # exact eps-form (wrf-python TVIRTUAL): t (eps+qv)/(eps(1+qv))
+    assert r.moist == pytest.approx(
+        290.0 * (0.622 + 0.01) / (0.622 * 1.01), rel=1e-12
+    )
     assert r.z == pytest.approx(1000.0, rel=1e-12)
 
 

@@ -2103,6 +2103,8 @@ def test_wrf_getvar_120_shard_archive(spark, tmp_path):
                 "T": {"dims": ["k", "j", "i"],
                       "data": -8.0 * kk + (ii + jj) / 4.0 + (f % 16)},
                 "P": {"dims": ["k", "j", "i"], "data": 0.0 * kk},
+                # dry column: tv == t exactly, closed form unchanged
+                "QVAPOR": {"dims": ["k", "j", "i"], "data": 0.0 * kk},
                 "PB": {"dims": ["k", "j", "i"],
                        "data": 95000.0 - 9000.0 * kk},
                 "PH": {"dims": ["ks", "j", "i"],

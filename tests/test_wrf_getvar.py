@@ -78,6 +78,8 @@ def archive(tmp_path_factory):
                 "W": {"dims": ["ks", "j", "i"], "data": v["w"]},
                 "U": {"dims": ["k", "j", "is_"], "data": v["u"]},
                 "V": {"dims": ["k", "js", "i"], "data": v["v"]},
+                "MAPFAC_M": {"dims": ["j", "i"],
+                             "data": 1.0 + (ii + jj) / 64.0},
                 "XLAT": {"dims": ["j", "i"], "data": lat},
                 "XLONG": {"dims": ["j", "i"], "data": lon},
                 "XLAT_U": {"dims": ["j", "is_"],
@@ -194,6 +196,34 @@ def test_avo_matches_numpy_stencil(spark, archive):
         assert got[(f, 0, 0, 0)] is None  # boundary NULL
 
 
+def test_avo_map_factors_curvilinear_form(spark, archive):
+    """``map_factors=True`` reads MAPFAC_M from the archive and applies
+    zeta = m^2 (d(v/m)/dx - d(u/m)/dy) — replayed in numpy on the
+    destaggered winds; attrs arrive as 1-element arrays (the real
+    wrfout global-attribute convention _attr_scalar handles)."""
+    attrs_arr = {k: np.array([v]) for k, v in ATTRS.items()}
+    got = _collect(
+        wrf_getvar(spark, archive, "avo", attrs=attrs_arr,
+                   map_factors=True),
+        "avo",
+    )
+    jj, ii = np.meshgrid(np.arange(NJ), np.arange(NI), indexing="ij")
+    m = 1.0 + (ii + jj) / 64.0
+    for f in range(NF):
+        v = _fields(float(f))
+        um = (v["u"][:, :, :-1] + v["u"][:, :, 1:]) / 2.0 / m
+        vm = (v["v"][:, :-1, :] + v["v"][:, 1:, :]) / 2.0 / m
+        for (k, j, i) in [(0, 2, 3), (4, 1, 1)]:
+            dvdx = (vm[k, j, i + 1] - vm[k, j, i - 1]) / 8000.0
+            dudy = (um[k, j + 1, i] - um[k, j - 1, i]) / 8000.0
+            fcor = 2 * 7.292e-5 * math.sin(math.radians(38.0 + j * 0.25))
+            want = m[j, i] ** 2 * (dvdx - dudy) + fcor
+            assert got[(f, k, j, i)] == pytest.approx(want, rel=1e-9)
+    # a typo'd option must raise, not silently drop
+    with pytest.raises(TypeError):
+        wrf_getvar(spark, archive, "avo", attrs=ATTRS, map_factor=True)
+
+
 def test_pw_slp_cape_column_diagnostics(spark, archive):
     from tests.test_cape import _numpy_cape
 
@@ -222,7 +252,10 @@ def test_pw_slp_cape_column_diagnostics(spark, archive):
                 k for k in range(NK) if prs[k, j, i] <= psfc - 10000.0
             )
             xterm = 0.0065 * 287.047 / 9.81
-            tsfc = tk[kpiv, j, i] * (psfc / prs[kpiv, j, i]) ** xterm
+            # moist reduction: virtual temperature at the pivot
+            qvp = v["qv"][kpiv, j, i]
+            tvp = tk[kpiv, j, i] * (EPS + qvp) / (EPS * (1 + qvp))
+            tsfc = tvp * (psfc / prs[kpiv, j, i]) ** xterm
             tsl = tsfc + 0.0065 * zsfc
             want_slp = psfc * math.exp(
                 2 * 9.81 * zsfc / (287.047 * (tsl + tsfc))
@@ -254,7 +287,7 @@ def test_mdbz_and_omega(spark, archive):
     fr = _dbz_factor(1000.0, 8.0e6, False)
     for f in range(NF):
         v, theta, prs, tk, rh = _np_point(f)
-        tv = tk * (1 + 0.61 * v["qv"])
+        tv = tk * (EPS + v["qv"]) / (EPS * (1 + v["qv"]))
         rho = prs / (287.047 * tv)
         z_e = fr * (rho * v["qrain"]) ** 1.75
         dbz = 10.0 * np.log(np.maximum(z_e, 0.001)) / np.log(10.0)
@@ -474,6 +507,8 @@ def test_getvar_slp_to_png_map(spark, tmp_path):
             "T": {"dims": ["k", "j", "i"],
                   "data": -8.0 * kk + (ii + jj) / 4.0},
             "P": {"dims": ["k", "j", "i"], "data": 0.0 * kk},
+            # dry column: tv == t exactly, endpoint reasoning unchanged
+            "QVAPOR": {"dims": ["k", "j", "i"], "data": 0.0 * kk},
             "PB": {"dims": ["k", "j", "i"],
                    "data": 95000.0 - 9000.0 * kk},
             "PH": {"dims": ["ks", "j", "i"],

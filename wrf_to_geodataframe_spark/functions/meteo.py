@@ -129,9 +129,17 @@ def slp_hypsometric(p_sfc, z_sfc, t_k) -> Column:
 
 
 def virtual_temperature(t_k, qv) -> Column:
-    """Virtual temperature [K] (wrf-python `tv`):
-    tv = t (1 + 0.61 qv) — the density temperature of moist air."""
-    return _c(t_k) * (F.lit(1.0) + F.lit(0.61) * _c(qv))
+    """Virtual temperature [K] — the EXACT form wrf-python's
+    `tv`/`omega`/`dbz`/CAPE Fortran all use (the TVIRTUAL statement
+    function, rip_cape.f90): tv = t (eps + qv) / (eps (1 + qv)),
+    eps = Rd/Rv = 0.622.  Expanding to first order gives the textbook
+    t (1 + 0.608 qv); the exact form is kept so getvar results match
+    wrf-python beyond the ~0.01 K the linearization loses."""
+    return (
+        _c(t_k)
+        * (F.lit(EPS) + _c(qv))
+        / (F.lit(EPS) * (F.lit(1.0) + _c(qv)))
+    )
 
 
 def geopotential_height(ph, phb) -> Column:

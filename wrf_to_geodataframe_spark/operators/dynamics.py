@@ -74,19 +74,41 @@ def absolute_vorticity(
     lat_col: str | None = None,
     group_cols: list[str] | None = None,
     out_col: str = "avo",
+    msf_col: str | None = None,
 ) -> DataFrame:
-    """Absolute vorticity [s-1] (wrf-python `avo`, uniform-grid form):
+    """Absolute vorticity [s-1] (wrf-python `avo`):
     avo = dv/dx - du/dy + f.  Two pencil windows (one per derivative
     axis), interior points only (boundaries NULL); ``lat_col`` adds
     the Coriolis term, omit it for relative vorticity; extra
-    ``group_cols`` (time, level) keep pencils per-slab."""
+    ``group_cols`` (time, level) keep pencils per-slab.
+
+    ``msf_col`` (the mass-point map-scale factor m, wrfout MAPFAC_M)
+    switches the derivatives to the curvilinear form WRF's own
+    dynamics uses — zeta = m^2 (d(v/m)/dx - d(u/m)/dy) — so the
+    result is correct away from the projection's true latitudes;
+    without it the uniform-grid form applies (m == 1, stated).  The
+    map factor scales nothing at the window level: u/m and v/m are
+    plain column expressions, so the plan shape (two pencil shuffles)
+    is identical either way."""
     extra = list(group_cols or [])
-    d = centered_diff(df, v_col, x_col, dx, extra + [y_col], "_dvdx")
-    d = centered_diff(d, u_col, y_col, dy, extra + [x_col], "_dudy")
-    avo = F.col("_dvdx") - F.col("_dudy")
+    d = df
+    uc, vc = u_col, v_col
+    if msf_col is not None:
+        d = d.withColumn("_u_m", F.col(u_col) / F.col(msf_col))
+        d = d.withColumn("_v_m", F.col(v_col) / F.col(msf_col))
+        uc, vc = "_u_m", "_v_m"
+    d = centered_diff(d, vc, x_col, dx, extra + [y_col], "_dvdx")
+    d = centered_diff(d, uc, y_col, dy, extra + [x_col], "_dudy")
+    zeta = F.col("_dvdx") - F.col("_dudy")
+    if msf_col is not None:
+        zeta = zeta * F.col(msf_col) * F.col(msf_col)
+    avo = zeta
     if lat_col is not None:
         avo = avo + coriolis_parameter(lat_col)
-    return d.withColumn(out_col, avo).drop("_dvdx", "_dudy")
+    d = d.withColumn(out_col, avo).drop("_dvdx", "_dudy")
+    if msf_col is not None:
+        d = d.drop("_u_m", "_v_m")
+    return d
 
 
 def updraft_helicity(
@@ -189,12 +211,15 @@ def potential_vorticity(
     lat_col: str | None = None,
     group_cols: list[str] | None = None,
     out_col: str = "pv",
+    msf_col: str | None = None,
 ) -> DataFrame:
     """Ertel potential vorticity on model levels [K m2 kg-1 s-1]
-    (wrf-python `pvo`, isobaric-coordinate form without map factors —
-    stated): PV = -g (zeta + f) dtheta/dp, with zeta the relative
-    vorticity from horizontal pencil windows (per level) and dtheta/dp
-    a centered difference over the column pencil:
+    (wrf-python `pvo`, isobaric-coordinate form WITHOUT the tilting
+    terms of full Ertel PV — stated): PV = -g (zeta + f) dtheta/dp,
+    with zeta the relative vorticity from horizontal pencil windows
+    (per level; ``msf_col`` applies the curvilinear map-factor form,
+    see :func:`absolute_vorticity`) and dtheta/dp a centered
+    difference over the column pencil:
 
         dtheta/dp = (theta[k+1] - theta[k-1]) / (p[k+1] - p[k-1])
 
@@ -207,6 +232,7 @@ def potential_vorticity(
     zeta = absolute_vorticity(
         df, u_col, v_col, x_col, y_col, dx, dy,
         lat_col=lat_col, group_cols=extra + [k_col], out_col="_zf",
+        msf_col=msf_col,
     )
     w = Window.partitionBy(*extra, x_col, y_col).orderBy(k_col)
     nxt_ok = F.lead(k_col).over(w) == F.col(k_col) + 1

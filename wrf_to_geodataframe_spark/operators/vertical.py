@@ -205,24 +205,40 @@ def sea_level_pressure(
     pconst: float = 10000.0,
     lapse: float = 0.0065,
     out_col: str = "slp",
+    qv_col: str | None = None,
 ) -> DataFrame:
     """Full-column sea-level pressure [Pa] — the Benjamin & Miller
-    (1990) / RIP reduction wrf-python's `slp` implements (moisture
-    terms omitted — stated): from each column take the surface level
-    (highest pressure) and the PIVOT level — the highest-pressure
-    level at least ``pconst`` Pa above the surface (far enough up to
-    escape superadiabatic surface layers) — then
+    (1990) / RIP reduction wrf-python's `slp` implements: from each
+    column take the surface level (highest pressure) and the PIVOT
+    level — the highest-pressure level at least ``pconst`` Pa above
+    the surface (far enough up to escape superadiabatic surface
+    layers) — then
 
         t_sfc = t_pivot (p_sfc / p_pivot)^(lapse Rd / g)
         t_sl  = t_sfc + lapse z_sfc
         slp   = p_sfc exp(2 g z_sfc / (Rd (t_sl + t_sfc)))
 
+    With ``qv_col`` given, the pivot temperature is the VIRTUAL
+    temperature (exact eps-form, functions/meteo) — matching
+    wrf-python's moist reduction; without it the reduction is dry
+    (tv == t), stated as a deviation wherever the dry form is exposed
+    under the wrf-python name.
+
     Two window aggregates on one column-key shuffle (surface by
     ordered first, pivot by conditional max_by) + one groupBy; a
     column too shallow to contain a pivot level yields NULL (the
     missing-value convention, like cin)."""
-    from wrf_to_geodataframe_spark.functions.meteo import G0, RD
+    from wrf_to_geodataframe_spark.functions.meteo import (
+        G0,
+        RD,
+        virtual_temperature,
+    )
 
+    t_use = (
+        virtual_temperature(F.col(t_col), F.col(qv_col))
+        if qv_col is not None
+        else F.col(t_col)
+    )
     w = Window.partitionBy(*col_keys).orderBy(F.col(p_col).desc())
     wk = Window.partitionBy(*col_keys)
     d = (
@@ -230,7 +246,7 @@ def sea_level_pressure(
         .withColumn("_zsfc", F.first(z_col).over(w))
     )
     sel = F.max_by(
-        F.struct(F.col(t_col).alias("t"), F.col(p_col).alias("p")),
+        F.struct(t_use.alias("t"), F.col(p_col).alias("p")),
         F.when(
             F.col(p_col) <= F.col("_psfc") - F.lit(float(pconst)),
             F.col(p_col),

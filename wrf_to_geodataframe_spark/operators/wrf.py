@@ -63,7 +63,7 @@ SUPPORTED: dict[str, tuple[str, ...]] = {
     "pw": ("P", "PB", "QVAPOR"),
     "ctt": ("T", "P", "PB", "QCLOUD"),
     "cloudfrac": ("T", "P", "PB", "QVAPOR"),
-    "slp": ("T", "P", "PB"),
+    "slp": ("T", "P", "PB", "QVAPOR"),
     "cape_2d": ("T", "P", "PB", "QVAPOR"),
     "mcape": ("T", "P", "PB", "QVAPOR"),
     "wspd_wdir": ("U", "V"),
@@ -74,7 +74,7 @@ SUPPORTED: dict[str, tuple[str, ...]] = {
 
 #: names that accept extra keyword options (everything else must
 #: reject them — a silently-dropped typo'd option is a wrong answer)
-_TAKES_KW = {"dbz", "mdbz", "cape_2d", "mcape"}
+_TAKES_KW = {"dbz", "mdbz", "cape_2d", "mcape", "avo", "pvo"}
 
 
 def _raw(
@@ -341,8 +341,11 @@ def wrf_getvar(
                 sea_level_pressure,
             )
 
+            # moist reduction (wrf-python parity): the pivot-level
+            # temperature is the exact-eps virtual temperature
             return sea_level_pressure(
-                d, "prs", "_tk", "z", _KEY3, out_col="slp"
+                d, "prs", "_tk", "z", _KEY3, out_col="slp",
+                qv_col="qvapor",
             )
         from wrf_to_geodataframe_spark.operators.vertical import (
             surface_cape,
@@ -365,37 +368,65 @@ def wrf_getvar(
                 "uvmet needs the wrfout global attrs (TRUELAT1/2, "
                 "STAND_LON) via attrs="
             )
+        from wrf_to_geodataframe_spark.functions.crs import _attr_scalar
+
         d = base.join(_coords(spark, path, lat_var, lon_var), _KEY3)
         cone = M.lcc_cone(
-            float(attrs["TRUELAT1"]), float(attrs["TRUELAT2"])
+            _attr_scalar(attrs, "TRUELAT1"),
+            _attr_scalar(attrs, "TRUELAT2"),
         )
         ue, ve = M.uvmet(
             F.col("u"), F.col("v"), F.col("lon"),
-            float(attrs["STAND_LON"]), cone,
+            _attr_scalar(attrs, "STAND_LON"), cone,
         )
         return d.select(*_KEY, ue.alias("ue"), ve.alias("ve"))
     if varname in ("avo", "pvo"):
+        # ``map_factors=True`` reads MAPFAC_M (the mass-point map-scale
+        # factor every wrfout carries) and applies the curvilinear form
+        # zeta = m^2 (d(v/m)/dx - d(u/m)/dy); without it derivatives
+        # are the uniform-grid form — exact only near the projection's
+        # true latitudes (stated: wrf-python's avo/pvo Fortran always
+        # uses msfu/msfv/msft, and pvo here is the isobaric form
+        # without tilting terms either way).
+        map_factors = bool(kw.pop("map_factors", False))
+        if kw:
+            raise TypeError(
+                f"getvar({varname!r}) options: map_factors only, got "
+                f"{sorted(kw)}"
+            )
         if not attrs:
             raise ValueError(
                 f"{varname} needs the wrfout global attrs (DX, DY) via "
                 "attrs="
             )
+        from wrf_to_geodataframe_spark.functions.crs import _attr_scalar
         from wrf_to_geodataframe_spark.operators.dynamics import (
             absolute_vorticity,
             potential_vorticity,
         )
 
         d = base.join(_coords(spark, path, lat_var, lon_var), _KEY3)
-        dx, dy = float(attrs["DX"]), float(attrs["DY"])
+        msf_col = None
+        if map_factors:
+            m = (
+                _raw(spark, path, "MAPFAC_M", lat_var, lon_var)
+                .select("file", "y_idx", "x_idx", "mapfac_m")
+                .distinct()
+            )
+            d = d.join(m, _KEY3)
+            msf_col = "mapfac_m"
+        dx, dy = _attr_scalar(attrs, "DX"), _attr_scalar(attrs, "DY")
         if varname == "avo":
             return absolute_vorticity(
                 d, "u", "v", "x_idx", "y_idx", dx, dy,
                 lat_col="lat", group_cols=["file", "k"], out_col="avo",
+                msf_col=msf_col,
             ).select(*_KEY, "avo")
         d = d.withColumn("_theta", theta)
         return potential_vorticity(
             d, "u", "v", "_theta", "prs", "x_idx", "y_idx", "k",
             dx, dy, lat_col="lat", group_cols=["file"], out_col="pvo",
+            msf_col=msf_col,
         ).select(*_KEY, "pvo")
     raise AssertionError(varname)  # pragma: no cover
 

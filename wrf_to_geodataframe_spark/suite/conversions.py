@@ -1691,7 +1691,7 @@ def _m2_sql() -> str:
         f" + 0.00391838 * pow({rh}, 1.5) * atan(0.023101 * {rh})"
         f" - 4.686035"
     )
-    tv = f"({tk} * (1.0 + 0.61 * qv))"
+    tv = f"({tk} * (0.622 + qv) / (0.622 * (1.0 + qv)))"
     rho = f"(p / (287.047 * {tv}))"
     z_e = (
         f"({fr!r} * pow({rho} * qr, 1.75)"

@@ -352,10 +352,12 @@ b AS (
                (CASE WHEN lev.p >= par.plcl
                      THEN par.t0 * pow(lev.p / 100000.0, 2.0/7.0)
                      ELSE tpm.tp END)
-               * (1.0 + 0.61 * (CASE WHEN lev.p >= par.plcl
-                                     THEN par.qv0 ELSE {qs_tp} END))
+               * (0.622 + (CASE WHEN lev.p >= par.plcl
+                                THEN par.qv0 ELSE {qs_tp} END))
+               / (0.622 * (1.0 + (CASE WHEN lev.p >= par.plcl
+                                       THEN par.qv0 ELSE {qs_tp} END)))
                  AS tvp,
-               lev.t * (1.0 + 0.61 * lev.qv) AS tve
+               lev.t * (0.622 + lev.qv) / (0.622 * (1.0 + lev.qv)) AS tve
         FROM lev
         JOIN par ON lev.y = par.y AND lev.x = par.x
         LEFT JOIN tpm
@@ -717,10 +719,12 @@ b AS (
                (CASE WHEN lev.p >= par.plcl
                      THEN par.t0 * pow(lev.p / par.p0, 2.0/7.0)
                      ELSE tpm.tp END)
-               * (1.0 + 0.61 * (CASE WHEN lev.p >= par.plcl
-                                     THEN par.qv0 ELSE {qs_tp} END))
+               * (0.622 + (CASE WHEN lev.p >= par.plcl
+                                THEN par.qv0 ELSE {qs_tp} END))
+               / (0.622 * (1.0 + (CASE WHEN lev.p >= par.plcl
+                                       THEN par.qv0 ELSE {qs_tp} END)))
                  AS tvp,
-               lev.t * (1.0 + 0.61 * lev.qv) AS tve
+               lev.t * (0.622 + lev.qv) / (0.622 * (1.0 + lev.qv)) AS tve
         FROM lev
         JOIN par ON lev.y = par.y AND lev.x = par.x
         LEFT JOIN tpm
@@ -912,7 +916,7 @@ def _m12_sql() -> str:
 
     fr = _dbz_factor(1000.0, 8.0e6, False)
     tk = "(theta * pow(p / 100000.0, 2.0/7.0))"
-    tv = f"({tk} * (1.0 + 0.61 * qv))"
+    tv = f"({tk} * (0.622 + qv) / (0.622 * (1.0 + qv)))"
     rho = f"(p / (287.047 * {tv}))"
     om = f"(-9.81 * {rho} * w)"
     z_e = f"({fr!r} * pow({rho} * qr, 1.75))"
@@ -986,7 +990,11 @@ def _s6_sql() -> str:
         " + (9.81 * (i + j + f) / 4.0 + 4905.0 * 1) / 9.81) / 2.0)"
     )
     tk2 = f"({theta2} * pow({prs2} / 100000.0, 2.0/7.0))"
-    tsfc = f"({tk2} * pow({psfc} / {prs2}, {xterm!r}))"
+    # moist reduction: the pivot temperature is the exact-eps virtual
+    # temperature at k = 2 (qv2 from the fixture's dyadic lattice)
+    qv2 = "((16.0 + (i + j + 2) % 5 - 2) / 1024.0)"
+    tv2 = f"({tk2} * (0.622 + {qv2}) / (0.622 * (1.0 + {qv2})))"
+    tsfc = f"({tv2} * pow({psfc} / {prs2}, {xterm!r}))"
     return f"""
 WITH cells AS (
     SELECT f, j, i
