@@ -353,3 +353,43 @@ def test_pagerank_dangling_tol_stops_early_at_fixed_point(spark):
     assert all(r.pr_q == 1_000_000_000 and r.delta_q == 0 for r in early)
     # 50 fixed rounds run ~50 checkpoint jobs; tol stops after ~2
     assert early_jobs < full_jobs / 3, (early_jobs, full_jobs)
+
+
+def test_pagerank_plain_tol_matches_full_unroll(spark):
+    """The plain variant shares the dangling variant's convergence
+    ceiling contract: tol_q-early-stopped ranks equal the full fixed
+    unroll at the fixed point, and on a non-trivial graph (a chain
+    with a sink, where mass leaks) tol_q=0 stops exactly when two
+    consecutive rounds agree — which by determinism of the update map
+    pins every later round to the same value."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    # uniform cycle: exact fixed point at pr = q after round 1
+    n = 20
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    cyc = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")
+    )
+    early = pagerank_integer(nodes, cyc, iters=50, tol_q=0).collect()
+    full = pagerank_integer(nodes, cyc, iters=50).collect()
+    assert sorted(map(tuple, early)) == sorted(map(tuple, full))
+    assert all(r.pr_q == 1_000_000_000 for r in early)
+
+    # chain with a sink: leaky semantics converge to base_q everywhere
+    # upstream of the head; early-stop must equal the 30-round unroll
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    e30 = {
+        r.node: r.pr_q
+        for r in pagerank_integer(nodes, chain, iters=30, tol_q=0).collect()
+    }
+    f30 = {
+        r.node: r.pr_q
+        for r in pagerank_integer(nodes, chain, iters=30).collect()
+    }
+    assert e30 == f30

@@ -221,6 +221,7 @@ def pagerank_integer(
     node_col: str = "node",
     src_col: str = "src",
     dst_col: str = "dst",
+    tol_q: int | None = None,
 ) -> DataFrame:
     """PageRank as an INTEGER-EXACT fixed unroll — the link-graph
     quality signal crawl-curation pipelines weight documents by
@@ -260,7 +261,18 @@ def pagerank_integer(
     every unrolled iteration consumes the same out-degree table, and
     while Catalyst's ReuseExchange deduplicates the identical subplans
     inside one DAG today, the persist makes that cost contract
-    explicit rather than optimizer-dependent."""
+    explicit rather than optimizer-dependent.
+
+    ``tol_q`` (lattice units) gives this variant the SAME convergence
+    ceiling contract as :func:`pagerank_dangling_integer`: ``iters``
+    becomes a ceiling, each round's rank frame is
+    ``localCheckpoint(eager=True)``-ed (constant-size per-round plans),
+    and the loop stops once max |Δpr| <= tol_q (a bounded 1-row
+    collect per round).  Because the update map is deterministic and
+    each round depends only on the previous ranks, the early-stopped
+    result equals the k-round fixed unroll exactly (property-pinned
+    in tests/test_graph.py).  None — the default, and what the oracle
+    gate uses — keeps the pure lazy unroll with no jobs at build."""
     from wrf_to_geodataframe_spark.session import track_persist
 
     deg = track_persist(
@@ -271,6 +283,9 @@ def pagerank_integer(
     base_q = ((100 - damping_pct) * q) // 100
     pr = nodes.select(F.col(node_col).alias("node"),
                       F.lit(int(q)).cast("long").alias("pr_q"))
+    if tol_q is not None:
+        pr = pr.localCheckpoint()
+    frames = [pr]
     for _ in range(iters):
         contrib = (
             pr.join(edges, pr["node"] == edges[src_col])
@@ -293,6 +308,24 @@ def pagerank_integer(
                 ).alias("pr_q"),
             )
         )
+        if tol_q is not None:
+            pr = pr.localCheckpoint()
+            frames.append(pr)
+            d = (
+                frames[-1].alias("a")
+                .join(frames[-2].alias("b"), "node")
+                .agg(
+                    F.max(F.abs(F.col("a.pr_q") - F.col("b.pr_q")))
+                    .alias("d")
+                )
+                .first()["d"]
+            )
+            if d is not None and d <= tol_q:
+                break
+    if tol_q is not None:
+        # the result frame is the only one still needed
+        for old in frames[:-1]:
+            old.unpersist()
     return pr
 
 

@@ -637,20 +637,28 @@ def _collapse_identical(df: DataFrame, key: str, id_col: str = "doc_id"):
     ``cm`` on up to four — none of which hit exchange reuse across
     aliases (the repo-wide self-join rule).
 
-    Measured cost note (VERDICT r11 item 4): the collapse adds ~0.4 s
-    to dedup_minhash_lsh at sf0.1 — pure overhead on a dup-free corpus
-    (reps == docs, cm == identity), bought back as skew immunity on
-    duplicate-heavy ones.  Pre-partitioning ``cm`` by ``rep`` before
-    the persist was tried and REJECTED: cached-plan output
-    partitioning is not reused for exchange elision under this AQE
-    config (exchange count went 95 -> 103, wall time unchanged), and
-    keying the collapse on a hashed signature digest would trade the
-    exact array key for birthday-bound collision risk at corpus
-    scale."""
-    reps = track_persist(df.groupBy(key).agg(F.min(id_col).alias("rep")))
-    cm = track_persist(df.join(reps, key).select(
-        F.col(id_col).alias("doc_id"), "rep"
-    ))
+    ONE SHUFFLE, ONE PERSIST (r12 brief item 3 — the minhash cost
+    trim): the representative is a ``min(id) over (partition by key)``
+    window, so the full copy map materializes from a single exchange
+    on the key, and ``reps`` is the ``id == rep`` filter of the SAME
+    persisted frame — no groupBy + join-back pair, no second persist.
+    The window partitions on the full signature (corpus-cardinality
+    keys — thousands of partitions, never a single-task window).
+    Earlier alternatives tried and REJECTED (r11): pre-partitioning
+    ``cm`` by ``rep`` (cached-plan output partitioning is not reused
+    for exchange elision under this AQE config — exchanges went
+    95 -> 103, wall unchanged) and hashing the signature to a digest
+    key (birthday-bound collision risk at corpus scale for an exact
+    operator)."""
+    from pyspark.sql import Window
+
+    cmf = track_persist(
+        df.withColumn(
+            "rep", F.min(id_col).over(Window.partitionBy(key))
+        )
+    )
+    reps = cmf.filter(F.col(id_col) == F.col("rep")).select(key, "rep")
+    cm = cmf.select(F.col(id_col).alias("doc_id"), "rep")
     return reps, cm
 
 
@@ -729,12 +737,20 @@ def _minhash_band_candidates(docs: DataFrame):
     exactly rep's band keys, so cross-group candidacy is decided by the
     representative pair, and within-group pairs (all bands equal) are
     always candidates — emitted straight from the copy map, every row
-    produced being a result row.  sigv/cm persist: they feed multiple
-    plan branches and self-joined HOF subtrees never hit exchange
-    reuse."""
-    sigv = track_persist(_minhash_sigv(docs))
-    sigs = _explode_sigv(sigv)
-    reps, cm = _collapse_identical(sigv, "sig")
+    produced being a result row.
+
+    ONE persisted frame (r12 brief item 3): the signature pass feeds
+    the collapse window directly, so (doc_id, sig, rep) materializes
+    from a single shuffle and every downstream branch — banding,
+    within-group pairs, fan-out, and the representative-signature
+    verify tables — is a projection/filter of that cache.  The first
+    element returned is ``repsig`` (rep, sig): ARRAY-form signatures
+    of the representatives only, the table the zip_with verifier joins
+    (the r10-era long-format (doc_id, i, mh) 16x explode + 16-row
+    join + groupBy is gone from this path; _minhash_sigs keeps it for
+    consumers that genuinely need the long layout)."""
+    reps, cm = _collapse_identical(_minhash_sigv(docs), "sig")
+    repsig = reps.select(F.col("rep"), F.col("sig"))
     band_arr = F.array(
         *[
             F.concat_ws(
@@ -763,7 +779,7 @@ def _minhash_band_candidates(docs: DataFrame):
         .distinct()
     )
     within = _within_pairs(cm)
-    return sigs, rep_cand, cm, within
+    return repsig, rep_cand, cm, within
 
 
 def _within_pairs(cm: DataFrame, extra=()):
@@ -1250,21 +1266,34 @@ def minhash_verified_pairs(docs: DataFrame) -> DataFrame:
     signature, so scoring rep pairs before the copy-map fan-out is
     exactly equivalent while the verify join stays bounded by DISTINCT
     signatures (two 5k-copy groups band-colliding would otherwise push
-    25M member pairs through the 16-row agreement join); within-group
-    pairs carry an identical signature — estimate exactly 1.0 with no
-    join at all."""
-    sigs, rep_cand, cm, within = _minhash_band_candidates(docs)
-    sa = sigs.alias("sa")
-    sb = sigs.alias("sb")
+    25M member pairs through the agreement check); within-group pairs
+    carry an identical signature — estimate exactly 1.0 with no join
+    at all.
+
+    Agreement is computed IN-ARRAY (r12 brief item 3): the two 16-long
+    signature arrays join onto the candidate pair by rep id (two
+    BIGINT-key joins against the cached collapse frame) and
+    matches/16 is one zip_with + size(filter(...)) codegen expression
+    per pair — no 16x posexplode, no 16-row equi join, no groupBy.
+    Same value as the long-format sum by construction (slot i matches
+    iff sig_a[i] == sig_b[i]); /16 is an exact dyadic division, so the
+    oracle's sum(CASE)/16.0 hash-matches bit-for-bit."""
+    repsig, rep_cand, cm, within = _minhash_band_candidates(docs)
+    sa = repsig.select(F.col("rep").alias("ra"), F.col("sig").alias("_siga"))
+    sb = repsig.select(F.col("rep").alias("rb"), F.col("sig").alias("_sigb"))
+    matches = F.size(
+        F.filter(
+            F.zip_with("_siga", "_sigb", lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
     est_rep = (
-        rep_cand.join(sa, F.col("ra") == F.col("sa.doc_id"))
-        .join(sb, (F.col("rb") == F.col("sb.doc_id")) & (F.col("sa.i") == F.col("sb.i")))
-        .groupBy("ra", "rb")
-        .agg(
-            (
-                F.sum((F.col("sa.mh") == F.col("sb.mh")).cast("long")).cast("double")
-                / F.lit(float(_MH_K))
-            ).alias("jaccard_est")
+        rep_cand.join(sa, "ra")
+        .join(sb, "rb")
+        .select(
+            "ra", "rb",
+            (matches.cast("double") / F.lit(float(_MH_K)))
+            .alias("jaccard_est"),
         )
         .filter(F.col("jaccard_est") >= 0.5)
     )
