@@ -62,11 +62,26 @@ def archive(tmp_path_factory):
     jjv, iiv = np.meshgrid(np.arange(NJ + 1), np.arange(NI), indexing="ij")
     for f in range(NF):
         v = _fields(float(f))
+        tstr = f"2021-06-15_{6 * f:02d}:00:00"
         write_netcdf(
             os.path.join(d, f"wrfout_d01_{f:03d}.nc"),
             {"k": NK, "ks": NK + 1, "j": NJ, "i": NI,
-             "is_": NI + 1, "js": NJ + 1},
+             "is_": NI + 1, "js": NJ + 1, "t": 1, "strlen": 19},
             {
+                "Times": {"dims": ["t", "strlen"],
+                          "data": np.frombuffer(
+                              tstr.encode("ascii"), dtype="S1"
+                          ).reshape(1, 19)},
+                "T2": {"dims": ["j", "i"],
+                       "data": 288.0 + (ii + jj) / 8.0 + f},
+                "PSFC": {"dims": ["j", "i"],
+                         "data": 96000.0 + 100.0 * (ii % 3) + 25.0 * f},
+                "Q2": {"dims": ["j", "i"],
+                       "data": (12.0 + (ii + jj) % 5) / 1024.0},
+                "U10": {"dims": ["j", "i"],
+                        "data": (ii * 2.0 + jj / 2.0 + f) / 4.0},
+                "V10": {"dims": ["j", "i"],
+                        "data": (ii / 2.0 + jj * 3.0 + f) / 4.0},
                 "T": {"dims": ["k", "j", "i"], "data": v["t"]},
                 "P": {"dims": ["k", "j", "i"], "data": v["p"]},
                 "PB": {"dims": ["k", "j", "i"], "data": v["pb"]},
@@ -105,8 +120,13 @@ def _collect(df, *val_cols):
                 (r.f, r.k, r.y_idx, r.x_idx): r[val_cols[0]] for r in rows
             }
         return {(r.f, r.y_idx, r.x_idx): r[val_cols[0]] for r in rows}
+    if "k" in rows[0].asDict():
+        return {
+            (r.f, r.k, r.y_idx, r.x_idx): tuple(r[c] for c in val_cols)
+            for r in rows
+        }
     return {
-        (r.f, r.k, r.y_idx, r.x_idx): tuple(r[c] for c in val_cols)
+        (r.f, r.y_idx, r.x_idx): tuple(r[c] for c in val_cols)
         for r in rows
     }
 
@@ -539,3 +559,82 @@ def test_getvar_slp_to_png_map(spark, tmp_path):
     bot = colormap_rgb(np.array([0]))[0]
     assert tuple(painted[0, 0, :3]) == tuple(top)
     assert tuple(painted[nj - 1, ni - 1, :3]) == tuple(bot)
+
+
+def test_getvar_times_and_surface_staples(spark, archive):
+    """times=True decodes each shard's wrfout Times char array into a
+    timestamp column (broadcast metadata join); the 2-D staples
+    (T2/td2/rh2/uvmet10) replay in numpy like every sibling."""
+    import datetime
+
+    rows = (
+        wrf_getvar(spark, archive, "T2", times=True)
+        .withColumn(
+            "f", F.regexp_extract("file", r"_(\d+)\.nc", 1).cast("long")
+        )
+        .collect()
+    )
+    assert len(rows) == NF * NJ * NI
+    for r in rows:
+        assert r.time == datetime.datetime(2021, 6, 15, 6 * r.f, 0, 0)
+        assert r.t2 == 288.0 + (r.x_idx + r.y_idx) / 8.0 + r.f  # dyadic
+    td2 = _collect(wrf_getvar(spark, archive, "td2"), "td2")
+    rh2 = _collect(wrf_getvar(spark, archive, "rh2"), "rh2")
+    uv = _collect(
+        wrf_getvar(spark, archive, "uvmet10", attrs=ATTRS), "ue10", "ve10"
+    )
+    cone = math.log(
+        math.cos(math.radians(30)) / math.cos(math.radians(60))
+    ) / math.log(
+        math.tan(math.pi / 4 + math.radians(60) / 2)
+        / math.tan(math.pi / 4 + math.radians(30) / 2)
+    )
+    for f in range(NF):
+        for (j, i) in [(0, 0), (2, 3), (NJ - 1, NI - 1)]:
+            t2 = 288.0 + (i + j) / 8.0 + f
+            psfc = 96000.0 + 100.0 * (i % 3) + 25.0 * f
+            q2 = (12.0 + (i + j) % 5) / 1024.0
+            e = (psfc / 100.0) * q2 / (EPS + q2)
+            es = 6.112 * math.exp(
+                17.67 * (t2 - 273.15) / ((t2 - 273.15) + 243.5)
+            )
+            assert rh2[(f, j, i)] == pytest.approx(100.0 * e / es, rel=1e-12)
+            loge = math.log(e / 6.112)
+            assert td2[(f, j, i)] == pytest.approx(
+                243.5 * loge / (17.67 - loge) + 273.15, rel=1e-12
+            )
+            u10 = (i * 2.0 + j / 2.0 + f) / 4.0
+            v10 = (i / 2.0 + j * 3.0 + f) / 4.0
+            a = math.radians(((-101.0 + i * 0.25) - (-100.0)) * cone)
+            assert uv[(f, j, i)][0] == pytest.approx(
+                v10 * math.sin(a) + u10 * math.cos(a), rel=1e-12
+            )
+            assert uv[(f, j, i)][1] == pytest.approx(
+                v10 * math.cos(a) - u10 * math.sin(a), rel=1e-12
+            )
+
+
+def test_wrf_times_multi_step_shard_raises(spark, tmp_path):
+    """single_step=True (the getvar join contract) must raise a NAMED
+    error inside the task on a multi-timestep shard instead of
+    silently duplicating rows through the file-keyed join."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_times
+    from wrf_to_geodataframe_spark.sources.netcdf import write_netcdf
+
+    d = str(tmp_path / "multi")
+    os.makedirs(d)
+    times = np.frombuffer(
+        b"2021-06-15_00:00:002021-06-15_06:00:00", dtype="S1"
+    ).reshape(2, 19)
+    write_netcdf(
+        os.path.join(d, "wrfout_d01_000.nc"),
+        {"t": 2, "strlen": 19, "j": 2, "i": 2},
+        {
+            "Times": {"dims": ["t", "strlen"], "data": times},
+            "T2": {"dims": ["j", "i"], "data": np.zeros((2, 2))},
+        },
+    )
+    two = wrf_times(spark, d).collect()  # default: both steps emitted
+    assert [(r.lt, r.time.hour) for r in sorted(two)] == [(0, 0), (1, 6)]
+    with pytest.raises(Exception, match="one-timestep-per-shard"):
+        wrf_times(spark, d, single_step=True).collect()

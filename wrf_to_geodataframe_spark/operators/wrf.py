@@ -70,7 +70,18 @@ SUPPORTED: dict[str, tuple[str, ...]] = {
     "uvmet": ("U", "V"),
     "avo": ("U", "V"),
     "pvo": ("U", "V", "T", "P", "PB"),
+    # 2-D surface staples (single-plane mass-grid reads, keyed
+    # (file, y_idx, x_idx)): the wrf-python names every plotting
+    # session grabs first
+    "T2": ("T2",),
+    "td2": ("PSFC", "Q2"),
+    "rh2": ("T2", "PSFC", "Q2"),
+    "uvmet10": ("U10", "V10"),
 }
+
+#: names whose raw variables are 2-D single planes — output keyed
+#: (file, y_idx, x_idx), no vertical axis
+_SURFACE_2D = {"T2", "td2", "rh2", "uvmet10"}
 
 #: names that accept extra keyword options (everything else must
 #: reject them — a silently-dropped typo'd option is a wrong answer)
@@ -194,6 +205,76 @@ def _zdz(
     )
 
 
+def wrf_times(
+    spark: SparkSession,
+    path: str,
+    time_var: str = "Times",
+    single_step: bool = False,
+) -> DataFrame:
+    """(file, lt, time): each shard's decoded time axis — the wrfout
+    ``Times`` (Time, DateStrLen) char array ('YYYY-MM-DD_HH:MM:SS',
+    no CF units attribute) or any CF ``units``-attributed numeric
+    coordinate, decoded EXECUTOR-SIDE with the same
+    ``decode_cf_time_values`` the virtual layer's time axis uses.
+    One binaryFile task per shard; the output is #timesteps rows —
+    metadata-sized, so downstream joins broadcast it.
+
+    ``single_step=True`` enforces this engine's wrfout archive
+    convention (one timestep per shard — the layout ``wrf_getvar``
+    keys on, where ``t_idx`` carries the VERTICAL level): a shard
+    with more than one entry raises a NAMED error inside the task
+    instead of silently duplicating rows through a file-keyed join."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType([
+        StructField("file", StringType()),
+        StructField("lt", LongType()),
+        StructField("time", TimestampType()),
+    ])
+    files = spark.read.format("binaryFile").load(path)
+
+    def _batches(it):
+        import numpy as np
+
+        from wrf_to_geodataframe_spark.sources.hdf5 import (
+            read_netcdf_any_bytes,
+        )
+        from wrf_to_geodataframe_spark.sources.netcdf import (
+            decode_cf_time_values,
+        )
+
+        for pdf in it:
+            rows = []
+            for fname, buf in zip(pdf["path"], pdf["content"]):
+                ds = read_netcdf_any_bytes(bytes(buf), name=fname)
+                if time_var not in ds["variables"]:
+                    raise ValueError(
+                        f"{fname}: no time variable {time_var!r}"
+                    )
+                tv = ds["variables"][time_var]
+                tns = decode_cf_time_values(
+                    np.asarray(tv["data"]), tv.get("attrs", {})
+                )
+                if single_step and tns.shape[0] != 1:
+                    raise ValueError(
+                        f"{fname}: {tns.shape[0]} timesteps in "
+                        f"{time_var!r}; wrf_getvar(times=True) "
+                        "requires one-timestep-per-shard archives"
+                    )
+                for i, v in enumerate(tns):
+                    rows.append((fname, i, pd.Timestamp(v)))
+            yield pd.DataFrame(rows, columns=["file", "lt", "time"])
+
+    return files.select("path", "content").mapInPandas(_batches, schema)
+
+
 def wrf_getvar(
     spark: SparkSession,
     path: str,
@@ -208,8 +289,27 @@ def wrf_getvar(
     y_idx, x_idx) for per-level fields or (file, y_idx, x_idx) for
     column diagnostics, value column(s) named after the quantity.
     Unknown names raise with the supported list (never a silent
-    wrong answer)."""
+    wrong answer).
+
+    ``times=True`` (any name) appends the shard's decoded ``Times``
+    timestamp as a ``time`` column — the wrf-python ``XTIME``
+    coordinate semantics — via one broadcast join against the
+    metadata-sized :func:`wrf_times` table (one row per shard,
+    enforced), so multi-timestep archives feed daily-resample /
+    period-mean rollups (the reference's wrf_voronoi.py:151-190
+    workflow) without a separate virtual manifest."""
     from wrf_to_geodataframe_spark.functions import meteo as M
+
+    with_times = bool(kw.pop("times", False))
+    if with_times:
+        out = wrf_getvar(
+            spark, path, varname, lat_var=lat_var, lon_var=lon_var,
+            attrs=attrs, **kw,
+        )
+        tdf = wrf_times(spark, path, single_step=True).select(
+            "file", "time"
+        )
+        return out.join(F.broadcast(tdf), "file")
 
     if varname not in SUPPORTED:
         raise ValueError(
@@ -239,6 +339,43 @@ def wrf_getvar(
         base = base.withColumn("prs", F.col("p") + F.col("pb"))
     theta = F.col("t") + F.lit(300.0)
     prs = F.col("prs")
+
+    if varname in _SURFACE_2D:
+        # single-plane 2-D reads: t_idx is the constant 0 plane, so
+        # the key drops to (file, y_idx, x_idx)
+        if varname == "T2":
+            return base.select(*_KEY3, F.col("t2"))
+        if varname == "td2":
+            return base.select(
+                *_KEY3,
+                M.dewpoint_k(F.col("psfc"), F.col("q2")).alias("td2"),
+            )
+        if varname == "rh2":
+            return base.select(
+                *_KEY3,
+                M.relative_humidity(
+                    F.col("t2"), F.col("psfc"), F.col("q2")
+                ).alias("rh2"),
+            )
+        # uvmet10: U10/V10 already live on the mass grid (no
+        # destagger) — the same earth rotation as uvmet
+        if not attrs:
+            raise ValueError(
+                "uvmet10 needs the wrfout global attrs (TRUELAT1/2, "
+                "STAND_LON) via attrs="
+            )
+        from wrf_to_geodataframe_spark.functions.crs import _attr_scalar
+
+        d = base.join(_coords(spark, path, lat_var, lon_var), _KEY3)
+        cone = M.lcc_cone(
+            _attr_scalar(attrs, "TRUELAT1"),
+            _attr_scalar(attrs, "TRUELAT2"),
+        )
+        ue, ve = M.uvmet(
+            F.col("u10"), F.col("v10"), F.col("lon"),
+            _attr_scalar(attrs, "STAND_LON"), cone,
+        )
+        return d.select(*_KEY3, ue.alias("ue10"), ve.alias("ve10"))
 
     if varname == "theta":
         return base.select(*_KEY, theta.alias("theta"))

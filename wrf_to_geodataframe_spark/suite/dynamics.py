@@ -1045,10 +1045,20 @@ def _write_getvar_fixture() -> str:
     lat = 38.0 + jj[0] * 0.25 + ii[0] * 0.0
     lon = -101.0 + ii[0] * 0.25 + jj[0] * 0.0
     for f in range(_GV_NF):
+        # wrfout Times convention: (Time, DateStrLen) char array of
+        # 'YYYY-MM-DD_HH:MM:SS'; shard f is 6f hours past midnight
+        tstr = f"2021-06-15_{6 * f:02d}:00:00"
         write_netcdf(
             os.path.join(d, f"wrfout_d01_{f:03d}.nc"),
-            {"k": nk, "ks": nk + 1, "j": nj, "i": ni},
+            {"k": nk, "ks": nk + 1, "j": nj, "i": ni,
+             "t": 1, "strlen": 19},
             {
+                "Times": {
+                    "dims": ["t", "strlen"],
+                    "data": np.frombuffer(
+                        tstr.encode("ascii"), dtype="S1"
+                    ).reshape(1, 19),
+                },
                 "T": {"dims": ["k", "j", "i"],
                       "data": -8.0 * kk + (ii + jj) / 4.0 + f},
                 "P": {"dims": ["k", "j", "i"],
@@ -1058,6 +1068,26 @@ def _write_getvar_fixture() -> str:
                 "QVAPOR": {"dims": ["k", "j", "i"],
                            "data": (16.0 + (ii + jj + kk) % 5 - kk)
                            / 1024.0},
+                "QRAIN": {"dims": ["k", "j", "i"],
+                          "data": np.where((ii + jj + kk) % 4 == 0,
+                                           (kk + 1.0) / 8192.0, 0.0)},
+                "QSNOW": {"dims": ["k", "j", "i"],
+                          "data": np.where((ii + jj + kk) % 5 == 0,
+                                           (kk + 1.0) / 16384.0, 0.0)},
+                "QGRAUP": {"dims": ["k", "j", "i"],
+                           "data": np.where((ii + jj + kk) % 7 == 0,
+                                            (kk + 1.0) / 16384.0, 0.0)},
+                "T2": {"dims": ["j", "i"],
+                       "data": 288.0 + (ii[0] + jj[0]) / 8.0 + f},
+                "PSFC": {"dims": ["j", "i"],
+                         "data": 96000.0 + 100.0 * (ii[0] % 3)
+                         + 25.0 * f},
+                "Q2": {"dims": ["j", "i"],
+                       "data": (12.0 + (ii[0] + jj[0]) % 5) / 1024.0},
+                "U10": {"dims": ["j", "i"],
+                        "data": (ii[0] * 2.0 + jj[0] / 2.0 + f) / 4.0},
+                "V10": {"dims": ["j", "i"],
+                        "data": (ii[0] / 2.0 + jj[0] * 3.0 + f) / 4.0},
                 "PH": {"dims": ["ks", "j", "i"],
                        "data": 9.81 * (ii2 + jj2 + f) / 4.0},
                 "PHB": {"dims": ["ks", "j", "i"], "data": 4905.0 * ks},
@@ -1120,12 +1150,199 @@ FROM generate_series(0, {_GV_NF - 1}) AS tf(f),
 _S7_SQL = _s7_sql()
 
 
+def s8_wrf_getvar_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The getvar TIME AXIS (operators/wrf.wrf_times): each shard's
+    wrfout ``Times`` (Time, DateStrLen) char array decodes
+    executor-side into a real timestamp column, joined onto
+    ``getvar('pw', times=True)`` as a broadcast metadata-sized table
+    (one row per shard, single-step enforced) — the wrf-python XTIME
+    semantics the reference's daily resample (wrf_voronoi.py:157)
+    consumes.  Timestamps are emitted as formatted STRINGS on both
+    sides (the s1_cf_time_ingest rule: pandas dtype parity, and the
+    wall-clock string round-trips the session timezone).
+
+    Oracle: INTERVAL arithmetic in closed form — shard f is
+    TIMESTAMP '2021-06-15 00:00:00' + 6f hours (the fixture writes
+    '2021-06-15_{6f}:00:00' into Times) — DuckDB never parses NetCDF
+    or WRF char arrays; pw keeps the s6 dyadic closed form."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_getvar
+
+    d = _write_getvar_fixture()
+    pw = wrf_getvar(spark, d, "pw", times=True)
+    return pw.select(
+        F.regexp_extract("file", r"_(\d+)\.nc", 1)
+        .cast("long")
+        .alias("shard"),
+        "y_idx", "x_idx",
+        F.date_format("time", "yyyy-MM-dd HH:mm:ss").alias("t_str"),
+        "pw",
+    )
+
+
+_S8_SQL = f"""
+WITH pwl AS (
+    SELECT f, j, i,
+           SUM(((16.0 + (i + j + k) % 5 - k) / 1024.0) * 9000.0) AS s
+    FROM generate_series(0, {_GV_NF - 1}) AS tf(f),
+         generate_series(0, {_GV_NJ - 1}) AS tj(j),
+         generate_series(0, {_GV_NI - 1}) AS ti(i),
+         generate_series(0, {_GV_NK - 2}) AS tk(k)
+    GROUP BY f, j, i
+)
+SELECT f AS shard, CAST(j AS BIGINT) AS y_idx, CAST(i AS BIGINT) AS x_idx,
+       strftime(TIMESTAMP '2021-06-15 00:00:00' + to_hours(CAST(6 * f AS BIGINT)),
+                '%Y-%m-%d %H:%M:%S') AS t_str,
+       s / 9810.0 AS pw
+FROM pwl
+"""
+
+
+_S9_ATTRS = {"TRUELAT1": 30.0, "TRUELAT2": 60.0, "STAND_LON": -100.0}
+
+
+def s9_wrf_getvar_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The getvar 2-D SURFACE STAPLES (T2 / td2 / rh2 / uvmet10 —
+    wrf-python's first-plot names) through the front door over the
+    shared wrfout fixture: single-plane mass-grid reads keyed
+    (file, y_idx, x_idx), the Bolton dewpoint / RH kernels on
+    PSFC + Q2, and the earth rotation on U10/V10 (already mass-point,
+    no destagger).  T2 is a dyadic raw read — hash-exact unrounded;
+    the transcendental columns round to 1e-6, the rotated winds
+    zero-canonicalized (SIGNED-ZERO RULE: the rotation can cross 0).
+
+    Oracle: the same closed forms as m1 over the fixture lattice —
+    DuckDB reads no NetCDF."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_getvar
+
+    d = _write_getvar_fixture()
+    shard = (
+        F.regexp_extract("file", r"_(\d+)\.nc", 1)
+        .cast("long")
+        .alias("shard")
+    )
+    k3 = ["file", "y_idx", "x_idx"]
+    t2 = wrf_getvar(spark, d, "T2")
+    rh2 = wrf_getvar(spark, d, "rh2")
+    td2 = wrf_getvar(spark, d, "td2")
+    uv = wrf_getvar(spark, d, "uvmet10", attrs=_S9_ATTRS)
+    return (
+        t2.join(rh2, k3).join(td2, k3).join(uv, k3)
+        .select(
+            shard, "y_idx", "x_idx",
+            "t2",
+            F.round("rh2", 6).alias("rh2"),
+            F.round("td2", 6).alias("td2"),
+            (F.round("ue10", 6) + F.lit(0.0)).alias("ue10"),
+            (F.round("ve10", 6) + F.lit(0.0)).alias("ve10"),
+        )
+    )
+
+
+def _s9_sql() -> str:
+    from wrf_to_geodataframe_spark.functions.meteo import lcc_cone
+
+    cone = lcc_cone(_S9_ATTRS["TRUELAT1"], _S9_ATTRS["TRUELAT2"])
+    slon = _S9_ATTRS["STAND_LON"]
+    t2 = "(288.0 + (i + j) / 8.0 + f)"
+    psfc = "(96000.0 + 100.0 * (i % 3) + 25.0 * f)"
+    q2 = "((12.0 + (i + j) % 5) / 1024.0)"
+    e = f"(({psfc} / 100.0) * {q2} / (0.622 + {q2}))"
+    es = (
+        f"(6.112 * exp(17.67 * ({t2} - 273.15)"
+        f" / (({t2} - 273.15) + 243.5)))"
+    )
+    loge = f"ln({e} / 6.112)"
+    u10 = "((i * 2.0 + j / 2.0 + f) / 4.0)"
+    v10 = "((i / 2.0 + j * 3.0 + f) / 4.0)"
+    alpha = f"radians(((-101.0 + i * 0.25) - {slon!r}) * {cone!r})"
+    return f"""
+SELECT f AS shard, CAST(j AS BIGINT) AS y_idx, CAST(i AS BIGINT) AS x_idx,
+       {t2} AS t2,
+       round(100.0 * {e} / {es}, 6) AS rh2,
+       round(243.5 * {loge} / (17.67 - {loge}) + 273.15, 6) AS td2,
+       round({v10} * sin({alpha}) + {u10} * cos({alpha}), 6) + 0.0 AS ue10,
+       round({v10} * cos({alpha}) - {u10} * sin({alpha}), 6) + 0.0 AS ve10
+FROM generate_series(0, {_GV_NF - 1}) AS tf(f),
+     generate_series(0, {_GV_NJ - 1}) AS tj(j),
+     generate_series(0, {_GV_NI - 1}) AS ti(i)
+"""
+
+
+_S9_SQL = _s9_sql()
+
+
+def m13_getvar_species(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-hydrometeor CALDBZ through the front door:
+    ``getvar('mdbz', species=('QRAIN', 'QSNOW', 'QGRAUP'))`` — the
+    snow/graupel terms with the ice dielectric factor join the SAME
+    single mass-grid archive scan (read_netcdf_dir_many), exercising
+    the species option validation added at operators/wrf.py.  The
+    fixture's three hydrometeor lattices have disjoint-period zero
+    arms, so cells mix rain-only / ice-only / all-three columns and
+    some columns sit exactly on the -30 dBZ floor.
+
+    Oracle: the m2/m12 closed-form CALDBZ replay with all three
+    species factors over the fixture lattice; column max then round
+    (max on raw doubles is order-exact), zero-canonicalized."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_getvar
+
+    d = _write_getvar_fixture()
+    out = wrf_getvar(
+        spark, d, "mdbz", species=("QRAIN", "QSNOW", "QGRAUP")
+    )
+    return out.select(
+        F.regexp_extract("file", r"_(\d+)\.nc", 1)
+        .cast("long")
+        .alias("shard"),
+        "y_idx", "x_idx",
+        (F.round("mdbz", 6) + F.lit(0.0)).alias("mdbz"),
+    )
+
+
+def _m13_sql() -> str:
+    from wrf_to_geodataframe_spark.functions.meteo import _dbz_factor
+
+    fr = _dbz_factor(1000.0, 8.0e6, False)
+    fs = _dbz_factor(100.0, 2.0e7, True)
+    fg = _dbz_factor(400.0, 4.0e6, True)
+    theta = "((-8.0 * k + (i + j) / 4.0 + f) + 300.0)"
+    prs = "(100.0 * (i % 3) + 25.0 * f + (95000.0 - 9000.0 * k))"
+    tk = f"({theta} * pow({prs} / 100000.0, 2.0/7.0))"
+    qv = "((16.0 + (i + j + k) % 5 - k) / 1024.0)"
+    tv = f"({tk} * (0.622 + {qv}) / (0.622 * (1.0 + {qv})))"
+    rho = f"({prs} / (287.047 * {tv}))"
+    qr = "(CASE WHEN (i+j+k) % 4 = 0 THEN (k + 1.0) / 8192.0 ELSE 0.0 END)"
+    qs = "(CASE WHEN (i+j+k) % 5 = 0 THEN (k + 1.0) / 16384.0 ELSE 0.0 END)"
+    qg = "(CASE WHEN (i+j+k) % 7 = 0 THEN (k + 1.0) / 16384.0 ELSE 0.0 END)"
+    z_e = (
+        f"({fr!r} * pow({rho} * greatest({qr}, 0.0), 1.75)"
+        f" + {fs!r} * pow({rho} * greatest({qs}, 0.0), 1.75)"
+        f" + {fg!r} * pow({rho} * greatest({qg}, 0.0), 1.75))"
+    )
+    dbz = f"(10.0 * ln(greatest({z_e}, 0.001)) / ln(10.0))"
+    return f"""
+SELECT f AS shard, CAST(j AS BIGINT) AS y_idx, CAST(i AS BIGINT) AS x_idx,
+       round(max({dbz}), 6) + 0.0 AS mdbz
+FROM generate_series(0, {_GV_NF - 1}) AS tf(f),
+     generate_series(0, {_GV_NJ - 1}) AS tj(j),
+     generate_series(0, {_GV_NI - 1}) AS ti(i),
+     generate_series(0, {_GV_NK - 1}) AS tk(k)
+GROUP BY f, j, i
+"""
+
+
+_M13_SQL = _m13_sql()
+
+
 QUERIES = {
     "m10_mu_cape": m10_mu_cape,
     "m11_slp_column": m11_slp_column,
     "m12_omega_mdbz": m12_omega_mdbz,
     "s6_wrf_getvar": s6_wrf_getvar,
     "s7_wrf_interp": s7_wrf_interp,
+    "s8_wrf_getvar_times": s8_wrf_getvar_times,
+    "s9_wrf_getvar_2d": s9_wrf_getvar_2d,
+    "m13_getvar_species": m13_getvar_species,
     "m3_absolute_vorticity": m3_absolute_vorticity,
     "m4_updraft_helicity": m4_updraft_helicity,
     "m5_storm_rel_helicity": m5_storm_rel_helicity,
@@ -1141,6 +1358,9 @@ ORACLE = {
     "m12_omega_mdbz": _M12_SQL,
     "s6_wrf_getvar": _S6_SQL,
     "s7_wrf_interp": _S7_SQL,
+    "s8_wrf_getvar_times": _S8_SQL,
+    "s9_wrf_getvar_2d": _S9_SQL,
+    "m13_getvar_species": _M13_SQL,
     "m3_absolute_vorticity": _M3_SQL,
     "m4_updraft_helicity": _M4_SQL,
     "m5_storm_rel_helicity": _M5_SQL,
