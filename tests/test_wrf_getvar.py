@@ -638,3 +638,31 @@ def test_wrf_times_multi_step_shard_raises(spark, tmp_path):
     assert [(r.lt, r.time.hour) for r in sorted(two)] == [(0, 0), (1, 6)]
     with pytest.raises(Exception, match="one-timestep-per-shard"):
         wrf_times(spark, d, single_step=True).collect()
+
+
+def test_capstone_chain_plan_pin(spark):
+    """The capstone's lazy pre-sink chain (suite/dynamics._capstone
+    _chain): exactly THREE bounded archive passes — the T2 variable
+    scan, the metadata-sized shard-time decode, the single-plane
+    coordinate read — the times join a broadcast, no cartesian, and
+    building it runs no Spark job."""
+    from wrf_to_geodataframe_spark.suite.dynamics import (
+        _capstone_chain,
+        _write_capstone_fixture,
+    )
+
+    d = _write_capstone_fixture()
+    store = spark.sparkContext._jsc.sc().statusStore()
+    before = store.jobsList(None).size()
+    chain = _capstone_chain(spark, d)
+    assert store.jobsList(None).size() == before  # lazy build
+    plan = chain._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 3, plan.count("MapInPandas")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the times metadata join
+    got = {(r.y_idx, r.x_idx): r for r in chain.collect()}
+    assert len(got) == 4 * 5
+    r = got[(1, 2)]
+    base = 288.0 + 3 / 8.0 + 0.125
+    assert (r.tmin, r.tmax, r.tmean) == (base, base + 4.0, base + 2.0)
+    assert r.geom[0] == [(-101.0 + 0.5) - 0.125, (38.0 + 0.25) - 0.125]

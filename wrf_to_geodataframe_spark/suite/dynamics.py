@@ -1334,6 +1334,150 @@ GROUP BY f, j, i
 _M13_SQL = _m13_sql()
 
 
+_CW_NJ, _CW_NI = 4, 5  # capstone grid; 8 six-hourly shards = 2 days
+
+
+def _write_capstone_fixture() -> str:
+    """An 8-shard six-hourly wrfout archive spanning two days
+    (2021-07-03/04), T2 on a dyadic diurnal lattice — the input shape
+    of the reference's whole wrf_voronoi.py story.  Filenames use the
+    real underscore-renamed wrfout convention (colons are illegal in
+    Hadoop paths); ``Times`` carries the true timestamps."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.sources.netcdf import write_netcdf
+
+    d = tempfile.mkdtemp(prefix="cap_wrfout_")
+    nj, ni = _CW_NJ, _CW_NI
+    jj, ii = np.meshgrid(np.arange(nj), np.arange(ni), indexing="ij")
+    for h in range(8):
+        day, hour = 3 + h // 4, (h % 4) * 6
+        tstr = f"2021-07-{day:02d}_{hour:02d}:00:00"
+        # diurnal cycle {+2, +0, +2, +4} (coolest at 06:00, warmest at
+        # 18:00) + a +0.25 K warmer second day — all dyadic, so every
+        # min/max/mean downstream is hash-exact unrounded
+        t2 = (
+            288.0 + (ii + jj) / 8.0
+            + 2.0 * abs((h % 4) - 1) + (h // 4) / 4.0
+        )
+        write_netcdf(
+            os.path.join(
+                d, f"wrfout_d01_2021-07-{day:02d}_{hour:02d}_00_00.nc"
+            ),
+            {"t": 1, "strlen": 19, "j": nj, "i": ni},
+            {
+                "Times": {
+                    "dims": ["t", "strlen"],
+                    "data": np.frombuffer(
+                        tstr.encode("ascii"), dtype="S1"
+                    ).reshape(1, 19),
+                },
+                "T2": {"dims": ["j", "i"], "data": t2},
+                "XLAT": {"dims": ["j", "i"], "data": 38.0 + jj * 0.25},
+                "XLONG": {"dims": ["j", "i"],
+                          "data": -101.0 + ii * 0.25},
+            },
+        )
+    return d
+
+
+def _capstone_chain(spark: SparkSession, d: str) -> DataFrame:
+    """The LAZY pre-sink chain of the capstone (shared with the plan
+    pin in tests/test_wrf_getvar.py): getvar(T2, times=True) -> daily
+    min/max/mean -> period mean -> J1 join onto midpoint-box cells."""
+    from wrf_to_geodataframe_spark.functions.grid import cell_box
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_getvar
+    from wrf_to_geodataframe_spark.sources.netcdf import read_netcdf_dir
+
+    t2 = wrf_getvar(spark, d, "T2", times=True)
+    daily = t2.groupBy(
+        F.to_date("time").alias("day"), "y_idx", "x_idx"
+    ).agg(
+        F.min("t2").alias("tmin_d"),
+        F.max("t2").alias("tmax_d"),
+        F.avg("t2").alias("tmean_d"),
+    )
+    period = daily.groupBy("y_idx", "x_idx").agg(
+        F.avg("tmin_d").alias("tmin"),
+        F.avg("tmax_d").alias("tmax"),
+        F.avg("tmean_d").alias("tmean"),
+    )
+    # tessellated cells: one single-plane coordinate read; a regular
+    # grid's Voronoi cells are analytic midpoint boxes (G2)
+    coords = (
+        read_netcdf_dir(spark, d, "XLAT", "XLAT", "XLONG")
+        .select("y_idx", "x_idx", "lat", "lon")
+        .distinct()
+    )
+    cells = cell_box(coords, x="lon", y="lat", half_dx=0.125,
+                     half_dy=0.125)
+    geom = F.array(
+        F.array("x1", "y1"), F.array("x2", "y1"),
+        F.array("x2", "y2"), F.array("x1", "y2"),
+    ).alias("geom")
+    return period.join(
+        cells.select("y_idx", "x_idx", geom), ["y_idx", "x_idx"]
+    )
+
+
+def capstone_wrf_voronoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE REFERENCE'S WHOLE PIPELINE (wrf_voronoi.py:115-190) as one
+    chain: wrfout archive -> ``getvar('T2', times=True)`` (the XTIME
+    axis) -> ``resample(XTIME='1D')`` min/max/mean -> period mean over
+    days -> J1 join onto the grid's tessellated cells (the G2
+    rectilinear fast path: the Voronoi diagram of a regular grid is
+    midpoint boxes, functions/grid.cell_box) -> distributed GeoParquet
+    1.1 sink -> read back through the engine's own scan.  Every value
+    is dyadic by construction, so Tmin/Tmax/Tmean and the cell bounds
+    are hash-exact UNROUNDED end to end — through the WKB round trip.
+
+    Scale shape: three bounded archive passes (the T2 variable scan,
+    the metadata-sized shard-time decode, the single-plane coordinate
+    read), the time join a broadcast, the cells join a grid-sized
+    equi join — pinned in tests/test_wrf_getvar.py.
+
+    Oracle: the whole story in closed form (the diurnal lattice's
+    daily min/max/mean and the midpoint-box bounds) — DuckDB reads no
+    NetCDF, no GeoParquet, replays no window."""
+    import os
+    import tempfile
+
+    from wrf_to_geodataframe_spark.sources.geopackage import (
+        read_geoparquet,
+        write_geoparquet,
+    )
+
+    d = _write_capstone_fixture()
+    joined = _capstone_chain(spark, d)
+    p = os.path.join(tempfile.mkdtemp(prefix="cap_gpq_"), "cells.parquet")
+    write_geoparquet(joined, p, mode="overwrite")
+    out, _meta = read_geoparquet(spark, p)
+    return out.select(
+        "y_idx", "x_idx", "tmin", "tmax", "tmean",
+        F.col("bbox.xmin").alias("xmin"),
+        F.col("bbox.ymin").alias("ymin"),
+        F.col("bbox.xmax").alias("xmax"),
+        F.col("bbox.ymax").alias("ymax"),
+    )
+
+
+_CAPSTONE_SQL = f"""
+SELECT CAST(j AS BIGINT) AS y_idx, CAST(i AS BIGINT) AS x_idx,
+       288.0 + (i + j) / 8.0 + 0.0 + 0.125 AS tmin,
+       288.0 + (i + j) / 8.0 + 4.0 + 0.125 AS tmax,
+       288.0 + (i + j) / 8.0 + 2.0 + 0.125 AS tmean,
+       (-101.0 + i * 0.25) - 0.125 AS xmin,
+       (38.0 + j * 0.25) - 0.125 AS ymin,
+       (-101.0 + i * 0.25) + 0.125 AS xmax,
+       (38.0 + j * 0.25) + 0.125 AS ymax
+FROM generate_series(0, {_CW_NJ - 1}) AS tj(j),
+     generate_series(0, {_CW_NI - 1}) AS ti(i)
+"""
+
+
 QUERIES = {
     "m10_mu_cape": m10_mu_cape,
     "m11_slp_column": m11_slp_column,
@@ -1343,6 +1487,7 @@ QUERIES = {
     "s8_wrf_getvar_times": s8_wrf_getvar_times,
     "s9_wrf_getvar_2d": s9_wrf_getvar_2d,
     "m13_getvar_species": m13_getvar_species,
+    "capstone_wrf_voronoi": capstone_wrf_voronoi,
     "m3_absolute_vorticity": m3_absolute_vorticity,
     "m4_updraft_helicity": m4_updraft_helicity,
     "m5_storm_rel_helicity": m5_storm_rel_helicity,
@@ -1361,6 +1506,7 @@ ORACLE = {
     "s8_wrf_getvar_times": _S8_SQL,
     "s9_wrf_getvar_2d": _S9_SQL,
     "m13_getvar_species": _M13_SQL,
+    "capstone_wrf_voronoi": _CAPSTONE_SQL,
     "m3_absolute_vorticity": _M3_SQL,
     "m4_updraft_helicity": _M4_SQL,
     "m5_storm_rel_helicity": _M5_SQL,
