@@ -82,6 +82,8 @@ def archive(tmp_path_factory):
                         "data": (ii * 2.0 + jj / 2.0 + f) / 4.0},
                 "V10": {"dims": ["j", "i"],
                         "data": (ii / 2.0 + jj * 3.0 + f) / 4.0},
+                "HGT": {"dims": ["j", "i"],
+                        "data": 120.0 + (ii * 3.0 + jj * 5.0) / 4.0},
                 "T": {"dims": ["k", "j", "i"], "data": v["t"]},
                 "P": {"dims": ["k", "j", "i"], "data": v["p"]},
                 "PB": {"dims": ["k", "j", "i"], "data": v["pb"]},
@@ -666,3 +668,24 @@ def test_capstone_chain_plan_pin(spark):
     base = 288.0 + 3 / 8.0 + 0.125
     assert (r.tmin, r.tmax, r.tmean) == (base, base + 4.0, base + 2.0)
     assert r.geom[0] == [(-101.0 + 0.5) - 0.125, (38.0 + 0.25) - 0.125]
+
+
+def test_ua_va_wa_ter(spark, archive):
+    """Destaggered wind components under their wrf-python names
+    (ua/va/wa) and the terrain height raw read (ter)."""
+    ua = _collect(wrf_getvar(spark, archive, "ua"), "ua")
+    va = _collect(wrf_getvar(spark, archive, "va"), "va")
+    wa = _collect(wrf_getvar(spark, archive, "wa"), "wa")
+    ter = _collect(wrf_getvar(spark, archive, "ter"), "ter")
+    assert len(ua) == len(va) == len(wa) == NF * NK * NJ * NI
+    for f in range(NF):
+        v = _fields(float(f))
+        um = (v["u"][:, :, :-1] + v["u"][:, :, 1:]) / 2.0
+        vm = (v["v"][:, :-1, :] + v["v"][:, 1:, :]) / 2.0
+        wm = (v["w"][:-1] + v["w"][1:]) / 2.0
+        for (k, j, i) in [(0, 0, 0), (2, 3, 4), (NK - 1, NJ - 1, NI - 1)]:
+            assert ua[(f, k, j, i)] == um[k, j, i]
+            assert va[(f, k, j, i)] == vm[k, j, i]
+            assert wa[(f, k, j, i)] == wm[k, j, i]
+        for (j, i) in [(0, 0), (NJ - 1, NI - 1)]:
+            assert ter[(f, j, i)] == 120.0 + (i * 3.0 + j * 5.0) / 4.0

@@ -70,6 +70,10 @@ SUPPORTED: dict[str, tuple[str, ...]] = {
     "uvmet": ("U", "V"),
     "avo": ("U", "V"),
     "pvo": ("U", "V", "T", "P", "PB"),
+    # destaggered wind components on mass points (wrf-python ua/va/wa)
+    "ua": ("U",),
+    "va": ("V",),
+    "wa": ("W",),
     # 2-D surface staples (single-plane mass-grid reads, keyed
     # (file, y_idx, x_idx)): the wrf-python names every plotting
     # session grabs first
@@ -77,11 +81,12 @@ SUPPORTED: dict[str, tuple[str, ...]] = {
     "td2": ("PSFC", "Q2"),
     "rh2": ("T2", "PSFC", "Q2"),
     "uvmet10": ("U10", "V10"),
+    "ter": ("HGT",),
 }
 
 #: names whose raw variables are 2-D single planes — output keyed
 #: (file, y_idx, x_idx), no vertical axis
-_SURFACE_2D = {"T2", "td2", "rh2", "uvmet10"}
+_SURFACE_2D = {"T2", "td2", "rh2", "uvmet10", "ter"}
 
 #: names that accept extra keyword options (everything else must
 #: reject them — a silently-dropped typo'd option is a wrong answer)
@@ -340,11 +345,18 @@ def wrf_getvar(
     theta = F.col("t") + F.lit(300.0)
     prs = F.col("prs")
 
+    if varname in ("ua", "va", "wa"):
+        # destaggered components: _base already moved the staggered
+        # wind onto mass points (one pencil window per component)
+        src = {"ua": "u", "va": "v", "wa": "w"}[varname]
+        return base.select(*_KEY, F.col(src).alias(varname))
     if varname in _SURFACE_2D:
         # single-plane 2-D reads: t_idx is the constant 0 plane, so
         # the key drops to (file, y_idx, x_idx)
         if varname == "T2":
             return base.select(*_KEY3, F.col("t2"))
+        if varname == "ter":
+            return base.select(*_KEY3, F.col("hgt").alias("ter"))
         if varname == "td2":
             return base.select(
                 *_KEY3,

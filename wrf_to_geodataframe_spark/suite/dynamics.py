@@ -1088,6 +1088,9 @@ def _write_getvar_fixture() -> str:
                         "data": (ii[0] * 2.0 + jj[0] / 2.0 + f) / 4.0},
                 "V10": {"dims": ["j", "i"],
                         "data": (ii[0] / 2.0 + jj[0] * 3.0 + f) / 4.0},
+                "HGT": {"dims": ["j", "i"],
+                        "data": 120.0 + (ii[0] * 3.0 + jj[0] * 5.0)
+                        / 4.0},
                 "PH": {"dims": ["ks", "j", "i"],
                        "data": 9.81 * (ii2 + jj2 + f) / 4.0},
                 "PHB": {"dims": ["ks", "j", "i"], "data": 4905.0 * ks},
@@ -1225,11 +1228,12 @@ def s9_wrf_getvar_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     rh2 = wrf_getvar(spark, d, "rh2")
     td2 = wrf_getvar(spark, d, "td2")
     uv = wrf_getvar(spark, d, "uvmet10", attrs=_S9_ATTRS)
+    ter = wrf_getvar(spark, d, "ter")
     return (
-        t2.join(rh2, k3).join(td2, k3).join(uv, k3)
+        t2.join(rh2, k3).join(td2, k3).join(uv, k3).join(ter, k3)
         .select(
             shard, "y_idx", "x_idx",
-            "t2",
+            "t2", "ter",
             F.round("rh2", 6).alias("rh2"),
             F.round("td2", 6).alias("td2"),
             (F.round("ue10", 6) + F.lit(0.0)).alias("ue10"),
@@ -1258,6 +1262,7 @@ def _s9_sql() -> str:
     return f"""
 SELECT f AS shard, CAST(j AS BIGINT) AS y_idx, CAST(i AS BIGINT) AS x_idx,
        {t2} AS t2,
+       (120.0 + (i * 3.0 + j * 5.0) / 4.0) AS ter,
        round(100.0 * {e} / {es}, 6) AS rh2,
        round(243.5 * {loge} / (17.67 - {loge}) + 273.15, 6) AS td2,
        round({v10} * sin({alpha}) + {u10} * cos({alpha}), 6) + 0.0 AS ue10,
