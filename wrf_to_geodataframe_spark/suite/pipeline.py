@@ -637,28 +637,25 @@ def _collapse_identical(df: DataFrame, key: str, id_col: str = "doc_id"):
     ``cm`` on up to four — none of which hit exchange reuse across
     aliases (the repo-wide self-join rule).
 
-    ONE SHUFFLE, ONE PERSIST (r12 brief item 3 — the minhash cost
-    trim): the representative is a ``min(id) over (partition by key)``
-    window, so the full copy map materializes from a single exchange
-    on the key, and ``reps`` is the ``id == rep`` filter of the SAME
-    persisted frame — no groupBy + join-back pair, no second persist.
-    The window partitions on the full signature (corpus-cardinality
-    keys — thousands of partitions, never a single-task window).
-    Earlier alternatives tried and REJECTED (r11): pre-partitioning
-    ``cm`` by ``rep`` (cached-plan output partitioning is not reused
-    for exchange elision under this AQE config — exchanges went
+    Why groupBy + join-back and NOT a ``min() over (partition by
+    key)`` window (tried for the r12 cost trim and REJECTED): a
+    window places EVERY row of a partition key in one task, so a
+    corpus dominated by a single duplicate group — the exact skew
+    mode this collapse guards — would funnel the whole corpus through
+    one window task.  The groupBy partial-aggregates map-side (no hot
+    task at any group size) and the join-back matches exactly one
+    representative per row (AQE can split an oversized partition), so
+    both shuffles here stay skew-tolerant by construction.  Also
+    tried and REJECTED (r11): pre-partitioning ``cm`` by ``rep``
+    before the persist (cached-plan output partitioning is not reused
+    for exchange elision under this AQE config — exchange count went
     95 -> 103, wall unchanged) and hashing the signature to a digest
     key (birthday-bound collision risk at corpus scale for an exact
     operator)."""
-    from pyspark.sql import Window
-
-    cmf = track_persist(
-        df.withColumn(
-            "rep", F.min(id_col).over(Window.partitionBy(key))
-        )
-    )
-    reps = cmf.filter(F.col(id_col) == F.col("rep")).select(key, "rep")
-    cm = cmf.select(F.col(id_col).alias("doc_id"), "rep")
+    reps = track_persist(df.groupBy(key).agg(F.min(id_col).alias("rep")))
+    cm = track_persist(df.join(reps, key).select(
+        F.col(id_col).alias("doc_id"), "rep"
+    ))
     return reps, cm
 
 
@@ -739,17 +736,17 @@ def _minhash_band_candidates(docs: DataFrame):
     always candidates — emitted straight from the copy map, every row
     produced being a result row.
 
-    ONE persisted frame (r12 brief item 3): the signature pass feeds
-    the collapse window directly, so (doc_id, sig, rep) materializes
-    from a single shuffle and every downstream branch — banding,
-    within-group pairs, fan-out, and the representative-signature
-    verify tables — is a projection/filter of that cache.  The first
-    element returned is ``repsig`` (rep, sig): ARRAY-form signatures
-    of the representatives only, the table the zip_with verifier joins
-    (the r10-era long-format (doc_id, i, mh) 16x explode + 16-row
-    join + groupBy is gone from this path; _minhash_sigs keeps it for
-    consumers that genuinely need the long layout)."""
-    reps, cm = _collapse_identical(_minhash_sigv(docs), "sig")
+    The first element returned is ``repsig`` (rep, sig): ARRAY-form
+    signatures of the representatives only, the table the zip_with
+    verifier joins (r12 brief item 3 — the r10-era long-format
+    (doc_id, i, mh) 16x explode + 16-row join + groupBy is gone from
+    this path; _minhash_sigs keeps the long layout for consumers that
+    genuinely need it).  sigv persists because BOTH collapse shuffles
+    (the reps groupBy and the cm join-back) consume the signature
+    pass — the corpus's dominant compute — and reps/cm persist inside
+    _collapse_identical for their own multi-branch consumers."""
+    sigv = track_persist(_minhash_sigv(docs))
+    reps, cm = _collapse_identical(sigv, "sig")
     repsig = reps.select(F.col("rep"), F.col("sig"))
     band_arr = F.array(
         *[
