@@ -89,6 +89,12 @@ def archive(tmp_path_factory):
                 "PB": {"dims": ["k", "j", "i"], "data": v["pb"]},
                 "QVAPOR": {"dims": ["k", "j", "i"], "data": v["qv"]},
                 "QRAIN": {"dims": ["k", "j", "i"], "data": v["qrain"]},
+                "QSNOW": {"dims": ["k", "j", "i"],
+                          "data": np.where((ii[None] + jj[None]
+                                            + np.arange(NK)[:, None, None])
+                                           % 5 == 0,
+                                           (np.arange(NK)[:, None, None]
+                                            + 1.0) / 16384.0, 0.0)},
                 "QCLOUD": {"dims": ["k", "j", "i"], "data": v["qcloud"]},
                 "PH": {"dims": ["ks", "j", "i"], "data": v["ph"]},
                 "PHB": {"dims": ["ks", "j", "i"], "data": v["phb"]},
@@ -689,3 +695,39 @@ def test_ua_va_wa_ter(spark, archive):
             assert wa[(f, k, j, i)] == wm[k, j, i]
         for (j, i) in [(0, 0), (NJ - 1, NI - 1)]:
             assert ter[(f, j, i)] == 120.0 + (i * 3.0 + j * 5.0) / 4.0
+
+
+def test_getvar_many_equals_single_front_door(spark, archive):
+    """wrf_getvar_many returns exactly the single-name front door's
+    frames (schema + values) while sharing one persisted mass scan
+    per grid shape and one layer-geometry table; typo'd option
+    routing raises."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_getvar_many
+    from wrf_to_geodataframe_spark.session import release_persisted
+
+    names = ["tk", "rh", "pw", "slp", "z", "T2", "rh2",
+             "mdbz", "uvmet"]
+    many = wrf_getvar_many(
+        spark, archive, names, attrs=ATTRS, times=True,
+        options={"mdbz": {"species": ("QRAIN", "QSNOW")}},
+    )
+    assert set(many) == set(names)
+    for name in ("tk", "slp", "T2", "mdbz", "uvmet"):
+        single = wrf_getvar(
+            spark, archive, name, attrs=ATTRS, times=True,
+            **({"species": ("QRAIN", "QSNOW")} if name == "mdbz" else {}),
+        )
+        assert many[name].columns == single.columns, name
+        a = sorted(map(tuple, many[name].collect()))
+        b = sorted(map(tuple, single.collect()))
+        assert a == b, name
+    # shared scans: the slp plan reads the persisted base + zdz
+    plan = many["slp"]._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    with pytest.raises(ValueError, match="not requested"):
+        wrf_getvar_many(spark, archive, ["tk"],
+                        options={"slp": {}})
+    with pytest.raises(TypeError):
+        wrf_getvar_many(spark, archive, ["tk"],
+                        options={"tk": {"bogus": 1}})
+    assert release_persisted() >= 3  # bases + zdz (+ coords)

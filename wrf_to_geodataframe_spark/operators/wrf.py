@@ -316,6 +316,21 @@ def wrf_getvar(
         )
         return out.join(F.broadcast(tdf), "file")
 
+    need, species = _validate(varname, kw)
+    base = _base(spark, path, need, lat_var, lon_var)
+    return _dispatch(
+        spark, path, varname, base, species, attrs, lat_var, lon_var,
+        zdz=lambda: _zdz(spark, path, lat_var, lon_var),
+        coords=lambda: _coords(spark, path, lat_var, lon_var),
+        **kw,
+    )
+
+
+def _validate(varname: str, kw: dict) -> tuple[tuple[str, ...], tuple]:
+    """Name/option validation shared by the single- and multi-name
+    front doors: the raw-variable list (with hydrometeor species
+    substituted for dbz/mdbz) and the species tuple.  Mutates ``kw``
+    (pops consumed options) and raises on unknown names or options."""
     if varname not in SUPPORTED:
         raise ValueError(
             f"getvar name {varname!r} not implemented; supported: "
@@ -339,7 +354,29 @@ def wrf_getvar(
             f"getvar({varname!r}) takes no extra options, got "
             f"{sorted(kw)}"
         )
-    base = _base(spark, path, need, lat_var, lon_var)
+    return need, species
+
+
+def _dispatch(
+    spark: SparkSession,
+    path: str,
+    varname: str,
+    base: DataFrame | None,
+    species: tuple,
+    attrs: dict | None,
+    lat_var: str,
+    lon_var: str,
+    zdz,
+    coords,
+    **kw,
+) -> DataFrame:
+    """Compute one getvar quantity from a prebuilt raw-variable
+    ``base`` (the mass-grid scan + destaggers).  ``zdz``/``coords``
+    are zero-arg callables returning the layer-geometry / coordinate
+    tables so the multi-name front door can share ONE of each across
+    every requested field."""
+    from wrf_to_geodataframe_spark.functions import meteo as M
+
     if base is not None and "p" in base.columns and "pb" in base.columns:
         base = base.withColumn("prs", F.col("p") + F.col("pb"))
     theta = F.col("t") + F.lit(300.0)
@@ -378,7 +415,7 @@ def wrf_getvar(
             )
         from wrf_to_geodataframe_spark.functions.crs import _attr_scalar
 
-        d = base.join(_coords(spark, path, lat_var, lon_var), _KEY3)
+        d = base.join(coords(), _KEY3)
         cone = M.lcc_cone(
             _attr_scalar(attrs, "TRUELAT1"),
             _attr_scalar(attrs, "TRUELAT2"),
@@ -425,9 +462,7 @@ def wrf_getvar(
             (M.wet_bulb_stull_c(tk, rh) + F.lit(273.15)).alias("twb"),
         )
     if varname in ("z", "height"):
-        return _zdz(spark, path, lat_var, lon_var).select(
-            *_KEY, F.col("z").alias(varname)
-        )
+        return zdz().select(*_KEY, F.col("z").alias(varname))
     if varname in ("dbz", "mdbz"):
         tk = M.temperature_k(theta, prs)
         dbz = M.reflectivity_dbz(
@@ -483,7 +518,7 @@ def wrf_getvar(
             base.withColumn("_rh", rh), "prs", "_rh", _KEY3
         )
     if varname in ("slp", "cape_2d", "mcape"):
-        d = base.join(_zdz(spark, path, lat_var, lon_var), _KEY)
+        d = base.join(zdz(), _KEY)
         d = d.withColumn("_tk", M.temperature_k(theta, prs))
         if varname == "slp":
             from wrf_to_geodataframe_spark.operators.vertical import (
@@ -519,7 +554,7 @@ def wrf_getvar(
             )
         from wrf_to_geodataframe_spark.functions.crs import _attr_scalar
 
-        d = base.join(_coords(spark, path, lat_var, lon_var), _KEY3)
+        d = base.join(coords(), _KEY3)
         cone = M.lcc_cone(
             _attr_scalar(attrs, "TRUELAT1"),
             _attr_scalar(attrs, "TRUELAT2"),
@@ -554,7 +589,7 @@ def wrf_getvar(
             potential_vorticity,
         )
 
-        d = base.join(_coords(spark, path, lat_var, lon_var), _KEY3)
+        d = base.join(coords(), _KEY3)
         msf_col = None
         if map_factors:
             m = (
@@ -578,6 +613,96 @@ def wrf_getvar(
             msf_col=msf_col,
         ).select(*_KEY, "pvo")
     raise AssertionError(varname)  # pragma: no cover
+
+
+def wrf_getvar_many(
+    spark: SparkSession,
+    path: str,
+    varnames: list[str],
+    lat_var: str = "XLAT",
+    lon_var: str = "XLONG",
+    attrs: dict | None = None,
+    times: bool = False,
+    options: dict[str, dict] | None = None,
+) -> dict[str, DataFrame]:
+    """Many ``getvar`` names over ONE shared set of archive scans —
+    the real wrf-python session shape (`getvar(f, "slp")` then
+    `getvar(f, "tk")` then ...), which called one-at-a-time re-reads
+    the archive per name.  Here the union of every requested name's
+    raw variables becomes a single persisted mass-grid scan per grid
+    shape (per-level fields share one; 2-D surface staples share
+    another — their row axes differ, so they cannot share a frame),
+    and the layer-geometry (``_zdz``) and coordinate (``_coords``)
+    tables are built and persisted at most once however many names
+    consume them.  At archive scale this turns k names from ~k full
+    passes into 2-4 bounded passes total.
+
+    ``options`` maps a name to its keyword options (e.g.
+    ``{"mdbz": {"species": ("QRAIN", "QSNOW")}}``); options for names
+    not requested raise.  ``times=True`` broadcasts the shard
+    timestamp onto every returned frame.  Returns {name: DataFrame}
+    with exactly the single-name front door's schemas (property-pinned
+    equal in tests/test_wrf_getvar.py).
+
+    The persists register with session.track_persist — call
+    ``release_persisted()`` (or clear the cache) when the session
+    moves on, like every other multi-branch operator here."""
+    from wrf_to_geodataframe_spark.session import track_persist
+
+    if not varnames:
+        raise ValueError("wrf_getvar_many needs at least one name")
+    opts = {k: dict(v) for k, v in (options or {}).items()}
+    unknown = sorted(set(opts) - set(varnames))
+    if unknown:
+        raise ValueError(
+            f"options given for names not requested: {unknown}"
+        )
+    needs, specs, kws = {}, {}, {}
+    for name in varnames:
+        kw = opts.get(name, {})
+        needs[name], specs[name] = _validate(name, kw)
+        kws[name] = kw
+    bases: dict[bool, DataFrame | None] = {}
+    for is_sfc in (False, True):
+        group = [n for n in varnames if (n in _SURFACE_2D) == is_sfc]
+        union = tuple(
+            dict.fromkeys(v for n in group for v in needs[n])
+        )
+        b = _base(spark, path, union, lat_var, lon_var)
+        bases[is_sfc] = track_persist(b) if b is not None else None
+
+    shared: dict[str, DataFrame] = {}
+
+    def zdz() -> DataFrame:
+        if "zdz" not in shared:
+            shared["zdz"] = track_persist(
+                _zdz(spark, path, lat_var, lon_var)
+            )
+        return shared["zdz"]
+
+    def coords() -> DataFrame:
+        if "coords" not in shared:
+            shared["coords"] = track_persist(
+                _coords(spark, path, lat_var, lon_var)
+            )
+        return shared["coords"]
+
+    tdf = None
+    if times:
+        tdf = wrf_times(spark, path, single_step=True).select(
+            "file", "time"
+        )
+    out: dict[str, DataFrame] = {}
+    for name in varnames:
+        df = _dispatch(
+            spark, path, name, bases[name in _SURFACE_2D],
+            specs[name], attrs, lat_var, lon_var,
+            zdz=zdz, coords=coords, **kws[name],
+        )
+        if tdf is not None:
+            df = df.join(F.broadcast(tdf), "file")
+        out[name] = df
+    return out
 
 
 def wrf_interplevel(

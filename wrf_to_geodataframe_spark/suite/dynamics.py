@@ -1339,6 +1339,57 @@ GROUP BY f, j, i
 _M13_SQL = _m13_sql()
 
 
+def s10_wrf_getvar_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTI-NAME front door (operators/wrf.wrf_getvar_many):
+    tk + pw + slp over ONE shared persisted mass scan (union of the
+    three names' raw variables) and ONE shared layer-geometry table —
+    the wrf-python session shape that one-at-a-time would cost four
+    archive passes.  Joined on the column key; tk reported at the
+    surface level.  Oracle: the s6/s7 closed forms restated — DuckDB
+    reads no NetCDF; equality with the single-name front door is
+    property-pinned in pytest."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_getvar_many
+
+    d = _write_getvar_fixture()
+    many = wrf_getvar_many(spark, d, ["tk", "pw", "slp"])
+    tk0 = many["tk"].filter(F.col("k") == 0).select(
+        "file", "y_idx", "x_idx", "tk"
+    )
+    out = (
+        many["slp"].join(many["pw"], ["file", "y_idx", "x_idx"])
+        .join(tk0, ["file", "y_idx", "x_idx"])
+    )
+    return out.select(
+        F.regexp_extract("file", r"_(\d+)\.nc", 1)
+        .cast("long")
+        .alias("shard"),
+        "y_idx", "x_idx",
+        F.round("tk", 6).alias("tk0"),
+        "pw",
+        F.round("slp", 4).alias("slp"),
+    )
+
+
+def _s10_sql() -> str:
+    theta0 = "((-8.0 * 0 + (i + j) / 4.0 + f) + 300.0)"
+    prs0 = "(100.0 * (i % 3) + 25.0 * f + (95000.0 - 9000.0 * 0))"
+    tk0 = f"({theta0} * pow({prs0} / 100000.0, 2.0/7.0))"
+    return f"""
+WITH base AS ({_S6_SQL})
+SELECT shard, y_idx, x_idx,
+       round({tk0}, 6) AS tk0, pw, slp
+FROM base
+JOIN (SELECT f, j, i
+      FROM generate_series(0, {_GV_NF - 1}) AS tf(f),
+           generate_series(0, {_GV_NJ - 1}) AS tj(j),
+           generate_series(0, {_GV_NI - 1}) AS ti(i)) g
+  ON shard = g.f AND y_idx = g.j AND x_idx = g.i
+"""
+
+
+_S10_SQL = _s10_sql()
+
+
 _CW_NJ, _CW_NI = 4, 5  # capstone grid; 8 six-hourly shards = 2 days
 
 
@@ -1492,6 +1543,7 @@ QUERIES = {
     "s8_wrf_getvar_times": s8_wrf_getvar_times,
     "s9_wrf_getvar_2d": s9_wrf_getvar_2d,
     "m13_getvar_species": m13_getvar_species,
+    "s10_wrf_getvar_many": s10_wrf_getvar_many,
     "capstone_wrf_voronoi": capstone_wrf_voronoi,
     "m3_absolute_vorticity": m3_absolute_vorticity,
     "m4_updraft_helicity": m4_updraft_helicity,
@@ -1511,6 +1563,7 @@ ORACLE = {
     "s8_wrf_getvar_times": _S8_SQL,
     "s9_wrf_getvar_2d": _S9_SQL,
     "m13_getvar_species": _M13_SQL,
+    "s10_wrf_getvar_many": _S10_SQL,
     "capstone_wrf_voronoi": _CAPSTONE_SQL,
     "m3_absolute_vorticity": _M3_SQL,
     "m4_updraft_helicity": _M4_SQL,
