@@ -723,23 +723,26 @@ def wrf_interplevel(
         wrf_interplevel(spark, dir, "tk", 85000.0)
 
     Both the field and the vertical coordinate come through
-    :func:`wrf_getvar` (any supported per-level name), join on the
-    explicit key, and interpolate per column with
-    operators/vertical.interplevel (NULL below ground / above top).
-    Pressure-like coordinates (decreasing with height) interpolate
-    directly; ``on`` in ("z", "height") is negated internally so the
-    bracket search's monotone-decreasing requirement holds — callers
-    pass the target height in plain metres either way."""
+    :func:`wrf_getvar_many` — ONE shared persisted mass scan covers
+    both names' raw variables (the union typically adds nothing: tk
+    and pressure share T/P/PB), join on the explicit key, and
+    interpolate per column with operators/vertical.interplevel (NULL
+    below ground / above top).  Pressure-like coordinates (decreasing
+    with height) interpolate directly; ``on`` in ("z", "height") is
+    negated internally so the bracket search's monotone-decreasing
+    requirement holds — callers pass the target height in plain
+    metres either way."""
     from wrf_to_geodataframe_spark.operators.vertical import interplevel
 
-    fld = wrf_getvar(
-        spark, path, field, lat_var=lat_var, lon_var=lon_var,
-        attrs=attrs, **kw,
+    if field == on:
+        raise ValueError(
+            f"interplevel field and coordinate are both {field!r}"
+        )
+    many = wrf_getvar_many(
+        spark, path, [field, on], lat_var=lat_var, lon_var=lon_var,
+        attrs=attrs, options={field: kw} if kw else None,
     )
-    coord = wrf_getvar(
-        spark, path, on, lat_var=lat_var, lon_var=lon_var
-    )
-    d = fld.join(coord, _KEY)
+    d = many[field].join(many[on], _KEY)
     tgt = float(target)
     if on in ("z", "height"):  # increasing coordinate: search on -z
         d = d.withColumn(on, -F.col(on))
