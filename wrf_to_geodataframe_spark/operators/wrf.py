@@ -32,8 +32,11 @@ take the wrfout global-attribute block via ``attrs=``.
 Parity notes: the reference (C-H-Simpson/wrf_to_geodataframe) reaches
 these fields through wrf-python/xarray before converting to
 GeoDataFrames (wrf_voronoi.py:115); this front door covers the getvar
-names its workflows consume.  CALDBZ runs rain-only here (QSNOW /
-QGRAUP join the same way if a caller extends the recipe).
+names its workflows consume.  CALDBZ defaults to rain-only; pass
+``species=("QRAIN", "QSNOW", "QGRAUP")`` for the full-hydrometeor
+form (the snow/graupel terms ride the same single mass scan).
+``times=True`` adds the decoded wrfout ``Times`` timestamp;
+:func:`wrf_getvar_many` shares one scan set across several names.
 """
 
 from __future__ import annotations
