@@ -731,3 +731,24 @@ def test_getvar_many_equals_single_front_door(spark, archive):
         wrf_getvar_many(spark, archive, ["tk"],
                         options={"tk": {"bogus": 1}})
     assert release_persisted() >= 3  # bases + zdz (+ coords)
+
+
+def test_pressure_aliases_geopt_height_agl(spark, archive):
+    """wrf-python's remaining everyday names: p/pres (full pressure
+    aliases), geopt (= g z), height_agl (= z - terrain)."""
+    p = _collect(wrf_getvar(spark, archive, "p"), "p")
+    pres = _collect(wrf_getvar(spark, archive, "pres"), "pres")
+    geopt = _collect(wrf_getvar(spark, archive, "geopt"), "geopt")
+    agl = _collect(wrf_getvar(spark, archive, "height_agl"),
+                   "height_agl")
+    for f in range(NF):
+        v = _fields(float(f))
+        prs = v["p"] + v["pb"]
+        zs = (v["ph"] + v["phb"]) / 9.81
+        zm = (zs[:-1] + zs[1:]) / 2.0
+        for (k, j, i) in [(0, 0, 0), (3, 2, 4)]:
+            assert p[(f, k, j, i)] == prs[k, j, i]
+            assert pres[(f, k, j, i)] == prs[k, j, i]
+            assert geopt[(f, k, j, i)] == zm[k, j, i] * 9.81
+            hgt = 120.0 + (i * 3.0 + j * 5.0) / 4.0
+            assert agl[(f, k, j, i)] == zm[k, j, i] - hgt

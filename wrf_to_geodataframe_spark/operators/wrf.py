@@ -51,6 +51,8 @@ _KEY3 = ["file", "y_idx", "x_idx"]
 SUPPORTED: dict[str, tuple[str, ...]] = {
     "theta": ("T",),
     "pressure": ("P", "PB"),
+    "p": ("P", "PB"),  # wrf-python aliases for full pressure [Pa]
+    "pres": ("P", "PB"),
     "tk": ("T", "P", "PB"),
     "tc": ("T", "P", "PB"),
     "tv": ("T", "P", "PB", "QVAPOR"),
@@ -60,6 +62,8 @@ SUPPORTED: dict[str, tuple[str, ...]] = {
     "twb": ("T", "P", "PB", "QVAPOR"),
     "z": (),
     "height": (),
+    "geopt": (),  # full geopotential [m2 s-2] = g z
+    "height_agl": ("HGT",),  # z above ground level
     "dbz": ("T", "P", "PB", "QVAPOR", "QRAIN"),
     "mdbz": ("T", "P", "PB", "QVAPOR", "QRAIN"),
     "omega": ("T", "P", "PB", "QVAPOR", "W"),
@@ -431,8 +435,8 @@ def _dispatch(
 
     if varname == "theta":
         return base.select(*_KEY, theta.alias("theta"))
-    if varname == "pressure":
-        return base.select(*_KEY, prs.alias("pressure"))
+    if varname in ("pressure", "p", "pres"):
+        return base.select(*_KEY, prs.alias(varname))
     if varname in ("tk", "tc"):
         tk = M.temperature_k(theta, prs)
         v = tk if varname == "tk" else tk - F.lit(273.15)
@@ -466,6 +470,15 @@ def _dispatch(
         )
     if varname in ("z", "height"):
         return zdz().select(*_KEY, F.col("z").alias(varname))
+    if varname == "geopt":
+        return zdz().select(
+            *_KEY, (F.col("z") * F.lit(M.G0)).alias("geopt")
+        )
+    if varname == "height_agl":
+        ter = base.select(*_KEY3, F.col("hgt"))
+        return zdz().join(ter, _KEY3).select(
+            *_KEY, (F.col("z") - F.col("hgt")).alias("height_agl")
+        )
     if varname in ("dbz", "mdbz"):
         tk = M.temperature_k(theta, prs)
         dbz = M.reflectivity_dbz(
