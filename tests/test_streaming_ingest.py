@@ -298,3 +298,63 @@ def test_streaming_getvar_tk_equals_batch(spark, tmp_path):
     gk, wk = key(got), key(want)
     assert len(gk) == 3 * nk * nj * ni
     assert gk == wk
+
+
+def test_streaming_time_axis_daily_rollup(spark, tmp_path):
+    """The streaming twin of wrf_getvar(times=True): time_var='Times'
+    stamps each shard's rows with its decoded timestamp in the SAME
+    parse pass, and stream_resample_daily over that event time equals
+    the capstone's batch daily rollup — the reference's
+    resample(XTIME='1D') over an unbounded landing zone."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_getvar
+    from wrf_to_geodataframe_spark.streaming.ingest import (
+        stream_netcdf_dir_many,
+    )
+    from wrf_to_geodataframe_spark.streaming.resample import (
+        stream_resample_daily,
+    )
+    from wrf_to_geodataframe_spark.suite.dynamics import (
+        _write_capstone_fixture,
+    )
+
+    d = _write_capstone_fixture()
+    sdf = stream_netcdf_dir_many(
+        spark, d, ["T2"], "XLAT", "XLONG", time_var="Times"
+    )
+    # row-level equality with the batch front door
+    got = _drain(sdf.select("file", "y_idx", "x_idx", "time", "t2"),
+                 str(tmp_path / "ck1"))
+    want = wrf_getvar(spark, d, "T2", times=True).toPandas()
+    key = lambda pdf: {  # noqa: E731
+        (os.path.basename(str(r["file"])), r["y_idx"], r["x_idx"]):
+        (r["time"], r["t2"])
+        for _, r in pdf.iterrows()
+    }
+    assert key(got) == key(want)
+    assert len(got) == 8 * 4 * 5
+
+    # watermarked daily rollup on the decoded event time (complete
+    # mode: a bounded availableNow source never advances the
+    # watermark past its own tail)
+    daily = stream_resample_daily(
+        sdf, "time", "t2", ["y_idx", "x_idx"], watermark="2 days"
+    )
+    frames = []
+    q = (
+        daily.writeStream.outputMode("complete")
+        .foreachBatch(lambda b, _i: frames.append(b.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = frames[-1]
+    assert len(out) == 2 * 4 * 5  # two days x grid
+    for _, r in out.iterrows():
+        base = 288.0 + (r["x_idx"] + r["y_idx"]) / 8.0 \
+            + {"2021-07-03": 0.0, "2021-07-04": 0.25}[str(r["day"])]
+        assert r["v_min"] == base
+        assert r["v_max"] == base + 4.0
+        assert r["v_mean"] == base + 2.0

@@ -114,13 +114,26 @@ def stream_netcdf_dir_many(
     lat_var: str,
     lon_var: str,
     max_files_per_trigger: int | None = None,
+    time_var: str | None = None,
 ) -> DataFrame:
     """Unbounded mirror of ``read_netcdf_dir_many``: each arriving
     wrfout-style shard is parsed ONCE and every requested same-grid
     variable becomes its own column — the ingest shape streaming
     diagnostics (tk/rh/theta-e over a landing zone) consume without
-    stream-stream joins."""
+    stream-stream joins.
+
+    ``time_var`` names the shard's time coordinate (the wrfout
+    ``Times`` char array or a CF numeric coordinate) and stamps every
+    row with the SHARD's decoded timestamp as a ``time`` column —
+    the streaming twin of ``wrf_getvar(times=True)``, decoded in the
+    same parse pass (no stream-static join, so late-landing shards
+    can never see a stale time table).  The one-timestep-per-shard
+    convention is enforced with a named error, exactly like
+    ``wrf_times(single_step=True)``; the column is a real EVENT TIME,
+    so ``withWatermark`` / ``stream_resample_daily`` compose on it
+    directly."""
     from pyspark.sql.types import DoubleType as _D
+    from pyspark.sql.types import TimestampType as _TS
 
     variables = list(variables)
     schema = StructType(
@@ -132,9 +145,32 @@ def stream_netcdf_dir_many(
             StructField("lat", DoubleType()),
             StructField("lon", DoubleType()),
         ]
+        + ([StructField("time", _TS())] if time_var is not None else [])
         + [StructField(v.lower(), _D()) for v in variables]
     )
     files = _binary_stream(spark, path, max_files_per_trigger)
+
+    def _shard_time(ds, fname):
+        import numpy as _np
+        import pandas as _pd
+
+        from wrf_to_geodataframe_spark.sources.netcdf import (
+            decode_cf_time_values,
+        )
+
+        if time_var not in ds["variables"]:
+            raise ValueError(f"{fname}: no time variable {time_var!r}")
+        tv = ds["variables"][time_var]
+        tns = decode_cf_time_values(
+            _np.asarray(tv["data"]), tv.get("attrs", {})
+        )
+        if tns.shape[0] != 1:
+            raise ValueError(
+                f"{fname}: {tns.shape[0]} timesteps in {time_var!r}; "
+                "stream_netcdf_dir_many(time_var=...) requires "
+                "one-timestep-per-shard archives"
+            )
+        return _pd.Timestamp(tns[0])
 
     def _batches(it):
         from wrf_to_geodataframe_spark.sources.hdf5 import (
@@ -166,6 +202,10 @@ def stream_netcdf_dir_many(
                         f[var.lower()] = e["value"].to_numpy()
                 for f in frames:
                     f.insert(0, "file", fname)
+                    if time_var is not None:
+                        # after (file, t_idx, y_idx, x_idx, lat, lon),
+                        # matching the schema's column order
+                        f.insert(6, "time", _shard_time(ds, fname))
                     yield f
 
     return files.select("path", "content").mapInPandas(_batches, schema)
