@@ -752,3 +752,19 @@ def test_pressure_aliases_geopt_height_agl(spark, archive):
             assert geopt[(f, k, j, i)] == zm[k, j, i] * 9.81
             hgt = 120.0 + (i * 3.0 + j * 5.0) / 4.0
             assert agl[(f, k, j, i)] == zm[k, j, i] - hgt
+
+
+def test_getvar_many_mixed_raw_shapes(spark, archive):
+    """height_agl reads 2-D HGT but outputs per-level: the many-scan
+    grouping follows the RAW shape (_SFC_RAW), so mixing it with 3-D
+    names cannot push 2-D planes into the per-level union scan."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_getvar_many
+    from wrf_to_geodataframe_spark.session import release_persisted
+
+    many = wrf_getvar_many(spark, archive, ["tk", "height_agl", "ter"])
+    a = sorted(map(tuple, many["height_agl"].collect()))
+    b = sorted(map(tuple,
+                   wrf_getvar(spark, archive, "height_agl").collect()))
+    assert a == b and len(a) == NF * NK * NJ * NI
+    assert many["ter"].count() == NF * NJ * NI
+    release_persisted()

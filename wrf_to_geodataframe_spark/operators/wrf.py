@@ -91,9 +91,16 @@ SUPPORTED: dict[str, tuple[str, ...]] = {
     "ter": ("HGT",),
 }
 
-#: names whose raw variables are 2-D single planes — output keyed
+#: names whose OUTPUT is a 2-D single plane — keyed
 #: (file, y_idx, x_idx), no vertical axis
 _SURFACE_2D = {"T2", "td2", "rh2", "uvmet10", "ter"}
+
+#: names whose RAW variables are 2-D planes — the scan-grouping set
+#: for wrf_getvar_many (height_agl reads 2-D HGT but OUTPUTS
+#: per-level, so the two sets differ; mixing 2-D and 3-D raw
+#: variables in one read_netcdf_dir_many scan would fail its
+#: same-grid row check)
+_SFC_RAW = _SURFACE_2D | {"height_agl"}
 
 #: names that accept extra keyword options (everything else must
 #: reject them — a silently-dropped typo'd option is a wrong answer)
@@ -680,7 +687,7 @@ def wrf_getvar_many(
         kws[name] = kw
     bases: dict[bool, DataFrame | None] = {}
     for is_sfc in (False, True):
-        group = [n for n in varnames if (n in _SURFACE_2D) == is_sfc]
+        group = [n for n in varnames if (n in _SFC_RAW) == is_sfc]
         union = tuple(
             dict.fromkeys(v for n in group for v in needs[n])
         )
@@ -711,7 +718,7 @@ def wrf_getvar_many(
     out: dict[str, DataFrame] = {}
     for name in varnames:
         df = _dispatch(
-            spark, path, name, bases[name in _SURFACE_2D],
+            spark, path, name, bases[name in _SFC_RAW],
             specs[name], attrs, lat_var, lon_var,
             zdz=zdz, coords=coords, **kws[name],
         )
