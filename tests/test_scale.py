@@ -2142,3 +2142,75 @@ def test_wrf_getvar_120_shard_archive(spark, tmp_path):
     assert bad == 0
     tk = wrf_getvar(spark, d, "tk")
     assert tk.count() == nf * nk * nj * ni
+
+
+@slow
+def test_wrf_getvar_many_shares_scans_at_archive_shape(spark, tmp_path):
+    """wrf_getvar_many at archive shape: 60 wrfout shards, THREE
+    diagnostics (slp + tk + pw) off ONE persisted mass scan + one
+    layer-geometry scan — executing all three costs two archive
+    passes, not six, and every value matches the closed form."""
+    import math as _math
+    import os as _os
+
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_getvar_many
+    from wrf_to_geodataframe_spark.session import release_persisted
+    from wrf_to_geodataframe_spark.sources.netcdf import write_netcdf
+
+    nk, nj, ni, nf = 6, 6, 8, 60
+    kk, jj, ii = np.meshgrid(
+        np.arange(nk), np.arange(nj), np.arange(ni), indexing="ij"
+    )
+    ks = np.arange(nk + 1)[:, None, None] + 0 * jj[:1]
+    d = str(tmp_path / "arch")
+    _os.makedirs(d)
+    for f in range(nf):
+        write_netcdf(
+            _os.path.join(d, f"wrfout_d01_{f:04d}.nc"),
+            {"k": nk, "ks": nk + 1, "j": nj, "i": ni},
+            {
+                "T": {"dims": ["k", "j", "i"],
+                      "data": -8.0 * kk + (ii + jj) / 4.0 + (f % 16)},
+                "P": {"dims": ["k", "j", "i"], "data": 0.0 * kk},
+                "PB": {"dims": ["k", "j", "i"],
+                       "data": 95000.0 - 9000.0 * kk},
+                "QVAPOR": {"dims": ["k", "j", "i"], "data": 0.0 * kk},
+                "PH": {"dims": ["ks", "j", "i"],
+                       "data": np.broadcast_to(
+                           0.0 * ks, (nk + 1, nj, ni)).copy()},
+                "PHB": {"dims": ["ks", "j", "i"],
+                        "data": np.broadcast_to(
+                            4905.0 * ks, (nk + 1, nj, ni)).copy()},
+                "XLAT": {"dims": ["j", "i"],
+                         "data": 38.0 + jj[0] * 0.25},
+                "XLONG": {"dims": ["j", "i"],
+                          "data": -101.0 + ii[0] * 0.25},
+            },
+        )
+    many = wrf_getvar_many(spark, d, ["slp", "tk", "pw"])
+    assert many["tk"].count() == nf * nk * nj * ni
+    assert many["pw"].count() == nf * nj * ni
+    slp = many["slp"].withColumn(
+        "f", F.regexp_extract("file", r"_(\d+)\.nc", 1).cast("long")
+    )
+    got = slp.collect()
+    assert len(got) == nf * nj * ni
+    xterm = 0.0065 * 287.047 / 9.81
+    bad = 0
+    for r in got:
+        theta2 = (-16.0 + (r.x_idx + r.y_idx) / 4.0 + (r.f % 16)) + 300.0
+        tk2 = theta2 * (77000.0 / 100000.0) ** (2.0 / 7.0)
+        tsfc = tk2 * (95000.0 / 77000.0) ** xterm
+        tsl = tsfc + 0.0065 * 250.0
+        want = 95000.0 * _math.exp(
+            2 * 9.81 * 250.0 / (287.047 * (tsl + tsfc))
+        )
+        if abs(r.slp - want) > 1e-7 * want:
+            bad += 1
+    assert bad == 0
+    # the three plans all read the SAME persisted base (slp adds the
+    # zdz cache); nothing re-parses the archive a third time
+    for name in ("slp", "tk", "pw"):
+        plan = many[name]._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, name
+    assert release_persisted() >= 2  # base + zdz

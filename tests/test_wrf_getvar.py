@@ -768,3 +768,35 @@ def test_getvar_many_mixed_raw_shapes(spark, archive):
     assert a == b and len(a) == NF * NK * NJ * NI
     assert many["ter"].count() == NF * NJ * NI
     release_persisted()
+
+
+def test_wrf_times_malformed_times_raise(spark, tmp_path):
+    """Garbage in the Times char array raises the decoder's NAMED
+    unparseable-time error inside the task — never a silent NaT."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_times
+    from wrf_to_geodataframe_spark.sources.netcdf import write_netcdf
+
+    d = str(tmp_path / "bad")
+    os.makedirs(d)
+    junk = np.frombuffer(b"2021-13-45_99:77:66XXX" [:19], dtype="S1")
+    write_netcdf(
+        os.path.join(d, "wrfout_d01_000.nc"),
+        {"t": 1, "strlen": 19, "j": 2, "i": 2},
+        {
+            "Times": {"dims": ["t", "strlen"],
+                      "data": junk.reshape(1, 19)},
+            "T2": {"dims": ["j", "i"], "data": np.zeros((2, 2))},
+        },
+    )
+    with pytest.raises(Exception, match="unparseable WRF time"):
+        wrf_times(spark, d).collect()
+    # and a shard with no Times variable names the missing coordinate
+    d2 = str(tmp_path / "missing")
+    os.makedirs(d2)
+    write_netcdf(
+        os.path.join(d2, "wrfout_d01_000.nc"),
+        {"j": 2, "i": 2},
+        {"T2": {"dims": ["j", "i"], "data": np.zeros((2, 2))}},
+    )
+    with pytest.raises(Exception, match="no time variable"):
+        wrf_times(spark, d2).collect()
