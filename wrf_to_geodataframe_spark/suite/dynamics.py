@@ -1204,18 +1204,19 @@ _S9_ATTRS = {"TRUELAT1": 30.0, "TRUELAT2": 60.0, "STAND_LON": -100.0}
 
 
 def s9_wrf_getvar_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The getvar 2-D SURFACE STAPLES (T2 / td2 / rh2 / uvmet10 —
-    wrf-python's first-plot names) through the front door over the
-    shared wrfout fixture: single-plane mass-grid reads keyed
-    (file, y_idx, x_idx), the Bolton dewpoint / RH kernels on
-    PSFC + Q2, and the earth rotation on U10/V10 (already mass-point,
-    no destagger).  T2 is a dyadic raw read — hash-exact unrounded;
+    """The getvar 2-D SURFACE STAPLES (T2 / td2 / rh2 / uvmet10 / ter
+    — wrf-python's first-plot names) through the MULTI-NAME front
+    door (wrf_getvar_many: one persisted surface scan serves all
+    five) over the shared wrfout fixture: single-plane mass-grid
+    reads keyed (file, y_idx, x_idx), the Bolton dewpoint / RH
+    kernels on PSFC + Q2, and the earth rotation on U10/V10 (already
+    mass-point, no destagger).  T2 is a dyadic raw read — hash-exact unrounded;
     the transcendental columns round to 1e-6, the rotated winds
     zero-canonicalized (SIGNED-ZERO RULE: the rotation can cross 0).
 
     Oracle: the same closed forms as m1 over the fixture lattice —
     DuckDB reads no NetCDF."""
-    from wrf_to_geodataframe_spark.operators.wrf import wrf_getvar
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_getvar_many
 
     d = _write_getvar_fixture()
     shard = (
@@ -1224,11 +1225,15 @@ def s9_wrf_getvar_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("shard")
     )
     k3 = ["file", "y_idx", "x_idx"]
-    t2 = wrf_getvar(spark, d, "T2")
-    rh2 = wrf_getvar(spark, d, "rh2")
-    td2 = wrf_getvar(spark, d, "td2")
-    uv = wrf_getvar(spark, d, "uvmet10", attrs=_S9_ATTRS)
-    ter = wrf_getvar(spark, d, "ter")
+    # the multi-name front door: all five staples off ONE persisted
+    # surface scan (+ the coordinate read for the rotation)
+    m = wrf_getvar_many(
+        spark, d, ["T2", "rh2", "td2", "uvmet10", "ter"],
+        attrs=_S9_ATTRS,
+    )
+    t2, rh2, td2, uv, ter = (
+        m["T2"], m["rh2"], m["td2"], m["uvmet10"], m["ter"]
+    )
     return (
         t2.join(rh2, k3).join(td2, k3).join(uv, k3).join(ter, k3)
         .select(
