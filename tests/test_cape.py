@@ -321,3 +321,38 @@ def test_mu_cape_rejects_unknown_parcel(spark):
             _sounding_df(spark, [STABLE]), "p", "t", "qv", "dz",
             ["cid"], parcel="bogus",
         )
+
+
+def test_cape_3d_truncation_identity_and_numpy(spark):
+    """cape_3d's TRUNCATION IDENTITY: the parcel at level kp sees
+    exactly the column truncated below kp, so its row equals BOTH
+    surface_cape over the filtered frame and the numpy replay of the
+    level suffix — bitwise, since the integration tail is shared
+    code."""
+    from wrf_to_geodataframe_spark.operators.vertical import cape_3d
+
+    df = _sounding_df(spark, [UNSTABLE, STABLE])
+    got = {
+        (r.cid, r.k): (r.cape, r.cin)
+        for r in cape_3d(
+            df, "p", "t", "qv", "dz", "k", ["cid"]
+        ).collect()
+    }
+    assert len(got) == 2 * 10
+    for cid, levels in enumerate([UNSTABLE, STABLE]):
+        for kp in (0, 3, 7, 9):
+            want = _numpy_cape(levels[kp:])
+            cape, cin = got[(cid, kp)]
+            assert cape == want[0], (cid, kp)
+            assert cin == want[1], (cid, kp)
+    # spark-side identity against surface_cape on the truncated frame
+    for kp in (2, 5):
+        trunc = {
+            r.cid: (r.cape, r.cin)
+            for r in surface_cape(
+                df.filter(F.col("k") >= kp),
+                "p", "t", "qv", "dz", ["cid"],
+            ).collect()
+        }
+        for cid in (0, 1):
+            assert got[(cid, kp)] == trunc[cid], (cid, kp)

@@ -488,6 +488,38 @@ def surface_cape(
         raise ValueError(
             f"parcel={parcel!r}: expected 'surface' or 'most_unstable'"
         )
+    return _cape_from_parcel(
+        d, p_col, t_col, qv_col, dz_col, list(col_keys), iters, quant
+    )
+
+
+def _cape_from_parcel(
+    d: DataFrame,
+    p_col: str,
+    t_col: str,
+    qv_col: str,
+    dz_col: str,
+    group_keys: list[str],
+    iters: int,
+    quant: float,
+) -> DataFrame:
+    """The shared CAPE/CIN integration tail: ``d`` carries the parcel
+    state (_t0, _p0, _qv0) on every level row and ``group_keys``
+    identifies one parcel's column (the plain column key for
+    surface_cape/mcape; column key + parcel level for cape_3d) —
+    everything from the Bolton LCL through the bisection fold, the
+    persisted buoyancy table, the LFC window, and the quantized
+    aggregation is IDENTICAL across the variants by construction."""
+    from wrf_to_geodataframe_spark.functions.meteo import (
+        G0,
+        RD_OVER_CP,
+        lcl_temperature_k,
+        moist_adiabat_t_k,
+        qv_sat,
+        theta_e_bolton,
+        virtual_temperature,
+    )
+
     the0 = theta_e_bolton(F.col("_t0"), F.col("_p0"), F.col("_qv0"))
     tl = lcl_temperature_k(F.col("_t0"), F.col("_p0"), F.col("_qv0"))
     plcl = F.col("_p0") * F.pow(tl / F.col("_t0"), F.lit(3.5))
@@ -499,6 +531,7 @@ def surface_cape(
         moist_adiabat_t_k(the0, F.col(p_col), iters=iters)
     )
     tve = virtual_temperature(F.col(t_col), F.col(qv_col))
+    col_keys = group_keys
 
     def _b_of(tp):
         # lambda-bound tp: the 40-iteration fold inside tp_expr is
@@ -560,6 +593,55 @@ def surface_cape(
             / q
         ).alias("cin"),
     )
+
+
+def cape_3d(
+    df: DataFrame,
+    p_col: str,
+    t_col: str,
+    qv_col: str,
+    dz_col: str,
+    k_col: str,
+    col_keys: list[str],
+    iters: int = 40,
+    quant: float = 1.0e4,
+) -> DataFrame:
+    """Per-PARCEL-LEVEL CAPE and CIN [J/kg] (wrf-python `cape_3d`):
+    EVERY model level is lifted as its own parcel and integrated over
+    the levels at or above it — output one (cape, cin) row per
+    (column, parcel level), the 3-D convective-energy field severe-
+    weather analysis slices.
+
+    TRUNCATION IDENTITY (the operator's self-check, pinned in
+    tests/test_cape.py): the parcel at level kp sees exactly the
+    column truncated below kp, so ``cape_3d``'s row at kp equals
+    ``surface_cape`` of that truncated column — the integration tail
+    is literally the SAME code (``_cape_from_parcel``), the variants
+    differ only in how the parcel state attaches.
+
+    Distribution shape: one equi self-join on the column key attaches
+    every (parcel, level-above) pair — the row count is inherently
+    sum-over-k = K(K+1)/2 per column (that IS the quantity: K CAPE
+    integrals per column), uniform across columns, so the join
+    shuffles on the same uniform key as everything else and the fold
+    runs once per pair.  The buoyancy persist + LFC window + groupBy
+    key on (column, parcel level) — per-parcel pencils, never a
+    global window."""
+    par = df.select(
+        *col_keys,
+        F.col(k_col).alias("_kp"),
+        F.col(p_col).alias("_p0"),
+        F.col(t_col).alias("_t0"),
+        F.col(qv_col).alias("_qv0"),
+    )
+    d = df.join(par, list(col_keys)).filter(
+        F.col(p_col) <= F.col("_p0")
+    )
+    out = _cape_from_parcel(
+        d, p_col, t_col, qv_col, dz_col, [*col_keys, "_kp"],
+        iters, quant,
+    )
+    return out.withColumnRenamed("_kp", k_col)
 
 
 def cloud_top_temperature(

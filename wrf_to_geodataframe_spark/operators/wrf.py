@@ -73,6 +73,7 @@ SUPPORTED: dict[str, tuple[str, ...]] = {
     "slp": ("T", "P", "PB", "QVAPOR"),
     "cape_2d": ("T", "P", "PB", "QVAPOR"),
     "mcape": ("T", "P", "PB", "QVAPOR"),
+    "cape_3d": ("T", "P", "PB", "QVAPOR"),
     "wspd_wdir": ("U", "V"),
     "uvmet": ("U", "V"),
     "avo": ("U", "V"),
@@ -104,7 +105,7 @@ _SFC_RAW = _SURFACE_2D | {"height_agl"}
 
 #: names that accept extra keyword options (everything else must
 #: reject them — a silently-dropped typo'd option is a wrong answer)
-_TAKES_KW = {"dbz", "mdbz", "cape_2d", "mcape", "avo", "pvo"}
+_TAKES_KW = {"dbz", "mdbz", "cape_2d", "mcape", "cape_3d", "avo", "pvo"}
 
 
 def _raw(
@@ -540,9 +541,17 @@ def _dispatch(
         return cloud_fraction(
             base.withColumn("_rh", rh), "prs", "_rh", _KEY3
         )
-    if varname in ("slp", "cape_2d", "mcape"):
+    if varname in ("slp", "cape_2d", "mcape", "cape_3d"):
         d = base.join(zdz(), _KEY)
         d = d.withColumn("_tk", M.temperature_k(theta, prs))
+        if varname == "cape_3d":
+            from wrf_to_geodataframe_spark.operators.vertical import (
+                cape_3d,
+            )
+
+            return cape_3d(
+                d, "prs", "_tk", "qvapor", "dz", "k", _KEY3, **kw
+            ).select(*_KEY, "cape", "cin")
         if varname == "slp":
             from wrf_to_geodataframe_spark.operators.vertical import (
                 sea_level_pressure,

@@ -1344,6 +1344,163 @@ GROUP BY f, j, i
 _M13_SQL = _m13_sql()
 
 
+_C3K = 6  # cape_3d gate levels (the oracle CTE is O(cells * K^2 * 41))
+
+
+def m14_cape_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-PARCEL-LEVEL CAPE/CIN (wrf-python `cape_3d`,
+    operators/vertical.cape_3d): every level of the m6 lattice lifted
+    as its own parcel — one (cape, cin) row per (cell, parcel level),
+    integrating the levels at or above it (on this lattice p is
+    strictly decreasing in k, so p <= p0 is exactly k >= kp).  The
+    lattice's moist mid-levels are SUPERSATURATED relative to their
+    own temperature, so elevated parcels start in the moist arm with
+    B > 0 at the origin — the LFC-at-origin zero-depth-inhibition
+    arm (cin = 0.0, the m10 COALESCE semantics) is live, alongside
+    dry-origin columns (cin < 0) and single-level top parcels
+    (cape = 0, cin NULL), at every SF.
+
+    Oracle: the m6 recursive-CTE bisection with a PARCEL dimension —
+    par is the level table itself and every CTE carries kp; same
+    literals, same 1e-4 J/kg floor lattice.  The structurally
+    different cross-check is the TRUNCATION IDENTITY in
+    tests/test_cape.py (cape_3d at kp == surface_cape of the column
+    truncated below kp == the pure-numpy replay, bitwise)."""
+    from wrf_to_geodataframe_spark.operators.vertical import cape_3d
+
+    lev = _lattice(spark, sf_dir).select(
+        "y", "x",
+        F.explode(F.sequence(F.lit(0), F.lit(_C3K - 1))).alias("k"),
+    ).select(
+        "y", "x", "k",
+        (F.lit(100000.0) - F.col("k") * 9000.0).alias("p"),
+        (
+            F.lit(302.0)
+            + (F.col("x") % 3) * 0.5
+            + (F.col("y") % 5) * 0.25
+            - F.when((F.col("x") + F.col("y")) % 5 == 4, 3.0)
+            .otherwise(F.lit(6.5))
+            * F.col("k")
+        ).alias("t"),
+        F.greatest(
+            F.lit(0.015625)
+            + ((F.col("x") + F.col("y")) % 4) * 0.001953125
+            - F.lit(0.00146484375) * F.col("k"),
+            F.lit(0.000244140625),
+        ).alias("qv"),
+        (F.lit(500.0) + F.col("k") * 20.0).alias("dz"),
+    )
+    out = cape_3d(lev, "p", "t", "qv", "dz", "k", ["y", "x"])
+    return out.select(
+        F.col("y").alias("y_idx"),
+        F.col("x").cast("long").alias("x_idx"),
+        F.col("k").cast("long").alias("k"),
+        "cape",
+        "cin",
+    )
+
+
+def _m14_sql() -> str:
+    from wrf_to_geodataframe_spark.functions.meteo import moist_adiabat_sql
+
+    e0 = "((p0 / 100.0) * qv0 / (0.622 + qv0))"
+    tl = f"(2840.0 / (3.5 * ln(t0) - ln({e0}) - 4.805) + 55.0)"
+    the0 = (
+        "(t0 * pow(1000.0 / (p0 / 100.0),"
+        " 0.2854 * (1.0 - 0.28 * qv0))"
+        " * exp((3.376 / tl - 0.00254) * 1000.0 * qv0"
+        " * (1.0 + 0.81 * qv0)))"
+    )
+    plcl = "(p0 * pow(tl / t0, 3.5))"
+    frag = moist_adiabat_sql("the0", "p")
+    es_tp = "(6.112 * exp(17.67 * (tp - 273.15) / ((tp - 273.15) + 243.5)))"
+    qs_tp = f"(0.622 * {es_tp} / (p / 100.0 - {es_tp}))"
+    return f"""
+WITH RECURSIVE ys AS ({_D_YS_SQL}),
+cells AS (
+    SELECT y, x FROM ys, generate_series(0, {_DW - 1}) AS t(x)
+),
+lev AS (
+    SELECT y, x, k,
+           CAST(100000.0 - k * 9000.0 AS DOUBLE) AS p,
+           CAST(302.0 + (x % 3) * 0.5 + (y % 5) * 0.25
+             - (CASE WHEN (x + y) % 5 = 4 THEN 3.0 ELSE 6.5 END) * k
+             AS DOUBLE) AS t,
+           CAST(CASE WHEN 0.015625 + ((x + y) % 4) * 0.001953125
+                          - 0.00146484375 * k > 0.000244140625
+                 THEN 0.015625 + ((x + y) % 4) * 0.001953125
+                      - 0.00146484375 * k
+                 ELSE 0.000244140625 END AS DOUBLE) AS qv,
+           CAST(500.0 + k * 20.0 AS DOUBLE) AS dz
+    FROM cells, generate_series(0, {_C3K - 1}) AS t2(k)
+),
+par1 AS (
+    SELECT y, x, k AS kp, t AS t0, p AS p0, qv AS qv0, {tl} AS tl
+    FROM lev
+),
+par AS (
+    SELECT y, x, kp, t0, p0, qv0, {the0} AS the0, {plcl} AS plcl
+    FROM par1
+),
+it AS (
+    SELECT lev.y, lev.x, par.kp, lev.k, lev.p, par.the0,
+           {frag['seed']}, 0 AS n
+    FROM lev JOIN par
+      ON lev.y = par.y AND lev.x = par.x AND lev.k >= par.kp
+    WHERE lev.p < par.plcl
+    UNION ALL
+    SELECT y, x, kp, k, p, the0,
+           {frag['step_lo']} AS lo,
+           {frag['step_hi']} AS hi,
+           n + 1
+    FROM it WHERE n < 40
+),
+tpm AS (
+    SELECT y, x, kp, k, {frag['finish']} AS tp FROM it WHERE n = 40
+),
+b AS (
+    SELECT q.y, q.x, q.kp, q.k, q.p, q.dz,
+           9.81 * (tvp - tve) / tve AS bb
+    FROM (
+        SELECT lev.*, par.kp,
+               (CASE WHEN lev.p >= par.plcl
+                     THEN par.t0 * pow(lev.p / par.p0, 2.0/7.0)
+                     ELSE tpm.tp END)
+               * (0.622 + (CASE WHEN lev.p >= par.plcl
+                                THEN par.qv0 ELSE {qs_tp} END))
+               / (0.622 * (1.0 + (CASE WHEN lev.p >= par.plcl
+                                       THEN par.qv0 ELSE {qs_tp} END)))
+                 AS tvp,
+               lev.t * (0.622 + lev.qv) / (0.622 * (1.0 + lev.qv)) AS tve
+        FROM lev
+        JOIN par ON lev.y = par.y AND lev.x = par.x
+                AND lev.k >= par.kp
+        LEFT JOIN tpm
+          ON lev.y = tpm.y AND lev.x = tpm.x AND par.kp = tpm.kp
+         AND lev.k = tpm.k
+    ) q
+),
+lfc AS (
+    SELECT y, x, kp, k, p, dz, bb,
+           max(CASE WHEN bb > 0 THEN p END)
+             OVER (PARTITION BY y, x, kp) AS p_lfc
+    FROM b
+)
+SELECT y AS y_idx, CAST(x AS BIGINT) AS x_idx, CAST(kp AS BIGINT) AS k,
+       CAST(sum(CAST(floor(
+           (CASE WHEN bb > 0.0 THEN bb ELSE 0.0 END) * dz * 10000.0
+         ) AS BIGINT)) AS BIGINT) / 10000.0 AS cape,
+       CAST(CASE WHEN max(p_lfc) IS NOT NULL THEN
+         COALESCE(sum(CASE WHEN p > p_lfc THEN CAST(floor(
+           (CASE WHEN bb < 0.0 THEN bb ELSE 0.0 END) * dz * 10000.0
+         ) AS BIGINT) END), 0) END AS BIGINT) / 10000.0 AS cin
+FROM lfc GROUP BY y, x, kp
+"""
+
+
+_M14_SQL = _m14_sql()
+
+
 def s10_wrf_getvar_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MULTI-NAME front door (operators/wrf.wrf_getvar_many):
     tk + pw + slp over ONE shared persisted mass scan (union of the
@@ -1548,6 +1705,7 @@ QUERIES = {
     "s8_wrf_getvar_times": s8_wrf_getvar_times,
     "s9_wrf_getvar_2d": s9_wrf_getvar_2d,
     "m13_getvar_species": m13_getvar_species,
+    "m14_cape_3d": m14_cape_3d,
     "s10_wrf_getvar_many": s10_wrf_getvar_many,
     "capstone_wrf_voronoi": capstone_wrf_voronoi,
     "m3_absolute_vorticity": m3_absolute_vorticity,
@@ -1568,6 +1726,7 @@ ORACLE = {
     "s8_wrf_getvar_times": _S8_SQL,
     "s9_wrf_getvar_2d": _S9_SQL,
     "m13_getvar_species": _M13_SQL,
+    "m14_cape_3d": _M14_SQL,
     "s10_wrf_getvar_many": _S10_SQL,
     "capstone_wrf_voronoi": _CAPSTONE_SQL,
     "m3_absolute_vorticity": _M3_SQL,
