@@ -800,3 +800,22 @@ def test_wrf_times_malformed_times_raise(spark, tmp_path):
     )
     with pytest.raises(Exception, match="no time variable"):
         wrf_times(spark, d2).collect()
+
+
+def test_cape_3d_front_door_k0_equals_cape_2d(spark, archive):
+    """getvar('cape_3d') through the archive: one row per (file, k,
+    cell), and the k = 0 slice IS cape_2d (the surface parcel) by the
+    truncation identity."""
+    c3 = _collect(wrf_getvar(spark, archive, "cape_3d"),
+                  "cape", "cin")
+    assert len(c3) == NF * NK * NJ * NI
+    c2 = wrf_getvar(spark, archive, "cape_2d")
+    got2 = {
+        (r.f, r.y_idx, r.x_idx): (r.cape, r.cin)
+        for r in c2.withColumn(
+            "f", F.regexp_extract("file", r"_(\d+)\.nc", 1).cast("long")
+        ).collect()
+    }
+    for f in range(NF):
+        for (j, i) in [(0, 0), (2, 3)]:
+            assert c3[(f, 0, j, i)] == got2[(f, j, i)], (f, j, i)
