@@ -819,3 +819,35 @@ def test_cape_3d_front_door_k0_equals_cape_2d(spark, archive):
     for f in range(NF):
         for (j, i) in [(0, 0), (2, 3)]:
             assert c3[(f, 0, j, i)] == got2[(f, j, i)], (f, j, i)
+
+
+def test_wspd_wdir10_and_cloudfrac_options(spark, archive):
+    """10-m wind speed/direction from U10/V10 (no destagger) and the
+    cloudfrac band-bound options routed through the front door."""
+    got = _collect(
+        wrf_getvar(spark, archive, "wspd_wdir10"), "wspd10", "wdir10"
+    )
+    assert len(got) == NF * NJ * NI
+    for f in range(NF):
+        for (j, i) in [(0, 0), (3, 4)]:
+            u10 = (i * 2.0 + j / 2.0 + f) / 4.0
+            v10 = (i / 2.0 + j * 3.0 + f) / 4.0
+            ws, wd = got[(f, j, i)]
+            assert ws == pytest.approx(math.hypot(u10, v10), rel=1e-12)
+            assert wd == pytest.approx(
+                (270.0 - math.degrees(math.atan2(v10, u10))) % 360.0,
+                rel=1e-9,
+            )
+    # cloudfrac options: an all-atmosphere "low" band must report a
+    # low fraction >= the default low band's (more levels, max-ramp)
+    dflt = wrf_getvar(spark, archive, "cloudfrac").collect()
+    wide = wrf_getvar(
+        spark, archive, "cloudfrac", low=(200000.0, 0.0)
+    ).collect()
+    d = {(r.file, r.y_idx, r.x_idx): r.cf_low for r in dflt}
+    w = {(r.file, r.y_idx, r.x_idx): r.cf_low for r in wide}
+    assert all(
+        (w[k] or 0.0) >= (d[k] or 0.0) for k in d
+    )
+    with pytest.raises(TypeError):
+        wrf_getvar(spark, archive, "cloudfrac", bogus=1)

@@ -89,12 +89,13 @@ SUPPORTED: dict[str, tuple[str, ...]] = {
     "td2": ("PSFC", "Q2"),
     "rh2": ("T2", "PSFC", "Q2"),
     "uvmet10": ("U10", "V10"),
+    "wspd_wdir10": ("U10", "V10"),
     "ter": ("HGT",),
 }
 
 #: names whose OUTPUT is a 2-D single plane — keyed
 #: (file, y_idx, x_idx), no vertical axis
-_SURFACE_2D = {"T2", "td2", "rh2", "uvmet10", "ter"}
+_SURFACE_2D = {"T2", "td2", "rh2", "uvmet10", "wspd_wdir10", "ter"}
 
 #: names whose RAW variables are 2-D planes — the scan-grouping set
 #: for wrf_getvar_many (height_agl reads 2-D HGT but OUTPUTS
@@ -105,7 +106,8 @@ _SFC_RAW = _SURFACE_2D | {"height_agl"}
 
 #: names that accept extra keyword options (everything else must
 #: reject them — a silently-dropped typo'd option is a wrong answer)
-_TAKES_KW = {"dbz", "mdbz", "cape_2d", "mcape", "cape_3d", "avo", "pvo"}
+_TAKES_KW = {"dbz", "mdbz", "cape_2d", "mcape", "cape_3d", "avo", "pvo",
+             "cloudfrac"}
 
 
 def _raw(
@@ -421,6 +423,14 @@ def _dispatch(
                     F.col("t2"), F.col("psfc"), F.col("q2")
                 ).alias("rh2"),
             )
+        if varname == "wspd_wdir10":
+            return base.select(
+                *_KEY3,
+                M.wind_speed(F.col("u10"), F.col("v10")).alias("wspd10"),
+                M.wind_dir_met(F.col("u10"), F.col("v10")).alias(
+                    "wdir10"
+                ),
+            )
         # uvmet10: U10/V10 already live on the mass grid (no
         # destagger) — the same earth rotation as uvmet
         if not attrs:
@@ -538,8 +548,10 @@ def _dispatch(
 
         tk = M.temperature_k(theta, prs)
         rh = M.relative_humidity(tk, prs, F.col("qvapor"))
+        # low/mid/high band bounds pass through as (p_hi, p_lo)
+        # tuples, matching wrf-python's cloudfrac options
         return cloud_fraction(
-            base.withColumn("_rh", rh), "prs", "_rh", _KEY3
+            base.withColumn("_rh", rh), "prs", "_rh", _KEY3, **kw
         )
     if varname in ("slp", "cape_2d", "mcape", "cape_3d"):
         d = base.join(zdz(), _KEY)
