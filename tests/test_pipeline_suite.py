@@ -1787,3 +1787,42 @@ def test_bloom_plan_broadcasts_filter_and_prefilters_exact_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_split_holdout_colocates_exact_copies(spark, tmp_path):
+    """The contamination-safe split: byte-identical documents land in
+    the SAME split regardless of id/source (content-hash assignment),
+    so leaked_exact == 0 structurally; totals partition the corpus."""
+    import os as _os
+
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        pipeline_split_holdout,
+    )
+
+    rows = []
+    # 40 distinct docs + one text duplicated across ids AND sources
+    for i in range(40):
+        rows.append((i, f"s{i % 3}", " ".join(f"w{i}t{k}" for k in range(9))))
+    dup = "the same exact document text repeated verbatim"
+    for i, src in ((100, "s0"), (101, "s1"), (102, "s2")):
+        rows.append((i, src, dup))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(_os.path.join(d, "documents.parquet"))
+    out = pipeline_split_holdout(spark, d).collect()
+    assert all(r.leaked_exact == 0 for r in out)
+    assert sum(r.n_docs for r in out) == 43
+    # the three copies share one split: their (source, split) rows sum
+    # to 3 docs of 7 tokens each under a single split label
+    from wrf_to_geodataframe_spark.functions.text import hash60
+    from pyspark.sql import functions as F
+
+    b = spark.range(1).select(
+        F.pmod(hash60(F.lit(dup)), F.lit(100)).alias("b")
+    ).first()["b"]
+    want_split = "train" if b < 90 else ("val" if b < 95 else "test")
+    per = {(r.source, r.split): r.n_docs for r in out}
+    assert all(
+        per.get((s, want_split), 0) >= 1 for s in ("s0", "s1", "s2")
+    )

@@ -5873,7 +5873,88 @@ FROM st
 """
 
 
+def pipeline_split_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAMINATION-SAFE train/val/test split — the holdout step
+    every training pipeline runs before packing: documents are
+    assigned by a bucket of the CONTENT hash (``hash60(text) % 100``:
+    <90 train, <95 val, else test), not the id, so byte-identical
+    copies land in the SAME split BY CONSTRUCTION — the exact-dup
+    train/test leakage channel is closed without a join.  Output: one
+    row per (source, split) with the doc count and total whitespace
+    tokens (exact BIGINTs), plus a self-validating ``leaked_exact``
+    column — the number of distinct document texts that appear in
+    MORE THAN ONE split, provably 0 here (same text => same bucket)
+    and a loud nonzero if the assignment rule ever drifts to an
+    id-keyed form.
+
+    Scale shape: one scan; the split expression is a codegen md5; the
+    counts are one partial-aggregated groupBy on (source, split); the
+    leak check is a distinct + groupBy on the content hash reduced to
+    a 1-row broadcast — all uniform md5-derived keys, no skew mode."""
+    from wrf_to_geodataframe_spark.functions.text import hash60, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(hash60(F.col("text")), F.lit(100))
+    split = (
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+    )
+    d = docs.select(
+        "source",
+        split.alias("split"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+        hash60(F.col("text")).alias("_h"),
+    )
+    leak = (
+        d.select("_h", "split")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_ns"))
+        .agg(
+            F.coalesce(
+                F.sum((F.col("_ns") > 1).cast("long")), F.lit(0)
+            ).cast("long").alias("leaked_exact")
+        )
+    )
+    return (
+        d.groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_toks"),
+        )
+        .crossJoin(F.broadcast(leak))
+    )
+
+
+_SPLIT_HOLDOUT_SQL = """
+WITH d AS (
+    SELECT source,
+           CASE WHEN CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+                     % 100 < 90 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+                     % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+           CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+    FROM documents
+),
+leak AS (
+    SELECT CAST(COALESCE(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS leaked_exact
+    FROM (SELECT h, count(DISTINCT split) AS ns FROM d GROUP BY h)
+)
+SELECT source, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_toks,
+       leaked_exact
+FROM d, leak
+GROUP BY source, split, leaked_exact
+"""
+
+
 QUERIES = {
+    "pipeline_split_holdout": pipeline_split_holdout,
     "chunk_documents": chunk_documents,
     "dedup_image_ahash": dedup_image_ahash,
     "video_scene_cuts": video_scene_cuts,
@@ -5964,6 +6045,7 @@ ORACLE = {
     "tfidf_top_terms": _TFIDF_SQL,
     "pack_sequences": _PACK_SQL,
     "pipeline_curate": _CURATE_SQL,
+    "pipeline_split_holdout": _SPLIT_HOLDOUT_SQL,
     "pipeline_curate_v2": _CURATE2_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
     "lang_id": _LANG_ID_SQL,
