@@ -1826,3 +1826,34 @@ def test_split_holdout_colocates_exact_copies(spark, tmp_path):
     assert all(
         per.get((s, want_split), 0) >= 1 for s in ("s0", "s1", "s2")
     )
+
+
+def test_split_neardup_safe_colocates_clusters(spark, tmp_path):
+    """Near-dup-safe split: a planted cluster of ~90%-identical
+    paraphrases (NOT byte-identical, so the content-hash split could
+    scatter them) lands in ONE split via its cluster id, and
+    leaked_neardup == 0."""
+    import os as _os
+
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        pipeline_split_neardup_safe,
+    )
+
+    base = [f"tok{i}" for i in range(30)]
+    rows = []
+    for v in range(4):  # 4 paraphrases: one token differs per variant
+        words = list(base)
+        words[29] = f"var{v}"
+        rows.append((v, "s0", " ".join(words)))
+    for i in range(40):  # unrelated docs
+        rows.append(
+            (10 + i, f"s{i % 2}",
+             " ".join(f"u{i}w{k}" for k in range(24)))
+        )
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(_os.path.join(d, "documents.parquet"))
+    out = pipeline_split_neardup_safe(spark, d).collect()
+    assert all(r.leaked_neardup == 0 for r in out)
+    assert sum(r.n_docs for r in out) == 44

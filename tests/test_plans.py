@@ -144,6 +144,7 @@ def test_query_construction_is_lazy(spark):
     before = store.jobsList(None).size()
     for name, fn in all_queries().items():
         if name in ("g1_auto_dispatch", "dedup_cluster_cc",
+                    "pipeline_split_neardup_safe",
                     "bpe_train", "bpe_encode", "pipeline_curate_v3",
                     "s1_virtual_dataset", "s1_virtual_mosaic",
                     "s1_virtual_time", "s4_geoparquet_ingest",
@@ -758,7 +759,8 @@ def test_global_plan_invariants_all_queries(spark):
     from wrf_to_geodataframe_spark.suite import all_queries
 
     eager = {
-        "g1_auto_dispatch", "dedup_cluster_cc", "bpe_train",
+        "g1_auto_dispatch", "dedup_cluster_cc",
+        "pipeline_split_neardup_safe", "bpe_train",
         "bpe_encode", "pipeline_curate_v3", "s1_virtual_dataset",
         "s1_virtual_mosaic", "s1_virtual_time", "s4_geoparquet_ingest",
         "pca_project_variance", "graph_pagerank_dangling",

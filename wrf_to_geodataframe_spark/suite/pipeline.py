@@ -5953,8 +5953,99 @@ GROUP BY source, split, leaked_exact
 """
 
 
+def pipeline_split_neardup_safe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NEAR-DUP-SAFE train/val/test split — the stronger leakage
+    guarantee on top of :func:`pipeline_split_holdout`: documents are
+    split by a bucket of their NEAR-DUP CLUSTER's id (MinHash-LSH
+    pairs -> connected components -> the cluster minimum, the
+    dedup_cluster_cc chain), so an entire near-duplicate cluster —
+    not just byte-identical copies — lands in one split, closing the
+    90%-identical-paraphrase train/test leakage channel.  Output: one
+    row per split with the doc count, plus the self-validating
+    ``leaked_neardup`` column — near-dup PAIRS whose endpoints landed
+    in different splits, provably 0 (same cluster => same bucket).
+
+    Scale shape: the minhash + CC chain's own plan discipline (banded
+    equi joins, star rounds on the shrinking edge set), then one
+    groupBy on the 3-value split key and a pair-sized leak join
+    reduced to a 1-row broadcast.  Construction is eager like
+    dedup_cluster_cc (the self-healing convergence check executes the
+    persisted component map)."""
+    from wrf_to_geodataframe_spark.functions.text import hash60
+    from wrf_to_geodataframe_spark.operators.graph import (
+        label_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = track_persist(
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("da").alias("a"), F.col("db").alias("b"))
+    )
+    labels, _unmerged = label_components(
+        docs, pairs, "doc_id", rounds=2, auto_escalate=3
+    )
+    bucket = F.pmod(
+        hash60(F.col("cluster_id").cast("string")), F.lit(100)
+    )
+    split = (
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+    )
+    spl = track_persist(labels.select("doc_id", split.alias("split")))
+    sa = spl.select(F.col("doc_id").alias("a"), F.col("split").alias("_sa"))
+    sb = spl.select(F.col("doc_id").alias("b"), F.col("split").alias("_sb"))
+    leak = (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .agg(
+            F.coalesce(
+                F.sum((F.col("_sa") != F.col("_sb")).cast("long")),
+                F.lit(0),
+            ).cast("long").alias("leaked_neardup")
+        )
+    )
+    return (
+        spl.groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(leak))
+    )
+
+
+_SPLIT_ND_HASH = (
+    "CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))"
+    " AS BIGINT) % 100"
+)
+
+_SPLIT_NEARDUP_SQL = _CLUSTER_CC_SQL[
+    : _CLUSTER_CC_SQL.rindex("SELECT l.doc_id")
+] + f""",
+spl AS (
+    SELECT doc_id,
+           CASE WHEN {_SPLIT_ND_HASH} < 90 THEN 'train'
+                WHEN {_SPLIT_ND_HASH} < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM lbl
+),
+leak AS (
+    SELECT CAST(COALESCE(SUM(CASE WHEN sa.split <> sb.split
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS leaked_neardup
+    FROM pairs
+    JOIN spl sa ON da = sa.doc_id
+    JOIN spl sb ON db = sb.doc_id
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs, leaked_neardup
+FROM spl, leak
+GROUP BY split, leaked_neardup
+"""
+
+
 QUERIES = {
     "pipeline_split_holdout": pipeline_split_holdout,
+    "pipeline_split_neardup_safe": pipeline_split_neardup_safe,
     "chunk_documents": chunk_documents,
     "dedup_image_ahash": dedup_image_ahash,
     "video_scene_cuts": video_scene_cuts,
@@ -6046,6 +6137,7 @@ ORACLE = {
     "pack_sequences": _PACK_SQL,
     "pipeline_curate": _CURATE_SQL,
     "pipeline_split_holdout": _SPLIT_HOLDOUT_SQL,
+    "pipeline_split_neardup_safe": _SPLIT_NEARDUP_SQL,
     "pipeline_curate_v2": _CURATE2_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
     "lang_id": _LANG_ID_SQL,
