@@ -851,3 +851,227 @@ def test_wspd_wdir10_and_cloudfrac_options(spark, archive):
     )
     with pytest.raises(TypeError):
         wrf_getvar(spark, archive, "cloudfrac", bogus=1)
+
+
+def test_helicity_through_front_door(spark, archive):
+    """getvar('helicity') == the numpy replay of the hodograph
+    cross-product sum over pairs whose heights ABOVE GROUND both sit
+    below ``top``, with explicit storm motion (the stated deviation:
+    no internal mean-wind estimate)."""
+    got = _collect(
+        wrf_getvar(spark, archive, "helicity",
+                   top=2000.0, c_u=0.5, c_v=0.25),
+        "helicity",
+    )
+    assert len(got) == NF * NJ * NI
+    for f in range(NF):
+        v = _fields(float(f))
+        um = (v["u"][:, :, :-1] + v["u"][:, :, 1:]) / 2.0
+        vm = (v["v"][:, :-1, :] + v["v"][:, 1:, :]) / 2.0
+        zs = (v["ph"] + v["phb"]) / 9.81
+        zm = (zs[:-1] + zs[1:]) / 2.0
+        for (j, i) in [(0, 0), (2, 3), (NJ - 1, NI - 1)]:
+            agl = zm[:, j, i] - (120.0 + (i * 3.0 + j * 5.0) / 4.0)
+            want = 0.0
+            for k in range(NK - 1):
+                if agl[k] <= 2000.0 and agl[k + 1] <= 2000.0:
+                    want += (
+                        (um[k + 1, j, i] - 0.5) * (vm[k, j, i] - 0.25)
+                        - (um[k, j, i] - 0.5) * (vm[k + 1, j, i] - 0.25)
+                    )
+            assert got[(f, j, i)] == pytest.approx(want, rel=1e-12), (
+                f, j, i,
+            )
+    with pytest.raises(TypeError, match="top/c_u/c_v"):
+        wrf_getvar(spark, archive, "helicity", bogus=1)
+
+
+def test_updraft_helicity_through_front_door(spark):
+    """getvar('updraft_helicity') over the SUITE fixture (its wind
+    lattice has a non-zero vorticity stencil, unlike this module's
+    archive where dv/dx == du/dy): numpy replay of w * zeta * dz over
+    the AGL band, interior columns only, boundary columns exactly 0."""
+    from wrf_to_geodataframe_spark.suite.dynamics import (
+        _GV_NF, _GV_NI, _GV_NJ, _GV_NK, _write_getvar_fixture,
+    )
+
+    d = _write_getvar_fixture()
+    got = _collect(
+        wrf_getvar(spark, d, "updraft_helicity",
+                   attrs={"DX": 512.0, "DY": 512.0},
+                   bottom=1000.0, top=3000.0),
+        "updraft_helicity",
+    )
+    assert len(got) == _GV_NF * _GV_NJ * _GV_NI
+    nk, nj, ni = _GV_NK, _GV_NJ, _GV_NI
+    kk, jj, ii = np.meshgrid(
+        np.arange(nk), np.arange(nj), np.arange(ni), indexing="ij"
+    )
+    ks = np.arange(nk + 1)[:, None, None]
+    for f in range(_GV_NF):
+        um = (2.0 * kk * kk + 3.0 * jj * jj + ii + 0.5 + 2.0 * f) / 8.0
+        vm = (3.0 * kk + 5.0 * ii * ii + jj + 0.5 + f) / 8.0
+        ws = ((ii[:1] + jj[:1] + ks) % 5 - 1.0) / 4.0
+        wm = (ws[:-1] + ws[1:]) / 2.0
+        zsl = (9.81 * (ii[:1] + jj[:1] + f) / 4.0 + 4905.0 * ks) / 9.81
+        zm = (zsl[:-1] + zsl[1:]) / 2.0
+        dz = zsl[1:] - zsl[:-1]
+        hgt = 120.0 + (ii[0] * 3.0 + jj[0] * 5.0) / 4.0
+        agl = zm - hgt
+        for (j, i) in [(0, 0), (1, 1), (2, 2), (nj - 1, ni - 1)]:
+            want = 0.0
+            if 1 <= i <= ni - 2 and 1 <= j <= nj - 2:
+                for k in range(nk):
+                    if 1000.0 <= agl[k, j, i] <= 3000.0:
+                        zeta = (
+                            (vm[k, j, i + 1] - vm[k, j, i - 1]) / 1024.0
+                            - (um[k, j + 1, i] - um[k, j - 1, i]) / 1024.0
+                        )
+                        want += wm[k, j, i] * zeta * dz[k, j, i]
+            assert got[(f, j, i)] == pytest.approx(want, abs=1e-12), (
+                f, j, i,
+            )
+    with pytest.raises(ValueError, match="attrs"):
+        wrf_getvar(spark, d, "updraft_helicity")
+    with pytest.raises(TypeError, match="bottom/top"):
+        wrf_getvar(spark, d, "updraft_helicity",
+                   attrs={"DX": 512.0, "DY": 512.0}, c_u=1.0)
+
+
+def test_coordinate_names_lat_lon_zstag(spark, archive):
+    """lat/lon return the raw XLAT/XLONG planes; zstag keeps the
+    STAGGERED vertical axis (NK + 1 levels, no destagger)."""
+    lat = _collect(wrf_getvar(spark, archive, "lat"), "lat")
+    lon = _collect(wrf_getvar(spark, archive, "lon"), "lon")
+    assert len(lat) == len(lon) == NF * NJ * NI
+    zst = _collect(wrf_getvar(spark, archive, "zstag"), "zstag")
+    assert len(zst) == NF * (NK + 1) * NJ * NI
+    for f in range(NF):
+        v = _fields(float(f))
+        zs = (v["ph"] + v["phb"]) / 9.81
+        for (j, i) in [(0, 0), (3, 4)]:
+            assert lat[(f, j, i)] == 38.0 + j * 0.25
+            assert lon[(f, j, i)] == -101.0 + i * 0.25
+            for k in (0, NK):
+                assert zst[(f, k, j, i)] == zs[k, j, i]
+
+
+def test_wspd_wdir_uvmet_compositions(spark, archive):
+    """wspd_wdir_uvmet / wspd_wdir_uvmet10 == speed/direction of the
+    earth-rotated components (speed equals the unrotated speed — the
+    rotation-invariance property)."""
+    met = _collect(
+        wrf_getvar(spark, archive, "uvmet", attrs=ATTRS), "ue", "ve"
+    )
+    got = _collect(
+        wrf_getvar(spark, archive, "wspd_wdir_uvmet", attrs=ATTRS),
+        "wspd_uv", "wdir_uv",
+    )
+    for key in [(0, 0, 0, 0), (1, 2, 3, 4)]:
+        ue, ve = met[key]
+        ws, wd = got[key]
+        assert ws == pytest.approx(math.hypot(ue, ve), rel=1e-12)
+        assert wd == pytest.approx(
+            (270.0 - math.degrees(math.atan2(ve, ue))) % 360.0, rel=1e-9
+        )
+    met10 = _collect(
+        wrf_getvar(spark, archive, "uvmet10", attrs=ATTRS), "ue10", "ve10"
+    )
+    got10 = _collect(
+        wrf_getvar(spark, archive, "wspd_wdir_uvmet10", attrs=ATTRS),
+        "wspd_uv10", "wdir_uv10",
+    )
+    for key in [(0, 0, 0), (1, 3, 4)]:
+        ue, ve = met10[key]
+        ws, wd = got10[key]
+        assert ws == pytest.approx(math.hypot(ue, ve), rel=1e-12)
+        assert wd == pytest.approx(
+            (270.0 - math.degrees(math.atan2(ve, ue))) % 360.0, rel=1e-9
+        )
+    with pytest.raises(ValueError, match="attrs"):
+        wrf_getvar(spark, archive, "wspd_wdir_uvmet10")
+
+
+def test_wrf_interpline_front_door(spark, archive):
+    """wrf_interpline samples a 2-D field bilinearly along a
+    grid-index line (numpy replay); per-level and multi-component
+    fields raise named errors."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_interpline
+
+    got = {
+        (r.f, r.s): r.ter
+        for r in wrf_interpline(
+            spark, archive, "ter", (0.5, 0.25), (3.5, 3.25), 7
+        ).withColumn(
+            "f", F.regexp_extract("file", r"_(\d+)\.nc", 1).cast("long")
+        ).collect()
+    }
+    assert len(got) == NF * 7
+    for f in range(NF):
+        for s in range(7):
+            xi = 0.5 + s * 0.5
+            yi = 0.25 + s * 0.5
+            x0, y0 = int(math.floor(xi)), int(math.floor(yi))
+            fx, fy = xi - x0, yi - y0
+            ter = lambda j, i: 120.0 + (i * 3.0 + j * 5.0) / 4.0
+            want = (
+                ter(y0, x0) * (1 - fx) * (1 - fy)
+                + ter(y0, x0 + 1) * fx * (1 - fy)
+                + ter(y0 + 1, x0) * (1 - fx) * fy
+                + ter(y0 + 1, x0 + 1) * fx * fy
+            )
+            assert got[(f, s)] == pytest.approx(want, rel=1e-12), (f, s)
+    with pytest.raises(ValueError, match="per-level"):
+        wrf_interpline(spark, archive, "tk", (0.0, 0.0), (1.0, 1.0), 3)
+    with pytest.raises(ValueError, match="single-component"):
+        wrf_interpline(
+            spark, archive, "uvmet10", (0.0, 0.0), (1.0, 1.0), 3,
+            attrs=ATTRS,
+        )
+
+
+def test_dbz_leftover_option_raises(spark, archive):
+    """A typo'd extra option alongside species must raise, not be
+    silently dropped (dbz/mdbz consume ONLY species)."""
+    with pytest.raises(TypeError, match="species only"):
+        wrf_getvar(spark, archive, "mdbz",
+                   species=("QRAIN",), specie=("QSNOW",))
+    with pytest.raises(TypeError, match="species only"):
+        wrf_getvar(spark, archive, "dbz", species=("QRAIN",), bogus=1)
+
+
+def test_getvar_many_new_names_equal_single(spark):
+    """The shared-scan property extended to the round-14 names:
+    helicity + updraft_helicity share ONE destaggered U/V/W base in
+    wrf_getvar_many and return exactly the single-name frames; the
+    coordinate names ride the shared coords table."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_getvar_many
+    from wrf_to_geodataframe_spark.session import release_persisted
+    from wrf_to_geodataframe_spark.suite.dynamics import (
+        _write_getvar_fixture,
+    )
+
+    d = _write_getvar_fixture()
+    attrs = {"DX": 512.0, "DY": 512.0, "TRUELAT1": 30.0,
+             "TRUELAT2": 60.0, "STAND_LON": -100.0}
+    opts = {
+        "helicity": {"top": 2000.0, "c_u": 1.25, "c_v": -0.5},
+        "updraft_helicity": {"bottom": 1000.0, "top": 3000.0},
+    }
+    names = ["helicity", "updraft_helicity", "lat", "zstag",
+             "wspd_wdir_uvmet10"]
+    many = wrf_getvar_many(spark, d, names, attrs=attrs, options=opts)
+    assert set(many) == set(names)
+    for name in names:
+        single = wrf_getvar(spark, d, name, attrs=attrs,
+                            **opts.get(name, {}))
+        assert many[name].columns == single.columns, name
+        a = sorted(map(tuple, many[name].collect()))
+        b = sorted(map(tuple, single.collect()))
+        assert a == b, name
+    # the two helicity frames consume the SAME persisted U/V/W base
+    p1 = many["helicity"]._jdf.queryExecution().executedPlan().toString()
+    p2 = many["updraft_helicity"]._jdf.queryExecution().executedPlan(
+    ).toString()
+    assert "InMemoryTableScan" in p1 and "InMemoryTableScan" in p2
+    assert release_persisted() >= 2

@@ -322,10 +322,12 @@ def pagerank_integer(
             )
             if d is not None and d <= tol_q:
                 break
-    if tol_q is not None:
-        # the result frame is the only one still needed
-        for old in frames[:-1]:
-            old.unpersist()
+    # Intermediate rounds' checkpoint blocks: DataFrame.unpersist only
+    # clears cache-manager entries, NOT localCheckpoint RDD storage —
+    # those blocks are reclaimed by Spark's ContextCleaner once the
+    # frames are garbage-collected, which happens when ``frames`` goes
+    # out of scope on return (no explicit cleanup call exists in the
+    # public API).
     return pr
 
 
@@ -470,11 +472,11 @@ def pagerank_dangling_integer(
             )
             if d is not None and d <= tol_q:
                 break
-    # checkpointed blocks for rounds the delta no longer needs; the
-    # data is never referenced again, so dropping it is safe even
-    # though local checkpoints cannot be recomputed
-    for old in frames[:-2]:
-        old.unpersist()
+    # Checkpoint blocks for rounds the delta no longer needs are
+    # reclaimed by Spark's ContextCleaner once garbage-collected
+    # (DataFrame.unpersist only clears cache-manager entries, not
+    # localCheckpoint RDD storage); all but the last two frames die
+    # with this function's scope.
     prev = frames[-2]
     delta = (
         pr.alias("a")

@@ -219,10 +219,15 @@ def sea_level_pressure(
         slp   = p_sfc exp(2 g z_sfc / (Rd (t_sl + t_sfc)))
 
     With ``qv_col`` given, the pivot temperature is the VIRTUAL
-    temperature (exact eps-form, functions/meteo) — matching
-    wrf-python's moist reduction; without it the reduction is dry
-    (tv == t), stated as a deviation wherever the dry form is exposed
-    under the wrf-python name.
+    temperature (exact eps-form, functions/meteo) — the moist arm of
+    the reduction; without it the reduction is dry (tv == t), stated
+    as a deviation wherever the dry form is exposed under the
+    wrf-python name.  DEVIATION either way: wrf-python's DCOMPUTESEAPRS
+    additionally clamps the derived t_sea_level against hot surface
+    layers (the "ridiculous MM5 test": t_sl capped near 290.5 K when
+    t_sfc exceeds it) — those corrections are NOT applied here, so
+    columns over very hot terrain can differ from wrf-python by the
+    clamp amount.
 
     Two window aggregates on one column-key shuffle (surface by
     ordered first, pivot by conditional max_by) + one groupBy; a

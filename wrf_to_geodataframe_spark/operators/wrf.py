@@ -82,6 +82,22 @@ SUPPORTED: dict[str, tuple[str, ...]] = {
     "ua": ("U",),
     "va": ("V",),
     "wa": ("W",),
+    # storm diagnostics (operators/dynamics.py kernels): SRH and
+    # updraft helicity — z bands are HEIGHT ABOVE GROUND (HGT read
+    # inside the dispatch, like avo's MAPFAC_M); DEVIATION from
+    # wrf-python's `helicity`: the storm motion is NOT estimated
+    # internally from the 0-6 km mean wind — it defaults to (0, 0)
+    # (ground-relative helicity) and callers pass c_u/c_v explicitly
+    "helicity": ("U", "V"),
+    "updraft_helicity": ("U", "V", "W"),
+    # coordinate reads: raw XLAT/XLONG planes and the STAGGERED
+    # geopotential height (no destagger — k is the staggered index)
+    "lat": (),
+    "lon": (),
+    "zstag": (),
+    # earth-rotated speed/direction: uvmet composed with wspd_wdir
+    "wspd_wdir_uvmet": ("U", "V"),
+    "wspd_wdir_uvmet10": ("U10", "V10"),
     # 2-D surface staples (single-plane mass-grid reads, keyed
     # (file, y_idx, x_idx)): the wrf-python names every plotting
     # session grabs first
@@ -95,7 +111,8 @@ SUPPORTED: dict[str, tuple[str, ...]] = {
 
 #: names whose OUTPUT is a 2-D single plane — keyed
 #: (file, y_idx, x_idx), no vertical axis
-_SURFACE_2D = {"T2", "td2", "rh2", "uvmet10", "wspd_wdir10", "ter"}
+_SURFACE_2D = {"T2", "td2", "rh2", "uvmet10", "wspd_wdir10", "ter",
+               "wspd_wdir_uvmet10"}
 
 #: names whose RAW variables are 2-D planes — the scan-grouping set
 #: for wrf_getvar_many (height_agl reads 2-D HGT but OUTPUTS
@@ -107,7 +124,7 @@ _SFC_RAW = _SURFACE_2D | {"height_agl"}
 #: names that accept extra keyword options (everything else must
 #: reject them — a silently-dropped typo'd option is a wrong answer)
 _TAKES_KW = {"dbz", "mdbz", "cape_2d", "mcape", "cape_3d", "avo", "pvo",
-             "cloudfrac"}
+             "cloudfrac", "helicity", "updraft_helicity"}
 
 
 def _raw(
@@ -224,6 +241,41 @@ def _zdz(
             ((F.col("_zs") + F.col("_zs2")) / 2.0).alias("z"),
             (F.col("_zs2") - F.col("_zs")).alias("dz"),
         )
+    )
+
+
+def _zstag_tbl(
+    spark: SparkSession, path: str, lat_var: str, lon_var: str
+) -> DataFrame:
+    """(file, k, y_idx, x_idx, zstag): geopotential height on the
+    STAGGERED vertical levels (wrf-python ``zstag``) — one mass-grid
+    archive scan of PH + PHB with NO destagger; ``k`` here is the
+    staggered index (one more level than the mass fields)."""
+    from wrf_to_geodataframe_spark.functions.meteo import (
+        geopotential_height,
+    )
+    from wrf_to_geodataframe_spark.sources.netcdf import (
+        read_netcdf_dir_many,
+    )
+
+    return read_netcdf_dir_many(
+        spark, path, ["PH", "PHB"], lat_var, lon_var
+    ).select(
+        "file", F.col("t_idx").alias("k"), "y_idx", "x_idx",
+        geopotential_height(F.col("ph"), F.col("phb")).alias("zstag"),
+    )
+
+
+def _ter_tbl(
+    spark: SparkSession, path: str, lat_var: str, lon_var: str
+) -> DataFrame:
+    """(file, y_idx, x_idx, hgt): the terrain plane, read on its own
+    like avo's MAPFAC_M (its grid shape differs from the 3-D mass
+    scan, so it cannot ride the same read_netcdf_dir_many pass)."""
+    return (
+        _raw(spark, path, "HGT", lat_var, lon_var)
+        .select("file", "y_idx", "x_idx", "hgt")
+        .distinct()
     )
 
 
@@ -366,6 +418,14 @@ def _validate(varname: str, kw: dict) -> tuple[tuple[str, ...], tuple]:
                 f"QRAIN/QSNOW/QGRAUP, got {species}"
             )
         need = tuple(n for n in need if n != "QRAIN") + species
+        if kw:
+            # dbz/mdbz consume ONLY species; the _dispatch branch never
+            # looks at kw again, so a leftover (typo'd) option must
+            # fail loudly here, like the avo/pvo/cloudfrac/cape checks
+            raise TypeError(
+                f"getvar({varname!r}) options: species only, got "
+                f"{sorted(kw)}"
+            )
     if kw and varname not in _TAKES_KW:
         raise TypeError(
             f"getvar({varname!r}) takes no extra options, got "
@@ -399,6 +459,11 @@ def _dispatch(
     theta = F.col("t") + F.lit(300.0)
     prs = F.col("prs")
 
+    if varname in ("lat", "lon"):
+        # raw coordinate planes: the mass-grid XLAT/XLONG read itself
+        return coords().select(*_KEY3, varname)
+    if varname == "zstag":
+        return _zstag_tbl(spark, path, lat_var, lon_var)
     if varname in ("ua", "va", "wa"):
         # destaggered components: _base already moved the staggered
         # wind onto mass points (one pencil window per component)
@@ -431,11 +496,11 @@ def _dispatch(
                     "wdir10"
                 ),
             )
-        # uvmet10: U10/V10 already live on the mass grid (no
-        # destagger) — the same earth rotation as uvmet
+        # uvmet10 / wspd_wdir_uvmet10: U10/V10 already live on the
+        # mass grid (no destagger) — the same earth rotation as uvmet
         if not attrs:
             raise ValueError(
-                "uvmet10 needs the wrfout global attrs (TRUELAT1/2, "
+                f"{varname} needs the wrfout global attrs (TRUELAT1/2, "
                 "STAND_LON) via attrs="
             )
         from wrf_to_geodataframe_spark.functions.crs import _attr_scalar
@@ -449,7 +514,13 @@ def _dispatch(
             F.col("u10"), F.col("v10"), F.col("lon"),
             _attr_scalar(attrs, "STAND_LON"), cone,
         )
-        return d.select(*_KEY3, ue.alias("ue10"), ve.alias("ve10"))
+        if varname == "uvmet10":
+            return d.select(*_KEY3, ue.alias("ue10"), ve.alias("ve10"))
+        return d.select(
+            *_KEY3,
+            M.wind_speed(ue, ve).alias("wspd_uv10"),
+            M.wind_dir_met(ue, ve).alias("wdir_uv10"),
+        )
 
     if varname == "theta":
         return base.select(*_KEY, theta.alias("theta"))
@@ -590,10 +661,10 @@ def _dispatch(
             M.wind_speed(F.col("u"), F.col("v")).alias("wspd"),
             M.wind_dir_met(F.col("u"), F.col("v")).alias("wdir"),
         )
-    if varname == "uvmet":
+    if varname in ("uvmet", "wspd_wdir_uvmet"):
         if not attrs:
             raise ValueError(
-                "uvmet needs the wrfout global attrs (TRUELAT1/2, "
+                f"{varname} needs the wrfout global attrs (TRUELAT1/2, "
                 "STAND_LON) via attrs="
             )
         from wrf_to_geodataframe_spark.functions.crs import _attr_scalar
@@ -607,7 +678,63 @@ def _dispatch(
             F.col("u"), F.col("v"), F.col("lon"),
             _attr_scalar(attrs, "STAND_LON"), cone,
         )
-        return d.select(*_KEY, ue.alias("ue"), ve.alias("ve"))
+        if varname == "uvmet":
+            return d.select(*_KEY, ue.alias("ue"), ve.alias("ve"))
+        return d.select(
+            *_KEY,
+            M.wind_speed(ue, ve).alias("wspd_uv"),
+            M.wind_dir_met(ue, ve).alias("wdir_uv"),
+        )
+    if varname in ("helicity", "updraft_helicity"):
+        # z bands are HEIGHT ABOVE GROUND: layer geometry from the
+        # staggered geopotential (zdz), terrain from its own HGT plane
+        # read (the MAPFAC_M pattern) — agl = z - ter per level
+        d = (
+            base.join(zdz(), _KEY)
+            .join(_ter_tbl(spark, path, lat_var, lon_var), _KEY3)
+            .withColumn("_agl", F.col("z") - F.col("hgt"))
+        )
+        if varname == "helicity":
+            from wrf_to_geodataframe_spark.operators.dynamics import (
+                storm_relative_helicity,
+            )
+
+            top = float(kw.pop("top", 3000.0))
+            c_u = float(kw.pop("c_u", 0.0))
+            c_v = float(kw.pop("c_v", 0.0))
+            if kw:
+                raise TypeError(
+                    "getvar('helicity') options: top/c_u/c_v only, "
+                    f"got {sorted(kw)}"
+                )
+            return storm_relative_helicity(
+                d, "u", "v", "_agl", "k", _KEY3,
+                c_u=c_u, c_v=c_v, depth=top, out_col="helicity",
+            ).select(*_KEY3, "helicity")
+        from wrf_to_geodataframe_spark.operators.dynamics import (
+            updraft_helicity,
+        )
+
+        bottom = float(kw.pop("bottom", 2000.0))
+        top = float(kw.pop("top", 5000.0))
+        if kw:
+            raise TypeError(
+                "getvar('updraft_helicity') options: bottom/top only, "
+                f"got {sorted(kw)}"
+            )
+        if not attrs:
+            raise ValueError(
+                "updraft_helicity needs the wrfout global attrs "
+                "(DX, DY) via attrs="
+            )
+        from wrf_to_geodataframe_spark.functions.crs import _attr_scalar
+
+        return updraft_helicity(
+            d, "w", "u", "v", "x_idx", "y_idx", "_agl", "k",
+            _attr_scalar(attrs, "DX"), _attr_scalar(attrs, "DY"), "dz",
+            z_bottom=bottom, z_top=top, group_cols=["file"],
+            out_col="updraft_helicity",
+        ).select(*_KEY3, "updraft_helicity")
     if varname in ("avo", "pvo"):
         # ``map_factors=True`` reads MAPFAC_M (the mass-point map-scale
         # factor every wrfout carries) and applies the curvilinear form
@@ -822,3 +949,52 @@ def wrf_vertcross(
         fld, field, "k", "x_idx", "y_idx", start, end, n_points,
         out_col=field, extra_keys=["file"],
     )
+
+
+def wrf_interpline(
+    spark: SparkSession,
+    path: str,
+    field: str,
+    start: tuple[float, float],
+    end: tuple[float, float],
+    n_points: int,
+    lat_var: str = "XLAT",
+    lon_var: str = "XLONG",
+    attrs: dict | None = None,
+    **kw,
+) -> DataFrame:
+    """wrf-python ``interpline`` over the archive: bilinear samples of
+    a 2-D field (surface staple or column diagnostic — ter, T2, slp,
+    pw, mdbz, ...) along a straight line in grid-index space — the
+    one-level special case of the vertcross kernel (same broadcast
+    corner table into one equi join, the grid never shuffles; same
+    NULL convention for samples leaving the domain).  Returns one row
+    per (file, sample index s).
+
+    Per-level fields raise with a pointer to :func:`wrf_vertcross`
+    (the wrf-python split: interpline is the 2-D variant), and so do
+    multi-component names like uvmet10 — interpline samples ONE scalar
+    plane."""
+    from wrf_to_geodataframe_spark.operators.vertical import vertcross
+
+    fld = wrf_getvar(
+        spark, path, field, lat_var=lat_var, lon_var=lon_var,
+        attrs=attrs, **kw,
+    )
+    if "k" in fld.columns:
+        raise ValueError(
+            f"interpline needs a 2-D field; {field!r} is per-level — "
+            "use wrf_vertcross"
+        )
+    vals = [c for c in fld.columns if c not in _KEY3]
+    if len(vals) != 1:
+        raise ValueError(
+            f"interpline needs a single-component field; {field!r} "
+            f"carries {vals}"
+        )
+    out = vertcross(
+        fld.withColumn("_lvl", F.lit(0)), vals[0], "_lvl",
+        "x_idx", "y_idx", start, end, n_points,
+        out_col=vals[0], extra_keys=["file"],
+    )
+    return out.select("file", "s", vals[0])

@@ -1042,6 +1042,22 @@ def _write_getvar_fixture() -> str:
     ks, jj2, ii2 = np.meshgrid(
         np.arange(nk + 1), np.arange(nj), np.arange(ni), indexing="ij"
     )
+    # Arakawa-C staggered wind grids (m15/s12): U on west_east_stag,
+    # V on south_north_stag, W on bottom_top_stag; all-dyadic fields
+    # so destaggered winds, vorticity stencils, and helicity sums stay
+    # exactly representable (the suite's dyadic rule)
+    kku, jju, iiu = np.meshgrid(
+        np.arange(nk), np.arange(nj), np.arange(ni + 1), indexing="ij"
+    )
+    kkv, jjv, iiv = np.meshgrid(
+        np.arange(nk), np.arange(nj + 1), np.arange(ni), indexing="ij"
+    )
+    jqu, iqu = np.meshgrid(
+        np.arange(nj), np.arange(ni + 1), indexing="ij"
+    )
+    jqv, iqv = np.meshgrid(
+        np.arange(nj + 1), np.arange(ni), indexing="ij"
+    )
     lat = 38.0 + jj[0] * 0.25 + ii[0] * 0.0
     lon = -101.0 + ii[0] * 0.25 + jj[0] * 0.0
     for f in range(_GV_NF):
@@ -1051,7 +1067,7 @@ def _write_getvar_fixture() -> str:
         write_netcdf(
             os.path.join(d, f"wrfout_d01_{f:03d}.nc"),
             {"k": nk, "ks": nk + 1, "j": nj, "i": ni,
-             "t": 1, "strlen": 19},
+             "is_": ni + 1, "js": nj + 1, "t": 1, "strlen": 19},
             {
                 "Times": {
                     "dims": ["t", "strlen"],
@@ -1094,8 +1110,24 @@ def _write_getvar_fixture() -> str:
                 "PH": {"dims": ["ks", "j", "i"],
                        "data": 9.81 * (ii2 + jj2 + f) / 4.0},
                 "PHB": {"dims": ["ks", "j", "i"], "data": 4905.0 * ks},
+                "U": {"dims": ["k", "j", "is_"],
+                      "data": (2.0 * kku * kku + 3.0 * jju * jju
+                               + iiu + 2.0 * f) / 8.0},
+                "V": {"dims": ["k", "js", "i"],
+                      "data": (3.0 * kkv + 5.0 * iiv * iiv
+                               + jjv + f) / 8.0},
+                "W": {"dims": ["ks", "j", "i"],
+                      "data": ((ii2 + jj2 + ks) % 5 - 1.0) / 4.0},
                 "XLAT": {"dims": ["j", "i"], "data": lat},
                 "XLONG": {"dims": ["j", "i"], "data": lon},
+                "XLAT_U": {"dims": ["j", "is_"],
+                           "data": 38.0 + jqu * 0.25},
+                "XLONG_U": {"dims": ["j", "is_"],
+                            "data": -101.125 + iqu * 0.25},
+                "XLAT_V": {"dims": ["js", "i"],
+                           "data": 37.875 + jqv * 0.25},
+                "XLONG_V": {"dims": ["js", "i"],
+                            "data": -101.0 + iqv * 0.25},
             },
         )
     return d
@@ -1360,10 +1392,12 @@ def m14_cape_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     dry-origin columns (cin < 0) and single-level top parcels
     (cape = 0, cin NULL), at every SF.
 
-    Oracle: the m6 recursive-CTE bisection with a PARCEL dimension —
-    par is the level table itself and every CTE carries kp; same
-    literals, same 1e-4 J/kg floor lattice.  The structurally
-    different cross-check is the TRUNCATION IDENTITY in
+    Oracle (class C, recurrence replay — suite/__init__ taxonomy):
+    the m6 recursive-CTE bisection with a PARCEL dimension — par is
+    the level table itself and every CTE carries kp; same literals,
+    same 1e-4 J/kg floor lattice.  As the taxonomy requires for this
+    class, the structurally different cross-check is the TRUNCATION
+    IDENTITY in
     tests/test_cape.py (cape_3d at kp == surface_cape of the column
     truncated below kp == the pure-numpy replay, bitwise)."""
     from wrf_to_geodataframe_spark.operators.vertical import cape_3d
@@ -1552,6 +1586,246 @@ JOIN (SELECT f, j, i
 _S10_SQL = _s10_sql()
 
 
+_M15_ATTRS = {"DX": 512.0, "DY": 512.0}
+
+
+def m15_getvar_helicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORM DIAGNOSTICS through the getvar front door:
+    ``getvar('helicity', top=2000, c_u=1.25, c_v=-0.5)`` and
+    ``getvar('updraft_helicity', bottom=1000, top=3000)`` over the
+    engine-written wrfout archive — wrf_getvar_many shares ONE
+    destaggered U/V/W scan set between the two names; the layer
+    geometry (z, dz from the staggered geopotential) and the terrain
+    plane (HGT, read like avo's MAPFAC_M) turn the vertical bands into
+    height above ground (the storm-motion deviation from wrf-python is
+    stated at operators/wrf.py).
+
+    Exactness: the staggered wind lattices are dyadic, so destaggered
+    winds, the vorticity stencil zeta = (20i - 12j)/8192, and every
+    SRH hodograph term are exact — ``helicity`` compares UNROUNDED.
+    The UH integrand multiplies by the layer thickness dz from the
+    9.81-divided geopotential (500 m up to ~1e-13 drift), so the gate
+    snaps to the KNOWN analytic lattice uh = M * 125/2^14:
+    round(uh * 16384 / 125) recovers the integer M exactly on both
+    engines (quantized-lattice rule; drift ~1e-12 << 0.5, and the
+    integer output is signed-zero-proof).
+
+    Oracle (class B, the m4/m5 analytic-derivative pattern):
+    closed-form destaggered winds, the ANALYTIC stencil on the
+    interior (boundary columns sum to exactly 0), band membership
+    k in 2..5 (agl in [1000, 3000]) and pair levels k in 0..2 (both
+    agl <= 2000) derived from the >= 100 m agl margins — no window,
+    no NetCDF parse on the DuckDB side."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_getvar_many
+
+    d = _write_getvar_fixture()
+    m = wrf_getvar_many(
+        spark, d, ["helicity", "updraft_helicity"],
+        attrs=_M15_ATTRS,
+        options={
+            "helicity": {"top": 2000.0, "c_u": 1.25, "c_v": -0.5},
+            "updraft_helicity": {"bottom": 1000.0, "top": 3000.0},
+        },
+    )
+    out = m["helicity"].join(
+        m["updraft_helicity"], ["file", "y_idx", "x_idx"]
+    )
+    return out.select(
+        F.regexp_extract("file", r"_(\d+)\.nc", 1)
+        .cast("long")
+        .alias("shard"),
+        "y_idx", "x_idx",
+        "helicity",
+        F.round(F.col("updraft_helicity") * 16384.0 / 125.0, 0)
+        .cast("long")
+        .alias("uh_q"),
+    )
+
+
+def _m15_sql() -> str:
+    def u(k: str) -> str:
+        return (
+            f"((2.0 * ({k}) * ({k}) + 3.0 * j * j + i + 0.5"
+            " + 2.0 * f) / 8.0)"
+        )
+
+    def v(k: str) -> str:
+        return f"((3.0 * ({k}) + 5.0 * i * i + j + 0.5 + f) / 8.0)"
+
+    term = (
+        f"(({u('k+1')} - 1.25) * ({v('k')} + 0.5)"
+        f" - ({u('k')} - 1.25) * ({v('k+1')} + 0.5))"
+    )
+    # destaggered w at mass level k is q/8 with
+    # q = (i+j+k)%5 + (i+j+k+1)%5 - 2; the analytic interior stencil
+    # is zeta = (20i - 12j)/8192, so uh = M * 125/2^14 with the
+    # integer M summed here directly
+    q = "((i + j + k) % 5 + (i + j + k + 1) % 5 - 2)"
+    return f"""
+WITH cells AS (
+    SELECT f, j, i
+    FROM generate_series(0, {_GV_NF - 1}) AS tf(f),
+         generate_series(0, {_GV_NJ - 1}) AS tj(j),
+         generate_series(0, {_GV_NI - 1}) AS ti(i)
+),
+srh AS (
+    SELECT f, j, i, SUM({term}) AS helicity
+    FROM cells, generate_series(0, 2) AS tk(k)
+    GROUP BY f, j, i
+),
+uh AS (
+    SELECT f, j, i,
+           CAST(SUM(CASE WHEN i BETWEEN 1 AND {_GV_NI - 2}
+                          AND j BETWEEN 1 AND {_GV_NJ - 2}
+                         THEN {q} * (20 * i - 12 * j) ELSE 0 END)
+                AS BIGINT) AS uh_q
+    FROM cells, generate_series(2, 5) AS tk(k)
+    GROUP BY f, j, i
+)
+SELECT f AS shard, CAST(j AS BIGINT) AS y_idx, CAST(i AS BIGINT) AS x_idx,
+       helicity, uh_q
+FROM srh JOIN uh USING (f, j, i)
+"""
+
+
+_M15_SQL = _m15_sql()
+
+
+def s11_wrf_interpline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERPLINE through the front door (operators/wrf.wrf_interpline):
+    bilinear samples of the 2-D terrain field along the grid-index
+    line (0.25, 0.5) -> (2.75, 2.0) at 9 points per shard — the
+    one-level special case of the vertcross kernel (v5_vertcross),
+    exposed under the wrf-python name with the same broadcast
+    corner-table plan.  Dyadic endpoints, a power-of-two step, and the
+    linear dyadic ter plane make every weight and weighted sum exactly
+    representable — hash-exact UNROUNDED; sample s=8 lands on the grid
+    line y=2 and exercises the zero-weight-corner filter.
+
+    Oracle (class B): bilinear interpolation of an affine plane IS the
+    plane — the closed-form line evaluation ter(xi, yi) = 120 +
+    (3 xi + 5 yi)/4; the engine's corner weights never appear, and the
+    asymmetric 3/5 coefficients catch a transposed fx/fy."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_interpline
+
+    d = _write_getvar_fixture()
+    out = wrf_interpline(spark, d, "ter", (0.25, 0.5), (2.75, 2.0), 9)
+    return out.select(
+        F.regexp_extract("file", r"_(\d+)\.nc", 1)
+        .cast("long")
+        .alias("shard"),
+        "s", "ter",
+    )
+
+
+_S11_SQL = f"""
+SELECT f AS shard, CAST(s AS BIGINT) AS s,
+       120.0 + (3.0 * (0.25 + s * 0.3125)
+                + 5.0 * (0.5 + s * 0.1875)) / 4.0 AS ter
+FROM generate_series(0, {_GV_NF - 1}) AS tf(f),
+     generate_series(0, 8) AS ts(s)
+"""
+
+
+def s12_getvar_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COORDINATE getvar names (``lat``/``lon`` — the raw
+    XLAT/XLONG planes; ``zstag`` — the staggered geopotential height
+    with NO destagger) and the uvmet-composed wind names
+    (``wspd_wdir_uvmet`` at k=1, ``wspd_wdir_uvmet10``), all through
+    wrf_getvar_many over the shared wrfout fixture.  zstag is checked
+    as (top-level value, level COUNT) per column — the count of 7
+    (= _GV_NK + 1) proves the staggered axis kept its extra level.
+    lat/lon/zs_top are raw float replays (hash-exact); the rotated
+    speed/direction round to 1e-6 (transcendental rotation + atan2;
+    wdir lands in (180, 270] on this lattice so there is no 0/360
+    wrap arm, and the one calm point u10=v10=0 gives wspd exactly
+    +0.0 via IEEE rules on both engines — wspd10 still carries the
+    SIGNED-ZERO canonicalization for that zero arm).
+
+    Oracle (class B, the s6/s9 closed-form pattern): the zstag
+    expression replays the engine's (PH + PHB)/9.81 float arithmetic
+    verbatim at the top staggered level; DuckDB reads no NetCDF."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_getvar_many
+
+    d = _write_getvar_fixture()
+    k3 = ["file", "y_idx", "x_idx"]
+    m = wrf_getvar_many(
+        spark, d,
+        ["lat", "lon", "zstag", "wspd_wdir_uvmet", "wspd_wdir_uvmet10"],
+        attrs=_S9_ATTRS,
+    )
+    zs = m["zstag"].groupBy(*k3).agg(
+        F.max("zstag").alias("zs_top"),
+        F.count(F.lit(1)).cast("long").alias("zs_n"),
+    )
+    uv = m["wspd_wdir_uvmet"].filter(F.col("k") == 1).select(
+        *k3, "wspd_uv", "wdir_uv"
+    )
+    out = (
+        m["lat"].join(m["lon"], k3).join(zs, k3).join(uv, k3)
+        .join(m["wspd_wdir_uvmet10"], k3)
+    )
+    return out.select(
+        F.regexp_extract("file", r"_(\d+)\.nc", 1)
+        .cast("long")
+        .alias("shard"),
+        "y_idx", "x_idx",
+        "lat", "lon", "zs_top", "zs_n",
+        F.round("wspd_uv", 6).alias("wspd_uv"),
+        F.round("wdir_uv", 6).alias("wdir_uv"),
+        (F.round("wspd_uv10", 6) + F.lit(0.0)).alias("wspd_uv10"),
+        F.round("wdir_uv10", 6).alias("wdir_uv10"),
+    )
+
+
+def _s12_sql() -> str:
+    from wrf_to_geodataframe_spark.functions.meteo import lcc_cone
+
+    cone = lcc_cone(_S9_ATTRS["TRUELAT1"], _S9_ATTRS["TRUELAT2"])
+    slon = _S9_ATTRS["STAND_LON"]
+    alpha = f"radians(((-101.0 + i * 0.25) - {slon!r}) * {cone!r})"
+    u1 = "((2.0 * 1 * 1 + 3.0 * j * j + i + 0.5 + 2.0 * f) / 8.0)"
+    v1 = "((3.0 * 1 + 5.0 * i * i + j + 0.5 + f) / 8.0)"
+    u10 = "((i * 2.0 + j / 2.0 + f) / 4.0)"
+    v10 = "((i / 2.0 + j * 3.0 + f) / 4.0)"
+
+    def rot(u: str, v: str) -> tuple[str, str]:
+        return (
+            f"({v} * sin({alpha}) + {u} * cos({alpha}))",
+            f"({v} * cos({alpha}) - {u} * sin({alpha}))",
+        )
+
+    ue1, ve1 = rot(u1, v1)
+    ue10, ve10 = rot(u10, v10)
+
+    def wspd(ue: str, ve: str) -> str:
+        return f"sqrt({ue} * {ue} + {ve} * {ve})"
+
+    def wdir(ue: str, ve: str) -> str:
+        return (
+            f"(((270.0 - degrees(atan2({ve}, {ue}))) % 360.0 + 360.0)"
+            " % 360.0)"
+        )
+
+    return f"""
+SELECT f AS shard, CAST(j AS BIGINT) AS y_idx, CAST(i AS BIGINT) AS x_idx,
+       38.0 + j * 0.25 AS lat,
+       -101.0 + i * 0.25 AS lon,
+       (9.81 * (i + j + f) / 4.0 + 4905.0 * {_GV_NK}) / 9.81 AS zs_top,
+       CAST({_GV_NK + 1} AS BIGINT) AS zs_n,
+       round({wspd(ue1, ve1)}, 6) AS wspd_uv,
+       round({wdir(ue1, ve1)}, 6) AS wdir_uv,
+       round({wspd(ue10, ve10)}, 6) + 0.0 AS wspd_uv10,
+       round({wdir(ue10, ve10)}, 6) AS wdir_uv10
+FROM generate_series(0, {_GV_NF - 1}) AS tf(f),
+     generate_series(0, {_GV_NJ - 1}) AS tj(j),
+     generate_series(0, {_GV_NI - 1}) AS ti(i)
+"""
+
+
+_S12_SQL = _s12_sql()
+
+
 _CW_NJ, _CW_NI = 4, 5  # capstone grid; 8 six-hourly shards = 2 days
 
 
@@ -1707,6 +1981,9 @@ QUERIES = {
     "m13_getvar_species": m13_getvar_species,
     "m14_cape_3d": m14_cape_3d,
     "s10_wrf_getvar_many": s10_wrf_getvar_many,
+    "m15_getvar_helicity": m15_getvar_helicity,
+    "s11_wrf_interpline": s11_wrf_interpline,
+    "s12_getvar_coords": s12_getvar_coords,
     "capstone_wrf_voronoi": capstone_wrf_voronoi,
     "m3_absolute_vorticity": m3_absolute_vorticity,
     "m4_updraft_helicity": m4_updraft_helicity,
@@ -1728,6 +2005,9 @@ ORACLE = {
     "m13_getvar_species": _M13_SQL,
     "m14_cape_3d": _M14_SQL,
     "s10_wrf_getvar_many": _S10_SQL,
+    "m15_getvar_helicity": _M15_SQL,
+    "s11_wrf_interpline": _S11_SQL,
+    "s12_getvar_coords": _S12_SQL,
     "capstone_wrf_voronoi": _CAPSTONE_SQL,
     "m3_absolute_vorticity": _M3_SQL,
     "m4_updraft_helicity": _M4_SQL,

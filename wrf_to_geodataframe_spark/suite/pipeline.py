@@ -2534,7 +2534,13 @@ if not _MH_CAND_CTES.lstrip().startswith("WITH "):
         f"_MH_CAND_CTES must open with the outer WITH: {_MH_CAND_CTES[:40]!r}"
     )
 
-_CLUSTER_CC_SQL = _MH_CAND_CTES.replace("WITH ", "WITH RECURSIVE ", 1) + f""",
+# Shared recursive-closure CTE chain (banded candidates -> verified
+# pairs -> symmetric edges -> transitive reach -> min-label clusters):
+# the oracle prefix for BOTH dedup_cluster_cc and
+# pipeline_split_neardup_safe — a named constant, composed (never
+# string-sliced) so a rewording of one consumer cannot silently break
+# the other at gate-run time.
+_CC_CTES = _MH_CAND_CTES.replace("WITH ", "WITH RECURSIVE ", 1) + f""",
 pairs AS (
     SELECT da, db
     FROM cand
@@ -2556,6 +2562,9 @@ reach(v, r) AS (
 ),
 lbl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
 sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY 1)
+"""
+
+_CLUSTER_CC_SQL = _CC_CTES + """
 SELECT l.doc_id, l.cluster_id, s.cluster_size,
        CAST(l.doc_id = l.cluster_id AS BIGINT) AS is_canonical,
        CAST(0 AS BIGINT) AS n_unmerged
@@ -6019,9 +6028,7 @@ _SPLIT_ND_HASH = (
     " AS BIGINT) % 100"
 )
 
-_SPLIT_NEARDUP_SQL = _CLUSTER_CC_SQL[
-    : _CLUSTER_CC_SQL.rindex("SELECT l.doc_id")
-] + f""",
+_SPLIT_NEARDUP_SQL = _CC_CTES + f""",
 spl AS (
     SELECT doc_id,
            CASE WHEN {_SPLIT_ND_HASH} < 90 THEN 'train'
