@@ -900,3 +900,92 @@ def test_stream_bloom_screen_matches_batch_probe(spark, tmp_path):
         assert got[i], i  # known keys: never missed
     novel_hits = sum(1 for i in range(1, 200, 2) if got[i])
     assert novel_hits < 100  # fp tail only, not saturation
+
+
+def test_stream_split_holdout_matches_batch(spark, sf_dir, tmp_path):
+    """The holdout-split streaming twin (VERDICT r13 #6): the split
+    assigned AT INGEST must equal the batch content-hash rule doc for
+    doc, byte-identical texts must share a split across micro-batches
+    (zero exact leakage), and the per-(source, split) doc counts must
+    reproduce the batch gate's."""
+    from wrf_to_geodataframe_spark.session import load_table
+    from wrf_to_geodataframe_spark.streaming.curate import (
+        static_eval_shingle_set,
+        stream_curate_with_split,
+        stream_split_holdout,
+    )
+    from wrf_to_geodataframe_spark.suite.pipeline import (
+        holdout_split,
+        pipeline_split_holdout,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    # two drops so duplicates cross a micro-batch boundary
+    src = str(tmp_path / "docs_split_stream")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    assert stream.isStreaming
+    out = stream_split_holdout(stream).select("doc_id", "source", "split")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("split_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = {r.doc_id: (r.source, r.split)
+           for r in spark.table("split_stream").collect()}
+
+    want = {
+        r.doc_id: (r.source, r.split)
+        for r in docs.select(
+            "doc_id", "source",
+            holdout_split(F.col("text")).alias("split"),
+        ).collect()
+    }
+    assert got == want  # doc-for-doc agreement with the batch rule
+
+    # per-(source, split) counts reproduce the batch GATE's n_docs
+    from collections import Counter
+
+    counts = Counter(got.values())
+    gate = {
+        (r.source, r.split): r.n_docs
+        for r in pipeline_split_holdout(spark, sf_dir).collect()
+    }
+    assert {k: v for k, v in counts.items()} == gate
+    # and the gate's self-check: zero exact leakage
+    leak = pipeline_split_holdout(spark, sf_dir).select(
+        "leaked_exact"
+    ).first()[0]
+    assert leak == 0
+
+    # the composed spine carries split through curation + dedup
+    ev_set = static_eval_shingle_set(docs)
+    stream2 = spark.readStream.schema(docs.schema).parquet(src)
+    out2 = stream_curate_with_split(stream2, ev_set)
+    assert "split" in out2.columns
+    q2 = (
+        out2.writeStream.format("memory")
+        .queryName("split_curate_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q2.awaitTermination(180)
+    finally:
+        q2.stop()
+    survivors = spark.table("split_curate_stream").collect()
+    assert survivors, "fixture must not be vacuous"
+    for r in survivors:
+        assert want[r.doc_id][1] == r.split  # split survived the chain

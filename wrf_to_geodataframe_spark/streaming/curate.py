@@ -218,6 +218,36 @@ def stream_curate_to_chunks(
     )
 
 
+def stream_split_holdout(
+    stream: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Train/val/test assignment AT INGEST — the streaming twin of the
+    batch ``pipeline_split_holdout`` gate: the split is a pure
+    CONTENT-hash bucket (``suite/pipeline.holdout_split``, the shared
+    expression), so it is STATELESS — an arriving document gets the
+    same split a batch pass would assign, byte-identical copies land
+    in the same split whenever they arrive, and no corpus state is
+    held.  (The near-dup-safe variant has NO streaming twin by design:
+    cluster co-location needs the full MinHash connected-components
+    closure — a manifest-sealing batch decision, like the quota
+    mixture.)  Assign on the RAW text BEFORE any scrub stage — the
+    batch gate buckets the original document text."""
+    from wrf_to_geodataframe_spark.suite.pipeline import holdout_split
+
+    return stream.withColumn("split", holdout_split(F.col(text_col)))
+
+
+def stream_curate_with_split(
+    stream: DataFrame, ev_set: DataFrame
+) -> DataFrame:
+    """The curation spine with the holdout split carried from ingest:
+    split assigned on the raw text (stateless), then the stage-1-4
+    chain + exact dedup — ``split`` rides through as an extra column,
+    so the curated landing table is already partitionable by split
+    when a training snapshot is cut."""
+    return stream_curate(stream_split_holdout(stream), ev_set)
+
+
 def stream_curate_within_watermark(
     stream: DataFrame,
     ev_set: DataFrame,

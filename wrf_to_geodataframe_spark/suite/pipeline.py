@@ -5882,6 +5882,25 @@ FROM st
 """
 
 
+def holdout_split(text_col) -> "F.Column":
+    """The CONTENT-hash train/val/test assignment (``hash60(text) %
+    100``: <90 train, <95 val, else test) as one codegen expression —
+    the SHARED rule between the batch ``pipeline_split_holdout`` gate
+    and ``streaming/curate.stream_split_holdout``, so an arriving
+    document gets the identical split at ingest that a batch pass
+    would assign (same text => same bucket, stream or batch; factored
+    like chunk_tokens/curate_clean so the two surfaces cannot
+    drift)."""
+    from wrf_to_geodataframe_spark.functions.text import hash60
+
+    bucket = F.pmod(hash60(text_col), F.lit(100))
+    return (
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+    )
+
+
 def pipeline_split_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTAMINATION-SAFE train/val/test split — the holdout step
     every training pipeline runs before packing: documents are
@@ -5903,15 +5922,9 @@ def pipeline_split_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wrf_to_geodataframe_spark.functions.text import hash60, tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(hash60(F.col("text")), F.lit(100))
-    split = (
-        F.when(bucket < 90, "train")
-        .when(bucket < 95, "val")
-        .otherwise("test")
-    )
     d = docs.select(
         "source",
-        split.alias("split"),
+        holdout_split(F.col("text")).alias("split"),
         F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
         hash60(F.col("text")).alias("_h"),
     )
