@@ -1075,3 +1075,41 @@ def test_getvar_many_new_names_equal_single(spark):
     ).toString()
     assert "InMemoryTableScan" in p1 and "InMemoryTableScan" in p2
     assert release_persisted() >= 2
+
+
+def test_getvar_alias_spellings(spark, archive):
+    """wrf-python alias spellings resolve to the canonical product
+    (same frame, canonical column names) in both front doors; unknown
+    names list the alias table."""
+    from wrf_to_geodataframe_spark.operators.wrf import (
+        ALIASES,
+        SUPPORTED,
+        wrf_getvar_many,
+    )
+
+    assert not set(ALIASES) & set(SUPPORTED)  # disjoint spellings
+    for alias, canon in [("temp", "tk"), ("th", "theta"),
+                         ("geopotential", "geopt")]:
+        a = wrf_getvar(spark, archive, alias)
+        c = wrf_getvar(spark, archive, canon)
+        assert a.columns == c.columns, alias
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, c.collect())
+        ), alias
+    many = wrf_getvar_many(
+        spark, archive, ["uvmet10_wspd_wdir10", "dp2"], attrs=ATTRS
+    )
+    assert set(many) == {"uvmet10_wspd_wdir10", "dp2"}  # caller's keys
+    assert many["uvmet10_wspd_wdir10"].columns[-2:] == [
+        "wspd_uv10", "wdir_uv10",
+    ]
+    assert many["dp2"].columns[-1] == "td2"
+    from wrf_to_geodataframe_spark.session import release_persisted
+
+    release_persisted()
+    with pytest.raises(ValueError, match="aliases"):
+        wrf_getvar(spark, archive, "nope")
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_interplevel
+
+    with pytest.raises(ValueError, match="both"):
+        wrf_interplevel(spark, archive, "temp", 85000.0, on="tk")

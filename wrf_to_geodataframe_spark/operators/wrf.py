@@ -109,6 +109,21 @@ SUPPORTED: dict[str, tuple[str, ...]] = {
     "ter": ("HGT",),
 }
 
+#: wrf-python accepts several spellings per product; aliases resolve
+#: to the canonical name BEFORE validation and dispatch (output
+#: column names stay canonical — wrf-python's own products are
+#: identical objects under either spelling)
+ALIASES: dict[str, str] = {
+    "th": "theta",
+    "temp": "tk",
+    "dp": "td",
+    "dp2": "td2",
+    "theta_e": "eth",
+    "geopotential": "geopt",
+    "uvmet_wspd_wdir": "wspd_wdir_uvmet",
+    "uvmet10_wspd_wdir10": "wspd_wdir_uvmet10",
+}
+
 #: names whose OUTPUT is a 2-D single plane — keyed
 #: (file, y_idx, x_idx), no vertical axis
 _SURFACE_2D = {"T2", "td2", "rh2", "uvmet10", "wspd_wdir10", "ter",
@@ -385,7 +400,7 @@ def wrf_getvar(
         )
         return out.join(F.broadcast(tdf), "file")
 
-    need, species = _validate(varname, kw)
+    varname, (need, species) = _validate(varname, kw)
     base = _base(spark, path, need, lat_var, lon_var)
     return _dispatch(
         spark, path, varname, base, species, attrs, lat_var, lon_var,
@@ -395,15 +410,20 @@ def wrf_getvar(
     )
 
 
-def _validate(varname: str, kw: dict) -> tuple[tuple[str, ...], tuple]:
+def _validate(
+    varname: str, kw: dict
+) -> tuple[str, tuple[tuple[str, ...], tuple]]:
     """Name/option validation shared by the single- and multi-name
-    front doors: the raw-variable list (with hydrometeor species
-    substituted for dbz/mdbz) and the species tuple.  Mutates ``kw``
-    (pops consumed options) and raises on unknown names or options."""
+    front doors: resolves wrf-python alias spellings to the CANONICAL
+    name (returned first), then the raw-variable list (with
+    hydrometeor species substituted for dbz/mdbz) and the species
+    tuple.  Mutates ``kw`` (pops consumed options) and raises on
+    unknown names or options."""
+    varname = ALIASES.get(varname, varname)
     if varname not in SUPPORTED:
         raise ValueError(
             f"getvar name {varname!r} not implemented; supported: "
-            f"{sorted(SUPPORTED)}"
+            f"{sorted(SUPPORTED)} (+ aliases {sorted(ALIASES)})"
         )
     need = SUPPORTED[varname]
     species = ()
@@ -431,7 +451,7 @@ def _validate(varname: str, kw: dict) -> tuple[tuple[str, ...], tuple]:
             f"getvar({varname!r}) takes no extra options, got "
             f"{sorted(kw)}"
         )
-    return need, species
+    return varname, (need, species)
 
 
 def _dispatch(
@@ -828,14 +848,16 @@ def wrf_getvar_many(
         raise ValueError(
             f"options given for names not requested: {unknown}"
         )
-    needs, specs, kws = {}, {}, {}
+    canon, needs, specs, kws = {}, {}, {}, {}
     for name in varnames:
         kw = opts.get(name, {})
-        needs[name], specs[name] = _validate(name, kw)
+        canon[name], (needs[name], specs[name]) = _validate(name, kw)
         kws[name] = kw
     bases: dict[bool, DataFrame | None] = {}
     for is_sfc in (False, True):
-        group = [n for n in varnames if (n in _SFC_RAW) == is_sfc]
+        group = [
+            n for n in varnames if (canon[n] in _SFC_RAW) == is_sfc
+        ]
         union = tuple(
             dict.fromkeys(v for n in group for v in needs[n])
         )
@@ -866,7 +888,7 @@ def wrf_getvar_many(
     out: dict[str, DataFrame] = {}
     for name in varnames:
         df = _dispatch(
-            spark, path, name, bases[name in _SFC_RAW],
+            spark, path, canon[name], bases[canon[name] in _SFC_RAW],
             specs[name], attrs, lat_var, lon_var,
             zdz=zdz, coords=coords, **kws[name],
         )
@@ -905,7 +927,7 @@ def wrf_interplevel(
     metres either way."""
     from wrf_to_geodataframe_spark.operators.vertical import interplevel
 
-    if field == on:
+    if ALIASES.get(field, field) == ALIASES.get(on, on):
         raise ValueError(
             f"interplevel field and coordinate are both {field!r}"
         )
