@@ -356,3 +356,67 @@ def test_cape_3d_truncation_identity_and_numpy(spark):
         }
         for cid in (0, 1):
             assert got[(cid, kp)] == trunc[cid], (cid, kp)
+
+
+def test_lcl_lfc_heights_numpy_replay(spark):
+    """The z_col form's lcl/lfc (wrf-python cape_2d's other two
+    fields) against a pure-python replay: lcl = z0 + (T0 - T_lcl)
+    cp/g bitwise, lfc = z at the highest-pressure B > 0 level
+    (bitwise, exact dyadics), NULL lfc on the stable sounding while
+    lcl is still defined."""
+    from wrf_to_geodataframe_spark.functions.meteo import (
+        G0,
+        RD,
+        RD_OVER_CP,
+    )
+    from wrf_to_geodataframe_spark.operators.vertical import surface_cape
+    from wrf_to_geodataframe_spark.session import release_persisted
+
+    cols = [UNSTABLE, STABLE]
+    df = _sounding_df(spark, cols).withColumn(
+        "z", F.lit(256.0) * F.col("k") + F.lit(128.0)
+    )
+    out = {
+        r.cid: (r.cape, r.cin, r.lcl, r.lfc)
+        for r in surface_cape(
+            df, "p", "t", "qv", "dz", ["cid"], z_col="z"
+        ).collect()
+    }
+    release_persisted()
+    for cid, levels in enumerate(cols):
+        p0, t0, qv0, _ = levels[0]
+        e0 = (p0 / 100.0) * qv0 / (EPS + qv0)
+        tl = 2840.0 / (3.5 * np.log(t0) - np.log(e0) - 4.805) + 55.0
+        plcl = p0 * (tl / t0) ** 3.5
+        # replay B per level for the LFC
+        the0 = _theta_e(t0, p0, qv0)
+        zs, bs = [], []
+        for k, (p, t, qv, dz) in enumerate(levels):
+            if p >= plcl:
+                tp, qvp = t0 * (p / p0) ** (2.0 / 7.0), qv0
+            else:
+                tp = _bisect(the0, p)
+                qvp = _qvs(tp, p)
+            tvp = tp * (EPS + qvp) / (EPS * (1 + qvp))
+            tve = t * (EPS + qv) / (EPS * (1 + qv))
+            bs.append(9.81 * (tvp - tve) / tve)
+            zs.append(256.0 * k + 128.0)
+        want_lcl = 128.0 + (t0 - tl) * (RD / RD_OVER_CP / G0)
+        pos = [i for i, b in enumerate(bs) if b > 0]
+        want_lfc = zs[min(pos)] if pos else None
+        got = out[cid]
+        assert got[2] == want_lcl, cid  # bitwise: same float ops
+        if want_lfc is None:
+            assert got[3] is None
+            assert got[1] is None  # cin NULL convention shared
+        else:
+            assert got[3] == want_lfc, cid
+    # mu parcel carries its own origin height
+    mu = surface_cape(
+        df, "p", "t", "qv", "dz", ["cid"],
+        parcel="most_unstable", z_col="z",
+    ).collect()
+    release_persisted()
+    assert {r.cid for r in mu} == {0, 1}
+    for r in mu:
+        assert r.lcl is not None

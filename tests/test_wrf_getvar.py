@@ -1113,3 +1113,38 @@ def test_getvar_alias_spellings(spark, archive):
 
     with pytest.raises(ValueError, match="both"):
         wrf_interplevel(spark, archive, "temp", 85000.0, on="tk")
+
+
+def test_cape_2d_front_door_lcl_lfc_agl(spark, archive):
+    """getvar('cape_2d') now carries wrf-python's full four fields;
+    lcl/lfc come out ABOVE GROUND (terrain subtracted) — replayed for
+    a spot column."""
+    from wrf_to_geodataframe_spark.functions.meteo import (
+        G0,
+        RD,
+        RD_OVER_CP,
+    )
+
+    got = _collect(
+        wrf_getvar(spark, archive, "cape_2d"),
+        "cape", "cin", "lcl", "lfc",
+    )
+    assert len(got) == NF * NJ * NI
+    assert all(v[2] is not None for v in got.values())  # lcl everywhere
+    f, j, i = 1, 2, 3
+    v = _fields(float(f))
+    prs = v["p"] + v["pb"]
+    theta = v["t"] + 300.0
+    tk = theta * (prs / 100000.0) ** (2.0 / 7.0)
+    zs = (v["ph"] + v["phb"]) / 9.81
+    zm = (zs[:-1] + zs[1:]) / 2.0
+    t0, p0, qv0 = tk[0, j, i], prs[0, j, i], v["qv"][0, j, i]
+    e0 = (p0 / 100.0) * qv0 / (EPS + qv0)
+    tl = 2840.0 / (3.5 * np.log(t0) - np.log(e0) - 4.805) + 55.0
+    hgt = 120.0 + (i * 3.0 + j * 5.0) / 4.0
+    want_lcl = zm[0, j, i] + (t0 - tl) * (RD / RD_OVER_CP / G0) - hgt
+    assert got[(f, j, i)][2] == pytest.approx(want_lcl, rel=1e-12)
+    # any reported lfc is a mass-level height above ground
+    lvl_agl = {round(float(z - hgt), 6) for z in zm[:, j, i]}
+    lfc = got[(f, j, i)][3]
+    assert lfc is None or round(float(lfc), 6) in lvl_agl

@@ -418,6 +418,7 @@ def surface_cape(
     quant: float = 1.0e4,
     parcel: str = "surface",
     mu_depth_pa: float = 30000.0,
+    z_col: str | None = None,
 ) -> DataFrame:
     """Surface-based CAPE and CIN [J/kg] per atmospheric column (the
     wrf-python `cape_2d` quantities): lift the LOWEST (highest-
@@ -439,6 +440,15 @@ def surface_cape(
     ties broken arbitrarily, so feed profiles with distinct theta_e),
     and integration runs from the parcel level UP (levels below the
     parcel origin contribute neither cape nor cin).
+
+    ``z_col`` (a per-level height on whatever datum the caller uses)
+    adds wrf-python cape_2d's other two fields on the SAME datum:
+    **lcl** = z_parcel + (T_parcel - T_lcl) * cp/g (the dry-adiabatic
+    ascent height to the Bolton LCL — group-constant), and **lfc** =
+    the z of the level of free convection (the highest-pressure level
+    with B > 0; NULL when none exists, exactly the cin convention).
+    wrf-python reports these above ground — subtract terrain at the
+    call site (the getvar front door does).
 
     Distribution shape: one window over the column key extracts the
     surface parcel (first level by descending pressure); the per-level
@@ -474,6 +484,7 @@ def surface_cape(
                 F.col(t_col).alias("t"),
                 F.col(p_col).alias("p"),
                 F.col(qv_col).alias("qv"),
+                *([F.col(z_col).alias("z")] if z_col else []),
             ),
             F.when(cand, the_lvl),
         ).over(wk0)
@@ -482,6 +493,8 @@ def surface_cape(
             .withColumn("_p0", sel["p"])
             .withColumn("_qv0", sel["qv"])
         )
+        if z_col:
+            d = d.withColumn("_z0", sel["z"])
     elif parcel == "surface":
         w = Window.partitionBy(*col_keys).orderBy(F.col(p_col).desc())
         d = (
@@ -489,12 +502,15 @@ def surface_cape(
             .withColumn("_p0", F.first(p_col).over(w))
             .withColumn("_qv0", F.first(qv_col).over(w))
         )
+        if z_col:
+            d = d.withColumn("_z0", F.first(z_col).over(w))
     else:
         raise ValueError(
             f"parcel={parcel!r}: expected 'surface' or 'most_unstable'"
         )
     return _cape_from_parcel(
-        d, p_col, t_col, qv_col, dz_col, list(col_keys), iters, quant
+        d, p_col, t_col, qv_col, dz_col, list(col_keys), iters, quant,
+        z_col=z_col,
     )
 
 
@@ -507,6 +523,7 @@ def _cape_from_parcel(
     group_keys: list[str],
     iters: int,
     quant: float,
+    z_col: str | None = None,
 ) -> DataFrame:
     """The shared CAPE/CIN integration tail: ``d`` carries the parcel
     state (_t0, _p0, _qv0) on every level row and ``group_keys``
@@ -517,6 +534,7 @@ def _cape_from_parcel(
     aggregation is IDENTICAL across the variants by construction."""
     from wrf_to_geodataframe_spark.functions.meteo import (
         G0,
+        RD,
         RD_OVER_CP,
         lcl_temperature_k,
         moist_adiabat_t_k,
@@ -528,6 +546,14 @@ def _cape_from_parcel(
     the0 = theta_e_bolton(F.col("_t0"), F.col("_p0"), F.col("_qv0"))
     tl = lcl_temperature_k(F.col("_t0"), F.col("_p0"), F.col("_qv0"))
     plcl = F.col("_p0") * F.pow(tl / F.col("_t0"), F.lit(3.5))
+    if z_col:
+        # dry-adiabatic ascent height to the Bolton LCL on the z
+        # column's datum: z_lcl = z0 + (T0 - T_lcl) * cp / g
+        d = d.withColumn(
+            "_lcl",
+            F.col("_z0")
+            + (F.col("_t0") - tl) * F.lit(RD / RD_OVER_CP / G0),
+        )
     tp_dry = F.col("_t0") * F.pow(
         F.col(p_col) / F.col("_p0"), F.lit(RD_OVER_CP)
     )
@@ -563,7 +589,8 @@ def _cape_from_parcel(
 
     d = track_persist(
         d.withColumn("_b", b_expr).select(
-            *col_keys, p_col, dz_col, "_b"
+            *col_keys, p_col, dz_col, "_b",
+            *([z_col, "_lcl"] if z_col else []),
         )
     )
     wk = Window.partitionBy(*col_keys)
@@ -588,7 +615,7 @@ def _cape_from_parcel(
     # empty sum must read 0.0 (zero-depth inhibition layer), while a
     # column with no LFC at all stays NULL — distinguish via the
     # group-constant _p_lfc, not the sum's own null
-    return d.groupBy(*col_keys).agg(
+    aggs = [
         (F.sum(pos) / q).alias("cape"),
         (
             F.when(
@@ -597,7 +624,15 @@ def _cape_from_parcel(
             )
             / q
         ).alias("cin"),
-    )
+    ]
+    if z_col:
+        aggs += [
+            F.min("_lcl").alias("lcl"),  # group-constant
+            F.max(
+                F.when(F.col(p_col) == F.col("_p_lfc"), F.col(z_col))
+            ).alias("lfc"),  # NULL when no LFC, the cin convention
+        ]
+    return d.groupBy(*col_keys).agg(*aggs)
 
 
 def cape_3d(

@@ -670,10 +670,19 @@ def _dispatch(
             surface_cape,
         )
 
-        return surface_cape(
+        out = surface_cape(
             d, "prs", "_tk", "qvapor", "dz", _KEY3,
             parcel="surface" if varname == "cape_2d" else "most_unstable",
+            z_col="z",
             **kw,
+        )
+        # wrf-python cape_2d reports lcl/lfc ABOVE GROUND: subtract
+        # the terrain plane (its own HGT read, the helicity pattern)
+        ter = _ter_tbl(spark, path, lat_var, lon_var)
+        return out.join(ter, _KEY3).select(
+            *_KEY3, "cape", "cin",
+            (F.col("lcl") - F.col("hgt")).alias("lcl"),
+            (F.col("lfc") - F.col("hgt")).alias("lfc"),
         )
     if varname == "wspd_wdir":
         return base.select(

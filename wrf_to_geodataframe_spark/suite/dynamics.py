@@ -273,8 +273,22 @@ def m6_surface_cape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _m6_sql() -> str:
-    from wrf_to_geodataframe_spark.functions.meteo import moist_adiabat_sql
+def _m6_sql(heights: bool = False) -> str:
+    """The m6 oracle; ``heights=True`` is the m16 variant — the same
+    recursive-CTE bisection with a dyadic z = 256 k + 128 axis carried
+    through, emitting wrf-python cape_2d's lcl (dry-ascent closed
+    form, rounded 1e-6 — the Bolton T_lcl is transcendental) and lfc
+    (z at the highest-pressure B > 0 level; exact dyadic, NULL when
+    no LFC — replaying the engine's p == p_lfc selection on exact
+    dyadic pressures)."""
+    from wrf_to_geodataframe_spark.functions.meteo import (
+        G0,
+        RD,
+        RD_OVER_CP,
+        moist_adiabat_sql,
+    )
+
+    m_per_k = RD / RD_OVER_CP / G0  # cp/g, the engine's exact literal
 
     # every formula below references the DOUBLE-cast columns of lev /
     # par0, never raw decimal literals against each other: DuckDB only
@@ -311,6 +325,7 @@ lev AS (
                       - 0.00146484375 * k
                  ELSE 0.000244140625 END AS DOUBLE) AS qv,
            CAST(500.0 + k * 20.0 AS DOUBLE) AS dz
+           {", CAST(256.0 * k + 128.0 AS DOUBLE) AS z" if heights else ""}
     FROM cells, generate_series(0, {_CAPE_K - 1}) AS t2(k)
 ),
 par0 AS (
@@ -327,7 +342,9 @@ par1 AS (
     SELECT y, x, t0, p0, qv0, {tl} AS tl FROM par0
 ),
 par AS (
-    SELECT y, x, t0, p0, qv0, {the0} AS the0, {plcl} AS plcl FROM par1
+    SELECT y, x, t0, p0, qv0, {the0} AS the0, {plcl} AS plcl
+           {", tl" if heights else ""}
+    FROM par1
 ),
 it AS (
     SELECT lev.y, lev.x, lev.k, lev.p, par.the0,
@@ -346,6 +363,7 @@ tpm AS (
 ),
 b AS (
     SELECT q.y, q.x, q.k, q.p, q.dz,
+           {"q.z," if heights else ""}
            9.81 * (tvp - tve) / tve AS bb
     FROM (
         SELECT lev.*,
@@ -366,22 +384,81 @@ b AS (
 ),
 lfc AS (
     SELECT y, x, k, p, dz, bb,
+           {"z," if heights else ""}
            max(CASE WHEN bb > 0 THEN p END)
              OVER (PARTITION BY y, x) AS p_lfc
     FROM b
 )
-SELECT y AS y_idx, CAST(x AS BIGINT) AS x_idx,
+SELECT lfc.y AS y_idx, CAST(lfc.x AS BIGINT) AS x_idx,
        CAST(sum(CAST(floor(
            (CASE WHEN bb > 0.0 THEN bb ELSE 0.0 END) * dz * 10000.0
          ) AS BIGINT)) AS BIGINT) / 10000.0 AS cape,
        CAST(sum(CASE WHEN p > p_lfc THEN CAST(floor(
            (CASE WHEN bb < 0.0 THEN bb ELSE 0.0 END) * dz * 10000.0
          ) AS BIGINT) END) AS BIGINT) / 10000.0 AS cin
-FROM lfc GROUP BY y, x
+       {f''',
+       round(min(128.0 + (par.t0 - par.tl) * {m_per_k!r}), 6) AS lcl,
+       max(CASE WHEN p = p_lfc THEN z END) AS lfc'''
+        if heights else ""}
+FROM lfc {"JOIN par ON lfc.y = par.y AND lfc.x = par.x" if heights else ""}
+GROUP BY lfc.y, lfc.x
 """
 
 
 _M6_SQL = _m6_sql()
+_M16_SQL = _m6_sql(heights=True)
+
+
+def m16_cape2d_lcl_lfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wrf-python ``cape_2d``'s FULL four-field output (cape/cin plus
+    the LCL and LFC heights — operators/vertical.surface_cape's z_col
+    form): the m6 soundings with a dyadic height axis z = 256 k + 128.
+    lcl is the dry-adiabatic ascent height z0 + (T0 - T_lcl) cp/g
+    (group-constant; rounded 1e-6 — the Bolton T_lcl is
+    transcendental), lfc the height of the level of free convection
+    (exact dyadic, compared UNROUNDED; NULL for absolutely stable
+    columns, the cin convention — both arms live at every SF).
+
+    Oracle (class C, recurrence replay — suite/__init__ taxonomy):
+    the m6 recursive-CTE bisection with the z axis carried through
+    (``_m6_sql(heights=True)``), the LFC selected by the same
+    p == p_lfc equality on exact dyadic pressures; the structurally
+    different cross-check is the pure-numpy replay in
+    tests/test_cape.py."""
+    from wrf_to_geodataframe_spark.operators.vertical import surface_cape
+
+    lev = _lattice(spark, sf_dir).select(
+        "y", "x",
+        F.explode(F.sequence(F.lit(0), F.lit(_CAPE_K - 1))).alias("k"),
+    ).select(
+        "y", "x", "k",
+        (F.lit(100000.0) - F.col("k") * 9000.0).alias("p"),
+        (
+            F.lit(302.0)
+            + (F.col("x") % 3) * 0.5
+            + (F.col("y") % 5) * 0.25
+            - F.when((F.col("x") + F.col("y")) % 5 == 4, 3.0)
+            .otherwise(F.lit(6.5))
+            * F.col("k")
+        ).alias("t"),
+        F.greatest(
+            F.lit(0.015625)
+            + ((F.col("x") + F.col("y")) % 4) * 0.001953125
+            - F.lit(0.00146484375) * F.col("k"),
+            F.lit(0.000244140625),
+        ).alias("qv"),
+        (F.lit(500.0) + F.col("k") * 20.0).alias("dz"),
+        (F.lit(256.0) * F.col("k") + F.lit(128.0)).alias("z"),
+    )
+    out = surface_cape(lev, "p", "t", "qv", "dz", ["y", "x"], z_col="z")
+    return out.select(
+        F.col("y").alias("y_idx"),
+        F.col("x").cast("long").alias("x_idx"),
+        "cape",
+        "cin",
+        F.round("lcl", 6).alias("lcl"),
+        "lfc",
+    )
 
 
 def m7_potential_vorticity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1989,6 +2066,7 @@ QUERIES = {
     "m4_updraft_helicity": m4_updraft_helicity,
     "m5_storm_rel_helicity": m5_storm_rel_helicity,
     "m6_surface_cape": m6_surface_cape,
+    "m16_cape2d_lcl_lfc": m16_cape2d_lcl_lfc,
     "m7_potential_vorticity": m7_potential_vorticity,
     "m8_cloud_fraction": m8_cloud_fraction,
     "g18_smooth2d": g18_smooth2d,
@@ -2013,6 +2091,7 @@ ORACLE = {
     "m4_updraft_helicity": _M4_SQL,
     "m5_storm_rel_helicity": _M5_SQL,
     "m6_surface_cape": _M6_SQL,
+    "m16_cape2d_lcl_lfc": _M16_SQL,
     "m7_potential_vorticity": _M7_SQL,
     "m8_cloud_fraction": _M8_SQL,
     "g18_smooth2d": _G18_SQL,
