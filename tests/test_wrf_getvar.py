@@ -1148,3 +1148,15 @@ def test_cape_2d_front_door_lcl_lfc_agl(spark, archive):
     lvl_agl = {round(float(z - hgt), 6) for z in zm[:, j, i]}
     lfc = got[(f, j, i)][3]
     assert lfc is None or round(float(lfc), 6) in lvl_agl
+
+
+def test_getvar_times_name(spark, archive):
+    """getvar('times') returns the decoded Times axis itself (the
+    wrf-python coordinate product) — one row per shard timestep."""
+    rows = sorted(
+        (r.lt, r.time.isoformat())
+        for r in wrf_getvar(spark, archive, "times").collect()
+    )
+    assert rows == [(0, "2021-06-15T00:00:00"), (0, "2021-06-15T06:00:00")]
+    with pytest.raises(TypeError, match="no options"):
+        wrf_getvar(spark, archive, "times", bogus=1)

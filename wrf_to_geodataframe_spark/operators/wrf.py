@@ -389,6 +389,14 @@ def wrf_getvar(
     workflow) without a separate virtual manifest."""
     from wrf_to_geodataframe_spark.functions import meteo as M
 
+    if varname in ("times", "xtimes"):
+        # wrf-python getvar("times"): the decoded time coordinate
+        # itself — the metadata-sized (file, lt, time) axis, no grid
+        if kw or attrs:
+            raise TypeError(
+                f"getvar({varname!r}) takes no options"
+            )
+        return wrf_times(spark, path)
     with_times = bool(kw.pop("times", False))
     if with_times:
         out = wrf_getvar(
@@ -423,7 +431,8 @@ def _validate(
     if varname not in SUPPORTED:
         raise ValueError(
             f"getvar name {varname!r} not implemented; supported: "
-            f"{sorted(SUPPORTED)} (+ aliases {sorted(ALIASES)})"
+            f"{sorted(SUPPORTED)} (+ aliases {sorted(ALIASES)}; the "
+            "time axis via 'times'/'xtimes' in wrf_getvar)"
         )
     need = SUPPORTED[varname]
     species = ()
