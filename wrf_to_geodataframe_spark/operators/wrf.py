@@ -35,8 +35,13 @@ GeoDataFrames (wrf_voronoi.py:115); this front door covers the getvar
 names its workflows consume.  CALDBZ defaults to rain-only; pass
 ``species=("QRAIN", "QSNOW", "QGRAUP")`` for the full-hydrometeor
 form (the snow/graupel terms ride the same single mass scan).
-``times=True`` adds the decoded wrfout ``Times`` timestamp;
-:func:`wrf_getvar_many` shares one scan set across several names.
+``times=True`` adds the decoded wrfout ``Times`` timestamp (and
+``getvar('times')`` returns the axis itself); :func:`wrf_getvar_many`
+shares one scan set across several names.  wrf-python alias
+spellings (``temp``, ``th``, ``dp``, ``theta_e``, ...) resolve via
+``ALIASES``; the storm diagnostics (``helicity``,
+``updraft_helicity``) and ``cape_2d``'s lcl/lfc report heights above
+ground like wrf-python, with the terrain plane read on its own.
 """
 
 from __future__ import annotations
