@@ -1160,3 +1160,34 @@ def test_getvar_times_name(spark, archive):
     assert rows == [(0, "2021-06-15T00:00:00"), (0, "2021-06-15T06:00:00")]
     with pytest.raises(TypeError, match="no options"):
         wrf_getvar(spark, archive, "times", bogus=1)
+
+
+def test_wind_single_products(spark, archive):
+    """wrf-python's single-component wind names project one column of
+    the matching pair product — equal values, the requested name as
+    the column, in both front doors (incl. omg -> omega)."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_getvar_many
+
+    pair = _collect(wrf_getvar(spark, archive, "wspd_wdir"),
+                    "wspd", "wdir")
+    ws = _collect(wrf_getvar(spark, archive, "wspd"), "wspd")
+    assert all(ws[k] == pair[k][0] for k in pair)
+    many = wrf_getvar_many(
+        spark, archive, ["wdir", "uvmet10_wspd10", "tk"], attrs=ATTRS
+    )
+    assert many["wdir"].columns == ["file", "k", "y_idx", "x_idx",
+                                    "wdir"]
+    wd = _collect(many["wdir"], "wdir")
+    assert all(wd[k] == pair[k][1] for k in pair)
+    uv10 = _collect(
+        wrf_getvar(spark, archive, "uvmet10", attrs=ATTRS), "ue10", "ve10"
+    )
+    got10 = _collect(many["uvmet10_wspd10"], "uvmet10_wspd10")
+    for key in [(0, 0, 0), (1, 3, 4)]:
+        ue, ve = uv10[key]
+        assert got10[key] == pytest.approx(math.hypot(ue, ve), rel=1e-12)
+    from wrf_to_geodataframe_spark.session import release_persisted
+
+    release_persisted()
+    om = _collect(wrf_getvar(spark, archive, "omg"), "omega")
+    assert len(om) == NF * NK * NJ * NI

@@ -125,8 +125,23 @@ ALIASES: dict[str, str] = {
     "dp2": "td2",
     "theta_e": "eth",
     "geopotential": "geopt",
+    "omg": "omega",
     "uvmet_wspd_wdir": "wspd_wdir_uvmet",
     "uvmet10_wspd_wdir10": "wspd_wdir_uvmet10",
+}
+
+#: single-component wind products (wrf-python's wspd / wdir family):
+#: the matching pair branch computed, then ONE component projected —
+#: same raw variables, same plan shape, one column out
+_WIND_SINGLE: dict[str, tuple[str, str]] = {
+    "wspd": ("wspd_wdir", "wspd"),
+    "wdir": ("wspd_wdir", "wdir"),
+    "wspd10": ("wspd_wdir10", "wspd10"),
+    "wdir10": ("wspd_wdir10", "wdir10"),
+    "uvmet_wspd": ("wspd_wdir_uvmet", "wspd_uv"),
+    "uvmet_wdir": ("wspd_wdir_uvmet", "wdir_uv"),
+    "uvmet10_wspd10": ("wspd_wdir_uvmet10", "wspd_uv10"),
+    "uvmet10_wdir10": ("wspd_wdir_uvmet10", "wdir_uv10"),
 }
 
 #: names whose OUTPUT is a 2-D single plane — keyed
@@ -394,6 +409,15 @@ def wrf_getvar(
     workflow) without a separate virtual manifest."""
     from wrf_to_geodataframe_spark.functions import meteo as M
 
+    if varname in _WIND_SINGLE:
+        pair, comp = _WIND_SINGLE[varname]
+        out = wrf_getvar(
+            spark, path, pair, lat_var=lat_var, lon_var=lon_var,
+            attrs=attrs, **kw,
+        )
+        keys = [c for c in out.columns
+                if c in ("file", "k", "y_idx", "x_idx", "time")]
+        return out.select(*keys, F.col(comp).alias(varname))
     if varname in ("times", "xtimes"):
         # wrf-python getvar("times"): the decoded time coordinate
         # itself — the metadata-sized (file, lt, time) axis, no grid
@@ -436,8 +460,9 @@ def _validate(
     if varname not in SUPPORTED:
         raise ValueError(
             f"getvar name {varname!r} not implemented; supported: "
-            f"{sorted(SUPPORTED)} (+ aliases {sorted(ALIASES)}; the "
-            "time axis via 'times'/'xtimes' in wrf_getvar)"
+            f"{sorted(SUPPORTED)} (+ aliases {sorted(ALIASES)}, wind "
+            f"singles {sorted(_WIND_SINGLE)}, and the time axis via "
+            "'times'/'xtimes' in wrf_getvar)"
         )
     need = SUPPORTED[varname]
     species = ()
@@ -871,10 +896,14 @@ def wrf_getvar_many(
         raise ValueError(
             f"options given for names not requested: {unknown}"
         )
-    canon, needs, specs, kws = {}, {}, {}, {}
+    canon, needs, specs, kws, proj = {}, {}, {}, {}, {}
     for name in varnames:
         kw = opts.get(name, {})
-        canon[name], (needs[name], specs[name]) = _validate(name, kw)
+        pair = _WIND_SINGLE.get(name)
+        proj[name] = pair[1] if pair else None
+        canon[name], (needs[name], specs[name]) = _validate(
+            pair[0] if pair else name, kw
+        )
         kws[name] = kw
     bases: dict[bool, DataFrame | None] = {}
     for is_sfc in (False, True):
@@ -915,6 +944,10 @@ def wrf_getvar_many(
             specs[name], attrs, lat_var, lon_var,
             zdz=zdz, coords=coords, **kws[name],
         )
+        if proj[name]:
+            keys = [c for c in df.columns
+                    if c in ("file", "k", "y_idx", "x_idx")]
+            df = df.select(*keys, F.col(proj[name]).alias(name))
         if tdf is not None:
             df = df.join(F.broadcast(tdf), "file")
         out[name] = df
