@@ -1191,3 +1191,50 @@ def test_wind_single_products(spark, archive):
     release_persisted()
     om = _collect(wrf_getvar(spark, archive, "omg"), "omega")
     assert len(om) == NF * NK * NJ * NI
+
+
+def test_wrf_interplevel_multi_target(spark, archive):
+    """The array-of-levels interplevel form: each level's row equals
+    the single-target call, the level column reports the caller's
+    datum for height coordinates too (negation round-trip), and an
+    out-of-range level is NULL while in-range ones survive."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_interplevel
+    from wrf_to_geodataframe_spark.session import release_persisted
+
+    multi = wrf_interplevel(spark, archive, "tk", [85000.0, 70000.0])
+    rows = {
+        (r.f, r.level, r.y_idx, r.x_idx): r.tk_interp
+        for r in multi.withColumn(
+            "f", F.regexp_extract("file", r"_(\d+)\.nc", 1).cast("long")
+        ).collect()
+    }
+    assert len(rows) == NF * 2 * NJ * NI
+    for tgt in (85000.0, 70000.0):
+        single = _collect(
+            wrf_interplevel(spark, archive, "tk", tgt), "tk_interp"
+        )
+        for (f, j, i) in [(0, 0, 0), (1, 3, 4)]:
+            assert rows[(f, tgt, j, i)] == single[(f, j, i)], (tgt, f)
+    release_persisted()
+    # height coordinate: levels come back on the caller's datum
+    hm = wrf_interplevel(
+        spark, archive, "pressure", [1000.0, 99999.0], on="z"
+    )
+    got = {
+        (r.level, r.y_idx, r.x_idx): r.pressure_interp
+        for r in hm.filter(F.col("file").endswith("_000.nc")).collect()
+    }
+    release_persisted()
+    assert {k[0] for k in got} == {1000.0, 99999.0}
+    v = _fields(0.0)
+    zs = (v["ph"] + v["phb"]) / 9.81
+    zm = (zs[:-1] + zs[1:]) / 2.0
+    prs = v["p"] + v["pb"]
+    j, i = 2, 3
+    ks = int(np.searchsorted(zm[:, j, i], 1000.0))  # first level above
+    k1 = ks - 1
+    want = prs[k1, j, i] + (prs[k1 + 1, j, i] - prs[k1, j, i]) * (
+        (zm[k1, j, i] - 1000.0) / (zm[k1, j, i] - zm[k1 + 1, j, i])
+    )
+    assert got[(1000.0, j, i)] == pytest.approx(want, rel=1e-12)
+    assert got[(99999.0, j, i)] is None  # above model top

@@ -980,8 +980,18 @@ def wrf_interplevel(
     with height) interpolate directly; ``on`` in ("z", "height") is
     negated internally so the bracket search's monotone-decreasing
     requirement holds — callers pass the target height in plain
-    metres either way."""
-    from wrf_to_geodataframe_spark.operators.vertical import interplevel
+    metres either way.
+
+    ``target`` may be a SEQUENCE of levels (wrf-python's array form):
+    the frame then carries a ``level`` column and one row per
+    (column, level), computed by operators/vertical.vinterp — the
+    bracket window runs ONCE and the bracket rows cross the literal
+    target array, so k levels cost one archive pass and one window,
+    never k of either."""
+    from wrf_to_geodataframe_spark.operators.vertical import (
+        interplevel,
+        vinterp,
+    )
 
     if ALIASES.get(field, field) == ALIASES.get(on, on):
         raise ValueError(
@@ -992,13 +1002,22 @@ def wrf_interplevel(
         attrs=attrs, options={field: kw} if kw else None,
     )
     d = many[field].join(many[on], _KEY)
-    tgt = float(target)
-    if on in ("z", "height"):  # increasing coordinate: search on -z
+    neg = on in ("z", "height")  # increasing coordinate: search on -x
+    if neg:
         d = d.withColumn(on, -F.col(on))
-        tgt = -tgt
-    return interplevel(
-        d, on, field, tgt, _KEY3, out_col=f"{field}_interp"
+    if not isinstance(target, (list, tuple)):
+        tgt = -float(target) if neg else float(target)
+        return interplevel(
+            d, on, field, tgt, _KEY3, out_col=f"{field}_interp"
+        )
+    ts = [(-float(t) if neg else float(t)) for t in target]
+    out = vinterp(
+        d, on, field, ts, _KEY3, out_coord="level",
+        out_col=f"{field}_interp",
     )
+    if neg:  # report the caller's datum, not the search coordinate's
+        out = out.withColumn("level", -F.col("level"))
+    return out
 
 
 def wrf_vertcross(

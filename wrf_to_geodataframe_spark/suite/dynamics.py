@@ -1903,6 +1903,70 @@ FROM generate_series(0, {_GV_NF - 1}) AS tf(f),
 _S12_SQL = _s12_sql()
 
 
+def s13_interplevel_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-LEVEL interplevel through the front door (wrf-python's
+    array-of-levels form): tk onto 880 and 850 hPa in ONE call —
+    operators/vertical.vinterp runs the bracket window once and
+    crosses the literal target array, so both levels ride one shared
+    archive scan (the s7 plumbing, k levels for the price of one).
+
+    Oracle (class B, the s7 closed-form pattern): by construction
+    88000 Pa brackets between model levels 0-1 and 85000 Pa between
+    1-2 in EVERY column (the perturbation pressure is only 0..225 Pa),
+    so DuckDB states both brackets in closed form — engine scan +
+    join + window + explode mechanics against independent arithmetic;
+    rounded 1e-6 K (tk is transcendental), level column a literal."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_interplevel
+
+    d = _write_getvar_fixture()
+    out = wrf_interplevel(spark, d, "tk", [88000.0, 85000.0])
+    return out.select(
+        F.regexp_extract("file", r"_(\d+)\.nc", 1)
+        .cast("long")
+        .alias("shard"),
+        "y_idx", "x_idx", "level",
+        F.round("tk_interp", 6).alias("tk_lvl"),
+    )
+
+
+def _s13_sql() -> str:
+    def theta(k: str) -> str:
+        return f"((-8.0 * ({k}) + (i + j) / 4.0 + f) + 300.0)"
+
+    def prs(k: str) -> str:
+        return (
+            f"(100.0 * (i % 3) + 25.0 * f + (95000.0 - 9000.0 * ({k})))"
+        )
+
+    def tkk(k: str) -> str:
+        return f"({theta(k)} * pow({prs(k)} / 100000.0, 2.0/7.0))"
+
+    def interp(k1: str, k2: str, t: str) -> str:
+        return (
+            f"({tkk(k1)} + ({tkk(k2)} - {tkk(k1)})"
+            f" * ({prs(k1)} - {t}) / ({prs(k1)} - {prs(k2)}))"
+        )
+
+    return f"""
+WITH cells AS (
+    SELECT f, j, i
+    FROM generate_series(0, {_GV_NF - 1}) AS tf(f),
+         generate_series(0, {_GV_NJ - 1}) AS tj(j),
+         generate_series(0, {_GV_NI - 1}) AS ti(i)
+)
+SELECT f AS shard, CAST(j AS BIGINT) AS y_idx, CAST(i AS BIGINT) AS x_idx,
+       88000.0 AS level, round({interp('0', '1', '88000.0')}, 6) AS tk_lvl
+FROM cells
+UNION ALL
+SELECT f AS shard, CAST(j AS BIGINT) AS y_idx, CAST(i AS BIGINT) AS x_idx,
+       85000.0 AS level, round({interp('1', '2', '85000.0')}, 6) AS tk_lvl
+FROM cells
+"""
+
+
+_S13_SQL = _s13_sql()
+
+
 _CW_NJ, _CW_NI = 4, 5  # capstone grid; 8 six-hourly shards = 2 days
 
 
@@ -2061,6 +2125,7 @@ QUERIES = {
     "m15_getvar_helicity": m15_getvar_helicity,
     "s11_wrf_interpline": s11_wrf_interpline,
     "s12_getvar_coords": s12_getvar_coords,
+    "s13_interplevel_multi": s13_interplevel_multi,
     "capstone_wrf_voronoi": capstone_wrf_voronoi,
     "m3_absolute_vorticity": m3_absolute_vorticity,
     "m4_updraft_helicity": m4_updraft_helicity,
@@ -2086,6 +2151,7 @@ ORACLE = {
     "m15_getvar_helicity": _M15_SQL,
     "s11_wrf_interpline": _S11_SQL,
     "s12_getvar_coords": _S12_SQL,
+    "s13_interplevel_multi": _S13_SQL,
     "capstone_wrf_voronoi": _CAPSTONE_SQL,
     "m3_absolute_vorticity": _M3_SQL,
     "m4_updraft_helicity": _M4_SQL,
