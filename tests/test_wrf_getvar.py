@@ -1238,3 +1238,53 @@ def test_wrf_interplevel_multi_target(spark, archive):
     )
     assert got[(1000.0, j, i)] == pytest.approx(want, rel=1e-12)
     assert got[(99999.0, j, i)] is None  # above model top
+
+
+def test_updraft_helicity_map_factors(spark, archive):
+    """getvar('updraft_helicity', map_factors=True) applies the
+    DCALCUH curvilinear form zeta = m^2 (d(v/m)/dx - d(u/m)/dy) with
+    MAPFAC_M read from the archive — numpy replay.  On this archive
+    the uniform-grid zeta is identically 0 (dv/dx == du/dy), so a
+    NONZERO map-factor UH proves the factors actually entered the
+    stencil."""
+    got = _collect(
+        wrf_getvar(spark, archive, "updraft_helicity", attrs=ATTRS,
+                   map_factors=True),
+        "updraft_helicity",
+    )
+    assert len(got) == NF * NJ * NI
+    jj, ii = np.meshgrid(np.arange(NJ), np.arange(NI), indexing="ij")
+    m2 = 1.0 + (ii + jj) / 64.0
+    nonzero = 0
+    for f in range(NF):
+        v = _fields(float(f))
+        um = (v["u"][:, :, :-1] + v["u"][:, :, 1:]) / 2.0
+        vm = (v["v"][:, :-1, :] + v["v"][:, 1:, :]) / 2.0
+        wm = (v["w"][:-1] + v["w"][1:]) / 2.0
+        zs = (v["ph"] + v["phb"]) / 9.81
+        zm = (zs[:-1] + zs[1:]) / 2.0
+        dzl = zs[1:] - zs[:-1]
+        um_m, vm_m = um / m2, vm / m2
+        for (j, i) in [(0, 0), (1, 1), (2, 3), (3, 4)]:
+            want = 0.0
+            if 1 <= i <= NI - 2 and 1 <= j <= NJ - 2:
+                hgt = 120.0 + (i * 3.0 + j * 5.0) / 4.0
+                for k in range(NK):
+                    agl = zm[k, j, i] - hgt
+                    if 2000.0 <= agl <= 5000.0:
+                        zeta = m2[j, i] * m2[j, i] * (
+                            (vm_m[k, j, i + 1] - vm_m[k, j, i - 1])
+                            / 8000.0
+                            - (um_m[k, j + 1, i] - um_m[k, j - 1, i])
+                            / 8000.0
+                        )
+                        want += wm[k, j, i] * zeta * dzl[k, j, i]
+            assert got[(f, j, i)] == pytest.approx(want, abs=1e-15), (
+                f, j, i,
+            )
+            if want != 0.0:
+                nonzero += 1
+    assert nonzero > 0  # the factors demonstrably entered the stencil
+    with pytest.raises(TypeError, match="map_factors"):
+        wrf_getvar(spark, archive, "updraft_helicity", attrs=ATTRS,
+                   bogus=1)

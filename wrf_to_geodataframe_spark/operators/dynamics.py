@@ -127,6 +127,7 @@ def updraft_helicity(
     z_top: float = 5000.0,
     group_cols: list[str] | None = None,
     out_col: str = "uh",
+    msf_col: str | None = None,
 ) -> DataFrame:
     """Updraft helicity [m2 s-2] (the wrf-python `updraft_helicity`
     quantity): UH = integral over z in [z_bottom, z_top] of w * zeta
@@ -136,11 +137,18 @@ def updraft_helicity(
     then one partial-aggregated groupBy summing the band — levels
     outside the band or on the lateral boundary contribute nothing.
     Extra ``group_cols`` (time, file) keep pencils and columns
-    per-slab, like every sibling operator."""
+    per-slab, like every sibling operator.
+
+    ``msf_col`` applies the curvilinear map-factor form to zeta
+    (zeta = m^2 (d(v/m)/dx - d(u/m)/dy), see
+    :func:`absolute_vorticity`) — wrf-python's DCALCUH always uses
+    the map factors; without it the uniform-grid form applies
+    (stated), exact only near the projection's true latitudes."""
     extra = list(group_cols or [])
     zeta = absolute_vorticity(
         df, u_col, v_col, x_col, y_col, dx, dy,
         lat_col=None, group_cols=extra + [k_col], out_col="_zeta",
+        msf_col=msf_col,
     )
     in_band = (F.col(z_col) >= F.lit(float(z_bottom))) & (
         F.col(z_col) <= F.lit(float(z_top))

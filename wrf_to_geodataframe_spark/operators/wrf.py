@@ -785,10 +785,11 @@ def _dispatch(
 
         bottom = float(kw.pop("bottom", 2000.0))
         top = float(kw.pop("top", 5000.0))
+        map_factors = bool(kw.pop("map_factors", False))
         if kw:
             raise TypeError(
-                "getvar('updraft_helicity') options: bottom/top only, "
-                f"got {sorted(kw)}"
+                "getvar('updraft_helicity') options: bottom/top/"
+                f"map_factors only, got {sorted(kw)}"
             )
         if not attrs:
             raise ValueError(
@@ -797,11 +798,22 @@ def _dispatch(
             )
         from wrf_to_geodataframe_spark.functions.crs import _attr_scalar
 
+        msf_col = None
+        if map_factors:
+            # wrf-python's DCALCUH form: curvilinear zeta via the
+            # mass-point map-scale factor (the avo pattern)
+            m = (
+                _raw(spark, path, "MAPFAC_M", lat_var, lon_var)
+                .select("file", "y_idx", "x_idx", "mapfac_m")
+                .distinct()
+            )
+            d = d.join(m, _KEY3)
+            msf_col = "mapfac_m"
         return updraft_helicity(
             d, "w", "u", "v", "x_idx", "y_idx", "_agl", "k",
             _attr_scalar(attrs, "DX"), _attr_scalar(attrs, "DY"), "dz",
             z_bottom=bottom, z_top=top, group_cols=["file"],
-            out_col="updraft_helicity",
+            out_col="updraft_helicity", msf_col=msf_col,
         ).select(*_KEY3, "updraft_helicity")
     if varname in ("avo", "pvo"):
         # ``map_factors=True`` reads MAPFAC_M (the mass-point map-scale
