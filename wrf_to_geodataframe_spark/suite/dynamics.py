@@ -1719,7 +1719,11 @@ def m15_getvar_helicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _m15_sql() -> str:
+def _m15_ctes() -> str:
+    """The m15 CTE block (cells / srh / uh over the fixture's
+    closed-form destaggered winds) as a NAMED composable constant —
+    m15 selects it raw, m17 screens it (the _CC_CTES composition
+    rule: shared oracle prefixes are composed, never string-sliced)."""
     def u(k: str) -> str:
         return (
             f"((2.0 * ({k}) * ({k}) + 3.0 * j * j + i + 0.5"
@@ -1759,13 +1763,16 @@ uh AS (
     FROM cells, generate_series(2, 5) AS tk(k)
     GROUP BY f, j, i
 )
+"""
+
+
+_M15_CTES = _m15_ctes()
+
+_M15_SQL = _M15_CTES + """
 SELECT f AS shard, CAST(j AS BIGINT) AS y_idx, CAST(i AS BIGINT) AS x_idx,
        helicity, uh_q
 FROM srh JOIN uh USING (f, j, i)
 """
-
-
-_M15_SQL = _m15_sql()
 
 
 def s11_wrf_interpline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1967,6 +1974,65 @@ FROM cells
 _S13_SQL = _s13_sql()
 
 
+def m17_storm_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEVERE-WEATHER SCREENING chain every convective forecaster
+    composes from the new storm surface: wrf_getvar_many(helicity +
+    updraft_helicity, times=True) -> join per column -> mesocyclone
+    screen (uh_q > 0 AND srh >= 4) -> per-shard candidate count,
+    summed quantized UH, and max SRH with the decoded timestamp —
+    one shared destaggered U/V/W scan set feeds both diagnostics, the
+    time table broadcasts, and every output is exact (BIGINT counts/
+    sums on the m15 lattice, dyadic SRH, INTERVAL-arithmetic time).
+
+    Oracle (class B): the composable _M15_CTES block screened with
+    the same threshold — dyadic SRH values and integer uh_q make the
+    screen deterministic on both engines (equality-at-threshold would
+    still agree: both sides compare identical exact doubles)."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_getvar_many
+
+    d = _write_getvar_fixture()
+    m = wrf_getvar_many(
+        spark, d, ["helicity", "updraft_helicity"],
+        attrs=_M15_ATTRS, times=True,
+        options={
+            "helicity": {"top": 2000.0, "c_u": 1.25, "c_v": -0.5},
+            "updraft_helicity": {"bottom": 1000.0, "top": 3000.0},
+        },
+    )
+    k3t = ["file", "y_idx", "x_idx", "time"]
+    j = m["helicity"].join(m["updraft_helicity"], k3t)
+    uh_q = F.round(
+        F.col("updraft_helicity") * 16384.0 / 125.0, 0
+    ).cast("long")
+    cand = j.withColumn("uh_q", uh_q).filter(
+        (F.col("uh_q") > 0) & (F.col("helicity") >= 4.0)
+    )
+    return cand.groupBy(
+        F.regexp_extract("file", r"_(\d+)\.nc", 1)
+        .cast("long")
+        .alias("shard"),
+        F.date_format("time", "yyyy-MM-dd HH:mm:ss").alias("t_str"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand"),
+        F.sum("uh_q").cast("long").alias("uh_sum_q"),
+        F.max("helicity").alias("srh_max"),
+    )
+
+
+_M17_SQL = _M15_CTES + """
+SELECT f AS shard,
+       strftime(TIMESTAMP '2021-06-15 00:00:00'
+                + to_hours(CAST(6 * f AS BIGINT)),
+                '%Y-%m-%d %H:%M:%S') AS t_str,
+       CAST(count(*) AS BIGINT) AS n_cand,
+       CAST(sum(uh_q) AS BIGINT) AS uh_sum_q,
+       max(helicity) AS srh_max
+FROM srh JOIN uh USING (f, j, i)
+WHERE uh_q > 0 AND helicity >= 4.0
+GROUP BY f
+"""
+
+
 _CW_NJ, _CW_NI = 4, 5  # capstone grid; 8 six-hourly shards = 2 days
 
 
@@ -2126,6 +2192,7 @@ QUERIES = {
     "s11_wrf_interpline": s11_wrf_interpline,
     "s12_getvar_coords": s12_getvar_coords,
     "s13_interplevel_multi": s13_interplevel_multi,
+    "m17_storm_screen": m17_storm_screen,
     "capstone_wrf_voronoi": capstone_wrf_voronoi,
     "m3_absolute_vorticity": m3_absolute_vorticity,
     "m4_updraft_helicity": m4_updraft_helicity,
@@ -2152,6 +2219,7 @@ ORACLE = {
     "s11_wrf_interpline": _S11_SQL,
     "s12_getvar_coords": _S12_SQL,
     "s13_interplevel_multi": _S13_SQL,
+    "m17_storm_screen": _M17_SQL,
     "capstone_wrf_voronoi": _CAPSTONE_SQL,
     "m3_absolute_vorticity": _M3_SQL,
     "m4_updraft_helicity": _M4_SQL,
