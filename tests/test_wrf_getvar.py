@@ -1288,3 +1288,83 @@ def test_updraft_helicity_map_factors(spark, archive):
     with pytest.raises(TypeError, match="map_factors"):
         wrf_getvar(spark, archive, "updraft_helicity", attrs=ATTRS,
                    bogus=1)
+
+
+def test_wrf_interplevel_theta_coordinate(spark, archive):
+    """interplevel onto a THETA surface (wrf-python vinterp's
+    vert_coord='theta'): the increasing-coordinate negation applies;
+    numpy replay at a spot column (theta = T + 300 is strictly
+    increasing with k on this archive... it DECREASES here (-8k), so
+    theta is pressure-like and 'theta' negation flips it — the
+    bracket search still finds the unique crossing because negation
+    of a monotone column is monotone the other way; this test pins
+    the plumbing on a tc target inside every column's range)."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_interplevel
+    from wrf_to_geodataframe_spark.session import release_persisted
+
+    # theta falls with k here: 300+..+f at k=0 down to -40+.. at k=5;
+    # negated it increases, and the bracket finds theta == 285
+    got = _collect(
+        wrf_interplevel(spark, archive, "tk", 285.0, on="theta"),
+        "tk_interp",
+    )
+    release_persisted()
+    assert len(got) == NF * NJ * NI
+    for (f, j, i) in [(0, 2, 3), (1, 4, 5)]:
+        v = _fields(float(f))
+        th = v["t"] + 300.0
+        prs = v["p"] + v["pb"]
+        tk = th * (prs / 100000.0) ** (2.0 / 7.0)
+        col_th = -th[:, j, i]  # the engine's search coordinate
+        tgt = -285.0
+        # the kernel sorts the (negated) coordinate DESC and pairs
+        # adjacent rows in THAT order; theta falls with k here, so
+        # -theta rises with k and the desc-adjacent pairs are
+        # (k+1, k) — replay exactly its p1 >= t >= p2 rule
+        pairs = sorted(
+            ((col_th[k + 1], tk[k + 1, j, i], col_th[k], tk[k, j, i])
+             for k in range(NK - 1)),
+            key=lambda p: -p[0],
+        )
+        match = [p for p in pairs if p[0] >= tgt >= p[2]]
+        assert match
+        p1, f1, p2, f2 = match[-1]  # min_by p1: the smallest p1 pair
+        want = f1 + (f2 - f1) * (p1 - tgt) / (p1 - p2)
+        assert got[(f, j, i)] == pytest.approx(want, rel=1e-12), (f, j, i)
+
+
+def test_wrf_smooth2d_front_door(spark, archive):
+    """wrf_smooth2d == the numpy 5-point smoother per slab: 2-D field
+    (one plane per shard) and a per-level field (each (file, k) slab
+    independent); boundaries keep their value."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_smooth2d
+
+    def np_smooth(a):
+        out = a.copy()
+        inner = (
+            a[1:-1, 1:-1] / 2.0
+            + (a[1:-1, :-2] + a[1:-1, 2:] + a[:-2, 1:-1] + a[2:, 1:-1])
+            / 8.0
+        )
+        out[1:-1, 1:-1] = inner
+        return out
+
+    got = _collect(wrf_smooth2d(spark, archive, "ter"), "ter_sm")
+    jj, ii = np.meshgrid(np.arange(NJ), np.arange(NI), indexing="ij")
+    ter = 120.0 + (ii * 3.0 + jj * 5.0) / 4.0
+    sm = np_smooth(ter)
+    for f in range(NF):
+        for (j, i) in [(0, 0), (2, 3), (NJ - 1, NI - 1)]:
+            assert got[(f, j, i)] == sm[j, i], (f, j, i)
+    got3 = _collect(
+        wrf_smooth2d(spark, archive, "theta", passes=2), "theta_sm"
+    )
+    for f in range(NF):
+        v = _fields(float(f))
+        th = v["t"] + 300.0
+        for k in (0, NK - 1):
+            want = np_smooth(np_smooth(th[k]))
+            for (j, i) in [(1, 1), (3, 4)]:
+                assert got3[(f, k, j, i)] == want[j, i], (f, k, j, i)
+    with pytest.raises(ValueError, match="single-component"):
+        wrf_smooth2d(spark, archive, "wspd_wdir")

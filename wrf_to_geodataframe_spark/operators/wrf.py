@@ -1014,7 +1014,12 @@ def wrf_interplevel(
         attrs=attrs, options={field: kw} if kw else None,
     )
     d = many[field].join(many[on], _KEY)
-    neg = on in ("z", "height")  # increasing coordinate: search on -x
+    # increasing-with-height coordinates search on the negated column
+    # (wrf-python vinterp's vert_coord surface: pressure-like direct;
+    # ght_msl/ght_agl/theta via negation; theta is monotone for
+    # statically stable profiles — an inversion keeps the LOWEST
+    # bracketing pair, the interplevel tie rule, stated)
+    neg = on in ("z", "height", "height_agl", "theta", "eth")
     if neg:
         d = d.withColumn(on, -F.col(on))
     if not isinstance(target, (list, tuple)):
@@ -1057,6 +1062,44 @@ def wrf_vertcross(
     return vertcross(
         fld, field, "k", "x_idx", "y_idx", start, end, n_points,
         out_col=field, extra_keys=["file"],
+    )
+
+
+def wrf_smooth2d(
+    spark: SparkSession,
+    path: str,
+    field: str,
+    passes: int = 1,
+    lat_var: str = "XLAT",
+    lon_var: str = "XLONG",
+    attrs: dict | None = None,
+    **kw,
+) -> DataFrame:
+    """wrf-python ``smooth2d(getvar(...), passes)`` over the archive:
+    the RIP 5-point smoother applied per horizontal plane of any
+    single-component getvar field (2-D surface staples smooth their
+    one plane; per-level fields smooth each (file, k) slab
+    independently) — operators/dynamics.smooth2d's pencil-window
+    passes with the shard (and level) key as the slab group.  Output
+    column ``<name>_sm``."""
+    from wrf_to_geodataframe_spark.operators.dynamics import smooth2d
+
+    fld = wrf_getvar(
+        spark, path, field, lat_var=lat_var, lon_var=lon_var,
+        attrs=attrs, **kw,
+    )
+    keys = [c for c in fld.columns
+            if c in ("file", "k", "y_idx", "x_idx", "time")]
+    vals = [c for c in fld.columns if c not in keys]
+    if len(vals) != 1:
+        raise ValueError(
+            f"smooth2d needs a single-component field; {field!r} "
+            f"carries {vals}"
+        )
+    groups = [c for c in keys if c in ("file", "k")]
+    return smooth2d(
+        fld, vals[0], "x_idx", "y_idx", passes=int(passes),
+        group_cols=groups,
     )
 
 
