@@ -1368,3 +1368,15 @@ def test_wrf_smooth2d_front_door(spark, archive):
                 assert got3[(f, k, j, i)] == want[j, i], (f, k, j, i)
     with pytest.raises(ValueError, match="single-component"):
         wrf_smooth2d(spark, archive, "wspd_wdir")
+
+
+def test_geopt_stag(spark, archive):
+    """geopt_stag == g * zstag on the staggered levels (the
+    wrf-python name), NK + 1 levels kept."""
+    got = _collect(wrf_getvar(spark, archive, "geopt_stag"),
+                   "geopt_stag")
+    assert len(got) == NF * (NK + 1) * NJ * NI
+    v = _fields(0.0)
+    zs = (v["ph"] + v["phb"]) / 9.81
+    for k in (0, NK):
+        assert got[(0, k, 1, 2)] == zs[k, 1, 2] * 9.81

@@ -100,6 +100,7 @@ SUPPORTED: dict[str, tuple[str, ...]] = {
     "lat": (),
     "lon": (),
     "zstag": (),
+    "geopt_stag": (),  # g * zstag, on the staggered levels
     # earth-rotated speed/direction: uvmet composed with wspd_wdir
     "wspd_wdir_uvmet": ("U", "V"),
     "wspd_wdir_uvmet10": ("U10", "V10"),
@@ -523,6 +524,11 @@ def _dispatch(
         return coords().select(*_KEY3, varname)
     if varname == "zstag":
         return _zstag_tbl(spark, path, lat_var, lon_var)
+    if varname == "geopt_stag":
+        return _zstag_tbl(spark, path, lat_var, lon_var).select(
+            *_KEY,
+            (F.col("zstag") * F.lit(M.G0)).alias("geopt_stag"),
+        )
     if varname in ("ua", "va", "wa"):
         # destaggered components: _base already moved the staggered
         # wind onto mass points (one pencil window per component)
