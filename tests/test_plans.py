@@ -810,3 +810,23 @@ def test_surface_cape_single_column_shuffle(spark):
         assert n_exchange == 2, (parcel, n_exchange)
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" not in plan
+
+
+def test_interplevel_multi_one_window_explode_not_join(spark):
+    """The array-of-levels interplevel claim (s13): k target levels
+    cost ONE bracket window over the column pencils — the targets
+    enter as an exploded literal array (a x k row growth), never a
+    join or cartesian against a level table; both getvar names ride
+    one persisted mass scan."""
+    from wrf_to_geodataframe_spark.session import release_persisted
+    from wrf_to_geodataframe_spark.suite.dynamics import (
+        s13_interplevel_multi,
+    )
+
+    df = s13_interplevel_multi(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    release_persisted()
+    assert plan.count("Window") == 1, plan.count("Window")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate explode") == 2  # cand + universe
+    assert "InMemoryTableScan" in plan  # the shared tk/pressure scan
