@@ -1380,3 +1380,21 @@ def test_geopt_stag(spark, archive):
     zs = (v["ph"] + v["phb"]) / 9.81
     for k in (0, NK):
         assert got[(0, k, 1, 2)] == zs[k, 1, 2] * 9.81
+
+
+def test_vertcross_and_interplevel_named_misuse_errors(spark, archive):
+    """Multi-component or wrong-dimensionality fields raise NAMED
+    errors at the composed front doors instead of opaque analysis
+    failures."""
+    from wrf_to_geodataframe_spark.operators.wrf import (
+        wrf_interplevel,
+        wrf_vertcross,
+    )
+
+    with pytest.raises(ValueError, match="2-D"):
+        wrf_vertcross(spark, archive, "ter", (0, 0), (2, 2), 3)
+    with pytest.raises(ValueError, match="single-component"):
+        wrf_vertcross(spark, archive, "uvmet", (0, 0), (2, 2), 3,
+                      attrs=ATTRS)
+    with pytest.raises(ValueError, match="2-D"):
+        wrf_interplevel(spark, archive, "T2", 85000.0)

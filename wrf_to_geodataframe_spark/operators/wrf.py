@@ -1019,6 +1019,11 @@ def wrf_interplevel(
         spark, path, [field, on], lat_var=lat_var, lon_var=lon_var,
         attrs=attrs, options={field: kw} if kw else None,
     )
+    for name in (field, on):
+        if "k" not in many[name].columns:
+            raise ValueError(
+                f"interplevel needs per-level inputs; {name!r} is 2-D"
+            )
     d = many[field].join(many[on], _KEY)
     # increasing-with-height coordinates search on the negated column
     # (wrf-python vinterp's vert_coord surface: pressure-like direct;
@@ -1065,9 +1070,20 @@ def wrf_vertcross(
         spark, path, field, lat_var=lat_var, lon_var=lon_var,
         attrs=attrs, **kw,
     )
+    if "k" not in fld.columns:
+        raise ValueError(
+            f"vertcross needs a per-level field; {field!r} is 2-D — "
+            "use wrf_interpline"
+        )
+    vals = [c for c in fld.columns if c not in (*_KEY, "time")]
+    if len(vals) != 1:
+        raise ValueError(
+            f"vertcross needs a single-component field; {field!r} "
+            f"carries {vals}"
+        )
     return vertcross(
-        fld, field, "k", "x_idx", "y_idx", start, end, n_points,
-        out_col=field, extra_keys=["file"],
+        fld, vals[0], "k", "x_idx", "y_idx", start, end, n_points,
+        out_col=vals[0], extra_keys=["file"],
     )
 
 
