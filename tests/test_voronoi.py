@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from pyspark.sql import functions as F
 from hypothesis import strategies as st
 
@@ -91,6 +91,11 @@ def test_rotated_grid_partition_and_containment():
         unique=True,
     )
 )
+@example(
+    coords=[(0.0, 0.0),
+     (0.0, 5.556896873712694e-163),
+     (3.2734568842910826e-157, 0.0)],
+).via('discovered failure')
 def test_random_points_partition_bbox(coords):
     pts = np.array(coords, dtype=float)
     bbox = (-1.0, -1.0, 11.0, 11.0)
@@ -337,6 +342,168 @@ def test_denormal_sliver_cell_stays_ccw():
     bbox = (-1.0, -1.0, 11.0, 11.0)
     cells = voronoi_cells(pts, bbox)
     _assert_partition(pts, bbox, cells)
+
+
+def test_near_coincident_sites_snap_to_one_winner():
+    """Regression (hypothesis, round 14): denormal-scale separations
+    square to 0.0 for one pair but not another, so site 1 was sentineled
+    as a duplicate of site 0 while site 2 still clipped against site 1
+    as distinct — inconsistent half-planes left a ~1e-4 sliver of the
+    bbox unclaimed.  With scale-aware snapping the whole near-coincident
+    cluster collapses onto its lowest index: one winner, full bbox."""
+    pts = np.array(
+        [[0.0, 0.0],
+         [0.0, 5.556896873712694e-163],
+         [3.2734568842910826e-157, 0.0]]
+    )
+    bbox = (-1.0, -1.0, 11.0, 11.0)
+    cells = voronoi_cells(pts, bbox)
+    _assert_partition(pts, bbox, cells)
+    assert len(cells[0]) >= 3  # lowest index wins the merged cell
+    assert len(cells[1]) == 0 and len(cells[2]) == 0  # sentinels
+    assert np.isclose(shoelace_area(cells[0]), 144.0, atol=1e-9)
+
+
+def test_near_dup_snapping_leaves_ordinary_inputs_bit_identical():
+    """The snapping pass must be a literal no-op (same cells, bit for
+    bit) when no pair of sites is within eps of each other — this is
+    what keeps the g1 gate hashes stable."""
+    pts = _grid_points(6, 5, shear=0.21, rot=0.3)
+    bbox = (
+        pts[:, 0].min() - 0.4, pts[:, 1].min() - 0.4,
+        pts[:, 0].max() + 0.4, pts[:, 1].max() + 0.4,
+    )
+    from wrf_to_geodataframe_spark.geometry.voronoi import (
+        NEAR_DUP_EPS,
+        _snap_near_duplicates,
+    )
+
+    diag = np.sqrt((bbox[2] - bbox[0]) ** 2 + (bbox[3] - bbox[1]) ** 2)
+    snapped = _snap_near_duplicates(pts, NEAR_DUP_EPS * (1.0 + diag))
+    assert snapped is pts  # same object: no copy on the no-op path
+
+
+def test_near_dup_chain_links_transitively():
+    """A chain a-b-c with consecutive gaps under eps but a-c over eps
+    must still collapse to ONE winner (union-find, not pairwise snap):
+    partial merging would recreate the inconsistent-half-plane defect
+    one level up."""
+    eps = 1e-12 * (1.0 + np.sqrt(2.0) * 12.0)  # bbox (-1,-1,11,11)
+    pts = np.array(
+        [[5.0, 5.0], [5.0 + 0.9 * eps, 5.0], [5.0 + 1.8 * eps, 5.0],
+         [2.0, 2.0]]
+    )
+    bbox = (-1.0, -1.0, 11.0, 11.0)
+    cells = voronoi_cells(pts, bbox)
+    _assert_partition(pts, bbox, cells)
+    assert len(cells[0]) >= 3
+    assert len(cells[1]) == 0 and len(cells[2]) == 0
+    assert len(cells[3]) >= 3
+
+
+_TINY_DELTA = st.sampled_from(
+    [0.0, 5e-324, 5.556896873712694e-163, 1e-157, 2.220446049250313e-16,
+     1e-13]
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    base=st.lists(
+        st.tuples(
+            st.floats(0, 10, allow_nan=False, allow_infinity=False),
+            st.floats(0, 10, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    dups=st.lists(
+        st.tuples(st.integers(0, 24), _TINY_DELTA, _TINY_DELTA), max_size=8
+    ),
+)
+def test_tiled_kernel_matches_global_with_near_dups(base, dups):
+    """VERDICT r14 item 4: the driver-kernel fuzz never exercised the
+    tile+halo decomposition.  This simulates exactly what
+    tessellate_distributed's run_tile does — per-tile gather of
+    [tile-halo, tile+halo] points, site_mask on home sites, the same
+    2R <= d_edge + halo certificate — over point sets salted with
+    near-duplicate clusters (including the denormal separations from the
+    r14 falsifying example), and demands every certified cell match the
+    global run's WKT byte for byte."""
+    pts_list = list(base)
+    for i, dx, dy in dups:
+        bx, by = base[i % len(base)]
+        pts_list.append((min(bx + dx, 10.0), min(by + dy, 10.0)))
+    pts = np.array(pts_list, dtype=float)
+    bbox = (-1.0, -1.0, 11.0, 11.0)
+    cells = voronoi_cells(pts, bbox)
+    _assert_partition(pts, bbox, cells)
+    ts, hw = 6.0, 4.0
+    for ti in range(0, 2):
+        for tj in range(0, 2):
+            tx1, ty1 = ti * ts, tj * ts
+            tx2, ty2 = tx1 + ts, ty1 + ts
+            home = (
+                (pts[:, 0] >= tx1) & (pts[:, 0] < tx2)
+                & (pts[:, 1] >= ty1) & (pts[:, 1] < ty2)
+            )
+            if not home.any():
+                continue
+            gather = (
+                (pts[:, 0] >= tx1 - hw) & (pts[:, 0] <= tx2 + hw)
+                & (pts[:, 1] >= ty1 - hw) & (pts[:, 1] <= ty2 + hw)
+            )
+            sub = np.nonzero(gather)[0]
+            mask = home[sub]
+            sub_cells = voronoi_cells(pts[sub], bbox, site_mask=mask)
+            for k_local, gi in enumerate(sub):
+                if not mask[k_local]:
+                    continue
+                c, g = sub_cells[k_local], cells[gi]
+                if len(c) < 3:
+                    assert len(g) == 0  # sentinel on both paths
+                    continue
+                p = pts[gi]
+                two_r = 2.0 * np.sqrt(np.sum((c - p) ** 2, axis=1).max())
+                d_edge = min(p[0] - tx1, tx2 - p[0], p[1] - ty1, ty2 - p[1])
+                if two_r <= d_edge + hw:  # certified exact
+                    assert polygon_wkt(c) == polygon_wkt(g)
+
+
+def test_near_dup_cluster_at_tile_seam_distributed_equals_driver(spark):
+    """Spark-level seam coverage: a near-duplicate cluster sitting ON a
+    tile boundary must resolve to the same winner/sentinels and the
+    same cells on both tessellation paths (the cluster collapses to its
+    lowest KEY in every tile that sees it)."""
+    from wrf_to_geodataframe_spark.geometry.tessellate import (
+        tessellate,
+        tessellate_distributed,
+    )
+
+    pts = _grid_points(6, 5)
+    rows = [(i, float(p[0]), float(p[1])) for i, p in enumerate(pts)]
+    # tile_size=2.0 puts x=2.0 on a tile seam; salt a near-dup cluster
+    # there (separations far below eps*diagonal ~ 7e-12)
+    rows += [(200, 2.0, 1.0), (201, 2.0 + 1e-300, 1.0), (202, 2.0, 1.0 + 1e-160)]
+    bbox = (-0.5, -0.5, 5.5, 4.5)
+    df = spark.createDataFrame(
+        rows, "site_id long, x double, y double"
+    ).repartition(8)
+    drv = {r.site_id: r for r in
+           tessellate(df, "x", "y", ["site_id"], bbox=bbox).collect()}
+    dst = {r.site_id: r for r in
+           tessellate_distributed(
+               df, "x", "y", ["site_id"], bbox=bbox, tile_size=2.0, halo=3.0
+           ).collect()}
+    assert set(drv) == set(dst)
+    for sid, d in drv.items():
+        assert d.wkt == dst[sid].wkt
+        assert d.is_sentinel == dst[sid].is_sentinel
+    # the grid site at (2, 1) has key 8 < 200: it wins, the cluster
+    # members all get sentinels
+    assert drv[8].is_sentinel is False
+    assert drv[200].is_sentinel and drv[201].is_sentinel and drv[202].is_sentinel
 
 
 def test_marginal_halo_certificate_is_conservative_not_wrong(spark):

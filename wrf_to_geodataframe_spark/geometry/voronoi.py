@@ -28,7 +28,15 @@ Properties that matter here:
 
 Duplicate coordinates degrade to the reference's sentinel convention
 (``Point(0, 0)`` for degenerate regions, ``wrf_voronoi.py:134``): only
-the first site at a coordinate gets the cell.
+the first site at a coordinate gets the cell.  NEAR-coincident sites —
+within ``NEAR_DUP_EPS * (1 + bbox diagonal)`` of each other (L-inf,
+chained) — are canonicalized onto that same path before any clipping
+(hypothesis r14: separations ~1e-160 square to 0.0 in one pair's
+|p-q|^2 but not another's, so one site was sentineled as a duplicate
+while a third still clipped against it as distinct, leaving an
+unclaimed sliver).  The exactness claim is therefore: exact for the
+SNAPPED site set, whose sites each moved by at most eps — boundaries
+shift by no more than eps, ~1e-11 of the domain.
 """
 
 from __future__ import annotations
@@ -44,6 +52,97 @@ from wrf_to_geodataframe_spark.geometry.polygons import (
 )
 
 DEFAULT_MAX_DRIVER_POINTS = 2_000_000
+
+# near-duplicate site snapping threshold, as a fraction of the bbox
+# diagonal (see the module docstring and _snap_near_duplicates)
+NEAR_DUP_EPS = 1e-12
+
+
+def _snap_near_duplicates(pts: np.ndarray, snap: float) -> np.ndarray:
+    """Canonicalize NEAR-coincident sites (hypothesis r14 regression):
+    every cluster of sites within ``snap`` of each other (L-inf,
+    chain-linked) collapses onto its lowest-index member BEFORE any
+    bisector is built, so all neighbors see one canonical coordinate and
+    the existing exact-duplicate sentinel convention applies
+    consistently.  Without this, a pair whose squared separation
+    underflows to 0.0 is treated as duplicate while a third site still
+    clips against both members as distinct — inconsistent half-planes
+    that leave a sliver of the bbox unclaimed.
+
+    Detection is the 4-shifted-grid trick: with cell size ``4*snap`` and
+    the four ``(0 | 2*snap)`` origin shifts, any pair within ``2*snap``
+    shares a cell in at least one grid (1-D: values in different cells
+    of one grid straddle its boundary, hence both lie in the shifted
+    cell centered on that boundary); candidates are then linked by the
+    exact ``L-inf <= snap`` test, so grid placement never decides
+    membership (the 2x detection margin absorbs the ~1e-16-relative
+    floor noise).  The common no-near-dup case costs four key builds and
+    returns the input array unchanged, no copy — which keeps every
+    existing cell bit-identical on ordinary inputs."""
+    n = len(pts)
+    if n < 2 or not (np.isfinite(snap) and snap > 0.0):
+        return pts
+    cell = 4.0 * snap
+    x0, y0 = pts[:, 0].min(), pts[:, 1].min()
+    invs: list[np.ndarray] = []
+    cand = np.zeros(n, dtype=bool)
+    for sx in (0.0, 2.0 * snap):
+        for sy in (0.0, 2.0 * snap):
+            kx = np.floor((pts[:, 0] - x0 + sx) / cell)
+            ky = np.floor((pts[:, 1] - y0 + sy) / cell)
+            # complex key = exact (kx, ky) pair compare in one flat unique
+            _, inv, cnts = np.unique(
+                kx + 1j * ky, return_inverse=True, return_counts=True
+            )
+            dup = cnts[inv] > 1
+            if dup.any():
+                cand |= dup
+                invs.append(inv)
+    if not cand.any():
+        return pts
+
+    parent = np.arange(n)
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = int(parent[a])
+        return a
+
+    idxs = np.nonzero(cand)[0]
+    for inv in invs:
+        order = np.argsort(inv[idxs], kind="stable")
+        g = idxs[order]
+        vals = inv[g]
+        starts = np.nonzero(np.r_[True, vals[1:] != vals[:-1]])[0]
+        bounds = np.r_[starts, len(g)]
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            grp = g[a:b]
+            # pairwise within one 4*snap cell: members of a colliding
+            # cell are near-dups (or near-misses) by construction, so
+            # the quadratic term only pays where merging happens anyway
+            for u in range(1, len(grp)):
+                for v in range(u):
+                    p, q = int(grp[v]), int(grp[u])
+                    if (
+                        abs(pts[p, 0] - pts[q, 0]) <= snap
+                        and abs(pts[p, 1] - pts[q, 1]) <= snap
+                    ):
+                        rp, rq = find(p), find(q)
+                        if rp != rq:
+                            # lower root wins: the representative is
+                            # always the cluster's lowest original index
+                            if rp < rq:
+                                parent[rq] = rp
+                            else:
+                                parent[rp] = rq
+    roots = np.array([find(int(i)) for i in idxs], dtype=np.int64)
+    moved = roots != idxs
+    if not moved.any():
+        return pts
+    out = pts.copy()
+    out[idxs[moved]] = pts[roots[moved]]
+    return out
 
 
 def _bucket_index(pts: np.ndarray, cell: float):
@@ -307,13 +406,17 @@ def voronoi_cells(
     if n == 0:
         return []
     xmin, ymin, xmax, ymax = bbox
+    diag2 = (xmax - xmin) ** 2 + (ymax - ymin) ** 2
+    # near-coincident sites collapse onto their cluster's lowest-index
+    # member so every bisector sees the same canonical coordinate (the
+    # no-op path returns the same array: ordinary inputs are untouched)
+    pts = _snap_near_duplicates(pts, NEAR_DUP_EPS * (1.0 + np.sqrt(diag2)))
     if spacing_hint is None:
         # ~one point per bucket for uniformish data
         span = max(xmax - xmin, ymax - ymin, 1e-9)
         spacing_hint = span / max(np.sqrt(n), 1.0)
     cell_size = max(spacing_hint, 1e-12)
     buckets = _bucket_index(pts, cell_size)
-    diag2 = (xmax - xmin) ** 2 + (ymax - ymin) ** 2
     bkeys = np.array(list(buckets.keys()), dtype=np.int64)
     bminx, bminy = bkeys.min(axis=0)
     bmaxx, bmaxy = bkeys.max(axis=0)
