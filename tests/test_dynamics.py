@@ -156,6 +156,47 @@ def test_srh_straight_hodograph_through_storm_motion_is_zero(spark):
         assert r.srh == pytest.approx(12.0, abs=1e-12)
 
 
+def test_srh_estimated_motion_matches_explicit_with_same_c(spark):
+    """The no-c default must equal the explicit-motion path fed the
+    hand-computed Davies & Johns estimate (0-6 km trapezoid mean wind,
+    75% speed, 30 degrees right): the linear decomposition and the
+    per-pair form are the same sum up to float associativity."""
+    nk = 5  # z = 0, 1000, ..., 4000 — every pair inside the 6 km layer
+    lev = _grid(spark, 2, 2).select(
+        "y", "x",
+        F.explode(F.sequence(F.lit(0), F.lit(nk - 1))).alias("k"),
+    ).select(
+        "y", "x", "k",
+        (F.col("k") * 2.0).alias("u"),
+        (F.col("k") * F.col("k") / 4.0).alias("v"),
+        (F.col("k") * 1000.0).alias("z"),
+    )
+    # trapezoid mean over the 4 layers of the analytic profile
+    u_prof = [k * 2.0 for k in range(nk)]
+    v_prof = [k * k / 4.0 for k in range(nk)]
+    sdh = 1000.0 * (nk - 1)
+    su = sum(0.5 * 1000.0 * (u_prof[k] + u_prof[k + 1]) for k in range(nk - 1))
+    sv = sum(0.5 * 1000.0 * (v_prof[k] + v_prof[k + 1]) for k in range(nk - 1))
+    ua, va = su / sdh, sv / sdh
+    c30, s30 = 0.8660254037844387, 0.5
+    cu = 0.75 * (c30 * ua + s30 * va)
+    cv = 0.75 * (c30 * va - s30 * ua)
+    est = storm_relative_helicity(
+        lev, "u", "v", "z", "k", ["y", "x"], depth=3000.0,
+    ).collect()
+    exp = storm_relative_helicity(
+        lev, "u", "v", "z", "k", ["y", "x"], c_u=cu, c_v=cv, depth=3000.0,
+    ).collect()
+    e = {(r.y, r.x): r.srh for r in est}
+    x = {(r.y, r.x): r.srh for r in exp}
+    assert set(e) == set(x)
+    for key in e:
+        assert e[key] == pytest.approx(x[key], rel=1e-12, abs=1e-12)
+    # mixing one explicit component with one estimated is a named error
+    with pytest.raises(TypeError, match="BOTH c_u and c_v"):
+        storm_relative_helicity(lev, "u", "v", "z", "k", ["y", "x"], c_u=1.0)
+
+
 def test_srh_circular_hodograph_sweeps_circle_area(spark):
     """A full-circle hodograph centered on the storm motion sweeps
     twice its enclosed area in cross-product magnitude (the shoelace

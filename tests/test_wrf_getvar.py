@@ -886,6 +886,55 @@ def test_helicity_through_front_door(spark, archive):
         wrf_getvar(spark, archive, "helicity", bogus=1)
 
 
+def test_helicity_default_estimates_storm_motion(spark, archive):
+    """getvar('helicity') with NO c_u/c_v must apply wrf-python's
+    internal storm-motion estimate (DCALRELHL's Davies & Johns 1993
+    rule): per-column 0-6 km AGL trapezoid mean wind at 75% of its
+    speed rotated 30 degrees right — replayed here in numpy through
+    the linear decomposition the operator uses."""
+    got = _collect(
+        wrf_getvar(spark, archive, "helicity", top=2000.0), "helicity"
+    )
+    assert len(got) == NF * NJ * NI
+    c30, s30 = 0.8660254037844387, 0.5
+    for f in range(NF):
+        v = _fields(float(f))
+        um = (v["u"][:, :, :-1] + v["u"][:, :, 1:]) / 2.0
+        vm = (v["v"][:, :-1, :] + v["v"][:, 1:, :]) / 2.0
+        zs = (v["ph"] + v["phb"]) / 9.81
+        zm = (zs[:-1] + zs[1:]) / 2.0
+        for (j, i) in [(0, 0), (2, 3), (NJ - 1, NI - 1)]:
+            agl = zm[:, j, i] - (120.0 + (i * 3.0 + j * 5.0) / 4.0)
+            raw = dv = du = sdh = su = sv = 0.0
+            for k in range(NK - 1):
+                if agl[k] <= 2000.0 and agl[k + 1] <= 2000.0:
+                    raw += (
+                        um[k + 1, j, i] * vm[k, j, i]
+                        - um[k, j, i] * vm[k + 1, j, i]
+                    )
+                    dv += vm[k + 1, j, i] - vm[k, j, i]
+                    du += um[k + 1, j, i] - um[k, j, i]
+                if agl[k] <= 6000.0 and agl[k + 1] <= 6000.0:
+                    dh = agl[k + 1] - agl[k]
+                    sdh += dh
+                    su += 0.5 * dh * (um[k, j, i] + um[k + 1, j, i])
+                    sv += 0.5 * dh * (vm[k, j, i] + vm[k + 1, j, i])
+            if sdh > 0.0:
+                ua, va = su / sdh, sv / sdh
+                cu = 0.75 * (c30 * ua + s30 * va)
+                cv = 0.75 * (c30 * va - s30 * ua)
+            else:
+                cu = cv = 0.0
+            want = raw + cu * dv - cv * du
+            assert got[(f, j, i)] == pytest.approx(want, rel=1e-9), (
+                f, j, i,
+            )
+    # passing only ONE motion component is a named misuse, not a
+    # silent half-estimate
+    with pytest.raises(TypeError, match="BOTH c_u and c_v"):
+        wrf_getvar(spark, archive, "helicity", c_u=1.0).collect()
+
+
 def test_updraft_helicity_through_front_door(spark):
     """getvar('updraft_helicity') over the SUITE fixture (its wind
     lattice has a non-zero vorticity stencil, unlike this module's

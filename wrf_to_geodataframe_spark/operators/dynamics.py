@@ -163,6 +163,14 @@ def updraft_helicity(
     )
 
 
+#: Davies & Johns (1993) storm-motion rule constants: 75% of the mean
+#: wind speed, 30 degrees to the right — applied as a rotation so the
+#: speed/direction trig round trip never happens (cos/sin of 30 deg)
+_DJ_FRAC = 0.75
+_DJ_COS30 = 0.8660254037844387
+_DJ_SIN30 = 0.5
+
+
 def storm_relative_helicity(
     df: DataFrame,
     u_col: str,
@@ -170,9 +178,10 @@ def storm_relative_helicity(
     z_col: str,
     k_col: str,
     col_keys: list[str],
-    c_u: float = 0.0,
-    c_v: float = 0.0,
+    c_u: float | None = None,
+    c_v: float | None = None,
     depth: float = 3000.0,
+    motion_depth: float = 6000.0,
     out_col: str = "srh",
 ) -> DataFrame:
     """Storm-relative helicity [m2 s-2] (wrf-python `helicity`):
@@ -185,24 +194,108 @@ def storm_relative_helicity(
     (the hodograph cross-product form — each term is the signed area
     swept by the storm-relative wind between two levels, which is the
     published AMS definition; NWS convention flips sign so positive
-    SRH means cyclonic turning).  One lead window per column pencil
-    (length = #levels) + one partial-agg groupBy."""
+    SRH means cyclonic turning).
+
+    Storm motion ``C``: explicit ``c_u``/``c_v`` when given (both or
+    neither — mixing raises).  When omitted (the default), it is
+    ESTIMATED PER COLUMN the way wrf-python's DCALRELHL does
+    internally (``fortran/wrf_relhl.f90``, the Davies & Johns 1993
+    rule): the depth-weighted trapezoid mean wind over layers fully
+    below ``motion_depth`` (0-6 km AGL), at 75% of its speed, rotated
+    30 degrees to the right —
+
+        (ua, va) = (sum 0.5 dz (u_k + u_{k+1}), ...) / sum dz
+        c = 0.75 * (cos30 ua + sin30 va, cos30 va - sin30 ua)
+
+    (the rotation form is the speed/direction arithmetic with the
+    trig round trip cancelled).  A column with no layer below
+    ``motion_depth`` falls back to C = 0 (ground-relative).
+
+    Plan shape is identical either way — ONE lead window per column
+    pencil + ONE partial-agg groupBy: the SRH sum is linear in
+    (c_u, c_v),
+
+        SRH = sum(u2 v - u v2) + c_u sum(v2 - v) - c_v sum(u2 - u)
+
+    so the estimated-motion path just aggregates the three SRH sums
+    and the three mean-wind sums in the same groupBy and combines
+    them post-agg; no second shuffle, no join."""
+    if (c_u is None) != (c_v is None):
+        raise TypeError(
+            "storm_relative_helicity: pass BOTH c_u and c_v for an "
+            "explicit storm motion, or NEITHER to estimate it from "
+            "the 0-6 km mean wind (Davies & Johns 1993)"
+        )
     w = Window.partitionBy(*col_keys).orderBy(k_col)
     pair = (
         df.withColumn("_u2", F.lead(u_col).over(w))
         .withColumn("_v2", F.lead(v_col).over(w))
         .withColumn("_z2", F.lead(z_col).over(w))
     )
-    term = F.when(
+    in_depth = (
         F.col("_z2").isNotNull()
         & (F.col(z_col) <= F.lit(float(depth)))
-        & (F.col("_z2") <= F.lit(float(depth))),
-        (F.col("_u2") - F.lit(float(c_u)))
-        * (F.col(v_col) - F.lit(float(c_v)))
-        - (F.col(u_col) - F.lit(float(c_u)))
-        * (F.col("_v2") - F.lit(float(c_v))),
+        & (F.col("_z2") <= F.lit(float(depth)))
+    )
+    if c_u is not None:
+        # explicit motion: the original per-pair form, kept verbatim
+        # (bit-compatible with the hash-pinned m5/m15 gates)
+        term = F.when(
+            in_depth,
+            (F.col("_u2") - F.lit(float(c_u)))
+            * (F.col(v_col) - F.lit(float(c_v)))
+            - (F.col(u_col) - F.lit(float(c_u)))
+            * (F.col("_v2") - F.lit(float(c_v))),
+        ).otherwise(F.lit(0.0))
+        return pair.groupBy(*col_keys).agg(F.sum(term).alias(out_col))
+    in_motion = (
+        F.col("_z2").isNotNull()
+        & (F.col(z_col) <= F.lit(float(motion_depth)))
+        & (F.col("_z2") <= F.lit(float(motion_depth)))
+    )
+    dh = F.col("_z2") - F.col(z_col)
+    agg = pair.groupBy(*col_keys).agg(
+        F.sum(
+            F.when(
+                in_depth,
+                F.col("_u2") * F.col(v_col) - F.col(u_col) * F.col("_v2"),
+            ).otherwise(F.lit(0.0))
+        ).alias("_raw"),
+        F.sum(
+            F.when(in_depth, F.col("_v2") - F.col(v_col)).otherwise(F.lit(0.0))
+        ).alias("_dv"),
+        F.sum(
+            F.when(in_depth, F.col("_u2") - F.col(u_col)).otherwise(F.lit(0.0))
+        ).alias("_du"),
+        F.sum(
+            F.when(in_motion, dh).otherwise(F.lit(0.0))
+        ).alias("_sdh"),
+        F.sum(
+            F.when(
+                in_motion, 0.5 * dh * (F.col(u_col) + F.col("_u2"))
+            ).otherwise(F.lit(0.0))
+        ).alias("_su"),
+        F.sum(
+            F.when(
+                in_motion, 0.5 * dh * (F.col(v_col) + F.col("_v2"))
+            ).otherwise(F.lit(0.0))
+        ).alias("_sv"),
+    )
+    ua = F.col("_su") / F.col("_sdh")
+    va = F.col("_sv") / F.col("_sdh")
+    has_layer = F.col("_sdh") > 0.0
+    cu = F.when(
+        has_layer,
+        F.lit(_DJ_FRAC) * (F.lit(_DJ_COS30) * ua + F.lit(_DJ_SIN30) * va),
     ).otherwise(F.lit(0.0))
-    return pair.groupBy(*col_keys).agg(F.sum(term).alias(out_col))
+    cv = F.when(
+        has_layer,
+        F.lit(_DJ_FRAC) * (F.lit(_DJ_COS30) * va - F.lit(_DJ_SIN30) * ua),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        *col_keys,
+        (F.col("_raw") + cu * F.col("_dv") - cv * F.col("_du")).alias(out_col),
+    )
 
 
 def potential_vorticity(

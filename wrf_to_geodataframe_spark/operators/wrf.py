@@ -89,10 +89,11 @@ SUPPORTED: dict[str, tuple[str, ...]] = {
     "wa": ("W",),
     # storm diagnostics (operators/dynamics.py kernels): SRH and
     # updraft helicity — z bands are HEIGHT ABOVE GROUND (HGT read
-    # inside the dispatch, like avo's MAPFAC_M); DEVIATION from
-    # wrf-python's `helicity`: the storm motion is NOT estimated
-    # internally from the 0-6 km mean wind — it defaults to (0, 0)
-    # (ground-relative helicity) and callers pass c_u/c_v explicitly
+    # inside the dispatch, like avo's MAPFAC_M).  `helicity` matches
+    # wrf-python's default semantics: with no c_u/c_v the storm
+    # motion is estimated per column from the 0-6 km mean wind
+    # (Davies & Johns 1993, DCALRELHL's internal rule); explicit
+    # c_u/c_v override the estimate
     "helicity": ("U", "V"),
     "updraft_helicity": ("U", "V", "W"),
     # coordinate reads: raw XLAT/XLONG planes and the STAGGERED
@@ -774,8 +775,10 @@ def _dispatch(
             )
 
             top = float(kw.pop("top", 3000.0))
-            c_u = float(kw.pop("c_u", 0.0))
-            c_v = float(kw.pop("c_v", 0.0))
+            # no c_u/c_v -> wrf-python's internal Davies & Johns (1993)
+            # estimate from the 0-6 km AGL mean wind, per column
+            c_u = kw.pop("c_u", None)
+            c_v = kw.pop("c_v", None)
             if kw:
                 raise TypeError(
                     "getvar('helicity') options: top/c_u/c_v only, "
@@ -783,7 +786,9 @@ def _dispatch(
                 )
             return storm_relative_helicity(
                 d, "u", "v", "_agl", "k", _KEY3,
-                c_u=c_u, c_v=c_v, depth=top, out_col="helicity",
+                c_u=None if c_u is None else float(c_u),
+                c_v=None if c_v is None else float(c_v),
+                depth=top, out_col="helicity",
             ).select(*_KEY3, "helicity")
         from wrf_to_geodataframe_spark.operators.dynamics import (
             updraft_helicity,

@@ -210,6 +210,101 @@ FROM pairs GROUP BY y, x
 """
 
 
+def m18_helicity_motion_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRH WITH ESTIMATED STORM MOTION (wrf-python `helicity` default
+    semantics): no c_u/c_v, so the motion is derived PER COLUMN from
+    the 0-6 km mean wind — the Davies & Johns (1993) rule DCALRELHL
+    applies internally (depth-weighted trapezoid mean wind over layers
+    fully below 6 km, 75% of its speed, 30 degrees right).  The SRH
+    sum is linear in (c_u, c_v), so the estimate folds into the SAME
+    one-window one-groupBy plan as m5 — six partial-agg sums, no
+    second shuffle (operators/dynamics.py storm_relative_helicity).
+
+    Levels at z = 1250 k (_DK = 7 -> 0..7500 m) keep BOTH cutoffs
+    live: SRH pairs need both ends <= 3000 (k = 0, 1), motion layers
+    both ends <= 6000 (k = 0..3), and pairs (4,5)/(5,6) are outside
+    everything.
+
+    Exactness: dyadic winds and exact layer thickness (1250) make all
+    six sums exact doubles under any order; ua = su/sdh is a single
+    IEEE division and the Davies-Johns rotation is the same literal
+    expression tree on both engines — hash-exact UNROUNDED.  The
+    oracle replays the identical arithmetic with the window flattened
+    to closed-form (k, k+1) terms."""
+    lev = _lattice(spark, sf_dir).select(
+        "y", "x",
+        F.explode(F.sequence(F.lit(0), F.lit(_DK - 1))).alias("k"),
+    ).select(
+        "y", "x", "k",
+        (
+            (F.col("k") * F.col("k") * 2.0 + F.col("x")) / 8.0
+        ).alias("u"),
+        ((F.col("k") * 3.0 + F.col("y") % 8) / 4.0).alias("v"),
+        (F.col("k") * 1250.0).alias("z"),
+    )
+    out = storm_relative_helicity(
+        lev, "u", "v", "z", "k", ["y", "x"],
+        depth=3000.0, out_col="srh_est",
+    )
+    return out.select(
+        F.col("y").alias("y_idx"),
+        F.col("x").cast("long").alias("x_idx"),
+        "srh_est",
+    )
+
+
+_M18_SQL = f"""
+WITH ys AS ({_D_YS_SQL}),
+cells AS (
+    SELECT y, x FROM ys, generate_series(0, {_DW - 1}) AS t(x)
+),
+sums AS (
+    SELECT y, x,
+           SUM(CASE WHEN k * 1250.0 <= 3000.0 AND (k+1) * 1250.0 <= 3000.0
+                    THEN (((k+1)*(k+1) * 2.0 + x) / 8.0)
+                           * ((k * 3.0 + y % 8) / 4.0)
+                       - ((k*k * 2.0 + x) / 8.0)
+                           * (((k+1) * 3.0 + y % 8) / 4.0)
+                    ELSE 0.0 END) AS raw,
+           SUM(CASE WHEN k * 1250.0 <= 3000.0 AND (k+1) * 1250.0 <= 3000.0
+                    THEN (((k+1) * 3.0 + y % 8) / 4.0)
+                       - ((k * 3.0 + y % 8) / 4.0)
+                    ELSE 0.0 END) AS dv,
+           SUM(CASE WHEN k * 1250.0 <= 3000.0 AND (k+1) * 1250.0 <= 3000.0
+                    THEN (((k+1)*(k+1) * 2.0 + x) / 8.0)
+                       - ((k*k * 2.0 + x) / 8.0)
+                    ELSE 0.0 END) AS du,
+           SUM(CASE WHEN k * 1250.0 <= 6000.0 AND (k+1) * 1250.0 <= 6000.0
+                    THEN 1250.0 ELSE 0.0 END) AS sdh,
+           SUM(CASE WHEN k * 1250.0 <= 6000.0 AND (k+1) * 1250.0 <= 6000.0
+                    THEN 0.5 * 1250.0 * (((k*k * 2.0 + x) / 8.0)
+                                       + (((k+1)*(k+1) * 2.0 + x) / 8.0))
+                    ELSE 0.0 END) AS su,
+           SUM(CASE WHEN k * 1250.0 <= 6000.0 AND (k+1) * 1250.0 <= 6000.0
+                    THEN 0.5 * 1250.0 * (((k * 3.0 + y % 8) / 4.0)
+                                       + (((k+1) * 3.0 + y % 8) / 4.0))
+                    ELSE 0.0 END) AS sv
+    FROM cells, generate_series(0, 5) AS t2(k)
+    GROUP BY y, x
+),
+motion AS (
+    SELECT y, x, raw, dv, du,
+           CASE WHEN sdh > 0.0
+                THEN 0.75 * (0.8660254037844387 * (su / sdh)
+                             + 0.5 * (sv / sdh))
+                ELSE 0.0 END AS cu,
+           CASE WHEN sdh > 0.0
+                THEN 0.75 * (0.8660254037844387 * (sv / sdh)
+                             - 0.5 * (su / sdh))
+                ELSE 0.0 END AS cv
+    FROM sums
+)
+SELECT y AS y_idx, CAST(x AS BIGINT) AS x_idx,
+       raw + cu * dv - cv * du AS srh_est
+FROM motion
+"""
+
+
 _CAPE_K = 10  # levels per sounding column
 
 
@@ -2197,6 +2292,7 @@ QUERIES = {
     "m3_absolute_vorticity": m3_absolute_vorticity,
     "m4_updraft_helicity": m4_updraft_helicity,
     "m5_storm_rel_helicity": m5_storm_rel_helicity,
+    "m18_helicity_motion_est": m18_helicity_motion_est,
     "m6_surface_cape": m6_surface_cape,
     "m16_cape2d_lcl_lfc": m16_cape2d_lcl_lfc,
     "m7_potential_vorticity": m7_potential_vorticity,
@@ -2224,6 +2320,7 @@ ORACLE = {
     "m3_absolute_vorticity": _M3_SQL,
     "m4_updraft_helicity": _M4_SQL,
     "m5_storm_rel_helicity": _M5_SQL,
+    "m18_helicity_motion_est": _M18_SQL,
     "m6_surface_cape": _M6_SQL,
     "m16_cape2d_lcl_lfc": _M16_SQL,
     "m7_potential_vorticity": _M7_SQL,
