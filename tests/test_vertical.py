@@ -83,6 +83,49 @@ def test_interplevel_exact_level_hit_single_row(spark):
     assert len(out2) == 1 and out2[0].f_interp == 1.0
 
 
+def test_interplevel_field_matches_per_column_scalar_calls(spark):
+    """The varying-target kernel == one scalar interplevel call per
+    distinct target value, column for column: random decreasing
+    columns, each with its OWN target (in-range, out-of-range, and
+    exactly-on-a-level arms all live)."""
+    from wrf_to_geodataframe_spark.operators.vertical import (
+        interplevel_field,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    cols = {}
+    for c in range(30):
+        nk = int(rng.integers(4, 10))
+        p = np.sort(rng.uniform(100.0, 1000.0, size=nk))[::-1]
+        f = rng.normal(size=nk)
+        if c % 3 == 0:
+            t = float(rng.uniform(p[-1], p[0]))  # interior
+        elif c % 3 == 1:
+            t = float(p[0] + 50.0)  # above the column: NULL
+        else:
+            t = float(p[nk // 2])  # exactly ON a level: tie rule
+        cols[c] = (p, f, t)
+        rows += [
+            (c, float(p[k]), float(f[k]), t) for k in range(nk)
+        ]
+    df = spark.createDataFrame(rows, "c long, p double, f double, t double")
+    got = {
+        r.c: r.f_interp
+        for r in interplevel_field(df, "p", "f", "t", ["c"]).collect()
+    }
+    assert len(got) == 30
+    for c, (p, f, t) in cols.items():
+        one = interplevel(
+            df.filter(F.col("c") == c), "p", "f", t, ["c"]
+        ).collect()
+        want = one[0].f_interp
+        if want is None:
+            assert got[c] is None, c
+        else:
+            assert got[c] == want, c  # identical arithmetic: bit-equal
+
+
 def test_precipitable_water_matches_numpy_integral(spark):
     rng = np.random.default_rng(3)
     rows, want = [], {}

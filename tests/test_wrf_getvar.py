@@ -84,6 +84,8 @@ def archive(tmp_path_factory):
                         "data": (ii / 2.0 + jj * 3.0 + f) / 4.0},
                 "HGT": {"dims": ["j", "i"],
                         "data": 120.0 + (ii * 3.0 + jj * 5.0) / 4.0},
+                "PBLH": {"dims": ["j", "i"],
+                         "data": 700.0 + 450.0 * ((ii + jj) % 2)},
                 "T": {"dims": ["k", "j", "i"], "data": v["t"]},
                 "P": {"dims": ["k", "j", "i"], "data": v["p"]},
                 "PB": {"dims": ["k", "j", "i"], "data": v["pb"]},
@@ -395,6 +397,116 @@ def test_wrf_interplevel_on_height(spark, archive):
                 zc[k1] - zc[k1 + 1]
             )
             assert got[(f, j, i)] == pytest.approx(want, rel=1e-12)
+
+
+def test_wrf_interplevel_2d_target_surface(spark, archive):
+    """wrf-python's ``interplevel(field3d, vert, field2d)`` form:
+    tk onto each column's OWN PBLH plane (on='height_agl') must equal
+    the per-column numpy bracket at that column's target — the plane
+    joins before the window, same plan as a constant level."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_interplevel
+
+    got = _collect(
+        wrf_interplevel(spark, archive, "tk", "PBLH", on="height_agl"),
+        "tk_interp",
+    )
+    assert len(got) == NF * NJ * NI
+    for f in range(NF):
+        v, theta, prs, tk, rh = _np_point(f)
+        zs = (v["ph"] + v["phb"]) / 9.81
+        zm = (zs[:-1] + zs[1:]) / 2.0
+        for (j, i) in [(0, 0), (1, 2), (NJ - 1, NI - 1)]:
+            agl = zm[:, j, i] - (120.0 + (i * 3.0 + j * 5.0) / 4.0)
+            pblh = 700.0 + 450.0 * ((i + j) % 2)
+            fc = tk[:, j, i]
+            k1 = int(np.searchsorted(agl, pblh)) - 1
+            want = fc[k1] + (fc[k1 + 1] - fc[k1]) * (agl[k1] - pblh) / (
+                agl[k1] - agl[k1 + 1]
+            )
+            assert got[(f, j, i)] == pytest.approx(want, rel=1e-12), (
+                f, j, i,
+            )
+
+
+def test_wrf_interplevel_misuse_and_aliases(spark, archive):
+    """The interplevel front door's named misuse errors and alias
+    resolution (ADVICE r14): a per-level target surface, an
+    unsupported vertical coordinate, a duplicated target, and a
+    single-component violation all raise BY NAME; alias spellings
+    ('temp' for tk, 'th' for theta) resolve before dispatch instead
+    of dying in an AnalysisException."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_interplevel
+
+    with pytest.raises(ValueError, match="must be a 2-D field"):
+        wrf_interplevel(spark, archive, "tk", "theta", on="pres")
+    with pytest.raises(ValueError, match="not supported"):
+        wrf_interplevel(spark, archive, "tk", 1750.0, on="zstag")
+    with pytest.raises(ValueError, match="not supported"):
+        wrf_interplevel(spark, archive, "tk", 1750.0, on="geopt_stag")
+    with pytest.raises(ValueError, match="duplicates"):
+        wrf_interplevel(spark, archive, "tk", "height_agl",
+                        on="height_agl")
+    with pytest.raises(ValueError, match="single-component"):
+        wrf_interplevel(spark, archive, "uvmet", 85000.0, attrs=ATTRS)
+    # aliases: 'temp' -> tk (field), 'th' -> theta (coordinate);
+    # output columns carry the canonical names
+    a = _collect(
+        wrf_interplevel(spark, archive, "temp", 85000.0), "tk_interp"
+    )
+    b = _collect(
+        wrf_interplevel(spark, archive, "tk", 85000.0), "tk_interp"
+    )
+    assert a == b
+    th = wrf_interplevel(spark, archive, "tk", 290.0, on="th")
+    assert "tk_interp" in th.columns
+    assert th.count() == NF * NJ * NI
+
+
+def test_wrf_interplevel_geopt_coordinate(spark, archive):
+    """geopt (increasing with height) joined the negation surface
+    (ADVICE r14: it used to fall through to the decreasing-bracket
+    search and silently all-NULL): tk at geopt = g*1750 must equal tk
+    at z = 1750 m."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_interplevel
+
+    on_z = _collect(
+        wrf_interplevel(spark, archive, "tk", 1750.0, on="z"),
+        "tk_interp",
+    )
+    on_g = _collect(
+        wrf_interplevel(spark, archive, "tk", 9.81 * 1750.0, on="geopt"),
+        "tk_interp",
+    )
+    assert set(on_z) == set(on_g)
+    n_hit = 0
+    for key, want in on_z.items():
+        if want is None:
+            assert on_g[key] is None
+        else:
+            assert on_g[key] == pytest.approx(want, rel=1e-12)
+            n_hit += 1
+    assert n_hit > 0
+
+
+def test_wrf_interpline_times_kw(spark, archive):
+    """ADVICE r14: times=True through interpline must not trip the
+    single-component check — the decoded timestamp rides through as a
+    grouping key and the sampled values match the times-less run."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_interpline
+
+    plain = {
+        (r.file, r.s): r.ter
+        for r in wrf_interpline(
+            spark, archive, "ter", (0.5, 0.5), (4.5, 2.5), 5
+        ).collect()
+    }
+    timed = wrf_interpline(
+        spark, archive, "ter", (0.5, 0.5), (4.5, 2.5), 5, times=True
+    ).collect()
+    assert len(timed) == len(plain)
+    for r in timed:
+        assert r.time is not None
+        assert r.ter == plain[(r.file, r.s)]
 
 
 def test_wrf_vertcross_per_shard(spark, archive):

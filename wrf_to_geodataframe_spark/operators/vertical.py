@@ -108,6 +108,56 @@ def interplevel(
     return cols.join(cand, col_keys, "left")
 
 
+def interplevel_field(
+    df: DataFrame,
+    level_col: str,
+    value_col: str,
+    target_col: str,
+    col_keys: list[str],
+    out_col: str | None = None,
+) -> DataFrame:
+    """Interpolate ``value_col`` onto a VARYING target surface — one
+    target value per column, carried in ``target_col`` (wrf-python's
+    ``interplevel(field3d, vert, field2d)`` form, e.g. winds at the
+    PBL height plane).  Same bracket semantics as :func:`interplevel`
+    with the literal replaced by the column: levels strictly monotone
+    DECREASING per column, the bracketing pair found with one lead
+    window ordered bottom-up, one output row per column, NULL where
+    the column's range misses its own target, and a target exactly on
+    an interior level keeping the factor-0 pair (the interplevel tie
+    rule — bit-exact level value).
+
+    Scale shape: the target is a per-column constant joined onto the
+    rows BEFORE the window, so the plan is the identical one window +
+    one partial-agg groupBy — a 2-D surface costs nothing over a
+    constant level (no crossing, no second pass)."""
+    out_col = out_col or f"{value_col}_interp"
+    w = Window.partitionBy(*col_keys).orderBy(F.col(level_col).desc())
+    cand = (
+        df.withColumn("_p2", F.lead(level_col).over(w))
+        .withColumn("_f2", F.lead(value_col).over(w))
+        .filter(
+            F.col("_p2").isNotNull()
+            & (F.col(level_col) >= F.col(target_col))
+            & (F.col("_p2") <= F.col(target_col))
+        )
+        .select(
+            *col_keys,
+            F.col(level_col).alias("_p1"),
+            (
+                F.col(value_col)
+                + (F.col("_f2") - F.col(value_col))
+                * (F.col(level_col) - F.col(target_col))
+                / (F.col(level_col) - F.col("_p2"))
+            ).alias(out_col),
+        )
+        .groupBy(*col_keys)
+        .agg(F.min_by(out_col, "_p1").alias(out_col))
+    )
+    cols = df.select(*col_keys).distinct()
+    return cols.join(cand, col_keys, "left")
+
+
 def vinterp(
     df: DataFrame,
     coord_col: str,

@@ -114,6 +114,10 @@ SUPPORTED: dict[str, tuple[str, ...]] = {
     "uvmet10": ("U10", "V10"),
     "wspd_wdir10": ("U10", "V10"),
     "ter": ("HGT",),
+    # raw boundary-layer height plane (wrf-python reads it as a plain
+    # wrfout variable) — the canonical 2-D target for interplevel's
+    # varying-surface form
+    "PBLH": ("PBLH",),
 }
 
 #: wrf-python accepts several spellings per product; aliases resolve
@@ -149,7 +153,7 @@ _WIND_SINGLE: dict[str, tuple[str, str]] = {
 #: names whose OUTPUT is a 2-D single plane — keyed
 #: (file, y_idx, x_idx), no vertical axis
 _SURFACE_2D = {"T2", "td2", "rh2", "uvmet10", "wspd_wdir10", "ter",
-               "wspd_wdir_uvmet10"}
+               "wspd_wdir_uvmet10", "PBLH"}
 
 #: names whose RAW variables are 2-D planes — the scan-grouping set
 #: for wrf_getvar_many (height_agl reads 2-D HGT but OUTPUTS
@@ -540,6 +544,8 @@ def _dispatch(
         # the key drops to (file, y_idx, x_idx)
         if varname == "T2":
             return base.select(*_KEY3, F.col("t2"))
+        if varname == "PBLH":
+            return base.select(*_KEY3, F.col("pblh"))
         if varname == "ter":
             return base.select(*_KEY3, F.col("hgt").alias("ter"))
         if varname == "td2":
@@ -1010,18 +1016,64 @@ def wrf_interplevel(
     (column, level), computed by operators/vertical.vinterp — the
     bracket window runs ONCE and the bracket rows cross the literal
     target array, so k levels cost one archive pass and one window,
-    never k of either."""
+    never k of either.
+
+    ``target`` may also be the NAME of a 2-D getvar field (wrf-python's
+    ``interplevel(field3d, vert, field2d)`` form, e.g.
+    ``wrf_interplevel(spark, dir, "tk", "PBLH", on="height_agl")`` —
+    temperature at each column's own boundary-layer height): the target
+    plane joins the level rows on the column key BEFORE the bracket
+    window (operators/vertical.interplevel_field), so the varying
+    surface costs the same one window + one groupBy as a constant
+    level.  The target field must be 2-D and single-component (named
+    errors otherwise), and its values are in the ``on`` coordinate's
+    units.
+
+    Aliases resolve for ``field``, ``on``, and a named target BEFORE
+    validation and dispatch (the ALIASES rule); output columns carry
+    the canonical names."""
     from wrf_to_geodataframe_spark.operators.vertical import (
         interplevel,
+        interplevel_field,
         vinterp,
     )
 
-    if ALIASES.get(field, field) == ALIASES.get(on, on):
+    field = ALIASES.get(field, field)
+    on = ALIASES.get(on, on)
+    if field == on:
         raise ValueError(
             f"interplevel field and coordinate are both {field!r}"
         )
+    # the supported vert_coord surface (wrf-python vinterp's):
+    # pressure-like coordinates search directly; increasing-with-height
+    # ones are negated so the bracket search's monotone-decreasing
+    # requirement holds (theta is monotone for statically stable
+    # profiles — an inversion keeps the LOWEST bracketing pair, the
+    # interplevel tie rule, stated).  Any OTHER name is a named error:
+    # a silently-wrong monotonicity would all-NULL the output (and the
+    # staggered-level coordinates would misalign the mass-level join).
+    if on in ("pressure", "p", "pres"):
+        neg = False
+    elif on in ("z", "height", "height_agl", "theta", "eth", "geopt"):
+        neg = True
+    else:
+        raise ValueError(
+            f"interplevel vertical coordinate {on!r} is not supported; "
+            "decreasing-with-height: pressure/p/pres; "
+            "increasing-with-height: z/height/height_agl/theta/eth/geopt"
+        )
+    tgt_name = target if isinstance(target, str) else None
+    names = [field, on]
+    if tgt_name is not None:
+        tgt_name = ALIASES.get(tgt_name, tgt_name)
+        if tgt_name in (field, on):
+            raise ValueError(
+                f"interplevel target surface {tgt_name!r} duplicates "
+                "the field or the vertical coordinate"
+            )
+        names.append(tgt_name)
     many = wrf_getvar_many(
-        spark, path, [field, on], lat_var=lat_var, lon_var=lon_var,
+        spark, path, names, lat_var=lat_var, lon_var=lon_var,
         attrs=attrs, options={field: kw} if kw else None,
     )
     for name in (field, on):
@@ -1029,23 +1081,46 @@ def wrf_interplevel(
             raise ValueError(
                 f"interplevel needs per-level inputs; {name!r} is 2-D"
             )
+
+    def _vals(name: str, keys: tuple) -> str:
+        got = [c for c in many[name].columns if c not in (*keys, "time")]
+        if len(got) != 1:
+            raise ValueError(
+                f"interplevel needs single-component inputs; {name!r} "
+                f"carries {got}"
+            )
+        return got[0]
+
+    # the frames carry CANONICAL column names — derive them from the
+    # frames (the wrf_vertcross rule), never from the caller's spelling
+    fcol = _vals(field, _KEY)
+    ocol = _vals(on, _KEY)
     d = many[field].join(many[on], _KEY)
-    # increasing-with-height coordinates search on the negated column
-    # (wrf-python vinterp's vert_coord surface: pressure-like direct;
-    # ght_msl/ght_agl/theta via negation; theta is monotone for
-    # statically stable profiles — an inversion keeps the LOWEST
-    # bracketing pair, the interplevel tie rule, stated)
-    neg = on in ("z", "height", "height_agl", "theta", "eth")
     if neg:
-        d = d.withColumn(on, -F.col(on))
+        d = d.withColumn(ocol, -F.col(ocol))
+    if tgt_name is not None:
+        tf = many[tgt_name]
+        if "k" in tf.columns:
+            raise ValueError(
+                f"interplevel's target surface must be a 2-D field; "
+                f"{tgt_name!r} is per-level — pass it as on= or pick a "
+                "single-plane name"
+            )
+        tcol = _vals(tgt_name, _KEY3)
+        d = d.join(tf.select(*_KEY3, tcol), _KEY3)
+        if neg:
+            d = d.withColumn(tcol, -F.col(tcol))
+        return interplevel_field(
+            d, ocol, fcol, tcol, _KEY3, out_col=f"{field}_interp"
+        )
     if not isinstance(target, (list, tuple)):
         tgt = -float(target) if neg else float(target)
         return interplevel(
-            d, on, field, tgt, _KEY3, out_col=f"{field}_interp"
+            d, ocol, fcol, tgt, _KEY3, out_col=f"{field}_interp"
         )
     ts = [(-float(t) if neg else float(t)) for t in target]
     out = vinterp(
-        d, on, field, ts, _KEY3, out_coord="level",
+        d, ocol, fcol, ts, _KEY3, out_coord="level",
         out_col=f"{field}_interp",
     )
     if neg:  # report the caller's datum, not the search coordinate's
@@ -1165,15 +1240,19 @@ def wrf_interpline(
             f"interpline needs a 2-D field; {field!r} is per-level — "
             "use wrf_vertcross"
         )
-    vals = [c for c in fld.columns if c not in _KEY3]
+    # 'time' is a key, not a component (the wrf_vertcross rule):
+    # times=True must not trip the single-component check, and the
+    # decoded timestamp rides through as a grouping key
+    vals = [c for c in fld.columns if c not in (*_KEY3, "time")]
     if len(vals) != 1:
         raise ValueError(
             f"interpline needs a single-component field; {field!r} "
             f"carries {vals}"
         )
+    keys = ["file"] + (["time"] if "time" in fld.columns else [])
     out = vertcross(
         fld.withColumn("_lvl", F.lit(0)), vals[0], "_lvl",
         "x_idx", "y_idx", start, end, n_points,
-        out_col=vals[0], extra_keys=["file"],
+        out_col=vals[0], extra_keys=keys,
     )
-    return out.select("file", "s", vals[0])
+    return out.select(*keys, "s", vals[0])

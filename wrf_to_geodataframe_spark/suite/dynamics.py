@@ -1279,6 +1279,12 @@ def _write_getvar_fixture() -> str:
                 "HGT": {"dims": ["j", "i"],
                         "data": 120.0 + (ii[0] * 3.0 + jj[0] * 5.0)
                         / 4.0},
+                # boundary-layer height: parity picks which mass-level
+                # pair brackets it in height_agl (agl(k) = 500k + 130
+                # + (f-2i-4j)/4, so 700 sits in (agl1, agl2) and 1150
+                # in (agl2, agl3) with >= 20 m margins — s14's target)
+                "PBLH": {"dims": ["j", "i"],
+                         "data": 700.0 + 450.0 * ((ii[0] + jj[0]) % 2)},
                 "PH": {"dims": ["ks", "j", "i"],
                        "data": 9.81 * (ii2 + jj2 + f) / 4.0},
                 "PHB": {"dims": ["ks", "j", "i"], "data": 4905.0 * ks},
@@ -2069,6 +2075,87 @@ FROM cells
 _S13_SQL = _s13_sql()
 
 
+def s14_interplevel_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D-TARGET interplevel through the front door (wrf-python's
+    ``interplevel(field3d, vert, field2d)`` form): tk onto each
+    column's OWN boundary-layer height plane —
+    ``wrf_interplevel(spark, d, 'tk', 'PBLH', on='height_agl')``.
+    The target plane joins the level rows on the column key BEFORE
+    the bracket window (operators/vertical.interplevel_field), so the
+    varying surface costs the same one window + one partial-agg
+    groupBy as s7's constant level; height_agl composes the staggered
+    geopotential half-sum with the terrain plane, both negated for
+    the increasing-coordinate search.
+
+    Exactness: every step is deterministic IEEE arithmetic on
+    fixture-exact inputs, and the oracle replays the engine's exact
+    chain — zs = (PH + PHB)/9.81, z = adjacent half-sum,
+    agl = z - HGT, then f1 + (f2-f1) * (pblh - agl1) / (agl2 - agl1)
+    (the engine computes the negated form; IEEE negation is exact, so
+    the un-negated algebra is bit-identical).  PBLH's parity picks
+    bracket k=1-2 (700 m) or k=2-3 (1150 m) by construction with
+    >= 20 m margins over the ~1e-13 /9.81 drift; rounded 1e-6 K (tk
+    is transcendental — the s7/s13 rule)."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_interplevel
+
+    d = _write_getvar_fixture()
+    out = wrf_interplevel(spark, d, "tk", "PBLH", on="height_agl")
+    return out.select(
+        F.regexp_extract("file", r"_(\d+)\.nc", 1)
+        .cast("long")
+        .alias("shard"),
+        "y_idx", "x_idx",
+        F.round("tk_interp", 6).alias("tk_pblh"),
+    )
+
+
+def _s14_sql() -> str:
+    def zs(k: str) -> str:
+        # stored PH = 9.81*(i+j+f)/4 (k-independent), PHB = 4905*k;
+        # geopotential_height = (ph + phb) / 9.81
+        return f"((9.81 * (i + j + f) / 4.0 + 4905.0 * ({k})) / 9.81)"
+
+    def z(k: str) -> str:
+        return f"(({zs(k)} + {zs(f'({k}) + 1')}) / 2.0)"
+
+    def agl(k: str) -> str:
+        return f"({z(k)} - (120.0 + (i * 3.0 + j * 5.0) / 4.0))"
+
+    def theta(k: str) -> str:
+        return f"((-8.0 * ({k}) + (i + j) / 4.0 + f) + 300.0)"
+
+    def prs(k: str) -> str:
+        return (
+            f"(100.0 * (i % 3) + 25.0 * f + (95000.0 - 9000.0 * ({k})))"
+        )
+
+    def tkk(k: str) -> str:
+        return f"({theta(k)} * pow({prs(k)} / 100000.0, 2.0/7.0))"
+
+    def interp(k1: str, k2: str, t: str) -> str:
+        return (
+            f"({tkk(k1)} + ({tkk(k2)} - {tkk(k1)})"
+            f" * ({t} - {agl(k1)}) / ({agl(k2)} - {agl(k1)}))"
+        )
+
+    return f"""
+WITH cells AS (
+    SELECT f, j, i
+    FROM generate_series(0, {_GV_NF - 1}) AS tf(f),
+         generate_series(0, {_GV_NJ - 1}) AS tj(j),
+         generate_series(0, {_GV_NI - 1}) AS ti(i)
+)
+SELECT f AS shard, CAST(j AS BIGINT) AS y_idx, CAST(i AS BIGINT) AS x_idx,
+       round(CASE WHEN (i + j) % 2 = 0
+                  THEN {interp('1', '2', '700.0')}
+                  ELSE {interp('2', '3', '1150.0')} END, 6) AS tk_pblh
+FROM cells
+"""
+
+
+_S14_SQL = _s14_sql()
+
+
 def m17_storm_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SEVERE-WEATHER SCREENING chain every convective forecaster
     composes from the new storm surface: wrf_getvar_many(helicity +
@@ -2287,6 +2374,7 @@ QUERIES = {
     "s11_wrf_interpline": s11_wrf_interpline,
     "s12_getvar_coords": s12_getvar_coords,
     "s13_interplevel_multi": s13_interplevel_multi,
+    "s14_interplevel_field": s14_interplevel_field,
     "m17_storm_screen": m17_storm_screen,
     "capstone_wrf_voronoi": capstone_wrf_voronoi,
     "m3_absolute_vorticity": m3_absolute_vorticity,
@@ -2315,6 +2403,7 @@ ORACLE = {
     "s11_wrf_interpline": _S11_SQL,
     "s12_getvar_coords": _S12_SQL,
     "s13_interplevel_multi": _S13_SQL,
+    "s14_interplevel_field": _S14_SQL,
     "m17_storm_screen": _M17_SQL,
     "capstone_wrf_voronoi": _CAPSTONE_SQL,
     "m3_absolute_vorticity": _M3_SQL,
