@@ -969,6 +969,86 @@ FROM r
 _G19_SQL = _g19_sql()
 
 
+_WRF_ATTRS_STERE = {
+    "MAP_PROJ": 2, "TRUELAT1": 60.0, "STAND_LON": -100.0,
+    "CEN_LON": -97.0, "CEN_LAT": 65.0,
+    "DX": 20000.0, "DY": 20000.0,
+    "WEST-EAST_GRID_DIMENSION": 31, "SOUTH-NORTH_GRID_DIMENSION": 41,
+}
+
+
+def g20_wrf_ll_to_xy_stere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wrf-python ``ll_to_xy`` / ``xy_to_ll`` on a POLAR-STEREOGRAPHIC
+    wrfout block (MAP_PROJ=2, the high-latitude domain case): the same
+    grid-index transform as g19 dispatched through wrf_projection's
+    stere branch (functions/crs.py, Snyder 21-33/21-34 with scale true
+    at TRUELAT1), plus the round trip back through the inverse.  The
+    oracle restates the spherical stereographic forward and the index
+    arithmetic with identical constants and states the round-trip
+    columns as the closed-form identity (the g19 pattern).  The i/j
+    index range crosses zero, so both sides carry the SIGNED-ZERO
+    guard (+ 0.0) after the round."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        wrf_ll_to_xy,
+        wrf_xy_to_ll,
+    )
+
+    cells = grid_cells(spark, sf_dir)
+    d = cells.select(
+        "user_id",
+        (F.col("x") * 0.5 - 108.0).alias("lon"),
+        (F.col("y") * 0.4 + 55.0).alias("lat"),
+    )
+    d = wrf_ll_to_xy(_WRF_ATTRS_STERE, d, "lon", "lat", out_i="i", out_j="j")
+    d = wrf_xy_to_ll(
+        _WRF_ATTRS_STERE, d, "i", "j", out_lon="lon2", out_lat="lat2"
+    )
+    return d.select(
+        "user_id",
+        (F.round("i", 6) + F.lit(0.0)).alias("i"),
+        (F.round("j", 6) + F.lit(0.0)).alias("j"),
+        F.round("lon2", 6).alias("lon2"),
+        F.round("lat2", 6).alias("lat2"),
+    )
+
+
+def _g20_sql() -> str:
+    import math as _m
+
+    from wrf_to_geodataframe_spark.functions.crs import WRF_SPHERE_R
+
+    k0 = (1.0 + _m.sin(_m.radians(60.0))) / 2.0
+    rf = 2.0 * WRF_SPHERE_R * k0
+    return f"""
+WITH cells AS ({_CELLS_SQL}),
+ll AS (
+    SELECT user_id,
+           (x1 + 0.5) * 0.5 - 108.0 AS lon,
+           (y1 + 0.5) * 0.4 + 55.0 AS lat
+    FROM cells
+),
+r AS (
+    SELECT user_id, lon, lat,
+           {rf!r} * tan(pi() / 4 - radians(lat) / 2) AS rho,
+           radians(lon - (-100.0)) AS dl,
+           {rf!r} * tan(pi() / 4 - radians(65.0) / 2) AS rhoc,
+           radians(-97.0 - (-100.0)) AS dlc
+    FROM ll
+)
+SELECT user_id,
+       round((rho * sin(dl) - rhoc * sin(dlc)) / 20000.0 + 14.5, 6)
+         + 0.0 AS i,
+       round((-rho * cos(dl) - (-rhoc * cos(dlc))) / 20000.0 + 19.5, 6)
+         + 0.0 AS j,
+       round(lon, 6) AS lon2,
+       round(lat, 6) AS lat2
+FROM r
+"""
+
+
+_G20_SQL = _g20_sql()
+
+
 def g8_crs_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UTM transform (SURVEY.md §2 G8): grid centers as pseudo WGS84
     lon/lat inside UTM zone 30 projected through the Kruger-series
@@ -2357,6 +2437,7 @@ QUERIES = {
     "g8_crs_osgb": g8_crs_osgb,
     "g8_crs_lcc": g8_crs_lcc,
     "g19_wrf_ll_to_xy": g19_wrf_ll_to_xy,
+    "g20_wrf_ll_to_xy_stere": g20_wrf_ll_to_xy_stere,
     "g8_crs_laea": g8_crs_laea,
     "g8_crs_albers": g8_crs_albers,
     "g8_crs_cea": g8_crs_cea,
@@ -2390,6 +2471,7 @@ ORACLE = {
     "g8_crs_osgb": _G8_OSGB_SQL,
     "g8_crs_lcc": _G8_LCC_SQL,
     "g19_wrf_ll_to_xy": _G19_SQL,
+    "g20_wrf_ll_to_xy_stere": _G20_SQL,
     "g8_crs_laea": _G8_LAEA_SQL,
     "g8_crs_albers": _G8_ALBERS_SQL,
     "g8_crs_cea": _G8_CEA_SQL,
