@@ -1775,8 +1775,9 @@ def m15_getvar_helicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     destaggered U/V/W scan set between the two names; the layer
     geometry (z, dz from the staggered geopotential) and the terrain
     plane (HGT, read like avo's MAPFAC_M) turn the vertical bands into
-    height above ground (the storm-motion deviation from wrf-python is
-    stated at operators/wrf.py).
+    height above ground (explicit c_u/c_v here pin the OVERRIDE path;
+    the no-motion-args default — wrf-python's internal Davies & Johns
+    estimate — is m18's gate).
 
     Exactness: the staggered wind lattices are dyadic, so destaggered
     winds, the vorticity stencil zeta = (20i - 12j)/8192, and every
