@@ -116,6 +116,10 @@ def archive(tmp_path_factory):
                 "XLONG_V": {"dims": ["js", "i"],
                             "data": -101.0 + iiv * 0.25},
             },
+            gattrs=dict(ATTRS, MAP_PROJ=1, MOAD_CEN_LAT=40.0,
+                        CEN_LON=-100.375, CEN_LAT=38.5,
+                        **{"WEST-EAST_GRID_DIMENSION": NI + 1,
+                           "SOUTH-NORTH_GRID_DIMENSION": NJ + 1}),
         )
     return d
 
@@ -332,11 +336,97 @@ def test_mdbz_and_omega(spark, archive):
             )
 
 
-def test_getvar_named_errors(spark, archive):
+def test_getvar_named_errors(spark, archive, tmp_path):
     with pytest.raises(ValueError, match="not implemented"):
         wrf_getvar(spark, archive, "nonsense_var")
+    # the archive CARRIES the projection block, so uvmet auto-reads it
+    # (wrf-python parity); the named error survives for archives whose
+    # shards have no global attributes
+    from wrf_to_geodataframe_spark.sources.netcdf import write_netcdf
+
+    bare = tmp_path / "bare"
+    bare.mkdir()
+    jj, ii = np.meshgrid(np.arange(2), np.arange(2), indexing="ij")
+    write_netcdf(
+        str(bare / "wrfout_d01_000.nc"),
+        {"j": 2, "i": 2},
+        {
+            "U10": {"dims": ["j", "i"], "data": ii * 1.0},
+            "V10": {"dims": ["j", "i"], "data": jj * 1.0},
+            "XLAT": {"dims": ["j", "i"], "data": 38.0 + jj * 0.25},
+            "XLONG": {"dims": ["j", "i"], "data": -101.0 + ii * 0.25},
+        },
+    )
     with pytest.raises(ValueError, match="attrs"):
-        wrf_getvar(spark, archive, "uvmet")
+        wrf_getvar(spark, str(bare), "uvmet10")
+
+
+def test_getvar_auto_reads_global_attrs(spark, archive):
+    """wrf-python parity: getvar reads the projection block off the
+    file — uvmet/uvmet10 with NO attrs= must equal the explicit-attrs
+    runs (the archive's gattrs mirror ATTRS), and wrf_global_attrs
+    itself returns the stored scalars from a metadata-only probe."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_global_attrs
+
+    got = wrf_global_attrs(archive)
+    assert float(np.atleast_1d(got["TRUELAT1"])[0]) == 30.0
+    assert float(np.atleast_1d(got["STAND_LON"])[0]) == -100.0
+    assert int(np.atleast_1d(got["MAP_PROJ"])[0]) == 1
+    auto = _collect(
+        wrf_getvar(spark, archive, "uvmet10"), "ue10", "ve10"
+    )
+    explicit = _collect(
+        wrf_getvar(spark, archive, "uvmet10", attrs=ATTRS), "ue10", "ve10"
+    )
+    assert auto == explicit  # same constants -> bit-identical plan
+    with pytest.raises(ValueError, match="no NetCDF shards"):
+        import tempfile
+
+        wrf_global_attrs(tempfile.mkdtemp(prefix="empty_wrf_"))
+
+
+def test_ll_to_xy_archive_shape(spark, archive):
+    """The wrf-python call shape ll_to_xy(wrfin, ...): attrs read off
+    the archive — the domain center lands on the grid midpoint and
+    xy_to_ll inverts to fp precision."""
+    from wrf_to_geodataframe_spark.operators.wrf import (
+        wrf_ll_to_xy_archive,
+        wrf_xy_to_ll_archive,
+    )
+
+    pts = spark.createDataFrame(
+        [(-100.375, 38.5), (-101.0, 38.0)], "lon double, lat double"
+    )
+    d = wrf_ll_to_xy_archive(archive, pts, "lon", "lat")
+    d = wrf_xy_to_ll_archive(archive, d, "i", "j",
+                             out_lon="lon2", out_lat="lat2")
+    rows = d.collect()
+    center = [r for r in rows if r.lon == -100.375][0]
+    # archive gattrs: CEN at (-100.375, 38.5), mass grid 6x5 -> the
+    # center maps to ((6-1)/2, (5-1)/2)
+    assert center.i == pytest.approx(2.5, abs=1e-9)
+    assert center.j == pytest.approx(2.0, abs=1e-9)
+    for r in rows:
+        assert r.lon2 == pytest.approx(r.lon, abs=1e-9)
+        assert r.lat2 == pytest.approx(r.lat, abs=1e-9)
+
+
+def test_wrf_global_attrs_hdf5_root(tmp_path):
+    """The NetCDF-4/HDF5 branch of wrf_global_attrs: root attributes
+    come back from the mmap object-header walk."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_global_attrs
+    from wrf_to_geodataframe_spark.sources.hdf5_write import write_netcdf4
+
+    p = str(tmp_path / "attrs.nc")
+    write_netcdf4(
+        p, {"j": 2, "i": 2},
+        {"T2": {"dims": ["j", "i"],
+                "data": np.arange(4, dtype=np.float64).reshape(2, 2)}},
+        attrs={"MAP_PROJ": 2, "TRUELAT1": 60.0, "STAND_LON": -100.0},
+    )
+    got = wrf_global_attrs(p)
+    assert float(np.atleast_1d(got["TRUELAT1"])[0]) == 60.0
+    assert int(np.atleast_1d(got["MAP_PROJ"])[0]) == 2
 
 
 def test_dbz_species_extension_and_validation(spark, archive):
@@ -1092,8 +1182,17 @@ def test_updraft_helicity_through_front_door(spark):
             assert got[(f, j, i)] == pytest.approx(want, abs=1e-12), (
                 f, j, i,
             )
-    with pytest.raises(ValueError, match="attrs"):
-        wrf_getvar(spark, d, "updraft_helicity")
+    # no attrs= -> DX/DY auto-read from the fixture's gattrs (4000 m,
+    # different from this test's 1024 m lattice): must equal the
+    # explicit run with the same 4000 m block
+    auto = _collect(wrf_getvar(spark, d, "updraft_helicity"),
+                    "updraft_helicity")
+    exp4000 = _collect(
+        wrf_getvar(spark, d, "updraft_helicity",
+                   attrs={"DX": 4000.0, "DY": 4000.0}),
+        "updraft_helicity",
+    )
+    assert auto == exp4000
     with pytest.raises(TypeError, match="bottom/top"):
         wrf_getvar(spark, d, "updraft_helicity",
                    attrs={"DX": 512.0, "DY": 512.0}, c_u=1.0)
@@ -1149,8 +1248,17 @@ def test_wspd_wdir_uvmet_compositions(spark, archive):
         assert wd == pytest.approx(
             (270.0 - math.degrees(math.atan2(ve, ue))) % 360.0, rel=1e-9
         )
-    with pytest.raises(ValueError, match="attrs"):
-        wrf_getvar(spark, archive, "wspd_wdir_uvmet10")
+    # no attrs= -> the rotation block auto-reads from the archive's
+    # own gattrs (same constants as ATTRS -> bit-identical results)
+    auto10 = _collect(
+        wrf_getvar(spark, archive, "wspd_wdir_uvmet10"),
+        "wspd_uv10", "wdir_uv10",
+    )
+    explicit10 = _collect(
+        wrf_getvar(spark, archive, "wspd_wdir_uvmet10", attrs=ATTRS),
+        "wspd_uv10", "wdir_uv10",
+    )
+    assert auto10 == explicit10
 
 
 def test_wrf_interpline_front_door(spark, archive):

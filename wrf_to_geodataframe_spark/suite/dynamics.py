@@ -1307,6 +1307,18 @@ def _write_getvar_fixture() -> str:
                 "XLONG_V": {"dims": ["js", "i"],
                             "data": -101.0 + iqv * 0.25},
             },
+            # the wrfout GLOBAL projection block real model output
+            # carries — s15 reads it back via wrf_global_attrs (the
+            # values mirror _S9_ATTRS so attrs-passing gates and the
+            # auto-read path compute identical rotations)
+            gattrs={
+                "MAP_PROJ": 1, "TRUELAT1": 30.0, "TRUELAT2": 60.0,
+                "MOAD_CEN_LAT": 40.0, "STAND_LON": -100.0,
+                "CEN_LON": -100.625, "CEN_LAT": 38.375,
+                "DX": 4000.0, "DY": 4000.0,
+                "WEST-EAST_GRID_DIMENSION": ni + 1,
+                "SOUTH-NORTH_GRID_DIMENSION": nj + 1,
+            },
         )
     return d
 
@@ -2157,6 +2169,59 @@ FROM cells
 _S14_SQL = _s14_sql()
 
 
+def s15_getvar_auto_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL-ATTR AUTO-READ (wrf-python parity: getvar never takes a
+    projection dict — it reads the wrfout global attributes off the
+    open file): ``wrf_getvar(spark, d, 'wspd_wdir_uvmet10')`` with NO
+    ``attrs=`` resolves the earth-rotation block from the archive's
+    own header via ``wrf_global_attrs`` — METADATA ONLY (classic:
+    bounded 64-KiB-doubling header-prefix parse; NetCDF-4/HDF5: mmap
+    object-header walk), driver-side, no Spark job, so query
+    construction stays lazy.
+
+    Oracle (class B): the s12 closed-form uvmet rotation with the
+    same TRUELAT1/2 + STAND_LON constants the FIXTURE's gattrs carry
+    — a misdecoded attribute block would rotate every wind wrongly.
+    The calm point u10=v10=0 keeps s12's signed-zero canonicalization
+    on wspd."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_getvar
+
+    d = _write_getvar_fixture()
+    out = wrf_getvar(spark, d, "wspd_wdir_uvmet10")
+    return out.select(
+        F.regexp_extract("file", r"_(\d+)\.nc", 1)
+        .cast("long")
+        .alias("shard"),
+        "y_idx", "x_idx",
+        (F.round("wspd_uv10", 6) + F.lit(0.0)).alias("wspd_uv10"),
+        F.round("wdir_uv10", 6).alias("wdir_uv10"),
+    )
+
+
+def _s15_sql() -> str:
+    from wrf_to_geodataframe_spark.functions.meteo import lcc_cone
+
+    cone = lcc_cone(_S9_ATTRS["TRUELAT1"], _S9_ATTRS["TRUELAT2"])
+    slon = _S9_ATTRS["STAND_LON"]
+    alpha = f"radians(((-101.0 + i * 0.25) - {slon!r}) * {cone!r})"
+    u10 = "((i * 2.0 + j / 2.0 + f) / 4.0)"
+    v10 = "((i / 2.0 + j * 3.0 + f) / 4.0)"
+    ue = f"({v10} * sin({alpha}) + {u10} * cos({alpha}))"
+    ve = f"({v10} * cos({alpha}) - {u10} * sin({alpha}))"
+    return f"""
+SELECT f AS shard, CAST(j AS BIGINT) AS y_idx, CAST(i AS BIGINT) AS x_idx,
+       round(sqrt({ue} * {ue} + {ve} * {ve}), 6) + 0.0 AS wspd_uv10,
+       round((((270.0 - degrees(atan2({ve}, {ue}))) % 360.0 + 360.0)
+             % 360.0), 6) AS wdir_uv10
+FROM generate_series(0, {_GV_NF - 1}) AS tf(f),
+     generate_series(0, {_GV_NJ - 1}) AS tj(j),
+     generate_series(0, {_GV_NI - 1}) AS ti(i)
+"""
+
+
+_S15_SQL = _s15_sql()
+
+
 def m17_storm_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SEVERE-WEATHER SCREENING chain every convective forecaster
     composes from the new storm surface: wrf_getvar_many(helicity +
@@ -2376,6 +2441,7 @@ QUERIES = {
     "s12_getvar_coords": s12_getvar_coords,
     "s13_interplevel_multi": s13_interplevel_multi,
     "s14_interplevel_field": s14_interplevel_field,
+    "s15_getvar_auto_attrs": s15_getvar_auto_attrs,
     "m17_storm_screen": m17_storm_screen,
     "capstone_wrf_voronoi": capstone_wrf_voronoi,
     "m3_absolute_vorticity": m3_absolute_vorticity,
@@ -2405,6 +2471,7 @@ ORACLE = {
     "s12_getvar_coords": _S12_SQL,
     "s13_interplevel_multi": _S13_SQL,
     "s14_interplevel_field": _S14_SQL,
+    "s15_getvar_auto_attrs": _S15_SQL,
     "m17_storm_screen": _M17_SQL,
     "capstone_wrf_voronoi": _CAPSTONE_SQL,
     "m3_absolute_vorticity": _M3_SQL,
