@@ -126,6 +126,44 @@ def test_interplevel_field_matches_per_column_scalar_calls(spark):
             assert got[c] == want, c  # identical arithmetic: bit-equal
 
 
+def test_interplevel_field_50k_columns_exact_and_one_shuffle(spark):
+    """Scale smoke for the varying-target kernel: 50k columns x 8
+    levels, every column with its OWN dyadic-bracket target (factor
+    exactly 0.25), checked bit-exact against the closed form — and a
+    plan pin: the bracket groupBy REUSES the window's partitioning
+    (no second hash exchange) and the column-universe join
+    broadcasts, so a 100-TB field pays one shuffle for the whole
+    interpolation."""
+    from wrf_to_geodataframe_spark.operators.vertical import (
+        interplevel_field,
+    )
+
+    n = 50_000
+    base = spark.range(n).select(F.col("id").alias("c"))
+    lev = base.select(
+        "c", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k")
+    ).select(
+        "c", "k",
+        (1000.0 - F.col("k") * 100.0).alias("p"),
+        (
+            (2.0 * (1000.0 - F.col("k") * 100.0) + F.col("c") % 16) / 8.0
+        ).alias("f"),
+        (1000.0 - (F.col("c") % 5) * 100.0 - 25.0).alias("t"),
+    )
+    out = interplevel_field(lev, "p", "f", "t", ["c"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # the column-universe join
+    # the window's hash partitioning is the ONLY per-column shuffle;
+    # the groupBy reuses it
+    assert plan.count("Exchange hashpartitioning") <= 1
+    rows = out.collect()
+    assert len(rows) == n
+    for r in rows:
+        t = 1000.0 - (r.c % 5) * 100.0 - 25.0
+        assert r.f_interp == (2.0 * t + r.c % 16) / 8.0, r.c
+
+
 def test_precipitable_water_matches_numpy_integral(spark):
     rng = np.random.default_rng(3)
     rows, want = [], {}

@@ -411,6 +411,37 @@ def test_ll_to_xy_archive_shape(spark, archive):
         assert r.lat2 == pytest.approx(r.lat, abs=1e-9)
 
 
+def test_getvar_raw_variable_fallback(spark, archive):
+    """wrf-python parity: getvar returns any variable the FILE itself
+    carries — PSFC (2-D plane) and QVAPOR (per-level) read raw with
+    the file's spelling; numpy replay; misuse arms named."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_getvar
+
+    ps = _collect(wrf_getvar(spark, archive, "PSFC"), "psfc")
+    assert len(ps) == NF * NJ * NI
+    for f in range(NF):
+        for (j, i) in [(0, 0), (2, 3)]:
+            assert ps[(f, j, i)] == 96000.0 + 100.0 * (i % 3) + 25.0 * f
+    qv = _collect(wrf_getvar(spark, archive, "QVAPOR"), "qvapor")
+    assert len(qv) == NF * NK * NJ * NI
+    for f in range(NF):
+        for (k, j, i) in [(0, 0, 0), (3, 2, 4)]:
+            want = (16.0 + (i + j + k) % 5 - k) / 1024.0
+            assert qv[(f, k, j, i)] == want
+    # times=True composes with the raw path
+    timed = wrf_getvar(spark, archive, "PSFC", times=True)
+    assert "time" in timed.columns
+    assert timed.count() == NF * NJ * NI
+    # named misuse arms: options on a raw read; horizontally staggered
+    # shapes; names in neither the registry nor the file
+    with pytest.raises(TypeError, match="raw file-variable"):
+        wrf_getvar(spark, archive, "PSFC", bogus=1)
+    with pytest.raises(ValueError, match="staggered"):
+        wrf_getvar(spark, archive, "U")
+    with pytest.raises(ValueError, match="not implemented"):
+        wrf_getvar(spark, archive, "nonsense_var")
+
+
 def test_wrf_global_attrs_hdf5_root(tmp_path):
     """The NetCDF-4/HDF5 branch of wrf_global_attrs: root attributes
     come back from the mmap object-header walk."""

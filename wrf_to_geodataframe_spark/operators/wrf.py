@@ -390,6 +390,72 @@ def wrf_global_attrs(path: str) -> dict:
     )
 
 
+def wrf_file_variables(path: str) -> dict[str, tuple[int, ...]]:
+    """variable name -> dimension SIZES of the archive's first shard,
+    METADATA ONLY (the :func:`wrf_global_attrs` probe discipline:
+    classic files via the bounded header-prefix parse, NetCDF-4/HDF5
+    via the mmap object-header walk — no data pages).  Powers the
+    getvar raw-variable fallback's existence/shape check."""
+    import mmap
+    import os
+
+    if os.path.isdir(path):
+        shards = sorted(
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if n.endswith((".nc", ".nc4", ".h5", ".hdf5"))
+        )
+        if not shards:
+            raise ValueError(
+                f"{path}: no NetCDF shards to read variables from"
+            )
+        target = shards[0]
+    else:
+        target = path
+    with open(target, "rb") as f:
+        magic = f.read(8)
+    if magic[:3] == b"CDF" and magic[3:4] in (b"\x01", b"\x02"):
+        from wrf_to_geodataframe_spark.sources.netcdf import (
+            _read_header_from_file,
+        )
+
+        hdr = _read_header_from_file(target)
+        sizes = [sz for _n, sz in hdr["dims"]]
+        # a 0-size dim is the record (unlimited) dimension: its actual
+        # length is the header's record count
+        sizes = [hdr["numrecs"] if s == 0 else s for s in sizes]
+        return {
+            nm: tuple(sizes[d] for d in dimids)
+            for nm, dimids, _a, _t, _b in hdr["entries"]
+        }
+    if magic == b"\x89HDF\r\n\x1a\n":
+        from wrf_to_geodataframe_spark.sources.hdf5 import (
+            Hdf5Error,
+            _Hdf5File,
+        )
+
+        with open(target, "rb") as fh:
+            mm = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+            try:
+                f5 = _Hdf5File(mm)
+                out: dict = {}
+                for name, addr in sorted(
+                    f5.group_links(f5.root_header).items()
+                ):
+                    try:
+                        info = f5.dataset_info(addr)
+                    except Hdf5Error:
+                        continue  # subgroup / unsupported layout
+                    out[name] = tuple(int(s) for s in info["shape"])
+                return out
+            finally:
+                mm.close()
+    raise ValueError(
+        f"{target}: not a NetCDF classic or HDF5 file — cannot list "
+        "variables"
+    )
+
+
 def _attrs_or_file(
     attrs: dict | None, path: str, varname: str, needed: str
 ) -> dict:
@@ -561,6 +627,18 @@ def wrf_getvar(
         )
         return out.join(F.broadcast(tdf), "file")
 
+    if ALIASES.get(varname, varname) not in SUPPORTED:
+        # wrf-python's raw-variable fallback: getvar(f, 'SMOIS') returns
+        # any variable the FILE itself carries.  A metadata-only probe
+        # of the first shard decides existence and shape (never a
+        # runtime surprise on executors), and only MASS-GRID variables
+        # qualify — horizontally staggered grids would silently
+        # misalign against the XLAT/XLONG coordinate join, so they
+        # raise with a pointer to the dedicated wind front doors.
+        raw = _raw_fallback(spark, path, varname, lat_var, lon_var, kw)
+        if raw is not None:
+            return raw
+
     varname, (need, species) = _validate(varname, kw)
     base = _base(spark, path, need, lat_var, lon_var)
     return _dispatch(
@@ -569,6 +647,54 @@ def wrf_getvar(
         coords=lambda: _coords(spark, path, lat_var, lon_var),
         **kw,
     )
+
+
+def _raw_fallback(
+    spark: SparkSession,
+    path: str,
+    varname: str,
+    lat_var: str,
+    lon_var: str,
+    kw: dict,
+) -> DataFrame | None:
+    """The getvar raw-variable path: ``varname`` as the file spells it
+    (case-sensitive, like wrf-python).  Returns None when the first
+    shard has no such variable (the caller then raises the standard
+    supported-names error); raises NAMED errors for options (raw reads
+    take none) and horizontally-staggered shapes.  2-D ``(y, x)``
+    planes key (file, y_idx, x_idx); per-level ``(k, y, x)`` variables
+    key (file, k, y_idx, x_idx) — a VERTICALLY staggered leading dim
+    (k+1 levels, PH/W-style) is fine, k is then the staggered index
+    (the zstag convention)."""
+    try:
+        dims_by_var = wrf_file_variables(path)
+    except ValueError:
+        return None  # unreadable/empty archive: standard error path
+    if varname not in dims_by_var:
+        return None
+    if kw:
+        raise TypeError(
+            f"getvar({varname!r}) is a raw file-variable read and "
+            f"takes no options, got {sorted(kw)}"
+        )
+    shape = dims_by_var[varname]
+    grid = dims_by_var.get(lat_var)
+    if grid is None or len(grid) != 2:
+        raise ValueError(
+            f"raw getvar({varname!r}) needs the mass-grid coordinate "
+            f"{lat_var!r} on the shard to key rows"
+        )
+    if len(shape) not in (2, 3) or shape[-2:] != tuple(grid):
+        raise ValueError(
+            f"raw getvar({varname!r}) supports mass-grid (y, x) or "
+            f"(k, y, x) variables; {varname!r} has dim sizes {shape} "
+            f"vs mass grid {tuple(grid)} — staggered winds go through "
+            "getvar('ua'/'va'/'wa'/'uvmet')"
+        )
+    d = _raw(spark, path, varname, lat_var, lon_var)
+    if len(shape) == 2:
+        return d.select(*_KEY3, varname.lower()).distinct()
+    return d.select(*_KEY, varname.lower())
 
 
 def _validate(

@@ -2222,6 +2222,45 @@ FROM generate_series(0, {_GV_NF - 1}) AS tf(f),
 _S15_SQL = _s15_sql()
 
 
+def s16_getvar_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAW FILE-VARIABLE getvar (wrf-python parity: ``getvar(f,
+    'SMOIS')`` returns any variable the file itself carries, spelled
+    as the file spells it): QVAPOR (per-level mass-grid) and PSFC
+    (single plane) through the fallback path — a metadata-only probe
+    of the first shard's header decides existence and 2-D/3-D keying
+    at construction (no executor-side surprise), then the standard
+    distributed scan.  Horizontally-staggered shapes raise with a
+    pointer to the wind front doors; unknown-everywhere names keep
+    the supported-list error.
+
+    Exactness: both variables are exact dyadic lattices — hash-exact
+    UNROUNDED; the oracle is the fixture's closed form."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_getvar
+
+    d = _write_getvar_fixture()
+    qv = wrf_getvar(spark, d, "QVAPOR")
+    ps = wrf_getvar(spark, d, "PSFC")
+    out = qv.join(ps, ["file", "y_idx", "x_idx"])
+    return out.select(
+        F.regexp_extract("file", r"_(\d+)\.nc", 1)
+        .cast("long")
+        .alias("shard"),
+        "y_idx", "x_idx", "k", "qvapor", "psfc",
+    )
+
+
+_S16_SQL = f"""
+SELECT f AS shard, CAST(j AS BIGINT) AS y_idx, CAST(i AS BIGINT) AS x_idx,
+       CAST(k AS BIGINT) AS k,
+       (16.0 + (i + j + k) % 5 - k) / 1024.0 AS qvapor,
+       96000.0 + 100.0 * (i % 3) + 25.0 * f AS psfc
+FROM generate_series(0, {_GV_NF - 1}) AS tf(f),
+     generate_series(0, {_GV_NJ - 1}) AS tj(j),
+     generate_series(0, {_GV_NI - 1}) AS ti(i),
+     generate_series(0, {_GV_NK - 1}) AS tk(k)
+"""
+
+
 def m17_storm_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SEVERE-WEATHER SCREENING chain every convective forecaster
     composes from the new storm surface: wrf_getvar_many(helicity +
@@ -2442,6 +2481,7 @@ QUERIES = {
     "s13_interplevel_multi": s13_interplevel_multi,
     "s14_interplevel_field": s14_interplevel_field,
     "s15_getvar_auto_attrs": s15_getvar_auto_attrs,
+    "s16_getvar_raw": s16_getvar_raw,
     "m17_storm_screen": m17_storm_screen,
     "capstone_wrf_voronoi": capstone_wrf_voronoi,
     "m3_absolute_vorticity": m3_absolute_vorticity,
@@ -2472,6 +2512,7 @@ ORACLE = {
     "s13_interplevel_multi": _S13_SQL,
     "s14_interplevel_field": _S14_SQL,
     "s15_getvar_auto_attrs": _S15_SQL,
+    "s16_getvar_raw": _S16_SQL,
     "m17_storm_screen": _M17_SQL,
     "capstone_wrf_voronoi": _CAPSTONE_SQL,
     "m3_absolute_vorticity": _M3_SQL,
