@@ -126,6 +126,27 @@ def test_interplevel_field_matches_per_column_scalar_calls(spark):
             assert got[c] == want, c  # identical arithmetic: bit-equal
 
 
+def test_interplevel_field_null_target_yields_null_row(spark):
+    """A column whose target is NULL (missing plane row after the
+    front door's LEFT join) must still appear in the output with a
+    NULL interpolant — never vanish."""
+    from wrf_to_geodataframe_spark.operators.vertical import (
+        interplevel_field,
+    )
+
+    rows = [
+        (0, 900.0, 1.0, 850.0), (0, 800.0, 2.0, 850.0),
+        (1, 900.0, 5.0, None), (1, 800.0, 6.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "c long, p double, f double, t double"
+    )
+    got = {r.c: r.f_interp
+           for r in interplevel_field(df, "p", "f", "t", ["c"]).collect()}
+    assert got[0] == pytest.approx(1.5)
+    assert 1 in got and got[1] is None
+
+
 def test_interplevel_field_50k_columns_exact_and_one_shuffle(spark):
     """Scale smoke for the varying-target kernel: 50k columns x 8
     levels, every column with its OWN dyadic-bracket target (factor

@@ -383,6 +383,28 @@ def test_near_dup_snapping_leaves_ordinary_inputs_bit_identical():
     assert snapped is pts  # same object: no copy on the no-op path
 
 
+def test_exact_duplicate_pileup_skips_pairwise_loop():
+    """A large exactly-coincident pile-up collapses vectorially (one
+    np.unique) instead of entering the O(k^2) pairwise loop — 20k
+    copies must tessellate in well under a second of snapping time,
+    with the usual first-copy-wins sentinel semantics."""
+    import time
+
+    pts = np.vstack([
+        np.tile([[5.0, 5.0]], (20_000, 1)),
+        np.array([[2.0, 2.0], [8.0, 8.0]]),
+    ])
+    t0 = time.time()
+    cells = voronoi_cells(pts, (-1.0, -1.0, 11.0, 11.0))
+    dt = time.time() - t0
+    assert dt < 10.0  # the pairwise loop would take minutes
+    assert len(cells[0]) >= 3  # first copy wins
+    assert all(len(c) == 0 for c in cells[1:20_000])
+    assert len(cells[20_000]) >= 3 and len(cells[20_001]) >= 3
+    total = sum(shoelace_area(c) for c in cells)
+    assert abs(total - 144.0) < 1e-8
+
+
 def test_near_dup_chain_links_transitively():
     """A chain a-b-c with consecutive gaps under eps but a-c over eps
     must still collapse to ONE winner (union-find, not pairwise snap):

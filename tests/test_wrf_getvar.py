@@ -379,7 +379,7 @@ def test_getvar_auto_reads_global_attrs(spark, archive):
         wrf_getvar(spark, archive, "uvmet10", attrs=ATTRS), "ue10", "ve10"
     )
     assert auto == explicit  # same constants -> bit-identical plan
-    with pytest.raises(ValueError, match="no NetCDF shards"):
+    with pytest.raises(ValueError, match="no NetCDF"):
         import tempfile
 
         wrf_global_attrs(tempfile.mkdtemp(prefix="empty_wrf_"))
@@ -440,6 +440,48 @@ def test_getvar_raw_variable_fallback(spark, archive):
         wrf_getvar(spark, archive, "U")
     with pytest.raises(ValueError, match="not implemented"):
         wrf_getvar(spark, archive, "nonsense_var")
+
+
+def test_shard_probe_globs_extensionless_and_corrupt(tmp_path, archive):
+    """The metadata probes must resolve paths the way the scans do:
+    glob patterns work, real extension-less wrfout names work, a
+    non-NetCDF sidecar in the directory is skipped (not fatal), and a
+    corrupt HDF5 first shard raises a NAMED ValueError — never an
+    uncontrolled struct/Index error."""
+    import os
+    import shutil
+
+    from wrf_to_geodataframe_spark.operators.wrf import (
+        wrf_file_variables,
+        wrf_global_attrs,
+    )
+
+    # glob over the archive
+    got = wrf_global_attrs(os.path.join(archive, "wrfout_*"))
+    assert float(np.atleast_1d(got["TRUELAT1"])[0]) == 30.0
+    # extension-less real wrfout naming + a JSON sidecar to skip
+    d = tmp_path / "noext"
+    d.mkdir()
+    (d / "_manifest.json").write_text("{}")  # sorts first, skipped
+    src = sorted(os.listdir(archive))[0]
+    shutil.copy(
+        os.path.join(archive, src), d / "wrfout_d01_2023-07-01_00:00:00"
+    )
+    assert "T2" in wrf_file_variables(str(d))
+    # corrupt HDF5: valid signature, garbage body
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "wrfout_d01_000.h5").write_bytes(
+        b"\x89HDF\r\n\x1a\n" + b"\x00" * 64
+    )
+    with pytest.raises(ValueError, match="malformed|HDF5"):
+        wrf_file_variables(str(bad))
+    # ...and the raw fallback downgrades that to the standard
+    # supported-names error instead of crashing
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_getvar
+
+    with pytest.raises(ValueError, match="not implemented"):
+        wrf_getvar(None, str(bad), "SMOIS")
 
 
 def test_wrf_global_attrs_hdf5_root(tmp_path):

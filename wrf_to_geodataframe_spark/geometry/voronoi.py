@@ -35,8 +35,10 @@ chained) — are canonicalized onto that same path before any clipping
 |p-q|^2 but not another's, so one site was sentineled as a duplicate
 while a third still clipped against it as distinct, leaving an
 unclaimed sliver).  The exactness claim is therefore: exact for the
-SNAPPED site set, whose sites each moved by at most eps — boundaries
-shift by no more than eps, ~1e-11 of the domain.
+SNAPPED site set.  An isolated near-dup pair moves by at most eps; a
+CHAIN-linked k-site cluster can move its far members by the cluster
+span (up to ~k*eps, still ~1e-11 of the domain for any realistic k) —
+boundaries shift by no more than that span.
 """
 
 from __future__ import annotations
@@ -100,6 +102,24 @@ def _snap_near_duplicates(pts: np.ndarray, snap: float) -> np.ndarray:
                 invs.append(inv)
     if not cand.any():
         return pts
+
+    # EXACT duplicates collapse vectorially BEFORE the pairwise loop:
+    # a large coincident pile-up (every copy colliding in one cell)
+    # must not pay the O(k^2) Python loop — one np.unique reduces it
+    # to a single representative row, and the recursion (depth 1: the
+    # unique rows carry no exact duplicates) handles any remaining
+    # NEAR-duplicates among the distinct coordinates.  The cluster's
+    # canonical coordinate is then the lexicographically smallest
+    # member — deterministic under row order and tile subsetting; the
+    # sentinel WINNER is still decided by lowest original index in
+    # voronoi_cells' keep mask, unchanged.
+    uniq, inverse = np.unique(pts, axis=0, return_inverse=True)
+    inverse = inverse.reshape(-1)  # numpy <2.1 returns (n, 1) for axis=0
+    if len(uniq) < n:
+        snapped_u = _snap_near_duplicates(uniq, snap)
+        if snapped_u is uniq:
+            return pts
+        return snapped_u[inverse]
 
     parent = np.arange(n)
 

@@ -76,36 +76,13 @@ def interplevel(
     one lead window ordered bottom-up, and the output carries one row
     per column — NULL where the target is out of the column's range
     (below ground / above model top)."""
-    out_col = out_col or f"{value_col}_interp"
-    w = Window.partitionBy(*col_keys).orderBy(F.col(level_col).desc())
-    cand = (
-        df.withColumn("_p2", F.lead(level_col).over(w))
-        .withColumn("_f2", F.lead(value_col).over(w))
-        .filter(
-            F.col("_p2").isNotNull()
-            & (F.col(level_col) >= F.lit(float(target)))
-            & (F.col("_p2") <= F.lit(float(target)))
-        )
-        .select(
-            *col_keys,
-            F.col(level_col).alias("_p1"),
-            (
-                F.col(value_col)
-                + (F.col("_f2") - F.col(value_col))
-                * (F.col(level_col) - F.lit(float(target)))
-                / (F.col(level_col) - F.col("_p2"))
-            ).alias(out_col),
-        )
-        # a target exactly ON an interior level satisfies BOTH its
-        # bracketing pairs; keep the pair whose LOWER bound equals the
-        # target (smallest p1 -> interpolation factor exactly 0 -> the
-        # level's own value bit-for-bit; the factor-1 row's
-        # f1 + (f2-f1)*1.0 can be a rounding step off)
-        .groupBy(*col_keys)
-        .agg(F.min_by(out_col, "_p1").alias(out_col))
+    # one bracket kernel to maintain: the constant level is just the
+    # varying-surface form with a literal target column (Catalyst
+    # folds the constant — plans and values are identical)
+    return interplevel_field(
+        df.withColumn("_interp_tgt", F.lit(float(target))),
+        level_col, value_col, "_interp_tgt", col_keys, out_col=out_col,
     )
-    cols = df.select(*col_keys).distinct()
-    return cols.join(cand, col_keys, "left")
 
 
 def interplevel_field(
@@ -123,9 +100,12 @@ def interplevel_field(
     with the literal replaced by the column: levels strictly monotone
     DECREASING per column, the bracketing pair found with one lead
     window ordered bottom-up, one output row per column, NULL where
-    the column's range misses its own target, and a target exactly on
-    an interior level keeping the factor-0 pair (the interplevel tie
-    rule — bit-exact level value).
+    the column's range misses its own target (or the target itself is
+    NULL).  A target exactly ON an interior level satisfies BOTH its
+    bracketing pairs; min_by keeps the pair whose LOWER bound equals
+    the target — interpolation factor exactly 0, the level's own
+    value bit-for-bit (the factor-1 row's f1 + (f2-f1)*1.0 can be a
+    rounding step off).
 
     Scale shape: the target is a per-column constant joined onto the
     rows BEFORE the window, so the plan is the identical one window +

@@ -320,6 +320,90 @@ def _ter_tbl(
     )
 
 
+def _first_shard(path: str) -> tuple[str, bytes]:
+    """Resolve the archive path the way the scans do (directory, glob,
+    or single file) to its lexicographically FIRST readable shard and
+    that shard's 8-byte magic.  Real wrfout shards often carry no
+    extension (``wrfout_d01_2023-07-01_00:00:00``), so candidates are
+    all regular files, probed in sorted order until one has a NetCDF
+    classic or HDF5 signature (sidecar files are skipped, not fatal).
+    Named ValueError when nothing qualifies — the probes' callers
+    catch exactly that."""
+    import glob as _glob
+    import os
+
+    if os.path.isdir(path):
+        cands = sorted(
+            p for n in os.listdir(path)
+            if os.path.isfile(p := os.path.join(path, n))
+        )
+    elif any(ch in path for ch in "*?["):
+        cands = sorted(p for p in _glob.glob(path) if os.path.isfile(p))
+    elif os.path.isfile(path):
+        cands = [path]
+    else:
+        raise ValueError(f"{path}: no NetCDF shards to probe")
+    for target in cands:
+        try:
+            with open(target, "rb") as f:
+                magic = f.read(8)
+        except OSError:
+            continue
+        if (magic[:3] == b"CDF" and magic[3:4] in (b"\x01", b"\x02")) or (
+            magic == b"\x89HDF\r\n\x1a\n"
+        ):
+            return target, magic
+    raise ValueError(
+        f"{path}: no NetCDF classic or HDF5 shard found to probe"
+    )
+
+
+def _hdf5_root_walk(target: str, want_attrs: bool):
+    """Metadata-only mmap walk of one HDF5 shard's root group: global
+    attributes (``want_attrs``) or dataset shapes.  Corrupt offset
+    chains surface as a NAMED ValueError (the read_hdf5_bytes hygiene
+    rule) — never an uncontrolled struct/Index error."""
+    import mmap
+    import struct
+
+    from wrf_to_geodataframe_spark.sources.hdf5 import (
+        Hdf5Error,
+        _Hdf5File,
+        _parse_attribute,
+    )
+
+    with open(target, "rb") as fh:
+        mm = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+        try:
+            f5 = _Hdf5File(mm)
+            out: dict = {}
+            if want_attrs:
+                for mtype, body, _size in f5.messages(f5.root_header):
+                    if mtype == 0x000C:
+                        try:
+                            k, v = _parse_attribute(mm, body)
+                            out[k] = v
+                        except Hdf5Error:
+                            pass  # vlen/heap-backed attr: skip
+                return out
+            for name, addr in sorted(
+                f5.group_links(f5.root_header).items()
+            ):
+                try:
+                    info = f5.dataset_info(addr)
+                except Hdf5Error:
+                    continue  # subgroup / unsupported layout
+                out[name] = tuple(int(s) for s in info["shape"])
+            return out
+        except Hdf5Error as exc:
+            raise ValueError(f"{target}: malformed HDF5 shard: {exc}") from exc
+        except (IndexError, KeyError, OverflowError, TypeError,
+                struct.error) as exc:
+            raise ValueError(f"{target}: malformed HDF5 shard: {exc}") from exc
+        finally:
+            mm.close()
+
+
 def wrf_global_attrs(path: str) -> dict:
     """The wrfout GLOBAL attribute block (MAP_PROJ, TRUELAT1/2,
     MOAD_CEN_LAT, STAND_LON, CEN_LON/LAT, DX/DY, the staggered grid
@@ -331,90 +415,35 @@ def wrf_global_attrs(path: str) -> dict:
     automatically when ``attrs`` is not passed).
 
     METADATA ONLY, driver-side: probes the lexicographically FIRST
-    shard of a directory (every shard of one WRF domain carries the
-    same projection block) — classic files via the bounded
-    64-KiB-doubling header parse (a 50 GB shard never round-trips
-    through driver memory), NetCDF-4/HDF5 via an mmap object-header
-    walk that touches no data pages.  Returns {} when the shard
-    carries no global attributes; named error for an empty directory
-    or an unrecognized format."""
-    import mmap
-    import os
-
-    if os.path.isdir(path):
-        shards = sorted(
-            os.path.join(path, n)
-            for n in os.listdir(path)
-            if n.endswith((".nc", ".nc4", ".h5", ".hdf5"))
-        )
-        if not shards:
-            raise ValueError(
-                f"{path}: no NetCDF shards to read global attrs from"
-            )
-        target = shards[0]
-    else:
-        target = path
-    with open(target, "rb") as f:
-        magic = f.read(8)
-    if magic[:3] == b"CDF" and magic[3:4] in (b"\x01", b"\x02"):
+    NetCDF/HDF5 shard of a directory, glob, or single-file path
+    (:func:`_first_shard` — every shard of one WRF domain carries the
+    same projection block; extension-less real wrfout names work) —
+    classic files via the bounded 64-KiB-doubling header parse (a
+    50 GB shard never round-trips through driver memory),
+    NetCDF-4/HDF5 via an mmap object-header walk that touches no data
+    pages.  Returns {} when the shard carries no global attributes;
+    named ValueError when no shard qualifies or the shard is
+    malformed."""
+    target, magic = _first_shard(path)
+    if magic[:3] == b"CDF":
         from wrf_to_geodataframe_spark.sources.netcdf import (
             _read_header_from_file,
         )
 
         return dict(_read_header_from_file(target)["attrs"])
-    if magic == b"\x89HDF\r\n\x1a\n":
-        from wrf_to_geodataframe_spark.sources.hdf5 import (
-            Hdf5Error,
-            _Hdf5File,
-            _parse_attribute,
-        )
-
-        with open(target, "rb") as fh:
-            mm = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
-            try:
-                f5 = _Hdf5File(mm)
-                out: dict = {}
-                for mtype, body, _size in f5.messages(f5.root_header):
-                    if mtype == 0x000C:
-                        try:
-                            k, v = _parse_attribute(mm, body)
-                            out[k] = v
-                        except Hdf5Error:
-                            pass  # vlen/heap-backed attr: skip, not fatal
-                return out
-            finally:
-                mm.close()
-    raise ValueError(
-        f"{target}: not a NetCDF classic or HDF5 file — cannot read "
-        "wrfout global attrs"
-    )
+    return _hdf5_root_walk(target, want_attrs=True)
 
 
 def wrf_file_variables(path: str) -> dict[str, tuple[int, ...]]:
     """variable name -> dimension SIZES of the archive's first shard,
     METADATA ONLY (the :func:`wrf_global_attrs` probe discipline:
-    classic files via the bounded header-prefix parse, NetCDF-4/HDF5
-    via the mmap object-header walk — no data pages).  Powers the
-    getvar raw-variable fallback's existence/shape check."""
-    import mmap
-    import os
-
-    if os.path.isdir(path):
-        shards = sorted(
-            os.path.join(path, n)
-            for n in os.listdir(path)
-            if n.endswith((".nc", ".nc4", ".h5", ".hdf5"))
-        )
-        if not shards:
-            raise ValueError(
-                f"{path}: no NetCDF shards to read variables from"
-            )
-        target = shards[0]
-    else:
-        target = path
-    with open(target, "rb") as f:
-        magic = f.read(8)
-    if magic[:3] == b"CDF" and magic[3:4] in (b"\x01", b"\x02"):
+    :func:`_first_shard` path resolution, classic files via the
+    bounded header-prefix parse, NetCDF-4/HDF5 via the mmap
+    object-header walk — no data pages; malformed shards raise a
+    NAMED ValueError).  Powers the getvar raw-variable fallback's
+    existence/shape check."""
+    target, magic = _first_shard(path)
+    if magic[:3] == b"CDF":
         from wrf_to_geodataframe_spark.sources.netcdf import (
             _read_header_from_file,
         )
@@ -428,32 +457,7 @@ def wrf_file_variables(path: str) -> dict[str, tuple[int, ...]]:
             nm: tuple(sizes[d] for d in dimids)
             for nm, dimids, _a, _t, _b in hdr["entries"]
         }
-    if magic == b"\x89HDF\r\n\x1a\n":
-        from wrf_to_geodataframe_spark.sources.hdf5 import (
-            Hdf5Error,
-            _Hdf5File,
-        )
-
-        with open(target, "rb") as fh:
-            mm = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
-            try:
-                f5 = _Hdf5File(mm)
-                out: dict = {}
-                for name, addr in sorted(
-                    f5.group_links(f5.root_header).items()
-                ):
-                    try:
-                        info = f5.dataset_info(addr)
-                    except Hdf5Error:
-                        continue  # subgroup / unsupported layout
-                    out[name] = tuple(int(s) for s in info["shape"])
-                return out
-            finally:
-                mm.close()
-    raise ValueError(
-        f"{target}: not a NetCDF classic or HDF5 file — cannot list "
-        "variables"
-    )
+    return _hdf5_root_walk(target, want_attrs=False)
 
 
 def _attrs_or_file(
@@ -665,7 +669,10 @@ def _raw_fallback(
     planes key (file, y_idx, x_idx); per-level ``(k, y, x)`` variables
     key (file, k, y_idx, x_idx) — a VERTICALLY staggered leading dim
     (k+1 levels, PH/W-style) is fine, k is then the staggered index
-    (the zstag convention)."""
+    (the zstag convention).  ``attrs=`` is accepted-and-unused, the
+    same convention as every non-projection name (tk, theta, ...):
+    attrs is a general wrf_getvar parameter consumed only where a
+    projection is involved."""
     try:
         dims_by_var = wrf_file_variables(path)
     except ValueError:
@@ -1335,7 +1342,11 @@ def wrf_interplevel(
                 "single-plane name"
             )
         tcol = _vals(tgt_name, _KEY3)
-        d = d.join(tf.select(*_KEY3, tcol), _KEY3)
+        # LEFT join: a column whose target plane is missing must keep
+        # its rows so interplevel_field's column universe still emits
+        # the promised NULL row (an inner join would silently drop the
+        # column; wrf-python returns NaN there)
+        d = d.join(tf.select(*_KEY3, tcol), _KEY3, "left")
         if neg:
             d = d.withColumn(tcol, -F.col(tcol))
         return interplevel_field(

@@ -220,10 +220,13 @@ def m18_helicity_motion_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-window one-groupBy plan as m5 — six partial-agg sums, no
     second shuffle (operators/dynamics.py storm_relative_helicity).
 
-    Levels at z = 1250 k (_DK = 7 -> 0..7500 m) keep BOTH cutoffs
-    live: SRH pairs need both ends <= 3000 (k = 0, 1), motion layers
-    both ends <= 6000 (k = 0..3), and pairs (4,5)/(5,6) are outside
-    everything.
+    Levels at z = 1250 k (_DK = 10 -> 0..11250 m) keep BOTH cutoffs
+    live: SRH pairs need both ends <= 3000 (pairs k = 0, 1), motion
+    layers both ends <= 6000 (pairs k = 0..3), and pairs k = 4..8 are
+    outside everything — the oracle only generates pairs k = 0..5
+    because every conditional sum is exactly 0.0 for k >= 4 (all
+    cutoff conditions false on both engines), so the extra pairs
+    cannot contribute.
 
     Exactness: dyadic winds and exact layer thickness (1250) make all
     six sums exact doubles under any order; ua = su/sdh is a single
