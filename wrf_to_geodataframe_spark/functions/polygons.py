@@ -60,3 +60,32 @@ def polygon_envelope_cols(poly: Column) -> tuple[Column, Column, Column, Column]
     xs = F.transform(poly, lambda p: p.getItem(0))
     ys = F.transform(poly, lambda p: p.getItem(1))
     return F.array_min(xs), F.array_min(ys), F.array_max(xs), F.array_max(ys)
+
+
+def parse_wkt_polygon(wkt: Column) -> Column:
+    """``POLYGON ((x y, x y, ...))`` WKT text -> the engine's vertex
+    array wire format ``array<array<double>>`` (open ring: the WKT
+    closure vertex is dropped), as a pure column expression.
+
+    The inverse of ``geometry/polygons.polygon_wkt`` — the bridge that
+    lets tessellation output (which travels as WKT, the reference's
+    ``shapely``-object boundary at ``delphine/regrid.py:146-160``) feed
+    the vertex-array overlay/PIP kernels without leaving the JVM.
+    Non-polygon WKT (the ``POINT (0 0)`` sentinel for degenerate
+    cells) yields NULL — sentinel semantics (P8) survive the parse.
+
+    Exactness: ``polygon_wkt`` prints 9 significant digits, so the
+    text->double round trip is exact precisely when vertices carry at
+    most 9 significant decimal digits (every dyadic lattice the suite
+    builds on); arbitrary doubles round-trip to ~1e-9 relative."""
+    body = F.regexp_extract(wkt, r"^POLYGON \(\((.*)\)\)$", 1)
+    ring = F.transform(
+        F.split(body, ", "),
+        lambda s: F.transform(
+            F.split(s, " "), lambda t: t.cast("double")
+        ),
+    )
+    # WKT rings repeat the first vertex last — drop the closure
+    return F.when(
+        body != F.lit(""), F.slice(ring, F.lit(1), F.size(ring) - F.lit(1))
+    )

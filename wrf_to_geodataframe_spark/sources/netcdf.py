@@ -672,6 +672,8 @@ def write_netcdf_dir(
     shard_col: str = "t_idx",
     lat_col: str = "lat",
     lon_col: str = "lon",
+    names: tuple[str, str, str] = ("T2", "XLAT", "XLONG"),
+    dtype: str | None = None,
 ):
     """Distributed S4 at archive shape: the inverse of
     ``read_netcdf_dir``.  One classic NetCDF shard per distinct
@@ -679,6 +681,12 @@ def write_netcdf_dir(
     use), each written INSIDE an executor task via ``applyInPandas``
     — the driver never sees cell data.  Cells are re-densified from
     the explicit (y_idx, x_idx) keys; absent cells become NaN.
+
+    ``names`` sets the on-disk (variable, lat, lon) names (default the
+    wrfout convention; e.g. ``("population", "lat", "lon")`` for the
+    delphine/regrid.py:330 result file).  ``dtype`` optionally narrows
+    the data variable before writing — the reference's
+    ``.astype("float32")`` at delphine/regrid.py:312.
 
     Returns the lazy MANIFEST DataFrame (shard, file, ny, nx,
     n_cells) — executing it performs the writes, and its row count is
@@ -689,6 +697,7 @@ def write_netcdf_dir(
     import pandas as pd
 
     os.makedirs(outdir, exist_ok=True)
+    var_name, lat_name, lon_name = names
 
     def _write_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
         shard = int(pdf[shard_col].iloc[0])
@@ -702,14 +711,16 @@ def write_netcdf_dir(
         grid[yi, xi] = pdf[var_col].to_numpy()
         lat[yi, xi] = pdf[lat_col].to_numpy()
         lon[yi, xi] = pdf[lon_col].to_numpy()
+        if dtype is not None:
+            grid = grid.astype(dtype)
         fname = os.path.join(outdir, f"shard_{shard:06d}.nc")
         write_netcdf(
             fname,
             {"y": ny, "x": nx},
             {
-                "T2": {"dims": ("y", "x"), "data": grid},
-                "XLAT": {"dims": ("y", "x"), "data": lat},
-                "XLONG": {"dims": ("y", "x"), "data": lon},
+                var_name: {"dims": ("y", "x"), "data": grid},
+                lat_name: {"dims": ("y", "x"), "data": lat},
+                lon_name: {"dims": ("y", "x"), "data": lon},
             },
         )
         return pd.DataFrame(

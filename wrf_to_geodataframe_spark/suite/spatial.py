@@ -2418,7 +2418,313 @@ FROM cells
 _G17_SQL = _g17_sql()
 
 
+# ---------------------------------------------------------------------------
+# capstone_wrf_regrid — the reference's THIRD script end to end
+# (delphine/regrid.py:206-337) as ONE oracle-gated chain.
+
+_RG_NJ, _RG_NI = 16, 12    # curvilinear tas (destination) grid
+_RG_NPJ, _RG_NPI = 28, 18  # rectilinear pop (source) grid
+_RGQ = 1 << 20             # dyadic contribution quantizer (lossless here)
+
+# Per-row horizontal shifts of the tas grid: aligned at 0 for rows
+# 0-5, ramping 1/8, 1/4 through rows 6-7, aligned at 3/8 for rows
+# 8-15.  Where three consecutive rows share a shift the Voronoi cells
+# are EXACT half-spacing boxes (nearest rows dominate: any site two
+# rows away is >= 2 apart, so its bisector clears the box circumradius
+# sqrt(2)/2); only rows 5-8 have non-box cells, and the fixture pins
+# every nonzero population box away from them — that is what makes a
+# genuinely curvilinear tessellation CLOSED-FORM oracle-checkable.
+_RG_SHIFTS = [0.0] * 6 + [0.125, 0.25] + [0.375] * 8
+
+
+def _write_regrid_fixture() -> str:
+    """Engine-written inputs for the delphine/regrid.py story: a
+    3-timestep ``tas`` file on the row-shifted curvilinear grid (2-D
+    lat/lon — ``xr.open_dataset(path_grid)`` at regrid.py:206) and a
+    rectilinear ``Band1`` population file with 1-D coords and a NaN
+    "sea" band (regrid.py:249, the WorldPop shape).  Every coordinate
+    and value is dyadic, so the whole downstream chain — clip areas,
+    quantized transfer, float32 sink — is hash-exact end to end."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.sources.netcdf import write_netcdf
+
+    d = tempfile.mkdtemp(prefix="cap_regrid_")
+    os.makedirs(os.path.join(d, "tas"))
+    os.makedirs(os.path.join(d, "pop"))
+
+    jj, ii = np.meshgrid(
+        np.arange(_RG_NJ), np.arange(_RG_NI), indexing="ij"
+    )
+    shifts = np.asarray(_RG_SHIFTS)[:, None]
+    lon2 = ii + shifts            # curvilinear: lon depends on BOTH indices
+    lat2 = jj.astype("float64")
+    tt = np.arange(3)[:, None, None]
+    tas = 280.0 + ii / 8.0 + jj / 4.0 + 2.0 * tt
+    write_netcdf(
+        os.path.join(d, "tas", "tas_000.nc"),
+        {"time": 3, "y": _RG_NJ, "x": _RG_NI},
+        {
+            "tas": {"dims": ["time", "y", "x"], "data": tas},
+            "lat": {"dims": ["y", "x"], "data": lat2},
+            "lon": {"dims": ["y", "x"], "data": lon2},
+        },
+    )
+
+    pjj, pii = np.meshgrid(
+        np.arange(_RG_NPJ), np.arange(_RG_NPI), indexing="ij"
+    )
+    band1 = (16.0 * (1 + (3 * pii + 5 * pjj) % 7)).astype("float64")
+    band1[6:16, :] = np.nan  # the "sea" band -> fillna(0) downstream
+    write_netcdf(
+        os.path.join(d, "pop", "pop_000.nc"),
+        {"lat": _RG_NPJ, "lon": _RG_NPI},
+        {
+            "Band1": {"dims": ["lat", "lon"], "data": band1},
+            "lat": {"dims": ["lat"], "data": 0.8125 + 0.5 * np.arange(_RG_NPJ)},
+            "lon": {"dims": ["lon"], "data": 0.8125 + 0.5 * np.arange(_RG_NPI)},
+        },
+    )
+    return d
+
+
+def capstone_wrf_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE REFERENCE'S CONSERVATIVE-REGRID SCRIPT (delphine/regrid.py:
+    206-337) as ONE chain: NetCDF scan + positional time slice (S1+P3,
+    ``isel(time=1)`` pushed into the scan) -> ``tessellate_auto`` of
+    the CURVILINEAR destination grid in lon/lat (G1 — dispatches to the
+    tile/halo distributed kernel; ``get_vor`` at regrid.py:134-180,
+    with the key columns riding through in place of the reference's
+    ``sjoin`` index recovery) -> rectilinear population boxes (G2,
+    ``get_vor_rectilinear`` regrid.py:182-203) -> attribute join +
+    ``fillna(0)`` (J2/P7, regrid.py:251-260) -> convex overlay
+    intersection + areas (J4/G6/G7, ``gpd.overlay`` regrid.py:267-270)
+    -> conservative area-weighted transfer (A4, regrid.py:279-287) ->
+    re-attach to the full destination grid (J6, regrid.py:289-295) ->
+    float32 NetCDF sink (S4, ``.astype("float32")`` + ``to_netcdf``
+    regrid.py:311/330) -> the engine's own scan back -> conservation
+    ratio (A5, regrid.py:323-327) and the population-weighted
+    temperature demo (A6, regrid.py:333) computed off the re-read file.
+
+    Deviations, both shared with the ``regrid_conservative*`` family:
+    uncovered destination cells get 0 instead of NaN (the reference's
+    own downstream sums treat NaN as 0), and per-pair contributions are
+    quantized (losslessly, on this dyadic lattice) before the
+    distributed sum.
+
+    Scale shape: the coordinate PLANE (one 2-D slice, grid-sized not
+    archive-sized) is read once and persisted for the dispatcher's
+    stats + the tessellation input; the tas VALUES are scanned once
+    (time-sliced at the source) for the A6 join; the pop file twice
+    (transfer + the A5 source total); no driver-side geometry, the
+    overlay a bucketed equi join, the transfer one partial-agg shuffle.
+
+    Oracle: the whole story in closed form — aligned-shift rows make
+    every populated Voronoi cell an exact box, so DuckDB states the
+    transfer as pure greatest/least arithmetic; it reads no NetCDF and
+    runs no tessellation."""
+    import os
+    import tempfile
+
+    from wrf_to_geodataframe_spark.functions.polygons import (
+        parse_wkt_polygon,
+    )
+    from wrf_to_geodataframe_spark.geometry.overlay import (
+        overlay_intersection,
+    )
+    from wrf_to_geodataframe_spark.geometry.tessellate import tessellate_auto
+    from wrf_to_geodataframe_spark.sources.netcdf import (
+        read_netcdf_dir,
+        write_netcdf_dir,
+    )
+
+    d = _write_regrid_fixture()
+    tas_dir, pop_dir = os.path.join(d, "tas"), os.path.join(d, "pop")
+
+    # S1 + P3: the scan carries the positional time slice (isel(time=1))
+    tas = read_netcdf_dir(spark, tas_dir, "tas", "lat", "lon", time_index=1)
+    pts = tas.select("y_idx", "x_idx", "lat", "lon").persist()
+    try:
+        ext = pts.agg(
+            F.min("lon"), F.min("lat"), F.max("lon"), F.max("lat")
+        ).collect()[0]
+        bbox = tuple(float(v) for v in ext)  # reference's lon/lat clip box
+        # G1 via the dispatcher: curvilinear -> tile/halo distributed
+        # kernel (max_driver_points pinned low = the at-scale route)
+        cells = tessellate_auto(
+            pts, "lon", "lat", ["y_idx", "x_idx"], bbox=bbox,
+            spacing_hint=1.0, max_driver_points=64,
+            tile_size=8.0, halo=4.0,
+        )
+        b = cells.filter(~F.col("is_sentinel")).select(
+            "y_idx", "x_idx",
+            F.col("x").alias("lon_c"), F.col("y").alias("lat_c"),
+            parse_wkt_polygon(F.col("wkt")).alias("b_poly"),
+        )
+
+        # G2 + J2 + P7: pop boxes, attribute join, fillna(0)
+        pop_scan = read_netcdf_dir(spark, pop_dir, "Band1", "lat", "lon")
+        pop_keys = pop_scan.select(
+            F.col("y_idx").alias("pj"), F.col("x_idx").alias("pi"),
+            "lat", "lon", "value",
+        )
+        pop_geom = cell_box(
+            pop_keys.select("pj", "pi", "lat", "lon"),
+            x="lon", y="lat", half_dx=0.25, half_dy=0.25,
+        )
+        a = (
+            pop_geom.join(pop_keys.select("pj", "pi", "value"), ["pj", "pi"])
+            .withColumn("pop", F.nanvl(F.col("value"), F.lit(0.0)))
+            .withColumn(
+                "area_pop",
+                box_area(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")),
+            )
+            .select(
+                "pj", "pi", "pop", "area_pop",
+                _box_poly(
+                    F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")
+                ).alias("a_poly"),
+            )
+        )
+
+        # J4 + A4: overlay pairs -> quantized area-weighted transfer
+        pairs = overlay_intersection(a, b, bucket=2.0)
+        contrib_q = F.round(
+            F.col("pop") / F.col("area_pop") * F.col("area_inter")
+            * F.lit(float(_RGQ))
+        ).cast("long")
+        transferred = pairs.groupBy("y_idx", "x_idx").agg(
+            (F.sum(contrib_q).cast("double") / F.lit(float(_RGQ))).alias(
+                "population"
+            )
+        )
+        # J6: re-attach onto the FULL destination grid, fill uncovered
+        result = (
+            b.select("y_idx", "x_idx", "lat_c", "lon_c")
+            .join(transferred, ["y_idx", "x_idx"], "left")
+            .select(
+                "y_idx", "x_idx",
+                F.col("lat_c").alias("lat"), F.col("lon_c").alias("lon"),
+                F.coalesce("population", F.lit(0.0)).alias("population"),
+            )
+        )
+
+        # S4: float32 (population, lat, lon) sink; executing the
+        # manifest performs the distributed writes
+        outdir = tempfile.mkdtemp(prefix="cap_regrid_out_")
+        write_netcdf_dir(
+            result.withColumn("t_idx", F.lit(0)), outdir,
+            var_col="population",
+            names=("population", "lat", "lon"), dtype="float32",
+        ).count()
+    finally:
+        pts.unpersist()
+
+    # the engine's own scan back; A5 + A6 off the RE-READ file
+    back = read_netcdf_dir(
+        spark, outdir, "population", "lat", "lon"
+    ).select(
+        "y_idx", "x_idx", "lat", "lon", F.col("value").alias("population")
+    )
+    joined = back.join(
+        tas.select("y_idx", "x_idx", F.col("value").alias("tas")),
+        ["y_idx", "x_idx"],
+    )
+    src_total = pop_scan.agg(
+        F.sum(F.nanvl(F.col("value"), F.lit(0.0))).alias("src_pop")
+    )
+    scal = (
+        joined.agg(
+            F.sum("population").alias("new_pop"),
+            F.sum(F.col("population") * F.col("tas")).alias("pw_num"),
+        )
+        .crossJoin(F.broadcast(src_total))
+        .select(
+            (F.col("src_pop") / F.col("new_pop")).alias(
+                "conservation_ratio"
+            ),
+            (F.col("pw_num") / F.col("new_pop")).alias("pop_weighted_tas"),
+        )
+    )
+    return joined.crossJoin(F.broadcast(scal)).select(
+        "y_idx", "x_idx", "lat", "lon", "population", "tas",
+        "conservation_ratio", "pop_weighted_tas",
+    )
+
+
+_CAP_REGRID_SQL = f"""
+WITH dest AS (
+    SELECT j, i,
+           CASE WHEN j <= 5 THEN 0.0
+                WHEN j = 6 THEN 0.125
+                WHEN j = 7 THEN 0.25
+                ELSE 0.375 END AS t
+    FROM generate_series(0, {_RG_NJ - 1}) AS tj(j),
+         generate_series(0, {_RG_NI - 1}) AS ti(i)
+),
+cells AS (
+    -- aligned-shift rows: the Voronoi cell is the half-spacing box
+    -- clipped to the lon/lat extent; rows 5-8 (shift transition) are
+    -- the only non-box cells and are pinned population-free
+    SELECT j, i, CAST(j AS DOUBLE) AS lat, i + t AS lon,
+           282.0 + 0.125 * i + 0.25 * j AS tas,
+           greatest(i + t - 0.5, 0.0) AS cx1,
+           least(i + t + 0.5, {_RG_NI - 1} + 0.375) AS cx2,
+           greatest(j - 0.5, 0.0) AS cy1,
+           least(j + 0.5, CAST({_RG_NJ - 1} AS DOUBLE)) AS cy2,
+           (j BETWEEN 5 AND 8) AS transition
+    FROM dest
+),
+pop AS (
+    SELECT pj, pi,
+           0.8125 + 0.5 * pi AS xc, 0.8125 + 0.5 * pj AS yc,
+           CASE WHEN pj BETWEEN 6 AND 15 THEN 0.0
+                ELSE 16.0 * (1 + (3 * pi + 5 * pj) % 7) END AS pop
+    FROM generate_series(0, {_RG_NPJ - 1}) AS a(pj),
+         generate_series(0, {_RG_NPI - 1}) AS b(pi)
+),
+pairs AS (
+    SELECT c.j, c.i,
+           CAST(round(p.pop / 0.25
+               * (greatest(least(p.xc + 0.25, c.cx2)
+                           - greatest(p.xc - 0.25, c.cx1), 0.0)
+                  * greatest(least(p.yc + 0.25, c.cy2)
+                             - greatest(p.yc - 0.25, c.cy1), 0.0))
+               * {_RGQ}.0) AS BIGINT) AS cq
+    FROM pop p JOIN cells c
+      ON NOT c.transition AND p.pop > 0.0
+     AND least(p.xc + 0.25, c.cx2) > greatest(p.xc - 0.25, c.cx1)
+     AND least(p.yc + 0.25, c.cy2) > greatest(p.yc - 0.25, c.cy1)
+),
+transferred AS (
+    SELECT j, i,
+           CAST(CAST(sum(cq) AS BIGINT) AS DOUBLE) / {_RGQ}.0 AS population
+    FROM pairs GROUP BY j, i
+),
+percell AS (
+    SELECT c.j, c.i, c.lat, c.lon,
+           coalesce(t.population, 0.0) AS population, c.tas
+    FROM cells c LEFT JOIN transferred t ON c.j = t.j AND c.i = t.i
+),
+scal AS (
+    SELECT sum(population) AS new_pop,
+           sum(population * tas) AS pw_num
+    FROM percell
+),
+srcs AS (SELECT sum(pop) AS src_pop FROM pop)
+SELECT CAST(p.j AS BIGINT) AS y_idx, CAST(p.i AS BIGINT) AS x_idx,
+       p.lat, p.lon, p.population, p.tas,
+       s2.src_pop / s1.new_pop AS conservation_ratio,
+       s1.pw_num / s1.new_pop AS pop_weighted_tas
+FROM percell p, scal s1, srcs s2
+"""
+
+
 QUERIES = {
+    "capstone_wrf_regrid": capstone_wrf_regrid,
     "g17_ellipsoid_polygon_area": g17_ellipsoid_polygon_area,
     "p4_bbox_filter": p4_bbox_filter,
     "focal_mean_3x3": focal_mean_3x3,
@@ -2454,6 +2760,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "capstone_wrf_regrid": _CAP_REGRID_SQL,
     "p4_bbox_filter": _P4_SQL,
     "focal_mean_3x3": _FOCAL_SQL,
     "g12_simplify_dp": _G12_SQL,
