@@ -1049,6 +1049,146 @@ FROM r
 _G20_SQL = _g20_sql()
 
 
+_WRF_ATTRS_MERC = {
+    "MAP_PROJ": 3, "TRUELAT1": 20.0, "STAND_LON": -100.0,
+    "CEN_LON": -97.0, "CEN_LAT": 10.0,
+    "DX": 20000.0, "DY": 20000.0,
+    "WEST-EAST_GRID_DIMENSION": 31, "SOUTH-NORTH_GRID_DIMENSION": 41,
+}
+
+
+def g21_wrf_ll_to_xy_merc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wrf-python ``ll_to_xy`` / ``xy_to_ll`` on a MERCATOR wrfout
+    block (MAP_PROJ=3, the tropical-channel domain case; lat band
+    crosses the equator): the same grid-index transform as g19/g20
+    dispatched through wrf_projection's Mercator branch
+    (functions/crs.py, Snyder 7-1/7-2 with scale true at TRUELAT1),
+    plus the round trip back through the inverse.  The oracle restates
+    the spherical Mercator forward and the index arithmetic with
+    identical constants and states the round-trip columns as the
+    closed-form identity (the g19/g20 pattern).  The i/j range crosses
+    zero, so both sides carry the SIGNED-ZERO guard."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        wrf_ll_to_xy,
+        wrf_xy_to_ll,
+    )
+
+    cells = grid_cells(spark, sf_dir)
+    d = cells.select(
+        "user_id",
+        (F.col("x") * 0.5 - 108.0).alias("lon"),
+        (F.col("y") * 0.4 - 8.0).alias("lat"),
+    )
+    d = wrf_ll_to_xy(_WRF_ATTRS_MERC, d, "lon", "lat", out_i="i", out_j="j")
+    d = wrf_xy_to_ll(
+        _WRF_ATTRS_MERC, d, "i", "j", out_lon="lon2", out_lat="lat2"
+    )
+    return d.select(
+        "user_id",
+        (F.round("i", 6) + F.lit(0.0)).alias("i"),
+        (F.round("j", 6) + F.lit(0.0)).alias("j"),
+        (F.round("lon2", 6) + F.lit(0.0)).alias("lon2"),
+        (F.round("lat2", 6) + F.lit(0.0)).alias("lat2"),
+    )
+
+
+def _g21_sql() -> str:
+    import math as _m
+
+    from wrf_to_geodataframe_spark.functions.crs import WRF_SPHERE_R
+
+    rk = WRF_SPHERE_R * _m.cos(_m.radians(20.0))
+    return f"""
+WITH cells AS ({_CELLS_SQL}),
+ll AS (
+    SELECT user_id,
+           (x1 + 0.5) * 0.5 - 108.0 AS lon,
+           (y1 + 0.5) * 0.4 - 8.0 AS lat
+    FROM cells
+),
+r AS (
+    SELECT user_id, lon, lat,
+           {rk!r} * radians(lon - (-100.0)) AS px,
+           {rk!r} * ln(tan(pi() / 4 + radians(lat) / 2)) AS py,
+           {rk!r} * radians(-97.0 - (-100.0)) AS cx,
+           {rk!r} * ln(tan(pi() / 4 + radians(10.0) / 2)) AS cy
+    FROM ll
+)
+SELECT user_id,
+       round((px - cx) / 20000.0 + 14.5, 6) + 0.0 AS i,
+       round((py - cy) / 20000.0 + 19.5, 6) + 0.0 AS j,
+       round(lon, 6) + 0.0 AS lon2,
+       round(lat, 6) + 0.0 AS lat2
+FROM r
+"""
+
+
+_G21_SQL = _g21_sql()
+
+
+_WRF_ATTRS_LATLON = {
+    "MAP_PROJ": 6, "TRUELAT1": 0.0, "STAND_LON": -97.0,
+    "CEN_LON": -97.0, "CEN_LAT": 35.0,
+    "DX": 0.5, "DY": 0.25,  # lat-lon grids: spacing in DEGREES
+    "WEST-EAST_GRID_DIMENSION": 31, "SOUTH-NORTH_GRID_DIMENSION": 41,
+}
+
+
+def g22_wrf_ll_to_xy_latlon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wrf-python ``ll_to_xy`` / ``xy_to_ll`` on a LAT-LON (cylindrical
+    equidistant) wrfout block (MAP_PROJ=6, the global/idealized domain
+    case): wrf_projection's identity branch — degrees ARE the projected
+    plane, DX/DY carry degrees — then the same index normalization.
+    Every quantity here is dyadic (DX=1/2, DY=1/4, dyadic lon/lat), so
+    the whole gate, round trip included, is hash-exact closed form —
+    the one MAP_PROJ branch where the oracle needs no transcendentals
+    (mass-point counts are the staggered ``*_GRID_DIMENSION`` attrs
+    minus one, so the half-index offsets are 14.5/19.5 — the same
+    wrf-python convention g19/g20 pin).  The i/j range crosses zero,
+    so the SIGNED-ZERO guard rides on both sides."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        wrf_ll_to_xy,
+        wrf_xy_to_ll,
+    )
+
+    cells = grid_cells(spark, sf_dir)
+    d = cells.select(
+        "user_id",
+        (F.col("x") * 0.5 - 108.0).alias("lon"),
+        (F.col("y") * 0.25 + 30.0).alias("lat"),
+    )
+    d = wrf_ll_to_xy(
+        _WRF_ATTRS_LATLON, d, "lon", "lat", out_i="i", out_j="j"
+    )
+    d = wrf_xy_to_ll(
+        _WRF_ATTRS_LATLON, d, "i", "j", out_lon="lon2", out_lat="lat2"
+    )
+    return d.select(
+        "user_id",
+        (F.round("i", 6) + F.lit(0.0)).alias("i"),
+        (F.round("j", 6) + F.lit(0.0)).alias("j"),
+        (F.round("lon2", 6) + F.lit(0.0)).alias("lon2"),
+        (F.round("lat2", 6) + F.lit(0.0)).alias("lat2"),
+    )
+
+
+_G22_SQL = f"""
+WITH cells AS ({_CELLS_SQL}),
+ll AS (
+    SELECT user_id,
+           (x1 + 0.5) * 0.5 - 108.0 AS lon,
+           (y1 + 0.5) * 0.25 + 30.0 AS lat
+    FROM cells
+)
+SELECT user_id,
+       round((lon - (-97.0)) / 0.5 + 14.5, 6) + 0.0 AS i,
+       round((lat - 35.0) / 0.25 + 19.5, 6) + 0.0 AS j,
+       round(lon, 6) + 0.0 AS lon2,
+       round(lat, 6) + 0.0 AS lat2
+FROM ll
+"""
+
+
 def g8_crs_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UTM transform (SURVEY.md §2 G8): grid centers as pseudo WGS84
     lon/lat inside UTM zone 30 projected through the Kruger-series
@@ -2744,6 +2884,8 @@ QUERIES = {
     "g8_crs_lcc": g8_crs_lcc,
     "g19_wrf_ll_to_xy": g19_wrf_ll_to_xy,
     "g20_wrf_ll_to_xy_stere": g20_wrf_ll_to_xy_stere,
+    "g21_wrf_ll_to_xy_merc": g21_wrf_ll_to_xy_merc,
+    "g22_wrf_ll_to_xy_latlon": g22_wrf_ll_to_xy_latlon,
     "g8_crs_laea": g8_crs_laea,
     "g8_crs_albers": g8_crs_albers,
     "g8_crs_cea": g8_crs_cea,
@@ -2779,6 +2921,8 @@ ORACLE = {
     "g8_crs_lcc": _G8_LCC_SQL,
     "g19_wrf_ll_to_xy": _G19_SQL,
     "g20_wrf_ll_to_xy_stere": _G20_SQL,
+    "g21_wrf_ll_to_xy_merc": _G21_SQL,
+    "g22_wrf_ll_to_xy_latlon": _G22_SQL,
     "g8_crs_laea": _G8_LAEA_SQL,
     "g8_crs_albers": _G8_ALBERS_SQL,
     "g8_crs_cea": _G8_CEA_SQL,
