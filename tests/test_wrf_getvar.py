@@ -1740,3 +1740,132 @@ def test_vertcross_and_interplevel_named_misuse_errors(spark, archive):
                       attrs=ATTRS)
     with pytest.raises(ValueError, match="2-D"):
         wrf_interplevel(spark, archive, "T2", 85000.0)
+
+
+# ---------------------------------------------------------------------------
+# cross-section call shapes: pivot+angle and lat/lon endpoints
+
+
+def test_calc_xy_pivot_sectors():
+    """The RIP sector rule: octant-linear slope, full-domain span,
+    boundary clamping — each 45-degree sector exercised."""
+    from wrf_to_geodataframe_spark.operators.wrf import _calc_xy_pivot
+
+    # angle 90: west->east row through the pivot
+    assert _calc_xy_pivot(6, 5, 2.0, 2.0, 90.0) == ((0.0, 2.0), (5.0, 2.0))
+    # angle 0: x = const column, y spans the domain
+    assert _calc_xy_pivot(6, 5, 2.0, 2.0, 0.0) == ((2.0, 0.0), (2.0, 4.0))
+    # angle 45: slope exactly 1 through (2, 2); x = y * 1 + 0
+    assert _calc_xy_pivot(6, 5, 2.0, 2.0, 45.0) == ((0.0, 0.0), (4.0, 4.0))
+    # angle 45 pivot near the east edge (y = x - 3): y clamps at 0
+    (x0, y0), (x1, y1) = _calc_xy_pivot(6, 5, 4.0, 1.0, 45.0)
+    assert (x0, y0) == (3.0, 0.0) and (x1, y1) == (5.0, 2.0)
+    # angle 135 (SE): mostly-west-east branch, slope (90-135)/45 = -1
+    (x0, y0), (x1, y1) = _calc_xy_pivot(6, 5, 2.0, 2.0, 135.0)
+    assert (x0, y0) == (0.0, 4.0) and (x1, y1) == (4.0, 0.0)
+    with pytest.raises(ValueError, match="outside"):
+        _calc_xy_pivot(6, 5, 9.0, 2.0, 90.0)
+    with pytest.raises(ValueError, match="\\[0, 360\\]"):
+        _calc_xy_pivot(6, 5, 2.0, 2.0, 400.0)
+
+
+def test_wrf_vertcross_pivot_angle(spark, archive):
+    """pivot_point + angle: the W->E line through (2, 2), auto point
+    count (one per grid spacing) — samples are the raw theta row."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_vertcross
+
+    df = wrf_vertcross(
+        spark, archive, "theta", pivot_point=(2, 2), angle=90.0
+    )
+    rows = df.withColumn(
+        "f", F.regexp_extract("file", r"_(\d+)\.nc", 1).cast("long")
+    ).collect()
+    got = {(r.f, r.s, r.k): r.theta for r in rows}
+    assert len(got) == NF * 6 * NK  # auto n = ceil(5) + 1
+    for f in range(NF):
+        theta = _fields(float(f))["t"] + 300.0
+        for s in range(6):
+            for k in (0, NK - 1):
+                assert got[(f, s, k)] == theta[k, 2, s]
+
+
+def test_wrf_vertcross_latlon_endpoints(spark, archive):
+    """latlon=True endpoints resolve through the archive's own
+    projection block to nearest-integer mass points; sampled values
+    match numpy bilinear along the resolved line."""
+    import math
+
+    from wrf_to_geodataframe_spark.functions.crs import wrf_ll_to_xy_scalar
+    from wrf_to_geodataframe_spark.operators.wrf import (
+        wrf_global_attrs,
+        wrf_vertcross,
+    )
+
+    a = wrf_global_attrs(archive)
+    # CEN itself resolves to ((nx-1)/2, (ny-1)/2) = (2.5, 2.0) -> (3, 2)
+    ends = [(38.5, -100.375), (38.52, -100.43)]
+    ij = []
+    for lat, lon in ends:
+        fi, fj = wrf_ll_to_xy_scalar(a, lon, lat)
+        ij.append((math.floor(fi + 0.5), math.floor(fj + 0.5)))
+    (x0, y0), (x1, y1) = ij
+    assert (x0, y0) == (3, 2)
+    assert 0 <= x1 <= NI - 1 and 0 <= y1 <= NJ - 1 and (x1, y1) != (x0, y0)
+
+    df = wrf_vertcross(
+        spark, archive, "theta", start=ends[0], end=ends[1],
+        n_points=5, latlon=True,
+    )
+    rows = df.withColumn(
+        "f", F.regexp_extract("file", r"_(\d+)\.nc", 1).cast("long")
+    ).collect()
+    got = {(r.f, r.s, r.k): r.theta for r in rows}
+    assert len(got) == NF * 5 * NK
+    for f in range(NF):
+        theta = _fields(float(f))["t"] + 300.0
+        for s in range(5):
+            xi = x0 + s * (x1 - x0) / 4.0
+            yi = y0 + s * (y1 - y0) / 4.0
+            cx, cy = int(np.floor(xi)), int(np.floor(yi))
+            fx, fy = xi - cx, yi - cy
+            g = theta[:, cy: cy + 2, cx: cx + 2]
+            for k in (0, NK - 1):
+                want = (
+                    (1 - fx) * (1 - fy) * g[k, 0, 0]
+                    + (fx * (1 - fy) * g[k, 0, 1] if fx else 0.0)
+                    + ((1 - fx) * fy * g[k, 1, 0] if fy else 0.0)
+                    + (fx * fy * g[k, 1, 1] if fx and fy else 0.0)
+                )
+                assert got[(f, s, k)] == want
+
+
+def test_wrf_interpline_pivot_angle(spark, archive):
+    """interpline shares the resolver: the S->N column through (3, 1)
+    sampled on the 2-D terrain plane."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_interpline
+
+    df = wrf_interpline(
+        spark, archive, "ter", pivot_point=(3, 1), angle=0.0
+    )
+    rows = df.collect()
+    assert len(rows) == NF * 5  # auto n = ceil(4) + 1
+    for r in rows:
+        # ter = 120 + (3 x + 5 y)/4 along x=3, y=s
+        assert r.ter == 120.0 + (9.0 + 5.0 * r.s) / 4.0
+
+
+def test_cross_line_named_errors(spark, archive):
+    """The call-shape resolver's misuse errors are NAMED, matching the
+    front-door convention."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_vertcross
+
+    with pytest.raises(ValueError, match="given together"):
+        wrf_vertcross(spark, archive, "theta", pivot_point=(2, 2))
+    with pytest.raises(ValueError, match="not both"):
+        wrf_vertcross(spark, archive, "theta", start=(0, 0), end=(2, 2),
+                      pivot_point=(2, 2), angle=90.0)
+    with pytest.raises(ValueError, match="outside the .* mass domain"):
+        wrf_vertcross(spark, archive, "theta", latlon=True,
+                      start=(52.0, -100.375), end=(38.5, -100.375))
+    with pytest.raises(ValueError, match="needs start/end"):
+        wrf_vertcross(spark, archive, "theta")

@@ -1268,6 +1268,70 @@ def wrf_xy_to_ll(
     return d.drop("_gx", "_gy", "_cx", "_cy")
 
 
+def _wrf_fwd_scalar(attrs: dict, lon: float, lat: float) -> tuple[float, float]:
+    """Scalar (plain ``math``) twin of the ``wrf_projection`` FORWARD
+    branches, mirroring each column transform's formula line by line
+    — Snyder 15-1/15-2 (LCC), the polar-stereographic pole-sign form,
+    7-1/7-2 (Mercator), identity (lat-lon)."""
+    mp = int(_attr_scalar(attrs, "MAP_PROJ"))
+    if mp == 1:
+        p = wrf_lcc_params(attrs)
+        n, F_, rho0 = lcc_constants(
+            p["lat1d"], p["lat2d"], p["lat0d"], p["R"]
+        )
+        phi = math.radians(lat)
+        dl = math.fmod(
+            math.radians(lon - p["lon0d"]) + math.pi, 2.0 * math.pi
+        )
+        if dl < 0.0:
+            dl += 2.0 * math.pi
+        dl -= math.pi
+        rho = p["R"] * F_ / math.tan(math.pi / 4 + phi / 2) ** n
+        return rho * math.sin(n * dl), rho0 - rho * math.cos(n * dl)
+    if mp == 2:
+        lat_ts = _attr_scalar(attrs, "TRUELAT1")
+        lon0d = _attr_scalar(attrs, "STAND_LON")
+        sgn = -1.0 if lat_ts < 0 else 1.0
+        k0 = (1.0 + math.sin(math.radians(abs(lat_ts)))) / 2.0
+        phi = math.radians(lat) * sgn
+        dl = math.radians(lon - lon0d) * sgn
+        rho = 2.0 * WRF_SPHERE_R * k0 * math.tan(math.pi / 4 - phi / 2)
+        return rho * math.sin(dl) * sgn, -rho * math.cos(dl) * sgn
+    if mp == 3:
+        lat_ts = _attr_scalar(attrs, "TRUELAT1")
+        lon0d = _attr_scalar(attrs, "STAND_LON")
+        rk = WRF_SPHERE_R * math.cos(math.radians(lat_ts))
+        return (
+            rk * math.radians(lon - lon0d),
+            rk * math.log(math.tan(math.pi / 4 + math.radians(lat) / 2)),
+        )
+    if mp == 6:
+        return float(lon), float(lat)
+    raise ValueError(
+        f"MAP_PROJ={mp} is not a WRF projection this engine knows "
+        "(1 LCC, 2 polar stereographic, 3 Mercator, 6 lat-lon)"
+    )
+
+
+def wrf_ll_to_xy_scalar(
+    attrs: dict, lon: float, lat: float
+) -> tuple[float, float]:
+    """Driver-side SCALAR :func:`wrf_ll_to_xy`: fractional 0-based
+    mass-grid (i, j) for ONE WGS84 point, from a wrfout attribute
+    block — the endpoint-resolution twin the cross-section front
+    doors use (wrf-python's ``to_xy_coords`` step for lat/lon
+    ``CoordPair`` start/end), so resolving two endpoints never runs a
+    Spark job.  Same MAP_PROJ dispatch and center-normalized index
+    arithmetic as the column transform."""
+    dx, dy, cen_lon, cen_lat, nx, ny = _wrf_grid_geometry(attrs)
+    px, py = _wrf_fwd_scalar(attrs, lon, lat)
+    cx, cy = _wrf_fwd_scalar(attrs, cen_lon, cen_lat)
+    return (
+        (px - cx) / dx + (nx - 1) / 2.0,
+        (py - cy) / dy + (ny - 1) / 2.0,
+    )
+
+
 # ---------------------------------------------------------------------------
 # EPSG front door — the reference's API shape is gdf.to_crs("EPSG:27700")
 # (wrf_voronoi.py:188, one string into pyproj's any-EPSG surface).  The

@@ -1367,24 +1367,192 @@ def wrf_interplevel(
     return out
 
 
+def _calc_xy_pivot(
+    nx: int, ny: int, px: float, py: float, angle: float
+) -> tuple[tuple[float, float], tuple[float, float]]:
+    """wrf-python's ``pivot_point`` + ``angle`` cross-section line
+    (interputils ``_calc_xy``, RIP heritage): ``angle`` in degrees
+    clockwise from north (0 = south->north column, 90 = west->east
+    row); the line through the pivot spans the FULL domain, clamped at
+    the boundaries, with the RIP 45-degree-sector PIECEWISE-LINEAR
+    slope rule (slope = angle/45 within each octant — deliberately
+    NOT tan(angle); exact only at the octant edges, matching the
+    upstream convention rather than "fixing" it)."""
+    import math
+
+    if not 0.0 <= angle <= 360.0:
+        raise ValueError(
+            f"vertcross angle must be in [0, 360] degrees, got {angle}"
+        )
+    if not (0.0 <= px <= nx - 1 and 0.0 <= py <= ny - 1):
+        raise ValueError(
+            f"pivot point ({px}, {py}) is outside the "
+            f"{nx}x{ny} mass domain"
+        )
+    if angle > 315.0 or angle < 45.0 or 135.0 < angle < 225.0:
+        # mostly north-south: x as a function of y
+        if angle > 315.0:
+            slope = -(360.0 - angle) / 45.0
+        elif angle < 45.0:
+            slope = angle / 45.0
+        else:
+            slope = (angle - 180.0) / 45.0
+        intercept = px - py * slope
+        y0, x0 = 0.0, intercept
+        if x0 < 0.0:
+            x0, y0 = 0.0, (0.0 - intercept) / slope
+        elif x0 > nx - 1:
+            x0, y0 = nx - 1.0, (nx - 1.0 - intercept) / slope
+        y1 = ny - 1.0
+        x1 = y1 * slope + intercept
+        if x1 < 0.0:
+            x1, y1 = 0.0, (0.0 - intercept) / slope
+        elif x1 > nx - 1:
+            x1, y1 = nx - 1.0, (nx - 1.0 - intercept) / slope
+    else:
+        # mostly west-east: y as a function of x
+        if angle > 225.0:
+            slope = (270.0 - angle) / 45.0
+        else:
+            slope = (90.0 - angle) / 45.0
+        intercept = py - px * slope
+        x0, y0 = 0.0, intercept
+        if y0 < 0.0:
+            y0, x0 = 0.0, (0.0 - intercept) / slope
+        elif y0 > ny - 1:
+            y0, x0 = ny - 1.0, (ny - 1.0 - intercept) / slope
+        x1 = nx - 1.0
+        y1 = x1 * slope + intercept
+        if y1 < 0.0:
+            y1, x1 = 0.0, (0.0 - intercept) / slope
+        elif y1 > ny - 1:
+            y1, x1 = ny - 1.0, (ny - 1.0 - intercept) / slope
+    if not (math.isfinite(x0) and math.isfinite(y0)
+            and math.isfinite(x1) and math.isfinite(y1)):
+        raise ValueError(
+            f"pivot/angle line ({px}, {py}, {angle}) does not span "
+            "the domain"
+        )
+    return (x0, y0), (x1, y1)
+
+
+def _resolve_cross_line(
+    spark: SparkSession,
+    path: str,
+    start,
+    end,
+    n_points,
+    attrs,
+    pivot_point,
+    angle,
+    latlon: bool,
+) -> tuple[tuple[float, float], tuple[float, float], int]:
+    """Shared endpoint resolution for the cross-section front doors —
+    wrf-python's three call shapes onto one grid-index line:
+
+    - grid-index ``start``/``end`` (x, y) tuples — passed through;
+    - ``pivot_point`` (x, y) + ``angle`` — the full-domain RIP line
+      (:func:`_calc_xy_pivot`), dims from the archive's own header;
+    - ``latlon=True`` — ``start``/``end`` are (lat, lon) pairs
+      (wrf-python ``CoordPair(lat=..., lon=...)``), resolved to the
+      NEAREST integer mass point through the archive's projection
+      block (``to_xy_coords``'s ``ll_to_xy`` as_int convention; the
+      metadata-only scalar twin — no Spark job), named error when a
+      point falls outside the mass domain.
+
+    ``n_points=None`` auto-sizes to one sample per grid spacing along
+    the line (ceil of the grid-index length, + 1 — the wrf-python
+    count)."""
+    import math
+
+    from wrf_to_geodataframe_spark.functions.crs import (
+        _wrf_grid_geometry,
+        wrf_ll_to_xy_scalar,
+    )
+
+    if (pivot_point is None) != (angle is None):
+        raise ValueError(
+            "pivot_point and angle must be given together"
+        )
+    if pivot_point is not None:
+        if start is not None or end is not None or latlon:
+            raise ValueError(
+                "pass either start/end or pivot_point+angle, not both"
+            )
+        a = attrs if attrs is not None else wrf_global_attrs(path)
+        _, _, _, _, nx, ny = _wrf_grid_geometry(a)
+        start, end = _calc_xy_pivot(
+            nx, ny, float(pivot_point[0]), float(pivot_point[1]),
+            float(angle),
+        )
+    elif latlon:
+        if start is None or end is None:
+            raise ValueError(
+                "latlon=True needs (lat, lon) start and end points"
+            )
+        a = attrs if attrs is not None else wrf_global_attrs(path)
+        _, _, _, _, nx, ny = _wrf_grid_geometry(a)
+        pts = []
+        for lat_, lon_ in (start, end):
+            fi, fj = wrf_ll_to_xy_scalar(a, float(lon_), float(lat_))
+            ii, jj = math.floor(fi + 0.5), math.floor(fj + 0.5)
+            if not (0 <= ii <= nx - 1 and 0 <= jj <= ny - 1):
+                raise ValueError(
+                    f"lat/lon point ({lat_}, {lon_}) resolves to grid "
+                    f"index ({ii}, {jj}) outside the {nx}x{ny} mass "
+                    "domain"
+                )
+            pts.append((float(ii), float(jj)))
+        start, end = pts
+    elif start is None or end is None:
+        raise ValueError(
+            "vertcross needs start/end grid indices, "
+            "pivot_point+angle, or latlon=True (lat, lon) endpoints"
+        )
+    if n_points is None:
+        n_points = int(math.ceil(math.hypot(
+            float(end[0]) - float(start[0]),
+            float(end[1]) - float(start[1]),
+        ))) + 1
+    return (
+        (float(start[0]), float(start[1])),
+        (float(end[0]), float(end[1])),
+        int(n_points),
+    )
+
+
 def wrf_vertcross(
     spark: SparkSession,
     path: str,
     field: str,
-    start: tuple[float, float],
-    end: tuple[float, float],
-    n_points: int,
+    start: tuple[float, float] | None = None,
+    end: tuple[float, float] | None = None,
+    n_points: int | None = None,
     lat_var: str = "XLAT",
     lon_var: str = "XLONG",
     attrs: dict | None = None,
+    pivot_point: tuple[float, float] | None = None,
+    angle: float | None = None,
+    latlon: bool = False,
     **kw,
 ) -> DataFrame:
     """wrf-python ``vertcross`` over the archive: bilinear samples of
     any per-level getvar field along a grid-index line, per shard
     (one row per (file, sample, level)) — the broadcast corner join
-    of operators/vertical.vertcross with the shard key kept."""
+    of operators/vertical.vertcross with the shard key kept.
+
+    All three wrf-python call shapes resolve through
+    :func:`_resolve_cross_line`: grid-index ``start``/``end``,
+    ``pivot_point`` + ``angle`` (the full-domain RIP line), and
+    ``latlon=True`` (lat, lon) endpoints through the archive's own
+    projection block.  ``n_points=None`` auto-sizes to the wrf-python
+    count."""
     from wrf_to_geodataframe_spark.operators.vertical import vertcross
 
+    start, end, n_points = _resolve_cross_line(
+        spark, path, start, end, n_points, attrs, pivot_point, angle,
+        latlon,
+    )
     fld = wrf_getvar(
         spark, path, field, lat_var=lat_var, lon_var=lon_var,
         attrs=attrs, **kw,
@@ -1448,12 +1616,15 @@ def wrf_interpline(
     spark: SparkSession,
     path: str,
     field: str,
-    start: tuple[float, float],
-    end: tuple[float, float],
-    n_points: int,
+    start: tuple[float, float] | None = None,
+    end: tuple[float, float] | None = None,
+    n_points: int | None = None,
     lat_var: str = "XLAT",
     lon_var: str = "XLONG",
     attrs: dict | None = None,
+    pivot_point: tuple[float, float] | None = None,
+    angle: float | None = None,
+    latlon: bool = False,
     **kw,
 ) -> DataFrame:
     """wrf-python ``interpline`` over the archive: bilinear samples of
@@ -1467,9 +1638,14 @@ def wrf_interpline(
     Per-level fields raise with a pointer to :func:`wrf_vertcross`
     (the wrf-python split: interpline is the 2-D variant), and so do
     multi-component names like uvmet10 — interpline samples ONE scalar
-    plane."""
+    plane.  The same three call shapes as vertcross resolve through
+    :func:`_resolve_cross_line` (grid-index, pivot+angle, lat/lon)."""
     from wrf_to_geodataframe_spark.operators.vertical import vertcross
 
+    start, end, n_points = _resolve_cross_line(
+        spark, path, start, end, n_points, attrs, pivot_point, angle,
+        latlon,
+    )
     fld = wrf_getvar(
         spark, path, field, lat_var=lat_var, lon_var=lon_var,
         attrs=attrs, **kw,

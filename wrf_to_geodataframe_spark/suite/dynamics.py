@@ -2264,6 +2264,89 @@ FROM generate_series(0, {_GV_NF - 1}) AS tf(f),
 """
 
 
+def s17_vertcross_latlon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERTCROSS with LAT/LON endpoints (wrf-python's
+    ``CoordPair(lat=..., lon=...)`` call shape): the endpoints resolve
+    to the NEAREST integer mass points through the archive's OWN
+    projection block — metadata-only header read + the scalar LCC
+    forward (functions/crs.wrf_ll_to_xy_scalar), no Spark job — then
+    the same broadcast corner-join sampling as s11/vertcross.  The
+    chosen lat/lon pair lands on fractional indices (0.2, 1.3) and
+    (2.8, 2.2) with >= 0.2 margin to every rounding boundary (five
+    orders above cross-libm drift), so both engines round to (0, 1)
+    and (3, 2).
+
+    Oracle (class B): REPLAYS the endpoint derivation — the Snyder
+    LCC index arithmetic with identical constants, the +0.5 floor,
+    then the affine-plane closed form of theta along the derived
+    line; dyadic step 1/8 and quarter-lattice theta keep every
+    weighted sum exact, hash-exact UNROUNDED."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_vertcross
+
+    d = _write_getvar_fixture()
+    out = wrf_vertcross(
+        spark, d, "theta",
+        start=(38.367213, -100.686217), end=(38.401234, -100.563933),
+        n_points=9, latlon=True,
+    )
+    return out.select(
+        F.regexp_extract("file", r"_(\d+)\.nc", 1)
+        .cast("long")
+        .alias("shard"),
+        F.col("k").cast("long").alias("k"),
+        F.col("s").cast("long").alias("s"),
+        "theta",
+    )
+
+
+def _s17_sql() -> str:
+    from wrf_to_geodataframe_spark.functions.crs import (
+        WRF_SPHERE_R,
+        lcc_constants,
+    )
+
+    n, F_, rho0 = lcc_constants(30.0, 60.0, 40.0, WRF_SPHERE_R)
+    rf = WRF_SPHERE_R * F_
+
+    def idx(lat: float, lon: float) -> tuple[str, str]:
+        rho = f"({rf!r} / pow(tan(pi() / 4 + radians({lat!r}) / 2), {n!r}))"
+        dl = f"radians({lon!r} - (-100.0))"
+        px = f"({rho} * sin({n!r} * {dl}))"
+        py = f"({rho0!r} - {rho} * cos({n!r} * {dl}))"
+        return px, py
+
+    cx, cy = idx(38.375, -100.625)  # the fixture's CEN_LON/CEN_LAT
+    ax, ay = idx(38.367213, -100.686217)
+    bx, by = idx(38.401234, -100.563933)
+
+    def snap(p: str, c: str) -> str:
+        return (
+            f"CAST(floor(({p} - {c}) / 4000.0 + 1.5 + 0.5) AS BIGINT)"
+        )
+
+    return f"""
+WITH ep AS (
+    SELECT {snap(ax, cx)} AS x0, {snap(ay, cy)} AS y0,
+           {snap(bx, cx)} AS x1, {snap(by, cy)} AS y1
+),
+samples AS (
+    SELECT f, k, s,
+           x0 + s * (x1 - x0) / 8.0 AS xi,
+           y0 + s * (y1 - y0) / 8.0 AS yi
+    FROM ep,
+         generate_series(0, {_GV_NF - 1}) AS tf(f),
+         generate_series(0, {_GV_NK - 1}) AS tk(k),
+         generate_series(0, 8) AS ts(s)
+)
+SELECT f AS shard, CAST(k AS BIGINT) AS k, CAST(s AS BIGINT) AS s,
+       -8.0 * k + (xi + yi) / 4.0 + f + 300.0 AS theta
+FROM samples
+"""
+
+
+_S17_SQL = _s17_sql()
+
+
 def m17_storm_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SEVERE-WEATHER SCREENING chain every convective forecaster
     composes from the new storm surface: wrf_getvar_many(helicity +
@@ -2485,6 +2568,7 @@ QUERIES = {
     "s14_interplevel_field": s14_interplevel_field,
     "s15_getvar_auto_attrs": s15_getvar_auto_attrs,
     "s16_getvar_raw": s16_getvar_raw,
+    "s17_vertcross_latlon": s17_vertcross_latlon,
     "m17_storm_screen": m17_storm_screen,
     "capstone_wrf_voronoi": capstone_wrf_voronoi,
     "m3_absolute_vorticity": m3_absolute_vorticity,
@@ -2516,6 +2600,7 @@ ORACLE = {
     "s14_interplevel_field": _S14_SQL,
     "s15_getvar_auto_attrs": _S15_SQL,
     "s16_getvar_raw": _S16_SQL,
+    "s17_vertcross_latlon": _S17_SQL,
     "m17_storm_screen": _M17_SQL,
     "capstone_wrf_voronoi": _CAPSTONE_SQL,
     "m3_absolute_vorticity": _M3_SQL,
