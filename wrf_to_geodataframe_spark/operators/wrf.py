@@ -453,10 +453,18 @@ def wrf_file_variables(path: str) -> dict[str, tuple[int, ...]]:
         # a 0-size dim is the record (unlimited) dimension: its actual
         # length is the header's record count
         sizes = [hdr["numrecs"] if s == 0 else s for s in sizes]
-        return {
-            nm: tuple(sizes[d] for d in dimids)
-            for nm, dimids, _a, _t, _b in hdr["entries"]
-        }
+        out = {}
+        for nm, dimids, _a, _t, _b in hdr["entries"]:
+            # dimension ids come from untrusted header bytes: an
+            # out-of-range id is a malformed shard, named (probe fuzz)
+            if any(not 0 <= d < len(sizes) for d in dimids):
+                raise ValueError(
+                    f"{target}: malformed NetCDF header: variable "
+                    f"{nm!r} references dimension id outside the "
+                    f"{len(sizes)}-entry dimension list"
+                )
+            out[nm] = tuple(sizes[d] for d in dimids)
+        return out
     return _hdf5_root_walk(target, want_attrs=False)
 
 

@@ -912,9 +912,15 @@ def _read_header_from_file(path: str) -> dict:
             buf = f.read(size)
         try:
             return _parse_header(buf, name=path)
-        except (struct.error, IndexError, ValueError, AssertionError):
-            if len(buf) < size:  # whole file read and still truncated
-                raise ValueError(f"{path}: truncated NetCDF header")
+        except (struct.error, IndexError, KeyError, OverflowError,
+                UnicodeDecodeError, ValueError, AssertionError):
+            # KeyError/OverflowError/UnicodeDecodeError: corrupt type
+            # tags / lengths in an untrusted header (probe fuzz) must
+            # surface as the NAMED error, not an internal escape
+            if len(buf) < size:  # whole file read and still malformed
+                raise ValueError(
+                    f"{path}: truncated or malformed NetCDF header"
+                )
             size *= 8
 
 
