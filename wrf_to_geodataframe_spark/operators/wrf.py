@@ -1169,19 +1169,64 @@ def wrf_getvar_many(
             f"options given for names not requested: {unknown}"
         )
     canon, needs, specs, kws, proj = {}, {}, {}, {}, {}
+    raw_kind: dict[str, int] = {}  # raw file-variable name -> ndim
+    raw_shapes: dict | None = None
     for name in varnames:
         kw = opts.get(name, {})
         pair = _WIND_SINGLE.get(name)
         proj[name] = pair[1] if pair else None
-        canon[name], (needs[name], specs[name]) = _validate(
-            pair[0] if pair else name, kw
-        )
+        nm = pair[0] if pair else name
+        if pair is None and ALIASES.get(nm, nm) not in SUPPORTED:
+            # the raw file-variable fallback, MANY-shape (single-name
+            # parity: same metadata-only probe, same named errors).
+            # 2-D raws ride the shared SURFACE union scan (their grid
+            # is validated identical); 3-D raws get their own scan —
+            # their level count is the file's own (possibly staggered,
+            # the zstag convention), not necessarily the mass k the
+            # shared per-level union assumes.
+            if raw_shapes is None:
+                try:
+                    raw_shapes = wrf_file_variables(path)
+                except ValueError:
+                    raw_shapes = {}
+            if nm in raw_shapes:
+                if kw:
+                    raise TypeError(
+                        f"getvar({nm!r}) is a raw file-variable read "
+                        f"and takes no options, got {sorted(kw)}"
+                    )
+                shape = raw_shapes[nm]
+                grid = raw_shapes.get(lat_var)
+                if grid is None or len(grid) != 2:
+                    raise ValueError(
+                        f"raw getvar({nm!r}) needs the mass-grid "
+                        f"coordinate {lat_var!r} on the shard to key "
+                        "rows"
+                    )
+                if len(shape) not in (2, 3) or shape[-2:] != tuple(grid):
+                    raise ValueError(
+                        f"raw getvar({nm!r}) supports mass-grid (y, x) "
+                        f"or (k, y, x) variables; {nm!r} has dim sizes "
+                        f"{shape} vs mass grid {tuple(grid)} — "
+                        "staggered winds go through "
+                        "getvar('ua'/'va'/'wa'/'uvmet')"
+                    )
+                raw_kind[name] = len(shape)
+                canon[name], needs[name], specs[name], kws[name] = (
+                    name, (name,) if len(shape) == 2 else (), (), {}
+                )
+                continue
+        canon[name], (needs[name], specs[name]) = _validate(nm, kw)
         kws[name] = kw
+
+    def _is_sfc(n: str) -> bool:
+        if n in raw_kind:
+            return raw_kind[n] == 2
+        return canon[n] in _SFC_RAW
+
     bases: dict[bool, DataFrame | None] = {}
     for is_sfc in (False, True):
-        group = [
-            n for n in varnames if (canon[n] in _SFC_RAW) == is_sfc
-        ]
+        group = [n for n in varnames if _is_sfc(n) == is_sfc]
         union = tuple(
             dict.fromkeys(v for n in group for v in needs[n])
         )
@@ -1211,8 +1256,21 @@ def wrf_getvar_many(
         )
     out: dict[str, DataFrame] = {}
     for name in varnames:
+        if name in raw_kind:
+            if raw_kind[name] == 2:
+                df = bases[True].select(
+                    *_KEY3, name.lower()
+                ).distinct()
+            else:
+                df = _raw(spark, path, name, lat_var, lon_var).select(
+                    *_KEY, name.lower()
+                )
+            if tdf is not None:
+                df = df.join(F.broadcast(tdf), "file")
+            out[name] = df
+            continue
         df = _dispatch(
-            spark, path, canon[name], bases[canon[name] in _SFC_RAW],
+            spark, path, canon[name], bases[_is_sfc(name)],
             specs[name], attrs, lat_var, lon_var,
             zdz=zdz, coords=coords, **kws[name],
         )

@@ -2264,6 +2264,51 @@ FROM generate_series(0, {_GV_NF - 1}) AS tf(f),
 """
 
 
+def s16_getvar_raw_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAW getvar WITH THE TIME AXIS, through the MANY front door:
+    ``wrf_getvar_many(d, ['QVAPOR', 'PSFC'], times=True)`` — raw
+    file-variable reads get the same broadcast shard-timestamp join
+    every registry name gets (r15 judge item 5), and the many-shape
+    shares the surface union scan for the 2-D raw while the 3-D raw
+    keeps its own-k scan.  Output joins the two raw frames on the
+    column key with the decoded timestamp as a formatted string (the
+    m17 timezone-safe convention).
+
+    Oracle (class B): the s16 closed form + the shard's 6-hourly
+    timestamp arithmetic; hash-exact unrounded."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_getvar_many
+
+    d = _write_getvar_fixture()
+    m = wrf_getvar_many(spark, d, ["QVAPOR", "PSFC"], times=True)
+    qv = m["QVAPOR"].filter(F.col("k") == 1)
+    ps = m["PSFC"].select("file", "y_idx", "x_idx",
+                          F.col("psfc").alias("psfc"))
+    return (
+        qv.join(ps, ["file", "y_idx", "x_idx"])
+        .select(
+            F.regexp_extract("file", r"_(\d+)\.nc", 1)
+            .cast("long")
+            .alias("shard"),
+            F.date_format("time", "yyyy-MM-dd HH:mm:ss").alias("t_str"),
+            "y_idx", "x_idx", "qvapor", "psfc",
+        )
+    )
+
+
+_S16T_SQL = f"""
+SELECT f AS shard,
+       strftime(TIMESTAMP '2021-06-15 00:00:00'
+                + to_hours(CAST(6 * f AS BIGINT)),
+                '%Y-%m-%d %H:%M:%S') AS t_str,
+       CAST(j AS BIGINT) AS y_idx, CAST(i AS BIGINT) AS x_idx,
+       (16.0 + (i + j + 1) % 5 - 1) / 1024.0 AS qvapor,
+       96000.0 + 100.0 * (i % 3) + 25.0 * f AS psfc
+FROM generate_series(0, {_GV_NF - 1}) AS tf(f),
+     generate_series(0, {_GV_NJ - 1}) AS tj(j),
+     generate_series(0, {_GV_NI - 1}) AS ti(i)
+"""
+
+
 def s17_vertcross_latlon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VERTCROSS with LAT/LON endpoints (wrf-python's
     ``CoordPair(lat=..., lon=...)`` call shape): the endpoints resolve
@@ -2568,6 +2613,7 @@ QUERIES = {
     "s14_interplevel_field": s14_interplevel_field,
     "s15_getvar_auto_attrs": s15_getvar_auto_attrs,
     "s16_getvar_raw": s16_getvar_raw,
+    "s16_getvar_raw_times": s16_getvar_raw_times,
     "s17_vertcross_latlon": s17_vertcross_latlon,
     "m17_storm_screen": m17_storm_screen,
     "capstone_wrf_voronoi": capstone_wrf_voronoi,
@@ -2600,6 +2646,7 @@ ORACLE = {
     "s14_interplevel_field": _S14_SQL,
     "s15_getvar_auto_attrs": _S15_SQL,
     "s16_getvar_raw": _S16_SQL,
+    "s16_getvar_raw_times": _S16T_SQL,
     "s17_vertcross_latlon": _S17_SQL,
     "m17_storm_screen": _M17_SQL,
     "capstone_wrf_voronoi": _CAPSTONE_SQL,
