@@ -1912,3 +1912,40 @@ def test_getvar_raw_times_single(spark, archive):
     assert len(rows) == NF
     hours = sorted(r.time.hour for r in rows)
     assert hours == [6 * f for f in range(NF)]
+
+
+def test_wrf_interp2dxy_bent_path(spark, archive):
+    """interp2dxy at a bent path: per-point bilinear parity with
+    numpy, domain-leaving point yields NULL (the kernel's missing-
+    value convention), misuse errors named."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_interp2dxy
+
+    xy = [(0.5, 0.5), (3.25, 1.75), (1.0, 3.0), (4.75, 0.25)]
+    rows = wrf_interp2dxy(spark, archive, "theta", xy).withColumn(
+        "f", F.regexp_extract("file", r"_(\d+)\.nc", 1).cast("long")
+    ).collect()
+    got = {(r.f, r.s, r.k): r.theta for r in rows}
+    for f in range(NF):
+        theta = _fields(float(f))["t"] + 300.0
+        for s, (xi, yi) in enumerate(xy):
+            cx, cy = int(np.floor(xi)), int(np.floor(yi))
+            fx, fy = xi - cx, yi - cy
+            for k in (0, NK - 1):
+                g = theta[k, cy: cy + 2, cx: cx + 2]
+                want = (
+                    (1 - fx) * (1 - fy) * g[0, 0]
+                    + (fx * (1 - fy) * g[0, 1] if fx else 0.0)
+                    + ((1 - fx) * fy * g[1, 0] if fy else 0.0)
+                    + (fx * fy * g[1, 1] if fx and fy else 0.0)
+                )
+                assert got[(f, s, k)] == want
+    # a point past the east edge (x in (NI-1, NI)) loses corners -> NULL
+    out = wrf_interp2dxy(spark, archive, "theta", [(NI - 0.5, 1.0)])
+    assert [r[0] for r in out.select("theta").collect()] == [None] * NK * NF
+    with pytest.raises(ValueError, match="at least one"):
+        wrf_interp2dxy(spark, archive, "theta", [])
+    with pytest.raises(ValueError, match="per-level"):
+        wrf_interp2dxy(spark, archive, "ter", [(1.0, 1.0)])
+    with pytest.raises(ValueError, match="single-component"):
+        wrf_interp2dxy(spark, archive, "uvmet", [(1.0, 1.0)],
+                       attrs=ATTRS)

@@ -383,6 +383,54 @@ def vertcross(
         (F.lit(sx) + F.col("id") * F.lit((ex - sx) * step)).alias("_xi"),
         (F.lit(sy) + F.col("id") * F.lit((ey - sy) * step)).alias("_yi"),
     )
+    return _bilinear_sample(
+        df, value_col, level_col, x_col, y_col, pts, out_col, extra_keys
+    )
+
+
+def interp2dxy(
+    df: DataFrame,
+    value_col: str,
+    level_col: str,
+    x_col: str,
+    y_col: str,
+    xy: list[tuple[float, float]],
+    out_col: str = "vc",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """wrf-python ``interp2dxy``: bilinear samples of ``value_col`` at
+    an ARBITRARY sequence of fractional grid-index points, at every
+    vertical level — the generalization of :func:`vertcross` that the
+    ``xy()`` helper feeds (a straight line is just one possible
+    point sequence; interp2dxy takes any).  Sample ``s`` is the
+    position in ``xy``.  Same broadcast corner-join kernel, same NULL
+    convention for points leaving the domain."""
+    if not xy:
+        raise ValueError("interp2dxy needs at least one (x, y) point")
+    spark = df.sparkSession
+    pts = spark.createDataFrame(
+        [(s, float(x), float(y)) for s, (x, y) in enumerate(xy)],
+        "_s long, _xi double, _yi double",
+    )
+    return _bilinear_sample(
+        df, value_col, level_col, x_col, y_col, pts, out_col, extra_keys
+    )
+
+
+def _bilinear_sample(
+    df: DataFrame,
+    value_col: str,
+    level_col: str,
+    x_col: str,
+    y_col: str,
+    pts: DataFrame,
+    out_col: str,
+    extra_keys: list[str] | None,
+) -> DataFrame:
+    """The shared cross-section kernel: a tiny (_s, _xi, _yi) sample
+    table explodes to its nonzero-weight corners, broadcasts into one
+    equi join against the grid, and partial-aggregates per (sample,
+    level) — vertcross/interpline/interp2dxy all compile to this."""
     fx = F.col("_xi") - F.floor(F.col("_xi"))
     fy = F.col("_yi") - F.floor(F.col("_yi"))
     cx = F.floor(F.col("_xi")).cast("long")

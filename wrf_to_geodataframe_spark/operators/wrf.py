@@ -1640,6 +1640,46 @@ def wrf_vertcross(
     )
 
 
+def wrf_interp2dxy(
+    spark: SparkSession,
+    path: str,
+    field: str,
+    xy: list[tuple[float, float]],
+    lat_var: str = "XLAT",
+    lon_var: str = "XLONG",
+    attrs: dict | None = None,
+    **kw,
+) -> DataFrame:
+    """wrf-python ``interp2dxy`` over the archive: bilinear samples of
+    any per-level getvar field at an ARBITRARY sequence of fractional
+    (x, y) grid-index points, per shard and level — the generalization
+    of :func:`wrf_vertcross` the ``xy()`` helper feeds (vertcross IS
+    interp2dxy on a straight line; here the path can bend).  Output
+    one row per (file, sample s, level k); same single-component and
+    per-level validations, same broadcast corner-join plan."""
+    from wrf_to_geodataframe_spark.operators.vertical import interp2dxy
+
+    fld = wrf_getvar(
+        spark, path, field, lat_var=lat_var, lon_var=lon_var,
+        attrs=attrs, **kw,
+    )
+    if "k" not in fld.columns:
+        raise ValueError(
+            f"interp2dxy needs a per-level field; {field!r} is 2-D — "
+            "use wrf_interpline"
+        )
+    vals = [c for c in fld.columns if c not in (*_KEY, "time")]
+    if len(vals) != 1:
+        raise ValueError(
+            f"interp2dxy needs a single-component field; {field!r} "
+            f"carries {vals}"
+        )
+    return interp2dxy(
+        fld, vals[0], "k", "x_idx", "y_idx", xy,
+        out_col=vals[0], extra_keys=["file"],
+    )
+
+
 def wrf_smooth2d(
     spark: SparkSession,
     path: str,

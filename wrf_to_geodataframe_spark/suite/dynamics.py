@@ -2392,6 +2392,50 @@ FROM samples
 _S17_SQL = _s17_sql()
 
 
+_S18_XY = [
+    (0.25, 0.5), (1.5, 2.25), (2.75, 0.75), (3.0, 3.0), (0.5, 1.25),
+]
+
+
+def s18_interp2dxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERP2DXY through the front door (operators/wrf.wrf_interp2dxy,
+    judge r15 item 7): theta sampled at an arbitrary BENT dyadic path
+    — five points no straight line passes through — at every level
+    and shard; the generalization of vertcross that wrf-python's
+    ``xy()`` helper feeds.  Dyadic quarter-lattice points keep every
+    corner weight and weighted sum exactly representable.
+
+    Oracle (class B): bilinear interpolation of the affine theta
+    plane IS the plane — the closed form at each listed point, stated
+    per (shard, k, s) with the points as an inline VALUES table;
+    hash-exact UNROUNDED."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_interp2dxy
+
+    d = _write_getvar_fixture()
+    out = wrf_interp2dxy(spark, d, "theta", _S18_XY)
+    return out.select(
+        F.regexp_extract("file", r"_(\d+)\.nc", 1)
+        .cast("long")
+        .alias("shard"),
+        F.col("k").cast("long").alias("k"),
+        F.col("s").cast("long").alias("s"),
+        "theta",
+    )
+
+
+_S18_SQL = f"""
+WITH pts(s, xi, yi) AS (
+    VALUES {", ".join(f"({s}, {x!r}, {y!r})"
+                      for s, (x, y) in enumerate(_S18_XY))}
+)
+SELECT f AS shard, CAST(k AS BIGINT) AS k, CAST(s AS BIGINT) AS s,
+       -8.0 * k + (xi + yi) / 4.0 + f + 300.0 AS theta
+FROM pts,
+     generate_series(0, {_GV_NF - 1}) AS tf(f),
+     generate_series(0, {_GV_NK - 1}) AS tk(k)
+"""
+
+
 def m17_storm_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SEVERE-WEATHER SCREENING chain every convective forecaster
     composes from the new storm surface: wrf_getvar_many(helicity +
@@ -2615,6 +2659,7 @@ QUERIES = {
     "s16_getvar_raw": s16_getvar_raw,
     "s16_getvar_raw_times": s16_getvar_raw_times,
     "s17_vertcross_latlon": s17_vertcross_latlon,
+    "s18_interp2dxy": s18_interp2dxy,
     "m17_storm_screen": m17_storm_screen,
     "capstone_wrf_voronoi": capstone_wrf_voronoi,
     "m3_absolute_vorticity": m3_absolute_vorticity,
@@ -2648,6 +2693,7 @@ ORACLE = {
     "s16_getvar_raw": _S16_SQL,
     "s16_getvar_raw_times": _S16T_SQL,
     "s17_vertcross_latlon": _S17_SQL,
+    "s18_interp2dxy": _S18_SQL,
     "m17_storm_screen": _M17_SQL,
     "capstone_wrf_voronoi": _CAPSTONE_SQL,
     "m3_absolute_vorticity": _M3_SQL,
