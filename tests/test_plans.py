@@ -152,6 +152,9 @@ def test_query_construction_is_lazy(spark):
                     # GeoParquet sink runs at construction (the s4
                     # pattern: sink is the artifact, the read is lazy)
                     "capstone_wrf_voronoi",
+                    # dispatch stats + NetCDF sink at construction
+                    # (the voronoi capstone's pattern)
+                    "capstone_wrf_regrid",
                     # per-round localCheckpoint barriers (the dangling
                     # share is a global reduce each iteration)
                     "graph_pagerank_dangling"):
@@ -764,7 +767,7 @@ def test_global_plan_invariants_all_queries(spark):
         "bpe_encode", "pipeline_curate_v3", "s1_virtual_dataset",
         "s1_virtual_mosaic", "s1_virtual_time", "s4_geoparquet_ingest",
         "pca_project_variance", "graph_pagerank_dangling",
-        "capstone_wrf_voronoi",
+        "capstone_wrf_voronoi", "capstone_wrf_regrid",
     }
     bad = []
     for name, fn in all_queries().items():

@@ -2631,6 +2631,96 @@ def _write_regrid_fixture() -> str:
     return d
 
 
+def _regrid_presink(spark: SparkSession, tas_dir: str, pop_dir: str):
+    """The capstone's LAZY pre-sink chain (shared with the plan pin in
+    tests/test_capstone_regrid.py): scan + time slice -> tessellate
+    the curvilinear grid -> pop boxes + attribute join + fillna(0) ->
+    overlay -> quantized transfer -> J6 re-attach.  Returns (result,
+    pts, tas, pop_scan); ``pts`` is the persisted coordinate plane
+    (caller unpersists).  The only eager work is the documented
+    driver-side dispatch stats (the g1_auto_dispatch convention):
+    bbox + rectilinearity + count over the PERSISTED grid-sized
+    coordinate plane — one archive pass however many stats."""
+    from wrf_to_geodataframe_spark.functions.polygons import (
+        parse_wkt_polygon,
+    )
+    from wrf_to_geodataframe_spark.geometry.overlay import (
+        overlay_intersection,
+    )
+    from wrf_to_geodataframe_spark.geometry.tessellate import tessellate_auto
+    from wrf_to_geodataframe_spark.sources.netcdf import read_netcdf_dir
+
+    # S1 + P3: the scan carries the positional time slice (isel(time=1))
+    tas = read_netcdf_dir(spark, tas_dir, "tas", "lat", "lon", time_index=1)
+    pts = tas.select("y_idx", "x_idx", "lat", "lon").persist()
+    ext = pts.agg(
+        F.min("lon"), F.min("lat"), F.max("lon"), F.max("lat")
+    ).collect()[0]
+    bbox = tuple(float(v) for v in ext)  # reference's lon/lat clip box
+    # G1 via the dispatcher: curvilinear -> tile/halo distributed
+    # kernel (max_driver_points pinned low = the at-scale route)
+    cells = tessellate_auto(
+        pts, "lon", "lat", ["y_idx", "x_idx"], bbox=bbox,
+        spacing_hint=1.0, max_driver_points=64,
+        tile_size=8.0, halo=4.0,
+    )
+    b = cells.filter(~F.col("is_sentinel")).select(
+        "y_idx", "x_idx",
+        F.col("x").alias("lon_c"), F.col("y").alias("lat_c"),
+        parse_wkt_polygon(F.col("wkt")).alias("b_poly"),
+    )
+
+    # G2 + J2 + P7: pop boxes, attribute join, fillna(0)
+    pop_scan = read_netcdf_dir(spark, pop_dir, "Band1", "lat", "lon")
+    pop_keys = pop_scan.select(
+        F.col("y_idx").alias("pj"), F.col("x_idx").alias("pi"),
+        "lat", "lon", "value",
+    )
+    pop_geom = cell_box(
+        pop_keys.select("pj", "pi", "lat", "lon"),
+        x="lon", y="lat", half_dx=0.25, half_dy=0.25,
+    )
+    a = (
+        pop_geom.join(pop_keys.select("pj", "pi", "value"), ["pj", "pi"])
+        .withColumn("pop", F.nanvl(F.col("value"), F.lit(0.0)))
+        .withColumn(
+            "area_pop",
+            box_area(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")),
+        )
+        .select(
+            "pj", "pi", "pop", "area_pop",
+            _box_poly(
+                F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")
+            ).alias("a_poly"),
+        )
+    )
+
+    # J4 + A4: overlay pairs -> quantized area-weighted transfer
+    pairs = overlay_intersection(a, b, bucket=2.0)
+    contrib_q = F.round(
+        F.col("pop") / F.col("area_pop") * F.col("area_inter")
+        * F.lit(float(_RGQ))
+    ).cast("long")
+    transferred = pairs.groupBy("y_idx", "x_idx").agg(
+        (F.sum(contrib_q).cast("double") / F.lit(float(_RGQ))).alias(
+            "population"
+        )
+    )
+    # J6: re-attach onto the FULL destination grid — the PERSISTED
+    # coordinate plane, not the cells table (the reference re-attaches
+    # onto gdf_grid itself, regrid.py:289-295; and reusing the cached
+    # plane keeps the tessellation a SINGLE plan branch instead of
+    # recomputing the tile kernel for the key/coord columns)
+    result = (
+        pts.join(transferred, ["y_idx", "x_idx"], "left")
+        .select(
+            "y_idx", "x_idx", "lat", "lon",
+            F.coalesce("population", F.lit(0.0)).alias("population"),
+        )
+    )
+    return result, pts, tas, pop_scan
+
+
 def capstone_wrf_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE REFERENCE'S CONSERVATIVE-REGRID SCRIPT (delphine/regrid.py:
     206-337) as ONE chain: NetCDF scan + positional time slice (S1+P3,
@@ -2669,13 +2759,6 @@ def capstone_wrf_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from wrf_to_geodataframe_spark.functions.polygons import (
-        parse_wkt_polygon,
-    )
-    from wrf_to_geodataframe_spark.geometry.overlay import (
-        overlay_intersection,
-    )
-    from wrf_to_geodataframe_spark.geometry.tessellate import tessellate_auto
     from wrf_to_geodataframe_spark.sources.netcdf import (
         read_netcdf_dir,
         write_netcdf_dir,
@@ -2683,75 +2766,8 @@ def capstone_wrf_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _write_regrid_fixture()
     tas_dir, pop_dir = os.path.join(d, "tas"), os.path.join(d, "pop")
-
-    # S1 + P3: the scan carries the positional time slice (isel(time=1))
-    tas = read_netcdf_dir(spark, tas_dir, "tas", "lat", "lon", time_index=1)
-    pts = tas.select("y_idx", "x_idx", "lat", "lon").persist()
+    result, pts, tas, pop_scan = _regrid_presink(spark, tas_dir, pop_dir)
     try:
-        ext = pts.agg(
-            F.min("lon"), F.min("lat"), F.max("lon"), F.max("lat")
-        ).collect()[0]
-        bbox = tuple(float(v) for v in ext)  # reference's lon/lat clip box
-        # G1 via the dispatcher: curvilinear -> tile/halo distributed
-        # kernel (max_driver_points pinned low = the at-scale route)
-        cells = tessellate_auto(
-            pts, "lon", "lat", ["y_idx", "x_idx"], bbox=bbox,
-            spacing_hint=1.0, max_driver_points=64,
-            tile_size=8.0, halo=4.0,
-        )
-        b = cells.filter(~F.col("is_sentinel")).select(
-            "y_idx", "x_idx",
-            F.col("x").alias("lon_c"), F.col("y").alias("lat_c"),
-            parse_wkt_polygon(F.col("wkt")).alias("b_poly"),
-        )
-
-        # G2 + J2 + P7: pop boxes, attribute join, fillna(0)
-        pop_scan = read_netcdf_dir(spark, pop_dir, "Band1", "lat", "lon")
-        pop_keys = pop_scan.select(
-            F.col("y_idx").alias("pj"), F.col("x_idx").alias("pi"),
-            "lat", "lon", "value",
-        )
-        pop_geom = cell_box(
-            pop_keys.select("pj", "pi", "lat", "lon"),
-            x="lon", y="lat", half_dx=0.25, half_dy=0.25,
-        )
-        a = (
-            pop_geom.join(pop_keys.select("pj", "pi", "value"), ["pj", "pi"])
-            .withColumn("pop", F.nanvl(F.col("value"), F.lit(0.0)))
-            .withColumn(
-                "area_pop",
-                box_area(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")),
-            )
-            .select(
-                "pj", "pi", "pop", "area_pop",
-                _box_poly(
-                    F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")
-                ).alias("a_poly"),
-            )
-        )
-
-        # J4 + A4: overlay pairs -> quantized area-weighted transfer
-        pairs = overlay_intersection(a, b, bucket=2.0)
-        contrib_q = F.round(
-            F.col("pop") / F.col("area_pop") * F.col("area_inter")
-            * F.lit(float(_RGQ))
-        ).cast("long")
-        transferred = pairs.groupBy("y_idx", "x_idx").agg(
-            (F.sum(contrib_q).cast("double") / F.lit(float(_RGQ))).alias(
-                "population"
-            )
-        )
-        # J6: re-attach onto the FULL destination grid, fill uncovered
-        result = (
-            b.select("y_idx", "x_idx", "lat_c", "lon_c")
-            .join(transferred, ["y_idx", "x_idx"], "left")
-            .select(
-                "y_idx", "x_idx",
-                F.col("lat_c").alias("lat"), F.col("lon_c").alias("lon"),
-                F.coalesce("population", F.lit(0.0)).alias("population"),
-            )
-        )
-
         # S4: float32 (population, lat, lon) sink; executing the
         # manifest performs the distributed writes
         outdir = tempfile.mkdtemp(prefix="cap_regrid_out_")
