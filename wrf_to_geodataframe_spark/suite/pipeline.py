@@ -2698,6 +2698,136 @@ SELECT doc_id, term, tf, df, score_ppm, rk FROM ranked WHERE rk <= {_TFIDF_TOP}
 
 
 # ---------------------------------------------------------------------------
+# BM25 retrieval: query -> top-k documents (the lexical-retrieval
+# side of a training-data pipeline — decontamination lookups, seed
+# expansion, RAG evals)
+
+_BM25_QUERIES = [
+    (0, "spark"), (0, "table"), (0, "join"),
+    (1, "window"), (1, "agg"), (1, "stream"),
+    (2, "customer"), (2, "query"), (2, "slow"),
+]
+_BM25_K = 5  # documents kept per query
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over the documents table for a literal
+    query set — Okapi BM25 (k1=1.5, b=0.75) re-expressed in EXACT
+    INTEGER RATIONALS (the tfidf_top_terms discipline: no float log,
+    no float division anywhere, so both engines rank bit-identically):
+
+        idf_pm   = (2(N - df) + 1) * 1000 div (2 df + 1)     (Robertson
+                   ratio in per-mille, log dropped — same ordering)
+        dlr_pm   = 1000 * dl * N div T                       (dl/avgdl)
+        score_i  = idf_pm * 20 tf * 1000
+                   div (8000 tf + 3000 + 9 dlr_pm)
+                   [= idf * tf(k1+1) / (tf + k1(1-b+b*dl/avgdl)),
+                    scaled by 8 and per-milled]
+
+    and per-(query, doc) score = Σ score_i over matched terms — a pure
+    BIGINT sum.  Rank ties break on doc_id.
+
+    Plan shape: ONE tokenize scan -> (doc, term) partial-agg count,
+    persisted (it feeds the doc-length agg, the document-frequency
+    agg, and the scoring join); the query-term table and the filtered
+    df table broadcast; corpus stats are a 1-row crossJoined agg; the
+    per-query top-k is a WindowGroupLimit over a 9-term candidate
+    set.  At 100 TB: candidates = docs containing a query term — the
+    inverted-index access path, never a corpus-wide score."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    tc = track_persist(tok.groupBy("doc_id", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    ))
+    dl = tc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").alias("t_tokens"),
+    )
+    dfreq = tc.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    qterms = spark.createDataFrame(_BM25_QUERIES, "qid long, t string")
+    dfq = dfreq.join(F.broadcast(qterms.select("t").distinct()), "t")
+    cand = (
+        tc.join(F.broadcast(qterms), "t")
+        .join(F.broadcast(dfq), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf_pm = F.expr(
+        "(2 * (n_docs - df) + 1) * CAST(1000 AS BIGINT) div (2 * df + 1)"
+    )
+    dlr_pm = F.expr("1000 * dl * n_docs div t_tokens")
+    scored = cand.withColumn("idf_pm", idf_pm).withColumn(
+        "dlr_pm", dlr_pm
+    ).withColumn(
+        "score_i",
+        F.expr(
+            "idf_pm * 20 * tf * CAST(1000 AS BIGINT)"
+            " div (8000 * tf + 3000 + 9 * dlr_pm)"
+        ),
+    )
+    per_doc = scored.groupBy("qid", "doc_id").agg(
+        F.sum("score_i").alias("score"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        per_doc.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _BM25_K)
+        .select("qid", "rk", "doc_id", "score", "n_terms")
+    )
+
+
+_BM25_SQL = f"""
+WITH q(qid, t) AS (
+    VALUES {", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)}
+),
+tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+tc AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tc GROUP BY 1),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dl) AS BIGINT) AS t_tokens
+    FROM dl
+),
+dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tc GROUP BY 1),
+scored AS (
+    SELECT q.qid, tc.doc_id,
+           ((2 * (s.n_docs - f.df) + 1) * 1000 // (2 * f.df + 1))
+             * 20 * tc.tf * 1000
+             // (8000 * tc.tf + 3000
+                 + 9 * (1000 * d.dl * s.n_docs // s.t_tokens)) AS score_i
+    FROM tc
+    JOIN q USING (t)
+    JOIN dfreq f USING (t)
+    JOIN dl d USING (doc_id), stats s
+),
+per_doc AS (
+    SELECT qid, doc_id, CAST(sum(score_i) AS BIGINT) AS score,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM scored GROUP BY 1, 2
+),
+ranked AS (
+    SELECT qid, doc_id, score, n_terms,
+           row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, doc_id
+           ) AS rk
+    FROM per_doc
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rk AS BIGINT) AS rk,
+       doc_id, score, n_terms
+FROM ranked WHERE rk <= {_BM25_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # End-to-end corpus curation: quality filter -> dedup -> quota
 
 _CURATE_QUOTA = 50  # per-stratum cap after filtering
@@ -6094,6 +6224,7 @@ QUERIES = {
     "dedup_cluster_cc": dedup_cluster_cc,
     "quota_sample_per_group": quota_sample_per_group,
     "tfidf_top_terms": tfidf_top_terms,
+    "bm25_topk": bm25_topk,
     "pack_sequences": pack_sequences,
     "pipeline_curate": pipeline_curate,
     "pipeline_curate_v2": pipeline_curate_v2,
@@ -6154,6 +6285,7 @@ ORACLE = {
     "dedup_cluster_cc": _CLUSTER_CC_SQL,
     "quota_sample_per_group": _QUOTA_SAMPLE_SQL,
     "tfidf_top_terms": _TFIDF_SQL,
+    "bm25_topk": _BM25_SQL,
     "pack_sequences": _PACK_SQL,
     "pipeline_curate": _CURATE_SQL,
     "pipeline_split_holdout": _SPLIT_HOLDOUT_SQL,
