@@ -1949,3 +1949,55 @@ def test_wrf_interp2dxy_bent_path(spark, archive):
     with pytest.raises(ValueError, match="single-component"):
         wrf_interp2dxy(spark, archive, "uvmet", [(1.0, 1.0)],
                        attrs=ATTRS)
+
+
+def test_wrf_xy_helper(spark, archive):
+    """xy(): the resolved line's own sample points, shared resolver."""
+    from wrf_to_geodataframe_spark.operators.wrf import wrf_xy
+
+    rows = wrf_xy(
+        spark, archive, pivot_point=(2, 2), angle=90.0
+    ).orderBy("s").collect()
+    assert [(r.x, r.y) for r in rows] == [(float(s), 2.0)
+                                         for s in range(6)]
+    rows = wrf_xy(spark, archive, start=(0.5, 0.5), end=(4.5, 2.5),
+                  n_points=5).orderBy("s").collect()
+    assert rows[2].x == 2.5 and rows[2].y == 1.5
+
+
+def test_ll_to_xy_scalar_matches_column_all_projections(spark):
+    """The driver-side scalar twin agrees with the COLUMN transform on
+    every MAP_PROJ branch (1 LCC, 2 polar stereographic, 3 Mercator,
+    6 lat-lon) to float noise — the guarantee the lat/lon endpoint
+    resolution rests on."""
+    from wrf_to_geodataframe_spark.functions.crs import (
+        wrf_ll_to_xy,
+        wrf_ll_to_xy_scalar,
+    )
+
+    base = {"DX": 4000.0, "DY": 4000.0,
+            "WEST-EAST_GRID_DIMENSION": 31,
+            "SOUTH-NORTH_GRID_DIMENSION": 41}
+    cases = [
+        dict(base, MAP_PROJ=1, TRUELAT1=30.0, TRUELAT2=60.0,
+             MOAD_CEN_LAT=40.0, STAND_LON=-100.0,
+             CEN_LON=-97.0, CEN_LAT=39.0),
+        dict(base, MAP_PROJ=2, TRUELAT1=60.0, STAND_LON=-100.0,
+             CEN_LON=-97.0, CEN_LAT=65.0),
+        dict(base, MAP_PROJ=2, TRUELAT1=-60.0, STAND_LON=170.0,
+             CEN_LON=169.0, CEN_LAT=-65.0),
+        dict(base, MAP_PROJ=3, TRUELAT1=20.0, STAND_LON=-100.0,
+             CEN_LON=-97.0, CEN_LAT=10.0),
+        dict(base, MAP_PROJ=6, TRUELAT1=0.0, STAND_LON=-97.0,
+             CEN_LON=-97.0, CEN_LAT=35.0, DX=0.5, DY=0.25),
+    ]
+    pts = [(-97.3, None), (-96.5, None)]  # lon; lat per-case below
+    for attrs in cases:
+        lat0 = attrs["CEN_LAT"]
+        samples = [(attrs["CEN_LON"] - 0.4, lat0 - 0.3),
+                   (attrs["CEN_LON"] + 0.25, lat0 + 0.2)]
+        df = spark.createDataFrame(samples, "lon double, lat double")
+        col = wrf_ll_to_xy(attrs, df, "lon", "lat").collect()
+        for (lon, lat), r in zip(samples, col):
+            fi, fj = wrf_ll_to_xy_scalar(attrs, lon, lat)
+            assert abs(fi - r.i) < 1e-9 and abs(fj - r.j) < 1e-9, attrs

@@ -1587,6 +1587,37 @@ def _resolve_cross_line(
     )
 
 
+def wrf_xy(
+    spark: SparkSession,
+    path: str,
+    start: tuple[float, float] | None = None,
+    end: tuple[float, float] | None = None,
+    n_points: int | None = None,
+    attrs: dict | None = None,
+    pivot_point: tuple[float, float] | None = None,
+    angle: float | None = None,
+    latlon: bool = False,
+) -> DataFrame:
+    """wrf-python's ``xy()`` helper as a front door: the cross-section
+    line's sample points themselves, as a (s, x, y) DataFrame —
+    resolved through the same three call shapes as vertcross
+    (:func:`_resolve_cross_line`) so a caller can inspect or reuse the
+    line (e.g. to feed :func:`wrf_interp2dxy`) without sampling a
+    field."""
+    start, end, n = _resolve_cross_line(
+        spark, path, start, end, n_points, attrs, pivot_point, angle,
+        latlon,
+    )
+    step = 1.0 / (n - 1) if n > 1 else 0.0
+    return spark.range(n).select(
+        F.col("id").alias("s"),
+        (F.lit(start[0])
+         + F.col("id") * F.lit((end[0] - start[0]) * step)).alias("x"),
+        (F.lit(start[1])
+         + F.col("id") * F.lit((end[1] - start[1]) * step)).alias("y"),
+    )
+
+
 def wrf_vertcross(
     spark: SparkSession,
     path: str,
