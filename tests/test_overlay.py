@@ -423,3 +423,48 @@ def test_star_polygon_fuzz_pip_and_triangulation():
             assert got == want
 
     prop()
+
+
+def test_parse_wkt_polygon_round_trip(spark):
+    """parse_wkt_polygon inverts polygon_wkt exactly on dyadic rings
+    (canonical start vertex, closure dropped), and the POINT sentinel
+    yields NULL — P8 semantics surviving the parse."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.functions.polygons import (
+        parse_wkt_polygon,
+    )
+    from wrf_to_geodataframe_spark.geometry.polygons import (
+        canonical_ring,
+        polygon_wkt,
+    )
+
+    rng = np.random.default_rng(0xA11CE)
+    polys = []
+    for n in (3, 4, 5, 7):
+        # random convex-ish dyadic ring: sorted angles around a center
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        r = rng.integers(1, 64, n) / 16.0
+        pts = np.stack([
+            np.round(8.0 + r * np.cos(ang), 4),
+            np.round(8.0 + r * np.sin(ang), 4),
+        ], axis=1)
+        # snap to the 2^-4 lattice so the 9-sig-digit WKT is exact
+        pts = np.round(pts * 16.0) / 16.0
+        polys.append(pts)
+    rows = [(i, polygon_wkt(p)) for i, p in enumerate(polys)]
+    rows.append((len(polys), "POINT (0 0)"))
+    df = spark.createDataFrame(rows, "i long, wkt string")
+    out = {
+        r.i: r.poly
+        for r in df.select(
+            "i", parse_wkt_polygon(F.col("wkt")).alias("poly")
+        ).collect()
+    }
+    for i, p in enumerate(polys):
+        want = canonical_ring(p)
+        got = np.array(out[i])
+        assert got.shape == want.shape
+        assert (got == want).all(), i  # bit-exact round trip
+    assert out[len(polys)] is None  # sentinel -> NULL
