@@ -687,6 +687,20 @@ def _raw_fallback(
         return None  # unreadable/empty archive: standard error path
     if varname not in dims_by_var:
         return None
+    shape = _check_raw_shape(varname, dims_by_var, lat_var, kw)
+    d = _raw(spark, path, varname, lat_var, lon_var)
+    if len(shape) == 2:
+        return d.select(*_KEY3, varname.lower()).distinct()
+    return d.select(*_KEY, varname.lower())
+
+
+def _check_raw_shape(
+    varname: str, dims_by_var: dict, lat_var: str, kw: dict
+) -> tuple[int, ...]:
+    """The raw-read validations shared by the single and MANY front
+    doors (identical named errors, property-pinned parity): raw reads
+    take no options, the mass-grid coordinate must exist to key rows,
+    and only mass-grid (y, x) / (k, y, x) shapes qualify."""
     if kw:
         raise TypeError(
             f"getvar({varname!r}) is a raw file-variable read and "
@@ -706,10 +720,7 @@ def _raw_fallback(
             f"vs mass grid {tuple(grid)} — staggered winds go through "
             "getvar('ua'/'va'/'wa'/'uvmet')"
         )
-    d = _raw(spark, path, varname, lat_var, lon_var)
-    if len(shape) == 2:
-        return d.select(*_KEY3, varname.lower()).distinct()
-    return d.select(*_KEY, varname.lower())
+    return shape
 
 
 def _validate(
@@ -1190,27 +1201,7 @@ def wrf_getvar_many(
                 except ValueError:
                     raw_shapes = {}
             if nm in raw_shapes:
-                if kw:
-                    raise TypeError(
-                        f"getvar({nm!r}) is a raw file-variable read "
-                        f"and takes no options, got {sorted(kw)}"
-                    )
-                shape = raw_shapes[nm]
-                grid = raw_shapes.get(lat_var)
-                if grid is None or len(grid) != 2:
-                    raise ValueError(
-                        f"raw getvar({nm!r}) needs the mass-grid "
-                        f"coordinate {lat_var!r} on the shard to key "
-                        "rows"
-                    )
-                if len(shape) not in (2, 3) or shape[-2:] != tuple(grid):
-                    raise ValueError(
-                        f"raw getvar({nm!r}) supports mass-grid (y, x) "
-                        f"or (k, y, x) variables; {nm!r} has dim sizes "
-                        f"{shape} vs mass grid {tuple(grid)} — "
-                        "staggered winds go through "
-                        "getvar('ua'/'va'/'wa'/'uvmet')"
-                    )
+                shape = _check_raw_shape(nm, raw_shapes, lat_var, kw)
                 raw_kind[name] = len(shape)
                 canon[name], needs[name], specs[name], kws[name] = (
                     name, (name,) if len(shape) == 2 else (), (), {}
