@@ -155,6 +155,8 @@ def test_query_construction_is_lazy(spark):
                     # dispatch stats + NetCDF sink at construction
                     # (the voronoi capstone's pattern)
                     "capstone_wrf_regrid",
+                    # dispatch stats + driver-side GPKG sink
+                    "capstone_haduk_voronoi",
                     # per-round localCheckpoint barriers (the dangling
                     # share is a global reduce each iteration)
                     "graph_pagerank_dangling"):
@@ -768,6 +770,7 @@ def test_global_plan_invariants_all_queries(spark):
         "s1_virtual_mosaic", "s1_virtual_time", "s4_geoparquet_ingest",
         "pca_project_variance", "graph_pagerank_dangling",
         "capstone_wrf_voronoi", "capstone_wrf_regrid",
+        "capstone_haduk_voronoi",
     }
     bad = []
     for name, fn in all_queries().items():

@@ -313,7 +313,210 @@ def g1_auto_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# capstone_haduk_voronoi — the reference's SECOND script end to end
+# (haduk_voronoi.py:20-79).  With capstone_wrf_voronoi (wrf_voronoi.py)
+# and capstone_wrf_regrid (delphine/regrid.py) this completes the set:
+# every reference script has ONE oracle-gated end-to-end chain.
+
+_HK_NJ, _HK_NI = 16, 12
+_HK_SHIFTS = [0.0] * 6 + [0.125, 0.25] + [0.375] * 8  # the r16 lattice
+
+
+def _write_haduk_fixture() -> str:
+    """A HadUK-shaped NetCDF (haduk_voronoi.py:20-29's layout): the
+    data variable over (time, y, x), 2-D ``latitude``/``longitude``
+    coordinate FIELDS (curvilinear — the row-shifted dyadic lattice
+    whose aligned-shift Voronoi cells are exact boxes), and 1-D
+    ``projection_x/y_coordinate`` axes in METRES (the OSGB-style
+    projected grid HadUK files carry; 1 km spacing)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.sources.netcdf import write_netcdf
+
+    d = tempfile.mkdtemp(prefix="cap_haduk_")
+    jj, ii = np.meshgrid(
+        np.arange(_HK_NJ), np.arange(_HK_NI), indexing="ij"
+    )
+    shifts = np.asarray(_HK_SHIFTS)[:, None]
+    tt = np.arange(3)[:, None, None]
+    write_netcdf(
+        os.path.join(d, "tasmin_hadukgrid_000.nc"),
+        {"time": 3, "y": _HK_NJ, "x": _HK_NI},
+        {
+            "tasmin": {"dims": ["time", "y", "x"],
+                       "data": 270.0 + ii / 8.0 + jj / 4.0 + tt / 2.0},
+            "latitude": {"dims": ["y", "x"],
+                         "data": jj.astype("float64")},
+            "longitude": {"dims": ["y", "x"], "data": ii + shifts},
+            "projection_x_coordinate": {
+                "dims": ["x"],
+                "data": 1000.0 * np.arange(_HK_NI),
+            },
+            "projection_y_coordinate": {
+                "dims": ["y"],
+                "data": 1000.0 * np.arange(_HK_NJ),
+            },
+        },
+    )
+    return d
+
+
+def _haduk_chain_to_gpkg(spark: SparkSession, d: str):
+    """The capstone's chain up to and including the GPKG sink (shared
+    with the geometry pin in tests/test_capstone_haduk.py): scan with
+    the pushed time slice -> curvilinear tessellation -> the within
+    DROP -> projection-axis keying -> driver-side GPKG write.
+    Returns (gpkg_path, x_axis_df, y_axis_df, scan)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from wrf_to_geodataframe_spark.functions.polygons import (
+        parse_wkt_polygon,
+    )
+    from wrf_to_geodataframe_spark.geometry.tessellate import tessellate_auto
+    from wrf_to_geodataframe_spark.operators.wrf import _first_shard
+    from wrf_to_geodataframe_spark.sources.geopackage import write_geopackage
+    from wrf_to_geodataframe_spark.sources.netcdf import (
+        read_netcdf,
+        read_netcdf_dir,
+    )
+
+    # P3: isel(time=1) pushed into the scan
+    scan = read_netcdf_dir(
+        spark, d, "tasmin", "latitude", "longitude", time_index=1
+    )
+    pts = scan.select("y_idx", "x_idx", "lat", "lon").persist()
+    try:
+        ext = pts.agg(
+            F.min("lon"), F.min("lat"), F.max("lon"), F.max("lat")
+        ).collect()[0]
+        bx1, by1, bx2, by2 = (float(v) for v in ext)
+        cells = tessellate_auto(
+            pts, "lon", "lat", ["y_idx", "x_idx"],
+            bbox=(bx1, by1, bx2, by2), spacing_hint=1.0,
+            max_driver_points=64, tile_size=8.0, halo=4.0,
+        )
+        # the reference's within-bbox DROP: envelope STRICTLY inside
+        kept = cells.filter(
+            ~F.col("is_sentinel")
+            & (F.col("x1") > F.lit(bx1)) & (F.col("y1") > F.lit(by1))
+            & (F.col("x2") < F.lit(bx2)) & (F.col("y2") < F.lit(by2))
+        )
+        # 1-D projection axes: driver-side first-shard read (the
+        # meshgrid step), broadcast onto the explicit keys
+        shard, _magic = _first_shard(d)
+        ds = read_netcdf(shard)
+        xv = ds["variables"]["projection_x_coordinate"]["data"]
+        yv = ds["variables"]["projection_y_coordinate"]["data"]
+        xt = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(xv)],
+            "x_idx long, proj_x double",
+        )
+        yt = spark.createDataFrame(
+            [(j, float(v)) for j, v in enumerate(yv)],
+            "y_idx long, proj_y double",
+        )
+        keyed = (
+            kept.join(F.broadcast(xt), "x_idx")
+            .join(F.broadcast(yt), "y_idx")
+            .select(
+                "y_idx", "x_idx", "proj_x", "proj_y",
+                parse_wkt_polygon(F.col("wkt")).alias("ring"),
+            )
+        )
+        # S3: the reference's to_file(gpkg) — driver-side sqlite sink
+        rows = [
+            {
+                # (n, 2) ndarray = the writer's single-ring POLYGON spec
+                "geom": np.asarray(r.ring, dtype=float),
+                "proj_x": float(r.proj_x),
+                "proj_y": float(r.proj_y),
+            }
+            for r in keyed.collect()
+        ]
+        p = os.path.join(tempfile.mkdtemp(prefix="cap_haduk_out_"),
+                         "voronoi.gpkg")
+        write_geopackage(p, "voronoi", rows, srs_id=4326)
+    finally:
+        pts.unpersist()
+    return p, xt, yt, scan
+
+
+def capstone_haduk_voronoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE REFERENCE'S HADUK SCRIPT (haduk_voronoi.py:20-79) as ONE
+    chain: HadUK-shaped NetCDF scan -> Voronoi tessellation of the
+    CURVILINEAR lat/lon field keyed by the 1-D PROJECTION axes
+    (``get_vor``'s meshgrid at lines 36-38: the axis tables are read
+    driver-side from the first shard — axis-sized metadata at any
+    archive scale — and broadcast onto the explicit grid keys) ->
+    the reference's ``within`` DROP (lines 60-65: cells are kept only
+    when FULLY INSIDE the lon/lat extent — unlike wrf_voronoi's clip,
+    the whole boundary ring is discarded; here: the cell envelope
+    strictly inside the bbox, exact because clipped boundary cells
+    carry the bbox coordinate itself) -> the plot branch's
+    ``isel(time=1)`` variable join (lines 71-75: P3 pushed into the
+    scan + J1 on the explicit keys) -> ``to_file`` GPKG sink (line 79
+    — the reference's single-sqlite output; driver-side by design and
+    scoped, like the format: the at-scale sink is GeoParquet, which
+    capstone_wrf_voronoi exercises) -> the engine's own GPKG read
+    back, attributes re-keyed through the projection-axis tables.
+
+    Oracle: fully closed form on the aligned-shift lattice — the kept
+    set is exactly the interior 10 x 14 sub-grid (aligned boundary
+    cells touch the bbox by construction; transition-row interior
+    cells stay strictly inside — their bisector tilt is < 1/16), and
+    every output value is dyadic; hash-exact UNROUNDED."""
+    from wrf_to_geodataframe_spark.sources.geopackage import read_geopackage
+
+    d = _write_haduk_fixture()
+    p, xt, yt, scan = _haduk_chain_to_gpkg(spark, d)
+    back = read_geopackage(p)
+    bdf = spark.createDataFrame(
+        [(float(r["proj_x"]), float(r["proj_y"]),
+          int(len(r["geom"]))) for r in back],
+        "proj_x double, proj_y double, n_ring long",
+    )
+    # re-key through the axis tables (the reference's
+    # set_index([proj_y, proj_x]).join), then the variable + coords
+    out = (
+        bdf.join(F.broadcast(xt), "proj_x")
+        .join(F.broadcast(yt), "proj_y")
+        .join(scan.select("y_idx", "x_idx", "lat", "lon",
+                          F.col("value").alias("tasmin")),
+              ["y_idx", "x_idx"])
+    )
+    return out.select(
+        "proj_x", "proj_y", "lon", "lat", "tasmin",
+        (F.col("n_ring") >= 3).alias("ring_ok"),
+    )
+
+
+_CAP_HADUK_SQL = f"""
+WITH dest AS (
+    SELECT j, i,
+           CASE WHEN j <= 5 THEN 0.0
+                WHEN j = 6 THEN 0.125
+                WHEN j = 7 THEN 0.25
+                ELSE 0.375 END AS t
+    FROM generate_series(1, {_HK_NJ - 2}) AS tj(j),
+         generate_series(1, {_HK_NI - 2}) AS ti(i)
+)
+SELECT 1000.0 * i AS proj_x, 1000.0 * j AS proj_y,
+       i + t AS lon, CAST(j AS DOUBLE) AS lat,
+       270.5 + 0.125 * i + 0.25 * j AS tasmin,
+       TRUE AS ring_ok
+FROM dest
+"""
+
+
 QUERIES = {
+    "capstone_haduk_voronoi": capstone_haduk_voronoi,
     "g1_voronoi_rect_cells": g1_voronoi_rect_cells,
     "g1_tessellation_conservation": g1_tessellation_conservation,
     "g1_curvilinear_conservation": g1_curvilinear_conservation,
@@ -321,6 +524,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "capstone_haduk_voronoi": _CAP_HADUK_SQL,
     "g1_voronoi_rect_cells": _G1_RECT_SQL,
     "g1_tessellation_conservation": _G1_CONSERVATION_SQL,
     "g1_curvilinear_conservation": _G1_CURVILINEAR_SQL,
