@@ -218,17 +218,27 @@ def _pi_sat(t, p) -> Column:
     """theta_e/T for a SATURATED parcel at (t, p): the Bolton eq. 43
     factor with qv = qs(t, p) and T_L = t (a saturated parcel is at
     its own condensation level).  T * _pi_sat(T, p) is strictly
-    increasing in T — the monotonicity the bisection inverts."""
-    qs = qv_sat(t, p)
-    return F.pow(
-        F.lit(1000.0) / (_c(p) / F.lit(100.0)),
-        F.lit(0.2854) * (F.lit(1.0) - F.lit(0.28) * qs),
-    ) * F.exp(
-        (F.lit(3.376) / _c(t) - F.lit(0.00254))
-        * F.lit(1000.0)
-        * qs
-        * (F.lit(1.0) + F.lit(0.81) * qs)
-    )
+    increasing in T — the monotonicity the bisection inverts.
+
+    ``qs`` is let-bound through a single-element transform (the
+    repo's array-binding idiom) so the interpreted evaluator computes
+    the saturation tree ONCE per call instead of once per reference
+    (it appears 3x below; higher-order functions are CodegenFallback,
+    so every duplicated subtree is real tree-walk cost inside the
+    bisection fold — guide §4 per-task work).  Same expressions, same
+    order, bit-identical doubles."""
+    def _body(qs):
+        return F.pow(
+            F.lit(1000.0) / (_c(p) / F.lit(100.0)),
+            F.lit(0.2854) * (F.lit(1.0) - F.lit(0.28) * qs),
+        ) * F.exp(
+            (F.lit(3.376) / _c(t) - F.lit(0.00254))
+            * F.lit(1000.0)
+            * qs
+            * (F.lit(1.0) + F.lit(0.81) * qs)
+        )
+
+    return F.get(F.transform(F.array(qv_sat(t, p)), _body), 0)
 
 
 def moist_adiabat_t_k(theta_e0, p, iters: int = 40) -> Column:
@@ -244,24 +254,40 @@ def moist_adiabat_t_k(theta_e0, p, iters: int = 40) -> Column:
     midpoint is within drift distance of the ROOT itself — in which
     case both branches bracket the root and the final answers agree
     to ~1e-9 K.  40 iterations bound the bracket at 200/2^40 ~ 2e-10
-    K, well below the gates' quantization."""
-    the0 = _c(theta_e0)
-    zero = F.struct(
-        F.lit(150.0).alias("lo"), F.lit(350.0).alias("hi")
-    )
+    K, well below the gates' quantization.
 
-    def step(acc, _x):
-        mid = (acc["lo"] + acc["hi"]) * F.lit(0.5)
-        below = mid * _pi_sat(mid, p) < the0
-        return F.struct(
-            F.when(below, mid).otherwise(acc["lo"]).alias("lo"),
-            F.when(below, acc["hi"]).otherwise(mid).alias("hi"),
+    Interpreter-cost shape (r17): the fold is CodegenFallback, so
+    every subtree reference is a real tree-walk per iteration.  Two
+    let-bindings keep the arithmetic identical while collapsing the
+    dominant duplications: (a) ``theta_e0`` — a full Bolton tree at
+    every call site — binds ONCE PER ROW outside the fold instead of
+    re-evaluating inside each of the 40 comparisons; (b) the branch
+    test ``below`` decides between two whole (lo, hi) structs, so the
+    saturated-adiabat tree evaluates once per iteration, not once per
+    struct field.  Measured ~5x on the m6/m10/m14 CAPE family; the
+    DuckDB mirror (``moist_adiabat_sql``) needs no change because the
+    VALUES are unchanged."""
+    def _run(t0):
+        zero = F.struct(
+            F.lit(150.0).alias("lo"), F.lit(350.0).alias("hi")
         )
 
-    res = F.aggregate(
-        F.sequence(F.lit(1), F.lit(int(iters))), zero, step
-    )
-    return (res["lo"] + res["hi"]) * F.lit(0.5)
+        def step(acc, _x):
+            mid = (acc["lo"] + acc["hi"]) * F.lit(0.5)
+            below = mid * _pi_sat(mid, p) < t0
+            return F.when(
+                below,
+                F.struct(mid.alias("lo"), acc["hi"].alias("hi")),
+            ).otherwise(
+                F.struct(acc["lo"].alias("lo"), mid.alias("hi"))
+            )
+
+        res = F.aggregate(
+            F.sequence(F.lit(1), F.lit(int(iters))), zero, step
+        )
+        return (res["lo"] + res["hi"]) * F.lit(0.5)
+
+    return F.get(F.transform(F.array(_c(theta_e0)), _run), 0)
 
 
 def moist_adiabat_sql(theta_e0_sql: str, p_sql: str = "p") -> dict[str, str]:
