@@ -280,6 +280,11 @@ def pagerank_integer(
             F.count(F.lit(1)).cast("long").alias("_deg")
         )
     )
+    # (r17 note: pre-joining deg onto edges and persisting both loop
+    # invariants — the pagerank_dangling_integer r17 change — was
+    # tried here too and measured a WASH: this variant is one lazy
+    # DAG, so ReuseExchange already dedupes the identical per-round
+    # edge subtrees, and the persist only added cache-fill overhead.)
     base_q = ((100 - damping_pct) * q) // 100
     pr = nodes.select(F.col(node_col).alias("node"),
                       F.lit(int(q)).cast("long").alias("pr_q"))
@@ -414,10 +419,23 @@ def pagerank_dangling_integer(
             F.count(F.lit(1)).cast("long").alias("_deg")
         )
     )
+    # Pre-join the out-degree onto the edge list ONCE and persist
+    # (r17): every one of the ``iters`` rounds consumed the raw
+    # ``edges`` lineage (for the suite gates that is a parquet scan +
+    # union + broadcast-count per round) plus a per-round edges⋈deg
+    # join.  Materializing (src, dst, _deg) up front turns each round
+    # into a single pr⋈ed join — at 100 TB this is the standard
+    # power-iteration shape (the edge table is the loop invariant;
+    # GraphX caches exactly this), and per round it removes one join
+    # and the whole edge-derivation subtree.  Same arithmetic, same
+    # results.  ``nodes_sel`` likewise: the node column is re-read
+    # every round for the left join.
+    ed = track_persist(edges.join(deg, src_col))
+    nodes_sel = track_persist(nodes.select(F.col(node_col).alias("node")))
     n_nodes = nodes.count()
     base_q = ((100 - damping_pct) * q) // 100
-    pr = nodes.select(
-        F.col(node_col).alias("node"),
+    pr = nodes_sel.select(
+        "node",
         F.lit(int(q)).cast("long").alias("pr_q"),
     ).localCheckpoint()
     frames = [pr]
@@ -436,8 +454,7 @@ def pagerank_dangling_integer(
             )
         )
         contrib = (
-            pr.join(edges, pr["node"] == edges[src_col])
-            .join(deg, src_col)
+            pr.join(ed, pr["node"] == ed[src_col])
             .select(
                 F.col(dst_col).alias("node"),
                 F.expr("pr_q div _deg").alias("_c"),
@@ -446,7 +463,7 @@ def pagerank_dangling_integer(
             .agg(F.sum("_c").alias("_s"))
         )
         pr = (
-            nodes.select(F.col(node_col).alias("node"))
+            nodes_sel
             .join(contrib, "node", "left")
             .crossJoin(F.broadcast(share_f))
             .select(

@@ -109,6 +109,25 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-partition CACHED plan output (default false).  The
+        # suite persists narrow intermediates inside most multi-branch
+        # queries (signatures, copy maps, component maps); with the
+        # default, every shuffle below a persist keeps the static
+        # shuffle-partition count — measured 4507 tasks for
+        # dedup_cluster_cc at sf0.1 where the same plan coalesces to
+        # 290 with the flag on (profiling r17, PROFILE_r17_*.json).
+        # At the 100 TB design point the effect is the same, in the
+        # other direction: cached intermediates size their partitions
+        # from runtime bytes instead of a static constant (guide §2.2
+        # "fewer, larger reduce partitions").  Trade-off: a consumer
+        # can no longer reuse the cached plan's output partitioning
+        # for exchange elision — the suite never relied on that (the
+        # _collapse_identical r11 note: cached-plan partitioning was
+        # not reused under this AQE config even when stable).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
