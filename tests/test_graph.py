@@ -393,3 +393,34 @@ def test_pagerank_plain_tol_matches_full_unroll(spark):
         for r in pagerank_integer(nodes, chain, iters=30).collect()
     }
     assert e30 == f30
+
+
+def test_connected_components_assume_distinct_equivalence(spark):
+    """The r17 assume_distinct fast path (skip the input-normalization
+    distinct) must produce the identical component map as the default
+    — including when the caller LIES and passes duplicate edges, since
+    every star transform ends in its own distinct (the flag only
+    removes the up-front pass, never changes convergence)."""
+    from pyspark.sql import functions as F
+
+    from wrf_to_geodataframe_spark.operators.graph import (
+        connected_components,
+    )
+
+    # two components (0-1-2 path, 10-11 pair) with duplicate and
+    # reversed edge rows
+    rows = [(0, 1), (1, 2), (10, 11), (1, 0), (0, 1), (11, 10)]
+    edges = spark.createDataFrame(rows, "a long, b long")
+    base = sorted(
+        map(tuple, connected_components(edges, rounds=4).collect())
+    )
+    fast = sorted(
+        map(
+            tuple,
+            connected_components(
+                edges, rounds=4, assume_distinct=True
+            ).collect(),
+        )
+    )
+    assert base == fast
+    assert base == [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10)]

@@ -103,7 +103,9 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, rounds: int = DEFAULT_CC_ROUNDS
+    edges: DataFrame,
+    rounds: int = DEFAULT_CC_ROUNDS,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """(v, cluster_id) for every vertex incident to an edge, where
     cluster_id is the minimum vertex id of v's component.
@@ -117,12 +119,23 @@ def connected_components(
     should use :func:`label_components`, whose ``unmerged`` output is
     an exact and complete convergence check (over-merge is structurally
     impossible; see its docstring).
+
+    ``assume_distinct=True`` skips the input-normalization
+    ``distinct()`` (one full edge-set shuffle) for callers whose edge
+    set is duplicate-free by construction — the near-dup detectors
+    emit pairs through a final GROUP BY / DISTINCT, so re-deduping
+    them here only re-shuffles what is already unique.  Semantics are
+    unchanged either way: each star transform ends in its own
+    ``distinct()``, so a caller passing duplicates under the flag
+    still converges to the identical component map (duplicates wash
+    out after round 1); the flag only removes the up-front pass.
     """
     e = (
         edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
         .filter(F.col("a") != F.col("b"))
-        .distinct()
     )
+    if not assume_distinct:
+        e = e.distinct()
     for _ in range(rounds):
         e = _small_star(_large_star(e))
     # converged edge set is a star per component: every edge joins a
@@ -157,6 +170,7 @@ def label_components(
     id_col: str = "doc_id",
     rounds: int = DEFAULT_CC_ROUNDS,
     auto_escalate: int = 0,
+    assume_distinct: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(labels, unmerged): every vertex labeled with its component min
     (singletons label themselves), plus a 1-row exact convergence
@@ -193,7 +207,9 @@ def label_components(
     """
     r = rounds
     for attempt in range(auto_escalate + 1):
-        comp = connected_components(edges, r).persist()
+        comp = connected_components(
+            edges, r, assume_distinct=assume_distinct
+        ).persist()
         unmerged = _convergence_check(edges, comp)
         if attempt == auto_escalate:
             break  # out of retries (or lazy mode): return the loud check

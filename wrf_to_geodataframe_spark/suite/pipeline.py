@@ -2507,8 +2507,13 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_minhash_lsh(spark, sf_dir)
         .select(F.col("da").alias("a"), F.col("db").alias("b"))
     )
+    # assume_distinct: the verified pairs are unique by construction
+    # (distinct rep pairs fanned out through disjoint copy groups,
+    # unioned with per-group within pairs) — skip the operator's
+    # input-normalization shuffle (r17)
     labels, unmerged = label_components(
-        docs, pairs, "doc_id", rounds=2, auto_escalate=3
+        docs, pairs, "doc_id", rounds=2, auto_escalate=3,
+        assume_distinct=True,
     )
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -6136,7 +6141,8 @@ def pipeline_split_neardup_safe(
         .select(F.col("da").alias("a"), F.col("db").alias("b"))
     )
     labels, _unmerged = label_components(
-        docs, pairs, "doc_id", rounds=2, auto_escalate=3
+        docs, pairs, "doc_id", rounds=2, auto_escalate=3,
+        assume_distinct=True,  # unique by construction, see dedup_cluster_cc
     )
     bucket = F.pmod(
         hash60(F.col("cluster_id").cast("string")), F.lit(100)
