@@ -2503,9 +2503,19 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wrf_to_geodataframe_spark.operators.graph import label_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = track_persist(
+    # localCheckpoint, not persist (r17): the pair table's lineage is
+    # the ENTIRE minhash chain, and every one of the CC rounds, the
+    # convergence check, and the final labeling referenced it — the
+    # analyzed plan ran 21,700 formatted lines and every per-stage AQE
+    # re-optimization walked it.  Checkpointing makes the pairs a leaf
+    # (plan: ~21.7k -> ~0.4k lines); this builder is already eager
+    # (the self-healing convergence check), so the materialization
+    # point moves, not the laziness contract.  Same rows, same
+    # downstream arithmetic.
+    pairs = (
         dedup_minhash_lsh(spark, sf_dir)
         .select(F.col("da").alias("a"), F.col("db").alias("b"))
+        .localCheckpoint()
     )
     # assume_distinct: the verified pairs are unique by construction
     # (distinct rep pairs fanned out through disjoint copy groups,
@@ -6136,13 +6146,18 @@ def pipeline_split_neardup_safe(
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = track_persist(
+    # localCheckpoint + assume_distinct: see dedup_cluster_cc (r17) —
+    # same pair table, same 21.7k-line-plan truncation, same
+    # uniqueness-by-construction argument; this builder is equally
+    # eager (the convergence check executes at build).
+    pairs = (
         dedup_minhash_lsh(spark, sf_dir)
         .select(F.col("da").alias("a"), F.col("db").alias("b"))
+        .localCheckpoint()
     )
     labels, _unmerged = label_components(
         docs, pairs, "doc_id", rounds=2, auto_escalate=3,
-        assume_distinct=True,  # unique by construction, see dedup_cluster_cc
+        assume_distinct=True,
     )
     bucket = F.pmod(
         hash60(F.col("cluster_id").cast("string")), F.lit(100)
