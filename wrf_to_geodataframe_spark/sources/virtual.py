@@ -725,16 +725,23 @@ def _index_files(
                         frame["affine"] = None
                         yield frame
 
-        def _write_coords():
-            (
-                scanned.mapInPandas(_coords_it, _COORD_SCHEMA)
-                .dropDuplicates(["coord_hash"])
-                .coalesce(1)
-                .write.mode(write_mode)
-                .parquet(os.path.join(out_path, "coords"))
-            )
-
-        def _write_times():
+        # (r17 note: submitting the coords and times sidecar writes
+        # CONCURRENTLY from a two-thread pool — guide §2.6 — was tried
+        # and measured WORSE here (s1_virtual_time 5-sample median
+        # 4.2 s -> 7.5 s): both jobs are tiny mapInPandas passes over
+        # the same persisted walk output, and they contend for the
+        # python-worker pool and the cache instead of back-filling a
+        # tail that doesn't exist at this job size.  Sequential it
+        # stays; §2.6 pays off when the overlapped jobs have real
+        # task tails.)
+        (
+            scanned.mapInPandas(_coords_it, _COORD_SCHEMA)
+            .dropDuplicates(["coord_hash"])
+            .coalesce(1)
+            .write.mode(write_mode)
+            .parquet(os.path.join(out_path, "coords"))
+        )
+        if time_var is not None:
             (
                 scanned.mapInPandas(
                     _part(2, ["var", "file_no", "lt", "time_ns"]),
@@ -750,25 +757,6 @@ def _index_files(
                 .write.mode(write_mode)
                 .parquet(os.path.join(out_path, "times"))
             )
-
-        # The coords and times sidecars are INDEPENDENT jobs over the
-        # persisted walk output (materialized by the chunks write just
-        # above) — submit them concurrently so the second back-fills
-        # the first's task tail instead of waiting out a full job
-        # round trip (guide §2.6 "overlap independent jobs").  Two
-        # driver threads, bounded; errors propagate via .result().
-        sidecars = [_write_coords] + (
-            [_write_times] if time_var is not None else []
-        )
-        if len(sidecars) == 1:
-            sidecars[0]()
-        else:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                futs = [pool.submit(fn) for fn in sidecars]
-                for f in futs:
-                    f.result()
     finally:
         scanned.unpersist()
 
