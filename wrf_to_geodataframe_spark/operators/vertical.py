@@ -665,6 +665,19 @@ def _cape_from_parcel(
     # the parcel-buoyancy table anyway); released via release_persisted
     from wrf_to_geodataframe_spark.session import track_persist
 
+    # Explicit column-key repartition BEFORE the buoyancy projection
+    # (r17): AQE's coalescing is byte-based and blind to per-row CPU,
+    # so under the cached-plan-repartitioning config the small-BYTES
+    # rows feeding the bisection fold coalesce to one partition and
+    # the fold runs single-threaded (measured: wall ~= executor CPU).
+    # Pinning the partition count to defaultParallelism spreads the
+    # fold across the cores — the engine's documented idiom for
+    # CPU-bound kernels over byte-small inputs (the multimodal decode
+    # pattern).  Keyed on the column keys, so the downstream LFC
+    # window and groupBy shuffle the same uniform key they always did.
+    d = d.repartition(
+        d.sparkSession.sparkContext.defaultParallelism, *col_keys
+    )
     d = track_persist(
         d.withColumn("_b", b_expr).select(
             *col_keys, p_col, dz_col, "_b",
