@@ -786,13 +786,17 @@ def test_global_plan_invariants_all_queries(spark):
 
 def test_surface_cape_single_column_shuffle(spark):
     """surface_cape's parcel window, LFC window, and final groupBy all
-    key on the column id: TWO column-key exchanges and no joins — one
-    feeding the parcel window, and one re-partitioning the persisted
+    key on the column id: THREE column-key exchanges and no joins —
+    one feeding the parcel window, one (r17) the explicit
+    defaultParallelism repartition that spreads the CPU-heavy
+    bisection-fold projection across the cores (AQE's byte-based
+    coalescing would otherwise serialize it; measured 2-3x wall on
+    the m6/m10/m14/m16 gates), and one re-partitioning the persisted
     buoyancy table for the LFC window + groupBy (cached output
     partitioning is not reused for exchange elision under this AQE
     config — the _collapse_identical r11 finding; the persist buys a
     measured ~10x interpreter saving on the bisection fold, worth one
-    narrow-table shuffle).  Any third exchange or a join appearing
+    narrow-table shuffle).  Any FOURTH exchange or a join appearing
     here means the shape regressed."""
     from pyspark.sql import functions as F
 
@@ -813,7 +817,7 @@ def test_surface_cape_single_column_shuffle(spark):
             lev, "p", "t", "qv", "dz", ["cid"], parcel=parcel
         )._jdf.queryExecution().executedPlan().toString()
         n_exchange = plan.count("Exchange hashpartitioning(cid")
-        assert n_exchange == 2, (parcel, n_exchange)
+        assert n_exchange == 3, (parcel, n_exchange)
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" not in plan
 

@@ -164,6 +164,64 @@ def sf_path(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+_SCAN_BYTES_CACHE: dict[str, int] = {}
+
+
+def _dataset_bytes(path: str) -> int:
+    """Total on-disk bytes of one parquet dataset (file or directory),
+    memoized — driver-side os.stat only, no Spark work."""
+    if path in _SCAN_BYTES_CACHE:
+        return _SCAN_BYTES_CACHE[path]
+    total = 0
+    try:
+        if os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += os.path.getsize(os.path.join(root, f))
+        else:
+            total = os.path.getsize(path)
+    except OSError:
+        total = 0
+    _SCAN_BYTES_CACHE[path] = total
+    return total
+
+
+def ensure_scan_parallelism(df, path: str, *keys: str):
+    """Spread a byte-small scan across the cores before a CPU-heavy
+    expression chain (md5 shingle hashing, regex scrubbing, fold
+    evaluation) — CONDITIONALLY: a no-op whenever the scan would
+    already yield at least ``defaultParallelism`` partitions, which is
+    every real archive-scale input.  A small single-file parquet table
+    gives 1-2 scan partitions, so the whole map-side chain (tokenize
+    -> md5 -> partial aggregation) serializes onto 1-2 cores; AQE
+    cannot help because its partition sizing is byte-based and blind
+    to per-row CPU (guide §2.5 input skew / the multimodal decode
+    pattern, made conditional so the 100 TB path never pays an extra
+    full-corpus shuffle).
+
+    The partition estimate is DRIVER-SIDE file metadata (dataset bytes
+    / ``spark.sql.files.maxPartitionBytes``, memoized) — deliberately
+    not ``df.rdd.getNumPartitions()``, which materializes the physical
+    plan and can run a listing job (it tripped the
+    construction-is-lazy pin).  ``keys`` hash-partition the spread
+    (deterministic layout, no round-robin input sort — guide §2.5)."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    try:
+        raw = df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"
+        )
+        digits = "".join(ch for ch in str(raw) if ch.isdigit())
+        max_pb = int(digits) if digits else 128 * 1024 * 1024
+    except Exception:
+        max_pb = 128 * 1024 * 1024
+    est = max(1, -(-_dataset_bytes(path) // max_pb))  # ceil-div
+    if est >= p:
+        return df
+    return df.repartition(p, *keys) if keys else df.repartition(p)
+
+
 # ---------------------------------------------------------------------------
 # Tracked persists: several suite queries persist intra-query
 # intermediates (near-dup signatures, exact-duplicate collapse maps,

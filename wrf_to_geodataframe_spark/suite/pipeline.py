@@ -28,6 +28,46 @@ from wrf_to_geodataframe_spark.functions.text import (
 )
 from wrf_to_geodataframe_spark.session import load_table, track_persist
 
+
+def _spread_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan with guaranteed minimum parallelism (r17): the
+    corpus queries run md5/shingle/regex/fold chains MAP-SIDE over the
+    scan partitions, and a byte-small single-file table gives 1-2 of
+    them — serializing the whole chain onto 1-2 cores (AQE cannot
+    help: its sizing is byte-based and blind to per-row CPU).
+    ensure_scan_parallelism is a strict no-op whenever the scan
+    already has >= defaultParallelism partitions, i.e. on every real
+    archive-scale input.  Queries that feed python codec kernels keep
+    their own explicit repartition instead (multimodal family)."""
+    from wrf_to_geodataframe_spark.session import (
+        ensure_scan_parallelism,
+        sf_path,
+    )
+
+    return ensure_scan_parallelism(
+        load_table(spark, sf_dir, "documents"),
+        sf_path(sf_dir, "documents"),
+        "doc_id",
+    )
+
+
+def _spread_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings scan with guaranteed minimum parallelism — the
+    similarity family evaluates quantized dot-product folds (interpreted
+    HOFs) map-side; same rationale and no-op-at-scale contract as
+    _spread_docs."""
+    from wrf_to_geodataframe_spark.session import (
+        ensure_scan_parallelism,
+        sf_path,
+    )
+
+    return ensure_scan_parallelism(
+        load_table(spark, sf_dir, "embeddings"),
+        sf_path(sf_dir, "embeddings"),
+        "vec_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact deduplication
 
@@ -45,7 +85,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact deduplication: hash-groupBy on content, keep the smallest
     doc_id per group (one shuffle on the content hash; at scale the
     groupBy key is md5, never the full text)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     return (
         docs.groupBy(F.md5("text").alias("content_md5"))
         .agg(
@@ -100,7 +140,7 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows plus one on O(doc) rows; no cross join, no window over a
     skewable key.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     planted = docs.select(
         "doc_id",
         F.when(
@@ -244,7 +284,7 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast scale the fallback is explicit salting
     (operators/skew.salted_join), not AQE.  Per-doc reduce is one
     partial-agg groupBy.  No window, no cross join."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     w = tokens(F.col("text"))
     bg = (
         docs.select(
@@ -420,7 +460,7 @@ def quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver.  Integer-exact: every score is a rational on the 1e-6
     lattice (see nb_token_model), so the DuckDB oracle matches
     bit-for-bit."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     tok = track_persist(hashed_tokens(docs))
     seed = tok.filter(F.col("doc_id") % 7 < 2).select(
         "b", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
@@ -543,7 +583,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the self-join, so ``capped_shingle_index`` drops them from BOTH
     the index and the set sizes — the oracle applies the identical cap,
     so the gate replays the filtered universe bit-for-bit."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     # self-joined subtrees don't canonicalize equal (HOF lambda ids), so
     # Spark would re-tokenize the corpus for each of the three branches
     # (sizes, join-a, join-b); persist the raw index once (feeds the
@@ -842,7 +882,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides are doc-count-sized aggregate outputs partitioned on doc_id;
     the corpus is scanned twice but only (doc_id, text) columns, and
     nothing wide ever shuffles."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     stats = toked.select(
         "doc_id",
@@ -919,7 +959,7 @@ def mixture_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-filter lets Catalyst plan a partial WindowGroupLimit below the
     exchange (the dynamic per-source quota k_s <= TARGET is applied on
     top), so mappers forward at most TARGET rows per source."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     return temperature_mixture(docs, _MIX_TARGET)
 
 
@@ -992,7 +1032,7 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen, one scan, no shuffle at all (the cheapest
     possible plan class); at 100 TB this runs map-side inside the same
     stage as the WARC record parse that feeds it."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     html = F.expr(
         """
         '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS STRING)
@@ -1098,7 +1138,7 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookaround — so both engines compile them identically.  Scale
     shape: one scan, pure JVM regexp expressions inside whole-stage
     codegen, no shuffle at all."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
     url_re = r"https?://[^ ]+"
     text = F.concat(
@@ -1173,7 +1213,7 @@ def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN train-side x eval-side on the shingle hash — never an all-pairs
     scan.  At 100 TB the eval index is benchmark-sized (tiny), so AQE
     broadcasts it; candidates are O(shared shingles), not O(docs^2)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     return _decontam_evidence(docs)
 
 
@@ -1311,7 +1351,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: signatures are 16 BIGINTs per doc (tiny), the band join
     is uniform under md5, and verification cost is |candidates|, not
     |docs|^2."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     return minhash_verified_pairs(docs)
 
 
@@ -1471,7 +1511,7 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit arithmetic through DuckDB's own bit_or/shift machinery; the
     no-false-negative guarantee and fp-rate behavior are additionally
     property-tested in tests/test_pipeline_suite.py."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     key = F.when(
         F.col("doc_id") % 9 <= 1,
         F.md5(F.concat(F.lit("shared:"),
@@ -1570,7 +1610,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles ~|new| + |old-index| rows on uniform md5 keys; the
     verification and the per-new-doc top-1 window both run on
     candidate pairs only."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     sigs = track_persist(_minhash_sigs(docs))
     banded = (
         sigs.withColumn("band", F.floor(F.col("i") / (_MH_K // _MH_BANDS)))
@@ -1671,7 +1711,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     |bands-collisions|, never |docs|^2.  Spark and DuckDB agree on the
     classic Levenshtein definition, so the verify step is
     oracle-exact."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     # identical-signature (within) pairs are NOT pre-verified here:
     # equal signatures do not imply equal text, so every candidate goes
     # through the exact Levenshtein check
@@ -1718,7 +1758,7 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-doc signature is ONE aggregation using higher-order
     functions over the (token-hash, weight) list — no 60-way explode,
     no Python."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     tw = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("w")).select(
         "doc_id", hash60(F.col("t")).alias("h"), "w"
@@ -1893,7 +1933,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded self-join and the integer-cosine verify; within-group pairs
     are cosine 1.0 by identity (zero-norm docs are excluded up front,
     as the nq > 0 filter always did)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     # count occurrences BEFORE hashing: each distinct (doc, token) is
     # md5'd once and weighted by its count, not hashed per occurrence
@@ -2104,7 +2144,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality signals: word count, mean word length,
     punctuation ratio, stopword ratio, and a composite keep-score — the
     standard pre-training corpus filters, all as JVM-side expressions."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     text = F.col("text")
     toks = tokens(text)
     n_words = F.size(toks).cast("long")
@@ -2164,7 +2204,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile, argmax with a deterministic tie-break order ('und' when no
     profile scores).  Pure column arithmetic — at scale the profiles are
     a broadcast map, the scan stays one pass."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     toks = tokens(F.lower(F.col("text")))
 
     def marker_score(markers: list[str]):
@@ -2215,7 +2255,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens plus a BPE-ish regex token count
     (letter runs / single digits / single punctuation) — the standard
     cheap proxy for tokenizer cost."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     text = F.col("text")
     n_ws = F.size(tokens(text)).cast("long")
     n_bpe = F.size(
@@ -2245,7 +2285,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 of the normalized text (lowercased,
     whitespace-collapsed) + fingerprint-dup groups — the cheap exact-dup
     detector that survives formatting noise."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
     fp = F.md5(norm)
     w = Window.partitionBy(fp)
@@ -2300,7 +2340,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout).  The normalized prefix is materialized behind a projection
     boundary so the per-gram lambda doesn't re-run the regex per
     position."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     norm_df = docs.select(
         "doc_id",
         F.substring(
@@ -2380,7 +2420,7 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the colliding mass).  The sketch is md5-derived so DuckDB builds
     the identical one; at 100 TB the sketch path replaces the exact
     groupBy when the key space no longer fits a shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     tok = docs.select(F.explode(tokens(F.col("text"))).alias("t"))
     total = tok.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     exact = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n_exact"))
@@ -2502,7 +2542,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_plans.py::test_query_construction_is_lazy)."""
     from wrf_to_geodataframe_spark.operators.graph import label_components
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     # localCheckpoint, not persist (r17): the pair table's lineage is
     # the ENTIRE minhash chain, and every one of the CC rounds, the
     # convergence check, and the final labeling referenced it — the
@@ -2609,7 +2649,7 @@ def quota_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle and sort see O(k * mappers) rows per stratum, not the
     stratum — the two-phase top-k refinement, applied by Catalyst
     automatically (asserted in tests/test_plans.py)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")  # one-shuffle plan pin: no spread
     rk = F.row_number().over(
         Window.partitionBy("lang", "source").orderBy(
             hash60(F.col("doc_id").cast("string")), F.col("doc_id")
@@ -2666,7 +2706,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the threshold) the sort-merge fallback is equally correct — both
     sides are already partitioned by term.  The per-doc top-k runs as a
     partial WindowGroupLimit before the shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     tc = track_persist(tok.groupBy("doc_id", "t").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
@@ -2749,7 +2789,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k is a WindowGroupLimit over a 9-term candidate
     set.  At 100 TB: candidates = docs containing a query term — the
     inverted-index access path, never a corpus-wide score."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     tc = track_persist(tok.groupBy("doc_id", "t").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
@@ -2863,7 +2903,7 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; the quota window runs over the dedup survivors only) and
     that the composed semantics replay bit-for-bit in the oracle's CTE
     chain."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     text = F.col("text")
     toks = tokens(text)
     n_words = F.size(toks).cast("long")
@@ -2956,7 +2996,7 @@ def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     is sources-sized and broadcasts back); the final rank applies the
     static ``rk <= _CURATE2_TARGET`` pre-filter so the window plans a
     partial WindowGroupLimit below its exchange."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     return curate_v2(docs, _CURATE2_TARGET)
 
 
@@ -3242,7 +3282,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     are capped at 2^22 so the product never exceeds 2^62 (the cap
     binds only past ~17B docs, where streams grow instead of
     multiplying), and local chunks per bucket stay far below 2^40."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")  # one-shuffle plan pin: no spread
     # bucket count as a lazy 1-row agg crossJoined in — no driver collect
     nb = docs.agg(
         F.least(
@@ -3352,7 +3392,7 @@ def train_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_training_corpus,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     toks = docs.select(
         "doc_id",
         F.transform(tokens(F.col("text")), lambda w: hash60(w)).alias(
@@ -3427,7 +3467,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_q,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = _spread_embeddings(spark, sf_dir).select(
         "vec_id", as_double_vec(F.col("embedding")).alias("e")
     )
     emb = emb.withColumn("nq", norm_q(F.col("e")))
@@ -3507,7 +3547,7 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_q,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = _spread_embeddings(spark, sf_dir).select(
         "vec_id", as_double_vec(F.col("embedding")).alias("e")
     )
     # deterministic hyperplanes: w(h, d) = (hash60(h||'_'||d) % 2001 - 1000)/1000
@@ -3678,7 +3718,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norm_q is an interpreted HOF, so uncached branches would each
     # recompute it over the full table
     emb = track_persist(
-        load_table(spark, sf_dir, "embeddings").select(
+        _spread_embeddings(spark, sf_dir).select(
             "vec_id", as_double_vec(F.col("embedding")).alias("e")
         ).withColumn("nq", norm_q(F.col("e")))
     )
@@ -3828,7 +3868,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # L2-NORMALIZE before quantizing: ADC ranks by L2 distance, and on
     # the unit sphere L2 order == cosine order, matching the exact
     # rankers; quantization after the division keeps everything BIGINT
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = _spread_embeddings(spark, sf_dir).select(
         "vec_id",
         F.expr(
             "greatest(sqrt(aggregate(transform(embedding, x -> "
@@ -3907,7 +3947,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_q,
     )
 
-    full = load_table(spark, sf_dir, "embeddings").select(
+    full = _spread_embeddings(spark, sf_dir).select(
         "vec_id", as_double_vec(F.col("embedding")).alias("e")
     ).withColumn("nq", norm_q(F.col("e")))
     qe = full.select(
@@ -4039,7 +4079,7 @@ def pca_project_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     q = float(1 << 20)
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = _spread_embeddings(spark, sf_dir).select(
         "vec_id",
         F.array(
             F.floor(F.col("embedding")[0].cast("double") * q) / q,
@@ -4114,7 +4154,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side over the binary column."""
     from wrf_to_geodataframe_spark.operators.multimodal import attach_fake_payload
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     wp = attach_fake_payload(docs)
     return wp.select(
         "doc_id",
@@ -4150,7 +4190,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_images,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     out = resize_images(attach_fake_image(docs), 8, 8)
     return out.select(
         "doc_id", "out_w", "out_h", F.hex("pixels").alias("pixels_hex")
@@ -4166,7 +4206,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     out = sample_frames(attach_fake_image(docs), stride=2)
     return out.select("doc_id", "frame_idx", F.hex("frame").alias("frame_hex"))
 
@@ -4181,7 +4221,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     return extract_features(attach_fake_payload(docs))
 
 
@@ -4758,7 +4798,7 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed.  (A fully lazy formulation exists but its plan tree
     doubles per round — measured 7 s of plan build + 15 s of repeated
     subtree execution at sf0.1 vs ~3 s for this form.)"""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     rows = _bpe_train_merges(docs)
     return spark.createDataFrame(
         rows, "step long, pair string, new_token string, pair_count long"
@@ -4867,7 +4907,7 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     of 16 literal string replaces inside whole-stage codegen — exactly
     how a production pipeline tokenizes 100 TB with a frozen merge
     table."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     merges = [(m[1], m[2]) for m in _bpe_train_merges(docs)]
     enc_doc = _bpe_apply_doc_expr_spark(merges)
     return docs.select(
@@ -4957,7 +4997,7 @@ def pipeline_curate_v3(
     taxonomy; the curation half is class A-minus): the BPE recurrence
     is cross-checked against a pure-python trainer in
     tests/test_pipeline_suite.py (test_bpe_train_matches_pure_python_reference)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     if nb_filter:
         docs = nb_quality_filter(docs)
     kept = curate_v2(docs, _CURATE2_TARGET).select("doc_id", "source")
@@ -5052,7 +5092,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_q,
     )
 
-    base = load_table(spark, sf_dir, "embeddings").select(
+    base = _spread_embeddings(spark, sf_dir).select(
         "vec_id", as_double_vec(F.col("embedding")).alias("e")
     )
     copies = base.filter(F.col("vec_id") % 10 == 0).select(
@@ -5217,7 +5257,7 @@ def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the canonical key is high-cardinality (near one group per
     page), so the partial aggregate collapses dupes map-side and the
     shuffle carries ~unique-URL rows only."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     raw = docs.select(
         "doc_id",
         F.expr(
@@ -5343,7 +5383,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     All counts are integers, so the result is bit-stable under any
     partitioning; the oracle replays the same logic as SQL window
     functions over DuckDB."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     toked, islands = _substr_islands(docs)
     per_doc = (
         islands.groupBy("doc_id", "n_tokens", "island")
@@ -5430,7 +5470,7 @@ def text_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     token arrays, and the token filter is a nested HOF — ``filter``
     over ``transform`` with an ``exists`` span probe — entirely inside
     codegen, no UDFs, no extra shuffle beyond the span agg."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     toked, islands = _substr_islands(docs)
     spans = (
         islands.groupBy("doc_id", "island")
@@ -5970,7 +6010,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     STATELESS and stream-legal: streaming/chunk.py wraps the same
     function over readStream for ingest-time chunking, with a
     stream==batch equivalence test."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     return chunk_tokens(docs)
 
 
@@ -6066,7 +6106,7 @@ def pipeline_split_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row broadcast — all uniform md5-derived keys, no skew mode."""
     from wrf_to_geodataframe_spark.functions.text import hash60, tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     d = docs.select(
         "source",
         holdout_split(F.col("text")).alias("split"),
@@ -6145,7 +6185,7 @@ def pipeline_split_neardup_safe(
         label_components,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     # localCheckpoint + assume_distinct: see dedup_cluster_cc (r17) —
     # same pair table, same 21.7k-line-plan truncation, same
     # uniqueness-by-construction argument; this builder is equally
