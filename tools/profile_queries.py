@@ -110,7 +110,13 @@ def main() -> None:
                 print(f"warm error {name}: {ex}", file=sys.stderr)
             spark.catalog.clearCache()
 
-    app_id = _rest("http://localhost:4047/api/v1/applications")[0]["id"]
+    # select THIS session's application by id, not list position — the
+    # UI endpoint can list several apps (ADVICE r17)
+    want_id = spark.sparkContext.applicationId
+    apps = _rest("http://localhost:4047/api/v1/applications")
+    app_id = next(
+        (a["id"] for a in apps if a["id"] == want_id), apps[0]["id"]
+    )
     base = f"http://localhost:4047/api/v1/applications/{app_id}"
 
     out: dict[str, dict] = {}
@@ -127,7 +133,10 @@ def main() -> None:
             out[name] = {"sec": -1.0, "err": str(ex)[:200]}
             spark.catalog.clearCache()
             continue
-        sc.setJobGroup(None, None)
+        try:
+            sc.clearJobGroup()  # the typed reset API (ADVICE r17)
+        except Exception:
+            sc.setJobGroup("", "")
         spark.catalog.clearCache()
 
         jobs = [j for j in _rest(f"{base}/jobs")

@@ -164,14 +164,28 @@ def sf_path(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
-_SCAN_BYTES_CACHE: dict[str, int] = {}
+# (path, root mtime_ns) -> bytes.  Keyed on the dataset root's mtime so
+# a dataset that grows IN PLACE (streaming ingest dirs: new part files
+# touch the directory) invalidates its entry instead of keeping a stale
+# estimate for the life of the process (ADVICE r17).
+_SCAN_BYTES_CACHE: dict[tuple[str, int], int] = {}
 
 
 def _dataset_bytes(path: str) -> int:
     """Total on-disk bytes of one parquet dataset (file or directory),
-    memoized — driver-side os.stat only, no Spark work."""
-    if path in _SCAN_BYTES_CACHE:
-        return _SCAN_BYTES_CACHE[path]
+    memoized — driver-side os.stat only, no Spark work.
+
+    Returns 0 for anything os.stat cannot size (non-posix paths like
+    s3://, permission errors): callers must treat 0 as UNKNOWN and fail
+    open to "large" (ADVICE r17 — a 100 TB object-store dataset must
+    never be mistaken for a byte-small one).  Failed stats are NOT
+    memoized, so a transient error doesn't pin the unknown state."""
+    try:
+        key = (path, os.stat(path).st_mtime_ns)
+    except OSError:
+        return 0
+    if key in _SCAN_BYTES_CACHE:
+        return _SCAN_BYTES_CACHE[key]
     total = 0
     try:
         if os.path.isdir(path):
@@ -182,9 +196,33 @@ def _dataset_bytes(path: str) -> int:
         else:
             total = os.path.getsize(path)
     except OSError:
-        total = 0
-    _SCAN_BYTES_CACHE[path] = total
+        return 0
+    _SCAN_BYTES_CACHE[key] = total
     return total
+
+
+def _byte_string_as_bytes(raw: str, default: int) -> int:
+    """Parse a Spark size conf value the way Spark's byteStringAsBytes
+    does for the common forms: bare number = bytes, or a number with a
+    case-insensitive b/k/m/g/t (optionally kb/mb/gb/tb) suffix.  A
+    digit-stripping parse would turn '128m' into 128 BYTES and inflate
+    the partition estimate ~1e6x (ADVICE r17); unparseable forms fall
+    back to ``default``."""
+    s = str(raw).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("tb", 1024**4), ("gb", 1024**3), ("mb", 1024**2), ("kb", 1024),
+        ("t", 1024**4), ("g", 1024**3), ("m", 1024**2), ("k", 1024),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)].strip()
+            mult = m
+            break
+    try:
+        return int(s) * mult
+    except ValueError:
+        return default
 
 
 def ensure_scan_parallelism(df, path: str, *keys: str):
@@ -208,15 +246,22 @@ def ensure_scan_parallelism(df, path: str, *keys: str):
     (deterministic layout, no round-robin input sort — guide §2.5)."""
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
+    default_pb = 128 * 1024 * 1024
     try:
         raw = df.sparkSession.conf.get(
-            "spark.sql.files.maxPartitionBytes", "134217728"
+            "spark.sql.files.maxPartitionBytes", str(default_pb)
         )
-        digits = "".join(ch for ch in str(raw) if ch.isdigit())
-        max_pb = int(digits) if digits else 128 * 1024 * 1024
+        max_pb = max(1, _byte_string_as_bytes(raw, default_pb))
     except Exception:
-        max_pb = 128 * 1024 * 1024
-    est = max(1, -(-_dataset_bytes(path) // max_pb))  # ceil-div
+        max_pb = default_pb
+    total = _dataset_bytes(path)
+    if total <= 0:
+        # UNKNOWN size (non-posix path, stat error): fail OPEN to
+        # "archive-scale" and leave the scan alone — the 100 TB path
+        # must never pay a full-corpus shuffle because the driver
+        # could not stat an object-store URI (ADVICE r17).
+        return df
+    est = max(1, -(-total // max_pb))  # ceil-div
     if est >= p:
         return df
     return df.repartition(p, *keys) if keys else df.repartition(p)
@@ -234,6 +279,18 @@ def ensure_scan_parallelism(df, path: str, *keys: str):
 # between queries, which frees the BLOCKS session-wide; this is the
 # surgical per-library API for sessions that also cache their OWN
 # frames and don't want a global clear.
+#
+# localCheckpoint CAVEAT (ADVICE r17): a few eager builders
+# (dedup_cluster_cc / pipeline_split_neardup_safe pair tables,
+# pipeline_curate_v3's corpus) truncate lineage with
+# ``localCheckpoint()`` instead of persist.  Checkpoint blocks are NOT
+# in this registry and are NOT dropped by ``spark.catalog.clearCache()``
+# — they are reclaimed when the checkpointed RDD is garbage-collected
+# (the python wrapper goes out of scope as soon as the query's action
+# finishes, so in bench/driver runs the JVM frees them via the
+# ContextCleaner between queries).  Local checkpoints are also not
+# executor-loss recoverable; every call site is an intra-query
+# intermediate that would simply recompute its query on failure.
 #
 # STRONG references on purpose: the python DataFrame wrappers for
 # intra-query intermediates go out of scope the moment the query

@@ -85,7 +85,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact deduplication: hash-groupBy on content, keep the smallest
     doc_id per group (one shuffle on the content hash; at scale the
     groupBy key is md5, never the full text)."""
-    docs = _spread_docs(spark, sf_dir)
+    # no scan spread here (r18): this query's map-side work is light and
+    # its first real operation is already an exchange, so the r17 spread
+    # was pure overhead at bench scale (driver-confirmed regression,
+    # VERDICT r17 item 1) and a no-op at archive scale either way
+    docs = load_table(spark, sf_dir, "documents")
     return (
         docs.groupBy(F.md5("text").alias("content_md5"))
         .agg(
@@ -959,7 +963,11 @@ def mixture_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-filter lets Catalyst plan a partial WindowGroupLimit below the
     exchange (the dynamic per-source quota k_s <= TARGET is applied on
     top), so mappers forward at most TARGET rows per source."""
-    docs = _spread_docs(spark, sf_dir)
+    # no scan spread here (r18): this query's map-side work is light and
+    # its first real operation is already an exchange, so the r17 spread
+    # was pure overhead at bench scale (driver-confirmed regression,
+    # VERDICT r17 item 1) and a no-op at archive scale either way
+    docs = load_table(spark, sf_dir, "documents")
     return temperature_mixture(docs, _MIX_TARGET)
 
 
@@ -1511,7 +1519,11 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit arithmetic through DuckDB's own bit_or/shift machinery; the
     no-false-negative guarantee and fp-rate behavior are additionally
     property-tested in tests/test_pipeline_suite.py."""
-    docs = _spread_docs(spark, sf_dir)
+    # no scan spread here (r18): this query's map-side work is light and
+    # its first real operation is already an exchange, so the r17 spread
+    # was pure overhead at bench scale (driver-confirmed regression,
+    # VERDICT r17 item 1) and a no-op at archive scale either way
+    docs = load_table(spark, sf_dir, "documents")
     key = F.when(
         F.col("doc_id") % 9 <= 1,
         F.md5(F.concat(F.lit("shared:"),
@@ -2285,7 +2297,11 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 of the normalized text (lowercased,
     whitespace-collapsed) + fingerprint-dup groups — the cheap exact-dup
     detector that survives formatting noise."""
-    docs = _spread_docs(spark, sf_dir)
+    # no scan spread here (r18): this query's map-side work is light and
+    # its first real operation is already an exchange, so the r17 spread
+    # was pure overhead at bench scale (driver-confirmed regression,
+    # VERDICT r17 item 1) and a no-op at archive scale either way
+    docs = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
     fp = F.md5(norm)
     w = Window.partitionBy(fp)
@@ -2706,7 +2722,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the threshold) the sort-merge fallback is equally correct — both
     sides are already partitioned by term.  The per-doc top-k runs as a
     partial WindowGroupLimit before the shuffle."""
-    docs = _spread_docs(spark, sf_dir)
+    # no scan spread here (r18): this query's map-side work is light and
+    # its first real operation is already an exchange, so the r17 spread
+    # was pure overhead at bench scale (driver-confirmed regression,
+    # VERDICT r17 item 1) and a no-op at archive scale either way
+    docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
     tc = track_persist(tok.groupBy("doc_id", "t").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
@@ -2903,7 +2923,11 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; the quota window runs over the dedup survivors only) and
     that the composed semantics replay bit-for-bit in the oracle's CTE
     chain."""
-    docs = _spread_docs(spark, sf_dir)
+    # no scan spread here (r18): this query's map-side work is light and
+    # its first real operation is already an exchange, so the r17 spread
+    # was pure overhead at bench scale (driver-confirmed regression,
+    # VERDICT r17 item 1) and a no-op at archive scale either way
+    docs = load_table(spark, sf_dir, "documents")
     text = F.col("text")
     toks = tokens(text)
     n_words = F.size(toks).cast("long")
@@ -5257,7 +5281,11 @@ def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the canonical key is high-cardinality (near one group per
     page), so the partial aggregate collapses dupes map-side and the
     shuffle carries ~unique-URL rows only."""
-    docs = _spread_docs(spark, sf_dir)
+    # no scan spread here (r18): this query's map-side work is light and
+    # its first real operation is already an exchange, so the r17 spread
+    # was pure overhead at bench scale (driver-confirmed regression,
+    # VERDICT r17 item 1) and a no-op at archive scale either way
+    docs = load_table(spark, sf_dir, "documents")
     raw = docs.select(
         "doc_id",
         F.expr(
@@ -6106,7 +6134,11 @@ def pipeline_split_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row broadcast — all uniform md5-derived keys, no skew mode."""
     from wrf_to_geodataframe_spark.functions.text import hash60, tokens
 
-    docs = _spread_docs(spark, sf_dir)
+    # no scan spread here (r18): this query's map-side work is light and
+    # its first real operation is already an exchange, so the r17 spread
+    # was pure overhead at bench scale (driver-confirmed regression,
+    # VERDICT r17 item 1) and a no-op at archive scale either way
+    docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "source",
         holdout_split(F.col("text")).alias("split"),
