@@ -267,6 +267,46 @@ def ensure_scan_parallelism(df, path: str, *keys: str):
     return df.repartition(p, *keys) if keys else df.repartition(p)
 
 
+def coalesce_small_scan(df, path: str):
+    """Coalesce a byte-SMALL scan down to the partition count its bytes
+    actually warrant (ceil(bytes / maxPartitionBytes)) — the inverse of
+    :func:`ensure_scan_parallelism`, for DRIVER-BOUND projection gates
+    whose cost is the collect, not the compute.
+
+    Why: with many cores, Spark's split packing targets
+    ``totalBytes / defaultParallelism`` per split (floored at
+    ``openCostInBytes``), so a ~40 MB table fans out to dozens of
+    kilobyte-scale scan tasks.  For a trivially-cheap projection whose
+    result is collected, those extra partitions buy nothing and each
+    costs a separate task-result fetch + per-batch deserialization on
+    the driver (measured: the same collect-bound query ran ~3x slower
+    at 32 scan splits than at 8 — VERDICT r17 item 3).
+
+    Scale contract: a no-op whenever the byte estimate is UNKNOWN (0)
+    or the dataset already spans >= ``defaultParallelism`` full
+    maxPartitionBytes splits — an archive-scale scan keeps every split.
+    Only apply this to queries whose per-row compute is a cast/rename
+    (codegen floor); a CPU-heavy chain over a coalesced scan would
+    serialize (use ensure_scan_parallelism's criterion instead)."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    default_pb = 128 * 1024 * 1024
+    try:
+        raw = df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", str(default_pb)
+        )
+        max_pb = max(1, _byte_string_as_bytes(raw, default_pb))
+    except Exception:
+        max_pb = default_pb
+    total = _dataset_bytes(path)
+    if total <= 0:
+        return df  # unknown size: fail open, leave the scan alone
+    est = max(1, -(-total // max_pb))  # ceil-div
+    if est >= p:
+        return df
+    return df.coalesce(est)
+
+
 # ---------------------------------------------------------------------------
 # Tracked persists: several suite queries persist intra-query
 # intermediates (near-dup signatures, exact-duplicate collapse maps,

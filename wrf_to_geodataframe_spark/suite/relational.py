@@ -155,8 +155,20 @@ FROM cells
 
 def c4_cast_float32(spark: SparkSession, sf_dir: str) -> DataFrame:
     """float64 → float32 downcast (SURVEY.md §2 C4,
-    delphine/regrid.py:311 ``.astype("float32")``)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    delphine/regrid.py:311 ``.astype("float32")``).
+
+    The cast is codegen-floor cheap and the gate COLLECTS every row, so
+    the wall cost is the driver-side result fetch: coalesce the scan to
+    the split count its bytes warrant (r18, guide §2.2 — strict no-op
+    at archive scale; see coalesce_small_scan)."""
+    from wrf_to_geodataframe_spark.session import (
+        coalesce_small_scan,
+        sf_path,
+    )
+
+    li = coalesce_small_scan(
+        load_table(spark, sf_dir, "lineitem"), sf_path(sf_dir, "lineitem")
+    )
     return li.select(
         "l_orderkey",
         "l_linenumber",
