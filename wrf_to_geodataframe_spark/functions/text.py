@@ -30,26 +30,38 @@ def tokens(text: Column) -> Column:
 
 
 def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
-    """Distinct k-gram word shingles from a MATERIALIZED token-array
-    column — the unit of near-duplicate detection (MinHash/Jaccard both
-    consume these).  Taking the array column (not the raw text) matters:
-    a split() inlined into the transform lambda would re-tokenize the
-    document once per shingle element (O(words^2) per doc)."""
-    ngrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-        ),
-    )
-    # documents with fewer than k tokens have NO k-shingles (matching the
-    # oracle's generate_series(1, len-k+1), which is empty for len < k) —
-    # without the guard a padded pseudo-shingle of the whole short doc
-    # would silently diverge from the oracle on sub-k documents
-    return F.array_distinct(
-        F.when(F.size(toks) >= k, ngrams).otherwise(
-            F.array().cast("array<string>")
+    """Distinct k-gram word shingles from a token-array column — the
+    unit of near-duplicate detection (MinHash/Jaccard both consume
+    these).
+
+    The token argument is LET-BOUND through the engine's single-element
+    ``transform(array(x), v -> body)`` idiom (r18; the meteo.py r17
+    let-binding): when callers pass ``tokens(text)`` directly — or when
+    filter pushdown re-inlines a shingle-derived predicate below the
+    projection that materialized the array (observed in the curate
+    chain: the pushed filter re-ran split(text) once per shingle
+    element, O(words^2) per doc, in the 1-split scan stage) — the bound
+    lambda variable still evaluates the tokenizer exactly once per
+    row."""
+    def _body(tk: Column) -> Column:
+        ngrams = F.transform(
+            F.sequence(F.lit(0), F.size(tk) - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tk, i + j + 1) for j in range(k)]
+            ),
         )
-    )
+        # documents with fewer than k tokens have NO k-shingles
+        # (matching the oracle's generate_series(1, len-k+1), which is
+        # empty for len < k) — without the guard a padded
+        # pseudo-shingle of the whole short doc would silently diverge
+        # from the oracle on sub-k documents
+        return F.array_distinct(
+            F.when(F.size(tk) >= k, ngrams).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+
+    return F.element_at(F.transform(F.array(toks), _body), 1)
 
 
 def exploded_shingles(docs: DataFrame, k: int = 3) -> DataFrame:

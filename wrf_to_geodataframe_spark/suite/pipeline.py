@@ -3128,45 +3128,27 @@ def curate_clean(docs: DataFrame) -> DataFrame:
         (n_words >= 50) & (avg_word_len >= 2.0) & (avg_word_len <= 12.0)
     )
 
-    # repetition thresholds (text_repetition's two-thin-branch shape,
-    # over the quality survivors)
-    toked = quality.select("doc_id", tokens(F.col("text")).alias("toks"))
-    stats = toked.select(
-        "doc_id",
-        F.size("toks").cast("long").alias("n_words"),
-        F.greatest(F.size("toks") - 2, F.lit(0)).cast("long").alias("t3"),
-        F.size(shingles_from_tokens(F.col("toks"), 3)).cast("long").alias("d3"),
-    )
-    topw = (
-        quality.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_c"))
-    )
-    rep_ok = (
-        stats.join(topw, "doc_id")
-        .filter(
-            (
-                F.expr(
-                    "(t3 - d3) * CAST(1000000 AS BIGINT)"
-                    " div greatest(t3, CAST(1 AS BIGINT))"
-                )
-                <= _CURATE2_MAX_DUP3_PPM
-            )
-            & (
-                F.expr(
-                    "top_c * CAST(1000000 AS BIGINT)"
-                    " div greatest(n_words, CAST(1 AS BIGINT))"
-                )
-                <= _CURATE2_MAX_TOPW_PPM
-            )
-        )
-        .select("doc_id")
-    )
-    calm = quality.join(rep_ok, "doc_id")
-
-    # PII scrub (text_scrub_pii's planted-PII injection + redaction)
+    # repetition thresholds (text_repetition's shape, over the quality
+    # survivors).  The per-row stats half (n_words / t3 / d3) is a pure
+    # projection, and its d3 shingle builder is an INTERPRETED
+    # higher-order transform: joining it against topw used to leave
+    # that evaluation in the post-join stage, whose byte-small input
+    # AQE coalesces to ~1 partition — measured 3.5 s on ONE task at
+    # sf0.1 (thread dumps: ArrayTransform.eval/ConcatWs inside the
+    # cache build).  It is now computed MAP-SIDE over the spread scan
+    # (below any exchange) and carried through the join as three longs
+    # (r18, guide §2.5) — the stats⋈topw join disappears outright.
+    # PII scrub (text_scrub_pii's planted-PII injection + redaction) —
+    # computed MAP-SIDE over the scan, BEFORE the rep_ok join (r18,
+    # guide §2.3/§2.5): the join output is byte-small, so AQE coalesces
+    # it to ~1 partition and a post-join scrub ran its regex chain
+    # single-threaded (measured 3-5 s on one task at sf0.1 — the
+    # dominant cost of curate_v2/v3).  Scrubbing in the quality
+    # projection keeps the regexes on the spread scan partitions AND
+    # lets the join shuffle narrow manifest rows (two longs + one md5)
+    # instead of the full text.  Same expressions over the same rows —
+    # the rep_ok filter commutes with a per-row projection — so every
+    # output value is identical.
     aug = F.concat(
         F.col("text"),
         F.when(
@@ -3182,13 +3164,24 @@ def curate_clean(docs: DataFrame) -> DataFrame:
     scrubbed = F.regexp_replace(
         F.regexp_replace(t, _SCRUB_EMAIL_RE, "[EMAIL]"), _SCRUB_URL_RE, "[URL]"
     )
-    scrub = calm.select(
-        "doc_id", "lang", "source", "n_tokens", aug.alias("t")
+    toks_q = tokens(F.col("text"))
+    enriched = quality.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        aug.alias("t"),
+        F.size(toks_q).cast("long").alias("n_words"),
+        F.greatest(F.size(toks_q) - 2, F.lit(0)).cast("long").alias("t3"),
+        F.size(shingles_from_tokens(toks_q, 3)).cast("long").alias("d3"),
     ).select(
         "doc_id",
         "lang",
         "source",
         "n_tokens",
+        "n_words",
+        "t3",
+        "d3",
         F.size(F.regexp_extract_all(t, F.lit(_SCRUB_EMAIL_RE), 0))
         .cast("long")
         .alias("n_emails"),
@@ -3196,6 +3189,49 @@ def curate_clean(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_urls"),
         F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+    topw = (
+        quality.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    # ONE fused predicate instead of (dup3 <= A) & (topw <= B): a
+    # conjunction splits, and the dup3 conjunct (referencing only the
+    # enriched side) then pushes below the spread exchange into the
+    # 1-split scan stage, dragging the whole interpreted shingle
+    # lambda with it (measured: the scan task evaluated it serially).
+    # max(a - A, b - B) <= 0 is the same boolean in exact BIGINT
+    # arithmetic (every input is non-null past the quality gate) but
+    # references BOTH join sides, so it stays at the join and d3 is
+    # evaluated in the 32-way-parallel enriched projection.
+    scrub = (
+        enriched.join(topw, "doc_id")
+        .filter(
+            F.greatest(
+                F.expr(
+                    "(t3 - d3) * CAST(1000000 AS BIGINT)"
+                    " div greatest(t3, CAST(1 AS BIGINT))"
+                )
+                - F.lit(_CURATE2_MAX_DUP3_PPM).cast("long"),
+                F.expr(
+                    "top_c * CAST(1000000 AS BIGINT)"
+                    " div greatest(n_words, CAST(1 AS BIGINT))"
+                )
+                - F.lit(_CURATE2_MAX_TOPW_PPM).cast("long"),
+            )
+            <= 0
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            "n_emails",
+            "n_urls",
+            "scrubbed_md5",
+        )
     )
 
     # decontamination: benchmark split out, contaminated train docs out.
