@@ -628,15 +628,21 @@ def _index_files(
     import pickle
 
     import pandas as pd
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
     from pyspark.storagelevel import StorageLevel
 
     sc = spark.sparkContext
+    # Parallelize the file list into exactly the slice count the walk
+    # needs (r18): a bare createDataFrame slices tiny lists over
+    # defaultParallelism mostly-empty partitions and the old
+    # repartition added an exchange on top — every downstream job then
+    # carried a 32-task parallelize stage for a handful of files.
+    # Positional slices spread the files as evenly as the old
+    # file_no hash did.
+    n_slices = max(1, min(len(files), sc.defaultParallelism * 2))
     fdf = spark.createDataFrame(
-        list(enumerate(files)), "file_no long, path string"
-    ).repartition(
-        max(1, min(len(files), sc.defaultParallelism * 2)), "file_no"
+        sc.parallelize(list(enumerate(files)), n_slices),
+        "file_no long, path string",
     )
 
     vars_ = [var] if isinstance(var, str) or var is None else list(var)
@@ -687,18 +693,31 @@ def _index_files(
             ]),
             _CHUNK_SCHEMA,
         )
-        w = Window.partitionBy("var").orderBy("file_no").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        offsets = (
-            chunks.select("var", "file_no", "nt")
+        # Per-(var, file) time offsets, computed DRIVER-SIDE from one
+        # tiny collect over the persisted walk output (r18): the old
+        # window-over-distinct subquery was re-planned and re-broadcast
+        # as a separate job for EACH of the two sidecar writes that
+        # join it.  The distinct (var, file_no, nt) set is
+        # metadata-sized by construction (one row per file per var —
+        # the same boundedness class as the times sidecar itself), and
+        # this builder is already an eager indexing call, so the
+        # collect does not change the laziness contract.  Same cumsum
+        # semantics: files ordered by file_no within each var.
+        triples = sorted(
+            (r["var"], r["file_no"], r["nt"])
+            for r in chunks.select("var", "file_no", "nt")
             .distinct()
-            .withColumn(
-                "t_off",
-                F.coalesce(F.sum("nt").over(w), F.lit(0))
-                + F.lit(base_t),
-            )
-            .select("var", "file_no", "t_off")
+            .collect()
+        )
+        off_rows, acc, cur_var = [], 0, None
+        for v, fno, nt in triples:
+            if v != cur_var:
+                cur_var, acc = v, 0
+            off_rows.append((v, fno, acc + base_t))
+            acc += nt
+        offsets = spark.createDataFrame(
+            sc.parallelize(off_rows, 1),
+            "var string, file_no long, t_off long",
         )
         n_out = max(1, min(len(files), sc.defaultParallelism))
         (
