@@ -5763,23 +5763,28 @@ def dedup_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    fam = F.when(
-        F.col("doc_id") % 10 == 1, F.col("doc_id") - 1
-    ).otherwise(F.col("doc_id")).cast("string")
-    blocks = F.concat(
-        *[
-            F.unhex(F.md5(F.concat(fam, F.lit(f":{b}"))))
-            for b in range(16)  # 16 blocks x 16 bytes = 256 px
-        ]
+    # synthesis expressions as ONE SQL string each (r18): building the
+    # 16-block md5 chain through the Column API costs hundreds of py4j
+    # round trips — measured 1.6 s of pure driver-side plan
+    # CONSTRUCTION per call; a single F.expr parses JVM-side in one
+    # call.  Identical expression semantics, oracle-pinned.
+    fam = (
+        "CAST(CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 "
+        "ELSE doc_id END AS STRING)"
     )
-    p0 = F.conv(
-        F.substring(F.md5(F.concat(fam, F.lit(":0"))), 1, 2), 16, 10
-    ).cast("int")
-    p0p = (
-        p0 + F.when(F.col("doc_id") % 10 == 1, F.lit(3)).otherwise(
-            F.lit(0)
+    blocks = F.expr(
+        "concat("
+        + ", ".join(
+            f"unhex(md5(concat({fam}, ':{b}')))"
+            for b in range(16)  # 16 blocks x 16 bytes = 256 px
         )
-    ) % 256
+        + ")"
+    )
+    p0p = F.expr(
+        f"(CAST(conv(substring(md5(concat({fam}, ':0')), 1, 2), 16, 10)"
+        " AS INT)"
+        " + (CASE WHEN doc_id % 10 = 1 THEN 3 ELSE 0 END)) % 256"
+    )
     base = docs.select(
         "doc_id",
         F.lit(16).cast("long").alias("width"),
@@ -5970,29 +5975,33 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    dk = F.col("doc_id").cast("string")
 
-    def frame_bytes(f: int):
-        key = F.concat(dk, F.lit(f":{f // 4}"))
-        blocks = F.concat(
-            *[
-                F.unhex(F.md5(F.concat(key, F.lit(f":{b}"))))
-                for b in range(16)
-            ]
+    # frame synthesis as ONE SQL string (r18): 12 frames x 17 md5
+    # subtrees through the Column API cost ~1 s of driver-side plan
+    # construction in py4j round trips per call; a single F.expr
+    # parses JVM-side in one call.  Identical expression semantics,
+    # oracle-pinned.
+    def frame_sql(f: int) -> str:
+        key = f"concat(CAST(doc_id AS STRING), ':{f // 4}')"
+        blocks = "concat(" + ", ".join(
+            f"unhex(md5(concat({key}, ':{b}')))" for b in range(16)
+        ) + ")"
+        p0 = (
+            f"CAST(conv(substring(md5(concat({key}, ':0')), 1, 2), 16, 10)"
+            " AS INT)"
         )
-        p0 = F.conv(
-            F.substring(F.md5(F.concat(key, F.lit(":0"))), 1, 2), 16, 10
-        ).cast("int")
-        return F.concat(
-            F.unhex(F.lpad(F.hex((p0 + F.lit(f)) % 256), 2, "0")),
-            F.substring(blocks, 2, 255),
+        return (
+            f"concat(unhex(lpad(hex(({p0} + {f}) % 256), 2, '0')), "
+            f"substring({blocks}, 2, 255))"
         )
 
     base = docs.select(
         "doc_id",
         F.lit(256).cast("long").alias("width"),   # one frame per row
         F.lit(12).cast("long").alias("height"),   # 12 frames
-        F.concat(*[frame_bytes(f) for f in range(12)]).alias("pixels"),
+        F.expr(
+            "concat(" + ", ".join(frame_sql(f) for f in range(12)) + ")"
+        ).alias("pixels"),
     )
     frames = sample_frames(base, stride=1)
 
