@@ -73,16 +73,35 @@ class _BitReader:
         self.bit = 0
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            if self.byte >= len(self.buf):
-                raise ValueError("truncated VP8L stream")
-            v |= ((self.buf[self.byte] >> self.bit) & 1) << i
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.byte += 1
+        """All ``n`` LSB-first bits in one int.from_bytes window (r18):
+        the per-bit loop cost ~1 µs/bit and the per-pixel prefix reads
+        made it the decode hot path.  Identical bit order and identical
+        truncation behavior (raises when the window would run past the
+        buffer)."""
+        if n == 0:
+            return 0
+        end_bit = self.bit + n
+        nbytes = (end_bit + 7) >> 3
+        chunk = self.buf[self.byte : self.byte + nbytes]
+        if len(chunk) < nbytes:
+            raise ValueError("truncated VP8L stream")
+        v = (int.from_bytes(chunk, "little") >> self.bit) & ((1 << n) - 1)
+        self.byte += end_bit >> 3
+        self.bit = end_bit & 7
         return v
+
+    def peek_bits(self, n: int) -> int:
+        """Up to ``n`` LSB-first bits WITHOUT advancing; bits past the
+        end of the buffer read as 0 (callers re-validate symbol length
+        against the real remaining bit count)."""
+        nbytes = (self.bit + n + 7) >> 3
+        chunk = self.buf[self.byte : self.byte + nbytes]
+        return (int.from_bytes(chunk, "little") >> self.bit) & ((1 << n) - 1)
+
+    def skip_bits(self, n: int) -> None:
+        end_bit = self.bit + n
+        self.byte += end_bit >> 3
+        self.bit = end_bit & 7
 
 
 class _BitWriter:
@@ -122,11 +141,21 @@ class _PrefixCode:
         code = 0
         prev_len = 0
         self.codes: dict[int, tuple[int, int]] = {}
+        # bit-REVERSED codes (r18): the stream is LSB-first and codes
+        # are written MSB-of-code-first, so the on-wire bit sequence of
+        # a symbol is its code bit-reversed — precomputing that makes
+        # both the one-call writer and the LUT reader below possible
+        # with the byte-identical stream.
+        self.codes_rev: dict[int, tuple[int, int]] = {}
+        max_len = 0
         for ln, sym in pairs:
             code <<= ln - prev_len
             prev_len = ln
             self.decode_table[(ln, code)] = sym
             self.codes[sym] = (code, ln)
+            rev = int(f"{code:0{ln}b}"[::-1], 2)
+            self.codes_rev[sym] = (rev, ln)
+            max_len = ln
             code += 1
         n = len(pairs)
         self.single = pairs[0][1] if n == 1 else None
@@ -134,10 +163,35 @@ class _PrefixCode:
             kraft = sum(1 << (15 - ln) for ln, _ in pairs)
             if kraft != 1 << 15:
                 raise ValueError("incomplete/over-subscribed prefix code")
+        # single-level decode LUT over max_len peeked bits -> (sym, ln),
+        # built only when small enough to amortize over a tiny image
+        # (2^11 entries); longer codes fall back to the bit-by-bit walk
+        self.max_len = max_len
+        self.lut: list | None = None
+        if n > 1 and max_len <= 11:
+            lut = [(-1, 0)] * (1 << max_len)
+            for sym, (rev, ln) in self.codes_rev.items():
+                step = 1 << ln
+                for filler in range(rev, 1 << max_len, step):
+                    lut[filler] = (sym, ln)
+            self.lut = lut
 
     def read(self, r: _BitReader) -> int:
         if self.single is not None:
             return self.single  # zero-bit code
+        if self.lut is not None:
+            avail = (len(r.buf) - r.byte) * 8 - r.bit
+            sym, ln = self.lut[r.peek_bits(self.max_len)]
+            if 0 <= sym and ln <= avail:
+                r.skip_bits(ln)
+                return sym
+            if sym < 0 and avail >= self.max_len:
+                raise ValueError("invalid prefix code in VP8L stream")
+            # near-end window (zero-padded peek, or a match needing
+            # more bits than remain): replay bit-by-bit so the
+            # truncated/invalid error surfaces exactly like the slow
+            # path.  A shorter valid symbol cannot have been missed —
+            # the LUT covers every suffix of every code.
         code, ln = 0, 0
         while ln < 16:
             code = (code << 1) | r.read_bits(1)
@@ -150,9 +204,8 @@ class _PrefixCode:
     def write(self, w: _BitWriter, sym: int) -> None:
         if self.single is not None:
             return
-        code, ln = self.codes[sym]
-        for i in range(ln - 1, -1, -1):  # MSB of the code first
-            w.write_bits((code >> i) & 1, 1)
+        rev, ln = self.codes_rev[sym]
+        w.write_bits(rev, ln)  # one call; same on-wire bit sequence
 
 
 def _huffman_lengths(freqs: list[int], max_len: int) -> list[int]:
