@@ -167,6 +167,7 @@ class _PrefixCode:
         # built only when small enough to amortize over a tiny image
         # (2^11 entries); longer codes fall back to the bit-by-bit walk
         self.max_len = max_len
+        self._peek_mask = (1 << max_len) - 1
         self.lut: list | None = None
         if n > 1 and max_len <= 11:
             lut = [(-1, 0)] * (1 << max_len)
@@ -180,10 +181,20 @@ class _PrefixCode:
         if self.single is not None:
             return self.single  # zero-bit code
         if self.lut is not None:
-            avail = (len(r.buf) - r.byte) * 8 - r.bit
-            sym, ln = self.lut[r.peek_bits(self.max_len)]
+            # peek/skip inlined: this is called once per symbol of
+            # every header and pixel, and the three method calls were
+            # the remaining decode hot path after the LUT landed
+            buf, byte, bit = r.buf, r.byte, r.bit
+            avail = (len(buf) - byte) * 8 - bit
+            nbytes = (bit + self.max_len + 7) >> 3
+            window = (
+                int.from_bytes(buf[byte : byte + nbytes], "little") >> bit
+            ) & self._peek_mask
+            sym, ln = self.lut[window]
             if 0 <= sym and ln <= avail:
-                r.skip_bits(ln)
+                end = bit + ln
+                r.byte = byte + (end >> 3)
+                r.bit = end & 7
                 return sym
             if sym < 0 and avail >= self.max_len:
                 raise ValueError("invalid prefix code in VP8L stream")

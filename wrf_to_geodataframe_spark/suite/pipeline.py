@@ -1971,45 +1971,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         hv.groupBy("doc_id", "j")
         .agg(F.sum("sgn").cast("long").alias("v"))
     )
-    # hyperplane weights as LITERAL arrays (r18, guide §2.3/§2.4): the
-    # old shape joined vec against a broadcast (planes x dims) table —
-    # a ×36 row blow-up of the sparse entries — then shuffled that into
-    # a groupBy(doc_id, h) and shuffled AGAIN into the band keys.  All
-    # 36 projections are instead computed as codegen'd sum aggregates
-    # FUSED into the per-doc aggregation below (wt is element_at of a
-    # 64-literal array — no join, no blow-up, no extra exchange), and
-    # the band keys become a pure projection of it.  Same multiply-add
-    # set per (doc, h) in exact BIGINT arithmetic, so every projection,
-    # bit and band key is value-identical to the old plan's.  (The r17
-    # attempt that was slower folded a HOF over the whole vector per
-    # doc — interpreted; these are plain codegen aggregate expressions.)
-    def _warr(h: int):
-        return F.array(*[F.lit(int(_EC_W[h][j])) for j in range(_EC_D)])
-
-    _wt_j = [  # wt[h][j] looked up per sparse entry, codegen'd
-        F.element_at(_warr(h), F.col("j").cast("int") + 1)
-        for h in range(_EC_PLANES)
-    ]
+    # (r18 negative result, kept for the record: computing the 36
+    # hyperplane projections as codegen sum aggregates over literal
+    # weight arrays in one groupBy(doc_id) pass — removing the x36
+    # broadcast-join row blow-up and two exchanges — was implemented,
+    # oracle-verified bit-identical at all three SFs, and measured
+    # 2.5x SLOWER end to end (5-sample min 9.6 s vs 3.8 s at sf0.1):
+    # the projection aggregate in isolation was 2x faster, but the
+    # composed query's th/ndocs broadcast subtrees then raced three
+    # concurrent jobs over the not-yet-populated vec cache (the REST
+    # profile showed three jobs sharing one parent stage), and fusing
+    # the sums into docagg instead forces ObjectHashAggregate, where
+    # every aggregate runs interpreted (measured 44 executor-CPU-s).
+    # The explode-shaped plan below keeps the broadcast build of w
+    # vec-independent, so nothing races the cache fill.  guide §1.1's
+    # warning in action, same as the r17 HOF attempt.)
     # ONE per-doc aggregation produces both the norm (nq) and the
     # collapse key (the sorted sparse vector): nv and vecarr are
-    # projections of it, not a second shuffle over vec.  The 36
-    # projections live in a SEPARATE aggregate below — collect_list
-    # forces this one onto ObjectHashAggregate, where every aggregate
-    # expression runs INTERPRETED (measured 44 executor-CPU-s when the
-    # 36 sums were fused in here vs ~2 s in their own codegen'd
-    # HashAggregate).
+    # projections of it, not a second shuffle over vec
     docagg = track_persist(vec.groupBy("doc_id").agg(
         F.sum(F.col("v") * F.col("v")).cast("long").alias("nq"),
         F.array_sort(F.collect_list(F.struct("j", "v"))).alias("vkey"),
     ))
     nv = docagg.select("doc_id", "nq")
-    # all 36 hyperplane projections in one whole-stage-codegen
-    # HashAggregate over the cached sparse entries (sums of
-    # literal-array element_at lookups — constant-folded, no join)
-    proj = vec.groupBy("doc_id").agg(*[
-        F.sum(_wt_j[h] * F.col("v")).cast("long").alias(f"_p{h}")
-        for h in range(_EC_PLANES)
-    ])
+    # hyperplane weights as a broadcast (planes x dims) dim table
+    w = spark.createDataFrame(
+        [(h, j, _EC_W[h][j]) for h in range(_EC_PLANES) for j in range(_EC_D)],
+        "h long, j long, wt long",
+    )
     # MEAN-CENTERED projections: corpus-common tokens give every doc
     # vector a shared component, so raw sign bits correlate across
     # documents and band buckets go quadratic (measured 550k candidate
@@ -2024,45 +2013,35 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ndocs = vec.agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs")
     )
-    # thresholds th_h = w_h · S as ONE broadcast row of 36 sums over the
-    # 64-row csum (value-identical to the old broadcast-join + groupBy)
-    th = csum.agg(*[
-        F.sum(_wt_j[h] * F.col("s")).cast("long").alias(f"_t{h}")
-        for h in range(_EC_PLANES)
-    ])
-
-    def _band_key(b: int):
-        bit_terms = []
-        for r in range(_EC_ROWS):
-            h = b * _EC_ROWS + r
-            bit_terms.append(
-                F.when(
-                    F.col(f"_p{h}") * F.col("n_docs") > F.col(f"_t{h}"),
-                    F.lit(1 << r).cast("long"),
-                ).otherwise(F.lit(0).cast("long"))
-            )
-        expr = bit_terms[0]
-        for t in bit_terms[1:]:
-            expr = expr + t
-        return expr.cast("long")
-
-    n_bands = _EC_PLANES // _EC_ROWS
-    banded = (
-        proj.crossJoin(F.broadcast(th))
+    th = (
+        F.broadcast(w)
+        .join(F.broadcast(csum), "j")
+        .groupBy("h")
+        .agg(F.sum(F.col("wt") * F.col("s")).cast("long").alias("th"))
+    )
+    bits = (
+        vec.join(F.broadcast(w), "j")
+        .groupBy("doc_id", "h")
+        .agg(F.sum(F.col("wt") * F.col("v")).cast("long").alias("proj"))
+        .join(F.broadcast(th), "h")
         .crossJoin(F.broadcast(ndocs))
         .select(
             "doc_id",
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(b).cast("long").alias("band"),
-                        _band_key(b).alias("key"),
-                    )
-                    for b in range(n_bands)
-                ])
-            ).alias("bk"),
+            "h",
+            F.when(F.col("proj") * F.col("n_docs") > F.col("th"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("bit"),
         )
-        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    banded = (
+        bits.groupBy(
+            "doc_id", F.floor(F.col("h") / _EC_ROWS).alias("band")
+        )
+        .agg(
+            F.sum(
+                F.expr(f"shiftleft(bit, CAST(h % {_EC_ROWS} AS INT))")
+            ).alias("key")
+        )
         .persist()
     )
     track_persist(banded)
