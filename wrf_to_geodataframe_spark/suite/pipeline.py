@@ -726,21 +726,31 @@ def _minhash_sigv(docs: DataFrame) -> DataFrame:
     hashed = sh.select("doc_id", hash60(F.col("s")).alias("h"))
     # ONE shuffle: 16 conditional mins in a single partial-aggregated
     # groupBy (whole-stage codegen, map-side combine), instead of a
-    # (doc, bucket) groupBy followed by a 16x explode + second groupBy
+    # (doc, bucket) groupBy followed by a 16x explode + second groupBy.
+    # Expressions as SQL strings (r18): the Column-API form of the 16
+    # aggregates + the 16x16 densification chain below cost ~0.7 s of
+    # driver-side py4j round trips PER CONSTRUCTION, multiplied across
+    # every minhash consumer (lsh / edit / cluster_cc / neardup_safe /
+    # incremental); F.expr parses JVM-side in one call each.  Identical
+    # expression semantics, oracle-pinned.
     wide = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.when(F.col("h") % _MH_K == i, F.col("h"))).alias(f"m{i}")
+            F.expr(
+                f"min(CASE WHEN h % {_MH_K} = {i} THEN h END)"
+            ).alias(f"m{i}")
             for i in range(_MH_K)
         ]
     )
     # rotation densification as a coalesce chain: position i takes the
     # nearest non-empty bucket clockwise — exactly the oracle's
     # arg_min(mh, (b - i) mod K)
-    dense = F.array(
-        *[
-            F.coalesce(*[F.col(f"m{(i + k) % _MH_K}") for k in range(_MH_K)])
+    dense = F.expr(
+        "array(" + ", ".join(
+            "coalesce(" + ", ".join(
+                f"m{(i + k) % _MH_K}" for k in range(_MH_K)
+            ) + ")"
             for i in range(_MH_K)
-        ]
+        ) + ")"
     )
     return wide.select("doc_id", dense.alias("sig"))
 
@@ -792,17 +802,16 @@ def _minhash_band_candidates(docs: DataFrame):
     sigv = track_persist(_minhash_sigv(docs))
     reps, cm = _collapse_identical(sigv, "sig")
     repsig = reps.select(F.col("rep"), F.col("sig"))
-    band_arr = F.array(
-        *[
-            F.concat_ws(
-                ",",
-                *[
-                    F.col("sig")[j * _MH_R + k].cast("string")
-                    for k in range(_MH_R)
-                ],
-            )
+    # band digests as one SQL string (r18 — the _minhash_sigv py4j
+    # rationale); sig[i] is 0-based in the Column API = element_at(i+1)
+    band_arr = F.expr(
+        "array(" + ", ".join(
+            "concat_ws(','," + ", ".join(
+                f"CAST(sig[{j * _MH_R + k}] AS STRING)"
+                for k in range(_MH_R)
+            ) + ")"
             for j in range(_MH_BANDS)
-        ]
+        ) + ")"
     )
     banded = reps.select(
         "rep", F.posexplode(band_arr).alias("band", "band_key")
